@@ -1,13 +1,796 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.algos._
+import graft.core.Tables
+import graft.expr.{DateComponents, PartitionCriteria, SchemaOps}
+import graft.fsops.FsOps
+import graft.io.DataFormat
+import graft.operators._
+import graft.streaming.EventStream
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] exercises an operator from SURVEY.md §2 (or an
+  * LLM-pipeline extension) through the graft library; [[oracleSql]] holds the
+  * DuckDB-equivalent SQL the driver compares against at sf0.01.
+  * Cross-engine determinism rules used throughout:
+  *  - double aggregates are round()ed in BOTH engines;
+  *  - integer sums are CAST(.. AS BIGINT) in DuckDB (it sums ints to
+  *    HUGEINT, Spark to long);
+  *  - rankings always carry an id tie-break;
+  *  - timestamps leave result sets as epoch millis/seconds (BIGINT).
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def fsOps(s: SparkSession): FsOps =
+    new FsOps(s.sparkContext.hadoopConfiguration)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q05_region_revenue")(spark, "/root/testdata/sf0.001")
+
+  // ----------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1/A5-style hash aggregate (TPC-H q1 shape): partial agg map-side,
+    // 6-wide shuffle rows only.
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // P1: OR-of-ANDs partition criteria compiled to a Column (pruning-friendly)
+    "q02_partition_filter" -> ((s, dir) => {
+      val crit: PartitionCriteria.Criteria = Seq(
+        Seq("l_returnflag" -> "R", "l_linestatus" -> "F"),
+        Seq("l_returnflag" -> "A", "l_linestatus" -> "F"))
+      t(s, dir, "lineitem").filter(PartitionCriteria.toColumn(crit))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    }),
+
+    // J1 + A: 3-way join (dims broadcast) + deterministic top-N
+    "q03_top_revenue_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val rev = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      rev.orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+    }),
+
+    // left-semi join (EXISTS)
+    "q04_priority_exists" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+      o.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // 5-way join: dims broadcast, fact shuffled once
+    "q05_region_revenue" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1996)
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // pushdown-friendly scan-heavy filter + single agg
+    "q06_revenue_forecast" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))
+    }),
+
+    // anti join (NOT EXISTS)
+    "q07_customers_no_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // J2: full-outer merge of two aggregates
+    "q08_full_outer_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderkey") % 2 === 0).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt_a"),
+          round(sum(col("o_totalprice")), 2).as("sum_a"))
+      val b = o.filter(col("o_orderkey") % 3 === 0).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt_b"),
+          round(sum(col("o_totalprice")), 2).as("sum_b"))
+      a.join(b, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+          coalesce(col("cnt_b"), lit(0L)).as("cnt_b"),
+          col("sum_a"), col("sum_b"))
+    }),
+
+    // U1/P5: schema-aligned union (addMissingColumns + unionByName)
+    "q09_union_align" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        round(col("c_acctbal"), 2).as("bal"), lit("c").as("src"))
+      val p = t(s, dir, "part").select(
+        col("p_partkey").as("id"), col("p_name").as("name"),
+        lit("p").as("src"))
+      SchemaOps.addMissingColumns(p, c.schema).unionByName(c)
+    }),
+
+    // A3/P10: delta condensation window (latest record per business key)
+    "q10_latest_events" -> ((s, dir) => {
+      DeltaMerge.condense(t(s, dir, "events"),
+          businessKey = Seq("user_id", "event_type"),
+          technicalKey = Seq("event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          round(col("value"), 2).as("value"))
+    }),
+
+    // U2: Spark-native CDC merge algebra (anti-join + union of upserts)
+    "q11_delta_merge" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val active = e.filter(col("event_id") % 5 =!= 0)
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("value"))
+      val delta = e.filter(col("event_id") % 4 === 0)
+        .select(col("event_id"), col("user_id"),
+          round(col("value") + 10, 2).as("value"),
+          when(col("event_id") % 20 === 0, "D").otherwise("N")
+            .as("recordmode"))
+      val condensed = DeltaMerge.condense(delta, Seq("event_id"), Seq("user_id"))
+      DeltaMerge.merge(active, condensed, Seq("event_id"),
+        col("recordmode") =!= "D")
+    }),
+
+    // A2: pivot with explicit values (no extra distinct-scan job)
+    "q12_event_pivot" -> ((s, dir) => {
+      Transpose(t(s, dir, "events"), Seq("user_id"), "event_type",
+        Seq("click", "view", "purchase", "signup", "error"), "value",
+        c => round(sum(c), 2))
+    }),
+
+    // F3: date component derivation with 9999/99 sentinels + aligned week
+    "q13_date_components" -> ((s, dir) => {
+      val o = t(s, dir, "orders").withColumn("datestr",
+        when(col("o_orderkey") % 97 === 0, lit("1x"))
+          .otherwise(date_format(col("o_orderdate"), "yyyyMMdd")))
+      DateComponents.withComponents(o, "datestr", "yyyyMMdd",
+          Seq("year", "month", "day", "week"))
+        .select(col("o_orderkey"), col("year"), col("month"), col("day"),
+          col("week"))
+    }),
+
+    // F4: fixed-width field extraction, pure Column expressions
+    "q14_fixed_width" -> ((s, dir) => {
+      import FixedSizeStringExtractor.FieldSpec
+      val packed = t(s, dir, "part").withColumn("packed",
+        concat(rpad(col("p_brand"), 12, " "),
+          lpad(col("p_size").cast("string"), 4, " "),
+          rpad(col("p_type"), 26, " ")))
+      FixedSizeStringExtractor(packed, "packed",
+        Seq(FieldSpec("brand_x", 1, 12, StringType),
+          FieldSpec("size_x", 13, 16, IntegerType),
+          FieldSpec("type_x", 17, 42, StringType)),
+        keepCols = Seq("p_partkey"))
+    }),
+
+    // F5-F8: nested flattening (struct expansion + array explode)
+    "q15_nested_flatten" -> ((s, dir) => {
+      val nested = t(s, dir, "orders").select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority")).as("meta"),
+        // +10.5 / *2 are exact double ops — no round() half-way hazards
+        array(col("o_totalprice") + 10.5,
+          col("o_totalprice") * 2).as("amounts"))
+      NestedFlattener(nested)
+    }),
+
+    // beyond-reference agg: rollup with grouping id
+    "q16_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+    }),
+
+    // gap sessionization (lag + cumulative sum windows)
+    "q17_sessionize" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      Sessionize(e, "user_id", unix_millis(col("ts")), "event_id",
+          gapMillis = 1800000L)
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // tumbling-window agg (same transform powers the streaming path)
+    "q18_windowed_counts" -> ((s, dir) => {
+      EventStream.windowedCounts(t(s, dir, "events"), "5 minutes")
+    }),
+
+    // dedup: exact duplicate groups by content digest
+    "q19_exact_dedup" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // dedup: exact n-gram Jaccard pairs via shingle inverted index
+    "q20_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 10 < 3)
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.55)
+    }),
+
+    // dedup: MinHash-LSH candidates + exact verify (scale path; rows-only)
+    "q21_minhash_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      Dedup.jaccardVerify(cand, docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // dedup: SimHash banded candidates (rows-only)
+    "q22_simhash" -> ((s, dir) => {
+      Dedup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 16)
+    }),
+
+    // similarity: brute-force cosine top-k (exact baseline)
+    "q23_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // similarity: sign-LSH bucketed ANN (scale path; rows-only)
+    "q24_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.annTopK(q, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // text: language id + quality features
+    "q25_lang_quality" -> ((s, dir) => {
+      TextAnalysis.qualityFeatures(
+          t(s, dir, "documents").withColumn("lang_pred",
+            TextAnalysis.langId(col("text"))), "text")
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+          col("avg_token_len"), col("punct_ratio"), col("stopword_ratio"),
+          col("quality_score"))
+    }),
+
+    // text: order-insensitive content fingerprint
+    "q26_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // text: token counting (whitespace + BPE-ish regex)
+    "q27_token_counts" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe"))
+    }),
+
+    // multimodal: binary payload + metadata plumbing (decode stubbed)
+    "q28_multimodal_meta" -> ((s, dir) => {
+      Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text",
+          "text/plain")
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("content_sha256"))
+    }),
+
+    // multimodal: frame sampling stub (rows-only; xxhash64 not in DuckDB)
+    "q29_frame_sample" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+        Multimodal.fakeDecode(
+          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text",
+            "text/plain")),
+        "doc_id", nFrames = 3)
+    }),
+
+    // FullLoad end-to-end: DSV landing → date partitions → atomic write
+    "q30_full_load" -> ((s, dir) => {
+      val landing = tmpDir("graft_fl_landing")
+      val target = tmpDir("graft_fl_target") + "/table"
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyyMMdd").as("orderdate"))
+        .write.mode("overwrite").option("sep", "|").csv(landing)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("orderdate", StringType),
+        StructField("year", ShortType), StructField("month", ShortType),
+        StructField("day", ShortType)))
+      new FullLoad(s, fsOps(s), FullLoadParams(
+        sourceDir = landing, targetDir = target,
+        format = DataFormat.Dsv("|", hasHeader = false),
+        targetSchema = Some(schema),
+        partitionSourceColumn = Some("orderdate"),
+        targetPartitions = Seq("year", "month", "day"))).run()
+      s.read.option("basePath", target).parquet(target)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("year").cast("short").as("year"),
+          col("month").cast("short").as("month"),
+          col("day").cast("short").as("day"))
+    }),
+
+    // AppendLoad end-to-end: filename-regex partitions + header files
+    "q31_append_load" -> ((s, dir) => {
+      val landing = tmpDir("graft_al_landing")
+      val header = tmpDir("graft_al_header")
+      val target = tmpDir("graft_al_target") + "/table"
+      val e = t(s, dir, "events")
+      val d0 = e.agg(min(to_date(col("ts"))).as("d0")).collect()(0)
+        .getDate(0).toLocalDate
+      val d1 = d0.plusDays(1)
+      e.withColumn("date_str", date_format(col("ts"), "yyyyMMdd"))
+        .filter(col("date_str").isin(
+          d0.format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE),
+          d1.format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)))
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("value"), col("date_str"))
+        .write.mode("overwrite").partitionBy("date_str").option("sep", "|")
+        .csv(landing)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType),
+        StructField("date_part", StringType)))
+      new AppendLoad(s, fsOps(s), AppendLoadParams(
+        sourceDir = landing, targetDir = target, headerDir = header,
+        format = DataFormat.Dsv("|", hasHeader = false),
+        targetSchema = schema,
+        partitionRegexes = Seq(".*date_str=(\\d{8}).*"),
+        targetPartitions = Seq("date_part"))).run()
+      s.read.option("basePath", target).parquet(target)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("date_part").cast("string").as("date_part"))
+    }),
+
+    // DeltaLoad end-to-end: partitioned CDC merge over directories
+    "q32_delta_load" -> ((s, dir) => {
+      val activeD = tmpDir("graft_dl_active") + "/t"
+      val deltaD = tmpDir("graft_dl_delta") + "/t"
+      val e = t(s, dir, "events")
+      e.filter(col("event_id") % 5 =!= 0)
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("value"), col("event_type"))
+        .write.partitionBy("event_type").parquet(activeD)
+      e.filter(col("event_id") % 4 === 0)
+        .select(col("event_id"), col("user_id"),
+          round(col("value") + 10, 2).as("value"),
+          when(col("event_id") % 20 === 0, "D").otherwise("N")
+            .as("recordmode"), col("event_type"))
+        .write.parquet(deltaD)
+      new DeltaLoad(s, fsOps(s), DeltaLoadParams(
+        activeDir = activeD, deltaDir = deltaD,
+        format = DataFormat.Parquet,
+        businessKey = Seq("event_id"), technicalKey = Seq("user_id"),
+        recordsToDelete = Seq("D"),
+        targetPartitions = Seq("event_type"))).run()
+      s.read.option("basePath", activeD).parquet(activeD)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type").cast("string").as("event_type"))
+    }),
+
+    // Materialization end-to-end: criteria-scoped, versioned target
+    "q33_materialization" -> ((s, dir) => {
+      val src = tmpDir("graft_mat_src") + "/t"
+      val tgt = tmpDir("graft_mat_tgt")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+          col("l_linestatus"))
+        .write.partitionBy("l_linestatus").parquet(src)
+      val mat = new Materialization(s, fsOps(s), MaterializationParams(
+        sourceDir = src, targetBaseDir = tgt,
+        scope = MaterializationScope.Query(Seq(Seq("l_linestatus" -> "F"))),
+        targetPartitions = Seq("l_linestatus")))
+      mat.run()
+      s.read.option("basePath", mat.currentVersion.get)
+        .parquet(mat.currentVersion.get)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+    }),
+
+    // SQLRunner pass-through
+    "q34_sqlrunner" -> ((s, dir) => {
+      SQLRunner.run(s, Seq(
+        s"CREATE OR REPLACE TEMPORARY VIEW graft_li AS SELECT * FROM parquet.`$dir/lineitem.parquet`",
+        "SELECT l_returnflag, count(*) AS n FROM graft_li GROUP BY l_returnflag"))
+    }),
+
+    // A2 with first(): deterministic because input is pre-condensed
+    "q35_transpose_first" -> ((s, dir) => {
+      val latest = DeltaMerge.condense(t(s, dir, "events"),
+          Seq("user_id", "event_type"), Seq("event_id"))
+        .select(col("user_id"), col("event_type"),
+          round(col("value"), 2).as("value"))
+      Transpose(latest, Seq("user_id"), "event_type",
+        Seq("click", "view", "purchase", "signup", "error"), "value")
+    }),
+
+    // GzipDecompressor end-to-end: gzip landing → decompress → read
+    "q36_gzip_load" -> ((s, dir) => {
+      val landing = tmpDir("graft_gz") + "/in"
+      t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+        .coalesce(1)
+        .write.option("sep", "|").option("compression", "gzip").csv(landing)
+      new GzipDecompressor(s.sparkContext.hadoopConfiguration, fsOps(s))
+        .run(landing)
+      val schema = StructType(Seq(StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType)))
+      DataFormat.Dsv("|", hasHeader = false)
+        .read(s, Map("mode" -> "FAILFAST"), Some(schema), landing)
+    }),
+
+    // P5/P6: schema enforcement with narrowing casts + added null column
+    "q37_schema_enforce" -> ((s, dir) => {
+      val target = StructType(Seq(
+        StructField("c_custkey", IntegerType),
+        StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType),
+        StructField("loyalty_tier", StringType)))
+      SchemaOps.enforce(t(s, dir, "customer"), target, addMissing = true)
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private val stopAll: String = TextAnalysis.stopwords.flatMap(_._2).distinct
+    .map(w => s"'$w'").mkString(", ")
+  private def stopList(lang: String): String =
+    TextAnalysis.stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_partition_filter" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_extendedprice),2) AS sum_price
+        |FROM lineitem
+        |WHERE (l_returnflag='R' AND l_linestatus='F')
+        |   OR (l_returnflag='A' AND l_linestatus='F')
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q03_top_revenue_orders" ->
+      """SELECT o_orderkey, revenue FROM (
+        |  SELECT o_orderkey,
+        |    round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey=o_orderkey
+        |  JOIN customer ON o_custkey=c_custkey
+        |  WHERE c_mktsegment='BUILDING'
+        |  GROUP BY o_orderkey)
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q04_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey=o_orderkey AND l_quantity >= 45)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q05_region_revenue" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey=o_orderkey
+        |JOIN customer ON o_custkey=c_custkey
+        |JOIN nation ON c_nationkey=n_nationkey
+        |JOIN region ON n_regionkey=r_regionkey
+        |WHERE r_name='ASIA' AND year(o_orderdate)=1996
+        |GROUP BY n_name""".stripMargin,
+
+    "q06_revenue_forecast" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q07_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)""".stripMargin,
+
+    "q08_full_outer_merge" ->
+      """WITH a AS (SELECT o_custkey, count(*) AS cnt_a,
+        |             round(sum(o_totalprice),2) AS sum_a
+        |           FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_custkey),
+        |     b AS (SELECT o_custkey, count(*) AS cnt_b,
+        |             round(sum(o_totalprice),2) AS sum_b
+        |           FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_custkey)
+        |SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+        |  coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b,
+        |  sum_a, sum_b
+        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""".stripMargin,
+
+    "q09_union_align" ->
+      """SELECT p_partkey AS id, p_name AS name,
+        |  CAST(NULL AS DOUBLE) AS bal, 'p' AS src FROM part
+        |UNION ALL
+        |SELECT c_custkey, c_name, round(c_acctbal,2), 'c' FROM customer""".stripMargin,
+
+    "q10_latest_events" ->
+      """SELECT user_id, event_type, event_id, round(value,2) AS value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY event_id DESC) = 1""".stripMargin,
+
+    "q11_delta_merge" ->
+      """WITH active AS (
+        |  SELECT event_id, user_id, round(value,2) AS value
+        |  FROM events WHERE event_id % 5 <> 0),
+        |delta AS (
+        |  SELECT event_id, user_id, round(value+10,2) AS value,
+        |    CASE WHEN event_id % 20 = 0 THEN 'D' ELSE 'N' END AS recordmode
+        |  FROM events WHERE event_id % 4 = 0)
+        |SELECT a.event_id, a.user_id, a.value FROM active a
+        |WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.event_id=a.event_id)
+        |UNION ALL
+        |SELECT event_id, user_id, value FROM delta WHERE recordmode <> 'D'""".stripMargin,
+
+    "q12_event_pivot" ->
+      """SELECT user_id,
+        | round(sum(CASE WHEN event_type='click' THEN value END),2) AS click,
+        | round(sum(CASE WHEN event_type='view' THEN value END),2) AS view,
+        | round(sum(CASE WHEN event_type='purchase' THEN value END),2) AS purchase,
+        | round(sum(CASE WHEN event_type='signup' THEN value END),2) AS signup,
+        | round(sum(CASE WHEN event_type='error' THEN value END),2) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q13_date_components" ->
+      """SELECT o_orderkey,
+        | CAST(CASE WHEN o_orderkey % 97 = 0 THEN 9999
+        |           ELSE year(o_orderdate) END AS SMALLINT) AS year,
+        | CAST(CASE WHEN o_orderkey % 97 = 0 THEN 99
+        |           ELSE month(o_orderdate) END AS SMALLINT) AS month,
+        | CAST(CASE WHEN o_orderkey % 97 = 0 THEN 99
+        |           ELSE dayofmonth(o_orderdate) END AS SMALLINT) AS day,
+        | CAST(CASE WHEN o_orderkey % 97 = 0 THEN 99
+        |           ELSE ((dayofyear(o_orderdate)-1)//7)+1 END AS SMALLINT) AS week
+        |FROM orders""".stripMargin,
+
+    "q14_fixed_width" ->
+      """WITH p AS (SELECT p_partkey,
+        |  rpad(p_brand,12,' ') || lpad(CAST(p_size AS VARCHAR),4,' ')
+        |    || rpad(p_type,26,' ') AS packed FROM part)
+        |SELECT p_partkey,
+        | NULLIF(trim(substr(packed,1,12)),'') AS brand_x,
+        | CAST(NULLIF(trim(substr(packed,13,4)),'') AS INTEGER) AS size_x,
+        | NULLIF(trim(substr(packed,17,26)),'') AS type_x
+        |FROM p""".stripMargin,
+
+    "q15_nested_flatten" ->
+      """SELECT o_orderkey, o_orderstatus AS meta__status,
+        | o_orderpriority AS meta__priority,
+        | unnest([o_totalprice + 10.5, o_totalprice * 2]) AS amounts
+        |FROM orders""".stripMargin,
+
+    "q16_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q17_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tsm FROM events),
+        |s AS (SELECT user_id,
+        |  CASE WHEN lag(tsm) OVER w IS NULL THEN 1
+        |       WHEN tsm - lag(tsm) OVER w > 1800000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions,
+        | count(*) AS n_events
+        |FROM s GROUP BY user_id""".stripMargin,
+
+    "q18_windowed_counts" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes',
+        |   CAST(ts AS TIMESTAMP))) AS BIGINT) AS win_start,
+        | event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q19_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_dups,
+        | min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q20_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id % 10 < 3),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(tk)-3, 0)+1),
+        |    i -> array_to_string(tk[i+1:i+3], ' '))) AS shl
+        |  FROM toks),
+        |inv AS (SELECT doc_id, len(shl) AS n, unnest(shl) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+        |    count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2,3,4)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE)/(n_a+n_b-inter),6) AS jaccard
+        |FROM pairs
+        |WHERE CAST(inter AS DOUBLE)/(n_a+n_b-inter) >= 0.55""".stripMargin,
+
+    "q23_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(range(1, len(qv)+1),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(qv)+1),
+        |         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(cv)+1),
+        |         i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))
+        |      AS cosine
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+        |SELECT query_id, neighbor_id, round(cosine,6) AS cosine FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY cosine DESC, neighbor_id) <= 5""".stripMargin,
+
+    "q25_lang_quality" -> {
+      val scores = TextAnalysis.stopwords.map { case (lang, _) =>
+        s"len(list_filter(tk, x -> x IN (${stopList(lang)}))) AS s_$lang"
+      }.mkString(",\n  ")
+      val pickCases = TextAnalysis.stopwords.map { case (lang, _) =>
+        s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS tk
+         |  FROM documents),
+         |sc AS (SELECT doc_id, text, tk,
+         |  $scores,
+         |  CAST(len(tk) AS INTEGER) AS n_tokens,
+         |  length(text) AS n_chars,
+         |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         |  len(list_filter(tk, x -> x IN ($stopAll))) AS n_stop
+         |  FROM t),
+         |f AS (SELECT doc_id,
+         |  greatest(s_en, s_de, s_es, s_fr, s_zh) AS best,
+         |  s_en, s_de, s_es, s_fr, s_zh, n_tokens,
+         |  round(CAST(n_chars AS DOUBLE)/greatest(n_tokens,1),4) AS avg_token_len,
+         |  round(CAST(n_punct AS DOUBLE)/greatest(n_chars,1),4) AS punct_ratio,
+         |  round(CAST(n_stop AS DOUBLE)/greatest(n_tokens,1),4) AS stopword_ratio
+         |  FROM sc)
+         |SELECT doc_id,
+         |  CASE $pickCases ELSE 'und' END AS lang_pred,
+         |  n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+         |  round(CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END
+         |    + CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+         |    + CASE WHEN punct_ratio <= 0.2 THEN 0.1 ELSE 0.0 END
+         |    + CASE WHEN stopword_ratio >= 0.05 THEN 0.2 ELSE 0.0 END, 2)
+         |    AS quality_score
+         |FROM f""".stripMargin
+    },
+
+    "q26_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |  string_split_regex(lower(text), '\s+'))), ' ')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q27_token_counts" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(lower(text), '\s+')) AS INTEGER) AS n_ws,
+        | CAST(len(regexp_extract_all(lower(text),
+        |   '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe
+        |FROM documents""".stripMargin,
+
+    "q28_multimodal_meta" ->
+      """SELECT doc_id, 'text/plain' AS media_type,
+        | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        | sha256(text) AS content_sha256
+        |FROM documents""".stripMargin,
+
+    "q30_full_load" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS o_totalprice,
+        | CAST(year(o_orderdate) AS SMALLINT) AS year,
+        | CAST(month(o_orderdate) AS SMALLINT) AS month,
+        | CAST(dayofmonth(o_orderdate) AS SMALLINT) AS day
+        |FROM orders""".stripMargin,
+
+    "q31_append_load" ->
+      """WITH m AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events)
+        |SELECT event_id, user_id, round(value,2) AS value,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS date_part
+        |FROM events, m
+        |WHERE CAST(ts AS DATE) <= d0 + INTERVAL 1 DAY""".stripMargin,
+
+    "q32_delta_load" ->
+      """WITH active AS (
+        |  SELECT event_id, user_id, round(value,2) AS value, event_type
+        |  FROM events WHERE event_id % 5 <> 0),
+        |delta AS (
+        |  SELECT event_id, user_id, round(value+10,2) AS value,
+        |    CASE WHEN event_id % 20 = 0 THEN 'D' ELSE 'N' END AS recordmode,
+        |    event_type
+        |  FROM events WHERE event_id % 4 = 0)
+        |SELECT a.event_id, a.user_id, a.value, a.event_type FROM active a
+        |WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.event_id=a.event_id)
+        |UNION ALL
+        |SELECT event_id, user_id, value, event_type FROM delta
+        |WHERE recordmode <> 'D'""".stripMargin,
+
+    "q33_materialization" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem WHERE l_linestatus='F' GROUP BY l_returnflag""".stripMargin,
+
+    "q34_sqlrunner" ->
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+
+    "q35_transpose_first" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_type, round(value,2) AS value FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |                             ORDER BY event_id DESC) = 1)
+        |SELECT user_id,
+        | max(CASE WHEN event_type='click' THEN value END) AS click,
+        | max(CASE WHEN event_type='view' THEN value END) AS view,
+        | max(CASE WHEN event_type='purchase' THEN value END) AS purchase,
+        | max(CASE WHEN event_type='signup' THEN value END) AS signup,
+        | max(CASE WHEN event_type='error' THEN value END) AS error
+        |FROM latest GROUP BY user_id""".stripMargin,
+
+    "q36_gzip_load" ->
+      "SELECT r_regionkey, r_name FROM region",
+
+    "q37_schema_enforce" ->
+      """SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_name, c_acctbal,
+        | CAST(NULL AS VARCHAR) AS loyalty_tier
+        |FROM customer""".stripMargin
+  )
 }

@@ -1,0 +1,106 @@
+package graft.algos
+
+import graft.core.Algorithm
+import graft.expr.{PartitionCriteria, SchemaOps}
+import graft.fsops.FsOps
+import graft.io.{AtomicWriter, DataFormat, LoadMode}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** CDC merge, 100% Spark-native (no Delta Lake): condense the delta records
+  * to the latest version per business key, drop the active records they
+  * replace, union the surviving upserts, and atomically rewrite only the
+  * affected partitions.
+  *
+  * Semantics per reference: src/main/scala/com/adidas/analytics/algo/loads/DeltaLoad.scala:25-79:
+  *  - condensation = row_number over (partition by businessKey order by
+  *    technicalKey desc) == 1, then recordmode ∉ recordsToDelete keeps
+  *    upserts (deletion records drop out of the union).
+  *  - merge = active.join(delta, businessKey, "left_anti") ∪ upserts.
+  *    (The reference uses `except`, whose set-distinct quirk also dedups
+  *    active rows; left_anti on the business key preserves duplicates and is
+  *    a hash join Catalyst can broadcast — documented divergence for the
+  *    better plan; identical results on key-unique data.)
+  *
+  * Scale: the delta set is persisted once and reused (affected-partition
+  * discovery + anti-join + union); active records are pruned to affected
+  * partitions BEFORE the join via a Column predicate (Catalyst partition
+  * pruning — the reference's Row=>Boolean closure forced a full scan);
+  * the anti-join broadcasts when the condensed delta is small.
+  */
+object DeltaMerge {
+
+  /** Latest version per business key (reference's "condensation"). */
+  def condense(delta: DataFrame, businessKey: Seq[String],
+      technicalKey: Seq[String], recordModeCol: Option[String] = None,
+      initOrder: Boolean = false): DataFrame = {
+    val ordering = technicalKey.map(col(_).desc) ++
+      (if (initOrder) recordModeCol.map(col(_).asc).toSeq else Seq.empty)
+    val w = Window.partitionBy(businessKey.map(col): _*).orderBy(ordering: _*)
+    delta.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") === 1).drop("__rank")
+  }
+
+  /** active ⊳ delta (anti on business key) ∪ upserts. */
+  def merge(active: DataFrame, condensedDelta: DataFrame,
+      businessKey: Seq[String], upsertFilter: Column): DataFrame = {
+    val upserts = condensedDelta.filter(upsertFilter)
+    val aligned = SchemaOps.enforce(upserts.drop(
+      upserts.columns.diff(active.columns).toIndexedSeq: _*), active.schema)
+    active.join(condensedDelta.select(businessKey.map(col): _*).distinct(),
+        businessKey, "left_anti")
+      .unionByName(aligned)
+  }
+}
+
+case class DeltaLoadParams(
+    activeDir: String,
+    deltaDir: String,
+    format: DataFormat,
+    businessKey: Seq[String],
+    technicalKey: Seq[String],
+    recordModeCol: String = "recordmode",
+    /** record modes that mark deletions (reference: DeltaLoadConfiguration.scala:39-44) */
+    recordsToDelete: Seq[String] = Seq("R", "D", "X"),
+    targetPartitions: Seq[String] = Seq.empty,
+    readerOptions: Map[String, String] = Map.empty)
+
+class DeltaLoad(val spark: SparkSession, fsOps: FsOps, p: DeltaLoadParams)
+    extends Algorithm {
+
+  override def read(): Vector[DataFrame] = Vector(
+    DataFormat.Parquet.read(spark, Map.empty, None, p.activeDir),
+    p.format.read(spark, p.readerOptions, None, p.deltaDir))
+
+  override def transform(dfs: Vector[DataFrame]): Vector[DataFrame] = {
+    val Vector(active, delta) = dfs
+    val deltaP = delta.persist(StorageLevel.MEMORY_AND_DISK)
+
+    // prune actives to affected partitions with a Column predicate
+    val activeScoped =
+      if (p.targetPartitions.isEmpty) active
+      else {
+        val parts = deltaP.select(p.targetPartitions.map(col): _*)
+          .distinct().collect()
+          .map(r => p.targetPartitions.zipWithIndex.map {
+            case (c, i) => (c, r.get(i)) }.toSeq).toSeq
+        active.filter(PartitionCriteria.toColumn(parts))
+      }
+
+    val condensed = DeltaMerge.condense(deltaP, p.businessKey, p.technicalKey,
+      Some(p.recordModeCol))
+    val keep = !col(p.recordModeCol).isin(p.recordsToDelete: _*) ||
+      col(p.recordModeCol).isNull
+    Vector(DeltaMerge.merge(activeScoped, condensed, p.businessKey, keep))
+  }
+
+  override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
+    val mode = if (p.targetPartitions.isEmpty) LoadMode.OverwriteTable
+      else LoadMode.OverwritePartitions
+    val writer = new AtomicWriter(fsOps, p.targetPartitions, None)
+    dfs.foreach(df => writer.write(df, DataFormat.Parquet, p.activeDir, mode))
+    dfs
+  }
+}

@@ -1,0 +1,64 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+
+/** Catalog/DDL surface (reference: src/main/scala/com/adidas/analytics/util/CatalogTableManager.scala,
+  * util/RecoverPartitionsNative.scala, util/RecoverPartitionsCustom.scala,
+  * algo/core/TableStatistics.scala). Thin `spark.sql`/`spark.catalog`
+  * wrappers — the semantics live in the metastore.
+  */
+object CatalogOps {
+
+  def tableLocation(spark: SparkSession, table: String): String =
+    spark.sql(s"DESCRIBE FORMATTED $table").collect()
+      .find(r => Option(r.getString(0)).exists(_.trim.equalsIgnoreCase("Location")))
+      .map(_.getString(1).trim)
+      .getOrElse(throw new IllegalStateException(s"no location for $table"))
+
+  def setTableLocation(spark: SparkSession, table: String,
+      location: String): Unit =
+    spark.sql(s"ALTER TABLE $table SET LOCATION '$location'")
+
+  /** Native partition recovery (reference: RecoverPartitionsNative.scala:11-13). */
+  def recoverPartitionsNative(spark: SparkSession, table: String): Unit =
+    spark.catalog.recoverPartitions(table)
+
+  /** "Custom" recovery: generated ALTER TABLE ADD IF NOT EXISTS PARTITION
+    * statements from the distinct partition values of the just-written data
+    * (reference: RecoverPartitionsCustom.scala:23-31).
+    */
+  def recoverPartitionsCustom(spark: SparkSession, table: String,
+      partitionValues: Seq[Seq[(String, Any)]]): Unit =
+    partitionValues.foreach { spec =>
+      val specSql = spec.map { case (c, v) =>
+        v match {
+          case s: String => s"$c='${s.replace("'", "''")}'"
+          case other => s"$c=$other"
+        }
+      }.mkString(", ")
+      spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION ($specSql)")
+    }
+
+  def refresh(spark: SparkSession, table: String): Unit =
+    spark.catalog.refreshTable(table)
+
+  /** ANALYZE statistics, whole-table and optionally per partition
+    * (reference: TableStatistics.scala:22-123). Feeds Spark CBO.
+    */
+  def computeStatistics(spark: SparkSession, table: String,
+      perPartition: Boolean = false,
+      partitionColumns: Seq[String] = Seq.empty): Unit = {
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (perPartition && partitionColumns.nonEmpty) {
+      val parts = spark.sql(s"SHOW PARTITIONS $table").collect()
+        .map(_.getString(0))
+      parts.foreach { p =>
+        val spec = p.split("/").map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          s"$k='$v'"
+        }.mkString(", ")
+        spark.sql(s"ANALYZE TABLE $table PARTITION ($spec) COMPUTE STATISTICS")
+      }
+    }
+  }
+}

@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with scale-aware defaults.
+  *
+  * The reference builds its session in AlgorithmFactory.main
+  * (reference: src/main/scala/com/adidas/analytics/AlgorithmFactory.scala:34-55):
+  * Hive support, CBO, snappy parquet, legacy parquet format. We keep the
+  * performance-relevant choices (CBO, snappy, partition-type-inference off for
+  * stable `year=2024` string dirs) and add Spark-4 era defaults: AQE on
+  * (runtime shuffle coalescing + skew-join splitting — this is what makes the
+  * same plan survive a 100x scale-up), shuffle partitions sized to the
+  * machine rather than the 200 default.
+  */
+object Session {
+
+  def cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+    .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      // the events table carries TIMESTAMP(NANOS) parquet, which Spark 4
+      // rejects by default; read as long and convert in Tables
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** local[] session for tests and CLI runs. */
+  def local(appName: String = "graft"): SparkSession =
+    builder(appName).master(s"local[$cpus]").getOrCreate()
+}

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** MinHash signature as a native Catalyst expression: from an array of
+  * 64-bit shingle hashes, produce the k seeded minima in ONE evaluation per
+  * row with a tight primitive loop.
+  *
+  * Why not `transform`/`array_min` built-ins: higher-order functions are
+  * interpreted (no whole-stage codegen through lambdas), costing ~1µs per
+  * lambda invocation — k×|shingles| invocations per row dominated the whole
+  * dedup pipeline (measured ~11s for 5k docs × k=32). This expression does
+  * the same k×n work in a primitive loop: ~50ms.
+  *
+  * Per-seed rehash is a SplitMix64-style finalizer over (shingleHash ^
+  * goldenGamma·seed) — an independent uniform hash family per seed, the
+  * standard MinHash construction.
+  */
+case class MinHashSignatureExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](k)
+    var s = 0
+    while (s < k) {
+      var min = Long.MaxValue
+      val seedMix = 0x9E3779B97F4A7C15L * (s + 1)
+      var i = 0
+      while (i < n) {
+        var z = arr.getLong(i) ^ seedMix
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        if (z < min) min = z
+        i += 1
+      }
+      out(s) = min
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MinHashSignatureExpr {
+  /** Column-level entry point (classic-mode Column↔Expression bridge). */
+  def signature(hashedShingles: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      MinHashSignatureExpr(
+        org.apache.spark.sql.GraftBridge.expression(hashedShingles), k))
+}

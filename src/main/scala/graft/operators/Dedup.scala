@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora.
+  *
+  * Design notes for 100 TB:
+  *  - exact dedup is a hash-groupBy on a 128-bit digest of the text — the
+  *    shuffle carries (digest, id), never the document body;
+  *  - MinHash/LSH near-dup is the scale path: per-doc signatures are computed
+  *    map-side (explode shingles → groupBy doc → min per hash seed), then
+  *    candidate pairs come from equi-joining on (band, band-signature) —
+  *    a key-partitioned shuffle join, never an all-pairs product;
+  *  - SimHash gives a 64-bit fingerprint whose banded substrings join the
+  *    same way;
+  *  - exact n-gram Jaccard is kept for verification of candidate pairs
+  *    (its all-pairs form is only for small scoped subsets).
+  */
+object Dedup {
+
+  /** Tokenize into lowercase word tokens. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Shingles from an already-materialized token array column.
+    *
+    * IMPORTANT perf note: Catalyst does NOT eliminate common subexpressions
+    * through nested lambda functions, so `toks` must be a plain column
+    * reference (staged in its own projection), never an inline `split(...)`
+    * — inlining makes the tokenizer re-run once per shingle per consumer
+    * (measured 30x slowdown on the minhash path).
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Contiguous n-gram shingles of the token sequence (distinct). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** (id, shingle-array) with tokens and shingles each computed exactly once
+    * per row via staged projections.
+    */
+  def shingleDF(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"), shinglesFromTokens(col("__toks"), n).as("sh"))
+
+  /** Exact duplicate groups: digest → (count, representative id).
+    * groupBy on md5 so arbitrarily long docs cost a fixed-width shuffle key.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+
+  /** Drop exact duplicates, keeping the min-id representative. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature from a materialized shingle column: array of k minima
+    * of seeded xxhash64 over the doc's shingles — computed entirely inside
+    * one row (no shuffle). Each shingle string is hashed to a long ONCE;
+    * the k seeded passes then hash fixed-width longs, not strings (k× less
+    * string traffic).
+    */
+  def minhashSignature(hashedShingleCol: Column, k: Int): Column =
+    graft.functions.MinHashSignatureExpr.signature(hashedShingleCol, k)
+
+  /** LSH candidate pairs: band the k-wide signature into `bands` buckets per
+    * doc, join docs sharing any (band, bucket). Returns distinct
+    * (id_a < id_b) candidate pairs.
+    *
+    * Banding explodes the signature ARRAY (its producing expression is
+    * evaluated exactly once per row — posexplode of a derived band list
+    * would let CollapseProject inline the whole minhash into the generator
+    * and recompute it once per band; measured 8x slowdown), then derives
+    * each band's bucket with a groupBy over (id, band) — a shuffle of
+    * #docs × k fixed-width rows, negligible next to the corpus scan. The
+    * bucket equi-join shuffles by (band, bucket); AQE splits skewed buckets.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+    val r = k / bands
+    val sig = shingleDF(docs, idCol, textCol, shingleSize)
+      // stage string→long hashing in its own projection: lambda bodies are
+      // not CSE'd, so an inline transform would re-hash strings per seed
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hsh"))
+      .select(col("id"), minhashSignature(col("hsh"), k).as("sig"))
+      // Exchange barrier: CollapseProject would otherwise inline the whole
+      // minhash chain into the band generator below and re-evaluate it per
+      // band/seed (measured 8-30x). The shuffle moves only (id, k longs)
+      // per doc — negligible vs the corpus scan at any scale.
+      .repartition(col("id"))
+    val banded = sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(concat_ws("_", slice(col("sig"), b * r + 1, lit(r)), b)))))
+      .toDF("id", "band", "bucket")
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact token-shingle Jaccard for given pairs (verification step).
+    * `pairs` has id_a/id_b; result adds jaccard.
+    */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3): DataFrame = {
+    val sh = shingleDF(docs, idCol, textCol, shingleSize)
+      .select(col("id").as("__id"), col("sh").as("__sh"))
+    pairs
+      .join(sh.withColumnRenamed("__sh", "sh_a"),
+        col("id_a") === col("__id")).drop("__id")
+      .join(sh.withColumnRenamed("__sh", "sh_b"),
+        col("id_b") === col("__id")).drop("__id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni",
+        size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .drop("sh_a", "sh_b", "inter", "uni")
+  }
+
+  /** All-pairs exact n-gram Jaccard within a (small) scoped set — the
+    * correctness oracle for the LSH path. Pairs are generated through a
+    * shingle-inverted-index equi-join (docs sharing ≥1 shingle), not a
+    * cartesian product.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, threshold: Double): DataFrame = {
+    val sh = shingleDF(docs, idCol, textCol, shingleSize)
+      .withColumn("n", size(col("sh")))
+    val inv = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    val a = inv.as("a"); val b = inv.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter.withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash of the token multiset: majority vote of per-token hash
+    * bits. Computed as explode(tokens) → groupBy(doc) with 64 literal-bit
+    * `sum((hash >> b) & 1)` aggregates — all map-side combined (partial
+    * aggregation), so the shuffle carries one 64-int row per doc regardless
+    * of document length. Whole-stage codegen'd end to end.
+    */
+  def simhashDF(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perTok = docs.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1L)).as(s"b$b"))
+    val grouped = perTok.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val fingerprint = (0 until 64).map { b =>
+      when(col(s"b$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    grouped.select(col("id"), fingerprint.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit fingerprint into 4
+    * 16-bit chunks; docs sharing any chunk are candidates (by pigeonhole,
+    * any pair within Hamming distance 3 shares at least one chunk). The
+    * chunk equi-join shuffles by (band, chunk) — no all-pairs product.
+    */
+  def simhashCandidates(docs: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int = 3): DataFrame = {
+    val withSim = simhashDF(docs, idCol, textCol)
+    val chunks = (0 until 4).map(i =>
+      struct(lit(i).as("band"),
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("v")))
+    val banded = withSim.select(col("id"), col("simhash"),
+      explode(array(chunks: _*)).as("chunk"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video payloads travel as opaque
+  * `binary` columns with typed metadata alongside. The Spark-side plumbing
+  * (schema, batching, partition sizing) is real; the actual media decode is
+  * STUBBED with a deterministic fake (this container has no image/audio
+  * codecs), clearly marked below — swap `fakeDecode` for a real decoder
+  * (e.g. a JNI/FFI call inside mapPartitions) in production.
+  *
+  * Scale notes: payloads never enter a shuffle key; feature extraction is a
+  * narrow map; batch shape is controlled by
+  * `spark.sql.files.maxPartitionBytes` so a partition of ~128 MB of blobs
+  * fits executor memory.
+  */
+object Multimodal {
+
+  /** Wrap a text/raw column as a binary payload column with metadata —
+    * the ingestion shape for media blobs.
+    */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String,
+      mediaType: String): DataFrame =
+    df.select(col(idCol),
+      col(payloadCol).cast("binary").as("payload"),
+      lit(mediaType).as("media_type"),
+      octet_length(col(payloadCol).cast("binary")).as("n_bytes"),
+      sha2(col(payloadCol).cast("binary"), 256).as("content_sha256"))
+
+  /** STUB decode: deterministic fake "features" derived from the payload
+    * bytes (sha-derived). Real implementation would decode the media and
+    * emit width/height/duration + an embedding; the schema and partition
+    * behavior here are exactly what the real one uses.
+    */
+  def fakeDecode(df: DataFrame): DataFrame =
+    df.withColumn("decode_ok", lit(true))
+      .withColumn("fake_width",
+        (pmod(xxhash64(col("payload")), lit(1920L)) + 1).cast("int"))
+      .withColumn("fake_height",
+        (pmod(xxhash64(col("payload"), lit(1)), lit(1080L)) + 1).cast("int"))
+
+  /** Frame/sample selection stub: pick every `stride`-th byte offset as a
+    * "frame index" — stands in for video frame sampling; the partitioning
+    * and output shape (one row per sampled frame) are the real thing.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, nFrames: Int): DataFrame =
+    df.select(col(idCol), col("n_bytes"),
+        posexplode(transform(sequence(lit(0), lit(nFrames - 1)),
+          i => pmod(xxhash64(col("content_sha256"), i), col("n_bytes")))))
+      .withColumnRenamed("pos", "frame_no")
+      .withColumnRenamed("col", "frame_offset")
+}

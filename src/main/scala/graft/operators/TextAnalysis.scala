@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Column expressions (codegen'd; no UDFs), all embarrassingly parallel —
+  * per-document work with zero shuffle.
+  */
+object TextAnalysis {
+
+  /** Stopword tables per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic and tiny by design — language ID at corpus
+    * scale is a per-row map operation.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"))
+
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Count of tokens that appear in `words`. */
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Predicted language = argmax over stopword hit counts, ties broken by
+    * the (fixed) language order; "und" (undetermined) when no hits at all.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = stopwords.map { case (lang, words) =>
+      (lang, hitCount(toks, words)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scored.reverse.foldLeft(lit("und")) {
+      case (acc, (lang, score)) =>
+        when(score === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-unit count: runs of letters, runs of digits, or single
+    * other non-space chars (the pre-tokenization regex family used by BPE
+    * vocabularies).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Quality features + a composite score in [0,1]:
+    * length band, mean token length band, punctuation ratio, stopword ratio.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val nChars = length(col(textCol))
+    val punct = length(regexp_replace(col(textCol), "[^.,;:!?]", ""))
+    val allStop = stopwords.flatMap(_._2).distinct
+    val stopHits = hitCount(toks, allStop)
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_chars_m", nChars)
+      .withColumn("avg_token_len",
+        round(nChars.cast("double") / greatest(nTok, lit(1)), 4))
+      .withColumn("punct_ratio",
+        round(punct.cast("double") / greatest(nChars, lit(1)), 4))
+      .withColumn("stopword_ratio",
+        round(stopHits.cast("double") / greatest(nTok, lit(1)), 4))
+      .withColumn("quality_score", round(
+        when(col("n_tokens").between(10, 5000), 0.4).otherwise(0.0)
+          + when(col("avg_token_len").between(2.0, 12.0), 0.3).otherwise(0.0)
+          + when(col("punct_ratio") <= 0.2, 0.1).otherwise(0.0)
+          + when(col("stopword_ratio") >= 0.05, 0.2).otherwise(0.0), 2))
+  }
+
+  /** Order-insensitive content fingerprint: digest of the sorted token set.
+    * Near-identical docs that only permute sentences collide — a cheap
+    * first-pass near-dup key (rolling/winnowing hashes layer on top).
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Rolling polynomial hash (Rabin-Karp base-31 over token hashes),
+    * expressed with aggregate() — deterministic, codegen'd.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * 31L + pmod(xxhash64(t), lit(1000000007L)))
+}
