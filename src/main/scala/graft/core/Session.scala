@@ -33,6 +33,11 @@ object Session {
       // the events table carries TIMESTAMP(NANOS) parquet, which Spark 4
       // rejects by default; read as long and convert in Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // without this, DROPMALFORMED + an action that prunes all columns
+      // (count) never parses the row and silently keeps malformed records —
+      // same workaround the reference ships (AlgorithmFactory.scala:46-51);
+      // verified still needed on Spark 4 by DataFormatSpec
+      .config("spark.sql.csv.parser.columnPruning.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

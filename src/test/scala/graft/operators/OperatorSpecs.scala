@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup
+    (4L, "completely different text about spark engines and shuffles here"),
+    (5L, "one two"))  // shorter than shingle size
+    .toDF("doc_id", "text")
+
+  test("exactGroups finds duplicate clusters; exactDedup keeps min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    g.filter($"n_dups" === 2).select($"keep_id").as[Long]
+      .collect() shouldBe Array(1L)
+    Dedup.exactDedup(docs, "doc_id", "text").count() shouldBe 4
+  }
+
+  test("minhash LSH candidates catch exact and near dups") {
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+    val pairs = cand.as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L))
+    // verify step computes true jaccard
+    val ver = Dedup.jaccardVerify(cand, docs, "doc_id", "text")
+      .filter($"jaccard" >= 0.5).select($"id_a", $"id_b")
+      .as[(Long, Long)].collect().toSet
+    ver should contain((1L, 2L))
+  }
+
+  test("ngramJaccardPairs exact inverted-index path") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    out should contain((1L, 2L))
+    out should contain((1L, 3L)) // 1-token change keeps jaccard >= 0.5
+    out should not contain ((1L, 4L))
+  }
+
+  test("simhash: identical docs have hamming 0, near dups small hamming") {
+    val sim = Dedup.simhashDF(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    sim(1L) shouldBe sim(2L)
+    java.lang.Long.bitCount(sim(1L) ^ sim(3L)) should be < 20
+    val cand = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
+    cand.filter($"id_a" === 1 && $"id_b" === 2).count() shouldBe 1
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f)),
+    (5L, Array(1.0f, 0.0f, 0.0f)))  // identical to 1
+    .toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with deterministic ties") {
+    val out = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 1), vecs, "vec_id", "embedding", k = 2)
+    val rows = out.select($"neighbor_id", round($"cosine", 4))
+      .as[(Long, Double)].collect()
+    rows.map(_._1) shouldBe Array(5L, 2L) // identical first, then near
+    rows.head._2 shouldBe 1.0
+  }
+
+  test("sign-LSH ANN finds identical vectors (same buckets by construction)") {
+    val out = Similarity.annTopK(
+      vecs.filter($"vec_id" === 1), vecs, "vec_id", "embedding", k = 2)
+    out.select($"neighbor_id").as[Long].collect() should contain(5L)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the dominant stopword language") {
+    val df = Seq(
+      (1, "the cat is in the house and it is happy"),
+      (2, "der hund ist von dem haus und er ist gut"),
+      (3, "xyzzy plugh")).toDF("id", "text")
+    df.select($"id", TextAnalysis.langId($"text")).as[(Int, String)]
+      .collect().sortBy(_._1) shouldBe Array((1, "en"), (2, "de"), (3, "und"))
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq("hello world42 a.b").toDF("text")
+    df.select(TextAnalysis.tokenCount($"text"),
+        TextAnalysis.bpeishTokenCount($"text"))
+      .collect().head.toSeq shouldBe Seq(3, 6) // hello|world|42|a|.|b
+  }
+
+  test("fingerprint is token-order insensitive") {
+    val df = Seq(("a b c", "c b a"), ("a b c", "a b d")).toDF("t1", "t2")
+    val r = df.select(
+      (TextAnalysis.fingerprint($"t1") === TextAnalysis.fingerprint($"t2"))
+        .as("eq")).as[Boolean].collect()
+    r shouldBe Array(true, false)
+  }
+
+  test("quality features compute deterministic ratios") {
+    val out = TextAnalysis.qualityFeatures(
+      Seq("the quick brown fox, it jumps; over the lazy dog today now!")
+        .toDF("text"), "text")
+    val row = out.select($"n_tokens", $"punct_ratio", $"quality_score")
+      .collect().head
+    row.getInt(0) shouldBe 12
+    row.getDouble(1) should be > 0.0
+    row.getDouble(2) should be >= 0.6
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("new session after gap, cumulative ids per key") {
+    val e = Seq(
+      (1L, 1L, 0L), (1L, 2L, 60L), (1L, 3L, 4000L), // gap > 30min at id 3
+      (2L, 4L, 0L))
+      .toDF("user_id", "event_id", "tsec")
+    val out = Sessionize(e, "user_id", col("tsec") * 1000, "event_id",
+        gapMillis = 1800000L)
+      .select($"user_id", $"event_id", $"session_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    out shouldBe Array((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asMedia wraps payloads with typed metadata; stub decode is deterministic") {
+    val df = Seq((1L, "payload-bytes")).toDF("id", "data")
+    val media = Multimodal.asMedia(df, "id", "data", "image/fake")
+    media.columns.toSet shouldBe
+      Set("id", "payload", "media_type", "n_bytes", "content_sha256")
+    media.select($"n_bytes").as[Int].collect().head shouldBe 13
+    val dec = Multimodal.fakeDecode(media)
+    val d1 = dec.select($"fake_width", $"fake_height").collect().head
+    val d2 = Multimodal.fakeDecode(media)
+      .select($"fake_width", $"fake_height").collect().head
+    d1 shouldBe d2
+    val frames = Multimodal.sampleFrames(dec, "id", nFrames = 4)
+    frames.count() shouldBe 4
+    frames.select(max($"frame_offset")).as[Long].collect().head should be < 13L
+  }
+}
