@@ -467,6 +467,44 @@ object SparkEntry {
         .read(s, Map("mode" -> "FAILFAST"), Some(schema), landing)
     }),
 
+    // S4/S5/W3/A6/§2.10: metastore table create at location, partition
+    // recovery, ANALYZE stats, read back through the catalog
+    "q38_catalog_table" -> ((s, dir) => {
+      val loc = tmpDir("graft_cat") + "/t"
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_linestatus"))
+        .write.partitionBy("l_linestatus").parquet(loc)
+      s.sql("DROP TABLE IF EXISTS graft_cat_q38")
+      s.sql("CREATE TABLE graft_cat_q38 (l_orderkey BIGINT, l_quantity DOUBLE, " +
+        s"l_linestatus STRING) USING parquet PARTITIONED BY (l_linestatus) LOCATION '$loc'")
+      graft.catalog.CatalogOps.recoverPartitionsNative(s, "graft_cat_q38")
+      graft.catalog.CatalogOps.computeStatistics(s, "graft_cat_q38")
+      s.table("graft_cat_q38")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+    }),
+
+    // dedup: embedding-cosine near-duplicate pairs (native cosine expr)
+    "q39_embedding_dedup" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4)
+    }),
+
+    // as-of join: latest click at or before each purchase, per user
+    "q40_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      AsOfJoin(purchases, clicks, col("user_id"), col("c_user"),
+          col("p_ts"), col("c_ts"), col("p_id"), col("click_id"))
+        .select(col("p_id"), col("user_id"), col("click_id"),
+          unix_millis(col("c_ts")).as("click_ts_ms"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -787,6 +825,34 @@ object SparkEntry {
 
     "q36_gzip_load" ->
       "SELECT r_regionkey, r_name FROM region",
+
+    "q38_catalog_table" ->
+      """SELECT l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "q39_embedding_dedup" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.embedding)+1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+        |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+        |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+        |    AS cosine
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cosine,6) AS cosine FROM pairs
+        |WHERE cosine >= 0.4""".stripMargin,
+
+    "q40_asof_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |           FROM events WHERE event_type='purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+        |      FROM events WHERE event_type='click')
+        |SELECT p.p_id, p.user_id, c.click_id, epoch_ms(c.c_ts) AS click_ts_ms
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.c_ts <= p.p_ts""".stripMargin,
 
     "q37_schema_enforce" ->
       """SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_name, c_acctbal,

@@ -168,6 +168,25 @@ object Dedup {
     grouped.select(col("id"), fingerprint.as("simhash"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs whose
+    * embedding cosine meets the threshold. The pair generation here is the
+    * exact all-pairs baseline (a self equi-range join); the scale path
+    * composes [[Similarity.annTopK]]'s LSH bucketing with the same cosine
+    * filter. Cosine is a native expression — see
+    * [[graft.functions.CosineSimilarityExpr]].
+    */
+  def embeddingNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.CosineSimilarityExpr.cosine(col("va"), col("vb"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** SimHash near-dup candidates: band the 64-bit fingerprint into 4
     * 16-bit chunks; docs sharing any chunk are candidates (by pigeonhole,
     * any pair within Hamming distance 3 shares at least one chunk). The
