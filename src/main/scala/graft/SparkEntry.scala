@@ -343,20 +343,21 @@ object SparkEntry {
         StructField("o_orderstatus", StringType),
         StructField("o_totalprice", DoubleType),
         StructField("orderdate", StringType),
-        StructField("year", ShortType), StructField("month", ShortType),
-        StructField("day", ShortType)))
+        StructField("year", ShortType), StructField("month", ShortType)))
+      // month-granularity partitions: ~84 dirs over the 7-year span. Daily
+      // partitioning at this row density is the small-files antipattern —
+      // dir count grows 30x while file sizes collapse.
       new FullLoad(s, fsOps(s), FullLoadParams(
         sourceDir = landing, targetDir = target,
         format = DataFormat.Dsv("|", hasHeader = false),
         targetSchema = Some(schema),
         partitionSourceColumn = Some("orderdate"),
-        targetPartitions = Seq("year", "month", "day"))).run()
+        targetPartitions = Seq("year", "month"))).run()
       s.read.option("basePath", target).parquet(target)
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"),
           col("year").cast("short").as("year"),
-          col("month").cast("short").as("month"),
-          col("day").cast("short").as("day"))
+          col("month").cast("short").as("month"))
     }),
 
     // AppendLoad end-to-end: filename-regex partitions + header files
@@ -777,8 +778,7 @@ object SparkEntry {
     "q30_full_load" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS o_totalprice,
         | CAST(year(o_orderdate) AS SMALLINT) AS year,
-        | CAST(month(o_orderdate) AS SMALLINT) AS month,
-        | CAST(dayofmonth(o_orderdate) AS SMALLINT) AS day
+        | CAST(month(o_orderdate) AS SMALLINT) AS month
         |FROM orders""".stripMargin,
 
     "q31_append_load" ->

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** 64-bit SimHash of a token array as a native Catalyst expression: hash
+  * each token (xxhash64-compatible mixer), accumulate 64 bit-counters, set
+  * each output bit by majority vote — all inside one evaluation per row.
+  *
+  * Replaces an explode → groupBy(doc) → 64-sum aggregation: same result,
+  * but zero shuffle and no 500k-row blowup per 5k docs. At 100 TB the
+  * fingerprint is a narrow map over the corpus; only the 8-byte fingerprint
+  * ever moves.
+  */
+case class SimHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      // xxHash64 over the token bytes, seed 42 (Spark's default seed)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        counts(b) += ((h >>> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 >= n) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object SimHashExpr {
+  def simhash(tokens: Column): Column =
+    GraftBridge.column(SimHashExpr(GraftBridge.expression(tokens)))
+}

@@ -135,6 +135,10 @@ object Dedup {
       shingleSize: Int, threshold: Double): DataFrame = {
     val sh = shingleDF(docs, idCol, textCol, shingleSize)
       .withColumn("n", size(col("sh")))
+      // join on 8-byte shingle hashes, not ~20-char strings: same pairs and
+      // counts (64-bit collisions are ~2^-64), a third of the shuffle bytes
+      .select(col("id"), col("n"),
+        transform(col("sh"), s => xxhash64(s)).as("sh"))
     val inv = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
     val a = inv.as("a"); val b = inv.as("b")
     val inter = a.join(b, col("a.s") === col("b.s") &&
@@ -149,24 +153,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the token multiset: majority vote of per-token hash
-    * bits. Computed as explode(tokens) → groupBy(doc) with 64 literal-bit
-    * `sum((hash >> b) & 1)` aggregates — all map-side combined (partial
-    * aggregation), so the shuffle carries one 64-int row per doc regardless
-    * of document length. Whole-stage codegen'd end to end.
+    * bits, via the native [[graft.functions.SimHashExpr]] — a narrow map
+    * with zero shuffle (the 8-byte fingerprint is the only thing that ever
+    * moves). Hash family matches Spark's xxhash64(seed 42), so this equals
+    * the equivalent explode → groupBy → 64-bit-sum formulation.
     */
-  def simhashDF(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val perTok = docs.select(col(idCol).as("id"),
-        explode(tokens(col(textCol))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1L)).as(s"b$b"))
-    val grouped = perTok.groupBy(col("id"))
-      .agg(count(lit(1)).as("n"), bitSums: _*)
-    val fingerprint = (0 until 64).map { b =>
-      when(col(s"b$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    grouped.select(col("id"), fingerprint.as("simhash"))
-  }
+  def simhashDF(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        graft.functions.SimHashExpr.simhash(col("__toks")).as("simhash"))
 
   /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs whose
     * embedding cosine meets the threshold. The pair generation here is the
