@@ -506,6 +506,23 @@ object SparkEntry {
           unix_millis(col("c_ts")).as("click_ts_ms"))
     }),
 
+    // stateful sessionization (flatMapGroupsWithState) on the batch frame —
+    // the same code path Structured Streaming runs with per-key state
+    "q41_stateful_sessions" -> ((s, dir) => {
+      import graft.streaming.StatefulSessionize
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val events = t(s, dir, "events")
+        .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+          unix_millis(col("ts")).as("tsMillis"))
+        .as[StatefulSessionize.Event]
+      StatefulSessionize(events, gapMillis = 1800000L)
+        .groupBy(col("userId").as("user_id"))
+        .agg(max(col("sessionId")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_sessions"), col("n_events"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -825,6 +842,16 @@ object SparkEntry {
 
     "q36_gzip_load" ->
       "SELECT r_regionkey, r_name FROM region",
+
+    "q41_stateful_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tsm FROM events),
+        |s AS (SELECT user_id,
+        |  CASE WHEN lag(tsm) OVER w IS NULL THEN 1
+        |       WHEN tsm - lag(tsm) OVER w > 1800000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id))
+        |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions,
+        | count(*) AS n_events
+        |FROM s GROUP BY user_id""".stripMargin,
 
     "q38_catalog_table" ->
       """SELECT l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS qty

@@ -44,6 +44,20 @@ class AtomicWriterSpec extends SparkSpec {
       .sorted shouldBe Array((1, "p1"), (2, "p1"), (5, "p2"))
   }
 
+  test("AppendJoinPartitions full-outer joins with existing content") {
+    val dir = tmp("aw") + "/t"
+    val w = new AtomicWriter(fsOps, Seq("p"), None)
+    w.write(Seq((1, "old1", "p1")).toDF("k", "a", "p"), DataFormat.Parquet,
+      dir, LoadMode.OverwritePartitions)
+    // same key gains column b; new key 2 appears with null a
+    w.write(Seq((1, "new1", "p1"), (2, "new2", "p1")).toDF("k", "b", "p"),
+      DataFormat.Parquet, dir, LoadMode.AppendJoinPartitions)
+    val out = spark.read.option("basePath", dir).parquet(dir)
+      .select($"k", $"a", $"b").as[(Int, Option[String], Option[String])]
+      .collect().sortBy(_._1)
+    out shouldBe Array((1, Some("old1"), Some("new1")), (2, None, Some("new2")))
+  }
+
   test("OverwritePartitionsWithAddedColumns aligns schemas") {
     val dir = tmp("aw") + "/t"
     val w = new AtomicWriter(fsOps, Seq("p"), None)

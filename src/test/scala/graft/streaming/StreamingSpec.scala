@@ -3,6 +3,29 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+class StatefulSessionizeSpec extends SparkSpec {
+  import spark.implicits._
+  import StatefulSessionize._
+
+  test("flatMapGroupsWithState sessions match the batch window formulation") {
+    implicit val s = spark
+    val events = Seq(
+      Event(1L, 1L, 0L), Event(1L, 2L, 60000L), Event(1L, 3L, 4000000L),
+      Event(2L, 4L, 0L)).toDS()
+    val out = StatefulSessionize(events, gapMillis = 1800000L)
+      .collect().sortBy(_.eventId)
+    out.map(a => (a.userId, a.eventId, a.sessionId)) shouldBe Array(
+      (1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L))
+    // agrees with the batch operator
+    val batch = graft.operators.Sessionize(
+        events.toDF(), "userId", org.apache.spark.sql.functions.col("tsMillis"),
+        "eventId", 1800000L)
+      .select($"eventId", $"session_id").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    batch.map(_._2) shouldBe out.map(_.sessionId)
+  }
+}
+
 class EventStreamSpec extends SparkSpec {
   import spark.implicits._
 
