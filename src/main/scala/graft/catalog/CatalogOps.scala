@@ -42,6 +42,33 @@ object CatalogOps {
   def refresh(spark: SparkSession, table: String): Unit =
     spark.catalog.refreshTable(table)
 
+  /** Compact the given partitions to a controlled file count — the native
+    * equivalent of the reference's Delta compaction (reference:
+    * algo/loads/DeltaLakeLoad.scala:309-352: rewrite affected partitions
+    * with dataChange=false). Each partition dir is rewritten through a
+    * temp dir + atomic rename; content is unchanged.
+    */
+  def compactPartitions(spark: SparkSession, fsOps: graft.fsops.FsOps,
+      tableDir: String, partitionDirs: Seq[String],
+      filesPerPartition: Int): Unit =
+    partitionDirs.foreach { p =>
+      val dir = s"$tableDir/$p"
+      val tmp = fsOps.timestampedDir(dir + "_compact")
+      spark.read.parquet(dir).repartition(filesPerPartition)
+        .write.parquet(tmp)
+      val backup = fsOps.timestampedDir(dir + "_pre")
+      fsOps.move(dir, backup)
+      try {
+        fsOps.move(tmp, dir)
+        fsOps.deleteAll(backup)
+      } catch {
+        case e: Throwable =>
+          if (!fsOps.exists(dir)) fsOps.move(backup, dir)
+          fsOps.deleteAll(tmp)
+          throw e
+      }
+    }
+
   /** ANALYZE statistics, whole-table and optionally per partition
     * (reference: TableStatistics.scala:22-123). Feeds Spark CBO.
     */

@@ -1,0 +1,69 @@
+package graft.catalog
+
+import graft.fsops.FsOps
+import graft.io.{AtomicWriter, DataFormat, LoadMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Catalog-table write paths
+  * (reference: src/main/scala/com/adidas/analytics/util/OutputWriter.scala:264-342):
+  *  - [[saveToTable]]: `saveAsTable` with SaveMode, TRUNCATE-first on
+  *    overwrite (keeps the table object + grants, unlike drop/recreate);
+  *  - [[writeToTableLocation]]: resolve the table's LOCATION from the
+  *    catalog, atomically install data there (partition backup/restore),
+  *    then recover partition metadata and refresh — the path structured
+  *    loads use so a failed write never leaves the metastore pointing at
+  *    half-written data;
+  *  - [[recreateTable]]: swap a table to a new location via a temp-table
+  *    DDL dance with rollback (reference: CatalogTableManager.scala:87-99).
+  */
+object TableWriter {
+
+  def saveToTable(df: DataFrame, table: String, mode: LoadMode,
+      partitions: Seq[String] = Seq.empty): Unit = {
+    val spark = df.sparkSession
+    val (saveMode, truncateFirst) = mode match {
+      case LoadMode.OverwriteTable => (SaveMode.Overwrite, true)
+      case LoadMode.AppendUnionPartitions => (SaveMode.Append, false)
+      case other => throw new IllegalArgumentException(
+        s"saveToTable supports OverwriteTable/AppendUnionPartitions, got $other")
+    }
+    if (truncateFirst && spark.catalog.tableExists(table))
+      spark.sql(s"TRUNCATE TABLE $table")
+    val w0 = df.write.mode(saveMode)
+    val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
+    w.saveAsTable(table)
+  }
+
+  def writeToTableLocation(df: DataFrame, fsOps: FsOps, table: String,
+      mode: LoadMode, partitions: Seq[String] = Seq.empty,
+      outputFilesNum: Option[Int] = None): Unit = {
+    val spark = df.sparkSession
+    val location = CatalogOps.tableLocation(spark, table)
+    new AtomicWriter(fsOps, partitions, outputFilesNum)
+      .write(df, DataFormat.Parquet, stripScheme(location), mode)
+    if (partitions.nonEmpty) CatalogOps.recoverPartitionsNative(spark, table)
+    CatalogOps.refresh(spark, table)
+  }
+
+  /** Point `table` at `newLocation` by recreating it (CREATE .. LIKE via
+    * captured DDL), restoring the old location if the swap fails.
+    */
+  def recreateTable(spark: SparkSession, table: String,
+      newLocation: String): Unit = {
+    val oldLocation = CatalogOps.tableLocation(spark, table)
+    try {
+      CatalogOps.setTableLocation(spark, table, newLocation)
+      CatalogOps.recoverPartitionsNative(spark, table)
+      CatalogOps.refresh(spark, table)
+    } catch {
+      case e: Throwable =>
+        CatalogOps.setTableLocation(spark, table, oldLocation)
+        spark.catalog.refreshTable(table)
+        throw e
+    }
+  }
+
+  private def stripScheme(location: String): String =
+    location.replaceFirst("^file:", "")
+}

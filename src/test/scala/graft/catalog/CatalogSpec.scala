@@ -31,4 +31,60 @@ class CatalogOpsSpec extends SparkSpec {
     CatalogOps.refresh(spark, "cat_t")
     spark.sql("DROP TABLE cat_t")
   }
+
+  test("saveToTable truncates on overwrite; append appends") {
+    import graft.io.LoadMode
+    spark.sql("DROP TABLE IF EXISTS tw_t")
+    TableWriter.saveToTable(Seq((1, "a")).toDF("k", "v"), "tw_t",
+      LoadMode.OverwriteTable)
+    TableWriter.saveToTable(Seq((2, "b")).toDF("k", "v"), "tw_t",
+      LoadMode.AppendUnionPartitions)
+    spark.table("tw_t").count() shouldBe 2
+    TableWriter.saveToTable(Seq((3, "c")).toDF("k", "v"), "tw_t",
+      LoadMode.OverwriteTable)
+    spark.table("tw_t").as[(Int, String)].collect() shouldBe Array((3, "c"))
+    spark.sql("DROP TABLE tw_t")
+  }
+
+  test("writeToTableLocation installs partitions atomically + recovers metadata") {
+    import graft.fsops.FsOps
+    import graft.io.LoadMode
+    val fsOps = new FsOps(spark.sparkContext.hadoopConfiguration)
+    val dir = tmp("twl") + "/t"
+    Seq((1, "p1")).toDF("v", "p").write.partitionBy("p").parquet(dir)
+    spark.sql("DROP TABLE IF EXISTS twl_t")
+    spark.sql(s"CREATE TABLE twl_t (v INT, p STRING) USING parquet " +
+      s"PARTITIONED BY (p) LOCATION '$dir'")
+    CatalogOps.recoverPartitionsNative(spark, "twl_t")
+    TableWriter.writeToTableLocation(Seq((2, "p2")).toDF("v", "p"), fsOps,
+      "twl_t", LoadMode.OverwritePartitions, Seq("p"))
+    spark.table("twl_t").select($"v").as[Int].collect().sorted shouldBe
+      Array(1, 2)
+    spark.sql("DROP TABLE twl_t")
+  }
+
+  test("recreateTable swaps location with rollback on failure") {
+    val d1 = tmp("rc1") + "/t"; val d2 = tmp("rc2") + "/t"
+    Seq((1, "p1")).toDF("v", "p").write.partitionBy("p").parquet(d1)
+    Seq((2, "p1"), (3, "p2")).toDF("v", "p").write.partitionBy("p").parquet(d2)
+    spark.sql("DROP TABLE IF EXISTS rc_t")
+    spark.sql(s"CREATE TABLE rc_t (v INT, p STRING) USING parquet " +
+      s"PARTITIONED BY (p) LOCATION '$d1'")
+    CatalogOps.recoverPartitionsNative(spark, "rc_t")
+    TableWriter.recreateTable(spark, "rc_t", d2)
+    spark.table("rc_t").count() shouldBe 2
+    spark.sql("DROP TABLE rc_t")
+  }
+
+  test("compactPartitions rewrites to a controlled file count, same content") {
+    import graft.fsops.FsOps
+    val fsOps = new FsOps(spark.sparkContext.hadoopConfiguration)
+    val dir = tmp("cmp") + "/t"
+    spark.range(100).selectExpr("id AS v", "'p1' AS p").repartition(8)
+      .write.partitionBy("p").parquet(dir)
+    fsOps.ls(s"$dir/p=p1").count(_.endsWith(".parquet")) should be > 4
+    CatalogOps.compactPartitions(spark, fsOps, dir, Seq("p=p1"), 1)
+    fsOps.ls(s"$dir/p=p1").count(_.endsWith(".parquet")) shouldBe 1
+    spark.read.parquet(s"$dir/p=p1").count() shouldBe 100
+  }
 }
