@@ -40,6 +40,30 @@ object Multimodal {
       .withColumn("fake_height",
         (pmod(xxhash64(col("payload"), lit(1)), lit(1080L)) + 1).cast("int"))
 
+  /** Batch media decode over partitions: the Scala analog of a
+    * mapInPandas/Arrow-batch decode — one decoder instance per partition
+    * (codecs are expensive to init), iterator-to-iterator so a 128 MB
+    * partition of blobs streams through without materializing. The decoder
+    * itself is STUBBED (deterministic fake from the payload bytes; no media
+    * codecs in this container) — the partitioning, batch shape, and typed
+    * output schema are the real thing.
+    */
+  case class MediaRow(id: Long, payload: Array[Byte])
+  case class DecodedRow(id: Long, n_bytes: Int, width: Int, height: Int)
+
+  def decodePartitions(media: org.apache.spark.sql.Dataset[MediaRow])
+      : org.apache.spark.sql.Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init happens HERE in a real codec
+      rows.map { r =>
+        val h = java.util.Arrays.hashCode(r.payload)
+        DecodedRow(r.id, r.payload.length,
+          math.floorMod(h, 1920) + 1, math.floorMod(h * 31, 1080) + 1)
+      }
+    }
+  }
+
   /** Frame/sample selection stub: pick every `stride`-th byte offset as a
     * "frame index" — stands in for video frame sampling; the partitioning
     * and output shape (one row per sampled frame) are the real thing.

@@ -1,0 +1,27 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys: explode the small/build side into
+  * `saltFactor` replicas and scatter the skewed probe side uniformly across
+  * them, so one hot key spreads over `saltFactor` shuffle partitions
+  * instead of hot-spotting one executor.
+  *
+  * AQE's skew-join splitting handles sort-merge skew at runtime; salting is
+  * the static fallback for the cases AQE can't touch (aggregations feeding
+  * the join, hash joins, or deterministic test plans). Correctness: join
+  * keys are extended with a salt column that matches by construction —
+  * results are identical to the unsalted join.
+  */
+object SkewJoin {
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    val salted = probe.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
+        .cast("int"))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}
