@@ -3,9 +3,30 @@ package graft.core
 import graft.algos._
 import graft.config.JsonConfig
 import graft.fsops.FsOps
-import graft.io.DataFormat
-import org.apache.spark.sql.SparkSession
+import graft.io.{AtomicWriter, DataFormat, LoadMode}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Generic read → transform → atomic-write algorithm for the pure
+  * DataFrame-transform algorithms (Transpose, NestedFlattener,
+  * FixedSizeStringExtractor): one scan of source_dir, the transform, one
+  * atomic overwrite of target_dir.
+  */
+private[core] class TransformAlgorithm(val spark: SparkSession, fsOps: FsOps,
+    sourceDir: String, targetDir: String, format: DataFormat,
+    outputFilesNum: Option[Int], fn: DataFrame => DataFrame)
+    extends Algorithm {
+  override def read(): Vector[DataFrame] =
+    Vector(format.read(spark, Map.empty, None, sourceDir))
+  override def transform(dfs: Vector[DataFrame]): Vector[DataFrame] =
+    dfs.map(fn)
+  override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
+    val w = new AtomicWriter(fsOps, Seq.empty, outputFilesNum)
+    dfs.foreach(df =>
+      w.write(df, DataFormat.Parquet, targetDir, LoadMode.OverwriteTable))
+    dfs
+  }
+}
 
 /** Name → algorithm dispatch, replacing the reference's string match in
   * AlgorithmFactory (reference: src/main/scala/com/adidas/analytics/AlgorithmFactory.scala:59-84).
@@ -80,6 +101,92 @@ object AlgoRegistry {
         outputFilesNum = config.getIntOpt("output_files_num"),
         versionsToRetain = config.getIntOpt("num_versions_to_retain")
           .getOrElse(1)))
+    case "RangeMaterialization" => new Materialization(spark, fsOps,
+      MaterializationParams(
+        sourceDir = config.getString("source_dir"),
+        targetBaseDir = config.getString("target_dir"),
+        scope = MaterializationScope.Range(
+          config.getString("partition_column"),
+          config.getString("date_from"), config.getString("date_to")),
+        targetPartitions = config.getSeq[String]("target_partitions"),
+        outputFilesNum = config.getIntOpt("output_files_num"),
+        versionsToRetain = config.getIntOpt("num_versions_to_retain")
+          .getOrElse(1)))
+    case "QueryMaterialization" => new Materialization(spark, fsOps,
+      MaterializationParams(
+        sourceDir = config.getString("source_dir"),
+        targetBaseDir = config.getString("target_dir"),
+        scope = MaterializationScope.Query(
+          // select_conditions: [["col=value", ...], ...] — OR of ANDs
+          config.getSeq[Seq[String]]("select_conditions").map(_.map { kv =>
+            val Array(k, v) = kv.split("=", 2); (k, v: Any)
+          })),
+        targetPartitions = config.getSeq[String]("target_partitions"),
+        outputFilesNum = config.getIntOpt("output_files_num"),
+        versionsToRetain = config.getIntOpt("num_versions_to_retain")
+          .getOrElse(1)))
+    case "Transpose" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => Transpose(df,
+        config.getSeq[String]("group_by_column"),
+        config.getString("pivot_column"),
+        config.getSeq[Any]("pivot_values"),
+        config.getString("aggregation_column")))
+    case "NestedFlattener" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => NestedFlattener(df,
+        charsToReplace = config.getStringOpt("chars_to_replace")
+          .getOrElse("[.:#]+"),
+        replacement = config.getStringOpt("replacement_char").getOrElse("_"),
+        sideFlatten = config.getOpt[Map[String, Any]]("side_flatten")
+          .getOrElse(Map.empty).map { case (k, v) =>
+            k -> (v match { case n: Number => n.intValue() }) }))
+    case "FixedSizeStringExtractor" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        // substring_positions: ["1-12", "13-16", ...], aligned with the
+        // target schema's fields (reference: FixedSizeStringExtractor.scala:30-46)
+        val schema = schemaOf(config, "target_schema").getOrElse(
+          throw new IllegalArgumentException(
+            "FixedSizeStringExtractor needs target_schema"))
+        val specs = config.getSeq[String]("substring_positions")
+          .zip(schema.fields).map { case (pos, f) =>
+            val Array(a, b) = pos.split("-", 2)
+            FixedSizeStringExtractor.FieldSpec(f.name, a.trim.toInt,
+              b.trim.toInt, f.dataType)
+          }
+        FixedSizeStringExtractor(df, config.getString("source_field"), specs)
+      })
+    case "SQLRunner" =>
+      // params shape per reference fixture: {"steps": N, "1": sql, ...}
+      val s = spark
+      new Algorithm {
+        val spark: SparkSession = s
+        override def read(): Vector[DataFrame] = Vector.empty
+        override def transform(dfs: Vector[DataFrame]): Vector[DataFrame] = {
+          val n = config.getInt("steps")
+          Vector(SQLRunner.run(s, (1 to n).map(i => config.getString(i.toString))))
+        }
+        override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
+          dfs.foreach(_.collect()); dfs
+        }
+      }
+    case "GzipDecompressorBytes" | "GzipDecompressor" =>
+      val s = spark
+      new Algorithm {
+        val spark: SparkSession = s
+        override def read(): Vector[DataFrame] = Vector.empty
+        override def transform(dfs: Vector[DataFrame]): Vector[DataFrame] = dfs
+        override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
+          new GzipDecompressor(s.sparkContext.hadoopConfiguration, fsOps,
+            config.getIntOpt("thread_pool_size").getOrElse(8))
+            .run(config.getString("source_dir"))
+          dfs
+        }
+      }
     case other => throw new IllegalArgumentException(s"unknown algorithm: $other")
   }
 }

@@ -43,4 +43,32 @@ class AlgoRegistrySpec extends SparkSpec {
     out.select($"id", $"year".cast("int"), $"month".cast("int"))
       .as[(Int, Int, Int)].collect() shouldBe Array((1, 2020, 6))
   }
+
+  test("Transpose and SQLRunner and QueryMaterialization from params JSON") {
+    val fsOps = new FsOps(spark.sparkContext.hadoopConfiguration)
+    // Transpose
+    val src = tmp("reg2_src") + "/t"; val tgt = tmp("reg2_tgt") + "/t"
+    Seq((1, "a", 10), (1, "b", 20)).toDF("id", "key", "v").write.parquet(src)
+    AlgoRegistry.create("Transpose", spark, fsOps, JsonConfig.parse(
+      s"""{"source_dir":"$src","target_dir":"$tgt","file_format":"parquet",
+         |"group_by_column":["id"],"pivot_column":"key",
+         |"pivot_values":["a","b"],"aggregation_column":"v"}"""
+        .stripMargin.replaceAll("\n", ""))).run()
+    spark.read.parquet(tgt).collect().head.toSeq shouldBe Seq(1, 10, 20)
+    // SQLRunner
+    AlgoRegistry.create("SQLRunner", spark, fsOps, JsonConfig.parse(
+      """{"steps":2,
+        |"1":"CREATE OR REPLACE TEMPORARY VIEW reg_sql AS SELECT 7 AS x",
+        |"2":"SELECT x FROM reg_sql"}""".stripMargin.replaceAll("\n", ""))).run()
+    // QueryMaterialization
+    val msrc = tmp("reg3_src") + "/t"; val mtgt = tmp("reg3_tgt")
+    Seq((1, "F"), (2, "O")).toDF("v", "st").write.partitionBy("st").parquet(msrc)
+    AlgoRegistry.create("QueryMaterialization", spark, fsOps, JsonConfig.parse(
+      s"""{"source_dir":"$msrc","target_dir":"$mtgt",
+         |"select_conditions":[["st=F"]],"target_partitions":["st"]}"""
+        .stripMargin.replaceAll("\n", ""))).run()
+    val ver = fsOps.ls(mtgt).filter(_.startsWith("data_")).sorted.last
+    spark.read.option("basePath", s"$mtgt/$ver").parquet(s"$mtgt/$ver")
+      .select($"v").as[Int].collect() shouldBe Array(1)
+  }
 }
