@@ -269,7 +269,7 @@ object SparkEntry {
     // dedup: SimHash banded candidates (rows-only)
     "q22_simhash" -> ((s, dir) => {
       Dedup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 16)
+        maxHamming = 7)
     }),
 
     // similarity: brute-force cosine top-k (exact baseline)

@@ -70,6 +70,13 @@ case class DeltaLoadParams(
 class DeltaLoad(val spark: SparkSession, fsOps: FsOps, p: DeltaLoadParams)
     extends Algorithm {
 
+  /** Hive-style dir names of the partitions the delta touches — captured in
+    * transform() so write() replaces them even when every surviving row of
+    * a partition was deleted (deletion-only partitions would otherwise
+    * produce no output dir and silently keep their old content).
+    */
+  private var affectedPartitionDirs: Seq[String] = Seq.empty
+
   override def read(): Vector[DataFrame] = Vector(
     DataFormat.Parquet.read(spark, Map.empty, None, p.activeDir),
     p.format.read(spark, p.readerOptions, None, p.deltaDir))
@@ -86,6 +93,8 @@ class DeltaLoad(val spark: SparkSession, fsOps: FsOps, p: DeltaLoadParams)
           .distinct().collect()
           .map(r => p.targetPartitions.zipWithIndex.map {
             case (c, i) => (c, r.get(i)) }.toSeq).toSeq
+        affectedPartitionDirs = parts.map(_.map { case (c, v) => s"$c=$v" }
+          .mkString("/"))
         active.filter(PartitionCriteria.toColumn(parts))
       }
 
@@ -100,7 +109,8 @@ class DeltaLoad(val spark: SparkSession, fsOps: FsOps, p: DeltaLoadParams)
     val mode = if (p.targetPartitions.isEmpty) LoadMode.OverwriteTable
       else LoadMode.OverwritePartitions
     val writer = new AtomicWriter(fsOps, p.targetPartitions, None)
-    dfs.foreach(df => writer.write(df, DataFormat.Parquet, p.activeDir, mode))
+    dfs.foreach(df => writer.write(df, DataFormat.Parquet, p.activeDir, mode,
+      alsoReplace = affectedPartitionDirs))
     dfs
   }
 }

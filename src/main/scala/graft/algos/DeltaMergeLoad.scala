@@ -45,6 +45,11 @@ case class DeltaMergeLoadParams(
 class DeltaMergeLoad(val spark: SparkSession, fsOps: FsOps,
     p: DeltaMergeLoadParams) extends Algorithm {
 
+  /** Affected partition dirs (see DeltaLoad: deletion-only partitions must
+    * still be replaced on write).
+    */
+  private var affectedPartitionDirs: Seq[String] = Seq.empty
+
   override def read(): Vector[DataFrame] = Vector(
     SchemaOps.lowercaseColumns(
       p.format.read(spark, p.readerOptions, None, p.deltaDir)))
@@ -79,6 +84,8 @@ class DeltaMergeLoad(val spark: SparkSession, fsOps: FsOps,
             .distinct().collect()
             .map(r => p.targetPartitions.zipWithIndex.map {
               case (c, i) => (c, r.get(i)) }.toSeq).toSeq
+          affectedPartitionDirs = parts.map(_.map { case (c, v) => s"$c=$v" }
+            .mkString("/"))
           val sentinel = p.targetPartitions.map(c =>
             (c, if (c == "year") DateComponents.SentinelYear
                 else DateComponents.SentinelPart): (String, Any))
@@ -98,7 +105,7 @@ class DeltaMergeLoad(val spark: SparkSession, fsOps: FsOps,
     val writer = new AtomicWriter(fsOps, p.targetPartitions, None)
     dfs.foreach { df =>
       writer.write(df.drop(p.recordModeCol), DataFormat.Parquet,
-        p.targetDir, mode)
+        p.targetDir, mode, alsoReplace = affectedPartitionDirs)
     }
     dfs
   }

@@ -22,9 +22,9 @@ class GzipDecompressor(conf: Configuration, fsOps: FsOps,
       .filter(f => f.endsWith(".gz") || f.endsWith(".zip"))
     val pool = Executors.newFixedThreadPool(threadPoolSize)
     val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    archives.foreach { f =>
-      pool.submit(new Runnable {
-        override def run(): Unit = {
+    val futures = archives.map { f =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = {
           val src = new Path(f)
           val fs = fsOps.fs(src)
           val outPath = new Path(stripExtension(f))
@@ -35,7 +35,16 @@ class GzipDecompressor(conf: Configuration, fsOps: FsOps,
               z.getNextEntry // single-entry zip, reference :63-72
               z
             } else codecs.getCodec(src).createInputStream(fs.open(src))
-          try in.transferTo(out) finally { in.close(); out.close() }
+          var outClosed = false
+          try in.transferTo(out)
+          catch {
+            case e: Throwable =>
+              // never leave a truncated output behind a successful-looking run
+              out.close(); outClosed = true
+              fs.delete(outPath, false)
+              throw e
+          }
+          finally { in.close(); if (!outClosed) out.close() }
           fs.delete(src, false)
           results.add(outPath.toString)
         }
@@ -44,6 +53,9 @@ class GzipDecompressor(conf: Configuration, fsOps: FsOps,
     pool.shutdown()
     if (!pool.awaitTermination(timeoutHours, TimeUnit.HOURS))
       throw new RuntimeException("gzip decompression timed out")
+    // surface worker failures — an uninspected Future swallows them and a
+    // corrupt archive would read as a successful load
+    futures.foreach(_.get())
     scala.jdk.CollectionConverters.IteratorHasAsScala(results.iterator())
       .asScala.toSeq.sorted
   }

@@ -63,12 +63,25 @@ class Materialization(val spark: SparkSession, fsOps: FsOps,
     val writer = new AtomicWriter(fsOps, p.targetPartitions, p.outputFilesNum)
     dfs.foreach(df =>
       writer.write(df, DataFormat.Parquet, versionDir, LoadMode.OverwriteTable))
-    fsOps.cleanupOldVersions(p.targetBaseDir, "data", p.versionsToRetain + 1)
+    Materialization.versionsIn(fsOps, p.targetBaseDir)
+      .dropRight(p.versionsToRetain + 1)
+      .foreach(v => fsOps.deleteAll(s"${p.targetBaseDir}/$v"))
     dfs
   }
 
-  /** Path of the current (newest) materialized version. */
+  /** Path of the current (newest) COMPLETE materialized version. */
   def currentVersion: Option[String] =
-    fsOps.ls(p.targetBaseDir).filter(_.startsWith("data_")).sorted.lastOption
+    Materialization.versionsIn(fsOps, p.targetBaseDir).lastOption
       .map(v => s"${p.targetBaseDir}/$v")
+}
+
+object Materialization {
+  /** Exactly `data_<17-digit timestamp>` — leftover `data_<ts>_tmp_<ts>` /
+    * `_backup_` dirs from a failed run must never be mistaken for a
+    * version (they'd sort last and be served as current).
+    */
+  private val VersionDir = "^data_\\d{17}$".r
+
+  private[algos] def versionsIn(fsOps: FsOps, base: String): Seq[String] =
+    fsOps.ls(base).filter(v => VersionDir.matches(v)).sorted
 }

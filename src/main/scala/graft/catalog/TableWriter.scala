@@ -22,17 +22,26 @@ object TableWriter {
   def saveToTable(df: DataFrame, table: String, mode: LoadMode,
       partitions: Seq[String] = Seq.empty): Unit = {
     val spark = df.sparkSession
-    val (saveMode, truncateFirst) = mode match {
-      case LoadMode.OverwriteTable => (SaveMode.Overwrite, true)
-      case LoadMode.AppendUnionPartitions => (SaveMode.Append, false)
+    val exists = spark.catalog.tableExists(table)
+    mode match {
+      case LoadMode.OverwriteTable if exists =>
+        // TRUNCATE + insertInto keeps the table OBJECT (schema, grants,
+        // properties); SaveMode.Overwrite saveAsTable would drop/recreate
+        spark.sql(s"TRUNCATE TABLE $table")
+        df.write.mode(SaveMode.Append).insertInto(table)
+      case LoadMode.OverwriteTable =>
+        val w0 = df.write.mode(SaveMode.Overwrite)
+        val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
+        w.saveAsTable(table)
+      case LoadMode.AppendUnionPartitions if exists =>
+        df.write.mode(SaveMode.Append).insertInto(table)
+      case LoadMode.AppendUnionPartitions =>
+        val w0 = df.write.mode(SaveMode.Append)
+        val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
+        w.saveAsTable(table)
       case other => throw new IllegalArgumentException(
         s"saveToTable supports OverwriteTable/AppendUnionPartitions, got $other")
     }
-    if (truncateFirst && spark.catalog.tableExists(table))
-      spark.sql(s"TRUNCATE TABLE $table")
-    val w0 = df.write.mode(saveMode)
-    val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
-    w.saveAsTable(table)
   }
 
   def writeToTableLocation(df: DataFrame, fsOps: FsOps, table: String,

@@ -90,8 +90,10 @@ object AlgoRegistry {
         technicalKey = config.getSeq[String]("technical_key"),
         partitionSourceColumn = config.getStringOpt("partition_column"),
         targetPartitions = config.getSeq[String]("target_partitions"),
-        isInit = config.getBoolean("is_manual_repartitioning") == false &&
-          config.getBoolean("init", default = false)))
+        // init condensation defaults ON in the reference
+        // (DeltaLakeLoadConfiguration); it is unrelated to repartitioning
+        isInit = config.getBoolean("init_condensation", default = true) &&
+          config.getBoolean("is_init_load", default = false)))
     case "FullMaterialization" => new Materialization(spark, fsOps,
       MaterializationParams(
         sourceDir = config.getString("source_dir"),

@@ -4,8 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Cosine similarity of two float-vector columns as a native Catalyst
   * expression: one evaluation per row, primitive loop, accumulating in
@@ -21,6 +22,17 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true; case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_similarity expects two array<float> columns, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

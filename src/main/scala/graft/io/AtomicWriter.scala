@@ -55,12 +55,20 @@ class AtomicWriter(fsOps: FsOps, targetPartitions: Seq[String] = Seq.empty,
     walk("", targetPartitions.size)
   }
 
-  /** Atomically install `df` into `targetDir` under the given load mode. */
+  /** Atomically install `df` into `targetDir` under the given load mode.
+    *
+    * `alsoReplace`: partition dir names (e.g. `p=p1`) that must be treated
+    * as affected even when the incoming data has NO rows for them — a CDC
+    * delta whose only content for a partition is deletions produces an
+    * empty partition, which must still replace (i.e. remove) the existing
+    * dir. Without it, deletion-only partitions silently survive.
+    */
   def write(df: DataFrame, format: DataFormat, targetDir: String,
-      mode: LoadMode): Unit = mode match {
-    case LoadMode.OverwriteTable => overwriteTable(df, format, targetDir)
-    case _ => mergePartitions(df, format, targetDir, mode)
-  }
+      mode: LoadMode, alsoReplace: Seq[String] = Seq.empty): Unit =
+    mode match {
+      case LoadMode.OverwriteTable => overwriteTable(df, format, targetDir)
+      case _ => mergePartitions(df, format, targetDir, mode, alsoReplace)
+    }
 
   /** Whole-table overwrite with rollback: new content lands in a temp
     * sibling; old content is backed up before the swap and restored on
@@ -70,7 +78,9 @@ class AtomicWriter(fsOps: FsOps, targetPartitions: Seq[String] = Seq.empty,
       targetDir: String): Unit = {
     val tmp = fsOps.timestampedDir(targetDir + "_tmp")
     val backup = fsOps.timestampedDir(targetDir + "_backup")
-    writeTo(df, format, tmp)
+    try writeTo(df, format, tmp) catch {
+      case e: Throwable => fsOps.deleteAll(tmp); throw e
+    }
     val hadOld = fsOps.exists(targetDir)
     if (hadOld) fsOps.move(targetDir, backup)
     try {
@@ -86,7 +96,8 @@ class AtomicWriter(fsOps: FsOps, targetPartitions: Seq[String] = Seq.empty,
 
   /** Partition-level merge path for the four partition load modes. */
   private def mergePartitions(df: DataFrame, format: DataFormat,
-      targetDir: String, mode: LoadMode): Unit = {
+      targetDir: String, mode: LoadMode,
+      alsoReplace: Seq[String] = Seq.empty): Unit = {
     require(targetPartitions.nonEmpty,
       s"$mode requires target partitions")
     val spark = df.sparkSession
@@ -119,17 +130,27 @@ class AtomicWriter(fsOps: FsOps, targetPartitions: Seq[String] = Seq.empty,
 
     val tmp = fsOps.timestampedDir(targetDir + "_tmp")
     val backup = fsOps.timestampedDir(targetDir + "_backup")
-    writeTo(toWrite, format, tmp)
-    val parts = partitionDirsIn(tmp)
+    try writeTo(toWrite, format, tmp) catch {
+      case e: Throwable => fsOps.deleteAll(tmp); throw e
+    }
+    val written = partitionDirsIn(tmp)
+    // deletion-only partitions: affected but with zero surviving rows —
+    // their old content must go even though tmp has no dir for them
+    val emptied = alsoReplace.filterNot(written.contains)
+      .filter(p => fsOps.exists(s"$targetDir/$p"))
+    val parts = written ++ emptied
     val backedUp = parts.filter(p => fsOps.exists(s"$targetDir/$p"))
     try {
       backedUp.foreach(p => fsOps.move(s"$targetDir/$p", s"$backup/$p"))
-      parts.foreach(p => fsOps.move(s"$tmp/$p", s"$targetDir/$p"))
+      written.foreach(p => fsOps.move(s"$tmp/$p", s"$targetDir/$p"))
       fsOps.deleteAll(tmp)
       fsOps.deleteAll(backup)
     } catch {
       case e: Throwable =>
-        // restore any backed-up partition that no longer exists in target
+        // roll back to the pre-write state: newly installed partitions that
+        // had no previous content are removed; backed-up ones are restored
+        written.filterNot(backedUp.contains)
+          .foreach(p => fsOps.deleteAll(s"$targetDir/$p"))
         backedUp.foreach { p =>
           if (fsOps.exists(s"$backup/$p")) {
             fsOps.deleteAll(s"$targetDir/$p")

@@ -182,17 +182,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** SimHash near-dup candidates: band the 64-bit fingerprint into 4
-    * 16-bit chunks; docs sharing any chunk are candidates (by pigeonhole,
-    * any pair within Hamming distance 3 shares at least one chunk). The
-    * chunk equi-join shuffles by (band, chunk) — no all-pairs product.
+  /** SimHash near-dup candidates: band the 64-bit fingerprint into
+    * `maxHamming + 1` chunks; by pigeonhole, any pair within Hamming
+    * distance `maxHamming` shares at least one identical chunk, so the
+    * guarantee matches the parameter (a fixed 4-chunk banding would
+    * silently miss pairs for maxHamming > 3). The chunk equi-join shuffles
+    * by (band, chunk) — no all-pairs product.
     */
   def simhashCandidates(docs: DataFrame, idCol: String,
       textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be in [0,7] (8+ bands over-fragment 64 bits), " +
+        s"got $maxHamming")
+    val bands = maxHamming + 1
+    val chunkBits = 64 / bands
     val withSim = simhashDF(docs, idCol, textCol)
-    val chunks = (0 until 4).map(i =>
+    val chunks = (0 until bands).map { i =>
+      val start = i * chunkBits
+      val width = if (i == bands - 1) 64 - start else chunkBits
+      val mask = if (width == 64) -1L else (1L << width) - 1
       struct(lit(i).as("band"),
-        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("v")))
+        shiftright(col("simhash"), start).bitwiseAND(mask).as("v"))
+    }
     val banded = withSim.select(col("id"), col("simhash"),
       explode(array(chunks: _*)).as("chunk"))
     val a = banded.as("a"); val b = banded.as("b")

@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    // replicating the build side breaks build-preserving join types:
+    // an unmatched build row would be emitted once per salt replica
+    require(Set("inner", "left", "left_outer", "leftouter")(joinType),
+      s"saltedJoin supports inner/left joins, got $joinType")
     val salted = probe.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
         .cast("int"))

@@ -104,6 +104,23 @@ class DeltaLoadSpec extends SparkSpec {
       .collect().sorted
     out shouldBe Array((1, "v1b", "p1"), (3, "v3", "p2"), (4, "v4", "p2"))
   }
+
+  test("deletion-only partition is still rewritten (regression)") {
+    val activeD = tmp("dl_do_a") + "/t"
+    val deltaD = tmp("dl_do_d") + "/t"
+    Seq((1, 0, "v1", "p1"), (3, 0, "v3", "p2"))
+      .toDF("k", "ver", "v", "p").write.partitionBy("p").parquet(activeD)
+    // the delta's ONLY record for p1 is a deletion — no upserts
+    Seq((1, 1, "gone", "D", "p1")).toDF("k", "ver", "v", "recordmode", "p")
+      .write.parquet(deltaD)
+    new DeltaLoad(spark, fsOps, DeltaLoadParams(
+      activeDir = activeD, deltaDir = deltaD, format = DataFormat.Parquet,
+      businessKey = Seq("k"), technicalKey = Seq("ver"),
+      recordsToDelete = Seq("D"), targetPartitions = Seq("p"))).run()
+    val out = spark.read.option("basePath", activeD).parquet(activeD)
+      .select($"k", $"p".cast("string")).as[(Int, String)].collect().sorted
+    out shouldBe Array((3, "p2")) // k=1 deleted, p1 dir gone or empty
+  }
 }
 
 class DeltaMergeLoadSpec extends SparkSpec {
