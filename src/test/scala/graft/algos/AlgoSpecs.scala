@@ -153,6 +153,26 @@ class DeltaMergeLoadSpec extends SparkSpec {
     out.select($"k", $"v").as[(Int, String)].collect().sorted shouldBe
       Array((1, "a2"), (3, "c"))
   }
+
+  test("deletion-only partition is rewritten (regression, same as DeltaLoad)") {
+    val target = tmp("dml_do_t") + "/t"
+    val d1 = tmp("dml_do_d1") + "/t"
+    val d2 = tmp("dml_do_d2") + "/t"
+    Seq((1, 1, "a", "", "20200101"), (2, 1, "b", "", "20200201"))
+      .toDF("k", "ver", "v", "recordmode", "date").write.parquet(d1)
+    def params(d: String) = DeltaMergeLoadParams(
+      targetDir = target, deltaDir = d, format = DataFormat.Parquet,
+      businessKey = Seq("k"), technicalKey = Seq("ver"),
+      recordsToDelete = Seq("D"), partitionSourceColumn = Some("date"),
+      targetPartitions = Seq("year", "month"))
+    new DeltaMergeLoad(spark, fsOps, params(d1)).run()
+    // delta only deletes k=1 (the sole row of month=1)
+    Seq((1, 2, "a", "D", "20200101"))
+      .toDF("k", "ver", "v", "recordmode", "date").write.parquet(d2)
+    new DeltaMergeLoad(spark, fsOps, params(d2)).run()
+    spark.read.option("basePath", target).parquet(target)
+      .select($"k").as[Int].collect() shouldBe Array(2)
+  }
 }
 
 class SmallAlgoSpec extends SparkSpec {
