@@ -139,7 +139,15 @@ object Dedup {
       // counts (64-bit collisions are ~2^-64), a third of the shuffle bytes
       .select(col("id"), col("n"),
         transform(col("sh"), s => xxhash64(s)).as("sh"))
-    val inv = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    val inv0 = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    // shingles in exactly one doc can never contribute to a pair — drop
+    // them with a window count BEFORE the quadratic self-join. The window
+    // shuffles by s, the same partitioning the join needs, so the filter
+    // is nearly free and the join input shrinks by the vocabulary tail.
+    val inv = inv0.withColumn("__df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("s"))))
+      .filter(col("__df") > 1).drop("__df")
     val a = inv.as("a"); val b = inv.as("b")
     val inter = a.join(b, col("a.s") === col("b.s") &&
         col("a.id") < col("b.id"))
