@@ -44,6 +44,17 @@ object DataFormat {
         .csv(path)
   }
 
+  /** ORC: beyond-parity format arm (the reference supports parquet/dsv/json
+    * only); columnar like parquet, same pushdown/pruning behavior.
+    */
+  case object Orc extends DataFormat {
+    def read(spark: SparkSession, options: Map[String, String],
+        schema: Option[StructType], paths: String*): DataFrame =
+      withSchema(spark.read.options(options), schema).orc(paths: _*)
+    def write(writer: DataFrameWriter[Row], path: String): Unit =
+      writer.orc(path)
+  }
+
   case object Json extends DataFormat {
     def read(spark: SparkSession, options: Map[String, String],
         schema: Option[StructType], paths: String*): DataFrame =
@@ -62,6 +73,7 @@ object DataFormat {
       case "parquet" => Parquet
       case "dsv" | "csv" => Dsv(delimiter, hasHeader)
       case "json" => Json
+      case "orc" => Orc
       case other => throw new IllegalArgumentException(s"format: $other")
     }
 }

@@ -83,6 +83,14 @@ class DataFormatSpec extends SparkSpec {
     assertSameRows(back, df)
   }
 
+  test("ORC roundtrip with pushdown-capable schema") {
+    val dir = tmp("orc")
+    val df = Seq((1, "a", 2.5), (2, "b", 3.5)).toDF("i", "s", "d")
+    DataFormat.Orc.write(df.write.mode("overwrite"), dir + "/out")
+    assertSameRows(
+      DataFormat.Orc.read(spark, Map.empty, Some(df.schema), dir + "/out"), df)
+  }
+
   test("JSON roundtrip") {
     val dir = tmp("json")
     val df = Seq((1, "x"), (2, "y")).toDF("i", "s")
