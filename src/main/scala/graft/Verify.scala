@@ -38,6 +38,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // full expected-query manifest: a query that CRASHES during this dump
+    // produces no result dir and would otherwise vanish from the correctness
+    // denominator — the checker iterates this list and fails missing dirs
+    Files.writeString(Paths.get(s"$outDir/query_names.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -93,8 +93,8 @@ class DeltaLoad(val spark: SparkSession, fsOps: FsOps, p: DeltaLoadParams)
           .distinct().collect()
           .map(r => p.targetPartitions.zipWithIndex.map {
             case (c, i) => (c, r.get(i)) }.toSeq).toSeq
-        affectedPartitionDirs = parts.map(_.map { case (c, v) => s"$c=$v" }
-          .mkString("/"))
+        affectedPartitionDirs = parts.map(_.map { case (c, v) =>
+          PartitionCriteria.partitionDirName(c, v) }.mkString("/"))
         active.filter(PartitionCriteria.toColumn(parts))
       }
 

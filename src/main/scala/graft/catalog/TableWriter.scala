@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions.col
   */
 object TableWriter {
 
+  /** `insertInto` resolves columns by POSITION; align the DataFrame to the
+    * table's declared column order first so a frame whose columns were
+    * appended in a different order (e.g. after addMissingColumns) is not
+    * silently written into the wrong columns.
+    */
+  private def alignedToTable(df: DataFrame, table: String): DataFrame =
+    df.select(df.sparkSession.table(table).columns.map(col).toIndexedSeq: _*)
+
   def saveToTable(df: DataFrame, table: String, mode: LoadMode,
       partitions: Seq[String] = Seq.empty): Unit = {
     val spark = df.sparkSession
@@ -28,13 +36,13 @@ object TableWriter {
         // TRUNCATE + insertInto keeps the table OBJECT (schema, grants,
         // properties); SaveMode.Overwrite saveAsTable would drop/recreate
         spark.sql(s"TRUNCATE TABLE $table")
-        df.write.mode(SaveMode.Append).insertInto(table)
+        alignedToTable(df, table).write.mode(SaveMode.Append).insertInto(table)
       case LoadMode.OverwriteTable =>
         val w0 = df.write.mode(SaveMode.Overwrite)
         val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
         w.saveAsTable(table)
       case LoadMode.AppendUnionPartitions if exists =>
-        df.write.mode(SaveMode.Append).insertInto(table)
+        alignedToTable(df, table).write.mode(SaveMode.Append).insertInto(table)
       case LoadMode.AppendUnionPartitions =>
         val w0 = df.write.mode(SaveMode.Append)
         val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0

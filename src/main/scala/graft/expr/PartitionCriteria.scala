@@ -23,13 +23,31 @@ object PartitionCriteria {
 
   /** OR-of-ANDs → Column. Empty criteria selects nothing (matches the
     * reference's fold over an empty OR: no partition qualifies).
+    *
+    * Null-safe equality (`<=>`): a criteria value of null must SELECT the
+    * null-partition rows (`===` never matches NULL, which would silently
+    * exclude existing `__HIVE_DEFAULT_PARTITION__` content from
+    * partition-merge writes and then drop it on the atomic swap).
     */
   def toColumn(criteria: Criteria): Column =
     if (criteria.isEmpty) lit(false)
     else criteria.map { conj =>
       if (conj.isEmpty) lit(true)
-      else conj.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+      else conj.map { case (c, v) => col(c) <=> lit(v) }.reduce(_ && _)
     }.reduce(_ || _)
+
+  /** Hive dir name used by Spark for a partition value — null (and empty
+    * string) values land in `__HIVE_DEFAULT_PARTITION__`, so affected-dir
+    * bookkeeping must use the same name or deletion-only null partitions
+    * are never replaced.
+    */
+  def partitionDirName(column: String, value: Any): String = {
+    val v = value match {
+      case null | "" => "__HIVE_DEFAULT_PARTITION__"
+      case other => other.toString
+    }
+    s"$column=$v"
+  }
 
   /** Single conjunction (the FixedSizeStringExtractor / Materialization
     * single-partition case).

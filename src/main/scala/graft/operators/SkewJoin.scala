@@ -21,8 +21,16 @@ object SkewJoin {
     // an unmatched build row would be emitted once per salt replica
     require(Set("inner", "left", "left_outer", "leftouter")(joinType),
       s"saltedJoin supports inner/left joins, got $joinType")
+    // Salt derived from row CONTENT, not monotonically_increasing_id():
+    // id-based salts are non-deterministic across task recomputation (a
+    // stage retry after a fetch failure can re-salt rows differently from
+    // the shuffle files already consumed — the SPARK-23207 class of bug,
+    // duplicating or losing join rows). Hashing every column keeps the salt
+    // stable under replay; identical rows share a salt, which only matters
+    // for skew if a single VALUE dominates — exactly the case where the
+    // exploded build side still matches every replica.
     val salted = probe.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
+      pmod(xxhash64(probe.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
         .cast("int"))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))

@@ -121,6 +121,43 @@ class DeltaLoadSpec extends SparkSpec {
       .select($"k", $"p".cast("string")).as[(Int, String)].collect().sorted
     out shouldBe Array((3, "p2")) // k=1 deleted, p1 dir gone or empty
   }
+
+  test("null-partition rows survive a merge touching the null partition") {
+    val activeD = tmp("dl_np_a") + "/t"
+    val deltaD = tmp("dl_np_d") + "/t"
+    // active: two rows in the null partition, one in p1
+    Seq((1, 0, "keepme", None: Option[String]), (2, 0, "old", None),
+        (3, 0, "v3", Some("p1")))
+      .toDF("k", "ver", "v", "p").write.partitionBy("p").parquet(activeD)
+    // delta: updates k=2 (null partition) — k=1 must SURVIVE the rewrite
+    // of __HIVE_DEFAULT_PARTITION__, and a deletion-only null-partition
+    // case must still replace the dir
+    Seq((2, 1, "new", "N", None: Option[String]))
+      .toDF("k", "ver", "v", "recordmode", "p").write.parquet(deltaD)
+    new DeltaLoad(spark, fsOps, DeltaLoadParams(
+      activeDir = activeD, deltaDir = deltaD, format = DataFormat.Parquet,
+      businessKey = Seq("k"), technicalKey = Seq("ver"),
+      recordsToDelete = Seq("D"), targetPartitions = Seq("p"))).run()
+    val out = spark.read.option("basePath", activeD).parquet(activeD)
+      .select($"k", $"v").as[(Int, String)].collect().sorted
+    out shouldBe Array((1, "keepme"), (2, "new"), (3, "v3"))
+  }
+
+  test("deletion-only NULL partition is rewritten (dir-name regression)") {
+    val activeD = tmp("dl_nd_a") + "/t"
+    val deltaD = tmp("dl_nd_d") + "/t"
+    Seq((1, 0, "gone soon", None: Option[String]), (3, 0, "v3", Some("p1")))
+      .toDF("k", "ver", "v", "p").write.partitionBy("p").parquet(activeD)
+    Seq((1, 1, "x", "D", None: Option[String]))
+      .toDF("k", "ver", "v", "recordmode", "p").write.parquet(deltaD)
+    new DeltaLoad(spark, fsOps, DeltaLoadParams(
+      activeDir = activeD, deltaDir = deltaD, format = DataFormat.Parquet,
+      businessKey = Seq("k"), technicalKey = Seq("ver"),
+      recordsToDelete = Seq("D"), targetPartitions = Seq("p"))).run()
+    val out = spark.read.option("basePath", activeD).parquet(activeD)
+      .select($"k").as[Int].collect()
+    out shouldBe Array(3) // k=1's null-partition dir was replaced away
+  }
 }
 
 class DeltaMergeLoadSpec extends SparkSpec {

@@ -71,6 +71,25 @@ class PartitionCriteriaSpec extends SparkSpec {
     df.filter(PartitionCriteria.toColumn(Seq.empty)).count() shouldBe 0
     df.filter(PartitionCriteria.toColumn(Seq(Seq.empty))).count() shouldBe 3
   }
+
+  test("null criteria values match null-partition rows (null-safe equality)") {
+    val withNull = Seq((Some("p1"), "a"), (None, "b"), (Some("p2"), "c"))
+      .toDF("p", "v")
+    withNull.filter(PartitionCriteria.toColumn(Seq(Seq("p" -> null))))
+      .select("v").as[String].collect() shouldBe Array("b")
+    // mixed OR: null partition + a concrete one
+    withNull.filter(PartitionCriteria.toColumn(
+        Seq(Seq("p" -> null), Seq("p" -> "p2"))))
+      .select("v").as[String].collect().sorted shouldBe Array("b", "c")
+  }
+
+  test("partitionDirName maps null/empty to the Hive default partition dir") {
+    PartitionCriteria.partitionDirName("p", null) shouldBe
+      "p=__HIVE_DEFAULT_PARTITION__"
+    PartitionCriteria.partitionDirName("p", "") shouldBe
+      "p=__HIVE_DEFAULT_PARTITION__"
+    PartitionCriteria.partitionDirName("p", 7) shouldBe "p=7"
+  }
 }
 
 class SchemaOpsSpec extends SparkSpec {

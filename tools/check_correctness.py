@@ -31,9 +31,21 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Iterate the EXPECTED query list (manifest ∪ oracle keys ∪ result dirs):
+    # a query that crashed in Verify has no result dir and must count as a
+    # FAIL, not silently shrink the denominator.
+    expected = set(os.path.basename(d) for d in glob.glob(f"{out_dir}/q*")
+                   if os.path.isdir(d))
+    expected |= set(oracle.keys())
+    names_file = f"{out_dir}/query_names.json"
+    if os.path.exists(names_file):
+        expected |= set(json.load(open(names_file)))
     results = {}
-    for qdir in sorted(glob.glob(f"{out_dir}/q*")):
-        name = os.path.basename(qdir)
+    for name in sorted(expected):
+        qdir = f"{out_dir}/{name}"
+        if not os.path.isdir(qdir):
+            results[name] = "MISSING result dir (query crashed in Verify?)"
+            continue
         try:
             got = pq.read_table(glob.glob(f"{qdir}/*.parquet")[0]).to_pandas()
         except Exception as e:
