@@ -257,7 +257,7 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.55)
     }),
 
-    // dedup: MinHash-LSH candidates + exact verify (scale path; rows-only)
+    // dedup: MinHash-LSH candidates + exact verify (portable md5 family)
     "q21_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
@@ -266,7 +266,7 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
-    // dedup: SimHash banded candidates (rows-only)
+    // dedup: SimHash banded candidates (portable md5 family)
     "q22_simhash" -> ((s, dir) => {
       Dedup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 7)
@@ -281,7 +281,7 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
     }),
 
-    // similarity: sign-LSH bucketed ANN (scale path; rows-only)
+    // similarity: sign-LSH bucketed ANN (scale path; native signature expr)
     "q24_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") % 50 === 0)
@@ -321,7 +321,7 @@ object SparkEntry {
           col("content_sha256"))
     }),
 
-    // multimodal: frame sampling stub (rows-only; xxhash64 not in DuckDB)
+    // multimodal: frame sampling stub (md5-derived offsets, oracle-matched)
     "q29_frame_sample" -> ((s, dir) => {
       Multimodal.sampleFrames(
         Multimodal.fakeDecode(
@@ -485,10 +485,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
     }),
 
-    // dedup: embedding-cosine near-duplicate pairs (native cosine expr)
+    // dedup: embedding near-dup pairs — sign-LSH candidates + exact cosine
+    // verify (native exprs; no all-pairs product in the plan)
     "q39_embedding_dedup" -> ((s, dir) => {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
-        "embedding", threshold = 0.4)
+        "embedding", threshold = 0.4, bits = 8, tables = 4)
     }),
 
     // as-of join: latest click at or before each purchase, per user
@@ -523,6 +524,15 @@ object SparkEntry {
         .select(col("user_id"), col("n_sessions"), col("n_events"))
     }),
 
+    // similarity: IVF ANN (sampled centroids + nprobe cells + exact re-rank)
+    "q42_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -540,6 +550,70 @@ object SparkEntry {
     .map(w => s"'$w'").mkString(", ")
   private def stopList(lang: String): String =
     TextAnalysis.stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+
+  // ---- portable-hash SQL fragments (mirrors of graft.functions.PortableHash;
+  // the LSH/fingerprint pipelines derive all randomness from md5 so DuckDB
+  // reproduces the exact candidate sets — no rows-only gates) ----
+
+  import graft.functions.PortableHash
+
+  /** Sequential-accumulation cosine — the same operation order as the native
+    * CosineSimilarityExpr loop, so doubles match bit-for-bit.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a)+1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(range(1, len($a)+1),
+       |         i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(range(1, len($b)+1),
+       |         i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+
+  /** The k MinHash minima as a SQL list literal over `hl` (60-bit md5 base
+    * hashes mod P), with the exact per-seed (a, b) coefficients the native
+    * expression uses.
+    */
+  private def minhashSigSql(k: Int): String = (0 until k).map { s =>
+    s"list_min(list_transform(hl, h -> (${PortableHash.minhashA(s)}*h + " +
+      s"${PortableHash.minhashB(s)}) % ${PortableHash.P}))"
+  }.mkString("[\n    ", ",\n    ", "]")
+
+  /** 60-bit SimHash majority vote over `hl`/`n` as one SQL expression. */
+  private val simhashSql: String =
+    (0 until graft.functions.SimHashExpr.BITS).map { b =>
+      s"(CASE WHEN 2*len(list_filter(hl, h -> ((h >> $b) & 1) = 1)) >= n " +
+        s"THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" +\n  ")
+
+  /** (band, shift, mask) rows matching Dedup.simhashCandidates' banding. */
+  private def simhashBandsSql(maxHamming: Int): String = {
+    val bits = graft.functions.SimHashExpr.BITS
+    val bands = maxHamming + 1
+    val cb = bits / bands
+    (0 until bands).map { i =>
+      val start = i * cb
+      val width = if (i == bands - 1) bits - start else cb
+      s"($i, $start, ${(1L << width) - 1})"
+    }.mkString(", ")
+  }
+
+  /** Shared CTE chain: hyperplanes → per-(vec,table) sign signatures over
+    * the embeddings table, mirroring LshSignatureExpr (sequential-order dot
+    * products, identical md5-derived weights).
+    */
+  private def lshSigsSql(tables: Int, bits: Int, dims: Int): String =
+    s"""planes AS (${PortableHash.sqlPlanes(tables, bits, dims)}),
+       |pl AS (SELECT t, b, list(w ORDER BY d) AS ws FROM planes GROUP BY t, b),
+       |v AS (SELECT vec_id, embedding FROM embeddings),
+       |dots AS (
+       |  SELECT v.vec_id, pl.t, pl.b,
+       |    list_sum(list_transform(range(1, ${dims + 1}),
+       |      i -> CAST(v.embedding[i] AS DOUBLE) * pl.ws[i])) AS dot
+       |  FROM v, pl),
+       |sigs AS (
+       |  SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN dot >= 0 THEN 1 << b ELSE 0 END) AS INTEGER)
+       |      AS sig
+       |  FROM dots GROUP BY vec_id, t)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -721,6 +795,86 @@ object SparkEntry {
         |FROM pairs
         |WHERE CAST(inter AS DOUBLE)/(n_a+n_b-inter) >= 0.55""".stripMargin,
 
+    // mirrors Dedup.minhashCandidates (k=32, bands=8, r=4) + jaccardVerify:
+    // identical md5-derived seed family → identical candidate pairs
+    "q21_minhash_lsh" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(0, greatest(len(tk)-3, 0)+1),
+         |    i -> array_to_string(tk[i+1:i+3], ' '))) AS shl
+         |  FROM toks),
+         |hs AS (
+         |  SELECT doc_id, shl,
+         |    list_transform(shl, s -> ${PortableHash.sqlHash60("s")}
+         |      % ${PortableHash.P}) AS hl
+         |  FROM sh),
+         |sig AS (SELECT doc_id, ${minhashSigSql(32)} AS sg FROM hs),
+         |banded AS (
+         |  SELECT doc_id, b.range AS band,
+         |    array_to_string(sg[b.range*4+1 : b.range*4+4], '_') AS bucket
+         |  FROM sig, range(8) b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT c.id_a, c.id_b,
+         |    len(list_intersect(sa.shl, sb.shl)) AS inter,
+         |    len(sa.shl) + len(sb.shl) - len(list_intersect(sa.shl, sb.shl))
+         |      AS uni
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.id_a
+         |  JOIN sh sb ON sb.doc_id = c.id_b)
+         |SELECT id_a, id_b, round(CAST(inter AS DOUBLE)/uni, 6) AS jaccard
+         |FROM j WHERE CAST(inter AS DOUBLE)/uni >= 0.5""".stripMargin,
+
+    // mirrors Dedup.simhashDF + simhashCandidates(maxHamming=7): 60-bit
+    // md5-derived fingerprint, pigeonhole banding, hamming verify
+    "q22_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+         |  FROM documents),
+         |hs AS (
+         |  SELECT doc_id, len(tk) AS n,
+         |    list_transform(tk, t -> ${PortableHash.sqlHash60("t")}) AS hl
+         |  FROM toks),
+         |fp AS (SELECT doc_id,
+         |  $simhashSql AS simhash
+         |  FROM hs),
+         |banded AS (
+         |  SELECT doc_id, simhash, band,
+         |    (simhash >> shft) & mask AS chunk
+         |  FROM fp, (VALUES ${simhashBandsSql(7)}) AS bands(band, shft, mask)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.simhash AS fa, b.simhash AS fb
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= 7""".stripMargin,
+
+    // mirrors Similarity.annTopK (bits=8, tables=4): identical hyperplane
+    // weights and dot-product order → identical buckets → identical top-k
+    "q24_ann_lsh" ->
+      s"""WITH ${lshSigsSql(tables = 4, bits = 8, dims = 64)},
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+         |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${cosSql("qv.embedding", "cv.embedding")} AS cosine
+         |  FROM cand
+         |  JOIN v qv ON qv.vec_id = query_id
+         |  JOIN v cv ON cv.vec_id = neighbor_id)
+         |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY cosine DESC, neighbor_id) <= 5""".stripMargin,
+
     "q23_ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),
@@ -792,6 +946,16 @@ object SparkEntry {
         | sha256(text) AS content_sha256
         |FROM documents""".stripMargin,
 
+    // mirrors Multimodal.asMedia → fakeDecode → sampleFrames(nFrames=3):
+    // md5-derived per-frame offsets reproduce exactly
+    "q29_frame_sample" ->
+      s"""SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         |  CAST(f.range AS INTEGER) AS frame_no,
+         |  ${PortableHash.sqlHash60("concat_ws('_', sha256(text), f.range)")}
+         |    % CAST(octet_length(encode(text)) AS INTEGER) AS frame_offset
+         |FROM documents, range(3) f""".stripMargin,
+
     "q30_full_load" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS o_totalprice,
         | CAST(year(o_orderdate) AS SMALLINT) AS year,
@@ -857,20 +1021,23 @@ object SparkEntry {
       """SELECT l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS qty
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
 
+    // mirrors Dedup.embeddingNearDupPairs' LSH-bucketed path (bits=8,
+    // tables=4): identical buckets → identical candidate pairs → exact
+    // cosine filter (round 1's all-pairs oracle gated an all-pairs plan;
+    // both sides are bucketed now)
     "q39_embedding_dedup" ->
-      """WITH v AS (SELECT vec_id, embedding FROM embeddings),
-        |pairs AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_sum(list_transform(range(1, len(a.embedding)+1),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
-        |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
-        |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
-        |    AS cosine
-        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, round(cosine,6) AS cosine FROM pairs
-        |WHERE cosine >= 0.4""".stripMargin,
+      s"""WITH ${lshSigsSql(tables = 4, bits = 8, dims = 64)},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b
+         |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT id_a, id_b, ${cosSql("va.embedding", "vb.embedding")} AS cosine
+         |  FROM cand
+         |  JOIN v va ON va.vec_id = id_a
+         |  JOIN v vb ON vb.vec_id = id_b)
+         |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM scored
+         |WHERE cosine >= 0.4""".stripMargin,
 
     "q40_asof_join" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
@@ -880,6 +1047,39 @@ object SparkEntry {
         |SELECT p.p_id, p.user_id, c.click_id, epoch_ms(c.c_ts) AS click_ts_ms
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND c.c_ts <= p.p_ts""".stripMargin,
+
+    // mirrors Similarity.ivfTopK (centroidMod=37, nprobe=3): identical
+    // centroid sample, assignment argmax, probe set, and re-rank
+    "q42_ann_ivf" ->
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS ce FROM emb
+         |         WHERE vec_id % 37 = 1),
+         |assign AS (
+         |  SELECT vec_id AS neighbor_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rk
+         |    FROM emb e CROSS JOIN cent c) WHERE rk = 1),
+         |probe AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rk
+         |    FROM emb e CROSS JOIN cent c WHERE e.vec_id % 50 = 0)
+         |  WHERE rk <= 3),
+         |cand AS (
+         |  SELECT DISTINCT query_id, neighbor_id
+         |  FROM probe JOIN assign USING (cid)
+         |  WHERE query_id <> neighbor_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${cosSql("qe.embedding", "ne.embedding")} AS cosine
+         |  FROM cand
+         |  JOIN emb qe ON qe.vec_id = query_id
+         |  JOIN emb ne ON ne.vec_id = neighbor_id)
+         |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY cosine DESC, neighbor_id) <= 5""".stripMargin,
 
     "q37_schema_enforce" ->
       """SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_name, c_acctbal,

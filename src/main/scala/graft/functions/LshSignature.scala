@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+
+/** Random-hyperplane sign signature of a float vector as a native Catalyst
+  * expression: `bits` dot products against deterministic md5-derived
+  * hyperplanes ([[PortableHash.planeComponent]]), each contributing one sign
+  * bit — one evaluation per row, primitive loops.
+  *
+  * Replaces round 1's `aggregate(zip_with(...))` formulation, which paid
+  * bits × dims × ~3 interpreted lambda calls per row and made the "scale
+  * path" 3x SLOWER than brute force at sf0.1 (the exact higher-order-
+  * function trap PLANS.md documents for minhash). The arithmetic here —
+  * sequential double accumulation over the vector in array order — is the
+  * same operation order `list_sum(list_transform(...))` uses in DuckDB, so
+  * signatures (and therefore LSH candidate sets) are reproducible in the
+  * oracle, turning the ANN gates into hash-matched comparisons.
+  *
+  * The hyperplane matrix depends only on (table, bits, dims); dims is read
+  * from the first row and the planes are computed once per task and reused
+  * (vectors of differing lengths would recompute — not a supported shape).
+  */
+case class LshSignatureExpr(child: Expression, bits: Int, table: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_signature expects array<float>, got ${other.sql}")
+  }
+
+  @transient private var cachedDims: Int = -1
+  @transient private var cachedPlanes: Array[Array[Double]] = _
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val dims = vec.numElements()
+    if (dims != cachedDims) {
+      cachedPlanes = PortableHash.planes(table, bits, dims)
+      cachedDims = dims
+    }
+    var sig = 0
+    var b = 0
+    while (b < bits) {
+      val w = cachedPlanes(b)
+      var dot = 0.0
+      var d = 0
+      while (d < dims) {
+        dot += vec.getFloat(d).toDouble * w(d)
+        d += 1
+      }
+      if (dot >= 0) sig |= (1 << b)
+      b += 1
+    }
+    java.lang.Integer.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object LshSignatureExpr {
+  def signature(vec: Column, bits: Int, table: Int): Column =
+    GraftBridge.column(
+      LshSignatureExpr(GraftBridge.expression(vec), bits, table))
+}

@@ -4,11 +4,11 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
-/** MinHash signature as a native Catalyst expression: from an array of
-  * 64-bit shingle hashes, produce the k seeded minima in ONE evaluation per
-  * row with a tight primitive loop.
+/** MinHash signature as a native Catalyst expression: from the array of
+  * shingle strings, produce the k seeded minima in ONE evaluation per row
+  * with a tight primitive loop.
   *
   * Why not `transform`/`array_min` built-ins: higher-order functions are
   * interpreted (no whole-stage codegen through lambdas), costing ~1µs per
@@ -16,9 +16,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * dedup pipeline (measured ~11s for 5k docs × k=32). This expression does
   * the same k×n work in a primitive loop: ~50ms.
   *
-  * Per-seed rehash is a SplitMix64-style finalizer over (shingleHash ^
-  * goldenGamma·seed) — an independent uniform hash family per seed, the
-  * standard MinHash construction.
+  * Hash family ([[PortableHash]]): base 60-bit md5 per shingle, then the
+  * universal linear family (a_s·h + b_s) mod (2^31−1) per seed — chosen over
+  * the round-1 SplitMix64 finalizer because DuckDB reproduces it exactly,
+  * which turns the LSH dedup gate from rows-only into a hash-matched oracle
+  * comparison. Each shingle is md5-hashed ONCE; the k seeded passes are
+  * integer multiply-add over the cached base hashes.
   */
 case class MinHashSignatureExpr(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
@@ -29,29 +32,38 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) =>
+      case ArrayType(StringType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"minhash_signature expects array<bigint> (pre-hashed shingles), " +
-            s"got ${other.sql}")
+          s"minhash_signature expects array<string> shingles, got ${other.sql}")
     }
+
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(k)(PortableHash.minhashA)
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(k)(PortableHash.minhashB)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // base hashes once per shingle (md5 dominates; k passes reuse them)
+    val base = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      base(i) = PortableHash.md5Long60(s.getBytes) % PortableHash.P
+      i += 1
+    }
     val out = new Array[Long](k)
     var s = 0
     while (s < k) {
+      val a = as(s); val b = bs(s)
       var min = Long.MaxValue
-      val seedMix = 0x9E3779B97F4A7C15L * (s + 1)
-      var i = 0
+      i = 0
       while (i < n) {
-        var z = arr.getLong(i) ^ seedMix
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z = z ^ (z >>> 31)
-        if (z < min) min = z
+        val h = (a * base(i) + b) % PortableHash.P
+        if (h < min) min = h
         i += 1
       }
       out(s) = min
@@ -66,8 +78,8 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
 
 object MinHashSignatureExpr {
   /** Column-level entry point (classic-mode Column↔Expression bridge). */
-  def signature(hashedShingles: Column, k: Int): Column =
+  def signature(shingles: Column, k: Int): Column =
     org.apache.spark.sql.GraftBridge.column(
       MinHashSignatureExpr(
-        org.apache.spark.sql.GraftBridge.expression(hashedShingles), k))
+        org.apache.spark.sql.GraftBridge.expression(shingles), k))
 }

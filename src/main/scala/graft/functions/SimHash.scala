@@ -7,14 +7,20 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
-/** 64-bit SimHash of a token array as a native Catalyst expression: hash
-  * each token (xxhash64-compatible mixer), accumulate 64 bit-counters, set
-  * each output bit by majority vote — all inside one evaluation per row.
+/** 60-bit SimHash of a token array as a native Catalyst expression: hash
+  * each token, accumulate per-bit counters, set each output bit by majority
+  * vote — all inside one evaluation per row.
   *
-  * Replaces an explode → groupBy(doc) → 64-sum aggregation: same result,
-  * but zero shuffle and no 500k-row blowup per 5k docs. At 100 TB the
-  * fingerprint is a narrow map over the corpus; only the 8-byte fingerprint
-  * ever moves.
+  * Replaces an explode → groupBy(doc) → per-bit-sum aggregation: same
+  * result, but zero shuffle and no 500k-row blowup per 5k docs. At 100 TB
+  * the fingerprint is a narrow map over the corpus; only the 8-byte
+  * fingerprint ever moves.
+  *
+  * 60 bits, not 64: the per-token hash is [[PortableHash.md5Long60]] (the
+  * first 15 md5 hex digits), the largest width DuckDB can mirror through a
+  * BIGINT hex cast without sign trouble — which makes the SimHash gate a
+  * hash-matched oracle comparison instead of rows-only. Banding guarantees
+  * rescale with the width (see Dedup.simhashCandidates).
   */
 case class SimHashExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -35,15 +41,12 @@ case class SimHashExpr(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](SimHashExpr.BITS)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      // xxHash64 over the token bytes, seed 42 (Spark's default seed)
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val h = PortableHash.md5Long60(arr.getUTF8String(i).getBytes)
       var b = 0
-      while (b < 64) {
+      while (b < SimHashExpr.BITS) {
         counts(b) += ((h >>> b) & 1L).toInt
         b += 1
       }
@@ -51,7 +54,7 @@ case class SimHashExpr(child: Expression)
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < SimHashExpr.BITS) {
       if (counts(b) * 2 >= n) out |= (1L << b)
       b += 1
     }
@@ -63,6 +66,9 @@ case class SimHashExpr(child: Expression)
 }
 
 object SimHashExpr {
+  /** Fingerprint width — bits of [[PortableHash.md5Long60]]. */
+  val BITS: Int = 60
+
   def simhash(tokens: Column): Column =
     GraftBridge.column(SimHashExpr(GraftBridge.expression(tokens)))
 }

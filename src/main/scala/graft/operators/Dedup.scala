@@ -62,14 +62,15 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature from a materialized shingle column: array of k minima
-    * of seeded xxhash64 over the doc's shingles — computed entirely inside
-    * one row (no shuffle). Each shingle string is hashed to a long ONCE;
-    * the k seeded passes then hash fixed-width longs, not strings (k× less
-    * string traffic).
+  /** MinHash signature from a materialized shingle column: array of k seeded
+    * minima over the doc's shingles — computed entirely inside one row (no
+    * shuffle) by the native expression, which md5-hashes each shingle ONCE
+    * and runs the k seeded passes as integer multiply-adds over the cached
+    * base hashes. The md5-derived family is reproducible in DuckDB
+    * ([[graft.functions.PortableHash]]), so LSH candidate sets oracle-match.
     */
-  def minhashSignature(hashedShingleCol: Column, k: Int): Column =
-    graft.functions.MinHashSignatureExpr.signature(hashedShingleCol, k)
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    graft.functions.MinHashSignatureExpr.signature(shingleCol, k)
 
   /** LSH candidate pairs: band the k-wide signature into `bands` buckets per
     * doc, join docs sharing any (band, bucket). Returns distinct
@@ -78,19 +79,17 @@ object Dedup {
     * Banding explodes the signature ARRAY (its producing expression is
     * evaluated exactly once per row — posexplode of a derived band list
     * would let CollapseProject inline the whole minhash into the generator
-    * and recompute it once per band; measured 8x slowdown), then derives
-    * each band's bucket with a groupBy over (id, band) — a shuffle of
-    * #docs × k fixed-width rows, negligible next to the corpus scan. The
-    * bucket equi-join shuffles by (band, bucket); AQE splits skewed buckets.
+    * and recompute it once per band; measured 8x slowdown). The bucket key
+    * is the band's minima joined as a string (mirrorable in SQL as
+    * `array_to_string`; the string is ~40 bytes — negligible vs hashing it
+    * at this shuffle's size). The bucket equi-join shuffles by
+    * (band, bucket); AQE splits skewed buckets.
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
     val r = k / bands
     val sig = shingleDF(docs, idCol, textCol, shingleSize)
-      // stage string→long hashing in its own projection: lambda bodies are
-      // not CSE'd, so an inline transform would re-hash strings per seed
-      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hsh"))
-      .select(col("id"), minhashSignature(col("hsh"), k).as("sig"))
+      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
       // Exchange barrier: CollapseProject would otherwise inline the whole
       // minhash chain into the band generator below and re-evaluate it per
       // band/seed (measured 8-30x). The shuffle moves only (id, k longs)
@@ -98,7 +97,7 @@ object Dedup {
       .repartition(col("id"))
     val banded = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(concat_ws("_", slice(col("sig"), b * r + 1, lit(r)), b)))))
+          b => concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))))
       .toDF("id", "band", "bucket")
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
@@ -160,29 +159,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash of the token multiset: majority vote of per-token hash
+  /** 60-bit SimHash of the token multiset: majority vote of per-token hash
     * bits, via the native [[graft.functions.SimHashExpr]] — a narrow map
     * with zero shuffle (the 8-byte fingerprint is the only thing that ever
-    * moves). Hash family matches Spark's xxhash64(seed 42), so this equals
-    * the equivalent explode → groupBy → 64-bit-sum formulation.
+    * moves). The md5-derived per-token hash is reproducible in DuckDB, so
+    * the fingerprints (and the banded candidate pairs) oracle-match.
     */
   def simhashDF(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       .select(col("id"),
         graft.functions.SimHashExpr.simhash(col("__toks")).as("simhash"))
 
-  /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs whose
-    * embedding cosine meets the threshold. The pair generation here is the
-    * exact all-pairs baseline (a self equi-range join); the scale path
-    * composes [[Similarity.annTopK]]'s LSH bucketing with the same cosine
-    * filter. Cosine is a native expression — see
-    * [[graft.functions.CosineSimilarityExpr]].
+  /** Embedding-cosine near-duplicate pairs: (id_a < id_b) pairs sharing a
+    * sign-LSH bucket whose exact cosine meets the threshold.
+    *
+    * Candidate generation is [[Similarity]]'s multi-table random-hyperplane
+    * bucketing — an equi-join on (table, signature) that shuffles by bucket
+    * key, NOT an all-pairs product (round 1 gated this operator on a
+    * BroadcastNestedLoopJoin `id_a < id_b` cross join: O(n²) pairs scored,
+    * a scale-killer the moment n leaves test sizes). Only id pairs travel
+    * through the distinct; vectors are re-attached by id join for the exact
+    * cosine verify. Recall is the standard sign-LSH tradeoff (rises with
+    * `tables`, falls with `bits`; near-identical vectors — the dedup
+    * regime — collide with probability ≈ 1); the signature family is
+    * md5-derived so the DuckDB oracle reproduces the same candidate set.
+    *
+    * `exact = true` keeps the all-pairs form as the small-scale oracle for
+    * recall measurement in specs — never the production path.
     */
   def embeddingNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
+      threshold: Double, bits: Int = 8, tables: Int = 4,
+      exact: Boolean = false): DataFrame = {
+    val pairs =
+      if (exact) {
+        val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+        val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      } else {
+        val buckets = Similarity.signatures(vecs, idCol, vecCol, bits, tables)
+        val a = buckets.as("a"); val b = buckets.as("b")
+        val cand = a.join(b, col("a.t") === col("b.t") &&
+            col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+        val va = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+        val vb = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+        cand.join(va, "id_a").join(vb, "id_b")
+      }
+    pairs
       .select(col("id_a"), col("id_b"),
         graft.functions.CosineSimilarityExpr.cosine(col("va"), col("vb"))
           .as("cosine"))
@@ -190,7 +215,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** SimHash near-dup candidates: band the 64-bit fingerprint into
+  /** SimHash near-dup candidates: band the fingerprint into
     * `maxHamming + 1` chunks; by pigeonhole, any pair within Hamming
     * distance `maxHamming` shares at least one identical chunk, so the
     * guarantee matches the parameter (a fixed 4-chunk banding would
@@ -199,15 +224,16 @@ object Dedup {
     */
   def simhashCandidates(docs: DataFrame, idCol: String,
       textCol: String, maxHamming: Int = 3): DataFrame = {
+    val fpBits = graft.functions.SimHashExpr.BITS
     require(maxHamming >= 0 && maxHamming <= 7,
-      s"maxHamming must be in [0,7] (8+ bands over-fragment 64 bits), " +
+      s"maxHamming must be in [0,7] (8+ bands over-fragment $fpBits bits), " +
         s"got $maxHamming")
     val bands = maxHamming + 1
-    val chunkBits = 64 / bands
+    val chunkBits = fpBits / bands
     val withSim = simhashDF(docs, idCol, textCol)
     val chunks = (0 until bands).map { i =>
       val start = i * chunkBits
-      val width = if (i == bands - 1) 64 - start else chunkBits
+      val width = if (i == bands - 1) fpBits - start else chunkBits
       val mask = if (width == 64) -1L else (1L << width) - 1
       struct(lit(i).as("band"),
         shiftright(col("simhash"), start).bitwiseAND(mask).as("v"))

@@ -64,14 +64,20 @@ object Multimodal {
     }
   }
 
-  /** Frame/sample selection stub: pick every `stride`-th byte offset as a
-    * "frame index" — stands in for video frame sampling; the partitioning
-    * and output shape (one row per sampled frame) are the real thing.
+  /** Frame/sample selection stub: pick a deterministic pseudo-random byte
+    * offset per frame index — stands in for video frame sampling; the
+    * partitioning and output shape (one row per sampled frame) are the real
+    * thing. The offset hash is md5-derived (`'0x'||substr(md5(..),1,15)`
+    * pattern) so the DuckDB oracle reproduces it exactly — this gate was
+    * rows-only in round 1 because xxhash64 has no DuckDB mirror.
     */
   def sampleFrames(df: DataFrame, idCol: String, nFrames: Int): DataFrame =
     df.select(col(idCol), col("n_bytes"),
         posexplode(transform(sequence(lit(0), lit(nFrames - 1)),
-          i => pmod(xxhash64(col("content_sha256"), i), col("n_bytes")))))
+          i => pmod(
+            conv(substring(md5(concat_ws("_", col("content_sha256"), i)),
+              1, 15), 16, 10).cast("long"),
+            col("n_bytes")))))
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame_offset")
 }

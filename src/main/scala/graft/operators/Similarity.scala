@@ -47,45 +47,133 @@ object Similarity {
       .filter(col("__rk") <= k).drop("__rk")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, bit, dim):
-    * a unit-free value in [-0.5, 0.5) from a 64-bit hash.
+  /** B-bit sign signature of a vector under `table`'s hyperplanes — the
+    * native [[graft.functions.LshSignatureExpr]] (the round-1
+    * `aggregate(zip_with(...))` formulation paid bits × dims × ~3
+    * interpreted lambda calls per row and lost to brute force at sf0.1).
     */
-  private def planeComponent(table: Int, bit: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(table), lit(bit), dim), lit(1000000L)).cast("double")
-      / 1000000.0) - 0.5
+  def lshSignature(vec: Column, bits: Int, table: Int): Column =
+    graft.functions.LshSignatureExpr.signature(vec, bits, table)
 
-  /** B-bit sign signature of a vector under `table`'s hyperplanes. */
-  def lshSignature(vec: Column, bits: Int, table: Int): Column = {
-    val dims = sequence(lit(0), size(vec) - 1)
-    (0 until bits).map { b =>
-      val dot = aggregate(
-        zip_with(vec, dims, (v, i) => v.cast("double") * planeComponent(table, b, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** (id, t, sig) bucket assignments for all `tables` — deliberately drops
+    * the vector so bucket joins and distincts shuffle 12-byte rows, never
+    * embeddings.
+    */
+  def signatures(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, tables: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"),
+            lshSignature(col(vecCol), bits, t).as("sig"))): _*)).as("bk"))
+      .select(col("id"), col("bk.t").as("t"), col("bk.sig").as("sig"))
+
+  /** Exact cosine re-rank of (query_id, neighbor_id) candidate pairs:
+    * vectors re-attach by id join only here, so candidate generation
+    * shuffles 16-byte id pairs, never embeddings.
+    *
+    * Accepts DUPLICATE candidate pairs (multi-table/multi-probe collisions)
+    * and deduplicates them INSIDE the ranking window: duplicates of a pair
+    * sort adjacent (identical cosine, same neighbor), so a `lag` drops them
+    * under the same (query_id) partitioning the row_number needs — one
+    * shuffle where candidate-distinct + window used to pay two. The price
+    * is ≤ tables× redundant cosine evaluations — a native-expression map,
+    * cheaper than an extra exchange at every scale.
+    */
+  private def rerank(cand: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      broadcastQueries: Boolean = false): DataFrame = {
+    val qv0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qv = if (broadcastQueries) broadcast(qv0) else qv0
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = cand.join(qv, "query_id").join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("__dup",
+        col("neighbor_id") <=> lag(col("neighbor_id"), 1).over(w))
+      .filter(!col("__dup"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__dup", "__rk")
   }
 
   /** ANN top-k via multi-table sign-LSH bucketing + exact re-rank.
-    * Recall < 1 by construction; verify against [[bruteForceTopK]].
+    * Recall < 1 by construction; verify against [[bruteForceTopK]]
+    * (ScaleSpecs asserts recall against it).
+    *
+    * Regime note (measured on the synthetic embeddings): sign-LSH prunes
+    * hard AND recalls well only when true neighbors are much closer than
+    * random points (near-duplicate detection, cosine ≳ 0.8). For weakly
+    * separated neighbors (this testdata's top-5 sit at cosine 0.27-0.45,
+    * barely above the random-pair band) NO sublinear method holds 0.9
+    * recall — that regime needs [[ivfTopK]] with a high nprobe or the
+    * brute-force baseline.
+    *
+    * Round-1 fixes: the distinct used to carry both float vectors through
+    * the shuffle (now bare id pairs — see [[rerank]]), and the signature
+    * was interpreted lambda soup (now a native expression).
+    */
+  /** `broadcastQueries`: ANN search is almost always few-queries-against-
+    * big-corpus; broadcasting the query-side signatures and vectors makes
+    * candidate generation a MAP-SIDE join over the corpus (no shuffle of
+    * corpus signatures at all) — the shape you want at any scale when
+    * |Q| ≪ |C|. Set false when the query set is itself huge.
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, bits: Int = 8, tables: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-          explode(array((0 until tables).map(t =>
-            struct(lit(t).as("t"),
-              lshSignature(col(vecCol), bits, t).as("sig"))): _*)).as("bk"))
-    val q = bucketed(queries, "query_id", "qv")
-    val c = bucketed(corpus, "neighbor_id", "cv")
-    val cand = q.join(c, q("bk") === c("bk") &&
-        col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
-      .distinct()
-    val scored = cand.select(col("query_id"), col("neighbor_id"),
-      cosine(col("qv"), col("cv")).as("cosine"))
+      vecCol: String, k: Int, bits: Int = 8, tables: Int = 4,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val q0 = signatures(queries, idCol, vecCol, bits, tables)
+      .withColumnRenamed("id", "query_id")
+    val q = if (broadcastQueries) broadcast(q0) else q0
+    val c = signatures(corpus, idCol, vecCol, bits, tables)
+      .withColumnRenamed("id", "neighbor_id")
+    val cand = c.join(q, Seq("t", "sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    rerank(cand, queries, corpus, idCol, vecCol, k, broadcastQueries)
+  }
+
+  /** IVF-style ANN: deterministic sampled centroids (ids ≡ 1 mod
+    * `centroidMod`), corpus vectors assigned to their nearest centroid
+    * map-side (`max_by` aggregation — no window shuffle of the n×C score
+    * rows), queries probe their `nprobe` nearest cells, exact re-rank
+    * within the probed cells.
+    *
+    * 100 TB shape: centroids broadcast (C ≈ n/centroidMod must stay
+    * driver-bounded — production would sample a fixed C or run k-means;
+    * sampled centroids keep the whole pipeline deterministic and
+    * oracle-mirrorable), assignment is a narrow scan, the cell join
+    * shuffles by cell id. Better recall/cost than sign-LSH on weakly
+    * clustered data (measured: 0.58 recall at 7% of brute-force candidates
+    * vs 0.08 for bits=8 LSH on the synthetic embeddings).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroidMod: Long = 37,
+      nprobe: Int = 3, broadcastQueries: Boolean = true): DataFrame = {
+    val cent = broadcast(corpus.filter(col(idCol) % centroidMod === 1)
+      .select(col(idCol).as("cid"), col(vecCol).as("ce")))
+    // nearest centroid per corpus vector: max_by over (cosine, -cid) —
+    // a partial-aggregatable argmax with the same (cos DESC, cid ASC)
+    // tie-break the window form (and the DuckDB oracle) uses
+    val assign = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__v")).join(cent)
+      .select(col("neighbor_id"), col("cid"),
+        cosine(col("__v"), col("ce")).as("__cs"))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("cid"), struct(col("__cs"), -col("cid"))).as("cid"))
+    val qScored = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__v")).join(cent)
+      .select(col("query_id"), col("cid"),
+        cosine(col("__v"), col("ce")).as("__cs"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k).drop("__rk")
+      .orderBy(col("__cs").desc, col("cid"))
+    val probe0 = qScored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= nprobe).select(col("query_id"), col("cid"))
+    val probe = if (broadcastQueries) broadcast(probe0) else probe0
+    val cand = assign.join(probe, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    rerank(cand, queries, corpus, idCol, vecCol, k, broadcastQueries)
   }
 }
