@@ -32,7 +32,21 @@ case class AppendLoadParams(
     partitionRegexes: Seq[String],
     targetPartitions: Seq[String],
     readerMode: String = "DROPMALFORMED",
-    readerOptions: Map[String, String] = Map.empty)
+    readerOptions: Map[String, String] = Map.empty,
+    /** Verify-schema path (reference: AppendLoad.scala:120-179, default on
+      * for semistructured loads): groups without a header file get their
+      * schema INFERRED from the data, every group's column names must be a
+      * subset of the target's (clear error otherwise), and reads then use
+      * the full target schema.
+      */
+    verifySchema: Boolean = false,
+    /** OverwritePartitions (default), AppendUnionPartitions, or
+      * OverwritePartitionsWithAddedColumns for schema evolution — new
+      * columns append to the target while untouched partitions keep their
+      * old files (reference: AppendLoadConfiguration.scala:53-56 +
+      * OutputWriter.scala:151).
+      */
+    writeLoadMode: LoadMode = LoadMode.OverwritePartitions)
 
 class AppendLoad(val spark: SparkSession, fsOps: FsOps, p: AppendLoadParams)
     extends Algorithm {
@@ -45,28 +59,59 @@ class AppendLoad(val spark: SparkSession, fsOps: FsOps, p: AppendLoadParams)
     StructType(p.targetSchema.fields.filterNot(f =>
       p.targetPartitions.contains(f.name)))
 
-  /** Group source files by schema: files whose partition already has a
-    * header file use that pinned schema; the rest use the target schema
-    * (reference: AppendLoad.scala:87-198 simplified to its semantics).
-    */
-  private def schemaForFile(file: String): StructType = {
+  private def headerPathFor(file: String): String = {
     val partVals = p.targetPartitions.zip(p.partitionRegexes).map {
       case (c, re) => c + "=" + re.r.findFirstMatchIn(file)
         .map(m => if (m.groupCount >= 1) m.group(1) else m.matched).getOrElse("")
     }.mkString("/")
-    val headerPath = s"${p.headerDir}/$partVals/header.json"
+    s"${p.headerDir}/$partVals/header.json"
+  }
+
+  /** Schema for a header group: the pinned header file when the partition
+    * was loaded before; otherwise the target schema minus partition columns,
+    * or — on the verify path — a schema INFERRED from the group's data
+    * (reference: AppendLoad.scala:148-166).
+    */
+  private def schemaForGroup(headerPath: String,
+      group: Seq[String]): StructType =
     if (fsOps.exists(headerPath))
       DataType.fromJson(fsOps.readFile(headerPath)).asInstanceOf[StructType]
+    else if (p.verifySchema)
+      p.format.read(spark, p.readerOptions, None, group: _*).schema
     else dataSchema
-  }
 
   override def read(): Vector[DataFrame] = {
     val files = fsOps.listFilesRecursive(p.sourceDir)
       .filterNot(f => f.endsWith("_SUCCESS") || f.contains("/."))
-    val bySchema = files.groupBy(schemaForFile)
-    bySchema.toVector.map { case (schema, group) =>
-      p.format.read(spark, Map("mode" -> p.readerMode) ++ p.readerOptions,
-        Some(schema), group: _*)
+    val byHeader = files.groupBy(headerPathFor)
+    val withSchemas = byHeader.toSeq.map { case (hp, group) =>
+      (schemaForGroup(hp, group), group)
+    }
+    if (p.verifySchema) {
+      // column-name diff verification (reference: AppendLoad.scala:168-179):
+      // a group whose data carries columns the target does not know is a
+      // config/data mismatch — fail with the offending names and files
+      // rather than silently dropping or nulling them
+      val targetCols = p.targetSchema.fieldNames.toVector
+      withSchemas.foreach { case (schema, group) =>
+        val diff = schema.fieldNames.toVector.diff(targetCols)
+        if (diff.nonEmpty) throw new RuntimeException(
+          s"Schema does not match the input data for some of the input " +
+            s"folders: unexpected columns ${diff.mkString(", ")} in " +
+            group.mkString(", "))
+      }
+      // verified: all files read under the full target schema (absent
+      // columns become typed nulls; partition columns are overwritten from
+      // the path regexes in transform())
+      Vector(p.format.read(spark,
+        Map("mode" -> p.readerMode) ++ p.readerOptions,
+        Some(p.targetSchema), files: _*))
+    } else {
+      withSchemas.groupBy(_._1).toVector.map { case (schema, grouped) =>
+        val paths = grouped.flatMap(_._2)
+        p.format.read(spark, Map("mode" -> p.readerMode) ++ p.readerOptions,
+          Some(schema), paths: _*)
+      }
     }
   }
 
@@ -84,8 +129,7 @@ class AppendLoad(val spark: SparkSession, fsOps: FsOps, p: AppendLoadParams)
   override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
     val writer = new AtomicWriter(fsOps, p.targetPartitions, None)
     dfs.foreach { df =>
-      writer.write(df, DataFormat.Parquet, p.targetDir,
-        LoadMode.OverwritePartitions)
+      writer.write(df, DataFormat.Parquet, p.targetDir, p.writeLoadMode)
       writeHeaders(df)
     }
     dfs

@@ -6,11 +6,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * run numbered SQL steps; each goes through the full Catalyst pipeline;
   * a failing step aborts the remainder. Returns the last step's result
   * instead of `show`-ing it (the caller decides the action).
+  *
+  * Intermediate steps run under a BOUNDED action — `limit(1000).collect()`,
+  * the same cap as the reference's `show(1000)`. An unbounded collect on an
+  * intermediate `SELECT * FROM big_table` would materialize the whole table
+  * on the driver; with the limit, Catalyst plans a CollectLimit that stops
+  * scanning after 1000 rows. Side-effecting steps (CTAS, INSERT, CREATE
+  * VIEW) are unaffected — their work happens regardless of how many result
+  * rows are fetched.
   */
 object SQLRunner {
+  val IntermediateRowCap = 1000
+
   def run(spark: SparkSession, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "SQLRunner needs at least one step")
-    steps.init.foreach(spark.sql(_).collect())
+    steps.init.foreach(spark.sql(_).limit(IntermediateRowCap).collect())
     spark.sql(steps.last)
   }
 }

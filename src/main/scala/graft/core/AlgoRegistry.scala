@@ -63,7 +63,32 @@ object AlgoRegistry {
         .getOrElse("yyyyMMdd"),
       targetPartitions = config.getSeq[String]("target_partitions"),
       readerMode = config.getStringOpt("reader_mode").getOrElse("FAILFAST"),
-      outputFilesNum = config.getIntOpt("output_files_num").orElse(Some(10))))
+      outputFilesNum = config.getIntOpt("output_files_num").orElse(Some(10)),
+      // optional reshaping pre-tasks (reference: DataReshapingTaskConfig +
+      // DataReshapingTask.scala:25-42): flatten, then transpose, from params
+      flattenTask = config.getOpt[Map[String, Any]]("nested_task_properties")
+        .map { m =>
+          FlattenTask(
+            charsToReplace = m.get("chars_to_replace").map(_.toString)
+              .getOrElse("[.:#]+"),
+            replacement = m.get("replacement_char").map(_.toString)
+              .getOrElse("_"),
+            sideFlatten = m.get("side_flatten")
+              .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) =>
+                k -> (v match { case n: Number => n.intValue() }) })
+              .getOrElse(Map.empty))
+        },
+      transposeTask =
+        config.getOpt[Map[String, Any]]("transpose_task_properties").map { m =>
+          TransposeTask(
+            groupByColumns = m("group_by_column") match {
+              case s: Seq[_] => s.map(_.toString)
+              case s => Seq(s.toString)
+            },
+            pivotColumn = m("pivot_column").toString,
+            aggregationColumn = m("aggregation_column").toString)
+        },
+      readSchema = schemaOf(config, "schema")))
     case "AppendLoad" => new AppendLoad(spark, fsOps, AppendLoadParams(
       sourceDir = config.getString("source_dir"),
       targetDir = config.getString("target_dir"),
@@ -73,7 +98,10 @@ object AlgoRegistry {
         throw new IllegalArgumentException("AppendLoad needs target_schema")),
       partitionRegexes = config.getSeq[String]("regex_filename"),
       targetPartitions = config.getSeq[String]("target_partitions"),
-      readerMode = config.getStringOpt("reader_mode").getOrElse("DROPMALFORMED")))
+      readerMode = config.getStringOpt("reader_mode").getOrElse("DROPMALFORMED"),
+      verifySchema = config.getBoolean("verify_schema", default = false),
+      writeLoadMode = config.getStringOpt("write_load_mode")
+        .map(LoadMode(_)).getOrElse(LoadMode.OverwritePartitions)))
     case "DeltaLoad" => new DeltaLoad(spark, fsOps, DeltaLoadParams(
       activeDir = config.getString("active_records_dir"),
       deltaDir = config.getString("delta_records_file_path"),
@@ -173,7 +201,10 @@ object AlgoRegistry {
           Vector(SQLRunner.run(s, (1 to n).map(i => config.getString(i.toString))))
         }
         override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
-          dfs.foreach(_.collect()); dfs
+          // bounded final action, like the reference's show(1000) — the
+          // result of a SQL script's last SELECT is for eyeballing, never
+          // a driver-side materialization of a whole table
+          dfs.foreach(_.limit(SQLRunner.IntermediateRowCap).collect()); dfs
         }
       }
     case "GzipDecompressorBytes" | "GzipDecompressor" =>

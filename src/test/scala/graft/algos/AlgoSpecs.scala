@@ -46,6 +46,76 @@ class FullLoadSpec extends SparkSpec {
   }
 }
 
+class FullLoadReshapeSpec extends SparkSpec {
+  import spark.implicits._
+  private def fsOps = new FsOps(spark.sparkContext.hadoopConfiguration)
+
+  test("flatten pre-task: nested JSON landing → flat partitioned target") {
+    val landing = tmp("flr_landing")
+    val target = tmp("flr_tgt") + "/t"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(landing, "drop.json"),
+      """{"id": 1, "meta": {"status": "O", "prio": "H"}, "date": "20160601"}
+        |{"id": 2, "meta": {"status": "F", "prio": "L"}, "date": "20170215"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("meta__status", StringType),
+      StructField("meta__prio", StringType), StructField("date", StringType),
+      StructField("year", ShortType)))
+    new FullLoad(spark, fsOps, FullLoadParams(
+      sourceDir = landing, targetDir = target, format = DataFormat.Json,
+      targetSchema = Some(schema), partitionSourceColumn = Some("date"),
+      targetPartitions = Seq("year"), outputFilesNum = Some(1),
+      flattenTask = Some(FlattenTask()))).run()
+    val out = spark.read.option("basePath", target).parquet(target)
+      .select($"id", $"meta__status", $"year".cast("int"))
+    out.as[(Long, String, Int)].collect().sorted shouldBe Array(
+      (1L, "O", 2016), (2L, "F", 2017))
+  }
+
+  test("transpose pre-task: long landing → wide target (pivot values from schema)") {
+    val landing = tmp("flt_landing")
+    val target = tmp("flt_tgt") + "/t"
+    Seq((1, "click", 2.0), (1, "view", 3.0), (2, "click", 5.0))
+      .toDF("uid", "kind", "v").coalesce(1)
+      .write.mode("overwrite").option("sep", "|").csv(landing)
+    val readSchema = StructType(Seq(
+      StructField("uid", IntegerType), StructField("kind", StringType),
+      StructField("v", DoubleType)))
+    val targetSchema = StructType(Seq(
+      StructField("uid", IntegerType), StructField("click", DoubleType),
+      StructField("view", DoubleType)))
+    new FullLoad(spark, fsOps, FullLoadParams(
+      sourceDir = landing, targetDir = target,
+      format = DataFormat.Dsv("|"), targetSchema = Some(targetSchema),
+      readSchema = Some(readSchema), outputFilesNum = Some(1),
+      transposeTask = Some(TransposeTask(Seq("uid"), "kind", "v")))).run()
+    val out = spark.read.parquet(target).select($"uid", $"click", $"view")
+    out.as[(Int, Option[Double], Option[Double])].collect().sorted shouldBe
+      Array((1, Some(2.0), Some(3.0)), (2, Some(5.0), None))
+  }
+
+  test("flatten + transpose chain composes in reference order") {
+    val landing = tmp("flc_landing")
+    val target = tmp("flc_tgt") + "/t"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(landing, "drop.json"),
+      """{"k": {"uid": 1}, "kind": "a", "v": 10}
+        |{"k": {"uid": 1}, "kind": "b", "v": 20}
+        |""".stripMargin)
+    val targetSchema = StructType(Seq(
+      StructField("k__uid", LongType), StructField("a", LongType),
+      StructField("b", LongType)))
+    new FullLoad(spark, fsOps, FullLoadParams(
+      sourceDir = landing, targetDir = target, format = DataFormat.Json,
+      targetSchema = Some(targetSchema), outputFilesNum = Some(1),
+      flattenTask = Some(FlattenTask()),
+      transposeTask = Some(TransposeTask(Seq("k__uid"), "kind", "v")))).run()
+    spark.read.parquet(target).select($"k__uid", $"a", $"b")
+      .as[(Long, Long, Long)].collect() shouldBe Array((1L, 10L, 20L))
+  }
+}
+
 class AppendLoadSpec extends SparkSpec {
   import spark.implicits._
   private def fsOps = new FsOps(spark.sparkContext.hadoopConfiguration)
@@ -77,6 +147,83 @@ class AppendLoadSpec extends SparkSpec {
       .select($"id", $"v", $"date_part".cast("string"))
     out.as[(Int, String, String)].collect().sorted shouldBe Array(
       (1, "a", "20180422"), (2, "b", "20180422"), (3, "c", "20180423"))
+  }
+}
+
+class AppendLoadEdgeSpec extends SparkSpec {
+  import spark.implicits._
+  private def fsOps = new FsOps(spark.sparkContext.hadoopConfiguration)
+
+  private val schemaV1 = StructType(Seq(
+    StructField("id", IntegerType), StructField("v", StringType),
+    StructField("date_part", StringType)))
+
+  test("verify path: headerless group's schema is inferred, data loads") {
+    val landing = tmp("ale_landing"); val header = tmp("ale_header")
+    val target = tmp("ale_tgt") + "/t"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(landing, "20180422_data.json"),
+      """{"id": 1, "v": "a"}""" + "\n" + """{"id": 2}""" + "\n")
+    new AppendLoad(spark, fsOps, AppendLoadParams(
+      sourceDir = landing, targetDir = target, headerDir = header,
+      format = DataFormat.Json, targetSchema = schemaV1,
+      partitionRegexes = Seq(".*\\/(\\d{8})_data\\.json"),
+      targetPartitions = Seq("date_part"),
+      verifySchema = true)).run()
+    val out = spark.read.option("basePath", target).parquet(target)
+      .select($"id", $"v", $"date_part".cast("string"))
+    out.as[(Int, String, String)].collect().sorted shouldBe Array(
+      (1, "a", "20180422"), (2, null, "20180422"))
+    assert(fsOps.exists(s"$header/date_part=20180422/header.json"))
+  }
+
+  test("verify path: unknown input columns fail with a clear error") {
+    val landing = tmp("ale2_landing"); val header = tmp("ale2_header")
+    val target = tmp("ale2_tgt") + "/t"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(landing, "20180422_data.json"),
+      """{"id": 1, "v": "a", "rogue_col": 9}""" + "\n")
+    val e = intercept[RuntimeException] {
+      new AppendLoad(spark, fsOps, AppendLoadParams(
+        sourceDir = landing, targetDir = target, headerDir = header,
+        format = DataFormat.Json, targetSchema = schemaV1,
+        partitionRegexes = Seq(".*\\/(\\d{8})_data\\.json"),
+        targetPartitions = Seq("date_part"),
+        verifySchema = true)).run()
+    }
+    e.getMessage should include("rogue_col")
+  }
+
+  test("schema evolution: added column via OverwritePartitionsWithAddedColumns") {
+    val landing = tmp("ale3_landing"); val header = tmp("ale3_header")
+    val target = tmp("ale3_tgt") + "/t"
+    // day 1 under schema v1
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(landing, "20180422_data.psv"), "1|a\n")
+    def params(schema: StructType) = AppendLoadParams(
+      sourceDir = landing, targetDir = target, headerDir = header,
+      format = DataFormat.Dsv("|"), targetSchema = schema,
+      partitionRegexes = Seq(".*\\/(\\d{8})_data\\.psv"),
+      targetPartitions = Seq("date_part"),
+      writeLoadMode = graft.io.LoadMode.OverwritePartitionsWithAddedColumns)
+    new AppendLoad(spark, fsOps, params(schemaV1)).run()
+    // day 2 under evolved schema (extra column) — old partition keeps its
+    // files; merged read surfaces the new column as null for old rows
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(landing, "20180422_data.psv"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(landing, "20180423_data.psv"), "2|b|extra\n")
+    val schemaV2 = StructType(schemaV1.fields.patch(2,
+      Seq(StructField("w", StringType)), 0))
+    new AppendLoad(spark, fsOps, params(schemaV2)).run()
+    val out = spark.read.option("basePath", target)
+      .option("mergeSchema", "true").parquet(target)
+      .select($"id", $"v", $"w", $"date_part".cast("string"))
+    out.as[(Int, String, String, String)].collect().sorted shouldBe Array(
+      (1, "a", null, "20180422"), (2, "b", "extra", "20180423"))
+    // the evolved partition's header pins the evolved data schema
+    val h = fsOps.readFile(s"$header/date_part=20180423/header.json")
+    h should include("\"w\"")
   }
 }
 
