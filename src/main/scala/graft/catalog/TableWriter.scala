@@ -63,6 +63,49 @@ object TableWriter {
     CatalogOps.refresh(spark, table)
   }
 
+  /** The reference's metastore swap (reference: CatalogTableManager.scala:87-99):
+    * recreate `table` at `newLocation` via a temp-table CREATE TABLE .. LIKE
+    * dance — the old table can't be dropped before something holds its
+    * definition — then recover partition metadata. Rollback restores the
+    * table at its old location from whichever definition survived the
+    * failure (the table itself or the temp), so the metastore never ends
+    * pointing at half-swapped state (FailFastIntegrationTest behavior).
+    */
+  def recreateTableLike(spark: SparkSession, table: String,
+      newLocation: String, targetPartitions: Seq[String] = Seq.empty): Unit = {
+    val tmp = s"${table}_tmp"
+    val oldLocation = CatalogOps.tableLocation(spark, table)
+    def swap(location: String): Unit = {
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $tmp LIKE $table LOCATION '$location'")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $table LIKE $tmp LOCATION '$location'")
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      if (targetPartitions.nonEmpty)
+        CatalogOps.recoverPartitionsNative(spark, table)
+      CatalogOps.refresh(spark, table)
+    }
+    try swap(newLocation) catch {
+      case e: Throwable =>
+        try {
+          if (spark.catalog.tableExists(table))
+            CatalogOps.setTableLocation(spark, table, oldLocation)
+          else if (spark.catalog.tableExists(tmp)) {
+            spark.sql(
+              s"CREATE TABLE IF NOT EXISTS $table LIKE $tmp LOCATION '$oldLocation'")
+          }
+          spark.sql(s"DROP TABLE IF EXISTS $tmp")
+          if (spark.catalog.tableExists(table)) {
+            if (targetPartitions.nonEmpty)
+              CatalogOps.recoverPartitionsNative(spark, table)
+            spark.catalog.refreshTable(table)
+          }
+        } catch { case restoreFailure: Throwable =>
+          e.addSuppressed(restoreFailure)
+        }
+        throw e
+    }
+  }
+
   /** Point `table` at `newLocation` by recreating it (CREATE .. LIKE via
     * captured DDL), restoring the old location if the swap fails.
     */

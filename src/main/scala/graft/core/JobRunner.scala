@@ -35,9 +35,11 @@ object JobRunner {
     }
     val Array(name, paramsPath) = args.take(2)
     // own the session only if none exists (spark-submit path); under a test
-    // harness main() must not tear down the suite's shared session
+    // harness main() must not tear down the suite's shared session. Hive
+    // support matches the reference entry point (AlgorithmFactory.scala:34-55)
+    // — required for the CREATE TABLE .. LIKE metastore swap.
     val preexisting = SparkSession.getDefaultSession.isDefined
-    val spark = Session.builder(s"graft-$name").getOrCreate()
+    val spark = Session.builder(s"graft-$name", hive = true).getOrCreate()
     try execute(spark, name, paramsPath)
     finally if (!preexisting) spark.close()
   }

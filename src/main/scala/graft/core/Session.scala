@@ -18,8 +18,14 @@ object Session {
   def cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
     .getOrElse(Runtime.getRuntime.availableProcessors())
 
-  def builder(appName: String = "graft"): SparkSession.Builder =
-    SparkSession.builder()
+  /** `hive = true` backs the catalog with a Hive metastore (Derby-embedded
+    * unless hive-site says otherwise) — the reference always runs this way
+    * (AlgorithmFactory.scala:34-55: enableHiveSupport); required for the
+    * CREATE TABLE .. LIKE swap DDL and Hive-compatible DDL behaviors.
+    */
+  def builder(appName: String = "graft",
+      hive: Boolean = false): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -40,6 +46,8 @@ object Session {
       .config("spark.sql.csv.parser.columnPruning.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    if (hive) b.enableHiveSupport() else b
+  }
 
   /** local[] session for tests and CLI runs. */
   def local(appName: String = "graft"): SparkSession =

@@ -9,12 +9,17 @@ import org.scalatest.matchers.should.Matchers
   */
 object TestSession {
   lazy val spark: SparkSession = {
-    val s = graft.core.Session.builder("graft-test")
+    // Hive-backed catalog with a per-JVM Derby metastore under a temp dir —
+    // the reference's test harness pattern (SparkSupport.scala:26-46), so
+    // catalog specs exercise real Hive DDL (CREATE TABLE LIKE, SHOW
+    // PARTITIONS formats) instead of the in-memory catalog
+    val base = java.nio.file.Files.createTempDirectory("graft-test").toString
+    System.setProperty("derby.system.home", s"$base/metastore")
+    val s = graft.core.Session.builder("graft-test", hive = true)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      .config("spark.sql.warehouse.dir", s"$base/warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

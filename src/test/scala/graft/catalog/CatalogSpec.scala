@@ -76,6 +76,47 @@ class CatalogOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE rc_t")
   }
 
+  test("recreateTableLike: Hive CREATE-LIKE temp-table swap + recovery") {
+    assert(spark.conf.get("spark.sql.catalogImplementation") == "hive",
+      "this spec must run against a Hive catalog")
+    val d1 = tmp("rl1") + "/t"; val d2 = tmp("rl2") + "/t"
+    Seq((1, "p1")).toDF("v", "p").write.partitionBy("p").parquet(d1)
+    Seq((2, "p1"), (3, "p2")).toDF("v", "p").write.partitionBy("p").parquet(d2)
+    spark.sql("DROP TABLE IF EXISTS rl_t")
+    spark.sql(s"CREATE TABLE rl_t (v INT, p STRING) USING parquet " +
+      s"PARTITIONED BY (p) LOCATION '$d1'")
+    CatalogOps.recoverPartitionsNative(spark, "rl_t")
+    TableWriter.recreateTableLike(spark, "rl_t", d2, Seq("p"))
+    spark.table("rl_t").select($"v").as[Int].collect().sorted shouldBe
+      Array(2, 3)
+    CatalogOps.tableLocation(spark, "rl_t") should include("rl2")
+    spark.sql("DROP TABLE rl_t")
+  }
+
+  test("recreateTableLike: failed swap leaves the table serving old data") {
+    val d1 = tmp("rlf1") + "/t"
+    Seq((1, "p1"), (2, "p2")).toDF("v", "p").write.partitionBy("p").parquet(d1)
+    spark.sql("DROP TABLE IF EXISTS rlf_t")
+    spark.sql(s"CREATE TABLE rlf_t (v INT, p STRING) USING parquet " +
+      s"PARTITIONED BY (p) LOCATION '$d1'")
+    CatalogOps.recoverPartitionsNative(spark, "rlf_t")
+    // new location nested under a regular FILE → the metastore's location
+    // mkdir fails with ENOTDIR (even as root) mid-swap; the metastore must
+    // come back serving the old location (FailFastIntegrationTest
+    // metadata-safety behavior)
+    val blocker = tmp("rlf2") + "/notadir"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(blocker), "x")
+    val badLoc = blocker + "/t"
+    intercept[Exception] {
+      TableWriter.recreateTableLike(spark, "rlf_t", badLoc, Seq("p"))
+    }
+    spark.catalog.tableExists("rlf_t") shouldBe true
+    spark.catalog.tableExists("rlf_t_tmp") shouldBe false
+    spark.table("rlf_t").select($"v").as[Int].collect().sorted shouldBe
+      Array(1, 2)
+    spark.sql("DROP TABLE rlf_t")
+  }
+
   test("compactPartitions rewrites to a controlled file count, same content") {
     import graft.fsops.FsOps
     val fsOps = new FsOps(spark.sparkContext.hadoopConfiguration)
