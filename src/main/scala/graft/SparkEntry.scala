@@ -533,6 +533,99 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
     }),
 
+    // TPC-H q9 shape: 5-way join, three broadcast dims, fact shuffled once,
+    // two-level aggregate (nation × year).
+    // q43-q46 round revenue sums to 4 (not 2): price×(1−discount) values
+    // live on a 4-decimal grid, so their true sums sit ON .xx5 ties at
+    // 2 decimals — engine sum-order noise (~1e-9) then flips the rounding
+    // (observed on q45). At 4 decimals the sum is on-grid, 5e-5 from any
+    // tie, and both engines round identically.
+    "q43_profit_by_nation" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val o = t(s, dir, "orders")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("profit"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H q10 shape: returned-item revenue per customer, deterministic
+    // top 20
+    "q44_returned_customers" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1996)
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    }),
+
+    // TPC-H q7 shape: customer-nation × supplier-nation trade flows —
+    // the nation dim joins twice under different roles
+    "q45_trade_flows" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
+        .filter(col("cust_nation") =!= col("supp_nation"))
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .groupBy(col("cust_nation"), col("supp_nation"),
+          year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("volume"))
+    }),
+
+    // TPC-H q8 shape: one nation's share of region revenue per year —
+    // conditional aggregation over a 6-way join; the share divides the two
+    // ROUNDED sums so both engines divide identical operands
+    "q46_market_share" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_7", rev)
+            .otherwise(lit(0.0))), 4).as("nation_rev"),
+          round(sum(rev), 4).as("total_rev"))
+        .select(col("o_year"), col("nation_rev"), col("total_rev"),
+          round(col("nation_rev") / col("total_rev"), 6).as("share"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -1080,6 +1173,61 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM scored
          |QUALIFY row_number() OVER (PARTITION BY query_id
          |                           ORDER BY cosine DESC, neighbor_id) <= 5""".stripMargin,
+
+    "q43_profit_by_nation" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS profit,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_type = 'PROMO'
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+
+    "q44_returned_customers" ->
+      """SELECT c_custkey, c_name, n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R' AND year(o_orderdate) = 1996
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q45_trade_flows" ->
+      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+        | CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name AND year(o_orderdate) IN (1996, 1997)
+        |GROUP BY n1.n_name, n2.n_name, year(o_orderdate)""".stripMargin,
+
+    "q46_market_share" ->
+      """WITH agg AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    round(sum(CASE WHEN n2.n_name = 'NATION_7'
+        |      THEN l_extendedprice*(1-l_discount) ELSE 0.0 END),4) AS nation_rev,
+        |    round(sum(l_extendedprice*(1-l_discount)),4) AS total_rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY year(o_orderdate))
+        |SELECT o_year, nation_rev, total_rev,
+        |  round(nation_rev / total_rev, 6) AS share
+        |FROM agg""".stripMargin,
 
     "q37_schema_enforce" ->
       """SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_name, c_acctbal,
