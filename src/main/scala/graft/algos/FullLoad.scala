@@ -57,7 +57,18 @@ case class FullLoadParams(
       * models this as the optional json `schema` param,
       * FullLoadConfiguration.scala:75-79). None + reshaping tasks → infer.
       */
-    readSchema: Option[StructType] = None)
+    readSchema: Option[StructType] = None,
+    /** PERMISSIVE-mode corrupt-record channel (reference:
+      * util/CatalogTableManager.scala:135-136): append a StringType
+      * `_corrupt_record` column to the read schema so malformed rows
+      * survive with their raw text captured instead of dissolving into
+      * all-null rows.
+      */
+    addCorruptRecordColumn: Boolean = false)
+
+object FullLoad {
+  val CorruptRecordColumn = "_corrupt_record"
+}
 
 class FullLoad(val spark: SparkSession, fsOps: FsOps, p: FullLoadParams)
     extends Algorithm {
@@ -67,13 +78,27 @@ class FullLoad(val spark: SparkSession, fsOps: FsOps, p: FullLoadParams)
     // reader schema (reference: CatalogTableManager.getSchemaSafely). With
     // reshaping tasks the source shape differs from the target: use the
     // explicit readSchema or infer.
-    val schemaForRead = p.readSchema.orElse {
+    val schemaForRead0 = p.readSchema.orElse {
       if (p.flattenTask.nonEmpty || p.transposeTask.nonEmpty) None
       else p.targetSchema.map { s =>
         StructType(s.fields.filterNot(f => p.targetPartitions.contains(f.name)))
       }
     }
-    Vector(p.format.read(spark, Map("mode" -> p.readerMode) ++ p.readerOptions,
+    val corrupt = p.addCorruptRecordColumn &&
+      p.readerMode.equalsIgnoreCase("PERMISSIVE")
+    val schemaForRead =
+      if (corrupt) schemaForRead0.map(s =>
+        if (s.fieldNames.contains(FullLoad.CorruptRecordColumn)) s
+        else StructType(s.fields :+
+          org.apache.spark.sql.types.StructField(FullLoad.CorruptRecordColumn,
+            org.apache.spark.sql.types.StringType)))
+      else schemaForRead0
+    val corruptOpts =
+      if (corrupt)
+        Map("columnNameOfCorruptRecord" -> FullLoad.CorruptRecordColumn)
+      else Map.empty
+    Vector(p.format.read(spark,
+      Map("mode" -> p.readerMode) ++ corruptOpts ++ p.readerOptions,
       schemaForRead, p.sourceDir))
   }
 

@@ -88,7 +88,9 @@ object AlgoRegistry {
             pivotColumn = m("pivot_column").toString,
             aggregationColumn = m("aggregation_column").toString)
         },
-      readSchema = schemaOf(config, "schema")))
+      readSchema = schemaOf(config, "schema"),
+      addCorruptRecordColumn =
+        config.getBoolean("add_corrupt_record_column", default = false)))
     case "AppendLoad" => new AppendLoad(spark, fsOps, AppendLoadParams(
       sourceDir = config.getString("source_dir"),
       targetDir = config.getString("target_dir"),

@@ -46,6 +46,36 @@ class FullLoadSpec extends SparkSpec {
   }
 }
 
+class FullLoadCorruptRecordSpec extends SparkSpec {
+  import spark.implicits._
+  private def fsOps = new FsOps(spark.sparkContext.hadoopConfiguration)
+
+  test("PERMISSIVE + corrupt-record channel captures malformed rows") {
+    val landing = tmp("cr_landing")
+    val target = tmp("cr_tgt") + "/t"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(landing, "data.psv"),
+      "1|ok\nnotanint|bad\n2|fine\n")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    new FullLoad(spark, fsOps, FullLoadParams(
+      sourceDir = landing, targetDir = target,
+      format = DataFormat.Dsv("|"), targetSchema = Some(schema),
+      readerMode = "PERMISSIVE", outputFilesNum = Some(1),
+      addCorruptRecordColumn = true)).run()
+    val out = spark.read.parquet(target)
+      .select($"id", $"v", $"_corrupt_record")
+      .as[(Option[Int], String, Option[String])].collect().sortBy(_._2)
+    out.length shouldBe 3
+    // malformed row survives with its raw text captured
+    out.find(_._2 == "bad").get shouldBe
+      ((None, "bad", Some("notanint|bad")))
+    // clean rows carry no corrupt-record payload
+    out.find(_._2 == "ok").get shouldBe ((Some(1), "ok", None))
+  }
+}
+
 class FullLoadReshapeSpec extends SparkSpec {
   import spark.implicits._
   private def fsOps = new FsOps(spark.sparkContext.hadoopConfiguration)
