@@ -626,6 +626,14 @@ object SparkEntry {
           round(col("nation_rev") / col("total_rev"), 6).as("share"))
     }),
 
+    // corpus curation: deterministic stratified down-sampling (md5-derived
+    // selection — stable under retries, reproducible cross-engine)
+    "q47_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.3, "de" -> 0.5))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -1228,6 +1236,14 @@ object SparkEntry {
         |SELECT o_year, nation_rev, total_rev,
         |  round(nation_rev / total_rev, 6) AS share
         |FROM agg""".stripMargin,
+
+    // mirrors Sampling.stratifiedSample(en→0.3, de→0.5, default 1.0)
+    "q47_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000000
+         |  < CASE WHEN lang = 'en' THEN 300000
+         |         WHEN lang = 'de' THEN 500000
+         |         ELSE 1000000 END""".stripMargin,
 
     "q37_schema_enforce" ->
       """SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_name, c_acctbal,

@@ -21,6 +21,38 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup by key within the watermark horizon — the
+    * streaming face of the dedup family (batch: `operators.Dedup`): state
+    * holds one entry per key and is dropped once the watermark passes, so
+    * memory is bounded by the horizon's key cardinality, not the stream's.
+    * `dropDuplicatesWithinWatermark` (Spark 3.5+) rather than plain
+    * `dropDuplicates`: the latter keeps ALL keys forever — unbounded state
+    * on an infinite stream.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkCol: String, horizon: String): DataFrame =
+    events.withWatermark(watermarkCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Run [[dedupStream]] as a real streaming query over parquet input,
+    * draining to a memory sink; returns the settled result.
+    */
+  def runDedupOnce(spark: SparkSession, schema: StructType, inputDir: String,
+      keyCols: Seq[String], watermarkCol: String, horizon: String,
+      queryName: String): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    val q: StreamingQuery = dedupStream(stream, keyCols, watermarkCol, horizon)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Run the windowed agg as a real streaming query over parquet input,
     * draining to a memory sink; returns the settled result. Used by tests
     * to prove the streaming path works end to end.

@@ -44,4 +44,50 @@ class EventStreamSpec extends SparkSpec {
       .select($"n_events", $"sum_value").as[(Long, Double)]
       .collect() shouldBe Array((2L, 3.0))
   }
+
+  test("streaming dedup within watermark keeps one row per key") {
+    val dir = tmp("stream_dd")
+    val batch = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "a"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "a-dup"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), "b"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:04:00"), "a-dup2"))
+      .toDF("k", "ts", "v")
+    batch.write.parquet(dir + "/p")
+    val out = EventStream.runDedupOnce(spark, batch.schema, dir + "/p",
+      Seq("k"), "ts", "10 minutes", "dd_test")
+    // one surviving row per key inside the horizon
+    out.select($"k").as[Long].collect().sorted shouldBe Array(1L, 2L)
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  test("deterministic sample: stable, subset-consistent, rate-accurate") {
+    val df = spark.range(10000).toDF("id")
+    val s30 = Sampling.deterministicSample(df, "id", 0.3)
+    val s60 = Sampling.deterministicSample(df, "id", 0.6)
+    val n30 = s30.count(); val n60 = s60.count()
+    // rate within 3 percentage points at n=10k
+    n30.toDouble / 10000 shouldBe 0.3 +- 0.03
+    n60.toDouble / 10000 shouldBe 0.6 +- 0.03
+    // nested-rate subset property: the 30% sample is inside the 60% one
+    s30.join(s60, Seq("id"), "left_anti").count() shouldBe 0
+    // deterministic across evaluations
+    s30.select($"id").as[Long].collect().sorted shouldBe
+      s30.select($"id").as[Long].collect().sorted
+  }
+
+  test("stratified sample applies per-strata rates") {
+    val df = spark.range(8000)
+      .selectExpr("id", "CASE WHEN id % 4 = 0 THEN 'rare' ELSE 'common' END AS s")
+    val out = Sampling.stratifiedSample(df, "id", "s",
+      Map("common" -> 0.1), defaultFraction = 1.0)
+    val byStrata = out.groupBy($"s").count().as[(String, Long)]
+      .collect().toMap
+    byStrata("rare") shouldBe 2000L // default 1.0 keeps all
+    byStrata("common").toDouble / 6000 shouldBe 0.1 +- 0.03
+  }
 }
