@@ -626,6 +626,14 @@ object SparkEntry {
           round(col("nation_rev") / col("total_rev"), 6).as("share"))
     }),
 
+    // corpus curation: end-to-end dedup pipeline (exact → LSH candidates →
+    // Jaccard verify → greedy higher-id drop)
+    "q48_dedup_corpus" -> ((s, dir) => {
+      Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // corpus curation: deterministic stratified down-sampling (md5-derived
     // selection — stable under retries, reproducible cross-engine)
     "q47_stratified_sample" -> ((s, dir) => {
@@ -677,6 +685,42 @@ object SparkEntry {
     s"list_min(list_transform(hl, h -> (${PortableHash.minhashA(s)}*h + " +
       s"${PortableHash.minhashB(s)}) % ${PortableHash.P}))"
   }.mkString("[\n    ", ",\n    ", "]")
+
+  /** The full MinHash-LSH candidate + Jaccard-verify CTE chain over a
+    * source relation with (doc_id, text) — shared by the q21 gate and the
+    * q48 end-to-end dedup gate. Ends with `j(id_a, id_b, inter, uni)`.
+    */
+  private def minhashChainSql(src: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+       |  FROM $src),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(0, greatest(len(tk)-3, 0)+1),
+       |    i -> array_to_string(tk[i+1:i+3], ' '))) AS shl
+       |  FROM toks),
+       |hs AS (
+       |  SELECT doc_id, shl,
+       |    list_transform(shl, s -> ${PortableHash.sqlHash60("s")}
+       |      % ${PortableHash.P}) AS hl
+       |  FROM sh),
+       |sig AS (SELECT doc_id, ${minhashSigSql(32)} AS sg FROM hs),
+       |banded AS (
+       |  SELECT doc_id, b.range AS band,
+       |    array_to_string(sg[b.range*4+1 : b.range*4+4], '_') AS bucket
+       |  FROM sig, range(8) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_intersect(sa.shl, sb.shl)) AS inter,
+       |    len(sa.shl) + len(sb.shl) - len(list_intersect(sa.shl, sb.shl))
+       |      AS uni
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b)""".stripMargin
 
   /** 60-bit SimHash majority vote over `hl`/`n` as one SQL expression. */
   private val simhashSql: String =
@@ -899,36 +943,7 @@ object SparkEntry {
     // mirrors Dedup.minhashCandidates (k=32, bands=8, r=4) + jaccardVerify:
     // identical md5-derived seed family → identical candidate pairs
     "q21_minhash_lsh" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    range(0, greatest(len(tk)-3, 0)+1),
-         |    i -> array_to_string(tk[i+1:i+3], ' '))) AS shl
-         |  FROM toks),
-         |hs AS (
-         |  SELECT doc_id, shl,
-         |    list_transform(shl, s -> ${PortableHash.sqlHash60("s")}
-         |      % ${PortableHash.P}) AS hl
-         |  FROM sh),
-         |sig AS (SELECT doc_id, ${minhashSigSql(32)} AS sg FROM hs),
-         |banded AS (
-         |  SELECT doc_id, b.range AS band,
-         |    array_to_string(sg[b.range*4+1 : b.range*4+4], '_') AS bucket
-         |  FROM sig, range(8) b),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |j AS (
-         |  SELECT c.id_a, c.id_b,
-         |    len(list_intersect(sa.shl, sb.shl)) AS inter,
-         |    len(sa.shl) + len(sb.shl) - len(list_intersect(sa.shl, sb.shl))
-         |      AS uni
-         |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.id_a
-         |  JOIN sh sb ON sb.doc_id = c.id_b)
+      s"""WITH ${minhashChainSql("documents")}
          |SELECT id_a, id_b, round(CAST(inter AS DOUBLE)/uni, 6) AS jaccard
          |FROM j WHERE CAST(inter AS DOUBLE)/uni >= 0.5""".stripMargin,
 
@@ -1236,6 +1251,19 @@ object SparkEntry {
         |SELECT o_year, nation_rev, total_rev,
         |  round(nation_rev / total_rev, 6) AS share
         |FROM agg""".stripMargin,
+
+    // mirrors Dedup.dedupCorpus: exact keeper per md5 digest, then the
+    // shared MinHash chain over the survivors, greedy higher-id drop
+    "q48_dedup_corpus" ->
+      s"""WITH docs0 AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+         |                             ORDER BY doc_id) = 1),
+         |${minhashChainSql("docs0")}
+         |SELECT doc_id, lang FROM docs0 d
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM j
+         |  WHERE CAST(inter AS DOUBLE)/uni >= 0.5 AND j.id_b = d.doc_id)""".stripMargin,
 
     // mirrors Sampling.stratifiedSample(en→0.3, de→0.5, default 1.0)
     "q47_stratified_sample" ->

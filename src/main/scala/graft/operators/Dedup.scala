@@ -215,6 +215,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** End-to-end corpus deduplication — the composed pipeline a curation
+    * job actually runs: exact dedup (min-id keeper per content digest),
+    * then MinHash-LSH candidate pairs verified by exact Jaccard; any doc
+    * appearing as the HIGHER id of a verified near-dup pair is dropped
+    * (greedy pairwise policy — deterministic and order-free; a
+    * connected-component policy would need an iterative closure, overkill
+    * for near-dup removal). Returns the surviving rows of `docs`.
+    *
+    * Scale shape: every stage is the already-audited operator — digest
+    * groupBy, map-side signatures, banded equi-join, verify join — plus
+    * one final left-anti join against the (small) drop list.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val survivors = exactDedup(docs, idCol, textCol)
+    val cand = minhashCandidates(survivors, idCol, textCol, shingleSize, k,
+      bands)
+    val near = jaccardVerify(cand, survivors, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+    val drop = near.select(col("id_b").as(idCol)).distinct()
+    survivors.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup candidates: band the fingerprint into
     * `maxHamming + 1` chunks; by pigeonhole, any pair within Hamming
     * distance `maxHamming` shares at least one identical chunk, so the

@@ -32,6 +32,14 @@ class DedupSpec extends SparkSpec {
     ver should contain((1L, 2L))
   }
 
+  test("dedupCorpus: exact dup and near dup drop, distinct and short docs survive") {
+    val out = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.5)
+      .select($"doc_id").as[Long].collect().sorted
+    // 2 is an exact dup of 1 (keeper = min id); 3 is a near dup of 1
+    // (higher id drops); 4 and 5 are unrelated
+    out shouldBe Array(1L, 4L, 5L)
+  }
+
   test("ngramJaccardPairs exact inverted-index path") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
