@@ -634,6 +634,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // corpus curation: concat-and-chunk sequence packing (distributed
+    // prefix sum — no single-task global window)
+    "q49_sequence_packing" -> ((s, dir) => {
+      Packing.packDocuments(t(s, dir, "documents"), "doc_id", "text",
+          budgetTokens = 4096)
+        .select(col("doc_id"), col("n_tokens"), col("chunk_id"),
+          col("offset_in_chunk"))
+    }),
+
     // corpus curation: deterministic stratified down-sampling (md5-derived
     // selection — stable under retries, reproducible cross-engine)
     "q47_stratified_sample" -> ((s, dir) => {
@@ -1264,6 +1273,26 @@ object SparkEntry {
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM j
          |  WHERE CAST(inter AS DOUBLE)/uni >= 0.5 AND j.id_b = d.doc_id)""".stripMargin,
+
+    // mirrors Packing.packDocuments (budget 4096): token counts as q27,
+    // cumulative-before offsets in doc_id order — integer-exact, so the
+    // oracle's plain ordered window reproduces the distributed prefix sum
+    "q49_sequence_packing" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS INTEGER)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM tk)
+        |SELECT doc_id, n_tokens,
+        |  CAST(before // 4096 AS BIGINT) AS chunk_id,
+        |  CAST(before % 4096 AS BIGINT) AS offset_in_chunk
+        |FROM c""".stripMargin,
 
     // mirrors Sampling.stratifiedSample(en→0.3, de→0.5, default 1.0)
     "q47_stratified_sample" ->

@@ -61,6 +61,34 @@ class EventStreamSpec extends SparkSpec {
   }
 }
 
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Packing
+
+  test("chunk ids equal the single-partition ordered cumsum (prefix-sum correctness)") {
+    val docs = (1L to 500L).map(i => (i, (i % 37 + 1).toInt)).toDF("id", "n")
+    val out = Packing.withChunkIds(docs, "id", "n", budgetTokens = 100,
+        slices = 7)
+      .select($"id", $"chunk_id", $"offset_in_chunk")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // oracle: sequential scan
+    var cum = 0L
+    val exp = (1L to 500L).map { i =>
+      val before = cum; cum += (i % 37 + 1)
+      (i, before / 100, before % 100)
+    }
+    out shouldBe exp.toArray
+  }
+
+  test("no single-task global window in the plan") {
+    val docs = (1L to 100L).map(i => (i, 5)).toDF("id", "n")
+    val plan = Packing.withChunkIds(docs, "id", "n", 64, slices = 4)
+      .queryExecution.executedPlan.toString
+    // the scale-killer would be Exchange SinglePartition feeding a Window
+    plan should not include "SinglePartition"
+  }
+}
+
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Sampling
