@@ -72,3 +72,66 @@ class PartitionCriteriaProperties extends SparkSpec {
     }
   }
 }
+
+class CurationProperties extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{Packing, Sampling}
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("packing invariants hold for arbitrary token-count sequences") {
+    val lens = samples(Gen.choose(1, 300), 400)
+    val docs = lens.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("id", "n")
+    val out = Packing.withChunkIds(docs, "id", "n", budgetTokens = 512,
+        slices = 5)
+      .select($"id", $"n", $"chunk_id", $"offset_in_chunk")
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._1)
+    // offsets stay inside the budget; chunk ids are non-decreasing in id
+    // order; each doc starts exactly where the previous one ended
+    all(out.map(_._4)) should (be >= 0L and be < 512L)
+    out.sliding(2).foreach {
+      case Array((_, n1, c1, o1), (_, _, c2, o2)) =>
+        val globalNext = c1 * 512 + o1 + n1
+        (c2 * 512 + o2) shouldBe globalNext
+        c2 should be >= c1
+      case _ =>
+    }
+    // total token mass is preserved by the chunk arithmetic
+    val last = out.last
+    (last._3 * 512 + last._4 + last._2) shouldBe lens.map(_.toLong).sum
+  }
+
+  test("sampling is monotone in fraction and stable across strata splits") {
+    val df = spark.range(3000).toDF("id")
+    val fracs = samples(Gen.choose(1, 99).map(_ / 100.0), 12).distinct.sorted
+    val counts = fracs.map(f =>
+      f -> Sampling.deterministicSample(df, "id", f).count())
+    // monotone: a larger fraction never selects fewer rows
+    counts.sliding(2).foreach {
+      case Seq((_, a), (_, b)) => b should be >= a
+      case _ =>
+    }
+    // a row's selection at fraction f is independent of strata config:
+    // stratified with uniform rates == deterministic sample
+    val strat = Sampling.stratifiedSample(
+      df.withColumn("s", ($"id" % 3).cast("string")), "id", "s",
+      Map("0" -> 0.4, "1" -> 0.4, "2" -> 0.4)).select($"id")
+    assertSameRows(strat, Sampling.deterministicSample(df, "id", 0.4))
+  }
+
+  test("minhash signatures are permutation-invariant and length-k") {
+    val g = Gen.listOfN(20, Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(8)))
+    samples(g, 20).filter(_.nonEmpty).foreach { toks =>
+      val fwd = Seq((1L, toks)).toDF("id", "sh")
+      val rev = Seq((1L, toks.reverse)).toDF("id", "sh")
+      val s1 = fwd.select(graft.operators.Dedup.minhashSignature($"sh", 16))
+        .as[Seq[Long]].head()
+      val s2 = rev.select(graft.operators.Dedup.minhashSignature($"sh", 16))
+        .as[Seq[Long]].head()
+      s1 shouldBe s2          // min over a set ignores order
+      s1.length shouldBe 16
+    }
+  }
+}
