@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
@@ -27,7 +27,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * (vectors of differing lengths would recompute — not a supported shape).
   */
 case class LshSignatureExpr(child: Expression, bits: Int, table: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
 
@@ -40,8 +40,11 @@ case class LshSignatureExpr(child: Expression, bits: Int, table: Int)
   @transient private var cachedDims: Int = -1
   @transient private var cachedPlanes: Array[Array[Double]] = _
 
-  override def nullSafeEval(input: Any): Any = {
-    val vec = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(vec: ArrayData): Int = {
     val dims = vec.numElements()
     if (dims != cachedDims) {
       cachedPlanes = PortableHash.planes(table, bits, dims)
@@ -60,7 +63,14 @@ case class LshSignatureExpr(child: Expression, bits: Int, table: Int)
       if (dot >= 0) sig |= (1 << b)
       b += 1
     }
-    java.lang.Integer.valueOf(sig)
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshExpr", this,
+      classOf[LshSignatureExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * integer multiply-add over the cached base hashes.
   */
 case class MinHashSignatureExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -44,8 +44,14 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
   @transient private lazy val bs: Array[Long] =
     Array.tabulate(k)(PortableHash.minhashB)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Shared by interpreted eval and generated code — the generated call
+    * passes the child array directly, so the whole-stage span stays fused
+    * (CodegenFallback would materialize an InternalRow per call).
+    */
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     // base hashes once per shingle (md5 dominates; k passes reuse them)
     val base = new Array[Long](n)
@@ -70,6 +76,13 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
       s += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExpr", this,
+      classOf[MinHashSignatureExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * rescale with the width (see Dedup.simhashCandidates).
   */
 case class SimHashExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -38,8 +38,13 @@ case class SimHashExpr(child: Expression)
           s"simhash expects array<string> tokens, got ${other.sql}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  /** Shared by interpreted eval and generated code (primitive return — no
+    * boxing in the generated path).
+    */
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counts = new Array[Int](SimHashExpr.BITS)
     var i = 0
@@ -58,7 +63,14 @@ case class SimHashExpr(child: Expression)
       if (counts(b) * 2 >= n) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashExpr", this,
+      classOf[SimHashExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =
