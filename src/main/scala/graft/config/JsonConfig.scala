@@ -33,6 +33,12 @@ final class JsonConfig(val values: Map[String, Any]) {
   def getIntOpt(key: String): Option[Int] =
     values.get(key).map { case n: Number => n.intValue(); case s => s.toString.toInt }
 
+  def getDouble(key: String, default: Double): Double =
+    values.get(key).map {
+      case n: Number => n.doubleValue()
+      case s => s.toString.toDouble
+    }.getOrElse(default)
+
   def getBoolean(key: String, default: Boolean = false): Boolean =
     values.get(key).map {
       case b: Boolean => b

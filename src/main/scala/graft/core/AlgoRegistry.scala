@@ -209,6 +209,32 @@ object AlgoRegistry {
           dfs.foreach(_.limit(SQLRunner.IntermediateRowCap).collect()); dfs
         }
       }
+    // --- curation extensions, runnable through the same spark-submit
+    // surface as the reference's 12 algorithms ---
+    case "CorpusDedup" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Dedup.dedupCorpus(df,
+        config.getString("id_column"), config.getString("text_column"),
+        shingleSize = config.getIntOpt("shingle_size").getOrElse(3),
+        k = config.getIntOpt("minhash_k").getOrElse(32),
+        bands = config.getIntOpt("bands").getOrElse(8),
+        threshold = config.getDouble("jaccard_threshold", 0.5)))
+    case "StratifiedSample" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.stratifiedSample(df,
+        config.getString("id_column"), config.getString("strata_column"),
+        fractions = config.getOpt[Map[String, Any]]("fractions")
+          .getOrElse(Map.empty).map { case (k, v) =>
+            k -> (v match { case n: Number => n.doubleValue() }) },
+        defaultFraction = config.getDouble("default_fraction", 1.0)))
+    case "SequencePacking" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Packing.packDocuments(df,
+        config.getString("id_column"), config.getString("text_column"),
+        budgetTokens = config.getInt("budget_tokens").toLong))
     case "GzipDecompressorBytes" | "GzipDecompressor" =>
       val s = spark
       new Algorithm {

@@ -43,6 +43,45 @@ class JobRunnerSpec extends SparkSpec {
       .collect().head.toSeq shouldBe Seq(2016, 6)
   }
 
+  test("curation algorithms run through the params-JSON surface") {
+    import org.apache.spark.sql.functions.col
+    val src = tmp("jr_cd_src") + "/t"
+    val target = tmp("jr_cd_tgt") + "/t"
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "totally different words in this one about engines and planes"))
+      .toDF("doc_id", "text").write.parquet(src)
+    val params = tmp("jr_cd_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(params),
+      s"""{"source_dir": "$src", "target_dir": "$target",
+         | "id_column": "doc_id", "text_column": "text",
+         | "jaccard_threshold": 0.5, "output_files_num": 1}""".stripMargin)
+    JobRunner.execute(spark, "CorpusDedup", params)
+    spark.read.parquet(target).select(col("doc_id")).as[Long]
+      .collect().sorted shouldBe Array(1L, 3L)
+
+    val tgt2 = tmp("jr_ss_tgt") + "/t"
+    val params2 = tmp("jr_ss_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(params2),
+      s"""{"source_dir": "$src", "target_dir": "$tgt2",
+         | "id_column": "doc_id", "strata_column": "text",
+         | "fractions": {}, "default_fraction": 1.0}""".stripMargin)
+    JobRunner.execute(spark, "StratifiedSample", params2)
+    spark.read.parquet(tgt2).count() shouldBe 3
+
+    val tgt3 = tmp("jr_sp_tgt") + "/t"
+    val params3 = tmp("jr_sp_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(params3),
+      s"""{"source_dir": "$src", "target_dir": "$tgt3",
+         | "id_column": "doc_id", "text_column": "text",
+         | "budget_tokens": 16}""".stripMargin)
+    JobRunner.execute(spark, "SequencePacking", params3)
+    val packed = spark.read.parquet(tgt3)
+    packed.count() shouldBe 3
+    packed.columns should contain allOf ("chunk_id", "offset_in_chunk")
+  }
+
   test("unknown algorithm names are rejected") {
     val paramsPath = tmp("jr_bad") + "/params.json"
     java.nio.file.Files.writeString(
