@@ -75,7 +75,12 @@ object AlgoRegistry {
               .getOrElse("_"),
             sideFlatten = m.get("side_flatten")
               .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) =>
-                k -> (v match { case n: Number => n.intValue() }) })
+                k -> (v match {
+                  case n: Number => n.intValue()
+                  case other => throw new IllegalArgumentException(
+                    s"side_flatten.$k must be a number, got: $other")
+                })
+              })
               .getOrElse(Map.empty))
         },
       transposeTask =

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Sequence packing for training-data pipelines: assign each document a
   * chunk id so that documents, concatenated in a stable global order, fill
@@ -15,53 +16,90 @@ import org.apache.spark.sql.functions._
   * plans an Exchange SinglePartition for an unpartitioned ordered window):
   * a non-starter at scale. Instead:
   *
-  *  1. range-repartition by id (so partition p holds an id-contiguous
-  *     slice, in partition-index order),
+  *  1. range-repartition a NARROW (id, tokens) projection by id (so
+  *     partition p holds an id-contiguous slice, in partition-index order)
+  *     and persist it — the persist is load-bearing for correctness, see
+  *     below,
   *  2. per-partition running totals via a window PARTITIONED by the slice
   *     (parallel),
   *  3. collect only the per-slice totals (#partitions rows) to the driver,
-  *     prefix-sum them, and broadcast the slice offsets back as a literal
-  *     CASE lookup.
+  *     prefix-sum them, and broadcast-join the slice offsets back
+  *     (a #slices-row frame — NOT a #slices-deep CASE chain, which past
+  *     ~10k slices would blow Janino's 64KB method limit and fall out of
+  *     whole-stage codegen),
+  *  4. re-attach the full document rows by an id equi-join.
   *
-  * Token offsets are exact integer arithmetic, so the DuckDB oracle (a
-  * plain ordered-window cumsum — fine at oracle scale) reproduces chunk
-  * ids bit-for-bit.
+  * Why the persist is correctness, not caching: RangePartitioner samples
+  * its boundaries per job with a seed derived from the RDD id, so a
+  * DataFrame containing `repartitionByRange` that is executed TWICE (once
+  * for the totals collect, once for the caller's final action) can assign
+  * rows to DIFFERENT slices in each job once input partitions exceed the
+  * reservoir sample — silently corrupting chunk ids at exactly the scale
+  * this operator exists for. Persisting the sliced frame materializes the
+  * slice assignment once; both the totals job and the final join read the
+  * same cached rows. The cached frame is 4 narrow columns (~32 bytes/row
+  * — ~30 GB cluster-wide per 10^9 docs, MEMORY_AND_DISK), and is
+  * unpersisted when the session's next gc of the returned frame drops it,
+  * or explicitly via [[unpersistHandle]].
+  *
+  * Token offsets are exact integer arithmetic end to end (`div`/`%` on
+  * longs — double `floor(a/b)` loses exactness past 2^53, within reach of
+  * a 100 TB corpus token total), so the DuckDB oracle (a plain
+  * ordered-window cumsum — fine at oracle scale) reproduces chunk ids
+  * bit-for-bit.
   */
 object Packing {
 
-  /** Adds `n_tokens`, `chunk_id`, `offset_in_chunk` for concat-and-chunk
-    * at `budgetTokens` per chunk, in `idCol` order. A document straddling
+  /** The persisted intermediate of the most recent [[withChunkIds]] call,
+    * exposed so long-lived sessions can free it after the output is
+    * written. Unpersisting BEFORE the caller's action would reopen the
+    * double-execution window, so it is never automatic.
+    */
+  @volatile private var lastPersisted: Option[DataFrame] = None
+  def unpersistHandle(): Unit = {
+    lastPersisted.foreach(_.unpersist())
+    lastPersisted = None
+  }
+
+  /** Adds `chunk_id`, `offset_in_chunk` for concat-and-chunk at
+    * `budgetTokens` per chunk, in `idCol` order. A document straddling
     * a boundary belongs to the chunk where it starts (standard
     * concat-then-split semantics).
     */
   def withChunkIds(docs: DataFrame, idCol: String, tokenCountCol: String,
       budgetTokens: Long, slices: Int = 0): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
     val n = if (slices > 0) slices
       else spark.sessionState.conf.numShufflePartitions
-    val sliced = docs.repartitionByRange(n, col(idCol))
+    // narrow projection: only (id, tokens) rides the range exchange and
+    // the persisted prefix-sum frame; full rows re-attach by id at the end
+    val sliced = docs.select(col(idCol), col(tokenCountCol))
+      .repartitionByRange(n, col(idCol))
       .withColumn("__slice", spark_partition_id())
     // parallel per-slice running totals (window is PARTITIONED — no
     // single-task global sort)
     val w = Window.partitionBy(col("__slice")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = sliced.withColumn("__local_cum",
-      sum(col(tokenCountCol)).over(w) - col(tokenCountCol))
-    // tiny driver collect: one row per slice
+        sum(col(tokenCountCol)).over(w) - col(tokenCountCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    lastPersisted = Some(withLocal)
+    // tiny driver collect: one row per slice — this action also populates
+    // the cache, pinning the slice assignment for the final job
     val totals = withLocal.groupBy(col("__slice"))
       .agg(sum(col(tokenCountCol)).as("__t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     val sliceIds = totals.keys.toSeq.sorted
     val prefix = sliceIds.scanLeft(0L)((acc, s) => acc + totals(s))
-    val offsets = sliceIds.zip(prefix).toMap
-    val offsetCol = sliceIds.foldLeft(lit(0L)) { (acc, s) =>
-      when(col("__slice") === s, lit(offsets(s))).otherwise(acc)
-    }
-    withLocal
-      .withColumn("__before", offsetCol + col("__local_cum"))
-      .withColumn("chunk_id", floor(col("__before") / budgetTokens))
-      .withColumn("offset_in_chunk", col("__before") % budgetTokens)
-      .drop("__slice", "__local_cum", "__before")
+    val offsets = broadcast(
+      sliceIds.zip(prefix).toDF("__slice", "__offset"))
+    val assigned = withLocal.join(offsets, "__slice")
+      .withColumn("__before", col("__offset") + col("__local_cum"))
+      .select(col(idCol),
+        expr(s"__before div ${budgetTokens}L").as("chunk_id"),
+        (col("__before") % budgetTokens).as("offset_in_chunk"))
+    docs.join(assigned, Seq(idCol))
   }
 
   /** Convenience: tokenize with [[TextAnalysis.tokenCount]] then chunk. */

@@ -37,17 +37,21 @@ object ScaleProbe {
     val emb1 = graft.core.Tables(spark, sfDir, "embeddings")
     val nDocs = docs1.count()
 
-    // replicate with disjoint ids; prepend a replica marker token so
-    // replicas are near-dups of their source, not exact dups
+    // replicate with disjoint ids: stride past the observed max id so
+    // replicas can never collide with real ids (a fixed 10M stride would
+    // silently corrupt the dedup/ANN counts once source ids reach it)
+    val stride = math.max(
+      docs1.agg(max(col("doc_id"))).head.getLong(0),
+      emb1.agg(max(col("vec_id"))).head.getLong(0)) + 1
     val docsDir = s"/tmp/graft_scaleprobe_docs_$factor"
     val embDir = s"/tmp/graft_scaleprobe_emb_$factor"
     val replicas = (0 until factor).map { r =>
-      docs1.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+      docs1.select((col("doc_id") + lit(r * stride)).as("doc_id"),
         concat(lit(s"replica$r marker "), col("text")).as("text"))
     }.reduce(_ unionByName _)
     replicas.write.mode("overwrite").parquet(docsDir)
     val embN = (0 until factor).map { r =>
-      emb1.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+      emb1.select((col("vec_id") + lit(r * stride)).as("vec_id"),
         col("embedding"))
     }.reduce(_ unionByName _)
     embN.write.mode("overwrite").parquet(embDir)

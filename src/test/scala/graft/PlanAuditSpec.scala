@@ -42,4 +42,31 @@ class PlanAuditSpec extends SparkSpec {
   test("q49: the prefix sum plans no single-partition global window") {
     (plan("q49_sequence_packing") should not).include("SinglePartition")
   }
+
+  test("packing: slice offsets stay a broadcast join, not a CASE chain, " +
+      "at production slice counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Packing
+    // 1024 slices used to generate a 1024-deep nested-when expression —
+    // past Janino's 64KB method limit at real shuffle-partition counts,
+    // falling out of whole-stage codegen. The offsets must arrive via a
+    // broadcast join (one BroadcastExchange, zero CASE WHEN) and the
+    // arithmetic must stay integer-exact.
+    val docs = (1L to 2000L).map(i => (i, (i % 53 + 1).toInt)).toDF("id", "n")
+    val out = Packing.withChunkIds(docs, "id", "n", budgetTokens = 257,
+      slices = 1024)
+    val p = out.queryExecution.executedPlan.toString
+    (p should not).include("CASE WHEN")
+    p should include("BroadcastExchange")
+    val got = out.select(col("id"), col("chunk_id"), col("offset_in_chunk"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    val exp = (1L to 2000L).map { i =>
+      val before = cum; cum += (i % 53 + 1)
+      (i, before / 257, before % 257)
+    }
+    got shouldBe exp.toArray
+    Packing.unpersistHandle()
+  }
 }
