@@ -546,8 +546,11 @@ object SparkEntry {
       val sup = t(s, dir, "supplier")
       val n = t(s, dir, "nation")
       val o = t(s, dir, "orders")
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      // part/supplier unhinted — they scale with sf, so a forced broadcast
+      // would OOM at 100x; AQE broadcasts them while they are small.
+      // nation stays hinted (25 rows at any sf).
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name"),
@@ -564,8 +567,13 @@ object SparkEntry {
       val o = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1996)
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
+      // customer is NOT hinted: it is 15k rows at sf0.1 but 15M at sf100 —
+      // a forced broadcast would override Spark's size check and OOM at
+      // scale. AQE still broadcasts it when it is actually small (the
+      // PlanAuditSpec asserts this at test scale); nation is genuinely
+      // bounded (25 rows at any sf) so its hint stays.
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
@@ -584,10 +592,12 @@ object SparkEntry {
         .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
       val n2 = t(s, dir, "nation")
         .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      // customer/supplier unhinted (unbounded at scale — AQE decides);
+      // the two nation roles keep their hints (25 rows at any sf)
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("c_nationkey") === col("c_nkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
         .filter(col("cust_nation") =!= col("supp_nation"))
         .filter(year(col("o_orderdate")).isin(1996, 1997))
@@ -611,11 +621,13 @@ object SparkEntry {
       val n2 = t(s, dir, "nation")
         .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
       val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      // customer/supplier unhinted (unbounded at scale — AQE decides);
+      // nation/region keep their hints (bounded dims at any sf)
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("c_nationkey") === col("c_nkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
         .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
         .agg(
@@ -701,7 +713,7 @@ object SparkEntry {
     */
   private def minhashChainSql(src: String): String =
     s"""toks AS (
-       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
        |  FROM $src),
        |sh AS (
        |  SELECT doc_id, list_distinct(list_transform(
@@ -931,7 +943,7 @@ object SparkEntry {
 
     "q20_ngram_jaccard" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
         |  FROM documents WHERE doc_id % 10 < 3),
         |sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
@@ -960,7 +972,7 @@ object SparkEntry {
     // md5-derived fingerprint, pigeonhole banding, hamming verify
     "q22_simhash" ->
       s"""WITH toks AS (
-         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
          |  FROM documents),
          |hs AS (
          |  SELECT doc_id, len(tk) AS n,
@@ -1026,7 +1038,7 @@ object SparkEntry {
         s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
       }.mkString(" ")
       s"""WITH t AS (
-         |  SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS tk
+         |  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS tk
          |  FROM documents),
          |sc AS (SELECT doc_id, text, tk,
          |  $scores,
@@ -1055,12 +1067,12 @@ object SparkEntry {
 
     "q26_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
-        |  string_split_regex(lower(text), '\s+'))), ' ')) AS fp
+        |  string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp
         |FROM documents""".stripMargin,
 
     "q27_token_counts" ->
       """SELECT doc_id,
-        | CAST(len(string_split_regex(lower(text), '\s+')) AS INTEGER) AS n_ws,
+        | CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER) AS n_ws,
         | CAST(len(regexp_extract_all(lower(text),
         |   '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe
         |FROM documents""".stripMargin,
@@ -1173,12 +1185,14 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND c.c_ts <= p.p_ts""".stripMargin,
 
-    // mirrors Similarity.ivfTopK (centroidMod=37, nprobe=3): identical
-    // centroid sample, assignment argmax, probe set, and re-rank
+    // mirrors Similarity.ivfTopK (centroids=128, nprobe=3): identical
+    // fixed-count hash-sampled centroid set, assignment argmax, probe set,
+    // and re-rank
     "q42_ann_ivf" ->
       s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
          |cent AS (SELECT vec_id AS cid, embedding AS ce FROM emb
-         |         WHERE vec_id % 37 = 1),
+         |         ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |         LIMIT 128),
          |assign AS (
          |  SELECT vec_id AS neighbor_id, cid FROM (
          |    SELECT e.vec_id, c.cid,
@@ -1280,7 +1294,7 @@ object SparkEntry {
     "q49_sequence_packing" ->
       """WITH tk AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(lower(text), '\s+')) AS INTEGER)
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER)
         |      AS n_tokens
         |  FROM documents),
         |c AS (

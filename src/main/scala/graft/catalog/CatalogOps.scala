@@ -9,15 +9,32 @@ import org.apache.spark.sql.SparkSession
   */
 object CatalogOps {
 
+  /** DESCRIBE FORMATTED is a metastore round-trip (a Derby/Thrift RPC, not
+    * a Spark job) that algorithm write paths issue repeatedly for the same
+    * table within one run; locations only change through [[setTableLocation]]
+    * below, so a per-table cache with explicit invalidation is safe.
+    * Keyed by session too — tests run several sessions per JVM.
+    */
+  private val locationCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[catalog] def invalidateLocation(spark: SparkSession,
+      table: String): Unit =
+    locationCache.remove((spark, table))
+
   def tableLocation(spark: SparkSession, table: String): String =
-    spark.sql(s"DESCRIBE FORMATTED $table").collect()
-      .find(r => Option(r.getString(0)).exists(_.trim.equalsIgnoreCase("Location")))
-      .map(_.getString(1).trim)
-      .getOrElse(throw new IllegalStateException(s"no location for $table"))
+    locationCache.computeIfAbsent((spark, table), { case (s, t) =>
+      s.sql(s"DESCRIBE FORMATTED $t").collect()
+        .find(r => Option(r.getString(0)).exists(_.trim.equalsIgnoreCase("Location")))
+        .map(_.getString(1).trim)
+        .getOrElse(throw new IllegalStateException(s"no location for $t"))
+    })
 
   def setTableLocation(spark: SparkSession, table: String,
-      location: String): Unit =
+      location: String): Unit = {
+    invalidateLocation(spark, table)
     spark.sql(s"ALTER TABLE $table SET LOCATION '$location'")
+  }
 
   /** Native partition recovery (reference: RecoverPartitionsNative.scala:11-13). */
   def recoverPartitionsNative(spark: SparkSession, table: String): Unit =

@@ -76,6 +76,8 @@ object TableWriter {
     val tmp = s"${table}_tmp"
     val oldLocation = CatalogOps.tableLocation(spark, table)
     def swap(location: String): Unit = {
+      // the swap recreates the table object — drop the cached location
+      CatalogOps.invalidateLocation(spark, table)
       spark.sql(s"CREATE TABLE IF NOT EXISTS $tmp LIKE $table LOCATION '$location'")
       spark.sql(s"DROP TABLE IF EXISTS $table")
       spark.sql(s"CREATE TABLE IF NOT EXISTS $table LIKE $tmp LOCATION '$location'")
@@ -87,6 +89,7 @@ object TableWriter {
     try swap(newLocation) catch {
       case e: Throwable =>
         try {
+          CatalogOps.invalidateLocation(spark, table)
           if (spark.catalog.tableExists(table))
             CatalogOps.setTableLocation(spark, table, oldLocation)
           else if (spark.catalog.tableExists(tmp)) {

@@ -20,8 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Tokenize into lowercase word tokens. */
-  def tokens(text: Column): Column = split(lower(text), "\\s+")
+  /** Tokenize into lowercase word tokens. `trim` first: Spark's split
+    * drops trailing empty tokens while DuckDB's string_split_regex keeps
+    * them, so without the trim the cross-engine gates diverge on any
+    * document with trailing whitespace.
+    */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
   /** Shingles from an already-materialized token array column.
     *

@@ -134,25 +134,43 @@ object Similarity {
     rerank(cand, queries, corpus, idCol, vecCol, k, broadcastQueries)
   }
 
-  /** IVF-style ANN: deterministic sampled centroids (ids ≡ 1 mod
-    * `centroidMod`), corpus vectors assigned to their nearest centroid
-    * map-side (`max_by` aggregation — no window shuffle of the n×C score
-    * rows), queries probe their `nprobe` nearest cells, exact re-rank
-    * within the probed cells.
+  /** Deterministic FIXED-COUNT centroid selection: the `centroids` corpus
+    * rows with the smallest (md5-hash(id), id) — a uniform pseudo-random
+    * sample that is a pure function of the ids. Plans as per-partition
+    * top-C + driver merge (TakeOrderedAndProject): one narrow pass over
+    * the corpus, and the result is O(C) REGARDLESS of corpus size — the
+    * round-2 `id % mod` form grew the broadcast linearly with the corpus,
+    * an OOM at 100 TB. The md5 ordering mirrors in DuckDB
+    * (`ORDER BY md5-hash, id LIMIT C`), so the oracle reproduces the
+    * exact centroid set.
+    */
+  def selectCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Int): DataFrame =
+    corpus.select(col(idCol).as("cid"), col(vecCol).as("ce"))
+      .orderBy(
+        conv(substring(md5(col("cid").cast("string")), 1, 15), 16, 10)
+          .cast("long"),
+        col("cid"))
+      .limit(centroids)
+
+  /** IVF-style ANN: `centroids` deterministic hash-sampled centroids
+    * ([[selectCentroids]]), corpus vectors assigned to their nearest
+    * centroid map-side (`max_by` aggregation — no window shuffle of the
+    * n×C score rows), queries probe their `nprobe` nearest cells, exact
+    * re-rank within the probed cells.
     *
-    * 100 TB shape: centroids broadcast (C ≈ n/centroidMod must stay
-    * driver-bounded — production would sample a fixed C or run k-means;
-    * sampled centroids keep the whole pipeline deterministic and
+    * 100 TB shape: the centroid broadcast is O(C) with C a CONSTANT
+    * parameter (production would tune C ≈ √n or train k-means centroids;
+    * hash-sampled centroids keep the whole pipeline deterministic and
     * oracle-mirrorable), assignment is a narrow scan, the cell join
     * shuffles by cell id. Better recall/cost than sign-LSH on weakly
     * clustered data (measured: 0.58 recall at 7% of brute-force candidates
     * vs 0.08 for bits=8 LSH on the synthetic embeddings).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, centroidMod: Long = 37,
+      vecCol: String, k: Int, centroids: Int = 128,
       nprobe: Int = 3, broadcastQueries: Boolean = true): DataFrame = {
-    val cent = broadcast(corpus.filter(col(idCol) % centroidMod === 1)
-      .select(col(idCol).as("cid"), col(vecCol).as("ce")))
+    val cent = broadcast(selectCentroids(corpus, idCol, vecCol, centroids))
     // nearest centroid per corpus vector: max_by over (cosine, -cid) —
     // a partial-aggregatable argmax with the same (cos DESC, cid ASC)
     // tie-break the window form (and the DuckDB oracle) uses

@@ -21,7 +21,9 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "dans"),
     "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"))
 
-  def tokens(text: Column): Column = split(lower(text), "\\s+")
+  // trim first: keeps token counts identical to the DuckDB oracle's
+  // string_split_regex for documents with leading/trailing whitespace
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
   /** Count of tokens that appear in `words`. */
   private def hitCount(toks: Column, words: Seq[String]): Column =

@@ -39,6 +39,21 @@ class PlanAuditSpec extends SparkSpec {
     (p should not).include("CartesianProduct")
   }
 
+  test("q44-q46: unhinted dims still broadcast when actually small " +
+      "(size-based planning, no forced hint on scale-growing tables)") {
+    // customer/supplier/part carry no broadcast() hint anymore (they grow
+    // with sf — a forced hint would OOM at 100x); Spark's size estimate /
+    // AQE must still pick broadcast joins at this scale
+    Seq("q44_returned_customers", "q45_trade_flows", "q46_market_share")
+      .foreach { q =>
+        val p = plan(q)
+        withClue(q) {
+          "BroadcastHashJoin".r.findAllIn(p).size should be >= 3
+          (p should not).include("SortMergeJoin")
+        }
+      }
+  }
+
   test("q49: the prefix sum plans no single-partition global window") {
     (plan("q49_sequence_packing") should not).include("SinglePartition")
   }

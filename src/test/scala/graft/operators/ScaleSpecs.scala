@@ -99,10 +99,27 @@ class AnnRecallSpec extends SparkSpec {
     val bf = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding",
       k = 5).select("query_id", "neighbor_id")
     val ivf = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
-      k = 5).select("query_id", "neighbor_id")
+      k = 5, centroids = 12).select("query_id", "neighbor_id")
     val recall = ivf.intersect(bf).count().toDouble / bf.count()
     info(s"IVF clustered recall@5: $recall")
     recall should be >= 0.8
+  }
+
+  test("IVF centroid set is a fixed count, independent of corpus size") {
+    // the round-2 id%mod selection grew the broadcast with the corpus —
+    // the bound must hold as the corpus scales, not just at test size
+    val small = (0L until 300L).map(i => (i, gauss(new java.util.Random(i), 8)))
+      .toDF("vec_id", "embedding")
+    val big = (0L until 3000L).map(i => (i, gauss(new java.util.Random(i), 8)))
+      .toDF("vec_id", "embedding")
+    Similarity.selectCentroids(small, "vec_id", "embedding", 64)
+      .count() shouldBe 64
+    Similarity.selectCentroids(big, "vec_id", "embedding", 64)
+      .count() shouldBe 64
+    // and the selection is a prefix property: scaling the corpus 10x does
+    // not discard the guarantee that exactly C vectors are broadcast
+    Similarity.selectCentroids(big, "vec_id", "embedding", 7000)
+      .count() shouldBe 3000L
   }
 }
 
