@@ -110,6 +110,30 @@ object Dedup {
       .distinct()
   }
 
+  /** Expected candidate fanout per inverted-index entry: Σ df² / Σ df
+    * over the shingle document frequencies (df > 1, mirroring the
+    * prefilter both join paths apply). Each index entry of a df-f shingle
+    * meets f − 1 partners in the plain self-join, so this ratio IS the
+    * per-row cost multiplier of the df²-term — the quantity that decides
+    * whether prefix filtering pays for its extra rank window and verify
+    * joins. One explode + count aggregation (map-side combinable, shuffles
+    * only (hash, count) rows); the double sum cannot overflow where a
+    * long Σdf² at corpus scale could.
+    */
+  def shingleFanout(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): Double = {
+    val r = shingleDF(docs, idCol, textCol, shingleSize)
+      .select(explode(col("sh")).as("s"))
+      .select(xxhash64(col("s")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+      .agg(sum(col("df")).as("n"),
+        sum(col("df").cast("double") * col("df")).as("n2"))
+      .head()
+    if (r.isNullAt(0) || r.getLong(0) == 0L) 0.0
+    else r.getDouble(1) / r.getLong(0)
+  }
+
   /** Exact token-shingle Jaccard for given pairs (verification step).
     * `pairs` has id_a/id_b; result adds jaccard.
     */
@@ -143,14 +167,27 @@ object Dedup {
     * set intersection, so both paths return IDENTICAL rows
     * (spec-asserted). Measured: at this corpus scale (1.5k scoped docs,
     * sf0.1) the default count-aggregation form wins (4.2 s vs 4.9 s — the
-    * rank window + verify joins cost more than the pruning saves); flip
-    * the flag when the shingle df distribution is heavy-tailed enough
-    * that the df² join term dominates — the regime a 100 TB corpus is in.
+    * rank window + verify joins cost more than the pruning saves); the
+    * prefix path wins when the shingle df distribution is heavy-tailed
+    * enough that the df² join term dominates — the regime a 100 TB
+    * corpus is in.
+    *
+    * `prefixFilter = None` (default) AUTO-SELECTS: a cheap
+    * [[shingleFanout]] probe — one map-side-combinable aggregation over
+    * the exploded shingles, negligible next to either join — picks the
+    * prefix path when the expected per-entry join fanout exceeds
+    * `autoPrefixFanout`. The benign regime measures fanout ≈ 3-4 on the
+    * synthetic corpora; boilerplate-heavy corpora run to the hundreds,
+    * so the default 64 splits the regimes with margin on both sides.
+    * `Some(b)` forces a path (the spec uses it to assert equivalence).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, threshold: Double,
-      prefixFilter: Boolean = false): DataFrame = {
+      prefixFilter: Option[Boolean] = None,
+      autoPrefixFanout: Double = 64.0): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
+    val usePrefix = prefixFilter.getOrElse(
+      shingleFanout(docs, idCol, textCol, shingleSize) > autoPrefixFanout)
     val sh = shingleDF(docs, idCol, textCol, shingleSize)
       .withColumn("n", size(col("sh")))
       // join on 8-byte shingle hashes, not ~20-char strings: same pairs and
@@ -165,7 +202,7 @@ object Dedup {
     val inv = inv0.withColumn("__df",
         count(lit(1)).over(w.partitionBy(col("s"))))
       .filter(col("__df") > 1)
-    if (prefixFilter) {
+    if (usePrefix) {
       val prefix = inv.withColumn("__rk",
           row_number().over(w.partitionBy(col("id"))
             .orderBy(col("__df"), col("s"))))

@@ -43,24 +43,43 @@ object Multimodal {
   /** Batch media decode over partitions: the Scala analog of a
     * mapInPandas/Arrow-batch decode — one decoder instance per partition
     * (codecs are expensive to init), iterator-to-iterator so a 128 MB
-    * partition of blobs streams through without materializing. The decoder
-    * itself is STUBBED (deterministic fake from the payload bytes; no media
-    * codecs in this container) — the partitioning, batch shape, and typed
-    * output schema are the real thing.
+    * partition of blobs streams through without materializing. The
+    * DECODER is a pluggable seam ([[Decoder]]): the shipped
+    * [[StubDecoder]] is a deterministic fake (no media codecs in this
+    * container), but it is one implementation behind the trait, not the
+    * API — a production JNI/FFI codec drops in without touching the
+    * partitioning, batch shape, or typed output schema.
     */
   case class MediaRow(id: Long, payload: Array[Byte])
   case class DecodedRow(id: Long, n_bytes: Int, width: Int, height: Int)
 
-  def decodePartitions(media: org.apache.spark.sql.Dataset[MediaRow])
+  /** The decode seam. Implementations ship to executors (Serializable);
+    * `open()` runs once per partition — codec/library init belongs there,
+    * never per row.
+    */
+  trait Decoder extends Serializable {
+    def open(): Unit = ()
+    def decode(id: Long, payload: Array[Byte]): DecodedRow
+  }
+
+  /** STUB: deterministic fake dimensions from the payload bytes — stands
+    * in for a real image/video codec, which this container lacks.
+    */
+  object StubDecoder extends Decoder {
+    override def decode(id: Long, payload: Array[Byte]): DecodedRow = {
+      val h = java.util.Arrays.hashCode(payload)
+      DecodedRow(id, payload.length,
+        math.floorMod(h, 1920) + 1, math.floorMod(h * 31, 1080) + 1)
+    }
+  }
+
+  def decodePartitions(media: org.apache.spark.sql.Dataset[MediaRow],
+      decoder: Decoder = StubDecoder)
       : org.apache.spark.sql.Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition decoder init happens HERE in a real codec
-      rows.map { r =>
-        val h = java.util.Arrays.hashCode(r.payload)
-        DecodedRow(r.id, r.payload.length,
-          math.floorMod(h, 1920) + 1, math.floorMod(h * 31, 1080) + 1)
-      }
+      decoder.open() // per-partition init (codec load) happens HERE
+      rows.map(r => decoder.decode(r.id, r.payload))
     }
   }
 

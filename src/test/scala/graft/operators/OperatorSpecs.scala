@@ -49,15 +49,44 @@ class DedupSpec extends SparkSpec {
   }
 
   test("prefix-filtered path returns IDENTICAL pairs (lossless pruning)") {
-    val plain = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val plain = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+      prefixFilter = Some(false))
     val pref = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
-      prefixFilter = true)
+      prefixFilter = Some(true))
     assertSameRows(pref, plain)
     // also at a higher threshold where prefixes shrink
     assertSameRows(
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
-        prefixFilter = true),
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8))
+        prefixFilter = Some(true)),
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        prefixFilter = Some(false)))
+  }
+
+  test("auto path selection: df-fanout probe splits the regimes, " +
+      "identical rows either way") {
+    // benign regime: 30 distinct texts, each exactly twice — df = 2 on
+    // every surviving shingle, fanout = 2 (and real pairs to compare)
+    val benign = (1L to 60L)
+      .map { i => val g = i % 30
+        (i, s"t$g body u$g mid v$g w$g x$g tail y$g z$g")
+      }
+      .toDF("doc_id", "text")
+    // heavy-tailed regime: one boilerplate sentence shared by every doc —
+    // df ≈ corpus size on the shared shingles, fanout ≈ corpus size
+    val boiler = (1L to 60L)
+      .map(i => (i, s"standard header boilerplate sentence shared by all docs u$i"))
+      .toDF("doc_id", "text")
+    Dedup.shingleFanout(benign, "doc_id", "text", 3) should be < 8.0
+    Dedup.shingleFanout(boiler, "doc_id", "text", 3) should be > 32.0
+    // the probe picks a path; whatever it picks must match both forced
+    // paths (lossless selection, not a semantics switch)
+    for (docs <- Seq(benign, boiler)) {
+      val auto = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        autoPrefixFanout = 16.0)
+      assertSameRows(auto,
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+          prefixFilter = Some(false)))
+    }
   }
 
   test("simhash: identical docs have hamming 0, near dups small hamming") {

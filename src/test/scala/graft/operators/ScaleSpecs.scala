@@ -140,4 +140,22 @@ class MultimodalPartitionSpec extends SparkSpec {
     // deterministic across evaluations
     out.collect().sortBy(_.id) shouldBe rows
   }
+
+  test("Decoder is a seam: a custom codec drops in, stub untouched") {
+    // a 'codec' that decodes dimensions parsed from the payload text —
+    // stands in for a real JNI decoder; only the trait impl changes
+    object ParsingDecoder extends Multimodal.Decoder {
+      override def decode(id: Long, payload: Array[Byte]): DecodedRow = {
+        val s = new String(payload, "UTF-8").split("x")
+        DecodedRow(id, payload.length, s(0).toInt, s(1).toInt)
+      }
+    }
+    val media = Seq(MediaRow(1L, "640x480".getBytes("UTF-8")),
+      MediaRow(2L, "1920x1080".getBytes("UTF-8"))).toDS().repartition(2)
+    val rows = decodePartitions(media, ParsingDecoder).collect().sortBy(_.id)
+    rows.map(r => (r.id, r.width, r.height)) shouldBe
+      Array((1L, 640, 480), (2L, 1920, 1080))
+    // the stub path is unchanged by the seam
+    decodePartitions(media).count() shouldBe 2
+  }
 }
