@@ -3,8 +3,9 @@ package graft
 import graft.algos._
 import graft.core.Tables
 import graft.expr.{DateComponents, PartitionCriteria, SchemaOps}
+import graft.catalog.{CatalogOps, TableWriter}
 import graft.fsops.FsOps
-import graft.io.DataFormat
+import graft.io.{DataFormat, LoadMode}
 import graft.operators._
 import graft.streaming.EventStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -663,6 +664,69 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // W3: TableWriter round-trip — saveAsTable create, then TRUNCATE-first
+    // overwrite with a deliberately column-reordered frame (positional
+    // insertInto must re-align or the values land in the wrong columns)
+    "q50_table_writer" -> ((s, dir) => {
+      s.sql("DROP TABLE IF EXISTS graft_q50")
+      // a managed table's warehouse dir can survive from a PREVIOUS jvm
+      // (fresh in-memory catalog, same cwd) — DROP IF EXISTS can't see it,
+      // and saveAsTable refuses a pre-existing location
+      val stale = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + "/graft_q50")
+      val fs = stale.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(stale)) fs.delete(stale, true)
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+      TableWriter.saveToTable(c, "graft_q50", LoadMode.OverwriteTable)
+      val c2 = c
+        .select(col("c_acctbal"), col("c_custkey"), col("c_name"))
+        .withColumn("c_acctbal", round(col("c_acctbal") + 100, 2))
+      TableWriter.saveToTable(c2, "graft_q50", LoadMode.OverwriteTable)
+      s.table("graft_q50")
+    }),
+
+    // W7: TableLocationWriter — install a partition through the
+    // catalog-resolved location (atomic swap + recover + refresh), the
+    // structured-load path
+    "q51_table_location_writer" -> ((s, dir) => {
+      val loc = tmpDir("graft_q51") + "/t"
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_linestatus"))
+      li.filter(col("l_linestatus") === "F")
+        .write.partitionBy("l_linestatus").parquet(loc)
+      s.sql("DROP TABLE IF EXISTS graft_q51")
+      s.sql("CREATE TABLE graft_q51 (l_orderkey BIGINT, l_quantity DOUBLE, " +
+        s"l_linestatus STRING) USING parquet PARTITIONED BY (l_linestatus) " +
+        s"LOCATION '$loc'")
+      CatalogOps.recoverPartitionsNative(s, "graft_q51")
+      val oRows = li.filter(col("l_linestatus") === "O")
+        .withColumn("l_quantity", col("l_quantity") + 1)
+      TableWriter.writeToTableLocation(oRows, fsOps(s), "graft_q51",
+        LoadMode.OverwritePartitions, Seq("l_linestatus"))
+      s.table("graft_q51").groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+    }),
+
+    // X4: compaction — rewrite each partition to a controlled file count;
+    // the gate proves content survives the rewrite byte-for-byte (the
+    // file-count assertion lives in the compaction spec)
+    "q52_compaction" -> ((s, dir) => {
+      val loc = tmpDir("graft_q52") + "/t"
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("value"), col("event_type"))
+      e.repartition(6).write.partitionBy("event_type").parquet(loc)
+      val parts = e.select(col("event_type")).distinct().collect()
+        .map(r => s"event_type=${r.getString(0)}").toSeq
+      CatalogOps.compactPartitions(s, fsOps(s), loc, parts,
+        filesPerPartition = 1)
+      s.read.option("basePath", loc).parquet(loc)
+        .groupBy(col("event_type").cast("string").as("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -1319,6 +1383,28 @@ object SparkEntry {
     "q37_schema_enforce" ->
       """SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_name, c_acctbal,
         | CAST(NULL AS VARCHAR) AS loyalty_tier
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+
+    // mirrors TableWriter.saveToTable overwrite: final content is the
+    // second (re-ordered, +100) frame, landed in the right columns
+    "q50_table_writer" ->
+      """SELECT c_custkey, c_name,
+        | round(round(c_acctbal,2)+100,2) AS c_acctbal
+        |FROM customer""".stripMargin,
+
+    // mirrors writeToTableLocation: F partition keeps source quantities,
+    // O partition was installed with +1
+    "q51_table_location_writer" ->
+      """SELECT l_linestatus, count(*) AS n,
+        | round(sum(CASE WHEN l_linestatus='O' THEN l_quantity+1
+        |           ELSE l_quantity END),2) AS qty
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    // mirrors compaction: a pure physical rewrite — content identical to
+    // the source aggregation
+    "q52_compaction" ->
+      """SELECT event_type, count(*) AS n,
+        | round(sum(round(value,2)),2) AS sum_v
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }
