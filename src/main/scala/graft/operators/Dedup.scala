@@ -116,13 +116,27 @@ object Dedup {
     * meets f − 1 partners in the plain self-join, so this ratio IS the
     * per-row cost multiplier of the df²-term — the quantity that decides
     * whether prefix filtering pays for its extra rank window and verify
-    * joins. One explode + count aggregation (map-side combinable, shuffles
-    * only (hash, count) rows); the double sum cannot overflow where a
+    * joins.
+    *
+    * Estimated on a DETERMINISTIC doc subsample capped at `maxProbeDocs`
+    * (md5-bucket selection — stable across runs/engines), so the probe is
+    * CONSTANT cost no matter the corpus size: shingling the full corpus
+    * just to pick a join strategy would double the dominant cost of the
+    * operator it advises. A shingle with full df D appears in the
+    * f-sample with df ≈ f·D, so the sample ratio understates the excess
+    * fanout by ≈ f; the estimator rescales (fanout − 1)/f + 1. Order-of-
+    * magnitude accuracy is all the path decision needs — the regimes sit
+    * at ~4 and in the hundreds. The double sum cannot overflow where a
     * long Σdf² at corpus scale could.
     */
   def shingleFanout(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int): Double = {
-    val r = shingleDF(docs, idCol, textCol, shingleSize)
+      shingleSize: Int, maxProbeDocs: Int = 512): Double = {
+    val n = docs.count()
+    if (n == 0L) return 0.0
+    val f = math.min(1.0, maxProbeDocs.toDouble / n)
+    val sample = if (f >= 1.0) docs
+      else Sampling.deterministicSample(docs, idCol, f)
+    val r = shingleDF(sample, idCol, textCol, shingleSize)
       .select(explode(col("sh")).as("s"))
       .select(xxhash64(col("s")).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -130,8 +144,10 @@ object Dedup {
       .agg(sum(col("df")).as("n"),
         sum(col("df").cast("double") * col("df")).as("n2"))
       .head()
-    if (r.isNullAt(0) || r.getLong(0) == 0L) 0.0
-    else r.getDouble(1) / r.getLong(0)
+    val sampled = if (r.isNullAt(0) || r.getLong(0) == 0L) 0.0
+      else r.getDouble(1) / r.getLong(0)
+    if (f >= 1.0 || sampled <= 1.0) sampled
+    else 1.0 + (sampled - 1.0) / f
   }
 
   /** Exact token-shingle Jaccard for given pairs (verification step).
