@@ -727,6 +727,56 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
     }),
 
+    // curation: benchmark decontamination — corpus docs sharing 5-gram
+    // shingles with a (broadcast) eval set; the eval set here is built
+    // from token snippets of every 40th doc, so sources and their
+    // near-dups must surface
+    "q53_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 40 === 0)
+        .select(concat_ws(" ",
+          slice(Dedup.tokens(col("text")), 3, 12)).as("qtext"))
+      Decontaminate.overlaps(docs, "doc_id", "text", bench, "qtext",
+          n = 5, minOverlap = 2)
+        .select(col("id").as("doc_id"), col("n_matched"),
+          col("n_shingles"), col("overlap_ratio"))
+    }),
+
+    // curation: Gopher-style repetition signals (dup lines, dup 2-grams,
+    // top-2-gram mass) — the boilerplate/spam quality filters
+    "q54_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_lines"), col("dup_line_fraction"),
+          col("n_2grams"), col("dup_2gram_fraction"),
+          col("top_2gram_fraction"))
+    }),
+
+    // curation: PII redaction — synthetic PII is injected deterministically
+    // (same CASE logic both engines) so the gate exercises real matches,
+    // not an all-zero pass over clean testdata
+    "q55_pii_redaction" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" reach me at user"), col("doc_id"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" from 10.0."), col("doc_id") % 256, lit(".17")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" call 555-123-4567"))
+            .otherwise(lit(""))).as("text"))
+      Redact.withRedactions(withPii, "text")
+        .select(col("doc_id"), col("red_text"), col("n_email"),
+          col("n_ipv4"), col("n_phone"))
+    }),
+
+    // curation: deterministic training-order shuffle into shards
+    "q56_corpus_shuffle" -> ((s, dir) => {
+      Shuffling.shuffleIntoShards(t(s, dir, "documents"), "doc_id",
+          numShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -1405,6 +1455,106 @@ object SparkEntry {
     "q52_compaction" ->
       """SELECT event_type, count(*) AS n,
         | round(sum(round(value,2)),2) AS sum_v
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // mirrors Decontaminate.overlaps(n=5, minOverlap=2) with the snippet
+    // benchmark built from every 40th doc's tokens 3..14
+    "q53_decontaminate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |bench AS (
+        |  SELECT array_to_string(tk[3:14], ' ') AS qt FROM tk
+        |  WHERE doc_id % 40 = 0),
+        |btk AS (
+        |  SELECT string_split_regex(trim(lower(qt)), '\s+') AS tk FROM bench),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(tk)-5, 0)+1),
+        |    i -> array_to_string(tk[i+1:i+5], ' ')))) AS s
+        |  FROM btk),
+        |csh0 AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(tk)-5, 0)+1),
+        |    i -> array_to_string(tk[i+1:i+5], ' '))) AS shl
+        |  FROM tk),
+        |csh AS (
+        |  SELECT doc_id, CAST(len(shl) AS INTEGER) AS n_shingles,
+        |    unnest(shl) AS s
+        |  FROM csh0)
+        |SELECT doc_id, count(*) AS n_matched, n_shingles,
+        |  round(CAST(count(*) AS DOUBLE) / n_shingles, 6) AS overlap_ratio
+        |FROM csh JOIN bsh USING (s)
+        |GROUP BY doc_id, n_shingles
+        |HAVING count(*) >= 2""".stripMargin,
+
+    // mirrors TextAnalysis.repetitionSignals: line stats are per-row array
+    // ops; 2-gram stats group by the gram itself (Spark groups by its
+    // 8-byte hash — identical counts)
+    "q54_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, greatest(len(tk)-2, 0)+1),
+        |    i -> array_to_string(tk[i+1:i+2], ' '))) AS g
+        |  FROM tk),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM g0 GROUP BY doc_id, g),
+        |ga AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+        |    count(*) AS n_distinct, max(c) AS top
+        |  FROM gc GROUP BY doc_id),
+        |ln AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, chr(10))) AS INTEGER) AS n_lines,
+        |    round(1.0 - CAST(len(list_distinct(string_split(text, chr(10))))
+        |      AS DOUBLE) / len(string_split(text, chr(10))), 6)
+        |      AS dup_line_fraction
+        |  FROM documents)
+        |SELECT ln.doc_id, n_lines, dup_line_fraction, n_2grams,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_2grams, 6)
+        |    AS dup_2gram_fraction,
+        |  round(CAST(top AS DOUBLE) / n_2grams, 6) AS top_2gram_fraction
+        |FROM ln JOIN ga USING (doc_id)""".stripMargin,
+
+    // mirrors Redact.withRedactions over the same injected PII; patterns
+    // interpolated from the Redact constants so the two engines can never
+    // drift (DuckDB regexp_replace needs the explicit 'g' flag)
+    "q55_pii_redaction" ->
+      s"""WITH pii AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' reach me at user' ||
+         |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' ||
+         |      CAST(doc_id % 256 AS VARCHAR) || '.17' ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-4567'
+         |      ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${Redact.emailPattern}', '<EMAIL>', 'g'),
+         |    '${Redact.ipv4Pattern}', '<IP>', 'g'),
+         |    '${Redact.phonePattern}', '<PHONE>', 'g') AS red_text,
+         |  CAST(len(regexp_extract_all(text, '${Redact.emailPattern}'))
+         |    AS INTEGER) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '${Redact.ipv4Pattern}'))
+         |    AS INTEGER) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(text, '${Redact.phonePattern}'))
+         |    AS INTEGER) AS n_phone
+         |FROM pii""".stripMargin,
+
+    // mirrors Shuffling.shuffleIntoShards(numShards=8): identical md5
+    // position keys, shard assignment, within-shard rank
+    "q56_corpus_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")} AS hv
+         |  FROM documents)
+         |SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+         |    AS INTEGER) AS pos_in_shard
+         |FROM h""".stripMargin
   )
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find corpus documents that share n-grams
+  * with an evaluation/benchmark set — the standard pre-training hygiene
+  * step that keeps test questions out of the training corpus.
+  *
+  * 100 TB shape: the benchmark side is SMALL (eval suites are thousands
+  * of documents, not billions), so its distinct shingle set is built once
+  * and BROADCAST; the corpus side streams through a map-side broadcast
+  * hash join on the 8-byte shingle hash — the corpus is never shuffled,
+  * and only (doc_id, matched-shingle) survivors reach the per-doc count
+  * aggregation (map-side combinable). This is the join direction that
+  * stays O(corpus scan) at any corpus size.
+  */
+object Decontaminate {
+
+  /** Per-corpus-doc overlap with the benchmark shingle set:
+    * (id, n_matched, n_shingles, overlap_ratio) for docs with
+    * n_matched ≥ `minOverlap`. `n`-gram shingles on the shared tokenizer,
+    * deduplicated per doc (binary containment, not multiset counts —
+    * a doc repeating one leaked 8-gram 50 times is one hit, not fifty).
+    */
+  def overlaps(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8,
+      minOverlap: Int = 1): DataFrame = {
+    // distinct 8-byte hashes of the benchmark's shingles — the broadcast
+    // payload is a few MB per million benchmark shingles
+    val benchShingles = broadcast(
+      bench.select(explode(Dedup.shingles(col(benchTextCol), n)).as("__s"))
+        .select(xxhash64(col("__s")).as("__h")).distinct())
+    val corpusShingles = Dedup.shingleDF(corpus, idCol, textCol, n)
+      .select(col("id"), col("sh"))
+      .withColumn("n_shingles", size(col("sh")))
+      .select(col("id"), col("n_shingles"), explode(col("sh")).as("__s"))
+      .select(col("id"), col("n_shingles"), xxhash64(col("__s")).as("__h"))
+    corpusShingles.join(benchShingles, Seq("__h"))
+      .groupBy(col("id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minOverlap)
+      .select(col("id"), col("n_matched"), col("n_shingles"),
+        round(col("n_matched").cast("double") / col("n_shingles"), 6)
+          .as("overlap_ratio"))
+  }
+
+  /** Drop contaminated documents: corpus rows whose benchmark n-gram
+    * overlap reaches `minOverlap` are removed via a left-anti join against
+    * the (small) contaminated-id list.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8,
+      minOverlap: Int = 1): DataFrame = {
+    val bad = overlaps(corpus, idCol, textCol, bench, benchTextCol, n,
+      minOverlap).select(col("id").as(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+}

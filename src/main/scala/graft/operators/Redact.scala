@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII redaction for corpus curation: replace emails / IPv4 addresses /
+  * dashed phone numbers with typed placeholder tokens and count what was
+  * redacted — the scrubbing pass before text enters a training corpus.
+  *
+  * Pure regexp Column expressions: a narrow per-row map, zero shuffle,
+  * fully codegen'd. The patterns deliberately avoid backtracking-only
+  * regex features (backreferences, lookaround) so Java regex (Spark) and
+  * RE2 (DuckDB and most scanners) agree on every match — the property
+  * that makes the oracle gate possible and keeps behavior identical when
+  * the same patterns run in sidecar tooling.
+  *
+  * Counts are measured on the ORIGINAL text per category (overlapping
+  * categories each count; the replacement pass applies email → ipv4 →
+  * phone in that fixed order).
+  */
+object Redact {
+
+  val emailPattern: String = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val ipv4Pattern: String =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phonePattern: String = "\\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b"
+
+  private val patterns = Seq(
+    ("email", emailPattern, "<EMAIL>"),
+    ("ipv4", ipv4Pattern, "<IP>"),
+    ("phone", phonePattern, "<PHONE>"))
+
+  /** Redacted text: all three categories replaced by their tokens. */
+  def redactText(text: Column): Column =
+    patterns.foldLeft(text) { case (c, (_, pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
+
+  /** Adds `red_text` plus per-category counts (`n_email`, `n_ipv4`,
+    * `n_phone`) measured on the original text.
+    */
+  def withRedactions(df: DataFrame, textCol: String): DataFrame =
+    patterns.foldLeft(
+      df.withColumn("red_text", redactText(col(textCol)))) {
+      case (d, (name, pat, _)) =>
+        d.withColumn(s"n_$name",
+          size(regexp_extract_all(col(textCol), lit(pat), lit(0))))
+    }
+}

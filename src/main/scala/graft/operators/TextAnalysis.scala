@@ -92,4 +92,53 @@ object TextAnalysis {
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc * 31L + pmod(xxhash64(t), lit(1000000007L)))
+
+  /** Gopher-style intra-document repetition signals — the quality filters
+    * that catch boilerplate/templated/spammy documents
+    * (dup-line fraction, duplicate-2-gram fraction, most-frequent-2-gram
+    * mass):
+    *
+    *  - `n_lines`, `dup_line_fraction`: computed per row with pure array
+    *    Columns (no shuffle);
+    *  - the 2-gram stats go through explode → count per (doc, gram) →
+    *    per-doc aggregate: two map-side-combinable shuffles of
+    *    (id, 8-byte gram hash) rows, then one join back by id. A pure-
+    *    Column per-row frequency count would be O(tokens²) interpreted
+    *    lambda calls per document — fine for short docs, quadratic pain
+    *    exactly where these filters matter (the long repetitive ones).
+    *
+    * All fractions round(…, 6) for cross-engine comparison.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val withLines = df
+      .withColumn("n_lines", size(lines))
+      .withColumn("dup_line_fraction",
+        round(lit(1.0) - size(array_distinct(lines)).cast("double") /
+          size(lines), 6))
+    // 2-grams, NON-distinct (repetition is the signal here); tokens staged
+    // in their own projection — Catalyst does not CSE through lambdas
+    val grams = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(transform(
+          sequence(lit(0), greatest(size(col("__toks")) - 2, lit(0))),
+          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(2)))))
+          .as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("__g"))
+    val perGram = grams.groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val perDoc = perGram.groupBy(col(idCol))
+      .agg(sum(col("__c")).as("__total"),
+        count(lit(1)).as("__distinct"),
+        max(col("__c")).as("__top"))
+      .select(col(idCol),
+        col("__total").as("n_2grams"),
+        round(lit(1.0) - col("__distinct").cast("double") / col("__total"), 6)
+          .as("dup_2gram_fraction"),
+        round(col("__top").cast("double") / col("__total"), 6)
+          .as("top_2gram_fraction"))
+    withLines.join(perDoc, Seq(idCol))
+  }
 }

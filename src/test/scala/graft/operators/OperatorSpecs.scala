@@ -89,6 +89,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate: docs sharing benchmark n-grams flagged and dropped, " +
+      "benchmark side broadcast") {
+    val corpus = Seq(
+      (1L, "what is the capital of france the answer is paris obviously"),
+      (2L, "the capital of france the answer is paris said the guide book"),
+      (3L, "spark shuffles partition data across the cluster by key here"))
+      .toDF("doc_id", "text")
+    val bench = Seq("what is the capital of france the answer is paris")
+      .toDF("qtext")
+    val hits = Decontaminate.overlaps(corpus, "doc_id", "text",
+      bench, "qtext", n = 5, minOverlap = 2)
+    hits.select($"id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+    // the eval-set side must be the broadcast side (map-side join: the
+    // corpus is never shuffled for candidate generation)
+    hits.queryExecution.executedPlan.toString should
+      include("BroadcastHashJoin")
+    Decontaminate.decontaminate(corpus, "doc_id", "text", bench, "qtext",
+        n = 5, minOverlap = 2)
+      .select($"doc_id").as[Long].collect() shouldBe Array(3L)
+  }
+
   test("simhash: identical docs have hamming 0, near dups small hamming") {
     val sim = Dedup.simhashDF(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
@@ -153,6 +174,33 @@ class TextAnalysisSpec extends SparkSpec {
     r shouldBe Array(true, false)
   }
 
+  test("repetition signals: dup lines, dup 2-grams, top-2-gram mass") {
+    val df = Seq(
+      // 4 lines, one exact dup pair -> dup_line_fraction 0.25;
+      // tokens: "spam spam spam spam" -> 3 2-grams all "spam spam"
+      (1L, "spam spam spam spam\nok line\nok line\nlast"),
+      (2L, "all tokens differ here now"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+      .select($"doc_id", $"n_lines", $"dup_line_fraction", $"n_2grams",
+        $"dup_2gram_fraction", $"top_2gram_fraction")
+      .as[(Long, Int, Double, Long, Double, Double)]
+      .collect().sortBy(_._1)
+    val d1 = out(0)
+    d1._2 shouldBe 4
+    d1._3 shouldBe 0.25
+    // tokens: [spam spam spam spam ok line ok line last] -> 8 2-grams:
+    // (spam spam)x3, (spam ok), (ok line)x2, (line ok), (line last);
+    // distinct 5 -> dup 1-5/8 = 0.375; top (spam spam) 3/8 = 0.375
+    d1._4 shouldBe 8L
+    d1._5 shouldBe 0.375
+    d1._6 shouldBe 0.375
+    val d2 = out(1)
+    d2._2 shouldBe 1
+    d2._3 shouldBe 0.0
+    d2._5 shouldBe 0.0
+  }
+
   test("quality features compute deterministic ratios") {
     val out = TextAnalysis.qualityFeatures(
       Seq("the quick brown fox, it jumps; over the lazy dog today now!")
@@ -162,6 +210,50 @@ class TextAnalysisSpec extends SparkSpec {
     row.getInt(0) shouldBe 12
     row.getDouble(1) should be > 0.0
     row.getDouble(2) should be >= 0.6
+  }
+}
+
+class RedactSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redacts emails, ips, and dashed phones; counts on original text") {
+    val df = Seq(
+      (1L, "mail a.b+c@sub.example.org or x@y.io, host 192.168.1.1, tel 555-123-4567"),
+      (2L, "no pii in this one at all"))
+      .toDF("doc_id", "text")
+    val out = Redact.withRedactions(df, "text")
+      .select($"doc_id", $"red_text", $"n_email", $"n_ipv4", $"n_phone")
+      .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1)
+    out(0)._2 shouldBe
+      "mail <EMAIL> or <EMAIL>, host <IP>, tel <PHONE>"
+    (out(0)._3, out(0)._4, out(0)._5) shouldBe ((2, 1, 1))
+    out(1)._2 shouldBe "no pii in this one at all"
+    (out(1)._3, out(1)._4, out(1)._5) shouldBe ((0, 0, 0))
+  }
+}
+
+class ShufflingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministic shuffle: stable assignment, dense per-shard " +
+      "positions, uniform-ish shards") {
+    val df = spark.range(1, 2001).toDF("id")
+    val out = Shuffling.shuffleIntoShards(df, "id", numShards = 8)
+      .select($"id", $"shard", $"pos_in_shard")
+      .as[(Long, Int, Int)].collect()
+    out.length shouldBe 2000
+    // same assignment on re-evaluation (pure function of the id)
+    Shuffling.shuffleIntoShards(df, "id", 8)
+      .select($"id", $"shard", $"pos_in_shard")
+      .as[(Long, Int, Int)].collect().sortBy(_._1) shouldBe out.sortBy(_._1)
+    // positions dense 1..size within every shard
+    out.groupBy(_._2).values.foreach { s =>
+      s.map(_._3).sorted shouldBe (1 to s.length).toArray
+    }
+    // no empty shard and no degenerate skew at n=2000, k=8
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    sizes.size shouldBe 8
+    all(sizes.values) should be > 150
   }
 }
 
