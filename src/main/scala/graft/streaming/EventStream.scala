@@ -53,6 +53,53 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Watermarked stream-stream INTERVAL join: each left event joins right
+    * events of the same key whose time lies in [left.ts − `lookback`,
+    * left.ts] — e.g. "purchases join the clicks that preceded them within
+    * an hour" as both sides arrive. The time-range predicate plus both
+    * watermarks is what lets Spark BOUND the join state: each side's
+    * buffered rows are dropped once the other side's watermark passes the
+    * interval, so state is O(traffic in the horizon), not O(stream). The
+    * same expression applied to batch frames is the oracle (stream/batch
+    * unification, spec-asserted).
+    *
+    * Column contract: the two sides carry DISJOINT column names (rename
+    * before calling) — stream-stream joins cannot disambiguate duplicate
+    * names post-hoc.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTs: String, rightTs: String, lookback: String,
+      horizon: String): DataFrame = {
+    val l = left.withWatermark(leftTs, horizon)
+    val r = right.withWatermark(rightTs, horizon)
+    l.join(r, col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+      col(rightTs) <= col(leftTs))
+  }
+
+  /** Run [[intervalJoin]] as a real streaming query (both sides streamed
+    * from parquet dirs), draining to a memory sink.
+    */
+  def runIntervalJoinOnce(spark: SparkSession, leftSchema: StructType,
+      leftDir: String, rightSchema: StructType, rightDir: String,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      lookback: String, horizon: String, queryName: String): DataFrame = {
+    val l = spark.readStream.schema(leftSchema).parquet(leftDir)
+    val r = spark.readStream.schema(rightSchema).parquet(rightDir)
+    val q: StreamingQuery =
+      intervalJoin(l, r, leftKey, rightKey, leftTs, rightTs, lookback,
+        horizon)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Run the windowed agg as a real streaming query over parquet input,
     * draining to a memory sink; returns the settled result. Used by tests
     * to prove the streaming path works end to end.

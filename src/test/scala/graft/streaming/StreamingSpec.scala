@@ -45,6 +45,32 @@ class EventStreamSpec extends SparkSpec {
       .collect() shouldBe Array((2L, 3.0))
   }
 
+  test("watermarked stream-stream interval join equals the batch join") {
+    val dir = tmp("stream_ssj")
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val purchases = Seq(
+      (1L, ts(10), 100L), (1L, ts(30), 101L), (2L, ts(10), 102L))
+      .toDF("p_user", "p_ts", "p_id")
+    val clicks = Seq(
+      (1L, ts(8), 200L),  // within 5 min of purchase 100
+      (1L, ts(9), 201L),  // within 5 min of purchase 100
+      (1L, ts(20), 202L), // matches no purchase (30 - 20 > 5)
+      (2L, ts(10), 203L), // exactly at purchase 102's ts
+      (3L, ts(1), 204L))  // no purchases for user 3
+      .toDF("c_user", "c_ts", "c_id")
+    purchases.write.parquet(dir + "/p")
+    clicks.write.parquet(dir + "/c")
+    val streamed = EventStream.runIntervalJoinOnce(spark,
+      purchases.schema, dir + "/p", clicks.schema, dir + "/c",
+      "p_user", "c_user", "p_ts", "c_ts",
+      lookback = "5 minutes", horizon = "10 minutes", "ssj_test")
+    val batch = EventStream.intervalJoin(purchases, clicks,
+      "p_user", "c_user", "p_ts", "c_ts", "5 minutes", "10 minutes")
+    assertSameRows(streamed, batch)
+    streamed.select($"p_id", $"c_id").as[(Long, Long)].collect().sorted shouldBe
+      Array((100L, 200L), (100L, 201L), (102L, 203L))
+  }
+
   test("streaming dedup within watermark keeps one row per key") {
     val dir = tmp("stream_dd")
     val batch = Seq(
