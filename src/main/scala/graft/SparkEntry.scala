@@ -1479,7 +1479,7 @@ object SparkEntry {
         |    i -> array_to_string(tk[i+1:i+5], ' '))) AS shl
         |  FROM tk),
         |csh AS (
-        |  SELECT doc_id, CAST(len(shl) AS INTEGER) AS n_shingles,
+        |  SELECT doc_id, CAST(len(shl) AS BIGINT) AS n_shingles,
         |    unnest(shl) AS s
         |  FROM csh0)
         |SELECT doc_id, count(*) AS n_matched, n_shingles,

@@ -240,6 +240,33 @@ object AlgoRegistry {
       df => graft.operators.Packing.packDocuments(df,
         config.getString("id_column"), config.getString("text_column"),
         budgetTokens = config.getInt("budget_tokens").toLong))
+    case "Decontaminate" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val bench = fmt(config).read(spark, Map.empty, None,
+          config.getString("benchmark_dir"))
+        graft.operators.Decontaminate.decontaminate(df,
+          config.getString("id_column"), config.getString("text_column"),
+          bench, config.getString("benchmark_text_column"),
+          n = config.getIntOpt("ngram_size").getOrElse(8),
+          minOverlap = config.getIntOpt("min_overlap").getOrElse(1))
+      })
+    case "PiiRedaction" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Redact.withRedactions(df,
+        config.getString("text_column")))
+    case "RepetitionSignals" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.repetitionSignals(df,
+        config.getString("id_column"), config.getString("text_column")))
+    case "CorpusShuffle" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Shuffling.shuffleIntoShards(df,
+        config.getString("id_column"), config.getInt("num_shards")))
     case "GzipDecompressorBytes" | "GzipDecompressor" =>
       val s = spark
       new Algorithm {

@@ -29,16 +29,21 @@ object Decontaminate {
     // distinct 8-byte hashes of the benchmark's shingles — the broadcast
     // payload is a few MB per million benchmark shingles
     val benchShingles = broadcast(
-      bench.select(explode(Dedup.shingles(col(benchTextCol), n)).as("__s"))
-        .select(xxhash64(col("__s")).as("__h")).distinct())
-    val corpusShingles = Dedup.shingleDF(corpus, idCol, textCol, n)
-      .select(col("id"), col("sh"))
-      .withColumn("n_shingles", size(col("sh")))
-      .select(col("id"), col("n_shingles"), explode(col("sh")).as("__s"))
-      .select(col("id"), col("n_shingles"), xxhash64(col("__s")).as("__h"))
-    corpusShingles.join(benchShingles, Seq("__h"))
-      .groupBy(col("id"), col("n_shingles"))
-      .agg(count(lit(1)).as("n_matched"))
+      Dedup.shingleHashDF(bench.withColumn("__bid", lit(0L)), "__bid",
+          benchTextCol, n)
+        .select(explode(col("sh")).as("__h")).distinct())
+    // ONE explode pass over the corpus (native shingle hashing): a
+    // broadcast LEFT join marks the matching shingles, and a single
+    // map-side-combinable aggregation counts totals and matches together.
+    // (Neither a size() alongside the explode — CollapseProject inlines
+    // the shingle expression into every use, shingling the corpus twice —
+    // nor two separate aggregations, which execute the explode pipeline
+    // once each.)
+    val marked = Dedup.shingleHashDF(corpus, idCol, textCol, n)
+      .select(col("id"), explode(col("sh")).as("__h"))
+      .join(benchShingles.withColumn("__m", lit(1)), Seq("__h"), "left")
+    marked.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__m")).as("n_matched"))
       .filter(col("n_matched") >= minOverlap)
       .select(col("id"), col("n_matched"), col("n_shingles"),
         round(col("n_matched").cast("double") / col("n_shingles"), 6)

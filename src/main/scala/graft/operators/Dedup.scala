@@ -52,6 +52,21 @@ object Dedup {
     docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       .select(col("id"), shinglesFromTokens(col("__toks"), n).as("sh"))
 
+  /** (id, distinct shingle HASHES) via the native
+    * [[graft.functions.ShingleHashExpr]] — byte-identical to
+    * `transform(shingleDF.sh, xxhash64)` but one primitive loop per row
+    * instead of interpreted lambda soup (the measured dominant cost of
+    * every shingle pipeline). Use wherever downstream only ever joins /
+    * intersects / counts shingles; [[shingleDF]] stays for consumers that
+    * need the strings (the md5-family minhash signature).
+    */
+  def shingleHashDF(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        graft.functions.ShingleHashExpr.shingleHashes(col("__toks"), n)
+          .as("sh"))
+
   /** Exact duplicate groups: digest → (count, representative id).
     * groupBy on md5 so arbitrarily long docs cost a fixed-width shuffle key.
     */
@@ -136,9 +151,8 @@ object Dedup {
     val f = math.min(1.0, maxProbeDocs.toDouble / n)
     val sample = if (f >= 1.0) docs
       else Sampling.deterministicSample(docs, idCol, f)
-    val r = shingleDF(sample, idCol, textCol, shingleSize)
+    val r = shingleHashDF(sample, idCol, textCol, shingleSize)
       .select(explode(col("sh")).as("s"))
-      .select(xxhash64(col("s")).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > 1)
       .agg(sum(col("df")).as("n"),
@@ -155,7 +169,9 @@ object Dedup {
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3): DataFrame = {
-    val sh = shingleDF(docs, idCol, textCol, shingleSize)
+    // hashes, not strings: the intersect/union arithmetic is identical
+    // and the join ships ~8 bytes per shingle
+    val sh = shingleHashDF(docs, idCol, textCol, shingleSize)
       .select(col("id").as("__id"), col("sh").as("__sh"))
     pairs
       .join(sh.withColumnRenamed("__sh", "sh_a"),
@@ -204,12 +220,11 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
     val usePrefix = prefixFilter.getOrElse(
       shingleFanout(docs, idCol, textCol, shingleSize) > autoPrefixFanout)
-    val sh = shingleDF(docs, idCol, textCol, shingleSize)
+    // 8-byte shingle hashes, not ~20-char strings: same pairs and counts
+    // (64-bit collisions are ~2^-64), a third of the shuffle bytes — and
+    // hashed natively in one loop per row
+    val sh = shingleHashDF(docs, idCol, textCol, shingleSize)
       .withColumn("n", size(col("sh")))
-      // join on 8-byte shingle hashes, not ~20-char strings: same pairs and
-      // counts (64-bit collisions are ~2^-64), a third of the shuffle bytes
-      .select(col("id"), col("n"),
-        transform(col("sh"), s => xxhash64(s)).as("sh"))
     val inv0 = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
     // shingles in exactly one doc can never contribute to a pair — drop
     // them with a window count BEFORE the quadratic self-join. The window

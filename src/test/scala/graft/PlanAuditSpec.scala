@@ -58,6 +58,17 @@ class PlanAuditSpec extends SparkSpec {
     (plan("q49_sequence_packing") should not).include("SinglePartition")
   }
 
+  test("q53: the benchmark shingle set is the broadcast side — the corpus " +
+      "is never shuffled for candidate generation") {
+    val p = plan("q53_decontaminate")
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("q56: the training-order shuffle plans no single-task global sort") {
+    (plan("q56_corpus_shuffle") should not).include("SinglePartition")
+  }
+
   test("packing: slice offsets stay a broadcast join, not a CASE chain, " +
       "at production slice counts") {
     import spark.implicits._

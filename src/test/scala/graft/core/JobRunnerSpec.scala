@@ -80,6 +80,50 @@ class JobRunnerSpec extends SparkSpec {
     val packed = spark.read.parquet(tgt3)
     packed.count() shouldBe 3
     packed.columns should contain allOf ("chunk_id", "offset_in_chunk")
+
+    val tgt4 = tmp("jr_rs_tgt") + "/t"
+    val params4 = tmp("jr_rs_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(params4),
+      s"""{"source_dir": "$src", "target_dir": "$tgt4",
+         | "id_column": "doc_id", "text_column": "text"}""".stripMargin)
+    JobRunner.execute(spark, "RepetitionSignals", params4)
+    spark.read.parquet(tgt4).columns should contain allOf
+      ("dup_2gram_fraction", "top_2gram_fraction")
+
+    val tgt5 = tmp("jr_cs_tgt") + "/t"
+    val params5 = tmp("jr_cs_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(params5),
+      s"""{"source_dir": "$src", "target_dir": "$tgt5",
+         | "id_column": "doc_id", "num_shards": 2}""".stripMargin)
+    JobRunner.execute(spark, "CorpusShuffle", params5)
+    val shuffled = spark.read.parquet(tgt5)
+    shuffled.count() shouldBe 3
+    shuffled.columns should contain allOf ("shard", "pos_in_shard")
+
+    val tgt6 = tmp("jr_pr_tgt") + "/t"
+    val params6 = tmp("jr_pr_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(params6),
+      s"""{"source_dir": "$src", "target_dir": "$tgt6",
+         | "text_column": "text"}""".stripMargin)
+    JobRunner.execute(spark, "PiiRedaction", params6)
+    spark.read.parquet(tgt6).columns should contain allOf
+      ("red_text", "n_email")
+
+    val benchDir = tmp("jr_dc_bench") + "/b"
+    Seq("quick brown fox jumps over the lazy")
+      .toDF("qtext").write.parquet(benchDir)
+    val tgt7 = tmp("jr_dc_tgt") + "/t"
+    val params7 = tmp("jr_dc_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(params7),
+      s"""{"source_dir": "$src", "target_dir": "$tgt7",
+         | "benchmark_dir": "$benchDir",
+         | "id_column": "doc_id", "text_column": "text",
+         | "benchmark_text_column": "qtext",
+         | "ngram_size": 5, "min_overlap": 1}""".stripMargin)
+    JobRunner.execute(spark, "Decontaminate", params7)
+    // docs 1 and 2 contain the benchmark phrase and are dropped
+    spark.read.parquet(tgt7).select(col("doc_id")).as[Long]
+      .collect() shouldBe Array(3L)
   }
 
   test("unknown algorithm names are rejected") {
