@@ -777,6 +777,43 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("pos_in_shard"))
     }),
 
+    // S3: JSON write → schema-enforced FAILFAST read round-trip
+    "q57_json_load" -> ((s, dir) => {
+      val loc = tmpDir("graft_q57") + "/t"
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars"))
+        .write.json(loc)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      DataFormat.Json.read(s, Map("mode" -> "FAILFAST"), Some(schema), loc)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    }),
+
+    // A4: init-load condensation — technical-key DESC then recordmode ASC
+    // tiebreak (the init path prefers deletions over upserts on equal
+    // versions); rows are projected to the ordering keys so ties carry
+    // identical content and the gate is deterministic
+    "q58_init_condense" -> ((s, dir) => {
+      val d = t(s, dir, "events").select(
+        col("user_id"), col("event_type"),
+        (col("event_id") % 100).as("ver"),
+        when(col("event_id") % 3 === 0, "X")
+          .when(col("event_id") % 3 === 1, "N")
+          .otherwise("D").as("recordmode"))
+      DeltaMerge.condense(d, Seq("user_id", "event_type"), Seq("ver"),
+        Some("recordmode"), initOrder = true)
+    }),
+
+    // curation: int8 embedding quantization (native kernel; codes
+    // serialized to a string for the cross-engine compare)
+    "q59_quantize" -> ((s, dir) => {
+      Quantize.withQuantized(t(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), col("scale"),
+          concat_ws(",", transform(col("q"), _.cast("string"))).as("q_str"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -1544,6 +1581,40 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(text, '${Redact.phonePattern}'))
          |    AS INTEGER) AS n_phone
          |FROM pii""".stripMargin,
+
+    // mirrors the JSON round-trip: content identical to the source
+    "q57_json_load" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // mirrors DeltaMerge.condense(initOrder=true): ver DESC, recordmode
+    // ASC; tied winners carry identical projected content
+    "q58_init_condense" ->
+      """WITH d AS (
+        |  SELECT user_id, event_type, event_id % 100 AS ver,
+        |    CASE WHEN event_id % 3 = 0 THEN 'X'
+        |         WHEN event_id % 3 = 1 THEN 'N' ELSE 'D' END AS recordmode
+        |  FROM events)
+        |SELECT user_id, event_type, ver, recordmode FROM d
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ver DESC, recordmode) = 1""".stripMargin,
+
+    // mirrors Quantize.withQuantized: scale = max|x|/127 in double,
+    // codes floor(x/scale + 0.5) — floor, not round/CAST, so the tie
+    // handling is engine-independent
+    "q59_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, scale,
+        |  CASE WHEN scale = 0 THEN
+        |    array_to_string(list_transform(embedding, x -> 0), ',')
+        |  ELSE array_to_string(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER)),
+        |    ',') END AS q_str
+        |FROM m""".stripMargin,
 
     // mirrors Shuffling.shuffleIntoShards(numShards=8): identical md5
     // position keys, shard assignment, within-shard rank

@@ -232,6 +232,34 @@ class RedactSpec extends SparkSpec {
   }
 }
 
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("int8 quantization: exact codes, zero-vector guard, error bound") {
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Quantize.withQuantized(df, "embedding")
+      .select($"vec_id", $"scale", $"q")
+      .as[(Long, Double, Array[Int])].collect().sortBy(_._1)
+    out(0)._2 shouldBe (1.0 / 127.0)
+    out(0)._3 shouldBe Array(127, -63, 32, 0)
+    out(1)._2 shouldBe 0.0
+    out(1)._3 shouldBe Array(0, 0, 0, 0)
+    // reconstruction error bounded by scale/2 on every component
+    val rec = Quantize.withQuantized(df, "embedding")
+      .select($"embedding", $"scale",
+        Quantize.dequantized($"q", $"scale").as("deq"))
+      .as[(Array[Float], Double, Array[Double])].collect()
+    rec.foreach { case (orig, scale, deq) =>
+      orig.zip(deq).foreach { case (o, d) =>
+        math.abs(o.toDouble - d) should be <= (scale / 2 + 1e-12)
+      }
+    }
+  }
+}
+
 class ShufflingSpec extends SparkSpec {
   import spark.implicits._
 
