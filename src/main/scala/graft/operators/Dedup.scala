@@ -107,8 +107,14 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
     val r = k / bands
-    val sig = shingleDF(docs, idCol, textCol, shingleSize)
-      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+    // tokens → signature in ONE native evaluation (no interpreted shingle
+    // transform, no shingle-string array in the row); same md5 family, so
+    // the oracle's string-shingle formulation still matches bit-for-bit
+    val sig = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        graft.functions.ShingleMinHashExpr
+          .signature(col("__toks"), shingleSize, k).as("sig"))
       // Exchange barrier: CollapseProject would otherwise inline the whole
       // minhash chain into the band generator below and re-evaluate it per
       // band/seed (measured 8-30x). The shuffle moves only (id, k longs)
