@@ -814,6 +814,15 @@ object SparkEntry {
           concat_ws(",", transform(col("q"), _.cast("string"))).as("q_str"))
     }),
 
+    // P7: lowercase column normalization — mixed-case source columns land
+    // lowercased, values untouched
+    "q60_lowercase_cols" -> ((s, dir) => {
+      val mixed = t(s, dir, "region")
+        .select(col("r_regionkey").as("R_RegionKey"),
+          col("r_name").as("R_NAME"))
+      SchemaOps.lowercaseColumns(mixed)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -1615,6 +1624,10 @@ object SparkEntry {
         |    x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER)),
         |    ',') END AS q_str
         |FROM m""".stripMargin,
+
+    // mirrors SchemaOps.lowercaseColumns — names normalized, values as-is
+    "q60_lowercase_cols" ->
+      "SELECT r_regionkey AS r_regionkey, r_name AS r_name FROM region",
 
     // mirrors Shuffling.shuffleIntoShards(numShards=8): identical md5
     // position keys, shard assignment, within-shard rank

@@ -258,6 +258,31 @@ class QuantizeSpec extends SparkSpec {
       }
     }
   }
+
+  test("quantized search keeps top-k recall on clustered data") {
+    val rnd = new java.util.Random(7)
+    def gauss(d: Int) = Array.fill(d)(rnd.nextGaussian().toFloat)
+    val centers = Array.fill(8)(gauss(32))
+    val corpus = (0L until 240L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => x + 0.1f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 20 === 0)
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id",
+      "embedding", k = 5).select("query_id", "neighbor_id")
+    // search over int8-dequantized vectors (float cast: bruteForceTopK's
+    // cosine kernel takes float arrays)
+    val deqCorpus = Quantize.withQuantized(corpus, "embedding")
+      .select($"vec_id",
+        transform(Quantize.dequantized($"q", $"scale"),
+          _.cast("float")).as("embedding"))
+    val deqQueries = deqCorpus.filter($"vec_id" % 20 === 0)
+    val approx = Similarity.bruteForceTopK(deqQueries, deqCorpus, "vec_id",
+      "embedding", k = 5).select("query_id", "neighbor_id")
+    val recall = approx.intersect(exact).count().toDouble / exact.count()
+    info(s"int8 recall@5: $recall")
+    recall should be >= 0.9
+  }
 }
 
 class ShufflingSpec extends SparkSpec {
