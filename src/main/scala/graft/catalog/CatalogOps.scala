@@ -15,16 +15,30 @@ object CatalogOps {
     * below, so a per-table cache with explicit invalidation is safe.
     * Keyed by session too — tests run several sessions per JVM.
     */
+  // weak session keys: a static strong map would pin every test/CLI
+  // session (and its cached tables) against GC for the JVM's lifetime
   private val locationCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]()
+
+  private def perSession(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, String] =
+    locationCache.synchronized {
+      var m = locationCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        locationCache.put(spark, m)
+      }
+      m
+    }
 
   private[catalog] def invalidateLocation(spark: SparkSession,
       table: String): Unit =
-    locationCache.remove((spark, table))
+    perSession(spark).remove(table)
 
   def tableLocation(spark: SparkSession, table: String): String =
-    locationCache.computeIfAbsent((spark, table), { case (s, t) =>
-      s.sql(s"DESCRIBE FORMATTED $t").collect()
+    perSession(spark).computeIfAbsent(table, { t =>
+      spark.sql(s"DESCRIBE FORMATTED $t").collect()
         .find(r => Option(r.getString(0)).exists(_.trim.equalsIgnoreCase("Location")))
         .map(_.getString(1).trim)
         .getOrElse(throw new IllegalStateException(s"no location for $t"))

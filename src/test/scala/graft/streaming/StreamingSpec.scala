@@ -87,6 +87,35 @@ class EventStreamSpec extends SparkSpec {
   }
 }
 
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.streaming.Trigger
+
+  test("stateless curation columns apply unchanged to a stream " +
+      "(lang-id, quality, redaction)") {
+    val dir = tmp("stream_cur")
+    val batch = Seq(
+      (1L, "the cat is in the house and it is happy to stay here today"),
+      (2L, "der hund ist von dem haus und er ist gut mail x@y.io"))
+      .toDF("doc_id", "text")
+    batch.write.parquet(dir + "/p")
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Redact.withRedactions(
+        df.withColumn("lang", graft.operators.TextAnalysis.langId($"text"))
+          .withColumn("n_tokens",
+            graft.operators.TextAnalysis.tokenCount($"text")), "text")
+        .select($"doc_id", $"lang", $"n_tokens", $"red_text", $"n_email")
+    val q = curate(spark.readStream.schema(batch.schema).parquet(dir + "/p"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cur_test").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assertSameRows(spark.table("cur_test"), curate(batch))
+    spark.table("cur_test").filter($"doc_id" === 2)
+      .select($"lang", $"n_email").as[(String, Int)]
+      .collect() shouldBe Array(("de", 1))
+  }
+}
+
 class PackingSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Packing
