@@ -823,6 +823,18 @@ object SparkEntry {
       SchemaOps.lowercaseColumns(mixed)
     }),
 
+    // curation: near-dup CLUSTER labels — connected components over the
+    // verified minhash pair graph (iterative min-label propagation)
+    "q61_dedup_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardVerify(
+          Dedup.minhashCandidates(docs, "doc_id", "text"),
+          docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(pairs)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -1628,6 +1640,25 @@ object SparkEntry {
     // mirrors SchemaOps.lowercaseColumns — names normalized, values as-is
     "q60_lowercase_cols" ->
       "SELECT r_regionkey AS r_regionkey, r_name AS r_name FROM region",
+
+    // mirrors Dedup.connectedComponents over the same verified minhash
+    // pair graph: component = min id transitively reachable (recursive
+    // closure — fine at oracle scale; Spark runs label propagation)
+    "q61_dedup_components" ->
+      s"""WITH RECURSIVE ${minhashChainSql("documents")},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM j
+         |  WHERE CAST(inter AS DOUBLE)/uni >= 0.5),
+         |e AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+         |  WHERE r.src <> e2.dst)
+         |SELECT src AS id, least(src, min(dst)) AS component
+         |FROM reach GROUP BY src""".stripMargin,
 
     // mirrors Shuffling.shuffleIntoShards(numShards=8): identical md5
     // position keys, shard assignment, within-shard rank

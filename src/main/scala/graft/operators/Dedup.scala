@@ -357,6 +357,61 @@ object Dedup {
     survivors.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over an undirected near-duplicate pair list
+    * (`id_a`/`id_b`) via iterative min-label propagation: every node
+    * starts labeled with its own id; each round every node takes the
+    * minimum label among itself and its neighbors; at fixpoint the label
+    * is the component's minimum id. Returns (id, component) for every id
+    * that appears in a pair.
+    *
+    * The cluster-level dedup policy ([[dedupCorpus]]'s greedy pairwise
+    * drop is order-free but can over-drop transitively-linked chains;
+    * component labels let a curation job keep exactly one doc per
+    * near-dup CLUSTER).
+    *
+    * Scale shape: each round is one shuffle join on node id plus a
+    * map-side-combinable min aggregate; rounds = graph diameter (near-dup
+    * components are small and dense, so typically 2-4). `maxIter` bounds
+    * pathological chains; the loop exits early the first round nothing
+    * changes (the convergence check piggybacks on the same aggregate —
+    * one extra tiny count job per round on a persisted frame). Labels
+    * persist round to round (MEMORY_AND_DISK) and unpersist as soon as
+    * the next round materializes.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"),
+          col("label").as("__nl")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("__nl")).as("__nbr"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("__old"),
+          least(col("label"), coalesce(col("__nbr"), col("label")))
+            .as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.filter(col("label") =!= col("__old")).isEmpty
+      val prev = labels
+      labels = next.select(col("id"), col("label"))
+      prev.unpersist()
+      it += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
+
   /** SimHash near-dup candidates: band the fingerprint into
     * `maxHamming + 1` chunks; by pigeonhole, any pair within Hamming
     * distance `maxHamming` shares at least one identical chunk, so the

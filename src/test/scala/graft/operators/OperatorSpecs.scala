@@ -110,6 +110,21 @@ class DedupSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect() shouldBe Array(3L)
   }
 
+  test("connected components: chains collapse to min id, isolated pairs " +
+      "stay separate, long paths converge") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),            // chain -> component 1
+      (7L, 8L),                      // isolated pair -> component 7
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L))
+      .toDF("id_a", "id_b")          // 6-node path: needs >1 round
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    cc(1L) shouldBe 1L; cc(2L) shouldBe 1L; cc(3L) shouldBe 1L
+    cc(7L) shouldBe 7L; cc(8L) shouldBe 7L
+    (10L to 15L).foreach(i => cc(i) shouldBe 10L)
+    cc.size shouldBe 11
+  }
+
   test("simhash: identical docs have hamming 0, near dups small hamming") {
     val sim = Dedup.simhashDF(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
