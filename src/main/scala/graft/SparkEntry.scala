@@ -835,6 +835,14 @@ object SparkEntry {
       Dedup.connectedComponents(pairs)
     }),
 
+    // curation: unigram log-prob quality score against the corpus's own
+    // distribution (vocab capped at 20 of the corpus's 31 tokens so the
+    // truncation + OOV-floor paths are exercised, not just the happy path)
+    "q62_unigram_quality" -> ((s, dir) => {
+      TextAnalysis.unigramLogProbScore(t(s, dir, "documents"), "doc_id",
+        "text", vocabSize = 20)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -1659,6 +1667,24 @@ object SparkEntry {
          |  WHERE r.src <> e2.dst)
          |SELECT src AS id, least(src, min(dst)) AS component
          |FROM reach GROUP BY src""".stripMargin,
+
+    // mirrors TextAnalysis.unigramLogProbScore(vocabSize=20): same
+    // count/total division, natural log, OOV floor ln(0.5/total);
+    // round(…,6) absorbs any last-ulp libm difference between engines
+    "q62_unigram_quality" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |c AS (SELECT t, count(*) AS c FROM tk GROUP BY t),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM c),
+        |v AS (
+        |  SELECT t, ln(c / total) AS lp FROM c CROSS JOIN tot
+        |  QUALIFY row_number() OVER (ORDER BY c DESC, t) <= 20)
+        |SELECT doc_id,
+        |  round(avg(COALESCE(lp, ln(0.5 / total))), 6) AS unigram_logprob
+        |FROM tk LEFT JOIN v USING (t) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
 
     // mirrors Shuffling.shuffleIntoShards(numShards=8): identical md5
     // position keys, shard assignment, within-shard rank

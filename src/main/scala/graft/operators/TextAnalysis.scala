@@ -93,6 +93,43 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc * 31L + pmod(xxhash64(t), lit(1000000007L)))
 
+  /** CCNet-style unigram log-probability quality score: documents whose
+    * tokens are improbable under the corpus's own unigram distribution
+    * (gibberish, boilerplate codes, wrong-language fragments) score low.
+    *
+    *  1. ONE aggregation builds the vocabulary: token → count, kept to the
+    *     `vocabSize` most frequent (count desc, token asc tie-break), as
+    *     log(count/total) — total over ALL tokens, so the vocabulary is a
+    *     proper (truncated) distribution;
+    *  2. the vocabulary broadcasts (bounded by the parameter, not the
+    *     corpus — same O(C) discipline as the IVF centroids);
+    *  3. each doc's tokens LEFT-join the vocabulary map-side;
+    *     out-of-vocabulary tokens take a floor of log(0.5/total);
+    *  4. per-doc mean log-prob, rounded for cross-engine comparison.
+    *
+    * Scale: one map-side-combinable count shuffle for the vocab, one
+    * broadcast join + one per-doc aggregate for scoring. Scoring a NEW
+    * corpus against a FROZEN vocabulary is the same pipeline with the
+    * vocab frame loaded instead of computed.
+    */
+  def unigramLogProbScore(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 10000): DataFrame = {
+    val toks = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(col("__toks")).as("__t"))
+    val counts = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c"))).head.getLong(0).toDouble
+    val vocab = broadcast(counts
+      .orderBy(col("__c").desc, col("__t"))
+      .limit(vocabSize)
+      .select(col("__t"), log(col("__c") / total).as("__lp")))
+    val floor = math.log(0.5 / total)
+    toks.join(vocab, Seq("__t"), "left")
+      .groupBy(col(idCol))
+      .agg(round(avg(coalesce(col("__lp"), lit(floor))), 6)
+        .as("unigram_logprob"))
+  }
+
   /** Gopher-style intra-document repetition signals — the quality filters
     * that catch boilerplate/templated/spammy documents
     * (dup-line fraction, duplicate-2-gram fraction, most-frequent-2-gram

@@ -216,6 +216,23 @@ class TextAnalysisSpec extends SparkSpec {
     d2._5 shouldBe 0.0
   }
 
+  test("unigram logprob: common text scores higher than gibberish, " +
+      "OOV floors below any in-vocab token") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat sat again"),
+      (2L, "the cat sat on the mat once more today"),
+      (3L, "zxqv wvuk qqpl mmnx zzyy xxww ccvv bbnn"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProbScore(docs, "doc_id", "text",
+        vocabSize = 12)
+      .as[(Long, Double)].collect().toMap
+    out(1L) should be > out(3L)
+    out(2L) should be > out(3L)
+    // deterministic across evaluations
+    TextAnalysis.unigramLogProbScore(docs, "doc_id", "text", 12)
+      .as[(Long, Double)].collect().toMap shouldBe out
+  }
+
   test("quality features compute deterministic ratios") {
     val out = TextAnalysis.qualityFeatures(
       Seq("the quick brown fox, it jumps; over the lazy dog today now!")
