@@ -267,6 +267,12 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Shuffling.shuffleIntoShards(df,
         config.getString("id_column"), config.getInt("num_shards")))
+    case "UnigramQuality" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.unigramLogProbScore(df,
+        config.getString("id_column"), config.getString("text_column"),
+        vocabSize = config.getIntOpt("vocab_size").getOrElse(10000)))
     case "GzipDecompressorBytes" | "GzipDecompressor" =>
       val s = spark
       new Algorithm {

@@ -124,6 +124,15 @@ class JobRunnerSpec extends SparkSpec {
     // docs 1 and 2 contain the benchmark phrase and are dropped
     spark.read.parquet(tgt7).select(col("doc_id")).as[Long]
       .collect() shouldBe Array(3L)
+
+    val tgt8 = tmp("jr_uq_tgt") + "/t"
+    val params8 = tmp("jr_uq_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(params8),
+      s"""{"source_dir": "$src", "target_dir": "$tgt8",
+         | "id_column": "doc_id", "text_column": "text",
+         | "vocab_size": 8}""".stripMargin)
+    JobRunner.execute(spark, "UnigramQuality", params8)
+    spark.read.parquet(tgt8).columns should contain ("unigram_logprob")
   }
 
   test("unknown algorithm names are rejected") {
