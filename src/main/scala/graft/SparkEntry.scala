@@ -70,13 +70,16 @@ object SparkEntry {
           round(sum(col("l_extendedprice")), 2).as("sum_price"))
     }),
 
-    // J1 + A: 3-way join (dims broadcast) + deterministic top-N
+    // J1 + A: 3-way join + deterministic top-N. No forced broadcast on
+    // customer: it scales with sf, so the hint would override Spark's size
+    // check and OOM the build side at cluster scale; size-based planning /
+    // AQE still broadcasts it while it is genuinely small (PlanAuditSpec).
     "q03_top_revenue_orders" -> ((s, dir) => {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
       val rev = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
@@ -92,7 +95,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
     }),
 
-    // 5-way join: dims broadcast, fact shuffled once
+    // 5-way join: fixed-cardinality dims (nation/region) keep their
+    // broadcast hint; customer grows with sf so it is left to size-based
+    // planning (same rationale as q03/q43-q46).
     "q05_region_revenue" -> ((s, dir) => {
       val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
       val n = t(s, dir, "nation")
@@ -100,7 +105,7 @@ object SparkEntry {
       val o = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1996)
       val l = t(s, dir, "lineitem")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
@@ -652,6 +657,7 @@ object SparkEntry {
     "q49_sequence_packing" -> ((s, dir) => {
       Packing.packDocuments(t(s, dir, "documents"), "doc_id", "text",
           budgetTokens = 4096)
+        .frame
         .select(col("doc_id"), col("n_tokens"), col("chunk_id"),
           col("offset_in_chunk"))
     }),

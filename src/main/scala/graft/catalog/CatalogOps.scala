@@ -2,6 +2,10 @@ package graft.catalog
 
 import org.apache.spark.sql.SparkSession
 
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.util.{Failure, Try}
+
 /** Catalog/DDL surface (reference: src/main/scala/com/adidas/analytics/util/CatalogTableManager.scala,
   * util/RecoverPartitionsNative.scala, util/RecoverPartitionsCustom.scala,
   * algo/core/TableStatistics.scala). Thin `spark.sql`/`spark.catalog`
@@ -32,16 +36,29 @@ object CatalogOps {
       m
     }
 
+  /** Cache entries are keyed by the catalog-qualified name, not the raw
+    * string the caller passed: `t` and `db.t` must hit the same entry, and
+    * an unqualified name must not survive a `USE other_db` in between
+    * (a stale hit here would let writeToTableLocation install data at the
+    * wrong path).
+    */
+  private def qualifiedName(spark: SparkSession, table: String): String = {
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(table)
+    val full =
+      if (parts.length == 1) spark.catalog.currentDatabase +: parts else parts
+    full.map(_.toLowerCase(java.util.Locale.ROOT)).mkString(".")
+  }
+
   private[catalog] def invalidateLocation(spark: SparkSession,
       table: String): Unit =
-    perSession(spark).remove(table)
+    perSession(spark).remove(qualifiedName(spark, table))
 
   def tableLocation(spark: SparkSession, table: String): String =
-    perSession(spark).computeIfAbsent(table, { t =>
-      spark.sql(s"DESCRIBE FORMATTED $t").collect()
+    perSession(spark).computeIfAbsent(qualifiedName(spark, table), { _ =>
+      spark.sql(s"DESCRIBE FORMATTED $table").collect()
         .find(r => Option(r.getString(0)).exists(_.trim.equalsIgnoreCase("Location")))
         .map(_.getString(1).trim)
-        .getOrElse(throw new IllegalStateException(s"no location for $t"))
+        .getOrElse(throw new IllegalStateException(s"no location for $table"))
     })
 
   def setTableLocation(spark: SparkSession, table: String,
@@ -73,16 +90,44 @@ object CatalogOps {
   def refresh(spark: SparkSession, table: String): Unit =
     spark.catalog.refreshTable(table)
 
+  /** Run `f` over `items` on a bounded thread pool, waiting for ALL to
+    * finish (so no rewrite is abandoned mid-flight), then rethrowing the
+    * first failure. Spark job submission is thread-safe; per-item work here
+    * is an independent small job plus per-directory FS renames, so
+    * concurrency is bounded only to keep the scheduler from flooding.
+    */
+  private[catalog] def runConcurrently[A](items: Seq[A], maxConcurrent: Int)
+      (f: A => Unit): Unit =
+    if (items.size <= 1 || maxConcurrent <= 1) items.foreach(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(maxConcurrent, items.size))
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try {
+        val outcomes = Await.result(
+          Future.sequence(items.map(a => Future(Try(f(a))))),
+          Duration.Inf)
+        outcomes.collectFirst { case Failure(e) => throw e }
+      } finally pool.shutdown()
+    }
+
   /** Compact the given partitions to a controlled file count — the native
     * equivalent of the reference's Delta compaction (reference:
     * algo/loads/DeltaLakeLoad.scala:309-352: rewrite affected partitions
     * with dataChange=false). Each partition dir is rewritten through a
     * temp dir + atomic rename; content is unchanged.
+    *
+    * Partitions are rewritten CONCURRENTLY (bounded by `maxConcurrent`):
+    * each rewrite is one small Spark job plus renames confined to its own
+    * partition directory, so a full-table compaction over thousands of
+    * partitions is wall-clock-bounded by the largest partition, not the
+    * sum of thousands of serial driver round-trips.
     */
   def compactPartitions(spark: SparkSession, fsOps: graft.fsops.FsOps,
       tableDir: String, partitionDirs: Seq[String],
-      filesPerPartition: Int): Unit =
-    partitionDirs.foreach { p =>
+      filesPerPartition: Int, maxConcurrent: Int = 8): Unit =
+    runConcurrently(partitionDirs, maxConcurrent) { p =>
       val dir = s"$tableDir/$p"
       val tmp = fsOps.timestampedDir(dir + "_compact")
       spark.read.parquet(dir).repartition(filesPerPartition)
@@ -102,15 +147,18 @@ object CatalogOps {
 
   /** ANALYZE statistics, whole-table and optionally per partition
     * (reference: TableStatistics.scala:22-123). Feeds Spark CBO.
+    * Per-partition ANALYZE jobs are tiny and independent — they run on the
+    * same bounded pool as [[compactPartitions]] instead of a serial loop.
     */
   def computeStatistics(spark: SparkSession, table: String,
       perPartition: Boolean = false,
-      partitionColumns: Seq[String] = Seq.empty): Unit = {
+      partitionColumns: Seq[String] = Seq.empty,
+      maxConcurrent: Int = 8): Unit = {
     spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
     if (perPartition && partitionColumns.nonEmpty) {
       val parts = spark.sql(s"SHOW PARTITIONS $table").collect()
         .map(_.getString(0))
-      parts.foreach { p =>
+      runConcurrently(parts.toSeq, maxConcurrent) { p =>
         val spec = p.split("/").map { kv =>
           val Array(k, v) = kv.split("=", 2)
           s"$k='$v'"

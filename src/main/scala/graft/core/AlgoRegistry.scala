@@ -239,7 +239,7 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Packing.packDocuments(df,
         config.getString("id_column"), config.getString("text_column"),
-        budgetTokens = config.getInt("budget_tokens").toLong))
+        budgetTokens = config.getInt("budget_tokens").toLong).frame)
     case "Decontaminate" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),

@@ -39,6 +39,8 @@ case class QuantizeVectorExpr(child: Expression) extends UnaryExpression {
 
   @transient private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val mayContainNull: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
 
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
@@ -50,6 +52,14 @@ case class QuantizeVectorExpr(child: Expression) extends UnaryExpression {
     var m = 0.0
     var i = 0
     while (i < n) {
+      // a null slot read through getFloat/getDouble on UnsafeArrayData is
+      // undefined bytes, not 0.0 — fail loudly: a sparse/corrupt vector
+      // must not quantize to garbage codes (parquet-loaded arrays are
+      // typed containsNull=true even when dense, so rejecting the TYPE
+      // would break every real caller; only an actual null is an error)
+      if (mayContainNull && arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"quantize_vector: null element at index $i - dense vector required")
       val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       xs(i) = v
       val a = math.abs(v)

@@ -372,44 +372,75 @@ object Dedup {
     * Scale shape: each round is one shuffle join on node id plus a
     * map-side-combinable min aggregate; rounds = graph diameter (near-dup
     * components are small and dense, so typically 2-4). `maxIter` bounds
-    * pathological chains; the loop exits early the first round nothing
-    * changes (the convergence check piggybacks on the same aggregate —
-    * one extra tiny count job per round on a persisted frame). Labels
-    * persist round to round (MEMORY_AND_DISK) and unpersist as soon as
-    * the next round materializes.
+    * pathological chains — and exhausting it without converging THROWS
+    * (silently returning partial labels would mislabel every long-chain
+    * component; pass `failOnNonConvergence = false` to get a warning and
+    * the partial labels instead, e.g. for exploratory runs). The loop
+    * exits early the first round nothing changes (the convergence check
+    * piggybacks on the same aggregate — one extra tiny count job per
+    * round on a persisted frame). Labels persist round to round
+    * (MEMORY_AND_DISK) and unpersist as soon as the next round
+    * materializes. The RETURNED frame is the final persisted frame
+    * itself (already materialized by the convergence check) — callers
+    * release the cache with `result.unpersist()` when done.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      failOnNonConvergence: Boolean = true): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the label column carries its final name from round 0 so the frame
+    // handed back is the persisted one (a rename projection on top would
+    // break callers' unpersist())
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+      .withColumn("component", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // labels only ever DECREASE under min-propagation, so the round
+    // converged iff the label sum is unchanged — one decimal aggregate on
+    // the just-persisted frame doubles as its materialization (decimal:
+    // a long sum could wrap at corpus-scale id magnitudes)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("component").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d // empty graph
+    }
+    var prevSum = labelSum(labels)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"),
-          col("label").as("__nl")), Seq("dst"))
+          col("component").as("__nl")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("__nl")).as("__nbr"))
       val next = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("__old"),
-          least(col("label"), coalesce(col("__nbr"), col("label")))
-            .as("label"))
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nbr"), col("component")))
+            .as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.filter(col("label") =!= col("__old")).isEmpty
-      val prev = labels
-      labels = next.select(col("id"), col("label"))
-      prev.unpersist()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels.unpersist()
+      labels = next
       it += 1
     }
     edges.unpersist()
-    labels.withColumnRenamed("label", "component")
+    if (!converged) {
+      val msg = s"connectedComponents did not converge within $maxIter " +
+        "rounds (a component's diameter exceeds maxIter) - labels are " +
+        "partial; raise maxIter"
+      if (failOnNonConvergence) {
+        labels.unpersist()
+        throw new IllegalStateException(msg)
+      }
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+    labels
   }
 
   /** SimHash near-dup candidates: band the fingerprint into

@@ -38,9 +38,8 @@ import org.apache.spark.storage.StorageLevel
   * this operator exists for. Persisting the sliced frame materializes the
   * slice assignment once; both the totals job and the final join read the
   * same cached rows. The cached frame is 4 narrow columns (~32 bytes/row
-  * — ~30 GB cluster-wide per 10^9 docs, MEMORY_AND_DISK), and is
-  * unpersisted when the session's next gc of the returned frame drops it,
-  * or explicitly via [[unpersistHandle]].
+  * — ~30 GB cluster-wide per 10^9 docs, MEMORY_AND_DISK), and is released
+  * per call via [[Packing.Packed.release]] on the returned handle.
   *
   * Token offsets are exact integer arithmetic end to end (`div`/`%` on
   * longs — double `floor(a/b)` loses exactness past 2^53, within reach of
@@ -50,15 +49,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object Packing {
 
-  /** The persisted intermediate of the most recent [[withChunkIds]] call,
-    * exposed so long-lived sessions can free it after the output is
-    * written. Unpersisting BEFORE the caller's action would reopen the
-    * double-execution window, so it is never automatic.
+  /** Result of a packing call: the chunked frame plus the release handle
+    * for its load-bearing persisted intermediate. PER-CALL state — a
+    * shared "last persisted" singleton would let two concurrent packing
+    * jobs in one JVM clobber each other's handle and leak a cached frame.
+    * Unpersisting BEFORE the caller's action on `frame` would reopen the
+    * double-execution window the persist exists to close, so release is
+    * never automatic: call `release()` once the output is written.
     */
-  @volatile private var lastPersisted: Option[DataFrame] = None
-  def unpersistHandle(): Unit = {
-    lastPersisted.foreach(_.unpersist())
-    lastPersisted = None
+  final case class Packed(frame: DataFrame,
+      private val cached: DataFrame) {
+    def release(): Unit = cached.unpersist()
   }
 
   /** Adds `chunk_id`, `offset_in_chunk` for concat-and-chunk at
@@ -67,7 +68,7 @@ object Packing {
     * concat-then-split semantics).
     */
   def withChunkIds(docs: DataFrame, idCol: String, tokenCountCol: String,
-      budgetTokens: Long, slices: Int = 0): DataFrame = {
+      budgetTokens: Long, slices: Int = 0): Packed = {
     val spark = docs.sparkSession
     import spark.implicits._
     val n = if (slices > 0) slices
@@ -84,7 +85,6 @@ object Packing {
     val withLocal = sliced.withColumn("__local_cum",
         sum(col(tokenCountCol)).over(w) - col(tokenCountCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    lastPersisted = Some(withLocal)
     // tiny driver collect: one row per slice — this action also populates
     // the cache, pinning the slice assignment for the final job
     val totals = withLocal.groupBy(col("__slice"))
@@ -99,12 +99,12 @@ object Packing {
       .select(col(idCol),
         expr(s"__before div ${budgetTokens}L").as("chunk_id"),
         (col("__before") % budgetTokens).as("offset_in_chunk"))
-    docs.join(assigned, Seq(idCol))
+    Packed(docs.join(assigned, Seq(idCol)), withLocal)
   }
 
   /** Convenience: tokenize with [[TextAnalysis.tokenCount]] then chunk. */
   def packDocuments(docs: DataFrame, idCol: String, textCol: String,
-      budgetTokens: Long): DataFrame =
+      budgetTokens: Long): Packed =
     withChunkIds(
       docs.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol))),
       idCol, "n_tokens", budgetTokens)

@@ -28,8 +28,16 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q05: all four dimensions broadcast; the fact is never re-shuffled") {
+    // customer carries no broadcast() hint (it grows with sf) — this
+    // asserts size-based planning still picks broadcast for all four dims
     val p = plan("q05_region_revenue")
     "BroadcastHashJoin".r.findAllIn(p).size should be >= 4
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("q03: unhinted customer still broadcasts via size-based planning") {
+    val p = plan("q03_top_revenue_orders")
+    "BroadcastHashJoin".r.findAllIn(p).size should be >= 1
     (p should not).include("SortMergeJoin")
   }
 
@@ -80,8 +88,9 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast join (one BroadcastExchange, zero CASE WHEN) and the
     // arithmetic must stay integer-exact.
     val docs = (1L to 2000L).map(i => (i, (i % 53 + 1).toInt)).toDF("id", "n")
-    val out = Packing.withChunkIds(docs, "id", "n", budgetTokens = 257,
+    val packed = Packing.withChunkIds(docs, "id", "n", budgetTokens = 257,
       slices = 1024)
+    val out = packed.frame
     val p = out.queryExecution.executedPlan.toString
     (p should not).include("CASE WHEN")
     p should include("BroadcastExchange")
@@ -93,6 +102,6 @@ class PlanAuditSpec extends SparkSpec {
       (i, before / 257, before % 257)
     }
     got shouldBe exp.toArray
-    Packing.unpersistHandle()
+    packed.release()
   }
 }

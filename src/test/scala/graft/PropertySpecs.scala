@@ -84,10 +84,12 @@ class CurationProperties extends SparkSpec {
     val lens = samples(Gen.choose(1, 300), 400)
     val docs = lens.zipWithIndex.map { case (n, i) => (i.toLong, n) }
       .toDF("id", "n")
-    val out = Packing.withChunkIds(docs, "id", "n", budgetTokens = 512,
+    val packed = Packing.withChunkIds(docs, "id", "n", budgetTokens = 512,
         slices = 5)
+    val out = packed.frame
       .select($"id", $"n", $"chunk_id", $"offset_in_chunk")
       .as[(Long, Int, Long, Long)].collect().sortBy(_._1)
+    packed.release()
     // offsets stay inside the budget; chunk ids are non-decreasing in id
     // order; each doc starts exactly where the previous one ended
     all(out.map(_._4)) should (be >= 0L and be < 512L)

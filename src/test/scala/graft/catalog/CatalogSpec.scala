@@ -128,4 +128,49 @@ class CatalogOpsSpec extends SparkSpec {
     fsOps.ls(s"$dir/p=p1").count(_.endsWith(".parquet")) shouldBe 1
     spark.read.parquet(s"$dir/p=p1").count() shouldBe 100
   }
+
+  test("compactPartitions handles many partitions concurrently and intact") {
+    import graft.fsops.FsOps
+    val fsOps = new FsOps(spark.sparkContext.hadoopConfiguration)
+    val dir = tmp("cmp_many") + "/t"
+    spark.range(1000).selectExpr("id AS v", "concat('g', id % 10) AS p")
+      .repartition(6)
+      .write.partitionBy("p").parquet(dir)
+    val parts = (0 until 10).map(i => s"p=g$i")
+    val before = spark.read.parquet(dir)
+      .groupBy($"p").count().as[(String, Long)].collect().toMap
+    CatalogOps.compactPartitions(spark, fsOps, dir, parts, 1,
+      maxConcurrent = 8)
+    parts.foreach { p =>
+      fsOps.ls(s"$dir/$p").count(_.endsWith(".parquet")) shouldBe 1
+    }
+    val after = spark.read.parquet(dir)
+      .groupBy($"p").count().as[(String, Long)].collect().toMap
+    after shouldBe before
+    after.values.sum shouldBe 1000L
+  }
+
+  test("runConcurrently genuinely overlaps work and still rethrows " +
+      "the first failure after waiting for all items") {
+    // two items each block until the OTHER has started: passes only if
+    // they run at the same time (a serial loop would deadlock — the
+    // latch has a timeout so a regression fails fast instead of hanging)
+    val started = new java.util.concurrent.CountDownLatch(2)
+    CatalogOps.runConcurrently(Seq(1, 2), maxConcurrent = 4) { _ =>
+      started.countDown()
+      assert(started.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "items did not overlap: compaction has regressed to a serial loop")
+    }
+    // failure propagation: every item still runs (no abandoned rewrite
+    // mid-flight), and the first error surfaces to the caller
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val e = intercept[IllegalStateException] {
+      CatalogOps.runConcurrently(Seq(1, 2, 3, 4), maxConcurrent = 2) { i =>
+        ran.incrementAndGet()
+        if (i == 2) throw new IllegalStateException("boom")
+      }
+    }
+    e.getMessage shouldBe "boom"
+    ran.get() shouldBe 4
+  }
 }

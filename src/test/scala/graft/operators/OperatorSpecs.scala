@@ -125,6 +125,26 @@ class DedupSpec extends SparkSpec {
     cc.size shouldBe 11
   }
 
+  test("connected components: a path longer than maxIter fails loudly " +
+      "instead of returning partial labels") {
+    // min label travels one hop per round: a 9-edge path cannot converge
+    // in 3 rounds
+    val longPath = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(longPath, maxIter = 3)
+    }
+    e.getMessage should include("did not converge")
+    // opt-out path returns the partial labels (with a logged warning)
+    val partial = Dedup.connectedComponents(longPath, maxIter = 3,
+      failOnNonConvergence = false)
+    partial.count() shouldBe 10
+    partial.unpersist()
+    // and with enough rounds the same graph converges to one component
+    val full = Dedup.connectedComponents(longPath, maxIter = 20)
+    full.as[(Long, Long)].collect().foreach(_._2 shouldBe 1L)
+    full.unpersist()
+  }
+
   test("simhash: identical docs have hamming 0, near dups small hamming") {
     val sim = Dedup.simhashDF(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -122,10 +122,12 @@ class PackingSpec extends SparkSpec {
 
   test("chunk ids equal the single-partition ordered cumsum (prefix-sum correctness)") {
     val docs = (1L to 500L).map(i => (i, (i % 37 + 1).toInt)).toDF("id", "n")
-    val out = Packing.withChunkIds(docs, "id", "n", budgetTokens = 100,
+    val packed = Packing.withChunkIds(docs, "id", "n", budgetTokens = 100,
         slices = 7)
+    val out = packed.frame
       .select($"id", $"chunk_id", $"offset_in_chunk")
       .as[(Long, Long, Long)].collect().sortBy(_._1)
+    packed.release()
     // oracle: sequential scan
     var cum = 0L
     val exp = (1L to 500L).map { i =>
@@ -138,9 +140,31 @@ class PackingSpec extends SparkSpec {
   test("no single-task global window in the plan") {
     val docs = (1L to 100L).map(i => (i, 5)).toDF("id", "n")
     val plan = Packing.withChunkIds(docs, "id", "n", 64, slices = 4)
-      .queryExecution.executedPlan.toString
+      .frame.queryExecution.executedPlan.toString
     // the scale-killer would be Exchange SinglePartition feeding a Window
     plan should not include "SinglePartition"
+  }
+
+  test("two interleaved packing calls keep independent persist handles") {
+    // the old shared lastPersisted singleton would leak call A's cached
+    // frame when call B started; per-call handles must stay independent:
+    // releasing A must not disturb B's load-bearing cache
+    val a = Packing.withChunkIds(
+      (1L to 300L).map(i => (i, 3)).toDF("id", "n"), "id", "n", 64,
+      slices = 5)
+    val b = Packing.withChunkIds(
+      (1L to 200L).map(i => (i, 7)).toDF("id", "n"), "id", "n", 50,
+      slices = 3)
+    a.release()
+    // b still computes correctly after a's release
+    val got = b.frame.select($"id", $"chunk_id", $"offset_in_chunk")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    val exp = (1L to 200L).map { i =>
+      val before = cum; cum += 7; (i, before / 50, before % 50)
+    }
+    got shouldBe exp.toArray
+    b.release()
   }
 }
 
