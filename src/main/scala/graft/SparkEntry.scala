@@ -849,6 +849,25 @@ object SparkEntry {
         "text", vocabSize = 20)
     }),
 
+    // streaming: the batch face of EventStream.intervalJoin — the SAME
+    // expression runs under dual watermarks as a stream-stream join
+    // (streaming spec asserts stream==batch row-for-row); this gate
+    // oracles the join's interval semantics against DuckDB
+    "q63_interval_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event_id"),
+          col("user_id").as("c_user"), col("ts").as("c_ts"))
+      EventStream.intervalJoin(purchases, clicks, "p_user", "c_user",
+          "p_ts", "c_ts", lookback = "2 hours", horizon = "30 minutes")
+        .select(col("p_event_id"), col("c_event_id"),
+          col("p_user").as("user_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -1702,6 +1721,22 @@ object SparkEntry {
          |SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,
          |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
          |    AS INTEGER) AS pos_in_shard
-         |FROM h""".stripMargin
+         |FROM h""".stripMargin,
+
+    // mirrors EventStream.intervalJoin (batch face): purchases join the
+    // clicks of the same user in [p_ts − 2h, p_ts]; event ts values are
+    // microsecond-aligned so Spark (micros) and DuckDB (nanos) agree
+    // exactly on the interval boundary
+    "q63_interval_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_event_id, user_id AS p_user, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS c_event_id, user_id AS c_user, ts AS c_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p_event_id, c_event_id, p_user AS user_id,
+        |  epoch_us(p_ts) - epoch_us(c_ts) AS gap_us
+        |FROM p JOIN c ON p_user = c_user
+        |  AND c_ts >= p_ts - INTERVAL 2 HOUR AND c_ts <= p_ts""".stripMargin
   )
 }

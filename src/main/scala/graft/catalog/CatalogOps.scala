@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.SparkSession
 
-import scala.concurrent.duration.Duration
+import scala.concurrent.duration.{Duration, DurationInt, FiniteDuration}
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.util.{Failure, Try}
 
@@ -92,12 +92,20 @@ object CatalogOps {
 
   /** Run `f` over `items` on a bounded thread pool, waiting for ALL to
     * finish (so no rewrite is abandoned mid-flight), then rethrowing the
-    * first failure. Spark job submission is thread-safe; per-item work here
+    * first failure with the rest attached as suppressed (a multi-partition
+    * compaction failing in several partitions reports every error, not
+    * just one). Spark job submission is thread-safe; per-item work here
     * is an independent small job plus per-directory FS renames, so
     * concurrency is bounded only to keep the scheduler from flooding.
+    *
+    * The wait is BOUNDED (`timeout`, shared across all items — reference
+    * precedent: its decompression pool awaits at most 4 h,
+    * algo/GzipDecompressor.scala:86): one hung FS rename must not stall a
+    * compaction run forever. On timeout the thrown TimeoutException names
+    * the stuck item and in-flight threads are interrupted.
     */
-  private[catalog] def runConcurrently[A](items: Seq[A], maxConcurrent: Int)
-      (f: A => Unit): Unit =
+  private[catalog] def runConcurrently[A](items: Seq[A], maxConcurrent: Int,
+      timeout: FiniteDuration = 4.hours)(f: A => Unit): Unit =
     if (items.size <= 1 || maxConcurrent <= 1) items.foreach(f)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -105,11 +113,24 @@ object CatalogOps {
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(pool)
       try {
-        val outcomes = Await.result(
-          Future.sequence(items.map(a => Future(Try(f(a))))),
-          Duration.Inf)
-        outcomes.collectFirst { case Failure(e) => throw e }
-      } finally pool.shutdown()
+        val futures = items.map(a => a -> Future(Try(f(a))))
+        val deadline = timeout.fromNow
+        val outcomes = futures.map { case (item, fut) =>
+          try Await.result(fut, deadline.timeLeft.max(Duration.Zero))
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              throw new java.util.concurrent.TimeoutException(
+                s"concurrent task for '$item' still running after " +
+                  s"$timeout - aborting the wait (increase the timeout " +
+                  "for genuinely long rewrites)")
+          }
+        }
+        val failures = outcomes.collect { case Failure(e) => e }
+        failures.headOption.foreach { first =>
+          failures.drop(1).foreach(first.addSuppressed)
+          throw first
+        }
+      } finally pool.shutdownNow()
     }
 
   /** Compact the given partitions to a controlled file count — the native
@@ -126,8 +147,9 @@ object CatalogOps {
     */
   def compactPartitions(spark: SparkSession, fsOps: graft.fsops.FsOps,
       tableDir: String, partitionDirs: Seq[String],
-      filesPerPartition: Int, maxConcurrent: Int = 8): Unit =
-    runConcurrently(partitionDirs, maxConcurrent) { p =>
+      filesPerPartition: Int, maxConcurrent: Int = 8,
+      timeout: FiniteDuration = 4.hours): Unit =
+    runConcurrently(partitionDirs, maxConcurrent, timeout) { p =>
       val dir = s"$tableDir/$p"
       val tmp = fsOps.timestampedDir(dir + "_compact")
       spark.read.parquet(dir).repartition(filesPerPartition)

@@ -10,20 +10,44 @@ import org.apache.spark.sql.types.{DataType, StructType}
 /** Generic read → transform → atomic-write algorithm for the pure
   * DataFrame-transform algorithms (Transpose, NestedFlattener,
   * FixedSizeStringExtractor): one scan of source_dir, the transform, one
-  * atomic overwrite of target_dir.
+  * atomic overwrite of target_dir. A transform whose operator pins a
+  * load-bearing persisted intermediate (e.g. Packing's prefix-sum frame)
+  * returns [[TransformAlgorithm.Out]] with a cleanup thunk, which runs
+  * AFTER the output write lands — releasing the cache early would reopen
+  * the double-execution window the persist closes, and never releasing it
+  * pins the frame for the life of the session.
   */
+private[core] object TransformAlgorithm {
+  import scala.language.implicitConversions
+
+  /** Transform result: output frame + post-write cleanup. */
+  final case class Out(frame: DataFrame, cleanup: () => Unit = () => ())
+
+  /** Lets cleanup-free transforms stay written as `df => frame`. */
+  implicit def lift(frame: DataFrame): Out = Out(frame)
+}
+
 private[core] class TransformAlgorithm(val spark: SparkSession, fsOps: FsOps,
     sourceDir: String, targetDir: String, format: DataFormat,
-    outputFilesNum: Option[Int], fn: DataFrame => DataFrame)
+    outputFilesNum: Option[Int], fn: DataFrame => TransformAlgorithm.Out)
     extends Algorithm {
+  private var cleanups: Vector[() => Unit] = Vector.empty
   override def read(): Vector[DataFrame] =
     Vector(format.read(spark, Map.empty, None, sourceDir))
   override def transform(dfs: Vector[DataFrame]): Vector[DataFrame] =
-    dfs.map(fn)
+    dfs.map { df =>
+      val out = fn(df)
+      cleanups :+= out.cleanup
+      out.frame
+    }
   override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
     val w = new AtomicWriter(fsOps, Seq.empty, outputFilesNum)
-    dfs.foreach(df =>
+    try dfs.foreach(df =>
       w.write(df, DataFormat.Parquet, targetDir, LoadMode.OverwriteTable))
+    finally {
+      cleanups.foreach(_.apply())
+      cleanups = Vector.empty
+    }
     dfs
   }
 }
@@ -237,9 +261,12 @@ object AlgoRegistry {
     case "SequencePacking" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),
-      df => graft.operators.Packing.packDocuments(df,
-        config.getString("id_column"), config.getString("text_column"),
-        budgetTokens = config.getInt("budget_tokens").toLong).frame)
+      df => {
+        val packed = graft.operators.Packing.packDocuments(df,
+          config.getString("id_column"), config.getString("text_column"),
+          budgetTokens = config.getInt("budget_tokens").toLong)
+        TransformAlgorithm.Out(packed.frame, () => packed.release())
+      })
     case "Decontaminate" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),
@@ -267,11 +294,28 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Shuffling.shuffleIntoShards(df,
         config.getString("id_column"), config.getInt("num_shards")))
+    // scores against a FROZEN vocabulary when `vocabulary_dir` is given
+    // (built once by UnigramVocabulary below — the production shape:
+    // freeze on a reference corpus, score every later batch against it);
+    // otherwise computes the vocabulary inline from the scored corpus
     case "UnigramQuality" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),
-      df => graft.operators.TextAnalysis.unigramLogProbScore(df,
-        config.getString("id_column"), config.getString("text_column"),
+      df => config.getStringOpt("vocabulary_dir") match {
+        case Some(vocabDir) =>
+          graft.operators.TextAnalysis.scoreWithVocabulary(df,
+            config.getString("id_column"), config.getString("text_column"),
+            spark.read.parquet(vocabDir))
+        case None =>
+          graft.operators.TextAnalysis.unigramLogProbScore(df,
+            config.getString("id_column"), config.getString("text_column"),
+            vocabSize = config.getIntOpt("vocab_size").getOrElse(10000))
+      })
+    case "UnigramVocabulary" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.unigramVocabulary(df,
+        config.getString("text_column"),
         vocabSize = config.getIntOpt("vocab_size").getOrElse(10000)))
     case "GzipDecompressorBytes" | "GzipDecompressor" =>
       val s = spark

@@ -371,18 +371,35 @@ object Dedup {
     *
     * Scale shape: each round is one shuffle join on node id plus a
     * map-side-combinable min aggregate; rounds = graph diameter (near-dup
-    * components are small and dense, so typically 2-4). `maxIter` bounds
-    * pathological chains — and exhausting it without converging THROWS
-    * (silently returning partial labels would mislabel every long-chain
-    * component; pass `failOnNonConvergence = false` to get a warning and
-    * the partial labels instead, e.g. for exploratory runs). The loop
-    * exits early the first round nothing changes (the convergence check
-    * piggybacks on the same aggregate — one extra tiny count job per
-    * round on a persisted frame). Labels persist round to round
-    * (MEMORY_AND_DISK) and unpersist as soon as the next round
-    * materializes. The RETURNED frame is the final persisted frame
-    * itself (already materialized by the convergence check) — callers
-    * release the cache with `result.unpersist()` when done.
+    * components are small and dense, so typically 2-4). Each round's
+    * labels are `localCheckpoint`ed — the label data is tiny next to the
+    * corpus, and WITHOUT the lineage cut the logical plan doubles every
+    * round (labels feeds both sides of the next round's join), so by
+    * round ~10 the driver dies in plan analysis before a single task
+    * runs; with it the plan is one leaf per round regardless of depth.
+    * (localCheckpoint's standard caveat applies: losing an executor
+    * mid-computation fails the job instead of recomputing — acceptable
+    * for an iterative refinement that simply reruns.)
+    *
+    * Convergence: a round converged iff NO label changed, counted
+    * directly from a `__changed` flag computed alongside the new label
+    * (old neighbor-min < old label). The count is exact and type-generic
+    * — ids can be strings/decimals/longs alike (a previous sum-based
+    * check cast ids to decimal, which with ANSI off turned string ids
+    * into nulls and silently "converged" after one round with wrong
+    * labels). A round that changes nothing is pure verification and is
+    * granted beyond `maxIter`, so a component of diameter exactly
+    * `maxIter` still converges; only a graph still CHANGING after
+    * `maxIter` change-rounds THROWS (silently returning partial labels
+    * would mislabel every long-chain component; pass
+    * `failOnNonConvergence = false` to get a warning and the partial
+    * labels instead, e.g. for exploratory runs).
+    *
+    * Storage: intermediate rounds release their checkpoint blocks as
+    * soon as the next round materializes; the RETURNED frame is a
+    * persisted, already-materialized cache (the final checkpoint is
+    * dropped once the cache is built) — callers release it with
+    * `result.unpersist()` when done, leaving zero residual storage.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       failOnNonConvergence: Boolean = true): DataFrame = {
@@ -392,41 +409,32 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // the label column carries its final name from round 0 so the frame
-    // handed back is the persisted one (a rename projection on top would
-    // break callers' unpersist())
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // labels only ever DECREASE under min-propagation, so the round
-    // converged iff the label sum is unchanged — one decimal aggregate on
-    // the just-persisted frame doubles as its materialization (decimal:
-    // a long sum could wrap at corpus-scale id magnitudes)
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val d = df.agg(sum(col("component").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
-      if (d == null) java.math.BigDecimal.ZERO else d // empty graph
-    }
-    var prevSum = labelSum(labels)
+    var checkpointed: DataFrame = null
     var it = 0
     var converged = false
-    while (!converged && it < maxIter) {
+    while (!converged && it <= maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"),
           col("component").as("__nl")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("__nl")).as("__nbr"))
+      // __changed compares against the OLD label (input-column reference,
+      // not the aliased output) — null __nbr (isolated node) is unchanged
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("__nbr"), col("component")))
-            .as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels.unpersist()
-      labels = next
+            .as("component"),
+          coalesce(col("__nbr") < col("component"), lit(false))
+            .as("__changed"))
+        .localCheckpoint(eager = false) // materialized by the count below
+      val changed = next.filter(col("__changed")).count()
+      releaseCheckpoint(checkpointed)
+      checkpointed = next
+      labels = next.select(col("id"), col("component"))
+      converged = changed == 0L
       it += 1
     }
     edges.unpersist()
@@ -435,13 +443,30 @@ object Dedup {
         "rounds (a component's diameter exceeds maxIter) - labels are " +
         "partial; raise maxIter"
       if (failOnNonConvergence) {
-        labels.unpersist()
+        releaseCheckpoint(checkpointed)
         throw new IllegalStateException(msg)
       }
       org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
-    labels
+    // hand back a cacheManager-backed frame so the documented release path
+    // (result.unpersist()) frees ALL remaining storage; the cache fills
+    // from the final checkpoint blocks (cheap — one pass over the labels),
+    // after which the checkpoint itself is dropped
+    val result = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    releaseCheckpoint(checkpointed)
+    result
   }
+
+  /** Free the block storage behind a `localCheckpoint`ed frame (a
+    * `Dataset.unpersist()` only clears cacheManager entries, never
+    * checkpoint blocks — without this, every [[connectedComponents]] round
+    * would pin its blocks until driver GC).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit = if (df != null)
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** SimHash near-dup candidates: band the fingerprint into
     * `maxHamming + 1` chunks; by pigeonhole, any pair within Hamming

@@ -113,18 +113,54 @@ object TextAnalysis {
     * vocab frame loaded instead of computed.
     */
   def unigramLogProbScore(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 10000): DataFrame =
+    scoreWithVocabulary(docs, idCol, textCol,
+      unigramVocabulary(docs, textCol, vocabSize))
+
+  /** Build the frozen unigram vocabulary from a corpus: the `vocabSize`
+    * most frequent tokens (count desc, token asc tie-break) as
+    * `(token, logprob, oov_floor)` — log(count/total) with total over ALL
+    * tokens, so the table is a proper truncated distribution. `oov_floor`
+    * (log(0.5/total), constant across rows) rides along denormalized: the
+    * floor depends on the PRE-truncation total, which a reloaded table
+    * could not otherwise reconstruct. Write this frame out once, then
+    * score any number of later corpora against it with
+    * [[scoreWithVocabulary]] — byte-identical to inline scoring (doubles
+    * round-trip parquet exactly).
+    */
+  def unigramVocabulary(docs: DataFrame, textCol: String,
       vocabSize: Int = 10000): DataFrame = {
+    val toks = docs
+      .select(tokens(col(textCol)).as("__toks"))
+      .select(explode(col("__toks")).as("__t"))
+    val counts = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c"))).head.getLong(0).toDouble
+    counts
+      .orderBy(col("__c").desc, col("__t"))
+      .limit(vocabSize)
+      .select(col("__t").as("token"), log(col("__c") / total).as("logprob"),
+        lit(math.log(0.5 / total)).as("oov_floor"))
+  }
+
+  /** Score a corpus against a (possibly reloaded) frozen vocabulary from
+    * [[unigramVocabulary]]: per-doc mean token log-prob, OOV tokens at the
+    * vocabulary's floor, rounded for cross-engine comparison. The
+    * vocabulary broadcasts (bounded by vocabSize, not the corpus); the
+    * scan side is one map-side join + one per-doc aggregate.
+    */
+  def scoreWithVocabulary(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val floorRow = vocab.select(col("oov_floor")).take(1)
+    require(floorRow.nonEmpty,
+      "vocabulary is empty - build it from a non-empty corpus")
+    val floor = floorRow(0).getDouble(0)
     val toks = docs
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), explode(col("__toks")).as("__t"))
-    val counts = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
-    val total = counts.agg(sum(col("__c"))).head.getLong(0).toDouble
-    val vocab = broadcast(counts
-      .orderBy(col("__c").desc, col("__t"))
-      .limit(vocabSize)
-      .select(col("__t"), log(col("__c") / total).as("__lp")))
-    val floor = math.log(0.5 / total)
-    toks.join(vocab, Seq("__t"), "left")
+    toks.join(
+        broadcast(vocab.select(col("token").as("__t"),
+          col("logprob").as("__lp"))),
+        Seq("__t"), "left")
       .groupBy(col(idCol))
       .agg(round(avg(coalesce(col("__lp"), lit(floor))), 6)
         .as("unigram_logprob"))

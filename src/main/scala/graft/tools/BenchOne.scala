@@ -6,6 +6,12 @@ import graft.SparkEntry
   * any side-effect writes the closure performs — Explain only times the
   * returned frame's count). Usage:
   * runMain graft.tools.BenchOne <query> [sfDir] [reps]
+  *
+  * Reports the MEDIAN (and the spread) across reps, defaulting to 3: the
+  * round-5 A/A run (byte-identical code, fresh box) drifted individual
+  * single-run query timings by up to ±46%, so a single-run delta under
+  * ~45% carries no signal — see NOISE.md. Judge a regression only on the
+  * printed median line.
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
@@ -23,11 +29,21 @@ object BenchOne {
     graft.core.Tables(spark, sfDir, "events").groupBy("event_type").count()
       .collect()
     val fn = SparkEntry.queries(name)
-    (1 to reps).foreach { i =>
+    val secs = (1 to reps).map { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      println(f"[benchone] $name rep$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[benchone] $name rep$i rows=$n sec=$s%.2f")
+      s
     }
+    val sorted = secs.sorted
+    val median =
+      if (reps % 2 == 1) sorted(reps / 2)
+      else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2
+    println(f"[benchone] $name MEDIAN sec=$median%.2f " +
+      f"min=${sorted.head}%.2f max=${sorted.last}%.2f reps=$reps " +
+      "(compare medians only - single runs drift up to ~46% on this box, " +
+      "see NOISE.md)")
     spark.stop()
   }
 }

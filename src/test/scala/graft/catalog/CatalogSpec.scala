@@ -173,4 +173,32 @@ class CatalogOpsSpec extends SparkSpec {
     e.getMessage shouldBe "boom"
     ran.get() shouldBe 4
   }
+
+  test("runConcurrently attaches additional failures as suppressed and " +
+      "bounds the wait, naming the stuck item") {
+    // several failing partitions: ALL errors must surface (first thrown,
+    // rest suppressed) — a multi-partition compaction that fails in three
+    // places must not report just one
+    val e = intercept[IllegalStateException] {
+      CatalogOps.runConcurrently(Seq(1, 2, 3, 4), maxConcurrent = 4) { i =>
+        if (i >= 2) throw new IllegalStateException(s"boom$i")
+      }
+    }
+    (e.getMessage +: e.getSuppressed.map(_.getMessage).toSeq).sorted shouldBe
+      Seq("boom2", "boom3", "boom4")
+
+    // a hung item must not stall the run forever: the bounded await names
+    // the item that is still running
+    import scala.concurrent.duration.DurationInt
+    val hang = new java.util.concurrent.CountDownLatch(1)
+    try {
+      val t = intercept[java.util.concurrent.TimeoutException] {
+        CatalogOps.runConcurrently(Seq("fine", "stuck"), maxConcurrent = 2,
+          timeout = 2.seconds) { p =>
+          if (p == "stuck") hang.await()
+        }
+      }
+      t.getMessage should include("stuck")
+    } finally hang.countDown()
+  }
 }

@@ -76,7 +76,12 @@ class JobRunnerSpec extends SparkSpec {
       s"""{"source_dir": "$src", "target_dir": "$tgt3",
          | "id_column": "doc_id", "text_column": "text",
          | "budget_tokens": 16}""".stripMargin)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     JobRunner.execute(spark, "SequencePacking", params3)
+    // the packing operator's load-bearing persisted intermediate must be
+    // released once the output write lands — a long-lived session running
+    // the algorithm repeatedly must not accrete pinned caches
+    spark.sparkContext.getPersistentRDDs.size shouldBe cachedBefore
     val packed = spark.read.parquet(tgt3)
     packed.count() shouldBe 3
     packed.columns should contain allOf ("chunk_id", "offset_in_chunk")
@@ -133,6 +138,31 @@ class JobRunnerSpec extends SparkSpec {
          | "vocab_size": 8}""".stripMargin)
     JobRunner.execute(spark, "UnigramQuality", params8)
     spark.read.parquet(tgt8).columns should contain ("unigram_logprob")
+
+    // frozen-vocabulary flow: freeze the vocab once, then score against
+    // it — byte-identical to the inline computation over the same corpus
+    val vocabDir = tmp("jr_uv_tgt") + "/v"
+    val params9 = tmp("jr_uv_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(params9),
+      s"""{"source_dir": "$src", "target_dir": "$vocabDir",
+         | "text_column": "text", "vocab_size": 8}""".stripMargin)
+    JobRunner.execute(spark, "UnigramVocabulary", params9)
+    spark.read.parquet(vocabDir).columns shouldBe
+      Array("token", "logprob", "oov_floor")
+    val tgt10 = tmp("jr_uqf_tgt") + "/t"
+    val params10 = tmp("jr_uqf_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(params10),
+      s"""{"source_dir": "$src", "target_dir": "$tgt10",
+         | "id_column": "doc_id", "text_column": "text",
+         | "vocabulary_dir": "$vocabDir"}""".stripMargin)
+    JobRunner.execute(spark, "UnigramQuality", params10)
+    val frozenScores = spark.read.parquet(tgt10)
+      .select(col("doc_id"), col("unigram_logprob"))
+      .as[(Long, Double)].collect().toMap
+    val inlineScores = spark.read.parquet(tgt8)
+      .select(col("doc_id"), col("unigram_logprob"))
+      .as[(Long, Double)].collect().toMap
+    frozenScores shouldBe inlineScores
   }
 
   test("unknown algorithm names are rejected") {

@@ -125,6 +125,45 @@ class DedupSpec extends SparkSpec {
     cc.size shouldBe 11
   }
 
+  test("connected components: string ids propagate labels transitively " +
+      "(no silent one-round misconvergence on non-numeric ids)") {
+    // diameter-3 path: label "b" must travel 3 hops to reach "e" — the
+    // old decimal-sum convergence check nulled string ids out and
+    // declared convergence after ONE round, leaving "e" mislabeled
+    val pairs = Seq(("b", "c"), ("c", "d"), ("d", "e"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+    val m = cc.as[(String, String)].collect().toMap
+    Seq("b", "c", "d", "e").foreach(i => m(i) shouldBe "b")
+    m("x") shouldBe "x"; m("y") shouldBe "x"
+    m.size shouldBe 6
+    cc.unpersist()
+  }
+
+  test("connected components: deep graphs converge without lineage blowup " +
+      "(plan size flat per round) and diameter == maxIter still converges") {
+    // 15 hops — without the per-round localCheckpoint the logical plan
+    // doubles every round and the driver OOMs in plan analysis around
+    // round 9; with it this completes in seconds. maxIter = 15 exactly:
+    // the no-change verification round is granted beyond maxIter.
+    val chain = (1L until 16L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, maxIter = 15)
+    cc.as[(Long, Long)].collect().foreach(_._2 shouldBe 1L)
+    cc.unpersist()
+  }
+
+  test("connected components: intermediate storage is released each round; " +
+      "result.unpersist() frees the rest") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val cc = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b"))
+    // result is cached and materialized; everything else already released
+    cc.count() shouldBe 5
+    cc.unpersist(blocking = true)
+    sc.getPersistentRDDs.size shouldBe before
+  }
+
   test("connected components: a path longer than maxIter fails loudly " +
       "instead of returning partial labels") {
     // min label travels one hop per round: a 9-edge path cannot converge
@@ -251,6 +290,39 @@ class TextAnalysisSpec extends SparkSpec {
     // deterministic across evaluations
     TextAnalysis.unigramLogProbScore(docs, "doc_id", "text", 12)
       .as[(Long, Double)].collect().toMap shouldBe out
+  }
+
+  test("frozen vocabulary: scoring a second corpus against a SAVED vocab " +
+      "is byte-identical to scoring against the in-memory one") {
+    val reference = Seq(
+      (1L, "the cat sat on the mat the cat sat again"),
+      (2L, "the cat sat on the mat once more today"))
+      .toDF("doc_id", "text")
+    val vocab = TextAnalysis.unigramVocabulary(reference, "text",
+      vocabSize = 8)
+    val dir = tmp("uq_vocab") + "/v"
+    vocab.write.parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    // a NEW corpus: half in-vocab, half OOV (exercises the frozen floor)
+    val fresh = Seq(
+      (10L, "the cat sat happily"),
+      (11L, "zxqv wvuk qqpl mmnx"))
+      .toDF("doc_id", "text")
+    val inMem = TextAnalysis.scoreWithVocabulary(fresh, "doc_id", "text",
+      vocab).as[(Long, Double)].collect().toMap
+    val frozen = TextAnalysis.scoreWithVocabulary(fresh, "doc_id", "text",
+      reloaded).as[(Long, Double)].collect().toMap
+    frozen shouldBe inMem
+    // the frozen floor comes from the REFERENCE corpus total, so a fully
+    // OOV doc scores exactly the saved floor
+    val floor = reloaded.select($"oov_floor").head.getDouble(0)
+    frozen(11L) shouldBe BigDecimal(floor)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // and inline convenience path == build-then-score composition
+    TextAnalysis.unigramLogProbScore(reference, "doc_id", "text", 8)
+      .as[(Long, Double)].collect().toMap shouldBe
+      TextAnalysis.scoreWithVocabulary(reference, "doc_id", "text", vocab)
+        .as[(Long, Double)].collect().toMap
   }
 
   test("quality features compute deterministic ratios") {
