@@ -77,13 +77,15 @@ object ScaleProbe {
     val (a1, v1) = time(ann(emb1))
     val (aN, vN) = time(ann(embNr))
 
-    // connected-components round scaling: a path graph of diameter D runs
-    // exactly D label-propagation change-rounds. Per-round cost must stay
-    // FLAT as rounds grow (the per-round localCheckpoint keeps the plan at
-    // one leaf regardless of depth) — before the lineage cut, the plan
-    // doubled every round and round ~10 OOMed the driver during analysis,
-    // so finishing 28 rounds AT ALL is the datapoint, and secPerRound28 ≈
-    // secPerRound14 is the flatness check.
+    // connected-components depth scaling on path graphs (worst-case
+    // diameter). Two properties under test: (a) per-round cost stays FLAT
+    // as depth grows — the per-round localCheckpoint keeps the plan at
+    // one leaf regardless of depth; before the lineage cut the plan
+    // doubled every round and the driver OOMed during analysis around
+    // round 10, so finishing the deep chain AT ALL is a datapoint;
+    // (b) pointer-jumping makes round count O(log diameter), so DOUBLING
+    // the diameter (14 -> 28) should cost roughly one extra round, not 2x
+    // the wall time.
     val (_, w14) = time {
       val r = Dedup.connectedComponents(
         spark.range(1, 15).select(col("id").as("id_a"),
@@ -101,7 +103,7 @@ object ScaleProbe {
       f""""minhash_dedup":{"t1":$t1%.2f,"tN":$tN%.2f,"ratio":${tN / t1}%.1f,"pairs1":$c1,"pairsN":$cN},""" +
       f""""embedding_dedup":{"t1":$u1%.2f,"tN":$uN%.2f,"ratio":${uN / u1}%.1f,"pairs1":$e1,"pairsN":$eN},""" +
       f""""ann_topk":{"t1":$v1%.2f,"tN":$vN%.2f,"ratio":${vN / v1}%.1f,"rows1":$a1,"rowsN":$aN},""" +
-      f""""cc_rounds":{"sec14":$w14%.2f,"sec28":$w28%.2f,"secPerRound14":${w14 / 15}%.3f,"secPerRound28":${w28 / 29}%.3f,"perRoundRatio":${(w28 / 29) / (w14 / 15)}%.2f}}""")
+      f""""cc_depth":{"secDiam14":$w14%.2f,"secDiam28":$w28%.2f,"doubleDiamRatio":${w28 / w14}%.2f}}""")
     spark.stop()
   }
 }

@@ -152,6 +152,20 @@ class DedupSpec extends SparkSpec {
     cc.unpersist()
   }
 
+  test("connected components: pointer-jumping converges a diameter-50 " +
+      "chain in O(log d) rounds, not 50") {
+    // plain one-hop propagation needs 50 change-rounds here; with the
+    // label(label) shortcut (active from round 4) reach grows ~2x per
+    // round, so maxIter=8 suffices — this spec fails if the shortcut
+    // regresses to linear
+    val chain = (1L until 51L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, maxIter = 8)
+    val m = cc.as[(Long, Long)].collect().toMap
+    m.size shouldBe 51
+    m.values.foreach(_ shouldBe 1L)
+    cc.unpersist()
+  }
+
   test("connected components: intermediate storage is released each round; " +
       "result.unpersist() frees the rest") {
     val sc = spark.sparkContext
@@ -166,15 +180,16 @@ class DedupSpec extends SparkSpec {
 
   test("connected components: a path longer than maxIter fails loudly " +
       "instead of returning partial labels") {
-    // min label travels one hop per round: a 9-edge path cannot converge
-    // in 3 rounds
+    // with pointer-jumping a round reaches ~3x further each time, so a
+    // 9-edge path needs 3 change-rounds — maxIter = 1 (one change-round
+    // plus the free verification round) cannot finish it
     val longPath = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(longPath, maxIter = 3)
+      Dedup.connectedComponents(longPath, maxIter = 1)
     }
     e.getMessage should include("did not converge")
     // opt-out path returns the partial labels (with a logged warning)
-    val partial = Dedup.connectedComponents(longPath, maxIter = 3,
+    val partial = Dedup.connectedComponents(longPath, maxIter = 1,
       failOnNonConvergence = false)
     partial.count() shouldBe 10
     partial.unpersist()
