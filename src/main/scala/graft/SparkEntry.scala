@@ -868,6 +868,14 @@ object SparkEntry {
           (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
     }),
 
+    // curation: cluster-level corpus dedup — exactly one survivor per
+    // connected near-dup component (vs q48's greedy pairwise drop)
+    "q64_dedup_clusters" -> ((s, dir) => {
+      Dedup.dedupCorpusByComponents(t(s, dir, "documents"), "doc_id",
+          "text", threshold = 0.5)
+        .frame.select(col("doc_id"), col("lang"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -1737,6 +1745,35 @@ object SparkEntry {
         |SELECT p_event_id, c_event_id, p_user AS user_id,
         |  epoch_us(p_ts) - epoch_us(c_ts) AS gap_us
         |FROM p JOIN c ON p_user = c_user
-        |  AND c_ts >= p_ts - INTERVAL 2 HOUR AND c_ts <= p_ts""".stripMargin
+        |  AND c_ts >= p_ts - INTERVAL 2 HOUR AND c_ts <= p_ts""".stripMargin,
+
+    // mirrors Dedup.dedupCorpusByComponents: exact keeper per md5 digest,
+    // the shared MinHash chain over the survivors, then min-id components
+    // over the thresholded pair graph (recursive closure — oracle scale);
+    // survivors are the docs that ARE their own component label
+    "q64_dedup_clusters" ->
+      s"""WITH RECURSIVE docs0 AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+         |                             ORDER BY doc_id) = 1),
+         |${minhashChainSql("docs0")},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM j
+         |  WHERE CAST(inter AS DOUBLE)/uni >= 0.5),
+         |e AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+         |  WHERE r.src <> e2.dst),
+         |comp AS (
+         |  SELECT src AS id, least(src, min(dst)) AS component
+         |  FROM reach GROUP BY src)
+         |SELECT d.doc_id, d.lang FROM docs0 d
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM comp c
+         |  WHERE c.id = d.doc_id AND c.component <> d.doc_id)""".stripMargin
   )
 }

@@ -249,6 +249,18 @@ object AlgoRegistry {
         k = config.getIntOpt("minhash_k").getOrElse(32),
         bands = config.getIntOpt("bands").getOrElse(8),
         threshold = config.getDouble("jaccard_threshold", 0.5)))
+    case "CorpusDedupClusters" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val cd = graft.operators.Dedup.dedupCorpusByComponents(df,
+          config.getString("id_column"), config.getString("text_column"),
+          shingleSize = config.getIntOpt("shingle_size").getOrElse(3),
+          k = config.getIntOpt("minhash_k").getOrElse(32),
+          bands = config.getIntOpt("bands").getOrElse(8),
+          threshold = config.getDouble("jaccard_threshold", 0.5))
+        TransformAlgorithm.Out(cd.frame, () => cd.release())
+      })
     case "StratifiedSample" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),

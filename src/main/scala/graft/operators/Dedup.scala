@@ -357,6 +357,59 @@ object Dedup {
     survivors.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Result of a cluster-level dedup: the surviving rows plus the
+    * component-labels frame [[connectedComponents]] pinned for the
+    * anti-join (same handle pattern as [[Packing.Packed]] — releasing
+    * before the caller's action on `frame` would break the plan, since
+    * the labels' own lineage was truncated). Call `release()` once the
+    * output is written.
+    */
+  final case class ClusterDedup(frame: DataFrame,
+      private val labels: DataFrame) {
+    def release(): Unit = labels.unpersist()
+  }
+
+  /** Keep exactly ONE representative (the min id) per near-dup CLUSTER:
+    * label every id in `pairs` via [[connectedComponents]], drop each id
+    * whose label is not itself. Docs in no pair survive untouched.
+    *
+    * This is the cluster-level policy the greedy pairwise drop of
+    * [[dedupCorpus]] approximates: greedy drops `id_b` of every verified
+    * pair, which keeps at most one of any DIRECTLY-similar pair but can
+    * keep several docs of one transitive cluster when the link runs
+    * through a higher id (pairs (1,3),(2,3): greedy keeps 1 AND 2;
+    * per-cluster keeps only 1). Which is right depends on curation
+    * intent; this one guarantees one doc per component.
+    *
+    * Scale shape: the label loop is [[connectedComponents]] (bounded by
+    * the PAIR graph, tiny next to the corpus); the final drop is one
+    * left-anti shuffle join of the corpus against an id-only drop list.
+    */
+  def keepPerComponent(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): ClusterDedup = {
+    val comps = connectedComponents(pairs, maxIter)
+    val drop = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    ClusterDedup(docs.join(drop, Seq(idCol), "left_anti"), comps)
+  }
+
+  /** [[dedupCorpus]] with the cluster-level keep policy: exact dedup,
+    * MinHash-LSH candidates, Jaccard verify, then exactly one survivor
+    * per connected near-dup component (instead of the greedy pairwise
+    * drop). Returns a [[ClusterDedup]] handle — release after writing.
+    */
+  def dedupCorpusByComponents(docs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxIter: Int = 20): ClusterDedup = {
+    val survivors = exactDedup(docs, idCol, textCol)
+    val cand = minhashCandidates(survivors, idCol, textCol, shingleSize, k,
+      bands)
+    val near = jaccardVerify(cand, survivors, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    keepPerComponent(survivors, idCol, near, maxIter)
+  }
+
   /** Connected components over an undirected near-duplicate pair list
     * (`id_a`/`id_b`) via iterative min-label propagation: every node
     * starts labeled with its own id; each round every node takes the

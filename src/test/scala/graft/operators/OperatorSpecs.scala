@@ -125,6 +125,32 @@ class DedupSpec extends SparkSpec {
     cc.size shouldBe 11
   }
 
+  test("keepPerComponent: one survivor per transitive cluster, even when " +
+      "greedy pairwise would keep two") {
+    val corpus = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"), (9L, "unrelated"))
+      .toDF("doc_id", "text")
+    // 1-3 and 2-3 similar, 1-2 not: one component {1,2,3}. Greedy drops
+    // only id_b's (3), keeping 1 AND 2 — per-cluster keeps just 1.
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val cd = Dedup.keepPerComponent(corpus, "doc_id", pairs)
+    cd.frame.select($"doc_id").as[Long].collect().sorted shouldBe
+      Array(1L, 9L)
+    cd.release()
+  }
+
+  test("dedupCorpusByComponents matches dedupCorpus on simple clusters " +
+      "and releases its labels cache") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val cd = Dedup.dedupCorpusByComponents(docs, "doc_id", "text",
+      threshold = 0.5)
+    // 2 is an exact dup of 1; 3 a near dup of 1: cluster keeps 1 only
+    cd.frame.select($"doc_id").as[Long].collect().sorted shouldBe
+      Array(1L, 4L, 5L)
+    cd.release()
+    spark.sparkContext.getPersistentRDDs.size shouldBe before
+  }
+
   test("connected components: string ids propagate labels transitively " +
       "(no silent one-round misconvergence on non-numeric ids)") {
     // diameter-3 path: label "b" must travel 3 hops to reach "e" — the
@@ -330,7 +356,7 @@ class TextAnalysisSpec extends SparkSpec {
     frozen shouldBe inMem
     // the frozen floor comes from the REFERENCE corpus total, so a fully
     // OOV doc scores exactly the saved floor
-    val floor = reloaded.select($"oov_floor").head.getDouble(0)
+    val floor = reloaded.select($"oov_floor").head().getDouble(0)
     frozen(11L) shouldBe BigDecimal(floor)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // and inline convenience path == build-then-score composition
