@@ -61,6 +61,20 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(target).select(col("doc_id")).as[Long]
       .collect().sorted shouldBe Array(1L, 3L)
 
+    // cluster-level variant: same corpus, one survivor per component,
+    // labels cache released after the write
+    val cachedBeforeCdc = spark.sparkContext.getPersistentRDDs.size
+    val tgtCdc = tmp("jr_cdc_tgt") + "/t"
+    val paramsCdc = tmp("jr_cdc_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsCdc),
+      s"""{"source_dir": "$src", "target_dir": "$tgtCdc",
+         | "id_column": "doc_id", "text_column": "text",
+         | "jaccard_threshold": 0.5, "output_files_num": 1}""".stripMargin)
+    JobRunner.execute(spark, "CorpusDedupClusters", paramsCdc)
+    spark.read.parquet(tgtCdc).select(col("doc_id")).as[Long]
+      .collect().sorted shouldBe Array(1L, 3L)
+    spark.sparkContext.getPersistentRDDs.size shouldBe cachedBeforeCdc
+
     val tgt2 = tmp("jr_ss_tgt") + "/t"
     val params2 = tmp("jr_ss_par") + "/p.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(params2),
