@@ -77,6 +77,24 @@ class PlanAuditSpec extends SparkSpec {
     (plan("q56_corpus_shuffle") should not).include("SinglePartition")
   }
 
+  test("q63: event-type filters reach the scan; the interval join is an " +
+      "equi-join on the key with the time range as residual, never a " +
+      "nested-loop product") {
+    val p = plan("q63_interval_join")
+    p should include regex "PushedFilters: \\[.*event_type,purchase.*\\]"
+    p should include regex "PushedFilters: \\[.*event_type,click.*\\]"
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q64: cluster dedup plans no all-pairs product and drops " +
+      "non-representatives with an anti join") {
+    val p = plan("q64_dedup_clusters")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+    p should include("LeftAnti")
+  }
+
   test("packing: slice offsets stay a broadcast join, not a CASE chain, " +
       "at production slice counts") {
     import spark.implicits._
