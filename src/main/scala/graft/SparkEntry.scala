@@ -876,6 +876,27 @@ object SparkEntry {
         .frame.select(col("doc_id"), col("lang"))
     }),
 
+    // curation: SemDeDup-style embedding cluster dedup — the cluster keep
+    // policy composed with the sign-LSH cosine pair graph (one survivor
+    // per semantic near-dup component, labels from the same
+    // connectedComponents loop as q61/q64)
+    "q65_embedding_clusters" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.4, bits = 8, tables = 4)
+        .select(col("id_a"), col("id_b"))
+      Dedup.keepPerComponent(emb, "vec_id", pairs)
+        .frame.select(col("vec_id"))
+    }),
+
+    // curation: deterministic train/val/test split — md5-bucket label,
+    // stable across runs/retries/engines (no row ever migrates splits)
+    "q66_hash_split" -> ((s, dir) => {
+      Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("split"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -1774,6 +1795,51 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang FROM docs0 d
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM comp c
-         |  WHERE c.id = d.doc_id AND c.component <> d.doc_id)""".stripMargin
+         |  WHERE c.id = d.doc_id AND c.component <> d.doc_id)""".stripMargin,
+
+    // mirrors keepPerComponent over embeddingNearDupPairs: q39's sign-LSH
+    // cosine pair graph, min-id components (recursive closure), survivors
+    // are vectors that are their own component label
+    "q65_embedding_clusters" ->
+      s"""WITH RECURSIVE ${lshSigsSql(tables = 4, bits = 8, dims = 64)},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b
+         |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT id_a, id_b, ${cosSql("va.embedding", "vb.embedding")} AS cosine
+         |  FROM cand
+         |  JOIN v va ON va.vec_id = id_a
+         |  JOIN v vb ON vb.vec_id = id_b),
+         |pairs AS (SELECT id_a, id_b FROM scored WHERE cosine >= 0.4),
+         |e AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+         |  WHERE r.src <> e2.dst),
+         |comp AS (
+         |  SELECT src AS id, least(src, min(dst)) AS component
+         |  FROM reach GROUP BY src)
+         |SELECT vv.vec_id FROM v vv
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM comp c
+         |  WHERE c.id = vv.vec_id AND c.component <> vv.vec_id)""".stripMargin,
+
+    // mirrors Sampling.hashSplit(0.8/0.1/0.1): identical md5 bucket
+    // (same family as q47/q56) and cumulative bounds (800000, 900000, tail)
+    "q66_hash_split" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000000
+         |      AS hv
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN hv < 800000 THEN 'train'
+         |       WHEN hv < 900000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM h""".stripMargin
   )
 }

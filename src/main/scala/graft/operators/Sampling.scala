@@ -48,4 +48,33 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol)) < threshold)
   }
+
+  /** Deterministic train/val/test (or any N-way) split: each row gets a
+    * `split` label from its id's hash bucket, partitioned by cumulative
+    * weight. Same determinism story as the samplers above — a row's split
+    * is a pure function of its id, so it never migrates between splits
+    * across runs, retries, engines, or derived tables (the leakage
+    * guarantee a training pipeline needs), and the assignment is a narrow
+    * map-side expression: no shuffle, no RNG state, no global sort.
+    *
+    * Weights are normalized (pass 8/1/1 or 0.8/0.1/0.1 alike); every row
+    * gets a label (the last split absorbs the rounding tail).
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 > 0), s"weights must be positive: $splits")
+    val total = splits.map(_._2).sum
+    // cumulative upper bucket bound per split; last bound forced to the
+    // bucket count so float rounding can never leave a row unlabeled
+    val bounds = splits.inits.toSeq.reverse.tail.map(p =>
+      (p.last._1, (p.map(_._2).sum / total * Buckets).toLong))
+    val upper = bounds.init
+    val lastName = bounds.last._1
+    val b = hashBucket(col(idCol))
+    val label = upper.foldRight(lit(lastName): Column) {
+      case ((name, bound), acc) => when(b < bound, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
 }

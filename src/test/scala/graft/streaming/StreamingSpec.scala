@@ -197,4 +197,27 @@ class SamplingSpec extends SparkSpec {
     byStrata("rare") shouldBe 2000L // default 1.0 keeps all
     byStrata("common").toDouble / 6000 shouldBe 0.1 +- 0.03
   }
+
+  test("hash split: exhaustive, disjoint, rate-accurate, weight-scale " +
+      "invariant, and consistent with the samplers' bucket") {
+    val df = spark.range(10000).toDF("id")
+    val out = Sampling.hashSplit(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byLabel = out.groupBy($"split").count().as[(String, Long)]
+      .collect().toMap
+    // every row labeled, exactly once (withColumn preserves row count)
+    byLabel.values.sum shouldBe 10000L
+    byLabel("train").toDouble / 10000 shouldBe 0.8 +- 0.03
+    byLabel("val").toDouble / 10000 shouldBe 0.1 +- 0.02
+    byLabel("test").toDouble / 10000 shouldBe 0.1 +- 0.02
+    // un-normalized weights give the identical assignment
+    val scaled = Sampling.hashSplit(df, "id",
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+    assertSameRows(out, scaled)
+    // split boundaries line up with deterministicSample's bucket: the
+    // train split IS the 80% sample (same id never migrates between a
+    // sampled subset and its training split)
+    val train = out.filter($"split" === "train").select($"id")
+    assertSameRows(train, Sampling.deterministicSample(df, "id", 0.8))
+  }
 }
