@@ -291,6 +291,18 @@ object AlgoRegistry {
           n = config.getIntOpt("ngram_size").getOrElse(8),
           minOverlap = config.getIntOpt("min_overlap").getOrElse(1))
       })
+    // splits is an ORDERED list of {"name":…,"weight":…} — bucket bounds
+    // are cumulative, so a JSON object (unordered) would be ambiguous
+    case "HashSplit" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.hashSplit(df,
+        config.getString("id_column"),
+        config.getSeq[Map[String, Any]]("splits").map(m =>
+          m("name").toString -> (m("weight") match {
+            case n: Number => n.doubleValue()
+            case s => s.toString.toDouble
+          }))))
     case "PiiRedaction" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),

@@ -128,6 +128,19 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(tgt6).columns should contain allOf
       ("red_text", "n_email")
 
+    val tgtHs = tmp("jr_hs_tgt") + "/t"
+    val paramsHs = tmp("jr_hs_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsHs),
+      s"""{"source_dir": "$src", "target_dir": "$tgtHs",
+         | "id_column": "doc_id",
+         | "splits": [{"name": "train", "weight": 2},
+         |            {"name": "eval", "weight": 1}]}""".stripMargin)
+    JobRunner.execute(spark, "HashSplit", paramsHs)
+    val split = spark.read.parquet(tgtHs)
+    split.count() shouldBe 3
+    // every row labeled with one of the configured splits
+    split.filter(col("split").isin("train", "eval")).count() shouldBe 3
+
     val benchDir = tmp("jr_dc_bench") + "/b"
     Seq("quick brown fox jumps over the lazy")
       .toDF("qtext").write.parquet(benchDir)
