@@ -897,6 +897,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("split"))
     }),
 
+    // curation: deterministic per-source cap (domain balancing — at most
+    // N docs per source, survivors chosen by hash rank)
+    "q67_source_cap" -> ((s, dir) => {
+      Sampling.capPerGroup(t(s, dir, "documents"), "doc_id", "source",
+          maxPerGroup = 10)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -1840,6 +1848,15 @@ object SparkEntry {
          |  CASE WHEN hv < 800000 THEN 'train'
          |       WHEN hv < 900000 THEN 'val'
          |       ELSE 'test' END AS split
-         |FROM h""".stripMargin
+         |FROM h""".stripMargin,
+
+    // mirrors Sampling.capPerGroup(source, 10): identical md5-bucket rank
+    // within each source (ties by doc_id)
+    "q67_source_cap" ->
+      s"""SELECT doc_id, source FROM documents
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY source
+         |  ORDER BY ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")}
+         |             % 1000000, doc_id) <= 10""".stripMargin
   )
 }

@@ -303,6 +303,12 @@ object AlgoRegistry {
             case n: Number => n.doubleValue()
             case s => s.toString.toDouble
           }))))
+    case "SourceCap" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.capPerGroup(df,
+        config.getString("id_column"), config.getString("group_column"),
+        config.getInt("max_per_group")))
     case "PiiRedaction" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),

@@ -77,4 +77,29 @@ object Sampling {
     }
     df.withColumn("split", label)
   }
+
+  /** Deterministic per-group cap: keep at most `maxPerGroup` rows of each
+    * group (per-source / per-domain balancing — the C4/RefinedWeb-style
+    * guard against one domain dominating the corpus). WHICH rows survive
+    * is decided by the id's hash bucket (ties by id), so the kept set is
+    * reproducible across runs and engines and consistent with the
+    * samplers above — a capped group's survivors are exactly the head of
+    * its deterministic-sample ordering.
+    *
+    * Scale: one hash-partition shuffle on the group column + a window
+    * rank within each group — no global sort, no driver-side state.
+    * Skewed groups (the very thing the cap exists for) bound their own
+    * cost: the window ranks but never materializes more than the
+    * partition.
+    */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup > 0, s"maxPerGroup must be positive: $maxPerGroup")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol)), col(idCol))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= maxPerGroup)
+      .drop("__rank")
+  }
 }

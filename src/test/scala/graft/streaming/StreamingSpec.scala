@@ -220,4 +220,22 @@ class SamplingSpec extends SparkSpec {
     val train = out.filter($"split" === "train").select($"id")
     assertSameRows(train, Sampling.deterministicSample(df, "id", 0.8))
   }
+
+  test("capPerGroup: caps only oversized groups, deterministic survivor " +
+      "set, no single-partition window") {
+    val df = spark.range(1000)
+      .selectExpr("id", "concat('g', id % 4) AS grp")    // 250 per group
+      .union(spark.range(1000, 1010)
+        .selectExpr("id", "'tiny' AS grp"))              // under the cap
+    val capped = Sampling.capPerGroup(df, "id", "grp", 100)
+    val byGroup = capped.groupBy($"grp").count().as[(String, Long)]
+      .collect().toMap
+    (0 until 4).foreach(g => byGroup(s"g$g") shouldBe 100L)
+    byGroup("tiny") shouldBe 10L // never padded or dropped
+    // deterministic: the same ids survive on re-evaluation
+    assertSameRows(capped, Sampling.capPerGroup(df, "id", "grp", 100))
+    // the window partitions by group — no global single-task sort
+    (capped.queryExecution.executedPlan.toString should not)
+      .include("SinglePartition")
+  }
 }
