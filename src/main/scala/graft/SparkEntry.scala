@@ -905,6 +905,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // skew tooling: salted equi-join — results identical to the unsalted
+    // join (the oracle IS the plain join), hot keys spread over
+    // saltFactor partitions
+    "q68_salted_join" -> ((s, dir) => {
+      val probe = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"))
+      val build = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      graft.operators.SkewJoin.saltedJoin(probe, build, "custkey",
+        saltFactor = 8)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -1857,6 +1869,12 @@ object SparkEntry {
          |QUALIFY row_number() OVER (
          |  PARTITION BY source
          |  ORDER BY ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")}
-         |             % 1000000, doc_id) <= 10""".stripMargin
+         |             % 1000000, doc_id) <= 10""".stripMargin,
+
+    // mirrors SkewJoin.saltedJoin — salting is semantics-preserving, so
+    // the oracle is the PLAIN join (that identity is the whole point)
+    "q68_salted_join" ->
+      """SELECT o_orderkey, o_custkey AS custkey, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
   )
 }
