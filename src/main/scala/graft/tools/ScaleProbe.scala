@@ -86,6 +86,20 @@ object ScaleProbe {
     // (b) pointer-jumping makes round count O(log diameter), so DOUBLING
     // the diameter (14 -> 28) should cost roughly one extra round, not 2x
     // the wall time.
+    // breadth: label the 20x corpus's REAL near-dup pair graph (~1M
+    // verified pairs at factor 20 — wide, shallow components, the shape
+    // production dedup actually sees). Wall time here is dominated by the
+    // per-round edge join, which shuffles only (id, label) pairs.
+    val (ccN, wB) = time {
+      val pairs = Dedup.jaccardVerify(
+          Dedup.minhashCandidates(docsN, "doc_id", "text"),
+          docsN, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val r = Dedup.connectedComponents(pairs)
+      val n = r.count(); r.unpersist(); n
+    }
+
     val (_, w14) = time {
       val r = Dedup.connectedComponents(
         spark.range(1, 15).select(col("id").as("id_a"),
@@ -103,7 +117,8 @@ object ScaleProbe {
       f""""minhash_dedup":{"t1":$t1%.2f,"tN":$tN%.2f,"ratio":${tN / t1}%.1f,"pairs1":$c1,"pairsN":$cN},""" +
       f""""embedding_dedup":{"t1":$u1%.2f,"tN":$uN%.2f,"ratio":${uN / u1}%.1f,"pairs1":$e1,"pairsN":$eN},""" +
       f""""ann_topk":{"t1":$v1%.2f,"tN":$vN%.2f,"ratio":${vN / v1}%.1f,"rows1":$a1,"rowsN":$aN},""" +
-      f""""cc_depth":{"secDiam14":$w14%.2f,"secDiam28":$w28%.2f,"doubleDiamRatio":${w28 / w14}%.2f}}""")
+      f""""cc_depth":{"secDiam14":$w14%.2f,"secDiam28":$w28%.2f,"doubleDiamRatio":${w28 / w14}%.2f},""" +
+      f""""cc_breadth":{"nodesLabeled":$ccN,"sec":$wB%.2f}}""")
     spark.stop()
   }
 }
