@@ -123,6 +123,29 @@ class CurationProperties extends SparkSpec {
     assertSameRows(strat, Sampling.deterministicSample(df, "id", 0.4))
   }
 
+  test("hash split labels exhaustively and disjointly for arbitrary " +
+      "positive weights, and prefix sampling equals the first split") {
+    val df = spark.range(2000).toDF("id")
+    val weightGen = Gen.listOfN(4, Gen.choose(1, 50))
+    samples(weightGen, 8).foreach { ws =>
+      val splits = ws.zipWithIndex.map { case (w, i) => s"s$i" -> w.toDouble }
+      val out = Sampling.hashSplit(df, "id", splits)
+      // exhaustive and disjoint: withColumn preserves every row exactly
+      // once, and every label is one of the configured names
+      out.count() shouldBe 2000L
+      val labels = out.groupBy($"split").count()
+        .as[(String, Long)].collect().toMap
+      labels.keySet.subsetOf(splits.map(_._1).toSet) shouldBe true
+      labels.values.sum shouldBe 2000L
+      // the first split IS the deterministic sample at its weight share
+      // (bucket-consistency across the sampling family)
+      val share = ws.head.toDouble / ws.sum
+      assertSameRows(
+        out.filter($"split" === "s0").select($"id"),
+        Sampling.deterministicSample(df, "id", share))
+    }
+  }
+
   test("minhash signatures are permutation-invariant and length-k") {
     val g = Gen.listOfN(20, Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(8)))
     samples(g, 20).filter(_.nonEmpty).foreach { toks =>
