@@ -581,7 +581,11 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .as("hamming"))
-      .distinct()
+      // hamming filter BEFORE the pair distinct: the bit_count is a
+      // per-row map either way, but filtering first keeps above-threshold
+      // candidates (the majority at wide bands) out of the distinct's
+      // shuffle entirely
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
