@@ -86,20 +86,52 @@ object Sampling {
     * samplers above — a capped group's survivors are exactly the head of
     * its deterministic-sample ordering.
     *
-    * Scale: one hash-partition shuffle on the group column + a window
-    * rank within each group — no global sort, no driver-side state.
-    * Skewed groups (the very thing the cap exists for) bound their own
-    * cost: the window ranks but never materializes more than the
-    * partition.
+    * Scale: two-phase, so the dominant domain — the exact case a cap
+    * exists for — never funnels through one task. A naive
+    * `row_number().over(partitionBy(group))` must rank the ENTIRE group
+    * in a single task before the filter drops anything (10⁹ rows of one
+    * domain = one task sorting 10⁹ rows). Instead:
+    *
+    *   1. Histogram: per-(group, bucket) row counts — a map-side-
+    *      combinable aggregate of 3 narrow columns. At most [[Buckets]]
+    *      rows per group survive it, however large the group.
+    *   2. Threshold: per group, the bucket of the cap'th row in
+    *      (bucket, id) order — a running sum over the histogram, whose
+    *      window input is bounded by the bucket-space size (10⁶ rows of
+    *      ~24 bytes), NOT by group row count. Only over-cap groups
+    *      produce a threshold; the frame is one row per capped group and
+    *      is broadcast.
+    *   3. Prefilter + exact rank: keep rows whose bucket ≤ the group's
+    *      threshold (a narrow broadcast-join filter — retains every true
+    *      survivor by construction, since all of them sit at or below
+    *      the cap'th bucket), then run the exact rank window on the
+    *      survivor set, whose size per group is ≤ cap + the tie count at
+    *      the threshold bucket (~n/10⁶ expected).
+    *
+    * Degenerate limit: if one bucket holds essentially the whole group
+    * (e.g. the id column is a constant within the group), the tie set is
+    * the group and phase 3 degrades to the naive plan — a property of
+    * hash-ordering itself, not of the staging.
     */
   def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
       maxPerGroup: Int): DataFrame = {
     require(maxPerGroup > 0, s"maxPerGroup must be positive: $maxPerGroup")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(hashBucket(col(idCol)), col(idCol))
-    df.withColumn("__rank", row_number().over(w))
+    import org.apache.spark.sql.expressions.Window
+    val bkt = col("__bkt")
+    val bucketed = df.withColumn("__bkt", hashBucket(col(idCol)))
+    val cum = Window.partitionBy(col(groupCol)).orderBy(bkt)
+    val thresholds = bucketed
+      .groupBy(col(groupCol), bkt).count()
+      .withColumn("__cum", sum(col("count")).over(cum))
+      .filter(col("__cum") >= maxPerGroup) // reachable only when n ≥ cap
+      .groupBy(col(groupCol))
+      .agg(min(bkt).as("__bstar"))
+    val pre = bucketed
+      .join(broadcast(thresholds), Seq(groupCol), "left")
+      .filter(col("__bstar").isNull || bkt <= col("__bstar"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(bkt, col(idCol))
+    pre.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= maxPerGroup)
-      .drop("__rank")
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 }

