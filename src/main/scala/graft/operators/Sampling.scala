@@ -112,26 +112,48 @@ object Sampling {
     * (e.g. the id column is a constant within the group), the tie set is
     * the group and phase 3 degrades to the naive plan — a property of
     * hash-ordering itself, not of the staging.
+    *
+    * Null ids: `hashBucket(null)` is null, which would fall out of the
+    * histogram/prefilter arithmetic, so the bucket is coalesced to a −1
+    * sentinel below the bucket space — null-id rows sort FIRST, exactly
+    * where the naive `orderBy(hashBucket(id), id)` rank put them (Spark
+    * sorts nulls first ascending), and they are never silently dropped.
+    *
+    * The threshold frame (one row per over-cap group) is left to the
+    * optimizer to place: AQE broadcasts it when it is small, and falls
+    * back to a shuffle join when per-group capping runs over millions of
+    * distinct groups — a forced broadcast hint here would be a driver OOM
+    * at that cardinality.
     */
   def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
       maxPerGroup: Int): DataFrame = {
     require(maxPerGroup > 0, s"maxPerGroup must be positive: $maxPerGroup")
     import org.apache.spark.sql.expressions.Window
-    val bkt = col("__bkt")
-    val bucketed = df.withColumn("__bkt", hashBucket(col(idCol)))
+    // working columns must not clobber same-named user columns (withColumn
+    // REPLACES an existing name; the rank would then order on user data)
+    def fresh(base: String): String = {
+      var n = base
+      while (df.columns.contains(n)) n += "_"
+      n
+    }
+    val (bktN, cntN, cumN, bstarN, rankN) = (fresh("__bkt"), fresh("__cnt"),
+      fresh("__cum"), fresh("__bstar"), fresh("__rank"))
+    val bkt = col(bktN)
+    val bucketed = df.withColumn(bktN,
+      coalesce(hashBucket(col(idCol)), lit(-1L)))
     val cum = Window.partitionBy(col(groupCol)).orderBy(bkt)
     val thresholds = bucketed
-      .groupBy(col(groupCol), bkt).count()
-      .withColumn("__cum", sum(col("count")).over(cum))
-      .filter(col("__cum") >= maxPerGroup) // reachable only when n ≥ cap
+      .groupBy(col(groupCol), bkt).agg(count(lit(1)).as(cntN))
+      .withColumn(cumN, sum(col(cntN)).over(cum))
+      .filter(col(cumN) >= maxPerGroup) // reachable only when n ≥ cap
       .groupBy(col(groupCol))
-      .agg(min(bkt).as("__bstar"))
+      .agg(min(bkt).as(bstarN))
     val pre = bucketed
-      .join(broadcast(thresholds), Seq(groupCol), "left")
-      .filter(col("__bstar").isNull || bkt <= col("__bstar"))
+      .join(thresholds, Seq(groupCol), "left")
+      .filter(col(bstarN).isNull || bkt <= col(bstarN))
     val w = Window.partitionBy(col(groupCol)).orderBy(bkt, col(idCol))
-    pre.withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= maxPerGroup)
-      .select(df.columns.map(col).toIndexedSeq: _*)
+    pre.withColumn(rankN, row_number().over(w))
+      .filter(col(rankN) <= maxPerGroup)
+      .select(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
   }
 }

@@ -249,10 +249,6 @@ class SamplingSpec extends SparkSpec {
       .selectExpr("id",
         "CASE WHEN id % 10 < 9 THEN 'dominant' ELSE concat('g', id % 100) END AS grp")
     val capped = Sampling.capPerGroup(df, "id", "grp", 50)
-    val plan = capped.queryExecution.executedPlan.toString
-    plan should include("BroadcastHashJoin")
-    plan should include("__bstar")
-    (plan should not).include("SinglePartition")
     // survivors: exactly the cap's head of the deterministic-sample
     // ordering — equal to the naive single-phase rank (the oracle)
     import org.apache.spark.sql.expressions.Window
@@ -261,6 +257,13 @@ class SamplingSpec extends SparkSpec {
           .orderBy(Sampling.hashBucket($"id"), $"id")))
       .filter($"__r" <= 50).drop("__r")
     assertSameRows(capped, naive)
+    // plan asserted AFTER execution: the threshold join carries no forced
+    // hint anymore (million-group caps must be able to shuffle-join), so
+    // the broadcast decision is AQE's — visible in the final adaptive plan
+    val plan = capped.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should include("__bstar")
+    (plan should not).include("SinglePartition")
     // the exact window's input is bounded near the cap, not group-sized:
     // the prefilter admits cap + ties, never the 18k-row dominant group
     val pre = df.withColumn("__bkt", Sampling.hashBucket($"id"))
@@ -270,5 +273,43 @@ class SamplingSpec extends SparkSpec {
     pre.count() should be > 0L // sanity: skew exists
     val dominantSurvivors = capped.filter($"grp" === "dominant").count()
     dominantSurvivors shouldBe 50L
+  }
+
+  test("capPerGroup: null ids head the ordering and are never dropped " +
+      "(two-phase equals the naive rank)") {
+    // hashBucket(null) is null; without the −1 sentinel the prefilter
+    // `bkt <= __bstar` is null for those rows and an over-cap group would
+    // silently drop its null-id rows AND return short of the cap
+    val df = spark.range(500)
+      .selectExpr("CASE WHEN id < 5 THEN NULL ELSE id END AS id",
+        "'g' AS grp")
+    val capped = Sampling.capPerGroup(df, "id", "grp", 50)
+    capped.count() shouldBe 50L          // never short of the cap
+    capped.filter($"id".isNull).count() shouldBe 5L // nulls sort first
+    import org.apache.spark.sql.expressions.Window
+    val naive = df.withColumn("__r", row_number().over(
+        Window.partitionBy($"grp")
+          .orderBy(Sampling.hashBucket($"id").asc, $"id".asc)))
+      .filter($"__r" <= 50).drop("__r")
+    assertSameRows(capped, naive)
+  }
+
+  test("capPerGroup: user columns named like the working columns survive " +
+      "untouched and the rank still orders on the id hash") {
+    // a pre-existing __bkt/__bstar must neither be clobbered (withColumn
+    // replaces same-named columns) nor leak ambiguity into the join
+    val df = spark.range(300)
+      .selectExpr("id", "'g' AS grp", "id * 2 AS __bkt", "'u' AS __bstar")
+    val capped = Sampling.capPerGroup(df, "id", "grp", 20)
+    capped.columns.toSeq shouldBe df.columns.toSeq
+    capped.count() shouldBe 20L
+    capped.filter($"__bkt" =!= $"id" * 2).count() shouldBe 0L
+    capped.filter($"__bstar" =!= "u").count() shouldBe 0L
+    import org.apache.spark.sql.expressions.Window
+    val naive = df.withColumn("__r", row_number().over(
+        Window.partitionBy($"grp")
+          .orderBy(Sampling.hashBucket($"id"), $"id")))
+      .filter($"__r" <= 20).drop("__r")
+    assertSameRows(capped, naive)
   }
 }
