@@ -15,8 +15,28 @@ import org.apache.spark.sql.functions._
   * results are identical to the unsalted join.
   */
 object SkewJoin {
+
+  /** The salt expression: a uniform bucket in [0, saltFactor) hashed from
+    * `cols`. Exposed so specs/diagnostics can observe the exact spread the
+    * join will use.
+    */
+  def salt(saltFactor: Int, cols: Seq[Column]): Column =
+    pmod(xxhash64(cols: _*), lit(saltFactor)).cast("int")
+
+  /** @param saltCols columns the probe-side salt is hashed from. Empty
+    *   (default) hashes EVERY probe column — deterministic and safe, but
+    *   it maps byte-identical rows to one salt, so a hot key whose rows
+    *   are fully identical re-concentrates. Pass the columns that
+    *   discriminate rows within the hot key (an event id, a line number,
+    *   a payload column) to spread those; cheaper than the full-row hash
+    *   on wide frames, too. Rows identical in the discriminator columns
+    *   still share a salt — no deterministic, replay-stable function of
+    *   row content can separate true duplicates; add a stable synthetic
+    *   id upstream if that case matters.
+    */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
-      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+      saltFactor: Int, joinType: String = "inner",
+      saltCols: Seq[String] = Nil): DataFrame = {
     // replicating the build side breaks build-preserving join types:
     // an unmatched build row would be emitted once per salt replica
     require(Set("inner", "left", "left_outer", "leftouter")(joinType),
@@ -25,15 +45,18 @@ object SkewJoin {
     // id-based salts are non-deterministic across task recomputation (a
     // stage retry after a fetch failure can re-salt rows differently from
     // the shuffle files already consumed — the SPARK-23207 class of bug,
-    // duplicating or losing join rows). Hashing every column keeps the salt
-    // stable under replay; identical rows share a salt, which only matters
-    // for skew if a single VALUE dominates — exactly the case where the
-    // exploded build side still matches every replica.
-    val salted = probe.withColumn("__salt",
-      pmod(xxhash64(probe.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
-        .cast("int"))
-    val replicated = build.withColumn("__salt",
+    // duplicating or losing join rows). Hashing content keeps the salt
+    // stable under replay.
+    val src =
+      if (saltCols.nonEmpty) saltCols.map(c => probe.col(c))
+      else probe.columns.map(c => probe.col(s"`$c`")).toSeq
+    // the working column must not clobber a user column on either side
+    var saltName = "__salt"
+    while (probe.columns.contains(saltName) ||
+        build.columns.contains(saltName)) saltName += "_"
+    val salted = probe.withColumn(saltName, salt(saltFactor, src))
+    val replicated = build.withColumn(saltName,
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+    salted.join(replicated, Seq(key, saltName), joinType).drop(saltName)
   }
 }

@@ -16,6 +16,34 @@ class SkewJoinSpec extends SparkSpec {
       .select($"k", $"v", $"name").as[(Long, Int, String)].collect().sorted
     salted shouldBe plain
   }
+
+  test("discriminator saltCols spread a dominant key across salts; result " +
+      "unchanged") {
+    // one VALUE holds 90% of the probe side — the case the full-row hash
+    // covers only when rows differ somewhere; the caller names the column
+    // that discriminates rows within the hot key
+    val probe = (1 to 2000)
+      .map(i => (if (i % 10 != 0) 7L else i.toLong, i.toLong))
+      .toDF("k", "event_id")
+    val build = Seq((7L, "hot"), (10L, "cold")).toDF("k", "name")
+    val out = SkewJoin.saltedJoin(probe, build, "k", saltFactor = 8,
+      saltCols = Seq("event_id"))
+    val plain = probe.join(build, Seq("k"))
+    assertSameRows(out, plain)
+    // the hot key's probe rows land on >= saltFactor/2 distinct salts
+    val spread = probe.filter($"k" === 7L)
+      .select(SkewJoin.salt(8, Seq($"event_id")).as("s"))
+      .distinct().count()
+    spread should be >= 4L
+  }
+
+  test("salt working column dodges a user column named __salt") {
+    val probe = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "__salt")
+    val build = Seq((1L, 10), (2L, 20)).toDF("k", "w")
+    val out = SkewJoin.saltedJoin(probe, build, "k", saltFactor = 4)
+    out.columns.sorted.toSeq shouldBe Seq("__salt", "k", "w")
+    assertSameRows(out, probe.join(build, Seq("k")))
+  }
 }
 
 class BucketingSpec extends SparkSpec {
