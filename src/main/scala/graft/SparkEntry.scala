@@ -917,6 +917,28 @@ object SparkEntry {
         saltFactor = 8)
     }),
 
+    // streaming: EventStream.dedupStream run as a REAL streaming query
+    // (AvailableNow over the events parquet, memory sink) — not a batch
+    // stand-in: dropDuplicatesWithinWatermark has no batch face (Spark
+    // rejects it on batch frames). The horizon exceeds the table's whole
+    // time range, so no state is ever evicted and the settled output is
+    // exactly one row per key REGARDLESS of how the source splits into
+    // micro-batches; projected to the key columns the result is
+    // deterministic (which duplicate survives a batch is arrival-order)
+    "q69_stream_dedup" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      // the test table is a single parquet FILE: a non-glob file path makes
+      // FileStreamSource inject basePath=<the file> and fail ("must be a
+      // directory"); a glob skips that injection (production streams read
+      // directories and never hit this)
+      EventStream.runDedupOnce(s, raw, s"$dir/events*.parquet",
+          keyCols = Seq("user_id", "event_type"), watermarkCol = "ts",
+          horizon = "3650 days", queryName = "q69_sink",
+          prepare = df => df.withColumn("ts",
+            timestamp_micros(expr("ts div 1000"))))
+        .select(col("user_id"), col("event_type"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -1875,6 +1897,12 @@ object SparkEntry {
     // the oracle is the PLAIN join (that identity is the whole point)
     "q68_salted_join" ->
       """SELECT o_orderkey, o_custkey AS custkey, c_mktsegment
-        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    // mirrors EventStream.dedupStream with a horizon wider than the
+    // table's time range: no state eviction, so the settled streaming
+    // output projected to the keys is exactly the distinct key set
+    "q69_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events"
   )
 }

@@ -34,23 +34,33 @@ object EventStream {
     events.withWatermark(watermarkCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Run [[dedupStream]] as a real streaming query over parquet input,
-    * draining to a memory sink; returns the settled result.
+    * draining to a memory sink; returns the settled result. `prepare` maps
+    * the raw streaming frame before the watermark (e.g. a nanos-long →
+    * timestamp conversion that the batch loader does in
+    * [[graft.core.Tables]]). The sink name is uniquified per call so
+    * repeated runs (bench reps) never collide on an active query name.
     */
   def runDedupOnce(spark: SparkSession, schema: StructType, inputDir: String,
       keyCols: Seq[String], watermarkCol: String, horizon: String,
-      queryName: String): DataFrame = {
-    val stream = spark.readStream.schema(schema).parquet(inputDir)
+      queryName: String,
+      prepare: DataFrame => DataFrame = identity,
+      readerOptions: Map[String, String] = Map.empty): DataFrame = {
+    val sink = s"${queryName}_${sinkSeq.incrementAndGet()}"
+    val stream = prepare(spark.readStream.schema(schema)
+      .options(readerOptions).parquet(inputDir))
     val q: StreamingQuery = dedupStream(stream, keyCols, watermarkCol, horizon)
       .writeStream
       .outputMode("append")
       .format("memory")
-      .queryName(queryName)
+      .queryName(sink)
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(queryName)
+    spark.table(sink)
   }
 
   /** Watermarked stream-stream INTERVAL join: each left event joins right

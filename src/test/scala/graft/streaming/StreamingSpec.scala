@@ -85,6 +85,24 @@ class EventStreamSpec extends SparkSpec {
     // one surviving row per key inside the horizon
     out.select($"k").as[Long].collect().sorted shouldBe Array(1L, 2L)
   }
+
+  test("streaming dedup with a horizon wider than the data settles to the " +
+      "distinct key set — the q69 gate expression") {
+    // dropDuplicatesWithinWatermark has NO batch face (Spark rejects it on
+    // batch frames), so the oracle-able face is the settled streaming
+    // output: with no state ever evicted, the key projection equals batch
+    // DISTINCT regardless of micro-batch splits or arrival order
+    val dir = tmp("stream_dd_wide")
+    val batch = (1L to 300L).map(i =>
+      (i % 7, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i % 50}%02d:00"),
+        s"v$i"))
+      .toDF("k", "ts", "v")
+    batch.write.parquet(dir + "/p")
+    val out = EventStream.runDedupOnce(spark, batch.schema, dir + "/p",
+      Seq("k"), "ts", "3650 days", "dd_wide_test")
+    assertSameRows(out.select($"k"), batch.dropDuplicates("k").select($"k"))
+    out.count() shouldBe 7L
+  }
 }
 
 class StreamingCurationSpec extends SparkSpec {
