@@ -939,6 +939,17 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"))
     }),
 
+    // schema exceed: MapType flattening — the reference silently ignores
+    // maps (NestedFlattener.scala:73-93); flattenMap DISCOVERS the key
+    // space (bounded distinct over the pruned map keys) and expands
+    // name__key columns with typed nulls for the keys a row lacks
+    "q70_map_flatten" -> ((s, dir) => {
+      val m = t(s, dir, "events")
+        .select(col("event_id"),
+          map(col("event_type"), col("value")).as("props"))
+      SchemaOps.flattenMap(m, "props")
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -1903,6 +1914,17 @@ object SparkEntry {
     // table's time range: no state eviction, so the settled streaming
     // output projected to the keys is exactly the distinct key set
     "q69_stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events"
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    // mirrors SchemaOps.flattenMap over a map keyed by event_type: one
+    // discovered column per key (sorted), null where the row lacks it
+    "q70_map_flatten" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'click' THEN value END AS props__click,
+        |  CASE WHEN event_type = 'error' THEN value END AS props__error,
+        |  CASE WHEN event_type = 'purchase' THEN value END AS props__purchase,
+        |  CASE WHEN event_type = 'signup' THEN value END AS props__signup,
+        |  CASE WHEN event_type = 'view' THEN value END AS props__view
+        |FROM events""".stripMargin
   )
 }

@@ -108,4 +108,43 @@ object SchemaOps {
     }
     cur
   }
+
+  /** Flatten a MapType column into one `mapCol__<key>` column per key —
+    * an opt-in EXCEED over the reference, which silently ignores MapType
+    * (reference: algo/NestedFlattener.scala:73-93 — maps match neither the
+    * struct nor the array case and pass through untouched).
+    *
+    * Keys: pass them explicitly (pure — no Spark job), or leave empty to
+    * DISCOVER them with one distinct over the column-pruned map keys. The
+    * discovery is a deliberate driver-side action whose result size is
+    * bounded by the KEY-SPACE cardinality (and `maxKeys`), not by row
+    * count — right for config/attribute-style maps, wrong for unbounded
+    * per-row key spaces (pass explicit keys there). Missing keys yield
+    * typed nulls (`GetMapValue` is null-safe, ANSI mode included). Key
+    * renderings are sanitized to identifier chars for the column name;
+    * the key order (sorted) fixes the column order deterministically.
+    */
+  def flattenMap(df: DataFrame, mapCol: String, keys: Seq[Any] = Nil,
+      sep: String = "__", maxKeys: Int = 1000): DataFrame = {
+    val field = df.schema(mapCol)
+    require(field.dataType.isInstanceOf[MapType],
+      s"$mapCol is not a MapType column: ${field.dataType.simpleString}")
+    val ks: Seq[Any] =
+      if (keys.nonEmpty) keys
+      else {
+        val found = df
+          .select(explode(map_keys(col(s"`$mapCol`"))).as("k"))
+          .distinct().orderBy("k").limit(maxKeys + 1)
+          .collect().map(_.get(0)).toSeq
+        require(found.size <= maxKeys,
+          s"$mapCol has over $maxKeys distinct keys; pass keys explicitly")
+        found
+      }
+    val others = df.schema.fields.filterNot(_.name == mapCol)
+      .map(x => col(s"`${x.name}`")).toSeq
+    def clean(k: Any): String = k.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    val expanded = ks.map(k =>
+      col(s"`$mapCol`").getItem(k).as(s"$mapCol$sep${clean(k)}"))
+    df.select((others ++ expanded): _*)
+  }
 }

@@ -122,6 +122,51 @@ class SchemaOpsSpec extends SparkSpec {
     out.collect().head.toSeq shouldBe Seq(1, "a", "b")
   }
 
+  test("flattenMap expands discovered keys to name__key columns, nulls " +
+      "for missing keys") {
+    val df = Seq(
+      (1, Map("color" -> "red", "size" -> "xl")),
+      (2, Map("color" -> "blue")),
+      (3, Map.empty[String, String]))
+      .toDF("id", "attrs")
+    val out = SchemaOps.flattenMap(df, "attrs")
+    out.columns.toSeq shouldBe Seq("id", "attrs__color", "attrs__size")
+    out.orderBy($"id").collect().map(_.toSeq) shouldBe Array(
+      Seq(1, "red", "xl"), Seq(2, "blue", null), Seq(3, null, null))
+    // explicit keys skip discovery (no job) and fix the projection
+    val explicit = SchemaOps.flattenMap(df, "attrs",
+      keys = Seq("size", "brand"))
+    explicit.columns.toSeq shouldBe Seq("id", "attrs__size", "attrs__brand")
+    explicit.filter($"id" === 1).collect().head.toSeq shouldBe
+      Seq(1, "xl", null)
+  }
+
+  test("flattenMap sanitizes key renderings and bounds discovery by maxKeys") {
+    val df = Seq((1, Map("a.b:c" -> 5, "ok" -> 6))).toDF("id", "m")
+    val out = SchemaOps.flattenMap(df, "m")
+    out.columns.toSet shouldBe Set("id", "m__a_b_c", "m__ok")
+    intercept[IllegalArgumentException] {
+      SchemaOps.flattenMap(df, "m", maxKeys = 1)
+    }
+    intercept[IllegalArgumentException] {
+      SchemaOps.flattenMap(df, "id") // not a map column
+    }
+  }
+
+  test("NestedFlattener mapFlatten opts a struct-nested map into key " +
+      "expansion (reference silently ignores MapType)") {
+    val df = Seq((1, ("n1", Map("k1" -> 10, "k2" -> 20))))
+      .toDF("id", "s")
+    // default: the map survives flatten untouched (reference parity)
+    val parity = graft.algos.NestedFlattener(df)
+    parity.columns.toSet shouldBe Set("id", "s___1", "s___2")
+    parity.schema("s___2").dataType.typeName shouldBe "map"
+    // opt-in: the struct-nested map surfaces as s___2, then expands
+    val out = graft.algos.NestedFlattener(df, mapFlatten = Seq("s___2"))
+    out.columns.toSet shouldBe Set("id", "s___1", "s___2__k1", "s___2__k2")
+    out.collect().head.toSeq shouldBe Seq(1, "n1", 10, 20)
+  }
+
   test("cleanNames scrubs nested field names without rdd round-trip") {
     val df = spark.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(org.apache.spark.sql.Row("v"))),
