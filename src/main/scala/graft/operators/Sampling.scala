@@ -119,14 +119,29 @@ object Sampling {
     * where the naive `orderBy(hashBucket(id), id)` rank put them (Spark
     * sorts nulls first ascending), and they are never silently dropped.
     *
-    * The threshold frame (one row per over-cap group) is left to the
-    * optimizer to place: AQE broadcasts it when it is small, and falls
-    * back to a shuffle join when per-group capping runs over millions of
-    * distinct groups — a forced broadcast hint here would be a driver OOM
-    * at that cardinality.
+    * The threshold frame (one row per over-cap group) is broadcast BY
+    * DEFAULT, and the hint is load-bearing: left to the optimizer, the
+    * prefilter becomes a sort-merge join whose probe side shuffles by the
+    * (skewed!) group key, the downstream rank window pins that exact
+    * distribution so AQE's skew-split cannot apply, and the dominant
+    * group funnels through one sort task — CapProbe measured a 7.4M-row
+    * single task and 2.6× the naive wall time at 10M rows/50% skew.
+    * `broadcastThresholds = false` is the opt-out for caps over MILLIONS
+    * of distinct over-cap groups, where the broadcast itself would be the
+    * OOM; accept the skewed shuffle join there or raise the cap.
+    *
+    * vs the naive rank on Spark 4: `WindowGroupLimit` map-side prunes a
+    * `row_number ≤ cap` filter (cap ≤ windowGroupLimitThreshold, default
+    * 1000), so the naive plan's reduce task reads ~(#map partitions ×
+    * cap) for the dominant group, not the whole group — fine at bench
+    * scale (and why BenchOne shows the naive constant is smaller), but it
+    * GROWS WITH THE CLUSTER: at 100 TB / ~800k map partitions that is
+    * ~800M rows in one task. The histogram bound here (≤10⁶ rows per
+    * group, then cap+ties) is independent of map count — which is why
+    * the two-phase stays the plan at scale.
     */
   def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
-      maxPerGroup: Int): DataFrame = {
+      maxPerGroup: Int, broadcastThresholds: Boolean = true): DataFrame = {
     require(maxPerGroup > 0, s"maxPerGroup must be positive: $maxPerGroup")
     import org.apache.spark.sql.expressions.Window
     // working columns must not clobber same-named user columns (withColumn
@@ -148,8 +163,9 @@ object Sampling {
       .filter(col(cumN) >= maxPerGroup) // reachable only when n ≥ cap
       .groupBy(col(groupCol))
       .agg(min(bkt).as(bstarN))
+    val thr = if (broadcastThresholds) broadcast(thresholds) else thresholds
     val pre = bucketed
-      .join(thresholds, Seq(groupCol), "left")
+      .join(thr, Seq(groupCol), "left")
       .filter(col(bstarN).isNull || bkt <= col(bstarN))
     val w = Window.partitionBy(col(groupCol)).orderBy(bkt, col(idCol))
     pre.withColumn(rankN, row_number().over(w))

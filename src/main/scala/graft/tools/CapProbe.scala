@@ -1,0 +1,113 @@
+package graft.tools
+
+import graft.operators.Sampling
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skew probe for [[Sampling.capPerGroup]]: one group holds ~50% of the
+  * corpus — the exact case a per-source cap exists for — and the question
+  * is whether any single task's input stays BOUNDED (by the 10⁶ bucket
+  * space and by cap+ties) or grows with the dominant group (the naive
+  * single-phase rank funnels the whole group through one task's sort).
+  *
+  * Measures, for the two-phase operator vs the naive rank on the same
+  * corpus: wall time, the MAX records any one task reads off a shuffle
+  * (the scale-limiting quantity — at 100 TB the naive plan's number is the
+  * group size and the job dies; two-phase is capped by the bucket-space
+  * histogram), and the phase-3 exact-rank window's per-group input
+  * (cap + hash ties, recomputed via the operator's own construction).
+  *
+  * Usage: runMain graft.tools.CapProbe [rows] [cap]
+  */
+object CapProbe {
+
+  private final class MaxShuffleRead extends SparkListener {
+    val max = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null)
+        max.updateAndGet(x => math.max(x, m.shuffleReadMetrics.recordsRead))
+    }
+  }
+
+  private def timedWithMax(spark: SparkSession)(f: => Long): (Long, Double, Long) = {
+    val l = new MaxShuffleRead
+    spark.sparkContext.addSparkListener(l)
+    val t0 = System.nanoTime()
+    val rows = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(2000) // let the async listener bus drain
+    spark.sparkContext.removeSparkListener(l)
+    (rows, sec, l.max.get)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val cap = if (args.length > 1) args(1).toInt else 1000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      graft.core.Session.cpus.toString)
+    val spark = graft.core.Session.builder("graft-capprobe")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.ansi.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 50% of rows in one group; the rest spread over 997 groups, each of
+    // which also exceeds the cap so every group takes the threshold path
+    val df = spark.range(n).selectExpr("id",
+      "CASE WHEN id % 2 = 0 THEN 'dominant' ELSE concat('g', id % 997) END AS grp")
+      .persist()
+    df.count() // materialize outside the timings
+
+    val twoFrame = Sampling.capPerGroup(df, "id", "grp", cap)
+    val (rTwo, tTwo, mTwo) = timedWithMax(spark) { twoFrame.count() }
+    val plan = twoFrame.queryExecution.executedPlan.toString
+    val joinKind =
+      if (plan.contains("BroadcastHashJoin")) "broadcast"
+      else if (plan.contains("SortMergeJoin")) "sortmerge"
+      else "other"
+    // the opt-out path: no hint → SMJ on the skewed group key (the rank
+    // window pins the distribution, so AQE cannot skew-split it)
+    val (rNb, tNb, mNb) = timedWithMax(spark) {
+      Sampling.capPerGroup(df, "id", "grp", cap,
+        broadcastThresholds = false).count()
+    }
+    // naive rank: on Spark 4, WindowGroupLimit map-side prunes
+    // row_number<=cap, so its reduce task reads ~(#maps × cap) per group
+    val (rNaive, tNaive, mNaive) = timedWithMax(spark) {
+      df.withColumn("__r", row_number().over(
+          Window.partitionBy(col("grp"))
+            .orderBy(Sampling.hashBucket(col("id")), col("id"))))
+        .filter(col("__r") <= cap).count()
+    }
+    require(rTwo == rNaive && rTwo == rNb,
+      s"result mismatch: $rTwo vs $rNb vs $rNaive")
+
+    // phase-3 window input per group = prefilter survivors (cap + ties at
+    // the threshold bucket), recomputed via the operator's construction
+    val bkt = coalesce(Sampling.hashBucket(col("id")), lit(-1L))
+    val hist = df.groupBy(col("grp"), bkt.as("b")).agg(count(lit(1)).as("c"))
+    val thr = hist
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("grp")).orderBy(col("b"))))
+      .filter(col("cum") >= cap)
+      .groupBy(col("grp")).agg(min(col("b")).as("bstar"))
+    val surv = df.withColumn("b", bkt)
+      .join(thr, Seq("grp")).filter(col("b") <= col("bstar"))
+      .groupBy(col("grp")).count()
+      .agg(max(col("count")).as("maxSurv"), avg(col("count")).as("avgSurv"))
+      .head()
+    val dominantRows = df.filter(col("grp") === "dominant").count()
+
+    println(f"""{"probe":"cap","rows":$n,"cap":$cap,"dominant_rows":$dominantRows,"join":"$joinKind",""" +
+      f""""two_phase":{"sec":$tTwo%.2f,"max_task_shuffle_records":$mTwo},""" +
+      f""""two_phase_no_bcast":{"sec":$tNb%.2f,"max_task_shuffle_records":$mNb},""" +
+      f""""naive":{"sec":$tNaive%.2f,"max_task_shuffle_records":$mNaive},""" +
+      f""""window_input":{"max_per_group":${surv.getLong(0)},"avg_per_group":${surv.getDouble(1)}%.1f},""" +
+      f""""survivors":$rTwo}""")
+    spark.stop()
+  }
+}
