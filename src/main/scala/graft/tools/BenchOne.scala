@@ -19,11 +19,24 @@ object BenchOne {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = graft.core.Session.cpus
-    val spark = graft.core.Session.builder("graft-benchone")
+    // SPARK_GRAFT_HIVE=1 backs the catalog with a Hive (Derby) metastore —
+    // the wall-time record for the metastore-path queries (q38/q50-q52),
+    // which otherwise bench against the in-memory catalog. Derby +
+    // warehouse live under /tmp so repeated runs don't litter the cwd.
+    val hive = sys.env.get("SPARK_GRAFT_HIVE").exists(Set("1", "true"))
+    if (hive) {
+      new java.io.File("/tmp/graft_benchone_derby").mkdirs()
+      System.setProperty("derby.system.home", "/tmp/graft_benchone_derby")
+    }
+    val b = graft.core.Session.builder("graft-benchone", hive = hive)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.ansi.enabled", "false")
-      .getOrCreate()
+    val spark = (if (hive)
+      b.config("spark.sql.warehouse.dir", "/tmp/graft_benchone_warehouse")
+    else b).getOrCreate()
+    if (hive) println(s"[benchone] catalog=hive " +
+      s"(${spark.conf.get("spark.sql.catalogImplementation", "?")})")
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Tables(spark, sfDir, "lineitem").count()
     graft.core.Tables(spark, sfDir, "events").groupBy("event_type").count()
