@@ -950,6 +950,22 @@ object SparkEntry {
       SchemaOps.flattenMap(m, "props")
     }),
 
+    // curation: decontamination for eval sets too big to broadcast — the
+    // corpus-side prefilter is Spark's bloom pair (narrow might_contain
+    // literal, no join), exactness restored by the shingle semi-join on
+    // survivors; row-identical to q53's broadcast path by construction,
+    // so the oracle is the same shingle-overlap SQL (different params)
+    "q71_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+        .select(concat_ws(" ",
+          slice(Dedup.tokens(col("text")), 2, 12)).as("qtext"))
+      Decontaminate.overlapsBloom(docs, "doc_id", "text", bench, "qtext",
+          n = 6, minOverlap = 1)
+        .select(col("id").as("doc_id"), col("n_matched"),
+          col("n_shingles"), col("overlap_ratio"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -1925,6 +1941,39 @@ object SparkEntry {
         |  CASE WHEN event_type = 'purchase' THEN value END AS props__purchase,
         |  CASE WHEN event_type = 'signup' THEN value END AS props__signup,
         |  CASE WHEN event_type = 'view' THEN value END AS props__view
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    // mirrors Decontaminate.overlapsBloom(n=6, minOverlap=1) with the
+    // snippet benchmark from every 25th doc's tokens 2..13 — the bloom
+    // prefilter is exactness-preserving, so the oracle is the plain
+    // shingle overlap (same shape as q53, different params)
+    "q71_bloom_decontaminate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |bench AS (
+        |  SELECT array_to_string(tk[2:13], ' ') AS qt FROM tk
+        |  WHERE doc_id % 25 = 0),
+        |btk AS (
+        |  SELECT string_split_regex(trim(lower(qt)), '\s+') AS tk FROM bench),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(tk)-6, 0)+1),
+        |    i -> array_to_string(tk[i+1:i+6], ' ')))) AS s
+        |  FROM btk),
+        |csh0 AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(tk)-6, 0)+1),
+        |    i -> array_to_string(tk[i+1:i+6], ' '))) AS shl
+        |  FROM tk),
+        |csh AS (
+        |  SELECT doc_id, CAST(len(shl) AS BIGINT) AS n_shingles,
+        |    unnest(shl) AS s
+        |  FROM csh0)
+        |SELECT doc_id, count(*) AS n_matched, n_shingles,
+        |  round(CAST(count(*) AS DOUBLE) / n_shingles, 6) AS overlap_ratio
+        |FROM csh JOIN bsh USING (s)
+        |GROUP BY doc_id, n_shingles
+        |HAVING count(*) >= 1""".stripMargin
   )
 }

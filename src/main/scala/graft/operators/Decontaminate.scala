@@ -61,4 +61,60 @@ object Decontaminate {
       minOverlap).select(col("id").as(idCol))
     corpus.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** [[overlaps]] for benchmark sets TOO BIG TO BROADCAST (continual-eval
+    * suites, held-out corpora — billions of shingles): the corpus-side
+    * prefilter is Spark's own bloom-filter pair
+    * ([[graft.functions.BloomSketch]]) instead of a broadcast join, and
+    * EXACTNESS is restored by verifying the bloom's survivors with a
+    * shingle semi-join — false positives add candidates, the join removes
+    * them, so the result is row-identical to [[overlaps]] (spec + oracle
+    * proven).
+    *
+    * 100 TB shape, phase by phase:
+    *   1. One aggregation folds the benchmark shingles into ONE serialized
+    *      bloom (8 MB max by default conf) collected to the driver — the
+    *      only driver-sized object; the shingle SET never materializes on
+    *      the driver and is never broadcast.
+    *   2. The corpus explodes once; `might_contain` is a narrow map-side
+    *      predicate (the filter bytes ride the plan as a literal), so
+    *      only candidate shingles — fpp·corpus + true hits — reach the
+    *      exact semi-join's shuffle. The corpus is never shuffled whole.
+    *   3. Per-doc totals are recomputed for the MATCHED docs only (the
+    *      output contract requires n ≥ minOverlap ≥ 1, so totals of clean
+    *      docs are never needed): a semi-join prunes the corpus to the
+    *      contaminated sliver, which is re-shingled. The deliberate
+    *      second shingle pass touches only that sliver — the price of
+    *      keeping phase 2 join-free for the 99.9% clean corpus.
+    */
+  def overlapsBloom(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8,
+      minOverlap: Int = 1, expectedShingles: Long = 1000000L): DataFrame = {
+    val benchShingles = Dedup.shingleHashDF(
+        bench.withColumn("__bid", lit(0L)), "__bid", benchTextCol, n)
+      .select(explode(col("sh")).as("__h")).distinct()
+    val bloom = benchShingles
+      .agg(graft.functions.BloomSketch.bloomAgg(col("__h"), expectedShingles)
+        .as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val matched =
+      if (bloom == null) { // empty benchmark: nothing can match
+        corpus.limit(0).select(col(idCol).as("id"), lit(0L).as("n_matched"))
+      } else {
+        Dedup.shingleHashDF(corpus, idCol, textCol, n)
+          .select(col("id"), explode(col("sh")).as("__h"))
+          .filter(graft.functions.BloomSketch.mightContain(bloom, col("__h")))
+          .join(benchShingles, Seq("__h"), "left_semi")
+          .groupBy(col("id")).agg(count(lit(1)).as("n_matched"))
+          .filter(col("n_matched") >= minOverlap)
+      }
+    val contaminated = corpus
+      .join(matched.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+    val totals = Dedup.shingleHashDF(contaminated, idCol, textCol, n)
+      .select(col("id"), size(col("sh")).cast("long").as("n_shingles"))
+    matched.join(totals, Seq("id"))
+      .select(col("id"), col("n_matched"), col("n_shingles"),
+        round(col("n_matched").cast("double") / col("n_shingles"), 6)
+          .as("overlap_ratio"))
+  }
 }

@@ -110,6 +110,36 @@ class DedupSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect() shouldBe Array(3L)
   }
 
+  test("bloom-prefiltered decontamination is row-identical to the " +
+      "broadcast path; might_contain is a narrow predicate in the plan") {
+    val corpus = (1L to 60L).map { i =>
+      val base = s"document number $i talks about topic ${i % 7} in detail"
+      (i, if (i % 10 == 0)
+        base + " what is the capital of france the answer is paris"
+      else base)
+    }.toDF("doc_id", "text")
+    val bench = Seq("what is the capital of france the answer is paris",
+      "name the largest planet the answer is jupiter of course")
+      .toDF("qtext")
+    val exact = Decontaminate.overlaps(corpus, "doc_id", "text",
+      bench, "qtext", n = 5, minOverlap = 1)
+    val bloomed = Decontaminate.overlapsBloom(corpus, "doc_id", "text",
+      bench, "qtext", n = 5, minOverlap = 1)
+    assertSameRows(bloomed, exact)
+    // the corpus-side prefilter is the bloom probe, not a join: the
+    // predicate shows up as might_contain in the physical plan
+    bloomed.queryExecution.executedPlan.toString should
+      include("might_contain")
+    // a deliberately undersized, saturated bloom (expectedItems=1) fires
+    // false positives — the exact semi-join must still remove every one
+    val saturated = Decontaminate.overlapsBloom(corpus, "doc_id", "text",
+      bench, "qtext", n = 5, minOverlap = 1, expectedShingles = 1L)
+    assertSameRows(saturated, exact)
+    // empty benchmark: no matches, no crash
+    Decontaminate.overlapsBloom(corpus, "doc_id", "text",
+      bench.limit(0), "qtext", n = 5).count() shouldBe 0L
+  }
+
   test("connected components: chains collapse to min id, isolated pairs " +
       "stay separate, long paths converge") {
     val pairs = Seq(
