@@ -289,7 +289,12 @@ object AlgoRegistry {
           config.getString("id_column"), config.getString("text_column"),
           bench, config.getString("benchmark_text_column"),
           n = config.getIntOpt("ngram_size").getOrElse(8),
-          minOverlap = config.getIntOpt("min_overlap").getOrElse(1))
+          minOverlap = config.getIntOpt("min_overlap").getOrElse(1),
+          // bloom prefilter for eval sets too big to broadcast
+          // (exactness-preserving; see Decontaminate.overlapsBloom)
+          bloom = config.getBoolean("use_bloom"),
+          expectedShingles = config.getIntOpt("expected_shingles")
+            .map(_.toLong).getOrElse(1000000L))
       })
     // splits is an ORDERED list of {"name":…,"weight":…} — bucket bounds
     // are cumulative, so a JSON object (unordered) would be ambiguous

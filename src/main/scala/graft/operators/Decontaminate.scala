@@ -52,13 +52,20 @@ object Decontaminate {
 
   /** Drop contaminated documents: corpus rows whose benchmark n-gram
     * overlap reaches `minOverlap` are removed via a left-anti join against
-    * the (small) contaminated-id list.
+    * the (small) contaminated-id list. `bloom = true` switches candidate
+    * generation to [[overlapsBloom]] (same rows — spec-proven — for eval
+    * sets too big to broadcast).
     */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 8,
-      minOverlap: Int = 1): DataFrame = {
-    val bad = overlaps(corpus, idCol, textCol, bench, benchTextCol, n,
-      minOverlap).select(col("id").as(idCol))
+      minOverlap: Int = 1, bloom: Boolean = false,
+      expectedShingles: Long = 1000000L): DataFrame = {
+    val bad = (if (bloom)
+        overlapsBloom(corpus, idCol, textCol, bench, benchTextCol, n,
+          minOverlap, expectedShingles)
+      else
+        overlaps(corpus, idCol, textCol, bench, benchTextCol, n, minOverlap))
+      .select(col("id").as(idCol))
     corpus.join(bad, Seq(idCol), "left_anti")
   }
 

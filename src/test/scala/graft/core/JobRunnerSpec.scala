@@ -157,6 +157,19 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(tgt7).select(col("doc_id")).as[Long]
       .collect() shouldBe Array(3L)
 
+    // use_bloom routes through the bloom prefilter — identical survivors
+    val tgt7b = tmp("jr_dcb_tgt") + "/t"
+    val params7b = tmp("jr_dcb_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(params7b),
+      s"""{"source_dir": "$src", "target_dir": "$tgt7b",
+         | "benchmark_dir": "$benchDir",
+         | "id_column": "doc_id", "text_column": "text",
+         | "benchmark_text_column": "qtext",
+         | "ngram_size": 5, "min_overlap": 1, "use_bloom": true}""".stripMargin)
+    JobRunner.execute(spark, "Decontaminate", params7b)
+    spark.read.parquet(tgt7b).select(col("doc_id")).as[Long]
+      .collect() shouldBe Array(3L)
+
     val tgt8 = tmp("jr_uq_tgt") + "/t"
     val params8 = tmp("jr_uq_par") + "/p.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(params8),
