@@ -966,6 +966,18 @@ object SparkEntry {
           col("n_shingles"), col("overlap_ratio"))
     }),
 
+    // curation: incremental dedup — a delta batch (every 5th doc) against
+    // the already-landed corpus: exact digest anti-join, then cross-side
+    // banded-minhash near-dups; within-batch dups deliberately survive
+    "q72_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val existing = docs.filter(col("doc_id") % 5 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+      Dedup.dedupIncrement(existing, incoming, "doc_id", "text",
+          threshold = 0.5)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -1974,6 +1986,35 @@ object SparkEntry {
         |  round(CAST(count(*) AS DOUBLE) / n_shingles, 6) AS overlap_ratio
         |FROM csh JOIN bsh USING (s)
         |GROUP BY doc_id, n_shingles
-        |HAVING count(*) >= 1""".stripMargin
+        |HAVING count(*) >= 1""".stripMargin,
+
+    // mirrors Dedup.dedupIncrement: exact digests pruned first, then the
+    // shared minhash chain over existing ∪ pruned-incoming; only pairs
+    // whose OTHER side is landed disqualify an incoming doc
+    "q72_incremental_dedup" ->
+      s"""WITH existing AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |inc AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |inp AS (
+         |  SELECT i.doc_id, i.text FROM inc i
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM existing e WHERE md5(e.text) = md5(i.text))),
+         |docs0 AS (
+         |  SELECT doc_id, text FROM existing
+         |  UNION ALL SELECT doc_id, text FROM inp),
+         |${minhashChainSql("docs0")},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM j
+         |  WHERE CAST(inter AS DOUBLE)/uni >= 0.5),
+         |bad AS (
+         |  SELECT id_b AS doc_id FROM pairs
+         |  WHERE id_a IN (SELECT doc_id FROM existing)
+         |  UNION
+         |  SELECT id_a AS doc_id FROM pairs
+         |  WHERE id_b IN (SELECT doc_id FROM existing))
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE d.doc_id IN (SELECT doc_id FROM inp)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
   )
 }

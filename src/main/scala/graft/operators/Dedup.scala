@@ -357,6 +357,54 @@ object Dedup {
     survivors.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Incremental dedup: drop INCOMING docs that exactly or nearly
+    * duplicate the EXISTING corpus — the delta-load face of the dedup
+    * family (a production corpus is not rebuilt per batch; each increment
+    * dedups against what is already landed). Returns the incoming
+    * survivors with incoming's schema. Within-batch duplicates are NOT
+    * touched (compose with [[dedupCorpus]] on the increment for that);
+    * ids must be unique across both frames (a growing corpus's invariant).
+    *
+    * Shape: exact matches go first via a fixed-width digest anti-join
+    * (existing digests are distinct — one row per unique content however
+    * often it repeats); near-dups run the banded MinHash join over
+    * existing ∪ survivors and keep only CROSS-side verified pairs. Both
+    * joins are bucketed equi-joins; nothing is broadcast-sized except the
+    * final drop list.
+    *
+    * Scale note: signatures for the EXISTING corpus are recomputed per
+    * increment here. At production scale, persist the (id, signature)
+    * frame of the landed corpus alongside it (it is k longs per doc) and
+    * feed the banded join from that table instead — the increment's cost
+    * then scales with the BATCH, the existing side contributing only its
+    * (tiny) signature scan. The recompute keeps this entry point
+    * self-contained; the staging is the same either way.
+    */
+  def dedupIncrement(existing: DataFrame, incoming: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.5, shingleSize: Int = 3,
+      k: Int = 32, bands: Int = 8): DataFrame = {
+    val exDigests = existing.select(md5(col(textCol)).as("__d")).distinct()
+    val inPruned = incoming.join(exDigests,
+      md5(col(textCol)) === col("__d"), "left_anti")
+    val union = existing.select(col(idCol), col(textCol))
+      .unionByName(inPruned.select(col(idCol), col(textCol)))
+    val pairs = jaccardVerify(
+        minhashCandidates(union, idCol, textCol, shingleSize, k, bands),
+        union, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+    val exIds = existing.select(col(idCol).as("__eid"))
+    // a pair is disqualifying only when the OTHER side is existing;
+    // incoming-incoming pairs are within-batch and out of scope
+    val bad = pairs
+      .join(exIds, col("id_a") === col("__eid"), "left_semi")
+      .select(col("id_b").as(idCol))
+      .unionByName(pairs
+        .join(exIds, col("id_b") === col("__eid"), "left_semi")
+        .select(col("id_a").as(idCol)))
+      .distinct()
+    inPruned.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Result of a cluster-level dedup: the surviving rows plus the
     * component-labels frame [[connectedComponents]] pinned for the
     * anti-join (same handle pattern as [[Packing.Packed]] — releasing

@@ -140,6 +140,29 @@ class DedupSpec extends SparkSpec {
       bench.limit(0), "qtext", n = 5).count() shouldBe 0L
   }
 
+  test("dedupIncrement drops incoming exact and near dups of the existing " +
+      "corpus; within-batch dups and fresh docs survive") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today again"),
+      (2L, "completely unrelated text about spark shuffle partitions here"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today again"), // exact dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog today also"),  // near dup of 1
+      (12L, "fresh document with entirely new content nothing shared at all"),
+      (13L, "fresh document with entirely new content nothing shared at all"))
+      .toDF("doc_id", "text") // 13 is a WITHIN-BATCH dup of 12: out of scope
+    val out = Dedup.dedupIncrement(existing, incoming, "doc_id", "text",
+      threshold = 0.5)
+    out.columns.toSeq shouldBe incoming.columns.toSeq
+    out.select($"doc_id").as[Long].collect().sorted shouldBe Array(12L, 13L)
+    // empty increment and empty existing are both no-ops, not crashes
+    Dedup.dedupIncrement(existing, incoming.limit(0), "doc_id", "text")
+      .count() shouldBe 0L
+    Dedup.dedupIncrement(existing.limit(0), incoming, "doc_id", "text")
+      .count() shouldBe 4L
+  }
+
   test("connected components: chains collapse to min id, isolated pairs " +
       "stay separate, long paths converge") {
     val pairs = Seq(
