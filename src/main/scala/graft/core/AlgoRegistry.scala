@@ -296,6 +296,17 @@ object AlgoRegistry {
           expectedShingles = config.getIntOpt("expected_shingles")
             .map(_.toLong).getOrElse(1000000L))
       })
+    // source_dir is the INCOMING batch; existing_dir the landed corpus
+    case "IncrementalDedup" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val existing = fmt(config).read(spark, Map.empty, None,
+          config.getString("existing_dir"))
+        graft.operators.Dedup.dedupIncrement(existing, df,
+          config.getString("id_column"), config.getString("text_column"),
+          threshold = config.getDouble("threshold", 0.5))
+      })
     // splits is an ORDERED list of {"name":…,"weight":…} — bucket bounds
     // are cumulative, so a JSON object (unordered) would be ambiguous
     case "HashSplit" => new TransformAlgorithm(spark, fsOps,

@@ -170,6 +170,22 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(tgt7b).select(col("doc_id")).as[Long]
       .collect() shouldBe Array(3L)
 
+    // incremental dedup: the landed corpus disqualifies incoming dups
+    val exDir = tmp("jr_inc_ex") + "/e"
+    Seq((100L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text").write.parquet(exDir)
+    val tgt7c = tmp("jr_inc_tgt") + "/t"
+    val params7c = tmp("jr_inc_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(params7c),
+      s"""{"source_dir": "$src", "target_dir": "$tgt7c",
+         | "existing_dir": "$exDir",
+         | "id_column": "doc_id", "text_column": "text",
+         | "threshold": 0.5}""".stripMargin)
+    JobRunner.execute(spark, "IncrementalDedup", params7c)
+    // docs 1 and 2 are exact dups of the landed corpus; 3 survives
+    spark.read.parquet(tgt7c).select(col("doc_id")).as[Long]
+      .collect() shouldBe Array(3L)
+
     val tgt8 = tmp("jr_uq_tgt") + "/t"
     val params8 = tmp("jr_uq_par") + "/p.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(params8),
