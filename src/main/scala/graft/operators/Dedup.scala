@@ -104,13 +104,16 @@ object Dedup {
     * at this shuffle's size). The bucket equi-join shuffles by
     * (band, bucket); AQE splits skewed buckets.
     */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
-    val r = k / bands
-    // tokens → signature in ONE native evaluation (no interpreted shingle
-    // transform, no shingle-string array in the row); same md5 family, so
-    // the oracle's string-shingle formulation still matches bit-for-bit
-    val sig = docs
+  /** (id, sig) minhash signatures: tokens → signature in ONE native
+    * evaluation (no interpreted shingle transform, no shingle-string array
+    * in the row); same md5 family, so the oracle's string-shingle
+    * formulation matches bit-for-bit. This frame (k longs per doc) is the
+    * PERSISTABLE dedup artifact — write it alongside a landed corpus and
+    * feed increments from it ([[dedupIncrement]] with `artifacts`).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, k: Int = 32): DataFrame =
+    docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       .select(col("id"),
         graft.functions.ShingleMinHashExpr
@@ -120,6 +123,12 @@ object Dedup {
       // band/seed (measured 8-30x). The shuffle moves only (id, k longs)
       // per doc — negligible vs the corpus scan at any scale.
       .repartition(col("id"))
+
+  /** LSH banding + bucket self-join over an (id, sig) frame
+    * ([[minhashSignatures]] or a persisted signatures table). */
+  def minhashCandidatesFromSigs(sig: DataFrame, k: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val r = k / bands
     val banded = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))))
@@ -130,6 +139,11 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
+
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, k: Int = 32, bands: Int = 8): DataFrame =
+    minhashCandidatesFromSigs(
+      minhashSignatures(docs, idCol, textCol, shingleSize, k), k, bands)
 
   /** Expected candidate fanout per inverted-index entry: Σ df² / Σ df
     * over the shingle document frequencies (df > 1, mirroring the
@@ -372,27 +386,36 @@ object Dedup {
     * joins are bucketed equi-joins; nothing is broadcast-sized except the
     * final drop list.
     *
-    * Scale note: signatures for the EXISTING corpus are recomputed per
-    * increment here. At production scale, persist the (id, signature)
-    * frame of the landed corpus alongside it (it is k longs per doc) and
-    * feed the banded join from that table instead — the increment's cost
-    * then scales with the BATCH, the existing side contributing only its
-    * (tiny) signature scan. The recompute keeps this entry point
-    * self-contained; the staging is the same either way.
+    * Scale note: with no `artifacts`, signatures and digests for the
+    * EXISTING corpus are recomputed per increment (self-contained entry
+    * point). At production scale, persist [[dedupArtifacts]] alongside
+    * the landed corpus (one (id, digest, k-long signature) row per doc)
+    * and pass it here — the increment's cost then scales with the BATCH:
+    * the existing side contributes a narrow artifact scan, and text is
+    * re-read only for the candidate sliver during exact verification.
     */
   def dedupIncrement(existing: DataFrame, incoming: DataFrame, idCol: String,
       textCol: String, threshold: Double = 0.5, shingleSize: Int = 3,
-      k: Int = 32, bands: Int = 8): DataFrame = {
-    val exDigests = existing.select(md5(col(textCol)).as("__d")).distinct()
-    val inPruned = incoming.join(exDigests,
+      k: Int = 32, bands: Int = 8,
+      artifacts: Option[DataFrame] = None): DataFrame = {
+    val arts = artifacts.getOrElse(
+      dedupArtifacts(existing, idCol, textCol, shingleSize, k))
+    val inPruned = incoming.join(
+      arts.select(col("digest").as("__d")).distinct(),
       md5(col(textCol)) === col("__d"), "left_anti")
-    val union = existing.select(col(idCol), col(textCol))
+    val inSigs = minhashSignatures(inPruned, idCol, textCol, shingleSize, k)
+    val cand = minhashCandidatesFromSigs(
+      arts.select(col("id"), col("sig")).unionByName(inSigs), k, bands)
+    // exact verification re-reads text ONLY for the candidate sliver —
+    // at scale the landed corpus is never re-shingled whole
+    val pairIds = cand.select(col("id_a").as("__pid"))
+      .unionByName(cand.select(col("id_b").as("__pid"))).distinct()
+    val sliver = existing.select(col(idCol), col(textCol))
       .unionByName(inPruned.select(col(idCol), col(textCol)))
-    val pairs = jaccardVerify(
-        minhashCandidates(union, idCol, textCol, shingleSize, k, bands),
-        union, idCol, textCol, shingleSize)
+      .join(pairIds, col(idCol) === col("__pid"), "left_semi")
+    val pairs = jaccardVerify(cand, sliver, idCol, textCol, shingleSize)
       .filter(col("jaccard") >= threshold)
-    val exIds = existing.select(col(idCol).as("__eid"))
+    val exIds = arts.select(col("id").as("__eid"))
     // a pair is disqualifying only when the OTHER side is existing;
     // incoming-incoming pairs are within-batch and out of scope
     val bad = pairs
@@ -404,6 +427,22 @@ object Dedup {
       .distinct()
     inPruned.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** The persistable incremental-dedup artifacts of a landed corpus: one
+    * (id, digest, sig) row per doc — md5 content digest for the exact
+    * path, k-long minhash signature for the near-dup path. Write this
+    * next to the corpus on every load; increments then never rescan the
+    * landed text except for candidate verification.
+    */
+  def dedupArtifacts(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, k: Int = 32): DataFrame =
+    docs
+      .select(col(idCol).as("id"), md5(col(textCol)).as("digest"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col("id"), col("digest"),
+        graft.functions.ShingleMinHashExpr
+          .signature(col("__toks"), shingleSize, k).as("sig"))
+      .repartition(col("id"))
 
   /** Result of a cluster-level dedup: the surviving rows plus the
     * component-labels frame [[connectedComponents]] pinned for the

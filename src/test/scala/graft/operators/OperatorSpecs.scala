@@ -161,6 +161,15 @@ class DedupSpec extends SparkSpec {
       .count() shouldBe 0L
     Dedup.dedupIncrement(existing.limit(0), incoming, "doc_id", "text")
       .count() shouldBe 4L
+    // the production path: PERSISTED artifacts replace the landed-corpus
+    // digest/signature recompute — row-identical survivors
+    val artDir = tmp("inc_artifacts") + "/a"
+    Dedup.dedupArtifacts(existing, "doc_id", "text").write.parquet(artDir)
+    val arts = spark.read.parquet(artDir)
+    arts.columns.sorted.toSeq shouldBe Seq("digest", "id", "sig")
+    val viaArts = Dedup.dedupIncrement(existing, incoming, "doc_id", "text",
+      threshold = 0.5, artifacts = Some(arts))
+    assertSameRows(viaArts, out)
   }
 
   test("connected components: chains collapse to min id, isolated pairs " +
