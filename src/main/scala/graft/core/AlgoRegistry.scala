@@ -296,7 +296,9 @@ object AlgoRegistry {
           expectedShingles = config.getIntOpt("expected_shingles")
             .map(_.toLong).getOrElse(1000000L))
       })
-    // source_dir is the INCOMING batch; existing_dir the landed corpus
+    // source_dir is the INCOMING batch; existing_dir the landed corpus;
+    // optional artifacts_dir feeds a persisted DedupArtifacts table so
+    // the landed side is never re-digested/re-signed per increment
     case "IncrementalDedup" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),
@@ -305,8 +307,16 @@ object AlgoRegistry {
           config.getString("existing_dir"))
         graft.operators.Dedup.dedupIncrement(existing, df,
           config.getString("id_column"), config.getString("text_column"),
-          threshold = config.getDouble("threshold", 0.5))
+          threshold = config.getDouble("threshold", 0.5),
+          artifacts = config.getStringOpt("artifacts_dir").map(d =>
+            fmt(config).read(spark, Map.empty, None, d)))
       })
+    // the artifacts generator a load pipeline runs per landed batch
+    case "DedupArtifacts" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Dedup.dedupArtifacts(df,
+        config.getString("id_column"), config.getString("text_column")))
     // splits is an ORDERED list of {"name":…,"weight":…} — bucket bounds
     // are cumulative, so a JSON object (unordered) would be ambiguous
     case "HashSplit" => new TransformAlgorithm(spark, fsOps,

@@ -381,10 +381,12 @@ object Dedup {
     *
     * Shape: exact matches go first via a fixed-width digest anti-join
     * (existing digests are distinct — one row per unique content however
-    * often it repeats); near-dups run the banded MinHash join over
-    * existing ∪ survivors and keep only CROSS-side verified pairs. Both
-    * joins are bucketed equi-joins; nothing is broadcast-sized except the
-    * final drop list.
+    * often it repeats); near-dup candidates come from a LANDED-banded ×
+    * BATCH-banded bucket join, so only cross-side pairs ever exist —
+    * the landed corpus's internal near-dup structure is never generated
+    * or re-verified per increment (IncProbe measured it dominating a
+    * union self-join). Both joins are bucketed equi-joins; nothing is
+    * broadcast-sized except the final drop list.
     *
     * Scale note: with no `artifacts`, signatures and digests for the
     * EXISTING corpus are recomputed per increment (self-contained entry
@@ -404,8 +406,22 @@ object Dedup {
       arts.select(col("digest").as("__d")).distinct(),
       md5(col(textCol)) === col("__d"), "left_anti")
     val inSigs = minhashSignatures(inPruned, idCol, textCol, shingleSize, k)
-    val cand = minhashCandidatesFromSigs(
-      arts.select(col("id"), col("sig")).unionByName(inSigs), k, bands)
+    // candidates come from a LANDED-banded × BATCH-banded join, never a
+    // self-join over the union: landed×landed bucket pairs (the landed
+    // corpus's own near-dup structure, re-derivable any time and useless
+    // for an increment) are never generated, let alone verified —
+    // IncProbe measured them dominating the naive union self-join.
+    // Batch×batch pairs are equally out of scope (within-batch dedup is
+    // dedupCorpus's job) and are skipped the same way.
+    val r = k / bands
+    def banded(sig: DataFrame, idName: String): DataFrame =
+      sig.select(col("id").as(idName),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))))
+        .toDF(idName, "band", "bucket")
+    val cand = banded(arts.select(col("id"), col("sig")), "id_a")
+      .join(banded(inSigs, "id_b"), Seq("band", "bucket"))
+      .select(col("id_a"), col("id_b")).distinct()
     // exact verification re-reads text ONLY for the candidate sliver —
     // at scale the landed corpus is never re-shingled whole
     val pairIds = cand.select(col("id_a").as("__pid"))
@@ -413,18 +429,11 @@ object Dedup {
     val sliver = existing.select(col(idCol), col(textCol))
       .unionByName(inPruned.select(col(idCol), col(textCol)))
       .join(pairIds, col(idCol) === col("__pid"), "left_semi")
-    val pairs = jaccardVerify(cand, sliver, idCol, textCol, shingleSize)
+    // every verified pair is (landed, incoming) by construction: the
+    // incoming side is disqualified directly
+    val bad = jaccardVerify(cand, sliver, idCol, textCol, shingleSize)
       .filter(col("jaccard") >= threshold)
-    val exIds = arts.select(col("id").as("__eid"))
-    // a pair is disqualifying only when the OTHER side is existing;
-    // incoming-incoming pairs are within-batch and out of scope
-    val bad = pairs
-      .join(exIds, col("id_a") === col("__eid"), "left_semi")
-      .select(col("id_b").as(idCol))
-      .unionByName(pairs
-        .join(exIds, col("id_b") === col("__eid"), "left_semi")
-        .select(col("id_a").as(idCol)))
-      .distinct()
+      .select(col("id_b").as(idCol)).distinct()
     inPruned.join(bad, Seq(idCol), "left_anti")
   }
 

@@ -186,6 +186,24 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(tgt7c).select(col("doc_id")).as[Long]
       .collect() shouldBe Array(3L)
 
+    // artifacts flow: generate once per landed batch, feed increments
+    val artDir = tmp("jr_art_tgt") + "/a"
+    val paramsArt = tmp("jr_art_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsArt),
+      s"""{"source_dir": "$exDir", "target_dir": "$artDir",
+         | "id_column": "doc_id", "text_column": "text"}""".stripMargin)
+    JobRunner.execute(spark, "DedupArtifacts", paramsArt)
+    val tgt7d = tmp("jr_inc2_tgt") + "/t"
+    val params7d = tmp("jr_inc2_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(params7d),
+      s"""{"source_dir": "$src", "target_dir": "$tgt7d",
+         | "existing_dir": "$exDir", "artifacts_dir": "$artDir",
+         | "id_column": "doc_id", "text_column": "text",
+         | "threshold": 0.5}""".stripMargin)
+    JobRunner.execute(spark, "IncrementalDedup", params7d)
+    spark.read.parquet(tgt7d).select(col("doc_id")).as[Long]
+      .collect() shouldBe Array(3L)
+
     val tgt8 = tmp("jr_uq_tgt") + "/t"
     val params8 = tmp("jr_uq_par") + "/p.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(params8),
