@@ -400,10 +400,16 @@ object Dedup {
       textCol: String, threshold: Double = 0.5, shingleSize: Int = 3,
       k: Int = 32, bands: Int = 8,
       artifacts: Option[DataFrame] = None): DataFrame = {
-    val arts = artifacts.getOrElse(
-      dedupArtifacts(existing, idCol, textCol, shingleSize, k))
-    val inPruned = incoming.join(
-      arts.select(col("digest").as("__d")).distinct(),
+    // the digest prune needs ONLY md5 — when self-building, never route
+    // it through the signature compute (a plan branch re-executing the
+    // whole minhash chain just to feed an anti-join's build side)
+    val (exDigests, exSigs) = artifacts match {
+      case Some(a) => (a.select(col("digest").as("__d")).distinct(),
+        a.select(col("id"), col("sig")))
+      case None => (existing.select(md5(col(textCol)).as("__d")).distinct(),
+        minhashSignatures(existing, idCol, textCol, shingleSize, k))
+    }
+    val inPruned = incoming.join(exDigests,
       md5(col(textCol)) === col("__d"), "left_anti")
     val inSigs = minhashSignatures(inPruned, idCol, textCol, shingleSize, k)
     // candidates come from a LANDED-banded × BATCH-banded join, never a
@@ -419,15 +425,18 @@ object Dedup {
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
             b => concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))))
         .toDF(idName, "band", "bucket")
-    val cand = banded(arts.select(col("id"), col("sig")), "id_a")
+    val cand = banded(exSigs, "id_a")
       .join(banded(inSigs, "id_b"), Seq("band", "bucket"))
       .select(col("id_a"), col("id_b")).distinct()
     // exact verification re-reads text ONLY for the candidate sliver —
-    // at scale the landed corpus is never re-shingled whole
+    // at scale the landed corpus is never re-shingled whole. The union
+    // takes raw `incoming` (not inPruned): exact-pruned ids have no
+    // signatures in the band join, so they can never reach pairIds, and
+    // skipping the prune here spares one re-execution of its anti-join
     val pairIds = cand.select(col("id_a").as("__pid"))
       .unionByName(cand.select(col("id_b").as("__pid"))).distinct()
     val sliver = existing.select(col(idCol), col(textCol))
-      .unionByName(inPruned.select(col(idCol), col(textCol)))
+      .unionByName(incoming.select(col(idCol), col(textCol)))
       .join(pairIds, col(idCol) === col("__pid"), "left_semi")
     // every verified pair is (landed, incoming) by construction: the
     // incoming side is disqualified directly
