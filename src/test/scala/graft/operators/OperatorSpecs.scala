@@ -170,6 +170,11 @@ class DedupSpec extends SparkSpec {
     val viaArts = Dedup.dedupIncrement(existing, incoming, "doc_id", "text",
       threshold = 0.5, artifacts = Some(arts))
     assertSameRows(viaArts, out)
+    // candidate generation must stay a bucketed equi-join — never an
+    // all-pairs product between the batch and the landed corpus
+    val plan = viaArts.queryExecution.executedPlan.toString
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
   }
 
   test("connected components: chains collapse to min id, isolated pairs " +
