@@ -966,6 +966,20 @@ object SparkEntry {
           col("n_shingles"), col("overlap_ratio"))
     }),
 
+    // streaming: Dedup.dedupStreamAgainst run as a REAL streaming query —
+    // each micro-batch anti-joins the landed artifacts' digests (stream-
+    // static join, stateless), the on-arrival exact-dedup of an ingest
+    // pipeline; the landed set is every 7th doc's artifacts
+    "q73_stream_increment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val arts = Dedup.dedupArtifacts(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+      val raw = s.read.parquet(s"$dir/documents.parquet").schema
+      EventStream.runStreamAgainstOnce(s, raw, s"$dir/documents*.parquet",
+          arts, "text", "q73_sink")
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // curation: incremental dedup — a delta batch (every 5th doc) against
     // the already-landed corpus: exact digest anti-join, then cross-side
     // banded-minhash near-dups; within-batch dups deliberately survive
@@ -2015,6 +2029,14 @@ object SparkEntry {
          |  WHERE id_b IN (SELECT doc_id FROM existing))
          |SELECT d.doc_id, d.lang FROM documents d
          |WHERE d.doc_id IN (SELECT doc_id FROM inp)
-         |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    // mirrors dedupStreamAgainst over the landed sample's digests: the
+    // settled streaming output is the content-level anti-join (digest
+    // equality ⟺ text equality, evaluated within each engine)
+    "q73_stream_increment" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE md5(text) NOT IN (
+        |  SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)""".stripMargin
   )
 }

@@ -446,6 +446,21 @@ object Dedup {
     inPruned.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** Streaming face of [[dedupIncrement]]'s exact path: drop arriving
+    * rows whose content digest is already in the landed [[dedupArtifacts]]
+    * — a stream-static LEFT ANTI join, which Structured Streaming
+    * evaluates per micro-batch against the static frame (stateless: no
+    * watermark, no store; the landed side is the state, on disk where it
+    * belongs). The SAME call works on a batch frame, which is how the
+    * oracle gates it. Near-dup increments stay batch
+    * ([[dedupIncrement]]): exact-Jaccard verification needs the corpus
+    * text, which has no bounded streaming form.
+    */
+  def dedupStreamAgainst(stream: DataFrame, artifacts: DataFrame,
+      textCol: String): DataFrame =
+    stream.join(artifacts.select(col("digest").as("__d")).distinct(),
+      md5(col(textCol)) === col("__d"), "left_anti")
+
   /** The persistable incremental-dedup artifacts of a landed corpus: one
     * (id, digest, sig) row per doc — md5 content digest for the exact
     * path, k-long minhash signature for the near-dup path. Write this

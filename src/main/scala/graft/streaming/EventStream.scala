@@ -63,6 +63,29 @@ object EventStream {
     spark.table(sink)
   }
 
+  /** Run [[graft.operators.Dedup.dedupStreamAgainst]] as a real streaming
+    * query (AvailableNow over parquet, memory sink): arriving rows whose
+    * content digest is already in the landed artifacts are dropped per
+    * micro-batch. Sink name uniquified per call like [[runDedupOnce]].
+    */
+  def runStreamAgainstOnce(spark: SparkSession, schema: StructType,
+      inputGlob: String, artifacts: DataFrame, textCol: String,
+      queryName: String): DataFrame = {
+    val sink = s"${queryName}_${sinkSeq.incrementAndGet()}"
+    val stream = spark.readStream.schema(schema).parquet(inputGlob)
+    val q: StreamingQuery = graft.operators.Dedup
+      .dedupStreamAgainst(stream, artifacts, textCol)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sink)
+  }
+
   /** Watermarked stream-stream INTERVAL join: each left event joins right
     * events of the same key whose time lies in [left.ts − `lookback`,
     * left.ts] — e.g. "purchases join the clicks that preceded them within

@@ -103,6 +103,24 @@ class EventStreamSpec extends SparkSpec {
     assertSameRows(out.select($"k"), batch.dropDuplicates("k").select($"k"))
     out.count() shouldBe 7L
   }
+
+  test("stream-static anti-join drops arriving rows landed in the " +
+      "artifacts; stream equals the batch face") {
+    import graft.operators.Dedup
+    val dir = tmp("stream_inc")
+    val landed = Seq((1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val arts = Dedup.dedupArtifacts(landed, "doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta"),    // exact dup of landed 1
+      (11L, "totally new content here"))
+      .toDF("doc_id", "text")
+    batch.write.parquet(dir + "/p")
+    val streamed = EventStream.runStreamAgainstOnce(spark, batch.schema,
+      dir + "/p", arts, "text", "inc_stream_test")
+    assertSameRows(streamed, Dedup.dedupStreamAgainst(batch, arts, "text"))
+    streamed.select($"doc_id").as[Long].collect() shouldBe Array(11L)
+  }
 }
 
 class StreamingCurationSpec extends SparkSpec {
