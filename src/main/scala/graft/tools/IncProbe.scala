@@ -44,7 +44,10 @@ object IncProbe {
         concat(lit(s"landed$r marker "), col("text")).as("text"))
     }.reduce(_ unionByName _).write.mode("overwrite").parquet(exDir)
     val existing = spark.read.parquet(exDir)
-    // incoming batch: 1x, half exact replicas of landed0, half fresh
+    // incoming batch: 1x — half exact replicas of landed0 (the digest
+    // path), half prefix-mutated near-dups of landed content (the banded
+    // join + verify path); only docs short enough that the prefix shifts
+    // jaccard below threshold survive
     val incoming = docs1.select(
       (col("doc_id") + lit(factor.toLong * stride)).as("doc_id"),
       when(col("doc_id") % 2 === 0,
