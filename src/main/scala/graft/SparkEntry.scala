@@ -980,6 +980,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // curation: token-budget mixture sampling — each source keeps the
+    // head of its deterministic-sample ordering until 800 tokens land
+    // (the crossing row kept); the weighted two-phase cap, so a dominant
+    // source's histogram, not its rows, meets the threshold window
+    "q74_token_budget_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      Sampling.capPerGroupWeighted(docs, "doc_id", "source", "n_tokens",
+          budgetPerGroup = 800.0)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+    }),
+
     // curation: incremental dedup — a delta batch (every 5th doc) against
     // the already-landed corpus: exact digest anti-join, then cross-side
     // banded-minhash near-dups; within-batch dups deliberately survive
@@ -2037,6 +2049,24 @@ object SparkEntry {
     "q73_stream_increment" ->
       """SELECT doc_id, lang FROM documents
         |WHERE md5(text) NOT IN (
-        |  SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+        |  SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)""".stripMargin,
+
+    // mirrors Sampling.capPerGroupWeighted(source, n_tokens, 800): keep
+    // rows while the running token sum BEFORE the row is under budget
+    // (identical md5-bucket ordering; integer weights sum exactly in
+    // doubles, so the < comparison is engine-exact)
+    "q74_token_budget_mix" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+         |      AS INTEGER) AS n_tokens,
+         |    ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000000
+         |      AS bkt
+         |  FROM documents)
+         |SELECT doc_id, source, n_tokens FROM t
+         |QUALIFY SUM(CAST(n_tokens AS DOUBLE)) OVER (
+         |    PARTITION BY source ORDER BY bkt, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |  - n_tokens < 800""".stripMargin
   )
 }

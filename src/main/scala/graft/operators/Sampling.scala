@@ -140,6 +140,62 @@ object Sampling {
     * group, then cap+ties) is independent of map count — which is why
     * the two-phase stays the plan at scale.
     */
+  /** Token-budget per-group cap — the data-MIXING primitive: keep the
+    * head of each group's deterministic-sample ordering until the group's
+    * cumulative `weightCol` (token counts, byte sizes, any non-negative
+    * weight; nulls read as 0) reaches `budgetPerGroup`. The row that
+    * crosses the boundary is KEPT, so every non-empty group contributes
+    * at least one row and a group's kept weight is the least whole-row
+    * sum ≥ budget — no source silently vanishes from the mixture.
+    *
+    * Same two-phase shape as [[capPerGroup]] with weight sums in place of
+    * row counts: per-(group, bucket) weight histogram (map-side
+    * combinable) → running-sum threshold bucket over ≤[[Buckets]]
+    * histogram rows per group → bucket prefilter (exact: weights are
+    * non-negative, so every row of a bucket past the threshold has
+    * cumulative-before ≥ budget) → exact running sum ONLY over
+    * survivors. The same broadcast reasoning as [[capPerGroup]] applies
+    * (CapProbe-measured there: the hint is load-bearing under skew).
+    *
+    * Contract: `idCol` values are unique and non-null per row where
+    * budgets bind — rows tied on (bucket, id) have an engine-dependent
+    * order, which moves the boundary row. Negative weights break the
+    * prefilter's monotonicity argument and are not supported.
+    */
+  def capPerGroupWeighted(df: DataFrame, idCol: String, groupCol: String,
+      weightCol: String, budgetPerGroup: Double,
+      broadcastThresholds: Boolean = true): DataFrame = {
+    require(budgetPerGroup > 0, s"budget must be positive: $budgetPerGroup")
+    import org.apache.spark.sql.expressions.Window
+    def fresh(base: String): String = {
+      var n = base
+      while (df.columns.contains(n)) n += "_"
+      n
+    }
+    val (bktN, wN, cumN, bstarN, cbN) = (fresh("__bkt"), fresh("__w"),
+      fresh("__cum"), fresh("__bstar"), fresh("__cumbefore"))
+    val bkt = col(bktN)
+    val w = coalesce(col(weightCol).cast("double"), lit(0.0))
+    val bucketed = df.withColumn(bktN,
+      coalesce(hashBucket(col(idCol)), lit(-1L)))
+    val cum = Window.partitionBy(col(groupCol)).orderBy(bkt)
+    val thresholds = bucketed
+      .groupBy(col(groupCol), bkt).agg(sum(w).as(wN))
+      .withColumn(cumN, sum(col(wN)).over(cum))
+      .filter(col(cumN) >= budgetPerGroup)
+      .groupBy(col(groupCol))
+      .agg(min(bkt).as(bstarN))
+    val thr = if (broadcastThresholds) broadcast(thresholds) else thresholds
+    val pre = bucketed
+      .join(thr, Seq(groupCol), "left")
+      .filter(col(bstarN).isNull || bkt <= col(bstarN))
+    val exact = Window.partitionBy(col(groupCol)).orderBy(bkt, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre.withColumn(cbN, sum(w).over(exact) - w)
+      .filter(coalesce(col(cbN), lit(0.0)) < budgetPerGroup)
+      .select(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+  }
+
   def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
       maxPerGroup: Int, broadcastThresholds: Boolean = true): DataFrame = {
     require(maxPerGroup > 0, s"maxPerGroup must be positive: $maxPerGroup")

@@ -311,6 +311,50 @@ class SamplingSpec extends SparkSpec {
     dominantSurvivors shouldBe 50L
   }
 
+  test("capPerGroupWeighted: budget binds per group, boundary row kept, " +
+      "two-phase equals the naive running sum, no single-task window") {
+    // group 'big': 200 rows of weight 10 (budget 500 → ~50 survivors,
+    // boundary row crossing 500 kept); 'small': total under budget
+    val df = spark.range(200)
+      .selectExpr("id", "'big' AS grp", "CAST(10 AS DOUBLE) AS w")
+      .union(spark.range(200, 210)
+        .selectExpr("id", "'small' AS grp", "CAST(3 AS DOUBLE) AS w"))
+    val capped = Sampling.capPerGroupWeighted(df, "id", "grp", "w", 500.0)
+    val byGroup = capped.groupBy($"grp")
+      .agg(org.apache.spark.sql.functions.sum($"w").as("tot"),
+        count($"id").as("n"))
+      .as[(String, Double, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    byGroup("small") shouldBe ((30.0, 10L)) // under budget: untouched
+    // boundary row kept: least whole-row sum >= budget
+    byGroup("big")._1 shouldBe 500.0 +- 10.0
+    byGroup("big")._2 shouldBe 50L
+    // equals the naive single-window running sum
+    import org.apache.spark.sql.expressions.Window
+    val naive = df.withColumn("__cb",
+        org.apache.spark.sql.functions.sum($"w").over(
+          Window.partitionBy($"grp")
+            .orderBy(Sampling.hashBucket($"id"), $"id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - $"w")
+      .filter($"__cb" < 500.0).drop("__cb")
+    assertSameRows(capped, naive)
+    // a budget that lands mid-row: the crossing row is KEPT, so the
+    // group's kept weight is the least whole-row sum >= budget
+    Sampling.capPerGroupWeighted(df, "id", "grp", "w", 495.0)
+      .filter($"grp" === "big")
+      .agg(org.apache.spark.sql.functions.sum($"w")).as[Double]
+      .head() shouldBe 500.0
+    // null weights read as zero and never break the prefix
+    val withNullW = df.withColumn("w",
+      when($"id" % 7 === 0, lit(null)).otherwise($"w"))
+    val cappedN = Sampling.capPerGroupWeighted(withNullW, "id", "grp", "w",
+      500.0)
+    cappedN.count() should be >= capped.count()
+    (capped.queryExecution.executedPlan.toString should not)
+      .include("SinglePartition")
+  }
+
   test("capPerGroup: null ids head the ordering and are never dropped " +
       "(two-phase equals the naive rank)") {
     // hashBucket(null) is null; without the −1 sentinel the prefilter
