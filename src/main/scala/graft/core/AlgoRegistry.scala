@@ -335,6 +335,15 @@ object AlgoRegistry {
       df => graft.operators.Sampling.capPerGroup(df,
         config.getString("id_column"), config.getString("group_column"),
         config.getInt("max_per_group")))
+    // weight-budgeted variant (data mixing): budget_per_group in the
+    // weight column's unit (tokens, bytes); crossing row kept
+    case "TokenBudgetMix" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.capPerGroupWeighted(df,
+        config.getString("id_column"), config.getString("group_column"),
+        config.getString("weight_column"),
+        config.getDouble("budget_per_group", -1.0)))
     case "PiiRedaction" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),

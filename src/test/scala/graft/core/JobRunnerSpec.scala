@@ -204,6 +204,20 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(tgt7d).select(col("doc_id")).as[Long]
       .collect() shouldBe Array(3L)
 
+    // token-budget mixing through the params surface
+    val srcW = tmp("jr_tbm_src") + "/t"
+    (1L to 50L).map(i => (i, "g", 10)).toDF("doc_id", "grp", "w")
+      .write.parquet(srcW)
+    val tgtW = tmp("jr_tbm_tgt") + "/t"
+    val paramsW = tmp("jr_tbm_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsW),
+      s"""{"source_dir": "$srcW", "target_dir": "$tgtW",
+         | "id_column": "doc_id", "group_column": "grp",
+         | "weight_column": "w", "budget_per_group": 95}""".stripMargin)
+    JobRunner.execute(spark, "TokenBudgetMix", paramsW)
+    // 9 rows fill 90 < 95; the 10th crosses and is kept
+    spark.read.parquet(tgtW).count() shouldBe 10
+
     val tgt8 = tmp("jr_uq_tgt") + "/t"
     val params8 = tmp("jr_uq_par") + "/p.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(params8),
