@@ -159,4 +159,39 @@ class CurationProperties extends SparkSpec {
       s1.length shouldBe 16
     }
   }
+
+  test("two-phase caps equal their naive single-window oracles on " +
+      "randomized corpora (counts and weights)") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    // randomized group layouts: group count, skew, and weights vary per
+    // sample; both cap operators must match the naive formulation exactly
+    val layoutGen = for {
+      nGroups <- Gen.choose(1, 6)
+      n <- Gen.choose(30, 400)
+      skewed <- Gen.oneOf(true, false)
+    } yield (nGroups, n, skewed)
+    samples(layoutGen, 8).foreach { case (nGroups, n, skewed) =>
+      val df = spark.range(n.toLong).selectExpr("id",
+        if (skewed) s"CASE WHEN id % 3 < 2 THEN 'g0' ELSE concat('g', id % $nGroups) END AS grp"
+        else s"concat('g', id % $nGroups) AS grp",
+        "CAST(1 + id % 13 AS DOUBLE) AS w")
+      val cap = 5 + (n % 20)
+      val naiveCount = df.withColumn("__r", row_number().over(
+          Window.partitionBy($"grp")
+            .orderBy(Sampling.hashBucket($"id"), $"id")))
+        .filter($"__r" <= cap).drop("__r")
+      assertSameRows(Sampling.capPerGroup(df, "id", "grp", cap), naiveCount)
+      val budget = 20.0 + (n % 50)
+      val naiveWeighted = df.withColumn("__cb",
+          sum($"w").over(Window.partitionBy($"grp")
+            .orderBy(Sampling.hashBucket($"id"), $"id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - $"w")
+        .filter($"__cb" < budget).drop("__cb")
+      assertSameRows(
+        Sampling.capPerGroupWeighted(df, "id", "grp", "w", budget),
+        naiveWeighted)
+    }
+  }
 }
