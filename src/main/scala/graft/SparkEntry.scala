@@ -2045,11 +2045,14 @@ object SparkEntry {
 
     // mirrors dedupStreamAgainst over the landed sample's digests: the
     // settled streaming output is the content-level anti-join (digest
-    // equality ⟺ text equality, evaluated within each engine)
+    // equality ⟺ text equality, evaluated within each engine). NOT EXISTS
+    // rather than NOT IN: a NULL text would make NOT IN unknown and drop
+    // the row while the left-anti join keeps it (q72's convention)
     "q73_stream_increment" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE md5(text) NOT IN (
-        |  SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)""".stripMargin,
+      """SELECT d.doc_id, d.lang FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents x
+        |  WHERE x.doc_id % 7 = 0 AND md5(x.text) = md5(d.text))""".stripMargin,
 
     // mirrors Sampling.capPerGroupWeighted(source, n_tokens, 800): keep
     // rows while the running token sum BEFORE the row is under budget

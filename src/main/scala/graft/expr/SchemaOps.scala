@@ -143,8 +143,20 @@ object SchemaOps {
     val others = df.schema.fields.filterNot(_.name == mapCol)
       .map(x => col(s"`${x.name}`")).toSeq
     def clean(k: Any): String = k.toString.replaceAll("[^A-Za-z0-9_]", "_")
-    val expanded = ks.map(k =>
-      col(s"`$mapCol`").getItem(k).as(s"$mapCol$sep${clean(k)}"))
+    // sanitization is lossy ('a.b' and 'a_b' both render a_b) — fail here
+    // with the colliding keys, not later with an ambiguous-column error
+    val names = ks.map(k => s"$mapCol$sep${clean(k)}")
+    val dupes = ks.zip(names).groupBy(_._2).filter(_._2.size > 1)
+    require(dupes.isEmpty, s"map keys collide after sanitization: " +
+      dupes.map { case (n, kv) => s"$n <- ${kv.map(_._1).mkString(", ")}" }
+        .mkString("; "))
+    val clash = names.toSet.intersect(
+      df.schema.fields.filterNot(_.name == mapCol).map(_.name).toSet)
+    require(clash.isEmpty,
+      s"expanded map columns collide with existing columns: " +
+        clash.mkString(", "))
+    val expanded = ks.zip(names).map { case (k, n) =>
+      col(s"`$mapCol`").getItem(k).as(n) }
     df.select((others ++ expanded): _*)
   }
 }

@@ -48,7 +48,7 @@ object SkewJoin {
     // duplicating or losing join rows). Hashing content keeps the salt
     // stable under replay.
     val src =
-      if (saltCols.nonEmpty) saltCols.map(c => probe.col(c))
+      if (saltCols.nonEmpty) saltCols.map(c => probe.col(s"`$c`"))
       else probe.columns.map(c => probe.col(s"`$c`")).toSeq
     // the working column must not clobber a user column on either side
     var saltName = "__salt"

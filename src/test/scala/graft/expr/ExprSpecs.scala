@@ -153,6 +153,22 @@ class SchemaOpsSpec extends SparkSpec {
     }
   }
 
+  test("flattenMap fails fast on post-sanitization name collisions") {
+    // 'a.b' and 'a_b' both sanitize to a_b — ambiguous columns later
+    val df = Seq((1, Map("a.b" -> 5, "a_b" -> 6))).toDF("id", "m")
+    val e = intercept[IllegalArgumentException] {
+      SchemaOps.flattenMap(df, "m")
+    }
+    e.getMessage should include("a.b")
+    e.getMessage should include("a_b")
+    // an expanded name colliding with an existing column also fails fast
+    val df2 = Seq((1, Map("k" -> 5), "x")).toDF("id", "m", "m__k")
+    val e2 = intercept[IllegalArgumentException] {
+      SchemaOps.flattenMap(df2, "m")
+    }
+    e2.getMessage should include("m__k")
+  }
+
   test("NestedFlattener mapFlatten opts a struct-nested map into key " +
       "expansion (reference silently ignores MapType)") {
     val df = Seq((1, ("n1", Map("k1" -> 10, "k2" -> 20))))

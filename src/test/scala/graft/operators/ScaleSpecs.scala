@@ -37,6 +37,15 @@ class SkewJoinSpec extends SparkSpec {
     spread should be >= 4L
   }
 
+  test("saltCols with a dot in the name resolve as top-level columns") {
+    val probe = Seq((1L, 10L), (1L, 11L), (2L, 12L))
+      .toDF("k", "event.id") // dotted name, NOT a nested field
+    val build = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    val out = SkewJoin.saltedJoin(probe, build, "k", saltFactor = 4,
+      saltCols = Seq("event.id"))
+    assertSameRows(out, probe.join(build, Seq("k")))
+  }
+
   test("salt working column dodges a user column named __salt") {
     val probe = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "__salt")
     val build = Seq((1L, 10), (2L, 20)).toDF("k", "w")

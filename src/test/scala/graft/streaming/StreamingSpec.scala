@@ -293,9 +293,11 @@ class SamplingSpec extends SparkSpec {
           .orderBy(Sampling.hashBucket($"id"), $"id")))
       .filter($"__r" <= 50).drop("__r")
     assertSameRows(capped, naive)
-    // plan asserted AFTER execution: the threshold join carries no forced
-    // hint anymore (million-group caps must be able to shuffle-join), so
-    // the broadcast decision is AQE's — visible in the final adaptive plan
+    // plan asserted AFTER execution: the threshold join DOES carry a
+    // forced broadcast hint by default — CapProbe measured it load-bearing
+    // under skew (without it, the rank window pins a skewed SMJ that AQE
+    // can't split: one task read 7.37M rows, 2.6x naive wall). Million-
+    // group caps opt out with broadcastThresholds=false.
     val plan = capped.queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
     plan should include("__bstar")
