@@ -446,19 +446,51 @@ object Dedup {
     inPruned.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** The distinct landed digests of [[dedupArtifacts]], PERSISTED for a
+    * stream-static join. Stream-static joins re-evaluate the static plan
+    * on EVERY micro-batch — unpinned, each batch re-scans the artifacts
+    * and re-runs the distinct (invisible at bench scale; a full landed-
+    * corpus re-scan per batch at 100 TB). Pinning caches the distinct
+    * once (first batch materializes it; later batches hit the cache).
+    * Release once the stream stops — same handle pattern as
+    * [[ClusterDedup]].
+    */
+  final case class PinnedDigests(frame: DataFrame) {
+    def release(): Unit = frame.unpersist()
+  }
+
+  /** Pin `artifacts`' distinct digests for [[dedupStreamAgainst]]. */
+  def pinDigests(artifacts: DataFrame): PinnedDigests =
+    PinnedDigests(
+      artifacts.select(col("digest").as("__d")).distinct().persist())
+
   /** Streaming face of [[dedupIncrement]]'s exact path: drop arriving
     * rows whose content digest is already in the landed [[dedupArtifacts]]
     * — a stream-static LEFT ANTI join, which Structured Streaming
     * evaluates per micro-batch against the static frame (stateless: no
     * watermark, no store; the landed side is the state, on disk where it
     * belongs). The SAME call works on a batch frame, which is how the
-    * oracle gates it. Near-dup increments stay batch
-    * ([[dedupIncrement]]): exact-Jaccard verification needs the corpus
-    * text, which has no bounded streaming form.
+    * oracle gates it. Near-dup increments per micro-batch go through
+    * `foreachBatch` + [[dedupIncrement]] with artifacts (the q75 face);
+    * full cross-corpus Jaccard verification stays batch.
+    *
+    * This overload re-derives the digest distinct from `artifacts` on
+    * every micro-batch — fine for one-shot/batch use; long-lived streams
+    * should [[pinDigests]] first and use the pinned overload (StreamProbe
+    * measured the re-scan growing with the landed corpus, PLANS.md).
     */
   def dedupStreamAgainst(stream: DataFrame, artifacts: DataFrame,
       textCol: String): DataFrame =
     stream.join(artifacts.select(col("digest").as("__d")).distinct(),
+      md5(col(textCol)) === col("__d"), "left_anti")
+
+  /** [[dedupStreamAgainst]] against a [[PinnedDigests]] handle: the
+    * static side is the cached distinct, so each micro-batch pays one
+    * in-memory scan instead of a landed-corpus re-scan + shuffle.
+    */
+  def dedupStreamAgainst(stream: DataFrame, digests: PinnedDigests,
+      textCol: String): DataFrame =
+    stream.join(digests.frame,
       md5(col(textCol)) === col("__d"), "left_anti")
 
   /** The persistable incremental-dedup artifacts of a landed corpus: one

@@ -66,23 +66,36 @@ object EventStream {
   /** Run [[graft.operators.Dedup.dedupStreamAgainst]] as a real streaming
     * query (AvailableNow over parquet, memory sink): arriving rows whose
     * content digest is already in the landed artifacts are dropped per
-    * micro-batch. Sink name uniquified per call like [[runDedupOnce]].
+    * micro-batch. The static side is PINNED for the query's lifetime
+    * ([[graft.operators.Dedup.pinDigests]]) and released after it stops —
+    * stream-static joins otherwise re-evaluate the static plan per
+    * micro-batch, re-scanning the landed artifacts every trigger.
+    * `maxFilesPerTrigger` bounds each micro-batch (None = all available
+    * files in one batch). Sink name uniquified like [[runDedupOnce]].
     */
   def runStreamAgainstOnce(spark: SparkSession, schema: StructType,
       inputGlob: String, artifacts: DataFrame, textCol: String,
-      queryName: String): DataFrame = {
+      queryName: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val sink = s"${queryName}_${sinkSeq.incrementAndGet()}"
-    val stream = spark.readStream.schema(schema).parquet(inputGlob)
-    val q: StreamingQuery = graft.operators.Dedup
-      .dedupStreamAgainst(stream, artifacts, textCol)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inputGlob)
+    val pinned = graft.operators.Dedup.pinDigests(artifacts)
+    try {
+      val q: StreamingQuery = graft.operators.Dedup
+        .dedupStreamAgainst(stream, pinned, textCol)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally pinned.release()
+    // the memory sink holds the settled rows; it does not depend on the
+    // released cache
     spark.table(sink)
   }
 

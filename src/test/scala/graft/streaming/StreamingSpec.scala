@@ -121,6 +121,38 @@ class EventStreamSpec extends SparkSpec {
     assertSameRows(streamed, Dedup.dedupStreamAgainst(batch, arts, "text"))
     streamed.select($"doc_id").as[Long].collect() shouldBe Array(11L)
   }
+
+  test("stream-static anti-join pins the landed digests: static side is " +
+      "cached, multi-micro-batch run equals the batch face") {
+    import graft.operators.Dedup
+    val dir = tmp("stream_inc_multi")
+    val landed = (1L to 50L).map(i => (i, s"landed doc number $i"))
+      .toDF("doc_id", "text")
+    val arts = Dedup.dedupArtifacts(landed, "doc_id", "text")
+    // pinDigests persists the distinct; the join consumes the cache
+    val pinned = Dedup.pinDigests(arts)
+    try {
+      pinned.frame.storageLevel.useMemory shouldBe true
+      val batch = (101L to 120L).map(i =>
+        (i, if (i % 4 == 0) s"landed doc number ${i % 50}"
+            else s"fresh doc $i")).toDF("doc_id", "text")
+      val out = Dedup.dedupStreamAgainst(batch, pinned, "text")
+      assertSameRows(out, Dedup.dedupStreamAgainst(batch, arts, "text"))
+      // the executed static side is the in-memory relation, not a
+      // re-scan of the artifacts plan
+      out.queryExecution.executedPlan.toString should
+        include("InMemoryTableScan")
+      // the streaming runner pins internally: 5 input files at
+      // maxFilesPerTrigger=1 → 5 micro-batches, each against the cache;
+      // result still equals the single-shot batch face
+      batch.repartition(5).write.parquet(dir + "/p")
+      val streamed = EventStream.runStreamAgainstOnce(spark, batch.schema,
+        dir + "/p", arts, "text", "inc_multi_test",
+        maxFilesPerTrigger = Some(1))
+      assertSameRows(streamed, out)
+    } finally pinned.release()
+    pinned.frame.storageLevel.useMemory shouldBe false
+  }
 }
 
 class StreamingCurationSpec extends SparkSpec {
