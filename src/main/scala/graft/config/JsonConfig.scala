@@ -39,6 +39,14 @@ final class JsonConfig(val values: Map[String, Any]) {
       case s => s.toString.toDouble
     }.getOrElse(default)
 
+  /** Required double — a missing key fails with the key name, not with
+    * whatever downstream validation rejects a sentinel default.
+    */
+  def getDouble(key: String): Double = get[Any](key) match {
+    case n: Number => n.doubleValue()
+    case s => s.toString.toDouble
+  }
+
   def getBoolean(key: String, default: Boolean = false): Boolean =
     values.get(key).map {
       case b: Boolean => b

@@ -343,7 +343,7 @@ object AlgoRegistry {
       df => graft.operators.Sampling.capPerGroupWeighted(df,
         config.getString("id_column"), config.getString("group_column"),
         config.getString("weight_column"),
-        config.getDouble("budget_per_group", -1.0)))
+        config.getDouble("budget_per_group")))
     case "PiiRedaction" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),

@@ -15,6 +15,30 @@ class JsonConfigSpec extends SparkSpec {
     c.getOpt[Map[String, Any]]("m").get("k") shouldBe 1
     c.getIntOpt("missing") shouldBe None
     an[NoSuchElementException] should be thrownBy c.get[String]("nope")
+    // required getDouble: a missing key fails with the KEY NAME, not a
+    // downstream sentinel-validation message
+    c.getDouble("d") shouldBe 2.5
+    c.getDouble("i") shouldBe 5.0
+    val e = intercept[NoSuchElementException] {
+      c.getDouble("budget_per_group")
+    }
+    e.getMessage should include("budget_per_group")
+  }
+
+  test("TokenBudgetMix without budget_per_group fails naming the key") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val src = tmp("cfg_tbm_src") + "/t"
+    Seq((1L, "g", 10)).toDF("doc_id", "grp", "w").write.parquet(src)
+    val tgt = tmp("cfg_tbm_tgt") + "/t"
+    val algo = AlgoRegistry.create("TokenBudgetMix", spark,
+      new FsOps(spark.sparkContext.hadoopConfiguration), JsonConfig.parse(
+        s"""{"source_dir":"$src","target_dir":"$tgt",
+           |"id_column":"doc_id","group_column":"grp",
+           |"weight_column":"w"}""".stripMargin.replaceAll("\n", "")))
+    val e = intercept[NoSuchElementException] { algo.run() }
+    e.getMessage should include("budget_per_group")
   }
 }
 
