@@ -19,7 +19,15 @@ import org.apache.spark.sql.functions._
   * histogram), and the phase-3 exact-rank window's per-group input
   * (cap + hash ties, recomputed via the operator's own construction).
   *
+  * Weighted mode probes [[Sampling.capPerGroupWeighted]] the same way
+  * (one source holding ~50% of the tokens): the naive comparison is the
+  * full running-sum window, which — unlike `row_number ≤ cap` — Spark
+  * CANNOT map-side prune (`WindowGroupLimit` only fires on rank-family
+  * functions), so the naive plan funnels the dominant group's entire row
+  * set through one sort task at any scale.
+  *
   * Usage: runMain graft.tools.CapProbe [rows] [cap]
+  *        runMain graft.tools.CapProbe weighted [rows] [budget]
   */
 object CapProbe {
 
@@ -43,9 +51,65 @@ object CapProbe {
     (rows, sec, l.max.get)
   }
 
+  private def weighted(spark: SparkSession, n: Long, budget: Double): Unit = {
+    // 50% of rows (and ~50% of tokens) in one source; 997 others, each
+    // also over budget so every group takes the threshold path. Weight =
+    // a deterministic 1..19 "token count" per row.
+    val df = spark.range(n).selectExpr("id",
+      "CASE WHEN id % 2 = 0 THEN 'dominant' ELSE concat('g', id % 997) END AS grp",
+      "CAST(id % 19 + 1 AS INT) AS w")
+      .persist()
+    df.count()
+
+    val twoFrame = Sampling.capPerGroupWeighted(df, "id", "grp", "w", budget)
+    val (rTwo, tTwo, mTwo) = timedWithMax(spark) { twoFrame.count() }
+    val plan = twoFrame.queryExecution.executedPlan.toString
+    val joinKind =
+      if (plan.contains("BroadcastHashJoin")) "broadcast"
+      else if (plan.contains("SortMergeJoin")) "sortmerge"
+      else "other"
+    // naive: exact running sum over EVERY row of every group — no
+    // WindowGroupLimit rescue for sum(), the dominant group is one task
+    val (rNaive, tNaive, mNaive) = timedWithMax(spark) {
+      df.withColumn("__cb", sum(col("w").cast("double")).over(
+          Window.partitionBy(col("grp"))
+            .orderBy(Sampling.hashBucket(col("id")), col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("w"))
+        .filter(col("__cb") < budget).count()
+    }
+    require(rTwo == rNaive, s"result mismatch: $rTwo vs $rNaive")
+
+    // exact-phase window input per group = bucket-prefilter survivors,
+    // recomputed via the operator's construction (weight histogram →
+    // running threshold → bucket filter)
+    val bkt = coalesce(Sampling.hashBucket(col("id")), lit(-1L))
+    val hist = df.groupBy(col("grp"), bkt.as("b"))
+      .agg(sum(col("w").cast("double")).as("ws"))
+    val thr = hist
+      .withColumn("cum",
+        sum(col("ws")).over(Window.partitionBy(col("grp")).orderBy(col("b"))))
+      .filter(col("cum") >= budget)
+      .groupBy(col("grp")).agg(min(col("b")).as("bstar"))
+    val surv = df.withColumn("b", bkt)
+      .join(thr, Seq("grp")).filter(col("b") <= col("bstar"))
+      .groupBy(col("grp")).count()
+      .agg(max(col("count")).as("maxSurv"), avg(col("count")).as("avgSurv"))
+      .head()
+    val dominantRows = df.filter(col("grp") === "dominant").count()
+
+    println(f"""{"probe":"cap_weighted","rows":$n,"budget":$budget%.0f,"dominant_rows":$dominantRows,"join":"$joinKind",""" +
+      f""""two_phase":{"sec":$tTwo%.2f,"max_task_shuffle_records":$mTwo},""" +
+      f""""naive":{"sec":$tNaive%.2f,"max_task_shuffle_records":$mNaive},""" +
+      f""""window_input":{"max_per_group":${surv.getLong(0)},"avg_per_group":${surv.getDouble(1)}%.1f},""" +
+      f""""survivors":$rTwo}""")
+  }
+
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(10000000L)
-    val cap = if (args.length > 1) args(1).toInt else 1000
+    val isWeighted = args.headOption.contains("weighted")
+    val rest = if (isWeighted) args.drop(1) else args
+    val n = rest.headOption.map(_.toLong).getOrElse(10000000L)
+    val cap = if (rest.length > 1) rest(1).toInt else 1000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       graft.core.Session.cpus.toString)
     val spark = graft.core.Session.builder("graft-capprobe")
@@ -54,6 +118,13 @@ object CapProbe {
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (isWeighted) {
+      val budget = if (rest.length > 1) rest(1).toDouble else 10000.0
+      weighted(spark, n, budget)
+      spark.stop()
+      return
+    }
 
     // 50% of rows in one group; the rest spread over 997 groups, each of
     // which also exceeds the cap so every group takes the threshold path
