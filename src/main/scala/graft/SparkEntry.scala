@@ -1004,6 +1004,29 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // streaming: the NEAR-DUP increment run as a real foreachBatch query —
+    // the incoming delta (every 5th doc) staged as 4 files, streamed at
+    // maxFilesPerTrigger=1 → 4 micro-batches, each running the full
+    // dedupIncrement (digest prune + cross-side banded minhash + Jaccard
+    // verify) against the landed corpus's persisted artifacts and
+    // appending survivors to the sink dir. Cross-side-only pairs make the
+    // union of per-batch survivors identical to q72's single shot — the
+    // oracle is q72's restricted to the same incoming set
+    "q75_stream_neardup_increment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val existing = docs.filter(col("doc_id") % 5 =!= 0)
+      val inDir = tmpDir("graft_q75_in")
+      docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .repartition(4).write.mode("overwrite").parquet(inDir)
+      val arts = Dedup.dedupArtifacts(existing, "doc_id", "text")
+      val outDir = tmpDir("graft_q75_out") + "/out"
+      EventStream.runNearDupIncrementOnce(s, s.read.parquet(inDir).schema,
+          inDir, existing, arts, "doc_id", "text", threshold = 0.5,
+          outDir, "q75_sink", maxFilesPerTrigger = Some(1))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -2018,6 +2041,35 @@ object SparkEntry {
     // shared minhash chain over existing ∪ pruned-incoming; only pairs
     // whose OTHER side is landed disqualify an incoming doc
     "q72_incremental_dedup" ->
+      s"""WITH existing AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |inc AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |inp AS (
+         |  SELECT i.doc_id, i.text FROM inc i
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM existing e WHERE md5(e.text) = md5(i.text))),
+         |docs0 AS (
+         |  SELECT doc_id, text FROM existing
+         |  UNION ALL SELECT doc_id, text FROM inp),
+         |${minhashChainSql("docs0")},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM j
+         |  WHERE CAST(inter AS DOUBLE)/uni >= 0.5),
+         |bad AS (
+         |  SELECT id_b AS doc_id FROM pairs
+         |  WHERE id_a IN (SELECT doc_id FROM existing)
+         |  UNION
+         |  SELECT id_a AS doc_id FROM pairs
+         |  WHERE id_b IN (SELECT doc_id FROM existing))
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE d.doc_id IN (SELECT doc_id FROM inp)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    // q75 streams the SAME incoming set through per-micro-batch
+    // dedupIncrement; cross-side-only candidate generation makes the
+    // batched union equal the single shot, so the oracle is q72's
+    "q75_stream_neardup_increment" ->
       s"""WITH existing AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
          |inc AS (

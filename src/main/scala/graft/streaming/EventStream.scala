@@ -99,6 +99,54 @@ object EventStream {
     spark.table(sink)
   }
 
+  /** The NEAR-DUP streaming increment — the streaming face of
+    * [[graft.operators.Dedup.dedupIncrement]] (q72's operator): each
+    * micro-batch runs the full increment against the landed corpus via
+    * `foreachBatch` — digest anti-join prune, cross-side-only banded
+    * minhash candidates, Jaccard verification over the candidate text
+    * sliver — and appends its survivors to `outDir` (the production
+    * sink shape: foreachBatch → write). Because the increment generates
+    * ONLY landed×batch pairs (never batch×batch — within-batch dedup is
+    * dedupCorpus's job), the union of per-batch survivors is EXACTLY the
+    * single-shot batch result whatever the micro-batch boundaries; the
+    * oracle gates on that identity.
+    *
+    * The landed side is PREPARED once for the query's lifetime
+    * ([[graft.operators.Dedup.prepareIncrement]]: persisted distinct
+    * digests + persisted banded signatures) and released after — so each
+    * micro-batch pays batch-sized work plus two cached landed scans, and
+    * landed TEXT is only read for candidate verification. Unprepared,
+    * every trigger would re-distinct the digests and re-explode the
+    * banding over the whole landed artifact set.
+    */
+  def runNearDupIncrementOnce(spark: SparkSession, schema: StructType,
+      inputGlob: String, existing: DataFrame, artifacts: DataFrame,
+      idCol: String, textCol: String, threshold: Double, outDir: String,
+      queryName: String, maxFilesPerTrigger: Option[Int] = None,
+      shingleSize: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inputGlob)
+    val prepared = graft.operators.Dedup.prepareIncrement(artifacts,
+      shingleSize, k, bands)
+    try {
+      val q: StreamingQuery = stream.writeStream
+        .queryName(s"${queryName}_${sinkSeq.incrementAndGet()}")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Dedup.dedupIncrementPrepared(existing, batch,
+              idCol, textCol, prepared, threshold)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally prepared.release()
+    spark.read.parquet(outDir)
+  }
+
   /** Watermarked stream-stream INTERVAL join: each left event joins right
     * events of the same key whose time lies in [left.ts − `lookback`,
     * left.ts] — e.g. "purchases join the clicks that preceded them within

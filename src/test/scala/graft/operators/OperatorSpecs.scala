@@ -175,6 +175,18 @@ class DedupSpec extends SparkSpec {
     val plan = viaArts.queryExecution.executedPlan.toString
     (plan should not).include("CartesianProduct")
     (plan should not).include("BroadcastNestedLoopJoin")
+    // the repeated-increment path: prepared (persisted digests + banded
+    // signatures) — row-identical, landed banding not re-derived per call
+    val prepared = Dedup.prepareIncrement(arts)
+    try {
+      prepared.digests.storageLevel.useMemory shouldBe true
+      prepared.banded.storageLevel.useMemory shouldBe true
+      val viaPrepared = Dedup.dedupIncrementPrepared(existing, incoming,
+        "doc_id", "text", prepared, threshold = 0.5)
+      assertSameRows(viaPrepared, out)
+      viaPrepared.queryExecution.executedPlan.toString should
+        include("InMemoryTableScan")
+    } finally prepared.release()
   }
 
   test("connected components: chains collapse to min id, isolated pairs " +

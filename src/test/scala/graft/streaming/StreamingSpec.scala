@@ -153,6 +153,38 @@ class EventStreamSpec extends SparkSpec {
     } finally pinned.release()
     pinned.frame.storageLevel.useMemory shouldBe false
   }
+
+  test("near-dup streaming increment: per-micro-batch dedupIncrement " +
+      "equals the single-shot batch face regardless of batch boundaries") {
+    import graft.operators.Dedup
+    val dir = tmp("stream_neardup")
+    val landed = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "completely unrelated landed content"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),   // exact dup → pruned
+      (11L, "alpha beta gamma delta epsilon eta"),    // near-dup of 1
+      (12L, "one two three four five six eight"),     // near-dup of 2
+      (13L, "fresh never seen material entirely new"),
+      (14L, "more fresh content nothing like landed"))
+      .toDF("doc_id", "text")
+    // 3 input files at maxFilesPerTrigger=1 → 3 micro-batches that split
+    // the near-dups and the fresh docs across triggers
+    incoming.repartition(3).write.parquet(dir + "/in")
+    val arts = Dedup.dedupArtifacts(landed, "doc_id", "text")
+    val out = EventStream.runNearDupIncrementOnce(spark,
+      incoming.schema, dir + "/in", landed, arts, "doc_id", "text",
+      threshold = 0.5, dir + "/out", "neardup_inc_test",
+      maxFilesPerTrigger = Some(1))
+    val singleShot = Dedup.dedupIncrement(landed, incoming,
+      "doc_id", "text", threshold = 0.5, artifacts = Some(arts))
+    assertSameRows(out, singleShot)
+    // the exact dup and both near-dups are gone; fresh docs survive
+    out.select($"doc_id").as[Long].collect().sorted shouldBe
+      Array(13L, 14L)
+  }
 }
 
 class StreamingCurationSpec extends SparkSpec {
