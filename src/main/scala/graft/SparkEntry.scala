@@ -1027,6 +1027,60 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // the end-to-end PARAMS-ONLY pipeline gate: five registered algorithms
+    // chained purely through JobRunner params files — the reference's
+    // acon-driven product shape composed into a full curation pipeline:
+    // DedupArtifacts → IncrementalDedup → Decontaminate → TokenBudgetMix
+    // → HashSplit. Each stage reads the previous stage's target_dir via
+    // the params surface only (no DataFrame passes between stages); the
+    // oracle replays the whole chain in SQL
+    "q76_params_pipeline" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val docs = t(s, dir, "documents")
+      val base = tmpDir("graft_q76")
+      def p(sub: String) = s"$base/$sub"
+      docs.filter(col("doc_id") % 5 =!= 0).write.parquet(p("landed"))
+      docs.filter(col("doc_id") % 5 === 0).write.parquet(p("incoming"))
+      docs.filter(col("doc_id") % 40 === 0)
+        .select(concat_ws(" ",
+          slice(Dedup.tokens(col("text")), 3, 12)).as("qtext"))
+        .write.parquet(p("bench"))
+      def run(algo: String, json: String): Unit = {
+        val f = Paths.get(base, s"$algo.json")
+        JFiles.writeString(f, json)
+        graft.core.JobRunner.execute(s, algo, f.toString)
+      }
+      run("DedupArtifacts",
+        s"""{"source_dir": "${p("landed")}", "target_dir": "${p("arts")}",
+           | "id_column": "doc_id", "text_column": "text"}""".stripMargin)
+      run("IncrementalDedup",
+        s"""{"source_dir": "${p("incoming")}",
+           | "target_dir": "${p("deduped")}",
+           | "existing_dir": "${p("landed")}",
+           | "artifacts_dir": "${p("arts")}",
+           | "id_column": "doc_id", "text_column": "text",
+           | "threshold": 0.5}""".stripMargin)
+      run("Decontaminate",
+        s"""{"source_dir": "${p("deduped")}", "target_dir": "${p("clean")}",
+           | "benchmark_dir": "${p("bench")}",
+           | "benchmark_text_column": "qtext",
+           | "id_column": "doc_id", "text_column": "text",
+           | "ngram_size": 5, "min_overlap": 2}""".stripMargin)
+      run("TokenBudgetMix",
+        s"""{"source_dir": "${p("clean")}", "target_dir": "${p("mixed")}",
+           | "id_column": "doc_id", "group_column": "source",
+           | "weight_column": "n_chars",
+           | "budget_per_group": 1500}""".stripMargin)
+      run("HashSplit",
+        s"""{"source_dir": "${p("mixed")}", "target_dir": "${p("final")}",
+           | "id_column": "doc_id",
+           | "splits": [{"name": "train", "weight": 0.8},
+           |            {"name": "val", "weight": 0.1},
+           |            {"name": "test", "weight": 0.1}]}""".stripMargin)
+      s.read.parquet(p("final"))
+        .select(col("doc_id"), col("source"), col("split"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -2065,6 +2119,83 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang FROM documents d
          |WHERE d.doc_id IN (SELECT doc_id FROM inp)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    // replays the entire five-stage params pipeline: q72's incremental
+    // dedup, q53-shaped decontamination (n=5, minOverlap=2, bench = every
+    // 40th doc's tokens 3..14), q74-shaped char-budget mixing (1500 per
+    // source), q66-shaped hash split
+    "q76_params_pipeline" ->
+      s"""WITH existing AS (
+         |  SELECT * FROM documents WHERE doc_id % 5 <> 0),
+         |inc AS (
+         |  SELECT * FROM documents WHERE doc_id % 5 = 0),
+         |inp AS (
+         |  SELECT i.* FROM inc i
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM existing e WHERE md5(e.text) = md5(i.text))),
+         |docs0 AS (
+         |  SELECT doc_id, text FROM existing
+         |  UNION ALL SELECT doc_id, text FROM inp),
+         |${minhashChainSql("docs0")},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM j
+         |  WHERE CAST(inter AS DOUBLE)/uni >= 0.5),
+         |dbad AS (
+         |  SELECT id_b AS doc_id FROM pairs
+         |  WHERE id_a IN (SELECT doc_id FROM existing)
+         |  UNION
+         |  SELECT id_a AS doc_id FROM pairs
+         |  WHERE id_b IN (SELECT doc_id FROM existing)),
+         |deduped AS (
+         |  SELECT * FROM inp
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dbad)),
+         |qtk AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+         |  FROM documents),
+         |qbench AS (
+         |  SELECT array_to_string(tk[3:14], ' ') AS qt FROM qtk
+         |  WHERE doc_id % 40 = 0),
+         |qbtk AS (
+         |  SELECT string_split_regex(trim(lower(qt)), '\\s+') AS tk
+         |  FROM qbench),
+         |qbsh AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    range(0, greatest(len(tk)-5, 0)+1),
+         |    i -> array_to_string(tk[i+1:i+5], ' ')))) AS s
+         |  FROM qbtk),
+         |qdtk AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+         |  FROM deduped),
+         |qcsh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(0, greatest(len(tk)-5, 0)+1),
+         |    i -> array_to_string(tk[i+1:i+5], ' ')))) AS s
+         |  FROM qdtk),
+         |contaminated AS (
+         |  SELECT doc_id FROM qcsh JOIN qbsh USING (s)
+         |  GROUP BY doc_id HAVING count(*) >= 2),
+         |clean AS (
+         |  SELECT * FROM deduped
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |mix AS (
+         |  SELECT doc_id, source, n_chars,
+         |    ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000000
+         |      AS bkt
+         |  FROM clean),
+         |mixed AS (
+         |  SELECT doc_id, source FROM mix
+         |  QUALIFY SUM(CAST(n_chars AS DOUBLE)) OVER (
+         |      PARTITION BY source ORDER BY bkt, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    - n_chars < 1500)
+         |SELECT doc_id, source,
+         |  CASE WHEN hv < 800000 THEN 'train'
+         |       WHEN hv < 900000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, source,
+         |    ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000000
+         |      AS hv
+         |  FROM mixed) m""".stripMargin,
 
     // q75 streams the SAME incoming set through per-micro-batch
     // dedupIncrement; cross-side-only candidate generation makes the
