@@ -1081,6 +1081,21 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("split"))
     }),
 
+    // multimodal: exact media dedup — one survivor (min id) per distinct
+    // payload byte content, elected on (sha256, id) pairs so the blobs
+    // never shuffle. Duplicate blobs are synthesized deterministically
+    // (doc_id % 137 keys 137 distinct payloads) like q55's injected PII
+    "q77_media_dedup" -> ((s, dir) => {
+      val media = Multimodal.asMedia(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("MEDIA:"), (col("doc_id") % 137).cast("string"))
+            .as("blob")),
+        "doc_id", "blob", "application/octet-stream")
+      Multimodal.dedupExactMedia(media, "doc_id", "payload")
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("payload").cast("string").as("payload_str"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -2196,6 +2211,19 @@ object SparkEntry {
          |    ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000000
          |      AS hv
          |  FROM mixed) m""".stripMargin,
+
+    // mirrors Multimodal.dedupExactMedia: min-id survivor per distinct
+    // payload bytes (digest equality ⟺ byte equality within each engine)
+    "q77_media_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST('MEDIA:' || CAST(doc_id % 137 AS VARCHAR) AS BLOB)
+        |      AS payload
+        |  FROM documents),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM m GROUP BY payload)
+        |SELECT m.doc_id, CAST(octet_length(m.payload) AS BIGINT) AS n_bytes,
+        |  CAST(m.payload AS VARCHAR) AS payload_str
+        |FROM m WHERE m.doc_id IN (SELECT doc_id FROM keep)""".stripMargin,
 
     // q75 streams the SAME incoming set through per-micro-batch
     // dedupIncrement; cross-side-only candidate generation makes the

@@ -344,6 +344,12 @@ object AlgoRegistry {
         config.getString("id_column"), config.getString("group_column"),
         config.getString("weight_column"),
         config.getDouble("budget_per_group")))
+    // exact media dedup: min-id survivor per distinct payload bytes
+    case "MediaDedup" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Multimodal.dedupExactMedia(df,
+        config.getString("id_column"), config.getString("payload_column")))
     case "PiiRedaction" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),

@@ -83,6 +83,25 @@ object Multimodal {
     }
   }
 
+  /** Exact media dedup — the training-pipeline staple for image/audio/
+    * video blobs: keep ONE survivor (the min id) per distinct payload
+    * byte content. The election runs entirely on (sha-256 digest, id)
+    * pairs — the BLOBS never enter a shuffle: digests are computed
+    * map-side, the min-id-per-digest aggregation shuffles two narrow
+    * columns, and survivors rejoin the payload frame by id (left-semi),
+    * so at 100 TB the network carries ~70 bytes per blob, not the blobs.
+    * Same survivor policy as [[Dedup.exactDedup]] (min id), applied to
+    * bytes instead of text.
+    */
+  def dedupExactMedia(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val keep = df
+      .select(col(idCol), sha2(col(payloadCol).cast("binary"), 256).as("__dg"))
+      .groupBy(col("__dg")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Frame/sample selection stub: pick a deterministic pseudo-random byte
     * offset per frame index — stands in for video frame sampling; the
     * partitioning and output shape (one row per sampled frame) are the real

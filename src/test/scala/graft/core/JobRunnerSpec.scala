@@ -128,6 +128,19 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(tgt6).columns should contain allOf
       ("red_text", "n_email")
 
+    // media dedup through the params surface: min-id survivor per payload
+    val srcM = tmp("jr_md_src") + "/t"
+    Seq((1L, "blobA".getBytes), (2L, "blobB".getBytes),
+      (3L, "blobA".getBytes)).toDF("doc_id", "payload").write.parquet(srcM)
+    val tgtM = tmp("jr_md_tgt") + "/t"
+    val paramsM = tmp("jr_md_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsM),
+      s"""{"source_dir": "$srcM", "target_dir": "$tgtM",
+         | "id_column": "doc_id", "payload_column": "payload"}""".stripMargin)
+    JobRunner.execute(spark, "MediaDedup", paramsM)
+    spark.read.parquet(tgtM).select(col("doc_id")).as[Long]
+      .collect().sorted shouldBe Array(1L, 2L)
+
     val tgtHs = tmp("jr_hs_tgt") + "/t"
     val paramsHs = tmp("jr_hs_par") + "/p.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsHs),

@@ -588,4 +588,22 @@ class MultimodalSpec extends SparkSpec {
     frames.count() shouldBe 4
     frames.select(max($"frame_offset")).as[Long].collect().head should be < 13L
   }
+
+  test("dedupExactMedia keeps the min-id survivor per distinct payload " +
+      "and never shuffles the blobs") {
+    val df = Seq(
+      (1L, "blob-A"), (2L, "blob-B"), (3L, "blob-A"),  // 3 dups 1
+      (4L, "blob-C"), (5L, "blob-B"), (6L, "blob-A"))  // 5 dups 2, 6 dups 1
+      .toDF("id", "data")
+    val media = Multimodal.asMedia(df, "id", "data", "image/fake")
+    val out = Multimodal.dedupExactMedia(media, "id", "payload")
+    out.columns.toSeq shouldBe media.columns.toSeq
+    out.select($"id").as[Long].collect().sorted shouldBe Array(1L, 2L, 4L)
+    // the election aggregate exchanges (digest, id) only — the payload
+    // column must not appear in any shuffle's partitioning input
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    exchanges should not be empty
+    all(exchanges) should not include "payload"
+  }
 }
