@@ -1096,6 +1096,16 @@ object SparkEntry {
           col("payload").cast("string").as("payload_str"))
     }),
 
+    // curation: per-language quantile-band length filter — keep docs whose
+    // n_chars percent_rank within their language lies in [0.1, 0.9] (trim
+    // both distribution tails). The operator's window runs over the
+    // per-(lang, n_chars) histogram, never the raw rows
+    "q78_quantile_band" -> ((s, dir) => {
+      Sampling.filterByQuantileBand(t(s, dir, "documents"), "lang",
+          "n_chars", lo = 0.1, hi = 0.9)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -2211,6 +2221,15 @@ object SparkEntry {
          |    ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000000
          |      AS hv
          |  FROM mixed) m""".stripMargin,
+
+    // mirrors Sampling.filterByQuantileBand: the operator's histogram
+    // construction reproduces percent_rank exactly (rank ties share a
+    // rank; pr = (rank-1)/(n-1); both engines divide the same integers)
+    "q78_quantile_band" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |QUALIFY percent_rank() OVER (
+        |  PARTITION BY lang ORDER BY n_chars) BETWEEN 0.1 AND 0.9"""
+        .stripMargin,
 
     // mirrors Multimodal.dedupExactMedia: min-id survivor per distinct
     // payload bytes (digest equality ⟺ byte equality within each engine)

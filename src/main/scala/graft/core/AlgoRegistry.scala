@@ -344,6 +344,14 @@ object AlgoRegistry {
         config.getString("id_column"), config.getString("group_column"),
         config.getString("weight_column"),
         config.getDouble("budget_per_group")))
+    // per-group quantile-band filter: keep rows whose percent_rank of
+    // score_column within group_column lies in [lo, hi]
+    case "QuantileBand" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.filterByQuantileBand(df,
+        config.getString("group_column"), config.getString("score_column"),
+        config.getDouble("lo"), config.getDouble("hi")))
     // exact media dedup: min-id survivor per distinct payload bytes
     case "MediaDedup" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

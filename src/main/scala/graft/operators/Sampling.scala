@@ -228,4 +228,61 @@ object Sampling {
       .filter(col(rankN) <= maxPerGroup)
       .select(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
   }
+
+  /** Per-group QUANTILE-BAND filter — the distribution-trimming curation
+    * primitive ("drop the bottom 10% quality per language", "keep the
+    * middle 80% of lengths per source"): keep rows whose
+    * `percent_rank()` of `scoreCol` within their group lies in
+    * [`lo`, `hi`]. Semantics are EXACTLY the engine's
+    * `percent_rank() OVER (PARTITION BY group ORDER BY score)` —
+    * rank ties share a rank, pr = (rank−1)/(n−1), single-row groups
+    * rank 0.0 — which is what the DuckDB oracle runs.
+    *
+    * Scale shape: the naive window sorts every ROW of a group in one
+    * task. Here the window runs over the per-(group, score) COUNT
+    * histogram instead — `rank − 1` of a row is the cumulative count of
+    * strictly-lower scores, so the running sum over the histogram plus
+    * the group totals reconstructs pr exactly. Rows never sort-shuffle:
+    * they rejoin the qualifying (group, score) pairs by equi-join. The
+    * histogram is bounded by the group's DISTINCT-score cardinality —
+    * for real quality scores (quantized features, integer lengths) far
+    * below row count; a pathological all-distinct double column degrades
+    * to group-sized histogram rows, but they are narrow triples, not
+    * full rows.
+    *
+    * Nulls: a null score forms its own rank position (Spark orders nulls
+    * FIRST ascending; DuckDB defaults nulls LAST — band results for null
+    * scores are engine-specific, so keep scores non-null where oracle
+    * parity matters). The rejoin is null-safe (`<=>`), so null-score rows
+    * are kept/dropped per Spark's ordering rather than silently dropped.
+    */
+  def filterByQuantileBand(df: DataFrame, groupCol: String, scoreCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(0 <= lo && lo <= hi && hi <= 1, s"band must satisfy " +
+      s"0 <= lo <= hi <= 1: [$lo, $hi]")
+    import org.apache.spark.sql.expressions.Window
+    def fresh(base: String): String = {
+      var n = base
+      while (df.columns.contains(n)) n += "_"
+      n
+    }
+    val (cN, cumN, nN, prN) = (fresh("__c"), fresh("__cum"), fresh("__n"),
+      fresh("__pr"))
+    val (gqN, sqN) = (fresh("__gq"), fresh("__sq"))
+    val hist = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as(cN))
+    val cum = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    val totals = df.groupBy(col(groupCol)).agg(count(lit(1)).as(nN))
+    val qualifying = hist
+      .withColumn(cumN, sum(col(cN)).over(cum))
+      .join(totals, Seq(groupCol))
+      // rank−1 = rows strictly below = cum − own count; n=1 → pr 0.0
+      .withColumn(prN, when(col(nN) === 1, lit(0.0))
+        .otherwise((col(cumN) - col(cN)).cast("double") / (col(nN) - 1)))
+      .filter(col(prN) >= lo && col(prN) <= hi)
+      .select(col(groupCol).as(gqN), col(scoreCol).as(sqN))
+    df.join(qualifying,
+        col(groupCol) <=> col(gqN) && col(scoreCol) <=> col(sqN),
+        "left_semi")
+  }
 }

@@ -421,6 +421,40 @@ class SamplingSpec extends SparkSpec {
       .include("SinglePartition")
   }
 
+  test("filterByQuantileBand: histogram construction equals the naive " +
+      "percent_rank window, ties and boundaries included") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties (score = id % 13) + several group sizes incl. size 1
+    val df = spark.range(400)
+      .selectExpr("id",
+        "CASE WHEN id = 0 THEN 'solo' ELSE concat('g', id % 3) END AS grp",
+        "CAST(id % 13 AS INT) AS score")
+    def naive(lo: Double, hi: Double) =
+      df.withColumn("__pr", percent_rank().over(
+          Window.partitionBy($"grp").orderBy($"score")))
+        .filter($"__pr" >= lo && $"__pr" <= hi).drop("__pr")
+    for ((lo, hi) <- Seq((0.1, 0.9), (0.0, 0.5), (0.25, 1.0), (0.0, 1.0)))
+      assertSameRows(
+        Sampling.filterByQuantileBand(df, "grp", "score", lo, hi),
+        naive(lo, hi))
+    // single-row groups rank 0.0: kept iff lo == 0
+    Sampling.filterByQuantileBand(df, "grp", "score", 0.0, 0.1)
+      .filter($"grp" === "solo").count() shouldBe 1L
+    Sampling.filterByQuantileBand(df, "grp", "score", 0.1, 1.0)
+      .filter($"grp" === "solo").count() shouldBe 0L
+    // user columns named like the working columns survive untouched
+    val clash = df.withColumn("__pr", lit("keep")).withColumn("__c", lit(1))
+    val out = Sampling.filterByQuantileBand(clash, "grp", "score", 0.1, 0.9)
+    out.columns.toSeq shouldBe clash.columns.toSeq
+    out.select($"__pr").distinct().as[String].collect() shouldBe
+      Array("keep")
+    // the window's input is the per-(grp, score) histogram — an
+    // aggregation feeds it, and nothing plans a single partition
+    val plan = Sampling.filterByQuantileBand(df, "grp", "score", 0.1, 0.9)
+      .queryExecution.executedPlan.toString
+    (plan should not).include("SinglePartition")
+  }
+
   test("capPerGroup: null ids head the ordering and are never dropped " +
       "(two-phase equals the naive rank)") {
     // hashBucket(null) is null; without the −1 sentinel the prefilter
