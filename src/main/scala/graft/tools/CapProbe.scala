@@ -26,8 +26,14 @@ import org.apache.spark.sql.functions._
   * functions), so the naive plan funnels the dominant group's entire row
   * set through one sort task at any scale.
   *
+  * Quantile mode probes [[Sampling.filterByQuantileBand]]: the naive
+  * percent_rank window sorts every ROW of the dominant group in one task;
+  * the histogram construction's window reads one row per DISTINCT
+  * (group, score) — bounded by score cardinality, not group size.
+  *
   * Usage: runMain graft.tools.CapProbe [rows] [cap]
   *        runMain graft.tools.CapProbe weighted [rows] [budget]
+  *        runMain graft.tools.CapProbe quantile [rows]
   */
 object CapProbe {
 
@@ -105,9 +111,41 @@ object CapProbe {
       f""""survivors":$rTwo}""")
   }
 
+  private def quantile(spark: SparkSession, n: Long): Unit = {
+    // 50% of rows in one group; scores are ties-heavy ints (the quality-
+    // score shape): ~1013 distinct values per group
+    val df = spark.range(n).selectExpr("id",
+      "CASE WHEN id % 2 = 0 THEN 'dominant' ELSE concat('g', id % 997) END AS grp",
+      "CAST(id % 1013 AS INT) AS score")
+      .persist()
+    df.count()
+
+    val band = Sampling.filterByQuantileBand(df, "grp", "score", 0.1, 0.9)
+    val (rHist, tHist, mHist) = timedWithMax(spark) { band.count() }
+    val (rNaive, tNaive, mNaive) = timedWithMax(spark) {
+      df.withColumn("__pr", percent_rank().over(
+          Window.partitionBy(col("grp")).orderBy(col("score"))))
+        .filter(col("__pr") >= 0.1 && col("__pr") <= 0.9).count()
+    }
+    require(rHist == rNaive, s"result mismatch: $rHist vs $rNaive")
+
+    // the histogram window's input per group = distinct scores
+    val histRows = df.groupBy(col("grp"), col("score")).count()
+      .groupBy(col("grp")).count()
+      .agg(max(col("count")).as("mx"), avg(col("count")).as("av")).head()
+    val dominantRows = df.filter(col("grp") === "dominant").count()
+
+    println(f"""{"probe":"quantile_band","rows":$n,"dominant_rows":$dominantRows,""" +
+      f""""hist":{"sec":$tHist%.2f,"max_task_shuffle_records":$mHist},""" +
+      f""""naive":{"sec":$tNaive%.2f,"max_task_shuffle_records":$mNaive},""" +
+      f""""window_input":{"max_per_group":${histRows.getLong(0)},"avg_per_group":${histRows.getDouble(1)}%.1f},""" +
+      f""""survivors":$rHist}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val isWeighted = args.headOption.contains("weighted")
-    val rest = if (isWeighted) args.drop(1) else args
+    val isQuantile = args.headOption.contains("quantile")
+    val rest = if (isWeighted || isQuantile) args.drop(1) else args
     val n = rest.headOption.map(_.toLong).getOrElse(10000000L)
     val cap = if (rest.length > 1) rest(1).toInt else 1000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -122,6 +160,11 @@ object CapProbe {
     if (isWeighted) {
       val budget = if (rest.length > 1) rest(1).toDouble else 10000.0
       weighted(spark, n, budget)
+      spark.stop()
+      return
+    }
+    if (isQuantile) {
+      quantile(spark, n)
       spark.stop()
       return
     }
