@@ -1106,6 +1106,73 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // curation: CROSS-document boilerplate — per doc, the share of its
+    // distinct 3-grams occurring in >=5 distinct documents (corpus
+    // document frequency; the recurring-chrome signal q54's per-doc
+    // repetition stats cannot see)
+    "q79_boilerplate" -> ((s, dir) => {
+      TextAnalysis.boilerplateSignals(t(s, dir, "documents"), "doc_id",
+        "text", n = 3, minDocs = 5)
+    }),
+
+    // curation: sliding-window text chunking — 32-token windows every 24
+    // tokens (overlapping context windows, the RAG/long-context prep
+    // step); narrow end to end, tokenizer staged once per doc
+    "q80_chunk_text" -> ((s, dir) => {
+      Packing.chunkText(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 32, stride = 24)
+    }),
+
+    // dedup: chunk-granularity novelty — non-overlapping 16-token chunks,
+    // counting per doc the chunks already present in a smaller-id doc.
+    // Recycled text is synthesized deterministically (every 6th doc's
+    // first 40 tokens re-landed under id+100000) like q55's injected PII:
+    // full chunks of a copy match its source, the short tail does not
+    "q81_chunk_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val copies = docs.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 40)).as("text"))
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(copies)
+      Dedup.chunkNovelty(corpus, "doc_id", "text", chunkTokens = 16)
+    }),
+
+    // dedup: cross-source exact-duplicate matrix — which acquisition
+    // pipelines re-crawl each other. Cross-source dups are synthesized
+    // deterministically (every 5th doc re-landed under source
+    // src(doc_id%3)); pairs count per unordered source pair
+    "q82_cross_source_dups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val copies = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+          concat(lit("src"), (col("doc_id") % 3).cast("string"))
+            .as("source"))
+      val corpus = docs.select(col("doc_id"), col("text"), col("source"))
+        .unionByName(copies)
+      Dedup.crossSourceDupMatrix(corpus, "doc_id", "text", "source")
+    }),
+
+    // streaming: benchmark decontamination on the ingest stream — the
+    // corpus staged as 4 files streamed at maxFilesPerTrigger=1 → 4 real
+    // micro-batches, each a stateless prepared-benchmark filter (bloom
+    // prefilter + exact semi-join verify); the benchmark (q71's: every
+    // 25th doc's tokens 2..13, n=6) is prepared ONCE for the query
+    "q83_stream_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+        .select(concat_ws(" ",
+          slice(Dedup.tokens(col("text")), 2, 12)).as("qtext"))
+      val inDir = tmpDir("graft_q83_in")
+      docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .repartition(4).write.mode("overwrite").parquet(inDir)
+      val outDir = tmpDir("graft_q83_out") + "/out"
+      EventStream.runDecontaminateOnce(s, s.read.parquet(inDir).schema,
+          inDir, bench, "qtext", "doc_id", "text", outDir, "q83_sink",
+          n = 6, minOverlap = 1, maxFilesPerTrigger = Some(1))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -2300,6 +2367,122 @@ object SparkEntry {
          |QUALIFY SUM(CAST(n_tokens AS DOUBLE)) OVER (
          |    PARTITION BY source ORDER BY bkt, doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |  - n_tokens < 800""".stripMargin
+         |  - n_tokens < 800""".stripMargin,
+
+    // mirrors TextAnalysis.boilerplateSignals(n=3, minDocs=5): document
+    // frequency of per-doc-DISTINCT 3-grams (Spark groups by the 8-byte
+    // shingle hash, DuckDB by the gram text — identical counts, q54's
+    // convention)
+    "q79_boilerplate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(tk)-3, 0)+1),
+        |    i -> array_to_string(tk[i+1:i+3], ' ')))) AS s
+        |  FROM tk),
+        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_common,
+        |  round(CAST(sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS common_fraction
+        |FROM sh JOIN df USING (s)
+        |GROUP BY doc_id""".stripMargin,
+
+    // mirrors Packing.chunkText(32, 24): window starts step the token
+    // index by the stride; both engines slice the same 1-based token
+    // array, trailing windows shorter than the chunk
+    "q80_chunk_text" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(0, greatest(len(tk)-1, 0)+1, 24)) AS s
+        |  FROM tk)
+        |SELECT doc_id, CAST(s // 24 AS INTEGER) AS chunk_idx,
+        |  array_to_string(tk[s+1:s+32], ' ') AS chunk_text,
+        |  CAST(least(32, len(tk)-s) AS INTEGER) AS n_tokens
+        |FROM st""".stripMargin,
+
+    // mirrors Dedup.chunkNovelty(16) over documents ∪ the synthesized
+    // 40-token-prefix copies: first-seen is the min doc_id per chunk
+    // digest (digest equality ⟺ text equality within each engine)
+    "q81_chunk_novelty" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    array_to_string(
+        |      string_split_regex(trim(lower(text)), '\s+')[1:40], ' ')
+        |      AS text
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM base),
+        |st AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(0, greatest(len(tk)-1, 0)+1, 16)) AS s
+        |  FROM tk),
+        |c AS (
+        |  SELECT doc_id, md5(array_to_string(tk[s+1:s+16], ' ')) AS dig
+        |  FROM st),
+        |fs AS (SELECT dig, min(doc_id) AS first FROM c GROUP BY dig)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN first < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_seen_chunks,
+        |  round(1.0 - CAST(sum(CASE WHEN first < doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS novel_fraction
+        |FROM c JOIN fs USING (dig)
+        |GROUP BY doc_id""".stripMargin,
+
+    // mirrors Dedup.crossSourceDupMatrix over documents ∪ the synthesized
+    // re-sourced copies: per-(digest, source) counts first, then the pair
+    // product per unordered source pair
+    "q82_cross_source_dups" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text,
+        |    'src' || CAST(doc_id % 3 AS VARCHAR) AS source
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |c AS (
+        |  SELECT md5(text) AS dig, source, count(*) AS n
+        |  FROM base GROUP BY 1, 2)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(sum(a.n * b.n) AS BIGINT) AS n_dup_pairs
+        |FROM c a JOIN c b ON a.dig = b.dig AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q83 streams the corpus through the per-micro-batch prepared-
+    // benchmark filter; statelessness makes the batched union equal the
+    // single shot, so the oracle is the batch decontamination: survivors
+    // of q71's overlap predicate (NOT EXISTS — n>=1 ⟺ any shared shingle)
+    "q83_stream_decontaminate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |bench AS (
+        |  SELECT array_to_string(tk[2:13], ' ') AS qt FROM tk
+        |  WHERE doc_id % 25 = 0),
+        |btk AS (
+        |  SELECT string_split_regex(trim(lower(qt)), '\s+') AS tk
+        |  FROM bench),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(tk)-6, 0)+1),
+        |    i -> array_to_string(tk[i+1:i+6], ' ')))) AS s
+        |  FROM btk),
+        |csh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(tk)-6, 0)+1),
+        |    i -> array_to_string(tk[i+1:i+6], ' ')))) AS s
+        |  FROM tk)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM csh c JOIN bsh b USING (s)
+        |  WHERE c.doc_id = d.doc_id)""".stripMargin
   )
 }

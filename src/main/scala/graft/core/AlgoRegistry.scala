@@ -352,6 +352,36 @@ object AlgoRegistry {
       df => graft.operators.Sampling.filterByQuantileBand(df,
         config.getString("group_column"), config.getString("score_column"),
         config.getDouble("lo"), config.getDouble("hi")))
+    // cross-document boilerplate: per-doc share of corpus-frequent n-grams
+    case "Boilerplate" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.boilerplateSignals(df,
+        config.getString("id_column"), config.getString("text_column"),
+        config.getIntOpt("ngram_size").getOrElse(3),
+        config.getIntOpt("min_docs").getOrElse(5)))
+    // sliding-window text chunking (overlapping context windows)
+    case "ChunkText" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Packing.chunkText(df,
+        config.getString("id_column"), config.getString("text_column"),
+        config.getInt("chunk_tokens"),
+        config.getIntOpt("stride").getOrElse(config.getInt("chunk_tokens"))))
+    // chunk-granularity novelty vs smaller-id documents
+    case "ChunkNovelty" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Dedup.chunkNovelty(df,
+        config.getString("id_column"), config.getString("text_column"),
+        config.getInt("chunk_tokens")))
+    // provenance-overlap report: dup doc pairs per unordered source pair
+    case "CrossSourceDups" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Dedup.crossSourceDupMatrix(df,
+        config.getString("id_column"), config.getString("text_column"),
+        config.getString("source_column")))
     // exact media dedup: min-id survivor per distinct payload bytes
     case "MediaDedup" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

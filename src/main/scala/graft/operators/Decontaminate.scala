@@ -97,31 +97,102 @@ object Decontaminate {
   def overlapsBloom(corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 8,
       minOverlap: Int = 1, expectedShingles: Long = 1000000L): DataFrame = {
-    val benchShingles = Dedup.shingleHashDF(
+    val pb = prepareBenchmark(bench, benchTextCol, n, expectedShingles)
+    val out = overlapsPrepared(corpus, idCol, textCol, pb, minOverlap)
+    // one-shot call: drop the cache immediately — the returned (lazy) plan
+    // then recomputes the benchmark-sized shingle frame on use, exactly
+    // the pre-prepared behavior. Callers amortizing the benchmark across
+    // shards or micro-batches hold the PreparedBenchmark themselves.
+    pb.release()
+    out
+  }
+
+  /** A benchmark prepared ONCE for many decontamination calls — corpus
+    * shards, or every micro-batch of an ingest stream
+    * ([[graft.streaming.EventStream.runDecontaminateOnce]]): the
+    * serialized bloom (the map-side prefilter literal) plus the PERSISTED
+    * distinct shingle-hash frame the exact verification semi-joins
+    * against. Without the pin, each call re-shingles and re-distincts the
+    * benchmark — per TRIGGER, on a stream. `bloom` is null for an empty
+    * benchmark (nothing can match). Call `release()` once no frame
+    * returned by a `*Prepared` call is still needed.
+    */
+  final case class PreparedBenchmark(bloom: Array[Byte], shingles: DataFrame,
+      n: Int) {
+    def release(): Unit = shingles.unpersist()
+  }
+
+  /** Build a [[PreparedBenchmark]]: one benchmark scan computes the
+    * distinct shingle hashes (persisted) and folds them into the bloom —
+    * the bloom aggregation's action populates the cache as it runs, so
+    * preparation costs exactly one pass over the (small) benchmark.
+    */
+  def prepareBenchmark(bench: DataFrame, benchTextCol: String, n: Int = 8,
+      expectedShingles: Long = 1000000L): PreparedBenchmark = {
+    val sh = Dedup.shingleHashDF(
         bench.withColumn("__bid", lit(0L)), "__bid", benchTextCol, n)
       .select(explode(col("sh")).as("__h")).distinct()
-    val bloom = benchShingles
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = sh
       .agg(graft.functions.BloomSketch.bloomAgg(col("__h"), expectedShingles)
         .as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    val matched =
-      if (bloom == null) { // empty benchmark: nothing can match
-        corpus.limit(0).select(col(idCol).as("id"), lit(0L).as("n_matched"))
-      } else {
-        Dedup.shingleHashDF(corpus, idCol, textCol, n)
-          .select(col("id"), explode(col("sh")).as("__h"))
-          .filter(graft.functions.BloomSketch.mightContain(bloom, col("__h")))
-          .join(benchShingles, Seq("__h"), "left_semi")
-          .groupBy(col("id")).agg(count(lit(1)).as("n_matched"))
-          .filter(col("n_matched") >= minOverlap)
-      }
+    PreparedBenchmark(bloom, sh, n)
+  }
+
+  /** Phase 1+2 of the bloom regime against a prepared benchmark: the
+    * (id, n_matched ≥ minOverlap) contaminated set — bloom prefilter
+    * map-side, exact semi-join on the candidate sliver, one per-doc
+    * count. The shared core of [[overlapsPrepared]] (which adds the
+    * totals phase) and [[decontaminatePrepared]] (which deliberately
+    * skips it — a drop-filter never reads the ratio, so re-shingling the
+    * contaminated docs for n_shingles would be pure waste per
+    * micro-batch).
+    */
+  private def matchedPrepared(corpus: DataFrame, idCol: String,
+      textCol: String, pb: PreparedBenchmark, minOverlap: Int): DataFrame =
+    if (pb.bloom == null) { // empty benchmark: nothing can match
+      corpus.limit(0).select(col(idCol).as("id"), lit(0L).as("n_matched"))
+    } else {
+      Dedup.shingleHashDF(corpus, idCol, textCol, pb.n)
+        .select(col("id"), explode(col("sh")).as("__h"))
+        .filter(graft.functions.BloomSketch.mightContain(pb.bloom,
+          col("__h")))
+        .join(pb.shingles, Seq("__h"), "left_semi")
+        .groupBy(col("id")).agg(count(lit(1)).as("n_matched"))
+        .filter(col("n_matched") >= minOverlap)
+    }
+
+  /** [[overlapsBloom]]'s body against an already-prepared benchmark —
+    * same three phases, same output contract, but the bloom and the
+    * shingle frame come from the handle instead of being rebuilt.
+    */
+  def overlapsPrepared(corpus: DataFrame, idCol: String, textCol: String,
+      pb: PreparedBenchmark, minOverlap: Int = 1): DataFrame = {
+    val matched = matchedPrepared(corpus, idCol, textCol, pb, minOverlap)
     val contaminated = corpus
       .join(matched.select(col("id").as(idCol)), Seq(idCol), "left_semi")
-    val totals = Dedup.shingleHashDF(contaminated, idCol, textCol, n)
+    val totals = Dedup.shingleHashDF(contaminated, idCol, textCol, pb.n)
       .select(col("id"), size(col("sh")).cast("long").as("n_shingles"))
     matched.join(totals, Seq("id"))
       .select(col("id"), col("n_matched"), col("n_shingles"),
         round(col("n_matched").cast("double") / col("n_shingles"), 6)
           .as("overlap_ratio"))
+  }
+
+  /** Drop contaminated rows against a prepared benchmark — the
+    * per-micro-batch body of the streaming face. Stateless: survivors of
+    * a batch depend only on that batch and the (fixed) benchmark, so the
+    * union of per-batch survivors equals the single-shot batch result for
+    * ANY micro-batch boundaries (the q83 oracle identity). Goes through
+    * [[matchedPrepared]] directly: the totals/ratio phase would add a
+    * second shingle pass and a join whose output is dropped.
+    */
+  def decontaminatePrepared(corpus: DataFrame, idCol: String,
+      textCol: String, pb: PreparedBenchmark,
+      minOverlap: Int = 1): DataFrame = {
+    val bad = matchedPrepared(corpus, idCol, textCol, pb, minOverlap)
+      .select(col("id").as(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
   }
 }

@@ -794,4 +794,68 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Chunk-granularity novelty — exact substring-style dedup at chunk
+    * resolution (the tractable member of the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" family): partition each
+    * document into non-overlapping `chunkTokens`-token chunks
+    * ([[Packing.chunkText]] with stride == chunkTokens) and count, per
+    * document, how many of its chunks already occur — identical text —
+    * in a document with a SMALLER id ("previously seen" under ingest
+    * order). Output: (idCol, n_chunks, n_seen_chunks, novel_fraction) —
+    * novel_fraction is the share of the document that is genuinely new
+    * text at chunk granularity, the curation signal for dropping
+    * mostly-recycled documents whole-doc dedup misses.
+    *
+    * 100 TB shape: election runs on (md5 digest, id) — chunk TEXT never
+    * enters a shuffle (the digest is fixed-width whatever the chunk
+    * size). First-seen per digest is a map-side-combinable min; the
+    * digest table joins back to the same exploded-chunk child (exchange
+    * reuse), per-key build group is one row, so hot boilerplate chunks
+    * are an AQE skew split, not a window over a group-sized partition.
+    */
+  def chunkNovelty(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    val chunks = Packing.chunkText(docs, idCol, textCol,
+        chunkTokens, chunkTokens)
+      .select(col(idCol), md5(col("chunk_text")).as("__dig"))
+    val firstSeen = chunks.groupBy(col("__dig"))
+      .agg(min(col(idCol)).as("__first"))
+    chunks.join(firstSeen, Seq("__dig"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__first") < col(idCol), 1L).otherwise(0L))
+          .as("n_seen_chunks"))
+      .select(col(idCol), col("n_chunks"), col("n_seen_chunks"),
+        round(lit(1.0) -
+          col("n_seen_chunks").cast("double") / col("n_chunks"), 6)
+          .as("novel_fraction"))
+  }
+
+  /** Cross-source exact-duplicate matrix: for every unordered source pair
+    * (source_a < source_b), the number of document PAIRS sharing
+    * byte-identical text across the two sources — the provenance-overlap
+    * report that tells a corpus curator which acquisition pipelines are
+    * re-crawling each other before mixing weights are chosen.
+    *
+    * 100 TB shape: per-(digest, source) counts aggregate FIRST (map-side
+    * combinable; md5 digests, never text, in the shuffle), then the pair
+    * product is a self equi-join of that already-collapsed table on the
+    * digest — the per-key group is the handful of sources holding a
+    * digest, so no document-level pair is ever materialized: a digest
+    * duplicated a million times across two sources contributes two count
+    * rows and one multiply, not 10^12 pairs.
+    */
+  def crossSourceDupMatrix(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val counts = docs
+      .select(md5(col(textCol)).as("__dig"), col(sourceCol).as("__src"))
+      .groupBy(col("__dig"), col("__src"))
+      .agg(count(lit(1)).as("__n"))
+    counts.as("a")
+      .join(counts.as("b"), col("a.__dig") === col("b.__dig") &&
+        col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("source_a"), col("b.__src").as("source_b"))
+      .agg(sum(col("a.__n") * col("b.__n")).as("n_dup_pairs"))
+  }
 }

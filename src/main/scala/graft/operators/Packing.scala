@@ -108,4 +108,40 @@ object Packing {
     withChunkIds(
       docs.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol))),
       idCol, "n_tokens", budgetTokens)
+
+  /** Sliding-window TEXT chunking — the other chunking regime (the one
+    * above assigns whole documents to token-budget bins; this one SPLITS
+    * each document's token sequence): windows of `chunkTokens` tokens
+    * starting every `stride` tokens — (idCol, chunk_idx, chunk_text,
+    * n_tokens), chunk_idx counting windows from 0. `stride < chunkTokens`
+    * yields overlapping context windows (RAG / long-context prep);
+    * `stride == chunkTokens` partitions the document exactly
+    * ([[Dedup.chunkNovelty]] builds on that face). Trailing windows are
+    * shorter than `chunkTokens`; every token belongs to at least one
+    * window.
+    *
+    * Zero shuffles, narrow end to end: the token array is staged ONCE in
+    * its own projection (Catalyst does not CSE through nested lambdas —
+    * [[Dedup.shinglesFromTokens]]'s rule), window starts posexplode from
+    * a stride-stepped sequence, and the slice projection runs AFTER the
+    * generate against the staged array, so the tokenizer cost is once per
+    * document, not once per chunk.
+    */
+  def chunkText(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(stride > 0, s"stride must be positive: $stride")
+    docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), col("__tk"),
+        posexplode(sequence(lit(0),
+            greatest(size(col("__tk")) - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_idx", "__start")))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ",
+          slice(col("__tk"), col("__start") + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens), size(col("__tk")) - col("__start"))
+          .cast("int").as("n_tokens"))
+  }
 }

@@ -214,4 +214,48 @@ object TextAnalysis {
           .as("top_2gram_fraction"))
     withLines.join(perDoc, Seq(idCol))
   }
+
+  /** CROSS-document boilerplate signals — the corpus-frequency complement
+    * of [[repetitionSignals]] (which only sees one document at a time):
+    * navigation chrome, license headers, and templated spam are n-grams
+    * that recur across MANY documents, not necessarily within one. For
+    * each document: how many of its distinct word `n`-grams occur in at
+    * least `minDocs` distinct documents (document frequency, binary
+    * containment per doc — same convention as
+    * [[Decontaminate.overlaps]]). Output: one row per document holding
+    * at least one shingle — (idCol, n_grams, n_common, common_fraction),
+    * fractions round(…, 6).
+    *
+    * 100 TB shape: shingles travel as 8-byte native hashes
+    * ([[Dedup.shingleHashDF]] — the oracle groups by the gram text,
+    * counts are identical). The corpus is deliberately shingled twice
+    * (once per consumer — the df side's exchange carries map-side-
+    * COMBINED (hash, count) rows, ≈ the mapper's distinct grams, while
+    * the probe side carries the exploded rows): recombining document
+    * frequency via a hash equi-join keeps a hot gram as a one-build-row
+    * AQE skew split. The tempting single-pass alternative — `count()
+    * over (partition by hash)` on one exploded frame — pins each gram's
+    * rows in ONE window task, and a boilerplate gram is BY DEFINITION in
+    * millions of documents: the recompute is 2× tokenizer arithmetic,
+    * the window is an unbounded straggler. No text column ever enters a
+    * shuffle.
+    */
+  def boilerplateSignals(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDocs: Int = 5): DataFrame = {
+    require(n > 0, s"shingle size must be positive: $n")
+    require(minDocs > 0, s"minDocs must be positive: $minDocs")
+    val exploded = Dedup.shingleHashDF(docs, idCol, textCol, n)
+      .select(col("id"), explode(col("sh")).as("__h"))
+    // per-doc-distinct rows (shingleHashDF deduplicates per doc), so a
+    // plain count per hash IS the document frequency
+    val dfTab = exploded.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"))
+    exploded.join(dfTab, Seq("__h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") >= minDocs, 1L).otherwise(0L)).as("n_common"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_common"),
+        round(col("n_common").cast("double") / col("n_grams"), 6)
+          .as("common_fraction"))
+  }
 }

@@ -147,6 +147,49 @@ object EventStream {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming benchmark decontamination — the streaming face of
+    * [[graft.operators.Decontaminate.decontaminate]] (q53/q71's
+    * operator): documents arriving on the ingest stream are dropped per
+    * micro-batch when their n-gram overlap with the evaluation set
+    * reaches `minOverlap`. The benchmark is PREPARED once for the query's
+    * lifetime ([[graft.operators.Decontaminate.prepareBenchmark]]: the
+    * serialized bloom plus the persisted exact shingle frame) — so each
+    * trigger pays a stateless batch-sized filter (bloom prefilter
+    * map-side, exact semi-join on the candidate sliver) and never
+    * re-shingles the benchmark. No state store, no watermark: the filter
+    * depends only on the batch and the fixed benchmark, so per-batch
+    * survivors union to the single-shot batch result for any micro-batch
+    * boundaries (the oracle identity, same argument as
+    * [[runNearDupIncrementOnce]]).
+    */
+  def runDecontaminateOnce(spark: SparkSession, schema: StructType,
+      inputGlob: String, bench: DataFrame, benchTextCol: String,
+      idCol: String, textCol: String, outDir: String, queryName: String,
+      n: Int = 8, minOverlap: Int = 1,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(m => reader.option("maxFilesPerTrigger", m))
+      .parquet(inputGlob)
+    val pb = graft.operators.Decontaminate.prepareBenchmark(bench,
+      benchTextCol, n)
+    try {
+      val q: StreamingQuery = stream.writeStream
+        .queryName(s"${queryName}_${sinkSeq.incrementAndGet()}")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Decontaminate
+            .decontaminatePrepared(batch, idCol, textCol, pb, minOverlap)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally pb.release()
+    spark.read.parquet(outDir)
+  }
+
   /** Watermarked stream-stream INTERVAL join: each left event joins right
     * events of the same key whose time lies in [left.ts − `lookback`,
     * left.ts] — e.g. "purchases join the clicks that preceded them within

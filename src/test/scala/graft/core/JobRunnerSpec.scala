@@ -264,6 +264,64 @@ class JobRunnerSpec extends SparkSpec {
       .select(col("doc_id"), col("unigram_logprob"))
       .as[(Long, Double)].collect().toMap
     frozenScores shouldBe inlineScores
+
+    // cross-doc boilerplate signals through the params surface: docs 1+2
+    // are identical, so at min_docs=2 all their grams are common
+    val tgtBp = tmp("jr_bp_tgt") + "/t"
+    val paramsBp = tmp("jr_bp_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsBp),
+      s"""{"source_dir": "$src", "target_dir": "$tgtBp",
+         | "id_column": "doc_id", "text_column": "text",
+         | "ngram_size": 3, "min_docs": 2}""".stripMargin)
+    JobRunner.execute(spark, "Boilerplate", paramsBp)
+    spark.read.parquet(tgtBp)
+      .filter(col("doc_id") === 1L).select(col("common_fraction"))
+      .as[Double].collect() shouldBe Array(1.0)
+
+    // sliding-window chunking: stride defaults to chunk_tokens
+    val tgtCt = tmp("jr_ct_tgt") + "/t"
+    val paramsCt = tmp("jr_ct_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsCt),
+      s"""{"source_dir": "$src", "target_dir": "$tgtCt",
+         | "id_column": "doc_id", "text_column": "text",
+         | "chunk_tokens": 6}""".stripMargin)
+    JobRunner.execute(spark, "ChunkText", paramsCt)
+    val chunksOut = spark.read.parquet(tgtCt)
+    chunksOut.columns should contain allOf ("chunk_idx", "chunk_text",
+      "n_tokens")
+    chunksOut.filter(col("doc_id") === 1L).count() shouldBe 2 // 12 tokens
+
+    // chunk novelty: doc 2 recycles doc 1 wholesale
+    val tgtCn = tmp("jr_cn_tgt") + "/t"
+    val paramsCn = tmp("jr_cn_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsCn),
+      s"""{"source_dir": "$src", "target_dir": "$tgtCn",
+         | "id_column": "doc_id", "text_column": "text",
+         | "chunk_tokens": 6}""".stripMargin)
+    JobRunner.execute(spark, "ChunkNovelty", paramsCn)
+    spark.read.parquet(tgtCn).filter(col("doc_id") === 2L)
+      .select(col("novel_fraction")).as[Double].collect() shouldBe
+      Array(0.0)
+
+    // cross-source dup matrix: identical docs 1 (srcA) and 2 (srcB)
+    val srcXs = tmp("jr_xs_src") + "/t"
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again",
+        "srcA"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again",
+        "srcB"),
+      (3L, "totally different words in this one about engines and planes",
+        "srcA")).toDF("doc_id", "text", "source").write.parquet(srcXs)
+    val tgtXs = tmp("jr_xs_tgt") + "/t"
+    val paramsXs = tmp("jr_xs_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsXs),
+      s"""{"source_dir": "$srcXs", "target_dir": "$tgtXs",
+         | "id_column": "doc_id", "text_column": "text",
+         | "source_column": "source"}""".stripMargin)
+    JobRunner.execute(spark, "CrossSourceDups", paramsXs)
+    spark.read.parquet(tgtXs)
+      .as[(String, String, Long)].collect() shouldBe
+      Array(("srcA", "srcB", 1L))
   }
 
   test("unknown algorithm names are rejected") {

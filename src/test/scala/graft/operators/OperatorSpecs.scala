@@ -607,3 +607,200 @@ class MultimodalSpec extends SparkSpec {
     all(exchanges) should not include "payload"
   }
 }
+
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkText: stride-stepped windows cover every token, trailing " +
+      "windows shorten, narrow plan with zero exchanges") {
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("id", "t")
+    val out = Packing.chunkText(docs, "id", "t", chunkTokens = 4, stride = 3)
+    val rows = out.as[(Long, Int, String, Int)].collect().sortBy(r => (r._1, r._2))
+    rows.filter(_._1 == 1L).map(r => (r._2, r._3, r._4)) shouldBe Array(
+      (0, "a b c d", 4), (1, "d e f g", 4), (2, "g h i j", 4), (3, "j", 1))
+    rows.filter(_._1 == 2L).map(r => (r._2, r._3, r._4)) shouldBe Array(
+      (0, "x y", 2))
+    // chunking is a per-row expansion: no shuffle may appear in the plan
+    out.queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
+  test("chunkText: stride == chunkTokens partitions exactly (token " +
+      "multiset preserved, no overlap)") {
+    val docs = Seq((7L, "p q r s t u v")).toDF("id", "t")
+    val out = Packing.chunkText(docs, "id", "t", 3, 3)
+      .select($"chunk_text").as[String].collect()
+    out.flatMap(_.split(" ")).sorted shouldBe
+      Array("p", "q", "r", "s", "t", "u", "v")
+  }
+
+  test("chunkText rejects non-positive sizes") {
+    val docs = Seq((1L, "a")).toDF("id", "t")
+    an[IllegalArgumentException] should be thrownBy
+      Packing.chunkText(docs, "id", "t", 0, 3)
+    an[IllegalArgumentException] should be thrownBy
+      Packing.chunkText(docs, "id", "t", 3, 0)
+  }
+
+  test("chunkNovelty: a doc recycling an earlier doc's prefix has its " +
+      "full chunks seen and its short tail novel") {
+    val src = "t1 t2 t3 t4 t5 t6 t7 t8"             // 8 tokens
+    val docs = Seq(
+      (1L, src),                                     // chunks: [t1..t4], [t5..t8]
+      (2L, "t1 t2 t3 t4 t5 t6"),                     // [t1..t4] seen, [t5 t6] novel
+      (3L, src))                                     // both chunks seen
+      .toDF("id", "t")
+    val out = Dedup.chunkNovelty(docs, "id", "t", chunkTokens = 4)
+    val m = out.as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    m(1L) shouldBe ((2L, 0L, 1.0))
+    m(2L) shouldBe ((2L, 1L, 0.5))
+    m(3L) shouldBe ((2L, 2L, 0.0))
+    // election on digests: chunk text stays out of every shuffle
+    val exchanges = out.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Exchange")).toSeq
+    exchanges should not be empty
+    all(exchanges) should not include "chunk_text"
+  }
+
+  test("chunkNovelty matches a naive first-seen window oracle on " +
+      "overlap-heavy fixtures") {
+    val docs = (1L to 40L).map { i =>
+      // recycled 12-token slabs: doc i reuses slab (i % 5) twice plus a
+      // unique tail, so cross-doc chunk collisions are dense
+      val slab = (0 until 12).map(k => s"w${i % 5}_$k").mkString(" ")
+      (i, s"$slab $slab unique_$i")
+    }.toDF("id", "t")
+    val got = Dedup.chunkNovelty(docs, "id", "t", chunkTokens = 12)
+    val chunks = Packing.chunkText(docs, "id", "t", 12, 12)
+      .select($"id", md5($"chunk_text").as("dig"))
+    val naive = chunks.as("c")
+      .join(chunks.groupBy($"dig").agg(min($"id").as("first")), "dig")
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"first" < $"id", 1L).otherwise(0L)).as("n_seen_chunks"))
+      .select($"id", $"n_chunks", $"n_seen_chunks",
+        round(lit(1.0) - $"n_seen_chunks".cast("double") / $"n_chunks", 6)
+          .as("novel_fraction"))
+    assertSameRows(got, naive)
+  }
+}
+
+class CrossSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("crossSourceDupMatrix counts doc pairs per unordered source pair " +
+      "and never materializes doc-level pairs for same-source dups") {
+    val docs = Seq(
+      (1L, "dup one", "A"), (2L, "dup one", "A"), (3L, "dup one", "B"),
+      (4L, "dup one", "B"), (5L, "dup one", "C"),
+      (6L, "dup two", "A"), (7L, "dup two", "C"),
+      (8L, "only here", "A"))
+      .toDF("id", "body", "src")
+    val out = Dedup.crossSourceDupMatrix(docs, "id", "body", "src")
+    val m = out.as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // "dup one": A×B = 2*2, A×C = 2*1, B×C = 2*1; "dup two": A×C = 1*1
+    m shouldBe Map(("A", "B") -> 4L, ("A", "C") -> 3L, ("B", "C") -> 2L)
+    // text never shuffles: only digests and sources ride the exchanges
+    val exchanges = out.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Exchange")).toSeq
+    exchanges should not be empty
+    all(exchanges) should not include "body"
+  }
+}
+
+class BoilerplateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("boilerplateSignals: corpus document frequency marks recurring " +
+      "n-grams; per-doc distinct containment") {
+    // "h1 h2 h3" appears in docs 1-3 (df=3); each doc has unique grams too.
+    // Doc 4 repeats the common gram 3 times — still ONE distinct shingle.
+    val docs = Seq(
+      (1L, "h1 h2 h3 a1 a2 a3"),
+      (2L, "h1 h2 h3 b1 b2 b3"),
+      (3L, "h1 h2 h3 c1 c2"),
+      (4L, "h1 h2 h3 h1 h2 h3 h1 h2 h3"))
+      .toDF("id", "t")
+    val out = TextAnalysis.boilerplateSignals(docs, "id", "t",
+      n = 3, minDocs = 3)
+    val m = out.as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: distinct 3-grams of 6 tokens = 4; common: "h1 h2 h3" (df=4)
+    m(1L) shouldBe ((4L, 1L))
+    m(2L) shouldBe ((4L, 1L))
+    m(3L) shouldBe ((3L, 1L))
+    // doc 4: 9 tokens → 7 windows, distinct = {h1 h2 h3, h2 h3 h1, h3 h1 h2}
+    // of which only "h1 h2 h3" reaches df 3 (the rotations exist only here)
+    m(4L) shouldBe ((3L, 1L))
+  }
+
+  test("boilerplateSignals: document frequency combines map-side and " +
+      "joins on the hash — no per-gram window partition in the plan") {
+    // force the shuffle regime (tiny fixtures broadcast the exploded
+    // side): hot grams must arrive as a joinable one-row aggregate,
+    // never as a single window partition holding every occurrence
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = (1L to 300L)
+        .map(i => (i, s"x y z w${i % 7} tail piece here")).toDF("id", "t")
+      val out = TextAnalysis.boilerplateSignals(docs, "id", "t", 3, 2)
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      plan should include("partial_count") // map-side combine on the hash
+      plan should include("SortMergeJoin [__h")
+      (plan should not).include("Window")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
+
+class PreparedBenchmarkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta different tail here now"),
+    (3L, "nothing shared with the benchmark at all folks"),
+    (4L, "iota kappa lambda mu nu xi omicron pi"))
+    .toDF("id", "t")
+  private val bench = Seq(
+    "alpha beta gamma delta epsilon", "iota kappa lambda mu nu")
+    .toDF("qt")
+
+  test("overlapsPrepared is row-identical to overlaps and overlapsBloom; " +
+      "the prepared handle amortizes across corpus shards") {
+    val direct = Decontaminate.overlaps(corpus, "id", "t", bench, "qt",
+      n = 4, minOverlap = 1)
+    val pb = Decontaminate.prepareBenchmark(bench, "qt", n = 4)
+    try {
+      val prepared = Decontaminate.overlapsPrepared(corpus, "id", "t", pb)
+      assertSameRows(prepared, direct)
+      // a second shard against the SAME handle — the point of preparing
+      val shard2 = corpus.filter($"id" % 2 === 0)
+      assertSameRows(
+        Decontaminate.overlapsPrepared(shard2, "id", "t", pb),
+        Decontaminate.overlaps(shard2, "id", "t", bench, "qt", 4, 1))
+      // the exact-verify side joins the persisted shingle frame
+      Decontaminate.overlapsPrepared(corpus, "id", "t", pb)
+        .queryExecution.executedPlan.toString should
+        include("InMemoryTableScan")
+    } finally pb.release()
+  }
+
+  test("decontaminatePrepared drops exactly the contaminated rows; an " +
+      "empty benchmark keeps the corpus whole") {
+    val pb = Decontaminate.prepareBenchmark(bench, "qt", n = 4)
+    try {
+      // docs 1, 2 and 4 each share >=1 benchmark 4-gram; only 3 survives
+      val out = Decontaminate.decontaminatePrepared(corpus, "id", "t", pb)
+      out.select($"id").as[Long].collect().sorted shouldBe Array(3L)
+    } finally pb.release()
+    val empty = Decontaminate.prepareBenchmark(bench.limit(0), "qt", n = 4)
+    try {
+      empty.bloom shouldBe null
+      Decontaminate.decontaminatePrepared(corpus, "id", "t", empty)
+        .count() shouldBe 4
+    } finally empty.release()
+  }
+}

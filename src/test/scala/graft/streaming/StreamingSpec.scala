@@ -185,6 +185,32 @@ class EventStreamSpec extends SparkSpec {
     out.select($"doc_id").as[Long].collect().sorted shouldBe
       Array(13L, 14L)
   }
+
+  test("streaming decontamination: per-micro-batch prepared-benchmark " +
+      "filter equals the single-shot batch face for any batch boundaries") {
+    import graft.operators.Decontaminate
+    val dir = tmp("stream_decon")
+    val corpus = Seq(
+      (1L, "leaked question alpha beta gamma delta answer text"),
+      (2L, "clean document about something else entirely here"),
+      (3L, "another leaked alpha beta gamma delta fragment inside"),
+      (4L, "totally clean again nothing shared with the eval"),
+      (5L, "also clean and also quite unlike the benchmark"))
+      .toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta").toDF("qt")
+    // 3 input files at maxFilesPerTrigger=1 → 3 micro-batches splitting
+    // contaminated and clean docs across triggers
+    corpus.repartition(3).write.parquet(dir + "/in")
+    val out = EventStream.runDecontaminateOnce(spark, corpus.schema,
+      dir + "/in", bench, "qt", "doc_id", "text", dir + "/out",
+      "decon_stream_test", n = 4, minOverlap = 1,
+      maxFilesPerTrigger = Some(1))
+    val singleShot = Decontaminate.decontaminate(corpus, "doc_id", "text",
+      bench, "qt", n = 4, minOverlap = 1)
+    assertSameRows(out, singleShot)
+    out.select($"doc_id").as[Long].collect().sorted shouldBe
+      Array(2L, 4L, 5L)
+  }
 }
 
 class StreamingCurationSpec extends SparkSpec {
