@@ -1153,6 +1153,49 @@ object SparkEntry {
       Dedup.crossSourceDupMatrix(corpus, "doc_id", "text", "source")
     }),
 
+    // curation: canonical text normalization — Unicode NFC (native
+    // Catalyst expression; Spark has no built-in), lowercase, whitespace
+    // collapse. Denormalized unicode is injected deterministically
+    // (combining accents, runs of spaces, a tab) so the gate proves real
+    // recomposition: the digests match DuckDB's nfc_normalize output
+    // byte-for-byte
+    "q84_normalize_text" -> ((s, dir) => {
+      // DECOMPOSED sequences (e+U+0301, i+U+0308): NFC must recompose
+      // them ahead of the digest — precomposed literals would only ever
+      // take the isNormalized fast path
+      val messy = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 9 === 0,
+            lit("  Cafe\u0301   nai\u0308ve \tE\u0301cole "))
+            .otherwise(lit(""))).as("text"))
+      val norm = TextAnalysis.normalizeText(col("text"))
+      messy.select(col("doc_id"), md5(norm).as("norm_digest"),
+        length(norm).as("n_chars_norm"))
+    }),
+
+    // curation: top-k frequent terms per language — the rank window runs
+    // over the per-group distinct vocabulary (histogram), never the
+    // corpus rows
+    "q85_top_terms" -> ((s, dir) => {
+      TextAnalysis.topTermsPerGroup(t(s, dir, "documents"), "lang",
+        "text", k = 10)
+    }),
+
+    // dedup: n-gram containment pairs — the partial-copy regime Jaccard
+    // misses (a 12-token quote of a 60-token doc has jaccard ~0.2 but
+    // containment 1.0). Quotes are synthesized deterministically (first
+    // 12 tokens of every 30th subset doc re-landed under id+200000)
+    "q86_containment" -> ((s, dir) => {
+      val docs0 = t(s, dir, "documents").filter(col("doc_id") % 10 < 3)
+      val quotes = docs0.filter(col("doc_id") % 30 === 1)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 12)).as("text"))
+      val corpus = docs0.select(col("doc_id"), col("text"))
+        .unionByName(quotes)
+      Dedup.ngramContainmentPairs(corpus, "doc_id", "text",
+        shingleSize = 3, threshold = 0.6)
+    }),
+
     // streaming: benchmark decontamination on the ingest stream — the
     // corpus staged as 4 files streamed at maxFilesPerTrigger=1 → 4 real
     // micro-batches, each a stateless prepared-benchmark filter (bloom
@@ -2483,6 +2526,71 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, d.source FROM documents d
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM csh c JOIN bsh b USING (s)
-        |  WHERE c.doc_id = d.doc_id)""".stripMargin
+        |  WHERE c.doc_id = d.doc_id)""".stripMargin,
+
+    // mirrors TextAnalysis.normalizeText with the injected decomposed
+    // suffix (chr(769)=U+0301 combining acute, chr(776)=U+0308 combining
+    // diaeresis, chr(9)=tab): both engines NFC-recompose, lowercase,
+    // collapse whitespace — digests match byte-for-byte
+    "q84_normalize_text" ->
+      """WITH messy AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 9 = 0 THEN
+        |      '  Cafe' || chr(769) || '   nai' || chr(776) || 've ' ||
+        |      chr(9) || 'E' || chr(769) || 'cole '
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id,
+        |    regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ',
+        |      'g') AS nt
+        |  FROM messy)
+        |SELECT doc_id, md5(nt) AS norm_digest,
+        |  CAST(length(nt) AS INTEGER) AS n_chars_norm
+        |FROM norm""".stripMargin,
+
+    // mirrors TextAnalysis.topTermsPerGroup(lang, 10): counts group
+    // map-side in Spark, rank ties break on the token in both engines
+    "q85_top_terms" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2)
+        |SELECT lang, token, n,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY n DESC, token) AS INTEGER) AS rank
+        |FROM c
+        |QUALIFY rank <= 10""".stripMargin,
+
+    // mirrors Dedup.ngramContainmentPairs(3, 0.6) over the subset ∪ the
+    // synthesized 12-token quotes: containment = inter / min(|A|, |B|)
+    "q86_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 3
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    array_to_string(
+        |      string_split_regex(trim(lower(text)), '\s+')[1:12], ' ')
+        |      AS text
+        |  FROM documents WHERE doc_id % 10 < 3 AND doc_id % 30 = 1),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM base),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(tk)-3, 0)+1),
+        |    i -> array_to_string(tk[i+1:i+3], ' '))) AS shl
+        |  FROM toks),
+        |inv AS (SELECT doc_id, len(shl) AS n, unnest(shl) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a,
+        |    b.n AS n_b, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |  round(CAST(inter AS DOUBLE) / least(n_a, n_b), 6) AS containment
+        |FROM pairs
+        |WHERE CAST(inter AS DOUBLE) / least(n_a, n_b) >= 0.6""".stripMargin
   )
 }

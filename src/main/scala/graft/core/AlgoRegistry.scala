@@ -352,6 +352,22 @@ object AlgoRegistry {
       df => graft.operators.Sampling.filterByQuantileBand(df,
         config.getString("group_column"), config.getString("score_column"),
         config.getDouble("lo"), config.getDouble("hi")))
+    // canonical text normalization: NFC + lowercase + whitespace collapse
+    case "NormalizeText" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => df.withColumn(
+        config.getStringOpt("output_column").getOrElse("norm_text"),
+        graft.operators.TextAnalysis.normalizeText(
+          org.apache.spark.sql.functions.col(
+            config.getString("text_column")))))
+    // top-k frequent terms per group (vocabulary report)
+    case "TopTerms" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.topTermsPerGroup(df,
+        config.getString("group_column"), config.getString("text_column"),
+        config.getInt("k")))
     // cross-document boilerplate: per-doc share of corpus-frequent n-grams
     case "Boilerplate" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

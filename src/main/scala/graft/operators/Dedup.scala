@@ -291,6 +291,37 @@ object Dedup {
     }
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs — partial-copy detection: a
+    * short document quoted wholesale inside a long one has LOW Jaccard
+    * (the union is dominated by the long doc's shingles) but containment
+    * inter / min(|A|, |B|) ≈ 1, so [[ngramJaccardPairs]] misses the
+    * quote/inclusion regime by construction. Same inverted-index
+    * skeleton: native 8-byte shingle hashes, the df>1 window prefilter
+    * dropping single-doc shingles before the quadratic self-join (the
+    * window shuffles by shingle — the partitioning the join needs
+    * anyway), pair counts aggregated map-side on fixed-width keys.
+    * Output: (id_a < id_b, inter, containment ≥ threshold).
+    */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val sh = shingleHashDF(docs, idCol, textCol, shingleSize)
+      .withColumn("n", size(col("sh")))
+    val inv = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
+      .withColumn("__df", count(lit(1)).over(w.partitionBy(col("s"))))
+      .filter(col("__df") > 1)
+    val a = inv.as("a"); val b = inv.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** 60-bit SimHash of the token multiset: majority vote of per-token hash
     * bits, via the native [[graft.functions.SimHashExpr]] — a narrow map
     * with zero shuffle (the 8-byte fingerprint is the only thing that ever

@@ -25,6 +25,18 @@ object TextAnalysis {
   // string_split_regex for documents with leading/trailing whitespace
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** Canonical text normalization ahead of hashing/dedup: Unicode NFC
+    * (native [[graft.functions.NfcNormalizeExpr]] — "café" as e+combining
+    * acute and as precomposed é must digest identically), lowercased,
+    * whitespace collapsed to single spaces, trimmed. Pure per-row map,
+    * zero shuffle; every step reproduces in DuckDB (nfc_normalize /
+    * lower / regexp_replace / trim), so normalized digests oracle-match.
+    */
+  def normalizeText(text: Column): Column =
+    regexp_replace(
+      trim(lower(graft.functions.NfcNormalizeExpr.nfc(text))),
+      "\\s+", " ")
+
   /** Count of tokens that appear in `words`. */
   private def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
@@ -240,6 +252,32 @@ object TextAnalysis {
     * the window is an unbounded straggler. No text column ever enters a
     * shuffle.
     */
+  /** Top-k most frequent tokens per group — the "most common terms per
+    * language/source" corpus report (vocabulary drift, tokenizer QA,
+    * stopword candidates). Rank ties break on the token itself, so the
+    * output is deterministic.
+    *
+    * 100 TB shape: the (group, token) counts aggregate FIRST with
+    * map-side combine — the rank window's input is the per-group DISTINCT
+    * vocabulary (the histogram), never the corpus rows (q78's
+    * histogram-window argument: a group holding half the corpus
+    * contributes its vocabulary size to one window partition, not its
+    * row count). Token strings ride the shuffles, but only once per
+    * (mapper, group, token).
+    */
+  def topTermsPerGroup(docs: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rank", row_number().over(
+        w.partitionBy(col(groupCol)).orderBy(col("n").desc, col("token"))))
+      .filter(col("rank") <= k)
+  }
+
   def boilerplateSignals(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minDocs: Int = 5): DataFrame = {
     require(n > 0, s"shingle size must be positive: $n")

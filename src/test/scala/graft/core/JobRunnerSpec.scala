@@ -322,6 +322,30 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(tgtXs)
       .as[(String, String, Long)].collect() shouldBe
       Array(("srcA", "srcB", 1L))
+
+    // canonical normalization through the params surface
+    val tgtNt = tmp("jr_nt_tgt") + "/t"
+    val paramsNt = tmp("jr_nt_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsNt),
+      s"""{"source_dir": "$src", "target_dir": "$tgtNt",
+         | "text_column": "text"}""".stripMargin)
+    JobRunner.execute(spark, "NormalizeText", paramsNt)
+    spark.read.parquet(tgtNt).filter(col("doc_id") === 1L)
+      .select(col("norm_text")).as[String].collect().head shouldBe
+      "the quick brown fox jumps over the lazy dog again and again"
+
+    // top-terms vocabulary report through the params surface
+    val tgtTt = tmp("jr_tt_tgt") + "/t"
+    val paramsTt = tmp("jr_tt_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsTt),
+      s"""{"source_dir": "$src", "target_dir": "$tgtTt",
+         | "group_column": "doc_id", "text_column": "text",
+         | "k": 1}""".stripMargin)
+    JobRunner.execute(spark, "TopTerms", paramsTt)
+    // doc 1's most frequent token: "again" (x2, tie with "the" x2 broken
+    // by token order)
+    spark.read.parquet(tgtTt).filter(col("doc_id") === 1L)
+      .select(col("token")).as[String].collect() shouldBe Array("again")
   }
 
   test("unknown algorithm names are rejected") {

@@ -755,6 +755,101 @@ class BoilerplateSpec extends SparkSpec {
   }
 }
 
+class TextNormSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("NFC normalization: decomposed and precomposed forms digest " +
+      "identically; whitespace collapses; already-normal text unchanged") {
+    val df = Seq(
+      (1L, "Cafe\u0301  du   Monde"), // decomposed e + combining acute
+      (2L, "Café du Monde"),       // precomposed é
+      (3L, "  plain   ascii\ttext  "))
+      .toDF("id", "t")
+    val out = df.select($"id",
+      TextAnalysis.normalizeText($"t").as("nt"),
+      md5(TextAnalysis.normalizeText($"t")).as("d"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    out(1L)._1 shouldBe "café du monde"
+    out(1L) shouldBe out(2L) // NFC recomposition makes the forms equal
+    out(3L)._1 shouldBe "plain ascii text"
+  }
+
+  test("NFC expression is null-safe and survives codegen in a filter") {
+    // spark.range, not a local Seq: ConvertToLocalRelation would fold a
+    // local fixture at optimization time and never exercise codegen
+    val df = spark.range(100).selectExpr("id",
+      "CASE WHEN id % 10 = 0 THEN NULL ELSE concat('v', id) END AS t")
+    val out = df.select($"id",
+      graft.functions.NfcNormalizeExpr.nfc($"t").as("n"))
+    out.filter($"n".isNull).count() shouldBe 10L
+    val hit = out.filter($"n" === "v7")
+    hit.select($"id").as[Long].collect() shouldBe Array(7L)
+    // stays inside a whole-stage span (reference-call codegen): every
+    // operator evaluating the expression carries the *(n) codegen marker
+    val nfcLines = hit.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("nfcnormalize")).toSeq
+    nfcLines should not be empty
+    all(nfcLines) should include("*(")
+  }
+
+  test("topTermsPerGroup ranks by count desc with token tie-break; the " +
+      "rank window sits above the count aggregate (histogram input)") {
+    val df = Seq(
+      ("en", "aa bb aa cc aa bb"), ("en", "bb cc dd"),
+      ("fr", "xx yy xx"))
+      .toDF("lang", "t")
+    val out = TextAnalysis.topTermsPerGroup(df, "lang", "t", k = 2)
+    val rows = out.as[(String, String, Long, Int)].collect().sortBy(r => (r._1, r._4))
+    rows shouldBe Array(
+      ("en", "aa", 3L, 1), ("en", "bb", 3L, 2), // tie at 3 → token order
+      ("fr", "xx", 2L, 1), ("fr", "yy", 1L, 2))
+    // the window's input is the aggregated (group, token) histogram —
+    // the plan shows Window above HashAggregate, never over raw rows
+    val plan = out.queryExecution.executedPlan.toString
+    plan.indexOf("Window") should be >= 0
+    plan.indexOf("HashAggregate") should be >= 0
+    plan.indexOf("Window") should be < plan.indexOf("Generate")
+  }
+}
+
+class ContainmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("containment catches the quote-inclusion regime Jaccard misses") {
+    val long =
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 " +
+      "w19 w20 w21 w22 w23 w24 w25 w26 w27 w28 w29 w30"
+    val docs = Seq(
+      (1L, long),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"), // a quote: first 8 tokens of doc 1
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8"))
+      .toDF("id", "t")
+    val cont = Dedup.ngramContainmentPairs(docs, "id", "t",
+      shingleSize = 3, threshold = 0.9)
+    cont.select($"id_a", $"id_b", $"containment")
+      .as[(Long, Long, Double)].collect() shouldBe Array((1L, 2L, 1.0))
+    // the same pair at the same bar is invisible to Jaccard: 6 shared
+    // shingles / (28 + 6 - 6) union
+    Dedup.ngramJaccardPairs(docs, "id", "t", shingleSize = 3,
+      threshold = 0.9).count() shouldBe 0L
+  }
+
+  test("containment matches the exact intersection arithmetic on " +
+      "overlapping prefixes") {
+    val docs = Seq(
+      (1L, "a b c d e f"),  // shingles: abc bcd cde def (4)
+      (2L, "a b c d"),      // shingles: abc bcd (2) — both in doc 1
+      (3L, "c d e x y"))    // cde dex exy — 1 of 3 in doc 1
+      .toDF("id", "t")
+    val out = Dedup.ngramContainmentPairs(docs, "id", "t", 3, 0.3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    out((1L, 2L)) shouldBe ((2L, 1.0))      // 2 / min(4, 2)
+    out((1L, 3L)) shouldBe ((1L, 0.333333)) // 1 / min(4, 3)
+  }
+}
+
 class PreparedBenchmarkSpec extends SparkSpec {
   import spark.implicits._
 
