@@ -1196,6 +1196,42 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.6)
     }),
 
+    // layout: co-bucketed join — both sides hash-clustered by doc_id at
+    // write time, so the join (and every future join on the key) plans
+    // with no exchange; the landing shuffle is paid once, amortized over
+    // all downstream jobs
+    "q87_bucketed_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // external tables at a fresh tmp location: a managed table's
+      // warehouse dir outlives the session's catalog and blocks the next
+      // session's saveAsTable (LOCATION_ALREADY_EXISTS)
+      val base = tmpDir("graft_q87")
+      Layout.writeBucketed(docs.select(col("doc_id"), col("lang")),
+        "graft_q87_docs", Seq("doc_id"), 8, Seq("doc_id"),
+        path = Some(s"$base/docs"))
+      Layout.writeBucketed(
+        docs.select(col("doc_id"), (col("n_chars") % 7).as("score")),
+        "graft_q87_scores", Seq("doc_id"), 8, Seq("doc_id"),
+        path = Some(s"$base/scores"))
+      s.table("graft_q87_docs")
+        .join(s.table("graft_q87_scores"), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("score")).as("sum_score"))
+    }),
+
+    // layout: range-sorted export — files carry disjoint n_chars ranges
+    // (repartitionByRange + sortWithinPartitions), so the read-back range
+    // filter skips whole files on parquet footer stats
+    "q88_sorted_export" -> ((s, dir) => {
+      val loc = tmpDir("graft_q88") + "/t"
+      Layout.writeSorted(t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        loc, "n_chars", 8)
+      s.read.parquet(loc)
+        .filter(col("n_chars").between(100, 300))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    }),
+
     // streaming: benchmark decontamination on the ingest stream — the
     // corpus staged as 4 files streamed at maxFilesPerTrigger=1 → 4 real
     // micro-batches, each a stateless prepared-benchmark filter (bloom
@@ -2591,6 +2627,19 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
         |  round(CAST(inter AS DOUBLE) / least(n_a, n_b), 6) AS containment
         |FROM pairs
-        |WHERE CAST(inter AS DOUBLE) / least(n_a, n_b) >= 0.6""".stripMargin
+        |WHERE CAST(inter AS DOUBLE) / least(n_a, n_b) >= 0.6""".stripMargin,
+
+    // mirrors the q87 bucketed join: the join is 1:1 on doc_id, so the
+    // aggregate reads straight off documents
+    "q87_bucketed_join" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars % 7) AS BIGINT) AS sum_score
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // mirrors the q88 sorted export read-back: layout changes the files,
+    // never the rows
+    "q88_sorted_export" ->
+      """SELECT lang, count(*) AS n FROM documents
+        |WHERE n_chars BETWEEN 100 AND 300 GROUP BY lang""".stripMargin
   )
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators — the data-organization half of the 100 TB
+  * story: how a corpus is WRITTEN decides what every later job pays.
+  * Two regimes:
+  *
+  *  - [[writeBucketed]]: hash-cluster by join key at write time so the
+  *    recurring joins/aggregations on that key (dedup artifacts by
+  *    digest, scores by doc_id, events by user) run with NO exchange at
+  *    all — the shuffle is paid once at landing, then amortized over
+  *    every downstream job (spec: a join of two co-bucketed tables plans
+  *    zero Exchange operators).
+  *  - [[writeSorted]]: range-cluster by a filter key so files carry
+  *    DISJOINT min/max ranges — parquet footer stats then let a range
+  *    predicate skip whole files/row-groups (spec: per-file ranges are
+  *    pairwise disjoint, and the range filter is pushed to the scan).
+  */
+object Layout {
+
+  /** Write `df` as a bucketed (and optionally per-bucket sorted) catalog
+    * table. Spark bucketing lives in table metadata, so this goes through
+    * `saveAsTable` — the path-only `parquet(path)` writer cannot carry
+    * bucket specs. `SaveMode.Overwrite` keeps same-session reruns
+    * idempotent; pass `path` to land an EXTERNAL table at an explicit
+    * location (a managed table's warehouse directory survives the session
+    * whose catalog knew about it, and a later session then cannot
+    * saveAsTable over the orphaned location — LOCATION_ALREADY_EXISTS).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int, sortCols: Seq[String] = Seq.empty,
+      path: Option[String] = None): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    val w0 = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val w = path.fold(w0)(p => w0.option("path", p))
+    val sorted =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+      else w
+    sorted.format("parquet").saveAsTable(table)
+  }
+
+  /** Range-sorted parquet export: `repartitionByRange` gives each output
+    * file an id-contiguous slice (sampled range boundaries — no global
+    * single-task sort), `sortWithinPartitions` orders rows inside it, so
+    * file-level parquet min/max stats are pairwise disjoint and range
+    * predicates skip whole files.
+    */
+  def writeSorted(df: DataFrame, path: String, sortCol: String,
+      numFiles: Int): Unit = {
+    require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+}

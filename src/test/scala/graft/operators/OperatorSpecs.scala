@@ -850,6 +850,58 @@ class ContainmentSpec extends SparkSpec {
   }
 }
 
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("co-bucketed tables join with ZERO exchanges — the landing " +
+      "shuffle is paid once, every later join on the key is free") {
+    val left = spark.range(2000).selectExpr("id", "concat('L', id) AS l")
+    val right = spark.range(2000).selectExpr("id", "id % 13 AS v")
+    Layout.writeBucketed(left, "layout_spec_l", Seq("id"), 4, Seq("id"))
+    Layout.writeBucketed(right, "layout_spec_r", Seq("id"), 4, Seq("id"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("layout_spec_l")
+        .join(spark.table("layout_spec_r"), "id")
+      joined.count() shouldBe 2000L
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      (plan should not).include("Exchange")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS layout_spec_l")
+      spark.sql("DROP TABLE IF EXISTS layout_spec_r")
+    }
+  }
+
+  test("sorted export: per-file key ranges are pairwise disjoint and a " +
+      "range predicate reaches the scan as a pushed filter") {
+    val dir = tmp("layout_sorted") + "/t"
+    val df = spark.range(10000).selectExpr("id",
+      "CAST(hash(id) % 1000 AS BIGINT) AS key")
+    Layout.writeSorted(df, dir, "key", 6)
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe 10000L
+    // disjointness: collect (file, min, max) and check sorted ranges
+    // never overlap — the property parquet footer pruning relies on
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"key").as("lo"), max($"key").as("hi"))
+      .as[(String, Long, Long)].collect().map(r => (r._2, r._3))
+      .sortBy(_._1)
+    ranges.length should be > 1
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => hi1 should be <= lo2
+      case _ =>
+    }
+    // the range predicate is pushed into the parquet scan
+    val q = back.filter($"key".between(-100, 100))
+    q.queryExecution.executedPlan.toString should include("PushedFilters")
+    q.count() shouldBe df.filter($"key".between(-100, 100)).count()
+  }
+}
+
 class PreparedBenchmarkSpec extends SparkSpec {
   import spark.implicits._
 
