@@ -1196,6 +1196,20 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.6)
     }),
 
+    // functions: the SQL surface — native graft expressions registered
+    // as session SQL functions (GraftFunctions.register), driven purely
+    // through spark.sql; nfc_normalize digests and shingle counts match
+    // DuckDB's own functions
+    "q89_sql_functions" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs_q89")
+      s.sql(
+        """SELECT doc_id, md5(nfc_normalize(text)) AS norm_digest,
+          |  size(shingle_hashes(split(trim(lower(text)), '\\s+'), 3))
+          |    AS n_shingles
+          |FROM graft_docs_q89""".stripMargin)
+    }),
+
     // layout: co-bucketed join — both sides hash-clustered by doc_id at
     // write time, so the join (and every future join on the key) plans
     // with no exchange; the landing shuffle is paid once, amortized over
@@ -2640,6 +2654,21 @@ object SparkEntry {
     // never the rows
     "q88_sorted_export" ->
       """SELECT lang, count(*) AS n FROM documents
-        |WHERE n_chars BETWEEN 100 AND 300 GROUP BY lang""".stripMargin
+        |WHERE n_chars BETWEEN 100 AND 300 GROUP BY lang""".stripMargin,
+
+    // mirrors the q89 SQL-function surface: DuckDB's nfc_normalize is the
+    // same Unicode NFC; the shingle-hash count equals the distinct
+    // shingle-string count (the repo-wide 2^-64 collision convention)
+    "q89_sql_functions" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents)
+        |SELECT doc_id, md5(nfc_normalize(text)) AS norm_digest,
+        |  CAST(len(list_distinct(list_transform(
+        |    range(0, greatest(len(tk)-3, 0)+1),
+        |    i -> array_to_string(tk[i+1:i+3], ' ')))) AS INTEGER)
+        |    AS n_shingles
+        |FROM tk""".stripMargin
   )
 }

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for the native graft expressions: `register(spark)` makes
+  * every custom Catalyst expression callable from `spark.sql` — so the
+  * SQL-driven product path ([[graft.algos.SQLRunner]]'s acon-style
+  * queries, ad-hoc notebook SQL) gets the same one-loop-per-row
+  * primitives as the Scala API, codegen included, instead of falling
+  * back to lambda-soup built-ins or UDFs.
+  *
+  * Size/seed parameters must be LITERAL integers in the SQL text — they
+  * parameterize the expression instance itself (loop bounds baked into
+  * the generated code), so a column-valued argument is rejected at
+  * analysis time with the function name in the message.
+  */
+object GraftFunctions {
+
+  private def intLit(fn: String, name: String, e: Expression): Int =
+    e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be a literal integer, got ${other.sql}")
+    }
+
+  private def arity(fn: String, n: Int,
+      args: Seq[Expression]): Unit =
+    require(args.length == n,
+      s"$fn expects $n argument(s), got ${args.length}")
+
+  /** Idempotent per-session registration of all graft SQL functions. */
+  def register(spark: SparkSession): Unit = {
+    GraftBridge.registerFunction(spark, "nfc_normalize", { args =>
+      arity("nfc_normalize", 1, args)
+      NfcNormalizeExpr(args.head)
+    })
+    GraftBridge.registerFunction(spark, "shingle_hashes", { args =>
+      arity("shingle_hashes", 2, args)
+      ShingleHashExpr(args.head, intLit("shingle_hashes", "n", args(1)))
+    })
+    GraftBridge.registerFunction(spark, "shingle_minhash", { args =>
+      arity("shingle_minhash", 3, args)
+      ShingleMinHashExpr(args.head,
+        intLit("shingle_minhash", "n", args(1)),
+        intLit("shingle_minhash", "k", args(2)))
+    })
+    GraftBridge.registerFunction(spark, "minhash_signature", { args =>
+      arity("minhash_signature", 2, args)
+      MinHashSignatureExpr(args.head,
+        intLit("minhash_signature", "k", args(1)))
+    })
+    GraftBridge.registerFunction(spark, "simhash64", { args =>
+      arity("simhash64", 1, args)
+      SimHashExpr(args.head)
+    })
+    GraftBridge.registerFunction(spark, "lsh_signature", { args =>
+      arity("lsh_signature", 3, args)
+      LshSignatureExpr(args.head,
+        intLit("lsh_signature", "bits", args(1)),
+        intLit("lsh_signature", "table", args(2)))
+    })
+    GraftBridge.registerFunction(spark, "quantize_vector", { args =>
+      arity("quantize_vector", 1, args)
+      QuantizeVectorExpr(args.head)
+    })
+    GraftBridge.registerFunction(spark, "cosine_similarity", { args =>
+      arity("cosine_similarity", 2, args)
+      CosineSimilarityExpr(args.head, args(1))
+    })
+  }
+}

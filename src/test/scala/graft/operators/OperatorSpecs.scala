@@ -850,6 +850,40 @@ class ContainmentSpec extends SparkSpec {
   }
 }
 
+class SqlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions equal the Column API and reject " +
+      "non-literal size parameters by name") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq((1L, "a b c d e f"), (2L, "x y z w")).toDF("id", "t")
+    docs.createOrReplaceTempView("sqlfun_docs")
+    val viaSql = spark.sql(
+      """SELECT id, simhash64(split(trim(lower(t)), '\\s+')) AS sh,
+        |  shingle_minhash(split(trim(lower(t)), '\\s+'), 3, 8) AS mh,
+        |  nfc_normalize(t) AS nt
+        |FROM sqlfun_docs""".stripMargin)
+    val viaCols = docs.select($"id",
+      graft.functions.SimHashExpr.simhash(Dedup.tokens($"t")).as("sh"),
+      graft.functions.ShingleMinHashExpr.signature(Dedup.tokens($"t"), 3, 8)
+        .as("mh"),
+      graft.functions.NfcNormalizeExpr.nfc($"t").as("nt"))
+    assertSameRows(viaSql, viaCols)
+    // a column-valued size parameter fails at registration-builder time
+    // with the function name in the message
+    val err = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(split(t, ' '), CAST(id AS INT)) " +
+        "FROM sqlfun_docs").collect()
+    }
+    err.getMessage should include("shingle_hashes")
+    // vector functions ride along: cosine of a vector with itself is 1
+    spark.sql(
+      """SELECT cosine_similarity(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |  CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)) AS c""".stripMargin)
+      .as[Double].collect().head shouldBe 1.0 +- 1e-6
+  }
+}
+
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
