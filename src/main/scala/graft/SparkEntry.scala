@@ -1196,6 +1196,19 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.6)
     }),
 
+    // curation: mixture reweighting to a GLOBAL token budget — 4000
+    // tokens split en:fr:es = 2:1:1 (per-group budgets through the same
+    // two-phase weighted cap); zh and de are not named, so they are kept
+    // whole and never enter the exact window
+    "q90_mixture_reweight" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      Sampling.mixToBudget(docs, "doc_id", "lang", "n_tokens",
+          Map("en" -> 0.5, "fr" -> 0.25, "es" -> 0.25),
+          totalBudget = 4000.0)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+    }),
+
     // functions: the SQL surface — native graft expressions registered
     // as session SQL functions (GraftFunctions.register), driven purely
     // through spark.sql; nfc_normalize digests and shingle counts match
@@ -2655,6 +2668,26 @@ object SparkEntry {
     "q88_sorted_export" ->
       """SELECT lang, count(*) AS n FROM documents
         |WHERE n_chars BETWEEN 100 AND 300 GROUP BY lang""".stripMargin,
+
+    // mirrors Sampling.mixToBudget(en 0.5, fr 0.25, es 0.25; total 4000):
+    // per-lang budgets en 2000 / fr 1000 / es 1000; unnamed langs kept
+    // whole (budget NULL); q74's running-sum convention otherwise
+    "q90_mixture_reweight" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+         |      AS INTEGER) AS n_tokens,
+         |    ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000000
+         |      AS bkt
+         |  FROM documents),
+         |b AS (SELECT * FROM (VALUES ('en', 2000.0), ('fr', 1000.0),
+         |  ('es', 1000.0)) AS v(lang, budget))
+         |SELECT doc_id, lang, n_tokens FROM t LEFT JOIN b USING (lang)
+         |QUALIFY budget IS NULL OR
+         |  SUM(CAST(n_tokens AS DOUBLE)) OVER (
+         |    PARTITION BY lang ORDER BY bkt, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |  - n_tokens < budget""".stripMargin,
 
     // mirrors the q89 SQL-function surface: DuckDB's nfc_normalize is the
     // same Unicode NFC; the shingle-hash count equals the distinct

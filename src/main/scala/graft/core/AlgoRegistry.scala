@@ -352,6 +352,17 @@ object AlgoRegistry {
       df => graft.operators.Sampling.filterByQuantileBand(df,
         config.getString("group_column"), config.getString("score_column"),
         config.getDouble("lo"), config.getDouble("hi")))
+    // mixture reweighting: global budget split across groups by
+    // proportions; unnamed groups kept whole
+    case "MixtureReweight" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.mixToBudget(df,
+        config.getString("id_column"), config.getString("group_column"),
+        config.getString("weight_column"),
+        config.get[Map[String, Any]]("proportions").map { case (k, v) =>
+          k -> (v match { case n: Number => n.doubleValue() }) },
+        totalBudget = config.getDouble("total_budget")))
     // canonical text normalization: NFC + lowercase + whitespace collapse
     case "NormalizeText" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

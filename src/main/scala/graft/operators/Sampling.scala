@@ -196,6 +196,86 @@ object Sampling {
       .select(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
   }
 
+  /** [[capPerGroupWeighted]] with PER-GROUP budgets — the mixture-
+    * reweighting primitive: `budgets` holds one row per group
+    * (`groupCol`, `budgetCol`, positive doubles); each group keeps the
+    * head of its deterministic-sample ordering until ITS budget is
+    * crossed (crossing row kept). Groups ABSENT from `budgets` are kept
+    * whole (unlimited) — so a mixture spec only names the sources it
+    * wants to throttle. Same two-phase histogram/threshold/prefilter
+    * shape; the budgets frame is mixture-spec-sized (one row per named
+    * group) and rides broadcast joins on both the threshold and the
+    * final-filter side.
+    */
+  def capPerGroupWeightedBudgets(df: DataFrame, idCol: String,
+      groupCol: String, weightCol: String, budgets: DataFrame,
+      budgetCol: String = "budget",
+      broadcastThresholds: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def fresh(base: String): String = {
+      var n = base
+      while (df.columns.contains(n)) n += "_"
+      n
+    }
+    val (bktN, wN, cumN, bstarN, cbN, budN) = (fresh("__bkt"), fresh("__w"),
+      fresh("__cum"), fresh("__bstar"), fresh("__cumbefore"),
+      fresh("__budget"))
+    val bkt = col(bktN)
+    val w = coalesce(col(weightCol).cast("double"), lit(0.0))
+    val b = broadcast(budgets.select(col(groupCol),
+      col(budgetCol).cast("double").as(budN)))
+    val bucketed = df.withColumn(bktN,
+      coalesce(hashBucket(col(idCol)), lit(-1L)))
+    val cum = Window.partitionBy(col(groupCol)).orderBy(bkt)
+    // inner join: only budgeted groups can produce a threshold bucket
+    val thresholds = bucketed
+      .groupBy(col(groupCol), bkt).agg(sum(w).as(wN))
+      .join(b, Seq(groupCol))
+      .withColumn(cumN, sum(col(wN)).over(cum))
+      .filter(col(cumN) >= col(budN))
+      .groupBy(col(groupCol))
+      .agg(min(bkt).as(bstarN))
+    val thr = if (broadcastThresholds) broadcast(thresholds) else thresholds
+    val pre = bucketed
+      .join(thr, Seq(groupCol), "left")
+      .filter(col(bstarN).isNull || bkt <= col(bstarN))
+    val exact = Window.partitionBy(col(groupCol)).orderBy(bkt, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // unbudgeted groups NEVER enter the exact window: a "keep whole"
+    // group may be the corpus-dominant one, and running a full-group
+    // running sum over it just to discard the result would reintroduce
+    // the single-task skew the two-phase shape exists to avoid
+    val withBud = pre.join(b, Seq(groupCol), "left")
+    val orig = df.columns.map(c => col(s"`$c`")).toIndexedSeq
+    val capped = withBud.filter(col(budN).isNotNull)
+      .withColumn(cbN, sum(w).over(exact) - w)
+      .filter(coalesce(col(cbN), lit(0.0)) < col(budN))
+      .select(orig: _*)
+    val untouched = withBud.filter(col(budN).isNull).select(orig: _*)
+    capped.unionByName(untouched)
+  }
+
+  /** Mixture reweighting to a GLOBAL budget: split `totalBudget` across
+    * groups by the given proportions (normalized to sum 1) and apply
+    * [[capPerGroupWeightedBudgets]]. Groups not named in `proportions`
+    * are kept whole.
+    */
+  def mixToBudget(df: DataFrame, idCol: String, groupCol: String,
+      weightCol: String, proportions: Map[String, Double],
+      totalBudget: Double): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive: $totalBudget")
+    require(proportions.nonEmpty, "proportions must be non-empty")
+    require(proportions.values.forall(_ > 0),
+      s"proportions must be positive: $proportions")
+    val norm = proportions.values.sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgets = proportions.toSeq
+      .map { case (g, p) => (g, totalBudget * p / norm) }
+      .toDF(groupCol, "budget")
+    capPerGroupWeightedBudgets(df, idCol, groupCol, weightCol, budgets)
+  }
+
   def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
       maxPerGroup: Int, broadcastThresholds: Boolean = true): DataFrame = {
     require(maxPerGroup > 0, s"maxPerGroup must be positive: $maxPerGroup")

@@ -346,6 +346,24 @@ class JobRunnerSpec extends SparkSpec {
     // by token order)
     spark.read.parquet(tgtTt).filter(col("doc_id") === 1L)
       .select(col("token")).as[String].collect() shouldBe Array("again")
+
+    // mixture reweighting through the params surface: group 'g' budgeted
+    // to 95 of 100 total (proportions normalize), absent groups whole
+    val srcMx = tmp("jr_mx_src") + "/t"
+    ((1L to 50L).map(i => (i, "g", 10)) ++
+      (51L to 55L).map(i => (i, "other", 10)))
+      .toDF("doc_id", "grp", "w").write.parquet(srcMx)
+    val tgtMx = tmp("jr_mx_tgt") + "/t"
+    val paramsMx = tmp("jr_mx_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsMx),
+      s"""{"source_dir": "$srcMx", "target_dir": "$tgtMx",
+         | "id_column": "doc_id", "group_column": "grp",
+         | "weight_column": "w",
+         | "proportions": {"g": 1.0}, "total_budget": 95}""".stripMargin)
+    JobRunner.execute(spark, "MixtureReweight", paramsMx)
+    val mx = spark.read.parquet(tgtMx)
+    mx.filter(col("grp") === "g").count() shouldBe 10L  // 9 fill, 10th crosses
+    mx.filter(col("grp") === "other").count() shouldBe 5L // absent = whole
   }
 
   test("unknown algorithm names are rejected") {

@@ -447,6 +447,51 @@ class SamplingSpec extends SparkSpec {
       .include("SinglePartition")
   }
 
+  test("capPerGroupWeightedBudgets: per-group budgets bind independently, " +
+      "unnamed groups kept whole WITHOUT entering the exact window") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(200)
+      .selectExpr("id", "'big' AS grp", "CAST(10 AS DOUBLE) AS w")
+      .union(spark.range(200, 300)
+        .selectExpr("id", "'mid' AS grp", "CAST(10 AS DOUBLE) AS w"))
+      .union(spark.range(300, 10300)
+        .selectExpr("id", "'unlimited' AS grp", "CAST(1 AS DOUBLE) AS w"))
+    val budgets = Seq(("big", 500.0), ("mid", 200.0)).toDF("grp", "budget")
+    val capped = Sampling.capPerGroupWeightedBudgets(df, "id", "grp", "w",
+      budgets)
+    val byGroup = capped.groupBy($"grp")
+      .agg(org.apache.spark.sql.functions.sum($"w").as("tot"),
+        count($"id").as("n"))
+      .as[(String, Double, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    byGroup("big") shouldBe ((500.0, 50L))
+    byGroup("mid") shouldBe ((200.0, 20L))
+    byGroup("unlimited") shouldBe ((10000.0, 10000L)) // absent = whole
+    // equals the naive per-group-budget running sum
+    val naive = df.join(budgets, Seq("grp"), "left")
+      .withColumn("__cb",
+        org.apache.spark.sql.functions.sum($"w").over(
+          Window.partitionBy($"grp")
+            .orderBy(Sampling.hashBucket($"id"), $"id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - $"w")
+      .filter($"budget".isNull || $"__cb" < $"budget")
+      .select($"id", $"grp", $"w")
+    assertSameRows(capped, naive)
+    // the unlimited (corpus-dominant) group must NOT flow through the
+    // running-sum window: the Window's child filters to budgeted rows
+    val planStr = capped.queryExecution.executedPlan.toString
+    planStr should include("Window")
+    (planStr should not).include("SinglePartition")
+    // mixToBudget normalizes proportions into the same machinery
+    val mixed = Sampling.mixToBudget(df, "id", "grp", "w",
+      Map("big" -> 5.0, "mid" -> 2.0), totalBudget = 700.0)
+    mixed.filter($"grp" === "big").agg(
+      org.apache.spark.sql.functions.sum($"w")).as[Double]
+      .head() shouldBe 500.0
+    mixed.filter($"grp" === "unlimited").count() shouldBe 10000L
+  }
+
   test("filterByQuantileBand: histogram construction equals the naive " +
       "percent_rank window, ties and boundaries included") {
     import org.apache.spark.sql.expressions.Window
