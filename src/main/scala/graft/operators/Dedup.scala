@@ -301,6 +301,14 @@ object Dedup {
     * window shuffles by shingle — the partitioning the join needs
     * anyway), pair counts aggregated map-side on fixed-width keys.
     * Output: (id_a < id_b, inter, containment ≥ threshold).
+    *
+    * Scale note: candidate volume is Σ df² over surviving shingles (the
+    * jaccard operator's plain branch shares the bound, but its PREFIX
+    * path does not transfer here — that pruning argument relies on the
+    * union denominator). In a boilerplate-heavy corpus, strip
+    * corpus-frequent grams first
+    * ([[graft.operators.TextAnalysis.boilerplateSignals]] identifies
+    * them) or raise the shingle size before running this.
     */
   def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, threshold: Double): DataFrame = {
@@ -840,10 +848,15 @@ object Dedup {
     *
     * 100 TB shape: election runs on (md5 digest, id) — chunk TEXT never
     * enters a shuffle (the digest is fixed-width whatever the chunk
-    * size). First-seen per digest is a map-side-combinable min; the
-    * digest table joins back to the same exploded-chunk child (exchange
-    * reuse), per-key build group is one row, so hot boilerplate chunks
-    * are an AQE skew split, not a window over a group-sized partition.
+    * size). The corpus is deliberately chunked twice (once per consumer;
+    * the first-seen side's exchange carries map-side-combined
+    * (digest, min-id) rows, the probe side the per-chunk rows): the
+    * first-seen equi-join keeps a hot boilerplate chunk as a
+    * one-build-row AQE skew split, where the single-pass
+    * `min(id) over (partition by digest)` window alternative would pin
+    * every occurrence of that chunk in ONE task —
+    * [[graft.operators.TextAnalysis.boilerplateSignals]]'s argument at
+    * chunk granularity.
     */
   def chunkNovelty(docs: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int): DataFrame = {
