@@ -1196,6 +1196,32 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.6)
     }),
 
+    // functions: schema'd JSON extraction from a string column —
+    // from_json with an explicit schema (codegen'd Jackson parse), the
+    // metadata-sidecar step every ingest pipeline has; malformed rows
+    // yield nulls, counted by count(k) vs count(*)
+    "q91_json_extract" -> ((s, dir) => {
+      val parsed = t(s, dir, "events")
+        .withColumn("p", from_json(col("props"),
+          StructType(Seq(StructField("k", LongType)))))
+      parsed.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), count(col("p.k")).as("n_k"),
+          sum(col("p.k")).as("sum_k"), max(col("p.k")).as("max_k"))
+    }),
+
+    // streaming: trending terms per window — a REAL append-mode windowed
+    // aggregation (only watermark-closed windows emit; the open tail
+    // window is absent by streaming semantics, and the oracle excludes
+    // it identically), then top-3 per window over the settled histogram
+    "q92_trending_stream" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      val counts = EventStream.runWindowedOnce(s, raw,
+        s"$dir/events*.parquet", "5 minutes", "0 seconds", "q92_sink",
+        prepare = df => df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000"))))
+      EventStream.trendingPerWindow(counts, k = 3)
+    }),
+
     // curation: mixture reweighting to a GLOBAL token budget — 4000
     // tokens split en:fr:es = 2:1:1 (per-group budgets through the same
     // two-phase weighted cap); zh and de are not named, so they are kept
@@ -2668,6 +2694,38 @@ object SparkEntry {
     "q88_sorted_export" ->
       """SELECT lang, count(*) AS n FROM documents
         |WHERE n_chars BETWEEN 100 AND 300 GROUP BY lang""".stripMargin,
+
+    // mirrors q91 from_json: DuckDB's json_extract_string on the same
+    // path; absent/malformed keys are NULL in both engines
+    "q91_json_extract" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_rows, count(k) AS n_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
+        |FROM p GROUP BY event_type""".stripMargin,
+
+    // mirrors q92: only windows the watermark passed emit in append mode
+    // — windows with end <= max event time (integer-second window ends
+    // make the floor'd comparison exact); rank over the closed windows
+    "q92_trending_stream" ->
+      """WITH w AS (
+        |  SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes',
+        |      CAST(ts AS TIMESTAMP))) AS BIGINT) AS win_start,
+        |    event_type, count(*) AS n_events,
+        |    round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (
+        |  SELECT CAST(floor(epoch(CAST(max(ts) AS TIMESTAMP))) AS BIGINT)
+        |    AS wm
+        |  FROM events)
+        |SELECT win_start, event_type, n_events, sum_value,
+        |  CAST(row_number() OVER (PARTITION BY win_start
+        |    ORDER BY n_events DESC, event_type) AS INTEGER) AS rank
+        |FROM w
+        |WHERE win_start + 300 <= (SELECT wm FROM mx)
+        |QUALIFY rank <= 3""".stripMargin,
 
     // mirrors Sampling.mixToBudget(en 0.5, fr 0.25, es 0.25; total 4000):
     // per-lang budgets en 2000 / fr 1000 / es 1000; unnamed langs kept

@@ -21,6 +21,47 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Run [[windowedCounts]] as a REAL watermarked streaming aggregation
+    * (AvailableNow over parquet, memory sink, APPEND mode): a window only
+    * emits once the watermark passes its end, so the settled output holds
+    * every closed window and deliberately OMITS the still-open tail
+    * window — that is append-mode streaming semantics, and the oracle
+    * excludes the tail the same way (windows with end ≤ max event time).
+    */
+  def runWindowedOnce(spark: SparkSession, schema: StructType,
+      inputGlob: String, windowDur: String, horizon: String,
+      queryName: String,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
+    val sink = s"${queryName}_${sinkSeq.incrementAndGet()}"
+    val stream = prepare(spark.readStream.schema(schema).parquet(inputGlob))
+      .withWatermark("ts", horizon)
+    val q: StreamingQuery = windowedCounts(stream, windowDur)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sink)
+  }
+
+  /** Trending per window: top-k terms of each time window by count
+    * (term tie-break) over a settled [[windowedCounts]] frame — the
+    * "what spiked this hour" report. The rank window's input is the
+    * per-window aggregate histogram (one row per (window, term)), never
+    * event rows — [[graft.operators.TextAnalysis.topTermsPerGroup]]'s
+    * argument with the window as the group.
+    */
+  def trendingPerWindow(counts: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win_start"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Streaming exact dedup by key within the watermark horizon — the
     * streaming face of the dedup family (batch: `operators.Dedup`): state
     * holds one entry per key and is dropped once the watermark passes, so

@@ -186,6 +186,31 @@ class EventStreamSpec extends SparkSpec {
       Array(13L, 14L)
   }
 
+  test("append-mode windowed counts emit exactly the watermark-closed " +
+      "windows; trendingPerWindow ranks the settled histogram") {
+    val dir = tmp("stream_windowed")
+    // three 10-second windows; the last event (t=25s) leaves window
+    // [20,30) open — it must NOT appear in the settled append output
+    val events = Seq(
+      (1L, 1000L, "a", 1.0), (2L, 2000L, "a", 1.0), (3L, 3000L, "b", 1.0),
+      (4L, 12000L, "b", 1.0), (5L, 13000L, "b", 1.0), (6L, 14000L, "a", 1.0),
+      (7L, 25000L, "a", 1.0))
+      .toDF("event_id", "ts_ms", "event_type", "value")
+    events.write.parquet(dir + "/in")
+    val settled = EventStream.runWindowedOnce(spark,
+      spark.read.parquet(dir + "/in").schema, dir + "/in/*.parquet",
+      "10 seconds", "0 seconds", "windowed_test",
+      prepare = df => df.withColumn("ts", timestamp_millis($"ts_ms")))
+    val rows = settled.select($"win_start", $"event_type", $"n_events")
+      .as[(Long, String, Long)].collect().toSet
+    rows shouldBe Set((0L, "a", 2L), (0L, "b", 1L),
+      (10L, "b", 2L), (10L, "a", 1L)) // window [20,30) open: absent
+    val top = EventStream.trendingPerWindow(settled, k = 1)
+      .select($"win_start", $"event_type", $"rank")
+      .as[(Long, String, Int)].collect().toSet
+    top shouldBe Set((0L, "a", 1), (10L, "b", 1))
+  }
+
   test("streaming decontamination: per-micro-batch prepared-benchmark " +
       "filter equals the single-shot batch face for any batch boundaries") {
     import graft.operators.Decontaminate
