@@ -1196,6 +1196,32 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.6)
     }),
 
+    // aggregation: ROLLUP corpus report — per-(lang, source) counts with
+    // per-lang and grand-total subtotal rows, the standard curation
+    // dashboard aggregate (grouping-set nulls coalesced to 'ALL' so the
+    // sentinel survives the hash compare in both engines)
+    "q93_rollup_report" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("n_chars"))
+    }),
+
+    // multimodal: frame-level dedup — duplicated payloads (doc_id % 97
+    // keys the blob, q77's convention) sample identical frames; each
+    // distinct (payload digest, frame_no) survives once under its
+    // min-id owner
+    "q94_frame_dedup" -> ((s, dir) => {
+      val media = Multimodal.asMedia(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("FRAMES:"), (col("doc_id") % 97).cast("string"),
+            lit(":PAYLOAD")).as("blob")),
+        "doc_id", "blob", "video/fake")
+      Multimodal.dedupSampledFrames(media, "doc_id", nFrames = 4)
+    }),
+
     // functions: schema'd JSON extraction from a string column —
     // from_json with an explicit schema (codegen'd Jackson parse), the
     // metadata-sidecar step every ingest pipeline has; malformed rows
@@ -2694,6 +2720,36 @@ object SparkEntry {
     "q88_sorted_export" ->
       """SELECT lang, count(*) AS n FROM documents
         |WHERE n_chars BETWEEN 100 AND 300 GROUP BY lang""".stripMargin,
+
+    // mirrors q93 rollup: GROUP BY ROLLUP with the same ALL-sentinel
+    // coalesce
+    "q93_rollup_report" ->
+      """SELECT coalesce(lang, 'ALL') AS lang,
+        |  coalesce(source, 'ALL') AS source,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+
+    // mirrors q94: q29's md5-derived offset arithmetic per frame, then
+    // min-id election on the (payload digest, frame index) identity
+    "q94_frame_dedup" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    'FRAMES:' || CAST(doc_id % 97 AS VARCHAR) || ':PAYLOAD'
+         |      AS blob
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, sha256(blob) AS sha,
+         |    CAST(r.range AS INTEGER) AS frame_no,
+         |    ${PortableHash.sqlHash60("concat_ws('_', sha256(blob), r.range)")}
+         |      % CAST(octet_length(encode(blob)) AS INTEGER)
+         |      AS frame_offset,
+         |    CAST(octet_length(encode(blob)) AS INTEGER) AS n_bytes
+         |  FROM m, range(4) r),
+         |k AS (
+         |  SELECT sha, frame_no, min(doc_id) AS doc_id
+         |  FROM f GROUP BY 1, 2)
+         |SELECT f.doc_id, f.frame_no, f.frame_offset, f.n_bytes
+         |FROM f JOIN k USING (doc_id, sha, frame_no)""".stripMargin,
 
     // mirrors q91 from_json: DuckDB's json_extract_string on the same
     // path; absent/malformed keys are NULL in both engines

@@ -118,4 +118,26 @@ object Multimodal {
             col("n_bytes")))))
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame_offset")
+
+  /** Frame-level dedup across the corpus: sample `nFrames` per media row
+    * ([[sampleFrames]]) and keep each distinct frame ONCE — the min-id
+    * holder of the (payload digest, frame_no) identity — the
+    * thumbnail/keyframe dedup step of a video curation pipeline.
+    * Identity rides the 32-byte content_sha256 + frame index; payload
+    * bytes never join, never shuffle (same discipline as
+    * [[dedupExactMedia]]). Duplicate payloads contribute their frames
+    * exactly once, under the smallest owning id.
+    */
+  def dedupSampledFrames(media: DataFrame, idCol: String,
+      nFrames: Int): DataFrame = {
+    val frames = sampleFrames(media, idCol, nFrames)
+      .join(media.select(col(idCol), col("content_sha256")), Seq(idCol))
+    val keep = frames
+      .groupBy(col("content_sha256"), col("frame_no"))
+      .agg(min(col(idCol)).as(idCol))
+    frames
+      .join(keep, Seq(idCol, "content_sha256", "frame_no"), "left_semi")
+      .select(col(idCol), col("frame_no"), col("frame_offset"),
+        col("n_bytes"))
+  }
 }

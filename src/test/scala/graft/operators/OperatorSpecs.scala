@@ -589,6 +589,30 @@ class MultimodalSpec extends SparkSpec {
     frames.select(max($"frame_offset")).as[Long].collect().head should be < 13L
   }
 
+  test("dedupSampledFrames keeps each (payload, frame) once under its " +
+      "min-id owner; payload bytes stay out of every exchange") {
+    val df = Seq(
+      (1L, "blob-A"), (2L, "blob-B"), (3L, "blob-A"), (4L, "blob-A"))
+      .toDF("id", "data")
+    val media = Multimodal.asMedia(df, "id", "data", "video/fake")
+    val out = Multimodal.dedupSampledFrames(media, "id", nFrames = 3)
+    // blob-A's 3 frames survive once (owner 1), blob-B's once (owner 2)
+    out.count() shouldBe 6L
+    out.select($"id").distinct().as[Long].collect().sorted shouldBe
+      Array(1L, 2L)
+    // frames of one payload are identical across its duplicate holders,
+    // so the survivor set equals sampling only the representatives
+    val reps = Multimodal.sampleFrames(
+      Multimodal.asMedia(df.filter($"id".isin(1L, 2L)), "id", "data",
+        "video/fake"), "id", 3)
+      .select($"id", $"frame_no", $"frame_offset", $"n_bytes")
+    assertSameRows(out, reps)
+    val exchanges = out.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Exchange")).toSeq
+    exchanges should not be empty
+    all(exchanges) should not include "payload"
+  }
+
   test("dedupExactMedia keeps the min-id survivor per distinct payload " +
       "and never shuffles the blobs") {
     val df = Seq(
