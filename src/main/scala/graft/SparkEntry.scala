@@ -1196,6 +1196,44 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.6)
     }),
 
+    // aggregation: DYNAMIC pivot — values discovered from the data (the
+    // driver-bounded distinct is Spark's own pivot machinery), vs q12's
+    // explicit-value Transpose; one row per source, one count column per
+    // discovered language
+    "q95_dynamic_pivot" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang")
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    // window analytics: share-of-total WITHOUT ordering — each source's
+    // token share within its language via an unordered partition window
+    // (no sort, no running state; the window is a per-partition total)
+    "q96_share_report" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+      t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("n_chars")).as("chars"))
+        .withColumn("share",
+          round(col("chars").cast("double") / sum(col("chars")).over(w), 6))
+    }),
+
+    // curation: fuzzy key canonicalization — unordered source-name pairs
+    // within levenshtein distance 1 (typo/variant detection over the
+    // DISTINCT key domain, never the corpus rows; both engines ship the
+    // same edit-distance metric)
+    "q97_fuzzy_keys" -> ((s, dir) => {
+      val names = t(s, dir, "documents").select(col("source")).distinct()
+      names.as("a").join(names.as("b"),
+          col("a.source") < col("b.source") &&
+          levenshtein(col("a.source"), col("b.source")) <= 1)
+        .select(col("a.source").as("source_a"),
+          col("b.source").as("source_b"),
+          levenshtein(col("a.source"), col("b.source")).as("dist"))
+    }),
+
     // aggregation: ROLLUP corpus report — per-(lang, source) counts with
     // per-lang and grand-total subtotal rows, the standard curation
     // dashboard aggregate (grouping-set nulls coalesced to 'ALL' so the
@@ -2720,6 +2758,37 @@ object SparkEntry {
     "q88_sorted_export" ->
       """SELECT lang, count(*) AS n FROM documents
         |WHERE n_chars BETWEEN 100 AND 300 GROUP BY lang""".stripMargin,
+
+    // mirrors q95 dynamic pivot: the discovered value set is exactly the
+    // five languages, one explicit sum per column
+    "q95_dynamic_pivot" ->
+      """SELECT source,
+        |  CAST(sum(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        |  CAST(sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        |  CAST(sum(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        |  CAST(sum(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        |  CAST(sum(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // mirrors q96: unordered partition window = per-language total
+    "q96_share_report" ->
+      """WITH c AS (
+        |  SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, source, chars,
+        |  round(CAST(chars AS DOUBLE) /
+        |    sum(chars) OVER (PARTITION BY lang), 6) AS share
+        |FROM c""".stripMargin,
+
+    // mirrors q97: both engines ship the same Levenshtein metric over
+    // the distinct key domain
+    "q97_fuzzy_keys" ->
+      """WITH n AS (SELECT DISTINCT source FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(levenshtein(a.source, b.source) AS INTEGER) AS dist
+        |FROM n a JOIN n b
+        |  ON a.source < b.source
+        |  AND levenshtein(a.source, b.source) <= 1""".stripMargin,
 
     // mirrors q93 rollup: GROUP BY ROLLUP with the same ALL-sentinel
     // coalesce
