@@ -1196,6 +1196,41 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.6)
     }),
 
+    // packing: the assembled training sequences — q49's exact chunk-id
+    // prefix sum, then per-chunk text concatenation in id order
+    // (array_sort on (id, text) structs: deterministic, window-free);
+    // chunk sizes are budget-bounded so no group outgrows its task
+    "q98_packed_sequences" -> ((s, dir) => {
+      val packed = Packing.packDocuments(t(s, dir, "documents"), "doc_id",
+        "text", budgetTokens = 4096)
+      packed.frame.groupBy(col("chunk_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("seq_tokens"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text"))).as("seq_text"))
+    }),
+
+    // analytics: per-group standardization (z-score) from EXACT integer
+    // moments — count/sum/sum-of-squares are BIGINT-exact, so the double
+    // arithmetic is the same expression tree in both engines and the
+    // z-scores hash-match at round 6; stats broadcast, corpus unshuffled
+    "q99_zscore" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stats = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s1"),
+          sum(col("n_chars") * col("n_chars")).as("s2"))
+      docs.join(broadcast(stats), Seq("lang"))
+        .withColumn("mean", col("s1").cast("double") / col("n"))
+        .withColumn("variance",
+          (col("s2").cast("double") -
+            col("s1").cast("double") * col("s1") / col("n")) /
+            (col("n") - 1))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round((col("n_chars") - col("mean")) / sqrt(col("variance")), 6)
+            .as("z"))
+    }),
+
     // aggregation: DYNAMIC pivot — values discovered from the data (the
     // driver-bounded distinct is Spark's own pivot machinery), vs q12's
     // explicit-value Transpose; one row per source, one count column per
@@ -2758,6 +2793,43 @@ object SparkEntry {
     "q88_sorted_export" ->
       """SELECT lang, count(*) AS n FROM documents
         |WHERE n_chars BETWEEN 100 AND 300 GROUP BY lang""".stripMargin,
+
+    // mirrors q98: q49's chunk-id prefix sum, then ordered string_agg
+    // per chunk
+    "q98_packed_sequences" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM tk),
+        |a AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    CAST(before // 4096 AS BIGINT) AS chunk_id
+        |  FROM c)
+        |SELECT chunk_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+        |  string_agg(text, ' ' ORDER BY doc_id) AS seq_text
+        |FROM a GROUP BY chunk_id""".stripMargin,
+
+    // mirrors q99: identical double expression tree over BIGINT-exact
+    // moments — same parenthesization, same rounding
+    "q99_zscore" ->
+      """WITH s AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS s1,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id, d.lang, n_chars,
+        |  round((n_chars - CAST(s1 AS DOUBLE) / n) /
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) /
+        |      (n - 1)), 6) AS z
+        |FROM documents d JOIN s ON d.lang = s.lang""".stripMargin,
 
     // mirrors q95 dynamic pivot: the discovered value set is exactly the
     // five languages, one explicit sum per column
