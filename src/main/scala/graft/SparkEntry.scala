@@ -1196,6 +1196,40 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.6)
     }),
 
+    // the end-to-end TRAINING-PREP params pipeline (q76's analog for the
+    // round-9 algorithms): NormalizeText → ChunkText → HashSplit chained
+    // purely through JobRunner params files; splitting on doc_id keeps
+    // every chunk of a document in ONE split (no eval leakage across the
+    // doc boundary); the oracle replays the whole chain in SQL
+    "q100_prep_pipeline" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val base = tmpDir("graft_q100")
+      def p(sub: String) = s"$base/$sub"
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .write.parquet(p("src"))
+      def run(algo: String, json: String): Unit = {
+        val f = Paths.get(base, s"$algo.json")
+        JFiles.writeString(f, json)
+        graft.core.JobRunner.execute(s, algo, f.toString)
+      }
+      run("NormalizeText",
+        s"""{"source_dir": "${p("src")}", "target_dir": "${p("norm")}",
+           | "text_column": "text"}""".stripMargin)
+      run("ChunkText",
+        s"""{"source_dir": "${p("norm")}", "target_dir": "${p("chunks")}",
+           | "id_column": "doc_id", "text_column": "norm_text",
+           | "chunk_tokens": 32}""".stripMargin)
+      run("HashSplit",
+        s"""{"source_dir": "${p("chunks")}", "target_dir": "${p("final")}",
+           | "id_column": "doc_id",
+           | "splits": [{"name": "train", "weight": 0.8},
+           |            {"name": "val", "weight": 0.1},
+           |            {"name": "test", "weight": 0.1}]}""".stripMargin)
+      s.read.parquet(p("final"))
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          col("split"))
+    }),
+
     // packing: the assembled training sequences — q49's exact chunk-id
     // prefix sum, then per-chunk text concatenation in id order
     // (array_sort on (id, text) structs: deterministic, window-free);
@@ -2793,6 +2827,37 @@ object SparkEntry {
     "q88_sorted_export" ->
       """SELECT lang, count(*) AS n FROM documents
         |WHERE n_chars BETWEEN 100 AND 300 GROUP BY lang""".stripMargin,
+
+    // mirrors the q100 params chain: normalize (nfc + lower + collapse),
+    // chunk the normalized text at 32/32, split by doc_id hash (q66's
+    // formula) — whole-doc split assignment, chunk rows inherit
+    "q100_prep_pipeline" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id,
+         |    regexp_replace(trim(lower(nfc_normalize(text))), '\\s+', ' ',
+         |      'g') AS nt
+         |  FROM documents),
+         |tk AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(nt)), '\\s+') AS tk
+         |  FROM norm),
+         |st AS (
+         |  SELECT doc_id, tk,
+         |    unnest(range(0, greatest(len(tk)-1, 0)+1, 32)) AS s
+         |  FROM tk),
+         |ch AS (
+         |  SELECT doc_id, CAST(s // 32 AS INTEGER) AS chunk_idx,
+         |    CAST(least(32, len(tk)-s) AS INTEGER) AS n_tokens
+         |  FROM st),
+         |h AS (
+         |  SELECT doc_id,
+         |    ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000000
+         |      AS hv
+         |  FROM documents)
+         |SELECT c.doc_id, c.chunk_idx, c.n_tokens,
+         |  CASE WHEN hv < 800000 THEN 'train'
+         |       WHEN hv < 900000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM ch c JOIN h ON c.doc_id = h.doc_id""".stripMargin,
 
     // mirrors q98: q49's chunk-id prefix sum, then ordered string_agg
     // per chunk
