@@ -1196,6 +1196,30 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.6)
     }),
 
+    // analytics: exact per-group median WITHOUT sorting raw rows — the
+    // ordered window runs over the per-(lang, n_chars) count histogram
+    // (q78's machinery, value extraction instead of band filter); the
+    // type-1 rule (smallest score with cum >= ceil(p*n)) is stated
+    // explicitly and replayed identically in the oracle
+    "q101_group_median" -> ((s, dir) => {
+      Sampling.quantilePerGroup(t(s, dir, "documents"), "lang", "n_chars",
+        p = 0.5)
+    }),
+
+    // analytics: top-k rows per group by a metric — the built-in
+    // WindowGroupLimit regime: Spark 4 map-side prunes a row_number<=k
+    // filter, so each reduce task reads ~(#map partitions * k) rows per
+    // group, not the group (the capPerGroup scaladoc contrasts when that
+    // bound stops being enough)
+    "q102_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("rank"))
+    }),
+
     // the end-to-end TRAINING-PREP params pipeline (q76's analog for the
     // round-9 algorithms): NormalizeText → ChunkText → HashSplit chained
     // purely through JobRunner params files; splitting on doc_id keeps
@@ -2827,6 +2851,29 @@ object SparkEntry {
     "q88_sorted_export" ->
       """SELECT lang, count(*) AS n FROM documents
         |WHERE n_chars BETWEEN 100 AND 300 GROUP BY lang""".stripMargin,
+
+    // mirrors q101's explicit type-1 quantile rule — no engine
+    // quantile_disc convention involved
+    "q101_group_median" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+        |t AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT h.lang, n_chars, n,
+        |    sum(c) OVER (PARTITION BY h.lang ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |  FROM h JOIN t ON h.lang = t.lang)
+        |SELECT lang, min(n_chars) AS quantile, CAST(min(n) AS BIGINT) AS n
+        |FROM cum WHERE cm >= ceil(0.5 * n)
+        |GROUP BY lang""".stripMargin,
+
+    // mirrors q102 top-k per group (count desc, id tie-break)
+    "q102_topk_per_group" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rank
+        |FROM documents
+        |QUALIFY rank <= 3""".stripMargin,
 
     // mirrors the q100 params chain: normalize (nfc + lower + collapse),
     // chunk the normalized text at 32/32, split by doc_id hash (q66's

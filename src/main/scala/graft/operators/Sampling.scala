@@ -365,4 +365,39 @@ object Sampling {
         col(groupCol) <=> col(gqN) && col(scoreCol) <=> col(sqN),
         "left_semi")
   }
+
+  /** EXACT per-group quantile VALUE without sorting the raw rows: the
+    * smallest score whose per-group cumulative count reaches ⌈p·n⌉ — the
+    * discrete (type-1) quantile, stated explicitly so the oracle encodes
+    * the SAME rule instead of leaning on an engine's `quantile_disc`
+    * convention. Output: one row per group (groupCol, quantile, n).
+    *
+    * Same machinery as [[filterByQuantileBand]]: the ordered window runs
+    * over the per-(group, score) count histogram — distinct scores per
+    * group, never raw rows — so a group holding half the corpus
+    * contributes its score cardinality to the window, not its row count.
+    * The degradation mode is all-distinct continuous scores (histogram =
+    * group size); bucket/round such scores first.
+    */
+  def quantilePerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      p: Double): DataFrame = {
+    require(0 < p && p <= 1, s"p must be in (0, 1]: $p")
+    import org.apache.spark.sql.expressions.Window
+    def fresh(base: String): String = {
+      var n = base
+      while (df.columns.contains(n)) n += "_"
+      n
+    }
+    val (cN, cumN, nN) = (fresh("__c"), fresh("__cum"), fresh("__n"))
+    val hist = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as(cN))
+    val cum = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    val totals = df.groupBy(col(groupCol)).agg(count(lit(1)).as(nN))
+    hist
+      .withColumn(cumN, sum(col(cN)).over(cum))
+      .join(totals, Seq(groupCol))
+      .filter(col(cumN) >= ceil(lit(p) * col(nN)))
+      .groupBy(col(groupCol))
+      .agg(min(col(scoreCol)).as("quantile"), first(col(nN)).as("n"))
+  }
 }

@@ -472,6 +472,24 @@ class SamplingSpec extends SparkSpec {
       .include("SinglePartition")
   }
 
+  test("quantilePerGroup: the explicit type-1 rule matches a sorted-rank " +
+      "oracle across p values on ties-heavy data") {
+    val df = (1L to 1000L).map(i => (i, s"g${i % 3}", (i % 7).toInt))
+      .toDF("id", "grp", "score")
+    for (p <- Seq(0.25, 0.5, 0.9, 1.0)) {
+      val got = Sampling.quantilePerGroup(df, "grp", "score", p)
+        .as[(String, Int, Long)].collect().map(r => r._1 -> r._2).toMap
+      val exp = df.as[(Long, String, Int)].collect().groupBy(_._2)
+        .map { case (g, rows) =>
+          val sorted = rows.map(_._3).sorted
+          g -> sorted(math.ceil(p * sorted.length).toInt - 1)
+        }
+      got shouldBe exp
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.quantilePerGroup(df, "grp", "score", 0.0)
+  }
+
   test("capPerGroupWeightedBudgets: per-group budgets bind independently, " +
       "unnamed groups kept whole WITHOUT entering the exact window") {
     import org.apache.spark.sql.expressions.Window
