@@ -1196,6 +1196,35 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.6)
     }),
 
+    // compliance: salted pseudonymization — user ids replaced by
+    // sha256(salt || id), referentially consistent so the per-user
+    // aggregate still groups correctly on the tokenized key
+    "q103_pseudonymize" -> ((s, dir) => {
+      Redact.pseudonymize(t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type")),
+        Seq("user_id"), salt = "graft-salt-v1")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"))
+    }),
+
+    // reconciliation: snapshot diff — the new delivery modifies every
+    // 11th doc's text, drops every 13th, and adds 20 fresh ids (all
+    // deterministic); every key classifies as added/removed/changed/
+    // unchanged on fixed-width digests, content never shuffled
+    "q104_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val newDf = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(lit("edited "), col("text"))).otherwise(col("text")))
+        .unionByName(
+          docs.filter(col("doc_id") % 25 === 0)
+            .select((col("doc_id") + 500000L).as("doc_id"), col("text"),
+              col("lang")))
+      Reconcile.diffFrames(docs, newDf, "doc_id")
+    }),
+
     // analytics: exact per-group median WITHOUT sorting raw rows — the
     // ordered window runs over the per-(lang, n_chars) count histogram
     // (q78's machinery, value extraction instead of band filter); the
@@ -2851,6 +2880,39 @@ object SparkEntry {
     "q88_sorted_export" ->
       """SELECT lang, count(*) AS n FROM documents
         |WHERE n_chars BETWEEN 100 AND 300 GROUP BY lang""".stripMargin,
+
+    // mirrors q103: sha256 over the same salt||id string in both engines
+    "q103_pseudonymize" ->
+      """WITH p AS (
+        |  SELECT sha256('graft-salt-v1' || CAST(user_id AS VARCHAR))
+        |    AS user_id, event_type
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM p GROUP BY user_id""".stripMargin,
+
+    // mirrors q104: the same deterministic delivery (drop %13, edit %11,
+    // add %25 under id+500000), classified by content digest
+    "q104_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, text, lang FROM documents),
+        |new_df AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'edited ' || text
+        |         ELSE text END AS text,
+        |    lang
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, text, lang
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |o AS (SELECT doc_id, md5(text || lang) AS dg FROM old),
+        |n AS (SELECT doc_id, md5(text || lang) AS dg FROM new_df)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.dg IS NULL THEN 'added'
+        |       WHEN n.dg IS NULL THEN 'removed'
+        |       WHEN o.dg = n.dg THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 
     // mirrors q101's explicit type-1 quantile rule — no engine
     // quantile_disc convention involved

@@ -39,6 +39,25 @@ object Redact {
   /** Adds `red_text` plus per-category counts (`n_email`, `n_ipv4`,
     * `n_phone`) measured on the original text.
     */
+  /** Salted pseudonymization of identifier columns: each named column is
+    * replaced by sha256(salt || value) — referentially consistent (the
+    * same id maps to the same token everywhere, so joins and group-bys
+    * still line up) but not reversible without the salt. The compliance
+    * counterpart of [[redactText]]: redaction destroys spans inside free
+    * text, pseudonymization preserves the RELATIONAL structure of key
+    * columns. Pure per-row Columns, zero shuffle; null ids stay null
+    * (sha2 of a null concat is null — a null key must not collapse to
+    * one sentinel token shared across rows).
+    */
+  def pseudonymize(df: DataFrame, cols: Seq[String],
+      salt: String): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c,
+        sha2(concat(lit(salt), col(c).cast("string")), 256))
+    }
+  }
+
   def withRedactions(df: DataFrame, textCol: String): DataFrame =
     patterns.foldLeft(
       df.withColumn("red_text", redactText(col(textCol)))) {

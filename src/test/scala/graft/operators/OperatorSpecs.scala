@@ -874,6 +874,47 @@ class ContainmentSpec extends SparkSpec {
   }
 }
 
+class ReconcileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("diffFrames classifies added/removed/changed/unchanged; digests " +
+      "keep content out of the join shuffle") {
+    val oldDf = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "t", "v")
+    val newDf = Seq((2L, "b", 20), (3L, "c", 31), (4L, "d", 40))
+      .toDF("id", "t", "v")
+    val out = Reconcile.diffFrames(oldDf, newDf, "id")
+    out.as[(Long, String)].collect().toMap shouldBe Map(
+      1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added")
+    val exchanges = out.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Exchange")).toSeq
+    exchanges should not be empty
+    all(exchanges) should not include "t#"
+
+    // explicit contentCols restrict the comparison: v-only diff calls 3
+    // unchanged on the t edit
+    val out2 = Reconcile.diffFrames(oldDf,
+      newDf.withColumn("t", lit("X")), "id", contentCols = Seq("v"))
+    out2.filter($"id" === 2L).select($"status").as[String]
+      .collect() shouldBe Array("unchanged")
+    an[IllegalArgumentException] should be thrownBy
+      Reconcile.diffFrames(oldDf, newDf.withColumnRenamed("v", "w"), "id",
+        contentCols = Seq("w"))
+  }
+
+  test("pseudonymize: referentially consistent tokens, nulls stay null") {
+    val df = Seq((1L, java.lang.Long.valueOf(7L)),
+      (2L, java.lang.Long.valueOf(7L)), (3L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "user")
+    val out = Redact.pseudonymize(df, Seq("user"), "s4lt")
+      .as[(Long, Option[String])].collect().toMap
+    out(1L) shouldBe out(2L)            // same id → same token
+    out(1L) should not be None
+    out(1L).get should have length 64   // sha256 hex
+    out(3L) shouldBe None               // null key stays null
+  }
+}
+
 class SqlFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
