@@ -311,6 +311,24 @@ object AlgoRegistry {
           artifacts = config.getStringOpt("artifacts_dir").map(d =>
             fmt(config).read(spark, Map.empty, None, d)))
       })
+    // snapshot reconciliation: source_dir is the NEW delivery, diffed
+    // against previous_dir
+    case "SnapshotDiff" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val previous = fmt(config).read(spark, Map.empty, None,
+          config.getString("previous_dir"))
+        graft.operators.Reconcile.diffFrames(previous, df,
+          config.getString("id_column"),
+          config.getSeq[String]("content_columns"))
+      })
+    // salted pseudonymization of identifier columns
+    case "Pseudonymize" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Redact.pseudonymize(df,
+        config.getSeq[String]("columns"), config.getString("salt")))
     // the artifacts generator a load pipeline runs per landed batch
     case "DedupArtifacts" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -364,6 +364,34 @@ class JobRunnerSpec extends SparkSpec {
     val mx = spark.read.parquet(tgtMx)
     mx.filter(col("grp") === "g").count() shouldBe 10L  // 9 fill, 10th crosses
     mx.filter(col("grp") === "other").count() shouldBe 5L // absent = whole
+
+    // snapshot diff through the params surface: doc 2's text changes
+    val prevDir = tmp("jr_sd_prev") + "/t"
+    Seq((1L, "same"), (2L, "old")).toDF("doc_id", "text")
+      .write.parquet(prevDir)
+    val newDir = tmp("jr_sd_new") + "/t"
+    Seq((1L, "same"), (2L, "new"), (3L, "fresh")).toDF("doc_id", "text")
+      .write.parquet(newDir)
+    val tgtSd = tmp("jr_sd_tgt") + "/t"
+    val paramsSd = tmp("jr_sd_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsSd),
+      s"""{"source_dir": "$newDir", "target_dir": "$tgtSd",
+         | "previous_dir": "$prevDir", "id_column": "doc_id"}""".stripMargin)
+    JobRunner.execute(spark, "SnapshotDiff", paramsSd)
+    spark.read.parquet(tgtSd).as[(Long, String)].collect().toMap shouldBe
+      Map(1L -> "unchanged", 2L -> "changed", 3L -> "added")
+
+    // pseudonymization through the params surface
+    val tgtPs = tmp("jr_ps_tgt") + "/t"
+    val paramsPs = tmp("jr_ps_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsPs),
+      s"""{"source_dir": "$newDir", "target_dir": "$tgtPs",
+         | "columns": ["doc_id"], "salt": "s"}""".stripMargin)
+    JobRunner.execute(spark, "Pseudonymize", paramsPs)
+    val toks = spark.read.parquet(tgtPs).select(col("doc_id"))
+      .as[String].collect()
+    toks.distinct.length shouldBe 3
+    all(toks) should fullyMatch regex "[0-9a-f]{64}"
   }
 
   test("unknown algorithm names are rejected") {
