@@ -20,6 +20,11 @@ object SQLRunner {
 
   def run(spark: SparkSession, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "SQLRunner needs at least one step")
+    // the graft SQL surface (nfc_normalize, shingle_hashes, simhash64, …)
+    // is available to every step: registration is idempotent and
+    // session-scoped, so an acon SQL job can use the native codegen
+    // primitives without a Scala entry point
+    graft.functions.GraftFunctions.register(spark)
     steps.init.foreach(spark.sql(_).limit(IntermediateRowCap).collect())
     spark.sql(steps.last)
   }

@@ -425,6 +425,19 @@ class SmallAlgoSpec extends SparkSpec {
     out.collect().head.getLong(0) shouldBe 3L
   }
 
+  test("SQLRunner steps can use the graft SQL functions (nfc_normalize, " +
+      "shingle_hashes) without a Scala entry point") {
+    val out = SQLRunner.run(spark, Seq(
+      "CREATE OR REPLACE TEMPORARY VIEW sqlr_fn AS " +
+        "SELECT 'a b c d' AS t UNION ALL SELECT 'x y z'",
+      """SELECT sum(size(shingle_hashes(split(t, ' '), 2))) AS n,
+        | count(nfc_normalize(t)) AS c
+        |FROM sqlr_fn""".stripMargin))
+    val row = out.collect().head
+    row.getLong(0) shouldBe 5L // 3 + 2 bigram shingles
+    row.getLong(1) shouldBe 2L
+  }
+
   test("GzipDecompressor inflates gz and zip, removes archives") {
     val dir = tmp("gz")
     val gzPath = java.nio.file.Paths.get(dir, "a.csv.gz")
