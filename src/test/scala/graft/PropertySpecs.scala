@@ -195,3 +195,77 @@ class CurationProperties extends SparkSpec {
     }
   }
 }
+
+class ChunkingProperties extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{Dedup, Packing}
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("chunkText invariants for arbitrary docs and window shapes: exact " +
+      "partition at stride==chunk, every token in >=1 window, contiguous " +
+      "indices, n_tokens consistent") {
+    val docsGen = Gen.listOfN(30, Gen.choose(1, 60))
+    for (trial <- 0 until 4) {
+      val lens = samples(docsGen, 1).head
+      val docs = lens.zipWithIndex.map { case (len, i) =>
+        (i.toLong, (0 until len).map(k => s"w${i}_$k").mkString(" "))
+      }.toDF("id", "t")
+      val chunk = 4 + trial * 3
+      val stride = 1 + (trial * 5) % chunk // stride <= chunk
+      val out = Packing.chunkText(docs, "id", "t", chunk, stride)
+        .as[(Long, Int, String, Int)].collect()
+      val byDoc = out.groupBy(_._1)
+      docs.as[(Long, String)].collect().foreach { case (id, t) =>
+        val toks = t.split(" ")
+        val rows = byDoc(id).sortBy(_._2)
+        // contiguous indices from 0
+        rows.map(_._2).toSeq shouldBe rows.indices.toSeq
+        // n_tokens matches the actual window content
+        rows.foreach { case (_, idx, text, n) =>
+          val got = text.split(" ")
+          got.length shouldBe n
+          n shouldBe math.min(chunk, toks.length - idx * stride)
+          got.toSeq shouldBe
+            toks.slice(idx * stride, idx * stride + chunk).toSeq
+        }
+        // coverage: every token index falls inside some window
+        val covered = rows.flatMap { case (_, idx, _, n) =>
+          (idx * stride) until (idx * stride + n)
+        }.toSet
+        covered shouldBe toks.indices.toSet
+      }
+      // exact partition face: concatenating stride==chunk chunks in
+      // order reproduces the token stream
+      val exact = Packing.chunkText(docs, "id", "t", chunk, chunk)
+        .as[(Long, Int, String, Int)].collect()
+        .groupBy(_._1).map { case (id, rows) =>
+          id -> rows.sortBy(_._2).map(_._3).mkString(" ")
+        }
+      docs.as[(Long, String)].collect().foreach { case (id, t) =>
+        exact(id) shouldBe t
+      }
+    }
+  }
+
+  test("containment bounds for arbitrary prefix-sharing docs: a full " +
+      "prefix is containment 1.0, and containment >= jaccard always") {
+    val docs = (1L to 12L).map { i =>
+      val base = (0 until 20).map(k => s"t${i % 4}_$k").mkString(" ")
+      (i, if (i % 3 == 0) base.split(" ").take(8).mkString(" ") else base)
+    }.toDF("id", "t")
+    val cont = Dedup.ngramContainmentPairs(docs, "id", "t", 3, 0.0001)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    val jac = Dedup.ngramJaccardPairs(docs, "id", "t", 3, 0.0001,
+        prefixFilter = Some(false))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    jac.keys.toSet shouldBe cont.keys.toSet // same candidate pairs
+    jac.foreach { case (pair, j) => cont(pair) should be >= j }
+    // the 8-token prefix doc of each base is fully contained in it
+    cont.filter { case ((a, b), _) => (a % 4 == b % 4) && (a % 3 == 0 || b % 3 == 0) }
+      .foreach { case (_, c) => c shouldBe 1.0 }
+  }
+}
