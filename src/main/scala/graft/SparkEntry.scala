@@ -1463,9 +1463,9 @@ object SparkEntry {
     // filter skips whole files on parquet footer stats
     "q88_sorted_export" -> ((s, dir) => {
       val loc = tmpDir("graft_q88") + "/t"
-      Layout.writeSorted(t(s, dir, "documents")
+      Layout.writeSortedSafe(t(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars")),
-        loc, "n_chars", 8)
+        fsOps(s), loc, "n_chars", 8)
       s.read.parquet(loc)
         .filter(col("n_chars").between(100, 300))
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))

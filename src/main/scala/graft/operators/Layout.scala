@@ -52,8 +52,27 @@ object Layout {
   def writeSorted(df: DataFrame, path: String, sortCol: String,
       numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be positive: $numFiles")
-    df.repartitionByRange(numFiles, col(sortCol))
-      .sortWithinPartitions(col(sortCol))
+    shaped(df, sortCol, numFiles)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** [[writeSorted]] through the atomic landing choreography
+    * ([[graft.io.AtomicWriter]]: temp-dir write → backup → swap →
+    * restore-on-failure) — a mid-write failure never leaves `path`
+    * half-replaced. The writer passes an unpartitioned, uncapped frame
+    * through untouched, so the range clustering and the in-file order
+    * land intact (spec-verified: per-file ranges stay disjoint).
+    */
+  def writeSortedSafe(df: DataFrame, fsOps: graft.fsops.FsOps,
+      path: String, sortCol: String, numFiles: Int): Unit = {
+    require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    new graft.io.AtomicWriter(fsOps, Seq.empty, None)
+      .write(shaped(df, sortCol, numFiles), graft.io.DataFormat.Parquet,
+        path, graft.io.LoadMode.OverwriteTable)
+  }
+
+  private def shaped(df: DataFrame, sortCol: String,
+      numFiles: Int): DataFrame =
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
 }

@@ -975,11 +975,14 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("sorted export: per-file key ranges are pairwise disjoint and a " +
-      "range predicate reaches the scan as a pushed filter") {
+      "range predicate reaches the scan as a pushed filter — through the " +
+      "ATOMIC writer, which must not disturb the range clustering") {
     val dir = tmp("layout_sorted") + "/t"
     val df = spark.range(10000).selectExpr("id",
       "CAST(hash(id) % 1000 AS BIGINT) AS key")
-    Layout.writeSorted(df, dir, "key", 6)
+    Layout.writeSortedSafe(df,
+      new graft.fsops.FsOps(spark.sparkContext.hadoopConfiguration),
+      dir, "key", 6)
     val back = spark.read.parquet(dir)
     back.count() shouldBe 10000L
     // disjointness: collect (file, min, max) and check sorted ranges
