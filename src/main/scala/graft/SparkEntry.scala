@@ -1196,6 +1196,20 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.6)
     }),
 
+    // analytics: ordered funnel — view → click → purchase per user,
+    // greedy earliest-match (each step strictly after the previous);
+    // one min-aggregation per step joined on the user key, no per-user
+    // window over raw events
+    "q105_funnel" -> ((s, dir) => {
+      Funnel.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .select(col("user_id"),
+          unix_millis(col("step_ts_1")).as("t_view"),
+          unix_millis(col("step_ts_2")).as("t_click"),
+          unix_millis(col("step_ts_3")).as("t_purchase"),
+          col("n_completed"))
+    }),
+
     // compliance: salted pseudonymization — user ids replaced by
     // sha256(salt || id), referentially consistent so the per-user
     // aggregate still groups correctly on the tokenized key
@@ -2880,6 +2894,37 @@ object SparkEntry {
     "q88_sorted_export" ->
       """SELECT lang, count(*) AS n FROM documents
         |WHERE n_chars BETWEEN 100 AND 300 GROUP BY lang""".stripMargin,
+
+    // mirrors q105: the same greedy chained-min construction — every ts
+    // compared at microsecond precision (CAST truncates the ns parquet
+    // type exactly like the Spark loader)
+    "q105_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id,
+        |  CAST(epoch_ms(t1) AS BIGINT) AS t_view,
+        |  CAST(epoch_ms(t2) AS BIGINT) AS t_click,
+        |  CAST(epoch_ms(t3) AS BIGINT) AS t_purchase,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |            WHEN t2 IS NOT NULL THEN 2
+        |            ELSE 1 END AS INTEGER) AS n_completed
+        |FROM s1
+        |LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s2.user_id = s3.user_id""".stripMargin,
 
     // mirrors q103: sha256 over the same salt||id string in both engines
     "q103_pseudonymize" ->

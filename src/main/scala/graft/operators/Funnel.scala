@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered funnel analysis over an event log: for each user, the
+  * earliest completion time of each step matched GREEDILY in order —
+  * step i+1 counts only from an event STRICTLY after the matched step i
+  * ("view → click → purchase, in that order"). The product-analytics
+  * staple next to [[Sessionize]].
+  *
+  * Semantics: users appear iff they completed step 1; `step_ts_i` is
+  * null once the chain breaks; `n_completed` counts the filled prefix.
+  * Greedy earliest-match is the standard funnel convention (taking the
+  * earliest step-1 time can only enlarge the set of valid later
+  * matches, so greedy is optimal — a user completes the funnel iff ANY
+  * ordered assignment exists).
+  *
+  * 100 TB shape: one filtered map-side-combinable min-aggregation per
+  * step plus an equi-join on the user key — k steps = k bounded
+  * shuffles, no per-user window over the raw event stream, no
+  * collect_list of a power user's million events into one task. The
+  * step frames carry (user, one timestamp).
+  */
+object Funnel {
+
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("step_ts_1"))
+    val chained = steps.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (st, i)) =>
+        val prev = s"step_ts_${i + 1}"
+        val cur = s"step_ts_${i + 2}"
+        val nxt = events.filter(col(typeCol) === st)
+          .join(acc.select(col(userCol), col(prev)), Seq(userCol))
+          .filter(col(tsCol) > col(prev))
+          .groupBy(col(userCol)).agg(min(col(tsCol)).as(cur))
+        acc.join(nxt, Seq(userCol), "left")
+    }
+    val stepCols = steps.indices.map(i => col(s"step_ts_${i + 1}"))
+    chained.withColumn("n_completed",
+      stepCols.map(c => when(c.isNotNull, 1).otherwise(0))
+        .reduce(_ + _).cast("int"))
+  }
+}

@@ -874,6 +874,26 @@ class ContainmentSpec extends SparkSpec {
   }
 }
 
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel: greedy ordered matching — steps count only strictly " +
+      "after the previous match; users without step 1 are absent") {
+    val events = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L), // full
+      (2L, "click", 1L), (2L, "view", 2L), (2L, "purchase", 3L), // view@2, no later click
+      (3L, "view", 5L), (3L, "click", 3L),                       // click precedes view
+      (4L, "click", 1L), (4L, "purchase", 2L),                   // never viewed
+      (5L, "view", 1L), (5L, "view", 10L), (5L, "click", 5L))    // greedy: earliest view wins
+      .toDF("uid", "etype", "tsl")
+      .withColumn("ts", timestamp_millis($"tsl"))
+    val out = Funnel.funnel(events, "uid", "etype", "ts",
+        Seq("view", "click", "purchase"))
+      .select($"uid", $"n_completed").as[(Long, Int)].collect().toMap
+    out shouldBe Map(1L -> 3, 2L -> 1, 3L -> 1, 5L -> 2) // 4 absent
+  }
+}
+
 class ReconcileSpec extends SparkSpec {
   import spark.implicits._
 
