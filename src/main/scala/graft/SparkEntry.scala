@@ -1210,6 +1210,15 @@ object SparkEntry {
           col("n_completed"))
     }),
 
+    // analytics: weekly cohort retention — distinct users per
+    // (first-activity cohort week, week offset); activity dedupes to
+    // (user, week) before the matrix count
+    "q106_retention" -> ((s, dir) => {
+      Funnel.retentionMatrix(t(s, dir, "events"), "user_id", "ts")
+        .select(col("cohort_week").cast("string").as("cohort_week"),
+          col("week_offset"), col("n_users"))
+    }),
+
     // compliance: salted pseudonymization — user ids replaced by
     // sha256(salt || id), referentially consistent so the per-user
     // aggregate still groups correctly on the tokenized key
@@ -2925,6 +2934,23 @@ object SparkEntry {
         |FROM s1
         |LEFT JOIN s2 ON s1.user_id = s2.user_id
         |LEFT JOIN s3 ON s2.user_id = s3.user_id""".stripMargin,
+
+    // mirrors q106: both engines truncate to Monday-start weeks; offsets
+    // are exact day differences between week starts divided by 7
+    "q106_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events),
+        |c AS (SELECT user_id, min(d) AS d0 FROM e GROUP BY user_id),
+        |x AS (
+        |  SELECT DISTINCT e.user_id,
+        |    CAST(date_trunc('week', d0) AS DATE) AS cohort_week,
+        |    CAST(date_diff('day', date_trunc('week', d0),
+        |      date_trunc('week', d)) // 7 AS INTEGER) AS week_offset
+        |  FROM e JOIN c ON e.user_id = c.user_id)
+        |SELECT CAST(cohort_week AS VARCHAR) AS cohort_week, week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     // mirrors q103: sha256 over the same salt||id string in both engines
     "q103_pseudonymize" ->

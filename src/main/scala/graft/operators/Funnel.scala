@@ -44,4 +44,31 @@ object Funnel {
       stepCols.map(c => when(c.isNotNull, 1).otherwise(0))
         .reduce(_ + _).cast("int"))
   }
+
+  /** Weekly cohort retention matrix: users cohorted by the ISO week of
+    * their FIRST activity; `n_users` = distinct users of each cohort
+    * active in each later week (week_offset 0 = the cohort week itself).
+    * The activation/churn dashboard behind every engagement review.
+    *
+    * 100 TB shape: the cohort frame is one row per user (min-date
+    * aggregation, map-side combinable); activity days dedupe to
+    * (user, week) BEFORE the matrix count, so a user's million events in
+    * a week are one row into the final aggregation. Offsets are exact
+    * integer day arithmetic between week-start dates (always multiples
+    * of 7 — no timezone or DST drift in the division).
+    */
+  def retentionMatrix(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val ev = events.select(col(userCol), to_date(col(tsCol)).as("__d"))
+    val cohort = ev.groupBy(col(userCol)).agg(min(col("__d")).as("__d0"))
+    ev.join(cohort, Seq(userCol))
+      .select(col(userCol),
+        date_trunc("week", col("__d0")).cast("date").as("cohort_week"),
+        (datediff(date_trunc("week", col("__d")).cast("date"),
+            date_trunc("week", col("__d0")).cast("date")) / 7)
+          .cast("int").as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
 }

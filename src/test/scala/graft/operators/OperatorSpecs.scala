@@ -892,6 +892,26 @@ class FunnelSpec extends SparkSpec {
       .select($"uid", $"n_completed").as[(Long, Int)].collect().toMap
     out shouldBe Map(1L -> 3, 2L -> 1, 3L -> 1, 5L -> 2) // 4 absent
   }
+
+  test("retentionMatrix: weekly cohorts from first activity, distinct " +
+      "users per offset, multi-event weeks count once") {
+    // Mondays: 2024-01-01 (W0), 2024-01-08 (W1), 2024-01-15 (W2)
+    val events = Seq(
+      (1L, "2024-01-02"), (1L, "2024-01-03"), (1L, "2024-01-16"), // W0, W0, W2
+      (2L, "2024-01-10"),                                         // W1
+      (3L, "2024-01-05"), (3L, "2024-01-08"))                     // W0, W1
+      .toDF("uid", "ds")
+      .withColumn("ts", to_timestamp($"ds"))
+    val out = Funnel.retentionMatrix(events, "uid", "ts")
+      .select($"cohort_week".cast("string"), $"week_offset", $"n_users")
+      .as[(String, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    out shouldBe Map(
+      ("2024-01-01", 0) -> 2L, // users 1 and 3 in their cohort week
+      ("2024-01-01", 1) -> 1L, // user 3 returns in W1
+      ("2024-01-01", 2) -> 1L, // user 1 returns in W2
+      ("2024-01-08", 0) -> 1L) // user 2's own cohort
+  }
 }
 
 class ReconcileSpec extends SparkSpec {
