@@ -311,6 +311,19 @@ object AlgoRegistry {
           artifacts = config.getStringOpt("artifacts_dir").map(d =>
             fmt(config).read(spark, Map.empty, None, d)))
       })
+    // ordered funnel completion per user
+    case "Funnel" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Funnel.funnel(df,
+        config.getString("user_column"), config.getString("type_column"),
+        config.getString("ts_column"), config.getSeq[String]("steps")))
+    // weekly cohort retention matrix
+    case "Retention" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Funnel.retentionMatrix(df,
+        config.getString("user_column"), config.getString("ts_column")))
     // snapshot reconciliation: source_dir is the NEW delivery, diffed
     // against previous_dir
     case "SnapshotDiff" => new TransformAlgorithm(spark, fsOps,

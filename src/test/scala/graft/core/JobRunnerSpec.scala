@@ -392,6 +392,31 @@ class JobRunnerSpec extends SparkSpec {
       .as[String].collect()
     toks.distinct.length shouldBe 3
     all(toks) should fullyMatch regex "[0-9a-f]{64}"
+
+    // funnel + retention through the params surface
+    val srcFn = tmp("jr_fn_src") + "/t"
+    Seq((1L, "view", "2024-01-02"), (1L, "click", "2024-01-03"),
+      (2L, "click", "2024-01-02"))
+      .toDF("uid", "etype", "ds")
+      .withColumn("ts", to_timestamp(col("ds"))).drop("ds")
+      .write.parquet(srcFn)
+    val tgtFn = tmp("jr_fn_tgt") + "/t"
+    val paramsFn = tmp("jr_fn_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsFn),
+      s"""{"source_dir": "$srcFn", "target_dir": "$tgtFn",
+         | "user_column": "uid", "type_column": "etype",
+         | "ts_column": "ts", "steps": ["view", "click"]}""".stripMargin)
+    JobRunner.execute(spark, "Funnel", paramsFn)
+    spark.read.parquet(tgtFn).select(col("uid"), col("n_completed"))
+      .as[(Long, Int)].collect().toMap shouldBe Map(1L -> 2)
+    val tgtRt = tmp("jr_rt_tgt") + "/t"
+    val paramsRt = tmp("jr_rt_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsRt),
+      s"""{"source_dir": "$srcFn", "target_dir": "$tgtRt",
+         | "user_column": "uid", "ts_column": "ts"}""".stripMargin)
+    JobRunner.execute(spark, "Retention", paramsRt)
+    spark.read.parquet(tgtRt).select(col("n_users")).as[Long]
+      .collect().sum shouldBe 2L // both users, offset 0 only
   }
 
   test("unknown algorithm names are rejected") {
