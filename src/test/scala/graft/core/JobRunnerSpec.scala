@@ -398,7 +398,8 @@ class JobRunnerSpec extends SparkSpec {
     Seq((1L, "view", "2024-01-02"), (1L, "click", "2024-01-03"),
       (2L, "click", "2024-01-02"))
       .toDF("uid", "etype", "ds")
-      .withColumn("ts", to_timestamp(col("ds"))).drop("ds")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.to_timestamp(col("ds"))).drop("ds")
       .write.parquet(srcFn)
     val tgtFn = tmp("jr_fn_tgt") + "/t"
     val paramsFn = tmp("jr_fn_par") + "/p.json"
