@@ -1210,6 +1210,24 @@ object SparkEntry {
           col("n_completed"))
     }),
 
+    // functions: feature hashing — raw text folds into fixed-dim count
+    // vectors in one native loop (the doc → vector step feeding the
+    // similarity stack, no model, no vocab table); md5 bucketing mirrors
+    // in DuckDB, counts are exact ints — the gate emits the nonzero
+    // (dim, count) pairs
+    "q107_feature_hash" -> ((s, dir) => {
+      val vecs = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("__tk"))
+        .select(col("doc_id"),
+          graft.functions.FeatureHashExpr.featureHash(col("__tk"), 64)
+            .as("v"))
+      vecs.select(col("doc_id"),
+          posexplode(col("v")).as(Seq("dim", "value")))
+        .filter(col("value") =!= 0)
+        .select(col("doc_id"), col("dim"),
+          col("value").cast("long").as("count"))
+    }),
+
     // analytics: weekly cohort retention — distinct users per
     // (first-activity cohort week, week offset); activity dedupes to
     // (user, week) before the matrix count
@@ -2934,6 +2952,18 @@ object SparkEntry {
         |FROM s1
         |LEFT JOIN s2 ON s1.user_id = s2.user_id
         |LEFT JOIN s3 ON s2.user_id = s3.user_id""".stripMargin,
+
+    // mirrors q107: the same md5-60 bucket per token (multiset counts —
+    // every occurrence lands)
+    "q107_feature_hash" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(tk) AS t FROM tk)
+         |SELECT doc_id,
+         |  CAST(${PortableHash.sqlHash60("t")} % 64 AS INTEGER) AS dim,
+         |  count(*) AS count
+         |FROM tok GROUP BY 1, 2""".stripMargin,
 
     // mirrors q106: both engines truncate to Monday-start weeks; offsets
     // are exact day differences between week starts divided by 7

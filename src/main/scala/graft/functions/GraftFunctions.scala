@@ -69,5 +69,9 @@ object GraftFunctions {
       arity("cosine_similarity", 2, args)
       CosineSimilarityExpr(args.head, args(1))
     })
+    GraftBridge.registerFunction(spark, "feature_hash", { args =>
+      arity("feature_hash", 2, args)
+      FeatureHashExpr(args.head, intLit("feature_hash", "dims", args(1)))
+    })
   }
 }

@@ -874,6 +874,39 @@ class ContainmentSpec extends SparkSpec {
   }
 }
 
+class FeatureHashSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.FeatureHashExpr
+
+  test("featureHash: multiset counts per md5 bucket; vectors feed the " +
+      "cosine stack (identical docs 1.0, disjoint docs 0.0)") {
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "alpha beta alpha gamma"),   // identical
+      (3L, "delta epsilon zeta eta"))   // disjoint vocab
+      .toDF("id", "t")
+    val vecs = docs
+      .select($"id", Dedup.tokens($"t").as("__tk"))
+      .select($"id", FeatureHashExpr.featureHash($"__tk", 32).as("v"))
+    // total mass = token count (multiset: 'alpha' counts twice)
+    vecs.select($"id",
+        aggregate($"v", lit(0.0f), (acc, x) => acc + x).as("m"))
+      .as[(Long, Float)].collect().toMap shouldBe
+      Map(1L -> 4.0f, 2L -> 4.0f, 3L -> 4.0f)
+    val a = vecs.filter($"id" === 1L).as("a")
+    val pair = (x: Long) => a.crossJoin(vecs.filter($"id" === x).as("b"))
+      .select(graft.operators.Similarity.cosine(col("a.v"), col("b.v"))
+        .as("c")).as[Double].head()
+    pair(2L) shouldBe 1.0 +- 1e-6
+    pair(3L) shouldBe 0.0 +- 1e-6
+    // SQL surface
+    graft.functions.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("fh_docs")
+    spark.sql("SELECT size(feature_hash(split(t, ' '), 32)) AS d FROM fh_docs")
+      .as[Int].collect().toSet shouldBe Set(32)
+  }
+}
+
 class FunnelSpec extends SparkSpec {
   import spark.implicits._
 
