@@ -1210,6 +1210,31 @@ object SparkEntry {
           col("n_completed"))
     }),
 
+    // the full TEXT → VECTOR → ANN-dedup pipeline in one gate: feature-
+    // hash docs to 64-dim count vectors (native expression), sign-LSH
+    // bucket candidates, exact-cosine verify at 0.95, one survivor per
+    // connected component — corpus dedup with no model and no
+    // all-pairs product anywhere
+    "q108_text_vector_dedup" -> ((s, dir) => {
+      val vecs = t(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"),
+          Dedup.tokens(col("text")).as("__tk"))
+        .select(col("vec_id"),
+          graft.functions.FeatureHashExpr.featureHash(col("__tk"), 64)
+            .as("embedding"))
+      // bits = 16 / tables = 2, not q65's 8/4: small-vocab BoW vectors
+      // are ALL correlated, so coarse buckets collapse much of the corpus
+      // into candidate-heavy cells (measured: 8/4 tables->8.1 s, 16/4 ->
+      // 1.0M candidates for 833 true pairs, 6.3 s). At the 0.95
+      // near-identical bar a vector pair that close collides in a table
+      // with prob ~1, so two tables keep recall while halving candidates
+      val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+          threshold = 0.95, bits = 16, tables = 2)
+        .select(col("id_a"), col("id_b"))
+      Dedup.keepPerComponent(vecs, "vec_id", pairs)
+        .frame.select(col("vec_id").as("doc_id"))
+    }),
+
     // functions: feature hashing — raw text folds into fixed-dim count
     // vectors in one native loop (the doc → vector step feeding the
     // similarity stack, no model, no vocab table); md5 bucketing mirrors
@@ -1636,9 +1661,18 @@ object SparkEntry {
     * products, identical md5-derived weights).
     */
   private def lshSigsSql(tables: Int, bits: Int, dims: Int): String =
+    lshSigsSqlOver("SELECT vec_id, embedding FROM embeddings",
+      tables, bits, dims)
+
+  /** The sign-LSH signature chain over an arbitrary (vec_id, embedding)
+    * SQL source — q65 runs it over the embeddings table, q108 over
+    * feature-hashed document vectors.
+    */
+  private def lshSigsSqlOver(vSql: String, tables: Int, bits: Int,
+      dims: Int): String =
     s"""planes AS (${PortableHash.sqlPlanes(tables, bits, dims)}),
        |pl AS (SELECT t, b, list(w ORDER BY d) AS ws FROM planes GROUP BY t, b),
-       |v AS (SELECT vec_id, embedding FROM embeddings),
+       |v AS ($vSql),
        |dots AS (
        |  SELECT v.vec_id, pl.t, pl.b,
        |    list_sum(list_transform(range(1, ${dims + 1}),
@@ -2952,6 +2986,47 @@ object SparkEntry {
         |FROM s1
         |LEFT JOIN s2 ON s1.user_id = s2.user_id
         |LEFT JOIN s3 ON s2.user_id = s3.user_id""".stripMargin,
+
+    // mirrors q108: feature-hash vectors (q107's buckets as a dense
+    // 64-dim list), then q65's LSH/cosine/transitive-closure chain over
+    // them — same planes, same candidate set, same survivor rule
+    "q108_text_vector_dedup" ->
+      s"""WITH RECURSIVE tk AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+         |  FROM documents),
+         |${lshSigsSqlOver(
+        s"""SELECT doc_id AS vec_id,
+           |    list_transform(range(0, 64), dd -> CAST(
+           |      len(list_filter(tk, tt ->
+           |        CAST(${PortableHash.sqlHash60("tt")} % 64 AS INTEGER)
+           |          = dd)) AS DOUBLE)) AS embedding
+           |  FROM tk""".stripMargin, tables = 2, bits = 16, dims = 64)},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b
+         |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT id_a, id_b, ${cosSql("va.embedding", "vb.embedding")}
+         |    AS cosine
+         |  FROM cand
+         |  JOIN v va ON va.vec_id = id_a
+         |  JOIN v vb ON vb.vec_id = id_b),
+         |pairs AS (SELECT id_a, id_b FROM scored WHERE cosine >= 0.95),
+         |e AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+         |  WHERE r.src <> e2.dst),
+         |comp AS (
+         |  SELECT src AS id, least(src, min(dst)) AS component
+         |  FROM reach GROUP BY src)
+         |SELECT vv.vec_id AS doc_id FROM v vv
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM comp c
+         |  WHERE c.id = vv.vec_id AND c.component <> vv.vec_id)""".stripMargin,
 
     // mirrors q107: the same md5-60 bucket per token (multiset counts —
     // every occurrence lands)
