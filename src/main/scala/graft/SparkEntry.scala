@@ -1235,6 +1235,17 @@ object SparkEntry {
         .frame.select(col("vec_id").as("doc_id"))
     }),
 
+    // sketches: KMV distinct-count estimate per event type — the
+    // deterministic alternative to approx_count_distinct (HLL registers
+    // are partitioning-dependent; KMV over the portable md5-60 family is
+    // a pure function of the data, so DuckDB reproduces the exact
+    // estimate). k=64: the sketch fills (150 distinct users per type),
+    // exercising the estimator path; sketch_rows pins the fill level
+    "q109_kmv_distinct" -> ((s, dir) => {
+      DistinctSketch.kmvDistinct(t(s, dir, "events"),
+        "event_type", "user_id", k = 64)
+    }),
+
     // functions: feature hashing — raw text folds into fixed-dim count
     // vectors in one native loop (the doc → vector step feeding the
     // similarity stack, no model, no vocab table); md5 bucketing mirrors
@@ -3027,6 +3038,30 @@ object SparkEntry {
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM comp c
          |  WHERE c.id = vv.vec_id AND c.component <> vv.vec_id)""".stripMargin,
+
+    // mirrors q109: distinct (type, md5-60(user)) pairs, k smallest per
+    // type, the classic (k-1)*2^60/kth KMV estimator — every step a pure
+    // function of the data, so the ESTIMATE itself hash-matches.
+    // (k-1)*2^60 is exact in a double (1023 < 2^53, 2^60 a power of two),
+    // then a single division — identical IEEE bits both engines
+    "q109_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ${PortableHash.sqlHash60("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM h),
+         |t AS (
+         |  SELECT event_type, count(*) AS m, max(h) AS kth
+         |  FROM r WHERE rn <= 64 GROUP BY event_type)
+         |SELECT event_type,
+         |  round(CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+         |    ELSE CAST(63 AS DOUBLE) * power(2.0, 60) / CAST(kth AS DOUBLE)
+         |    END, 6) AS est_distinct,
+         |  CAST(m AS BIGINT) AS sketch_rows
+         |FROM t""".stripMargin,
 
     // mirrors q107: the same md5-60 bucket per token (multiset counts —
     // every occurrence lands)

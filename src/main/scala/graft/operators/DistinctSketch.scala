@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** K-minimum-values (KMV) distinct-count sketch — cardinality estimation
+  * whose result is a pure function of the data, reproducible across
+  * engines.
+  *
+  * Spark's `approx_count_distinct` (HyperLogLog++) answers the same
+  * question but its register merges depend on partitioning, so two runs —
+  * let alone two engines — need not agree bit-for-bit, which makes it
+  * un-oracle-able and un-diffable between pipeline versions. KMV over the
+  * portable 60-bit md5 family ([[graft.functions.PortableHash]]) is
+  * deterministic: keep the k smallest hashes of the distinct ids per
+  * group; the k-th smallest of n uniform draws on [0, 2^60) sits near
+  * k/n · 2^60, so n̂ = (k−1) · 2^60 / kth (the classic unbiased KMV
+  * estimator, Bar-Yossef et al. 2002). With fewer than k distinct ids the
+  * sketch IS the exact answer.
+  *
+  * Scale shape: the per-group k-smallest filter is a `row_number() ≤ k`
+  * window, which Spark 4 rewrites to WindowGroupLimit — each map task
+  * keeps only its local k smallest per group BEFORE the shuffle, so the
+  * exchange carries ≤ k·partitions rows per group, never the group. The
+  * preceding `distinct` is the one full-width shuffle; at 100 TB replace
+  * it with the same expression over pre-bucketed ids, or drop it when ids
+  * are known unique. Relative error is ~1/√k (k=64 → ~12%); k is the
+  * accuracy/size dial, the shuffle shape does not change with it.
+  */
+object DistinctSketch {
+
+  /** 60-bit md5 hash of the id (mirrors
+    * `CAST('0x'||substr(md5(id),1,15) AS BIGINT)` in SQL).
+    */
+  private def hash60(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Per-`groupCol` KMV estimate of `count(distinct idCol)`.
+    *
+    * Output: (groupCol, est_distinct: double, sketch_rows: bigint) —
+    * `sketch_rows` = min(k, true distinct count), the sketch's fill
+    * level; `est_distinct` is exact when the sketch is not full.
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val hashes = df
+      .select(col(s"`$groupCol`"), hash60(col(s"`$idCol`")).as("__h"))
+      .distinct()
+    val rn = row_number().over(
+      Window.partitionBy(col(s"`$groupCol`")).orderBy(col("__h")))
+    hashes.withColumn("__rn", rn).filter(col("__rn") <= k)
+      .groupBy(col(s"`$groupCol`"))
+      .agg(count(lit(1)).as("__m"), max(col("__h")).as("__kth"))
+      .select(col(s"`$groupCol`"),
+        round(when(col("__m") < k, col("__m").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
+            col("__kth").cast("double")), 6).as("est_distinct"),
+        col("__m").as("sketch_rows"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[DistinctSketch]] — KMV distinct-count estimation. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmvDistinct is exact below k and unaffected by duplication") {
+    val df = (1L to 10L).flatMap(i => Seq.fill(17)(("a", i)))
+      .toDF("g", "id")
+    val out = DistinctSketch.kmvDistinct(df, "g", "id", k = 64).collect()
+    out.length shouldBe 1
+    out.head.getDouble(1) shouldBe 10.0
+    out.head.getLong(2) shouldBe 10L
+  }
+
+  test("kmvDistinct estimates large cardinalities within ~3/sqrt(k)") {
+    val df = (1L to 20000L).map(i => ("a", i)).toDF("g", "id")
+    val est = DistinctSketch.kmvDistinct(df, "g", "id", k = 256)
+      .collect().head.getDouble(1)
+    // relative error of KMV is ~1/sqrt(k) = 6.25% at k=256; 3 sigma
+    math.abs(est - 20000.0) / 20000.0 should be < 0.19
+  }
+
+  test("kmvDistinct per-group: mixed exact and estimated groups") {
+    val big = (1L to 5000L).map(i => ("big", i))
+    val small = (1L to 7L).map(i => ("small", i))
+    val out = DistinctSketch
+      .kmvDistinct((big ++ small).toDF("g", "id"), "g", "id", k = 128)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    out("small") shouldBe ((7.0, 7L))
+    out("big")._2 shouldBe 128L
+    math.abs(out("big")._1 - 5000.0) / 5000.0 should be < 0.27
+  }
+
+  test("the k-smallest filter map-side prunes (WindowGroupLimit)") {
+    val df = (1L to 1000L).map(i => ("a", i)).toDF("g", "id")
+    val plan = DistinctSketch.kmvDistinct(df, "g", "id", k = 16)
+      .queryExecution.executedPlan.toString
+    plan should include("WindowGroupLimit")
+  }
+}
