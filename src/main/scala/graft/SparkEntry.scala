@@ -1246,6 +1246,15 @@ object SparkEntry {
         "event_type", "user_id", k = 64)
     }),
 
+    // analytics: rolling engagement — DAU and 7-day rolling WAU per
+    // activity day; activity dedupes to (day, user) BEFORE the window
+    // fan-out, so the x7 explode multiplies the deduped frame, never the
+    // raw event log, and no per-day window state exists anywhere
+    "q110_rolling_active" -> ((s, dir) => {
+      Funnel.rollingActive(t(s, dir, "events"), "user_id", "ts",
+        windowDays = 7)
+    }),
+
     // functions: feature hashing — raw text folds into fixed-dim count
     // vectors in one native loop (the doc → vector step feeding the
     // similarity stack, no model, no vocab table); md5 bucketing mirrors
@@ -3062,6 +3071,23 @@ object SparkEntry {
          |    END, 6) AS est_distinct,
          |  CAST(m AS BIGINT) AS sketch_rows
          |FROM t""".stripMargin,
+
+    // mirrors q110: a day d credits the windows ending on d..d+6; BETWEEN
+    // range join against observed days replaces the explode; dau is the
+    // distinct count restricted to d = end day (CASE → NULL ignored by
+    // count distinct in both engines)
+    "q110_rolling_active" ->
+      """WITH au AS (
+        |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |    user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM au)
+        |SELECT days.day,
+        |  CAST(count(DISTINCT CASE WHEN au.d = days.day THEN au.user_id
+        |    END) AS BIGINT) AS dau,
+        |  CAST(count(DISTINCT au.user_id) AS BIGINT) AS wau
+        |FROM au JOIN days ON days.day BETWEEN au.d AND au.d + 6
+        |GROUP BY days.day""".stripMargin,
 
     // mirrors q107: the same md5-60 bucket per token (multiset counts —
     // every occurrence lands)

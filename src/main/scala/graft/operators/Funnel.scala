@@ -71,4 +71,37 @@ object Funnel {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
+
+  /** Rolling engagement: for every activity day, the distinct users
+    * active that day (`dau`) and in the `windowDays`-day window ending
+    * that day (`wau` at the default 7).
+    *
+    * `count(DISTINCT user) OVER (RANGE 6 PRECEDING)` is not legal SQL and
+    * the rewrites that fake it (collect_set over a range window) hold a
+    * window's users in one task. Instead: dedupe activity to (day, user)
+    * FIRST — the power-user collapse, a million events by one user in one
+    * day become one row — then explode each pair into the `windowDays`
+    * window-end days it credits, and count distinct per end day. The
+    * ×windowDays fan-out multiplies the DEDUPED frame, not the event log
+    * (at scale |day,user| ≪ |events|), and the count lands in one
+    * hash-partitioned aggregate with no per-day state.
+    *
+    * Only days with activity are emitted (a silent calendar day has no
+    * row; its absence IS the datapoint).
+    */
+  def rollingActive(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays: $windowDays")
+    val au = events
+      .select(to_date(col(tsCol)).as("__d"), col(userCol)).distinct()
+    val days = au.select(col("__d").as("day")).distinct()
+    au.withColumn("day",
+        explode(sequence(col("__d"), date_add(col("__d"), windowDays - 1))))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(
+        countDistinct(when(col("__d") === col("day"), col(userCol)))
+          .as("dau"),
+        countDistinct(col(userCol)).as("wau"))
+  }
 }

@@ -945,6 +945,25 @@ class FunnelSpec extends SparkSpec {
       ("2024-01-01", 2) -> 1L, // user 1 returns in W2
       ("2024-01-08", 0) -> 1L) // user 2's own cohort
   }
+
+  test("rollingActive: dau vs rolling wau, duplicate events collapse, " +
+      "silent days emit no row") {
+    val events = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-01"), // same user+day: one credit
+      (2L, "2024-01-01"),
+      (1L, "2024-01-03"),                     // Jan 2 is silent: no row
+      (3L, "2024-01-09"))                     // Jan 1 outside its window
+      .toDF("uid", "ds")
+      .withColumn("ts", to_timestamp($"ds"))
+    val out = Funnel.rollingActive(events, "uid", "ts", windowDays = 7)
+      .select($"day".cast("string"), $"dau", $"wau")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    out shouldBe Map(
+      "2024-01-01" -> ((2L, 2L)),
+      "2024-01-03" -> ((1L, 2L)),  // window [Dec 28..Jan 3]: users 1, 2
+      "2024-01-09" -> ((1L, 2L))) // window [Jan 3..Jan 9]: users 1, 3
+  }
 }
 
 class ReconcileSpec extends SparkSpec {
