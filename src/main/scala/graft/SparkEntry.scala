@@ -1246,6 +1246,15 @@ object SparkEntry {
         "event_type", "user_id", k = 64)
     }),
 
+    // text: per-doc top-3 TF-IDF terms — rational idf (N/df, same
+    // ranking as log-idf, no libm in the path) keeps the score a single
+    // division of exact integer products; rank ties break on unrounded
+    // score then term, WindowGroupLimit prunes map-side
+    "q111_tfidf_terms" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"),
+        "doc_id", "text", k = 3)
+    }),
+
     // analytics: rolling engagement — DAU and 7-day rolling WAU per
     // activity day; activity dedupes to (day, user) BEFORE the window
     // fan-out, so the x7 explode multiplies the deduped frame, never the
@@ -3071,6 +3080,30 @@ object SparkEntry {
          |    END, 6) AS est_distinct,
          |  CAST(m AS BIGINT) AS sketch_rows
          |FROM t""".stripMargin,
+
+    // mirrors q111: tf over the shared tokenizer, df counted off the tf
+    // frame, N = distinct docs with >=1 token; rank ordered by the
+    // UNROUNDED score (identical IEEE bits both engines) then term
+    "q111_tfidf_terms" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tk GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        |  GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    CAST(tf.tf * n.n AS DOUBLE) / df.df AS sc,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.term)
+        |      AS INTEGER) AS rank
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, round(sc, 6) AS tfidf, rank
+        |FROM s WHERE rank <= 3""".stripMargin,
 
     // mirrors q110: a day d credits the windows ending on d..d+6; BETWEEN
     // range join against observed days replaces the explode; dau is the

@@ -296,4 +296,40 @@ object TextAnalysis {
         round(col("n_common").cast("double") / col("n_grams"), 6)
           .as("common_fraction"))
   }
+
+  /** Per-document top-`k` terms by TF-IDF — the keyword-extraction face
+    * of the unigram stack (and the classic relevance weighting,
+    * Spärck Jones 1972).
+    *
+    * The idf is the RATIONAL form N/df rather than log(N/df): the ranking
+    * is identical (log is monotone) and the score stays a single division
+    * of exact integers — tf·N is a BIGINT product, so the resulting
+    * double is bit-identical across engines with no libm in the path.
+    *
+    * Scale shape: tf is one (doc, term) aggregation; df reuses the tf
+    * frame (already one row per doc-term) with a map-side-combinable
+    * count per term; N is a one-row aggregate broadcast back by the
+    * 1-row join; the top-k filter is `row_number() ≤ k` over
+    * (score desc, term) which WindowGroupLimit map-side prunes. Ties
+    * break on the UNROUNDED score then term, so the emitted rank is
+    * deterministic.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val nDocs = tf.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val score = (col("tf") * col("__n")).cast("double") / col("__df")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(score.desc, col("term"))
+    tf.join(dfTab, Seq("term")).crossJoin(broadcast(nDocs))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"),
+        round(score, 6).as("tfidf"), col("rank"))
+  }
 }

@@ -353,6 +353,24 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().sortBy(_._1) shouldBe Array((1, "en"), (2, "de"), (3, "und"))
   }
 
+  test("tfidfTopTerms: rational idf ranking, tie-break on term, k cap, " +
+      "map-side pruned window") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry date")).toDF("id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "id", "text", k = 2)
+    val got = out.select($"id", $"term", $"tf", $"tfidf", $"rank")
+      .as[(Long, String, Long, Double, Int)].collect().sortBy(r => (r._1, r._5))
+    // N=3; df: apple 1, banana 2, cherry 2, date 1
+    got shouldBe Array(
+      (1L, "apple", 2L, 6.0, 1), (1L, "banana", 1L, 1.5, 2),
+      (2L, "banana", 1L, 1.5, 1), (2L, "cherry", 1L, 1.5, 2), // tie: term asc
+      (3L, "cherry", 2L, 3.0, 1), (3L, "date", 1L, 3.0, 2))   // tie: term asc
+    out.queryExecution.executedPlan.toString should
+      include("WindowGroupLimit")
+  }
+
   test("token counts: whitespace vs BPE-ish") {
     val df = Seq("hello world42 a.b").toDF("text")
     df.select(TextAnalysis.tokenCount($"text"),
