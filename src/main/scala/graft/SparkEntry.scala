@@ -1246,6 +1246,22 @@ object SparkEntry {
         "event_type", "user_id", k = 64)
     }),
 
+    // validation: declarative quality checks — all row-level rules fold
+    // into ONE aggregation pass; uniqueness is a keys-only hash agg;
+    // the FK check is a left-anti join vs distinct dim keys. The tight
+    // l_discount band is deliberately violated so the gate pins a
+    // passed=false row alongside the green ones
+    "q112_quality_checks" -> ((s, dir) => {
+      Checks.run(t(s, dir, "lineitem"), Seq(
+        Checks.notNull("l_orderkey"),
+        Checks.inRange("l_quantity", 1, 50),
+        Checks.inRange("l_discount", 0.0, 0.05),
+        Checks.matches("l_returnflag", "^[ARN]$"),
+        Checks.unique("l_orderkey", "l_linenumber"),
+        Checks.referential("l_orderkey", t(s, dir, "orders"),
+          "o_orderkey")))
+    }),
+
     // text: per-doc top-3 TF-IDF terms — rational idf (N/df, same
     // ranking as log-idf, no libm in the path) keeps the score a single
     // division of exact integer products; rank ties break on unrounded
@@ -3080,6 +3096,43 @@ object SparkEntry {
          |    END, 6) AS est_distinct,
          |  CAST(m AS BIGINT) AS sketch_rows
          |FROM t""".stripMargin,
+
+    // mirrors q112: one SELECT per rule, unioned; rule names match the
+    // operator's generated labels exactly
+    "q112_quality_checks" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lineitem),
+        |rules AS (
+        |  SELECT 'not_null(l_orderkey)' AS check_name,
+        |    CAST(coalesce(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0
+        |      END), 0) AS BIGINT) AS violations FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range(l_quantity,1.0,50.0)',
+        |    CAST(coalesce(sum(CASE WHEN l_quantity IS NULL
+        |      OR l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range(l_discount,0.0,0.05)',
+        |    CAST(coalesce(sum(CASE WHEN l_discount IS NULL
+        |      OR l_discount < 0.0 OR l_discount > 0.05 THEN 1 ELSE 0
+        |      END), 0) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'matches(l_returnflag)',
+        |    CAST(coalesce(sum(CASE WHEN l_returnflag IS NULL
+        |      OR NOT regexp_matches(l_returnflag, '^[ARN]$') THEN 1
+        |      ELSE 0 END), 0) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique(l_orderkey,l_linenumber)',
+        |    CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM (
+        |      SELECT count(*) AS c FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+        |  UNION ALL
+        |  SELECT 'referential(l_orderkey)',
+        |    CAST(count(*) AS BIGINT) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_orderkey = l.l_orderkey))
+        |SELECT r.check_name, r.violations, t.total,
+        |  r.violations = 0 AS passed
+        |FROM rules r CROSS JOIN t""".stripMargin,
 
     // mirrors q111: tf over the shared tokenizer, df counted off the tf
     // frame, N = distinct docs with >=1 token; rank ordered by the

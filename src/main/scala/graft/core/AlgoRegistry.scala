@@ -375,6 +375,15 @@ object AlgoRegistry {
         config.getString("id_column"), config.getString("group_column"),
         config.getString("weight_column"),
         config.getDouble("budget_per_group")))
+    // declarative quality checks: writes the (check_name, violations,
+    // total, passed) report; rules are compact strings (not_null:c,
+    // in_range:c:lo:hi, matches:c:regex, unique:a,b)
+    case "QualityChecks" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Checks.run(df,
+        config.getSeq[String]("rules")
+          .map(graft.operators.Checks.parseRule)))
     // per-group quantile-band filter: keep rows whose percent_rank of
     // score_column within group_column lies in [lo, hi]
     case "QuantileBand" => new TransformAlgorithm(spark, fsOps,

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks — the validation gate a curation
+  * pipeline runs before promoting a load (the Deequ/Great-Expectations
+  * product shape, re-expressed as Catalyst aggregates).
+  *
+  * Three evaluation regimes, each the cheapest plan its rule class
+  * admits:
+  *
+  *  - row-level rules ([[Checks.notNull]], [[Checks.inRange]],
+  *    [[Checks.matches]], [[Checks.satisfies]]) all fold into ONE
+  *    map-side-combinable aggregation pass — one `sum(violates)` column
+  *    per rule, one scan, one 1-row result, regardless of rule count;
+  *  - [[Checks.unique]] needs the duplicate groups: one hash aggregation
+  *    on the key, violations = Σ(group size − 1), the key never leaves
+  *    the aggregate (no content shuffle);
+  *  - [[Checks.referential]] is a left-anti join against the DISTINCT
+  *    reference keys — AQE broadcasts the dim side when it is small,
+  *    the usual case for FK domains.
+  *
+  * Results land in one frame `(check_name, violations, total, passed)` —
+  * a dataset of facts, joinable into audit logs, not an exception. Use
+  * `require(Checks.allPassed(...))` at the call site when a hard gate is
+  * wanted.
+  */
+object Checks {
+
+  /** One rule: `name` labels the output row; exactly one of `violates`
+    * (row-level predicate) / `uniqueCols` / `ref` is set.
+    */
+  final case class Check private[Checks] (
+      name: String,
+      violates: Option[Column] = None,
+      uniqueCols: Seq[String] = Nil,
+      ref: Option[(DataFrame, String, String)] = None)
+
+  /** Row-level: `col` must not be null. */
+  def notNull(c: String): Check =
+    Check(s"not_null($c)", violates = Some(col(s"`$c`").isNull))
+
+  /** Row-level: `col` within [lo, hi]; nulls violate. */
+  def inRange(c: String, lo: Double, hi: Double): Check =
+    Check(s"in_range($c,$lo,$hi)",
+      violates = Some(!col(s"`$c`").between(lo, hi) ||
+        col(s"`$c`").isNull))
+
+  /** Row-level: string column matches the regex; nulls violate. */
+  def matches(c: String, regex: String): Check =
+    Check(s"matches($c)",
+      violates = Some(!col(s"`$c`").rlike(regex) || col(s"`$c`").isNull))
+
+  /** Row-level: rows where `predicate` is NOT true violate. */
+  def satisfies(name: String, predicate: Column): Check =
+    Check(s"satisfies($name)", violates = Some(!coalesce(predicate,
+      lit(false))))
+
+  /** Group-level: the column tuple is unique; violations = extra rows
+    * beyond the first of each duplicate group.
+    */
+  def unique(cols: String*): Check =
+    Check(s"unique(${cols.mkString(",")})", uniqueCols = cols)
+
+  /** Referential: every `c` value exists in `dim.dimCol` (FK check);
+    * violations = rows whose key has no match. Null keys violate (an FK
+    * that allows null belongs in a separate nullable rule, not hidden
+    * here).
+    */
+  def referential(c: String, dim: DataFrame, dimCol: String): Check =
+    Check(s"referential($c)", ref = Some((dim, c, dimCol)))
+
+  /** Evaluate all checks; one row per check:
+    * (check_name, violations, total, passed).
+    */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no checks given")
+
+    val rowLevel = checks.filter(_.violates.nonEmpty)
+    val rowFrame: Option[DataFrame] =
+      if (rowLevel.isEmpty) None
+      else {
+        // ONE aggregation pass for all row-level rules AND the row
+        // count — a row-level-only run never scans the input twice
+        val aggs = count(lit(1)).as("__total") +: rowLevel.map(ch =>
+          coalesce(sum(when(ch.violates.get, 1L).otherwise(0L)), lit(0L))
+            .as(ch.name))
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        Some(one.select(explode(map(
+          rowLevel.flatMap(ch =>
+            Seq(lit(ch.name), col(s"`${ch.name}`"))): _*))
+            .as(Seq("check_name", "violations")),
+          col("__total").as("total")))
+      }
+
+    // group/ref rules scan the input anyway; they share one extra
+    // count pass for the total column
+    lazy val total = broadcast(df.agg(count(lit(1)).as("total")))
+
+    val uniques = checks.filter(_.uniqueCols.nonEmpty).map { ch =>
+      df.groupBy(ch.uniqueCols.map(c => col(s"`$c`")): _*)
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+        .agg(coalesce(sum(col("__c") - 1), lit(0L)).as("violations"))
+        .select(lit(ch.name).as("check_name"), col("violations"))
+        .crossJoin(total)
+    }
+
+    val refs = checks.filter(_.ref.nonEmpty).map { ch =>
+      val (dim, c, dimCol) = ch.ref.get
+      df.select(col(s"`$c`").as("__k"))
+        .join(dim.select(col(s"`$dimCol`").as("__k")).distinct(),
+          Seq("__k"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(ch.name).as("check_name"), col("violations"))
+        .crossJoin(total)
+    }
+
+    val parts = rowFrame.toSeq ++ uniques ++ refs
+    parts.reduce(_.unionByName(_))
+      .select(col("check_name"), col("violations"), col("total"),
+        (col("violations") === 0L).as("passed"))
+  }
+
+  /** True iff every check in a [[run]] result passed. */
+  def allPassed(results: DataFrame): Boolean =
+    results.filter(!col("passed")).isEmpty
+
+  /** Parse a compact string rule — the params-JSON surface:
+    * `not_null:col`, `in_range:col:lo:hi`, `matches:col:regex`,
+    * `unique:colA,colB`.
+    */
+  def parseRule(rule: String): Check = rule.split(":", 2).toSeq match {
+    case Seq("not_null", c) => notNull(c)
+    case Seq("in_range", rest) => rest.split(":").toSeq match {
+      case Seq(c, lo, hi) => inRange(c, lo.toDouble, hi.toDouble)
+      case _ => throw new IllegalArgumentException(
+        s"in_range needs col:lo:hi - got: $rule")
+    }
+    case Seq("matches", rest) =>
+      val Array(c, regex) = rest.split(":", 2)
+      matches(c, regex)
+    case Seq("unique", cs) => unique(cs.split(",").toIndexedSeq: _*)
+    case _ => throw new IllegalArgumentException(s"unknown rule: $rule")
+  }
+}

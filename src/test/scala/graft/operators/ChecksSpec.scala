@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Checks]] — declarative data-quality validation. */
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame = Seq(
+    (Some(1L), Some(10.0), Some("A")),
+    (Some(2L), Some(200.0), Some("B")), // out of range, bad flag
+    (Some(2L), None, Some("A")),        // dup id, null value
+    (None, Some(5.0), None))            // null id, null flag
+    .toDF("id", "v", "flag")
+
+  test("each rule class counts its violations; passed = zero") {
+    val dim = Seq(1L, 2L).toDF("k")
+    val out = Checks.run(frame, Seq(
+      Checks.notNull("id"),
+      Checks.inRange("v", 0, 100),
+      Checks.matches("flag", "^[AB]$"),
+      Checks.unique("id"),
+      Checks.referential("id", dim, "k")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    out("not_null(id)") shouldBe ((1L, 4L, false))
+    out("in_range(v,0.0,100.0)") shouldBe ((2L, 4L, false)) // 200 + null
+    out("matches(flag)") shouldBe ((1L, 4L, false))         // null flag
+    out("unique(id)") shouldBe ((1L, 4L, false))            // one extra 2
+    out("referential(id)") shouldBe ((1L, 4L, false))       // the null id
+  }
+
+  test("clean data passes everything; allPassed gates") {
+    val clean = Seq((1L, 5.0), (2L, 6.0)).toDF("id", "v")
+    val res = Checks.run(clean,
+      Seq(Checks.notNull("id"), Checks.inRange("v", 0, 10),
+        Checks.unique("id")))
+    res.collect().map(_.getBoolean(3)).forall(identity) shouldBe true
+    Checks.allPassed(res) shouldBe true
+    Checks.allPassed(Checks.run(clean,
+      Seq(Checks.inRange("v", 0, 1)))) shouldBe false
+  }
+
+  test("satisfies: arbitrary predicate, null predicate counts violated") {
+    val out = Checks.run(frame,
+      Seq(Checks.satisfies("v_lt_flagless", $"v" < 100)))
+      .collect().head
+    // 200 violates; the null v row's predicate is null -> violated
+    out.getLong(1) shouldBe 2L
+  }
+
+  test("all row-level rules fold into one aggregation pass") {
+    val res = Checks.run(frame, Seq(
+      Checks.notNull("id"), Checks.inRange("v", 0, 100),
+      Checks.matches("flag", "^[AB]$"), Checks.satisfies("p", $"v" > 0)))
+    // 4 rules, 1 scan: exactly one scan of the input in the plan
+    val scans = res.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("LocalTableScan"))
+    scans shouldBe 1
+  }
+
+  test("parseRule round-trips the params-JSON surface") {
+    Checks.parseRule("not_null:id").name shouldBe "not_null(id)"
+    Checks.parseRule("in_range:v:0:100").name shouldBe
+      "in_range(v,0.0,100.0)"
+    Checks.parseRule("matches:flag:^[A:B]$").name shouldBe "matches(flag)"
+    Checks.parseRule("unique:a,b").name shouldBe "unique(a,b)"
+    an[IllegalArgumentException] should be thrownBy
+      Checks.parseRule("nope:x")
+  }
+}
