@@ -1246,6 +1246,16 @@ object SparkEntry {
         "event_type", "user_id", k = 64)
     }),
 
+    // layout: Morton z-values — the interleaved-bits clustering key
+    // behind two-dimensional data skipping (each z-sorted file covers an
+    // (x,y) rectangle, so footer stats skip files for predicates on
+    // EITHER column); the gate pins the exact bit chain cross-engine
+    "q113_zorder_key" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        Layout.zValue(col("l_partkey"), col("l_suppkey"), bits = 16)
+          .as("zval"))
+    }),
+
     // validation: declarative quality checks — all row-level rules fold
     // into ONE aggregation pass; uniqueness is a keys-only hash agg;
     // the FK check is a left-anti join vs distinct dim keys. The tight
@@ -3096,6 +3106,14 @@ object SparkEntry {
          |    END, 6) AS est_distinct,
          |  CAST(m AS BIGINT) AS sketch_rows
          |FROM t""".stripMargin,
+
+    // mirrors q113: the identical unrolled interleave chain (generated by
+    // the same Scala code that builds the Spark expression)
+    "q113_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${Layout.zValueSql("l_partkey", "l_suppkey", bits = 16)}
+         |  AS zval
+         |FROM lineitem""".stripMargin,
 
     // mirrors q112: one SELECT per rule, unioned; rule names match the
     // operator's generated labels exactly

@@ -75,4 +75,54 @@ object Layout {
       numFiles: Int): DataFrame =
     df.repartitionByRange(numFiles, col(sortCol))
       .sortWithinPartitions(col(sortCol))
+
+  /** Z-value of two dimensions: interleave the low `bits` bits of each
+    * (x bit i → position 2i, y bit i → 2i+1), the Morton curve. Sorting
+    * by it clusters BOTH dimensions at once — each output file covers a
+    * rectangle of (x, y) space, so parquet min/max stats skip files for
+    * predicates on EITHER column (a single-column sort buys skipping on
+    * that column only; the Delta OPTIMIZE ZORDER trade). Inputs are
+    * masked to `bits` (callers bucketize wider domains first); the
+    * unrolled or/shift chain is all built-ins, inside whole-stage
+    * codegen.
+    */
+  def zValue(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column, bits: Int = 16):
+      org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(x.cast("long").bitwiseAND(lit(1L << i)), i))
+        .bitwiseOR(shiftleft(y.cast("long").bitwiseAND(lit(1L << i)),
+          i + 1))
+    }
+  }
+
+  /** The SQL mirror of [[zValue]] — the identical unrolled bit chain, so
+    * an external engine reproduces the exact z-values.
+    */
+  def zValueSql(x: String, y: String, bits: Int = 16): String = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    (0 until bits).flatMap(i => Seq(
+      s"(($x & ${1L << i}) << $i)",
+      s"(($y & ${1L << i}) << ${i + 1})")).mkString(" | ")
+  }
+
+  /** Z-ordered parquet export: range-cluster by the interleaved z-value
+    * (sampled boundaries — no global sort), order rows inside each file,
+    * drop the working column. Files then cover (x, y) rectangles and
+    * predicates on either column skip non-overlapping files via footer
+    * stats.
+    */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String,
+      yCol: String, bits: Int, numFiles: Int): Unit = {
+    require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    var z = "__z"
+    while (df.columns.contains(z)) z += "_"
+    df.withColumn(z, zValue(col(s"`$xCol`"), col(s"`$yCol`"), bits))
+      .repartitionByRange(numFiles, col(z))
+      .sortWithinPartitions(col(z))
+      .drop(z)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

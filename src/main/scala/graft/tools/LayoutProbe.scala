@@ -61,6 +61,34 @@ object LayoutProbe {
       f""""matching_rows":$nS,""" +
       f""""sorted_scan_rows":$scanS,"scattered_scan_rows":$scanU,""" +
       f""""skip_ratio":${scanU.toDouble / math.max(scanS, 1)}%.1f}""")
+
+    // z-order: the SECOND dimension also skips. Same frame with two
+    // independent 16-bit dims; a narrow y-filter against (a) z-ordered
+    // and (b) x-sorted layouts — single-column sort buys y nothing,
+    // the Morton curve buys both axes
+    val df2 = spark.range(rows).select(
+      (col("id") * 2654435761L % 65536L).as("x"),
+      (col("id") * 40503L % 65536L).as("y"),
+      concat(lit("payload-"), col("id")).as("body"))
+    Layout.writeZOrdered(df2, s"$base/zorder", "x", "y", 16, files)
+    Layout.writeSorted(df2, s"$base/xsorted", "x", files)
+    def yScan(path: String): (Long, Long) = {
+      val q = spark.read.parquet(path)
+        .filter(col("y") < 1024L).select(col("y"))
+      val n = q.collect().length.toLong
+      val scan = q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        .getOrElse(sys.error("no FileSourceScanExec in plan"))
+      (n, scan.metrics("numOutputRows").value)
+    }
+    val (nZ, scanZ) = yScan(s"$base/zorder")
+    val (nX, scanX) = yScan(s"$base/xsorted")
+    require(nZ == nX, s"row mismatch: $nZ vs $nX")
+    println(f"""{"probe":"layout_zorder","rows":$rows,"files":$files,""" +
+      f""""matching_rows":$nZ,""" +
+      f""""zorder_scan_rows":$scanZ,"xsorted_scan_rows":$scanX,""" +
+      f""""y_skip_ratio":${scanX.toDouble / math.max(scanZ, 1)}%.1f}""")
     spark.stop()
   }
 }
