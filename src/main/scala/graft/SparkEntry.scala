@@ -1246,6 +1246,23 @@ object SparkEntry {
         "event_type", "user_id", k = 64)
     }),
 
+    // sketches: KMV mergeability — sketch two disjoint halves of the
+    // event log separately, merge the sketch ARTIFACTS, estimate.
+    // The oracle computes the estimate over the whole table directly:
+    // merge-of-parts == sketch-of-union, exactly, which is what lets
+    // per-load sketch artifacts answer cross-load distinct counts
+    // without re-reading any load
+    "q114_kmv_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = DistinctSketch.kmvHashes(
+        ev.filter(col("event_id") % 2 === 0), "event_type", "user_id", 64)
+      val b = DistinctSketch.kmvHashes(
+        ev.filter(col("event_id") % 2 =!= 0), "event_type", "user_id", 64)
+      DistinctSketch.kmvEstimate(
+        DistinctSketch.kmvMerge(Seq(a, b), "event_type", 64),
+        "event_type", 64)
+    }),
+
     // layout: Morton z-values — the interleaved-bits clustering key
     // behind two-dimensional data skipping (each z-sorted file covers an
     // (x,y) rectangle, so footer stats skip files for predicates on
@@ -1718,6 +1735,29 @@ object SparkEntry {
   private def lshSigsSql(tables: Int, bits: Int, dims: Int): String =
     lshSigsSqlOver("SELECT vec_id, embedding FROM embeddings",
       tables, bits, dims)
+
+  /** The KMV distinct-count oracle over the whole events table — shared
+    * by q109 (inline sketch) and q114 (merge of per-half sketch
+    * artifacts), which must produce the identical estimate.
+    */
+  private val kmvOracleSql: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |    ${PortableHash.sqlHash60("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM h),
+       |t AS (
+       |  SELECT event_type, count(*) AS m, max(h) AS kth
+       |  FROM r WHERE rn <= 64 GROUP BY event_type)
+       |SELECT event_type,
+       |  round(CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+       |    ELSE CAST(63 AS DOUBLE) * power(2.0, 60) / CAST(kth AS DOUBLE)
+       |    END, 6) AS est_distinct,
+       |  CAST(m AS BIGINT) AS sketch_rows
+       |FROM t""".stripMargin
 
   /** The sign-LSH signature chain over an arbitrary (vec_id, embedding)
     * SQL source — q65 runs it over the embeddings table, q108 over
@@ -3088,24 +3128,12 @@ object SparkEntry {
     // function of the data, so the ESTIMATE itself hash-matches.
     // (k-1)*2^60 is exact in a double (1023 < 2^53, 2^60 a power of two),
     // then a single division — identical IEEE bits both engines
-    "q109_kmv_distinct" ->
-      s"""WITH h AS (
-         |  SELECT DISTINCT event_type,
-         |    ${PortableHash.sqlHash60("CAST(user_id AS VARCHAR)")} AS h
-         |  FROM events),
-         |r AS (
-         |  SELECT event_type, h,
-         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-         |  FROM h),
-         |t AS (
-         |  SELECT event_type, count(*) AS m, max(h) AS kth
-         |  FROM r WHERE rn <= 64 GROUP BY event_type)
-         |SELECT event_type,
-         |  round(CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
-         |    ELSE CAST(63 AS DOUBLE) * power(2.0, 60) / CAST(kth AS DOUBLE)
-         |    END, 6) AS est_distinct,
-         |  CAST(m AS BIGINT) AS sketch_rows
-         |FROM t""".stripMargin,
+    "q109_kmv_distinct" -> kmvOracleSql,
+
+    // mirrors q114: the ORACLE is q109's whole-table computation — the
+    // gate's merge-of-half-sketches must land the identical estimate,
+    // pinning sketch mergeability cross-engine
+    "q114_kmv_merge" -> kmvOracleSql,
 
     // mirrors q113: the identical unrolled interleave chain (generated by
     // the same Scala code that builds the Spark expression)

@@ -43,20 +43,50 @@ object DistinctSketch {
     * level; `est_distinct` is exact when the sketch is not full.
     */
   def kmvDistinct(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame =
+    kmvEstimate(kmvHashes(df, groupCol, idCol, k), groupCol, k)
+
+  /** The sketch ITSELF as data: per group, the ≤ k smallest distinct
+    * hashes, one row each — a frame you can parquet out as a load's
+    * sketch artifact. Sketches are MERGEABLE ([[kmvMerge]]): the sketch
+    * of a union is recoverable from the sketches of the parts, so
+    * per-load artifacts answer distinct-count questions over any
+    * combination of loads without ever re-reading them.
+    */
+  def kmvHashes(df: DataFrame, groupCol: String, idCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
-    val hashes = df
+    smallestK(df
       .select(col(s"`$groupCol`"), hash60(col(s"`$idCol`")).as("__h"))
-      .distinct()
-    val rn = row_number().over(
-      Window.partitionBy(col(s"`$groupCol`")).orderBy(col("__h")))
-    hashes.withColumn("__rn", rn).filter(col("__rn") <= k)
-      .groupBy(col(s"`$groupCol`"))
+      .distinct(), groupCol, k)
+  }
+
+  /** Merge sketch frames from [[kmvHashes]]: union, dedupe (the same id
+    * lands the same hash in every part), keep the k smallest per group.
+    * sketch(A ∪ B) == kmvMerge(sketch(A), sketch(B)) — exactly, not
+    * approximately, which is what makes the artifact regime sound.
+    */
+  def kmvMerge(sketches: Seq[DataFrame], groupCol: String,
+      k: Int): DataFrame = {
+    require(sketches.nonEmpty, "no sketches to merge")
+    require(k >= 2, s"k must be >= 2: $k")
+    smallestK(sketches.reduce(_.unionByName(_)).distinct(), groupCol, k)
+  }
+
+  /** Estimate from a sketch frame (inline-built or reloaded artifact). */
+  def kmvEstimate(hashes: DataFrame, groupCol: String, k: Int): DataFrame =
+    hashes.groupBy(col(s"`$groupCol`"))
       .agg(count(lit(1)).as("__m"), max(col("__h")).as("__kth"))
       .select(col(s"`$groupCol`"),
         round(when(col("__m") < k, col("__m").cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
             col("__kth").cast("double")), 6).as("est_distinct"),
         col("__m").as("sketch_rows"))
+
+  private def smallestK(hashes: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    val rn = row_number().over(
+      Window.partitionBy(col(s"`$groupCol`")).orderBy(col("__h")))
+    hashes.withColumn("__rn", rn).filter(col("__rn") <= k).drop("__rn")
   }
 }

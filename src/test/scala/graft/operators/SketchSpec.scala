@@ -35,6 +35,31 @@ class SketchSpec extends SparkSpec {
     math.abs(out("big")._1 - 5000.0) / 5000.0 should be < 0.27
   }
 
+  test("kmvMerge of part sketches equals the sketch of the union — " +
+      "exactly, including overlapping ids") {
+    val a = (1L to 3000L).map(i => ("g", i)).toDF("g", "id")
+    val b = (2000L to 6000L).map(i => ("g", i)).toDF("g", "id") // overlap
+    val merged = DistinctSketch.kmvMerge(
+      Seq(DistinctSketch.kmvHashes(a, "g", "id", 64),
+        DistinctSketch.kmvHashes(b, "g", "id", 64)), "g", 64)
+    val whole = DistinctSketch.kmvHashes(a.union(b), "g", "id", 64)
+    assertSameRows(merged, whole)
+    // and therefore the estimates agree bit-for-bit
+    assertSameRows(
+      DistinctSketch.kmvEstimate(merged, "g", 64),
+      DistinctSketch.kmvDistinct(a.union(b), "g", "id", 64))
+  }
+
+  test("sketch artifacts survive a parquet round-trip") {
+    val df = (1L to 5000L).map(i => ("g", i)).toDF("g", "id")
+    val dir = tmp("kmv_artifact") + "/sk"
+    DistinctSketch.kmvHashes(df, "g", "id", 64)
+      .write.parquet(dir)
+    assertSameRows(
+      DistinctSketch.kmvEstimate(spark.read.parquet(dir), "g", 64),
+      DistinctSketch.kmvDistinct(df, "g", "id", 64))
+  }
+
   test("the k-smallest filter map-side prunes (WindowGroupLimit)") {
     val df = (1L to 1000L).map(i => ("a", i)).toDF("g", "id")
     val plan = DistinctSketch.kmvDistinct(df, "g", "id", k = 16)
