@@ -1246,6 +1246,18 @@ object SparkEntry {
         "event_type", "user_id", k = 64)
     }),
 
+    // warehouse: SCD2 history — compress each user's event-type change
+    // log into validity ranges (value runs with valid_from/valid_to,
+    // open row flagged current); both windows share one key partition
+    "q115_scd2_history" -> ((s, dir) => {
+      Reconcile.scd2Compress(t(s, dir, "events"),
+          "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("from_us"),
+          unix_micros(col("valid_to")).as("to_us"),
+          col("is_current"))
+    }),
+
     // sketches: KMV mergeability — sketch two disjoint halves of the
     // event log separately, merge the sketch ARTIFACTS, estimate.
     // The oracle computes the estimate over the whole table directly:
@@ -3134,6 +3146,27 @@ object SparkEntry {
     // gate's merge-of-half-sketches must land the identical estimate,
     // pinning sketch mergeability cross-engine
     "q114_kmv_merge" -> kmvOracleSql,
+
+    // mirrors q115: run starts where the value differs from its
+    // predecessor (or at the first observation); valid_to = next run's
+    // start within the key
+    "q115_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP))
+        |      AS tsu, event_id,
+        |    lag(event_type) OVER w AS prev,
+        |    lag(event_id) OVER w IS NULL AS first
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT user_id, event_type, tsu, event_id FROM e
+        |  WHERE first OR event_type IS DISTINCT FROM prev)
+        |SELECT user_id, event_type, tsu AS from_us,
+        |  lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |    AS to_us,
+        |  lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |    IS NULL AS is_current
+        |FROM runs""".stripMargin,
 
     // mirrors q113: the identical unrolled interleave chain (generated by
     // the same Scala code that builds the Spark expression)

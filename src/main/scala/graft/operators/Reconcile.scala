@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Snapshot reconciliation: classify every key of two table versions as
@@ -43,5 +44,39 @@ object Reconcile {
           .when(col("__dg_new").isNull, lit("removed"))
           .when(col("__dg_old") === col("__dg_new"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
+  }
+
+  /** Compress an append-only attribute log into SCD type-2 validity
+    * ranges: one row per VALUE RUN of `valueCol` within `keyCol`,
+    * `valid_from` = first observation of the run, `valid_to` = start of
+    * the next run (null while current), `is_current` on the open row —
+    * the warehouse history-table shape, built from a raw change log in
+    * two window passes.
+    *
+    * Observations are ordered by (`tsCol`, `tieCol`); repeated
+    * observations of the same value extend the run (no new row). Scale
+    * shape: both windows partition by the key, so Catalyst plans ONE
+    * exchange — the run filter preserves the clustering and the second
+    * (lead) window reuses it without re-shuffling; no per-key state
+    * beyond the sort.
+    */
+  def scd2Compress(log: DataFrame, keyCol: String, valueCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val byTime = Window.partitionBy(col(s"`$keyCol`"))
+      .orderBy(col(s"`$tsCol`"), col(s"`$tieCol`"))
+    log.select(col(s"`$keyCol`"), col(s"`$valueCol`"), col(s"`$tsCol`"),
+        col(s"`$tieCol`"))
+      .withColumn("__prev", lag(col(s"`$valueCol`"), 1).over(byTime))
+      // first-row detection via the (non-null) tie column, so a null
+      // VALUE is still a legal run of its own
+      .withColumn("__first",
+        lag(col(s"`$tieCol`"), 1).over(byTime).isNull)
+      // run starts: the first observation, or a value different from
+      // the previous one (null-safe comparison)
+      .filter(col("__first") || !(col(s"`$valueCol`") <=> col("__prev")))
+      .withColumn("valid_to", lead(col(s"`$tsCol`"), 1).over(byTime))
+      .select(col(s"`$keyCol`"), col(s"`$valueCol`"),
+        col(s"`$tsCol`").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
   }
 }

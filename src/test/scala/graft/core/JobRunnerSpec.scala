@@ -231,6 +231,26 @@ class JobRunnerSpec extends SparkSpec {
     // 9 rows fill 90 < 95; the 10th crosses and is kept
     spark.read.parquet(tgtW).count() shouldBe 10
 
+    // quality checks through the params surface: string rules parse,
+    // the report lands as data
+    val srcQ = tmp("jr_qc_src") + "/t"
+    Seq((1L, 5.0), (2L, 500.0), (2L, 6.0)).toDF("id", "v")
+      .write.parquet(srcQ)
+    val tgtQ = tmp("jr_qc_tgt") + "/t"
+    val paramsQ = tmp("jr_qc_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsQ),
+      s"""{"source_dir": "$srcQ", "target_dir": "$tgtQ",
+         | "rules": ["not_null:id", "in_range:v:0:100", "unique:id"]}"""
+        .stripMargin)
+    JobRunner.execute(spark, "QualityChecks", paramsQ)
+    val report = spark.read.parquet(tgtQ)
+      .select(col("check_name"), col("violations"), col("passed"))
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    report("not_null(id)") shouldBe ((0L, true))
+    report("in_range(v,0.0,100.0)") shouldBe ((1L, false))
+    report("unique(id)") shouldBe ((1L, false))
+
     val tgt8 = tmp("jr_uq_tgt") + "/t"
     val params8 = tmp("jr_uq_par") + "/p.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(params8),

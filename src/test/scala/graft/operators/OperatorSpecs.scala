@@ -1025,6 +1025,36 @@ class ReconcileSpec extends SparkSpec {
   }
 }
 
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("scd2Compress: value runs collapse, ranges chain, the open row " +
+      "is current, null values are legal runs, ONE exchange") {
+    val log = Seq(
+      (1L, Some("a"), 10L), (1L, Some("a"), 20L), // same run
+      (1L, Some("b"), 30L),                        // new run
+      (1L, Some("b"), 40L), (1L, Some("a"), 50L),  // back to a: new run
+      (2L, None: Option[String], 5L), (2L, Some("x"), 15L))
+      .toDF("k", "v", "tie")
+      .withColumn("ts", timestamp_millis($"tie"))
+    val out = Reconcile.scd2Compress(log, "k", "v", "ts", "tie")
+    val rows = out.select($"k", $"v",
+        unix_millis($"valid_from"), unix_millis($"valid_to"),
+        $"is_current")
+      .as[(Long, Option[String], Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._3))
+    rows shouldBe Array(
+      (1L, Some("a"), 10L, Some(30L), false),
+      (1L, Some("b"), 30L, Some(50L), false),
+      (1L, Some("a"), 50L, None, true),
+      (2L, None, 5L, Some(15L), false),
+      (2L, Some("x"), 15L, None, true))
+    // both windows share the key partitioning: exactly one exchange
+    out.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange")) shouldBe 1
+  }
+}
+
 class SqlFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
