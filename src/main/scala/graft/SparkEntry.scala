@@ -1246,6 +1246,14 @@ object SparkEntry {
         "event_type", "user_id", k = 64)
     }),
 
+    // analytics: full quantile summary per group in ONE histogram pass —
+    // p25/p50/p75/p95 of doc length per language; the p fan-out explodes
+    // the cumulated histogram (distinct scores), never the raw rows
+    "q116_quantile_summary" -> ((s, dir) => {
+      Sampling.quantilesPerGroup(t(s, dir, "documents"), "lang",
+        "n_chars", Seq(0.25, 0.5, 0.75, 0.95))
+    }),
+
     // warehouse: SCD2 history — compress each user's event-type change
     // log into validity ranges (value runs with valid_from/valid_to,
     // open row flagged current); both windows share one key partition
@@ -3146,6 +3154,25 @@ object SparkEntry {
     // gate's merge-of-half-sketches must land the identical estimate,
     // pinning sketch mergeability cross-engine
     "q114_kmv_merge" -> kmvOracleSql,
+
+    // mirrors q116: the q101 discrete-quantile rule (smallest score whose
+    // cumulative count reaches ceil(p*n)) per p, off one cumulated
+    // histogram
+    "q116_quantile_summary" ->
+      """WITH hist AS (
+        |  SELECT lang, n_chars, count(*) AS c FROM documents
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, n_chars,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cm
+        |  FROM hist),
+        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+        |  GROUP BY 1),
+        |ps AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p)
+        |SELECT cum.lang, ps.p, min(cum.n_chars) AS quantile, tot.n
+        |FROM cum JOIN tot USING (lang) CROSS JOIN ps
+        |WHERE cum.cm >= ceil(ps.p * tot.n)
+        |GROUP BY cum.lang, ps.p, tot.n""".stripMargin,
 
     // mirrors q115: run starts where the value differs from its
     // predecessor (or at the first observation); valid_to = next run's

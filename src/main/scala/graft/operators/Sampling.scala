@@ -380,8 +380,22 @@ object Sampling {
     * group size); bucket/round such scores first.
     */
   def quantilePerGroup(df: DataFrame, groupCol: String, scoreCol: String,
-      p: Double): DataFrame = {
-    require(0 < p && p <= 1, s"p must be in (0, 1]: $p")
+      p: Double): DataFrame =
+    quantilesPerGroup(df, groupCol, scoreCol, Seq(p))
+      .select(col(groupCol), col("quantile"), col("n"))
+
+  /** [[quantilePerGroup]] for a whole quantile SUMMARY in one histogram
+    * pass: one output row per (group, p). The histogram and its
+    * cumulative window are computed ONCE; the p fan-out explodes the
+    * (already compact) cumulated histogram, never the raw rows — asking
+    * for p95 alongside the median costs one more filter, not another
+    * scan.
+    */
+  def quantilesPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "ps must be non-empty")
+    ps.foreach(p => require(0 < p && p <= 1, s"p must be in (0, 1]: $p"))
+    require(ps.distinct.size == ps.size, s"duplicate quantiles: $ps")
     import org.apache.spark.sql.expressions.Window
     def fresh(base: String): String = {
       var n = base
@@ -396,8 +410,9 @@ object Sampling {
     hist
       .withColumn(cumN, sum(col(cN)).over(cum))
       .join(totals, Seq(groupCol))
-      .filter(col(cumN) >= ceil(lit(p) * col(nN)))
-      .groupBy(col(groupCol))
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .filter(col(cumN) >= ceil(col("p") * col(nN)))
+      .groupBy(col(groupCol), col("p"))
       .agg(min(col(scoreCol)).as("quantile"), first(col(nN)).as("n"))
   }
 }

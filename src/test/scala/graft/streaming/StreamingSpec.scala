@@ -490,6 +490,24 @@ class SamplingSpec extends SparkSpec {
       Sampling.quantilePerGroup(df, "grp", "score", 0.0)
   }
 
+  test("quantilesPerGroup: the whole summary in one pass agrees with " +
+      "per-p calls and scans the histogram once") {
+    val df = (1L to 1000L).map(i => (i, s"g${i % 3}", (i % 7).toInt))
+      .toDF("id", "grp", "score")
+    val ps = Seq(0.25, 0.5, 0.9, 1.0)
+    val multi = Sampling.quantilesPerGroup(df, "grp", "score", ps)
+      .as[(String, Double, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for (p <- ps) {
+      val single = Sampling.quantilePerGroup(df, "grp", "score", p)
+        .as[(String, Int, Long)].collect().map(r => r._1 -> r._2).toMap
+      single.foreach { case (g, q) => multi((g, p)) shouldBe q }
+    }
+    multi.size shouldBe 12 // 3 groups x 4 ps
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.quantilesPerGroup(df, "grp", "score", Seq(0.5, 0.5))
+  }
+
   test("capPerGroupWeightedBudgets: per-group budgets bind independently, " +
       "unnamed groups kept whole WITHOUT entering the exact window") {
     import org.apache.spark.sql.expressions.Window
