@@ -1246,6 +1246,25 @@ object SparkEntry {
         "event_type", "user_id", k = 64)
     }),
 
+    // curation: quality-aware cluster dedup — same pair graph as q64,
+    // but each near-dup cluster keeps its LONGEST member (n_chars desc,
+    // id tie) instead of the min id: the survivor policy that retains
+    // the best copy and drops degraded variants
+    "q117_best_survivor" -> ((s, dir) => {
+      val docs0 = Dedup.exactDedup(t(s, dir, "documents"), "doc_id",
+        "text")
+      val cand = Dedup.minhashCandidates(docs0, "doc_id", "text",
+        shingleSize = 3, k = 32, bands = 8)
+      val near = Dedup.jaccardVerify(cand, docs0, "doc_id", "text",
+          shingleSize = 3)
+        .filter(col("jaccard") >= 0.5).select(col("id_a"), col("id_b"))
+      val kept = Dedup.keepBestPerComponent(docs0, "doc_id", near,
+        "n_chars")
+      val out = kept.frame.select(col("doc_id"), col("lang"),
+        col("n_chars"))
+      out
+    }),
+
     // analytics: full quantile summary per group in ONE histogram pass —
     // p25/p50/p75/p95 of doc length per language; the p fan-out explodes
     // the cumulated histogram (distinct scores), never the raw rows
@@ -3154,6 +3173,40 @@ object SparkEntry {
     // gate's merge-of-half-sketches must land the identical estimate,
     // pinning sketch mergeability cross-engine
     "q114_kmv_merge" -> kmvOracleSql,
+
+    // mirrors q117: q64's pair graph and closure, survivor = argmax
+    // (n_chars, min id) within each component; unpaired docs survive
+    "q117_best_survivor" ->
+      s"""WITH RECURSIVE docs0 AS (
+         |  SELECT doc_id, text, lang, n_chars FROM documents
+         |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+         |                             ORDER BY doc_id) = 1),
+         |${minhashChainSql("docs0")},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM j
+         |  WHERE CAST(inter AS DOUBLE)/uni >= 0.5),
+         |e AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+         |  WHERE r.src <> e2.dst),
+         |comp AS (
+         |  SELECT src AS id, least(src, min(dst)) AS component
+         |  FROM reach GROUP BY src),
+         |best AS (
+         |  SELECT id FROM (
+         |    SELECT c.id,
+         |      row_number() OVER (PARTITION BY c.component
+         |        ORDER BY d.n_chars DESC, c.id) AS rk
+         |    FROM comp c JOIN docs0 d ON d.doc_id = c.id)
+         |  WHERE rk = 1)
+         |SELECT d.doc_id, d.lang, d.n_chars FROM docs0 d
+         |WHERE NOT EXISTS (SELECT 1 FROM comp c WHERE c.id = d.doc_id)
+         |   OR EXISTS (SELECT 1 FROM best b WHERE b.id = d.doc_id)"""
+        .stripMargin,
 
     // mirrors q116: the q101 discrete-quantile rule (smallest score whose
     // cumulative count reaches ceil(p*n)) per p, off one cumulated

@@ -638,6 +638,33 @@ object Dedup {
     ClusterDedup(docs.join(drop, Seq(idCol), "left_anti"), comps)
   }
 
+  /** [[keepPerComponent]] with a QUALITY keep policy: the survivor of
+    * each near-dup cluster is the highest-`scoreCol` member (ties to the
+    * smaller id) instead of the smallest id. The policy difference
+    * matters in curation: min-id keeps whichever duplicate happened to
+    * land first; argmax-quality keeps the longest / cleanest / highest-
+    * scored copy and drops its degraded variants.
+    *
+    * Scale shape: identical to [[keepPerComponent]] plus one row_number
+    * window over the LABELED ids (only ids appearing in a pair — the
+    * cluster membership frame, a sliver of the corpus), partitioned by
+    * component; the corpus itself is touched only by the final anti-join.
+    */
+  def keepBestPerComponent(docs: DataFrame, idCol: String,
+      pairs: DataFrame, scoreCol: String,
+      maxIter: Int = 20): ClusterDedup = {
+    val comps = connectedComponents(pairs, maxIter)
+    val scored = docs
+      .select(col(idCol).as("id"), col(s"`$scoreCol`").as("__s"))
+      .join(comps, Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("__s").desc_nulls_last, col("id"))
+    val drop = scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1).select(col("id").as(idCol))
+    ClusterDedup(docs.join(drop, Seq(idCol), "left_anti"), comps)
+  }
+
   /** [[dedupCorpus]] with the cluster-level keep policy: exact dedup,
     * MinHash-LSH candidates, Jaccard verify, then exactly one survivor
     * per connected near-dup component (instead of the greedy pairwise

@@ -218,6 +218,24 @@ class DedupSpec extends SparkSpec {
     cd.release()
   }
 
+  test("keepBestPerComponent: the cluster survivor is the highest score " +
+      "(tie to min id), singletons untouched") {
+    val corpus = Seq(
+      (1L, "a", 10), (2L, "b", 99), (3L, "c", 99), (9L, "unrelated", 1))
+      .toDF("doc_id", "text", "score")
+    // one component {1,2,3}: best score 99 held by 2 and 3 -> 2 wins tie
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val cd = Dedup.keepBestPerComponent(corpus, "doc_id", pairs, "score")
+    cd.frame.select($"doc_id").as[Long].collect().sorted shouldBe
+      Array(2L, 9L)
+    cd.release()
+    // min-id policy on the same graph keeps 1 — the policies differ
+    val cd2 = Dedup.keepPerComponent(corpus, "doc_id", pairs)
+    cd2.frame.select($"doc_id").as[Long].collect().sorted shouldBe
+      Array(1L, 9L)
+    cd2.release()
+  }
+
   test("dedupCorpusByComponents matches dedupCorpus on simple clusters " +
       "and releases its labels cache") {
     val before = spark.sparkContext.getPersistentRDDs.size
