@@ -1265,6 +1265,15 @@ object SparkEntry {
       out
     }),
 
+    // curation: weighted Bernoulli sampling — keep each doc with
+    // probability min(1, n_chars/400): full-length docs always survive,
+    // short ones proportionally to size. Pure narrow filter, no shuffle.
+    "q118_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
+          "n_chars", threshold = 400.0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // analytics: full quantile summary per group in ONE histogram pass —
     // p25/p50/p75/p95 of doc length per language; the p fan-out explodes
     // the cumulated histogram (distinct scores), never the raw rows
@@ -3206,6 +3215,18 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang, d.n_chars FROM docs0 d
          |WHERE NOT EXISTS (SELECT 1 FROM comp c WHERE c.id = d.doc_id)
          |   OR EXISTS (SELECT 1 FROM best b WHERE b.id = d.doc_id)"""
+        .stripMargin,
+
+    // mirrors Sampling.weightedSample(doc_id, n_chars, 400): inclusion
+    // iff hash bucket < floor(min-capped probability * 1e6). floor (not a
+    // bare cast) because double->int CASTs truncate in Spark but round in
+    // DuckDB; the arithmetic itself is IEEE-identical
+    "q118_weighted_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")}
+         |    % 1000000
+         |  < LEAST(1000000, CAST(floor(
+         |      CAST(n_chars AS DOUBLE) / 400.0 * 1000000) AS BIGINT))"""
         .stripMargin,
 
     // mirrors q116: the q101 discrete-quantile rule (smallest score whose

@@ -360,6 +360,14 @@ object AlgoRegistry {
             case n: Number => n.doubleValue()
             case s => s.toString.toDouble
           }))))
+    // Bernoulli probability-proportional-to-size sampling: keep each row
+    // with probability min(1, weight/threshold)
+    case "WeightedSample" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.weightedSample(df,
+        config.getString("id_column"), config.getString("weight_column"),
+        config.getDouble("threshold")))
     case "SourceCap" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),

@@ -78,6 +78,36 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Deterministic Bernoulli sampling with per-row inclusion probability
+    * `min(1, weight / threshold)` — probability-proportional-to-size
+    * selection, the soft-downsampling primitive (keep every document
+    * whose weight reaches `threshold`; keep lighter rows with probability
+    * proportional to their weight, so the expected kept WEIGHT of a group
+    * of small rows equals `count·w̄/threshold·w̄`). Pass an inverse
+    * frequency as the weight (e.g. `1.0/cluster_size`) and it becomes
+    * soft dedup: each duplicate cluster retains one expected survivor
+    * while every copy keeps a nonzero chance — the diversity-preserving
+    * alternative to hard cluster dedup.
+    *
+    * Selection is a pure function of (id, weight): stable under retries,
+    * reproducible across engines (the probability is compiled to an
+    * integer bucket bound via `floor`, because raw double→int casts
+    * TRUNCATE in Spark but ROUND in DuckDB). A null weight never
+    * samples in — guarded explicitly, because `least` SKIPS nulls (a
+    * null probability would otherwise silently become 1, not 0).
+    *
+    * Scale: a narrow filter — no shuffle, no window, no RNG state;
+    * pushdown-compatible like the samplers above.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    val bound = least(lit(Buckets),
+      floor(col(weightCol).cast("double") / threshold * Buckets)
+        .cast("long"))
+    df.filter(col(weightCol).isNotNull && hashBucket(col(idCol)) < bound)
+  }
+
   /** Deterministic per-group cap: keep at most `maxPerGroup` rows of each
     * group (per-source / per-domain balancing — the C4/RefinedWeb-style
     * guard against one domain dominating the corpus). WHICH rows survive

@@ -231,6 +231,22 @@ class JobRunnerSpec extends SparkSpec {
     // 9 rows fill 90 < 95; the 10th crosses and is kept
     spark.read.parquet(tgtW).count() shouldBe 10
 
+    // weighted Bernoulli sampling through the params surface: heavy rows
+    // (w >= threshold) all survive, the light stratum thins
+    val srcWs = tmp("jr_ws_src") + "/t"
+    (1L to 200L).map(i => (i, if (i <= 100) 300 else 30))
+      .toDF("doc_id", "w").write.parquet(srcWs)
+    val tgtWs = tmp("jr_ws_tgt") + "/t"
+    val paramsWs = tmp("jr_ws_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsWs),
+      s"""{"source_dir": "$srcWs", "target_dir": "$tgtWs",
+         | "id_column": "doc_id", "weight_column": "w",
+         | "threshold": 300}""".stripMargin)
+    JobRunner.execute(spark, "WeightedSample", paramsWs)
+    val ws = spark.read.parquet(tgtWs)
+    ws.filter(col("w") === 300).count() shouldBe 100
+    ws.filter(col("w") === 30).count() should be < 40L
+
     // quality checks through the params surface: string rules parse,
     // the report lands as data
     val srcQ = tmp("jr_qc_src") + "/t"

@@ -372,6 +372,26 @@ class SamplingSpec extends SparkSpec {
     assertSameRows(train, Sampling.deterministicSample(df, "id", 0.8))
   }
 
+  test("weightedSample: heavy rows always kept, rate tracks weight, " +
+      "null weight drops, plan is a pure narrow filter") {
+    val df = spark.range(10000).selectExpr("id",
+      "CASE WHEN id % 100 = 0 THEN CAST(NULL AS INT) " +
+      "     WHEN id % 2 = 0 THEN 50 ELSE 400 END AS w")
+    val out = Sampling.weightedSample(df, "id", "w", threshold = 200.0)
+    // w=400 >= threshold: p=1, all 5000 odd ids kept; w=null: never kept
+    out.filter($"w" === 400).count() shouldBe 5000L
+    out.filter($"w".isNull).count() shouldBe 0L
+    // w=50: p = 50/200 = 0.25 of the 4900 non-null even ids
+    out.filter($"w" === 50).count().toDouble / 4900 shouldBe 0.25 +- 0.03
+    // selection rides the shared bucket: the w=50 survivors are exactly
+    // the deterministic 25% sample of the w=50 stratum
+    assertSameRows(out.filter($"w" === 50).select($"id"),
+      Sampling.deterministicSample(df.filter($"w" === 50), "id", 0.25)
+        .select($"id"))
+    // scale shape: no exchange anywhere — a narrow filter over the scan
+    out.queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
   test("capPerGroup: caps only oversized groups, deterministic survivor " +
       "set, no single-partition window") {
     val df = spark.range(1000)
