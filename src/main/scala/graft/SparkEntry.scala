@@ -1274,6 +1274,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // text: PMI collocations — top adjacent-token pairs by pointwise
+    // mutual information (rational ranking, no libm); bigrams built
+    // map-side from the token array, counts map-side-combinable
+    "q119_collocations" -> ((s, dir) => {
+      TextAnalysis.collocations(t(s, dir, "documents"), "text",
+        minCount = 3, k = 20)
+    }),
+
     // analytics: full quantile summary per group in ONE histogram pass —
     // p25/p50/p75/p95 of doc length per language; the p fan-out explodes
     // the cumulated histogram (distinct scores), never the raw rows
@@ -3228,6 +3236,34 @@ object SparkEntry {
          |  < LEAST(1000000, CAST(floor(
          |      CAST(n_chars AS DOUBLE) / 400.0 * 1000000) AS BIGINT))"""
         .stripMargin,
+
+    // mirrors TextAnalysis.collocations(minCount=3, k=20): the ratio
+    // chain is mirrored left-assoc op by op (each step one IEEE double
+    // operation on exact integer counts — bit-identical, no libm)
+    "q119_collocations" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |pc AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count FROM bi
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bi)
+        |SELECT w1, w2, pair_count, round(ratio, 6) AS pmi_ratio
+        |FROM (
+        |  SELECT pc.w1, pc.w2, pc.pair_count,
+        |    CAST(pc.pair_count AS DOUBLE) * tot.n * tot.n / btot.b
+        |      / u1.c / u2.c AS ratio
+        |  FROM pc JOIN uni u1 ON u1.w = pc.w1
+        |          JOIN uni u2 ON u2.w = pc.w2, tot, btot)
+        |ORDER BY ratio DESC, w1, w2 LIMIT 20""".stripMargin,
 
     // mirrors q116: the q101 discrete-quantile rule (smallest score whose
     // cumulative count reaches ceil(p*n)) per p, off one cumulated

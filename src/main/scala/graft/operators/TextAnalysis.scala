@@ -332,4 +332,55 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"),
         round(score, 6).as("tfidf"), col("rank"))
   }
+
+  /** Corpus-level collocation extraction: the top-`k` adjacent-token
+    * pairs ranked by pointwise mutual information — the phrase-mining
+    * primitive (multi-word expressions a tokenizer or vocab builder
+    * should treat as units; Church & Hanks 1990).
+    *
+    * PMI = log[ P(w1,w2) / (P(w1)·P(w2)) ]; ranking by the RATIONAL
+    * inside the log (n_ab·N²/(B·n_a·n_b), identical order, the q111
+    * trick) keeps libm out of the cross-engine path — the score is pure
+    * IEEE arithmetic on exact integer counts. `minCount` floors the pair
+    * count, else hapax pairs (PMI maximal by construction) drown the
+    * signal.
+    *
+    * Scale shape: bigrams are built map-side from each doc's token array
+    * (slice + zip_with — no shuffle, no self-join on position); unigram
+    * and bigram counts are map-side-combinable hash aggregations; the
+    * count joins attach a VOCAB-sized side (post-aggregation) to the
+    * minCount-filtered pair table; N and B are one-row broadcasts; the
+    * final top-k is a TakeOrdered, never a global sort.
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 3,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(minCount >= 1, s"minCount must be positive: $minCount")
+    val toks = docs.select(tokens(col(textCol)).as("__t"))
+    val bi = toks.filter(size(col("__t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val pairCounts = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    val uni = toks.select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__c"))
+    val totals = uni.agg(sum(col("__c")).as("__n")).crossJoin(
+      bi.agg(count(lit(1)).as("__b")))
+    // left-assoc double chain mirrored verbatim in the oracle SQL: each
+    // step is one IEEE op on exact integer inputs, so bit-identical
+    val ratio = col("pair_count").cast("double") * col("__n") *
+      col("__n") / col("__b") / col("__c1") / col("__c2")
+    pairCounts
+      .join(uni.select(col("w").as("w1"), col("__c").as("__c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("__c").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .orderBy(ratio.desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("pair_count"),
+        round(ratio, 6).as("pmi_ratio"))
+  }
 }

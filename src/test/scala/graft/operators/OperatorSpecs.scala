@@ -389,6 +389,28 @@ class TextAnalysisSpec extends SparkSpec {
       include("WindowGroupLimit")
   }
 
+  test("collocations: PMI ranks the exclusive pair above the promiscuous " +
+      "one, minCount floors hapax pairs, k caps") {
+    // "new york" always adjacent and exclusive; "the cat"/"the dog" share
+    // the promiscuous "the"; "rare gem" occurs only twice (under minCount)
+    val docs = Seq(
+      (1L, "new york new york new york"),
+      (2L, "the cat the dog the cat the dog the cat"),
+      (3L, "rare gem rare gem")).toDF("id", "text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 3, k = 2)
+      .select($"w1", $"w2", $"pair_count")
+      .as[(String, String, Long)].collect()
+    out should have length 2
+    out.head._1 shouldBe "new"
+    out.head._2 shouldBe "york"
+    // hapax-floored pair never surfaces
+    out.map(p => (p._1, p._2)) should not contain (("rare", "gem"))
+    // bigram construction is map-side: no shuffle before the count agg
+    val plan = TextAnalysis.collocations(docs, "text")
+      .queryExecution.executedPlan.toString
+    plan should not include "SortMergeJoin" // vocab joins stay broadcast
+  }
+
   test("token counts: whitespace vs BPE-ish") {
     val df = Seq("hello world42 a.b").toDF("text")
     df.select(TextAnalysis.tokenCount($"text"),
