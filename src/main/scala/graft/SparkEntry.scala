@@ -1274,6 +1274,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // curation telemetry: the cluster-size histogram of q64's near-dup
+    // pair graph — how much duplication exists and whether it is a long
+    // tail of pairs or a few giant templates
+    "q120_dedup_stats" -> ((s, dir) => {
+      val docs0 = Dedup.exactDedup(t(s, dir, "documents"), "doc_id",
+        "text")
+      val cand = Dedup.minhashCandidates(docs0, "doc_id", "text",
+        shingleSize = 3, k = 32, bands = 8)
+      val near = Dedup.jaccardVerify(cand, docs0, "doc_id", "text",
+          shingleSize = 3)
+        .filter(col("jaccard") >= 0.5).select(col("id_a"), col("id_b"))
+      Dedup.clusterStats(near).frame
+    }),
+
     // text: PMI collocations — top adjacent-token pairs by pointwise
     // mutual information (rational ranking, no libm); bigrams built
     // map-side from the token array, counts map-side-combinable
@@ -3236,6 +3250,35 @@ object SparkEntry {
          |  < LEAST(1000000, CAST(floor(
          |      CAST(n_chars AS DOUBLE) / 400.0 * 1000000) AS BIGINT))"""
         .stripMargin,
+
+    // mirrors q120: q64's pair graph and closure, then sizes per
+    // component and the histogram; docs_removed = sum(size) - count
+    "q120_dedup_stats" ->
+      s"""WITH RECURSIVE docs0 AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+         |                             ORDER BY doc_id) = 1),
+         |${minhashChainSql("docs0")},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM j
+         |  WHERE CAST(inter AS DOUBLE)/uni >= 0.5),
+         |e AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+         |  WHERE r.src <> e2.dst),
+         |comp AS (
+         |  SELECT src AS id, least(src, min(dst)) AS component
+         |  FROM reach GROUP BY src),
+         |sizes AS (
+         |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM comp GROUP BY 1)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(cluster_size) - count(*) AS BIGINT) AS docs_removed
+         |FROM sizes GROUP BY 1""".stripMargin,
 
     // mirrors TextAnalysis.collocations(minCount=3, k=20): the ratio
     // chain is mirrored left-assoc op by op (each step one IEEE double

@@ -614,6 +614,33 @@ object Dedup {
     def release(): Unit = labels.unpersist()
   }
 
+  /** Dedup telemetry: the cluster-size histogram of a near-dup pair
+    * graph — per cluster size, how many clusters exist and how many docs
+    * cluster-level dedup would remove (`n_clusters·(size−1)`). The
+    * report a curation run ships alongside its output: total duplication
+    * mass, and whether it sits in a long tail of pairs or a few giant
+    * templates (the two need different treatment — a 10⁶-member cluster
+    * is boilerplate to kill, not a near-dup family to sample).
+    *
+    * Covers clusters of size ≥ 2 by construction (only ids appearing in
+    * a pair are labeled; singletons are not duplication).
+    *
+    * Scale shape: [[connectedComponents]] over the pair graph (bounded
+    * by pairs, tiny next to the corpus), then two map-side-combinable
+    * aggregations — sizes per component, then the histogram. The
+    * returned handle's `release()` frees the label checkpoint.
+    */
+  def clusterStats(pairs: DataFrame, maxIter: Int = 20): ClusterDedup = {
+    val comps = connectedComponents(pairs, maxIter)
+    val sizes = comps.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (sum(col("cluster_size")) - count(lit(1))).cast("long")
+          .as("docs_removed"))
+    ClusterDedup(hist, comps)
+  }
+
   /** Keep exactly ONE representative (the min id) per near-dup CLUSTER:
     * label every id in `pairs` via [[connectedComponents]], drop each id
     * whose label is not itself. Docs in no pair survive untouched.

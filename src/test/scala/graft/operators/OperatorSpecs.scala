@@ -218,6 +218,20 @@ class DedupSpec extends SparkSpec {
     cd.release()
   }
 
+  test("clusterStats: histogram of component sizes with removal counts, " +
+      "releases its labels cache") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // components: {1,2,3} (size 3), {10,11} and {20,21} (size 2)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val cd = Dedup.clusterStats(pairs)
+    cd.frame.select($"cluster_size", $"n_clusters", $"docs_removed")
+      .as[(Long, Long, Long)].collect().sortBy(_._1) shouldBe
+      Array((2L, 2L, 2L), (3L, 1L, 2L))
+    cd.release()
+    spark.sparkContext.getPersistentRDDs.size shouldBe before
+  }
+
   test("keepBestPerComponent: the cluster survivor is the highest score " +
       "(tie to min id), singletons untouched") {
     val corpus = Seq(
