@@ -258,7 +258,10 @@ object AlgoRegistry {
           shingleSize = config.getIntOpt("shingle_size").getOrElse(3),
           k = config.getIntOpt("minhash_k").getOrElse(32),
           bands = config.getIntOpt("bands").getOrElse(8),
-          threshold = config.getDouble("jaccard_threshold", 0.5))
+          threshold = config.getDouble("jaccard_threshold", 0.5),
+          // optional survivor policy: keep the highest-scored member of
+          // each cluster instead of the min id
+          scoreCol = config.getStringOpt("score_column"))
         TransformAlgorithm.Out(cd.frame, () => cd.release())
       })
     case "StratifiedSample" => new TransformAlgorithm(spark, fsOps,

@@ -699,14 +699,21 @@ object Dedup {
     */
   def dedupCorpusByComponents(docs: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5, maxIter: Int = 20): ClusterDedup = {
+      threshold: Double = 0.5, maxIter: Int = 20,
+      scoreCol: Option[String] = None): ClusterDedup = {
     val survivors = exactDedup(docs, idCol, textCol)
     val cand = minhashCandidates(survivors, idCol, textCol, shingleSize, k,
       bands)
     val near = jaccardVerify(cand, survivors, idCol, textCol, shingleSize)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
-    keepPerComponent(survivors, idCol, near, maxIter)
+    // survivor policy: min id by default; argmax-quality when a score
+    // column is named (see keepBestPerComponent)
+    scoreCol match {
+      case Some(sc) =>
+        keepBestPerComponent(survivors, idCol, near, sc, maxIter)
+      case None => keepPerComponent(survivors, idCol, near, maxIter)
+    }
   }
 
   /** Connected components over an undirected near-duplicate pair list

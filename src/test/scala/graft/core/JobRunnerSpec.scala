@@ -75,6 +75,25 @@ class JobRunnerSpec extends SparkSpec {
       .collect().sorted shouldBe Array(1L, 3L)
     spark.sparkContext.getPersistentRDDs.size shouldBe cachedBeforeCdc
 
+    // score_column flips the survivor policy: the near-dup cluster keeps
+    // its highest-quality member instead of the min id
+    val srcQ2 = tmp("jr_cdq_src") + "/t"
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", 1),
+      (2L, "the quick brown fox jumps over the lazy dog again and again more", 9),
+      (3L, "totally different words in this one about engines and planes", 5))
+      .toDF("doc_id", "text", "quality").write.parquet(srcQ2)
+    val tgtQ2 = tmp("jr_cdq_tgt") + "/t"
+    val paramsQ2 = tmp("jr_cdq_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsQ2),
+      s"""{"source_dir": "$srcQ2", "target_dir": "$tgtQ2",
+         | "id_column": "doc_id", "text_column": "text",
+         | "jaccard_threshold": 0.5, "score_column": "quality",
+         | "output_files_num": 1}""".stripMargin)
+    JobRunner.execute(spark, "CorpusDedupClusters", paramsQ2)
+    spark.read.parquet(tgtQ2).select(col("doc_id")).as[Long]
+      .collect().sorted shouldBe Array(2L, 3L)
+
     val tgt2 = tmp("jr_ss_tgt") + "/t"
     val params2 = tmp("jr_ss_par") + "/p.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(params2),
