@@ -1274,6 +1274,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // curation: embedding outliers — per label, the 5 vectors farthest
+    // from the label centroid (mislabel/garbage detector). Integer-exact:
+    // quantized coords, distance*n^2 = sum((n*x_i - S_i)^2), no float mean
+    "q121_embedding_outliers" -> ((s, dir) => {
+      Similarity.embeddingOutliers(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", k = 5)
+    }),
+
     // curation telemetry: the cluster-size histogram of q64's near-dup
     // pair graph — how much duplication exists and whether it is a long
     // tail of pairs or a few giant templates
@@ -3250,6 +3258,37 @@ object SparkEntry {
          |  < LEAST(1000000, CAST(floor(
          |      CAST(n_chars AS DOUBLE) / 400.0 * 1000000) AS BIGINT))"""
         .stripMargin,
+
+    // mirrors Similarity.embeddingOutliers(k=5, scale=1024): quantize to
+    // floor(x*1024), per-label elementwise sums S and counts n, rank by
+    // the integer sum((n*x - S)^2) desc (ties to vec_id)
+    "q121_embedding_outliers" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, label, i, xq[i] AS x
+        |  FROM q, unnest(generate_series(1, len(xq))) AS u(i)),
+        |s AS (
+        |  SELECT label, i, CAST(sum(x) AS BIGINT) AS s
+        |  FROM e GROUP BY 1, 2),
+        |n AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1),
+        |d AS (
+        |  SELECT e.vec_id, e.label,
+        |    CAST(sum((n.n * e.x - s.s) * (n.n * e.x - s.s)) AS BIGINT)
+        |      AS d_n2
+        |  FROM e JOIN s ON s.label = e.label AND s.i = e.i
+        |         JOIN n ON n.label = e.label
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, label, d_n2, rank FROM (
+        |  SELECT vec_id, label, d_n2,
+        |    row_number() OVER (PARTITION BY label
+        |                       ORDER BY d_n2 DESC, vec_id) AS rank
+        |  FROM d)
+        |WHERE rank <= 5""".stripMargin,
 
     // mirrors q120: q64's pair graph and closure, then sizes per
     // component and the histogram; docs_removed = sum(size) - count

@@ -194,4 +194,54 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     rerank(cand, queries, corpus, idCol, vecCol, k, broadcastQueries)
   }
+
+  /** Per-label embedding OUTLIERS: the `k` vectors of each label whose
+    * squared distance to the label centroid is largest — the
+    * embedding-space mislabel/garbage detector (the complement of
+    * SemDeDup-style near-centroid dedup: what's far from everything in
+    * its own class is suspect).
+    *
+    * Exactness: floats quantize to `floor(x·scale)` BIGINTs (floor, not
+    * cast — casts truncate in Spark but round in DuckDB), and the
+    * comparison uses distance·n² = Σ(n·xᵢ − Sᵢ)² where Sᵢ is the label's
+    * elementwise quantized SUM — all integer arithmetic, no float mean,
+    * so the ranking is reproducible across engines and immune to
+    * float-summation order. Magnitude bound: |n·x − S| ≤ 2·n·scale·‖x‖∞,
+    * inside BIGINT for n·scale ≲ 3·10⁹ — per-label shard counts far
+    * beyond any label granularity that makes a centroid meaningful.
+    *
+    * Scale shape: centroid sums are one posexplode aggregation
+    * (dims·N narrow rows, map-side combinable) collected into
+    * label-keyed arrays — a LABELS-sized frame that broadcasts; the
+    * distance is then a narrow zip_with/aggregate over each vector (no
+    * second explode, no vec-keyed shuffle); the top-k is a
+    * WindowGroupLimit-pruned window per label.
+    */
+  def embeddingOutliers(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int = 5, scale: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val xq = transform(col(vecCol),
+      x => floor(x.cast("double") * scale).cast("long"))
+    val q = emb.select(col(idCol), col(labelCol), xq.as("__xq"))
+    val sums = q
+      .select(col(labelCol), posexplode(col("__xq")).as(Seq("__i", "__x")))
+      .groupBy(col(labelCol), col("__i"))
+      .agg(sum(col("__x")).as("__s"))
+    val centroids = sums.groupBy(col(labelCol))
+      .agg(transform(array_sort(collect_list(struct(col("__i"), col("__s")))),
+        p => p.getField("__s")).as("__sv"))
+    val counts = q.groupBy(col(labelCol)).agg(count(lit(1)).as("__n"))
+    val d = q
+      .join(broadcast(centroids), Seq(labelCol))
+      .join(broadcast(counts), Seq(labelCol))
+      .select(col(idCol), col(labelCol),
+        aggregate(
+          zip_with(col("__xq"), col("__sv"),
+            (x, s) => (col("__n") * x - s) * (col("__n") * x - s)),
+          lit(0L), (acc, v) => acc + v).as("d_n2"))
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(col("d_n2").desc, col(idCol))
+    d.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

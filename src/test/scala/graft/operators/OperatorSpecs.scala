@@ -357,6 +357,24 @@ class SimilaritySpec extends SparkSpec {
     (5L, Array(1.0f, 0.0f, 0.0f)))  // identical to 1
     .toDF("vec_id", "embedding")
 
+  test("embeddingOutliers: farthest-from-centroid ranks first, " +
+      "integer-exact, pruned window, broadcast centroids") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(1.0f, 0.1f), "a"),
+      (3L, Array(0.0f, 9.0f), "a"),   // the obvious label-a outlier
+      (4L, Array(5.0f, 5.0f), "b"),
+      (5L, Array(5.0f, 5.0f), "b")).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingOutliers(emb, "vec_id", "embedding",
+      "label", k = 1)
+    out.select($"label", $"vec_id").as[(String, Long)].collect()
+      .sortBy(_._1) shouldBe Array(("a", 3L), ("b", 4L)) // b ties -> min id
+    val plan = Similarity.embeddingOutliers(emb, "vec_id", "embedding",
+      "label", k = 1).queryExecution.executedPlan.toString
+    plan should include("WindowGroupLimit")
+    plan should include("BroadcastHashJoin")
+  }
+
   test("brute-force top-k ranks by cosine with deterministic ties") {
     val out = Similarity.bruteForceTopK(
       vecs.filter($"vec_id" === 1), vecs, "vec_id", "embedding", k = 2)
