@@ -424,6 +424,44 @@ object AlgoRegistry {
           org.apache.spark.sql.functions.col(
             config.getString("text_column")))))
     // top-k frequent terms per group (vocabulary report)
+    // corpus-level PMI collocations (phrase mining)
+    case "Collocations" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.collocations(df,
+        config.getString("text_column"),
+        minCount = config.getIntOpt("min_count").getOrElse(3).toLong,
+        k = config.getIntOpt("k").getOrElse(20)))
+    // dedup telemetry: near-dup cluster-size histogram of the corpus
+    case "DedupStats" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        import org.apache.spark.sql.functions.col
+        val d = graft.operators.Dedup
+        val id = config.getString("id_column")
+        val text = config.getString("text_column")
+        val survivors = d.exactDedup(df, id, text)
+        val cand = d.minhashCandidates(survivors, id, text,
+          shingleSize = config.getIntOpt("shingle_size").getOrElse(3),
+          k = config.getIntOpt("minhash_k").getOrElse(32),
+          bands = config.getIntOpt("bands").getOrElse(8))
+        val near = d.jaccardVerify(cand, survivors, id, text,
+            config.getIntOpt("shingle_size").getOrElse(3))
+          .filter(col("jaccard") >=
+            config.getDouble("jaccard_threshold", 0.5))
+          .select(col("id_a"), col("id_b"))
+        val cd = d.clusterStats(near)
+        TransformAlgorithm.Out(cd.frame, () => cd.release())
+      })
+    // per-label embedding outliers (mislabel/garbage detector)
+    case "EmbeddingOutliers" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.embeddingOutliers(df,
+        config.getString("id_column"), config.getString("vector_column"),
+        config.getString("label_column"),
+        k = config.getIntOpt("k").getOrElse(5)))
     case "TopTerms" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),

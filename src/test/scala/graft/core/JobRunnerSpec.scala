@@ -250,6 +250,19 @@ class JobRunnerSpec extends SparkSpec {
     // 9 rows fill 90 < 95; the 10th crosses and is kept
     spark.read.parquet(tgtW).count() shouldBe 10
 
+    // dedup telemetry through the params surface: the pair (1,2) is one
+    // size-2 cluster
+    val tgtDs = tmp("jr_ds_tgt") + "/t"
+    val paramsDs = tmp("jr_ds_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsDs),
+      s"""{"source_dir": "$srcQ2", "target_dir": "$tgtDs",
+         | "id_column": "doc_id", "text_column": "text",
+         | "jaccard_threshold": 0.5}""".stripMargin)
+    JobRunner.execute(spark, "DedupStats", paramsDs)
+    spark.read.parquet(tgtDs)
+      .select(col("cluster_size"), col("n_clusters"), col("docs_removed"))
+      .as[(Long, Long, Long)].collect() shouldBe Array((2L, 1L, 1L))
+
     // weighted Bernoulli sampling through the params surface: heavy rows
     // (w >= threshold) all survive, the light stratum thins
     val srcWs = tmp("jr_ws_src") + "/t"
