@@ -1274,6 +1274,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // curation: split-leakage audit — near-dup pairs (q64's graph, built
+    // on the RAW corpus so exact dups leak too) that straddle q66's
+    // train/val/test hash split; each row is contamination eval can't see
+    "q122_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleSize = 3, k = 32, bands = 8)
+      val near = Dedup.jaccardVerify(cand, docs, "doc_id", "text",
+          shingleSize = 3)
+        .filter(col("jaccard") >= 0.5).select(col("id_a"), col("id_b"))
+      val splits = Sampling.hashSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      Dedup.crossSplitPairs(near, splits, "doc_id")
+    }),
+
     // curation: embedding outliers — per label, the 5 vectors farthest
     // from the label centroid (mislabel/garbage detector). Integer-exact:
     // quantized coords, distance*n^2 = sum((n*x_i - S_i)^2), no float mean
@@ -3258,6 +3273,27 @@ object SparkEntry {
          |  < LEAST(1000000, CAST(floor(
          |      CAST(n_chars AS DOUBLE) / 400.0 * 1000000) AS BIGINT))"""
         .stripMargin,
+
+    // mirrors q122: the minhash chain on RAW documents, q66's split CASE,
+    // pairs whose endpoints land in different splits
+    "q122_split_leakage" ->
+      s"""WITH ${minhashChainSql("documents")},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM j
+         |  WHERE CAST(inter AS DOUBLE)/uni >= 0.5),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN hv < 800000 THEN 'train'
+         |         WHEN hv < 900000 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000000
+         |      AS hv FROM documents))
+         |SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b
+         |FROM pairs p
+         |JOIN sp sa ON sa.doc_id = p.id_a
+         |JOIN sp sb ON sb.doc_id = p.id_b
+         |WHERE sa.split <> sb.split""".stripMargin,
 
     // mirrors Similarity.embeddingOutliers(k=5, scale=1024): quantize to
     // floor(x*1024), per-label elementwise sums S and counts n, rank by

@@ -614,6 +614,30 @@ object Dedup {
     def release(): Unit = labels.unpersist()
   }
 
+  /** Split-leakage detection: the near-dup pairs that STRADDLE dataset
+    * splits — a doc in train with a near-duplicate in test is
+    * contamination the eval can't see (the in-corpus complement of
+    * benchmark decontamination). Run it after [[Sampling.hashSplit]] and
+    * a pair-graph build; a leak-free corpus returns zero rows, and any
+    * row is an actionable (id_a, id_b, split_a, split_b) audit record
+    * (fix = dedup BEFORE splitting, or move one side).
+    *
+    * Scale shape: two hash joins of the pair list against the narrow
+    * (id, split) projection, keyed by id — cost bounded by the pair
+    * graph, not the corpus; the filter is a narrow post-join predicate.
+    */
+  def crossSplitPairs(pairs: DataFrame, splits: DataFrame, idCol: String,
+      splitCol: String = "split"): DataFrame = {
+    val s = splits.select(col(idCol), col(s"`$splitCol`"))
+    pairs
+      .join(s.select(col(idCol).as("id_a"),
+        col(s"`$splitCol`").as("split_a")), Seq("id_a"))
+      .join(s.select(col(idCol).as("id_b"),
+        col(s"`$splitCol`").as("split_b")), Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"))
+  }
+
   /** Dedup telemetry: the cluster-size histogram of a near-dup pair
     * graph — per cluster size, how many clusters exist and how many docs
     * cluster-level dedup would remove (`n_clusters·(size−1)`). The

@@ -218,6 +218,16 @@ class DedupSpec extends SparkSpec {
     cd.release()
   }
 
+  test("crossSplitPairs: flags only pairs straddling splits, keeps " +
+      "both split labels") {
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "val"),
+      (4L, "val")).toDF("doc_id", "split")
+    val out = Dedup.crossSplitPairs(pairs, splits, "doc_id")
+      .as[(Long, Long, String, String)].collect()
+    out shouldBe Array((1L, 2L, "train", "test"))
+  }
+
   test("clusterStats: histogram of component sizes with removal counts, " +
       "releases its labels cache") {
     val before = spark.sparkContext.getPersistentRDDs.size
