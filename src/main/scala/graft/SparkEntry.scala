@@ -1274,6 +1274,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // cleaning: per-language winsorization — doc length clipped into the
+    // [p05, p95] exact quantile band (clamp, don't drop); bounds off the
+    // q116 histogram machinery, clamp is a narrow broadcast-join map
+    "q123_winsorize" -> ((s, dir) => {
+      Sampling.winsorizePerGroup(t(s, dir, "documents"), "lang",
+          "n_chars", pLo = 0.05, pHi = 0.95)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("n_chars_w"))
+    }),
+
     // curation: split-leakage audit — near-dup pairs (q64's graph, built
     // on the RAW corpus so exact dups leak too) that straddle q66's
     // train/val/test hash split; each row is contamination eval can't see
@@ -3273,6 +3283,32 @@ object SparkEntry {
          |  < LEAST(1000000, CAST(floor(
          |      CAST(n_chars AS DOUBLE) / 400.0 * 1000000) AS BIGINT))"""
         .stripMargin,
+
+    // mirrors q123: q116's discrete-quantile rule at p05/p95 per lang,
+    // then clamp each doc's length into the band
+    "q123_winsorize" ->
+      """WITH hist AS (
+        |  SELECT lang, n_chars, count(*) AS c FROM documents
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, n_chars,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cm
+        |  FROM hist),
+        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+        |  GROUP BY 1),
+        |ps AS (SELECT unnest([0.05, 0.95]) AS p),
+        |q AS (
+        |  SELECT cum.lang, ps.p, min(cum.n_chars) AS qv
+        |  FROM cum JOIN tot USING (lang) CROSS JOIN ps
+        |  WHERE cum.cm >= ceil(ps.p * tot.n)
+        |  GROUP BY 1, 2),
+        |b AS (
+        |  SELECT lang, min(CASE WHEN p = 0.05 THEN qv END) AS lo,
+        |         max(CASE WHEN p = 0.95 THEN qv END) AS hi
+        |  FROM q GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  least(greatest(d.n_chars, b.lo), b.hi) AS n_chars_w
+        |FROM documents d JOIN b USING (lang)""".stripMargin,
 
     // mirrors q122: the minhash chain on RAW documents, q66's split CASE,
     // pairs whose endpoints land in different splits

@@ -403,6 +403,15 @@ object AlgoRegistry {
       df => graft.operators.Sampling.filterByQuantileBand(df,
         config.getString("group_column"), config.getString("score_column"),
         config.getDouble("lo"), config.getDouble("hi")))
+    // per-group winsorization: clip value_column into its group's
+    // [lo, hi] exact quantile band (appended as <value_column>_w)
+    case "Winsorize" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.winsorizePerGroup(df,
+        config.getString("group_column"), config.getString("value_column"),
+        pLo = config.getDouble("lo", 0.05),
+        pHi = config.getDouble("hi", 0.95)))
     // mixture reweighting: global budget split across groups by
     // proportions; unnamed groups kept whole
     case "MixtureReweight" => new TransformAlgorithm(spark, fsOps,

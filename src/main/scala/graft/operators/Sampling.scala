@@ -445,4 +445,35 @@ object Sampling {
       .groupBy(col(groupCol), col("p"))
       .agg(min(col(scoreCol)).as("quantile"), first(col(nN)).as("n"))
   }
+
+  /** Per-group winsorization: clip `valueCol` into its group's
+    * [pLo, pHi] exact quantile band (appended as `<valueCol>_w`) — the
+    * standard outlier-robust cleaning step for numeric features (clamp,
+    * don't drop: the row survives, the tail value stops dominating
+    * normalization and loss).
+    *
+    * Scale shape: bounds come from [[quantilesPerGroup]] (histogram-
+    * bounded window input, never the raw rows), pivot to one row per
+    * group, and broadcast back — the clamp itself is a narrow
+    * least/greatest over the scan.
+    */
+  def winsorizePerGroup(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(0 < pLo && pLo < pHi && pHi <= 1,
+      s"need 0 < pLo < pHi <= 1: $pLo, $pHi")
+    def fresh(base: String): String = {
+      var n = base
+      while (df.columns.contains(n)) n += "_"
+      n
+    }
+    val (loN, hiN) = (fresh("__lo"), fresh("__hi"))
+    val bounds = quantilesPerGroup(df, groupCol, valueCol, Seq(pLo, pHi))
+      .groupBy(col(groupCol))
+      .agg(min(when(col("p") === pLo, col("quantile"))).as(loN),
+        min(when(col("p") === pHi, col("quantile"))).as(hiN))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(valueCol + "_w",
+        least(greatest(col(valueCol), col(loN)), col(hiN)))
+      .drop(loN, hiN)
+  }
 }

@@ -392,6 +392,20 @@ class SamplingSpec extends SparkSpec {
     out.queryExecution.executedPlan.toString should not include "Exchange"
   }
 
+  test("winsorizePerGroup: clamps into the exact per-group quantile " +
+      "band, row count preserved, broadcast bounds") {
+    // group g: 1..20 -> p05 quantile = 1 (ceil(0.05*20)=1st), p95 = 19
+    val df = (1 to 20).map(v => ("g", v)).toDF("grp", "v")
+    val out = Sampling.winsorizePerGroup(df, "grp", "v", 0.05, 0.95)
+    out.count() shouldBe 20L
+    val clipped = out.select($"v", $"v_w").as[(Int, Int)].collect().toMap
+    clipped(1) shouldBe 1    // at the low bound already
+    clipped(20) shouldBe 19  // clamped down to p95
+    clipped(10) shouldBe 10  // interior untouched
+    out.queryExecution.executedPlan.toString should
+      include("BroadcastHashJoin")
+  }
+
   test("capPerGroup: caps only oversized groups, deterministic survivor " +
       "set, no single-partition window") {
     val df = spark.range(1000)
