@@ -1274,6 +1274,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // analytics: path mining — the corpus-wide top-10 event-type
+    // trigrams from per-user (ts, event_id)-ordered sequences; n-gram
+    // fan-out is map-side, counts map-side-combinable, top-k TakeOrdered
+    "q124_event_paths" -> ((s, dir) => {
+      Funnel.pathNgrams(t(s, dir, "events"), "user_id", "event_type",
+        "ts", "event_id", n = 3, k = 10)
+    }),
+
     // cleaning: per-language winsorization — doc length clipped into the
     // [p05, p95] exact quantile band (clamp, don't drop); bounds off the
     // q116 histogram machinery, clamp is a narrow broadcast-join map
@@ -3283,6 +3291,20 @@ object SparkEntry {
          |  < LEAST(1000000, CAST(floor(
          |      CAST(n_chars AS DOUBLE) / 400.0 * 1000000) AS BIGINT))"""
         .stripMargin,
+
+    // mirrors q124: per-user ordered sequences (ORDER BY ts, event_id —
+    // the q115 tie convention), 3-windows, count, top-10
+    "q124_event_paths" ->
+      """WITH seqs AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT array_to_string(seq[i:i+2], '>') AS path
+        |  FROM seqs, unnest(generate_series(1, len(seq) - 2)) AS u(i)
+        |  WHERE len(seq) >= 3)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_paths
+        |FROM g GROUP BY 1
+        |ORDER BY n_paths DESC, path LIMIT 10""".stripMargin,
 
     // mirrors q123: q116's discrete-quantile rule at p05/p95 per lang,
     // then clamp each doc's length into the band

@@ -327,6 +327,16 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Funnel.retentionMatrix(df,
         config.getString("user_column"), config.getString("ts_column")))
+    // path mining: corpus-wide top-k event-type n-grams from per-user
+    // ordered sequences
+    case "PathNgrams" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Funnel.pathNgrams(df,
+        config.getString("user_column"), config.getString("type_column"),
+        config.getString("ts_column"), config.getString("tie_column"),
+        n = config.getIntOpt("n").getOrElse(3),
+        k = config.getIntOpt("k").getOrElse(10)))
     // snapshot reconciliation: source_dir is the NEW delivery, diffed
     // against previous_dir
     case "SnapshotDiff" => new TransformAlgorithm(spark, fsOps,

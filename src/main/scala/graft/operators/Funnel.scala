@@ -104,4 +104,40 @@ object Funnel {
           .as("dau"),
         countDistinct(col(userCol)).as("wau"))
   }
+
+  /** Behavioral path analysis: the corpus-wide top-`k` length-`n`
+    * event-type sequences (each user's events ordered by (ts, tie),
+    * slid over with an n-window) — "what do users actually DO, in what
+    * order", the path-mining face of [[funnel]] (funnel checks ONE
+    * hypothesized order; this discovers the orders worth hypothesizing).
+    *
+    * Determinism: the per-user ordering ties on `tieCol` (a unique event
+    * id), so the extracted paths are reproducible.
+    *
+    * Scale shape: one groupBy-user collect (each user's sequence must
+    * meet in one place — inherent to ordered paths; a power user with
+    * millions of events deserves [[Sampling.capPerGroup]] FIRST, the
+    * histogram-bounded cap built for exactly that skew), then the
+    * n-gram fan-out is map-side (transform over index + slice — ≤1
+    * gram per event) into a map-side-combinable count and a TakeOrdered
+    * top-k. No all-users window, no driver state.
+    */
+  def pathNgrams(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, n: Int = 3,
+      k: Int = 10): DataFrame = {
+    require(n >= 2, s"n must be >= 2: $n")
+    require(k >= 1, s"k must be positive: $k")
+    val seqs = events.groupBy(col(userCol))
+      .agg(transform(
+        array_sort(collect_list(
+          struct(col(tsCol), col(tieCol), col(typeCol).as("__t")))),
+        e => e.getField("__t")).as("__seq"))
+    seqs.filter(size(col("__seq")) >= n)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__seq")) - (n - 1)),
+        i => array_join(slice(col("__seq"), i, lit(n)), ">"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(k)
+  }
 }

@@ -1064,6 +1064,27 @@ class FunnelSpec extends SparkSpec {
       "2024-01-03" -> ((1L, 2L)),  // window [Dec 28..Jan 3]: users 1, 2
       "2024-01-09" -> ((1L, 2L))) // window [Jan 3..Jan 9]: users 1, 3
   }
+
+  test("pathNgrams: per-user order rides (ts, tie), short users drop, " +
+      "top-k ties break on path") {
+    val events = Seq(
+      // user 1: view > click > buy (tie at 00:01 broken by event_id)
+      (1L, 10L, "2024-01-01 00:00", "view"),
+      (1L, 11L, "2024-01-01 00:01", "click"),
+      (1L, 12L, "2024-01-01 00:01", "buy"),
+      // user 2: same path
+      (2L, 20L, "2024-01-02 00:00", "view"),
+      (2L, 21L, "2024-01-02 00:01", "click"),
+      (2L, 22L, "2024-01-02 00:02", "buy"),
+      // user 3: only two events -> no trigram
+      (3L, 30L, "2024-01-03 00:00", "view"),
+      (3L, 31L, "2024-01-03 00:01", "view"))
+      .toDF("uid", "eid", "ds", "etype")
+      .withColumn("ts", to_timestamp($"ds"))
+    val out = Funnel.pathNgrams(events, "uid", "etype", "ts", "eid",
+      n = 3, k = 5).as[(String, Long)].collect()
+    out shouldBe Array(("view>click>buy", 2L))
+  }
 }
 
 class ReconcileSpec extends SparkSpec {
