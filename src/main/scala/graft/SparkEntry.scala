@@ -1274,6 +1274,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // text: vocab coverage curve — token-occurrence coverage of the
+    // top-V terms at V=100/1000/4000 (4000 exceeds the vocab: clamp
+    // branch); runs on the frequency HISTOGRAM, never a vocab-sized sort
+    "q125_vocab_coverage" -> ((s, dir) => {
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text",
+        Seq(100, 1000, 4000))
+    }),
+
     // analytics: path mining — the corpus-wide top-10 event-type
     // trigrams from per-user (ts, event_id)-ordered sequences; n-gram
     // fan-out is map-side, counts map-side-combinable, top-k TakeOrdered
@@ -3291,6 +3299,27 @@ object SparkEntry {
          |  < LEAST(1000000, CAST(floor(
          |      CAST(n_chars AS DOUBLE) / 400.0 * 1000000) AS BIGINT))"""
         .stripMargin,
+
+    // mirrors q125 via the rank form (covered(V) = sum of top-V counts;
+    // the engine's frequency-class formula is tie-break-invariant, so
+    // the two forms agree exactly)
+    "q125_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |    AS term FROM documents),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok
+        |  GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rk
+        |  FROM c),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+        |vs AS (SELECT unnest([100, 1000, 4000]) AS v)
+        |SELECT vs.v AS vocab_size,
+        |  CAST(coalesce(sum(CASE WHEN r.rk <= vs.v THEN r.c END), 0)
+        |    AS BIGINT) AS covered,
+        |  CAST(coalesce(sum(CASE WHEN r.rk <= vs.v THEN r.c END), 0)
+        |    AS DOUBLE) / tot.n AS coverage
+        |FROM vs CROSS JOIN r CROSS JOIN tot
+        |GROUP BY vs.v, tot.n""".stripMargin,
 
     // mirrors q124: per-user ordered sequences (ORDER BY ts, event_id —
     // the q115 tie convention), 3-windows, count, top-10

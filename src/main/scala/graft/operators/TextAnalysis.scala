@@ -352,6 +352,60 @@ object TextAnalysis {
     * minCount-filtered pair table; N and B are one-row broadcasts; the
     * final top-k is a TakeOrdered, never a global sort.
     */
+  /** Vocabulary coverage curve: for each candidate vocab size V, the
+    * fraction of all token OCCURRENCES covered by the top-V terms (by
+    * frequency, ties by term) — the tokenizer/vocab-sizing question
+    * ("does 32k buy materially more than 16k on THIS corpus?") answered
+    * from the corpus itself.
+    *
+    * Scale shape: one token-count aggregation, then everything runs on
+    * the HISTOGRAM OF FREQUENCIES (one row per distinct count value —
+    * O(√total) under Zipf, thousands of rows for a trillion tokens),
+    * never on the vocab-sized term list: no global top-V sort, no
+    * vocab-sized window. The V cutoff lands inside a frequency class
+    * whose members are interchangeable (same count), so
+    * covered(V) = cumTokens(boundary) − (cumTerms(boundary) − V)·c —
+    * exact for any tie-break, mirrored by the oracle's rank form.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty, "sizes must be non-empty")
+    require(sizes.forall(_ >= 1), s"sizes must be positive: $sizes")
+    require(sizes.distinct.size == sizes.size, s"duplicate sizes: $sizes")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(tokens(col(textCol))).as("__term"))
+      .groupBy(col("__term")).agg(count(lit(1)).as("__c"))
+    val classes = counts.groupBy(col("__c"))
+      .agg(count(lit(1)).as("__t"))
+    // frequency-class running totals: the window input is the count
+    // HISTOGRAM (distinct frequency values), not the vocab
+    val w = Window.orderBy(col("__c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = classes
+      .withColumn("__cumT", sum(col("__t")).over(w))
+      .withColumn("__cumTok", sum(col("__c") * col("__t")).over(w))
+    val tot = cum.agg(max(col("__cumT")).as("__vocab"),
+      max(col("__cumTok")).as("__n"))
+    val sizesDf = docs.sparkSession.range(1)
+      .select(explode(array(sizes.map(lit): _*)).as("vocab_size"))
+    // boundary class per size = the first class reaching V terms;
+    // a V beyond the vocab keeps no boundary and covers everything
+    val bound = sizesDf.crossJoin(cum)
+      .filter(col("__cumT") >= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(min_by(
+        struct(col("__c"), col("__cumT"), col("__cumTok")),
+        col("__cumT")).as("__b"))
+    val covered = coalesce(
+      col("__b.__cumTok") -
+        (col("__b.__cumT") - col("vocab_size")) * col("__b.__c"),
+      col("__n"))
+    sizesDf.join(bound, Seq("vocab_size"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_size"), covered.as("covered"),
+        (covered.cast("double") / col("__n")).as("coverage"))
+  }
+
   def collocations(docs: DataFrame, textCol: String, minCount: Long = 3,
       k: Int = 20): DataFrame = {
     require(k >= 1, s"k must be positive: $k")

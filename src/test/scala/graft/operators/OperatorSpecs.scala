@@ -431,6 +431,20 @@ class TextAnalysisSpec extends SparkSpec {
       include("WindowGroupLimit")
   }
 
+  test("vocabCoverage: boundary inside a frequency class is exact, " +
+      "V beyond the vocab clamps to 1.0") {
+    // counts: a=4, b=2, c=2, d=1, e=1 -> total 10
+    val docs = Seq((1L, "a a a a b b"), (2L, "c c d e")).toDF("id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, "text", Seq(1, 2, 4, 99))
+      .select($"vocab_size", $"covered", $"coverage")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    out shouldBe Array(
+      (1, 4L, 0.4),   // top-1: a
+      (2, 6L, 0.6),   // V=2 splits the count-2 class {b,c}: 4 + 1*2
+      (4, 9L, 0.9),   // V=4 splits the count-1 class {d,e}: 8 + 1*1
+      (99, 10L, 1.0)) // beyond the vocab: everything
+  }
+
   test("collocations: PMI ranks the exclusive pair above the promiscuous " +
       "one, minCount floors hapax pairs, k caps") {
     // "new york" always adjacent and exclusive; "the cat"/"the dog" share
