@@ -1274,6 +1274,13 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // analytics: think-time — exact median gap (µs) per consecutive
+    // event-type transition; per-user lag window + histogram quantile
+    "q126_transition_times" -> ((s, dir) => {
+      Funnel.transitionTimes(t(s, dir, "events"), "user_id",
+        "event_type", "ts", "event_id", p = 0.5)
+    }),
+
     // text: vocab coverage curve — token-occurrence coverage of the
     // top-V terms at V=100/1000/4000 (4000 exceeds the vocab: clamp
     // branch); runs on the frequency HISTOGRAM, never a vocab-sized sort
@@ -3299,6 +3306,32 @@ object SparkEntry {
          |  < LEAST(1000000, CAST(floor(
          |      CAST(n_chars AS DOUBLE) / 400.0 * 1000000) AS BIGINT))"""
         .stripMargin,
+
+    // mirrors q126: lag gaps per user (ORDER BY ts, event_id), then the
+    // q101 discrete-quantile rule per transition
+    "q126_transition_times" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |    lag(event_type) OVER w AS pt,
+        |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS pts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT pt || '>' || event_type AS transition, tsu - pts AS gap_us
+        |  FROM e WHERE pt IS NOT NULL),
+        |h AS (SELECT transition, gap_us, count(*) AS c FROM g
+        |  GROUP BY 1, 2),
+        |t AS (SELECT transition, count(*) AS n FROM g GROUP BY 1),
+        |cum AS (
+        |  SELECT h.transition, gap_us, n,
+        |    sum(c) OVER (PARTITION BY h.transition ORDER BY gap_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |  FROM h JOIN t ON h.transition = t.transition)
+        |SELECT transition, min(gap_us) AS quantile,
+        |  CAST(min(n) AS BIGINT) AS n
+        |FROM cum WHERE cm >= ceil(0.5 * n)
+        |GROUP BY transition""".stripMargin,
 
     // mirrors q125 via the rank form (covered(V) = sum of top-V counts;
     // the engine's frequency-class formula is tie-break-invariant, so

@@ -122,6 +122,32 @@ object Funnel {
     * gram per event) into a map-side-combinable count and a TakeOrdered
     * top-k. No all-users window, no driver state.
     */
+  /** Transition-time analytics: for each consecutive event-type
+    * transition (prev→next within a user's (ts, tie)-ordered stream),
+    * the exact `p`-quantile of the gap in microseconds — think-time /
+    * latency per step, the "how long do users hesitate before buying"
+    * companion to [[pathNgrams]].
+    *
+    * Scale shape: one per-user lag window (user-bounded partitions),
+    * then [[Sampling.quantilePerGroup]]'s histogram machinery — the
+    * quantile window input is the distinct gap values per transition,
+    * never the raw event rows.
+    */
+  def transitionTimes(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, p: Double = 0.5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val gaps = events
+      .withColumn("__pt", lag(col(typeCol), 1).over(w))
+      .withColumn("__pts", lag(col(tsCol), 1).over(w))
+      .filter(col("__pt").isNotNull)
+      .select(
+        concat(col("__pt"), lit(">"), col(typeCol)).as("transition"),
+        (unix_micros(col(tsCol)) - unix_micros(col("__pts"))).as("gap_us"))
+    graft.operators.Sampling.quantilePerGroup(gaps, "transition",
+      "gap_us", p)
+  }
+
   def pathNgrams(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, tieCol: String, n: Int = 3,
       k: Int = 10): DataFrame = {

@@ -1079,6 +1079,25 @@ class FunnelSpec extends SparkSpec {
       "2024-01-09" -> ((1L, 2L))) // window [Jan 3..Jan 9]: users 1, 3
   }
 
+  test("transitionTimes: gaps pair consecutive events per user, median " +
+      "is the exact discrete quantile") {
+    val events = Seq(
+      // user 1: view -(60s)-> click -(120s)-> buy
+      (1L, 10L, "2024-01-01 00:00:00", "view"),
+      (1L, 11L, "2024-01-01 00:01:00", "click"),
+      (1L, 12L, "2024-01-01 00:03:00", "buy"),
+      // user 2: view -(180s)-> click (cross-user gaps never pair)
+      (2L, 20L, "2024-01-05 00:00:00", "view"),
+      (2L, 21L, "2024-01-05 00:03:00", "click"))
+      .toDF("uid", "eid", "ds", "etype")
+      .withColumn("ts", to_timestamp($"ds"))
+    val out = Funnel.transitionTimes(events, "uid", "etype", "ts", "eid")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    // view>click gaps {60s, 180s}: discrete median = 60s (ceil(0.5*2)=1st)
+    out shouldBe Array(
+      ("click>buy", 120000000L, 1L), ("view>click", 60000000L, 2L))
+  }
+
   test("pathNgrams: per-user order rides (ts, tie), short users drop, " +
       "top-k ties break on path") {
     val events = Seq(
