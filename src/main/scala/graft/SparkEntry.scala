@@ -1274,6 +1274,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // telemetry: KMV overlap — per event type, how many users the two
+    // event-id-parity halves of the log share, estimated purely from the
+    // halves' sketch artifacts via inclusion-exclusion on a true merge
+    "q127_kmv_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = DistinctSketch.kmvHashes(
+        ev.filter(col("event_id") % 2 === 0), "event_type", "user_id", 64)
+      val b = DistinctSketch.kmvHashes(
+        ev.filter(col("event_id") % 2 === 1), "event_type", "user_id", 64)
+      DistinctSketch.kmvIntersectEstimate(a, b, "event_type", 64)
+    }),
+
     // analytics: think-time — exact median gap (µs) per consecutive
     // event-type transition; per-user lag window + histogram quantile
     "q126_transition_times" -> ((s, dir) => {
@@ -1884,6 +1896,31 @@ object SparkEntry {
        |    END, 6) AS est_distinct,
        |  CAST(m AS BIGINT) AS sketch_rows
        |FROM t""".stripMargin
+
+  /** One KMV part sketch (≤64 smallest distinct user-id hashes per
+    * event_type) over a filtered slice of events — q127's oracle builds
+    * two and their exact merge.
+    */
+  private def kmvPartSql(alias: String, pred: String): String =
+    s"""h_$alias AS (
+       |  SELECT DISTINCT event_type,
+       |    ${PortableHash.sqlHash60("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events WHERE $pred),
+       |s_$alias AS (
+       |  SELECT event_type, h FROM (
+       |    SELECT event_type, h,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |    FROM h_$alias) WHERE rn <= 64)""".stripMargin
+
+  /** The KMV estimator over a sketch relation (mirrors kmvEstimate). */
+  private def kmvEstSql(name: String, src: String): String =
+    s"""$name AS (
+       |  SELECT event_type,
+       |    round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+       |      ELSE CAST(63 AS DOUBLE) * power(2.0, 60)
+       |           / CAST(max(h) AS DOUBLE)
+       |      END, 6) AS est
+       |  FROM $src GROUP BY event_type)""".stripMargin
 
   /** The sign-LSH signature chain over an arbitrary (vec_id, embedding)
     * SQL source — q65 runs it over the embeddings table, q108 over
@@ -3305,6 +3342,28 @@ object SparkEntry {
          |    % 1000000
          |  < LEAST(1000000, CAST(floor(
          |      CAST(n_chars AS DOUBLE) / 400.0 * 1000000) AS BIGINT))"""
+        .stripMargin,
+
+    // mirrors q127: two part sketches, their exact merge (union + re-take
+    // 64 smallest), three estimates, inclusion-exclusion clamped at 0
+    "q127_kmv_intersect" ->
+      s"""WITH ${kmvPartSql("a", "event_id % 2 = 0")},
+         |${kmvPartSql("b", "event_id % 2 = 1")},
+         |m AS (
+         |  SELECT event_type, h FROM (
+         |    SELECT event_type, h,
+         |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |    FROM (SELECT event_type, h FROM s_a
+         |          UNION SELECT event_type, h FROM s_b))
+         |  WHERE rn <= 64),
+         |${kmvEstSql("ea", "s_a")},
+         |${kmvEstSql("eb", "s_b")},
+         |${kmvEstSql("eu", "m")}
+         |SELECT ea.event_type, ea.est AS est_a, eb.est AS est_b,
+         |  eu.est AS est_union,
+         |  greatest(round(ea.est + eb.est - eu.est, 6), 0.0)
+         |    AS est_intersect
+         |FROM ea JOIN eb USING (event_type) JOIN eu USING (event_type)"""
         .stripMargin,
 
     // mirrors q126: lag gaps per user (ORDER BY ts, event_id), then the

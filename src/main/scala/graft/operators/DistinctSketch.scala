@@ -83,6 +83,31 @@ object DistinctSketch {
             col("__kth").cast("double")), 6).as("est_distinct"),
         col("__m").as("sketch_rows"))
 
+  /** Overlap estimation from two sketch frames via inclusion–exclusion:
+    * |A∩B| ≈ n̂(A) + n̂(B) − n̂(A∪B), with the union estimate off the
+    * MERGED sketch ([[kmvMerge]] is exact, so n̂(A∪B) is a true KMV
+    * estimate, not a heuristic). The pre-join cardinality question —
+    * "how many ids do these two loads share?" — answered from per-load
+    * sketch artifacts without re-reading either load. Clamped at 0
+    * (inclusion–exclusion of three ±1/√k estimates can go slightly
+    * negative on disjoint sets). Inner-joins on the group: a group
+    * sketched on only one side has no overlap question to answer.
+    */
+  def kmvIntersectEstimate(a: DataFrame, b: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val ea = kmvEstimate(a, groupCol, k)
+      .select(g, col("est_distinct").as("est_a"))
+    val eb = kmvEstimate(b, groupCol, k)
+      .select(g, col("est_distinct").as("est_b"))
+    val eu = kmvEstimate(kmvMerge(Seq(a, b), groupCol, k), groupCol, k)
+      .select(g, col("est_distinct").as("est_union"))
+    ea.join(eb, Seq(groupCol)).join(eu, Seq(groupCol))
+      .withColumn("est_intersect",
+        greatest(round(col("est_a") + col("est_b") - col("est_union"), 6),
+          lit(0.0)))
+  }
+
   private def smallestK(hashes: DataFrame, groupCol: String,
       k: Int): DataFrame = {
     val rn = row_number().over(

@@ -60,6 +60,37 @@ class SketchSpec extends SparkSpec {
       DistinctSketch.kmvDistinct(df, "g", "id", 64))
   }
 
+  test("kmvIntersectEstimate: exact under k, near-true overlap when " +
+      "estimated, clamped at 0 on disjoint sets") {
+    // under k on all three sketches: estimates are exact counts, so
+    // the inclusion-exclusion overlap is exact: |A|=30, |B|=30, |A∩B|=10
+    val a = (1L to 30L).map(("g", _)).toDF("g", "id")
+    val b = (21L to 50L).map(("g", _)).toDF("g", "id")
+    val sa = DistinctSketch.kmvHashes(a, "g", "id", 64)
+    val sb = DistinctSketch.kmvHashes(b, "g", "id", 64)
+    val r = DistinctSketch.kmvIntersectEstimate(sa, sb, "g", 64)
+      .select($"est_a", $"est_b", $"est_union", $"est_intersect")
+      .as[(Double, Double, Double, Double)].collect().head
+    r shouldBe ((30.0, 30.0, 50.0, 10.0))
+    // estimated regime: 5000-id halves overlapping by 2500, k=64 ->
+    // overlap within the sketches' error envelope
+    val bigA = (1L to 5000L).map(("g", _)).toDF("g", "id")
+    val bigB = (2501L to 7500L).map(("g", _)).toDF("g", "id")
+    val est = DistinctSketch.kmvIntersectEstimate(
+      DistinctSketch.kmvHashes(bigA, "g", "id", 64),
+      DistinctSketch.kmvHashes(bigB, "g", "id", 64), "g", 64)
+      .select($"est_intersect").as[Double].collect().head
+    est should be (2500.0 +- 1500.0)
+    // disjoint sets: the estimate never goes negative
+    val dA = (1L to 3000L).map(("g", _)).toDF("g", "id")
+    val dB = (3001L to 6000L).map(("g", _)).toDF("g", "id")
+    val dj = DistinctSketch.kmvIntersectEstimate(
+      DistinctSketch.kmvHashes(dA, "g", "id", 64),
+      DistinctSketch.kmvHashes(dB, "g", "id", 64), "g", 64)
+      .select($"est_intersect").as[Double].collect().head
+    dj should be >= 0.0
+  }
+
   test("the k-smallest filter map-side prunes (WindowGroupLimit)") {
     val df = (1L to 1000L).map(i => ("a", i)).toDF("g", "id")
     val plan = DistinctSketch.kmvDistinct(df, "g", "id", k = 16)
