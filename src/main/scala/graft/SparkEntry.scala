@@ -1274,6 +1274,26 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // streaming: quality monitoring — q112's row-level rules per
+    // micro-batch (foreachBatch report appends); per-batch violation
+    // counts SUM to the global report, the identity the oracle checks
+    "q128_stream_quality" -> ((s, dir) => {
+      val inDir = tmpDir("graft_q128_in")
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .repartition(4).write.mode("overwrite").parquet(inDir)
+      val outDir = tmpDir("graft_q128_out") + "/out"
+      EventStream.runQualityChecksOnce(s, s.read.parquet(inDir).schema,
+          inDir, Seq("not_null:user_id", "in_range:value:0:50",
+            "matches:event_type:^[a-z]{1,5}$"),
+          outDir, "q128_sink", maxFilesPerTrigger = Some(1))
+        .groupBy(col("check_name"))
+        .agg(sum(col("violations")).as("violations"),
+          sum(col("total")).as("total"))
+        .withColumn("passed", col("violations") === 0)
+    }),
+
     // telemetry: KMV overlap — per event type, how many users the two
     // event-id-parity halves of the log share, estimated purely from the
     // halves' sketch artifacts via inclusion-exclusion on a true merge
@@ -3343,6 +3363,30 @@ object SparkEntry {
          |  < LEAST(1000000, CAST(floor(
          |      CAST(n_chars AS DOUBLE) / 400.0 * 1000000) AS BIGINT))"""
         .stripMargin,
+
+    // mirrors q128: global row-level counts — per-batch reports are
+    // batch-decomposable so their sums equal the whole-table check
+    "q128_stream_quality" ->
+      """SELECT 'not_null(user_id)' AS check_name,
+        |  CAST(count(*) FILTER (user_id IS NULL) AS BIGINT) AS violations,
+        |  CAST(count(*) AS BIGINT) AS total,
+        |  count(*) FILTER (user_id IS NULL) = 0 AS passed
+        |FROM events
+        |UNION ALL
+        |SELECT 'in_range(value,0.0,50.0)',
+        |  CAST(count(*) FILTER (value IS NULL OR value < 0 OR value > 50)
+        |    AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  count(*) FILTER (value IS NULL OR value < 0 OR value > 50) = 0
+        |FROM events
+        |UNION ALL
+        |SELECT 'matches(event_type)',
+        |  CAST(count(*) FILTER (event_type IS NULL
+        |    OR NOT regexp_matches(event_type, '^[a-z]{1,5}$')) AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  count(*) FILTER (event_type IS NULL
+        |    OR NOT regexp_matches(event_type, '^[a-z]{1,5}$')) = 0
+        |FROM events""".stripMargin,
 
     // mirrors q127: two part sketches, their exact merge (union + re-take
     // 64 smallest), three estimates, inclusion-exclusion clamped at 0

@@ -231,6 +231,44 @@ object EventStream {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming quality monitoring — the q112 rule set evaluated per
+    * micro-batch via `foreachBatch`, each trigger appending its
+    * `(check_name, violations, total, passed, batch_id)` report row set
+    * (the production shape: a quality report per landed batch, alerting
+    * reads the report stream). ROW-LEVEL rules only (not_null / in_range
+    * / matches / satisfies): their violation counts are batch-
+    * decomposable, so the per-batch reports SUM to the global report —
+    * the identity the oracle gates on. Uniqueness/referential checks
+    * need the landed corpus, not a batch — that is the artifacts regime
+    * ([[graft.operators.Dedup.dedupArtifacts]]), deliberately refused
+    * here.
+    */
+  def runQualityChecksOnce(spark: SparkSession, schema: StructType,
+      inputGlob: String, rules: Seq[String], outDir: String,
+      queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val checks = rules.map(graft.operators.Checks.parseRule)
+    require(checks.forall(_.violates.isDefined),
+      s"streaming checks must be row-level (batch-decomposable): $rules")
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(m => reader.option("maxFilesPerTrigger", m))
+      .parquet(inputGlob)
+    val q: StreamingQuery = stream.writeStream
+      .queryName(s"${queryName}_${sinkSeq.incrementAndGet()}")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Checks.run(batch, checks)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Watermarked stream-stream INTERVAL join: each left event joins right
     * events of the same key whose time lies in [left.ts − `lookback`,
     * left.ts] — e.g. "purchases join the clicks that preceded them within

@@ -265,6 +265,30 @@ class StreamingCurationSpec extends SparkSpec {
       .select($"lang", $"n_email").as[(String, Int)]
       .collect() shouldBe Array(("de", 1))
   }
+
+  test("runQualityChecksOnce: per-batch reports sum to the global " +
+      "check, group-level rules refused") {
+    val dir = tmp("stream_qc")
+    val batch = Seq((1L, 5.0), (2L, 500.0), (3L, -1.0), (4L, 7.0))
+      .toDF("id", "v")
+    batch.repartition(4).write.parquet(dir + "/in")
+    val out = graft.streaming.EventStream.runQualityChecksOnce(spark,
+      batch.schema, dir + "/in", Seq("not_null:id", "in_range:v:0:100"),
+      dir + "/out", "qc_test", maxFilesPerTrigger = Some(1))
+    // 4 single-file batches -> one report row set each; sums = global
+    out.select(max($"batch_id")).as[Long].collect().head should be >= 1L
+    val agg = out.groupBy($"check_name")
+      .agg(sum($"violations").as("v"), sum($"total").as("t"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    agg shouldBe Array(
+      ("in_range(v,0.0,100.0)", 2L, 4L), ("not_null(id)", 0L, 4L))
+    // uniqueness is not batch-decomposable: refused loudly
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.EventStream.runQualityChecksOnce(spark,
+        batch.schema, dir + "/in", Seq("unique:id"), dir + "/out2", "qc2")
+    }
+    err.getMessage should include("row-level")
+  }
 }
 
 class PackingSpec extends SparkSpec {
