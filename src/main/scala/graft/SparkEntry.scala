@@ -1274,6 +1274,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // curation telemetry: dup-graph SHAPE — wedge/triangle counts and
+    // the global clustering coefficient of q64's near-dup graph (high =
+    // templated boilerplate families, low = incremental-edit chains);
+    // triangles via the degree-ordered orientation (outdeg <= O(sqrt(m)))
+    "q129_graph_stats" -> ((s, dir) => {
+      val docs0 = Dedup.exactDedup(t(s, dir, "documents"), "doc_id",
+        "text")
+      val cand = Dedup.minhashCandidates(docs0, "doc_id", "text",
+        shingleSize = 3, k = 32, bands = 8)
+      val near = Dedup.jaccardVerify(cand, docs0, "doc_id", "text",
+          shingleSize = 3)
+        .filter(col("jaccard") >= 0.5).select(col("id_a"), col("id_b"))
+      Dedup.graphStats(near)
+    }),
+
     // streaming: quality monitoring — q112's row-level rules per
     // micro-batch (foreachBatch report appends); per-batch violation
     // counts SUM to the global report, the identity the oracle checks
@@ -3363,6 +3378,52 @@ object SparkEntry {
          |  < LEAST(1000000, CAST(floor(
          |      CAST(n_chars AS DOUBLE) / 400.0 * 1000000) AS BIGINT))"""
         .stripMargin,
+
+    // mirrors q129: the same degree-ordered orientation (row-value
+    // comparisons mirror Spark's struct ordering), triangles from the
+    // lowest-degree corner, wedges = sum(deg*(deg-1))/2
+    "q129_graph_stats" ->
+      s"""WITH docs0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+         |                             ORDER BY doc_id) = 1),
+         |${minhashChainSql("docs0")},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM j
+         |  WHERE CAST(inter AS DOUBLE)/uni >= 0.5),
+         |e AS (
+         |  SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+         |  FROM pairs WHERE id_a <> id_b GROUP BY 1, 2),
+         |deg AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS deg
+         |  FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+         |  GROUP BY 1),
+         |o AS (
+         |  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+         |              THEN e.u ELSE e.v END AS src,
+         |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+         |              THEN e.v ELSE e.u END AS dst
+         |  FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+         |r AS (SELECT o.src, o.dst, d.deg AS dd
+         |      FROM o JOIN deg d ON d.id = o.dst),
+         |p AS (
+         |  SELECT a.src, a.dst AS b, c.dst AS c
+         |  FROM r a JOIN r c ON a.src = c.src
+         |  WHERE (a.dd, a.dst) < (c.dd, c.dst)),
+         |tri AS (
+         |  SELECT count(*) AS t FROM p
+         |  WHERE EXISTS (SELECT 1 FROM o
+         |                WHERE o.src = p.b AND o.dst = p.c)),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+         |nd AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+         |  FROM deg)
+         |SELECT nd.n_nodes, ne.n_edges, nd.n_wedges,
+         |  CAST(tri.t AS BIGINT) AS n_triangles,
+         |  CASE WHEN nd.n_wedges > 0
+         |       THEN 3.0 * tri.t / nd.n_wedges END AS clustering
+         |FROM nd, ne, tri""".stripMargin,
 
     // mirrors q128: global row-level counts — per-batch reports are
     // batch-decomposable so their sums equal the whole-table check

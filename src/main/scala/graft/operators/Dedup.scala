@@ -614,6 +614,65 @@ object Dedup {
     def release(): Unit = labels.unpersist()
   }
 
+  /** Structural telemetry for a near-dup pair graph: node/edge counts,
+    * wedge count, triangle count, and the global clustering coefficient
+    * (3·triangles/wedges) — one summary row. High clustering says the
+    * duplication is TEMPLATED (boilerplate families where everything
+    * matches everything — kill the template); low clustering with many
+    * edges says chains of incremental edits (version histories — keep
+    * policy matters). Complements [[clusterStats]]' size histogram with
+    * shape.
+    *
+    * Scale shape: triangle counting via the degree-ordered orientation
+    * (each edge points from the lower (degree, id) endpoint, so every
+    * triangle is counted exactly once from its lowest-degree corner) —
+    * the classic bound: path-pair fan-out is Σ outdeg², and orientation
+    * caps out-degree at O(√edges), so the join never explodes on hub
+    * nodes the way an unoriented 3-way self-join would. All joins are
+    * edge-keyed hash joins; wedges are one integer aggregate off the
+    * degree table.
+    */
+  def graphStats(pairs: DataFrame): DataFrame = {
+    val e = pairs
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient each edge from the lower (deg, id) endpoint
+    val du = deg.select(col("id").as("u"), col("deg").as("__du"))
+    val dv = deg.select(col("id").as("v"), col("deg").as("__dv"))
+    val oriented = e.join(du, "u").join(dv, "v")
+      .select(
+        when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")),
+          col("v")).otherwise(col("u")).as("dst"))
+    // order key for the path pair: (deg, id) of dst — re-attach
+    val ranked = oriented.join(
+      deg.select(col("id").as("dst"), col("deg").as("__dd")), "dst")
+    val paths = ranked.select(col("src"), col("dst").as("b"),
+        col("__dd").as("__db"))
+      .join(ranked.select(col("src"), col("dst").as("c"),
+        col("__dd").as("__dc")), Seq("src"))
+      .filter(struct(col("__db"), col("b")) < struct(col("__dc"), col("c")))
+    val triangles = paths.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")),
+      Seq("b", "c"), "left_semi")
+    val counts = e.agg(count(lit(1)).as("n_edges")).crossJoin(
+        deg.agg(count(lit(1)).as("n_nodes"),
+          // deg·(deg−1) is even, so the halving is exact
+          (sum(col("deg") * (col("deg") - 1)) / 2).cast("long")
+            .as("n_wedges")))
+      .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+    counts.select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+      col("n_triangles"),
+      when(col("n_wedges") > 0,
+        lit(3.0) * col("n_triangles") / col("n_wedges"))
+        .as("clustering"))
+  }
+
   /** Split-leakage detection: the near-dup pairs that STRADDLE dataset
     * splits — a doc in train with a near-duplicate in test is
     * contamination the eval can't see (the in-corpus complement of

@@ -218,6 +218,17 @@ class DedupSpec extends SparkSpec {
     cd.release()
   }
 
+  test("graphStats: triangle counted once, wedges exact, dup/self " +
+      "edges collapse, clustering ratio") {
+    // triangle {1,2,3} + pendant 4 (wedge at 3) + dup/reversed/self noise
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (1L, 1L),
+      (3L, 4L)).toDF("id_a", "id_b")
+    val r = Dedup.graphStats(pairs)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    // degs: 1->2, 2->2, 3->3, 4->1; wedges = 1+1+3+0 = 5
+    r shouldBe ((4L, 4L, 5L, 1L, 0.6))
+  }
+
   test("crossSplitPairs: flags only pairs straddling splits, keeps " +
       "both split labels") {
     val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
