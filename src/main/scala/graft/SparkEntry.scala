@@ -1274,6 +1274,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // monitoring: categorical drift — the event-type mix of the odd-id
+    // half vs the even-id half, per-value chi-square contributions
+    "q130_category_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Reconcile.categoryDrift(ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1), "event_type")
+    }),
+
     // curation telemetry: dup-graph SHAPE — wedge/triangle counts and
     // the global clustering coefficient of q64's near-dup graph (high =
     // templated boilerplate families, low = incremental-edit chains);
@@ -3378,6 +3386,31 @@ object SparkEntry {
          |  < LEAST(1000000, CAST(floor(
          |      CAST(n_chars AS DOUBLE) / 400.0 * 1000000) AS BIGINT))"""
         .stripMargin,
+
+    // mirrors q130: expected = share_old * total_new; contribution =
+    // (obs - E)^2 / E, null when the category is new (E = 0)
+    "q130_category_drift" ->
+      """WITH o AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_old
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+        |nw AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+        |t AS (
+        |  SELECT (SELECT CAST(sum(n_old) AS BIGINT) FROM o) AS tot_o,
+        |         (SELECT CAST(sum(n_new) AS BIGINT) FROM nw) AS tot_n)
+        |SELECT coalesce(o.event_type, nw.event_type) AS event_type,
+        |  coalesce(o.n_old, 0) AS n_old, coalesce(nw.n_new, 0) AS n_new,
+        |  round(CAST(coalesce(o.n_old, 0) AS DOUBLE) * t.tot_n / t.tot_o,
+        |    6) AS expected_new,
+        |  round(CASE WHEN coalesce(o.n_old, 0) > 0 THEN
+        |    (coalesce(nw.n_new, 0)
+        |      - CAST(o.n_old AS DOUBLE) * t.tot_n / t.tot_o)
+        |    * (coalesce(nw.n_new, 0)
+        |      - CAST(o.n_old AS DOUBLE) * t.tot_n / t.tot_o)
+        |    / (CAST(o.n_old AS DOUBLE) * t.tot_n / t.tot_o) END, 6)
+        |    AS chisq
+        |FROM o FULL OUTER JOIN nw USING (event_type), t""".stripMargin,
 
     // mirrors q129: the same degree-ordered orientation (row-value
     // comparisons mirror Spark's struct ordering), triangles from the

@@ -349,6 +349,17 @@ object AlgoRegistry {
           config.getString("id_column"),
           config.getSeq[String]("content_columns"))
       })
+    // categorical drift monitoring: source_dir is the NEW delivery,
+    // compared against the previous one's category mix
+    case "CategoryDrift" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val previous = fmt(config).read(spark, Map.empty, None,
+          config.getString("previous_dir"))
+        graft.operators.Reconcile.categoryDrift(previous, df,
+          config.getString("category_column"))
+      })
     // salted pseudonymization of identifier columns
     case "Pseudonymize" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

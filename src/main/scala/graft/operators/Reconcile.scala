@@ -60,6 +60,39 @@ object Reconcile {
     * (lead) window reuses it without re-shuffling; no per-key state
     * beyond the sort.
     */
+  /** Categorical distribution drift between two deliveries: per value of
+    * `catCol`, both counts, the expected new count under the OLD
+    * distribution (E = share_old · total_new), and the value's χ²
+    * contribution ((observed−E)²/E) — Pearson's χ² is their sum, the
+    * monitoring number a pipeline alerts on ("this load's language mix
+    * shifted"). Values absent from the old delivery get a
+    * null contribution (χ² is undefined at E=0) but still report their
+    * counts — a NEW category is exactly what the report must surface.
+    *
+    * Exactness: counts are integers; E and the contribution are fixed
+    * left-assoc IEEE chains over them, mirrored in the oracle.
+    *
+    * Scale shape: two map-side-combinable count aggregations (the
+    * category domain, not the rows, survives them), one value-keyed
+    * join of those tiny tables, one scalar total.
+    */
+  def categoryDrift(oldDf: DataFrame, newDf: DataFrame,
+      catCol: String): DataFrame = {
+    val c = col(s"`$catCol`")
+    val oldC = oldDf.groupBy(c).agg(count(lit(1)).as("n_old"))
+    val newC = newDf.groupBy(c).agg(count(lit(1)).as("n_new"))
+    val totals = oldC.agg(sum(col("n_old")).as("__to")).crossJoin(
+      newC.agg(sum(col("n_new")).as("__tn")))
+    val joined = oldC.join(newC, Seq(catCol), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+      .crossJoin(broadcast(totals))
+    val e = col("n_old").cast("double") * col("__tn") / col("__to")
+    val contrib = when(col("n_old") > 0,
+      (col("n_new") - e) * (col("n_new") - e) / e)
+    joined.select(c, col("n_old"), col("n_new"),
+      round(e, 6).as("expected_new"), round(contrib, 6).as("chisq"))
+  }
+
   def scd2Compress(log: DataFrame, keyCol: String, valueCol: String,
       tsCol: String, tieCol: String): DataFrame = {
     val byTime = Window.partitionBy(col(s"`$keyCol`"))

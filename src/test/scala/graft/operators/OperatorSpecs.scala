@@ -1134,6 +1134,22 @@ class FunnelSpec extends SparkSpec {
 class ReconcileSpec extends SparkSpec {
   import spark.implicits._
 
+  test("categoryDrift: exact chi-square contributions, new category " +
+      "reports counts with null chisq, vanished category included") {
+    val oldDf = (Seq.fill(80)("a") ++ Seq.fill(20)("b")).toDF("c")
+    val newDf = (Seq.fill(40)("a") ++ Seq.fill(50)("b") ++
+      Seq.fill(10)("z")).toDF("c")
+    val r = Reconcile.categoryDrift(oldDf, newDf, "c")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    // E(a) = 0.8*100 = 80; chisq = 40^2/80 = 20
+    r("a") shouldBe (("a", 80L, 40L, Some(80.0), Some(20.0)))
+    // E(b) = 20; chisq = 30^2/20 = 45
+    r("b") shouldBe (("b", 20L, 50L, Some(20.0), Some(45.0)))
+    // z is new: counts surface, chisq undefined
+    r("z") shouldBe (("z", 0L, 10L, Some(0.0), None))
+  }
+
   test("diffFrames classifies added/removed/changed/unchanged; digests " +
       "keep content out of the join shuffle") {
     val oldDf = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
