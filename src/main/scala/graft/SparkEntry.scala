@@ -1274,6 +1274,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // behavioral analytics: market-basket association rules over
+    // user-level event-type baskets — support/confidence/lift per
+    // directed rule; pair product keyed on the user, never cross-user
+    "q131_association_rules" -> ((s, dir) => {
+      Funnel.associationRules(t(s, dir, "events"), "user_id",
+        "event_type", minPairUsers = 2)
+    }),
+
     // monitoring: categorical drift — the event-type mix of the odd-id
     // half vs the even-id half, per-value chi-square contributions
     "q130_category_drift" -> ((s, dir) => {
@@ -3386,6 +3394,32 @@ object SparkEntry {
          |  < LEAST(1000000, CAST(floor(
          |      CAST(n_chars AS DOUBLE) / 400.0 * 1000000) AS BIGINT))"""
         .stripMargin,
+
+    // mirrors q131: baskets = distinct (user, type); both directions of
+    // each unordered pair; metrics are left-assoc quotients of BIGINTs
+    "q131_association_rules" ->
+      """WITH it AS (
+        |  SELECT DISTINCT user_id AS u, event_type AS item FROM events),
+        |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM it
+        |  GROUP BY 1),
+        |nu AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS nu FROM it),
+        |pc AS (
+        |  SELECT a.item AS ia, b.item AS ib,
+        |    CAST(count(*) AS BIGINT) AS pair_users
+        |  FROM it a JOIN it b ON a.u = b.u AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |r AS (
+        |  SELECT ia AS antecedent, ib AS consequent, pair_users FROM pc
+        |  UNION ALL
+        |  SELECT ib, ia, pair_users FROM pc)
+        |SELECT r.antecedent, r.consequent, r.pair_users,
+        |  ca.n AS n_antecedent, cc.n AS n_consequent,
+        |  round(CAST(r.pair_users AS DOUBLE) / nu.nu, 6) AS support,
+        |  round(CAST(r.pair_users AS DOUBLE) / ca.n, 6) AS confidence,
+        |  round(CAST(r.pair_users AS DOUBLE) * nu.nu / ca.n / cc.n, 6)
+        |    AS lift
+        |FROM r JOIN ic ca ON ca.item = r.antecedent
+        |  JOIN ic cc ON cc.item = r.consequent CROSS JOIN nu""".stripMargin,
 
     // mirrors q130: expected = share_old * total_new; contribution =
     // (obs - E)^2 / E, null when the category is new (E = 0)

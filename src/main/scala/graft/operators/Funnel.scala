@@ -148,6 +148,57 @@ object Funnel {
       "gap_us", p)
   }
 
+  /** Association rules over user-level event-type baskets: for every
+    * ordered rule A→B (both directions of each co-occurring unordered
+    * pair), the classic market-basket metrics — support
+    * (users with both / all users), confidence (users with both / users
+    * with A), lift (confidence / baseline rate of B). Lift > 1 says the
+    * behaviors attract; the unordered complement of [[pathNgrams]]'
+    * sequence mining (a rule here ignores event ORDER entirely).
+    *
+    * Exactness: all three metrics are quotients of exact BIGINT counts
+    * in fixed left-assoc IEEE chains, mirrored verbatim in the oracle.
+    *
+    * 100 TB shape: baskets collapse to distinct (user, type) FIRST
+    * (map-side combinable — a user's million clicks are one row), the
+    * pair product is keyed on the user (never cross-user), and its
+    * fan-out is bounded by the event-TYPE domain squared per user, not
+    * by event volume. Item counts and the user total are tiny
+    * broadcast-joined side frames.
+    */
+  def associationRules(events: DataFrame, userCol: String,
+      typeCol: String, minPairUsers: Long = 2): DataFrame = {
+    require(minPairUsers >= 1, s"minPairUsers must be positive: $minPairUsers")
+    val items = events
+      .select(col(userCol).as("__u"), col(typeCol).as("__it")).distinct()
+    val itemCounts = items.groupBy(col("__it"))
+      .agg(count(lit(1)).as("__n"))
+    val totals = items.agg(countDistinct(col("__u")).as("__nu"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.__u") === col("b.__u") && col("a.__it") < col("b.__it"))
+      .groupBy(col("a.__it").as("__ia"), col("b.__it").as("__ib"))
+      .agg(count(lit(1)).as("pair_users"))
+      .filter(col("pair_users") >= minPairUsers)
+    val rules = pairs.select(col("__ia").as("antecedent"),
+        col("__ib").as("consequent"), col("pair_users"))
+      .union(pairs.select(col("__ib"), col("__ia"), col("pair_users")))
+    rules
+      .join(broadcast(itemCounts.select(col("__it").as("antecedent"),
+        col("__n").as("n_antecedent"))), Seq("antecedent"))
+      .join(broadcast(itemCounts.select(col("__it").as("consequent"),
+        col("__n").as("n_consequent"))), Seq("consequent"))
+      .crossJoin(broadcast(totals))
+      .select(col("antecedent"), col("consequent"), col("pair_users"),
+        col("n_antecedent"), col("n_consequent"),
+        round(col("pair_users").cast("double") / col("__nu"), 6)
+          .as("support"),
+        round(col("pair_users").cast("double") / col("n_antecedent"), 6)
+          .as("confidence"),
+        round(col("pair_users").cast("double") * col("__nu") /
+          col("n_antecedent") / col("n_consequent"), 6).as("lift"))
+  }
+
   def pathNgrams(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, tieCol: String, n: Int = 3,
       k: Int = 10): DataFrame = {

@@ -1129,6 +1129,40 @@ class FunnelSpec extends SparkSpec {
       n = 3, k = 5).as[(String, Long)].collect()
     out shouldBe Array(("view>click>buy", 2L))
   }
+
+  test("associationRules: exact support/confidence/lift from distinct " +
+      "baskets, both rule directions, threshold prunes rare pairs") {
+    // 4 users; baskets: {view,click}, {view,click,buy}, {view}, {buy}
+    // repeated events collapse (user 1 views twice = one basket item)
+    val events = Seq(
+      (1L, "view"), (1L, "view"), (1L, "click"),
+      (2L, "view"), (2L, "click"), (2L, "buy"),
+      (3L, "view"),
+      (4L, "buy"))
+      .toDF("uid", "etype")
+    val out = Funnel.associationRules(events, "uid", "etype",
+        minPairUsers = 2)
+      .as[(String, String, Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    // only {view,click} co-occurs >= 2 times (view+buy and click+buy
+    // are single-user pairs and must be pruned)
+    out shouldBe Array(
+      // click->view: conf 2/2 = 1, lift = 2*4/(2*3)
+      ("click", "view", 2L, 2L, 3L, 0.5, 1.0,
+        math.rint(2.0 * 4 / 2 / 3 * 1e6) / 1e6),
+      // view->click: conf 2/3, lift symmetric
+      ("view", "click", 2L, 3L, 2L, 0.5,
+        math.rint(2.0 / 3 * 1e6) / 1e6,
+        math.rint(2.0 * 4 / 3 / 2 * 1e6) / 1e6))
+  }
+
+  test("associationRules: pair join is user-keyed, no cartesian product") {
+    val events = Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("uid", "etype")
+    val plan = Funnel.associationRules(events, "uid", "etype", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pair generation must stay user-keyed:\n$plan")
+  }
 }
 
 class ReconcileSpec extends SparkSpec {
