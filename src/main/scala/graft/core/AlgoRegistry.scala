@@ -337,6 +337,14 @@ object AlgoRegistry {
         config.getString("ts_column"), config.getString("tie_column"),
         n = config.getIntOpt("n").getOrElse(3),
         k = config.getIntOpt("k").getOrElse(10)))
+    // market-basket association rules over user-level event-type baskets
+    case "AssociationRules" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Funnel.associationRules(df,
+        config.getString("user_column"), config.getString("type_column"),
+        minPairUsers =
+          config.getIntOpt("min_pair_users").getOrElse(2).toLong))
     // snapshot reconciliation: source_dir is the NEW delivery, diffed
     // against previous_dir
     case "SnapshotDiff" => new TransformAlgorithm(spark, fsOps,

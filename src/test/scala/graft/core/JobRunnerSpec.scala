@@ -486,6 +486,20 @@ class JobRunnerSpec extends SparkSpec {
     JobRunner.execute(spark, "Retention", paramsRt)
     spark.read.parquet(tgtRt).select(col("n_users")).as[Long]
       .collect().sum shouldBe 2L // both users, offset 0 only
+
+    // association rules: the one co-occurring pair (view,click) in both
+    // directions at min_pair_users=1
+    val tgtAr = tmp("jr_ar_tgt") + "/t"
+    val paramsAr = tmp("jr_ar_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsAr),
+      s"""{"source_dir": "$srcFn", "target_dir": "$tgtAr",
+         | "user_column": "uid", "type_column": "etype",
+         | "min_pair_users": 1}""".stripMargin)
+    JobRunner.execute(spark, "AssociationRules", paramsAr)
+    spark.read.parquet(tgtAr)
+      .select(col("antecedent"), col("consequent"), col("pair_users"))
+      .as[(String, String, Long)].collect().sorted shouldBe
+      Array(("click", "view", 1L), ("view", "click", 1L))
   }
 
   test("unknown algorithm names are rejected") {
