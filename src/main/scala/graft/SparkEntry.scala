@@ -1282,6 +1282,18 @@ object SparkEntry {
         "event_type", minPairUsers = 2)
     }),
 
+    // profiling: pairwise Pearson correlation of the doc-feature trio
+    // (chars, tokens, punct) — one scan, map-combinable moment sums,
+    // pair fan-out on the single agg row
+    "q132_feature_corr" -> ((s, dir) => {
+      val f = t(s, dir, "documents").select(
+        col("n_chars"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+          .cast("long").as("n_punct"))
+      Stats.corrPairs(f, Seq("n_chars", "n_tokens", "n_punct"))
+    }),
+
     // monitoring: categorical drift — the event-type mix of the odd-id
     // half vs the even-id half, per-value chi-square contributions
     "q130_category_drift" -> ((s, dir) => {
@@ -3420,6 +3432,48 @@ object SparkEntry {
         |    AS lift
         |FROM r JOIN ic ca ON ca.item = r.antecedent
         |  JOIN ic cc ON cc.item = r.consequent CROSS JOIN nu""".stripMargin,
+
+    // mirrors q132: same feature trio, exact BIGINT moments, identical
+    // double association (n·Σxy − Σx·Σy) / (√v_x · √v_y), null on zero
+    // variance
+    "q132_feature_corr" ->
+      """WITH f AS (
+        |  SELECT n_chars AS c,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS t,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        |      AS BIGINT) AS p
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c*c) AS BIGINT) AS qc,
+        |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(t*t) AS BIGINT) AS qt,
+        |    CAST(sum(p) AS BIGINT) AS sp, CAST(sum(p*p) AS BIGINT) AS qp,
+        |    CAST(sum(c*t) AS BIGINT) AS pct,
+        |    CAST(sum(c*p) AS BIGINT) AS pcp,
+        |    CAST(sum(t*p) AS BIGINT) AS ptp
+        |  FROM f),
+        |v AS (
+        |  SELECT *,
+        |    CAST(n AS DOUBLE) * qc - CAST(sc AS DOUBLE) * sc AS vc,
+        |    CAST(n AS DOUBLE) * qt - CAST(st AS DOUBLE) * st AS vt,
+        |    CAST(n AS DOUBLE) * qp - CAST(sp AS DOUBLE) * sp AS vp
+        |  FROM m)
+        |SELECT 'n_chars' AS x, 'n_tokens' AS y, n,
+        |  CASE WHEN vc <= 0 OR vt <= 0 THEN NULL ELSE
+        |    round((CAST(n AS DOUBLE) * pct - CAST(sc AS DOUBLE) * st) /
+        |      (sqrt(vc) * sqrt(vt)), 6) END AS r FROM v
+        |UNION ALL
+        |SELECT 'n_chars', 'n_punct', n,
+        |  CASE WHEN vc <= 0 OR vp <= 0 THEN NULL ELSE
+        |    round((CAST(n AS DOUBLE) * pcp - CAST(sc AS DOUBLE) * sp) /
+        |      (sqrt(vc) * sqrt(vp)), 6) END FROM v
+        |UNION ALL
+        |SELECT 'n_tokens', 'n_punct', n,
+        |  CASE WHEN vt <= 0 OR vp <= 0 THEN NULL ELSE
+        |    round((CAST(n AS DOUBLE) * ptp - CAST(st AS DOUBLE) * sp) /
+        |      (sqrt(vt) * sqrt(vp)), 6) END FROM v""".stripMargin,
 
     // mirrors q130: expected = share_old * total_new; contribution =
     // (obs - E)^2 / E, null when the category is new (E = 0)

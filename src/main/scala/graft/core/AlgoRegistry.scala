@@ -337,6 +337,12 @@ object AlgoRegistry {
         config.getString("ts_column"), config.getString("tie_column"),
         n = config.getIntOpt("n").getOrElse(3),
         k = config.getIntOpt("k").getOrElse(10)))
+    // pairwise Pearson correlation over integer feature columns
+    case "FeatureCorr" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.corrPairs(df,
+        config.getSeq[String]("columns")))
     // market-basket association rules over user-level event-type baskets
     case "AssociationRules" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -500,6 +500,19 @@ class JobRunnerSpec extends SparkSpec {
       .select(col("antecedent"), col("consequent"), col("pair_users"))
       .as[(String, String, Long)].collect().sorted shouldBe
       Array(("click", "view", 1L), ("view", "click", 1L))
+
+    // feature correlation over configured integer columns
+    val srcFc = tmp("jr_fc_src") + "/t"
+    Seq((1L, 2L), (2L, 4L), (3L, 6L)).toDF("fa", "fb").write.parquet(srcFc)
+    val tgtFc = tmp("jr_fc_tgt") + "/t"
+    val paramsFc = tmp("jr_fc_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsFc),
+      s"""{"source_dir": "$srcFc", "target_dir": "$tgtFc",
+         | "columns": ["fa", "fb"]}""".stripMargin)
+    JobRunner.execute(spark, "FeatureCorr", paramsFc)
+    spark.read.parquet(tgtFc).select(col("x"), col("y"), col("r"))
+      .as[(String, String, Double)].collect() shouldBe
+      Array(("fa", "fb", 1.0))
   }
 
   test("unknown algorithm names are rejected") {

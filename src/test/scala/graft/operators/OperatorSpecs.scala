@@ -1428,3 +1428,50 @@ class PreparedBenchmarkSpec extends SparkSpec {
     } finally empty.release()
   }
 }
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Stats
+
+  test("corrPairs: exact r from moment sums — perfect, inverse, and " +
+      "hand-computed mid-strength pairs from one shared n") {
+    val df = Seq((1L, 3L, 9L, 2L), (2L, 5L, 7L, 2L), (3L, 7L, 5L, 3L),
+      (4L, 9L, 3L, 1L)).toDF("a", "b", "c", "d")
+    val out = Stats.corrPairs(df, Seq("a", "b", "c", "d"))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    out.size shouldBe 6
+    all(out.values.map(_._1)) shouldBe 4L
+    out(("a", "b"))._2.get shouldBe 1.0 // b = 2a+1
+    out(("a", "c"))._2.get shouldBe -1.0 // c = 11-2a
+    // d = (2,2,3,1): r(a,d) via the same fixed association
+    val (n, sx, sy, sxx, syy, sxy) = (4.0, 10.0, 8.0, 30.0, 18.0, 19.0)
+    val expected = math.rint((n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)) *
+      1e6) / 1e6
+    out(("a", "d"))._2.get shouldBe expected
+  }
+
+  test("corrPairs: zero-variance feature yields null r, never NaN; " +
+      "a null in ANY feature drops the row for EVERY pair") {
+    val df = Seq((Some(1L), Some(10L), Some(5L)),
+      (Some(2L), Some(20L), Some(5L)),
+      (Some(3L), None, Some(5L))).toDF("x", "y", "k")
+    val out = Stats.corrPairs(df, Seq("x", "y", "k"))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // row 3 has a null y: dropped everywhere, so even (x,k) sees n=2
+    all(out.values.map(_._1)) shouldBe 2L
+    out(("x", "y"))._2.get shouldBe 1.0
+    out(("x", "k"))._2 shouldBe None // k is constant: null, not NaN
+    out(("y", "k"))._2 shouldBe None
+  }
+
+  test("corrPairs: one scan feeds all pairs — the fan-out happens on " +
+      "the single agg row, not against the data") {
+    val df = (1L to 100L).map(i => (i, i * 2, i % 7)).toDF("a", "b", "c")
+    val plan = Stats.corrPairs(df, Seq("a", "b", "c"))
+      .queryExecution.executedPlan.toString
+    plan.sliding("LocalTableScan".length).count(_ == "LocalTableScan") shouldBe 1
+  }
+}
