@@ -1294,6 +1294,12 @@ object SparkEntry {
       Stats.corrPairs(f, Seq("n_chars", "n_tokens", "n_punct"))
     }),
 
+    // profiling: lang x source independence — χ² + Cramér's V, the float
+    // sum made run-deterministic by a sorted left-fold over the cells
+    "q133_contingency" -> ((s, dir) => {
+      Stats.contingencyAssociation(t(s, dir, "documents"), "lang", "source")
+    }),
+
     // monitoring: categorical drift — the event-type mix of the odd-id
     // half vs the even-id half, per-value chi-square contributions
     "q130_category_drift" -> ((s, dir) => {
@@ -3474,6 +3480,42 @@ object SparkEntry {
         |  CASE WHEN vt <= 0 OR vp <= 0 THEN NULL ELSE
         |    round((CAST(n AS DOUBLE) * ptp - CAST(st AS DOUBLE) * sp) /
         |      (sqrt(vt) * sqrt(vp)), 6) END FROM v""".stripMargin,
+
+    // mirrors q133: identical expected-count tree per cell and the SAME
+    // sorted-fold summation order (list_reduce over list_sort; the
+    // init-less fold equals Spark's 0.0-init fold — +0.0 + x == x)
+    "q133_contingency" ->
+      """WITH base AS (
+        |  SELECT CAST(lang AS VARCHAR) AS a, CAST(source AS VARCHAR) AS b
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |cells AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS obs
+        |  FROM base GROUP BY 1, 2),
+        |at AS (SELECT a, CAST(sum(obs) AS BIGINT) AS ra
+        |  FROM cells GROUP BY 1),
+        |bt AS (SELECT b, CAST(sum(obs) AS BIGINT) AS cb
+        |  FROM cells GROUP BY 1),
+        |nt AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+        |j AS (
+        |  SELECT c.a, c.b, nt.n,
+        |    (CAST(nt.n AS DOUBLE) * (CAST(c.obs AS DOUBLE) * CAST(c.obs AS DOUBLE)))
+        |      / (CAST(ra AS DOUBLE) * cb) AS contrib
+        |  FROM cells c JOIN at USING (a) JOIN bt USING (b) CROSS JOIN nt),
+        |f AS (
+        |  SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS ka,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS kb,
+        |    list_reduce(list_transform(
+        |      list_sort(list({'a': a, 'b': b, 'c': contrib})), s -> s.c),
+        |      (x, y) -> x + y) AS fold
+        |  FROM j)
+        |SELECT n, n_cells, (ka - 1) * (kb - 1) AS dof,
+        |  round(fold - n, 6) AS chi2,
+        |  CASE WHEN (ka - 1) * (kb - 1) = 0 THEN NULL
+        |    ELSE round(sqrt(greatest(fold - n, 0.0) /
+        |      (CAST(n AS DOUBLE) * least(ka - 1, kb - 1))), 6)
+        |  END AS v
+        |FROM f""".stripMargin,
 
     // mirrors q130: expected = share_old * total_new; contribution =
     // (obs - E)^2 / E, null when the category is new (E = 0)

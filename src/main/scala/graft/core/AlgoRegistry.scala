@@ -343,6 +343,14 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Stats.corrPairs(df,
         config.getSeq[String]("columns")))
+    // categorical association: χ² + Cramér's V for two columns
+    case "ContingencyAssociation" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.contingencyAssociation(df,
+        config.getString("a_column"), config.getString("b_column"),
+        maxCells =
+          config.getIntOpt("max_cells").getOrElse(100000).toLong))
     // market-basket association rules over user-level event-type baskets
     case "AssociationRules" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

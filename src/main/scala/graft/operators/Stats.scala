@@ -59,4 +59,70 @@ object Stats {
     }
     withVars.select(explode(array(rows: _*)).as("__pr")).select(col("__pr.*"))
   }
+
+  /** Association strength between two categorical columns: Pearson χ²
+    * over the observed contingency cells plus Cramér's V
+    * (√(χ² / (n·min(k_a−1, k_b−1)))) — the "are lang and source
+    * independent" number. Null-keyed rows are excluded; dof = 0 (either
+    * column single-valued) yields null V. One output row:
+    * (n, n_cells, dof, chi2, v).
+    *
+    * Determinism at scale: a parallel double sum is run-to-run
+    * nondeterministic (addition order floats with partitioning), so the
+    * χ² contributions are collected, sorted by cell key, and LEFT-FOLDED
+    * in that fixed order — bit-identical every run and oracle-mirrorable
+    * (`list_reduce` over `list_sort`). That array lives on one row,
+    * which is why the bounded-domain contract (`maxCells`, enforced
+    * with a precount on the already-aggregated cell frame) exists.
+    *
+    * 100 TB shape: the only data-sized operation is the (a, b) count —
+    * map-side combinable into at most `maxCells` rows. Marginals and
+    * the total re-aggregate that cell frame (identical exchange, reused
+    * by Spark), then join back as broadcasts; everything after the
+    * first agg touches cell-domain rows only.
+    */
+  def contingencyAssociation(df: DataFrame, aCol: String, bCol: String,
+      maxCells: Long = 100000L): DataFrame = {
+    val base = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+    val cells = base.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__obs"))
+    val nc = cells.count()
+    require(nc <= maxCells,
+      s"$aCol x $bCol has $nc contingency cells > $maxCells — " +
+        "not a bounded categorical pair")
+    val aTot = cells.groupBy(col("__a")).agg(sum(col("__obs")).as("__ra"))
+    val bTot = cells.groupBy(col("__b")).agg(sum(col("__obs")).as("__cb"))
+    val tot = cells.agg(sum(col("__obs")).as("__n"))
+    // computational form χ² = Σ_observed n·obs²/(ra·cb) − n: the zero
+    // cells the textbook sum ranges over contribute exactly their
+    // expected count, already folded into the −n term — so the sparse
+    // cell frame suffices. All factors go through double BEFORE
+    // multiplying (obs² in BIGINT would wrap at ~3e9-row cells).
+    val o = col("__obs").cast("double")
+    val joined = cells
+      .join(broadcast(aTot), Seq("__a")).join(broadcast(bTot), Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .select(col("__a"), col("__b"), col("__n"),
+        ((col("__n").cast("double") * (o * o)) /
+          (col("__ra").cast("double") * col("__cb"))).as("__c"))
+    val folded = joined.agg(
+      max(col("__n")).as("n"),
+      count(lit(1)).cast("long").as("n_cells"),
+      countDistinct(col("__a")).cast("long").as("__ka"),
+      countDistinct(col("__b")).cast("long").as("__kb"),
+      aggregate(
+        sort_array(collect_list(struct(col("__a"), col("__b"), col("__c")))),
+        lit(0.0), (acc, s) => acc + s.getField("__c")).as("__fold"))
+    val chi2 = col("__fold") - col("n")
+    val dof = (col("__ka") - 1) * (col("__kb") - 1)
+    folded.select(col("n"), col("n_cells"), dof.as("dof"),
+      round(chi2, 6).as("chi2"),
+      when(dof === 0, lit(null).cast("double"))
+        .otherwise(round(sqrt(greatest(chi2, lit(0.0)) /
+          (col("n").cast("double") * least(col("__ka") - 1, col("__kb") - 1))),
+          6)).as("v"))
+  }
 }

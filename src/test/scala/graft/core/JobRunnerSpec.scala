@@ -513,6 +513,19 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(tgtFc).select(col("x"), col("y"), col("r"))
       .as[(String, String, Double)].collect() shouldBe
       Array(("fa", "fb", 1.0))
+
+    // categorical association for a perfectly-dependent pair
+    val srcCv = tmp("jr_ct_src") + "/t"
+    Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q")).toDF("ca", "cb")
+      .write.parquet(srcCv)
+    val tgtCv = tmp("jr_ct_tgt") + "/t"
+    val paramsCv = tmp("jr_ct_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsCv),
+      s"""{"source_dir": "$srcCv", "target_dir": "$tgtCv",
+         | "a_column": "ca", "b_column": "cb"}""".stripMargin)
+    JobRunner.execute(spark, "ContingencyAssociation", paramsCv)
+    spark.read.parquet(tgtCv).select(col("chi2"), col("v"))
+      .as[(Double, Double)].collect() shouldBe Array((4.0, 1.0))
   }
 
   test("unknown algorithm names are rejected") {

@@ -1475,3 +1475,57 @@ class StatsSpec extends SparkSpec {
     plan.sliding("LocalTableScan".length).count(_ == "LocalTableScan") shouldBe 1
   }
 }
+
+class StatsContingencySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Stats
+
+  test("contingencyAssociation: perfect association gives V=1, " +
+      "independence gives chi2=0; null-keyed rows excluded") {
+    // perfectly associated: b determined by a (2x2, 2 users each)
+    val dep = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val d = Stats.contingencyAssociation(dep, "a", "b")
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    d shouldBe ((4L, 2L, 1L, 4.0, Some(1.0)))
+    // independent: every (a,b) cell equally filled + a null row dropped
+    val ind = Seq(Some("x") -> "p", Some("x") -> "q", Some("y") -> "p",
+      Some("y") -> "q", None -> "p").toDF("a", "b")
+    val i = Stats.contingencyAssociation(ind, "a", "b")
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    i shouldBe ((4L, 4L, 1L, 0.0, Some(0.0)))
+  }
+
+  test("contingencyAssociation: single-valued column -> dof 0, null V; " +
+      "cell-domain cap enforced") {
+    val one = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val r = Stats.contingencyAssociation(one, "a", "b")
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    r._3 shouldBe 0L
+    r._5 shouldBe None
+    val wide = (1 to 100).map(i => (s"a$i", s"b$i")).toDF("a", "b")
+    val err = intercept[IllegalArgumentException] {
+      Stats.contingencyAssociation(wide, "a", "b", maxCells = 10)
+    }
+    err.getMessage should include("contingency cells")
+  }
+
+  test("contingencyAssociation: chi2 equals the hand-built fold over " +
+      "sorted cells on an asymmetric table") {
+    val df = Seq.fill(5)(("x", "p")) ++ Seq.fill(1)(("x", "q")) ++
+      Seq.fill(2)(("y", "p")) ++ Seq.fill(4)(("y", "q"))
+    val out = Stats.contingencyAssociation(df.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    // n=12, ra: x=6,y=6; cb: p=7,q=5; computational form folded in
+    // (a,b) order: chi2 = Σ n·obs²/(ra·cb) − n
+    val cells = Seq(("x", "p", 5L), ("x", "q", 1L), ("y", "p", 2L),
+      ("y", "q", 4L))
+    val chi2 = cells.foldLeft(0.0) { case (acc, (a, b, obs)) =>
+      val ra = 6.0; val cb = if (b == "p") 7L else 5L
+      acc + (12.0 * (obs.toDouble * obs.toDouble)) / (ra * cb)
+    } - 12L
+    out._4 shouldBe math.rint(chi2 * 1e6) / 1e6
+    out._5.get shouldBe
+      math.rint(math.sqrt(chi2 / (12.0 * 1L)) * 1e6) / 1e6
+  }
+}
