@@ -1300,6 +1300,20 @@ object SparkEntry {
       Stats.contingencyAssociation(t(s, dir, "documents"), "lang", "source")
     }),
 
+    // sketches: count-min token frequencies at a width that forces real
+    // collisions, next to the exact counts — est >= exact always, and
+    // the oracle reproduces every counter via the portable md5 family
+    "q134_cms_counts" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val sketch = FreqSketch.cmsBuild(toks, "tok", depth = 4, width = 16)
+      val qs = toks.filter(pmod(FreqSketch.hash60(col("tok")), lit(7L)) === 0)
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      FreqSketch.cmsEstimate(sketch, qs, "tok", depth = 4, width = 16)
+        .join(exact, col("item") === col("tok"))
+        .select(col("item").as("token"), col("est"), col("exact"))
+    }),
+
     // monitoring: categorical drift — the event-type mix of the odd-id
     // half vs the even-id half, per-value chi-square contributions
     "q130_category_drift" -> ((s, dir) => {
@@ -3480,6 +3494,36 @@ object SparkEntry {
         |  CASE WHEN vt <= 0 OR vp <= 0 THEN NULL ELSE
         |    round((CAST(n AS DOUBLE) * ptp - CAST(st AS DOUBLE) * sp) /
         |      (sqrt(vt) * sqrt(vp)), 6) END FROM v""".stripMargin,
+
+    // mirrors q134: same md5-60 bucket arithmetic per (row, token), min
+    // over the four counters with absent cells as zero
+    "q134_cms_counts" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+         |    AS it FROM documents),
+         |rws AS (SELECT unnest([0, 1, 2, 3]) AS rw),
+         |cms AS (
+         |  SELECT rw,
+         |    ${PortableHash.sqlHash60(
+                 "'cms_' || CAST(rw AS VARCHAR) || '_' || it")} % 16
+         |      AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM toks, rws GROUP BY 1, 2),
+         |q AS (SELECT DISTINCT it FROM toks
+         |  WHERE ${PortableHash.sqlHash60("it")} % 7 = 0),
+         |qe AS (
+         |  SELECT q.it, rws.rw,
+         |    ${PortableHash.sqlHash60(
+                 "'cms_' || CAST(rws.rw AS VARCHAR) || '_' || q.it")} % 16
+         |      AS bucket
+         |  FROM q, rws),
+         |est AS (
+         |  SELECT qe.it, CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS est
+         |  FROM qe LEFT JOIN cms USING (rw, bucket) GROUP BY 1),
+         |ex AS (SELECT it, CAST(count(*) AS BIGINT) AS exact
+         |  FROM toks GROUP BY 1)
+         |SELECT est.it AS token, est.est, ex.exact
+         |FROM est JOIN ex USING (it)""".stripMargin,
 
     // mirrors q133: identical expected-count tree per cell and the SAME
     // sorted-fold summation order (list_reduce over list_sort; the

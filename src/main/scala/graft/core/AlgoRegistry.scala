@@ -389,6 +389,31 @@ object AlgoRegistry {
       df => graft.operators.Redact.pseudonymize(df,
         config.getSeq[String]("columns"), config.getString("salt")))
     // the artifacts generator a load pipeline runs per landed batch
+    // count-min sketch build: a depth×width counter artifact; merge
+    // rolls a second sketch in, estimate reads counts for a query set
+    case "CmsSketch" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val built = graft.operators.FreqSketch.cmsBuild(df,
+          config.getString("item_column"),
+          depth = config.getIntOpt("depth").getOrElse(4),
+          width = config.getIntOpt("width").getOrElse(4096))
+        config.getStringOpt("merge_dir") match {
+          case Some(dir) => graft.operators.FreqSketch.cmsMerge(built,
+            fmt(config).read(spark, Map.empty, None, dir))
+          case None => built
+        }
+      })
+    case "CmsEstimate" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.FreqSketch.cmsEstimate(
+        fmt(config).read(spark, Map.empty, None,
+          config.getString("sketch_dir")),
+        df, config.getString("item_column"),
+        depth = config.getIntOpt("depth").getOrElse(4),
+        width = config.getIntOpt("width").getOrElse(4096)))
     case "DedupArtifacts" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),

@@ -526,6 +526,37 @@ class JobRunnerSpec extends SparkSpec {
     JobRunner.execute(spark, "ContingencyAssociation", paramsCv)
     spark.read.parquet(tgtCv).select(col("chi2"), col("v"))
       .as[(Double, Double)].collect() shouldBe Array((4.0, 1.0))
+
+    // count-min sketch: build delivery 1, merge delivery 2 in, estimate
+    val srcS1 = tmp("jr_cm_s1") + "/t"
+    val srcS2 = tmp("jr_cm_s2") + "/t"
+    Seq.fill(5)("x").toDF("it").write.parquet(srcS1)
+    (Seq.fill(3)("x") ++ Seq.fill(2)("y")).toDF("it").write.parquet(srcS2)
+    val tgtS1 = tmp("jr_cm_t1") + "/t"
+    val paramsS1 = tmp("jr_cm_p1") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsS1),
+      s"""{"source_dir": "$srcS1", "target_dir": "$tgtS1",
+         | "item_column": "it", "width": 65536}""".stripMargin)
+    JobRunner.execute(spark, "CmsSketch", paramsS1)
+    val tgtS2 = tmp("jr_cm_t2") + "/t"
+    val paramsS2 = tmp("jr_cm_p2") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsS2),
+      s"""{"source_dir": "$srcS2", "target_dir": "$tgtS2",
+         | "item_column": "it", "width": 65536,
+         | "merge_dir": "$tgtS1"}""".stripMargin)
+    JobRunner.execute(spark, "CmsSketch", paramsS2)
+    val srcQm = tmp("jr_cm_q") + "/t"
+    Seq("x", "y").toDF("it").write.parquet(srcQm)
+    val tgtEs = tmp("jr_cm_te") + "/t"
+    val paramsEs = tmp("jr_cm_pe") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsEs),
+      s"""{"source_dir": "$srcQm", "target_dir": "$tgtEs",
+         | "item_column": "it", "width": 65536,
+         | "sketch_dir": "$tgtS2"}""".stripMargin)
+    JobRunner.execute(spark, "CmsEstimate", paramsEs)
+    spark.read.parquet(tgtEs).select(col("item"), col("est"))
+      .as[(String, Long)].collect().toMap shouldBe
+      Map("x" -> 8L, "y" -> 2L)
   }
 
   test("unknown algorithm names are rejected") {

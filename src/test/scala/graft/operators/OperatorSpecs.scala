@@ -1529,3 +1529,41 @@ class StatsContingencySpec extends SparkSpec {
       math.rint(math.sqrt(chi2 / (12.0 * 1L)) * 1e6) / 1e6
   }
 }
+
+class FreqSketchSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.FreqSketch
+
+  test("cms: estimate >= exact always; exact at collision-free width; " +
+      "unseen item with untouched buckets reads zero") {
+    val items = (Seq.fill(30)("alpha") ++ Seq.fill(7)("beta") ++
+      Seq.fill(1)("gamma")).toDF("it")
+    val exact = Map("alpha" -> 30L, "beta" -> 7L, "gamma" -> 1L)
+    val qs = Seq("alpha", "beta", "gamma").toDF("it")
+    // width 2: heavy collisions, but never an underestimate
+    val narrow = FreqSketch.cmsEstimate(
+      FreqSketch.cmsBuild(items, "it", 4, 2), qs, "it", 4, 2)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, v) => narrow(k) should be >= v }
+    // width 65536: buckets effectively private, estimates exact
+    val wide = FreqSketch.cmsEstimate(
+      FreqSketch.cmsBuild(items, "it", 4, 65536), qs, "it", 4, 65536)
+      .as[(String, Long)].collect().toMap
+    wide shouldBe exact
+    val unseen = FreqSketch.cmsEstimate(
+      FreqSketch.cmsBuild(items, "it", 4, 65536),
+      Seq("never-seen").toDF("it"), "it", 4, 65536)
+      .as[(String, Long)].collect().toMap
+    unseen("never-seen") shouldBe 0L
+  }
+
+  test("cms: merging per-delivery sketches equals sketching the union " +
+      "(counter linearity)") {
+    val d1 = (Seq.fill(5)("x") ++ Seq.fill(2)("y")).toDF("it")
+    val d2 = (Seq.fill(3)("x") ++ Seq.fill(9)("z")).toDF("it")
+    val merged = FreqSketch.cmsMerge(
+      FreqSketch.cmsBuild(d1, "it", 4, 8), FreqSketch.cmsBuild(d2, "it", 4, 8))
+    val whole = FreqSketch.cmsBuild(d1.union(d2), "it", 4, 8)
+    assertSameRows(merged, whole)
+  }
+}
