@@ -1300,6 +1300,14 @@ object SparkEntry {
       Stats.contingencyAssociation(t(s, dir, "documents"), "lang", "source")
     }),
 
+    // curation: cross-source score calibration — each doc's n_chars
+    // replaced by the global value at its within-source percent rank
+    "q135_quantile_norm" -> ((s, dir) => {
+      Sampling.quantileNormalize(t(s, dir, "documents"), "source", "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("n_chars_qn"))
+    }),
+
     // sketches: count-min token frequencies at a width that forces real
     // collisions, next to the exact counts — est >= exact always, and
     // the oracle reproduces every counter via the portable md5 family
@@ -3494,6 +3502,35 @@ object SparkEntry {
         |  CASE WHEN vt <= 0 OR vp <= 0 THEN NULL ELSE
         |    round((CAST(n AS DOUBLE) * ptp - CAST(st AS DOUBLE) * sp) /
         |      (sqrt(vt) * sqrt(vp)), 6) END FROM v""".stripMargin,
+
+    // mirrors q135: percent rank from the per-(source, score) histogram
+    // ((cum − own)/(n−1), single-row group → 0.0), global lookup =
+    // smallest score with cumulative count >= ceil(p·N)
+    "q135_quantile_norm" ->
+      """WITH b AS (
+        |  SELECT source AS g, n_chars AS v FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |pr AS (
+        |  SELECT h.g, h.v,
+        |    CASE WHEN t.n = 1 THEN 0.0
+        |      ELSE CAST(sum(h.c) OVER (PARTITION BY h.g ORDER BY h.v)
+        |        - h.c AS DOUBLE) / (t.n - 1) END AS p
+        |  FROM h JOIN t USING (g)),
+        |gh AS (SELECT v, CAST(sum(c) AS BIGINT) AS gc FROM h GROUP BY 1),
+        |gc AS (SELECT v AS gv,
+        |  CAST(sum(gc) OVER (ORDER BY v) AS BIGINT) AS gcum,
+        |  (SELECT CAST(sum(gc) AS BIGINT) FROM gh) AS gn FROM gh),
+        |map AS (
+        |  SELECT pr.g, pr.v, min(gc.gv) AS qn
+        |  FROM pr JOIN gc
+        |    ON gc.gcum >= CAST(ceil(pr.p * gc.gn) AS BIGINT)
+        |  GROUP BY 1, 2)
+        |SELECT d.doc_id, d.source, d.n_chars, map.qn AS n_chars_qn
+        |FROM documents d LEFT JOIN map
+        |  ON map.g = d.source AND map.v = d.n_chars""".stripMargin,
 
     // mirrors q134: same md5-60 bucket arithmetic per (row, token), min
     // over the four counters with absent cells as zero

@@ -473,6 +473,13 @@ object AlgoRegistry {
         config.getDouble("lo"), config.getDouble("hi")))
     // per-group winsorization: clip value_column into its group's
     // [lo, hi] exact quantile band (appended as <value_column>_w)
+    // cross-group score calibration onto the global quantile scale
+    case "QuantileNormalize" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.quantileNormalize(df,
+        config.getString("group_column"),
+        config.getString("score_column")))
     case "Winsorize" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),

@@ -476,4 +476,65 @@ object Sampling {
         least(greatest(col(valueCol), col(loN)), col(hiN)))
       .drop(loN, hiN)
   }
+
+  /** Quantile normalization across groups: replace each row's score
+    * with the GLOBAL score found at the row's within-group percent
+    * rank (appended as `<scoreCol>_qn`) — the calibration step that
+    * makes per-source quality scores comparable before one corpus-wide
+    * threshold ("source B's 90th percentile means what source A's 90th
+    * means"). Two groups with shifted but same-shaped distributions
+    * land on identical normalized values rank-for-rank; a group
+    * processed alone maps onto itself (distinct scores → identity).
+    *
+    * Percent rank rides the per-(group, score) histogram exactly as
+    * [[filterByQuantileBand]] ((cum − own)/(n − 1), single-row group →
+    * 0.0); the global lookup is the repo's discrete type-1 rule —
+    * smallest global score whose cumulative count reaches
+    * ⌈p·N⌉ — stated explicitly so the oracle encodes the same rule.
+    * Null group or score rows pass through with a null `_qn`.
+    *
+    * Scale shape: both windows run over HISTOGRAM rows (distinct
+    * scores), never raw rows; the rank→value lookup is a
+    * histogram×histogram broadcast join; the final attach is a
+    * broadcast equi-join on (group, score). Degradation mode is
+    * all-distinct continuous scores — bucket/round first, as with
+    * [[quantilesPerGroup]].
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def fresh(base: String): String = {
+      var n = base
+      while (df.columns.contains(n)) n += "_"
+      n
+    }
+    val (cN, cumN, nN, pN) = (fresh("__c"), fresh("__cum"), fresh("__n"),
+      fresh("__p"))
+    val (gvN, gcN, gcumN, gnN) = (fresh("__gv"), fresh("__gc"),
+      fresh("__gcum"), fresh("__gn"))
+    val base = df.filter(col(groupCol).isNotNull && col(scoreCol).isNotNull)
+    val hist = base.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as(cN))
+    val totals = base.groupBy(col(groupCol)).agg(count(lit(1)).as(nN))
+    val pr = hist
+      .withColumn(cumN,
+        sum(col(cN)).over(
+          Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))))
+      .join(totals, Seq(groupCol))
+      .withColumn(pN, when(col(nN) === 1, lit(0.0))
+        .otherwise((col(cumN) - col(cN)).cast("double") / (col(nN) - 1)))
+    val ghist = hist.groupBy(col(scoreCol)).agg(sum(col(cN)).as(gcN))
+    val gtot = ghist.agg(sum(col(gcN)).as(gnN))
+    // the global window runs over distinct scores only (bounded), so
+    // the unpartitioned ordering is histogram-sized by construction
+    val gcum = ghist
+      .withColumn(gcumN, sum(col(gcN)).over(Window.orderBy(col(scoreCol))))
+      .crossJoin(broadcast(gtot))
+      .select(col(scoreCol).as(gvN), col(gcumN), col(gnN))
+    val mapping = pr
+      .join(broadcast(gcum), col(gcumN) >= ceil(col(pN) * col(gnN)))
+      .groupBy(col(groupCol), col(scoreCol))
+      .agg(min(col(gvN)).as(scoreCol + "_qn"))
+    df.join(broadcast(mapping), Seq(groupCol, scoreCol), "left")
+  }
 }

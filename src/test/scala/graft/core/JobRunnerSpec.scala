@@ -557,6 +557,21 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(tgtEs).select(col("item"), col("est"))
       .as[(String, Long)].collect().toMap shouldBe
       Map("x" -> 8L, "y" -> 2L)
+
+    // quantile normalization: shifted sources calibrate onto the
+    // global scale rank-for-rank
+    val srcQn = tmp("jr_qn_src") + "/t"
+    Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "b", 101L), (4L, "b", 102L))
+      .toDF("id", "grp", "score").write.parquet(srcQn)
+    val tgtQn = tmp("jr_qn_tgt") + "/t"
+    val paramsQn = tmp("jr_qn_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsQn),
+      s"""{"source_dir": "$srcQn", "target_dir": "$tgtQn",
+         | "group_column": "grp", "score_column": "score"}""".stripMargin)
+    JobRunner.execute(spark, "QuantileNormalize", paramsQn)
+    spark.read.parquet(tgtQn).select(col("id"), col("score_qn"))
+      .as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 1L, 2L -> 102L, 3L -> 1L, 4L -> 102L)
   }
 
   test("unknown algorithm names are rejected") {

@@ -682,4 +682,37 @@ class SamplingSpec extends SparkSpec {
       .filter($"__r" <= 20).drop("__r")
     assertSameRows(capped, naive)
   }
+
+  test("quantileNormalize: shifted same-shape sources land on identical " +
+      "normalized values rank-for-rank; nulls pass through") {
+    val df = Seq(
+      (1L, Some("a"), Some(1L)), (2L, Some("a"), Some(2L)),
+      (3L, Some("a"), Some(3L)),
+      (4L, Some("b"), Some(101L)), (5L, Some("b"), Some(102L)),
+      (6L, Some("b"), Some(103L)),
+      (7L, None, Some(50L)), (8L, Some("a"), None))
+      .toDF("id", "src", "score")
+    val out = Sampling.quantileNormalize(df, "src", "score")
+      .select($"id", $"score_qn").as[(Long, Option[Long])]
+      .collect().toMap
+    // global sorted scores {1,2,3,101,102,103}; both sources' ranks
+    // p={0, 0.5, 1} -> ceil(p*6)={0,3,6} -> values {1, 3, 103}
+    out(1L) shouldBe Some(1L); out(4L) shouldBe Some(1L)
+    out(2L) shouldBe Some(3L); out(5L) shouldBe Some(3L)
+    out(3L) shouldBe Some(103L); out(6L) shouldBe Some(103L)
+    out(7L) shouldBe None; out(8L) shouldBe None
+  }
+
+  test("quantileNormalize: a single group with distinct scores maps " +
+      "onto itself (identity), and duplicate scores share one mapping") {
+    val df = (1L to 9L).map(i => (i, "only", i * 10)).toDF("id", "src", "v")
+    val idOut = Sampling.quantileNormalize(df, "src", "v")
+      .select($"v", $"v_qn").as[(Long, Long)].collect()
+    all(idOut.map(r => r._1 == r._2)) shouldBe true
+    val dup = Seq((1L, "g", 5L), (2L, "g", 5L), (3L, "g", 9L))
+      .toDF("id", "src", "v")
+    val d = Sampling.quantileNormalize(dup, "src", "v")
+      .select($"id", $"v_qn").as[(Long, Long)].collect().toMap
+    d(1L) shouldBe d(2L) // tied scores collapse to one histogram row
+  }
 }
