@@ -1300,6 +1300,15 @@ object SparkEntry {
       Stats.contingencyAssociation(t(s, dir, "documents"), "lang", "source")
     }),
 
+    // monitoring: numeric drift — n_chars distribution of the even-id
+    // half vs the odd-id half over fixed [0,500)x10 bins + overflow
+    "q136_numeric_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Reconcile.numericDrift(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "n_chars",
+        lo = 0L, hi = 500L, nBins = 10)
+    }),
+
     // curation: cross-source score calibration — each doc's n_chars
     // replaced by the global value at its within-source percent rank
     "q135_quantile_norm" -> ((s, dir) => {
@@ -3502,6 +3511,39 @@ object SparkEntry {
         |  CASE WHEN vt <= 0 OR vp <= 0 THEN NULL ELSE
         |    round((CAST(n AS DOUBLE) * ptp - CAST(st AS DOUBLE) * sp) /
         |      (sqrt(vt) * sqrt(vp)), 6) END FROM v""".stripMargin,
+
+    // mirrors q136: same fixed-bin floor arithmetic (integer operands
+    // through one double division), q130's expected/contrib convention
+    "q136_numeric_drift" ->
+      """WITH o AS (
+        |  SELECT CAST(CASE WHEN n_chars < 0 THEN -1
+        |      WHEN n_chars >= 500 THEN 10
+        |      ELSE floor((n_chars - 0) * 10 / 500) END AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_old
+        |  FROM documents
+        |  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL GROUP BY 1),
+        |nw AS (
+        |  SELECT CAST(CASE WHEN n_chars < 0 THEN -1
+        |      WHEN n_chars >= 500 THEN 10
+        |      ELSE floor((n_chars - 0) * 10 / 500) END AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_new
+        |  FROM documents
+        |  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL GROUP BY 1),
+        |t AS (
+        |  SELECT (SELECT CAST(sum(n_old) AS BIGINT) FROM o) AS tot_o,
+        |         (SELECT CAST(sum(n_new) AS BIGINT) FROM nw) AS tot_n)
+        |SELECT coalesce(o.bin, nw.bin) AS bin,
+        |  coalesce(o.n_old, 0) AS n_old, coalesce(nw.n_new, 0) AS n_new,
+        |  round(CAST(coalesce(o.n_old, 0) AS DOUBLE) * t.tot_n / t.tot_o,
+        |    6) AS expected_new,
+        |  round(CASE WHEN coalesce(o.n_old, 0) > 0 THEN
+        |    (coalesce(nw.n_new, 0)
+        |      - CAST(o.n_old AS DOUBLE) * t.tot_n / t.tot_o)
+        |    * (coalesce(nw.n_new, 0)
+        |      - CAST(o.n_old AS DOUBLE) * t.tot_n / t.tot_o)
+        |    / (CAST(o.n_old AS DOUBLE) * t.tot_n / t.tot_o) END, 6)
+        |    AS chisq
+        |FROM o FULL OUTER JOIN nw USING (bin), t""".stripMargin,
 
     // mirrors q135: percent rank from the per-(source, score) histogram
     // ((cum − own)/(n−1), single-row group → 0.0), global lookup =

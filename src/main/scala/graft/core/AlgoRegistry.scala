@@ -382,6 +382,19 @@ object AlgoRegistry {
         graft.operators.Reconcile.categoryDrift(previous, df,
           config.getString("category_column"))
       })
+    // numeric drift monitoring over fixed [lo, hi) x n_bins binning
+    case "NumericDrift" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val previous = fmt(config).read(spark, Map.empty, None,
+          config.getString("previous_dir"))
+        graft.operators.Reconcile.numericDrift(previous, df,
+          config.getString("value_column"),
+          lo = config.getIntOpt("lo").getOrElse(0).toLong,
+          hi = config.getIntOpt("hi").get.toLong,
+          nBins = config.getIntOpt("n_bins").getOrElse(10))
+      })
     // salted pseudonymization of identifier columns
     case "Pseudonymize" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -93,6 +93,52 @@ object Reconcile {
       round(e, 6).as("expected_new"), round(contrib, 6).as("chisq"))
   }
 
+  /** Numeric sibling of [[categoryDrift]]: the χ² drift report over a
+    * FIXED equal-width binning of `valueCol` — "did the length/score
+    * distribution shift between deliveries". Bins are `[lo, hi)` split
+    * `nBins` ways plus an underflow bin (−1) and an overflow bin
+    * (`nBins`); fixed explicit edges (not data-derived quantiles) so
+    * the binning never moves between deliveries — a drift monitor with
+    * drifting bins measures itself. Per appearing bin:
+    * (bin, n_old, n_new, expected_new, chisq), the q130 conventions
+    * (expected = old share × new total, null contribution for a bin
+    * with no old mass). Null values are excluded.
+    *
+    * Bin arithmetic is floor((v−lo)·nBins/(hi−lo)) on exact integer
+    * operands through one double division — deterministic and
+    * oracle-identical (both engines' `/` on integers is IEEE double).
+    *
+    * 100 TB shape: two map-side-combinable counts into ≤ nBins+2 rows
+    * each, a full-outer join of the two tiny histograms, totals as a
+    * broadcast cross join — nothing after the first agg touches
+    * data-sized input.
+    */
+  def numericDrift(oldDf: DataFrame, newDf: DataFrame, valueCol: String,
+      lo: Long, hi: Long, nBins: Int): DataFrame = {
+    require(lo < hi, s"need lo < hi: $lo, $hi")
+    require(nBins >= 1 && nBins <= 100000, s"nBins out of range: $nBins")
+    def binned(df: DataFrame, cnt: String): DataFrame = {
+      val v = col(s"`$valueCol`").cast("long")
+      df.filter(v.isNotNull)
+        .select(when(v < lo, lit(-1L))
+          .when(v >= hi, lit(nBins.toLong))
+          .otherwise(floor((v - lo) * nBins / (hi - lo))).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(cnt))
+    }
+    val oldB = binned(oldDf, "n_old")
+    val newB = binned(newDf, "n_new")
+    val totals = oldB.agg(sum(col("n_old")).as("__to")).crossJoin(
+      newB.agg(sum(col("n_new")).as("__tn")))
+    val joined = oldB.join(newB, Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+      .crossJoin(broadcast(totals))
+    val e = col("n_old").cast("double") * col("__tn") / col("__to")
+    val contrib = when(col("n_old") > 0,
+      (col("n_new") - e) * (col("n_new") - e) / e)
+    joined.select(col("bin"), col("n_old"), col("n_new"),
+      round(e, 6).as("expected_new"), round(contrib, 6).as("chisq"))
+  }
+
   def scd2Compress(log: DataFrame, keyCol: String, valueCol: String,
       tsCol: String, tieCol: String): DataFrame = {
     val byTime = Window.partitionBy(col(s"`$keyCol`"))

@@ -572,6 +572,22 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(tgtQn).select(col("id"), col("score_qn"))
       .as[(Long, Long)].collect().toMap shouldBe
       Map(1L -> 1L, 2L -> 102L, 3L -> 1L, 4L -> 102L)
+
+    // numeric drift: new delivery vs previous over fixed bins
+    val srcNd0 = tmp("jr_nd_s0") + "/t"
+    val srcNd1 = tmp("jr_nd_s1") + "/t"
+    Seq(5L, 15L).toDF("v").write.parquet(srcNd0)
+    Seq(5L, 95L).toDF("v").write.parquet(srcNd1)
+    val tgtNd = tmp("jr_nd_tgt") + "/t"
+    val paramsNd = tmp("jr_nd_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsNd),
+      s"""{"source_dir": "$srcNd1", "target_dir": "$tgtNd",
+         | "previous_dir": "$srcNd0", "value_column": "v",
+         | "lo": 0, "hi": 100, "n_bins": 10}""".stripMargin)
+    JobRunner.execute(spark, "NumericDrift", paramsNd)
+    spark.read.parquet(tgtNd).select(col("bin"), col("n_old"), col("n_new"))
+      .as[(Long, Long, Long)].collect().sorted shouldBe
+      Array((0L, 1L, 1L), (1L, 1L, 0L), (9L, 0L, 1L))
   }
 
   test("unknown algorithm names are rejected") {

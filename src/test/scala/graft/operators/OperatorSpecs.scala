@@ -1567,3 +1567,40 @@ class FreqSketchSpec extends SparkSpec {
     assertSameRows(merged, whole)
   }
 }
+
+class NumericDriftSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Reconcile
+
+  test("numericDrift: fixed bins with under/overflow, q130 expected/" +
+      "contrib conventions, new-only bin gets null chisq") {
+    val oldDf = Seq(5L, 15L, 15L, 25L, -3L).toDF("v")     // bins 0,1,1,2,-1
+    val newDf = Seq(5L, 15L, 35L, 99L, 120L).toDF("v")    // bins 0,1,3,9,10
+    val out = Reconcile.numericDrift(oldDf, newDf, "v",
+        lo = 0L, hi = 100L, nBins = 10)
+      .as[(Long, Long, Long, Double, Option[Double])]
+      .collect().sortBy(_._1).toList
+    val byBin = out.map(r => r._1 -> r).toMap
+    out.map(_._1) shouldBe List(-1L, 0L, 1L, 2L, 3L, 9L, 10L)
+    byBin(-1L)._2 shouldBe 1L; byBin(-1L)._3 shouldBe 0L
+    byBin(10L)._2 shouldBe 0L; byBin(10L)._3 shouldBe 1L
+    byBin(10L)._5 shouldBe None // no old mass: null contribution
+    // bin 1: n_old=2, n_new=1, E = 2*5/5 = 2, contrib = 1/2
+    byBin(1L)._4 shouldBe 2.0
+    byBin(1L)._5 shouldBe Some(0.5)
+    // null values excluded entirely
+    val withNull = Reconcile.numericDrift(
+      Seq(Some(5L), None).toDF("v"), Seq(Some(5L)).toDF("v"),
+      "v", 0L, 100L, 10)
+      .as[(Long, Long, Long, Double, Option[Double])].collect()
+    withNull.map(_._2).sum shouldBe 1L
+  }
+
+  test("numericDrift: identical distributions give zero chisq in every " +
+      "shared bin") {
+    val d = (1L to 200L).map(i => i % 97).toDF("v")
+    val out = Reconcile.numericDrift(d, d, "v", 0L, 100L, 10)
+      .as[(Long, Long, Long, Double, Option[Double])].collect()
+    all(out.map(_._5.get)) shouldBe 0.0
+  }
+}
