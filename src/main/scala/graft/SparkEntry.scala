@@ -1300,6 +1300,14 @@ object SparkEntry {
       Stats.contingencyAssociation(t(s, dir, "documents"), "lang", "source")
     }),
 
+    // embeddings: label-centroid cosine matrix — which classes sit
+    // close in embedding space; exact integer quantized sums, the 1/n
+    // factors cancel so sum-vector cosine IS centroid cosine
+    "q137_label_centroids" -> ((s, dir) => {
+      Similarity.labelCentroidSimilarity(t(s, dir, "embeddings"),
+        "embedding", "label")
+    }),
+
     // monitoring: numeric drift — n_chars distribution of the even-id
     // half vs the odd-id half over fixed [0,500)x10 bins + overflow
     "q136_numeric_drift" -> ((s, dir) => {
@@ -3511,6 +3519,35 @@ object SparkEntry {
         |  CASE WHEN vt <= 0 OR vp <= 0 THEN NULL ELSE
         |    round((CAST(n AS DOUBLE) * ptp - CAST(st AS DOUBLE) * sp) /
         |      (sqrt(vt) * sqrt(vp)), 6) END FROM v""".stripMargin,
+
+    // mirrors q137: q121's floor(x*1024) codes, per-(label, dim) BIGINT
+    // sums, dot/norms exact, one identical double cosine at the end
+    "q137_label_centroids" ->
+      """WITH q AS (
+        |  SELECT label,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT label, i, xq[i] AS x
+        |  FROM q, unnest(generate_series(1, len(xq))) AS u(i)),
+        |s AS (
+        |  SELECT label, i, CAST(sum(x) AS BIGINT) AS s
+        |  FROM e GROUP BY 1, 2),
+        |d AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    CAST(sum(a.s * b.s) AS BIGINT) AS dot
+        |  FROM s a JOIN s b ON a.i = b.i AND a.label < b.label
+        |  GROUP BY 1, 2),
+        |nr AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS nrm
+        |  FROM s GROUP BY 1)
+        |SELECT d.label_a, d.label_b,
+        |  CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN NULL
+        |    ELSE round(CAST(d.dot AS DOUBLE) /
+        |      (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))),
+        |      6) END AS cosine
+        |FROM d JOIN nr na ON na.label = d.label_a
+        |       JOIN nr nb ON nb.label = d.label_b""".stripMargin,
 
     // mirrors q136: same fixed-bin floor arithmetic (integer operands
     // through one double division), q130's expected/contrib convention

@@ -337,6 +337,14 @@ object AlgoRegistry {
         config.getString("ts_column"), config.getString("tie_column"),
         n = config.getIntOpt("n").getOrElse(3),
         k = config.getIntOpt("k").getOrElse(10)))
+    // label-centroid cosine matrix over an embedding column
+    case "LabelCentroidSimilarity" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.labelCentroidSimilarity(df,
+        config.getString("vector_column"),
+        config.getString("label_column"),
+        scale = config.getIntOpt("scale").getOrElse(1024)))
     // pairwise Pearson correlation over integer feature columns
     case "FeatureCorr" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -244,4 +244,53 @@ object Similarity {
     d.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Cosine similarity between every pair of per-label centroids —
+    * "which document classes live close together in embedding space"
+    * (near-identical centroids say the label distinction carries no
+    * geometric signal; orthogonal ones say the classes separate).
+    * One row per unordered pair (label_a < label_b): cosine ∈ [−1, 1],
+    * null when either label's quantized centroid is all-zero.
+    *
+    * Exactness: centroid cosine equals the cosine of the per-label
+    * SUM vectors (the 1/n factors cancel), and sums of
+    * floor(x·scale) integer codes are exact BIGINTs — no cross-row
+    * float accumulation anywhere (a parallel float sum would be
+    * run-to-run nondeterministic), same discipline as
+    * [[embeddingOutliers]]. Bound: dims·(Σ|x_q|)² must stay under
+    * 2^63 — at scale·n per component that allows ~10^9 rows per label
+    * at scale 1024 before the dot products need sharding.
+    *
+    * 100 TB shape: the only data-sized op is the posexplode into the
+    * per-(label, dim) sum — map-side combinable into labels×dims rows;
+    * the pair product joins that tiny frame to itself dim-keyed, and
+    * norms broadcast back.
+    */
+  def labelCentroidSimilarity(emb: DataFrame, vecCol: String,
+      labelCol: String, scale: Int = 1024): DataFrame = {
+    val xq = transform(col(vecCol),
+      x => floor(x.cast("double") * scale).cast("long"))
+    val sums = emb
+      .select(col(labelCol).as("__l"), posexplode(xq).as(Seq("__i", "__x")))
+      .groupBy(col("__l"), col("__i"))
+      .agg(sum(col("__x")).as("__s"))
+    val dots = sums.as("a")
+      .join(sums.as("b"),
+        col("a.__i") === col("b.__i") && col("a.__l") < col("b.__l"))
+      .groupBy(col("a.__l").as("label_a"), col("b.__l").as("label_b"))
+      .agg(sum(col("a.__s") * col("b.__s")).as("__dot"))
+    val norms = sums.groupBy(col("__l"))
+      .agg(sum(col("__s") * col("__s")).as("__nrm"))
+    dots
+      .join(broadcast(norms.select(col("__l").as("label_a"),
+        col("__nrm").as("__na"))), Seq("label_a"))
+      .join(broadcast(norms.select(col("__l").as("label_b"),
+        col("__nrm").as("__nb"))), Seq("label_b"))
+      .select(col("label_a"), col("label_b"),
+        when(col("__na") === 0 || col("__nb") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("__dot").cast("double") /
+            (sqrt(col("__na").cast("double")) *
+             sqrt(col("__nb").cast("double"))), 6)).as("cosine"))
+  }
 }

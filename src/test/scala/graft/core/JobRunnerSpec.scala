@@ -588,6 +588,21 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(tgtNd).select(col("bin"), col("n_old"), col("n_new"))
       .as[(Long, Long, Long)].collect().sorted shouldBe
       Array((0L, 1L, 1L), (1L, 1L, 0L), (9L, 0L, 1L))
+
+    // label-centroid cosine through the params surface
+    val srcLc = tmp("jr_lc_src") + "/t"
+    Seq((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label").write.parquet(srcLc)
+    val tgtLc = tmp("jr_lc_tgt") + "/t"
+    val paramsLc = tmp("jr_lc_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsLc),
+      s"""{"source_dir": "$srcLc", "target_dir": "$tgtLc",
+         | "vector_column": "embedding", "label_column": "label"}"""
+        .stripMargin)
+    JobRunner.execute(spark, "LabelCentroidSimilarity", paramsLc)
+    spark.read.parquet(tgtLc).select(col("label_a"), col("label_b"),
+        col("cosine")).as[(Int, Int, Double)].collect() shouldBe
+      Array((0, 1, 0.0))
   }
 
   test("unknown algorithm names are rejected") {

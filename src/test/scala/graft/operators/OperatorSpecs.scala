@@ -1604,3 +1604,37 @@ class NumericDriftSpec extends SparkSpec {
     all(out.map(_._5.get)) shouldBe 0.0
   }
 }
+
+class LabelCentroidSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Similarity
+
+  test("labelCentroidSimilarity: aligned labels ~1, orthogonal 0, " +
+      "opposed -1; zero centroid yields null") {
+    val emb = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0),     // label 0 -> +x
+      (3L, Seq(0.5f, 0f), 1),                          // label 1 -> +x
+      (4L, Seq(0f, 1f), 2),                            // label 2 -> +y
+      (5L, Seq(-1f, 0f), 3),                           // label 3 -> -x
+      (6L, Seq(0f, 0f), 4))                            // label 4 -> zero
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidSimilarity(emb, "embedding", "label")
+      .as[(Int, Int, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    out((0, 1)).get shouldBe 1.0   // same direction, different magnitude
+    out((0, 2)).get shouldBe 0.0   // orthogonal
+    out((0, 3)).get shouldBe -1.0  // opposed
+    out((0, 4)) shouldBe None      // zero centroid
+    out.size shouldBe 10           // all unordered pairs of 5 labels
+  }
+
+  test("labelCentroidSimilarity: centroid cosine equals sum-vector " +
+      "cosine regardless of label sizes (1/n factors cancel)") {
+    // label 0: 10 copies of v; label 1: 1 copy of the same direction
+    val emb = ((1L to 10L).map(i => (i, Seq(3f, 4f), 0)) :+
+      (11L, Seq(6f, 8f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidSimilarity(emb, "embedding", "label")
+      .as[(Int, Int, Option[Double])].collect()
+    out.head._3.get shouldBe 1.0
+  }
+}
