@@ -1300,6 +1300,12 @@ object SparkEntry {
       Stats.contingencyAssociation(t(s, dir, "documents"), "lang", "source")
     }),
 
+    // monitoring: daily-volume anomaly flags — each day's event count
+    // z-scored against all days, |z| >= 2 flagged
+    "q138_daily_anomaly" -> ((s, dir) => {
+      Stats.volumeAnomalies(t(s, dir, "events"), "ts", zThreshold = 2.0)
+    }),
+
     // embeddings: label-centroid cosine matrix — which classes sit
     // close in embedding space; exact integer quantized sums, the 1/n
     // factors cancel so sum-vector cosine IS centroid cosine
@@ -3519,6 +3525,29 @@ object SparkEntry {
         |  CASE WHEN vt <= 0 OR vp <= 0 THEN NULL ELSE
         |    round((CAST(n AS DOUBLE) * ptp - CAST(st AS DOUBLE) * sp) /
         |      (sqrt(vt) * sqrt(vp)), 6) END FROM v""".stripMargin,
+
+    // mirrors q138: q99's z tree over the day-count frame; the flag
+    // compares the unrounded z; one day or zero variance -> nulls
+    "q138_daily_anomaly" ->
+      """WITH d AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(n) AS BIGINT) AS s1,
+        |  CAST(sum(n * n) AS BIGINT) AS s2 FROM d)
+        |SELECT day, n,
+        |  CASE WHEN k = 1 OR (CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1) <= 0 THEN NULL
+        |    ELSE round((n - CAST(s1 AS DOUBLE) / k) /
+        |      sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
+        |        / (k - 1)), 6) END AS z,
+        |  CASE WHEN k = 1 OR (CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1) <= 0 THEN NULL
+        |    ELSE abs((n - CAST(s1 AS DOUBLE) / k) /
+        |      sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
+        |        / (k - 1))) >= 2.0 END AS is_burst
+        |FROM d, m""".stripMargin,
 
     // mirrors q137: q121's floor(x*1024) codes, per-(label, dim) BIGINT
     // sums, dot/norms exact, one identical double cosine at the end

@@ -351,6 +351,13 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Stats.corrPairs(df,
         config.getSeq[String]("columns")))
+    // daily-volume anomaly flags over a timestamp column
+    case "VolumeAnomalies" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.volumeAnomalies(df,
+        config.getString("ts_column"),
+        zThreshold = config.getDouble("z_threshold", 2.0)))
     // categorical association: χ² + Cramér's V for two columns
     case "ContingencyAssociation" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

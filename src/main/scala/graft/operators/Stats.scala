@@ -60,6 +60,46 @@ object Stats {
     withVars.select(explode(array(rows: _*)).as("__pr")).select(col("__pr.*"))
   }
 
+  /** Daily-volume anomaly flags: bucket rows by day, z-score each
+    * day's count against the mean/std of ALL daily counts, and flag
+    * |z| ≥ `zThreshold` — the "ingestion spiked / collection gap"
+    * alert for an event feed. One row per observed day:
+    * (day, n, z, is_burst). A single observed day, or zero variance
+    * (every day identical), yields null z and flag — no anomaly
+    * baseline exists.
+    *
+    * Exactness: day counts are integers; the moments (k, Σn, Σn²) are
+    * exact BIGINT sums over the DAYS frame, and z is the q99 tree
+    * ((n − Σn/k) / √((Σn² − Σn·Σn/k)/(k−1))) rounded to 6. The flag
+    * compares the UNROUNDED z so the boolean is the same decision the
+    * z column reports.
+    *
+    * 100 TB shape: one map-side-combinable count into days-sized
+    * rows; the moments collapse that frame to one broadcast row;
+    * everything after the first agg is day-domain only.
+    */
+  def volumeAnomalies(df: DataFrame, tsCol: String,
+      zThreshold: Double = 2.0): DataFrame = {
+    require(zThreshold > 0, s"zThreshold must be positive: $zThreshold")
+    val days = df.filter(col(tsCol).isNotNull)
+      .groupBy(date_format(col(tsCol), "yyyyMMdd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val moments = days.agg(count(lit(1)).as("__k"),
+      sum(col("n")).as("__s1"), sum(col("n") * col("n")).as("__s2"))
+    def varE = (col("__s2").cast("double") -
+      col("__s1").cast("double") * col("__s1") / col("__k")) /
+      (col("__k") - 1)
+    def zE = (col("n") - col("__s1").cast("double") / col("__k")) /
+      sqrt(varE)
+    val undefined = col("__k") === 1 || varE <= 0
+    days.crossJoin(broadcast(moments))
+      .select(col("day"), col("n"),
+        when(undefined, lit(null).cast("double"))
+          .otherwise(round(zE, 6)).as("z"),
+        when(undefined, lit(null).cast("boolean"))
+          .otherwise(abs(zE) >= zThreshold).as("is_burst"))
+  }
+
   /** Association strength between two categorical columns: Pearson χ²
     * over the observed contingency cells plus Cramér's V
     * (√(χ² / (n·min(k_a−1, k_b−1)))) — the "are lang and source

@@ -603,6 +603,23 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(tgtLc).select(col("label_a"), col("label_b"),
         col("cosine")).as[(Int, Int, Double)].collect() shouldBe
       Array((0, 1, 0.0))
+
+    // daily-volume anomalies through the params surface
+    val srcVa = tmp("jr_va_src") + "/t"
+    (Seq.fill(10)("2024-01-01") ++ Seq.fill(10)("2024-01-02") ++
+      Seq.fill(10)("2024-01-03") ++ Seq.fill(10)("2024-01-04") ++
+      Seq.fill(10)("2024-01-05") ++ Seq.fill(90)("2024-01-06")).toDF("ds")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.to_timestamp(col("ds"))).drop("ds")
+      .write.parquet(srcVa)
+    val tgtVa = tmp("jr_va_tgt") + "/t"
+    val paramsVa = tmp("jr_va_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsVa),
+      s"""{"source_dir": "$srcVa", "target_dir": "$tgtVa",
+         | "ts_column": "ts"}""".stripMargin)
+    JobRunner.execute(spark, "VolumeAnomalies", paramsVa)
+    spark.read.parquet(tgtVa).filter(col("is_burst"))
+      .select(col("day")).as[String].collect() shouldBe Array("20240106")
   }
 
   test("unknown algorithm names are rejected") {

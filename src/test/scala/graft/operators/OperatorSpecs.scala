@@ -1638,3 +1638,48 @@ class LabelCentroidSpec extends SparkSpec {
     out.head._3.get shouldBe 1.0
   }
 }
+
+class VolumeAnomalySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Stats
+
+  test("volumeAnomalies: spike day flagged, steady days not; z matches " +
+      "the exact moment formula; null ts excluded") {
+    // 4 days with 10 events, one day with 50
+    val ts = (0 until 4).flatMap(d => Seq.fill(10)(s"2024-01-0${d + 1}")) ++
+      Seq.fill(50)("2024-01-05")
+    val df = ts.toDF("ds")
+      .withColumn("ts", to_timestamp($"ds")).drop("ds")
+    val out = Stats.volumeAnomalies(df, "ts", 2.0)
+      .as[(String, Long, Option[Double], Option[Boolean])]
+      .collect().sortBy(_._1)
+    out.map(_._2).toList shouldBe List(10L, 10L, 10L, 10L, 50L)
+    // k=5, s1=90, s2=2900: mean 18, var (2900-1620)/4 = 320
+    val z5 = (50 - 18.0) / math.sqrt(320.0)
+    out.last._3.get shouldBe math.rint(z5 * 1e6) / 1e6
+    out.last._4.get shouldBe false // z ~ 1.79 < 2: loud but not flagged
+    val spike = Stats.volumeAnomalies(
+      (Seq.fill(10)("2024-01-01") ++ Seq.fill(10)("2024-01-02") ++
+        Seq.fill(10)("2024-01-03") ++ Seq.fill(10)("2024-01-04") ++
+        Seq.fill(10)("2024-01-05") ++ Seq.fill(90)("2024-01-06")).toDF("ds")
+        .withColumn("ts", to_timestamp($"ds")).drop("ds"), "ts", 2.0)
+      .as[(String, Long, Option[Double], Option[Boolean])].collect()
+      .sortBy(_._1)
+    spike.last._4.get shouldBe true
+    all(spike.init.map(_._4.get)) shouldBe false
+  }
+
+  test("volumeAnomalies: single day or zero variance -> null z and flag") {
+    val one = Seq.fill(5)("2024-01-01").toDF("ds")
+      .withColumn("ts", to_timestamp($"ds")).drop("ds")
+    Stats.volumeAnomalies(one, "ts")
+      .as[(String, Long, Option[Double], Option[Boolean])]
+      .collect().head._3 shouldBe None
+    val flat = (Seq.fill(5)("2024-01-01") ++ Seq.fill(5)("2024-01-02"))
+      .toDF("ds").withColumn("ts", to_timestamp($"ds")).drop("ds")
+    val f = Stats.volumeAnomalies(flat, "ts")
+      .as[(String, Long, Option[Double], Option[Boolean])].collect()
+    all(f.map(_._3)) shouldBe None
+    all(f.map(_._4)) shouldBe None
+  }
+}
