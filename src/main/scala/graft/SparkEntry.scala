@@ -1306,6 +1306,12 @@ object SparkEntry {
       Stats.volumeAnomalies(t(s, dir, "events"), "ts", zThreshold = 2.0)
     }),
 
+    // profiling: does source determine lang — per source the distinct
+    // lang count, dominant lang (ties to smallest), and its share
+    "q139_func_dependency" -> ((s, dir) => {
+      Stats.functionalDependency(t(s, dir, "documents"), "source", "lang")
+    }),
+
     // embeddings: label-centroid cosine matrix — which classes sit
     // close in embedding space; exact integer quantized sums, the 1/n
     // factors cancel so sum-vector cosine IS centroid cosine
@@ -3525,6 +3531,27 @@ object SparkEntry {
         |  CASE WHEN vt <= 0 OR vp <= 0 THEN NULL ELSE
         |    round((CAST(n AS DOUBLE) * ptp - CAST(st AS DOUBLE) * sp) /
         |      (sqrt(vt) * sqrt(vp)), 6) END FROM v""".stripMargin,
+
+    // mirrors q139: same cells, rank by (count desc, lang), INT window
+    // count cast to BIGINT
+    "q139_func_dependency" ->
+      """WITH c AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, lang, n,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n DESC, lang) AS rk,
+        |    CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_rows,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+        |      AS n_distinct_b
+        |  FROM c)
+        |SELECT source, n_rows, n_distinct_b, lang AS dominant_b,
+        |  n AS dominant_n,
+        |  round(CAST(n AS DOUBLE) / n_rows, 6) AS dominant_frac,
+        |  n_distinct_b = 1 AS is_functional
+        |FROM r WHERE rk = 1""".stripMargin,
 
     // mirrors q138: q99's z tree over the day-count frame; the flag
     // compares the unrounded z; one day or zero variance -> nulls

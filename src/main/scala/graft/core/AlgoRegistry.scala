@@ -351,6 +351,12 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Stats.corrPairs(df,
         config.getSeq[String]("columns")))
+    // functional-dependency profile a -> b
+    case "FunctionalDependency" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.functionalDependency(df,
+        config.getString("a_column"), config.getString("b_column")))
     // daily-volume anomaly flags over a timestamp column
     case "VolumeAnomalies" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

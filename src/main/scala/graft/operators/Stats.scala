@@ -100,6 +100,38 @@ object Stats {
           .otherwise(abs(zE) >= zThreshold).as("is_burst"))
   }
 
+  /** Functional-dependency profile for a → b: for every a-value, how
+    * many distinct b-values it maps to, the dominant b (most rows,
+    * ties to the smallest b), and the dominant share — the data-quality
+    * question "is lang determined by source, and where does the
+    * mapping leak". `is_functional` is true exactly when the a-value
+    * maps to one b. Null-keyed rows (either side) are excluded.
+    *
+    * 100 TB shape: one map-side-combinable (a, b) count; every window
+    * after it runs over the distinct-pair cells partitioned by a —
+    * bounded by the key domains, never by row count.
+    */
+  def functionalDependency(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val perA = Window.partitionBy(col("__a"))
+    val byDom = perA.orderBy(col("__c").desc, col("__b"))
+    cells
+      .withColumn("__rk", row_number().over(byDom))
+      .withColumn("n_rows", sum(col("__c")).over(perA))
+      .withColumn("n_distinct_b", count(lit(1)).over(perA))
+      .filter(col("__rk") === 1)
+      .select(col("__a").as(aCol), col("n_rows"), col("n_distinct_b"),
+        col("__b").as("dominant_b"), col("__c").as("dominant_n"),
+        round(col("__c").cast("double") / col("n_rows"), 6)
+          .as("dominant_frac"),
+        (col("n_distinct_b") === 1).as("is_functional"))
+  }
+
   /** Association strength between two categorical columns: Pearson χ²
     * over the observed contingency cells plus Cramér's V
     * (√(χ² / (n·min(k_a−1, k_b−1)))) — the "are lang and source

@@ -620,6 +620,20 @@ class JobRunnerSpec extends SparkSpec {
     JobRunner.execute(spark, "VolumeAnomalies", paramsVa)
     spark.read.parquet(tgtVa).filter(col("is_burst"))
       .select(col("day")).as[String].collect() shouldBe Array("20240106")
+
+    // functional-dependency profile through the params surface
+    val srcFd = tmp("jr_fd_src") + "/t"
+    Seq(("s1", "en"), ("s1", "en"), ("s2", "de"), ("s2", "fr"))
+      .toDF("sc", "lg").write.parquet(srcFd)
+    val tgtFd = tmp("jr_fd_tgt") + "/t"
+    val paramsFd = tmp("jr_fd_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsFd),
+      s"""{"source_dir": "$srcFd", "target_dir": "$tgtFd",
+         | "a_column": "sc", "b_column": "lg"}""".stripMargin)
+    JobRunner.execute(spark, "FunctionalDependency", paramsFd)
+    spark.read.parquet(tgtFd).select(col("sc"), col("is_functional"))
+      .as[(String, Boolean)].collect().toMap shouldBe
+      Map("s1" -> true, "s2" -> false)
   }
 
   test("unknown algorithm names are rejected") {

@@ -1683,3 +1683,31 @@ class VolumeAnomalySpec extends SparkSpec {
     all(f.map(_._4)) shouldBe None
   }
 }
+
+class FuncDependencySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Stats
+
+  test("functionalDependency: clean mapping flagged functional, leaky " +
+      "one reports dominant share; count ties break to smallest b") {
+    val df = Seq(
+      ("s1", "en"), ("s1", "en"), ("s1", "en"),          // clean: s1 -> en
+      ("s2", "de"), ("s2", "de"), ("s2", "fr"),          // leaky: 2/3 de
+      ("s3", "es"), ("s3", "zh"))                        // tie: es wins
+      .toDF("src", "lng")
+    val out = Stats.functionalDependency(df, "src", "lng")
+      .as[(String, Long, Long, String, Long, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    out("s1") shouldBe (("s1", 3L, 1L, "en", 3L, 1.0, true))
+    out("s2") shouldBe (("s2", 3L, 2L, "de", 2L,
+      math.rint(2.0 / 3 * 1e6) / 1e6, false))
+    out("s3") shouldBe (("s3", 2L, 2L, "es", 1L, 0.5, false))
+    // null on either side drops the row
+    val n = Stats.functionalDependency(
+      Seq((Some("a"), Some("x")), (Some("a"), None), (None, Some("y")))
+        .toDF("src", "lng"), "src", "lng")
+      .as[(String, Long, Long, String, Long, Double, Boolean)].collect()
+    n.length shouldBe 1
+    n.head._2 shouldBe 1L
+  }
+}
