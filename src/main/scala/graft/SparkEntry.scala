@@ -1312,6 +1312,14 @@ object SparkEntry {
       Stats.functionalDependency(t(s, dir, "documents"), "source", "lang")
     }),
 
+    // text: language-id confidence margin — best stopword score minus
+    // runner-up; 0 flags the ambiguous docs a reviewer should see
+    "q140_langid_margin" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.langIdMargin(col("text")).as("margin"))
+    }),
+
     // embeddings: label-centroid cosine matrix — which classes sit
     // close in embedding space; exact integer quantized sums, the 1/n
     // factors cancel so sum-vector cosine IS centroid cosine
@@ -3531,6 +3539,30 @@ object SparkEntry {
         |  CASE WHEN vt <= 0 OR vp <= 0 THEN NULL ELSE
         |    round((CAST(n AS DOUBLE) * ptp - CAST(st AS DOUBLE) * sp) /
         |      (sqrt(vt) * sqrt(vp)), 6) END FROM v""".stripMargin,
+
+    // mirrors q140: q25's score/pick conventions + a 5-element DESC
+    // sort for the margin (INT both sides)
+    "q140_langid_margin" -> {
+      val scores = TextAnalysis.stopwords.map { case (lang, _) =>
+        s"len(list_filter(tk, x -> x IN (${stopList(lang)}))) AS s_$lang"
+      }.mkString(",\n  ")
+      val pickCases = TextAnalysis.stopwords.map { case (lang, _) =>
+        s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+      }.mkString(" ")
+      val arr = TextAnalysis.stopwords.map { case (lang, _) => s"s_$lang" }
+        .mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS tk
+         |  FROM documents),
+         |sc AS (SELECT doc_id, $scores FROM t),
+         |b AS (SELECT *, greatest($arr) AS best FROM sc)
+         |SELECT doc_id,
+         |  CASE $pickCases ELSE 'und' END AS lang_pred,
+         |  CAST(list_sort([$arr], 'DESC')[1]
+         |    - list_sort([$arr], 'DESC')[2] AS INTEGER) AS margin
+         |FROM b""".stripMargin
+    },
 
     // mirrors q139: same cells, rank by (count desc, lang), INT window
     // count cast to BIGINT

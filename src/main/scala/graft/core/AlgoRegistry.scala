@@ -351,6 +351,18 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Stats.corrPairs(df,
         config.getSeq[String]("columns")))
+    // language id + confidence margin per document
+    case "LangId" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val text = org.apache.spark.sql.functions
+          .col(config.getString("text_column"))
+        df.withColumn("lang_pred",
+            graft.operators.TextAnalysis.langId(text))
+          .withColumn("lang_margin",
+            graft.operators.TextAnalysis.langIdMargin(text))
+      })
     // functional-dependency profile a -> b
     case "FunctionalDependency" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -56,6 +56,19 @@ object TextAnalysis {
     pick
   }
 
+  /** Confidence margin of [[langId]]: best stopword hit count minus
+    * the runner-up's — 0 when two languages tie (the ambiguous case a
+    * reviewer should see), high when one language dominates. Works per
+    * row with a fixed 5-element sort, no aggregation.
+    */
+  def langIdMargin(text: Column): Column = {
+    val toks = tokens(text)
+    val sorted = sort_array(
+      array(stopwords.map { case (_, ws) => hitCount(toks, ws) }: _*),
+      asc = false)
+    element_at(sorted, 1) - element_at(sorted, 2)
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -634,6 +634,20 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(tgtFd).select(col("sc"), col("is_functional"))
       .as[(String, Boolean)].collect().toMap shouldBe
       Map("s1" -> true, "s2" -> false)
+
+    // language id + margin through the params surface
+    val srcLi = tmp("jr_li_src") + "/t"
+    Seq((1L, "the cat is the dog"), (2L, "xyzzy"))
+      .toDF("doc_id", "text").write.parquet(srcLi)
+    val tgtLi = tmp("jr_li_tgt") + "/t"
+    val paramsLi = tmp("jr_li_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsLi),
+      s"""{"source_dir": "$srcLi", "target_dir": "$tgtLi",
+         | "text_column": "text"}""".stripMargin)
+    JobRunner.execute(spark, "LangId", paramsLi)
+    spark.read.parquet(tgtLi).select(col("doc_id"), col("lang_pred"))
+      .as[(Long, String)].collect().toMap shouldBe
+      Map(1L -> "en", 2L -> "und")
   }
 
   test("unknown algorithm names are rejected") {

@@ -1711,3 +1711,27 @@ class FuncDependencySpec extends SparkSpec {
     n.head._2 shouldBe 1L
   }
 }
+
+class LangIdMarginSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("langIdMargin: dominant language scores high, mixed text scores " +
+      "its lead, tied and stopword-free text score zero") {
+    val df = Seq(
+      (1L, "the cat is in the hat and the dog"),   // en-only hits
+      (2L, "the der cat und is ist dog von mit"),  // en 3 vs de 5
+      (3L, "the der"),                             // 1-1 tie
+      (4L, "xyzzy plugh"))                         // no hits anywhere
+      .toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.langId($"text").as("l"),
+        TextAnalysis.langIdMargin($"text").as("m"))
+      .as[(Long, String, Int)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    out(1L)._1 shouldBe "en"
+    out(1L)._2 should be >= 4
+    out(2L) shouldBe (("de", 3)) // de 5 hits (der und ist von mit) vs en 2
+    out(3L) shouldBe (("en", 0)) // tie: fixed order picks en, margin 0
+    out(4L) shouldBe (("und", 0))
+  }
+}
