@@ -1312,6 +1312,13 @@ object SparkEntry {
       Stats.functionalDependency(t(s, dir, "documents"), "source", "lang")
     }),
 
+    // monitoring: per-type daily anomaly — each event type's days
+    // z-scored against that type's own history ("which feed broke")
+    "q141_anomaly_per_type" -> ((s, dir) => {
+      Stats.volumeAnomaliesPerGroup(t(s, dir, "events"), "ts",
+        "event_type", zThreshold = 2.0)
+    }),
+
     // text: language-id confidence margin — best stopword score minus
     // runner-up; 0 flags the ambiguous docs a reviewer should see
     "q140_langid_margin" -> ((s, dir) => {
@@ -3539,6 +3546,30 @@ object SparkEntry {
         |  CASE WHEN vt <= 0 OR vp <= 0 THEN NULL ELSE
         |    round((CAST(n AS DOUBLE) * ptp - CAST(st AS DOUBLE) * sp) /
         |      (sqrt(vt) * sqrt(vp)), 6) END FROM v""".stripMargin,
+
+    // mirrors q141: q138's z tree per event type's own day history
+    "q141_anomaly_per_type" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(n) AS BIGINT) AS s1,
+        |  CAST(sum(n * n) AS BIGINT) AS s2 FROM d GROUP BY 1)
+        |SELECT d.event_type, day, n,
+        |  CASE WHEN k = 1 OR (CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1) <= 0 THEN NULL
+        |    ELSE round((n - CAST(s1 AS DOUBLE) / k) /
+        |      sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
+        |        / (k - 1)), 6) END AS z,
+        |  CASE WHEN k = 1 OR (CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1) <= 0 THEN NULL
+        |    ELSE abs((n - CAST(s1 AS DOUBLE) / k) /
+        |      sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
+        |        / (k - 1))) >= 2.0 END AS is_burst
+        |FROM d JOIN m USING (event_type)""".stripMargin,
 
     // mirrors q140: q25's score/pick conventions + a 5-element DESC
     // sort for the margin (INT both sides)

@@ -363,6 +363,13 @@ object AlgoRegistry {
           .withColumn("lang_margin",
             graft.operators.TextAnalysis.langIdMargin(text))
       })
+    // per-group daily-volume anomaly flags
+    case "VolumeAnomaliesPerGroup" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.volumeAnomaliesPerGroup(df,
+        config.getString("ts_column"), config.getString("group_column"),
+        zThreshold = config.getDouble("z_threshold", 2.0)))
     // functional-dependency profile a -> b
     case "FunctionalDependency" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -100,6 +100,40 @@ object Stats {
           .otherwise(abs(zE) >= zThreshold).as("is_burst"))
   }
 
+  /** Per-group [[volumeAnomalies]]: each group's daily counts z-scored
+    * against THAT group's own day history — "which feed broke" rather
+    * than "did total volume move" (a spike in one source that another
+    * source's dip cancels is invisible to the global check). One row
+    * per (group, day); groups with one observed day or zero variance
+    * report null z and flag.
+    *
+    * 100 TB shape: one map-side-combinable (group, day) count; the
+    * per-group moments re-aggregate that frame (groups-sized) and join
+    * back as a broadcast — day-domain work only after the first agg.
+    */
+  def volumeAnomaliesPerGroup(df: DataFrame, tsCol: String,
+      groupCol: String, zThreshold: Double = 2.0): DataFrame = {
+    require(zThreshold > 0, s"zThreshold must be positive: $zThreshold")
+    val days = df.filter(col(tsCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"),
+        date_format(col(tsCol), "yyyyMMdd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val moments = days.groupBy(col("__g")).agg(count(lit(1)).as("__k"),
+      sum(col("n")).as("__s1"), sum(col("n") * col("n")).as("__s2"))
+    def varE = (col("__s2").cast("double") -
+      col("__s1").cast("double") * col("__s1") / col("__k")) /
+      (col("__k") - 1)
+    def zE = (col("n") - col("__s1").cast("double") / col("__k")) /
+      sqrt(varE)
+    val undefined = col("__k") === 1 || varE <= 0
+    days.join(broadcast(moments), Seq("__g"))
+      .select(col("__g").as(groupCol), col("day"), col("n"),
+        when(undefined, lit(null).cast("double"))
+          .otherwise(round(zE, 6)).as("z"),
+        when(undefined, lit(null).cast("boolean"))
+          .otherwise(abs(zE) >= zThreshold).as("is_burst"))
+  }
+
   /** Functional-dependency profile for a → b: for every a-value, how
     * many distinct b-values it maps to, the dominant b (most rows,
     * ties to the smallest b), and the dominant share — the data-quality

@@ -1735,3 +1735,37 @@ class LangIdMarginSpec extends SparkSpec {
     out(4L) shouldBe (("und", 0))
   }
 }
+
+class VolumeAnomalyPerGroupSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Stats
+
+  test("volumeAnomaliesPerGroup: a spike one group's dip cancels " +
+      "globally is still flagged within its group") {
+    // feed A: steady 10/day then 90 on day 6; feed B: mirror-image so
+    // the combined total is flat every day
+    val a = (1 to 5).flatMap(d => Seq.fill(10)((s"2024-01-0$d", "A"))) ++
+      Seq.fill(90)(("2024-01-06", "A"))
+    val b = (1 to 5).flatMap(d => Seq.fill(90)((s"2024-01-0$d", "B"))) ++
+      Seq.fill(10)(("2024-01-06", "B"))
+    val df = (a ++ b).toDF("ds", "feed")
+      .withColumn("ts", to_timestamp($"ds")).drop("ds")
+    // global check sees nothing (zero variance -> nulls)
+    val global = Stats.volumeAnomalies(df, "ts", 2.0)
+      .as[(String, Long, Option[Double], Option[Boolean])].collect()
+    all(global.map(_._4)) shouldBe None
+    // per-feed check flags day 6 in BOTH feeds
+    val per = Stats.volumeAnomaliesPerGroup(df, "ts", "feed", 2.0)
+      .as[(String, String, Long, Option[Double], Option[Boolean])]
+      .collect()
+    per.filter(_._5.contains(true)).map(r => (r._1, r._2)).sorted shouldBe
+      Array(("A", "20240106"), ("B", "20240106"))
+    // one-day group -> nulls
+    val one = Stats.volumeAnomaliesPerGroup(
+      Seq(("2024-01-01", "solo")).toDF("ds", "feed")
+        .withColumn("ts", to_timestamp($"ds")).drop("ds"), "ts", "feed")
+      .as[(String, String, Long, Option[Double], Option[Boolean])]
+      .collect()
+    one.head._4 shouldBe None
+  }
+}
