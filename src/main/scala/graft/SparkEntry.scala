@@ -1312,6 +1312,13 @@ object SparkEntry {
       Stats.functionalDependency(t(s, dir, "documents"), "source", "lang")
     }),
 
+    // text: per-source vocabulary concentration — TTR + Simpson repeat
+    // probability; high simpson/low ttr = template-heavy source
+    "q142_vocab_concentration" -> ((s, dir) => {
+      TextAnalysis.vocabConcentration(t(s, dir, "documents"),
+        "source", "text")
+    }),
+
     // monitoring: per-type daily anomaly — each event type's days
     // z-scored against that type's own history ("which feed broke")
     "q141_anomaly_per_type" -> ((s, dir) => {
@@ -3546,6 +3553,25 @@ object SparkEntry {
         |  CASE WHEN vt <= 0 OR vp <= 0 THEN NULL ELSE
         |    round((CAST(n AS DOUBLE) * ptp - CAST(st AS DOUBLE) * sp) /
         |      (sqrt(vt) * sqrt(vp)), 6) END FROM v""".stripMargin,
+
+    // mirrors q142: shared tokenizer, exact BIGINT count quotients
+    "q142_vocab_concentration" ->
+      """WITH tk AS (
+        |  SELECT source AS g,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |c AS (SELECT g, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(c * (c - 1)) AS BIGINT) AS rep FROM c GROUP BY 1)
+        |SELECT g AS source, n_tokens, n_types,
+        |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+        |  CASE WHEN n_tokens < 2 THEN NULL
+        |    ELSE round(CAST(rep AS DOUBLE) /
+        |      (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6)
+        |  END AS simpson
+        |FROM a""".stripMargin,
 
     // mirrors q141: q138's z tree per event type's own day history
     "q141_anomaly_per_type" ->

@@ -351,6 +351,12 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Stats.corrPairs(df,
         config.getSeq[String]("columns")))
+    // per-group vocabulary concentration (TTR + Simpson)
+    case "VocabConcentration" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.vocabConcentration(df,
+        config.getString("group_column"), config.getString("text_column")))
     // language id + confidence margin per document
     case "LangId" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

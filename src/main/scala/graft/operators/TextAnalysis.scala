@@ -380,6 +380,43 @@ object TextAnalysis {
     * covered(V) = cumTokens(boundary) − (cumTerms(boundary) − V)·c —
     * exact for any tie-break, mirrored by the oracle's rank form.
     */
+  /** Per-group vocabulary concentration: token count, distinct-type
+    * count, type-token ratio, and the Simpson repeat probability
+    * Σc(c−1)/(n(n−1)) — the chance two tokens drawn without
+    * replacement are the same type. High Simpson + low TTR says the
+    * group's text is template/boilerplate-heavy; a diverse corpus sits
+    * low. The corpus-level diversity triage next to the per-document
+    * [[repetitionSignals]]. Groups with fewer than 2 tokens report a
+    * null simpson (no pair to draw).
+    *
+    * Exactness: every statistic is a round(…,6) quotient of exact
+    * BIGINT counts (c(c−1) sums stay under 2^63 while every per-group
+    * term count is below ~3e9 — shard groups beyond that).
+    *
+    * 100 TB shape: one explode into a map-side-combinable
+    * (group, term) count; the three group statistics re-aggregate
+    * that vocab-sized frame — no window, no join, two shuffles total.
+    */
+  def vocabConcentration(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val counts = docs
+      .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(tokens(col(textCol))).as("__term"))
+      .groupBy(col("__g"), col("__term")).agg(count(lit(1)).as("__c"))
+    counts.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__c") * (col("__c") - 1)).as("__rep"))
+      .select(col("__g").as(groupCol), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("ttr"),
+        when(col("n_tokens") < 2, lit(null).cast("double"))
+          .otherwise(round(col("__rep").cast("double") /
+            (col("n_tokens").cast("double") * (col("n_tokens") - 1)), 6))
+          .as("simpson"))
+  }
+
   def vocabCoverage(docs: DataFrame, textCol: String,
       sizes: Seq[Int]): DataFrame = {
     require(sizes.nonEmpty, "sizes must be non-empty")

@@ -648,6 +648,20 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(tgtLi).select(col("doc_id"), col("lang_pred"))
       .as[(Long, String)].collect().toMap shouldBe
       Map(1L -> "en", 2L -> "und")
+
+    // vocabulary concentration through the params surface
+    val srcVc = tmp("jr_vc_src") + "/t"
+    Seq(("a", "spam spam spam"), ("b", "x y z"))
+      .toDF("grp", "text").write.parquet(srcVc)
+    val tgtVc = tmp("jr_vc_tgt") + "/t"
+    val paramsVc = tmp("jr_vc_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsVc),
+      s"""{"source_dir": "$srcVc", "target_dir": "$tgtVc",
+         | "group_column": "grp", "text_column": "text"}""".stripMargin)
+    JobRunner.execute(spark, "VocabConcentration", paramsVc)
+    spark.read.parquet(tgtVc).select(col("grp"), col("simpson"))
+      .as[(String, Double)].collect().toMap shouldBe
+      Map("a" -> 1.0, "b" -> 0.0)
   }
 
   test("unknown algorithm names are rejected") {

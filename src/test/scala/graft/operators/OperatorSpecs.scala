@@ -1769,3 +1769,25 @@ class VolumeAnomalyPerGroupSpec extends SparkSpec {
     one.head._4 shouldBe None
   }
 }
+
+class VocabConcentrationSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("vocabConcentration: repetitive group scores high simpson/low " +
+      "ttr, diverse group the reverse; single-token group nulls simpson") {
+    val df = Seq(
+      ("rep", "spam spam spam spam"),
+      ("div", "alpha beta gamma delta"),
+      ("solo", "one"))
+      .toDF("src", "text")
+    val out = TextAnalysis.vocabConcentration(df, "src", "text")
+      .as[(String, Long, Long, Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // rep: 4 tokens 1 type: ttr 0.25, simpson 4*3/(4*3) = 1
+    out("rep") shouldBe (("rep", 4L, 1L, 0.25, Some(1.0)))
+    // div: 4 tokens 4 types: ttr 1, simpson 0
+    out("div") shouldBe (("div", 4L, 4L, 1.0, Some(0.0)))
+    out("solo") shouldBe (("solo", 1L, 1L, 1.0, None))
+  }
+}
