@@ -1312,6 +1312,20 @@ object SparkEntry {
       Stats.functionalDependency(t(s, dir, "documents"), "source", "lang")
     }),
 
+    // monitoring: vocabulary drift — appeared/vanished terms between
+    // the even-id and odd-id halves, with deterministic injected
+    // fixture terms on each side (the real corpus shares one vocab)
+    "q143_vocab_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" zzzlegacy"))).otherwise(col("text")))
+      val nw = docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" zzznovel"))).otherwise(col("text")))
+      TextAnalysis.vocabDiff(old, nw, "text", minCount = 2)
+    }),
+
     // text: per-source vocabulary concentration — TTR + Simpson repeat
     // probability; high simpson/low ttr = template-heavy source
     "q142_vocab_concentration" -> ((s, dir) => {
@@ -3553,6 +3567,36 @@ object SparkEntry {
         |  CASE WHEN vt <= 0 OR vp <= 0 THEN NULL ELSE
         |    round((CAST(n AS DOUBLE) * ptp - CAST(st AS DOUBLE) * sp) /
         |      (sqrt(vt) * sqrt(vp)), 6) END FROM v""".stripMargin,
+
+    // mirrors q143: same fixture injection and tokenizer, full-outer
+    // vocab join with the frontier filter
+    "q143_vocab_drift" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' zzzlegacy'
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+        |n AS (
+        |  SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' zzznovel'
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+        |co AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |    AS term FROM o),
+        |cn AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |    AS term FROM n),
+        |go AS (SELECT term, CAST(count(*) AS BIGINT) AS n_old
+        |  FROM co GROUP BY 1),
+        |gn AS (SELECT term, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM cn GROUP BY 1)
+        |SELECT coalesce(go.term, gn.term) AS term,
+        |  coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new,
+        |  CASE WHEN coalesce(n_old, 0) = 0 THEN 'appeared'
+        |    ELSE 'vanished' END AS status
+        |FROM go FULL OUTER JOIN gn USING (term)
+        |WHERE (coalesce(n_old, 0) = 0 AND coalesce(n_new, 0) >= 2)
+        |   OR (coalesce(n_new, 0) = 0 AND coalesce(n_old, 0) >= 2)"""
+        .stripMargin,
 
     // mirrors q142: shared tokenizer, exact BIGINT count quotients
     "q142_vocab_concentration" ->

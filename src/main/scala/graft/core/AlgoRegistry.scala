@@ -351,6 +351,17 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Stats.corrPairs(df,
         config.getSeq[String]("columns")))
+    // vocabulary drift: appeared/vanished terms vs the previous delivery
+    case "VocabDiff" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val previous = fmt(config).read(spark, Map.empty, None,
+          config.getString("previous_dir"))
+        graft.operators.TextAnalysis.vocabDiff(previous, df,
+          config.getString("text_column"),
+          minCount = config.getIntOpt("min_count").getOrElse(2).toLong)
+      })
     // per-group vocabulary concentration (TTR + Simpson)
     case "VocabConcentration" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -417,6 +417,36 @@ object TextAnalysis {
           .as("simpson"))
   }
 
+  /** Vocabulary drift between two deliveries: terms that APPEARED (no
+    * old occurrences, ≥ `minCount` new ones) or VANISHED (the reverse)
+    * — the text-level drift watch next to the categorical (q130) and
+    * numeric (q136) monitors: a burst of never-seen tokens is how
+    * spam floods, encoding bugs, and benchmark contamination first
+    * show up. Terms present on both sides are NOT reported (shift in
+    * degree is the drift monitors' job; this one watches the
+    * frontier). `minCount` suppresses hapax noise.
+    *
+    * 100 TB shape: two map-side-combinable term counts, then a
+    * vocab-sized full-outer join on the term — data-sized work is the
+    * two explodes only.
+    */
+  def vocabDiff(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+      minCount: Long = 2): DataFrame = {
+    require(minCount >= 1, s"minCount must be positive: $minCount")
+    def counts(df: DataFrame, cnt: String): DataFrame = df
+      .filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as(cnt))
+    counts(oldDf, "n_old")
+      .join(counts(newDf, "n_new"), Seq("term"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+      .filter((col("n_old") === 0 && col("n_new") >= minCount) ||
+        (col("n_new") === 0 && col("n_old") >= minCount))
+      .select(col("term"), col("n_old"), col("n_new"),
+        when(col("n_old") === 0, lit("appeared")).otherwise(lit("vanished"))
+          .as("status"))
+  }
+
   def vocabCoverage(docs: DataFrame, textCol: String,
       sizes: Seq[Int]): DataFrame = {
     require(sizes.nonEmpty, "sizes must be non-empty")

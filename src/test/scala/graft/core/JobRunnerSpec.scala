@@ -662,6 +662,21 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(tgtVc).select(col("grp"), col("simpson"))
       .as[(String, Double)].collect().toMap shouldBe
       Map("a" -> 1.0, "b" -> 0.0)
+
+    // vocabulary drift through the params surface
+    val srcVd0 = tmp("jr_vd_s0") + "/t"
+    val srcVd1 = tmp("jr_vd_s1") + "/t"
+    Seq("the relic relic").toDF("text").write.parquet(srcVd0)
+    Seq("the nova nova").toDF("text").write.parquet(srcVd1)
+    val tgtVd = tmp("jr_vd_tgt") + "/t"
+    val paramsVd = tmp("jr_vd_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsVd),
+      s"""{"source_dir": "$srcVd1", "target_dir": "$tgtVd",
+         | "previous_dir": "$srcVd0", "text_column": "text"}""".stripMargin)
+    JobRunner.execute(spark, "VocabDiff", paramsVd)
+    spark.read.parquet(tgtVd).select(col("term"), col("status"))
+      .as[(String, String)].collect().toMap shouldBe
+      Map("nova" -> "appeared", "relic" -> "vanished")
   }
 
   test("unknown algorithm names are rejected") {

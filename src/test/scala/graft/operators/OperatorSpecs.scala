@@ -1791,3 +1791,23 @@ class VocabConcentrationSpec extends SparkSpec {
     out("solo") shouldBe (("solo", 1L, 1L, 1.0, None))
   }
 }
+
+class VocabDiffSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("vocabDiff: appeared/vanished at the frontier only — shared " +
+      "terms and sub-threshold strays stay silent") {
+    val oldDf = Seq("the old king", "the old crown", "relic relic")
+      .toDF("text")
+    val newDf = Seq("the new king", "the new reign", "blip").toDF("text")
+    val out = TextAnalysis.vocabDiff(oldDf, newDf, "text", minCount = 2)
+      .as[(String, Long, Long, String)].collect().sortBy(_._1)
+    // "new" appeared x2; "old"/"relic" vanished x2; "crown"/"reign"/
+    // "blip" are sub-threshold; "the"/"king" shared -> silent
+    out shouldBe Array(
+      ("new", 0L, 2L, "appeared"),
+      ("old", 2L, 0L, "vanished"),
+      ("relic", 2L, 0L, "vanished"))
+  }
+}
