@@ -1312,6 +1312,14 @@ object SparkEntry {
       Stats.functionalDependency(t(s, dir, "documents"), "source", "lang")
     }),
 
+    // behavioral: session-duration quantiles — 30-min-gap sessions
+    // reduced to whole-second durations, exact type-1 p50/p90/p99
+    "q144_session_stats" -> ((s, dir) => {
+      Sessionize.sessionStats(t(s, dir, "events"), "user_id",
+        unix_micros(col("ts")), "event_id", gapMicros = 1800000000L,
+        ps = Seq(0.5, 0.9, 0.99))
+    }),
+
     // monitoring: vocabulary drift — appeared/vanished terms between
     // the even-id and odd-id halves, with deterministic injected
     // fixture terms on each side (the real corpus shares one vocab)
@@ -3567,6 +3575,39 @@ object SparkEntry {
         |  CASE WHEN vt <= 0 OR vp <= 0 THEN NULL ELSE
         |    round((CAST(n AS DOUBLE) * ptp - CAST(st AS DOUBLE) * sp) /
         |      (sqrt(vt) * sqrt(vp)), 6) END FROM v""".stripMargin,
+
+    // mirrors q144: lag+cumsum sessionize, floor'd whole-second
+    // durations, the type-1 ceil(p*n) quantile rule on the histogram
+    "q144_session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |    event_id FROM events),
+        |l AS (
+        |  SELECT user_id, tsu, event_id,
+        |    CASE WHEN lag(tsu) OVER w IS NULL THEN 1
+        |         WHEN tsu - lag(tsu) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |s AS (
+        |  SELECT user_id, tsu,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS session_id
+        |  FROM l),
+        |g AS (
+        |  SELECT user_id, session_id,
+        |    CAST(floor((max(tsu) - min(tsu)) / 1000000) AS BIGINT)
+        |      AS duration_s
+        |  FROM s GROUP BY 1, 2),
+        |hist AS (SELECT duration_s, count(*) AS c FROM g GROUP BY 1),
+        |cum AS (SELECT duration_s,
+        |  sum(c) OVER (ORDER BY duration_s) AS cm FROM hist),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+        |ps AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+        |SELECT ps.p, min(cum.duration_s) AS duration_s,
+        |  tot.n AS n_sessions
+        |FROM cum CROSS JOIN tot CROSS JOIN ps
+        |WHERE cum.cm >= ceil(ps.p * tot.n)
+        |GROUP BY ps.p, tot.n""".stripMargin,
 
     // mirrors q143: same fixture injection and tokenizer, full-outer
     // vocab join with the frontier filter

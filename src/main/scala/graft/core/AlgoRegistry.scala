@@ -408,6 +408,19 @@ object AlgoRegistry {
         config.getString("a_column"), config.getString("b_column"),
         maxCells =
           config.getIntOpt("max_cells").getOrElse(100000).toLong))
+    // session-duration quantile summary (gap sessionize + type-1
+    // histogram quantiles); ts column must be µs since epoch
+    case "SessionStats" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sessionize.sessionStats(df,
+        config.getString("user_column"),
+        org.apache.spark.sql.functions
+          .col(config.getString("ts_micros_column")),
+        config.getString("order_column"),
+        gapMicros = config.getIntOpt("gap_seconds")
+          .getOrElse(1800).toLong * 1000000L,
+        ps = config.getSeq[Double]("ps")))
     // market-basket association rules over user-level event-type baskets
     case "AssociationRules" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -677,6 +677,20 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(tgtVd).select(col("term"), col("status"))
       .as[(String, String)].collect().toMap shouldBe
       Map("nova" -> "appeared", "relic" -> "vanished")
+
+    // session-duration quantiles through the params surface
+    val srcSs = tmp("jr_ss2_src") + "/t"
+    Seq((1L, 1L, 0L), (1L, 2L, 10000000L), (2L, 3L, 0L))
+      .toDF("uid", "eid", "tsu").write.parquet(srcSs)
+    val tgtSs = tmp("jr_ss2_tgt") + "/t"
+    val paramsSs = tmp("jr_ss2_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsSs),
+      s"""{"source_dir": "$srcSs", "target_dir": "$tgtSs",
+         | "user_column": "uid", "ts_micros_column": "tsu",
+         | "order_column": "eid", "ps": [1.0]}""".stripMargin)
+    JobRunner.execute(spark, "SessionStats", paramsSs)
+    spark.read.parquet(tgtSs).select(col("duration_s"), col("n_sessions"))
+      .as[(Long, Long)].collect() shouldBe Array((10L, 2L))
   }
 
   test("unknown algorithm names are rejected") {

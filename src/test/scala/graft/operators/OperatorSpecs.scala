@@ -1811,3 +1811,25 @@ class VocabDiffSpec extends SparkSpec {
       ("relic", 2L, 0L, "vanished"))
   }
 }
+
+class SessionStatsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sessionize
+
+  test("sessionStats: gap splits sessions, durations floor to whole " +
+      "seconds, quantiles follow the type-1 rule") {
+    // user 1: events at 0s, 10s (one session, 10s), then 3600s, 3612.7s
+    // (second session, floor(12.7) = 12s); user 2: lone event (0s)
+    val ev = Seq(
+      (1L, 1L, 0L), (1L, 2L, 10L * 1000000),
+      (1L, 3L, 3600L * 1000000), (1L, 4L, 3612700000L),
+      (2L, 5L, 42L))
+      .toDF("uid", "eid", "tsu")
+    val out = Sessionize.sessionStats(ev, "uid", $"tsu", "eid",
+        gapMicros = 1800000000L, ps = Seq(0.5, 1.0))
+      .as[(Double, Long, Long)].collect().sortBy(_._1)
+    // durations sorted: 0, 10, 12; n=3. p=0.5 -> ceil(1.5)=2nd -> 10;
+    // p=1.0 -> 3rd -> 12
+    out shouldBe Array((0.5, 10L, 3L), (1.0, 12L, 3L))
+  }
+}
