@@ -1312,6 +1312,12 @@ object SparkEntry {
       Stats.functionalDependency(t(s, dir, "documents"), "source", "lang")
     }),
 
+    // text QA: per-language charset profile — corpus-weighted ascii /
+    // digit / space fractions (is the zh feed actually CJK)
+    "q145_charset_profile" -> ((s, dir) => {
+      TextAnalysis.charsetProfile(t(s, dir, "documents"), "lang", "text")
+    }),
+
     // behavioral: session-duration quantiles — 30-min-gap sessions
     // reduced to whole-second durations, exact type-1 p50/p90/p99
     "q144_session_stats" -> ((s, dir) => {
@@ -3575,6 +3581,32 @@ object SparkEntry {
         |  CASE WHEN vt <= 0 OR vp <= 0 THEN NULL ELSE
         |    round((CAST(n AS DOUBLE) * ptp - CAST(st AS DOUBLE) * sp) /
         |      (sqrt(vt) * sqrt(vp)), 6) END FROM v""".stripMargin,
+
+    // mirrors q145: same keep-class regex counts, BIGINT sums, one
+    // quotient per ratio
+    "q145_charset_profile" ->
+      """WITH a AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |    CAST(sum(length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')))
+        |      AS BIGINT) AS n_ascii,
+        |    CAST(sum(length(regexp_replace(text, '[^0-9]', '', 'g')))
+        |      AS BIGINT) AS n_digit,
+        |    CAST(sum(length(text) - length(replace(text, ' ', '')))
+        |      AS BIGINT) AS n_space
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND text IS NOT NULL GROUP BY 1)
+        |SELECT lang, n_docs, n_chars,
+        |  CASE WHEN n_chars = 0 THEN NULL
+        |    ELSE round(CAST(n_ascii AS DOUBLE) / n_chars, 6) END
+        |    AS ascii_ratio,
+        |  CASE WHEN n_chars = 0 THEN NULL
+        |    ELSE round(CAST(n_digit AS DOUBLE) / n_chars, 6) END
+        |    AS digit_ratio,
+        |  CASE WHEN n_chars = 0 THEN NULL
+        |    ELSE round(CAST(n_space AS DOUBLE) / n_chars, 6) END
+        |    AS space_ratio
+        |FROM a""".stripMargin,
 
     // mirrors q144: lag+cumsum sessionize, floor'd whole-second
     // durations, the type-1 ceil(p*n) quantile rule on the histogram

@@ -362,6 +362,12 @@ object AlgoRegistry {
           config.getString("text_column"),
           minCount = config.getIntOpt("min_count").getOrElse(2).toLong)
       })
+    // per-group charset profile (ascii/digit/space fractions)
+    case "CharsetProfile" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.charsetProfile(df,
+        config.getString("group_column"), config.getString("text_column")))
     // per-group vocabulary concentration (TTR + Simpson)
     case "VocabConcentration" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

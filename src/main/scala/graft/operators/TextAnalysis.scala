@@ -417,6 +417,41 @@ object TextAnalysis {
           .as("simpson"))
   }
 
+  /** Per-group charset profile: total characters and the ASCII /
+    * digit / space fractions — the encoding-QA glance ("is the zh
+    * feed actually CJK, did a latin-1 mojibake batch land in en").
+    * Ratios are corpus-weighted (sums of per-doc counts, then one
+    * quotient), not averages of per-doc ratios, so a group's few huge
+    * documents weigh what they cost. Null or empty groups report null
+    * ratios.
+    *
+    * 100 TB shape: per-row regexp counts (codegen'd, no UDF) into one
+    * map-side-combinable agg — groups-sized output, single shuffle.
+    */
+  def charsetProfile(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(keepClass: String): Column =
+      length(regexp_replace(t, keepClass, ""))
+    docs.filter(col(groupCol).isNotNull && t.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(t)).as("n_chars"),
+        sum(cnt("[^\\x00-\\x7F]")).as("n_ascii"),
+        sum(cnt("[^0-9]")).as("n_digit"),
+        sum(length(t) - length(regexp_replace(t, " ", ""))).as("n_space"))
+      .select(col(groupCol), col("n_docs"), col("n_chars"),
+        when(col("n_chars") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_ascii").cast("double") / col("n_chars"),
+            6)).as("ascii_ratio"),
+        when(col("n_chars") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_digit").cast("double") / col("n_chars"),
+            6)).as("digit_ratio"),
+        when(col("n_chars") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_space").cast("double") / col("n_chars"),
+            6)).as("space_ratio"))
+  }
+
   /** Vocabulary drift between two deliveries: terms that APPEARED (no
     * old occurrences, ≥ `minCount` new ones) or VANISHED (the reverse)
     * — the text-level drift watch next to the categorical (q130) and

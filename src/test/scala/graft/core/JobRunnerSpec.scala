@@ -691,6 +691,20 @@ class JobRunnerSpec extends SparkSpec {
     JobRunner.execute(spark, "SessionStats", paramsSs)
     spark.read.parquet(tgtSs).select(col("duration_s"), col("n_sessions"))
       .as[(Long, Long)].collect() shouldBe Array((10L, 2L))
+
+    // charset profile through the params surface
+    val srcCp = tmp("jr_cp_src") + "/t"
+    Seq(("en", "abcd"), ("zh", "你好ab")).toDF("lang", "text")
+      .write.parquet(srcCp)
+    val tgtCp = tmp("jr_cp_tgt") + "/t"
+    val paramsCp = tmp("jr_cp_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsCp),
+      s"""{"source_dir": "$srcCp", "target_dir": "$tgtCp",
+         | "group_column": "lang", "text_column": "text"}""".stripMargin)
+    JobRunner.execute(spark, "CharsetProfile", paramsCp)
+    spark.read.parquet(tgtCp).select(col("lang"), col("ascii_ratio"))
+      .as[(String, Double)].collect().toMap shouldBe
+      Map("en" -> 1.0, "zh" -> 0.5)
   }
 
   test("unknown algorithm names are rejected") {

@@ -1833,3 +1833,25 @@ class SessionStatsSpec extends SparkSpec {
     out shouldBe Array((0.5, 10L, 3L), (1.0, 12L, 3L))
   }
 }
+
+class CharsetProfileSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("charsetProfile: CJK text drops the ascii ratio, ratios are " +
+      "corpus-weighted over summed counts, empty text contributes zero") {
+    val df = Seq(
+      ("en", "abc 123"),         // 7 chars: 7 ascii, 3 digit, 1 space
+      ("en", ""),                // empty: 0 everywhere, still a doc
+      ("zh", "你好ab"))          // 4 chars: 2 ascii
+      .toDF("lang", "text")
+    val out = TextAnalysis.charsetProfile(df, "lang", "text")
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    out("en") shouldBe (("en", 2L, 7L, Some(1.0),
+      Some(math.rint(3.0 / 7 * 1e6) / 1e6),
+      Some(math.rint(1.0 / 7 * 1e6) / 1e6)))
+    out("zh") shouldBe (("zh", 1L, 4L, Some(0.5), Some(0.0), Some(0.0)))
+  }
+}
