@@ -1312,6 +1312,16 @@ object SparkEntry {
       Stats.functionalDependency(t(s, dir, "documents"), "source", "lang")
     }),
 
+    // curation: token-weighted length quantiles per language — the doc
+    // length below which half the TOKEN MASS lives (a budget planner's
+    // median, not the doc-count median)
+    "q146_weighted_quantiles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      Sampling.weightedQuantilesPerGroup(docs, "lang", "n_chars",
+        "n_tokens", ps = Seq(0.5, 0.9))
+    }),
+
     // text QA: per-language charset profile — corpus-weighted ascii /
     // digit / space fractions (is the zh feed actually CJK)
     "q145_charset_profile" -> ((s, dir) => {
@@ -3581,6 +3591,29 @@ object SparkEntry {
         |  CASE WHEN vt <= 0 OR vp <= 0 THEN NULL ELSE
         |    round((CAST(n AS DOUBLE) * ptp - CAST(st AS DOUBLE) * sp) /
         |      (sqrt(vt) * sqrt(vp)), 6) END FROM v""".stripMargin,
+
+    // mirrors q146: q116's quantile form with weight sums for counts
+    "q146_weighted_quantiles" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS w
+        |  FROM documents),
+        |f AS (SELECT * FROM d WHERE w IS NOT NULL AND w > 0),
+        |hist AS (
+        |  SELECT lang, n_chars, CAST(sum(w) AS BIGINT) AS c
+        |  FROM f GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, n_chars,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cm
+        |  FROM hist),
+        |tot AS (SELECT lang, CAST(sum(w) AS BIGINT) AS n FROM f
+        |  GROUP BY 1),
+        |ps AS (SELECT unnest([0.5, 0.9]) AS p)
+        |SELECT cum.lang, ps.p, min(cum.n_chars) AS quantile, tot.n AS w
+        |FROM cum JOIN tot USING (lang) CROSS JOIN ps
+        |WHERE cum.cm >= ceil(ps.p * tot.n)
+        |GROUP BY cum.lang, ps.p, tot.n""".stripMargin,
 
     // mirrors q145: same keep-class regex counts, BIGINT sums, one
     // quotient per ratio

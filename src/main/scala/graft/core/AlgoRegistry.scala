@@ -562,6 +562,13 @@ object AlgoRegistry {
         config.getDouble("lo"), config.getDouble("hi")))
     // per-group winsorization: clip value_column into its group's
     // [lo, hi] exact quantile band (appended as <value_column>_w)
+    // weight-mass quantiles per group (integer weights)
+    case "WeightedQuantiles" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.weightedQuantilesPerGroup(df,
+        config.getString("group_column"), config.getString("score_column"),
+        config.getString("weight_column"), config.getSeq[Double]("ps")))
     // cross-group score calibration onto the global quantile scale
     case "QuantileNormalize" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -446,6 +446,46 @@ object Sampling {
       .agg(min(col(scoreCol)).as("quantile"), first(col(nN)).as("n"))
   }
 
+  /** Weighted [[quantilesPerGroup]]: the smallest score whose
+    * cumulative WEIGHT reaches ⌈p·W⌉ — "the doc length below which
+    * half the TOKENS live", which is what a token-budget planner needs
+    * (the unweighted median answers a different question when long
+    * docs carry most of the mass). Weights must be positive integers
+    * (token counts, byte sizes); zero/negative/null-weight rows are
+    * ignored. Output: one row per (group, p):
+    * (groupCol, p, quantile, w) with w the group's total weight.
+    *
+    * Same histogram discipline as the unweighted form: the window
+    * runs over per-(group, score) WEIGHT SUMS (distinct scores), never
+    * raw rows, and the p fan-out explodes the cumulated histogram.
+    */
+  def weightedQuantilesPerGroup(df: DataFrame, groupCol: String,
+      scoreCol: String, weightCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "ps must be non-empty")
+    ps.foreach(p => require(0 < p && p <= 1, s"p must be in (0, 1]: $p"))
+    require(ps.distinct.size == ps.size, s"duplicate quantiles: $ps")
+    import org.apache.spark.sql.expressions.Window
+    def fresh(base: String): String = {
+      var n = base
+      while (df.columns.contains(n)) n += "_"
+      n
+    }
+    val (cN, cumN, nN) = (fresh("__w"), fresh("__cum"), fresh("__n"))
+    val base = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    val hist = base.groupBy(col(groupCol), col(scoreCol))
+      .agg(sum(col(weightCol)).as(cN))
+    val cum = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    val totals = base.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).as(nN))
+    hist
+      .withColumn(cumN, sum(col(cN)).over(cum))
+      .join(totals, Seq(groupCol))
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .filter(col(cumN) >= ceil(col("p") * col(nN)))
+      .groupBy(col(groupCol), col("p"))
+      .agg(min(col(scoreCol)).as("quantile"), first(col(nN)).as("w"))
+  }
+
   /** Per-group winsorization: clip `valueCol` into its group's
     * [pLo, pHi] exact quantile band (appended as `<valueCol>_w`) — the
     * standard outlier-robust cleaning step for numeric features (clamp,

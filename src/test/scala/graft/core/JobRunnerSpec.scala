@@ -705,6 +705,20 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(tgtCp).select(col("lang"), col("ascii_ratio"))
       .as[(String, Double)].collect().toMap shouldBe
       Map("en" -> 1.0, "zh" -> 0.5)
+
+    // weighted quantiles through the params surface
+    val srcWq = tmp("jr_wq_src") + "/t"
+    Seq(("g", 1, 1L), ("g", 2, 1L), ("g", 3, 8L))
+      .toDF("grp", "score", "w").write.parquet(srcWq)
+    val tgtWq = tmp("jr_wq_tgt") + "/t"
+    val paramsWq = tmp("jr_wq_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsWq),
+      s"""{"source_dir": "$srcWq", "target_dir": "$tgtWq",
+         | "group_column": "grp", "score_column": "score",
+         | "weight_column": "w", "ps": [0.5]}""".stripMargin)
+    JobRunner.execute(spark, "WeightedQuantiles", paramsWq)
+    spark.read.parquet(tgtWq).select(col("quantile"), col("w"))
+      .as[(Int, Long)].collect() shouldBe Array((3, 10L))
   }
 
   test("unknown algorithm names are rejected") {

@@ -716,3 +716,28 @@ class SamplingSpec extends SparkSpec {
     d(1L) shouldBe d(2L) // tied scores collapse to one histogram row
   }
 }
+
+class WeightedQuantileSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  test("weightedQuantilesPerGroup: mass-weighted median differs from " +
+      "the row median when heavy rows skew the mass; zero/null weights " +
+      "ignored") {
+    // scores 1..4; weights 1,1,1,7 -> W=10: half the mass sits at 4
+    val df = Seq((1, Some(1L)), (2, Some(1L)), (3, Some(1L)),
+      (4, Some(7L)), (9, Some(0L)), (8, None))
+      .toDF("score", "w").withColumn("g", lit("all"))
+    val out = Sampling.weightedQuantilesPerGroup(df, "g", "score", "w",
+        Seq(0.5, 1.0))
+      .as[(String, Double, Int, Long)].collect()
+      .map(r => r._2 -> (r._3, r._4)).toMap
+    // ceil(0.5*10)=5: cum 1,2,3,10 -> first >= 5 is score 4
+    out(0.5) shouldBe ((4, 10L))
+    out(1.0) shouldBe ((4, 10L))
+    // unweighted median of the same rows is 2 (the contrast)
+    Sampling.quantilesPerGroup(df.filter($"w".isNotNull && $"w" > 0),
+        "g", "score", Seq(0.5))
+      .as[(String, Double, Int, Long)].collect().head._3 shouldBe 2
+  }
+}
