@@ -1312,6 +1312,14 @@ object SparkEntry {
       Stats.functionalDependency(t(s, dir, "documents"), "source", "lang")
     }),
 
+    // curation QA: split-balance audit — per (split, lang) share vs the
+    // corpus share after the 0.8/0.1/0.1 hash split
+    "q147_split_balance" -> ((s, dir) => {
+      val split = Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      Sampling.splitBalance(split, "split", "lang")
+    }),
+
     // curation: token-weighted length quantiles per language — the doc
     // length below which half the TOKEN MASS lives (a budget planner's
     // median, not the doc-count median)
@@ -3591,6 +3599,32 @@ object SparkEntry {
         |  CASE WHEN vt <= 0 OR vp <= 0 THEN NULL ELSE
         |    round((CAST(n AS DOUBLE) * ptp - CAST(st AS DOUBLE) * sp) /
         |      (sqrt(vt) * sqrt(vp)), 6) END FROM v""".stripMargin,
+
+    // mirrors q147: q66's split labeling, then cell counts + three
+    // re-aggregated totals and the share quotients
+    "q147_split_balance" ->
+      s"""WITH h AS (
+         |  SELECT lang,
+         |    CASE WHEN ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")}
+         |        % 1000000 < 800000 THEN 'train'
+         |      WHEN ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")}
+         |        % 1000000 < 900000 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM documents WHERE lang IS NOT NULL),
+         |c AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM h GROUP BY 1, 2),
+         |s AS (SELECT split, CAST(sum(n) AS BIGINT) AS ns
+         |  FROM c GROUP BY 1),
+         |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nt
+         |  FROM c GROUP BY 1),
+         |g AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c)
+         |SELECT c.split, c.lang, c.n,
+         |  round(CAST(c.n AS DOUBLE) / s.ns, 6) AS share_in_split,
+         |  round(CAST(t.nt AS DOUBLE) / g.nn, 6) AS share_overall,
+         |  round(CAST(c.n AS DOUBLE) / s.ns
+         |    - CAST(t.nt AS DOUBLE) / g.nn, 6) AS deviation
+         |FROM c JOIN s USING (split) JOIN t USING (lang)
+         |  CROSS JOIN g""".stripMargin,
 
     // mirrors q146: q116's quantile form with weight sums for counts
     "q146_weighted_quantiles" ->

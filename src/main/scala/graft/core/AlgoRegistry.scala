@@ -562,6 +562,12 @@ object AlgoRegistry {
         config.getDouble("lo"), config.getDouble("hi")))
     // per-group winsorization: clip value_column into its group's
     // [lo, hi] exact quantile band (appended as <value_column>_w)
+    // split-balance audit over labeled splits
+    case "SplitBalance" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.splitBalance(df,
+        config.getString("split_column"), config.getString("strata_column")))
     // weight-mass quantiles per group (integer weights)
     case "WeightedQuantiles" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

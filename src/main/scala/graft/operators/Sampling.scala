@@ -446,6 +446,40 @@ object Sampling {
       .agg(min(col(scoreCol)).as("quantile"), first(col(nN)).as("n"))
   }
 
+  /** Split-balance audit: for every (split, stratum) cell, the count,
+    * the stratum's share WITHIN the split, its share in the whole
+    * frame, and the signed deviation — "is val actually
+    * representative, or did the hash starve zh out of test". Run after
+    * [[hashSplit]] (or any labeling) before trusting per-split
+    * metrics. Null split or stratum rows are excluded.
+    *
+    * 100 TB shape: one map-side-combinable (split, stratum) count;
+    * split totals, stratum totals, and the grand total all
+    * re-aggregate that cell frame and come back as broadcasts.
+    */
+  def splitBalance(df: DataFrame, splitCol: String,
+      strataCol: String): DataFrame = {
+    val cells = df
+      .filter(col(splitCol).isNotNull && col(strataCol).isNotNull)
+      .groupBy(col(splitCol), col(strataCol))
+      .agg(count(lit(1)).as("n"))
+    val perSplit = cells.groupBy(col(splitCol))
+      .agg(sum(col("n")).as("__ns"))
+    val perStratum = cells.groupBy(col(strataCol))
+      .agg(sum(col("n")).as("__nt"))
+    val total = cells.agg(sum(col("n")).as("__N"))
+    val share = col("n").cast("double") / col("__ns")
+    val overall = col("__nt").cast("double") / col("__N")
+    cells
+      .join(broadcast(perSplit), Seq(splitCol))
+      .join(broadcast(perStratum), Seq(strataCol))
+      .crossJoin(broadcast(total))
+      .select(col(splitCol), col(strataCol), col("n"),
+        round(share, 6).as("share_in_split"),
+        round(overall, 6).as("share_overall"),
+        round(share - overall, 6).as("deviation"))
+  }
+
   /** Weighted [[quantilesPerGroup]]: the smallest score whose
     * cumulative WEIGHT reaches ⌈p·W⌉ — "the doc length below which
     * half the TOKENS live", which is what a token-budget planner needs

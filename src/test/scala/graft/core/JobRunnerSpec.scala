@@ -719,6 +719,18 @@ class JobRunnerSpec extends SparkSpec {
     JobRunner.execute(spark, "WeightedQuantiles", paramsWq)
     spark.read.parquet(tgtWq).select(col("quantile"), col("w"))
       .as[(Int, Long)].collect() shouldBe Array((3, 10L))
+
+    // split-balance audit through the params surface
+    val srcSb = tmp("jr_sb_src") + "/t"
+    Seq(("train", "en"), ("train", "zh"), ("val", "en"))
+      .toDF("split", "lang").write.parquet(srcSb)
+    val tgtSb = tmp("jr_sb_tgt") + "/t"
+    val paramsSb = tmp("jr_sb_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsSb),
+      s"""{"source_dir": "$srcSb", "target_dir": "$tgtSb",
+         | "split_column": "split", "strata_column": "lang"}""".stripMargin)
+    JobRunner.execute(spark, "SplitBalance", paramsSb)
+    spark.read.parquet(tgtSb).count() shouldBe 3
   }
 
   test("unknown algorithm names are rejected") {

@@ -741,3 +741,29 @@ class WeightedQuantileSpec extends SparkSpec {
       .as[(String, Double, Int, Long)].collect().head._3 shouldBe 2
   }
 }
+
+class SplitBalanceSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  test("splitBalance: balanced split deviates zero, starved stratum " +
+      "shows the signed gap") {
+    val df = Seq(
+      ("train", "en"), ("train", "en"), ("train", "zh"), ("train", "zh"),
+      ("val", "en"), ("val", "en"))                 // val has NO zh
+      .toDF("split", "lang")
+    val out = Sampling.splitBalance(df, "split", "lang")
+      .as[(String, String, Long, Double, Double, Double)].collect()
+      .map(r => (r._2, r._1) -> r).toMap
+    // overall: en 4/6, zh 2/6
+    out(("en", "train"))._4 shouldBe 0.5
+    out(("en", "train"))._6 shouldBe
+      math.rint((0.5 - 4.0 / 6) * 1e6) / 1e6
+    out(("en", "val"))._4 shouldBe 1.0 // en over-represented in val
+    out(("en", "val"))._6 shouldBe math.rint((1.0 - 4.0 / 6) * 1e6) / 1e6
+    // zh absent from val: no (val, zh) cell emitted — the audit reads
+    // absence from the train-side surplus
+    out.keySet should not contain (("zh", "val"))
+    out(("zh", "train"))._4 shouldBe 0.5
+  }
+}
