@@ -1312,6 +1312,12 @@ object SparkEntry {
       Stats.functionalDependency(t(s, dir, "documents"), "source", "lang")
     }),
 
+    // profiling: source concentration — Gini of docs across sources
+    // (0 = even corpus, ->1 = one crawl wearing many labels)
+    "q148_source_gini" -> ((s, dir) => {
+      Stats.giniConcentration(t(s, dir, "documents"), "source")
+    }),
+
     // curation QA: split-balance audit — per (split, lang) share vs the
     // corpus share after the 0.8/0.1/0.1 hash split
     "q147_split_balance" -> ((s, dir) => {
@@ -3599,6 +3605,24 @@ object SparkEntry {
         |  CASE WHEN vt <= 0 OR vp <= 0 THEN NULL ELSE
         |    round((CAST(n AS DOUBLE) * ptp - CAST(st AS DOUBLE) * sp) /
         |      (sqrt(vt) * sqrt(vp)), 6) END FROM v""".stripMargin,
+
+    // mirrors q148: ascending (size, source) rank, exact Σi·x, the
+    // same double formula tree
+    "q148_source_gini" ->
+      """WITH s AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS x
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM s),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(x) AS BIGINT) AS tot,
+        |    CAST(sum(i * x) AS BIGINT) AS ix
+        |  FROM r)
+        |SELECT k AS n_groups, tot AS total_rows,
+        |  round(2.0 * ix / (CAST(k AS DOUBLE) * tot)
+        |    - CAST(k + 1 AS DOUBLE) / k, 6) AS gini
+        |FROM a""".stripMargin,
 
     // mirrors q147: q66's split labeling, then cell counts + three
     // re-aggregated totals and the share quotients

@@ -100,6 +100,36 @@ object Stats {
           .otherwise(abs(zE) >= zThreshold).as("is_burst"))
   }
 
+  /** Gini coefficient of row mass across groups — 0 when every group
+    * contributes equally, →1 when one group owns the corpus ("is this
+    * dataset one crawl wearing twenty source labels"). One output row:
+    * (n_groups, total_rows, gini), computed from the rank identity
+    * G = 2·Σ(i·x_i)/(k·Σx) − (k+1)/k over ascending-sorted group
+    * sizes. Ties in size are rank-order-invariant for the sum (equal
+    * x over consecutive ranks contributes the same total), so the
+    * (size, group) tie-break is for determinism of the intermediate,
+    * not the result.
+    *
+    * 100 TB shape: one map-side-combinable group count; the rank
+    * window and the final moment run over the GROUPS frame only.
+    */
+  def giniConcentration(df: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__x"))
+    // the groups frame is bounded, so the unpartitioned rank is fine
+    val ranked = sizes.withColumn("__i",
+      row_number().over(Window.orderBy(col("__x"), col(groupCol))))
+    ranked.agg(count(lit(1)).as("n_groups"),
+        sum(col("__x")).as("total_rows"),
+        sum(col("__i") * col("__x")).as("__ix"))
+      .select(col("n_groups"), col("total_rows"),
+        round(lit(2.0) * col("__ix") /
+            (col("n_groups").cast("double") * col("total_rows")) -
+          (col("n_groups") + 1).cast("double") / col("n_groups"), 6)
+          .as("gini"))
+  }
+
   /** Per-group [[volumeAnomalies]]: each group's daily counts z-scored
     * against THAT group's own day history — "which feed broke" rather
     * than "did total volume move" (a spike in one source that another
