@@ -256,6 +256,18 @@ object SparkEntry {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // data QA: metadata conflicts on identical text — every 50th doc is
+    // re-landed under lang 'xx' (deterministic fixture, mirrored in the
+    // oracle; the synthetic corpus itself has no exact dups), and the
+    // audit reports each conflicted digest's per-label doc split
+    "q154_metadata_clash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val relanded = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"),
+          lit("xx").as("lang"), col("source"), col("n_chars"))
+      Dedup.conflictingMetadata(docs.unionByName(relanded), "text", "lang")
+    }),
+
     // dedup: exact n-gram Jaccard pairs via shingle inverted index
     "q20_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") % 10 < 3)
@@ -934,8 +946,7 @@ object SparkEntry {
       EventStream.runDedupOnce(s, raw, s"$dir/events*.parquet",
           keyCols = Seq("user_id", "event_type"), watermarkCol = "ts",
           horizon = "3650 days", queryName = "q69_sink",
-          prepare = df => df.withColumn("ts",
-            timestamp_micros(expr("ts div 1000"))))
+          prepare = graft.core.Tables.normalizeEventTs)
         .select(col("user_id"), col("event_type"))
     }),
 
@@ -1300,6 +1311,20 @@ object SparkEntry {
       Stats.contingencyAssociation(t(s, dir, "documents"), "lang", "source")
     }),
 
+    // profiling: lang x source information profile — entropies, mutual
+    // information, and normalized MI (the "how redundant are these two
+    // labels" score) via the q133 sorted-fold float discipline
+    "q149_mutual_info" -> ((s, dir) => {
+      Stats.mutualInformation(t(s, dir, "documents"), "lang", "source")
+    }),
+
+    // text QA: Zipf-slope fit over the top-20 term frequencies — OLS of
+    // ln(freq) on ln(rank); natural text sits near -1, template spam
+    // flattens it (topK=20 < vocab so the truncation path is exercised)
+    "q150_zipf_slope" -> ((s, dir) => {
+      TextAnalysis.zipfSlope(t(s, dir, "documents"), "text", topK = 20)
+    }),
+
     // monitoring: daily-volume anomaly flags — each day's event count
     // z-scored against all days, |z| >= 2 flagged
     "q138_daily_anomaly" -> ((s, dir) => {
@@ -1378,6 +1403,13 @@ object SparkEntry {
         "event_type", zThreshold = 2.0)
     }),
 
+    // monitoring: per-type burstiness — Fano factor + CV of each event
+    // type's daily counts ("is this feed steady or bursty at all",
+    // next to q141's per-day flags)
+    "q152_burstiness" -> ((s, dir) => {
+      Stats.burstiness(t(s, dir, "events"), "ts", "event_type")
+    }),
+
     // text: language-id confidence margin — best stopword score minus
     // runner-up; 0 flags the ambiguous docs a reviewer should see
     "q140_langid_margin" -> ((s, dir) => {
@@ -1391,6 +1423,14 @@ object SparkEntry {
     // factors cancel so sum-vector cosine IS centroid cosine
     "q137_label_centroids" -> ((s, dir) => {
       Similarity.labelCentroidSimilarity(t(s, dir, "embeddings"),
+        "embedding", "label")
+    }),
+
+    // embedding QA: per-label null/zero-vector counts, dimensionality
+    // range, and L2-norm range — the sanity report before any
+    // similarity pass trusts the column
+    "q153_norm_stats" -> ((s, dir) => {
+      Similarity.embeddingNormStats(t(s, dir, "embeddings"),
         "embedding", "label")
     }),
 
@@ -1485,6 +1525,14 @@ object SparkEntry {
     "q126_transition_times" -> ((s, dir) => {
       Funnel.transitionTimes(t(s, dir, "events"), "user_id",
         "event_type", "ts", "event_id", p = 0.5)
+    }),
+
+    // behavioral: first-order Markov transition matrix — per (from, to)
+    // event-type step the count and row-normalized probability ("where
+    // do users go next"), transitions never crossing users
+    "q151_transition_matrix" -> ((s, dir) => {
+      Funnel.transitionMatrix(t(s, dir, "events"), "user_id",
+        "event_type", "ts", "event_id")
     }),
 
     // text: vocab coverage curve — token-occurrence coverage of the
@@ -1873,8 +1921,7 @@ object SparkEntry {
       val raw = s.read.parquet(s"$dir/events.parquet").schema
       val counts = EventStream.runWindowedOnce(s, raw,
         s"$dir/events*.parquet", "5 minutes", "0 seconds", "q92_sink",
-        prepare = df => df.withColumn("ts",
-          timestamp_micros(expr("ts div 1000"))))
+        prepare = graft.core.Tables.normalizeEventTs)
       EventStream.trendingPerWindow(counts, k = 3)
     }),
 
@@ -2295,6 +2342,23 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, count(*) AS n_dups,
         | min(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // mirrors q154: the same every-50th-doc 'xx' re-landing fixture,
+    // then (digest, lang) cells joined to digests with >1 value
+    "q154_metadata_clash" ->
+      """WITH base AS (
+        |  SELECT text, lang FROM documents
+        |  UNION ALL
+        |  SELECT text, 'xx' AS lang FROM documents WHERE doc_id % 50 = 0),
+        |c AS (
+        |  SELECT md5(text) AS digest, lang,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM base WHERE text IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |k AS (SELECT digest, CAST(count(*) AS BIGINT) AS n_values
+        |  FROM c GROUP BY 1)
+        |SELECT c.digest, c.lang, c.n_docs, k.n_values
+        |FROM c JOIN k USING (digest) WHERE k.n_values > 1""".stripMargin,
 
     "q20_ngram_jaccard" ->
       """WITH toks AS (
@@ -3781,6 +3845,60 @@ object SparkEntry {
         |  END AS simpson
         |FROM a""".stripMargin,
 
+    // mirrors q153: per-row norm via the q23 list_sum element-order
+    // fold (coalesce(…, 0.0) matches aggregate's 0.0 seed on empties);
+    // min/max/counts are exact over identical doubles
+    "q153_norm_stats" ->
+      """WITH e AS (
+        |  SELECT label, embedding,
+        |    CASE WHEN embedding IS NULL THEN NULL ELSE
+        |      sqrt(coalesce(list_sum(list_transform(
+        |        range(1, len(embedding) + 1),
+        |        i -> CAST(embedding[i] AS DOUBLE)
+        |          * CAST(embedding[i] AS DOUBLE))), 0.0))
+        |    END AS nrm
+        |  FROM embeddings WHERE label IS NOT NULL)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN embedding IS NULL THEN 1 END) AS BIGINT)
+        |    AS n_null,
+        |  CAST(count(CASE WHEN nrm = 0.0 THEN 1 END) AS BIGINT) AS n_zero,
+        |  CAST(min(CASE WHEN embedding IS NOT NULL
+        |    THEN len(embedding) END) AS INTEGER) AS dims_min,
+        |  CAST(max(CASE WHEN embedding IS NOT NULL
+        |    THEN len(embedding) END) AS INTEGER) AS dims_max,
+        |  round(min(nrm), 6) AS min_norm,
+        |  round(max(nrm), 6) AS max_norm
+        |FROM e GROUP BY label""".stripMargin,
+
+    // mirrors q152: per-type day counts, exact BIGINT moments, the q138
+    // variance tree divided by the unrounded mean; k=1 nulls out
+    "q152_burstiness" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS k_days,
+        |    CAST(sum(n) AS BIGINT) AS total,
+        |    CAST(sum(n * n) AS BIGINT) AS s2
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, k_days, total,
+        |  round(CAST(total AS DOUBLE) / k_days, 6) AS mean,
+        |  CASE WHEN k_days = 1 THEN NULL
+        |    ELSE round(((CAST(s2 AS DOUBLE)
+        |      - CAST(total AS DOUBLE) * total / k_days) / (k_days - 1))
+        |      / (CAST(total AS DOUBLE) / k_days), 6)
+        |  END AS fano,
+        |  CASE WHEN k_days = 1 THEN NULL
+        |    ELSE round(sqrt((CAST(s2 AS DOUBLE)
+        |      - CAST(total AS DOUBLE) * total / k_days) / (k_days - 1))
+        |      / (CAST(total AS DOUBLE) / k_days), 6)
+        |  END AS cv
+        |FROM m""".stripMargin,
+
     // mirrors q141: q138's z tree per event type's own day history
     "q141_anomaly_per_type" ->
       """WITH d AS (
@@ -4030,6 +4148,91 @@ object SparkEntry {
         |  END AS v
         |FROM f""".stripMargin,
 
+    // mirrors q149: the three Σ c·ln c folds in sorted-key order (the
+    // q133 list_reduce-over-list_sort discipline), entropies as
+    // ln(n) − fold/n, MI composed from the unrounded entropy trees in
+    // the same fixed association as the Spark side
+    "q149_mutual_info" ->
+      """WITH base AS (
+        |  SELECT CAST(lang AS VARCHAR) AS a, CAST(source AS VARCHAR) AS b
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |cells AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS obs
+        |  FROM base GROUP BY 1, 2),
+        |ab AS (
+        |  SELECT CAST(sum(obs) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS ka,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS kb,
+        |    list_reduce(list_transform(
+        |      list_sort(list({'a': a, 'b': b, 'c': CAST(obs AS DOUBLE)})),
+        |      s -> s.c * ln(s.c)), (x, y) -> x + y) AS fab
+        |  FROM cells),
+        |ma AS (SELECT a, CAST(sum(obs) AS BIGINT) AS ra
+        |  FROM cells GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(obs) AS BIGINT) AS cb
+        |  FROM cells GROUP BY 1),
+        |fa AS (SELECT list_reduce(list_transform(
+        |    list_sort(list({'a': a, 'c': CAST(ra AS DOUBLE)})),
+        |    s -> s.c * ln(s.c)), (x, y) -> x + y) AS fa FROM ma),
+        |fb AS (SELECT list_reduce(list_transform(
+        |    list_sort(list({'b': b, 'c': CAST(cb AS DOUBLE)})),
+        |    s -> s.c * ln(s.c)), (x, y) -> x + y) AS fb FROM mb)
+        |SELECT n, ka, kb,
+        |  round(ln(CAST(n AS DOUBLE)) - fa / n, 6) AS h_a,
+        |  round(ln(CAST(n AS DOUBLE)) - fb / n, 6) AS h_b,
+        |  round(ln(CAST(n AS DOUBLE)) - fab / n, 6) AS h_ab,
+        |  round((ln(CAST(n AS DOUBLE)) - fa / n)
+        |    + (ln(CAST(n AS DOUBLE)) - fb / n)
+        |    - (ln(CAST(n AS DOUBLE)) - fab / n), 6) AS mi,
+        |  CASE WHEN ka = 1 OR kb = 1 THEN NULL
+        |    ELSE round(((ln(CAST(n AS DOUBLE)) - fa / n)
+        |      + (ln(CAST(n AS DOUBLE)) - fb / n)
+        |      - (ln(CAST(n AS DOUBLE)) - fab / n)) /
+        |      sqrt((ln(CAST(n AS DOUBLE)) - fa / n)
+        |        * (ln(CAST(n AS DOUBLE)) - fb / n)), 6)
+        |  END AS nmi
+        |FROM ab CROSS JOIN fa CROSS JOIN fb""".stripMargin,
+
+    // mirrors q150: rank by (freq desc, term), the four OLS sums folded
+    // in rank order (q133 list_reduce discipline), slope/intercept trees
+    // repeated textually so the doubles associate identically
+    "q150_zipf_slope" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |    AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+        |  FROM tk GROUP BY 1),
+        |top AS (
+        |  SELECT term, freq,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT)
+        |      AS rank
+        |  FROM tf ORDER BY freq DESC, term LIMIT 20),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |  list_reduce(list_transform(list_sort(list({'r': rank,
+        |    'v': ln(CAST(rank AS DOUBLE))})), s -> s.v),
+        |    (x, y) -> x + y) AS sx,
+        |  list_reduce(list_transform(list_sort(list({'r': rank,
+        |    'v': ln(CAST(freq AS DOUBLE))})), s -> s.v),
+        |    (x, y) -> x + y) AS sy,
+        |  list_reduce(list_transform(list_sort(list({'r': rank,
+        |    'v': ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE))})),
+        |    s -> s.v), (x, y) -> x + y) AS sxy,
+        |  list_reduce(list_transform(list_sort(list({'r': rank,
+        |    'v': ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))})),
+        |    s -> s.v), (x, y) -> x + y) AS sxx
+        |  FROM top)
+        |SELECT n_terms,
+        |  CASE WHEN n_terms < 2 THEN NULL ELSE
+        |    round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
+        |  END AS slope,
+        |  CASE WHEN n_terms < 2 THEN NULL ELSE
+        |    round((sy
+        |      - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) * sx)
+        |      / n_terms, 6)
+        |  END AS intercept
+        |FROM f""".stripMargin,
+
     // mirrors q130: expected = share_old * total_new; contribution =
     // (obs - E)^2 / E, null when the category is new (E = 0)
     "q130_category_drift" ->
@@ -4149,6 +4352,24 @@ object SparkEntry {
 
     // mirrors q126: lag gaps per user (ORDER BY ts, event_id), then the
     // q101 discrete-quantile rule per transition
+    // mirrors q151: per-user lag ordered by (ts, event_id), (from, to)
+    // cell counts, from-totals re-aggregated, one exact quotient
+    "q151_transition_matrix" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT prev AS from_type, event_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, f.n_from,
+        |  round(CAST(c.n AS DOUBLE) / f.n_from, 6) AS prob
+        |FROM c JOIN f USING (from_type)""".stripMargin,
+
     "q126_transition_times" ->
       """WITH e AS (
         |  SELECT user_id, event_type,

@@ -337,6 +337,20 @@ object AlgoRegistry {
         config.getString("ts_column"), config.getString("tie_column"),
         n = config.getIntOpt("n").getOrElse(3),
         k = config.getIntOpt("k").getOrElse(10)))
+    // first-order Markov transition matrix over event types
+    case "TransitionMatrix" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Funnel.transitionMatrix(df,
+        config.getString("user_column"), config.getString("type_column"),
+        config.getString("ts_column"), config.getString("tie_column")))
+    // per-label embedding-column QA (null/zero vectors, dims, norms)
+    case "EmbeddingNormStats" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.embeddingNormStats(df,
+        config.getString("vector_column"),
+        config.getString("label_column")))
     // label-centroid cosine matrix over an embedding column
     case "LabelCentroidSimilarity" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
@@ -399,6 +413,12 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Stats.functionalDependency(df,
         config.getString("a_column"), config.getString("b_column")))
+    // per-group burstiness (Fano factor + CV of daily counts)
+    case "Burstiness" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.burstiness(df,
+        config.getString("ts_column"), config.getString("group_column")))
     // daily-volume anomaly flags over a timestamp column
     case "VolumeAnomalies" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
@@ -406,6 +426,27 @@ object AlgoRegistry {
       df => graft.operators.Stats.volumeAnomalies(df,
         config.getString("ts_column"),
         zThreshold = config.getDouble("z_threshold", 2.0)))
+    // Zipf-slope fit over the top-K term frequencies
+    case "ZipfSlope" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.zipfSlope(df,
+        config.getString("text_column"),
+        topK = config.getIntOpt("top_k").getOrElse(1000)))
+    // entropies + mutual information for two categorical columns
+    case "MutualInformation" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.mutualInformation(df,
+        config.getString("a_column"), config.getString("b_column"),
+        maxCells =
+          config.getIntOpt("max_cells").getOrElse(100000).toLong))
+    // group-mass concentration: Gini of row counts across groups
+    case "GiniConcentration" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.giniConcentration(df,
+        config.getString("group_column")))
     // categorical association: χ² + Cramér's V for two columns
     case "ContingencyAssociation" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
@@ -618,6 +659,12 @@ object AlgoRegistry {
         config.getString("text_column"),
         minCount = config.getIntOpt("min_count").getOrElse(3).toLong,
         k = config.getIntOpt("k").getOrElse(20)))
+    // metadata-conflict audit over exact-duplicate text groups
+    case "ConflictingMetadata" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Dedup.conflictingMetadata(df,
+        config.getString("text_column"), config.getString("attr_column")))
     // dedup telemetry: near-dup cluster-size histogram of the corpus
     case "DedupStats" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -36,8 +36,9 @@ object Session {
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-      // the events table carries TIMESTAMP(NANOS) parquet, which Spark 4
-      // rejects by default; read as long and convert in Tables
+      // some driver data generations carry TIMESTAMP(NANOS) parquet, which
+      // Spark 4 rejects by default; read as long and convert in
+      // Tables.normalizeEventTs (µs generations pass through untouched)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // without this, DROPMALFORMED + an action that prunes all columns
       // (count) never parses the row and silently keeps malformed records —

@@ -74,6 +74,33 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
 
+  /** Metadata-conflict audit over exact-duplicate groups: byte-identical
+    * texts (md5 digest) carrying MORE THAN ONE distinct value of
+    * `attrCol` — the "same document labeled en in one crawl and fr in
+    * another" defect that makes any per-language statistic quietly wrong
+    * and survives exact dedup (whichever copy wins donates its label).
+    * Output: one row per (digest, attr) cell of each conflicted group,
+    * with the group's docs-per-value count and distinct-value count —
+    * the reviewer sees both labels and how the mass splits.
+    *
+    * 100 TB shape: the body is never shuffled (md5 is the map-side
+    * shuffle key); cells are map-side combinable; the per-digest value
+    * count re-aggregates the cell frame and joins back on the digest.
+    * Null texts/attrs are excluded (a null label is a different defect —
+    * Checks' not_null rule).
+    */
+  def conflictingMetadata(docs: DataFrame, textCol: String,
+      attrCol: String): DataFrame = {
+    val cells = docs
+      .filter(col(textCol).isNotNull && col(attrCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("digest"), col(attrCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val perDigest = cells.groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_values"))
+    cells.join(perDigest.filter(col("n_values") > 1), Seq("digest"))
+      .select(col("digest"), col(attrCol), col("n_docs"), col("n_values"))
+  }
+
   /** Drop exact duplicates, keeping the min-id representative. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))

@@ -148,6 +148,40 @@ object Funnel {
       "gap_us", p)
   }
 
+  /** First-order Markov transition matrix over event types: for each
+    * observed (from → to) step in a user's (ts, tie)-ordered stream,
+    * the count, the total transitions leaving `from`, and the
+    * row-normalized probability — the behavioral fingerprint next to
+    * [[transitionTimes]]' think-time quantiles (same steps, "where do
+    * users go" instead of "how long do they wait"). Transitions never
+    * cross users. One row per observed (from, to) cell:
+    * (from_type, to_type, n, n_from, prob).
+    *
+    * Exactness: prob is one IEEE quotient of exact BIGINT counts,
+    * round(…, 6), mirrored verbatim in the oracle.
+    *
+    * 100 TB shape: one per-user lag window (user-bounded partitions),
+    * then a map-side-combinable (from, to) count into type²-bounded
+    * cells; the from-totals re-aggregate that cell frame and join back
+    * as a broadcast — nothing after the first window touches event
+    * volume.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val cells = events
+      .withColumn("__pt", lag(col(typeCol), 1).over(w))
+      .filter(col("__pt").isNotNull)
+      .groupBy(col("__pt").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = cells.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    cells.join(broadcast(fromTotals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        round(col("n").cast("double") / col("n_from"), 6).as("prob"))
+  }
+
   /** Association rules over user-level event-type baskets: for every
     * ordered rule A→B (both directions of each co-occurring unordered
     * pair), the classic market-basket metrics — support

@@ -245,6 +245,40 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Per-label embedding-column QA: row count, null-vector count,
+    * zero-vector count (an all-zero embedding is a failed encode that
+    * silently poisons cosine math downstream), the min/max vector
+    * dimensionality (a ragged column means a writer bug), and the
+    * min/max L2 norm — the "is this embedding column even sane" report
+    * to run before any similarity or dedup pass trusts it. One row per
+    * label.
+    *
+    * Exactness: each row's norm is a per-row element-order fold into
+    * doubles (the q23 `list_sum` convention — no cross-row float
+    * accumulation); min/max are exact comparisons over identical
+    * doubles, so the output is run- and engine-deterministic without
+    * any sorted-fold machinery.
+    *
+    * 100 TB shape: pure per-row arithmetic into one map-side-combinable
+    * agg — labels-sized output, single shuffle.
+    */
+  def embeddingNormStats(emb: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val v = col(vecCol)
+    val norm = sqrt(aggregate(v, lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+    val normN = when(v.isNotNull, norm)
+    emb.filter(col(labelCol).isNotNull)
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n"),
+        count(when(v.isNull, lit(1))).as("n_null"),
+        count(when(normN === 0.0, lit(1))).as("n_zero"),
+        min(when(v.isNotNull, size(v))).as("dims_min"),
+        max(when(v.isNotNull, size(v))).as("dims_max"),
+        round(min(normN), 6).as("min_norm"),
+        round(max(normN), 6).as("max_norm"))
+  }
+
   /** Cosine similarity between every pair of per-label centroids —
     * "which document classes live close together in embedding space"
     * (near-identical centroids say the label distinction carries no

@@ -164,6 +164,46 @@ object Stats {
           .otherwise(abs(zE) >= zThreshold).as("is_burst"))
   }
 
+  /** Per-group burstiness of daily volume: the Fano factor
+    * (sample variance / mean of the group's daily counts) plus the
+    * coefficient of variation — the dispersion summary next to
+    * [[volumeAnomaliesPerGroup]]'s per-day flags (that one answers
+    * "which day broke", this one "is this feed steady or bursty at
+    * all"). Fano ≈ 1 is Poisson-like arrival; ≫ 1 is bursty; ≪ 1 is
+    * metronomic. One row per group: (group, k_days, total, mean, fano,
+    * cv); a single observed day has no variance — null fano/cv.
+    *
+    * Exactness: day counts are integers, the per-group moments
+    * (k, Σn, Σn²) are exact BIGINT sums, and fano/cv are fixed double
+    * trees over them (the q138 variance tree divided by mean),
+    * round(…, 6), mirrored verbatim in the oracle.
+    *
+    * 100 TB shape: one map-side-combinable (group, day) count; the
+    * moments re-aggregate that frame to groups-sized rows. Nothing
+    * after the first agg touches event volume.
+    */
+  def burstiness(df: DataFrame, tsCol: String,
+      groupCol: String): DataFrame = {
+    val days = df.filter(col(tsCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"),
+        date_format(col(tsCol), "yyyyMMdd").as("__day"))
+      .agg(count(lit(1)).as("__n"))
+    val m = days.groupBy(col("__g")).agg(count(lit(1)).as("k_days"),
+      sum(col("__n")).as("total"),
+      sum(col("__n") * col("__n")).as("__s2"))
+    val kD = col("k_days").cast("double")
+    val mean = col("total").cast("double") / kD
+    val varE = (col("__s2").cast("double") -
+      col("total").cast("double") * col("total") / col("k_days")) /
+      (col("k_days") - 1)
+    m.select(col("__g").as(groupCol), col("k_days"), col("total"),
+      round(mean, 6).as("mean"),
+      when(col("k_days") === 1, lit(null).cast("double"))
+        .otherwise(round(varE / mean, 6)).as("fano"),
+      when(col("k_days") === 1, lit(null).cast("double"))
+        .otherwise(round(sqrt(varE) / mean, 6)).as("cv"))
+  }
+
   /** Functional-dependency profile for a → b: for every a-value, how
     * many distinct b-values it maps to, the dominant b (most rows,
     * ties to the smallest b), and the dominant share — the data-quality
@@ -194,6 +234,71 @@ object Stats {
         round(col("__c").cast("double") / col("n_rows"), 6)
           .as("dominant_frac"),
         (col("n_distinct_b") === 1).as("is_functional"))
+  }
+
+  /** Entropy / mutual-information profile for two categorical columns —
+    * the information-theoretic companion to [[contingencyAssociation]]:
+    * how many nats of uncertainty each column carries (H(A), H(B)), how
+    * much knowing one removes about the other (MI), and the normalized
+    * MI (MI / √(H(A)·H(B)), the symmetric 0..1 "how redundant are these
+    * two labels" score; null when either column is single-valued). One
+    * output row: (n, ka, kb, h_a, h_b, h_ab, mi, nmi). Null-keyed rows
+    * are excluded.
+    *
+    * Determinism at scale: every entropy is H = ln(n) − (Σ c·ln c)/n
+    * where the Σ runs over cell or marginal counts — a float sum, so
+    * each is collected, sorted by its key, and LEFT-FOLDED in that fixed
+    * order (the q133 discipline); the oracle mirrors the same
+    * `list_reduce`-over-`list_sort` tree. MI is composed from the three
+    * UNROUNDED entropies in a fixed association
+    * (h_a + h_b − h_ab), then rounded with the outputs.
+    *
+    * 100 TB shape: the only data-sized operation is the (a, b) cell
+    * count — map-side combinable into at most `maxCells` rows (enforced
+    * with a precount). Marginals re-aggregate the cell frame; the three
+    * folds each collapse to one row and meet in a trivial one-row
+    * cross join.
+    */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String,
+      maxCells: Long = 100000L): DataFrame = {
+    val base = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+    val cells = base.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__obs"))
+    val nc = cells.count()
+    require(nc <= maxCells,
+      s"$aCol x $bCol has $nc contingency cells > $maxCells — " +
+        "not a bounded categorical pair")
+    // Σ c·ln(c) in sorted-key order: bit-identical across runs and
+    // mirrorable in SQL (0.0-seeded left fold; 0.0 + x == x exactly)
+    def nlogn(keys: Seq[String], cnt: String): org.apache.spark.sql.Column =
+      aggregate(
+        sort_array(collect_list(struct(
+          keys.map(col) :+ col(cnt).cast("double").as("__c"): _*))),
+        lit(0.0),
+        (acc, s) => acc + s.getField("__c") * log(s.getField("__c")))
+    val ab = cells.agg(
+      sum(col("__obs")).as("n"),
+      countDistinct(col("__a")).cast("long").as("ka"),
+      countDistinct(col("__b")).cast("long").as("kb"),
+      nlogn(Seq("__a", "__b"), "__obs").as("__fab"))
+    val fa = cells.groupBy(col("__a")).agg(sum(col("__obs")).as("__ra"))
+      .agg(nlogn(Seq("__a"), "__ra").as("__fa"))
+    val fb = cells.groupBy(col("__b")).agg(sum(col("__obs")).as("__cb"))
+      .agg(nlogn(Seq("__b"), "__cb").as("__fb"))
+    val nD = col("n").cast("double")
+    def h(fold: String) = log(nD) - col(fold) / nD
+    val mi = h("__fa") + h("__fb") - h("__fab")
+    ab.crossJoin(fa).crossJoin(fb)
+      .select(col("n"), col("ka"), col("kb"),
+        round(h("__fa"), 6).as("h_a"),
+        round(h("__fb"), 6).as("h_b"),
+        round(h("__fab"), 6).as("h_ab"),
+        round(mi, 6).as("mi"),
+        when(col("ka") === 1 || col("kb") === 1, lit(null).cast("double"))
+          .otherwise(round(mi / sqrt(h("__fa") * h("__fb")), 6)).as("nmi"))
   }
 
   /** Association strength between two categorical columns: Pearson χ²

@@ -521,6 +521,53 @@ object TextAnalysis {
         (covered.cast("double") / col("__n")).as("coverage"))
   }
 
+  /** Zipf-slope fit over the top-`topK` term frequencies: the ordinary
+    * least-squares slope of ln(freq) on ln(rank) — a healthy natural
+    * corpus sits near −1; a flat slope means template spam, a cliff
+    * means a tiny synthetic vocabulary. One output row:
+    * (n_terms, slope, intercept). Ranks are 1-based by (freq desc,
+    * term) so the fit is deterministic under frequency ties.
+    *
+    * Determinism: the four OLS sums (Σx, Σy, Σxy, Σx²) are float sums
+    * over the topK frame, so each is collected, sorted by rank, and
+    * LEFT-FOLDED in that fixed order (the q133/q149 discipline);
+    * intercept reuses the slope value, and the oracle repeats the same
+    * trees textually. Fewer than 2 terms → null slope/intercept.
+    *
+    * 100 TB shape: one map-side-combinable term count; the sort+limit
+    * runs over the vocab frame (O(√total) distinct terms under Zipf),
+    * and everything after lives on ≤ topK rows.
+    */
+  def zipfSlope(docs: DataFrame, textCol: String,
+      topK: Int = 1000): DataFrame = {
+    require(topK >= 2, s"topK must be at least 2: $topK")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__term"))
+      .groupBy(col("__term")).agg(count(lit(1)).as("__freq"))
+    // the unpartitioned rank window runs AFTER the limit — topK rows
+    val top = counts.orderBy(col("__freq").desc, col("__term")).limit(topK)
+      .withColumn("__rank", row_number().over(
+        Window.orderBy(col("__freq").desc, col("__term"))))
+    def fold(v: Column, name: String): Column = aggregate(
+      sort_array(collect_list(struct(col("__rank"), v.as("__v")))),
+      lit(0.0), (acc, s) => acc + s.getField("__v")).as(name)
+    val x = log(col("__rank").cast("double"))
+    val y = log(col("__freq").cast("double"))
+    val f = top.agg(count(lit(1)).as("n_terms"),
+      fold(x, "__sx"), fold(y, "__sy"),
+      fold(x * y, "__sxy"), fold(x * x, "__sxx"))
+    val kD = col("n_terms").cast("double")
+    val den = kD * col("__sxx") - col("__sx") * col("__sx")
+    val slope = (kD * col("__sxy") - col("__sx") * col("__sy")) / den
+    f.select(col("n_terms"),
+      when(col("n_terms") < 2, lit(null).cast("double"))
+        .otherwise(round(slope, 6)).as("slope"),
+      when(col("n_terms") < 2, lit(null).cast("double"))
+        .otherwise(round((col("__sy") - slope * col("__sx")) / kD, 6))
+        .as("intercept"))
+  }
+
   def collocations(docs: DataFrame, textCol: String, minCount: Long = 3,
       k: Int = 20): DataFrame = {
     require(k >= 1, s"k must be positive: $k")

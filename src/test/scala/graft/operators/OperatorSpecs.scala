@@ -1051,6 +1051,27 @@ class FunnelSpec extends SparkSpec {
     out shouldBe Map(1L -> 3, 2L -> 1, 3L -> 1, 5L -> 2) // 4 absent
   }
 
+  test("transitionMatrix: per-user ordered steps, row-normalized " +
+      "probabilities, no cross-user transition") {
+    val events = Seq(
+      // user 1: view > click > view  => view>click, click>view
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "view", 3L),
+      // user 2: view > view          => view>view
+      (2L, "view", 1L), (2L, "view", 2L),
+      // user 3: lone event, no transition; and NO purchase>view edge
+      // even though user 1 views after user 3 purchases
+      (3L, "purchase", 2L))
+      .toDF("uid", "etype", "tsl")
+      .withColumn("ts", timestamp_millis($"tsl"))
+    val out = Funnel.transitionMatrix(events, "uid", "etype", "ts", "tsl")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    out shouldBe Map(
+      ("view", "click") -> ((1L, 2L, 0.5)),
+      ("view", "view") -> ((1L, 2L, 0.5)),
+      ("click", "view") -> ((1L, 1L, 1.0)))
+  }
+
   test("retentionMatrix: weekly cohorts from first activity, distinct " +
       "users per offset, multi-event weeks count once") {
     // Mondays: 2024-01-01 (W0), 2024-01-08 (W1), 2024-01-15 (W2)
@@ -1474,6 +1495,86 @@ class StatsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan.sliding("LocalTableScan".length).count(_ == "LocalTableScan") shouldBe 1
   }
+
+  test("giniConcentration: even corpus scores 0, hand-computed skew " +
+      "matches the rank identity, null groups excluded") {
+    // even: two groups x 3 rows each -> G = 0
+    val even = Seq("a", "a", "a", "b", "b", "b").toDF("src")
+    val (kE, nE, gE) = Stats.giniConcentration(even, "src")
+      .as[(Long, Long, Double)].head()
+    (kE, nE, gE) shouldBe ((2L, 6L, 0.0))
+    // skew: sizes ascending x = (1, 3); Σi·x = 1·1 + 2·3 = 7;
+    // G = 2·7/(2·4) − 3/2 = 0.25. A null-group row must not count.
+    val skew = Seq(Some("a"), Some("b"), Some("b"), Some("b"), None)
+      .toDF("src")
+    val (kS, nS, gS) = Stats.giniConcentration(skew, "src")
+      .as[(Long, Long, Double)].head()
+    (kS, nS, gS) shouldBe ((2L, 4L, 0.25))
+    // degenerate single group: identity gives 2·x/x − 2 = 0
+    val one = Seq("a", "a").toDF("src")
+    Stats.giniConcentration(one, "src")
+      .as[(Long, Long, Double)].head() shouldBe ((1L, 2L, 0.0))
+  }
+
+  test("burstiness: hand-computed Fano/CV from per-day counts, " +
+      "single-day group nulls out") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // type a: day 1 has 2 events, day 2 has 4; type b: one day only
+    val ev = Seq(
+      ("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 11:00:00"),
+      ("a", "2024-01-02 10:00:00"), ("a", "2024-01-02 11:00:00"),
+      ("a", "2024-01-02 12:00:00"), ("a", "2024-01-02 13:00:00"),
+      ("b", "2024-01-01 09:00:00"))
+      .toDF("etype", "dt").withColumn("ts", to_timestamp($"dt"))
+    val out = Stats.burstiness(ev, "ts", "etype")
+      .as[(String, Long, Long, Double, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // k=2, total=6, s2=20: mean 3, var (20-18)/1 = 2, fano 2/3
+    out("a") shouldBe (("a", 2L, 6L, 3.0, Some(r6(2.0 / 3)),
+      Some(r6(math.sqrt(2.0) / 3))))
+    out("b") shouldBe (("b", 1L, 1L, 1.0, None, None))
+  }
+
+  test("mutualInformation: independent columns score mi 0, identical " +
+      "columns score mi = h_a, single-valued side nulls nmi") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // independent: uniform 2x2 cross product, each cell once
+    val ind = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
+      .toDF("a", "b")
+    val (n1, ka1, kb1, ha1, hb1, hab1, mi1, nmi1) =
+      Stats.mutualInformation(ind, "a", "b")
+        .as[(Long, Long, Long, Double, Double, Double, Double,
+          Option[Double])].head()
+    (n1, ka1, kb1) shouldBe ((4L, 2L, 2L))
+    ha1 shouldBe r6(math.log(2))
+    hab1 shouldBe r6(math.log(4))
+    mi1 shouldBe 0.0
+    nmi1.get shouldBe 0.0
+    // identical columns: mi = h_a = h_b = h_ab, nmi = 1
+    val same = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("z", "z"))
+      .toDF("a", "b")
+    val (_, _, _, ha2, _, hab2, mi2, nmi2) =
+      Stats.mutualInformation(same, "a", "b")
+        .as[(Long, Long, Long, Double, Double, Double, Double,
+          Option[Double])].head()
+    // H = ln(4) − (2·ln2)/4 via the same fixed tree
+    val h = math.log(4.0) - 2 * math.log(2.0) / 4
+    ha2 shouldBe r6(h)
+    hab2 shouldBe r6(h)
+    mi2 shouldBe r6(h)
+    nmi2.get shouldBe 1.0
+    // single-valued b: kb = 1 → nmi null, mi 0; null-keyed rows dropped
+    val mono = Seq(("x", Some("u")), ("y", Some("u")), ("y", None))
+      .toDF("a", "b")
+    val (n3, _, kb3, _, hb3, _, mi3, nmi3) =
+      Stats.mutualInformation(mono, "a", "b")
+        .as[(Long, Long, Long, Double, Double, Double, Double,
+          Option[Double])].head()
+    (n3, kb3) shouldBe ((2L, 1L))
+    hb3 shouldBe 0.0
+    mi3 shouldBe 0.0
+    nmi3 shouldBe None
+  }
 }
 
 class StatsContingencySpec extends SparkSpec {
@@ -1527,6 +1628,49 @@ class StatsContingencySpec extends SparkSpec {
     out._4 shouldBe math.rint(chi2 * 1e6) / 1e6
     out._5.get shouldBe
       math.rint(math.sqrt(chi2 / (12.0 * 1L)) * 1e6) / 1e6
+  }
+}
+
+class ConflictingMetadataSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Dedup
+
+  test("conflictingMetadata: only digests with >1 attr value emit, one " +
+      "row per value with the doc split; null attrs never conflict") {
+    val docs = Seq(
+      (1L, "same text", Some("en")), (2L, "same text", Some("fr")),
+      (3L, "same text", Some("en")),       // en twice, fr once
+      (4L, "clean text", Some("en")), (5L, "clean text", Some("en")),
+      (6L, "null text", Some("de")), (7L, "null text", None))
+      .toDF("doc_id", "text", "lang")
+    val out = Dedup.conflictingMetadata(docs, "text", "lang")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => r._2 -> (r._3, r._4)).toMap
+    // only "same text" is conflicted: en x2, fr x1, n_values 2
+    out shouldBe Map("en" -> ((2L, 2L)), "fr" -> ((1L, 2L)))
+  }
+}
+
+class EmbeddingNormStatsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Similarity
+
+  test("embeddingNormStats: norms fold in element order, zero and null " +
+      "vectors counted apart, ragged dims surface, null labels drop") {
+    val emb = Seq(
+      (Some(1), Some(Seq(3f, 4f))),          // norm 5
+      (Some(1), Some(Seq(0f, 0f))),          // zero vector
+      (Some(1), None),                       // failed encode
+      (Some(1), Some(Seq(1f, 0f, 0f))),      // ragged: 3 dims, norm 1
+      (Some(2), Some(Seq(2f, 0f))),          // norm 2
+      (None, Some(Seq(9f, 9f))))             // null label: excluded
+      .toDF("label", "embedding")
+    val out = Similarity.embeddingNormStats(emb, "embedding", "label")
+      .as[(Int, Long, Long, Long, Int, Int, Option[Double],
+        Option[Double])].collect().map(r => r._1 -> r).toMap
+    out.size shouldBe 2
+    out(1) shouldBe ((1, 4L, 1L, 1L, 2, 3, Some(0.0), Some(5.0)))
+    out(2) shouldBe ((2, 1L, 0L, 0L, 2, 2, Some(2.0), Some(2.0)))
   }
 }
 
@@ -1831,6 +1975,42 @@ class SessionStatsSpec extends SparkSpec {
     // durations sorted: 0, 10, 12; n=3. p=0.5 -> ceil(1.5)=2nd -> 10;
     // p=1.0 -> 3rd -> 12
     out shouldBe Array((0.5, 10L, 3L), (1.0, 12L, 3L))
+  }
+}
+
+class ZipfSlopeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("zipfSlope: hand-computed OLS over ranked frequencies, topK " +
+      "truncation, degenerate single-term corpus nulls out") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // freqs: a=4, b=2, c=1 -> ranks 1, 2, 3
+    val docs = Seq("a a a a", "b b c").toDF("text")
+    val (n1, s1, i1) = TextAnalysis.zipfSlope(docs, "text", topK = 20)
+      .as[(Long, Option[Double], Option[Double])].head()
+    n1 shouldBe 3L
+    // the same left-to-right fold order the operator pins (rank asc)
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val (sx, sy) = (xs.reduceLeft(_ + _), ys.reduceLeft(_ + _))
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.reduceLeft(_ + _)
+    val sxx = xs.map(a => a * a).reduceLeft(_ + _)
+    val k = 3.0
+    val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    s1.get shouldBe r6(slope)
+    i1.get shouldBe r6((sy - slope * sx) / k)
+    // topK=2 keeps ranks 1..2 only: a perfect 2-point fit through
+    // (ln1, ln4), (ln2, ln2) has slope ln(2/4)/ln(2) = -1
+    val (n2, s2, _) = TextAnalysis.zipfSlope(docs, "text", topK = 2)
+      .as[(Long, Option[Double], Option[Double])].head()
+    n2 shouldBe 2L
+    s2.get shouldBe -1.0
+    // single term: no fit exists
+    val (n3, s3, i3) = TextAnalysis.zipfSlope(Seq("a a").toDF("text"),
+      "text", topK = 20)
+      .as[(Long, Option[Double], Option[Double])].head()
+    (n3, s3, i3) shouldBe ((1L, None, None))
   }
 }
 
