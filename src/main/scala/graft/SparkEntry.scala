@@ -749,6 +749,19 @@ object SparkEntry {
     // shingles with a (broadcast) eval set; the eval set here is built
     // from token snippets of every 40th doc, so sources and their
     // near-dups must surface
+    // curation: per-doc novelty of the odd-id half against the even-id
+    // half — 1 - (matched distinct 3-shingles / total), the "is this
+    // delivery new material or a re-crawl" triage; the reference side is
+    // deliberately NOT broadcast (corpus-sized regime)
+    "q157_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.noveltyScores(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          docs.filter(col("doc_id") % 2 === 0), "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_shingles"),
+          col("n_matched"), col("novelty"))
+    }),
+
     "q53_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bench = docs.filter(col("doc_id") % 40 === 0)
@@ -1211,6 +1224,13 @@ object SparkEntry {
     // greedy earliest-match (each step strictly after the previous);
     // one min-aggregation per step joined on the user key, no per-user
     // window over raw events
+    // analytics: funnel drop-off curve — per step the users reaching at
+    // least it, survival vs step 1, and step-over-step conversion
+    "q160_conversion_curve" -> ((s, dir) => {
+      Funnel.conversionCurve(t(s, dir, "events"), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))
+    }),
+
     "q105_funnel" -> ((s, dir) => {
       Funnel.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
           Seq("view", "click", "purchase"))
@@ -1318,6 +1338,14 @@ object SparkEntry {
       Stats.mutualInformation(t(s, dir, "documents"), "lang", "source")
     }),
 
+    // profiling: Cohen's kappa between the declared lang column and the
+    // q25 language-id prediction — chance-corrected label agreement
+    "q158_label_agreement" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      Stats.cohenKappa(docs, "lang", "lang_pred")
+    }),
+
     // text QA: Zipf-slope fit over the top-20 term frequencies — OLS of
     // ln(freq) on ln(rank); natural text sits near -1, template spam
     // flattens it (topK=20 < vocab so the truncation path is exercised)
@@ -1408,6 +1436,26 @@ object SparkEntry {
     // next to q141's per-day flags)
     "q152_burstiness" -> ((s, dir) => {
       Stats.burstiness(t(s, dir, "events"), "ts", "event_type")
+    }),
+
+    // monitoring: rolling daily volume — trailing 7-observed-day moving
+    // average + day-over-day percent change (the trend line next to
+    // q138's spike flags)
+    "q155_rolling_volume" -> ((s, dir) => {
+      Stats.rollingDailyVolume(t(s, dir, "events"), "ts", window = 7)
+    }),
+
+    // data QA: doc/embedding key reconciliation — the embeddings side is
+    // deterministically mangled (every 10th id dropped, every 25th
+    // re-landed shifted) so both orphan directions are exercised
+    "q156_key_reconcile" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val mangled = emb.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id"))
+        .unionByName(emb.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 900000L).as("vec_id")))
+      graft.operators.Checks.keyReconciliation(
+        t(s, dir, "documents"), mangled, "doc_id", "vec_id")
     }),
 
     // text: language-id confidence margin — best stopword score minus
@@ -1805,6 +1853,16 @@ object SparkEntry {
     // prefix sum, then per-chunk text concatenation in id order
     // (array_sort on (id, text) structs: deterministic, window-free);
     // chunk sizes are budget-bounded so no group outgrows its task
+    // curation: packing-efficiency report — mean fill + p50/p90 of the
+    // per-chunk assigned token mass at a 512-token budget (the "does the
+    // budget match the length distribution" number)
+    "q159_packing_stats" -> ((s, dir) => {
+      val packed = Packing.packDocuments(t(s, dir, "documents"), "doc_id",
+        "text", budgetTokens = 512)
+      Packing.packingStats(packed.frame, "n_tokens", budgetTokens = 512,
+        ps = Seq(0.5, 0.9))
+    }),
+
     "q98_packed_sequences" -> ((s, dir) => {
       val packed = Packing.packDocuments(t(s, dir, "documents"), "doc_id",
         "text", budgetTokens = 4096)
@@ -2764,6 +2822,33 @@ object SparkEntry {
 
     // mirrors Decontaminate.overlaps(n=5, minOverlap=2) with the snippet
     // benchmark built from every 40th doc's tokens 3..14
+    // mirrors q157: q53's shingle-string chain at n=3 on both halves;
+    // every doc emits >= 1 shingle (the greatest(len-3,0)+1 window), so
+    // the per-doc counts cover all odd docs
+    "q157_novelty" ->
+      """WITH rtk AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |rsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(tk)-3, 0)+1),
+        |    i -> array_to_string(tk[i+1:i+3], ' ')))) AS s
+        |  FROM rtk),
+        |ttk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |tsh0 AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(tk)-3, 0)+1),
+        |    i -> array_to_string(tk[i+1:i+3], ' '))) AS shl
+        |  FROM ttk),
+        |tsh AS (SELECT doc_id, unnest(shl) AS s FROM tsh0)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(count(r.s) AS BIGINT) AS n_matched,
+        |  round(1.0 - CAST(count(r.s) AS DOUBLE) / count(*), 6) AS novelty
+        |FROM tsh t LEFT JOIN rsh r ON t.s = r.s
+        |GROUP BY t.doc_id""".stripMargin,
+
     "q53_decontaminate" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
@@ -3475,6 +3560,53 @@ object SparkEntry {
     // mirrors q105: the same greedy chained-min construction — every ts
     // compared at microsecond precision (CAST truncates the ns parquet
     // type exactly like the Spark loader)
+    // mirrors q160: q105's greedy funnel chain, n_completed histogram,
+    // reached = Σ c over n_completed >= step, rates as exact quotients
+    "q160_conversion_curve" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |  GROUP BY e.user_id),
+        |f AS (
+        |  SELECT CASE WHEN t3 IS NOT NULL THEN 3
+        |              WHEN t2 IS NOT NULL THEN 2
+        |              ELSE 1 END AS n_completed
+        |  FROM s1
+        |  LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |  LEFT JOIN s3 ON s2.user_id = s3.user_id),
+        |h AS (SELECT n_completed, CAST(count(*) AS BIGINT) AS c
+        |  FROM f GROUP BY 1),
+        |st AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS step,
+        |  unnest(['view', 'click', 'purchase']) AS step_name),
+        |r AS (
+        |  SELECT st.step, st.step_name,
+        |    CAST(coalesce(sum(h.c), 0) AS BIGINT) AS n_users
+        |  FROM st LEFT JOIN h ON h.n_completed >= st.step
+        |  GROUP BY 1, 2),
+        |x AS (SELECT step, step_name, n_users,
+        |  max(CASE WHEN step = 1 THEN n_users END) OVER () AS n1,
+        |  lag(n_users) OVER (ORDER BY step) AS prev FROM r)
+        |SELECT step, step_name, n_users,
+        |  CASE WHEN n1 = 0 THEN NULL
+        |    ELSE round(CAST(n_users AS DOUBLE) / n1, 6) END
+        |    AS rate_vs_first,
+        |  CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+        |    ELSE round(CAST(n_users AS DOUBLE) / prev, 6) END
+        |    AS rate_vs_prev
+        |FROM x""".stripMargin,
+
     "q105_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
@@ -3870,6 +4002,49 @@ object SparkEntry {
         |  round(max(nrm), 6) AS max_norm
         |FROM e GROUP BY label""".stripMargin,
 
+    // mirrors q156: distinct keys per side (same mangle fixture), one
+    // full join, conditional counts
+    "q156_key_reconcile" ->
+      """WITH l AS (
+        |  SELECT DISTINCT doc_id AS k FROM documents
+        |  WHERE doc_id IS NOT NULL),
+        |r0 AS (
+        |  SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT vec_id + 900000 FROM embeddings WHERE vec_id % 25 = 0),
+        |r AS (SELECT DISTINCT vec_id AS k FROM r0 WHERE vec_id IS NOT NULL),
+        |j AS (SELECT l.k AS lk, r.k AS rk
+        |  FROM l FULL JOIN r ON l.k = r.k)
+        |SELECT CAST(count(lk) AS BIGINT) AS n_left_keys,
+        |  CAST(count(rk) AS BIGINT) AS n_right_keys,
+        |  CAST(count(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+        |    THEN 1 END) AS BIGINT) AS n_shared,
+        |  CAST(count(CASE WHEN rk IS NULL THEN 1 END) AS BIGINT)
+        |    AS n_left_only,
+        |  CAST(count(CASE WHEN lk IS NULL THEN 1 END) AS BIGINT)
+        |    AS n_right_only
+        |FROM j""".stripMargin,
+
+    // mirrors q155: observed-day counts, trailing 7-row window, single
+    // IEEE quotients; first day's pct_change is null
+    "q155_rolling_volume" ->
+      """WITH d AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1)
+        |SELECT day, n,
+        |  CAST(count(*) OVER w AS BIGINT) AS win_days,
+        |  CAST(sum(n) OVER w AS BIGINT) AS win_total,
+        |  round(CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w, 6)
+        |    AS win_avg,
+        |  CASE WHEN lag(n) OVER (ORDER BY day) IS NULL THEN NULL
+        |    ELSE round((CAST(n AS DOUBLE) - lag(n) OVER (ORDER BY day))
+        |      / lag(n) OVER (ORDER BY day), 6)
+        |  END AS pct_change
+        |FROM d
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |""".stripMargin,
+
     // mirrors q152: per-type day counts, exact BIGINT moments, the q138
     // variance tree divided by the unrounded mean; k=1 nulls out
     "q152_burstiness" ->
@@ -4147,6 +4322,51 @@ object SparkEntry {
         |      (CAST(n AS DOUBLE) * least(ka - 1, kb - 1))), 6)
         |  END AS v
         |FROM f""".stripMargin,
+
+    // mirrors q158: q25's stopword scores + tie-break pick rebuild the
+    // prediction; diagonal mass is an exact BIGINT; pe's Σ ra·cb folds
+    // in shared-value order; the kappa tree repeats the po/pe trees
+    "q158_label_agreement" -> {
+      val scores = TextAnalysis.stopwords.map { case (lang, _) =>
+        s"len(list_filter(tk, x -> x IN (${stopList(lang)}))) AS s_$lang"
+      }.mkString(",\n  ")
+      val pickCases = TextAnalysis.stopwords.map { case (lang, _) =>
+        s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS tk
+         |  FROM documents WHERE lang IS NOT NULL),
+         |sc AS (SELECT lang, $scores FROM t),
+         |pr AS (SELECT lang,
+         |  greatest(s_en, s_de, s_es, s_fr, s_zh) AS best,
+         |  s_en, s_de, s_es, s_fr, s_zh FROM sc),
+         |base AS (SELECT CAST(lang AS VARCHAR) AS a,
+         |  CASE $pickCases ELSE 'und' END AS b FROM pr),
+         |cells AS (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS obs
+         |  FROM base GROUP BY 1, 2),
+         |ab AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+         |  CAST(coalesce(sum(CASE WHEN a = b THEN obs END), 0) AS BIGINT)
+         |    AS n_agree
+         |  FROM cells),
+         |ma AS (SELECT a AS v, CAST(sum(obs) AS BIGINT) AS ra
+         |  FROM cells GROUP BY 1),
+         |mb AS (SELECT b AS v, CAST(sum(obs) AS BIGINT) AS cb
+         |  FROM cells GROUP BY 1),
+         |fe AS (SELECT coalesce(list_reduce(list_transform(list_sort(
+         |    list({'v': v, 'x': CAST(ra AS DOUBLE) * cb})), s -> s.x),
+         |    (x, y) -> x + y), 0.0) AS f
+         |  FROM ma JOIN mb USING (v))
+         |SELECT n, n_agree,
+         |  round(CAST(n_agree AS DOUBLE) / n, 6) AS po,
+         |  round(f / n / n, 6) AS pe,
+         |  CASE WHEN f / n / n = 1.0 THEN NULL ELSE
+         |    round((CAST(n_agree AS DOUBLE) / n - f / n / n)
+         |      / (1.0 - f / n / n), 6)
+         |  END AS kappa
+         |FROM ab CROSS JOIN fe""".stripMargin
+    },
 
     // mirrors q149: the three Σ c·ln c folds in sorted-key order (the
     // q133 list_reduce-over-list_sort discipline), entropies as
@@ -4808,6 +5028,41 @@ object SparkEntry {
 
     // mirrors q98: q49's chunk-id prefix sum, then ordered string_agg
     // per chunk
+    // mirrors q159: q98's ordered cumsum assigns chunks, per-chunk mass
+    // histogram-cumulated for the type-1 quantiles, one exact quotient
+    "q159_packing_stats" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM tk),
+        |s AS (
+        |  SELECT CAST(before // 512 AS BIGINT) AS chunk_id,
+        |    CAST(sum(n_tokens) AS BIGINT) AS ct
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(ct) AS BIGINT) AS total_tokens FROM s),
+        |h AS (SELECT ct, count(*) AS hc FROM s GROUP BY 1),
+        |cum AS (SELECT ct, sum(hc) OVER (ORDER BY ct
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |  FROM h),
+        |q AS (
+        |  SELECT p, min(ct) AS chunk_tokens
+        |  FROM cum CROSS JOIN (SELECT unnest([0.5, 0.9]) AS p)
+        |  CROSS JOIN t
+        |  WHERE cm >= ceil(p * n_chunks)
+        |  GROUP BY p)
+        |SELECT q.p, q.chunk_tokens, t.n_chunks, t.total_tokens,
+        |  round(CAST(t.total_tokens AS DOUBLE)
+        |    / (CAST(t.n_chunks AS DOUBLE) * 512), 6) AS mean_fill
+        |FROM q CROSS JOIN t""".stripMargin,
+
     "q98_packed_sequences" ->
       """WITH tk AS (
         |  SELECT doc_id, text,

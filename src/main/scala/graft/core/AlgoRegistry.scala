@@ -282,6 +282,20 @@ object AlgoRegistry {
           budgetTokens = config.getInt("budget_tokens").toLong)
         TransformAlgorithm.Out(packed.frame, () => packed.release())
       })
+    // packing-efficiency report (chunk-fill quantiles + mean fill)
+    case "PackingStats" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val budget = config.getInt("budget_tokens").toLong
+        val packed = graft.operators.Packing.packDocuments(df,
+          config.getString("id_column"), config.getString("text_column"),
+          budgetTokens = budget)
+        TransformAlgorithm.Out(
+          graft.operators.Packing.packingStats(packed.frame, "n_tokens",
+            budget, config.getSeq[Double]("ps")),
+          () => packed.release())
+      })
     case "Decontaminate" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),
@@ -337,6 +351,13 @@ object AlgoRegistry {
         config.getString("ts_column"), config.getString("tie_column"),
         n = config.getIntOpt("n").getOrElse(3),
         k = config.getIntOpt("k").getOrElse(10)))
+    // funnel drop-off curve (per-step reach + conversion rates)
+    case "ConversionCurve" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Funnel.conversionCurve(df,
+        config.getString("user_column"), config.getString("type_column"),
+        config.getString("ts_column"), config.getSeq[String]("steps")))
     // first-order Markov transition matrix over event types
     case "TransitionMatrix" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
@@ -413,6 +434,35 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Stats.functionalDependency(df,
         config.getString("a_column"), config.getString("b_column")))
+    // per-doc n-gram novelty against a reference corpus
+    case "NoveltyScores" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val ref = fmt(config).read(spark, Map.empty, None,
+          config.getString("reference_dir"))
+        graft.operators.Decontaminate.noveltyScores(df,
+          config.getString("id_column"), config.getString("text_column"),
+          ref, config.getString("reference_text_column"),
+          n = config.getIntOpt("ngram_size").getOrElse(3))
+      })
+    // symmetric key reconciliation between two tables
+    case "KeyReconciliation" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val right = fmt(config).read(spark, Map.empty, None,
+          config.getString("right_dir"))
+        graft.operators.Checks.keyReconciliation(df, right,
+          config.getString("left_key"), config.getString("right_key"))
+      })
+    // rolling daily-volume trend (observed-day moving window)
+    case "RollingVolume" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.rollingDailyVolume(df,
+        config.getString("ts_column"),
+        window = config.getIntOpt("window_days").getOrElse(7)))
     // per-group burstiness (Fano factor + CV of daily counts)
     case "Burstiness" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
@@ -433,6 +483,14 @@ object AlgoRegistry {
       df => graft.operators.TextAnalysis.zipfSlope(df,
         config.getString("text_column"),
         topK = config.getIntOpt("top_k").getOrElse(1000)))
+    // Cohen's kappa agreement between two categorical columns
+    case "CohenKappa" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.cohenKappa(df,
+        config.getString("a_column"), config.getString("b_column"),
+        maxCells =
+          config.getIntOpt("max_cells").getOrElse(100000).toLong))
     // entropies + mutual information for two categorical columns
     case "MutualInformation" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -71,6 +71,35 @@ object Checks {
   def referential(c: String, dim: DataFrame, dimCol: String): Check =
     Check(s"referential($c)", ref = Some((dim, c, dimCol)))
 
+  /** Symmetric key reconciliation between two tables — the
+    * referential-integrity REPORT next to [[referential]]'s one-sided
+    * pass/fail rule: how many distinct keys each side holds, how many
+    * are shared, and how many are orphaned on each side ("every doc
+    * has an embedding and every embedding has a doc" audited in one
+    * row before a join silently drops the difference). Null keys are
+    * excluded on both sides (nullability is [[notNull]]'s job). One
+    * output row:
+    * (n_left_keys, n_right_keys, n_shared, n_left_only, n_right_only).
+    *
+    * 100 TB shape: each side collapses to its distinct keys first
+    * (map-side combinable), then ONE key-equi full-outer join and one
+    * map-side-combinable count pass — no content column ever shuffles.
+    */
+  def keyReconciliation(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    val l = left.filter(col(s"`$leftKey`").isNotNull)
+      .select(col(s"`$leftKey`").as("__lk")).distinct()
+    val r = right.filter(col(s"`$rightKey`").isNotNull)
+      .select(col(s"`$rightKey`").as("__rk")).distinct()
+    l.join(r, col("__lk") === col("__rk"), "full_outer")
+      .agg(count(col("__lk")).as("n_left_keys"),
+        count(col("__rk")).as("n_right_keys"),
+        count(when(col("__lk").isNotNull && col("__rk").isNotNull,
+          lit(1))).as("n_shared"),
+        count(when(col("__rk").isNull, lit(1))).as("n_left_only"),
+        count(when(col("__lk").isNull, lit(1))).as("n_right_only"))
+  }
+
   /** Evaluate all checks; one row per check:
     * (check_name, violations, total, passed).
     */

@@ -195,4 +195,43 @@ object Decontaminate {
       .select(col("id").as(idCol))
     corpus.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** Per-document n-gram NOVELTY against a reference corpus: the
+    * fraction of each doc's distinct shingles NOT seen in the reference
+    * — the continuous complement of [[overlaps]] (that one finds and
+    * drops leaked docs against a small benchmark; this one scores every
+    * incoming doc against the landed corpus, the "is this delivery new
+    * material or a re-crawl" triage). One row per corpus doc:
+    * (id, n_shingles, n_matched, novelty = 1 − matched/shingles).
+    *
+    * Unlike [[overlaps]], the reference is corpus-SIZED, so its
+    * distinct shingle frame is deliberately NOT broadcast — the match
+    * is a plain equi-join on the 8-byte shingle hash (size-based
+    * planning picks broadcast when the reference happens to be small;
+    * a bloom prefilter à la [[overlapsBloom]] drops in when the
+    * reference outgrows a shuffle — same exactness argument).
+    *
+    * 100 TB shape: both sides shingle map-side into 8-byte hashes (one
+    * explode each, bodies never shuffled); one hash-keyed join; one
+    * map-side-combinable per-doc count. Short docs still emit the
+    * whole-doc shingle (the `max(n_tokens − n, 0) + 1` window), so
+    * every doc scores.
+    */
+  def noveltyScores(corpus: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String, n: Int = 3): DataFrame = {
+    val refSh = Dedup.shingleHashDF(ref.withColumn("__rid", lit(0L)),
+        "__rid", refTextCol, n)
+      .select(explode(col("sh")).as("__h")).distinct()
+    val marked = Dedup.shingleHashDF(corpus, idCol, textCol, n)
+      .select(col("id"), explode_outer(col("sh")).as("__h"))
+      .join(refSh.withColumn("__m", lit(1)), Seq("__h"), "left")
+    marked.groupBy(col("id"))
+      .agg(count(col("__h")).as("n_shingles"),
+        count(col("__m")).as("n_matched"))
+      .select(col("id"), col("n_shingles"), col("n_matched"),
+        when(col("n_shingles") === 0, lit(null).cast("double"))
+          .otherwise(round(lit(1.0) -
+            col("n_matched").cast("double") / col("n_shingles"), 6))
+          .as("novelty"))
+  }
 }

@@ -148,6 +148,53 @@ object Funnel {
       "gap_us", p)
   }
 
+  /** Step-conversion curve over [[funnel]]'s output: per step, how many
+    * users reached AT LEAST that step, the share of step-1 entrants
+    * surviving to it, and the step-over-step conversion rate — the
+    * drop-off table every funnel review actually reads (the raw funnel
+    * frame answers per-user questions; this is the aggregate). One row
+    * per step: (step, step_name, n_users, rate_vs_first, rate_vs_prev);
+    * rate_vs_prev is null at step 1, and both rates null out on a zero
+    * denominator (empty funnel).
+    *
+    * Exactness: reached-counts are exact BIGINTs (sums over the
+    * n_completed histogram); rates are single IEEE quotients,
+    * round(…, 6), mirrored verbatim.
+    *
+    * 100 TB shape: [[funnel]]'s per-step min-aggregations do the
+    * data-sized work; everything here runs on the (steps+1)-row
+    * histogram — the windows are bounded by the step count.
+    */
+  def conversionCurve(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, steps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = funnel(events, userCol, typeCol, tsCol, steps)
+    val hist = f.groupBy(col("n_completed")).agg(count(lit(1)).as("__c"))
+    val stepsDf = events.sparkSession.range(1, steps.size + 1)
+      .toDF("step")
+      .withColumn("step_name",
+        element_at(array(steps.map(lit): _*), col("step").cast("int")))
+    val reach = stepsDf
+      .join(hist, col("n_completed") >= col("step"), "left")
+      .groupBy(col("step"), col("step_name"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("n_users"))
+    val wFull = Window.orderBy(col("step"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    reach
+      .withColumn("__n1",
+        max(when(col("step") === 1, col("n_users"))).over(wFull))
+      .withColumn("__prev",
+        lag(col("n_users"), 1).over(Window.orderBy(col("step"))))
+      .select(col("step"), col("step_name"), col("n_users"),
+        when(col("__n1") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_users").cast("double") / col("__n1"), 6))
+          .as("rate_vs_first"),
+        when(col("__prev").isNull || col("__prev") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("n_users").cast("double") / col("__prev"), 6))
+          .as("rate_vs_prev"))
+  }
+
   /** First-order Markov transition matrix over event types: for each
     * observed (from → to) step in a user's (ts, tie)-ordered stream,
     * the count, the total transitions leaving `from`, and the

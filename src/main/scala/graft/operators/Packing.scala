@@ -109,6 +109,40 @@ object Packing {
       docs.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol))),
       idCol, "n_tokens", budgetTokens)
 
+  /** Packing-efficiency report over a [[withChunkIds]] result: how full
+    * the token-budget chunks actually are — mean fill plus exact type-1
+    * quantiles of the per-chunk assigned token mass. Because a document
+    * straddling a boundary belongs to the chunk where it STARTS, a
+    * chunk's assigned mass can exceed the budget (the overflow rides
+    * into the next chunk's space) and the final chunk is usually short —
+    * this report is how a pipeline decides whether the budget matches
+    * the document length distribution or burns padding. One row per
+    * requested p: (p, chunk_tokens, n_chunks, total_tokens, mean_fill).
+    *
+    * 100 TB shape: one map-side-combinable per-chunk sum (chunk count ∝
+    * corpus/budget); the quantile runs [[Sampling.quantilesPerGroup]]'s
+    * histogram machinery on a constant group — its window input is the
+    * distinct chunk-mass VALUES (bounded by budget + max doc), never the
+    * chunk frame.
+    */
+  def packingStats(packedFrame: DataFrame, tokenCountCol: String,
+      budgetTokens: Long, ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    val sums = packedFrame.groupBy(col("chunk_id"))
+      .agg(sum(col(tokenCountCol)).as("__ct"))
+    val totals = sums.agg(count(lit(1)).as("n_chunks"),
+      sum(col("__ct")).as("total_tokens"))
+    val quant = graft.operators.Sampling.quantilesPerGroup(
+      sums.withColumn("__g", lit("all")), "__g", "__ct", ps)
+    quant.select(col("p"), col("quantile").as("chunk_tokens"))
+      .crossJoin(broadcast(totals))
+      .select(col("p"), col("chunk_tokens"), col("n_chunks"),
+        col("total_tokens"),
+        round(col("total_tokens").cast("double") /
+          (col("n_chunks").cast("double") * budgetTokens), 6)
+          .as("mean_fill"))
+  }
+
   /** Sliding-window TEXT chunking — the other chunking regime (the one
     * above assigns whole documents to token-budget bins; this one SPLITS
     * each document's token sequence): windows of `chunkTokens` tokens

@@ -100,6 +100,47 @@ object Stats {
           .otherwise(abs(zE) >= zThreshold).as("is_burst"))
   }
 
+  /** Rolling daily-volume report: per observed day the event count, the
+    * trailing `window`-day moving window (days present, total, average)
+    * and the day-over-day percent change — the smoothed trend line next
+    * to [[volumeAnomalies]]' spike flags (an anomaly check answers "is
+    * today broken", this answers "which way is the feed drifting").
+    * The window spans the last `window` OBSERVED days, not calendar
+    * days — a silent day shortens the window rather than padding it
+    * with zeros (documented choice; calendar padding needs a generated
+    * day spine and a policy for the corpus's first week).
+    *
+    * Exactness: counts and window totals are exact BIGINTs; win_avg
+    * and pct_change are single IEEE quotients, round(…, 6), mirrored
+    * verbatim; the first day's pct_change is null.
+    *
+    * 100 TB shape: one map-side-combinable day count; both windows run
+    * over the DAYS frame (bounded by the corpus's time span, hence the
+    * acceptable unpartitioned window).
+    */
+  def rollingDailyVolume(df: DataFrame, tsCol: String,
+      window: Int = 7): DataFrame = {
+    require(window >= 2, s"window must be at least 2 days: $window")
+    import org.apache.spark.sql.expressions.Window
+    val days = df.filter(col(tsCol).isNotNull)
+      .groupBy(date_format(col(tsCol), "yyyyMMdd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val prev = lag(col("n"), 1).over(Window.orderBy(col("day")))
+    days
+      .withColumn("win_days", count(lit(1)).over(w))
+      .withColumn("win_total", sum(col("n")).over(w))
+      .withColumn("__prev", prev)
+      .select(col("day"), col("n"), col("win_days"), col("win_total"),
+        round(col("win_total").cast("double") / col("win_days"), 6)
+          .as("win_avg"),
+        when(col("__prev").isNull, lit(null).cast("double"))
+          .otherwise(round(
+            (col("n").cast("double") - col("__prev")) / col("__prev"), 6))
+          .as("pct_change"))
+  }
+
   /** Gini coefficient of row mass across groups — 0 when every group
     * contributes equally, →1 when one group owns the corpus ("is this
     * dataset one crawl wearing twenty source labels"). One output row:
@@ -299,6 +340,60 @@ object Stats {
         round(mi, 6).as("mi"),
         when(col("ka") === 1 || col("kb") === 1, lit(null).cast("double"))
           .otherwise(round(mi / sqrt(h("__fa") * h("__fb")), 6)).as("nmi"))
+  }
+
+  /** Cohen's κ agreement between two categorical columns — the
+    * chance-corrected "do these two labelings actually agree" score
+    * (declared vs predicted language, two annotator passes, old vs new
+    * classifier). Observed agreement p_o is the diagonal mass; expected
+    * agreement p_e is Σ ra·cb/n² over values shared by both margins;
+    * κ = (p_o − p_e)/(1 − p_e). One output row:
+    * (n, n_agree, po, pe, kappa); κ is null when p_e = 1 (both columns
+    * constant on the same value — agreement is vacuous). Null-keyed
+    * rows are excluded.
+    *
+    * Determinism: the diagonal mass is an exact BIGINT sum; p_e's
+    * Σ ra·cb runs in doubles (BIGINT products overflow at ~10⁹-row
+    * margins), so it is collected over the shared-value frame, sorted,
+    * and LEFT-FOLDED in value order (the q133/q149 discipline), and
+    * the κ tree composes the unrounded p_o/p_e in a fixed association
+    * mirrored textually in the oracle.
+    *
+    * 100 TB shape: one map-side-combinable (a, b) cell count bounded
+    * by `maxCells`; marginals re-aggregate the cell frame; the fold
+    * lives on one row.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String,
+      maxCells: Long = 100000L): DataFrame = {
+    val base = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+    val cells = base.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__obs"))
+    val nc = cells.count()
+    require(nc <= maxCells,
+      s"$aCol x $bCol has $nc contingency cells > $maxCells — " +
+        "not a bounded categorical pair")
+    val ab = cells.agg(sum(col("__obs")).as("n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__obs"))), lit(0L))
+        .as("n_agree"))
+    val aTot = cells.groupBy(col("__a").as("__v"))
+      .agg(sum(col("__obs")).as("__ra"))
+    val bTot = cells.groupBy(col("__b").as("__v"))
+      .agg(sum(col("__obs")).as("__cb"))
+    val fe = aTot.join(bTot, Seq("__v"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("__v"),
+          (col("__ra").cast("double") * col("__cb")).as("__x")))),
+        lit(0.0), (acc, s) => acc + s.getField("__x")).as("__fe"))
+    val nD = col("n").cast("double")
+    val po = col("n_agree").cast("double") / col("n")
+    val pe = col("__fe") / nD / nD
+    ab.crossJoin(fe).select(col("n"), col("n_agree"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      when(pe === 1.0, lit(null).cast("double"))
+        .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
   /** Association strength between two categorical columns: Pearson χ²

@@ -95,6 +95,30 @@ class PlanAuditSpec extends SparkSpec {
     p should include("LeftAnti")
   }
 
+  test("q151: the transition matrix's from-totals join is a broadcast, " +
+      "and no all-pairs product appears") {
+    val p = plan("q151_transition_matrix")
+    p should include("BroadcastHashJoin")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("q154: the metadata-clash audit shuffles digests, never bodies — " +
+      "the text column stays out of every exchange") {
+    val p = plan("q154_metadata_clash")
+    // every Exchange row must carry only digest/attr/count columns
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      withClue(l) { l should not include "text#" }
+    }
+  }
+
+  test("q157: novelty's reference match is a hash equi-join on the " +
+      "shingle hash, never a nested-loop product") {
+    val p = plan("q157_novelty")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
   test("packing: slice offsets stay a broadcast join, not a CASE chain, " +
       "at production slice counts") {
     import spark.implicits._

@@ -733,6 +733,60 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(tgtSb).count() shouldBe 3
   }
 
+  test("round-9 profiling algorithms run through the params-JSON surface") {
+    import org.apache.spark.sql.functions._
+    // TransitionMatrix: ts + tie column plumbing
+    val evSrc = tmp("jr_tm_src") + "/t"
+    Seq((1L, 1L, "a", 1L), (2L, 1L, "b", 2L), (3L, 1L, "a", 3L),
+      (4L, 2L, "a", 1L), (5L, 2L, "a", 2L))
+      .toDF("event_id", "user_id", "event_type", "tsl")
+      .withColumn("ts", timestamp_millis(col("tsl")))
+      .write.parquet(evSrc)
+    val tmTgt = tmp("jr_tm_tgt") + "/t"
+    val tmPar = tmp("jr_tm_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(tmPar),
+      s"""{"source_dir": "$evSrc", "target_dir": "$tmTgt",
+         | "user_column": "user_id", "type_column": "event_type",
+         | "ts_column": "ts", "tie_column": "event_id"}""".stripMargin)
+    JobRunner.execute(spark, "TransitionMatrix", tmPar)
+    spark.read.parquet(tmTgt)
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"))
+      .as[(String, String, Long, Long)].collect().toSet shouldBe Set(
+      ("a", "b", 1L, 2L), ("b", "a", 1L, 1L), ("a", "a", 1L, 2L))
+
+    // KeyReconciliation: the right_dir second-input plumbing
+    val lSrc = tmp("jr_kr_l") + "/t"
+    val rSrc = tmp("jr_kr_r") + "/t"
+    Seq(1L, 2L, 3L).toDF("doc_id").write.parquet(lSrc)
+    Seq(2L, 3L, 9L).toDF("vec_id").write.parquet(rSrc)
+    val krTgt = tmp("jr_kr_tgt") + "/t"
+    val krPar = tmp("jr_kr_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(krPar),
+      s"""{"source_dir": "$lSrc", "target_dir": "$krTgt",
+         | "right_dir": "$rSrc",
+         | "left_key": "doc_id", "right_key": "vec_id"}""".stripMargin)
+    JobRunner.execute(spark, "KeyReconciliation", krPar)
+    spark.read.parquet(krTgt)
+      .as[(Long, Long, Long, Long, Long)].head() shouldBe
+      ((3L, 3L, 2L, 1L, 1L))
+
+    // PackingStats: the packing cache must be released after the write
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val psSrc = tmp("jr_ps_src") + "/t"
+    (1L to 10L).map(i => (i, "tok tok tok")).toDF("doc_id", "text")
+      .write.parquet(psSrc)
+    val psTgt = tmp("jr_ps_tgt") + "/t"
+    val psPar = tmp("jr_ps_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(psPar),
+      s"""{"source_dir": "$psSrc", "target_dir": "$psTgt",
+         | "id_column": "doc_id", "text_column": "text",
+         | "budget_tokens": 4, "ps": [0.5, 1.0]}""".stripMargin)
+    JobRunner.execute(spark, "PackingStats", psPar)
+    // 30 tokens at budget 4: masses 6,3,3,3,6,3,3,3 (straddle pattern)
+    spark.read.parquet(psTgt).count() shouldBe 2L
+    spark.sparkContext.getPersistentRDDs.size shouldBe cachedBefore
+  }
+
   test("unknown algorithm names are rejected") {
     val paramsPath = tmp("jr_bad") + "/params.json"
     java.nio.file.Files.writeString(

@@ -60,6 +60,18 @@ class ChecksSpec extends SparkSpec {
     scans shouldBe 1
   }
 
+  test("keyReconciliation: distinct keys per side, shared and orphan " +
+      "counts in both directions, null keys excluded") {
+    val left = Seq(Some(1L), Some(2L), Some(2L), Some(3L), None)
+      .toDF("doc_id")
+    val right = Seq(Some(2L), Some(3L), Some(3L), Some(9L), None)
+      .toDF("vec_id")
+    val out = Checks.keyReconciliation(left, right, "doc_id", "vec_id")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // left keys {1,2,3}, right keys {2,3,9}: shared {2,3}
+    out shouldBe ((3L, 3L, 2L, 1L, 1L))
+  }
+
   test("parseRule round-trips the params-JSON surface") {
     Checks.parseRule("not_null:id").name shouldBe "not_null(id)"
     Checks.parseRule("in_range:v:0:100").name shouldBe

@@ -110,6 +110,25 @@ class DedupSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect() shouldBe Array(3L)
   }
 
+  test("noveltyScores: fraction of unseen distinct shingles per doc; a " +
+      "sub-n doc scores on its whole-doc shingle") {
+    val ref = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    val tgt = Seq(
+      (1L, "a b c d"),   // both 3-shingles seen -> novelty 0
+      (2L, "x y z w"),   // none seen -> 1
+      (3L, "a b c x"),   // one of two seen -> 0.5
+      (4L, "q"))         // short: whole-doc shingle, unseen -> 1
+      .toDF("doc_id", "text")
+    val out = Decontaminate.noveltyScores(tgt, "doc_id", "text",
+        ref, "text", n = 3)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    out(1L) shouldBe ((1L, 2L, 2L, Some(0.0)))
+    out(2L) shouldBe ((2L, 2L, 0L, Some(1.0)))
+    out(3L) shouldBe ((3L, 2L, 1L, Some(0.5)))
+    out(4L) shouldBe ((4L, 1L, 0L, Some(1.0)))
+  }
+
   test("bloom-prefiltered decontamination is row-identical to the " +
       "broadcast path; might_contain is a narrow predicate in the plan") {
     val corpus = (1L to 60L).map { i =>
@@ -1051,6 +1070,28 @@ class FunnelSpec extends SparkSpec {
     out shouldBe Map(1L -> 3, 2L -> 1, 3L -> 1, 5L -> 2) // 4 absent
   }
 
+  test("conversionCurve: reach counts drop monotonically, rates vs " +
+      "first and previous, step-1 prev is null") {
+    // same event shapes as the funnel spec: n_completed 3,1,1,2 for
+    // users 1,2,3,5 (user 4 never views and is absent)
+    val events = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
+      (2L, "click", 1L), (2L, "view", 2L), (2L, "purchase", 3L),
+      (3L, "view", 5L), (3L, "click", 3L),
+      (4L, "click", 1L), (4L, "purchase", 2L),
+      (5L, "view", 1L), (5L, "view", 10L), (5L, "click", 5L))
+      .toDF("uid", "etype", "tsl")
+      .withColumn("ts", timestamp_millis($"tsl"))
+    val out = Funnel.conversionCurve(events, "uid", "etype", "ts",
+        Seq("view", "click", "purchase"))
+      .as[(Long, String, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    out shouldBe Array(
+      (1L, "view", 4L, Some(1.0), None),
+      (2L, "click", 2L, Some(0.5), Some(0.5)),
+      (3L, "purchase", 1L, Some(0.25), Some(0.5)))
+  }
+
   test("transitionMatrix: per-user ordered steps, row-normalized " +
       "probabilities, no cross-user transition") {
     val events = Seq(
@@ -1516,6 +1557,24 @@ class StatsSpec extends SparkSpec {
       .as[(Long, Long, Double)].head() shouldBe ((1L, 2L, 0.0))
   }
 
+  test("rollingDailyVolume: trailing window spans observed days (a gap " +
+      "shortens nothing), first-day pct_change is null") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    def day(d: Int, k: Int) = (1 to k).map(i =>
+      f"2024-01-$d%02d ${9 + i}%02d:00:00")
+    val ev = (day(1, 2) ++ day(2, 4) ++ day(3, 1) ++ day(5, 3))
+      .toDF("dt").withColumn("ts", to_timestamp($"dt"))
+    val out = Stats.rollingDailyVolume(ev, "ts", window = 3)
+      .as[(String, Long, Long, Long, Double, Option[Double])]
+      .collect().sortBy(_._1)
+    out shouldBe Array(
+      ("20240101", 2L, 1L, 2L, 2.0, None),
+      ("20240102", 4L, 2L, 6L, 3.0, Some(1.0)),
+      ("20240103", 1L, 3L, 7L, r6(7.0 / 3), Some(-0.75)),
+      // the jan-5 row's window is the last 3 OBSERVED days (2, 3, 5)
+      ("20240105", 3L, 3L, 8L, r6(8.0 / 3), Some(2.0)))
+  }
+
   test("burstiness: hand-computed Fano/CV from per-day counts, " +
       "single-day group nulls out") {
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
@@ -1533,6 +1592,35 @@ class StatsSpec extends SparkSpec {
     out("a") shouldBe (("a", 2L, 6L, 3.0, Some(r6(2.0 / 3)),
       Some(r6(math.sqrt(2.0) / 3))))
     out("b") shouldBe (("b", 1L, 1L, 1.0, None, None))
+  }
+
+  test("cohenKappa: textbook 2x2 agreement, perfect agreement is 1, " +
+      "vacuous constant pair nulls, disjoint domains score 0") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // classic: 10 yes/yes, 5 no/no, 3 yes/no, 2 no/yes
+    val rated = (Seq.fill(10)(("yes", "yes")) ++ Seq.fill(5)(("no", "no"))
+      ++ Seq.fill(3)(("yes", "no")) ++ Seq.fill(2)(("no", "yes")))
+      .toDF("a", "b")
+    val (n1, ag1, po1, pe1, k1) = Stats.cohenKappa(rated, "a", "b")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    (n1, ag1, po1) shouldBe ((20L, 15L, 0.75))
+    // pe folds in sorted value order (no, yes): (7*8 + 13*12)/20/20
+    val pe = (7.0 * 8 + 13.0 * 12) / 20 / 20
+    pe1 shouldBe r6(pe)
+    k1.get shouldBe r6((15.0 / 20 - pe) / (1.0 - pe))
+    // perfect agreement
+    val (_, _, _, _, k2) = Stats.cohenKappa(
+      Seq(("x", "x"), ("y", "y")).toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    k2.get shouldBe 1.0
+    // both constant on the same value: pe = 1, vacuous
+    Stats.cohenKappa(Seq(("x", "x"), ("x", "x")).toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+      ._5 shouldBe None
+    // disjoint label domains: po = 0, pe = 0 -> kappa 0
+    Stats.cohenKappa(Seq(("p", "q"), ("p", "q")).toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+      ._5 shouldBe Some(0.0)
   }
 
   test("mutualInformation: independent columns score mi 0, identical " +

@@ -320,6 +320,23 @@ class PackingSpec extends SparkSpec {
     plan should not include "SinglePartition"
   }
 
+  test("packingStats: hand-computed fill quantiles and mean fill; a " +
+      "straddling doc's mass stays with its starting chunk") {
+    // five 3-token docs, budget 4: before = 0,3,6,9,12 -> chunks
+    // 0,0,1,2,3; masses: chunk0 = 6 (straddle stays), others 3
+    val docs = (1L to 5L).map(i => (i, 3)).toDF("id", "n")
+    val packed = Packing.withChunkIds(docs, "id", "n", budgetTokens = 4)
+    val out = Packing.packingStats(packed.frame, "n", budgetTokens = 4,
+        ps = Seq(0.5, 1.0))
+      .as[(Double, Long, Long, Long, Double)].collect().sortBy(_._1)
+    packed.release()
+    // masses sorted: 3,3,3,6; p50 -> ceil(2) -> 3; p100 -> 6;
+    // mean fill = 15 / (4 chunks * 4 budget)
+    out shouldBe Array(
+      (0.5, 3L, 4L, 15L, 0.9375),
+      (1.0, 6L, 4L, 15L, 0.9375))
+  }
+
   test("two interleaved packing calls keep independent persist handles") {
     // the old shared lastPersisted singleton would leak call A's cached
     // frame when call B started; per-call handles must stay independent:
