@@ -785,6 +785,29 @@ object SparkEntry {
     // curation: PII redaction — synthetic PII is injected deterministically
     // (same CASE logic both engines) so the gate exercises real matches,
     // not an all-zero pass over clean testdata
+    // compliance: per-source PII exposure report — doc and match counts
+    // per category over the q55 injection fixture, before any rewrite
+    "q165_pii_stats" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" reach me at user"), col("doc_id"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" from 10.0."), col("doc_id") % 256, lit(".17")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" call 555-123-4567"))
+            .otherwise(lit(""))).as("text"))
+      Redact.piiStats(withPii, "source", "text")
+    }),
+
+    // monitoring: day-of-week x hour-of-day seasonality heat map —
+    // counts and shares over at most 168 cells
+    "q164_seasonality" -> ((s, dir) => {
+      Stats.seasonalityProfile(t(s, dir, "events"), "ts")
+    }),
+
     "q55_pii_redaction" -> ((s, dir) => {
       val withPii = t(s, dir, "documents").select(col("doc_id"),
         concat(col("text"),
@@ -1344,6 +1367,50 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .withColumn("lang_pred", TextAnalysis.langId(col("text")))
       Stats.cohenKappa(docs, "lang", "lang_pred")
+    }),
+
+    // profiling: the confusion matrix behind q158's kappa — per
+    // (declared, predicted) cell the count and recall/precision shares
+    "q161_confusion_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      Stats.confusionMatrix(docs, "lang", "lang_pred")
+    }),
+
+    // curation: corpus-mixture report — per lang the doc/token counts,
+    // shares, and cumulative token share in token-mass order
+    "q162_mixture_report" -> ((s, dir) => {
+      TextAnalysis.mixtureReport(t(s, dir, "documents"), "lang", "text")
+    }),
+
+    // profiling: per-lang doc-length histogram at 100-char bins — the
+    // distribution SHAPE next to the quantile machinery
+    "q163_length_histogram" -> ((s, dir) => {
+      Stats.groupedHistogram(t(s, dir, "documents"), "lang", "n_chars",
+        binWidth = 100)
+    }),
+
+    // profiling: top-3 sources per lang by doc count — the mode report
+    // with deterministic (count desc, value) ranking
+    "q166_top_values" -> ((s, dir) => {
+      Stats.topValuesPerGroup(t(s, dir, "documents"), "lang", "source",
+        k = 3)
+    }),
+
+    // profiling: does length track token count per lang — q132's exact
+    // moment tree sliced by group
+    "q167_corr_per_group" -> ((s, dir) => {
+      val f = t(s, dir, "documents").select(col("lang"), col("n_chars"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Stats.corrPerGroup(f, "lang", "n_chars", "n_tokens")
+    }),
+
+    // monitoring: KS distance between the even- and odd-id halves'
+    // length distributions — the bin-free single-number drift score
+    "q168_ks_distance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Stats.ksDistance(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "n_chars")
     }),
 
     // text QA: Zipf-slope fit over the top-20 term frequencies — OLS of
@@ -2912,6 +2979,52 @@ object SparkEntry {
     // mirrors Redact.withRedactions over the same injected PII; patterns
     // interpolated from the Redact constants so the two engines can never
     // drift (DuckDB regexp_replace needs the explicit 'g' flag)
+    // mirrors q165: q55's injection fixture, per-source doc/match counts
+    "q165_pii_stats" ->
+      s"""WITH pii AS (
+         |  SELECT source, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' reach me at user' ||
+         |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' ||
+         |      CAST(doc_id % 256 AS VARCHAR) || '.17' ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-4567'
+         |      ELSE '' END AS text
+         |  FROM documents
+         |  WHERE source IS NOT NULL AND text IS NOT NULL),
+         |h AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(text, '${Redact.emailPattern}'))
+         |      AS he,
+         |    len(regexp_extract_all(text, '${Redact.ipv4Pattern}'))
+         |      AS hi,
+         |    len(regexp_extract_all(text, '${Redact.phonePattern}'))
+         |      AS hp
+         |  FROM pii)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN he > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_email,
+         |  CAST(sum(he) AS BIGINT) AS n_email,
+         |  CAST(sum(CASE WHEN hi > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_ipv4,
+         |  CAST(sum(hi) AS BIGINT) AS n_ipv4,
+         |  CAST(sum(CASE WHEN hp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_phone,
+         |  CAST(sum(hp) AS BIGINT) AS n_phone
+         |FROM h GROUP BY source""".stripMargin,
+
+    // mirrors q164: DuckDB's 0-based dayofweek maps to Spark's 1-based
+    "q164_seasonality" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INTEGER) AS dow,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c)
+        |SELECT dow, hour, n,
+        |  round(CAST(n AS DOUBLE) / tt, 6) AS share
+        |FROM c CROSS JOIN t""".stripMargin,
+
     "q55_pii_redaction" ->
       s"""WITH pii AS (
          |  SELECT doc_id, text ||
@@ -4322,6 +4435,147 @@ object SparkEntry {
         |      (CAST(n AS DOUBLE) * least(ka - 1, kb - 1))), 6)
         |  END AS v
         |FROM f""".stripMargin,
+
+    // mirrors q161: q158's prediction chain, cells + both marginals
+    "q161_confusion_matrix" -> {
+      val scores = TextAnalysis.stopwords.map { case (lang, _) =>
+        s"len(list_filter(tk, x -> x IN (${stopList(lang)}))) AS s_$lang"
+      }.mkString(",\n  ")
+      val pickCases = TextAnalysis.stopwords.map { case (lang, _) =>
+        s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS tk
+         |  FROM documents WHERE lang IS NOT NULL),
+         |sc AS (SELECT lang, $scores FROM t),
+         |pr AS (SELECT lang,
+         |  greatest(s_en, s_de, s_es, s_fr, s_zh) AS best,
+         |  s_en, s_de, s_es, s_fr, s_zh FROM sc),
+         |base AS (SELECT CAST(lang AS VARCHAR) AS actual,
+         |  CASE $pickCases ELSE 'und' END AS predicted FROM pr),
+         |cells AS (
+         |  SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+         |  FROM base GROUP BY 1, 2),
+         |at AS (SELECT actual, CAST(sum(n) AS BIGINT) AS n_actual
+         |  FROM cells GROUP BY 1),
+         |pt AS (SELECT predicted, CAST(sum(n) AS BIGINT) AS n_predicted
+         |  FROM cells GROUP BY 1)
+         |SELECT c.actual, c.predicted, c.n, at.n_actual, pt.n_predicted,
+         |  round(CAST(c.n AS DOUBLE) / at.n_actual, 6) AS recall,
+         |  round(CAST(c.n AS DOUBLE) / pt.n_predicted, 6) AS precision
+         |FROM cells c JOIN at USING (actual)
+         |JOIN pt USING (predicted)""".stripMargin
+    },
+
+    // mirrors q162: per-lang doc/token sums, shares, cumulative in
+    // (token mass desc, lang) order
+    "q162_mixture_report" ->
+      """WITH g AS (
+        |  SELECT lang,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND text IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tt FROM g),
+        |c AS (SELECT lang, n_docs, n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, lang
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        |  FROM g)
+        |SELECT lang, n_docs, n_tokens,
+        |  round(CAST(n_docs AS DOUBLE) / td, 6) AS doc_share,
+        |  round(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share,
+        |  round(CAST(cum AS DOUBLE) / tt, 6) AS cum_token_share
+        |FROM c CROSS JOIN t""".stripMargin,
+
+    // mirrors q166: (count desc, value)-ranked cells, group totals
+    "q166_top_values" ->
+      """WITH cells AS (
+        |  SELECT lang, CAST(source AS VARCHAR) AS value,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, value, n,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY lang ORDER BY n DESC, value) AS INTEGER)
+        |      AS rank,
+        |    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS tot
+        |  FROM cells)
+        |SELECT lang, value, n, rank,
+        |  round(CAST(n AS DOUBLE) / tot, 6) AS share
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    // mirrors q167: q132's exact moment tree per lang
+    "q167_corr_per_group" ->
+      """WITH f AS (
+        |  SELECT lang, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS y
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |    AND text IS NOT NULL),
+        |m AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM f GROUP BY 1),
+        |v AS (SELECT *,
+        |  CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS vx,
+        |  CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vy
+        |  FROM m)
+        |SELECT lang, n,
+        |  CASE WHEN vx <= 0 OR vy <= 0 THEN NULL ELSE
+        |    round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / (sqrt(vx) * sqrt(vy)), 6) END AS r
+        |FROM v""".stripMargin,
+
+    // mirrors q168: exact cumulative counts over the value union, one
+    // quotient per value, order-independent max
+    "q168_ks_distance" ->
+      """WITH ha AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS ca
+        |  FROM documents
+        |  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL GROUP BY 1),
+        |hb AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cb
+        |  FROM documents
+        |  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(ha.v, hb.v) AS v,
+        |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM ha FULL JOIN hb ON ha.v = hb.v),
+        |c AS (SELECT v,
+        |  sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb FROM j
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |  CAST(sum(cb) AS BIGINT) AS n_b FROM j)
+        |SELECT n_a, n_b,
+        |  round(max(abs(CAST(cuma AS DOUBLE) / n_a
+        |    - CAST(cumb AS DOUBLE) / n_b)), 6) AS ks
+        |FROM c CROSS JOIN t GROUP BY n_a, n_b""".stripMargin,
+
+    // mirrors q163: floor(value/width) bins through doubles
+    "q163_length_histogram" ->
+      """SELECT lang,
+        |  CAST(floor(CAST(n_chars AS DOUBLE) / 100) AS BIGINT) * 100
+        |    AS bin_lo,
+        |  (CAST(floor(CAST(n_chars AS DOUBLE) / 100) AS BIGINT) + 1) * 100
+        |    AS bin_hi,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents
+        |WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // mirrors q158: q25's stopword scores + tie-break pick rebuild the
     // prediction; diagonal mass is an exact BIGINT; pe's Σ ra·cb folds

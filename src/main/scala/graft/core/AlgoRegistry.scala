@@ -483,6 +483,64 @@ object AlgoRegistry {
       df => graft.operators.TextAnalysis.zipfSlope(df,
         config.getString("text_column"),
         topK = config.getIntOpt("top_k").getOrElse(1000)))
+    // top-k values per group (mode report)
+    case "TopValues" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.topValuesPerGroup(df,
+        config.getString("group_column"), config.getString("value_column"),
+        k = config.getIntOpt("k").getOrElse(10)))
+    // per-group Pearson correlation of two integer columns
+    case "CorrPerGroup" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.corrPerGroup(df,
+        config.getString("group_column"), config.getString("x_column"),
+        config.getString("y_column")))
+    // KS distance between two samples of an integer column
+    case "KsDistance" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val other = fmt(config).read(spark, Map.empty, None,
+          config.getString("other_dir"))
+        graft.operators.Stats.ksDistance(df, other,
+          config.getString("value_column"))
+      })
+    // day-of-week x hour seasonality heat map
+    case "SeasonalityProfile" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.seasonalityProfile(df,
+        config.getString("ts_column")))
+    // per-group PII exposure report
+    case "PiiStats" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Redact.piiStats(df,
+        config.getString("group_column"), config.getString("text_column")))
+    // confusion matrix between actual and predicted categoricals
+    case "ConfusionMatrix" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.confusionMatrix(df,
+        config.getString("actual_column"),
+        config.getString("predicted_column"),
+        maxCells =
+          config.getIntOpt("max_cells").getOrElse(100000).toLong))
+    // corpus-mixture report (doc/token shares per group)
+    case "MixtureReport" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.mixtureReport(df,
+        config.getString("group_column"), config.getString("text_column")))
+    // per-group fixed-width histogram of a numeric column
+    case "GroupedHistogram" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.groupedHistogram(df,
+        config.getString("group_column"), config.getString("value_column"),
+        binWidth = config.getInt("bin_width").toLong))
     // Cohen's kappa agreement between two categorical columns
     case "CohenKappa" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

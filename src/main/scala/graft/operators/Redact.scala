@@ -58,6 +58,31 @@ object Redact {
     }
   }
 
+  /** Per-group PII exposure report: for each group, how many documents
+    * contain each PII category and the total match counts — the "is
+    * this feed PII-heavy enough to need scrubbing review" triage run
+    * BEFORE [[withRedactions]] rewrites anything. One row per group:
+    * (group, n_docs, docs_email, n_email, docs_ipv4, n_ipv4,
+    * docs_phone, n_phone). Null groups/texts are excluded.
+    *
+    * 100 TB shape: the same codegen'd regexp counts as
+    * [[withRedactions]], folded into ONE map-side-combinable agg —
+    * groups-sized output, single shuffle, text never moves.
+    */
+  def piiStats(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    def hits(pat: String): Column =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+    val cats = patterns.map { case (name, pat, _) => (name, hits(pat)) }
+    df.filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        cats.flatMap { case (name, h) => Seq(
+          sum(when(h > 0, 1L).otherwise(0L)).as(s"docs_$name"),
+          sum(h.cast("long")).as(s"n_$name"))
+        }: _*)
+  }
+
   def withRedactions(df: DataFrame, textCol: String): DataFrame =
     patterns.foldLeft(
       df.withColumn("red_text", redactText(col(textCol)))) {

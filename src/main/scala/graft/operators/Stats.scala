@@ -205,6 +205,52 @@ object Stats {
           .otherwise(abs(zE) >= zThreshold).as("is_burst"))
   }
 
+  /** Per-group fixed-width histogram of a numeric column — the
+    * length-distribution glance ("are zh docs short because the feed
+    * truncates") next to the quantile machinery (quantiles answer
+    * "where is the mass", the histogram shows the SHAPE). One row per
+    * observed (group, bin): (group, bin_lo, bin_hi, n); empty bins emit
+    * nothing. Bins are `floor(value / width)` through doubles — exact
+    * for |value| < 2^53 and identical floor semantics in both engines
+    * (integer `div` would truncate toward zero and disagree with SQL
+    * `//` on negatives). Null groups/values are excluded.
+    *
+    * 100 TB shape: one map-side-combinable (group, bin) count — output
+    * bounded by groups × occupied bins, never by row count.
+    */
+  def groupedHistogram(df: DataFrame, groupCol: String, valueCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    val bin = floor(col(valueCol).cast("double") / binWidth).cast("long")
+    df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol), bin.as("__bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(groupCol), (col("__bin") * binWidth).as("bin_lo"),
+        ((col("__bin") + 1) * binWidth).as("bin_hi"), col("n"))
+  }
+
+  /** Day-of-week × hour-of-day seasonality profile: the weekly heat-map
+    * behind capacity planning and anomaly thresholds ("is Monday 9am
+    * supposed to be 4× Sunday 3am") — [[volumeAnomalies]] flags days
+    * against a flat baseline; this is the structured baseline. One row
+    * per observed (dow, hour) cell with count and share of total; dow
+    * follows Spark's `dayofweek` (1 = Sunday … 7 = Saturday; the oracle
+    * maps DuckDB's 0-based form by +1). Null timestamps are excluded.
+    *
+    * 100 TB shape: one map-side-combinable cell count into ≤ 168 rows;
+    * the total re-aggregates that frame and broadcasts back.
+    */
+  def seasonalityProfile(df: DataFrame, tsCol: String): DataFrame = {
+    val cells = df.filter(col(tsCol).isNotNull)
+      .groupBy(dayofweek(col(tsCol)).as("dow"),
+        hour(col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum(col("n")).as("__t"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n"),
+        round(col("n").cast("double") / col("__t"), 6).as("share"))
+  }
+
   /** Per-group burstiness of daily volume: the Fano factor
     * (sample variance / mean of the group's daily counts) plus the
     * coefficient of variation — the dispersion summary next to
@@ -243,6 +289,114 @@ object Stats {
         .otherwise(round(varE / mean, 6)).as("fano"),
       when(col("k_days") === 1, lit(null).cast("double"))
         .otherwise(round(sqrt(varE) / mean, 6)).as("cv"))
+  }
+
+  /** Top-k values per group by row count — the mode report ("what are
+    * the dominant event types per source, the top domains per lang")
+    * with deterministic (count desc, value) ranking. One row per kept
+    * (group, value): (group, value, n, rank, share of the group's
+    * rows). Null groups/values are excluded.
+    *
+    * 100 TB shape: one map-side-combinable (group, value) cell count;
+    * the rank window and group totals run over the cell frame
+    * partitioned by group (WindowGroupLimit prunes to k per group
+    * before the final projection).
+    */
+  def topValuesPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("string").as("value"))
+      .agg(count(lit(1)).as("n"))
+    val perG = Window.partitionBy(col(groupCol))
+    val ranked = cells
+      .withColumn("rank", row_number().over(
+        perG.orderBy(col("n").desc, col("value"))))
+      .withColumn("__tot", sum(col("n")).over(perG))
+    ranked.filter(col("rank") <= k)
+      .select(col(groupCol), col("value"), col("n"), col("rank"),
+        round(col("n").cast("double") / col("__tot"), 6).as("share"))
+  }
+
+  /** Per-group Pearson correlation between two INTEGER-typed columns —
+    * [[corrPairs]] sliced by group ("does length track quality in en
+    * but not in zh"). One row per group: (group, n, r); r is null for
+    * zero-variance or single-row groups. Rows with a null in either
+    * column are excluded (per group, both columns see the same n).
+    *
+    * Exactness: per-group moments are exact BIGINT sums; r is the
+    * q132 fixed double tree, round(…, 6).
+    *
+    * 100 TB shape: ONE map-side-combinable aggregation into
+    * groups-sized rows; no window, no join.
+    */
+  def corrPerGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val m = df
+      .filter(col(groupCol).isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(xCol)).cast("long").as("__sx"),
+        sum(col(yCol)).cast("long").as("__sy"),
+        sum(col(xCol) * col(xCol)).cast("long").as("__sxx"),
+        sum(col(yCol) * col(yCol)).cast("long").as("__syy"),
+        sum(col(xCol) * col(yCol)).cast("long").as("__sxy"))
+    val nD = col("n").cast("double")
+    def sD(c: String) = col(c).cast("double")
+    val vx = nD * col("__sxx") - sD("__sx") * col("__sx")
+    val vy = nD * col("__syy") - sD("__sy") * col("__sy")
+    val cov = nD * col("__sxy") - sD("__sx") * col("__sy")
+    m.select(col(groupCol), col("n"),
+      when(vx <= 0 || vy <= 0, lit(null).cast("double"))
+        .otherwise(round(cov / (sqrt(vx) * sqrt(vy)), 6)).as("r"))
+  }
+
+  /** Kolmogorov–Smirnov distance between two samples of an
+    * integer-valued column: max |F_a(v) − F_b(v)| over the union of
+    * observed values — the single-number distribution-shift score next
+    * to [[numericDrift]]'s per-bin χ² table (bins need a width choice;
+    * KS does not). One output row: (n_a, n_b, ks). Null values are
+    * excluded; either side empty yields null ks.
+    *
+    * Determinism: both CDFs are exact BIGINT cumulative counts over
+    * the distinct-value frame divided once per value (single IEEE
+    * quotients); the max is order-independent. No float accumulation.
+    *
+    * 100 TB shape: each side collapses to a map-side-combinable value
+    * histogram; one full-outer join on the value domain, two cumulative
+    * windows over that bounded frame, one max.
+    */
+  def ksDistance(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def hist(df: DataFrame, cnt: String) = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as(cnt))
+    val joined = hist(a, "__ca").join(hist(b, "__cb"), Seq("__v"),
+        "full_outer")
+      .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    // the cumulative window runs over the distinct-VALUE frame (bounded
+    // by the value domain, never by row count)
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = joined
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+    val tot = joined.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("__cb")), lit(0L)).as("n_b"))
+    val diff = when(col("n_a") === 0 || col("n_b") === 0,
+      lit(null).cast("double"))
+      .otherwise(abs(col("__cuma").cast("double") / col("n_a") -
+        col("__cumb").cast("double") / col("n_b")))
+    cum.crossJoin(broadcast(tot))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(diff).as("__ks"))
+      .select(col("n_a"), col("n_b"), round(col("__ks"), 6).as("ks"))
   }
 
   /** Functional-dependency profile for a → b: for every a-value, how
@@ -340,6 +494,45 @@ object Stats {
         round(mi, 6).as("mi"),
         when(col("ka") === 1 || col("kb") === 1, lit(null).cast("double"))
           .otherwise(round(mi / sqrt(h("__fa") * h("__fb")), 6)).as("nmi"))
+  }
+
+  /** Confusion matrix between an actual and a predicted categorical
+    * column: per observed (actual, predicted) cell the count, both
+    * marginal totals, and the recall/precision shares — WHERE the
+    * disagreement [[cohenKappa]] summarizes actually lives ("zh is
+    * fine, the en↔fr confusion is the problem"). One row per observed
+    * cell; null-keyed rows are excluded.
+    *
+    * Exactness: counts are exact BIGINTs; recall = n/n_actual and
+    * precision = n/n_predicted are single IEEE quotients, round(…, 6).
+    *
+    * 100 TB shape: one map-side-combinable cell count bounded by
+    * `maxCells`; both marginals re-aggregate the cell frame and come
+    * back as broadcasts.
+    */
+  def confusionMatrix(df: DataFrame, actualCol: String, predCol: String,
+      maxCells: Long = 100000L): DataFrame = {
+    val cells = df
+      .filter(col(actualCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(actualCol).cast("string").as("actual"),
+        col(predCol).cast("string").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val nc = cells.count()
+    require(nc <= maxCells,
+      s"$actualCol x $predCol has $nc cells > $maxCells — " +
+        "not a bounded categorical pair")
+    val aTot = cells.groupBy(col("actual"))
+      .agg(sum(col("n")).as("n_actual"))
+    val pTot = cells.groupBy(col("predicted"))
+      .agg(sum(col("n")).as("n_predicted"))
+    cells
+      .join(broadcast(aTot), Seq("actual"))
+      .join(broadcast(pTot), Seq("predicted"))
+      .select(col("actual"), col("predicted"), col("n"),
+        col("n_actual"), col("n_predicted"),
+        round(col("n").cast("double") / col("n_actual"), 6).as("recall"),
+        round(col("n").cast("double") / col("n_predicted"), 6)
+          .as("precision"))
   }
 
   /** Cohen's κ agreement between two categorical columns — the

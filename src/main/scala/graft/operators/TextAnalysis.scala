@@ -521,6 +521,44 @@ object TextAnalysis {
         (covered.cast("double") / col("__n")).as("coverage"))
   }
 
+  /** Corpus-mixture report: per group the document and TOKEN counts,
+    * both shares, and the cumulative token share in descending
+    * token-mass order — "what is my pretraining mixture actually made
+    * of" in one table (doc counts lie when lengths differ by group;
+    * the token column is the one a budget planner reads). Ties in
+    * token mass order by group name for a deterministic cumulative.
+    *
+    * Exactness: counts and token sums are exact BIGINTs; shares and
+    * the cumulative are single IEEE quotients over them, round(…, 6).
+    *
+    * 100 TB shape: per-row token counts fold into one
+    * map-side-combinable agg (groups-sized output); totals re-aggregate
+    * that frame and broadcast back; the cumulative window runs over the
+    * GROUPS frame.
+    */
+  def mixtureReport(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs
+      .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val tot = g.agg(sum(col("n_docs")).as("__td"),
+      sum(col("n_tokens")).as("__tt"))
+    val w = Window.orderBy(col("n_tokens").desc, col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("__cum", sum(col("n_tokens")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("__g").as(groupCol), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("__td"), 6)
+          .as("doc_share"),
+        round(col("n_tokens").cast("double") / col("__tt"), 6)
+          .as("token_share"),
+        round(col("__cum").cast("double") / col("__tt"), 6)
+          .as("cum_token_share"))
+  }
+
   /** Zipf-slope fit over the top-`topK` term frequencies: the ordinary
     * least-squares slope of ln(freq) on ln(rank) — a healthy natural
     * corpus sits near −1; a flat slope means template spam, a cliff

@@ -618,6 +618,21 @@ class RedactSpec extends SparkSpec {
     out(1)._2 shouldBe "no pii in this one at all"
     (out(1)._3, out(1)._4, out(1)._5) shouldBe ((0, 0, 0))
   }
+
+  test("piiStats: per-group doc and match counts separate (one doc " +
+      "with two emails is one doc, two hits)") {
+    val df = Seq(
+      ("a", "x@y.io and z@w.io here"),          // 1 doc, 2 email hits
+      ("a", "call 555-123-4567"),
+      ("a", "clean"),
+      ("b", "host 10.0.0.1 and 10.0.0.2"))
+      .toDF("src", "text")
+    val out = Redact.piiStats(df, "src", "text")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    out("a") shouldBe (("a", 3L, 1L, 2L, 0L, 0L, 1L, 1L))
+    out("b") shouldBe (("b", 1L, 0L, 0L, 1L, 2L, 0L, 0L))
+  }
 }
 
 class QuantizeSpec extends SparkSpec {
@@ -1557,6 +1572,20 @@ class StatsSpec extends SparkSpec {
       .as[(Long, Long, Double)].head() shouldBe ((1L, 2L, 0.0))
   }
 
+  test("seasonalityProfile: cells keyed by Spark dayofweek (Sunday=1) " +
+      "and hour, shares sum the cells") {
+    // 2024-01-07 is a Sunday (dow 1), 2024-01-08 a Monday (dow 2)
+    val ev = Seq("2024-01-07 09:15:00", "2024-01-07 09:45:00",
+      "2024-01-08 23:05:00")
+      .toDF("dt").withColumn("ts", to_timestamp($"dt"))
+    val out = Stats.seasonalityProfile(ev, "ts")
+      .as[(Int, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    out shouldBe Map(
+      (1, 9) -> ((2L, math.rint(2.0 / 3 * 1e6) / 1e6)),
+      (2, 23) -> ((1L, math.rint(1.0 / 3 * 1e6) / 1e6)))
+  }
+
   test("rollingDailyVolume: trailing window spans observed days (a gap " +
       "shortens nothing), first-day pct_change is null") {
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
@@ -1592,6 +1621,80 @@ class StatsSpec extends SparkSpec {
     out("a") shouldBe (("a", 2L, 6L, 3.0, Some(r6(2.0 / 3)),
       Some(r6(math.sqrt(2.0) / 3))))
     out("b") shouldBe (("b", 1L, 1L, 1.0, None, None))
+  }
+
+  test("topValuesPerGroup: count-desc rank with value tie-break, k " +
+      "truncation, shares within the group") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val df = (Seq.fill(3)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq(("a", "z"), ("b", "only"))).toDF("g", "v")
+    val out = Stats.topValuesPerGroup(df, "g", "v", k = 2)
+      .as[(String, String, Long, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    out shouldBe Map(
+      ("a", "x") -> ((3L, 1, 0.5)),
+      ("a", "y") -> ((2L, 2, r6(2.0 / 6))),
+      ("b", "only") -> ((1L, 1, 1.0)))
+  }
+
+  test("corrPerGroup: perfect linear group scores 1, constant column " +
+      "nulls, single-row group nulls") {
+    val df = Seq(
+      ("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 6L),  // y = 2x
+      ("b", 1L, 5L), ("b", 2L, 5L),                 // constant y
+      ("c", 7L, 7L))                                // single row
+      .toDF("g", "x", "y")
+    val out = Stats.corrPerGroup(df, "g", "x", "y")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    out shouldBe Map("a" -> ((3L, Some(1.0))), "b" -> ((2L, None)),
+      "c" -> ((1L, None)))
+  }
+
+  test("ksDistance: hand-computed max CDF gap; identical samples " +
+      "score 0; empty side nulls out") {
+    val a = Seq(1L, 2L).toDF("v")
+    val b = Seq(2L, 3L).toDF("v")
+    Stats.ksDistance(a, b, "v")
+      .as[(Long, Long, Option[Double])].head() shouldBe
+      ((2L, 2L, Some(0.5)))
+    Stats.ksDistance(a, a, "v")
+      .as[(Long, Long, Option[Double])].head() shouldBe
+      ((2L, 2L, Some(0.0)))
+    Stats.ksDistance(a, a.limit(0), "v")
+      .as[(Long, Long, Option[Double])].head() shouldBe
+      ((2L, 0L, None))
+  }
+
+  test("confusionMatrix: observed cells with both marginals and " +
+      "recall/precision shares; null keys drop") {
+    val df = Seq(
+      ("en", "en"), ("en", "en"), ("en", "fr"),
+      ("fr", "fr"), ("fr", "en"))
+      .toDF("actual", "pred")
+    val out = Stats.confusionMatrix(df, "actual", "pred")
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    out.size shouldBe 4
+    // en declared 3x (2 right, 1 -> fr); en predicted 3x
+    out(("en", "en")) shouldBe (("en", "en", 2L, 3L, 3L,
+      math.rint(2.0 / 3 * 1e6) / 1e6, math.rint(2.0 / 3 * 1e6) / 1e6))
+    out(("fr", "en")) shouldBe (("fr", "en", 1L, 2L, 3L, 0.5,
+      math.rint(1.0 / 3 * 1e6) / 1e6))
+  }
+
+  test("groupedHistogram: floor bins, boundary values open a new bin, " +
+      "empty bins absent") {
+    val df = Seq(("a", 0L), ("a", 99L), ("a", 100L), ("a", 250L),
+      ("b", 5L)).toDF("g", "v")
+    val out = Stats.groupedHistogram(df, "g", "v", binWidth = 100)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    out shouldBe Map(
+      ("a", 0L) -> ((100L, 2L)),   // 0 and 99
+      ("a", 100L) -> ((200L, 1L)), // exactly 100 opens the next bin
+      ("a", 200L) -> ((300L, 1L)),
+      ("b", 0L) -> ((100L, 1L)))
   }
 
   test("cohenKappa: textbook 2x2 agreement, perfect agreement is 1, " +
@@ -2063,6 +2166,24 @@ class SessionStatsSpec extends SparkSpec {
     // durations sorted: 0, 10, 12; n=3. p=0.5 -> ceil(1.5)=2nd -> 10;
     // p=1.0 -> 3rd -> 12
     out shouldBe Array((0.5, 10L, 3L), (1.0, 12L, 3L))
+  }
+}
+
+class MixtureReportSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("mixtureReport: token-mass ordering drives the cumulative, " +
+      "shares are exact quotients, doc counts diverge from token mass") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // en: 2 docs x 1 token; zh: 1 doc x 6 tokens -> zh leads by tokens
+    val docs = Seq(("en", "one"), ("en", "two"),
+      ("zh", "a b c d e f")).toDF("lang", "text")
+    val out = TextAnalysis.mixtureReport(docs, "lang", "text")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    out("zh") shouldBe (("zh", 1L, 6L, r6(1.0 / 3), 0.75, 0.75))
+    out("en") shouldBe (("en", 2L, 2L, r6(2.0 / 3), 0.25, 1.0))
   }
 }
 
