@@ -246,6 +246,21 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
     }),
 
+    // behavioral: session-shape summary — sessions per user, bounce
+    // share, events per session in one row ("how many and how shallow"
+    // before q144's "how long")
+    "q171_session_summary" -> ((s, dir) => {
+      Sessionize.sessionSummary(t(s, dir, "events"), "user_id",
+        unix_millis(col("ts")), "event_id", gapMillis = 1800000L)
+    }),
+
+    // abuse QA: per-type distinct-user intensity — events per distinct
+    // user ("is purchase volume broad or three users deep")
+    "q172_distinct_intensity" -> ((s, dir) => {
+      Stats.distinctIntensity(t(s, dir, "events"), "event_type",
+        "user_id")
+    }),
+
     // tumbling-window agg (same transform powers the streaming path)
     "q18_windowed_counts" -> ((s, dir) => {
       EventStream.windowedCounts(t(s, dir, "events"), "5 minutes")
@@ -1413,6 +1428,28 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1), "n_chars")
     }),
 
+    // abuse QA: event-mass concentration across users — a Gini near 1
+    // says a handful of bots own the stream (q148's operator pointed at
+    // the behavioral table)
+    "q169_user_gini" -> ((s, dir) => {
+      Stats.giniConcentration(t(s, dir, "events"), "user_id")
+    }),
+
+    // behavioral: inter-event gap histogram per event type — whole-second
+    // gaps in 60s bins (the think-time SHAPE next to q126's quantiles)
+    "q170_gap_histogram" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .withColumn("__pts", lag(col("ts"), 1).over(w))
+        .filter(col("__pts").isNotNull)
+        .select(col("event_type"),
+          floor((unix_micros(col("ts")) - unix_micros(col("__pts")))
+            / 1000000).cast("long").as("gap_s"))
+      Stats.groupedHistogram(gaps, "event_type", "gap_s", binWidth = 60)
+    }),
+
     // text QA: Zipf-slope fit over the top-20 term frequencies — OLS of
     // ln(freq) on ln(rank); natural text sits near -1, template spam
     // flattens it (topK=20 < vocab so the truncation path is exercised)
@@ -2456,6 +2493,50 @@ object SparkEntry {
         |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions,
         | count(*) AS n_events
         |FROM s GROUP BY user_id""".stripMargin,
+
+    // mirrors q171: q17's session labeling, (user, session) sizes, one
+    // summary row of exact counts + three quotients
+    "q171_session_summary" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS tsm FROM events),
+        |l AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN lag(tsm) OVER w IS NULL THEN 1
+        |         WHEN tsm - lag(tsm) OVER w > 1800000 THEN 1 ELSE 0
+        |    END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM l),
+        |g AS (
+        |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM s GROUP BY 1, 2),
+        |a AS (
+        |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(count(*) AS BIGINT) AS n_sessions,
+        |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_bounce,
+        |    CAST(sum(n) AS BIGINT) AS ev
+        |  FROM g)
+        |SELECT n_users, n_sessions, n_bounce,
+        |  round(CAST(n_sessions AS DOUBLE) / n_users, 6)
+        |    AS sessions_per_user,
+        |  round(CAST(n_bounce AS DOUBLE) / n_sessions, 6) AS bounce_rate,
+        |  round(CAST(ev AS DOUBLE) / n_sessions, 6) AS events_per_session
+        |FROM a""".stripMargin,
+
+    // mirrors q172: exact distinct per group, one quotient
+    "q172_distinct_intensity" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+        |  round(CAST(count(*) AS DOUBLE) / count(DISTINCT user_id), 6)
+        |    AS rows_per_distinct
+        |FROM events
+        |WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     "q18_windowed_counts" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes',
@@ -4491,6 +4572,45 @@ object SparkEntry {
         |  round(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share,
         |  round(CAST(cum AS DOUBLE) / tt, 6) AS cum_token_share
         |FROM c CROSS JOIN t""".stripMargin,
+
+    // mirrors q169: q148's rank identity over per-user event counts
+    "q169_user_gini" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM s),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(x) AS BIGINT) AS tot,
+        |    CAST(sum(i * x) AS BIGINT) AS ix
+        |  FROM r)
+        |SELECT k AS n_groups, tot AS total_rows,
+        |  round(2.0 * ix / (CAST(k AS DOUBLE) * tot)
+        |    - CAST(k + 1 AS DOUBLE) / k, 6) AS gini
+        |FROM a""".stripMargin,
+
+    // mirrors q170: per-user lag gaps floored to whole seconds (q144's
+    // floor-not-CAST rule), then q163's floor bins at 60s width
+    "q170_gap_histogram" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(floor(CAST(tsu - pts AS DOUBLE) / 1000000) AS BIGINT)
+        |      AS gap_s
+        |  FROM e WHERE pts IS NOT NULL)
+        |SELECT event_type,
+        |  CAST(floor(CAST(gap_s AS DOUBLE) / 60) AS BIGINT) * 60
+        |    AS bin_lo,
+        |  (CAST(floor(CAST(gap_s AS DOUBLE) / 60) AS BIGINT) + 1) * 60
+        |    AS bin_hi,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM g GROUP BY 1, 2, 3""".stripMargin,
 
     // mirrors q166: (count desc, value)-ranked cells, group totals
     "q166_top_values" ->

@@ -483,6 +483,22 @@ object AlgoRegistry {
       df => graft.operators.TextAnalysis.zipfSlope(df,
         config.getString("text_column"),
         topK = config.getIntOpt("top_k").getOrElse(1000)))
+    // session-shape summary (bounce rate, sessions per user)
+    case "SessionSummary" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sessionize.sessionSummary(df,
+        config.getString("key_column"),
+        org.apache.spark.sql.functions.unix_millis(
+          org.apache.spark.sql.functions.col(config.getString("ts_column"))),
+        config.getString("order_column"),
+        gapMillis = config.getInt("gap_millis").toLong))
+    // per-group distinct-entity intensity (exact countDistinct)
+    case "DistinctIntensity" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.distinctIntensity(df,
+        config.getString("group_column"), config.getString("id_column")))
     // top-k values per group (mode report)
     case "TopValues" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

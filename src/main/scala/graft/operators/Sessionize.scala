@@ -25,6 +25,42 @@ object Sessionize {
       .drop("__ts", "__new_session")
   }
 
+  /** Session-shape summary: sessionize, then one row of engagement
+    * facts — session count, sessions per active user, the single-event
+    * ("bounce") session share, and mean events per session — the
+    * numbers an engagement review reads BEFORE the duration quantiles
+    * ([[sessionStats]] answers "how long", this answers "how many and
+    * how shallow"). One output row:
+    * (n_users, n_sessions, n_bounce, sessions_per_user, bounce_rate,
+    * events_per_session).
+    *
+    * Exactness: all counts are exact BIGINTs; the three ratios are
+    * single IEEE quotients, round(…, 6).
+    *
+    * 100 TB shape: the sessionize window is the one key-partitioned
+    * shuffle; (key, session) sizes collapse map-side; the summary is
+    * one more map-side-combinable agg over the sessions frame.
+    */
+  def sessionSummary(events: DataFrame, keyCol: String, tsMillis: Column,
+      orderCol: String, gapMillis: Long): DataFrame = {
+    val sessions = apply(events, keyCol, tsMillis, orderCol, gapMillis)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(count(lit(1)).as("__n"))
+    sessions.agg(
+        countDistinct(col(keyCol)).as("n_users"),
+        count(lit(1)).as("n_sessions"),
+        coalesce(sum(when(col("__n") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_bounce"),
+        coalesce(sum(col("__n")), lit(0L)).as("__events"))
+      .select(col("n_users"), col("n_sessions"), col("n_bounce"),
+        round(col("n_sessions").cast("double") / col("n_users"), 6)
+          .as("sessions_per_user"),
+        round(col("n_bounce").cast("double") / col("n_sessions"), 6)
+          .as("bounce_rate"),
+        round(col("__events").cast("double") / col("n_sessions"), 6)
+          .as("events_per_session"))
+  }
+
   /** Session-duration distribution summary: sessionize, reduce each
     * (key, session) to its whole-second duration
     * (floor((max−min)/1e6) of the µs clock — floor, not cast, so the

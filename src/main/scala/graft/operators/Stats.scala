@@ -291,6 +291,30 @@ object Stats {
         .otherwise(round(sqrt(varE) / mean, 6)).as("cv"))
   }
 
+  /** Per-group distinct-entity intensity: row count, exact distinct
+    * count of `idCol`, and rows per distinct — "is purchase volume
+    * broad or three users deep", the abuse-triage companion to
+    * [[giniConcentration]] (Gini says HOW concentrated the whole
+    * stream is; this says WHERE). One row per group. Null groups/ids
+    * are excluded.
+    *
+    * 100 TB shape: exact countDistinct expands to a two-phase
+    * aggregation on (group, id) — map-side combinable into the
+    * distinct-pair frame, then a groups-sized re-aggregation; the
+    * sketch path ([[DistinctSketch.kmvDistinct]]) is the documented
+    * alternative when ±2% beats the second shuffle.
+    */
+  def distinctIntensity(df: DataFrame, groupCol: String,
+      idCol: String): DataFrame = {
+    df.filter(col(groupCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(idCol)).as("n_distinct"))
+      .select(col(groupCol), col("n_rows"), col("n_distinct"),
+        round(col("n_rows").cast("double") / col("n_distinct"), 6)
+          .as("rows_per_distinct"))
+  }
+
   /** Top-k values per group by row count — the mode report ("what are
     * the dominant event types per source, the top domains per lang")
     * with deterministic (count desc, value) ranking. One row per kept

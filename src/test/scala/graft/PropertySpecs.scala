@@ -269,3 +269,91 @@ class ChunkingProperties extends SparkSpec {
       .foreach { case (_, c) => c shouldBe 1.0 }
   }
 }
+
+/** Property-style invariants for the round-9 profiling operators:
+  * randomized inputs must respect the mathematical bounds the operators
+  * advertise (|r| ≤ 1, KS ∈ [0, 1], κ ≤ 1, top-k never exceeds k and
+  * shares sum to ≤ 1 within a group, MI ≥ −ε and ≤ min(H) + ε).
+  */
+class ProfilingProperties extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Stats
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("corrPerGroup stays within [-1, 1] for arbitrary integer data") {
+    val rows = samples(for {
+      g <- Gen.oneOf("a", "b", "c")
+      x <- Gen.choose(-50L, 50L)
+      y <- Gen.choose(-50L, 50L)
+    } yield (g, x, y), 300)
+    val out = Stats.corrPerGroup(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .as[(String, Long, Option[Double])].collect()
+    out.flatMap(_._3).foreach { r =>
+      r should be >= -1.0; r should be <= 1.0
+    }
+  }
+
+  test("ksDistance lies in [0, 1], is 0 on identical frames, and is " +
+      "symmetric for arbitrary samples") {
+    val va = samples(Gen.choose(0L, 30L), 200)
+    val vb = samples(Gen.choose(10L, 40L), 150)
+    val (a, b) = (va.toDF("v"), vb.toDF("v"))
+    val ab = Stats.ksDistance(a, b, "v")
+      .as[(Long, Long, Option[Double])].head()
+    val ba = Stats.ksDistance(b, a, "v")
+      .as[(Long, Long, Option[Double])].head()
+    ab._3.get should be >= 0.0
+    ab._3.get should be <= 1.0
+    ab._3 shouldBe ba._3
+    Stats.ksDistance(a, a, "v")
+      .as[(Long, Long, Option[Double])].head()._3 shouldBe Some(0.0)
+  }
+
+  test("mutualInformation: 0 <= mi <= min(h_a, h_b) + eps and nmi in " +
+      "[0, 1] for arbitrary categorical pairs") {
+    val rows = samples(for {
+      a <- Gen.oneOf("p", "q", "r", "s")
+      b <- Gen.oneOf("x", "y", "z")
+    } yield (a, b), 250)
+    val (_, _, _, ha, hb, _, mi, nmi) =
+      Stats.mutualInformation(rows.toDF("a", "b"), "a", "b")
+        .as[(Long, Long, Long, Double, Double, Double, Double,
+          Option[Double])].head()
+    val eps = 1e-9
+    mi should be >= -eps
+    mi should be <= math.min(ha, hb) + eps
+    nmi.foreach { v => v should be >= -eps; v should be <= 1.0 + eps }
+  }
+
+  test("cohenKappa <= 1 always, and po/pe are proper probabilities") {
+    val rows = samples(for {
+      a <- Gen.oneOf("u", "v", "w")
+      b <- Gen.oneOf("u", "v", "w")
+    } yield (a, b), 250)
+    val (_, _, po, pe, k) =
+      Stats.cohenKappa(rows.toDF("a", "b"), "a", "b")
+        .as[(Long, Long, Double, Double, Option[Double])].head()
+    po should be >= 0.0; po should be <= 1.0
+    pe should be >= 0.0; pe should be <= 1.0
+    k.foreach(_ should be <= 1.0)
+  }
+
+  test("topValuesPerGroup: never more than k rows per group, ranks are " +
+      "1..k dense, kept shares sum to <= 1 per group") {
+    val rows = samples(for {
+      g <- Gen.oneOf("g1", "g2")
+      v <- Gen.oneOf("a", "b", "c", "d", "e", "f")
+    } yield (g, v), 300)
+    val out = Stats.topValuesPerGroup(rows.toDF("g", "v"), "g", "v", k = 3)
+      .as[(String, String, Long, Int, Double)].collect()
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      rs.length should be <= 3
+      rs.map(_._4).sorted shouldBe (1 to rs.length)
+      rs.map(_._5).sum should be <= 1.0 + 1e-9
+    }
+  }
+}

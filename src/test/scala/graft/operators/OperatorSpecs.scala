@@ -2223,6 +2223,32 @@ class ZipfSlopeSpec extends SparkSpec {
   }
 }
 
+class SessionSummarySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{Sessionize, Stats}
+
+  test("sessionSummary: bounce and depth ratios from hand-built " +
+      "sessions") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // user 1: (0, 500) one session of 2, then 5000 alone; user 2: alone
+    val ev = Seq((1L, 1L, 0L), (1L, 2L, 500L), (1L, 3L, 5000L),
+      (2L, 4L, 0L)).toDF("uid", "eid", "tsm")
+    val out = Sessionize.sessionSummary(ev, "uid", $"tsm", "eid",
+        gapMillis = 1000L)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    out shouldBe ((2L, 3L, 2L, 1.5, r6(2.0 / 3), r6(4.0 / 3)))
+  }
+
+  test("distinctIntensity: exact distinct per group, nulls excluded") {
+    val ev = Seq(("a", Some(1L)), ("a", Some(1L)), ("a", Some(2L)),
+      ("b", Some(9L)), ("b", None)).toDF("t", "u")
+    val out = Stats.distinctIntensity(ev, "t", "u")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    out("a") shouldBe (("a", 3L, 2L, 1.5))
+    out("b") shouldBe (("b", 1L, 1L, 1.0))
+  }
+}
+
 class CharsetProfileSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.TextAnalysis
