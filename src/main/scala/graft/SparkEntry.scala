@@ -261,6 +261,21 @@ object SparkEntry {
         "user_id")
     }),
 
+    // profiling: robust per-lang length scale — median + MAD via two
+    // histogram-quantile passes (a 100k-char outlier can't inflate it)
+    "q173_mad_per_group" -> ((s, dir) => {
+      Sampling.madPerGroup(t(s, dir, "documents"), "lang", "n_chars")
+    }),
+
+    // profiling: length-decile calibration — mean token count per
+    // n_chars decile ("does char length actually track token count")
+    "q174_score_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("n_chars"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.scoreBucketsReport(docs, "n_chars", "n_tokens",
+        nBuckets = 10)
+    }),
+
     // tumbling-window agg (same transform powers the streaming path)
     "q18_windowed_counts" -> ((s, dir) => {
       EventStream.windowedCounts(t(s, dir, "events"), "5 minutes")
@@ -4572,6 +4587,68 @@ object SparkEntry {
         |  round(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share,
         |  round(CAST(cum AS DOUBLE) / tt, 6) AS cum_token_share
         |FROM c CROSS JOIN t""".stripMargin,
+
+    // mirrors q174: type-1 decile thresholds from the cumulated score
+    // histogram, bucket = 1 + count of thresholds strictly below
+    "q174_score_buckets" ->
+      """WITH d AS (
+        |  SELECT n_chars AS s,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS m
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |h AS (SELECT s, count(*) AS c FROM d GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |cum AS (
+        |  SELECT s, n, sum(c) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |  FROM h CROSS JOIN t),
+        |th AS (
+        |  SELECT p, min(s) AS q
+        |  FROM cum CROSS JOIN (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5,
+        |    0.6, 0.7, 0.8, 0.9]) AS p)
+        |  WHERE cm >= ceil(p * n) GROUP BY p),
+        |b AS (
+        |  SELECT d.s, d.m,
+        |    1 + (SELECT CAST(count(*) AS INTEGER) FROM th
+        |         WHERE d.s > th.q) AS bucket
+        |  FROM d)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(s) AS score_min, max(s) AS score_max,
+        |  round(CAST(sum(m) AS DOUBLE) / count(*), 6) AS mean_stat
+        |FROM b GROUP BY bucket""".stripMargin,
+
+    // mirrors q173: q101's type-1 rule twice, the median frame joined
+    // back for the deviation histogram
+    "q173_mad_per_group" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |h AS (SELECT lang, n_chars, count(*) AS c FROM d GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY 1),
+        |cum AS (
+        |  SELECT h.lang, n_chars, n,
+        |    sum(c) OVER (PARTITION BY h.lang ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |  FROM h JOIN t USING (lang)),
+        |med AS (
+        |  SELECT lang, min(n_chars) AS median, CAST(min(n) AS BIGINT) AS n
+        |  FROM cum WHERE cm >= ceil(0.5 * n) GROUP BY lang),
+        |dev AS (
+        |  SELECT d.lang, abs(d.n_chars - med.median) AS dv
+        |  FROM d JOIN med USING (lang)),
+        |h2 AS (SELECT lang, dv, count(*) AS c FROM dev GROUP BY 1, 2),
+        |cum2 AS (
+        |  SELECT h2.lang, dv, med.n,
+        |    sum(c) OVER (PARTITION BY h2.lang ORDER BY dv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |  FROM h2 JOIN med USING (lang)),
+        |mad AS (
+        |  SELECT lang, min(dv) AS mad FROM cum2
+        |  WHERE cm >= ceil(0.5 * n) GROUP BY lang)
+        |SELECT med.lang, med.n, med.median, mad.mad
+        |FROM med JOIN mad USING (lang)""".stripMargin,
 
     // mirrors q169: q148's rank identity over per-user event counts
     "q169_user_gini" ->

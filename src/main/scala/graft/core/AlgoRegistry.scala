@@ -748,6 +748,19 @@ object AlgoRegistry {
       df => graft.operators.Sampling.weightedQuantilesPerGroup(df,
         config.getString("group_column"), config.getString("score_column"),
         config.getString("weight_column"), config.getSeq[Double]("ps")))
+    // equi-depth score-bucket calibration report
+    case "ScoreBuckets" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.scoreBucketsReport(df,
+        config.getString("score_column"), config.getString("stat_column"),
+        nBuckets = config.getIntOpt("n_buckets").getOrElse(10)))
+    // robust per-group scale: median + MAD (type-1 quantiles)
+    case "MadPerGroup" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.madPerGroup(df,
+        config.getString("group_column"), config.getString("score_column")))
     // cross-group score calibration onto the global quantile scale
     case "QuantileNormalize" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

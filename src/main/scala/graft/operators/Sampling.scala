@@ -414,6 +414,75 @@ object Sampling {
     quantilesPerGroup(df, groupCol, scoreCol, Seq(p))
       .select(col(groupCol), col("quantile"), col("n"))
 
+  /** Median absolute deviation per group — the robust scale estimate
+    * (median of |x − median|) that a corpus's heavy length tails can't
+    * inflate the way they inflate a standard deviation ("zh docs are
+    * 300 ± 40 chars" stated so one 100k-char outlier doesn't move it).
+    * One row per group: (group, n, median, mad), both statistics the
+    * exact type-1 quantile rule. Null groups/scores are excluded (so
+    * `n` counts exactly the scored rows).
+    *
+    * 100 TB shape: two passes of [[quantilePerGroup]]'s histogram
+    * machinery (windows over distinct values per group, never rows)
+    * with the groups-sized median frame broadcast between them — the
+    * deviation column never shuffles raw rows beyond the histogram
+    * aggregation.
+    */
+  def madPerGroup(df: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val clean = df.filter(col(s"`$groupCol`").isNotNull &&
+      col(s"`$scoreCol`").isNotNull)
+    val med = quantilePerGroup(clean, groupCol, scoreCol, 0.5)
+      .select(col(groupCol), col("quantile").as("median"), col("n"))
+    val dev = clean.join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol),
+        abs(col(s"`$scoreCol`") - col("median")).as("__dev"))
+    val mad = quantilePerGroup(dev, groupCol, "__dev", 0.5)
+      .select(col(groupCol), col("quantile").as("mad"))
+    med.join(broadcast(mad), Seq(groupCol))
+      .select(col(groupCol), col("n"), col("median"), col("mad"))
+  }
+
+  /** Equi-depth score-bucket calibration report: split the corpus into
+    * `nBuckets` quantile buckets of `scoreCol` and report, per bucket,
+    * the row count, score range, and the exact mean of `statCol` — the
+    * lift/calibration table behind "does the quality score actually
+    * track token count" (a monotone mean column says yes; a flat one
+    * says the score is noise). Bucket membership is deterministic:
+    * bucket = 1 + (count of type-1 decile thresholds STRICTLY below the
+    * score), so ties collapse into the lower bucket and repeated
+    * thresholds (a score with few distinct values) skip bucket numbers
+    * rather than splitting ties arbitrarily. Null scores/stats are
+    * excluded. `statCol` must be integer-typed (exact BIGINT sums).
+    *
+    * 100 TB shape: thresholds ride [[quantilesPerGroup]]'s histogram
+    * machinery into ONE array row broadcast back; bucket assignment is
+    * a narrow per-row array fold; the report is one map-side-combinable
+    * agg into ≤ nBuckets rows.
+    */
+  def scoreBucketsReport(df: DataFrame, scoreCol: String, statCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be at least 2: $nBuckets")
+    val clean = df.filter(col(s"`$scoreCol`").isNotNull &&
+      col(s"`$statCol`").isNotNull)
+    val ks = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val th = quantilesPerGroup(clean.withColumn("__g", lit("all")),
+        "__g", scoreCol, ks)
+      .agg(sort_array(collect_list(struct(col("p"),
+        col("quantile").as("__q")))).as("__th"))
+    clean.crossJoin(broadcast(th))
+      .withColumn("bucket", lit(1) + aggregate(col("__th"), lit(0),
+        (acc, s) => acc +
+          when(col(s"`$scoreCol`") > s.getField("__q"), 1).otherwise(0)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(s"`$scoreCol`")).as("score_min"),
+        max(col(s"`$scoreCol`")).as("score_max"),
+        sum(col(s"`$statCol`")).cast("long").as("__sum"))
+      .select(col("bucket"), col("n"), col("score_min"), col("score_max"),
+        round(col("__sum").cast("double") / col("n"), 6).as("mean_stat"))
+  }
+
   /** [[quantilePerGroup]] for a whole quantile SUMMARY in one histogram
     * pass: one output row per (group, p). The histogram and its
     * cumulative window are computed ONCE; the p fan-out explodes the

@@ -433,6 +433,34 @@ class SamplingSpec extends SparkSpec {
     out.queryExecution.executedPlan.toString should not include "Exchange"
   }
 
+  test("madPerGroup: a huge outlier moves neither median nor MAD; " +
+      "single-value group reports mad 0") {
+    val df = (Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 100L)) ++
+      Seq(("b", 5L))).toDF("g", "v")
+    val out = Sampling.madPerGroup(df, "g", "v")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // a: n=4, type-1 median = 2nd of (1,2,3,100) = 2;
+    // devs (1,0,1,98) sorted -> 2nd = 1
+    out("a") shouldBe (("a", 4L, 2L, 1L))
+    out("b") shouldBe (("b", 1L, 5L, 0L))
+  }
+
+  test("scoreBucketsReport: deterministic decile membership (ties fall " +
+      "low), exact means per bucket, constant score collapses to one " +
+      "bucket") {
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("s", "m")
+    val out = Sampling.scoreBucketsReport(df, "s", "m", nBuckets = 2)
+      .as[(Int, Long, Long, Long, Double)].collect().sortBy(_._1)
+    // threshold q(0.5) = 2: scores <= 2 land in bucket 1
+    out shouldBe Array((1, 2L, 1L, 2L, 15.0), (2, 2L, 3L, 4L, 35.0))
+    val const = Seq((7L, 1L), (7L, 2L), (7L, 3L), (7L, 4L))
+      .toDF("s", "m")
+    Sampling.scoreBucketsReport(const, "s", "m", nBuckets = 4)
+      .as[(Int, Long, Long, Long, Double)].collect() shouldBe
+      Array((1, 4L, 7L, 7L, 2.5))
+  }
+
   test("winsorizePerGroup: clamps into the exact per-group quantile " +
       "band, row count preserved, broadcast bounds") {
     // group g: 1..20 -> p05 quantile = 1 (ceil(0.05*20)=1st), p95 = 19
