@@ -1450,6 +1450,12 @@ object SparkEntry {
       Stats.giniConcentration(t(s, dir, "events"), "user_id")
     }),
 
+    // abuse QA: the Lorenz curve behind q169's Gini — cumulative user
+    // and event shares per distinct activity level
+    "q175_lorenz_curve" -> ((s, dir) => {
+      Stats.lorenzCurve(t(s, dir, "events"), "user_id")
+    }),
+
     // behavioral: inter-event gap histogram per event type — whole-second
     // gaps in 60s bins (the think-time SHAPE next to q126's quantiles)
     "q170_gap_histogram" -> ((s, dir) => {
@@ -4649,6 +4655,29 @@ object SparkEntry {
         |  WHERE cm >= ceil(0.5 * n) GROUP BY lang)
         |SELECT med.lang, med.n, med.median, mad.mad
         |FROM med JOIN mad USING (lang)""".stripMargin,
+
+    // mirrors q175: activity histogram, exact cumulatives, one quotient
+    // per vertex
+    "q175_lorenz_curve" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |h AS (
+        |  SELECT n AS activity, CAST(count(*) AS BIGINT) AS n_entities
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_entities) AS BIGINT) AS te,
+        |  CAST(sum(activity * n_entities) AS BIGINT) AS tv FROM h),
+        |cum AS (
+        |  SELECT activity, n_entities,
+        |    CAST(sum(n_entities) OVER w AS BIGINT) AS cume,
+        |    CAST(sum(activity * n_entities) OVER w AS BIGINT) AS cumv
+        |  FROM h
+        |  WINDOW w AS (ORDER BY activity
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT activity, n_entities,
+        |  round(CAST(cume AS DOUBLE) / te, 6) AS cum_entity_share,
+        |  round(CAST(cumv AS DOUBLE) / tv, 6) AS cum_event_share
+        |FROM cum CROSS JOIN t""".stripMargin,
 
     // mirrors q169: q148's rank identity over per-user event counts
     "q169_user_gini" ->

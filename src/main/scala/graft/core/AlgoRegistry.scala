@@ -573,6 +573,12 @@ object AlgoRegistry {
         config.getString("a_column"), config.getString("b_column"),
         maxCells =
           config.getIntOpt("max_cells").getOrElse(100000).toLong))
+    // Lorenz-curve vertices of row mass across entities
+    case "LorenzCurve" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.lorenzCurve(df,
+        config.getString("entity_column")))
     // group-mass concentration: Gini of row counts across groups
     case "GiniConcentration" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -1623,6 +1623,18 @@ class StatsSpec extends SparkSpec {
     out("b") shouldBe (("b", 1L, 1L, 1.0, None, None))
   }
 
+  test("lorenzCurve: vertices from the activity histogram — the bottom " +
+      "half of users carries a quarter of the events") {
+    // users: two with 1 event, one with 2, one with 4
+    val ev = Seq(1L, 2L, 3L, 3L, 4L, 4L, 4L, 4L).toDF("uid")
+    val out = Stats.lorenzCurve(ev, "uid")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    out shouldBe Array(
+      (1L, 2L, 0.5, 0.25),
+      (2L, 1L, 0.75, 0.5),
+      (4L, 1L, 1.0, 1.0))
+  }
+
   test("topValuesPerGroup: count-desc rank with value tie-break, k " +
       "truncation, shares within the group") {
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
