@@ -1570,6 +1570,13 @@ object SparkEntry {
       Stats.rollingDailyVolume(t(s, dir, "events"), "ts", window = 7)
     }),
 
+    // data QA: column-profile report — null rates + exact distinct
+    // counts per column, the first table of any data review
+    "q176_column_profile" -> ((s, dir) => {
+      graft.operators.Checks.columnProfile(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))
+    }),
+
     // data QA: doc/embedding key reconciliation — the embeddings side is
     // deterministically mangled (every 10th id dropped, every 25th
     // re-landed shifted) so both orphan directions are exercised
@@ -4216,6 +4223,21 @@ object SparkEntry {
         |  round(min(nrm), 6) AS min_norm,
         |  round(max(nrm), 6) AS max_norm
         |FROM e GROUP BY label""".stripMargin,
+
+    // mirrors q176: one UNION ALL branch per profiled column
+    "q176_column_profile" -> {
+      val branch = (c: String) =>
+        s"""SELECT '$c' AS column, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CASE WHEN count(*) = 0 THEN NULL
+           |    ELSE round(CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0
+           |      END) AS DOUBLE) / count(*), 6) END AS null_rate
+           |FROM documents""".stripMargin
+      Seq("doc_id", "lang", "source", "n_chars").map(branch)
+        .mkString("", "\nUNION ALL\n", "")
+    },
 
     // mirrors q156: distinct keys per side (same mangle fixture), one
     // full join, conditional counts

@@ -446,6 +446,12 @@ object AlgoRegistry {
           ref, config.getString("reference_text_column"),
           n = config.getIntOpt("ngram_size").getOrElse(3))
       })
+    // column-profile report (null rates + exact distinct counts)
+    case "ColumnProfile" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Checks.columnProfile(df,
+        config.getSeq[String]("columns")))
     // symmetric key reconciliation between two tables
     case "KeyReconciliation" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

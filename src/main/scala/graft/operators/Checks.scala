@@ -71,6 +71,35 @@ object Checks {
   def referential(c: String, dim: DataFrame, dimCol: String): Check =
     Check(s"referential($c)", ref = Some((dim, c, dimCol)))
 
+  /** Column-profile report — the first thing a data review opens: per
+    * column the row count, null count and rate, and the exact distinct
+    * count ("source has 4 values, lang is 3% null, doc_id is unique").
+    * One row per profiled column:
+    * (column, n, n_null, n_distinct, null_rate); null_rate is null on
+    * an empty frame.
+    *
+    * 100 TB shape: ONE aggregation statement (null counts are map-side
+    * combinable; each exact countDistinct expands to Spark's standard
+    * two-phase distinct aggregation) — profile cost scales with the
+    * scan plus one distinct pass per column, and the row fan-out
+    * happens on the single result row.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    require(cols.distinct == cols, s"duplicate columns: $cols")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(s"`$c`").isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+      countDistinct(col(s"`$c`")).as(s"__nd_$c")))
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = cols.map(c => struct(lit(c).as("column"),
+      col("__n").as("n"), col(s"`__null_$c`").as("n_null"),
+      col(s"`__nd_$c`").as("n_distinct")))
+    one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+      .withColumn("null_rate",
+        when(col("n") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_null").cast("double") / col("n"), 6)))
+  }
+
   /** Symmetric key reconciliation between two tables — the
     * referential-integrity REPORT next to [[referential]]'s one-sided
     * pass/fail rule: how many distinct keys each side holds, how many

@@ -60,6 +60,19 @@ class ChecksSpec extends SparkSpec {
     scans shouldBe 1
   }
 
+  test("columnProfile: one row per column with null counts and exact " +
+      "distincts from a single pass") {
+    val df = Seq(
+      (Some(1L), Some("en")), (Some(2L), Some("en")),
+      (Some(2L), None), (None, Some("fr")))
+      .toDF("id", "lang")
+    val out = Checks.columnProfile(df, Seq("id", "lang"))
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    out("id") shouldBe (("id", 4L, 1L, 2L, Some(0.25)))
+    out("lang") shouldBe (("lang", 4L, 1L, 2L, Some(0.25)))
+  }
+
   test("keyReconciliation: distinct keys per side, shared and orphan " +
       "counts in both directions, null keys excluded") {
     val left = Seq(Some(1L), Some(2L), Some(2L), Some(3L), None)
