@@ -1284,6 +1284,13 @@ object SparkEntry {
         "event_type", "ts", Seq("view", "click", "purchase"))
     }),
 
+    // analytics: funnel completion latency — p50/p90 whole-second
+    // first-view -> purchase time over completing users
+    "q177_funnel_latency" -> ((s, dir) => {
+      Funnel.stepLatency(t(s, dir, "events"), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"), ps = Seq(0.5, 0.9))
+    }),
+
     "q105_funnel" -> ((s, dir) => {
       Funnel.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
           Seq("view", "click", "purchase"))
@@ -3782,6 +3789,40 @@ object SparkEntry {
     // mirrors q105: the same greedy chained-min construction — every ts
     // compared at microsecond precision (CAST truncates the ns parquet
     // type exactly like the Spark loader)
+    // mirrors q177: q105's greedy funnel chain, floored whole-second
+    // latency for completers, q101's type-1 histogram quantiles
+    "q177_funnel_latency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |  GROUP BY e.user_id),
+        |lat AS (
+        |  SELECT CAST(floor(CAST(epoch_us(t3) - epoch_us(s1.t1)
+        |    AS DOUBLE) / 1000000) AS BIGINT) AS latency_s
+        |  FROM s3 JOIN s1 USING (user_id)),
+        |h AS (SELECT latency_s, count(*) AS c FROM lat GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lat),
+        |cum AS (
+        |  SELECT latency_s, n, sum(c) OVER (ORDER BY latency_s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |  FROM h CROSS JOIN t)
+        |SELECT p, min(latency_s) AS latency_s,
+        |  CAST(min(n) AS BIGINT) AS n_users
+        |FROM cum CROSS JOIN (SELECT unnest([0.5, 0.9]) AS p)
+        |WHERE cm >= ceil(p * n) GROUP BY p""".stripMargin,
+
     // mirrors q160: q105's greedy funnel chain, n_completed histogram,
     // reached = Σ c over n_completed >= step, rates as exact quotients
     "q160_conversion_curve" ->

@@ -351,6 +351,14 @@ object AlgoRegistry {
         config.getString("ts_column"), config.getString("tie_column"),
         n = config.getIntOpt("n").getOrElse(3),
         k = config.getIntOpt("k").getOrElse(10)))
+    // funnel completion-latency quantiles
+    case "StepLatency" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Funnel.stepLatency(df,
+        config.getString("user_column"), config.getString("type_column"),
+        config.getString("ts_column"), config.getSeq[String]("steps"),
+        ps = config.getSeq[Double]("ps")))
     // funnel drop-off curve (per-step reach + conversion rates)
     case "ConversionCurve" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

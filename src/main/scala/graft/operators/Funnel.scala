@@ -195,6 +195,34 @@ object Funnel {
           .as("rate_vs_prev"))
   }
 
+  /** Funnel completion latency: for users who complete the whole
+    * funnel, the exact type-1 quantiles of first-step → last-step
+    * elapsed time in whole seconds — "a user who buys does it within
+    * 40 minutes of the first view, p90 within 3 hours" ([[funnel]]
+    * finds who converts, [[conversionCurve]] how many, this how fast).
+    * Durations floor to whole seconds (the q144 floor-not-CAST rule).
+    * One row per requested p: (p, latency_s, n_users).
+    *
+    * 100 TB shape: [[funnel]]'s per-step min-aggregations, a narrow
+    * completion filter, then the histogram quantile machinery — the
+    * final window sees distinct whole-second latencies, never users.
+    */
+  def stepLatency(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String],
+      ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    require(steps.size >= 2, s"need at least two steps: $steps")
+    val f = funnel(events, userCol, typeCol, tsCol, steps)
+    val last = s"step_ts_${steps.size}"
+    val lat = f.filter(col(last).isNotNull)
+      .select(floor((unix_micros(col(last)) -
+          unix_micros(col("step_ts_1"))) / 1000000)
+        .cast("long").as("latency_s"))
+      .withColumn("__g", lit("all"))
+    graft.operators.Sampling.quantilesPerGroup(lat, "__g", "latency_s", ps)
+      .select(col("p"), col("quantile").as("latency_s"),
+        col("n").as("n_users"))
+  }
+
   /** First-order Markov transition matrix over event types: for each
     * observed (from → to) step in a user's (ts, tie)-ordered stream,
     * the count, the total transitions leaving `from`, and the

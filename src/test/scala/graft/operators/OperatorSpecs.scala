@@ -1107,6 +1107,23 @@ class FunnelSpec extends SparkSpec {
       (3L, "purchase", 1L, Some(0.25), Some(0.5)))
   }
 
+  test("stepLatency: whole-second first-to-last quantiles over " +
+      "completing users only") {
+    val events = Seq(
+      // user 1 completes in 100.5s -> floor 100
+      (1L, "view", 0L), (1L, "click", 60000L), (1L, "purchase", 100500L),
+      // user 2 completes in 250.5s -> floor 250
+      (2L, "view", 0L), (2L, "click", 1000L), (2L, "purchase", 250500L),
+      // user 3 never purchases: excluded
+      (3L, "view", 0L), (3L, "click", 5000L))
+      .toDF("uid", "etype", "tsl")
+      .withColumn("ts", timestamp_millis($"tsl"))
+    val out = Funnel.stepLatency(events, "uid", "etype", "ts",
+        Seq("view", "click", "purchase"), ps = Seq(0.5, 1.0))
+      .as[(Double, Long, Long)].collect().sortBy(_._1)
+    out shouldBe Array((0.5, 100L, 2L), (1.0, 250L, 2L))
+  }
+
   test("transitionMatrix: per-user ordered steps, row-normalized " +
       "probabilities, no cross-user transition") {
     val events = Seq(
