@@ -2205,6 +2205,33 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // privacy: k-anonymity audit over quasi-identifiers — (lang, source,
+    // coarse length bucket) as the quasi tuple; min_class_size >= k IS
+    // the anonymity property, risky classes/rows quantify the exposure
+    "q178_k_anonymity" -> ((s, dir) => {
+      graft.operators.Checks.kAnonymityReport(
+        t(s, dir, "documents").withColumn("len_bucket",
+          floor(col("n_chars") / 100).cast("long")),
+        Seq("lang", "source", "len_bucket"), k = 5)
+    }),
+
+    // monitoring: exponential time-decay engagement per user — events a
+    // half-life (3 days) older than the newest event count half as much;
+    // the recency-weighted activity rank next to q169's lifetime gini
+    "q179_decayed_engagement" -> ((s, dir) => {
+      Stats.decayedScore(t(s, dir, "events"), "ts", "user_id", "value",
+        halfLifeDays = 3.0)
+    }),
+
+    // curation: bigram-LM cross-entropy quality score (token ORDER now
+    // matters, vs q62's unigram) — model truncated to 500 bigrams / 25
+    // histories of the corpus's 31 tokens so the smoothing-floor and
+    // truncated-history paths are exercised, not just the happy path
+    "q180_bigram_quality" -> ((s, dir) => {
+      TextAnalysis.bigramLogProbScore(t(s, dir, "documents"), "doc_id",
+        "text", modelSize = 500, historySize = 25, addK = 0.5)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -5767,6 +5794,77 @@ object SparkEntry {
         |    range(0, greatest(len(tk)-3, 0)+1),
         |    i -> array_to_string(tk[i+1:i+3], ' ')))) AS INTEGER)
         |    AS n_shingles
-        |FROM tk""".stripMargin
+        |FROM tk""".stripMargin,
+
+    // mirrors q178: class sizes over the same quasi tuple (nulls group
+    // together in both engines), then one-row risk summary at k=5
+    "q178_k_anonymity" ->
+      """WITH c AS (
+        |  SELECT count(*) AS sz FROM (
+        |    SELECT lang, source,
+        |      CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket
+        |    FROM documents)
+        |  GROUP BY lang, source, len_bucket)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(sz) AS BIGINT) AS min_class_size,
+        |  CAST(count(CASE WHEN sz < 5 THEN 1 END) AS BIGINT)
+        |    AS n_risky_classes,
+        |  CAST(COALESCE(sum(CASE WHEN sz < 5 THEN sz END), 0) AS BIGINT)
+        |    AS n_risky_rows,
+        |  CASE WHEN sum(sz) = 0 THEN NULL
+        |    ELSE round(CAST(COALESCE(sum(CASE WHEN sz < 5 THEN sz END), 0)
+        |      AS DOUBLE) / sum(sz), 6) END AS risky_rate
+        |FROM c""".stripMargin,
+
+    // mirrors q179: whole-day ages against the frame's max ts, weight
+    // 0.5^(age/3), identical double association (value * weight summed)
+    "q179_decayed_engagement" ->
+      """WITH r AS (
+        |  SELECT user_id, value,
+        |    CAST(floor(CAST(
+        |      (SELECT max(epoch_us(ts)) FROM events
+        |       WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |         AND value IS NOT NULL) - epoch_us(ts)
+        |      AS DOUBLE) / 86400000000) AS DOUBLE) AS age_days
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 6) AS raw_value,
+        |  round(sum(value * pow(0.5, age_days / 3.0)), 6)
+        |    AS decayed_value
+        |FROM r GROUP BY user_id""".stripMargin,
+
+    // mirrors q180: same bigram fan-out (1-indexed list slices), counts
+    // truncated at 500 bigrams / 25 histories with identical tie-breaks,
+    // denominators and V from the UNTRUNCATED counts, add-0.5 smoothing
+    "q180_bigram_quality" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |vv AS (
+        |  SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v FROM (
+        |    SELECT unnest(ts) AS t FROM tk)),
+        |bg AS (
+        |  SELECT doc_id, ts[g] AS w1, ts[g + 1] AS w2 FROM (
+        |    SELECT doc_id, ts,
+        |      unnest(generate_series(1, len(ts) - 1)) AS g
+        |    FROM tk WHERE len(ts) >= 2)),
+        |c2a AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |c1a AS (SELECT w1, sum(c2) AS c1 FROM c2a GROUP BY w1),
+        |c2 AS (SELECT w1, w2, c2 FROM c2a
+        |  QUALIFY row_number() OVER (ORDER BY c2 DESC, w1, w2) <= 500),
+        |c1 AS (SELECT w1, c1 FROM c1a
+        |  QUALIFY row_number() OVER (ORDER BY c1 DESC, w1) <= 25)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln(
+        |    (CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 0.5) /
+        |    (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + 0.5 * v))), 6)
+        |    AS bigram_logprob
+        |FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+        |  CROSS JOIN vv
+        |GROUP BY doc_id""".stripMargin
   )
 }

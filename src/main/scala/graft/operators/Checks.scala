@@ -100,6 +100,43 @@ object Checks {
           .otherwise(round(col("n_null").cast("double") / col("n"), 6)))
   }
 
+  /** k-anonymity risk report over a set of quasi-identifier columns —
+    * the privacy audit a release pipeline runs before publishing rows
+    * whose attribute COMBINATIONS could single people out even after
+    * direct identifiers are redacted (Sweeney's k-anonymity: every row
+    * must share its quasi-identifier tuple with at least k−1 others).
+    * Nulls count as values (a null quasi-tuple is itself a class, as
+    * both Spark and SQL GROUP BY treat it). One output row:
+    * (n_rows, n_classes, min_class_size, n_risky_classes, n_risky_rows,
+    * risky_rate) where a class is risky when its size < k —
+    * `min_class_size >= k` IS the k-anonymity property.
+    *
+    * 100 TB shape: ONE hash aggregation on the quasi columns (map-side
+    * combinable counts; only the quasi tuple shuffles, never row
+    * content), then one map-side-combinable agg over the class-sized
+    * frame into a single row. Cost is a groupBy-count regardless of k.
+    */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String],
+      k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(quasiCols.distinct == quasiCols,
+      s"duplicate quasi columns: $quasiCols")
+    require(k >= 2, s"k must be >= 2: $k")
+    val classes = df.groupBy(quasiCols.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("__sz"))
+    classes.agg(
+        sum(col("__sz")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("__sz")).as("min_class_size"),
+        count(when(col("__sz") < k, lit(1))).as("n_risky_classes"),
+        coalesce(sum(when(col("__sz") < k, col("__sz"))), lit(0L))
+          .as("n_risky_rows"))
+      .withColumn("risky_rate",
+        when(col("n_rows") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_risky_rows").cast("double")
+            / col("n_rows"), 6)))
+  }
+
   /** Symmetric key reconciliation between two tables — the
     * referential-integrity REPORT next to [[referential]]'s one-sided
     * pass/fail rule: how many distinct keys each side holds, how many

@@ -141,6 +141,37 @@ object Stats {
           .as("pct_change"))
   }
 
+  /** Exponential time-decay engagement score per entity — the
+    * recency-weighted activity rank a curation pipeline uses to pick
+    * "currently active" users/sources without a hard cutoff date: an
+    * event `d` whole days older than the newest event in the frame
+    * contributes `value · 0.5^(d / halfLifeDays)`. The reference
+    * instant is the frame's own max timestamp (deterministic — no
+    * wall clock), and ages are floored to WHOLE days so the weight
+    * set is small and exactly reproducible. One row per entity:
+    * (key, n_events, raw_value, decayed_value), rounded to 6 places.
+    *
+    * 100 TB shape: one 1-row max-ts aggregate broadcast back as a
+    * literal-sized cross join, then ONE map-side-combinable sum per
+    * entity — no window, no content shuffle; the decay weight is a
+    * per-row codegen'd expression.
+    */
+  def decayedScore(df: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, halfLifeDays: Double = 7.0): DataFrame = {
+    require(halfLifeDays > 0, s"halfLifeDays must be positive: $halfLifeDays")
+    val rows = df.filter(col(s"`$tsCol`").isNotNull &&
+      col(s"`$keyCol`").isNotNull && col(s"`$valueCol`").isNotNull)
+    val ref = rows.agg(max(unix_micros(col(s"`$tsCol`"))).as("__ref"))
+    val ageDays = floor((col("__ref") - unix_micros(col(s"`$tsCol`")))
+      / lit(86400000000L)).cast("double")
+    val weight = pow(lit(0.5), ageDays / lit(halfLifeDays))
+    rows.crossJoin(broadcast(ref))
+      .groupBy(col(s"`$keyCol`"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(s"`$valueCol`")), 6).as("raw_value"),
+        round(sum(col(s"`$valueCol`") * weight), 6).as("decayed_value"))
+  }
+
   /** Gini coefficient of row mass across groups — 0 when every group
     * contributes equally, →1 when one group owns the corpus ("is this
     * dataset one crawl wearing twenty source labels"). One output row:

@@ -191,6 +191,59 @@ object TextAnalysis {
         .as("unigram_logprob"))
   }
 
+  /** Bigram language-model cross-entropy score with add-k smoothing —
+    * the step up from [[unigramLogProbScore]] the CCNet/perplexity
+    * filters actually use: token ORDER now matters, so shuffled-word
+    * salad that fools the unigram model scores low here. Per doc (with
+    * at least one bigram): mean ln P(w2|w1) where
+    * P(w2|w1) = (c(w1,w2) + k) / (c(w1→·) + k·V), `c(w1→·)` the
+    * PRE-truncation count of bigrams with history w1 and V the corpus's
+    * distinct-token count. The model is truncated to the `modelSize`
+    * most frequent bigrams and `historySize` most frequent histories
+    * (count desc, token asc tie-breaks); truncated entries fall back to
+    * the smoothed floor, which stays a proper probability because the
+    * denominators come from the untruncated counts.
+    *
+    * 100 TB shape: bigram fan-out is a per-row array zip (no shuffle),
+    * then ONE map-side-combinable (w1,w2) count; the history counts
+    * re-aggregate the BIGRAM-VOCABULARY frame, not the corpus; both
+    * model tables are bounded by their size parameters and broadcast,
+    * so scoring is two map-side joins + one per-doc aggregate. Docs
+    * with fewer than two tokens have no bigrams and are absent (their
+    * quality is [[unigramLogProbScore]]'s job).
+    */
+  def bigramLogProbScore(docs: DataFrame, idCol: String, textCol: String,
+      modelSize: Int = 100000, historySize: Int = 10000,
+      addK: Double = 0.5): DataFrame = {
+    require(modelSize > 0, s"modelSize must be positive: $modelSize")
+    require(historySize > 0, s"historySize must be positive: $historySize")
+    require(addK > 0, s"addK must be positive: $addK")
+    val toksAll = docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
+    val v = toksAll.select(explode(col("__ts")).as("__t"))
+      .agg(countDistinct(col("__t"))).head.getLong(0).toDouble
+    val bg = toksAll.filter(size(col("__ts")) >= 2)
+      .select(col(idCol), explode(zip_with(
+          slice(col("__ts"), lit(1), size(col("__ts")) - 1),
+          slice(col("__ts"), lit(2), size(col("__ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("__w1"),
+        col("__bg.w2").as("__w2"))
+    val c2All = bg.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c2"))
+    val c1All = c2All.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1"))
+    val c2 = c2All.orderBy(col("__c2").desc, col("__w1"), col("__w2"))
+      .limit(modelSize)
+    val c1 = c1All.orderBy(col("__c1").desc, col("__w1"))
+      .limit(historySize)
+    val p = (coalesce(col("__c2"), lit(0L)).cast("double") + lit(addK)) /
+      (coalesce(col("__c1"), lit(0L)).cast("double") + lit(addK) * lit(v))
+    bg.join(broadcast(c2), Seq("__w1", "__w2"), "left")
+      .join(broadcast(c1), Seq("__w1"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(p)), 6).as("bigram_logprob"))
+  }
+
   /** Gopher-style intra-document repetition signals — the quality filters
     * that catch boilerplate/templated/spammy documents
     * (dup-line fraction, duplicate-2-gram fraction, most-frequent-2-gram

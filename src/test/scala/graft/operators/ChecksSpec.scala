@@ -85,6 +85,33 @@ class ChecksSpec extends SparkSpec {
     out shouldBe ((3L, 3L, 2L, 1L, 1L))
   }
 
+  test("kAnonymityReport: hand-computed class sizes, nulls form their " +
+      "own class, min_class_size >= k iff no risky class") {
+    val df = Seq(
+      (Some("en"), "web"), (Some("en"), "web"), (Some("en"), "web"),
+      (Some("de"), "web"), (Some("de"), "web"),
+      (Some("fr"), "book"),          // singleton -> risky at k=2
+      (None, "web"), (None, "web"))  // null lang groups together
+      .toDF("lang", "source")
+    val out = Checks.kAnonymityReport(df, Seq("lang", "source"), k = 2)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    // classes: en/web=3, de/web=2, fr/book=1, null/web=2
+    out shouldBe ((8L, 4L, 1L, 1L, 1L, Some(0.125)))
+    // k above every class size: everything risky
+    val all = Checks.kAnonymityReport(df, Seq("lang", "source"), k = 10)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    all shouldBe ((8L, 4L, 1L, 4L, 8L, Some(1.0)))
+    // anonymized-enough data: zero risky classes
+    val safe = Checks.kAnonymityReport(df.filter($"lang" === "en"),
+      Seq("lang", "source"), k = 2)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    safe shouldBe ((3L, 1L, 3L, 0L, 0L, Some(0.0)))
+    an[IllegalArgumentException] should be thrownBy
+      Checks.kAnonymityReport(df, Seq("lang", "source"), k = 1)
+    an[IllegalArgumentException] should be thrownBy
+      Checks.kAnonymityReport(df, Seq("lang", "lang"), k = 2)
+  }
+
   test("parseRule round-trips the params-JSON surface") {
     Checks.parseRule("not_null:id").name shouldBe "not_null(id)"
     Checks.parseRule("in_range:v:0:100").name shouldBe

@@ -589,6 +589,42 @@ class TextAnalysisSpec extends SparkSpec {
         .as[(Long, Double)].collect().toMap
   }
 
+  test("bigramLogProbScore: token order matters — the same bag of words " +
+      "shuffled scores lower; short docs are absent; model broadcasts") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat sat again and again"),
+      (2L, "the cat sat on the mat and sat on the mat again"),
+      (3L, "again sat the and mat cat on the sat the cat and"), // shuffled 1
+      (4L, "onlyone"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProbScore(docs, "doc_id", "text",
+        modelSize = 500, historySize = 500, addK = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L) // doc 4 has no bigrams
+    out(1L)._1 shouldBe 12L             // 13 tokens -> 12 bigrams
+    // natural order hits frequent bigrams; the shuffled twin of doc 1
+    // shares its unigram distribution but not its transitions
+    out(1L)._2 should be > out(3L)._2
+    out(2L)._2 should be > out(3L)._2
+    // deterministic across evaluations
+    TextAnalysis.bigramLogProbScore(docs, "doc_id", "text", 500, 500, 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap shouldBe out
+    // truncating the model only LOWERS scores (floor fallback), and the
+    // truncated-history path stays a proper probability (ln p < 0)
+    val trunc = TextAnalysis.bigramLogProbScore(docs, "doc_id", "text",
+        modelSize = 3, historySize = 2, addK = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    trunc(1L) should be <= out(1L)._2
+    all(trunc.values) should be < 0.0
+    // both model tables broadcast; the corpus is never sort-merge-joined
+    val plan = TextAnalysis.bigramLogProbScore(docs, "doc_id", "text",
+        500, 500, 0.5).queryExecution.executedPlan.toString
+    plan should include ("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   test("quality features compute deterministic ratios") {
     val out = TextAnalysis.qualityFeatures(
       Seq("the quick brown fox, it jumps; over the lazy dog today now!")
@@ -1567,6 +1603,42 @@ class StatsSpec extends SparkSpec {
     val plan = Stats.corrPairs(df, Seq("a", "b", "c"))
       .queryExecution.executedPlan.toString
     plan.sliding("LocalTableScan".length).count(_ == "LocalTableScan") shouldBe 1
+  }
+
+  test("decayedScore: whole-day ages against the frame's own max ts, " +
+      "hand-computed half-life weights, no window in the plan") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2026-01-10 12:00:00")
+    def daysAgo(d: Int) = new Timestamp(base.getTime - d * 86400000L)
+    val df = Seq(
+      (1L, base, 10.0),        // age 0 -> weight 1
+      (1L, daysAgo(3), 8.0),   // age 3, halfLife 3 -> weight 0.5
+      (2L, daysAgo(6), 4.0),   // age 6 -> weight 0.25
+      (2L, base, 1.0))
+      .toDF("user", "ts", "v")
+    val out = Stats.decayedScore(df, "ts", "user", "v", halfLifeDays = 3.0)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    out(1L) shouldBe ((2L, 18.0, 10.0 + 8.0 * 0.5))
+    out(2L) shouldBe ((2L, 5.0, 1.0 + 4.0 * 0.25))
+    // partial days floor to whole days: 2.5 days old -> age 2
+    val part = Seq((1L, new Timestamp(base.getTime - 216000000L), 1.0),
+      (1L, base, 0.0)).toDF("user", "ts", "v")
+    Stats.decayedScore(part, "ts", "user", "v", 3.0)
+      .as[(Long, Long, Double, Double)].collect().head._4 shouldBe
+      math.rint(math.pow(0.5, 2.0 / 3.0) * 1e6) / 1e6
+    // null key/ts/value rows drop before the reference ts is taken
+    val withNull = df.union(Seq((3L, null.asInstanceOf[Timestamp], 9.0))
+      .toDF("user", "ts", "v"))
+    Stats.decayedScore(withNull, "ts", "user", "v", 3.0)
+      .collect().length shouldBe 2
+    // one agg over the rows; the 1-row reference broadcasts (no SMJ,
+    // no window against the data)
+    val plan = Stats.decayedScore(df, "ts", "user", "v", 3.0)
+      .queryExecution.executedPlan.toString
+    plan should not include "SortMergeJoin"
+    plan should not include "Window"
+    plan should include ("BroadcastNestedLoopJoin")
   }
 
   test("giniConcentration: even corpus scores 0, hand-computed skew " +
