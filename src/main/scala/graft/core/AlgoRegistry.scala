@@ -454,6 +454,29 @@ object AlgoRegistry {
           ref, config.getString("reference_text_column"),
           n = config.getIntOpt("ngram_size").getOrElse(3))
       })
+    // k-anonymity privacy audit over quasi-identifier columns
+    case "KAnonymity" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Checks.kAnonymityReport(df,
+        config.getSeq[String]("quasi_columns"), config.getInt("k")))
+    // exponential time-decay engagement score per entity
+    case "DecayedScore" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.decayedScore(df,
+        config.getString("ts_column"), config.getString("key_column"),
+        config.getString("value_column"),
+        config.getDouble("half_life_days", 7.0)))
+    // bigram-LM cross-entropy quality score (order-sensitive q62)
+    case "BigramQuality" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.bigramLogProbScore(df,
+        config.getString("id_column"), config.getString("text_column"),
+        config.getIntOpt("model_size").getOrElse(100000),
+        config.getIntOpt("history_size").getOrElse(10000),
+        config.getDouble("add_k", 0.5)))
     // column-profile report (null rates + exact distinct counts)
     case "ColumnProfile" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -787,6 +787,58 @@ class JobRunnerSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.size shouldBe cachedBefore
   }
 
+  test("privacy/decay/bigram algorithms run through the params-JSON " +
+      "surface") {
+    import org.apache.spark.sql.functions._
+    // KAnonymity: quasi-column list + k plumbing
+    val kaSrc = tmp("jr_ka_src") + "/t"
+    Seq(("en", "web"), ("en", "web"), ("fr", "book"))
+      .toDF("lang", "source").write.parquet(kaSrc)
+    val kaTgt = tmp("jr_ka_tgt") + "/t"
+    val kaPar = tmp("jr_ka_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(kaPar),
+      s"""{"source_dir": "$kaSrc", "target_dir": "$kaTgt",
+         | "quasi_columns": ["lang", "source"], "k": 2}""".stripMargin)
+    JobRunner.execute(spark, "KAnonymity", kaPar)
+    spark.read.parquet(kaTgt)
+      .select(col("n_rows"), col("n_classes"), col("min_class_size"),
+        col("n_risky_rows"))
+      .as[(Long, Long, Long, Long)].head() shouldBe ((3L, 2L, 1L, 1L))
+
+    // DecayedScore: half_life_days plumbing
+    val dsSrc = tmp("jr_ds_src") + "/t"
+    Seq((1L, 0L, 4.0), (1L, 3L, 10.0))
+      .toDF("user_id", "days", "value")
+      .withColumn("ts", timestamp_millis(col("days") * 86400000L))
+      .write.parquet(dsSrc)
+    val dsTgt = tmp("jr_ds_tgt") + "/t"
+    val dsPar = tmp("jr_ds_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dsPar),
+      s"""{"source_dir": "$dsSrc", "target_dir": "$dsTgt",
+         | "ts_column": "ts", "key_column": "user_id",
+         | "value_column": "value", "half_life_days": 3}""".stripMargin)
+    JobRunner.execute(spark, "DecayedScore", dsPar)
+    // newest (day 3) weight 1, day 0 is one half-life old: 10 + 4*0.5
+    spark.read.parquet(dsTgt).select(col("decayed_value"))
+      .as[Double].head() shouldBe 12.0
+
+    // BigramQuality: model/history size + add_k plumbing
+    val bqSrc = tmp("jr_bq_src") + "/t"
+    Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+      .write.parquet(bqSrc)
+    val bqTgt = tmp("jr_bq_tgt") + "/t"
+    val bqPar = tmp("jr_bq_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(bqPar),
+      s"""{"source_dir": "$bqSrc", "target_dir": "$bqTgt",
+         | "id_column": "doc_id", "text_column": "text",
+         | "model_size": 10, "history_size": 10, "add_k": 0.5}""".stripMargin)
+    JobRunner.execute(spark, "BigramQuality", bqPar)
+    val bq = spark.read.parquet(bqTgt)
+      .select(col("doc_id"), col("n_bigrams"))
+      .as[(Long, Long)].collect().toMap
+    bq shouldBe Map(1L -> 3L, 2L -> 1L)
+  }
+
   test("unknown algorithm names are rejected") {
     val paramsPath = tmp("jr_bad") + "/params.json"
     java.nio.file.Files.writeString(
