@@ -2232,6 +2232,14 @@ object SparkEntry {
         "text", modelSize = 500, historySize = 25, addK = 0.5)
     }),
 
+    // curation: zlib compression-ratio quality signal — template spam
+    // deflates toward 0, noise toward 1; rows-only gate (no SQL engine
+    // mirrors zlib; exact values are spec-pinned in-JVM)
+    "q181_compression_quality" -> ((s, dir) => {
+      TextAnalysis.compressionSignals(t(s, dir, "documents"), "doc_id",
+        "text")
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(

@@ -477,6 +477,12 @@ object AlgoRegistry {
         config.getIntOpt("model_size").getOrElse(100000),
         config.getIntOpt("history_size").getOrElse(10000),
         config.getDouble("add_k", 0.5)))
+    // zlib compression-ratio quality signal per document
+    case "CompressionSignals" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.compressionSignals(df,
+        config.getString("id_column"), config.getString("text_column")))
     // column-profile report (null rates + exact distinct counts)
     case "ColumnProfile" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -55,6 +55,10 @@ object GraftFunctions {
       arity("simhash64", 1, args)
       SimHashExpr(args.head)
     })
+    GraftBridge.registerFunction(spark, "deflated_size", { args =>
+      arity("deflated_size", 1, args)
+      DeflatedSizeExpr(args.head)
+    })
     GraftBridge.registerFunction(spark, "lsh_signature", { args =>
       arity("lsh_signature", 3, args)
       LshSignatureExpr(args.head,

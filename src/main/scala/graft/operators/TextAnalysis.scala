@@ -244,6 +244,31 @@ object TextAnalysis {
         round(avg(log(p)), 6).as("bigram_logprob"))
   }
 
+  /** Compression-ratio quality signal per document — the zlib test the
+    * big web-corpus pipelines run next to the repetition heuristics:
+    * deflated_size / raw UTF-8 bytes. Template/boilerplate spam
+    * deflates far below natural language (ratio → 0); random noise and
+    * minified junk barely compress (ratio → 1). Natural text sits in a
+    * band the caller calibrates on the corpus itself. One row per doc:
+    * (id, n_bytes, n_deflated, compression_ratio), empty text → null
+    * ratio. Pure per-row map over the native [[graft.functions.DeflatedSizeExpr]]
+    * (codegen'd, no UDF), zero shuffle — at 100 TB this is exactly one
+    * streaming pass. No SQL oracle can mirror zlib, so the gate over
+    * this operator is rows-only; exact values are spec-pinned against
+    * an in-JVM Deflater recomputation.
+    */
+  def compressionSignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val bytes = octet_length(col(s"`$textCol`"))
+    val packed = graft.functions.DeflatedSizeExpr
+      .deflatedSize(col(s"`$textCol`"))
+    df.select(col(s"`$idCol`"), bytes.as("n_bytes"),
+        packed.as("n_deflated"),
+        when(bytes === 0, lit(null).cast("double"))
+          .otherwise(round(packed.cast("double") / bytes, 6))
+          .as("compression_ratio"))
+  }
+
   /** Gopher-style intra-document repetition signals — the quality filters
     * that catch boilerplate/templated/spammy documents
     * (dup-line fraction, duplicate-2-gram fraction, most-frequent-2-gram

@@ -625,6 +625,57 @@ class TextAnalysisSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("compressionSignals: repetitive text deflates far below prose, " +
+      "noise barely compresses; values match an in-JVM Deflater; " +
+      "codegen'd map with no shuffle") {
+    val spam = "buy now " * 200
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders into a quiet meadow where nothing repeats exactly " +
+      "because every clause keeps introducing new words and ideas"
+    // near-uniform 94-symbol stream (LCG): Huffman can't find skew and
+    // LZ77 can't find repeats, so deflate barely dents it
+    val noise = {
+      var x = 88172645463325252L
+      (1 to 3000).map { _ =>
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        (33 + java.lang.Long.remainderUnsigned(x, 94L)).toChar
+      }.mkString
+    }
+    val docs = Seq((1L, spam), (2L, prose), (3L, noise), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.compressionSignals(docs, "doc_id", "text")
+      .as[(Long, Int, Int, Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // exactness: the expression IS Deflater(default, nowrap)
+    def ref(s: String) = graft.functions.DeflatedSizeExpr
+      .compute(s.getBytes("UTF-8"))
+    out(1L)._2 shouldBe ref(spam)
+    out(2L)._2 shouldBe ref(prose)
+    out(3L)._2 shouldBe ref(noise)
+    // band ordering: spam << prose < noise
+    out(1L)._3.get should be < 0.05
+    out(2L)._3.get should be > (out(1L)._3.get * 5)
+    out(3L)._3.get should be > out(2L)._3.get
+    out(3L)._3.get should be > 0.5
+    // empty text: 0 raw bytes (deflate still emits its 2-byte empty
+    // final block), null ratio — never NaN/divide-by-zero
+    out(4L) shouldBe ((0, ref(""), None))
+    // pure per-row map: no exchange in the plan, and the expression
+    // compiles into the whole-stage-codegen span (no UDF fallback) —
+    // parquet-backed so ConvertToLocalRelation can't pre-evaluate it
+    val pq = tmp("cs_docs") + "/t"
+    docs.write.parquet(pq)
+    val qe = TextAnalysis.compressionSignals(spark.read.parquet(pq),
+      "doc_id", "text").queryExecution.executedPlan.toString
+    qe should not include "Exchange"
+    qe should include ("*(1) Project") // the codegen'd span marker
+    // SQL surface parity
+    graft.functions.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("cs_docs")
+    spark.sql("SELECT deflated_size(text) AS d FROM cs_docs WHERE doc_id = 1")
+      .as[Int].head() shouldBe ref(spam)
+  }
+
   test("quality features compute deterministic ratios") {
     val out = TextAnalysis.qualityFeatures(
       Seq("the quick brown fox, it jumps; over the lazy dog today now!")
