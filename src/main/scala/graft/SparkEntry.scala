@@ -2240,6 +2240,26 @@ object SparkEntry {
         "text")
     }),
 
+    // curation: C4-style blocklist blast-radius report — doc and
+    // occurrence counts per blocked term, zero-hit terms kept as (0,0)
+    // rows (the misspelled-blocklist-entry bug made visible)
+    "q182_blocklist" -> ((s, dir) => {
+      TextAnalysis.blocklistReport(t(s, dir, "documents"), "doc_id",
+        "text", Seq("slow", "big", "vector", "zzz_unused"))
+    }),
+
+    // web-corpus: URL domain mix — every 3rd doc gets deterministic
+    // URLs appended (the q156 mangle convention: the corpus has none),
+    // then per-domain doc/url counts from the RE2-simple extraction
+    "q183_url_domains" -> ((s, dir) => {
+      val withUrls = t(s, dir, "documents").withColumn("text",
+        concat(col("text"), when(col("doc_id") % 3 === 0,
+          concat(lit(" https://site"), col("doc_id") % 7,
+            lit(".example/p x http://cdn.example/a")))
+          .otherwise(lit(""))))
+      TextAnalysis.urlDomains(withUrls, "doc_id", "text")
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -5873,6 +5893,41 @@ object SparkEntry {
         |    AS bigram_logprob
         |FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
         |  CROSS JOIN vv
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+
+    // mirrors q182: same tokenization, IN-list prefilter, zero-hit
+    // terms preserved by the VALUES-frame left join
+    "q182_blocklist" ->
+      """WITH terms(term) AS (
+        |  VALUES ('slow'), ('big'), ('vector'), ('zzz_unused')),
+        |tk AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT t AS term, count(DISTINCT doc_id) AS nd, count(*) AS no
+        |  FROM tk WHERE t IN ('slow', 'big', 'vector', 'zzz_unused')
+        |  GROUP BY t)
+        |SELECT term, CAST(COALESCE(nd, 0) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(no, 0) AS BIGINT) AS n_occurrences
+        |FROM terms LEFT JOIN h USING (term)""".stripMargin,
+
+    // mirrors q183: identical URL fixture, RE2-simple extraction
+    "q183_url_domains" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |    THEN text || ' https://site' || (doc_id % 7)
+        |      || '.example/p x http://cdn.example/a'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    regexp_extract(unnest(
+        |      regexp_extract_all(text, 'https?://[^\s]+')),
+        |      'https?://([^/\s]+)', 1) AS domain
+        |  FROM d)
+        |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_urls
+        |FROM u GROUP BY domain""".stripMargin
   )
 }

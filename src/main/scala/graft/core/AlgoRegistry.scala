@@ -477,6 +477,25 @@ object AlgoRegistry {
         config.getIntOpt("model_size").getOrElse(100000),
         config.getIntOpt("history_size").getOrElse(10000),
         config.getDouble("add_k", 0.5)))
+    // C4-style blocklist blast-radius report per term
+    case "BlocklistReport" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.blocklistReport(df,
+        config.getString("id_column"), config.getString("text_column"),
+        config.getSeq[String]("terms")))
+    // C4-style blocklist filter (keep docs with zero blocked tokens)
+    case "BlocklistFilter" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.blocklistFilter(df,
+        config.getString("text_column"), config.getSeq[String]("terms")))
+    // URL domain-mix report over a text corpus
+    case "UrlDomains" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.urlDomains(df,
+        config.getString("id_column"), config.getString("text_column")))
     // zlib compression-ratio quality signal per document
     case "CompressionSignals" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -269,6 +269,75 @@ object TextAnalysis {
           .as("compression_ratio"))
   }
 
+  /** C4-style blocklist report: for every term on the list (single
+    * tokens, matched against the lowercased whitespace tokenization),
+    * how many documents contain it and how many times it occurs —
+    * the numbers a curation team reads BEFORE deciding a filter's
+    * blast radius. Terms with zero hits still get a row (0, 0): a
+    * silent miss on a misspelled blocklist entry is exactly the bug
+    * this report exists to surface.
+    *
+    * 100 TB shape: the token explode is pre-filtered by an `isin`
+    * literal predicate (the blocklist is a plan literal, nothing
+    * broadcasts), so only blocked-term hits ever shuffle — ONE
+    * map-side-combinable (term) aggregation, then a left join from the
+    * terms-sized literal frame for the zero rows.
+    */
+  def blocklistReport(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.distinct == terms, s"duplicate terms: $terms")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hits = docs
+      .select(col(s"`$idCol`").as("__id"),
+        explode(tokens(col(s"`$textCol`"))).as("__t"))
+      .filter(col("__t").isin(terms.map(lit(_)): _*))
+      .groupBy(col("__t").as("term"))
+      .agg(countDistinct(col("__id")).as("__nd"),
+        count(lit(1)).as("__no"))
+    terms.toDF("term").join(hits, Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("__nd"), lit(0L)).as("n_docs"),
+        coalesce(col("__no"), lit(0L)).as("n_occurrences"))
+  }
+
+  /** The filter face of [[blocklistReport]]: keep only documents whose
+    * tokenization contains NONE of the blocked terms (C4's badwords
+    * filter). A narrow per-row predicate — composes with whatever the
+    * scan prunes, zero shuffle.
+    */
+  def blocklistFilter(docs: DataFrame, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    docs.filter(size(filter(tokens(col(s"`$textCol`")),
+      t => t.isin(terms.map(lit(_)): _*))) === 0)
+  }
+
+  /** Domain mix of the URLs mentioned in a corpus — the web-pipeline
+    * report behind domain allow/block-lists and source attribution:
+    * extract every `http(s)://…` URL, reduce to its host, count
+    * documents and URL occurrences per domain. The regexes are
+    * deliberately RE2-simple (`https?://[^\s]+`, host =
+    * `https?://([^/\s]+)`) so an external SQL engine reproduces the
+    * extraction exactly.
+    *
+    * 100 TB shape: extraction is a codegen'd per-row regexp (zero
+    * shuffle); only (id, domain) hit rows — sparse for natural text —
+    * reach the ONE map-side-combinable domain aggregation.
+    */
+  def urlDomains(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val urls = regexp_extract_all(col(s"`$textCol`"),
+      lit("https?://[^\\s]+"), lit(0))
+    docs.select(col(s"`$idCol`").as("__id"), explode(urls).as("__u"))
+      .select(col("__id"),
+        regexp_extract(col("__u"), "https?://([^/\\s]+)", 1).as("domain"))
+      .groupBy(col("domain"))
+      .agg(countDistinct(col("__id")).as("n_docs"),
+        count(lit(1)).as("n_urls"))
+  }
+
   /** Gopher-style intra-document repetition signals — the quality filters
     * that catch boilerplate/templated/spammy documents
     * (dup-line fraction, duplicate-2-gram fraction, most-frequent-2-gram

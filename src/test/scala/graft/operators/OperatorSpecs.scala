@@ -676,6 +676,47 @@ class TextAnalysisSpec extends SparkSpec {
       .as[Int].head() shouldBe ref(spam)
   }
 
+  test("blocklistReport: hand-computed doc/occurrence counts, zero-hit " +
+      "terms keep a (0,0) row; filter face drops exactly the hit docs") {
+    val docs = Seq(
+      (1L, "bad word bad again"),   // bad x2
+      (2L, "all clean here"),
+      (3L, "one bad apple"),
+      (4L, "worse things entirely")) // worse x1
+      .toDF("doc_id", "text")
+    val rep = TextAnalysis.blocklistReport(docs, "doc_id", "text",
+        Seq("bad", "worse", "ghost"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    rep shouldBe Map("bad" -> ((2L, 3L)), "worse" -> ((1L, 1L)),
+      "ghost" -> ((0L, 0L)))
+    TextAnalysis.blocklistFilter(docs, "text", Seq("bad", "worse"))
+      .select($"doc_id").as[Long].collect().toSet shouldBe Set(2L)
+    // the filter is a narrow predicate: no exchange in its plan
+    val plan = TextAnalysis.blocklistFilter(docs, "text", Seq("bad"))
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.blocklistReport(docs, "doc_id", "text", Seq("a", "a"))
+  }
+
+  test("urlDomains: host extraction, per-domain doc dedup vs url " +
+      "occurrence counts, urlless corpus yields empty") {
+    val docs = Seq(
+      (1L, "see https://a.example/x and https://a.example/y plus " +
+        "http://b.example/z"),
+      (2L, "only https://a.example/again here"),
+      (3L, "no links at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.urlDomains(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    // doc 1 mentions a.example twice -> n_docs 2, n_urls 3
+    out shouldBe Map("a.example" -> ((2L, 3L)), "b.example" -> ((1L, 1L)))
+    TextAnalysis.urlDomains(docs.filter($"doc_id" === 3), "doc_id", "text")
+      .count() shouldBe 0L
+  }
+
   test("quality features compute deterministic ratios") {
     val out = TextAnalysis.qualityFeatures(
       Seq("the quick brown fox, it jumps; over the lazy dog today now!")
