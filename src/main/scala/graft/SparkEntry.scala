@@ -2260,6 +2260,14 @@ object SparkEntry {
       TextAnalysis.urlDomains(withUrls, "doc_id", "text")
     }),
 
+    // curation: Flesch reading-ease — deterministic word/sentence/vowel-
+    // group counts in a fixed association (the classic quality feature
+    // next to q26's ratio heuristics)
+    "q184_readability" -> ((s, dir) => {
+      TextAnalysis.readabilityScores(t(s, dir, "documents"), "doc_id",
+        "text")
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -5928,6 +5936,26 @@ object SparkEntry {
         |  FROM d)
         |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_urls
-        |FROM u GROUP BY domain""".stripMargin
+        |FROM u GROUP BY domain""".stripMargin,
+
+    // mirrors q184: same three regex counts, same text-level syllable
+    // floor, same fixed double association
+    "q184_readability" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+        |    END AS w,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS g
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+        |  CAST(s AS BIGINT) AS n_sentences,
+        |  CAST(greatest(g, w) AS BIGINT) AS n_syllables,
+        |  CASE WHEN w = 0 THEN NULL
+        |    ELSE round(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+        |      - 84.6 * (CAST(greatest(g, w) AS DOUBLE) / w), 6)
+        |  END AS flesch
+        |FROM b""".stripMargin
   )
 }

@@ -477,6 +477,31 @@ object AlgoRegistry {
         config.getIntOpt("model_size").getOrElse(100000),
         config.getIntOpt("history_size").getOrElse(10000),
         config.getDouble("add_k", 0.5)))
+    // frozen bigram model build (write once, score many)
+    case "BigramModel" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.bigramModel(df,
+        config.getString("text_column"),
+        config.getIntOpt("model_size").getOrElse(100000),
+        config.getIntOpt("history_size").getOrElse(10000)))
+    // score a corpus against a saved bigram model (model_dir)
+    case "BigramScore" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val model = fmt(config).read(spark, Map.empty, None,
+          config.getString("model_dir"))
+        graft.operators.TextAnalysis.scoreWithBigramModel(df,
+          config.getString("id_column"), config.getString("text_column"),
+          model, config.getDouble("add_k", 0.5))
+      })
+    // Flesch reading-ease quality feature per document
+    case "Readability" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.readabilityScores(df,
+        config.getString("id_column"), config.getString("text_column")))
     // C4-style blocklist blast-radius report per term
     case "BlocklistReport" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

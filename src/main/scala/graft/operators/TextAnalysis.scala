@@ -214,30 +214,90 @@ object TextAnalysis {
     */
   def bigramLogProbScore(docs: DataFrame, idCol: String, textCol: String,
       modelSize: Int = 100000, historySize: Int = 10000,
-      addK: Double = 0.5): DataFrame = {
-    require(modelSize > 0, s"modelSize must be positive: $modelSize")
-    require(historySize > 0, s"historySize must be positive: $historySize")
-    require(addK > 0, s"addK must be positive: $addK")
-    val toksAll = docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
-    val v = toksAll.select(explode(col("__ts")).as("__t"))
-      .agg(countDistinct(col("__t"))).head.getLong(0).toDouble
-    val bg = toksAll.filter(size(col("__ts")) >= 2)
+      addK: Double = 0.5): DataFrame =
+    scoreWithBigramModel(docs, idCol, textCol,
+      bigramModel(docs, textCol, modelSize, historySize), addK)
+
+  /** Per-doc bigram fan-out: (id, __w1, __w2), one row per adjacent
+    * token pair; docs with fewer than two tokens contribute nothing.
+    * A per-row array zip — zero shuffle.
+    */
+  private def bigramPairs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= 2)
       .select(col(idCol), explode(zip_with(
           slice(col("__ts"), lit(1), size(col("__ts")) - 1),
           slice(col("__ts"), lit(2), size(col("__ts")) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
       .select(col(idCol), col("__bg.w1").as("__w1"),
         col("__bg.w2").as("__w2"))
+
+  /** Build the frozen bigram model from a corpus: one frame holding
+    * both tables — bigram rows `(w1, w2, cnt, v)` and history rows
+    * `(w1, NULL, cnt, v)` — truncated to the `modelSize` most frequent
+    * bigrams / `historySize` most frequent histories (count desc, token
+    * asc tie-breaks). History counts and the denormalized
+    * distinct-token count `v` come from the UNTRUNCATED counts, so the
+    * smoothed fallback stays a proper probability after reload. Write
+    * this out once, then score later corpora with
+    * [[scoreWithBigramModel]] — byte-identical to inline scoring
+    * (longs and doubles round-trip parquet exactly).
+    */
+  def bigramModel(docs: DataFrame, textCol: String,
+      modelSize: Int = 100000, historySize: Int = 10000): DataFrame = {
+    require(modelSize > 0, s"modelSize must be positive: $modelSize")
+    require(historySize > 0, s"historySize must be positive: $historySize")
+    val toksAll = docs.select(tokens(col(textCol)).as("__ts"))
+    val v = toksAll.select(explode(col("__ts")).as("__t"))
+      .agg(countDistinct(col("__t"))).head.getLong(0).toDouble
+    val bg = bigramPairs(docs.select(lit(0L).as("__id0"), col(textCol)),
+      "__id0", textCol)
     val c2All = bg.groupBy(col("__w1"), col("__w2"))
-      .agg(count(lit(1)).as("__c2"))
-    val c1All = c2All.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1"))
-    val c2 = c2All.orderBy(col("__c2").desc, col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c"))
+    val c1All = c2All.groupBy(col("__w1")).agg(sum(col("__c")).as("__c"))
+    val c2 = c2All.orderBy(col("__c").desc, col("__w1"), col("__w2"))
       .limit(modelSize)
-    val c1 = c1All.orderBy(col("__c1").desc, col("__w1"))
+      .select(col("__w1").as("w1"), col("__w2").as("w2"),
+        col("__c").as("cnt"))
+    val c1 = c1All.orderBy(col("__c").desc, col("__w1"))
       .limit(historySize)
+      .select(col("__w1").as("w1"), lit(null).cast("string").as("w2"),
+        col("__c").as("cnt"))
+    c2.unionByName(c1).withColumn("v", lit(v))
+  }
+
+  /** Score a corpus against a (possibly reloaded) frozen model from
+    * [[bigramModel]]: per-doc mean ln P(w2|w1) with add-k smoothing,
+    * truncated entries at the smoothed floor. Both model tables are
+    * bounded by the build parameters and broadcast; scoring is two
+    * map-side joins + one per-doc aggregate.
+    */
+  def scoreWithBigramModel(docs: DataFrame, idCol: String,
+      textCol: String, model: DataFrame,
+      addK: Double = 0.5): DataFrame = {
+    require(addK > 0, s"addK must be positive: $addK")
+    // the model is parameter-bounded (modelSize + historySize rows), so
+    // land it on the driver ONCE as a LocalRelation — otherwise its
+    // build lineage (two corpus-wide topK aggregations when composed
+    // inline) re-evaluates for the v probe and for EACH broadcast build
+    val spark = model.sparkSession
+    val slim = model.select(col("w1"), col("w2"), col("cnt"), col("v"))
+    val rows = slim.collect()
+    require(rows.nonEmpty,
+      "bigram model is empty - build it from a non-empty corpus")
+    val v = rows.head.getDouble(3)
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), slim.schema)
+    val c2 = local.filter(col("w2").isNotNull)
+      .select(col("w1").as("__w1"), col("w2").as("__w2"),
+        col("cnt").as("__c2"))
+    val c1 = local.filter(col("w2").isNull)
+      .select(col("w1").as("__w1"), col("cnt").as("__c1"))
     val p = (coalesce(col("__c2"), lit(0L)).cast("double") + lit(addK)) /
       (coalesce(col("__c1"), lit(0L)).cast("double") + lit(addK) * lit(v))
-    bg.join(broadcast(c2), Seq("__w1", "__w2"), "left")
+    bigramPairs(docs, idCol, textCol)
+      .join(broadcast(c2), Seq("__w1", "__w2"), "left")
       .join(broadcast(c1), Seq("__w1"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -336,6 +396,39 @@ object TextAnalysis {
       .groupBy(col("domain"))
       .agg(countDistinct(col("__id")).as("n_docs"),
         count(lit(1)).as("n_urls"))
+  }
+
+  /** Flesch reading-ease score per document, from three deterministic
+    * text-level counts: words = whitespace tokens, sentences =
+    * `[.!?]+` runs floored at 1, syllables = `[aeiouy]+` vowel groups
+    * floored at the word count (every word carries at least one
+    * syllable; the floor is applied at TEXT level — documented
+    * heuristic, exactly reproducible in any regex engine). Score =
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) in
+    * that fixed association, round(…, 6); empty text → null. Standard
+    * prose lands ~60-80, legalese under 30 — the classic
+    * quality-feature companion to [[qualityFeatures]].
+    *
+    * 100 TB shape: pure per-row codegen'd regexp counts, zero shuffle.
+    */
+  def readabilityScores(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = tokens(col(s"`$textCol`"))
+    val nWords = when(col(s"`$textCol`").isNull ||
+      trim(col(s"`$textCol`")) === "", lit(0)).otherwise(size(toks))
+    val nSent = greatest(
+      regexp_count(col(s"`$textCol`"), lit("[.!?]+")), lit(1))
+    val nSyll = greatest(
+      regexp_count(lower(col(s"`$textCol`")), lit("[aeiouy]+")), nWords)
+    df.select(col(s"`$idCol`"),
+      nWords.cast("long").as("n_words"),
+      nSent.cast("long").as("n_sentences"),
+      nSyll.cast("long").as("n_syllables"),
+      when(nWords === 0, lit(null).cast("double"))
+        .otherwise(round(lit(206.835)
+          - lit(1.015) * (nWords.cast("double") / nSent.cast("double"))
+          - lit(84.6) * (nSyll.cast("double") / nWords.cast("double")), 6))
+        .as("flesch"))
   }
 
   /** Gopher-style intra-document repetition signals — the quality filters

@@ -717,6 +717,59 @@ class TextAnalysisSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("frozen bigram model: scoring a NEW corpus against a SAVED model " +
+      "is byte-identical to the in-memory one; OOV histories hit the " +
+      "smoothed floor") {
+    val reference = Seq(
+      (1L, "the cat sat on the mat the cat sat again"),
+      (2L, "the cat sat on the mat once more today"))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.bigramModel(reference, "text",
+      modelSize = 16, historySize = 8)
+    val dir = tmp("bq_model") + "/m"
+    model.write.parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val fresh = Seq(
+      (10L, "the cat sat quietly"),
+      (11L, "zxqv wvuk qqpl mmnx")) // fully OOV transitions
+      .toDF("doc_id", "text")
+    val inMem = TextAnalysis.scoreWithBigramModel(fresh, "doc_id",
+      "text", model).as[(Long, Long, Double)].collect().toSet
+    val frozen = TextAnalysis.scoreWithBigramModel(fresh, "doc_id",
+      "text", reloaded).as[(Long, Long, Double)].collect().toSet
+    frozen shouldBe inMem
+    // the fully-OOV doc's every bigram is the same floor ln(k/(k*V)):
+    // 3 bigrams, V from the reference corpus
+    val v = reloaded.select($"v").head().getDouble(0)
+    val floor = math.rint(math.log(0.5 / (0.5 * v)) * 1e6) / 1e6
+    frozen.find(_._1 == 11L).get._3 shouldBe floor
+    // inline convenience == build-then-score composition
+    TextAnalysis.bigramLogProbScore(reference, "doc_id", "text", 16, 8)
+      .as[(Long, Long, Double)].collect().toSet shouldBe
+      TextAnalysis.scoreWithBigramModel(reference, "doc_id", "text",
+        model).as[(Long, Long, Double)].collect().toSet
+  }
+
+  test("readabilityScores: hand-computed Flesch from the documented " +
+      "counts; syllable floor at word count; empty text nulls") {
+    val docs = Seq(
+      (1L, "The cat sat. It sat again! Did it?"), // 8 words, 3 sentences
+      (2L, "xyz qrst"),      // one vowel group (the y): floor lifts to 2
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.readabilityScores(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // doc 1: vowel groups: e,a,a,i,a,a,ai,i,i = the(1) cat(1) sat(1)
+    // it(1) sat(1) again(2: a,ai) did(1) it(1) = 9
+    val f1 = math.rint((206.835 - 1.015 * (8.0 / 3.0)
+      - 84.6 * (9.0 / 8.0)) * 1e6) / 1e6
+    out(1L) shouldBe ((8L, 3L, 9L, Some(f1)))
+    val f2 = math.rint((206.835 - 1.015 * 2.0 - 84.6 * 1.0) * 1e6) / 1e6
+    out(2L) shouldBe ((2L, 1L, 2L, Some(f2)))
+    out(3L) shouldBe ((0L, 1L, 0L, None))
+  }
+
   test("quality features compute deterministic ratios") {
     val out = TextAnalysis.qualityFeatures(
       Seq("the quick brown fox, it jumps; over the lazy dog today now!")
