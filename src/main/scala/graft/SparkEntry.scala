@@ -2268,6 +2268,36 @@ object SparkEntry {
         "text")
     }),
 
+    // composition: the quality-pipeline params chain — train the bigram
+    // model on the FULL corpus, blocklist-filter, score survivors
+    // against the saved model, all through registered JobRunner algos
+    // (q100's analog for the round-9 quality operators)
+    "q185_quality_pipeline" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val base = tmpDir("graft_q185")
+      def p(sub: String) = s"$base/$sub"
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .write.parquet(p("src"))
+      def run(algo: String, json: String): Unit = {
+        val f = Paths.get(base, s"$algo.json")
+        JFiles.writeString(f, json)
+        graft.core.JobRunner.execute(s, algo, f.toString)
+      }
+      run("BigramModel",
+        s"""{"source_dir": "${p("src")}", "target_dir": "${p("model")}",
+           | "text_column": "text", "model_size": 500,
+           | "history_size": 25}""".stripMargin)
+      run("BlocklistFilter",
+        s"""{"source_dir": "${p("src")}", "target_dir": "${p("clean")}",
+           | "text_column": "text",
+           | "terms": ["slow", "big"]}""".stripMargin)
+      run("BigramScore",
+        s"""{"source_dir": "${p("clean")}", "target_dir": "${p("scored")}",
+           | "model_dir": "${p("model")}", "id_column": "doc_id",
+           | "text_column": "text", "add_k": 0.5}""".stripMargin)
+      s.read.parquet(p("scored"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -5956,6 +5986,42 @@ object SparkEntry {
         |    ELSE round(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
         |      - 84.6 * (CAST(greatest(g, w) AS DOUBLE) / w), 6)
         |  END AS flesch
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+
+    // mirrors q185: model CTEs over the FULL corpus (q180's shapes),
+    // scoring restricted to the blocklist survivors
+    "q185_quality_pipeline" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |vv AS (
+        |  SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v FROM (
+        |    SELECT unnest(ts) AS t FROM tk)),
+        |bgm AS (
+        |  SELECT ts[g] AS w1, ts[g + 1] AS w2 FROM (
+        |    SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS g
+        |    FROM tk WHERE len(ts) >= 2)),
+        |c2a AS (SELECT w1, w2, count(*) AS c2 FROM bgm GROUP BY w1, w2),
+        |c1a AS (SELECT w1, sum(c2) AS c1 FROM c2a GROUP BY w1),
+        |c2 AS (SELECT w1, w2, c2 FROM c2a
+        |  QUALIFY row_number() OVER (ORDER BY c2 DESC, w1, w2) <= 500),
+        |c1 AS (SELECT w1, c1 FROM c1a
+        |  QUALIFY row_number() OVER (ORDER BY c1 DESC, w1) <= 25),
+        |clean AS (
+        |  SELECT doc_id, ts FROM tk
+        |  WHERE NOT list_has_any(ts, ['slow', 'big'])),
+        |bg AS (
+        |  SELECT doc_id, ts[g] AS w1, ts[g + 1] AS w2 FROM (
+        |    SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS g
+        |    FROM clean WHERE len(ts) >= 2))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln(
+        |    (CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 0.5) /
+        |    (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + 0.5 * v))), 6)
+        |    AS bigram_logprob
+        |FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+        |  CROSS JOIN vv
+        |GROUP BY doc_id""".stripMargin
   )
 }
