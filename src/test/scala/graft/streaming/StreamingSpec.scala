@@ -266,6 +266,40 @@ class StreamingCurationSpec extends SparkSpec {
       .collect() shouldBe Array(("de", 1))
   }
 
+  test("round-9 quality maps apply unchanged to a stream (deflate " +
+      "ratio, readability, blocklist filter) — stateless, no watermark") {
+    val dir = tmp("stream_qual")
+    val batch = Seq(
+      (1L, "the cat sat on the mat. it sat again and again and again!"),
+      (2L, "bad content that repeats bad content verbatim"),
+      (3L, "perfectly ordinary prose with nothing blocked at all"))
+      .toDF("doc_id", "text")
+    batch.write.parquet(dir + "/p")
+    // each signal family is a stateless per-row map over the blocklist
+    // survivors — no watermark, no state store, append mode as-is
+    def deflate(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.compressionSignals(
+        graft.operators.TextAnalysis.blocklistFilter(df, "text",
+          Seq("bad")), "doc_id", "text")
+    def readable(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.readabilityScores(
+        graft.operators.TextAnalysis.blocklistFilter(df, "text",
+          Seq("bad")), "doc_id", "text")
+    val src = spark.readStream.schema(batch.schema).parquet(dir + "/p")
+    val q1 = deflate(src).writeStream.outputMode("append")
+      .format("memory").queryName("qual_deflate")
+      .trigger(Trigger.AvailableNow()).start()
+    val q2 = readable(src).writeStream.outputMode("append")
+      .format("memory").queryName("qual_readable")
+      .trigger(Trigger.AvailableNow()).start()
+    q1.processAllAvailable(); q1.stop()
+    q2.processAllAvailable(); q2.stop()
+    assertSameRows(spark.table("qual_deflate"), deflate(batch))
+    assertSameRows(spark.table("qual_readable"), readable(batch))
+    spark.table("qual_deflate").select($"doc_id").as[Long]
+      .collect().toSet shouldBe Set(1L, 3L) // doc 2 blocklisted out
+  }
+
   test("runQualityChecksOnce: per-batch reports sum to the global " +
       "check, group-level rules refused") {
     val dir = tmp("stream_qc")
