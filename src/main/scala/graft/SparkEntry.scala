@@ -2298,6 +2298,14 @@ object SparkEntry {
       s.read.parquet(p("scored"))
     }),
 
+    // embeddings: dimension covariance matrix (upper triangle) — the
+    // whitening/PCA input and dead/collinear-dim audit; exact quantized
+    // integer sums (q137's determinism device), fixed double association
+    "q186_embedding_covariance" -> ((s, dir) => {
+      Similarity.embeddingCovariance(t(s, dir, "embeddings"),
+        "embedding", scale = 1024)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6022,6 +6030,33 @@ object SparkEntry {
         |    AS bigram_logprob
         |FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
         |  CROSS JOIN vv
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+
+    // mirrors q186: identical floor(x*1024) quantization, exact integer
+    // sums, the same fixed double association for the cov cell
+    "q186_embedding_covariance" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |e AS (
+        |  SELECT vec_id, CAST(g - 1 AS INTEGER) AS i, qv[g] AS x FROM (
+        |    SELECT vec_id, qv,
+        |      unnest(generate_series(1, len(qv))) AS g
+        |    FROM q)),
+        |lin AS (
+        |  SELECT i, count(*) AS n, CAST(sum(x) AS BIGINT) AS s
+        |  FROM e GROUP BY i),
+        |cells AS (
+        |  SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS sp
+        |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2)
+        |SELECT c.i, c.j, CAST(l1.n AS BIGINT) AS n,
+        |  round((CAST(l1.n AS DOUBLE) * CAST(c.sp AS DOUBLE)
+        |    - CAST(l1.s AS DOUBLE) * CAST(l2.s AS DOUBLE))
+        |    / (CAST(l1.n AS DOUBLE) * CAST(l1.n AS DOUBLE) * 1048576.0),
+        |    6) AS cov
+        |FROM cells c JOIN lin l1 ON c.i = l1.i
+        |  JOIN lin l2 ON c.j = l2.i""".stripMargin
   )
 }

@@ -477,6 +477,19 @@ object AlgoRegistry {
         config.getIntOpt("model_size").getOrElse(100000),
         config.getIntOpt("history_size").getOrElse(10000),
         config.getDouble("add_k", 0.5)))
+    // embedding-dimension covariance matrix (upper triangle)
+    case "EmbeddingCovariance" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.embeddingCovariance(df,
+        config.getString("vector_column"),
+        config.getIntOpt("scale").getOrElse(1024)))
+    // leading principal component of a saved covariance matrix
+    case "PrincipalComponent" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.principalComponent(df,
+        config.getIntOpt("max_iter").getOrElse(100)))
     // frozen bigram model build (write once, score many)
     case "BigramModel" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -327,4 +327,88 @@ object Similarity {
             (sqrt(col("__na").cast("double")) *
              sqrt(col("__nb").cast("double"))), 6)).as("cosine"))
   }
+
+  /** Upper-triangle covariance matrix of the embedding dimensions —
+    * the input to whitening/PCA and the "are half these dims dead or
+    * collinear" audit. Values are quantized `floor(x·scale)` to exact
+    * LONG sums first (q137's determinism device: integer aggregation
+    * has no float addition order, so an external engine reproduces the
+    * bits), then cov(i,j) = (n·Sij − Si·Sj)/(n²·scale²) evaluated in a
+    * fixed double association, round(…, 6). One row per dim pair
+    * i ≤ j: (i, j, n, cov).
+    *
+    * 100 TB shape: the pair fan-out (dims²/2 product terms per row) is
+    * generated INSIDE the row by a nested array transform and
+    * partially aggregated map-side, so the shuffle carries only
+    * dims²-sized cell partials — never row data; the per-dim linear
+    * sums ride a second dims-bounded aggregate and broadcast back.
+    */
+  def embeddingCovariance(emb: DataFrame, vecCol: String,
+      scale: Int = 1024): DataFrame = {
+    require(scale > 0, s"scale must be positive: $scale")
+    val xq = transform(col(s"`$vecCol`"),
+      x => floor(x.cast("double") * scale).cast("long"))
+    val base = emb.filter(col(s"`$vecCol`").isNotNull).select(xq.as("__q"))
+    val lin = base.select(posexplode(col("__q")).as(Seq("__i", "__x")))
+      .groupBy(col("__i"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+    val cells = base.select(explode(flatten(transform(col("__q"),
+        (x, i) => transform(
+          slice(col("__q"), i + 1, size(col("__q")) - i),
+          (y, j0) => struct(i.as("i"), (i + j0).as("j"),
+            (x * y).as("p")))))).as("__c"))
+      .groupBy(col("__c.i").as("i"), col("__c.j").as("j"))
+      .agg(sum(col("__c.p")).as("__sp"))
+    val den = col("__n").cast("double") * col("__n").cast("double") *
+      lit(scale.toDouble * scale)
+    cells
+      .join(broadcast(lin.select(col("__i").as("i"),
+        col("__s").as("__si"), col("__n"))), Seq("i"))
+      .join(broadcast(lin.select(col("__i").as("j"),
+        col("__s").as("__sj"))), Seq("j"))
+      .select(col("i"), col("j"), col("__n").as("n"),
+        round((col("__n").cast("double") * col("__sp").cast("double")
+          - col("__si").cast("double") * col("__sj").cast("double"))
+          / den, 6).as("cov"))
+  }
+
+  /** Leading principal component of a covariance matrix from
+    * [[embeddingCovariance]], by power iteration on the DRIVER — the
+    * matrix is dims²-bounded (the ≤8 MB-bloom-literal discipline:
+    * bounded by a parameter, never by the data), so distributing the
+    * iteration would be all overhead. Deterministic: fixed all-ones
+    * start, fixed iteration count. Returns
+    * (dims, eigenvalue, explained_variance, component) — one row;
+    * component sign is normalized so its largest-|·| entry is
+    * positive (eigenvectors are sign-ambiguous).
+    */
+  def principalComponent(cov: DataFrame, maxIter: Int = 100): DataFrame = {
+    val spark = cov.sparkSession
+    import spark.implicits._
+    val cells = cov.select(col("i"), col("j"), col("cov"))
+      .as[(Int, Int, Double)].collect()
+    require(cells.nonEmpty, "covariance frame is empty")
+    val d = cells.map(c => math.max(c._1, c._2)).max + 1
+    val m = Array.ofDim[Double](d, d)
+    cells.foreach { case (i, j, v) => m(i)(j) = v; m(j)(i) = v }
+    var x = Array.fill(d)(1.0 / math.sqrt(d))
+    var lambda = 0.0
+    var it = 0
+    while (it < maxIter) {
+      val y = Array.tabulate(d)(i =>
+        (0 until d).foldLeft(0.0)((s, j) => s + m(i)(j) * x(j)))
+      val nrm = math.sqrt(y.map(v => v * v).sum)
+      if (nrm == 0) { it = maxIter } // zero matrix: keep x, lambda 0
+      else {
+        x = y.map(_ / nrm); lambda = nrm; it += 1
+      }
+    }
+    val maxIdx = x.indices.maxBy(i => (math.abs(x(i)), -i))
+    val comp = if (x(maxIdx) < 0) x.map(-_) else x
+    val trace = (0 until d).map(i => m(i)(i)).sum
+    val explained = if (trace == 0) null
+      else java.lang.Double.valueOf(lambda / trace)
+    Seq((d, lambda, Option(explained).map(_.toDouble), comp.toSeq))
+      .toDF("dims", "eigenvalue", "explained_variance", "component")
+  }
 }

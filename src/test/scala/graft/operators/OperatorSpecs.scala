@@ -429,6 +429,48 @@ class SimilaritySpec extends SparkSpec {
       vecs.filter($"vec_id" === 1), vecs, "vec_id", "embedding", k = 2)
     out.select($"neighbor_id").as[Long].collect() should contain(5L)
   }
+
+  test("embeddingCovariance: hand-computed population cells at scale 1 " +
+      "(integer vectors quantize exactly); only broadcast joins") {
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, Array(3.0f, 6.0f)),
+      (3L, Array(5.0f, 10.0f))) // y = 2x exactly
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingCovariance(emb, "embedding", scale = 1)
+      .as[(Int, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // x = (1,3,5): var = (3·35 − 81)/9; cov(x,2x) = 2·var; var(2x) = 4·var
+    out((0, 0)) shouldBe ((3L, 2.666667))
+    out((0, 1)) shouldBe ((3L, 5.333333))
+    out((1, 1)) shouldBe ((3L, 10.666667))
+    out.size shouldBe 3 // upper triangle only
+    // cells aggregate map-side; the only joins are the dims-sized
+    // broadcast of the linear sums
+    val plan = Similarity.embeddingCovariance(emb, "embedding", 1)
+      .queryExecution.executedPlan.toString
+    plan should include ("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("principalComponent: rank-1 covariance recovers the direction, " +
+      "eigenvalue = trace, explained = 1; sign normalized positive") {
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, Array(3.0f, 6.0f)),
+      (3L, Array(5.0f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val cov = Similarity.embeddingCovariance(emb, "embedding", scale = 1)
+    val r = Similarity.principalComponent(cov)
+      .as[(Int, Double, Option[Double], Seq[Double])].head()
+    r._1 shouldBe 2
+    r._2 shouldBe (2.666667 + 10.666667) +- 1e-4 // rank-1: λ = trace
+    r._3.get shouldBe 1.0 +- 1e-6 // cov cells carry round(…,6) noise
+    // direction ∝ (1, 2)/√5, largest-|·| entry positive
+    r._4(0) shouldBe (1.0 / math.sqrt(5)) +- 1e-4
+    r._4(1) shouldBe (2.0 / math.sqrt(5)) +- 1e-4
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
