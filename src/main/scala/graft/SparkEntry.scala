@@ -2306,6 +2306,34 @@ object SparkEntry {
         "embedding", scale = 1024)
     }),
 
+    // warehouse QA: star-schema-wide FK orphan matrix — every edge in
+    // one report; lineitem's supplier edge is deterministically mangled
+    // (every 50th row's key shifted, the q156 convention) so the orphan
+    // path is exercised, not just all-zeros
+    "q187_fk_matrix" -> ((s, dir) => {
+      import graft.operators.Checks
+      val li = t(s, dir, "lineitem").withColumn("l_suppkey",
+        when(col("l_orderkey") % 50 === 0, col("l_suppkey") + 900000L)
+          .otherwise(col("l_suppkey")))
+      Checks.fkMatrix(Seq(
+        Checks.FkEdge("nation->region", t(s, dir, "nation"),
+          "n_regionkey", t(s, dir, "region"), "r_regionkey"),
+        Checks.FkEdge("customer->nation", t(s, dir, "customer"),
+          "c_nationkey", t(s, dir, "nation"), "n_nationkey"),
+        Checks.FkEdge("orders->customer", t(s, dir, "orders"),
+          "o_custkey", t(s, dir, "customer"), "c_custkey"),
+        Checks.FkEdge("lineitem->supplier", li,
+          "l_suppkey", t(s, dir, "supplier"), "s_suppkey")))
+    }),
+
+    // streaming ops: measured watermark sizing — lateness of each event
+    // behind its user's running max in event_id (arrival) order; the
+    // p99 row IS the withWatermark number, measured instead of guessed
+    "q188_watermark_lateness" -> ((s, dir) => {
+      Stats.watermarkLateness(t(s, dir, "events"), "ts", "event_id",
+        "user_id", ps = Seq(0.5, 0.95, 0.99))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6057,6 +6085,67 @@ object SparkEntry {
         |    / (CAST(l1.n AS DOUBLE) * CAST(l1.n AS DOUBLE) * 1048576.0),
         |    6) AS cov
         |FROM cells c JOIN lin l1 ON c.i = l1.i
-        |  JOIN lin l2 ON c.j = l2.i""".stripMargin
+        |  JOIN lin l2 ON c.j = l2.i""".stripMargin,
+
+    // mirrors q187: per-edge child key counts + anti-join orphans, same
+    // every-50th-order suppkey mangle
+    "q187_fk_matrix" -> {
+      def edge(name: String, childSql: String, parent: String,
+          parentKey: String) =
+        s"""SELECT '$name' AS edge,
+           |  CAST(COALESCE(sum(rws), 0) AS BIGINT) AS n_child_rows,
+           |  CAST(count(*) AS BIGINT) AS n_child_keys,
+           |  CAST(COALESCE(sum(CASE WHEN orphan THEN 1 END), 0) AS BIGINT)
+           |    AS n_orphan_keys,
+           |  CAST(COALESCE(sum(CASE WHEN orphan THEN rws END), 0)
+           |    AS BIGINT) AS n_orphan_rows
+           |FROM (
+           |  SELECT k, count(*) AS rws,
+           |    NOT EXISTS (SELECT 1 FROM $parent p
+           |                WHERE p.$parentKey = c.k) AS orphan
+           |  FROM ($childSql) c WHERE k IS NOT NULL GROUP BY k)""".stripMargin
+      Seq(
+        edge("nation->region",
+          "SELECT n_regionkey AS k FROM nation", "region", "r_regionkey"),
+        edge("customer->nation",
+          "SELECT c_nationkey AS k FROM customer", "nation", "n_nationkey"),
+        edge("orders->customer",
+          "SELECT o_custkey AS k FROM orders", "customer", "c_custkey"),
+        edge("lineitem->supplier",
+          """SELECT CASE WHEN l_orderkey % 50 = 0
+            |  THEN l_suppkey + 900000 ELSE l_suppkey END AS k
+            |FROM lineitem""".stripMargin, "supplier", "s_suppkey"))
+        .mkString("", "\nUNION ALL\n", "")
+    },
+
+    // mirrors q188: per-user running max over event_id order, floored
+    // whole-second lateness, histogram quantiles
+    "q188_watermark_lateness" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        |l AS (
+        |  SELECT CAST(floor(greatest(COALESCE(
+        |    max(t) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), t)
+        |    - t, 0) / 1000000.0) AS BIGINT) AS lat
+        |  FROM r),
+        |tot AS (
+        |  SELECT count(*) AS n,
+        |    count(CASE WHEN lat > 0 THEN 1 END) AS nl FROM l),
+        |h AS (
+        |  SELECT lat, count(*) AS c FROM l GROUP BY lat),
+        |cum AS (
+        |  SELECT lat, sum(c) OVER (ORDER BY lat) AS cumc FROM h)
+        |SELECT p, min(lat) AS lateness_s, CAST(n AS BIGINT) AS n_events,
+        |  CAST(nl AS BIGINT) AS n_late,
+        |  CASE WHEN n = 0 THEN NULL
+        |    ELSE round(CAST(nl AS DOUBLE) / n, 6) END AS late_share
+        |FROM cum CROSS JOIN tot
+        |  CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS p)
+        |WHERE cumc >= ceil(p * n)
+        |GROUP BY p, n, nl""".stripMargin
   )
 }

@@ -477,6 +477,15 @@ object AlgoRegistry {
         config.getIntOpt("model_size").getOrElse(100000),
         config.getIntOpt("history_size").getOrElse(10000),
         config.getDouble("add_k", 0.5)))
+    // watermark-sizing lateness report (quantiles of event lateness)
+    case "WatermarkLateness" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.watermarkLateness(df,
+        config.getString("ts_column"), config.getString("seq_column"),
+        config.getString("key_column"),
+        config.getOpt[Seq[Double]]("ps").map(_ => config.getSeq[Double]("ps"))
+          .getOrElse(Seq(0.5, 0.95, 0.99))))
     // embedding-dimension covariance matrix (upper triangle)
     case "EmbeddingCovariance" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

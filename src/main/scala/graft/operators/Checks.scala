@@ -166,6 +166,44 @@ object Checks {
         count(when(col("__lk").isNull, lit(1))).as("n_right_only"))
   }
 
+  /** One FK edge for [[fkMatrix]]: child.childKey → parent.parentKey. */
+  final case class FkEdge(name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String)
+
+  /** Star-schema-wide referential-integrity matrix — every FK edge
+    * audited in one report: per edge (edge, n_child_rows, n_child_keys,
+    * n_orphan_keys, n_orphan_rows), where an orphan is a non-null child
+    * key with no parent. The warehouse-promotion gate run across ALL
+    * edges at once instead of [[referential]]'s single pass/fail rule.
+    *
+    * 100 TB shape: per edge, the child collapses to (key, count) with
+    * one map-side-combinable aggregation (row content never shuffles),
+    * then a left-anti join against the DISTINCT parent keys — AQE
+    * broadcasts dimension-sized parents; the per-edge one-row results
+    * union driver-free.
+    */
+  def fkMatrix(edges: Seq[FkEdge]): DataFrame = {
+    require(edges.nonEmpty, "edges must be non-empty")
+    require(edges.map(_.name).distinct.size == edges.size,
+      s"duplicate edge names: ${edges.map(_.name)}")
+    edges.map { e =>
+      val keys = e.child.filter(col(s"`${e.childKey}`").isNotNull)
+        .groupBy(col(s"`${e.childKey}`").as("__k"))
+        .agg(count(lit(1)).as("__rows"))
+      val parents = e.parent.filter(col(s"`${e.parentKey}`").isNotNull)
+        .select(col(s"`${e.parentKey}`").as("__k")).distinct()
+      val orphans = keys.join(parents, Seq("__k"), "left_anti")
+        .agg(coalesce(count(lit(1)), lit(0L)).as("__ok"),
+          coalesce(sum(col("__rows")), lit(0L)).as("__or"))
+      keys.agg(coalesce(sum(col("__rows")), lit(0L)).as("n_child_rows"),
+          count(lit(1)).as("n_child_keys"))
+        .crossJoin(orphans)
+        .select(lit(e.name).as("edge"), col("n_child_rows"),
+          col("n_child_keys"), col("__ok").as("n_orphan_keys"),
+          col("__or").as("n_orphan_rows"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Evaluate all checks; one row per check:
     * (check_name, violations, total, passed).
     */

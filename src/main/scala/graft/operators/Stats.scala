@@ -172,6 +172,58 @@ object Stats {
         round(sum(col(s"`$valueCol`") * weight), 6).as("decayed_value"))
   }
 
+  /** Watermark-sizing report: how LATE do events actually arrive?
+    * Lateness of an event = how far its event time sits behind the
+    * per-key running maximum in ARRIVAL order (`seqCol` — an ingestion
+    * sequence like event_id), floored to whole seconds; in-order events
+    * score 0. Output: one row per requested quantile
+    * (p, lateness_s, n_events, n_late, late_share) — "a watermark of
+    * p99 lateness_s seconds would admit 99% of events", THE number the
+    * streaming operators' `withWatermark` needs, measured instead of
+    * guessed.
+    *
+    * 100 TB shape: the running max is a per-key window in seq order
+    * (partition count grows with keys, per-partition work constant —
+    * the production shape); quantiles run over the LATENESS HISTOGRAM
+    * (bounded by distinct observed whole-second values), never over
+    * events; the counts ride one map-side-combinable aggregate and
+    * broadcast back onto the quantile rows.
+    */
+  def watermarkLateness(df: DataFrame, tsCol: String, seqCol: String,
+      keyCol: String,
+      ps: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    require(ps.nonEmpty, "ps must be non-empty")
+    ps.foreach(p => require(0 < p && p <= 1, s"p must be in (0, 1]: $p"))
+    require(ps.distinct.size == ps.size, s"duplicate quantiles: $ps")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.filter(col(s"`$tsCol`").isNotNull &&
+        col(s"`$seqCol`").isNotNull && col(s"`$keyCol`").isNotNull)
+      .select(col(s"`$keyCol`").as("__k"), col(s"`$seqCol`").as("__q"),
+        unix_micros(col(s"`$tsCol`")).as("__t"))
+    val prevMax = max(col("__t")).over(
+      Window.partitionBy(col("__k")).orderBy(col("__q"))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val lat = rows
+      .select(floor(greatest(coalesce(prevMax, col("__t")) - col("__t"),
+        lit(0L)) / lit(1000000L)).as("__lat"))
+    val totals = lat.agg(count(lit(1)).as("__n"),
+      count(when(col("__lat") > 0, lit(1))).as("__nl"))
+    val hist = lat.groupBy(col("__lat")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c"))
+        .over(Window.orderBy(col("__lat"))))
+    hist.crossJoin(broadcast(totals))
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .filter(col("__cum") >= ceil(col("p") * col("__n")))
+      .groupBy(col("p"))
+      .agg(min(col("__lat")).as("lateness_s"),
+        first(col("__n")).as("n_events"),
+        first(col("__nl")).as("n_late"))
+      .withColumn("late_share",
+        when(col("n_events") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_late").cast("double")
+            / col("n_events"), 6)))
+  }
+
   /** Gini coefficient of row mass across groups — 0 when every group
     * contributes equally, →1 when one group owns the corpus ("is this
     * dataset one crawl wearing twenty source labels"). One output row:

@@ -112,6 +112,25 @@ class ChecksSpec extends SparkSpec {
       Checks.kAnonymityReport(df, Seq("lang", "lang"), k = 2)
   }
 
+  test("fkMatrix: per-edge orphan keys vs orphan rows, null child keys " +
+      "excluded, intact edge reports zeros") {
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L),
+      Some(9L), None).toDF("fk")
+    val out = Checks.fkMatrix(Seq(
+      Checks.FkEdge("bad", child, "fk", parent, "pk"),
+      Checks.FkEdge("good", parent, "pk", parent, "pk")))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // keys {1,2,9}: 9 is orphaned with 3 rows; the null fk never counts
+    out("bad") shouldBe ((6L, 3L, 1L, 3L))
+    out("good") shouldBe ((2L, 2L, 0L, 0L))
+    an[IllegalArgumentException] should be thrownBy
+      Checks.fkMatrix(Seq(
+        Checks.FkEdge("x", child, "fk", parent, "pk"),
+        Checks.FkEdge("x", child, "fk", parent, "pk")))
+  }
+
   test("parseRule round-trips the params-JSON surface") {
     Checks.parseRule("not_null:id").name shouldBe "not_null(id)"
     Checks.parseRule("in_range:v:0:100").name shouldBe

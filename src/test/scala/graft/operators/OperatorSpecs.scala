@@ -1828,6 +1828,31 @@ class StatsSpec extends SparkSpec {
     plan should include ("BroadcastNestedLoopJoin")
   }
 
+  test("watermarkLateness: lateness vs per-key running max in arrival " +
+      "order, in-order streams score all-zero, quantiles hand-computed") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1 arrival order (by seq): t=10, 20, 13 (7 s late), 25,
+    // 18 (7 s late, vs running max 25); user 2 in order
+    val df = Seq(
+      (1L, 1L, ts(10)), (2L, 1L, ts(20)), (3L, 1L, ts(13)),
+      (4L, 1L, ts(25)), (5L, 1L, ts(18)),
+      (6L, 2L, ts(5)), (7L, 2L, ts(6)))
+      .toDF("seq", "user", "t")
+    val out = Stats.watermarkLateness(df, "t", "seq", "user",
+        ps = Seq(0.5, 1.0))
+      .as[(Double, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // lateness multiset {0,0,0,0,0,7,7}: p50 = 0, p100 = 7
+    out(0.5) shouldBe ((0L, 7L, 2L, Some(math.rint(2.0 / 7 * 1e6) / 1e6)))
+    out(1.0)._1 shouldBe 7L
+    // fully in-order: p100 lateness 0, zero late events
+    val ordered = df.filter($"user" === 2)
+    Stats.watermarkLateness(ordered, "t", "seq", "user", Seq(1.0))
+      .as[(Double, Long, Long, Long, Option[Double])].head() shouldBe
+      ((1.0, 0L, 2L, 0L, Some(0.0)))
+  }
+
   test("giniConcentration: even corpus scores 0, hand-computed skew " +
       "matches the rank identity, null groups excluded") {
     // even: two groups x 3 rows each -> G = 0
