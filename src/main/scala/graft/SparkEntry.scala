@@ -2334,6 +2334,12 @@ object SparkEntry {
         "user_id", ps = Seq(0.5, 0.95, 0.99))
     }),
 
+    // plan hygiene: join-key skew report — max/p50/p99 of the user_id
+    // group sizes; the measured saltFactor input for q68's SkewJoin
+    "q189_key_skew" -> ((s, dir) => {
+      Stats.keySkewReport(t(s, dir, "events"), "user_id")
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6146,6 +6152,30 @@ object SparkEntry {
         |FROM cum CROSS JOIN tot
         |  CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS p)
         |WHERE cumc >= ceil(p * n)
-        |GROUP BY p, n, nl""".stripMargin
+        |GROUP BY p, n, nl""".stripMargin,
+
+    // mirrors q189: key-size histogram quantiles + one-row skew summary
+    "q189_key_skew" ->
+      """WITH g AS (
+        |  SELECT user_id, count(*) AS sz FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY user_id),
+        |t AS (
+        |  SELECT CAST(sum(sz) AS BIGINT) AS nrows, count(*) AS nkeys,
+        |    max(sz) AS mx FROM g),
+        |h AS (SELECT sz, count(*) AS c FROM g GROUP BY sz),
+        |cum AS (SELECT sz, sum(c) OVER (ORDER BY sz) AS cumc FROM h),
+        |q AS (
+        |  SELECT p, min(sz) AS qv
+        |  FROM cum CROSS JOIN t
+        |    CROSS JOIN (SELECT unnest([0.5, 0.99]) AS p)
+        |  WHERE cumc >= ceil(p * nkeys) GROUP BY p)
+        |SELECT nrows AS n_rows, CAST(nkeys AS BIGINT) AS n_keys,
+        |  CAST(mx AS BIGINT) AS max_group,
+        |  CAST(p50.qv AS BIGINT) AS p50_group,
+        |  CAST(p99.qv AS BIGINT) AS p99_group,
+        |  round(CAST(mx AS DOUBLE) / nrows, 6) AS max_key_share,
+        |  round(CAST(mx AS DOUBLE) / p50.qv, 6) AS skew_factor
+        |FROM t, (SELECT qv FROM q WHERE p = 0.5) p50,
+        |  (SELECT qv FROM q WHERE p = 0.99) p99""".stripMargin
   )
 }

@@ -477,6 +477,12 @@ object AlgoRegistry {
         config.getIntOpt("model_size").getOrElse(100000),
         config.getIntOpt("history_size").getOrElse(10000),
         config.getDouble("add_k", 0.5)))
+    // join-key skew report (the measured saltFactor input)
+    case "KeySkewReport" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.keySkewReport(df,
+        config.getString("key_column")))
     // watermark-sizing lateness report (quantiles of event lateness)
     case "WatermarkLateness" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

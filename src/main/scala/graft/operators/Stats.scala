@@ -224,6 +224,47 @@ object Stats {
             / col("n_events"), 6)))
   }
 
+  /** Join-key skew report — the measured input to a salting decision
+    * (how big is the hottest key, how far above the typical key): one
+    * row (n_rows, n_keys, max_group, p50_group, p99_group,
+    * max_key_share, skew_factor) where the quantiles are exact type-1
+    * over the KEY-SIZE distribution (each key one observation) and
+    * skew_factor = max_group / p50_group. A skew_factor in the
+    * thousands is the "one task reads 7M rows" plan smell before it
+    * happens — [[graft.operators.SkewJoin]]'s saltFactor gets sized
+    * from this number instead of guessed. Null keys are excluded (they
+    * don't join anyway).
+    *
+    * 100 TB shape: one map-side-combinable key count; everything after
+    * runs over the GROUP-SIZE HISTOGRAM (bounded by distinct observed
+    * sizes), never over rows or keys.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = df.filter(col(s"`$keyCol`").isNotNull)
+      .groupBy(col(s"`$keyCol`")).agg(count(lit(1)).as("__sz"))
+    val totals = groups.agg(
+      coalesce(sum(col("__sz")), lit(0L)).as("__rows"),
+      count(lit(1)).as("__keys"), max(col("__sz")).as("__max"))
+    val hist = groups.groupBy(col("__sz")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c"))
+        .over(Window.orderBy(col("__sz"))))
+    val q = hist.crossJoin(broadcast(totals))
+      .withColumn("__p", explode(array(lit(0.5), lit(0.99))))
+      .filter(col("__cum") >= ceil(col("__p") * col("__keys")))
+      .groupBy(col("__p")).agg(min(col("__sz")).as("__q"))
+    val p50 = q.filter(col("__p") === 0.5).select(col("__q").as("__p50"))
+    val p99 = q.filter(col("__p") === 0.99).select(col("__q").as("__p99"))
+    totals.crossJoin(broadcast(p50)).crossJoin(broadcast(p99))
+      .select(col("__rows").as("n_rows"), col("__keys").as("n_keys"),
+        col("__max").as("max_group"), col("__p50").as("p50_group"),
+        col("__p99").as("p99_group"),
+        round(col("__max").cast("double") / col("__rows"), 6)
+          .as("max_key_share"),
+        round(col("__max").cast("double") / col("__p50"), 6)
+          .as("skew_factor"))
+  }
+
   /** Gini coefficient of row mass across groups — 0 when every group
     * contributes equally, →1 when one group owns the corpus ("is this
     * dataset one crawl wearing twenty source labels"). One output row:

@@ -1853,6 +1853,20 @@ class StatsSpec extends SparkSpec {
       ((1.0, 0L, 2L, 0L, Some(0.0)))
   }
 
+  test("keySkewReport: hand-computed hot-key stats; uniform keys score " +
+      "skew_factor 1; null keys excluded") {
+    // key sizes: a=6, b=2, c=1, d=1 -> p50=1, p99=6, max=6
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d") ++
+      Seq(null.asInstanceOf[String])).toDF("k")
+    val out = Stats.keySkewReport(df, "k")
+      .as[(Long, Long, Long, Long, Long, Double, Double)].head()
+    out shouldBe ((10L, 4L, 6L, 1L, 6L, 0.6, 6.0))
+    val uniform = Seq("a", "a", "b", "b").toDF("k")
+    Stats.keySkewReport(uniform, "k")
+      .as[(Long, Long, Long, Long, Long, Double, Double)]
+      .head() shouldBe ((4L, 2L, 2L, 2L, 2L, 0.5, 1.0))
+  }
+
   test("giniConcentration: even corpus scores 0, hand-computed skew " +
       "matches the rank identity, null groups excluded") {
     // even: two groups x 3 rows each -> G = 0
