@@ -2340,6 +2340,14 @@ object SparkEntry {
       Stats.keySkewReport(t(s, dir, "events"), "user_id")
     }),
 
+    // privacy: ε-DP released group counts — deterministic seeded
+    // Laplace noise (the PortableHash convention, so the release
+    // replays bit-for-bit); only noised values leave the aggregation
+    "q190_dp_counts" -> ((s, dir) => {
+      graft.operators.Privacy.dpCounts(t(s, dir, "documents"),
+        Seq("lang", "source"), epsilon = 1.0)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6176,6 +6184,33 @@ object SparkEntry {
         |  round(CAST(mx AS DOUBLE) / nrows, 6) AS max_key_share,
         |  round(CAST(mx AS DOUBLE) / p50.qv, 6) AS skew_factor
         |FROM t, (SELECT qv FROM q WHERE p = 0.5) p50,
-        |  (SELECT qv FROM q WHERE p = 0.99) p99""".stripMargin
+        |  (SELECT qv FROM q WHERE p = 0.99) p99""".stripMargin,
+
+    // mirrors q190: identical md5-seeded inverse-CDF Laplace draw per
+    // group, same clamp, same double association
+    "q190_dp_counts" ->
+      s"""WITH c AS (
+         |  SELECT lang, source, count(*) AS n FROM documents
+         |  GROUP BY lang, source),
+         |k AS (
+         |  SELECT lang, source, n,
+         |    ${PortableHash.sqlHash60(
+        "'dp' || '|' || COALESCE(CAST(lang AS VARCHAR), ' null') " +
+        "|| '|' || COALESCE(CAST(source AS VARCHAR), ' null')")} AS h
+         |  FROM c),
+         |u AS (
+         |  SELECT lang, source, n,
+         |    CAST(h AS DOUBLE) / 1152921504606846976.0 - 0.5 AS uu
+         |  FROM k),
+         |d AS (
+         |  SELECT lang, source,
+         |    round(CAST(n AS DOUBLE) + (-(1.0) * sign(uu)
+         |      * ln(greatest(1.0 - 2.0 * abs(uu), 0.000000000001))), 6)
+         |      AS dp_count
+         |  FROM u)
+         |SELECT lang, source, dp_count,
+         |  CAST(greatest(round(dp_count, 0), 0.0) AS BIGINT)
+         |    AS dp_released
+         |FROM d""".stripMargin
   )
 }

@@ -477,6 +477,14 @@ object AlgoRegistry {
         config.getIntOpt("model_size").getOrElse(100000),
         config.getIntOpt("history_size").getOrElse(10000),
         config.getDouble("add_k", 0.5)))
+    // epsilon-DP released group counts (deterministic seeded Laplace)
+    case "DpCounts" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Privacy.dpCounts(df,
+        config.getSeq[String]("group_columns"),
+        config.getDouble("epsilon"),
+        config.getStringOpt("seed").getOrElse("dp")))
     // join-key skew report (the measured saltFactor input)
     case "KeySkewReport" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

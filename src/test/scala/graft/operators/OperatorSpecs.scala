@@ -824,6 +824,43 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dpCounts: deterministic seeded Laplace, clamp-bounded noise, " +
+      "per-group independent draws, true counts never in the output") {
+    val df = (Seq.fill(100)("en") ++ Seq.fill(50)("de") ++ Seq.fill(7)("fr"))
+      .toDF("lang")
+    val out = Privacy.dpCounts(df, Seq("lang"), epsilon = 1.0)
+    out.columns.toSeq shouldBe Seq("lang", "dp_count", "dp_released")
+    val m = out.as[(String, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // |noise| <= ln(1e12)/eps ~ 27.63 by the documented clamp
+    math.abs(m("en")._1 - 100.0) should be <= 27.7
+    math.abs(m("de")._1 - 50.0) should be <= 27.7
+    math.abs(m("fr")._1 - 7.0) should be <= 27.7
+    all(m.values.map(_._2)) should be >= 0L
+    // reproducible run-to-run (the verification property)...
+    Privacy.dpCounts(df, Seq("lang"), 1.0)
+      .as[(String, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap shouldBe m
+    // ...and per-group draws differ (not one shared noise value)
+    Set(m("en")._1 - 100.0, m("de")._1 - 50.0, m("fr")._1 - 7.0)
+      .size shouldBe 3
+    // a new seed is a NEW release (different noise)
+    val reseeded = Privacy.dpCounts(df, Seq("lang"), 1.0, seed = "dp2")
+      .as[(String, Double, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    reseeded("en") should not be m("en")._1
+    // tighter epsilon -> larger scale on the same underlying uniform
+    val loose = Privacy.dpCounts(df, Seq("lang"), 0.1)
+      .as[(String, Double, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    math.abs(loose("en") - 100.0) shouldBe
+      (10.0 * math.abs(m("en")._1 - 100.0)) +- 1e-4
+  }
+}
+
 class RedactSpec extends SparkSpec {
   import spark.implicits._
 
