@@ -2348,6 +2348,14 @@ object SparkEntry {
         Seq("lang", "source"), epsilon = 1.0)
     }),
 
+    // privacy: ε-DP noised per-type value sums with per-row clipping
+    // at 100 (the bounded-sensitivity recipe), independent draw from
+    // q190's count release (seed suffix)
+    "q191_dp_sums" -> ((s, dir) => {
+      graft.operators.Privacy.dpSum(t(s, dir, "events"),
+        Seq("event_type"), "value", clip = 100.0, epsilon = 1.0)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6211,6 +6219,30 @@ object SparkEntry {
          |SELECT lang, source, dp_count,
          |  CAST(greatest(round(dp_count, 0), 0.0) AS BIGINT)
          |    AS dp_released
-         |FROM d""".stripMargin
+         |FROM d""".stripMargin,
+
+    // mirrors q191: identical clip-then-sum, md5 draw with the "sum"
+    // seed suffix, Laplace scale clip/epsilon
+    "q191_dp_sums" ->
+      s"""WITH s AS (
+         |  SELECT event_type,
+         |    sum(least(greatest(COALESCE(CAST(value AS DOUBLE), 0.0),
+         |      -100.0), 100.0)) AS sv
+         |  FROM events GROUP BY event_type),
+         |k AS (
+         |  SELECT event_type, sv,
+         |    ${PortableHash.sqlHash60(
+        "'dp' || '|' || 'sum' || '|' || " +
+        "COALESCE(CAST(event_type AS VARCHAR), ' null')")} AS h
+         |  FROM s),
+         |u AS (
+         |  SELECT event_type, sv,
+         |    CAST(h AS DOUBLE) / 1152921504606846976.0 - 0.5 AS uu
+         |  FROM k)
+         |SELECT event_type,
+         |  round(sv + (-(100.0) * sign(uu)
+         |    * ln(greatest(1.0 - 2.0 * abs(uu), 0.000000000001))), 6)
+         |    AS dp_sum
+         |FROM u""".stripMargin
   )
 }

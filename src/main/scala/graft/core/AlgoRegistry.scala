@@ -485,6 +485,15 @@ object AlgoRegistry {
         config.getSeq[String]("group_columns"),
         config.getDouble("epsilon"),
         config.getStringOpt("seed").getOrElse("dp")))
+    // epsilon-DP noised group sums with per-row clipping
+    case "DpSum" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Privacy.dpSum(df,
+        config.getSeq[String]("group_columns"),
+        config.getString("value_column"), config.getDouble("clip"),
+        config.getDouble("epsilon"),
+        config.getStringOpt("seed").getOrElse("dp")))
     // join-key skew report (the measured saltFactor input)
     case "KeySkewReport" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -859,6 +859,26 @@ class PrivacySpec extends SparkSpec {
     math.abs(loose("en") - 100.0) shouldBe
       (10.0 * math.abs(m("en")._1 - 100.0)) +- 1e-4
   }
+
+  test("dpSum: per-row clipping bounds sensitivity, noise scale clip/ε, " +
+      "independent draw from the count release") {
+    val df = Seq(("a", Some(5.0)), ("a", Some(500.0)), ("a", Some(-500.0)),
+      ("b", Some(3.0)), ("b", None)).toDF("g", "v")
+    val out = Privacy.dpSum(df, Seq("g"), "v", clip = 10.0, epsilon = 1.0)
+      .as[(String, Double)].collect().toMap
+    // a: 5 + 10 - 10 = 5 clipped; |noise| <= 10*ln(1e12) ~ 276.3
+    math.abs(out("a") - 5.0) should be <= 276.4
+    math.abs(out("b") - 3.0) should be <= 276.4
+    // reproducible
+    Privacy.dpSum(df, Seq("g"), "v", 10.0, 1.0)
+      .as[(String, Double)].collect().toMap shouldBe out
+    // the sum draw differs from the count draw on the same seed/group
+    val counts = Privacy.dpCounts(df, Seq("g"), 1.0)
+      .as[(String, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    // noise_count(a) = dp_count - 3 rows; noise_sum(a)/10 would equal
+    // it if the draws were shared — they must not be
+    (out("a") - 5.0) / 10.0 should not be (counts("a") - 3.0)
+  }
 }
 
 class RedactSpec extends SparkSpec {
