@@ -2356,6 +2356,17 @@ object SparkEntry {
         Seq("event_type"), "value", clip = 100.0, epsilon = 1.0)
     }),
 
+    // sketch: Misra-Gries heavy hitters over the token stream — k=64
+    // exceeds the corpus's 31-token vocabulary, so the one-pass sketch
+    // is provably EXACT here and the oracle is the plain count (the
+    // approximate regime is spec-bounded instead)
+    "q192_heavy_hitters" -> ((s, dir) => {
+      Stats.heavyHitters(
+        t(s, dir, "documents")
+          .select(explode(Dedup.tokens(col("text"))).as("token")),
+        "token", k = 64)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6243,6 +6254,15 @@ object SparkEntry {
          |  round(sv + (-(100.0) * sign(uu)
          |    * ln(greatest(1.0 - 2.0 * abs(uu), 0.000000000001))), 6)
          |    AS dp_sum
-         |FROM u""".stripMargin
+         |FROM u""".stripMargin,
+
+    // mirrors q192: k >= vocab makes Misra-Gries exact == plain counts
+    "q192_heavy_hitters" ->
+      """SELECT t AS item, CAST(count(*) AS BIGINT) AS count_low
+        |FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents)
+        |WHERE t IS NOT NULL
+        |GROUP BY t""".stripMargin
   )
 }

@@ -494,6 +494,12 @@ object AlgoRegistry {
         config.getString("value_column"), config.getDouble("clip"),
         config.getDouble("epsilon"),
         config.getStringOpt("seed").getOrElse("dp")))
+    // one-pass Misra-Gries heavy hitters over an item column
+    case "HeavyHitters" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.heavyHitters(df,
+        config.getString("item_column"), config.getInt("k")))
     // join-key skew report (the measured saltFactor input)
     case "KeySkewReport" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -59,6 +59,10 @@ object GraftFunctions {
       arity("deflated_size", 1, args)
       DeflatedSizeExpr(args.head)
     })
+    GraftBridge.registerFunction(spark, "heavy_hitters", { args =>
+      arity("heavy_hitters", 2, args)
+      MisraGriesAgg(args.head, intLit("heavy_hitters", "k", args(1)))
+    })
     GraftBridge.registerFunction(spark, "lsh_signature", { args =>
       arity("lsh_signature", 3, args)
       LshSignatureExpr(args.head,

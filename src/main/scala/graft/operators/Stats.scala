@@ -265,6 +265,25 @@ object Stats {
           .as("skew_factor"))
   }
 
+  /** One-pass bounded-memory heavy hitters over a string item column —
+    * the native Misra-Gries aggregate
+    * ([[graft.functions.MisraGriesAgg]]): at most `k` counters per
+    * partition partial, associative merge, so the shuffle carries k
+    * counters per partition instead of the whole item domain (what a
+    * groupBy count pays). Every item with frequency > n/(k+1)
+    * survives; counts are lower bounds undercounting by at most
+    * n/(k+1), and are EXACT (order-independent) whenever k ≥ the
+    * distinct-item count. One row per surviving item:
+    * (item, count_low).
+    */
+  def heavyHitters(df: DataFrame, itemCol: String, k: Int): DataFrame =
+    df.filter(col(s"`$itemCol`").isNotNull)
+      .agg(graft.functions.MisraGriesAgg
+        .heavyHitters(col(s"`$itemCol`"), k).as("__hh"))
+      .select(explode(col("__hh")).as("__e"))
+      .select(col("__e.item").as("item"),
+        col("__e.count_low").as("count_low"))
+
   /** Gini coefficient of row mass across groups — 0 when every group
     * contributes equally, →1 when one group owns the corpus ("is this
     * dataset one crawl wearing twenty source labels"). One output row:

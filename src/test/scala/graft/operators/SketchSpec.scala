@@ -91,6 +91,45 @@ class SketchSpec extends SparkSpec {
     dj should be >= 0.0
   }
 
+  test("Misra-Gries heavy hitters: exact and partition-order-invariant " +
+      "when k >= distinct; approximate regime keeps the guarantees") {
+    val items = (Seq.fill(500)("hot") ++ Seq.fill(120)("warm") ++
+      (1 to 80).map(i => s"cold$i")).map(Tuple1(_))
+    val df = items.toDF("item")
+    // exact regime: k >= 82 distinct -> identical to groupBy counts,
+    // under ANY partitioning
+    val exact = Stats.heavyHitters(df, "item", k = 128)
+      .as[(String, Long)].collect().toMap
+    val truth = df.groupBy($"item").count()
+      .as[(String, Long)].collect().toMap
+    exact shouldBe truth
+    Stats.heavyHitters(df.repartition(7), "item", 128)
+      .as[(String, Long)].collect().toMap shouldBe truth
+    // approximate regime at k=4: n=700, undercount bound n/(k+1)=140;
+    // "hot" (500 > 140) MUST survive with a count in [360, 500]
+    val approx = Stats.heavyHitters(df.repartition(5), "item", 4)
+      .as[(String, Long)].collect().toMap
+    approx.size should be <= 4
+    approx.keySet should contain ("hot")
+    approx("hot") should be <= 500L
+    approx("hot") should be >= 360L
+    approx.foreach { case (item, low) =>
+      low should be <= truth(item) // counts are lower bounds
+    }
+    // null items are ignored
+    val withNull = df.unionByName(
+      Seq(Option.empty[String]).toDF("item"))
+    Stats.heavyHitters(withNull, "item", 128)
+      .as[(String, Long)].collect().toMap shouldBe truth
+    // SQL surface
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("hh_items")
+    spark.sql(
+      "SELECT explode(heavy_hitters(item, 128)) AS e FROM hh_items")
+      .select($"e.item", $"e.count_low").as[(String, Long)]
+      .collect().toMap shouldBe truth
+  }
+
   test("the k-smallest filter map-side prunes (WindowGroupLimit)") {
     val df = (1L to 1000L).map(i => ("a", i)).toDF("g", "id")
     val plan = DistinctSketch.kmvDistinct(df, "g", "id", k = 16)
