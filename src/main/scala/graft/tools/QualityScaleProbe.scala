@@ -60,8 +60,23 @@ object QualityScaleProbe {
         Seq("slow", "big", "vector", "zzz_unused"))
         .agg(count(lit(1)), sum(col("n_occurrences"))).head.getLong(0)
 
+    // heavy hitters vs exact count on a HIGH-CARDINALITY domain
+    // (token x doc-bucket: ~3M distinct) — the regime where the MG
+    // sketch's k-counters-per-partition shuffle beats shuffling the
+    // whole term domain
+    def items(d: DataFrame) = d
+      .select((col("doc_id") % 100000).cast("string").as("__b"),
+        explode(graft.operators.Dedup.tokens(col("text"))).as("__t"))
+      .select(concat_ws("_", col("__t"), col("__b")).as("item"))
+    def mg(d: DataFrame): Long =
+      graft.operators.Stats.heavyHitters(items(d), "item", 64).count()
+    def exactTop(d: DataFrame): Long =
+      items(d).groupBy(col("item")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("item")).limit(64).count()
+
     docs1.count(); docsN.count()
-    bigram(docs1); deflate(docs1); blocklist(docs1) // warmup
+    bigram(docs1); deflate(docs1); blocklist(docs1); mg(docs1)
+    exactTop(docs1) // warmup
 
     val (b1, tb1) = time(bigram(docs1))
     val (bN, tbN) = time(bigram(docsN))
@@ -74,10 +89,17 @@ object QualityScaleProbe {
     require(l1 == 4L && lN == 4L, s"blocklist rows: $l1 -> $lN")
     require(bN <= b1 * factor, s"bigram rows grew superlinearly: $b1 -> $bN")
 
+    val (_, tm1) = time(mg(docs1))
+    val (_, tmN) = time(mg(docsN))
+    val (_, tx1) = time(exactTop(docs1))
+    val (_, txN) = time(exactTop(docsN))
+
     println(f"""{"probe":"quality_scale","factor":$factor,""" +
       f""""bigram_lm":{"t1":$tb1%.2f,"tN":$tbN%.2f,"ratio":${tbN / tb1}%.1f,"docs1":$b1,"docsN":$bN},""" +
       f""""deflate":{"t1":$td1%.2f,"tN":$tdN%.2f,"ratio":${tdN / td1}%.1f},""" +
-      f""""blocklist":{"t1":$tl1%.2f,"tN":$tlN%.2f,"ratio":${tlN / tl1}%.1f}}""")
+      f""""blocklist":{"t1":$tl1%.2f,"tN":$tlN%.2f,"ratio":${tlN / tl1}%.1f},""" +
+      f""""mg_sketch":{"t1":$tm1%.2f,"tN":$tmN%.2f,"ratio":${tmN / tm1}%.1f},""" +
+      f""""exact_topk":{"t1":$tx1%.2f,"tN":$txN%.2f,"ratio":${txN / tx1}%.1f}}""")
     spark.stop()
   }
 }
