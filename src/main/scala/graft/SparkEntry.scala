@@ -2367,6 +2367,31 @@ object SparkEntry {
         "token", k = 64)
     }),
 
+    // streaming sketch: the q192 heavy hitters as a complete-mode
+    // streaming aggregate — the corpus staged as 4 files streamed at
+    // maxFilesPerTrigger=2, so the MG state MERGES across real
+    // micro-batches; k=64 >= vocab keeps it exact, same oracle shape
+    "q193_stream_heavy_hitters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val inDir = tmpDir("graft_q193_in")
+      docs.repartition(4).write.mode("overwrite").parquet(inDir)
+      EventStream.runHeavyHittersOnce(s, s.read.parquet(inDir).schema,
+        inDir, "token", k = 64, "q193_sink",
+        prepare = df => df.select(
+          explode(Dedup.tokens(col("text"))).as("token")),
+        maxFilesPerTrigger = Some(2))
+    }),
+
+    // sketch: per-source heavy hitters — the grouped MG face (one
+    // k-counter sketch per source group), exact at k=64 >= vocab
+    "q194_group_heavy_hitters" -> ((s, dir) => {
+      Stats.heavyHittersPerGroup(
+        t(s, dir, "documents")
+          .select(col("source"),
+            explode(Dedup.tokens(col("text"))).as("token")),
+        "source", "token", k = 64)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6263,6 +6288,26 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
         |  FROM documents)
         |WHERE t IS NOT NULL
-        |GROUP BY t""".stripMargin
+        |GROUP BY t""".stripMargin,
+
+    // mirrors q193: the streamed MG sketch stays exact at k >= vocab,
+    // so the oracle is q192's plain count
+    "q193_stream_heavy_hitters" ->
+      """SELECT t AS item, CAST(count(*) AS BIGINT) AS count_low
+        |FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents)
+        |WHERE t IS NOT NULL
+        |GROUP BY t""".stripMargin,
+
+    // mirrors q194: exact per-source counts at k >= vocab
+    "q194_group_heavy_hitters" ->
+      """SELECT source, t AS item, CAST(count(*) AS BIGINT) AS count_low
+        |FROM (
+        |  SELECT source,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents)
+        |WHERE t IS NOT NULL
+        |GROUP BY source, t""".stripMargin
   )
 }

@@ -284,6 +284,21 @@ object Stats {
       .select(col("__e.item").as("item"),
         col("__e.count_low").as("count_low"))
 
+  /** Grouped face of [[heavyHitters]]: one k-counter sketch per group
+    * (k counters per (partition, group) partial — bounded by
+    * k·|groups| total state, not by the item domain). One row per
+    * surviving (group, item): (group, item, count_low).
+    */
+  def heavyHittersPerGroup(df: DataFrame, groupCol: String,
+      itemCol: String, k: Int): DataFrame =
+    df.filter(col(s"`$itemCol`").isNotNull)
+      .groupBy(col(s"`$groupCol`"))
+      .agg(graft.functions.MisraGriesAgg
+        .heavyHitters(col(s"`$itemCol`"), k).as("__hh"))
+      .select(col(s"`$groupCol`"), explode(col("__hh")).as("__e"))
+      .select(col(s"`$groupCol`"), col("__e.item").as("item"),
+        col("__e.count_low").as("count_low"))
+
   /** Gini coefficient of row mass across groups — 0 when every group
     * contributes equally, →1 when one group owns the corpus ("is this
     * dataset one crawl wearing twenty source labels"). One output row:

@@ -320,6 +320,38 @@ object EventStream {
     * draining to a memory sink; returns the settled result. Used by tests
     * to prove the streaming path works end to end.
     */
+  /** One-shot streaming heavy hitters: Misra-Gries as a complete-mode
+    * streaming aggregate — the sketch's k-counter state lives in the
+    * state store and MERGES across micro-batches (the associativity the
+    * batch spec pins, exercised under real incremental execution).
+    * `prepare` derives the item column from the raw stream (e.g. a
+    * token explode); returns the exploded (item, count_low) frame.
+    */
+  def runHeavyHittersOnce(spark: SparkSession, schema: StructType,
+      inputDir: String, itemCol: String, k: Int, queryName: String,
+      prepare: DataFrame => DataFrame = identity,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val rd = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger
+      .fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+    val stream = prepare(reader.parquet(inputDir))
+    val agg = stream.filter(col(itemCol).isNotNull)
+      .agg(graft.functions.MisraGriesAgg
+        .heavyHitters(col(itemCol), k).as("hh"))
+    val q: StreamingQuery = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .select(explode(col("hh")).as("__e"))
+      .select(col("__e.item").as("item"),
+        col("__e.count_low").as("count_low"))
+  }
+
   def runOnce(spark: SparkSession, schema: StructType, inputDir: String,
       windowDur: String, queryName: String): DataFrame = {
     val stream = spark.readStream.schema(schema).parquet(inputDir)

@@ -300,6 +300,29 @@ class StreamingCurationSpec extends SparkSpec {
       .collect().toSet shouldBe Set(1L, 3L) // doc 2 blocklisted out
   }
 
+  test("streaming Misra-Gries: complete-mode state merges across " +
+      "micro-batches; exact regime equals the batch counts") {
+    val dir = tmp("stream_mg")
+    val batch = (Seq.fill(30)("hot") ++ Seq.fill(9)("warm") ++
+      (1 to 6).map(i => s"c$i")).map(Tuple1(_)).toDF("item")
+    batch.repartition(3).write.parquet(dir + "/p")
+    val out = graft.streaming.EventStream.runHeavyHittersOnce(spark,
+      batch.schema, dir + "/p", "item", k = 16, "mg_stream_test",
+      maxFilesPerTrigger = Some(1)) // 3+ real micro-batches
+    val truth = batch.groupBy($"item").count()
+      .as[(String, Long)].collect().toMap
+    out.as[(String, Long)].collect().toMap shouldBe truth
+    // approximate regime under streaming keeps the survival guarantee:
+    // n=45, k=2 -> bound 15; "hot" (30) must survive as a lower bound
+    val approx = graft.streaming.EventStream.runHeavyHittersOnce(spark,
+      batch.schema, dir + "/p", "item", k = 2, "mg_stream_approx",
+      maxFilesPerTrigger = Some(1))
+      .as[(String, Long)].collect().toMap
+    approx.keySet should contain ("hot")
+    approx("hot") should be <= 30L
+    approx.size should be <= 2
+  }
+
   test("runQualityChecksOnce: per-batch reports sum to the global " +
       "check, group-level rules refused") {
     val dir = tmp("stream_qc")
