@@ -2392,6 +2392,39 @@ object SparkEntry {
         "source", "token", k = 64)
     }),
 
+    // ML: one Lloyd iteration from the deterministic hash-sampled init —
+    // the k-means training kernel (literal-centroid assignment argmax +
+    // exact fixed-point centroid means via VectorSumAgg), emitted tall
+    "q195_kmeans_step" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.kmeansStep(emb, "vec_id", "embedding",
+          Similarity.selectCentroids(emb, "vec_id", "embedding", 8))
+        .select(col("cid"), col("n"),
+          posexplode(col("ce")).as(Seq("dim", "m")))
+        .select(col("cid"), col("dim"),
+          round(col("m").cast("double"), 6).as("mean"), col("n"))
+    }),
+
+    // tokenizer training: BPE round-1 pair counts over the corpus
+    // vocabulary (the only corpus-sized pass of BPE learning), top 30
+    // with full tie-break so the LIMIT edge is deterministic
+    "q196_bpe_pairs" -> ((s, dir) => {
+      Bpe.pairCounts(
+        Bpe.wordCounts(t(s, dir, "documents"), "text")
+          .select(col("freq"), Bpe.initialSymbols(col("word")).as("syms")))
+        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+        .limit(30)
+    }),
+
+    // tokenizer training: two full BPE merge rounds, oracle-unrolled —
+    // text pre-normalized to [a-z0-9 ] so the oracle's round-2 regex
+    // atom (the round-1 winner as a literal alternation) is regex-safe
+    "q197_bpe_learn" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " ").as("text"))
+      Bpe.learnMerges(docs, "text", nMerges = 2)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6308,6 +6341,101 @@ object SparkEntry {
         |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
         |  FROM documents)
         |WHERE t IS NOT NULL
-        |GROUP BY source, t""".stripMargin
+        |GROUP BY source, t""".stripMargin,
+
+    // mirrors q195: identical 8-centroid hash-sampled init, (cos DESC,
+    // cid ASC) assignment argmax, and EXACT fixed-point integer sums —
+    // the double->REAL->double cast chain reproduces kmeansStep's float
+    // centroid storage bit-for-bit, so round(…,6) can never straddle a
+    // tie. Empty clusters (LEFT JOIN miss) carry the old centroid, n=0.
+    "q195_kmeans_step" ->
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS ce FROM emb
+         |         ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |         LIMIT 8),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rk
+         |    FROM emb e CROSS JOIN cent c) WHERE rk = 1),
+         |q AS (SELECT a.cid, list_transform(e.embedding,
+         |        x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+         |      FROM assign a JOIN emb e USING (vec_id)),
+         |ex AS (SELECT cid, CAST(g - 1 AS INTEGER) AS dim, qv[g] AS x FROM (
+         |        SELECT cid, qv, unnest(generate_series(1, len(qv))) AS g
+         |        FROM q)),
+         |sums AS (SELECT cid, dim, CAST(sum(x) AS BIGINT) AS s,
+         |           CAST(count(*) AS BIGINT) AS n
+         |         FROM ex GROUP BY cid, dim),
+         |centd AS (SELECT cid, ce, CAST(g - 1 AS INTEGER) AS dim FROM (
+         |            SELECT cid, ce, unnest(generate_series(1, len(ce))) AS g
+         |            FROM cent))
+         |SELECT cd.cid, cd.dim,
+         |  CASE WHEN s.n IS NULL
+         |    THEN round(CAST(cd.ce[cd.dim + 1] AS DOUBLE), 6)
+         |    ELSE round(CAST(CAST(CAST(s.s AS DOUBLE)
+         |      / (CAST(s.n AS DOUBLE) * 1024.0) AS REAL) AS DOUBLE), 6)
+         |  END AS mean,
+         |  CAST(COALESCE(s.n, 0) AS BIGINT) AS n
+         |FROM centd cd LEFT JOIN sums s
+         |  ON s.cid = cd.cid AND s.dim = cd.dim""".stripMargin,
+
+    // mirrors q196: same whitespace tokenization, char+</w> symbol
+    // split, freq-weighted adjacent pair counts, same full tie-break
+    "q196_bpe_pairs" ->
+      """WITH tk AS (SELECT unnest(string_split_regex(trim(lower(text)),
+        |         '\s+')) AS w FROM documents),
+        |words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tk
+        |          WHERE w IS NOT NULL AND w <> '' GROUP BY w),
+        |syms AS (SELECT freq, list_append(list_transform(
+        |           generate_series(1, length(w)),
+        |           i -> substring(w, i, 1)), '</w>') AS s FROM words),
+        |pr AS (SELECT s[g] AS left_sym, s[g+1] AS right_sym, freq
+        |       FROM (SELECT s, freq,
+        |               unnest(generate_series(1, len(s)-1)) AS g
+        |             FROM syms WHERE len(s) >= 2))
+        |SELECT left_sym, right_sym,
+        |  CAST(sum(freq) AS BIGINT) AS pair_count
+        |FROM pr GROUP BY 1, 2
+        |ORDER BY pair_count DESC, left_sym, right_sym LIMIT 30""".stripMargin,
+
+    // mirrors q197: two unrolled BPE rounds. Round 2 re-derives the
+    // symbol split in the STRING domain: leftmost-first alternation
+    // '(<round-1 merged>|</w>|.)' is exactly the leftmost
+    // non-overlapping fold applyMerge performs (alnum-only tokens keep
+    // the atom literal-safe; '<', '>', '/' are not RE2 metacharacters)
+    "q197_bpe_learn" ->
+      """WITH tk AS (SELECT unnest(string_split_regex(trim(
+        |         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+        |         '\s+')) AS w FROM documents),
+        |words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tk
+        |          WHERE w IS NOT NULL AND w <> '' GROUP BY w),
+        |syms1 AS (SELECT freq, list_append(list_transform(
+        |            generate_series(1, length(w)),
+        |            i -> substring(w, i, 1)), '</w>') AS s FROM words),
+        |p1 AS (SELECT s[g] AS l, s[g+1] AS r,
+        |         CAST(sum(freq) AS BIGINT) AS pair_count
+        |       FROM (SELECT s, freq,
+        |               unnest(generate_series(1, len(s)-1)) AS g
+        |             FROM syms1 WHERE len(s) >= 2)
+        |       GROUP BY 1, 2),
+        |r1 AS (SELECT l, r, pair_count FROM p1
+        |       ORDER BY pair_count DESC, l, r LIMIT 1),
+        |syms2 AS (SELECT freq, regexp_extract_all(w || '</w>',
+        |            '(' || (SELECT l FROM r1) || (SELECT r FROM r1) ||
+        |            '|</w>|.)') AS s FROM words),
+        |p2 AS (SELECT s[g] AS l, s[g+1] AS r,
+        |         CAST(sum(freq) AS BIGINT) AS pair_count
+        |       FROM (SELECT s, freq,
+        |               unnest(generate_series(1, len(s)-1)) AS g
+        |             FROM syms2 WHERE len(s) >= 2)
+        |       GROUP BY 1, 2),
+        |r2 AS (SELECT l, r, pair_count FROM p2
+        |       ORDER BY pair_count DESC, l, r LIMIT 1)
+        |SELECT CAST(1 AS INTEGER) AS rank, l AS left_sym, r AS right_sym,
+        |  l || r AS merged, pair_count FROM r1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), l, r, l || r, pair_count FROM r2""".stripMargin
   )
 }

@@ -528,6 +528,34 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Similarity.principalComponent(df,
         config.getIntOpt("max_iter").getOrElse(100)))
+    // k-means centroid training over an embedding column (Lloyd's,
+    // deterministic hash-sampled init or a warm-start centroids_dir);
+    // the saved (cid, ce, n) table feeds AnnIvf-style retrieval
+    case "KMeansCentroids" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.kmeansCentroids(df,
+        config.getString("id_column"), config.getString("vector_column"),
+        config.getInt("k"),
+        config.getIntOpt("max_iters").getOrElse(10),
+        config.getDouble("tol", 1e-3),
+        config.getIntOpt("scale").getOrElse(1024).toLong,
+        config.getStringOpt("centroids_dir")
+          .map(d => spark.read.parquet(d))))
+    // BPE tokenizer training: learn n_merges merge rules (write once)
+    case "BpeVocab" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Bpe.learnMerges(df,
+        config.getString("text_column"), config.getInt("n_merges")))
+    // replay a saved BPE merge table onto a corpus vocabulary
+    case "BpeSegment" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Bpe.segmentVocabulary(df,
+        config.getString("text_column"),
+        spark.read.parquet(config.getString("merges_dir")),
+        config.getIntOpt("max_rules").getOrElse(64)))
     // frozen bigram model build (write once, score many)
     case "BigramModel" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

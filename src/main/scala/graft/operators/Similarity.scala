@@ -169,8 +169,20 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Int = 128,
+      nprobe: Int = 3, broadcastQueries: Boolean = true): DataFrame =
+    ivfTopKWith(queries, corpus, idCol, vecCol, k,
+      selectCentroids(corpus, idCol, vecCol, centroids), nprobe,
+      broadcastQueries)
+
+  /** [[ivfTopK]] against a CALLER-SUPPLIED centroid table (cid, ce) —
+    * the trained-centroids face: plug [[kmeansCentroids]] output (or any
+    * saved centroid artifact) in place of the hash-sampled selection.
+    * Same assignment argmax, probe set, and re-rank.
+    */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroidsDf: DataFrame,
       nprobe: Int = 3, broadcastQueries: Boolean = true): DataFrame = {
-    val cent = broadcast(selectCentroids(corpus, idCol, vecCol, centroids))
+    val cent = broadcast(centroidsDf.select(col("cid"), col("ce")))
     // nearest centroid per corpus vector: max_by over (cosine, -cid) —
     // a partial-aggregatable argmax with the same (cos DESC, cid ASC)
     // tie-break the window form (and the DuckDB oracle) uses
@@ -193,6 +205,110 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
     rerank(cand, queries, corpus, idCol, vecCol, k, broadcastQueries)
+  }
+
+  /** One Lloyd iteration over `cent` (cid, ce): assign every corpus
+    * vector to its nearest centroid by cosine (ties to the smaller cid —
+    * the same `(cos DESC, cid ASC)` argmax [[ivfTopK]] and the DuckDB
+    * oracle use), then recompute each centroid as the mean of its
+    * members. Returns (cid, ce, n); a centroid that captured no vectors
+    * keeps its old `ce` with n = 0, so k never silently shrinks.
+    *
+    * Scale shape — this is the whole point of the design:
+    *  - `cent` is PARAMETER-bounded (k rows); it is collected and
+    *    embedded as a plan literal (like the ≤8 MB bloom in
+    *    Decontaminate), so assignment is a NARROW map: an `array_max`
+    *    over the k-element literal per row — no join, no shuffle, no
+    *    window. One corpus scan per iteration.
+    *  - the centroid update is a groupBy(cid) over k groups whose
+    *    partial state is one d-long vector per (partition, cluster)
+    *    ([[graft.functions.VectorSumAgg]]) — the shuffle carries
+    *    ~partitions·k·d longs, never the corpus. A posexplode mean
+    *    would shuffle n·d rows.
+    *  - sums are EXACT fixed-point integers (`floor(x·scale)`), so the
+    *    result is partition-order-invariant and engine-portable
+    *    (the q186 covariance convention) — a double mean would be
+    *    accumulation-order noise. Quantization error ≤ 1/scale per
+    *    dimension per step, irrelevant to cluster geometry and
+    *    assignment (cosine is scale-invariant in the true value and
+    *    the error is two orders below the embedding noise floor).
+    */
+  def kmeansStep(corpus: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame, scale: Long = 1024L): DataFrame = {
+    val centRows = cent.select(col("cid"), col("ce")).collect()
+    require(centRows.nonEmpty, "kmeansStep needs at least one centroid")
+    val centLit = array(centRows.map { r =>
+      struct(lit(r.get(0)).as("cid"),
+        typedlit(r.getSeq[Float](1)).as("ce"))
+    }.toIndexedSeq: _*)
+    // argmax by struct ordering: (cos, -cid) max == (cos DESC, cid ASC)
+    val scored = transform(centLit,
+      c => struct(cosine(col("__v"), c("ce")).as("cs"),
+        (-c("cid")).as("ncid")))
+    val assigned = corpus
+      .select(col(vecCol).as("__v"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * scale).cast("long")).as("__q"))
+      .select((-array_max(scored)("ncid")).as("cid"), col("__q"))
+    val sums = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.VectorSumAgg.vectorSum(col("__q")).as("__s"))
+    cent.select(col("cid"), col("ce").as("__old"))
+      .join(sums, Seq("cid"), "left")
+      .select(col("cid"),
+        when(col("n").isNull, col("__old"))
+          .otherwise(transform(col("__s"),
+            s => (s.cast("double") /
+              (col("n").cast("double") * scale.toDouble)).cast("float")))
+          .as("ce"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Distributed spherical-ish k-means (Lloyd's): deterministic
+    * [[selectCentroids]] init, then [[kmeansStep]] iterations until no
+    * centroid component moves more than `tol` or `maxIters` is reached.
+    * Returns the final (cid, ce, n) centroid table — built from the
+    * k·d driver-side state (the same bounded driver loop MLlib's
+    * k-means runs), so callers can broadcast-join or persist it as an
+    * artifact and feed [[ivfTopKWith]].
+    *
+    * Cosine assignment + mean update: cosine is scale-invariant, so the
+    * un-normalized mean assigns identically to the normalized spherical
+    * update — no per-iteration normalization needed. Per iteration:
+    * one corpus scan, one k-wide shuffle (see [[kmeansStep]]); total
+    * cost is iterations × one scan, with NOTHING corpus-sized ever on
+    * the driver (k·d floats per round).
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIters: Int = 10, tol: Double = 1e-3,
+      scale: Long = 1024L, init: Option[DataFrame] = None): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(maxIters > 0, s"maxIters must be positive: $maxIters")
+    val spark = corpus.sparkSession
+    import scala.jdk.CollectionConverters._
+    // warm-start face: resume from a saved centroid artifact (cid, ce)
+    var cent = init.map(_.select(col("cid"), col("ce")))
+      .getOrElse(selectCentroids(corpus, idCol, vecCol, k))
+      .withColumn("n", lit(0L))
+    var prev: Map[Any, IndexedSeq[Float]] = Map.empty
+    var it = 0
+    var shift = Double.MaxValue
+    val schema = cent.schema
+    while (it < maxIters && shift > tol) {
+      val rows = kmeansStep(corpus, idCol, vecCol, cent, scale).collect()
+      val cur = rows.map(r =>
+        r.get(0) -> r.getSeq[Float](1).toIndexedSeq).toMap
+      shift =
+        if (prev.isEmpty) Double.MaxValue
+        else cur.map { case (cid, v) =>
+          val o = prev(cid)
+          v.indices.map(i => math.abs(v(i) - o(i)).toDouble).max
+        }.max
+      prev = cur
+      cent = spark.createDataFrame(rows.toList.asJava, schema)
+      it += 1
+    }
+    cent
   }
 
   /** Per-label embedding OUTLIERS: the `k` vectors of each label whose

@@ -2654,3 +2654,176 @@ class CharsetProfileSpec extends SparkSpec {
     out("zh") shouldBe (("zh", 1L, 4L, Some(0.5), Some(0.0), Some(0.0)))
   }
 }
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.DataFrame
+
+  private def centFrame(rows: (Long, Array[Float])*): DataFrame =
+    rows.toSeq.toDF("cid", "ce")
+
+  test("VectorSumAgg: exact element-wise sums, partition-order invariant, " +
+      "null arrays skipped") {
+    val df = Seq(
+      (1, Some(Array(1L, 2L, 3L))),
+      (1, Some(Array(10L, 20L, 30L))),
+      (1, None),
+      (2, Some(Array(-5L, 0L, 7L)))).toDF("g", "v")
+    def run(parts: Int) =
+      df.repartition(parts).groupBy($"g")
+        .agg(graft.functions.VectorSumAgg.vectorSum($"v").as("s"))
+        .select($"g", $"s").as[(Int, Seq[Long])].collect().sortBy(_._1)
+    val one = run(1)
+    one shouldBe Array((1, Seq(11L, 22L, 33L)), (2, Seq(-5L, 0L, 7L)))
+    run(7) shouldBe one
+  }
+
+  test("kmeansStep: exact grid means per cluster, cosine tie to smaller " +
+      "cid, empty centroid carried with n=0, no window/cartesian in plan") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.5f, 0.25f)),   // -> cid 10 (x-direction)
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(0.25f, 1.0f)))   // -> cid 20 (y-direction)
+      .toDF("vec_id", "embedding")
+    val cent = centFrame(
+      10L -> Array(1.0f, 0.0f), 20L -> Array(0.0f, 1.0f),
+      30L -> Array(-1.0f, 0.0f)) // captures nothing: all cosines < 0
+    val out = Similarity.kmeansStep(corpus, "vec_id", "embedding", cent)
+      .as[(Long, Seq[Float], Long)].collect().sortBy(_._1)
+    // quarters sit exactly on the 1/1024 grid: means are exact
+    out shouldBe Array(
+      (10L, Seq(0.75f, 0.125f), 2L),
+      (20L, Seq(0.125f, 1.0f), 2L),
+      (30L, Seq(-1.0f, 0.0f), 0L))
+    // [1,1] is equidistant from cid 10 and cid 20: tie goes to cid 10
+    val tie = Similarity.kmeansStep(
+      Seq((9L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding"), "vec_id",
+      "embedding", centFrame(10L -> Array(1.0f, 0.0f),
+        20L -> Array(0.0f, 1.0f)))
+      .as[(Long, Seq[Float], Long)].collect().sortBy(_._1)
+    tie.map(r => r._1 -> r._3) shouldBe Array(10L -> 1L, 20L -> 0L)
+    val plan = Similarity.kmeansStep(corpus, "vec_id", "embedding", cent)
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+  }
+
+  // three tight direction clusters, 20 points each, deterministic jitter
+  private lazy val clustered = (0 until 60).map { i =>
+    val c = i % 3
+    val base = Array(0.0f, 0.0f, 0.0f); base(c) = 1.0f
+    val j1 = 0.02f * ((i * 7 % 11) - 5)  // fixed pseudo-jitter, no RNG
+    val j2 = 0.02f * ((i * 13 % 11) - 5)
+    base((c + 1) % 3) += j1.abs; base((c + 2) % 3) += j2.abs
+    (i.toLong, base)
+  }.toDF("vec_id", "embedding")
+
+  test("kmeansCentroids: recovers the three direction clusters from a " +
+      "one-per-cluster warm start, is deterministic, and converges to a " +
+      "kmeansStep fixed point") {
+    val init = centFrame(
+      0L -> Array(1.0f, 0.0f, 0.0f),
+      1L -> Array(0.0f, 1.0f, 0.0f),
+      2L -> Array(0.0f, 0.0f, 1.0f))
+    def train() = Similarity.kmeansCentroids(clustered, "vec_id",
+      "embedding", k = 3, maxIters = 10, init = Some(init))
+    val out = train().as[(Long, Seq[Float], Long)].collect().sortBy(_._1)
+    out.map(_._3) shouldBe Array(20L, 20L, 20L) // each cluster captured whole
+    out.map(_._2.zipWithIndex.maxBy(_._1)._2) shouldBe Array(0, 1, 2)
+    // determinism: training twice yields identical centroids
+    train().as[(Long, Seq[Float], Long)].collect().sortBy(_._1) shouldBe out
+    // convergence: the trained table is a fixed point of one more step
+    val again = Similarity.kmeansStep(clustered, "vec_id", "embedding",
+      centFrame(out.map(r => r._1 -> r._2.toArray): _*))
+      .as[(Long, Seq[Float], Long)].collect().sortBy(_._1)
+    again shouldBe out
+  }
+
+  test("ivfTopKWith trained centroids: nprobe=1 top-1 matches brute force " +
+      "on the clustered corpus") {
+    val cent = Similarity.kmeansCentroids(clustered, "vec_id", "embedding",
+      k = 3, maxIters = 10, init = Some(centFrame(
+        0L -> Array(1.0f, 0.0f, 0.0f),
+        1L -> Array(0.0f, 1.0f, 0.0f),
+        2L -> Array(0.0f, 0.0f, 1.0f))))
+    val queries = clustered.filter($"vec_id" % 10 === 0)
+    def top1(df: DataFrame) = df
+      .groupBy($"query_id")
+      .agg(org.apache.spark.sql.functions.min_by($"neighbor_id",
+        org.apache.spark.sql.functions.struct(-$"cosine", $"neighbor_id"))
+        .as("n1"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val ivf = top1(Similarity.ivfTopKWith(queries, clustered, "vec_id",
+      "embedding", k = 2, centroidsDf = cent, nprobe = 1))
+    val brute = top1(Similarity.bruteForceTopK(queries, clustered,
+      "vec_id", "embedding", k = 2))
+    ivf shouldBe brute
+  }
+}
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // Sennrich et al.'s worked example: low x5, lower x2, newest x6, widest x3
+  private lazy val corpus = Seq(
+    (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    .toDF("text")
+
+  test("applyMerge: leftmost non-overlapping fold, merged symbol does " +
+      "not re-merge within the pass") {
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "b", "a", "b"),
+      Seq("b", "a")).toDF("syms")
+    df.select(Bpe.applyMerge($"syms", "a", "a").as("m")).as[Seq[String]]
+      .collect().head shouldBe Seq("aa", "a")
+    df.select(Bpe.applyMerge($"syms", "a", "b").as("m")).as[Seq[String]]
+      .collect()(1) shouldBe Seq("ab", "ab")
+    df.select(Bpe.applyMerge($"syms", "a", "b").as("m")).as[Seq[String]]
+      .collect()(2) shouldBe Seq("b", "a")
+  }
+
+  test("learnMerges: recovers the textbook merge sequence es -> est -> " +
+      "est</w> with lexicographic tie-breaks, deterministically") {
+    def learn() = Bpe.learnMerges(corpus, "text", nMerges = 3)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    val rules = learn()
+    rules shouldBe Array(
+      (1, "e", "s", "es", 9L),        // ties (e,s)/(s,t)/(t,</w>) at 9
+      (2, "es", "t", "est", 9L),      // tie (es,t)/(t,</w>... gone) -> est
+      (3, "est", "</w>", "est</w>", 9L))
+    learn() shouldBe rules
+  }
+
+  test("learnMerges stops early when every word is one symbol") {
+    val tiny = Seq("ab ab").toDF("text")
+    // ab -> a,b,</w>: merges (a,b)=2, then (ab,</w>)=2, then nothing
+    val rules = Bpe.learnMerges(tiny, "text", nMerges = 10)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    rules.map(r => (r._1, r._4, r._5)) shouldBe Array(
+      (1, "ab", 2L), (2, "ab</w>", 2L))
+  }
+
+  test("segmentVocabulary replays learned rules onto the vocabulary") {
+    val merges = Bpe.learnMerges(corpus, "text", nMerges = 3)
+    val seg = Bpe.segmentVocabulary(corpus, "text", merges)
+      .as[(String, Long, Seq[String])].collect()
+      .map(r => r._1 -> r._3).toMap
+    seg("newest") shouldBe Seq("n", "e", "w", "est</w>")
+    seg("widest") shouldBe Seq("w", "i", "d", "est</w>")
+    seg("low") shouldBe Seq("l", "o", "w", "</w>")
+    // wave-chunked replay (maxRules=1 -> three checkpointed waves) agrees
+    val seg1 = Bpe.segmentVocabulary(corpus, "text", merges, maxRules = 1)
+      .as[(String, Long, Seq[String])].collect().map(r => r._1 -> r._3).toMap
+    seg1 shouldBe seg
+  }
+
+  test("pairCounts: partition-order invariant (exact weighted sums)") {
+    val words = Bpe.wordCounts(corpus, "text")
+      .select($"freq", Bpe.initialSymbols($"word").as("syms"))
+    def run(parts: Int) = Bpe.pairCounts(words.repartition(parts))
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    run(1) shouldBe run(5)
+  }
+}
