@@ -2425,6 +2425,19 @@ object SparkEntry {
       Bpe.learnMerges(docs, "text", nMerges = 2)
     }),
 
+    // graph: one PageRank iteration over the customer -> supplier
+    // purchase graph (suppliers are all dangling — the redistribution
+    // path is live); fixed-point quantized contributions make the rank
+    // doubles bit-identical to the oracle's
+    "q198_pagerank_step" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + lit(1000000L)).as("dst"))
+        .distinct()
+      GraphRank.pageRankStep(GraphRank.initRanks(edges), edges)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6436,6 +6449,41 @@ object SparkEntry {
         |SELECT CAST(1 AS INTEGER) AS rank, l AS left_sym, r AS right_sym,
         |  l || r AS merged, pair_count FROM r1
         |UNION ALL
-        |SELECT CAST(2 AS INTEGER), l, r, l || r, pair_count FROM r2""".stripMargin
+        |SELECT CAST(2 AS INTEGER), l, r, l || r, pair_count FROM r2""".stripMargin,
+
+    // mirrors q198 pageRankStep arithmetic VERBATIM (operand order
+    // included): quantized long contribution sums are exact in both
+    // engines; every literal is CAST to DOUBLE because DuckDB parses
+    // bare decimal literals as DECIMAL, whose division is not IEEE
+    "q198_pagerank_step" ->
+      """WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |             CAST(l_suppkey AS BIGINT) + 1000000 AS dst
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT DISTINCT id FROM
+        |            (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS r
+        |       FROM nodes),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e
+        |        GROUP BY src),
+        |srcq AS (SELECT deg.src, CAST(floor(CAST(1000000000 AS DOUBLE)
+        |             * r0.r / deg.deg) AS BIGINT) AS q
+        |         FROM r0 JOIN deg ON r0.id = deg.src),
+        |contrib AS (SELECT e.dst, CAST(sum(srcq.q) AS BIGINT) AS qin
+        |            FROM e JOIN srcq ON e.src = srcq.src GROUP BY e.dst),
+        |dm AS (SELECT CAST(COALESCE(sum(CAST(floor(
+        |           CAST(1000000000 AS DOUBLE) * r0.r) AS BIGINT)), 0)
+        |         AS BIGINT) AS q
+        |       FROM r0 LEFT JOIN deg ON r0.id = deg.src
+        |       WHERE deg.src IS NULL)
+        |SELECT nd.id,
+        |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |  + CAST(0.85 AS DOUBLE)
+        |    * (CAST(COALESCE(c.qin, 0) AS DOUBLE)
+        |       / CAST(1000000000 AS DOUBLE))
+        |  + CAST(0.85 AS DOUBLE)
+        |    * (CAST((SELECT q FROM dm) AS DOUBLE)
+        |       / CAST(1000000000 AS DOUBLE) / (SELECT n FROM nn)) AS rank
+        |FROM nodes nd LEFT JOIN contrib c ON nd.id = c.dst""".stripMargin
   )
 }

@@ -542,6 +542,19 @@ object AlgoRegistry {
         config.getIntOpt("scale").getOrElse(1024).toLong,
         config.getStringOpt("centroids_dir")
           .map(d => spark.read.parquet(d))))
+    // PageRank over an edge table (src, dst) with configurable columns
+    case "PageRank" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.GraphRank.pageRank(
+        df.select(
+          org.apache.spark.sql.functions.col(
+            config.getStringOpt("src_column").getOrElse("src")).as("src"),
+          org.apache.spark.sql.functions.col(
+            config.getStringOpt("dst_column").getOrElse("dst")).as("dst")),
+        config.getIntOpt("max_iters").getOrElse(20),
+        config.getDouble("tol", 1e-6),
+        config.getDouble("damping", 0.85)))
     // BPE tokenizer training: learn n_merges merge rules (write once)
     case "BpeVocab" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** PageRank over an edge list — the iterative-graph companion to the
+  * pointer-jumping connected components in [[Dedup]] (entity/importance
+  * ranking over interaction graphs: purchase graphs, citation graphs,
+  * near-dup graphs).
+  *
+  * Per iteration (the standard distributed shape):
+  *  - out-degrees: one aggregation over edges;
+  *  - contributions: edges ⋈ ranks on src (shuffle on src), partial-
+  *    aggregated sum by dst (shuffle on dst) — nothing wider than the
+  *    edge list ever shuffles, ranks stay node-sized;
+  *  - dangling mass (nodes with no out-edges) redistributed uniformly —
+  *    ONE driver scalar per iteration.
+  *
+  * Determinism (the repo's replayability convention): per-edge
+  * contributions are quantized to fixed-point longs
+  * (`floor(scale·rank/deg)`), so the per-destination sums are EXACT
+  * integer arithmetic — partition-order-invariant and mirrorable in the
+  * DuckDB oracle; the only double operations are per-row with identical
+  * operand order in both engines. Quantization bounds the per-iteration
+  * rank error by indegree/scale (≤ 1e-9·indeg at the default scale) —
+  * far below `tol`.
+  */
+object GraphRank {
+
+  /** Uniform 1/N starting ranks over every node appearing in `edges`. */
+  def initRanks(edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val n = nodes.count()
+    require(n > 0, "empty edge list")
+    nodes.withColumn("rank", lit(1.0 / n))
+  }
+
+  /** One PageRank iteration: ranks (id, rank) × edges (src, dst) →
+    * updated (id, rank). Mirrored verbatim by the q198 oracle — keep
+    * the arithmetic shape (operand order, quantize points) in sync.
+    */
+  def pageRankStep(ranks: DataFrame, edges: DataFrame,
+      damping: Double = 0.85, scale: Long = 1000000000L): DataFrame = {
+    val n = ranks.count()
+    val nD = n.toDouble
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    // dangling mass: quantized rank of no-out-edge nodes, one scalar
+    val dmQ = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
+      .agg(coalesce(sum(floor(lit(scale.toDouble) * col("rank"))), lit(0L)))
+      .head.getLong(0)
+    // per-source quantized contribution, fanned out along edges
+    val srcQ = ranks.join(deg, ranks("id") === deg("src"))
+      .select(col("src"),
+        floor(lit(scale.toDouble) * col("rank") / col("__deg")).as("__q"))
+    val contrib = edges.join(srcQ, "src")
+      .groupBy(col("dst")).agg(sum(col("__q")).as("__qin"))
+    ranks.select(col("id"))
+      .join(contrib, ranks("id") === contrib("dst"), "left")
+      .select(col("id"),
+        (lit((1 - damping) / nD)
+          + lit(damping)
+            * (coalesce(col("__qin"), lit(0L)).cast("double")
+               / lit(scale.toDouble))
+          + lit(damping * (dmQ.toDouble / scale.toDouble / nD)))
+          .as("rank"))
+  }
+
+  /** Iterate [[pageRankStep]] until the largest per-node rank change is
+    * ≤ `tol` or `maxIters` is reached. Edges persist across rounds;
+    * rank frames chain through eager localCheckpoint-with-release (the
+    * connected-components loop convention) so lineage stays flat.
+    */
+  def pageRank(edges: DataFrame, maxIters: Int = 20, tol: Double = 1e-6,
+      damping: Double = 0.85, scale: Long = 1000000000L): DataFrame = {
+    require(maxIters > 0, s"maxIters must be positive: $maxIters")
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = initRanks(e).localCheckpoint()
+    var it = 0
+    var shift = Double.MaxValue
+    while (it < maxIters && shift > tol) {
+      val next = pageRankStep(ranks, e, damping, scale).localCheckpoint()
+      shift = next
+        .join(ranks.withColumnRenamed("rank", "__prev"), "id")
+        .agg(max(abs(col("rank") - col("__prev")))).head.getDouble(0)
+      ranks.unpersist()
+      ranks = next
+      it += 1
+    }
+    e.unpersist()
+    ranks
+  }
+}

@@ -2827,3 +2827,45 @@ class BpeSpec extends SparkSpec {
     run(1) shouldBe run(5)
   }
 }
+
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // A->B, B->A, A->C: C is dangling (appears only as a destination)
+  private lazy val edges =
+    Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("src", "dst")
+
+  test("pageRankStep: mass conserved, dangling mass redistributed, " +
+      "deterministic under repartitioning (exact quantized sums)") {
+    val r0 = GraphRank.initRanks(edges)
+    val out = GraphRank.pageRankStep(r0, edges)
+      .as[(String, Double)].collect().sortBy(_._1).toSeq
+    // total mass stays ~1 (quantization loses < 1e-8 per node)
+    out.map(_._2).sum shouldBe 1.0 +- 1e-7
+    val m = out.toMap
+    // a receives b's whole out-flow; b and c each get exactly half of
+    // a's, so they tie bit-for-bit
+    assert(m("a") > m("b") && m("b") == m("c"))
+    val rep = GraphRank.pageRankStep(r0, edges.repartition(7))
+      .as[(String, Double)].collect().sortBy(_._1).toSeq
+    rep shouldBe out // EXACT double equality: integer sums + same row ops
+  }
+
+  test("pageRankStep: uniform ranks are a fixed point on a ring") {
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val out = GraphRank.pageRankStep(GraphRank.initRanks(ring), ring)
+      .as[(Long, Double)].collect()
+    out.foreach(_._2 shouldBe (1.0 / 3) +- 1e-8)
+  }
+
+  test("pageRank converges to a step fixed point and keeps unit mass") {
+    val ranks = GraphRank.pageRank(edges, maxIters = 60, tol = 1e-12)
+    val again = GraphRank.pageRankStep(ranks, edges)
+      .withColumnRenamed("rank", "r2")
+    val drift = again.join(ranks, "id")
+      .agg(max(abs($"rank" - $"r2"))).head.getDouble(0)
+    drift should be < 1e-9
+    ranks.agg(sum($"rank")).head.getDouble(0) shouldBe 1.0 +- 1e-6
+  }
+}
