@@ -2438,6 +2438,20 @@ object SparkEntry {
       GraphRank.pageRankStep(GraphRank.initRanks(edges), edges)
     }),
 
+    // streaming ML scoring: nearest-centroid assignment per micro-batch
+    // (centroid artifact as a plan literal — stateless, no stream-static
+    // join; 4 staged files at maxFilesPerTrigger=2 force real batches)
+    "q199_stream_kmeans_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = Similarity.selectCentroids(emb, "vec_id", "embedding", 8)
+      val inDir = tmpDir("graft_q199_in")
+      emb.select(col("vec_id"), col("embedding"))
+        .repartition(4).write.mode("overwrite").parquet(inDir)
+      EventStream.runKMeansAssignOnce(s, s.read.parquet(inDir).schema,
+        inDir, cent, "vec_id", "embedding", "q199_sink",
+        maxFilesPerTrigger = Some(2))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6484,6 +6498,20 @@ object SparkEntry {
         |  + CAST(0.85 AS DOUBLE)
         |    * (CAST((SELECT q FROM dm) AS DOUBLE)
         |       / CAST(1000000000 AS DOUBLE) / (SELECT n FROM nn)) AS rank
-        |FROM nodes nd LEFT JOIN contrib c ON nd.id = c.dst""".stripMargin
+        |FROM nodes nd LEFT JOIN contrib c ON nd.id = c.dst""".stripMargin,
+
+    // mirrors q199: the q195 assignment argmax (8 hash-sampled
+    // centroids, cos DESC / cid ASC) — micro-batching must not change a
+    // stateless map, so the oracle is the plain batch assignment
+    "q199_stream_kmeans_assign" ->
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS ce FROM emb
+         |         ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |         LIMIT 8)
+         |SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rk
+         |  FROM emb e CROSS JOIN cent c) WHERE rk = 1""".stripMargin
   )
 }

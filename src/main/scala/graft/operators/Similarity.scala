@@ -233,23 +233,33 @@ object Similarity {
     *    assignment (cosine is scale-invariant in the true value and
     *    the error is two orders below the embedding noise floor).
     */
-  def kmeansStep(corpus: DataFrame, idCol: String, vecCol: String,
-      cent: DataFrame, scale: Long = 1024L): DataFrame = {
+  /** Stateless nearest-centroid assignment: the k centroids of `cent`
+    * (cid, ce) are collected (parameter-bounded) and embedded as a plan
+    * literal; the returned Column is an `array_max` argmax over it with
+    * the `(cos DESC, cid ASC)` tie-break — a NARROW per-row map with no
+    * join, shuffle, or state, so it applies unchanged to batch frames
+    * AND streaming micro-batches (the ML-scoring face,
+    * [[graft.streaming.EventStream.runKMeansAssignOnce]]).
+    */
+  def nearestCentroid(cent: DataFrame, vec: Column): Column = {
     val centRows = cent.select(col("cid"), col("ce")).collect()
-    require(centRows.nonEmpty, "kmeansStep needs at least one centroid")
+    require(centRows.nonEmpty, "nearestCentroid needs at least one centroid")
     val centLit = array(centRows.map { r =>
       struct(lit(r.get(0)).as("cid"),
         typedlit(r.getSeq[Float](1)).as("ce"))
     }.toIndexedSeq: _*)
     // argmax by struct ordering: (cos, -cid) max == (cos DESC, cid ASC)
     val scored = transform(centLit,
-      c => struct(cosine(col("__v"), c("ce")).as("cs"),
-        (-c("cid")).as("ncid")))
+      c => struct(cosine(vec, c("ce")).as("cs"), (-c("cid")).as("ncid")))
+    -array_max(scored)("ncid")
+  }
+
+  def kmeansStep(corpus: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame, scale: Long = 1024L): DataFrame = {
     val assigned = corpus
-      .select(col(vecCol).as("__v"),
+      .select(nearestCentroid(cent, col(vecCol)).as("cid"),
         transform(col(vecCol),
           x => floor(x.cast("double") * scale).cast("long")).as("__q"))
-      .select((-array_max(scored)("ncid")).as("cid"), col("__q"))
     val sums = assigned.groupBy(col("cid"))
       .agg(count(lit(1)).as("n"),
         graft.functions.VectorSumAgg.vectorSum(col("__q")).as("__s"))

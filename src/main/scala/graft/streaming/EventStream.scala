@@ -352,6 +352,37 @@ object EventStream {
         col("__e.count_low").as("count_low"))
   }
 
+  /** ML scoring on a stream: stateless nearest-centroid assignment per
+    * micro-batch. The trained centroid artifact rides in the plan as a
+    * k-element literal ([[graft.operators.Similarity.nearestCentroid]])
+    * — no stream-static join to re-evaluate per batch, no state store;
+    * each micro-batch is one narrow map, so AvailableNow over staged
+    * files (maxFilesPerTrigger forces several real batches) appends
+    * exactly the batch assignment.
+    */
+  def runKMeansAssignOnce(spark: SparkSession, schema: StructType,
+      inputDir: String, cent: DataFrame, idCol: String, vecCol: String,
+      queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val sink = s"${queryName}_${sinkSeq.incrementAndGet()}"
+    val rd = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger
+      .fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+    val assigned = reader.parquet(inputDir)
+      .select(col(idCol),
+        graft.operators.Similarity.nearestCentroid(cent, col(vecCol))
+          .as("cid"))
+    val q: StreamingQuery = assigned.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sink)
+  }
+
   def runOnce(spark: SparkSession, schema: StructType, inputDir: String,
       windowDur: String, queryName: String): DataFrame = {
     val stream = spark.readStream.schema(schema).parquet(inputDir)

@@ -869,3 +869,30 @@ class SplitBalanceSpec extends SparkSpec {
     out(("zh", "train"))._4 shouldBe 0.5
   }
 }
+
+class StreamKMeansSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Similarity
+
+  test("runKMeansAssignOnce: micro-batched assignment equals the batch " +
+      "assignment (stateless map, centroid literal, no stream-static join)") {
+    val emb = (0 until 40).map { i =>
+      val v = Array(0.0f, 0.0f); v(i % 2) = 1.0f + 0.01f * (i % 7)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cent = Seq((100L, Array(1.0f, 0.0f)), (200L, Array(0.0f, 1.0f)))
+      .toDF("cid", "ce")
+    val in = tmp("graft_skm_in")
+    emb.repartition(4).write.mode("overwrite").parquet(in)
+    val streamed = graft.streaming.EventStream.runKMeansAssignOnce(
+      spark, spark.read.parquet(in).schema, in, cent, "vec_id",
+      "embedding", "skm_test", maxFilesPerTrigger = Some(1))
+    val batch = emb.select($"vec_id",
+      Similarity.nearestCentroid(cent, $"embedding").as("cid"))
+    assertSameRows(streamed, batch)
+    streamed.as[(Long, Long)].collect().foreach { case (id, cid) =>
+      cid shouldBe (if (id % 2 == 0) 100L else 200L)
+    }
+  }
+}
