@@ -2452,6 +2452,28 @@ object SparkEntry {
         maxFilesPerTrigger = Some(2))
     }),
 
+    // sketch: per-type value quantiles via the mergeable KLL-style
+    // aggregate, pinned in its EXACT regime (k=65536 >= any per-type
+    // count here — no compaction fires, the MG-gate convention); the
+    // approximate regime is spec-bounded instead
+    "q200_quantile_sketch" -> ((s, dir) => {
+      Stats.sketchQuantilesPerGroup(t(s, dir, "events"), "event_type",
+        "value", Seq(0.1, 0.5, 0.9, 0.99), k = 65536)
+    }),
+
+    // sketch: q200's streaming face — the quantile sketch state merges
+    // across real micro-batches (4 files, maxFilesPerTrigger=2); exact
+    // regime, so the settled output equals the batch quantiles
+    "q201_stream_quantiles" -> ((s, dir) => {
+      val inDir = tmpDir("graft_q201_in")
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .repartition(4).write.mode("overwrite").parquet(inDir)
+      EventStream.runQuantileSketchOnce(s, s.read.parquet(inDir).schema,
+        inDir, "event_type", "value", Seq(0.1, 0.5, 0.9, 0.99),
+        k = 65536, "q201_sink", maxFilesPerTrigger = Some(2))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6512,6 +6534,45 @@ object SparkEntry {
          |  SELECT e.vec_id, c.cid,
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rk
-         |  FROM emb e CROSS JOIN cent c) WHERE rk = 1""".stripMargin
+         |  FROM emb e CROSS JOIN cent c) WHERE rk = 1""".stripMargin,
+
+    // mirrors q200 in the exact regime: the sketch estimator is type-1
+    // (smallest value whose cumulative weight >= max(1, ceil(p·n)));
+    // with unit weights that is the value at sorted rank ceil(p·n).
+    // The ceil runs on DOUBLE arithmetic in both engines (literals
+    // CAST — DuckDB would otherwise use DECIMAL and round differently)
+    "q200_quantile_sketch" ->
+      """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS value,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY value) AS rk,
+        |             count(*) OVER (PARTITION BY event_type) AS n
+        |           FROM events WHERE value IS NOT NULL),
+        |ps AS (SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |                      CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)])
+        |         AS p)
+        |SELECT v.event_type, ps.p, min(v.value) AS q_value,
+        |  CAST(max(v.n) AS BIGINT) AS n
+        |FROM v CROSS JOIN ps
+        |WHERE v.rk >= greatest(CAST(1 AS BIGINT),
+        |                       CAST(ceil(ps.p * v.n) AS BIGINT))
+        |GROUP BY v.event_type, ps.p""".stripMargin,
+
+    // mirrors q201: micro-batched sketch merges stay exact below k, so
+    // the oracle is q200's batch quantile SQL
+    "q201_stream_quantiles" ->
+      """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS value,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY value) AS rk,
+        |             count(*) OVER (PARTITION BY event_type) AS n
+        |           FROM events WHERE value IS NOT NULL),
+        |ps AS (SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |                      CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)])
+        |         AS p)
+        |SELECT v.event_type, ps.p, min(v.value) AS q_value,
+        |  CAST(max(v.n) AS BIGINT) AS n
+        |FROM v CROSS JOIN ps
+        |WHERE v.rk >= greatest(CAST(1 AS BIGINT),
+        |                       CAST(ceil(ps.p * v.n) AS BIGINT))
+        |GROUP BY v.event_type, ps.p""".stripMargin
   )
 }

@@ -542,6 +542,16 @@ object AlgoRegistry {
         config.getIntOpt("scale").getOrElse(1024).toLong,
         config.getStringOpt("centroids_dir")
           .map(d => spark.read.parquet(d))))
+    // per-group quantiles via the mergeable KLL-style sketch (bounded
+    // state; exact while groups hold < k values)
+    case "QuantileSketch" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Stats.sketchQuantilesPerGroup(df,
+        config.getString("group_column"), config.getString("value_column"),
+        config.getOpt[Seq[Double]]("ps").map(_ => config.getSeq[Double]("ps"))
+          .getOrElse(Seq(0.5, 0.95, 0.99)),
+        config.getIntOpt("k").getOrElse(4096)))
     // PageRank over an edge table (src, dst) with configurable columns
     case "PageRank" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

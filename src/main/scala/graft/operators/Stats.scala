@@ -875,4 +875,42 @@ object Stats {
           (col("n").cast("double") * least(col("__ka") - 1, col("__kb") - 1))),
           6)).as("v"))
   }
+
+  /** Per-group quantiles from the mergeable KLL-style sketch
+    * ([[graft.functions.QuantileSketchAgg]]): one row per (group, p)
+    * with the estimated value and the group's non-null count. One
+    * bounded-state aggregation — the shuffle carries ≤ k·log(n/k)
+    * (value, weight) pairs per (partition, group) instead of the whole
+    * value column; contrast with the exact type-1 paths
+    * ([[sessionstats]] machinery), which are exact but sort/shuffle
+    * group-sized data. Exact (and oracle-gated) while groups hold
+    * fewer than k values; rank error in the large-group regime is
+    * spec-bounded.
+    */
+  def sketchQuantilesPerGroup(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[Double], k: Int): DataFrame = {
+    require(ps.nonEmpty, "ps must be non-empty")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), s"quantiles in [0,1]: $ps")
+    require(ps.distinct.size == ps.size, s"duplicate quantiles: $ps")
+    import graft.functions.QuantileSketchAgg
+    quantilesFromSketches(
+      df.groupBy(col(groupCol))
+        .agg(QuantileSketchAgg.sketch(col(valueCol).cast("double"), k)
+          .as("__sk")),
+      groupCol, ps)
+  }
+
+  /** Expand a (group, __sk) sketch frame into (group, p, q_value, n)
+    * rows — shared by the batch and streaming quantile-sketch faces.
+    */
+  def quantilesFromSketches(sketches: DataFrame, groupCol: String,
+      ps: Seq[Double]): DataFrame = {
+    import graft.functions.QuantileSketchAgg
+    sketches
+      .select(col(groupCol), col("__sk"), explode(typedlit(ps)).as("p"))
+      .select(col(groupCol), col("p"),
+        QuantileSketchAgg.sketchQuantile(col("__sk"), col("p"))
+          .as("q_value"),
+        col("__sk")("n").as("n"))
+  }
 }

@@ -383,6 +383,35 @@ object EventStream {
     spark.table(sink)
   }
 
+  /** Streaming per-group quantiles: the KLL-style sketch runs as a
+    * complete-mode aggregate whose bounded (value, weight) state MERGES
+    * across real micro-batches (maxFilesPerTrigger forces several);
+    * quantiles are extracted from the settled sketch table.
+    */
+  def runQuantileSketchOnce(spark: SparkSession, schema: StructType,
+      inputDir: String, groupCol: String, valueCol: String,
+      ps: Seq[Double], k: Int, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val sink = s"${queryName}_${sinkSeq.incrementAndGet()}"
+    val rd = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger
+      .fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+    val agg = reader.parquet(inputDir)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.QuantileSketchAgg
+        .sketch(col(valueCol).cast("double"), k).as("__sk"))
+    val q: StreamingQuery = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.operators.Stats.quantilesFromSketches(
+      spark.table(sink), groupCol, ps)
+  }
+
   def runOnce(spark: SparkSession, schema: StructType, inputDir: String,
       windowDur: String, queryName: String): DataFrame = {
     val stream = spark.readStream.schema(schema).parquet(inputDir)

@@ -137,3 +137,71 @@ class SketchSpec extends SparkSpec {
     plan should include("WindowGroupLimit")
   }
 }
+
+class QuantileSketchSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("exact regime (n < k): per-group sketch quantiles equal the " +
+      "type-1 sorted-rank values, duplicates included, partition-" +
+      "order-invariant") {
+    val vals = Seq.tabulate(100)(i => ("a", (i % 25).toDouble)) ++
+      Seq.tabulate(30)(i => ("b", i.toDouble))
+    def run(parts: Int) =
+      Stats.sketchQuantilesPerGroup(
+        vals.toDF("g", "v").repartition(parts), "g", "v",
+        Seq(0.0, 0.25, 0.5, 0.9, 1.0), k = 4096)
+        .as[(String, Double, Double, Long)].collect()
+        .sortBy(r => (r._1, r._2))
+    val out = run(1)
+    def exact(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      s((math.max(1, math.ceil(p * s.length).toLong) - 1).toInt)
+    }
+    val aVals = vals.filter(_._1 == "a").map(_._2)
+    val bVals = vals.filter(_._1 == "b").map(_._2)
+    out.foreach { case (g, p, q, n) =>
+      val xs = if (g == "a") aVals else bVals
+      n shouldBe xs.length
+      q shouldBe exact(xs, p)
+    }
+    run(7) shouldBe out
+  }
+
+  test("approximate regime: bounded memory and bounded rank error on " +
+      "10k adversarially-sorted values at k=256") {
+    val n = 10000
+    val df = (0 until n).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val sk = df.groupBy($"g")
+      .agg(graft.functions.QuantileSketchAgg.sketch($"v", 256).as("sk"))
+      .select(org.apache.spark.sql.functions.size($"sk.items").as("sz"),
+        $"sk.n".as("n"))
+      .head
+    sk.getLong(1) shouldBe n
+    sk.getInt(0) should be < 1024 // ~k·log2(n/k) items, never n
+    val qs = Stats.sketchQuantilesPerGroup(df, "g", "v",
+      Seq(0.1, 0.5, 0.9), k = 256)
+      .as[(String, Double, Double, Long)].collect()
+    qs.foreach { case (_, p, q, _) =>
+      // value == true rank here (v = index), so rank error is |q - p·n|
+      math.abs(q - p * n) should be < (0.05 * n)
+    }
+    // deterministic: same input -> same sketch estimates
+    val qs2 = Stats.sketchQuantilesPerGroup(df, "g", "v",
+      Seq(0.1, 0.5, 0.9), k = 256)
+      .as[(String, Double, Double, Long)].collect()
+    qs2.sortBy(_._2) shouldBe qs.sortBy(_._2)
+  }
+
+  test("weight conservation: cumulative sketch weight equals n in the " +
+      "compacted regime, odd-sized levels included") {
+    // 999 values with k=16 forces many odd-size compactions
+    val df = (0 until 999).map(i => ("g", (i * 37 % 999).toDouble))
+      .toDF("g", "v")
+    val total = df.groupBy($"g")
+      .agg(graft.functions.QuantileSketchAgg.sketch($"v", 16).as("sk"))
+      .select(aggregate($"sk.items", lit(0L), (a, it) => a + it("w"))
+        .as("tw"), $"sk.n".as("n")).head
+    total.getLong(0) shouldBe total.getLong(1)
+  }
+}
