@@ -2474,6 +2474,26 @@ object SparkEntry {
         k = 65536, "q201_sink", maxFilesPerTrigger = Some(2))
     }),
 
+    // training data: deterministic negative sampling — 3 md5-addressed
+    // negatives per (customer, part) positive from the part universe
+    "q202_negative_samples" -> ((s, dir) => {
+      val pos = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("user_id"),
+          col("l_partkey").cast("long").as("item_id"))
+        .distinct()
+        .filter(col("user_id") % 10 === 0)
+      Sampling.negativeSamples(pos, "user_id", "item_id",
+        t(s, dir, "part").select(col("p_partkey").cast("long")
+          .as("item")), "item", k = 3)
+    }),
+
+    // training data: class-balanced upsampling of documents by language
+    "q203_upsample_balanced" -> ((s, dir) => {
+      Sampling.upsampleBalanced(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")), "lang")
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6573,6 +6593,43 @@ object SparkEntry {
         |FROM v CROSS JOIN ps
         |WHERE v.rk >= greatest(CAST(1 AS BIGINT),
         |                       CAST(ceil(ps.p * v.n) AS BIGINT))
-        |GROUP BY v.event_type, ps.p""".stripMargin
+        |GROUP BY v.event_type, ps.p""".stripMargin,
+
+    // mirrors q202: identical dense item index (row_number over sorted
+    // part keys), md5 slot hash mod |items|, own-positive collision drop
+    "q202_negative_samples" ->
+      s"""WITH pos AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS user_id,
+         |               CAST(l_partkey AS BIGINT) AS item_id
+         |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |p10 AS (SELECT * FROM pos WHERE user_id % 10 = 0),
+         |idx AS (SELECT item, row_number() OVER (ORDER BY item) - 1 AS ix
+         |        FROM (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS item
+         |              FROM part)),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM idx),
+         |draws AS (SELECT user_id, item_id, j,
+         |            ${PortableHash.sqlHash60(
+      "CAST(user_id AS VARCHAR) || ':' || CAST(item_id AS VARCHAR) " +
+        "|| ':' || CAST(j AS VARCHAR)")}
+         |              % (SELECT m FROM m) AS ix
+         |          FROM p10 CROSS JOIN
+         |            (SELECT unnest(generate_series(1, 3)) AS j))
+         |SELECT d.user_id, d.item_id, CAST(d.j AS INTEGER) AS j,
+         |  idx.item AS neg_item
+         |FROM draws d JOIN idx ON d.ix = idx.ix
+         |WHERE idx.item <> d.item_id""".stripMargin,
+
+    // mirrors q203: ceil copy count via the identical (mx + n - 1) / n
+    // double division in both engines
+    "q203_upsample_balanced" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY lang),
+        |mx AS (SELECT CAST(max(n) AS BIGINT) AS mx FROM c)
+        |SELECT d.doc_id, d.lang, CAST(g AS INTEGER) AS replica
+        |FROM documents d
+        |JOIN c ON d.lang = c.lang
+        |CROSS JOIN mx
+        |CROSS JOIN unnest(generate_series(1,
+        |  CAST(floor(CAST(mx.mx + c.n - 1 AS DOUBLE)
+        |             / CAST(c.n AS DOUBLE)) AS BIGINT))) AS t(g)""".stripMargin
   )
 }

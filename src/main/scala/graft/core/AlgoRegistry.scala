@@ -542,6 +542,21 @@ object AlgoRegistry {
         config.getIntOpt("scale").getOrElse(1024).toLong,
         config.getStringOpt("centroids_dir")
           .map(d => spark.read.parquet(d))))
+    // deterministic negative sampling for contrastive training
+    // (items_dir = the item universe table)
+    case "NegativeSamples" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.negativeSamples(df,
+        config.getString("user_column"), config.getString("item_column"),
+        spark.read.parquet(config.getString("items_dir")),
+        config.getString("item_id_column"), config.getInt("k")))
+    // class-balanced upsampling to the majority class size
+    case "UpsampleBalanced" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.upsampleBalanced(df,
+        config.getString("class_column")))
     // per-group quantiles via the mergeable KLL-style sketch (bounded
     // state; exact while groups hold < k values)
     case "QuantileSketch" => new TransformAlgorithm(spark, fsOps,

@@ -108,6 +108,64 @@ object Sampling {
     df.filter(col(weightCol).isNotNull && hashBucket(col(idCol)) < bound)
   }
 
+  /** Deterministic negative sampling — the contrastive-training
+    * primitive: for every positive (user, item) pair, draw `k`
+    * pseudo-random items from the `items` universe, one per slot j,
+    * addressed by `hash(user:item:j) mod |items|`. All randomness is the
+    * md5 hash (the [[hashBucket]] family), so the negative set replays
+    * bit-for-bit and mirrors in the oracle. A draw that collides with
+    * its own positive is dropped (the standard in-batch convention) —
+    * callers get ≤ k negatives per positive, never a wrong one.
+    *
+    * Scale: positives explode ×k map-side and broadcast-join the
+    * dimension-sized indexed item table; the only window is the dense
+    * index over `items` (dimension-sized, one-off — persist it for
+    * repeated epochs). Nothing corpus-sized shuffles.
+    */
+  def negativeSamples(pos: DataFrame, userCol: String, itemCol: String,
+      items: DataFrame, itemIdCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    val idx = items.select(col(itemIdCol).as("__item")).distinct()
+      .withColumn("__ix",
+        row_number().over(Window.orderBy(col("__item"))) - 1)
+    val m = idx.count() // dimension-sized scalar
+    require(m > 1, s"need at least two items to sample negatives: $m")
+    pos.select(col(userCol), col(itemCol),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("__ix", pmod(
+        conv(substring(md5(concat_ws(":",
+          col(userCol).cast("string"), col(itemCol).cast("string"),
+          col("j").cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(m)))
+      .join(broadcast(idx), Seq("__ix"))
+      .filter(col("__item") =!= col(itemCol))
+      .select(col(userCol), col(itemCol), col("j"),
+        col("__item").as("neg_item"))
+  }
+
+  /** Class-balanced upsampling: replicate every row of class c
+    * `ceil(maxClassCount / n_c)` times (a `replica` index column marks
+    * the copies), so every class reaches at least the majority class's
+    * size — the imbalance fix that upsamples rather than discards
+    * majority data. The copy count uses exact INTEGER arithmetic
+    * ((mx + n − 1) quotient), deterministic and oracle-mirrorable.
+    *
+    * Scale: class counts are a map-combinable aggregate (class-sized,
+    * broadcast back); replication is a narrow `explode(sequence)` — no
+    * window, nothing group-sized in one task.
+    */
+  def upsampleBalanced(df: DataFrame, classCol: String): DataFrame = {
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+    val mx = counts.agg(max(col("__n")).as("__mx"))
+    val copies = floor((col("__mx") + col("__n") - 1).cast("double")
+      / col("__n").cast("double")).cast("int")
+    df.join(broadcast(counts), classCol)
+      .crossJoin(broadcast(mx))
+      .withColumn("replica", explode(sequence(lit(1), copies)))
+      .select(df.columns.map(col).toIndexedSeq :+ col("replica"): _*)
+  }
+
   /** Deterministic per-group cap: keep at most `maxPerGroup` rows of each
     * group (per-source / per-domain balancing — the C4/RefinedWeb-style
     * guard against one domain dominating the corpus). WHICH rows survive

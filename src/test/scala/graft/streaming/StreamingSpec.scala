@@ -896,3 +896,43 @@ class StreamKMeansSpec extends SparkSpec {
     }
   }
 }
+
+class TrainingSamplersSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Sampling
+
+  test("negativeSamples: deterministic, never the own positive, at most " +
+      "k per positive, drawn from the item universe") {
+    val pos = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("u", "i")
+    val items = (10L to 19L).toDF("item")
+    def run() = Sampling.negativeSamples(pos, "u", "i", items, "item", k = 5)
+      .as[(Long, Long, Int, Long)].collect().sortBy(r => (r._1, r._2, r._3))
+    val out = run()
+    out shouldBe run() // replays bit-for-bit
+    out.foreach { case (_, i, j, neg) =>
+      neg should not be i
+      (10L to 19L) should contain(neg)
+      j should (be >= 1 and be <= 5)
+    }
+    out.groupBy(r => (r._1, r._2)).foreach(_._2.length should be <= 5)
+    // the (1,10) and (2,10) positives draw DIFFERENT negatives (user in
+    // the hash): sampling is per-pair, not per-item
+    val by = out.groupBy(r => (r._1, r._2))
+      .view.mapValues(_.map(r => r._3 -> r._4).toMap).toMap
+    by((1L, 10L)) should not be by((2L, 10L))
+  }
+
+  test("upsampleBalanced: every class reaches >= the majority size " +
+      "within one replication, replica indices are dense from 1") {
+    val df = (1 to 10).map(i => (i.toLong, "big")) ++
+      Seq((100L, "small"), (101L, "small"), (102L, "small"))
+    val out = Sampling.upsampleBalanced(df.toDF("id", "cls"), "cls")
+      .as[(Long, String, Int)].collect()
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    sizes("big") shouldBe 10               // majority: one copy each
+    sizes("small") shouldBe 12             // ceil(10/3)=4 copies x 3 rows
+    out.filter(_._1 == 100L).map(_._3).sorted shouldBe Seq(1, 2, 3, 4)
+    out.filter(_._1 == 1L).map(_._3) shouldBe Seq(1)
+  }
+}
