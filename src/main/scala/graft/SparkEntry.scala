@@ -2494,6 +2494,29 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang")), "lang")
     }),
 
+    // tokenizer: segmentVocabulary replaying a freshly-learned 1-rule
+    // merge table — the learn -> segment artifact handoff, end to end
+    "q204_bpe_segment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " ").as("text"))
+      Bpe.segmentVocabulary(docs, "text",
+          Bpe.learnMerges(docs, "text", nMerges = 1))
+        .select(col("word"), col("freq"),
+          concat_ws(" ", col("syms")).as("segmented"))
+    }),
+
+    // ML: the kmeansCentroids LOOP at maxIters=1 — init, one step, and
+    // the driver-side centroid-table rebuild, gated with q195's oracle
+    "q205_kmeans_train" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8,
+          maxIters = 1)
+        .select(col("cid"), col("n"),
+          posexplode(col("ce")).as(Seq("dim", "m")))
+        .select(col("cid"), col("dim"),
+          round(col("m").cast("double"), 6).as("mean"), col("n"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6630,6 +6653,68 @@ object SparkEntry {
         |CROSS JOIN mx
         |CROSS JOIN unnest(generate_series(1,
         |  CAST(floor(CAST(mx.mx + c.n - 1 AS DOUBLE)
-        |             / CAST(c.n AS DOUBLE)) AS BIGINT))) AS t(g)""".stripMargin
+        |             / CAST(c.n AS DOUBLE)) AS BIGINT))) AS t(g)""".stripMargin,
+
+    // mirrors q204: learn round 1 (q197's r1 CTE), then segment every
+    // vocabulary word with the single learned rule via the same
+    // leftmost-first alternation, symbols joined by spaces
+    "q204_bpe_segment" ->
+      """WITH tk AS (SELECT unnest(string_split_regex(trim(
+        |         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+        |         '\s+')) AS w FROM documents),
+        |words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tk
+        |          WHERE w IS NOT NULL AND w <> '' GROUP BY w),
+        |syms1 AS (SELECT freq, list_append(list_transform(
+        |            generate_series(1, length(w)),
+        |            i -> substring(w, i, 1)), '</w>') AS s FROM words),
+        |p1 AS (SELECT s[g] AS l, s[g+1] AS r,
+        |         CAST(sum(freq) AS BIGINT) AS pair_count
+        |       FROM (SELECT s, freq,
+        |               unnest(generate_series(1, len(s)-1)) AS g
+        |             FROM syms1 WHERE len(s) >= 2)
+        |       GROUP BY 1, 2),
+        |r1 AS (SELECT l, r FROM p1
+        |       ORDER BY pair_count DESC, l, r LIMIT 1)
+        |SELECT w AS word, freq,
+        |  array_to_string(regexp_extract_all(w || '</w>',
+        |    '(' || (SELECT l FROM r1) || (SELECT r FROM r1) ||
+        |    '|</w>|.)'), ' ') AS segmented
+        |FROM words""".stripMargin,
+
+    // q205 = q195's oracle: the maxIters=1 training loop returns exactly
+    // one step from the hash-sampled init (the driver rebuild is an
+    // identity on values)
+    "q205_kmeans_train" ->
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS ce FROM emb
+         |         ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |         LIMIT 8),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rk
+         |    FROM emb e CROSS JOIN cent c) WHERE rk = 1),
+         |q AS (SELECT a.cid, list_transform(e.embedding,
+         |        x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+         |      FROM assign a JOIN emb e USING (vec_id)),
+         |ex AS (SELECT cid, CAST(g - 1 AS INTEGER) AS dim, qv[g] AS x FROM (
+         |        SELECT cid, qv, unnest(generate_series(1, len(qv))) AS g
+         |        FROM q)),
+         |sums AS (SELECT cid, dim, CAST(sum(x) AS BIGINT) AS s,
+         |           CAST(count(*) AS BIGINT) AS n
+         |         FROM ex GROUP BY cid, dim),
+         |centd AS (SELECT cid, ce, CAST(g - 1 AS INTEGER) AS dim FROM (
+         |            SELECT cid, ce, unnest(generate_series(1, len(ce))) AS g
+         |            FROM cent))
+         |SELECT cd.cid, cd.dim,
+         |  CASE WHEN s.n IS NULL
+         |    THEN round(CAST(cd.ce[cd.dim + 1] AS DOUBLE), 6)
+         |    ELSE round(CAST(CAST(CAST(s.s AS DOUBLE)
+         |      / (CAST(s.n AS DOUBLE) * 1024.0) AS REAL) AS DOUBLE), 6)
+         |  END AS mean,
+         |  CAST(COALESCE(s.n, 0) AS BIGINT) AS n
+         |FROM centd cd LEFT JOIN sums s
+         |  ON s.cid = cd.cid AND s.dim = cd.dim""".stripMargin
   )
 }

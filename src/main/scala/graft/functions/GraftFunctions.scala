@@ -30,56 +30,74 @@ object GraftFunctions {
     require(args.length == n,
       s"$fn expects $n argument(s), got ${args.length}")
 
-  /** Idempotent per-session registration of all graft SQL functions. */
-  def register(spark: SparkSession): Unit = {
-    GraftBridge.registerFunction(spark, "nfc_normalize", { args =>
+  /** (name, builder) for every graft SQL function — consumed by both
+    * the per-session [[register]] and the `spark.sql.extensions` path
+    * ([[graft.core.GraftExtensions]] injects the same list, so a plain
+    * `spark-submit --conf spark.sql.extensions=graft.core.GraftExtensions`
+    * session gets every function with no code-side registration call).
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "nfc_normalize" -> { args =>
       arity("nfc_normalize", 1, args)
       NfcNormalizeExpr(args.head)
-    })
-    GraftBridge.registerFunction(spark, "shingle_hashes", { args =>
+    },
+    "shingle_hashes" -> { args =>
       arity("shingle_hashes", 2, args)
       ShingleHashExpr(args.head, intLit("shingle_hashes", "n", args(1)))
-    })
-    GraftBridge.registerFunction(spark, "shingle_minhash", { args =>
+    },
+    "shingle_minhash" -> { args =>
       arity("shingle_minhash", 3, args)
       ShingleMinHashExpr(args.head,
         intLit("shingle_minhash", "n", args(1)),
         intLit("shingle_minhash", "k", args(2)))
-    })
-    GraftBridge.registerFunction(spark, "minhash_signature", { args =>
+    },
+    "minhash_signature" -> { args =>
       arity("minhash_signature", 2, args)
       MinHashSignatureExpr(args.head,
         intLit("minhash_signature", "k", args(1)))
-    })
-    GraftBridge.registerFunction(spark, "simhash64", { args =>
+    },
+    "simhash64" -> { args =>
       arity("simhash64", 1, args)
       SimHashExpr(args.head)
-    })
-    GraftBridge.registerFunction(spark, "deflated_size", { args =>
+    },
+    "deflated_size" -> { args =>
       arity("deflated_size", 1, args)
       DeflatedSizeExpr(args.head)
-    })
-    GraftBridge.registerFunction(spark, "heavy_hitters", { args =>
+    },
+    "heavy_hitters" -> { args =>
       arity("heavy_hitters", 2, args)
       MisraGriesAgg(args.head, intLit("heavy_hitters", "k", args(1)))
-    })
-    GraftBridge.registerFunction(spark, "lsh_signature", { args =>
+    },
+    "lsh_signature" -> { args =>
       arity("lsh_signature", 3, args)
       LshSignatureExpr(args.head,
         intLit("lsh_signature", "bits", args(1)),
         intLit("lsh_signature", "table", args(2)))
-    })
-    GraftBridge.registerFunction(spark, "quantize_vector", { args =>
+    },
+    "quantize_vector" -> { args =>
       arity("quantize_vector", 1, args)
       QuantizeVectorExpr(args.head)
-    })
-    GraftBridge.registerFunction(spark, "cosine_similarity", { args =>
+    },
+    "cosine_similarity" -> { args =>
       arity("cosine_similarity", 2, args)
       CosineSimilarityExpr(args.head, args(1))
-    })
-    GraftBridge.registerFunction(spark, "feature_hash", { args =>
+    },
+    "feature_hash" -> { args =>
       arity("feature_hash", 2, args)
       FeatureHashExpr(args.head, intLit("feature_hash", "dims", args(1)))
+    },
+    "vector_sum" -> { args =>
+      arity("vector_sum", 1, args)
+      VectorSumAgg(args.head)
+    },
+    "quantile_sketch" -> { args =>
+      arity("quantile_sketch", 2, args)
+      QuantileSketchAgg(args.head, intLit("quantile_sketch", "k", args(1)))
     })
-  }
+
+  /** Idempotent per-session registration of all graft SQL functions. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      GraftBridge.registerFunction(spark, name, b)
+    }
 }

@@ -861,3 +861,56 @@ class SqlRunnerBoundSpec extends SparkSpec {
     out.collect().head.getLong(0) shouldBe 500000L
   }
 }
+
+class GraftExtensionsSpec extends SparkSpec {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.functions._
+
+  // a session built ONLY through the extension mechanism: cleared
+  // default forces a new SparkSession (shared context), whose function
+  // registry holds nothing but what GraftExtensions injected
+  private lazy val fresh: SparkSession = {
+    val _ = spark.sparkContext // ensure the shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = graft.core.Session.builder("graft-ext-test")
+      .master("local[2]").getOrCreate()
+    SparkSession.setDefaultSession(spark)
+    SparkSession.setActiveSession(spark)
+    s
+  }
+
+  test("injected SQL functions work with no register() call — scalar, " +
+      "codegen expression, and both native aggregates") {
+    fresh.sql("SELECT simhash64(array('abc', 'def')) AS h").collect()
+      .length shouldBe 1
+    fresh.sql(
+      "SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c")
+      .collect().head.getDouble(0) shouldBe 1.0
+    val hh = fresh.sql(
+      "SELECT heavy_hitters(x, 4) AS hh FROM VALUES ('a'), ('a'), ('b') t(x)")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    hh.head.getString(0) shouldBe "a"
+    val qs = fresh.sql(
+      "SELECT quantile_sketch(CAST(x AS DOUBLE), 64) AS s " +
+        "FROM VALUES (1), (2), (3) t(x)").collect().head.getStruct(0)
+    qs.getLong(0) shouldBe 3L
+  }
+
+  test("CartesianGuard: off by default, fails unhinted cartesians when " +
+      "enabled, allows broadcast-hinted ones") {
+    import fresh.implicits._
+    val a = Seq(1, 2).toDF("x")
+    val b = Seq(3, 4).toDF("y")
+    a.crossJoin(b).count() shouldBe 4 // default off
+    fresh.conf.set("spark.graft.failOnCartesian", "true")
+    try {
+      val e = intercept[Throwable] { a.crossJoin(b).count() }
+      e.getMessage should include("cartesian guard")
+      a.crossJoin(broadcast(b)).count() shouldBe 4 // hinted side allowed
+      a.join(b, $"x" === $"y").count() shouldBe 0  // conditioned join fine
+    } finally fresh.conf.set("spark.graft.failOnCartesian", "false")
+    a.crossJoin(b).count() shouldBe 4
+  }
+}
