@@ -73,14 +73,26 @@ object GraphRank {
     * connected-components loop convention) so lineage stays flat.
     */
   def pageRank(edges: DataFrame, maxIters: Int = 20, tol: Double = 1e-6,
-      damping: Double = 0.85, scale: Long = 1000000000L): DataFrame = {
+      damping: Double = 0.85, scale: Long = 0L): DataFrame = {
     require(maxIters > 0, s"maxIters must be positive: $maxIters")
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = initRanks(e).localCheckpoint()
+    // scale = 0 → N-adaptive grid: ranks sit near 1/N, so a FIXED grid
+    // loses relative precision as the graph grows (measured: 1.2% mass
+    // deficit after 3 iterations on a 1.6M-node graph at 1e9 — see
+    // GraphScaleProbe / PLANS.md); ~1e6 grid units per average rank
+    // keeps per-iteration loss ≤ ~1e-6 at any N, capped so k·scale
+    // stays far from Long range
+    val qScale =
+      if (scale > 0) scale
+      else {
+        val n = ranks.count()
+        math.min(1000000000000000L, math.max(1000000000L, n * 1000000L))
+      }
     var it = 0
     var shift = Double.MaxValue
     while (it < maxIters && shift > tol) {
-      val next = pageRankStep(ranks, e, damping, scale).localCheckpoint()
+      val next = pageRankStep(ranks, e, damping, qScale).localCheckpoint()
       shift = next
         .join(ranks.withColumnRenamed("rank", "__prev"), "id")
         .agg(max(abs(col("rank") - col("__prev")))).head.getDouble(0)
