@@ -2517,6 +2517,21 @@ object SparkEntry {
           round(col("m").cast("double"), 6).as("mean"), col("n"))
     }),
 
+    // multimodal: byte-level near-dup pairs without decoding — 97
+    // payload families whose members differ only in a '::v2' suffix on
+    // every 5th id (the tweaked-header/extended-tail case exact media
+    // dedup misses); simhash over non-overlapping 4-byte hex chunks
+    "q206_media_neardup" -> ((s, dir) => {
+      val media = Multimodal.asMedia(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("HDR:"),
+            repeat(md5((col("doc_id") % 97).cast("string")), 6),
+            when(col("doc_id") % 5 === 0, lit("::v2")).otherwise(lit("")))
+            .as("blob")),
+        "doc_id", "blob", "application/octet-stream")
+      Multimodal.mediaNearDupPairs(media, "doc_id", "payload")
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6617,6 +6632,42 @@ object SparkEntry {
         |WHERE v.rk >= greatest(CAST(1 AS BIGINT),
         |                       CAST(ceil(ps.p * v.n) AS BIGINT))
         |GROUP BY v.event_type, ps.p""".stripMargin,
+
+    // mirrors q206: the q22 simhash pipeline over hex-chunk tokens of
+    // the synthesized payload blobs (DuckDB hex() is uppercase like
+    // Spark's; both lowercase before tokenizing)
+    "q206_media_neardup" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST('HDR:' ||
+         |      repeat(md5(CAST(doc_id % 97 AS VARCHAR)), 6) ||
+         |      CASE WHEN doc_id % 5 = 0 THEN '::v2' ELSE '' END
+         |      AS BLOB) AS payload
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(
+         |    regexp_replace(hex(payload), '(.{8})', '\\1 ', 'g'))),
+         |    '\\s+') AS tk
+         |  FROM m),
+         |hs AS (
+         |  SELECT doc_id, len(tk) AS n,
+         |    list_transform(tk, t -> ${PortableHash.sqlHash60("t")}) AS hl
+         |  FROM toks),
+         |fp AS (SELECT doc_id,
+         |  $simhashSql AS simhash
+         |  FROM hs),
+         |banded AS (
+         |  SELECT doc_id, simhash, band,
+         |    (simhash >> shft) & mask AS chunk
+         |  FROM fp, (VALUES ${simhashBandsSql(7)}) AS bands(band, shft, mask)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.simhash AS fa, b.simhash AS fb
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= 7""".stripMargin,
 
     // mirrors q202: identical dense item index (row_number over sorted
     // part keys), md5 slot hash mod |items|, own-positive collision drop

@@ -542,6 +542,14 @@ object AlgoRegistry {
         config.getIntOpt("scale").getOrElse(1024).toLong,
         config.getStringOpt("centroids_dir")
           .map(d => spark.read.parquet(d))))
+    // byte-level media near-dup pairs (no decode; simhash over hex chunks)
+    case "MediaNearDup" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Multimodal.mediaNearDupPairs(df,
+        config.getString("id_column"), config.getString("payload_column"),
+        config.getIntOpt("max_hamming").getOrElse(7),
+        config.getIntOpt("chunk_bytes").getOrElse(4)))
     // deterministic negative sampling for contrastive training
     // (items_dir = the item universe table)
     case "NegativeSamples" => new TransformAlgorithm(spark, fsOps,

@@ -102,6 +102,31 @@ object Multimodal {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Byte-level NEAR-duplicate candidate pairs over opaque media
+    * payloads — no decode needed, so it works on any modality: the
+    * payload is hexed, chunked into `chunkBytes`-byte tokens (one
+    * regexp pass; non-overlapping, so the fingerprint is
+    * alignment-sensitive — right for the media near-dup cases that
+    * matter, overwritten metadata fields and truncated/extended tails,
+    * not mid-stream insertions), and fed through the SAME SimHash
+    * pigeonhole-banding pipeline as text ([[Dedup.simhashCandidates]]).
+    * Returns (id_a, id_b, hamming ≤ maxHamming).
+    *
+    * Scale: the fingerprint is the only thing that shuffles (8 bytes
+    * per blob + band chunks); payload bytes never leave their
+    * partition. Catches the re-upload-with-tweaked-header dups that
+    * [[dedupExactMedia]]'s byte digest misses.
+    */
+  def mediaNearDupPairs(media: DataFrame, idCol: String,
+      payloadCol: String, maxHamming: Int = 7,
+      chunkBytes: Int = 4): DataFrame = {
+    require(chunkBytes > 0, s"chunkBytes must be positive: $chunkBytes")
+    val chunked = media.select(col(idCol).as("__mid"),
+      regexp_replace(hex(col(payloadCol).cast("binary")),
+        s"(.{${chunkBytes * 2}})", "$1 ").as("__chunks"))
+    Dedup.simhashCandidates(chunked, "__mid", "__chunks", maxHamming)
+  }
+
   /** Frame/sample selection stub: pick a deterministic pseudo-random byte
     * offset per frame index — stands in for video frame sampling; the
     * partitioning and output shape (one row per sampled frame) are the real

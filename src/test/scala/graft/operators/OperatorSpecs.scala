@@ -2894,3 +2894,26 @@ class GraphRankScaleSpec extends SparkSpec {
     adaptive should be > fixed
   }
 }
+
+class MediaNearDupSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("mediaNearDupPairs: tweaked-tail copy pairs with its original at " +
+      "small hamming; unrelated high-entropy payloads do not pair") {
+    val base = "A" * 3 + ("0123456789abcdef" * 8) // 128 entropy-ish bytes
+    val other = "B" * 3 + ("fedcba9876543210" * 8)
+    val media = Seq(
+      (1L, base.getBytes("UTF-8")),
+      (2L, (base + "::v2").getBytes("UTF-8")), // near-dup of 1
+      (3L, other.getBytes("UTF-8")),
+      (4L, base.getBytes("UTF-8")))            // exact dup of 1
+      .toDF("id", "payload")
+    val pairs = graft.operators.Multimodal
+      .mediaNearDupPairs(media, "id", "payload")
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    pairs.keySet should contain((1L, 2L))
+    pairs((1L, 4L)) shouldBe 0        // byte-identical -> hamming 0
+    pairs.keySet.foreach { case (a, b) => Set(a, b) should not contain 3L }
+  }
+}
