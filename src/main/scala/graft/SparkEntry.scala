@@ -2532,6 +2532,14 @@ object SparkEntry {
       Multimodal.mediaNearDupPairs(media, "doc_id", "payload")
     }),
 
+    // training data: hard-negative mining — 5 nearest different-label
+    // vectors per query (closest-but-wrong contrastive examples)
+    "q207_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb.filter(col("vec_id") % 50 === 0), emb,
+        "vec_id", "embedding", "label", k = 5)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6668,6 +6676,29 @@ object SparkEntry {
          |SELECT id_a, id_b,
          |  CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
          |FROM cand WHERE bit_count(xor(fa, fb)) <= 7""".stripMargin,
+
+    // mirrors q207: q23's exact-cosine ranking with the label-mismatch
+    // filter before the rank window
+    "q207_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+        |             label AS ql
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS cl
+        |      FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(range(1, len(qv)+1),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(qv)+1),
+        |         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(cv)+1),
+        |         i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))
+        |      AS cosine
+        |  FROM q JOIN c ON ql <> cl)
+        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY cosine DESC, neighbor_id) <= 5""".stripMargin,
 
     // mirrors q202: identical dense item index (row_number over sorted
     // part keys), md5 slot hash mod |items|, own-positive collision drop

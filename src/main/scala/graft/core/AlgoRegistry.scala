@@ -542,6 +542,14 @@ object AlgoRegistry {
         config.getIntOpt("scale").getOrElse(1024).toLong,
         config.getStringOpt("centroids_dir")
           .map(d => spark.read.parquet(d))))
+    // hard-negative mining: k nearest different-label vectors per query
+    case "HardNegatives" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.hardNegatives(
+        spark.read.parquet(config.getString("queries_dir")), df,
+        config.getString("id_column"), config.getString("vector_column"),
+        config.getString("label_column"), config.getInt("k")))
     // byte-level media near-dup pairs (no decode; simhash over hex chunks)
     case "MediaNearDup" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -321,6 +321,36 @@ object Similarity {
     cent
   }
 
+  /** Hard-negative mining — the contrastive-training complement of
+    * [[graft.operators.Sampling.negativeSamples]]: for each query
+    * vector, the `k` nearest corpus vectors carrying a DIFFERENT label
+    * (closest-but-wrong examples, the ones that sharpen a contrastive
+    * or retrieval model far more than random negatives). Exact cosine
+    * over the query×corpus product with the label-mismatch filter
+    * applied BEFORE the rank window — the exact-regime baseline; at
+    * corpus scale swap the candidate source for [[ivfTopKWith]] /
+    * [[annTopK]] buckets the same way [[bruteForceTopK]] relates to
+    * them.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val q0 = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), col(labelCol).as("__ql"))
+    val q = if (broadcastQueries) broadcast(q0) else q0
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), col(labelCol).as("__cl"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(c, col("__ql") =!= col("__cl"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Per-label embedding OUTLIERS: the `k` vectors of each label whose
     * squared distance to the label centroid is largest — the
     * embedding-space mislabel/garbage detector (the complement of

@@ -2917,3 +2917,22 @@ class MediaNearDupSpec extends SparkSpec {
     pairs.keySet.foreach { case (a, b) => Set(a, b) should not contain 3L }
   }
 }
+
+class HardNegativesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hardNegatives: nearest DIFFERENT-label vectors only, own label " +
+      "excluded even when closest, deterministic tie-break") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(0.99f, 0.1f), "a"),  // closest to 1 but same label
+      (3L, Array(0.9f, 0.4f), "b"),   // nearest wrong-label
+      (4L, Array(0.0f, 1.0f), "b"),
+      (5L, Array(0.5f, 0.5f), "c")).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+        emb.filter($"vec_id" === 1), emb, "vec_id", "embedding", "label",
+        k = 2)
+      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    out.map(_._2) shouldBe Array(3L, 5L) // 2 skipped despite cos ~0.995
+  }
+}
