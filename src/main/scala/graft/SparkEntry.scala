@@ -2540,6 +2540,14 @@ object SparkEntry {
         "vec_id", "embedding", "label", k = 5)
     }),
 
+    // training data: temperature mixture sampling (alpha=0.5 — the
+    // sqrt regime whose weight arithmetic is IEEE-identical in DuckDB)
+    "q208_temperature_sample" -> ((s, dir) => {
+      Sampling.temperatureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", alpha = 0.5)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6699,6 +6707,23 @@ object SparkEntry {
         |FROM scored
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |                           ORDER BY cosine DESC, neighbor_id) <= 5""".stripMargin,
+
+    // mirrors q208: identical count/sqrt-weight/probability arithmetic
+    // (operand order preserved), md5 hash-bucket selection
+    "q208_temperature_sample" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+         |           FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nt,
+         |          sum(sqrt(CAST(n AS DOUBLE))) AS sw FROM c),
+         |p AS (SELECT lang,
+         |        least(CAST(1.0 AS DOUBLE),
+         |          tot.nt * sqrt(CAST(c.n AS DOUBLE)) / tot.sw
+         |            / CAST(c.n AS DOUBLE)) AS prob
+         |      FROM c CROSS JOIN tot)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN p ON d.lang = p.lang
+         |WHERE ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000000
+         |      < CAST(floor(prob * 1000000) AS BIGINT)""".stripMargin,
 
     // mirrors q202: identical dense item index (row_number over sorted
     // part keys), md5 slot hash mod |items|, own-positive collision drop

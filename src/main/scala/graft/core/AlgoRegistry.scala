@@ -542,6 +542,13 @@ object AlgoRegistry {
         config.getIntOpt("scale").getOrElse(1024).toLong,
         config.getStringOpt("centroids_dir")
           .map(d => spark.read.parquet(d))))
+    // temperature mixture sampling (n^alpha tempered group shares)
+    case "TemperatureSample" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.temperatureSample(df,
+        config.getString("id_column"), config.getString("group_column"),
+        config.getDouble("alpha")))
     // hard-negative mining: k nearest different-label vectors per query
     case "HardNegatives" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

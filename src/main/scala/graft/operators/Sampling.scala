@@ -166,6 +166,42 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq :+ col("replica"): _*)
   }
 
+  /** Temperature-based mixture sampling — the multilingual-LM mixing
+    * rule (sample group g with probability ∝ n_g^alpha, alpha < 1
+    * flattening the mix): per-group keep probability
+    * `min(1, (N·w_g/Σw)/n_g)` with `w_g = n_g^alpha`, applied as a
+    * deterministic [[hashBucket]] filter, so the kept set replays
+    * bit-for-bit. Downsamples dominant groups toward the tempered
+    * share; a group whose tempered target exceeds its size is kept
+    * whole (pair with [[upsampleBalanced]] for the upsampling face).
+    *
+    * alpha = 0.5 computes the weight as `sqrt` — correctly rounded in
+    * IEEE, hence oracle-mirrorable (general `pow` is NOT guaranteed
+    * identical across libm implementations; other alphas are
+    * spec-covered in-engine instead of gated).
+    *
+    * Scale: group counts are one map-combinable aggregate broadcast
+    * back; selection is a narrow filter. Nothing group-sized funnels
+    * anywhere.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    def w(n: Column) =
+      if (alpha == 0.5) sqrt(n.cast("double"))
+      else pow(n.cast("double"), alpha)
+    val tot = counts.agg(sum(col("__n")).cast("double").as("__nt"),
+      sum(w(col("__n"))).as("__sw"))
+    val prob = least(lit(1.0),
+      col("__nt") * w(col("__n")) / col("__sw") / col("__n").cast("double"))
+    val bound = floor(prob * Buckets).cast("long")
+    df.join(broadcast(counts), groupCol)
+      .crossJoin(broadcast(tot))
+      .filter(hashBucket(col(idCol)) < bound)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Deterministic per-group cap: keep at most `maxPerGroup` rows of each
     * group (per-source / per-domain balancing — the C4/RefinedWeb-style
     * guard against one domain dominating the corpus). WHICH rows survive

@@ -936,3 +936,23 @@ class TrainingSamplersSpec extends SparkSpec {
     out.filter(_._1 == 1L).map(_._3) shouldBe Seq(1)
   }
 }
+
+class TemperatureSampleSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  test("temperatureSample: dominant group tempered toward the sqrt " +
+      "share, rare group kept whole, deterministic") {
+    // 900 "big" + 100 "small": alpha=.5 targets 750/250 -> small capped at 1
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1000 to 1099).map(i => (i.toLong, "small"))).toDF("id", "g")
+    def run() = Sampling.temperatureSample(df, "id", "g", 0.5)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val out = run()
+    out shouldBe run()
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    sizes("small") shouldBe 100 // prob capped at 1: kept whole
+    // big keep prob = (1000*30/(30+10))/900 = 0.8333…: hash-thinned near it
+    sizes("big").toDouble shouldBe (900 * 0.8333) +- 45.0
+  }
+}
