@@ -2548,6 +2548,18 @@ object SparkEntry {
         "doc_id", "lang", alpha = 0.5)
     }),
 
+    // ANN: IVF retrieval over TRAINED centroids (one Lloyd iteration) —
+    // the full train-then-retrieve chain, float-exact end to end
+    "q209_ann_ivf_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 8, maxIters = 1)
+      Similarity.ivfTopKWith(emb.filter(col("vec_id") % 50 === 0), emb,
+          "vec_id", "embedding", k = 5, centroidsDf = cent)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6724,6 +6736,68 @@ object SparkEntry {
          |FROM documents d JOIN p ON d.lang = p.lang
          |WHERE ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000000
          |      < CAST(floor(prob * 1000000) AS BIGINT)""".stripMargin,
+
+    // mirrors q209: q195's one-iteration centroid update (exact integer
+    // sums, double->REAL float storage) rebuilt as vectors, then q42's
+    // assignment/probe/re-rank pipeline over the TRAINED centroids
+    "q209_ann_ivf_trained" ->
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         |cent0 AS (SELECT vec_id AS cid, embedding AS ce FROM emb
+         |          ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |          LIMIT 8),
+         |assign0 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rk
+         |    FROM emb e CROSS JOIN cent0 c) WHERE rk = 1),
+         |qz AS (SELECT a.cid, list_transform(e.embedding,
+         |        x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+         |      FROM assign0 a JOIN emb e USING (vec_id)),
+         |ex AS (SELECT cid, CAST(g - 1 AS INTEGER) AS dim, qv[g] AS x FROM (
+         |        SELECT cid, qv, unnest(generate_series(1, len(qv))) AS g
+         |        FROM qz)),
+         |sums AS (SELECT cid, dim, CAST(sum(x) AS BIGINT) AS s,
+         |           CAST(count(*) AS BIGINT) AS n
+         |         FROM ex GROUP BY cid, dim),
+         |centd AS (SELECT cid, ce, CAST(g - 1 AS INTEGER) AS dim FROM (
+         |            SELECT cid, ce, unnest(generate_series(1, len(ce))) AS g
+         |            FROM cent0)),
+         |cent AS (
+         |  SELECT cd.cid, list(
+         |      CASE WHEN s.n IS NULL THEN cd.ce[cd.dim + 1]
+         |           ELSE CAST(CAST(s.s AS DOUBLE)
+         |             / (CAST(s.n AS DOUBLE) * 1024.0) AS REAL) END
+         |      ORDER BY cd.dim) AS ce
+         |  FROM centd cd LEFT JOIN sums s
+         |    ON s.cid = cd.cid AND s.dim = cd.dim
+         |  GROUP BY cd.cid),
+         |assign AS (
+         |  SELECT vec_id AS neighbor_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rk
+         |    FROM emb e CROSS JOIN cent c) WHERE rk = 1),
+         |probe AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rk
+         |    FROM emb e CROSS JOIN cent c WHERE e.vec_id % 50 = 0)
+         |  WHERE rk <= 3),
+         |cand AS (
+         |  SELECT DISTINCT query_id, neighbor_id
+         |  FROM probe JOIN assign USING (cid)
+         |  WHERE query_id <> neighbor_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${cosSql("qe.embedding", "ne.embedding")} AS cosine
+         |  FROM cand
+         |  JOIN emb qe ON qe.vec_id = query_id
+         |  JOIN emb ne ON ne.vec_id = neighbor_id)
+         |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY cosine DESC, neighbor_id) <= 5""".stripMargin,
 
     // mirrors q202: identical dense item index (row_number over sorted
     // part keys), md5 slot hash mod |items|, own-positive collision drop
