@@ -2560,6 +2560,20 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
     }),
 
+    // training data: leakage-safe split — near-dup components share one
+    // split key, so no near-duplicate pair straddles train/val/test
+    "q210_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardVerify(
+          Dedup.minhashCandidates(docs, "doc_id", "text"),
+          docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.leakageSafeSplit(docs.select(col("doc_id"), col("lang")),
+        "doc_id", pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6798,6 +6812,39 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM scored
          |QUALIFY row_number() OVER (PARTITION BY query_id
          |                           ORDER BY cosine DESC, neighbor_id) <= 5""".stripMargin,
+
+    // mirrors q210: q61's recursive component labels -> component (or
+    // own-id) split key -> q66's hash buckets on that key
+    "q210_leakage_safe_split" ->
+      s"""WITH RECURSIVE ${minhashChainSql("documents")},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM j
+         |  WHERE CAST(inter AS DOUBLE)/uni >= 0.5),
+         |e AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+         |  WHERE r.src <> e2.dst),
+         |comp AS (
+         |  SELECT src AS id, least(src, min(dst)) AS component
+         |  FROM reach GROUP BY src),
+         |k AS (
+         |  SELECT d.doc_id, d.lang,
+         |    COALESCE(c.component, d.doc_id) AS skey
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |h AS (
+         |  SELECT doc_id, lang,
+         |    ${PortableHash.sqlHash60("CAST(skey AS VARCHAR)")} % 1000000
+         |      AS hv
+         |  FROM k)
+         |SELECT doc_id, lang,
+         |  CASE WHEN hv < 800000 THEN 'train'
+         |       WHEN hv < 900000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM h""".stripMargin,
 
     // mirrors q202: identical dense item index (row_number over sorted
     // part keys), md5 slot hash mod |items|, own-positive collision drop

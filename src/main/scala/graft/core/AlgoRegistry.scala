@@ -542,6 +542,28 @@ object AlgoRegistry {
         config.getIntOpt("scale").getOrElse(1024).toLong,
         config.getStringOpt("centroids_dir")
           .map(d => spark.read.parquet(d))))
+    // leakage-safe split: near-dup components share one split key
+    case "LeakageSafeSplit" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val id = config.getString("id_column")
+        val text = config.getString("text_column")
+        val pairs = graft.operators.Dedup.jaccardVerify(
+            graft.operators.Dedup.minhashCandidates(df, id, text,
+              shingleSize = config.getIntOpt("shingle_size").getOrElse(3),
+              k = config.getIntOpt("minhash_k").getOrElse(32),
+              bands = config.getIntOpt("bands").getOrElse(8)),
+            df, id, text,
+            shingleSize = config.getIntOpt("shingle_size").getOrElse(3))
+          .filter(org.apache.spark.sql.functions.col("jaccard") >=
+            config.getDouble("jaccard_threshold", 0.5))
+          .select(org.apache.spark.sql.functions.col("id_a"),
+            org.apache.spark.sql.functions.col("id_b"))
+        graft.operators.Dedup.leakageSafeSplit(df, id, pairs,
+          config.getSeq[Map[String, Any]]("splits").map(m =>
+            m("name").toString -> m("weight").toString.toDouble))
+      })
     // temperature mixture sampling (n^alpha tempered group shares)
     case "TemperatureSample" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -775,6 +775,30 @@ object Dedup {
     ClusterDedup(docs.join(drop, Seq(idCol), "left_anti"), comps)
   }
 
+  /** Leakage-safe train/val/test split: assign every document its
+    * near-dup COMPONENT representative as the split key, then
+    * [[Sampling.hashSplit]] on that key — so no two near-duplicates
+    * ever land in different splits (the eval-contamination channel a
+    * per-document hash split leaves wide open: a val doc whose
+    * near-copy sits in train is a leaked answer). Docs in no pair key
+    * by their own id, preserving the per-id split semantics for the
+    * unduplicated bulk.
+    *
+    * Scale shape: the component loop is bounded by the PAIR graph
+    * (tiny next to the corpus); the corpus is touched by one left
+    * broadcast-or-shuffle join against the component labels and a
+    * narrow hash filter. Output: `docs` columns + `split`.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)], maxIter: Int = 20): DataFrame = {
+    val comps = connectedComponents(pairs, maxIter)
+    val keyed = docs
+      .join(comps, docs(idCol) === comps("id"), "left")
+      .withColumn("__skey", coalesce(col("component"), docs(idCol)))
+      .drop("id", "component")
+    Sampling.hashSplit(keyed, "__skey", splits).drop("__skey")
+  }
+
   /** [[keepPerComponent]] with a QUALITY keep policy: the survivor of
     * each near-dup cluster is the highest-`scoreCol` member (ties to the
     * smaller id) instead of the smallest id. The policy difference

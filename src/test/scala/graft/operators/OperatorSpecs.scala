@@ -2936,3 +2936,30 @@ class HardNegativesSpec extends SparkSpec {
     out.map(_._2) shouldBe Array(3L, 5L) // 2 skipped despite cos ~0.995
   }
 }
+
+class LeakageSafeSplitSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("leakageSafeSplit: every near-dup pair lands in ONE split; " +
+      "singletons keep their per-id assignment") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain components {1..5}, {10,11}, rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", pairs,
+      Seq("train" -> 0.5, "val" -> 0.5))
+    val m = out.select($"doc_id", $"split").as[(Long, String)]
+      .collect().toMap
+    Seq(2L, 3L, 4L, 5L).foreach(m(_) shouldBe m(1L))
+    m(11L) shouldBe m(10L)
+    // singletons match the plain per-id hashSplit
+    val naive = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.5, "val" -> 0.5))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    (12L to 200L).foreach(i => m(i) shouldBe naive(i))
+    // and the naive split DOES leak on this graph (why the operator exists)
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .exists { case (a, b) => naive(a) != naive(b) } shouldBe true
+  }
+}
