@@ -2574,6 +2574,16 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // embedding dedup, SemDeDup regime: within-k-means-cluster
+    // candidates (trained centroids, one Lloyd iteration), exact cosine
+    "q211_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 8, maxIters = 1)
+      Dedup.semDedupPairs(emb, "vec_id", "embedding", cent,
+        threshold = 0.4)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6845,6 +6855,54 @@ object SparkEntry {
          |       WHEN hv < 900000 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM h""".stripMargin,
+
+    // mirrors q211: q209's trained-centroid CTEs, q42-style assignment,
+    // within-cluster pair join, exact cosine threshold
+    "q211_semdedup" ->
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         |cent0 AS (SELECT vec_id AS cid, embedding AS ce FROM emb
+         |          ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |          LIMIT 8),
+         |assign0 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rk
+         |    FROM emb e CROSS JOIN cent0 c) WHERE rk = 1),
+         |qz AS (SELECT a.cid, list_transform(e.embedding,
+         |        x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+         |      FROM assign0 a JOIN emb e USING (vec_id)),
+         |ex AS (SELECT cid, CAST(g - 1 AS INTEGER) AS dim, qv[g] AS x FROM (
+         |        SELECT cid, qv, unnest(generate_series(1, len(qv))) AS g
+         |        FROM qz)),
+         |sums AS (SELECT cid, dim, CAST(sum(x) AS BIGINT) AS s,
+         |           CAST(count(*) AS BIGINT) AS n
+         |         FROM ex GROUP BY cid, dim),
+         |centd AS (SELECT cid, ce, CAST(g - 1 AS INTEGER) AS dim FROM (
+         |            SELECT cid, ce, unnest(generate_series(1, len(ce))) AS g
+         |            FROM cent0)),
+         |cent AS (
+         |  SELECT cd.cid, list(
+         |      CASE WHEN s.n IS NULL THEN cd.ce[cd.dim + 1]
+         |           ELSE CAST(CAST(s.s AS DOUBLE)
+         |             / (CAST(s.n AS DOUBLE) * 1024.0) AS REAL) END
+         |      ORDER BY cd.dim) AS ce
+         |  FROM centd cd LEFT JOIN sums s
+         |    ON s.cid = cd.cid AND s.dim = cd.dim
+         |  GROUP BY cd.cid),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rk
+         |    FROM emb e CROSS JOIN cent c) WHERE rk = 1),
+         |av AS (SELECT a.vec_id, a.cid, e.embedding
+         |       FROM assign a JOIN emb e USING (vec_id))
+         |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |  round(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
+         |FROM av x JOIN av y
+         |  ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.4""".stripMargin,
 
     // mirrors q202: identical dense item index (row_number over sorted
     // part keys), md5 slot hash mod |items|, own-positive collision drop

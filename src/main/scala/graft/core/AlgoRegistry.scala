@@ -542,6 +542,22 @@ object AlgoRegistry {
         config.getIntOpt("scale").getOrElse(1024).toLong,
         config.getStringOpt("centroids_dir")
           .map(d => spark.read.parquet(d))))
+    // SemDeDup: within-k-means-cluster embedding near-dup pairs
+    // (centroids trained inline, or supplied via centroids_dir)
+    case "SemDedup" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val id = config.getString("id_column")
+        val vec = config.getString("vector_column")
+        val cent = config.getStringOpt("centroids_dir")
+          .map(d => spark.read.parquet(d))
+          .getOrElse(graft.operators.Similarity.kmeansCentroids(df, id,
+            vec, config.getIntOpt("k").getOrElse(128),
+            config.getIntOpt("max_iters").getOrElse(10)))
+        graft.operators.Dedup.semDedupPairs(df, id, vec, cent,
+          config.getDouble("threshold"))
+      })
     // leakage-safe split: near-dup components share one split key
     case "LeakageSafeSplit" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

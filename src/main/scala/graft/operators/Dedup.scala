@@ -413,6 +413,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** SemDeDup-style embedding near-dup pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): candidates come only from WITHIN a k-means
+    * cluster — vectors are assigned to their nearest trained centroid
+    * (a narrow map over the centroid plan literal,
+    * [[Similarity.nearestCentroid]]) and the pair join shuffles by
+    * cluster id; exact cosine verifies. The trained-centroid variant of
+    * [[embeddingNearDupPairs]]'s sign-LSH bucketing: clusters follow
+    * the DATA's density rather than random hyperplanes, so candidate
+    * volume concentrates where near-dups actually live. Cluster size
+    * bounds the per-cluster pair product — choose k so clusters stay
+    * bounded (k ≈ √n is the usual rule; the per-cluster join is the
+    * same within-bucket shape q65 audits).
+    */
+  def semDedupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame, threshold: Double): DataFrame = {
+    val assigned = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      graft.operators.Similarity.nearestCentroid(cent, col(vecCol))
+        .as("cid"))
+    val a = assigned.as("a"); val b = assigned.as("b")
+    a.join(b, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.functions.CosineSimilarityExpr.cosine(col("a.v"), col("b.v"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** End-to-end corpus deduplication — the composed pipeline a curation
     * job actually runs: exact dedup (min-id keeper per content digest),
     * then MinHash-LSH candidate pairs verified by exact Jaccard; any doc

@@ -2963,3 +2963,29 @@ class LeakageSafeSplitSpec extends SparkSpec {
       .exists { case (a, b) => naive(a) != naive(b) } shouldBe true
   }
 }
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("semDedupPairs: near-identical vectors in one cluster pair up; " +
+      "cross-cluster pairs are never candidates even above threshold") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.02f)),
+      (2L, Array(1.0f, 0.03f)),    // near-dup of 1, same cluster
+      (3L, Array(0.02f, 1.0f)),
+      (4L, Array(0.03f, 1.0f)))    // near-dup of 3, other cluster
+      .toDF("vec_id", "embedding")
+    val cent = Seq((10L, Array(1.0f, 0.0f)), (20L, Array(0.0f, 1.0f)))
+      .toDF("cid", "ce")
+    val pairs = Dedup.semDedupPairs(emb, "vec_id", "embedding", cent,
+        threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    pairs shouldBe Set((1L, 2L), (3L, 4L))
+    // (1,3) etc. have cosine ~0.04 anyway, but even a high cross-cluster
+    // cosine would be invisible: candidates never leave a cluster
+    val plan = Dedup.semDedupPairs(emb, "vec_id", "embedding", cent, 0.9)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+  }
+}
