@@ -2584,6 +2584,19 @@ object SparkEntry {
         threshold = 0.4)
     }),
 
+    // tokenizer: MULTI-rule replay — learn 2 merges, replay both in
+    // rank order (the sequential-application semantics q204's 1-rule
+    // gate could not pin; the oracle re-encodes round-1 symbols with
+    // paren delimiters so round-2's regex replace IS the fold)
+    "q212_bpe_replay2" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " ").as("text"))
+      Bpe.segmentVocabulary(docs, "text",
+          Bpe.learnMerges(docs, "text", nMerges = 2))
+        .select(col("word"), col("freq"),
+          concat_ws(" ", col("syms")).as("segmented"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6903,6 +6916,55 @@ object SparkEntry {
          |FROM av x JOIN av y
          |  ON x.cid = y.cid AND x.vec_id < y.vec_id
          |WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.4""".stripMargin,
+
+    // mirrors q212: q197's two learned rules; rule 1 applied in the
+    // string domain (leftmost-first alternation); symbols then
+    // paren-encoded '(s1)(s2)…' so rule 2's global regexp_replace has
+    // exact symbol boundaries and leftmost non-overlapping scan —
+    // verified equal to the fold incl. odd identical runs ((a)(a)(a)
+    // with rule (a,a) -> (aa)(a))
+    "q212_bpe_replay2" ->
+      """WITH tk AS (SELECT unnest(string_split_regex(trim(
+        |         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+        |         '\s+')) AS w FROM documents),
+        |words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tk
+        |          WHERE w IS NOT NULL AND w <> '' GROUP BY w),
+        |syms1 AS (SELECT freq, list_append(list_transform(
+        |            generate_series(1, length(w)),
+        |            i -> substring(w, i, 1)), '</w>') AS s FROM words),
+        |p1 AS (SELECT s[g] AS l, s[g+1] AS r,
+        |         CAST(sum(freq) AS BIGINT) AS pair_count
+        |       FROM (SELECT s, freq,
+        |               unnest(generate_series(1, len(s)-1)) AS g
+        |             FROM syms1 WHERE len(s) >= 2)
+        |       GROUP BY 1, 2),
+        |r1 AS (SELECT l, r FROM p1
+        |       ORDER BY pair_count DESC, l, r LIMIT 1),
+        |syms2 AS (SELECT freq, regexp_extract_all(w || '</w>',
+        |            '(' || (SELECT l FROM r1) || (SELECT r FROM r1) ||
+        |            '|</w>|.)') AS s FROM words),
+        |p2 AS (SELECT s[g] AS l, s[g+1] AS r,
+        |         CAST(sum(freq) AS BIGINT) AS pair_count
+        |       FROM (SELECT s, freq,
+        |               unnest(generate_series(1, len(s)-1)) AS g
+        |             FROM syms2 WHERE len(s) >= 2)
+        |       GROUP BY 1, 2),
+        |r2 AS (SELECT l, r FROM p2
+        |       ORDER BY pair_count DESC, l, r LIMIT 1),
+        |seg1 AS (SELECT w, freq, regexp_extract_all(w || '</w>',
+        |           '(' || (SELECT l FROM r1) || (SELECT r FROM r1) ||
+        |           '|</w>|.)') AS s FROM words),
+        |enc AS (SELECT w, freq,
+        |          '(' || array_to_string(s, ')(') || ')' AS j FROM seg1),
+        |rep AS (SELECT w, freq, regexp_replace(j,
+        |          '\(' || (SELECT l FROM r2) || '\)\(' ||
+        |            (SELECT r FROM r2) || '\)',
+        |          '(' || (SELECT l FROM r2) || (SELECT r FROM r2) || ')',
+        |          'g') AS j2 FROM enc)
+        |SELECT w AS word, freq,
+        |  array_to_string(regexp_extract_all(j2, '\(([^)]*)\)', 1), ' ')
+        |    AS segmented
+        |FROM rep""".stripMargin,
 
     // mirrors q202: identical dense item index (row_number over sorted
     // part keys), md5 slot hash mod |items|, own-positive collision drop
