@@ -2597,6 +2597,14 @@ object SparkEntry {
           concat_ws(" ", col("syms")).as("segmented"))
     }),
 
+    // labeling QA: k-NN label consistency — majority label of the 5
+    // nearest neighbors vs the row's own label (neighborhood-vote
+    // mislabel detector; complements the centroid-distance one)
+    "q213_knn_labels" -> ((s, dir) => {
+      Similarity.knnLabelCheck(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", k = 5)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6965,6 +6973,32 @@ object SparkEntry {
         |  array_to_string(regexp_extract_all(j2, '\(([^)]*)\)', 1), ' ')
         |    AS segmented
         |FROM rep""".stripMargin,
+
+    // mirrors q213: q23's exact top-5 neighbor list -> per-label vote
+    // counts -> (votes DESC, label ASC) argmax
+    "q213_knn_labels" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         |        label AS nl FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, nl,
+         |    ${cosSql("qv", "cv")} AS cosine
+         |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+         |top AS (
+         |  SELECT query_id, neighbor_id, nl FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) <= 5),
+         |votes AS (
+         |  SELECT query_id, nl, CAST(count(*) AS BIGINT) AS v
+         |  FROM top GROUP BY query_id, nl),
+         |win AS (
+         |  SELECT query_id, nl AS predicted, v AS n_agree FROM votes
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY v DESC, nl) = 1)
+         |SELECT w.query_id AS vec_id, e.label, w.predicted, w.n_agree,
+         |  e.label <> w.predicted AS flagged
+         |FROM win w JOIN embeddings e ON e.vec_id = w.query_id""".stripMargin,
 
     // mirrors q202: identical dense item index (row_number over sorted
     // part keys), md5 slot hash mod |items|, own-positive collision drop

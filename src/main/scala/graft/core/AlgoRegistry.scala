@@ -542,6 +542,14 @@ object AlgoRegistry {
         config.getIntOpt("scale").getOrElse(1024).toLong,
         config.getStringOpt("centroids_dir")
           .map(d => spark.read.parquet(d))))
+    // k-NN label consistency (neighborhood-vote mislabel detector)
+    case "KnnLabelCheck" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.knnLabelCheck(df,
+        config.getString("id_column"), config.getString("vector_column"),
+        config.getString("label_column"),
+        config.getIntOpt("k").getOrElse(5)))
     // SemDeDup: within-k-means-cluster embedding near-dup pairs
     // (centroids trained inline, or supplied via centroids_dir)
     case "SemDedup" => new TransformAlgorithm(spark, fsOps,

@@ -73,10 +73,15 @@ object GraphRank {
     * connected-components loop convention) so lineage stays flat.
     */
   def pageRank(edges: DataFrame, maxIters: Int = 20, tol: Double = 1e-6,
-      damping: Double = 0.85, scale: Long = 0L): DataFrame = {
+      damping: Double = 0.85, scale: Long = 0L,
+      init: Option[DataFrame] = None): DataFrame = {
     require(maxIters > 0, s"maxIters must be positive: $maxIters")
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = initRanks(e).localCheckpoint()
+    // warm-start face (the kmeansCentroids convention): resume from a
+    // saved (id, rank) table after a graph delta instead of re-mixing
+    // from uniform — near-converged starts settle in a few iterations
+    var ranks = init.map(_.select(col("id"), col("rank")))
+      .getOrElse(initRanks(e)).localCheckpoint()
     // scale = 0 → N-adaptive grid: ranks sit near 1/N, so a FIXED grid
     // loses relative precision as the graph grows (measured: 1.2% mass
     // deficit after 3 iterations on a 1.6M-node graph at 1e9 — see

@@ -351,6 +351,39 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** k-NN label consistency: predict each vector's label as the
+    * MAJORITY label among its `k` nearest neighbors (self excluded;
+    * ties by smaller predicted label, the deterministic convention) and
+    * flag rows whose own label disagrees — the neighborhood-vote
+    * mislabel detector complementing the centroid-distance one
+    * ([[embeddingOutliers]]): a mislabel sitting INSIDE another class's
+    * cluster is near ITS centroid (invisible to the distance test) but
+    * outvoted by its neighbors.
+    *
+    * Exact-regime baseline on the brute-force neighbor list; swap the
+    * candidate source for the ANN paths at corpus scale, as with
+    * [[hardNegatives]]. Output: (id, label, predicted, n_agree, flagged).
+    */
+  def knnLabelCheck(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val labels = emb.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"))
+    val own = emb.select(col(idCol).as("query_id"),
+      col(labelCol).as("label"))
+    bruteForceTopK(emb, emb, idCol, vecCol, k)
+      .join(labels, "neighbor_id")
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__votes"))
+      .groupBy(col("query_id"))
+      // argmax votes, ties to the SMALLER (numeric) label
+      .agg(max_by(col("__nl"), struct(col("__votes"), -col("__nl")))
+        .as("predicted"),
+        max(col("__votes")).as("n_agree"))
+      .join(own, "query_id")
+      .select(col("query_id").as(idCol), col("label"), col("predicted"),
+        col("n_agree"), (col("label") =!= col("predicted")).as("flagged"))
+  }
+
   /** Per-label embedding OUTLIERS: the `k` vectors of each label whose
     * squared distance to the label centroid is largest — the
     * embedding-space mislabel/garbage detector (the complement of

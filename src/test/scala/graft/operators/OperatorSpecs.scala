@@ -2989,3 +2989,26 @@ class SemDedupSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 }
+
+class KnnLabelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("knnLabelCheck flags the vector surrounded by the other class " +
+      "and clears the well-placed ones") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.00f), 0),
+      (2L, Array(1.0f, 0.01f), 0),
+      (3L, Array(1.0f, 0.02f), 0),
+      (4L, Array(1.0f, 0.03f), 1),   // mislabeled: lives among class 0
+      (5L, Array(0.0f, 1.00f), 1),
+      (6L, Array(0.01f, 1.0f), 1),
+      (7L, Array(0.02f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelCheck(emb, "vec_id", "embedding",
+        "label", k = 3)
+      .as[(Long, Int, Int, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    out(4L)._3 shouldBe 0
+    out(4L)._5 shouldBe true
+    Seq(1L, 2L, 3L, 5L, 6L, 7L).foreach(out(_)._5 shouldBe false)
+  }
+}
