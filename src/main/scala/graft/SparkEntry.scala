@@ -2605,6 +2605,34 @@ object SparkEntry {
         "embedding", "label", k = 5)
     }),
 
+    // tokenizer-training pipeline through the PARAMS surface only (the
+    // q76 convention): BpeVocab learns the merges to a table, BpeSegment
+    // replays them from merges_dir — no DataFrame passes between stages
+    "q214_bpe_pipeline" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val base = tmpDir("graft_q214")
+      def p(sub: String) = s"$base/$sub"
+      t(s, dir, "documents")
+        .select(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " ")
+          .as("text"))
+        .write.parquet(p("docs"))
+      def run(algo: String, json: String): Unit = {
+        val f = Paths.get(base, s"$algo.json")
+        JFiles.writeString(f, json)
+        graft.core.JobRunner.execute(s, algo, f.toString)
+      }
+      run("BpeVocab",
+        s"""{"source_dir": "${p("docs")}", "target_dir": "${p("merges")}",
+           | "text_column": "text", "n_merges": 2}""".stripMargin)
+      run("BpeSegment",
+        s"""{"source_dir": "${p("docs")}", "target_dir": "${p("seg")}",
+           | "text_column": "text",
+           | "merges_dir": "${p("merges")}"}""".stripMargin)
+      s.read.parquet(p("seg"))
+        .select(col("word"), col("freq"),
+          concat_ws(" ", col("syms")).as("segmented"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -2779,6 +2807,51 @@ object SparkEntry {
        |    CAST(sum(CASE WHEN dot >= 0 THEN 1 << b ELSE 0 END) AS INTEGER)
        |      AS sig
        |  FROM dots GROUP BY vec_id, t)""".stripMargin
+
+  // q212 and q214 compute the same segmentation (direct API vs the
+  // params surface), so they share one oracle body
+  private val bpeReplay2Sql: String =
+    """WITH tk AS (SELECT unnest(string_split_regex(trim(
+        |         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+        |         '\s+')) AS w FROM documents),
+        |words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tk
+        |          WHERE w IS NOT NULL AND w <> '' GROUP BY w),
+        |syms1 AS (SELECT freq, list_append(list_transform(
+        |            generate_series(1, length(w)),
+        |            i -> substring(w, i, 1)), '</w>') AS s FROM words),
+        |p1 AS (SELECT s[g] AS l, s[g+1] AS r,
+        |         CAST(sum(freq) AS BIGINT) AS pair_count
+        |       FROM (SELECT s, freq,
+        |               unnest(generate_series(1, len(s)-1)) AS g
+        |             FROM syms1 WHERE len(s) >= 2)
+        |       GROUP BY 1, 2),
+        |r1 AS (SELECT l, r FROM p1
+        |       ORDER BY pair_count DESC, l, r LIMIT 1),
+        |syms2 AS (SELECT freq, regexp_extract_all(w || '</w>',
+        |            '(' || (SELECT l FROM r1) || (SELECT r FROM r1) ||
+        |            '|</w>|.)') AS s FROM words),
+        |p2 AS (SELECT s[g] AS l, s[g+1] AS r,
+        |         CAST(sum(freq) AS BIGINT) AS pair_count
+        |       FROM (SELECT s, freq,
+        |               unnest(generate_series(1, len(s)-1)) AS g
+        |             FROM syms2 WHERE len(s) >= 2)
+        |       GROUP BY 1, 2),
+        |r2 AS (SELECT l, r FROM p2
+        |       ORDER BY pair_count DESC, l, r LIMIT 1),
+        |seg1 AS (SELECT w, freq, regexp_extract_all(w || '</w>',
+        |           '(' || (SELECT l FROM r1) || (SELECT r FROM r1) ||
+        |           '|</w>|.)') AS s FROM words),
+        |enc AS (SELECT w, freq,
+        |          '(' || array_to_string(s, ')(') || ')' AS j FROM seg1),
+        |rep AS (SELECT w, freq, regexp_replace(j,
+        |          '\(' || (SELECT l FROM r2) || '\)\(' ||
+        |            (SELECT r FROM r2) || '\)',
+        |          '(' || (SELECT l FROM r2) || (SELECT r FROM r2) || ')',
+        |          'g') AS j2 FROM enc)
+        |SELECT w AS word, freq,
+        |  array_to_string(regexp_extract_all(j2, '\(([^)]*)\)', 1), ' ')
+        |    AS segmented
+        |FROM rep""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -6931,48 +7004,10 @@ object SparkEntry {
     // exact symbol boundaries and leftmost non-overlapping scan —
     // verified equal to the fold incl. odd identical runs ((a)(a)(a)
     // with rule (a,a) -> (aa)(a))
-    "q212_bpe_replay2" ->
-      """WITH tk AS (SELECT unnest(string_split_regex(trim(
-        |         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
-        |         '\s+')) AS w FROM documents),
-        |words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tk
-        |          WHERE w IS NOT NULL AND w <> '' GROUP BY w),
-        |syms1 AS (SELECT freq, list_append(list_transform(
-        |            generate_series(1, length(w)),
-        |            i -> substring(w, i, 1)), '</w>') AS s FROM words),
-        |p1 AS (SELECT s[g] AS l, s[g+1] AS r,
-        |         CAST(sum(freq) AS BIGINT) AS pair_count
-        |       FROM (SELECT s, freq,
-        |               unnest(generate_series(1, len(s)-1)) AS g
-        |             FROM syms1 WHERE len(s) >= 2)
-        |       GROUP BY 1, 2),
-        |r1 AS (SELECT l, r FROM p1
-        |       ORDER BY pair_count DESC, l, r LIMIT 1),
-        |syms2 AS (SELECT freq, regexp_extract_all(w || '</w>',
-        |            '(' || (SELECT l FROM r1) || (SELECT r FROM r1) ||
-        |            '|</w>|.)') AS s FROM words),
-        |p2 AS (SELECT s[g] AS l, s[g+1] AS r,
-        |         CAST(sum(freq) AS BIGINT) AS pair_count
-        |       FROM (SELECT s, freq,
-        |               unnest(generate_series(1, len(s)-1)) AS g
-        |             FROM syms2 WHERE len(s) >= 2)
-        |       GROUP BY 1, 2),
-        |r2 AS (SELECT l, r FROM p2
-        |       ORDER BY pair_count DESC, l, r LIMIT 1),
-        |seg1 AS (SELECT w, freq, regexp_extract_all(w || '</w>',
-        |           '(' || (SELECT l FROM r1) || (SELECT r FROM r1) ||
-        |           '|</w>|.)') AS s FROM words),
-        |enc AS (SELECT w, freq,
-        |          '(' || array_to_string(s, ')(') || ')' AS j FROM seg1),
-        |rep AS (SELECT w, freq, regexp_replace(j,
-        |          '\(' || (SELECT l FROM r2) || '\)\(' ||
-        |            (SELECT r FROM r2) || '\)',
-        |          '(' || (SELECT l FROM r2) || (SELECT r FROM r2) || ')',
-        |          'g') AS j2 FROM enc)
-        |SELECT w AS word, freq,
-        |  array_to_string(regexp_extract_all(j2, '\(([^)]*)\)', 1), ' ')
-        |    AS segmented
-        |FROM rep""".stripMargin,
+    "q212_bpe_replay2" -> bpeReplay2Sql,
+
+    // q214 runs the SAME computation through JobRunner params files
+    "q214_bpe_pipeline" -> bpeReplay2Sql,
 
     // mirrors q213: q23's exact top-5 neighbor list -> per-label vote
     // counts -> (votes DESC, label ASC) argmax
