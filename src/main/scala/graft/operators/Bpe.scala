@@ -134,8 +134,10 @@ object Bpe {
       val applied = wave.foldLeft(col("syms")) { case (c, (l, rt)) =>
         applyMerge(c, l, rt)
       }
-      words = words.select(col("word"), col("freq"), applied.as("syms"))
-        .localCheckpoint()
+      val next = words.select(col("word"), col("freq"), applied.as("syms"))
+        .localCheckpoint() // eager: safe to release the previous wave
+      words.unpersist()    // no-op on the initial un-checkpointed frame
+      words = next
     }
     words
   }

@@ -73,7 +73,10 @@ class JobRunnerSpec extends SparkSpec {
     JobRunner.execute(spark, "CorpusDedupClusters", paramsCdc)
     spark.read.parquet(tgtCdc).select(col("doc_id")).as[Long]
       .collect().sorted shouldBe Array(1L, 3L)
-    spark.sparkContext.getPersistentRDDs.size shouldBe cachedBeforeCdc
+    // no NEW persistent RDDs may survive the run (≤, not ==: the shared
+    // session's ContextCleaner releases other suites' dropped blocks
+    // asynchronously, so the count can legitimately SHRINK mid-test)
+    spark.sparkContext.getPersistentRDDs.size should be <= cachedBeforeCdc
 
     // score_column flips the survivor policy: the near-dup cluster keeps
     // its highest-quality member instead of the min id
