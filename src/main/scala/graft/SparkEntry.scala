@@ -2633,6 +2633,24 @@ object SparkEntry {
           concat_ws(" ", col("syms")).as("segmented"))
     }),
 
+    // sketch: join-size estimation from two CMS artifacts (AMS inner
+    // product, min over depth rows) — size orders ⋈ customer on custkey
+    // WITHOUT running the join; alongside the true size for context
+    "q215_cms_join_size" -> ((s, dir) => {
+      val sa = FreqSketch.cmsBuild(
+        t(s, dir, "orders").select(col("o_custkey")), "o_custkey",
+        depth = 4, width = 2048)
+      val sb = FreqSketch.cmsBuild(
+        t(s, dir, "customer").select(col("c_custkey")), "c_custkey",
+        depth = 4, width = 2048)
+      val est = FreqSketch.cmsJoinSizeEstimate(sa, sb)
+      val exact = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("true_join_size"))
+      est.crossJoin(exact)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -7034,6 +7052,32 @@ object SparkEntry {
          |SELECT w.query_id AS vec_id, e.label, w.predicted, w.n_agree,
          |  e.label <> w.predicted AS flagged
          |FROM win w JOIN embeddings e ON e.vec_id = w.query_id""".stripMargin,
+
+    // mirrors q215: same md5 cell addressing as q134, inner product per
+    // depth row, min across rows, plus the true join count
+    "q215_cms_join_size" ->
+      s"""WITH rws AS (SELECT unnest([0, 1, 2, 3]) AS rw),
+         |sa AS (
+         |  SELECT rw,
+         |    ${PortableHash.sqlHash60(
+        "'cms_' || CAST(rw AS VARCHAR) || '_' || CAST(o_custkey AS VARCHAR)")}
+         |      % 2048 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS ca
+         |  FROM orders, rws WHERE o_custkey IS NOT NULL GROUP BY 1, 2),
+         |sb AS (
+         |  SELECT rw,
+         |    ${PortableHash.sqlHash60(
+        "'cms_' || CAST(rw AS VARCHAR) || '_' || CAST(c_custkey AS VARCHAR)")}
+         |      % 2048 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cb
+         |  FROM customer, rws WHERE c_custkey IS NOT NULL GROUP BY 1, 2),
+         |ip AS (SELECT sa.rw, CAST(sum(sa.ca * sb.cb) AS BIGINT) AS p
+         |       FROM sa JOIN sb USING (rw, bucket) GROUP BY sa.rw),
+         |est AS (SELECT CAST(min(p) AS BIGINT) AS est_join_size FROM ip),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS true_join_size
+         |       FROM orders JOIN customer ON o_custkey = c_custkey)
+         |SELECT est.est_join_size, ex.true_join_size
+         |FROM est CROSS JOIN ex""".stripMargin,
 
     // mirrors q202: identical dense item index (row_number over sorted
     // part keys), md5 slot hash mod |items|, own-positive collision drop

@@ -542,6 +542,12 @@ object AlgoRegistry {
         config.getIntOpt("scale").getOrElse(1024).toLong,
         config.getStringOpt("centroids_dir")
           .map(d => spark.read.parquet(d))))
+    // join-size estimate from two saved CMS artifacts (AMS inner product)
+    case "CmsJoinSize" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.FreqSketch.cmsJoinSizeEstimate(df,
+        spark.read.parquet(config.getString("other_sketch_dir"))))
     // k-NN label consistency (neighborhood-vote mislabel detector)
     case "KnnLabelCheck" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -58,6 +58,23 @@ object FreqSketch {
       .union(b.select(col("rw"), col("bucket"), col("cnt")))
       .groupBy(col("rw"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
 
+  /** Estimated equi-join cardinality from two sketches built with the
+    * SAME depth/width over the two join-key columns: per depth row the
+    * cell-wise inner product Σ cntA·cntB upper-bounds the true join
+    * size |A ⋈ B| = Σ_k fA(k)·fB(k) (collisions only ADD); the minimum
+    * over rows is the classic AMS/CMS estimate. The planner-aid report:
+    * size a join from two tiny pre-aggregated artifacts BEFORE paying
+    * its shuffle — at 100 TB the sketches are the only thing read.
+    * Returns one row (est_join_size).
+    */
+  def cmsJoinSizeEstimate(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("rw"), col("bucket"), col("cnt").as("__ca"))
+      .join(b.select(col("rw"), col("bucket"), col("cnt").as("__cb")),
+        Seq("rw", "bucket"))
+      .groupBy(col("rw"))
+      .agg(sum(col("__ca") * col("__cb")).as("__ip"))
+      .agg(min(col("__ip")).cast("long").as("est_join_size"))
+
   /** (item, est) for each distinct non-null query item: min over the
     * depth counters, absent cells read as zero. `depth`/`width` must
     * match the build — the sketch is just cells and cannot tell.

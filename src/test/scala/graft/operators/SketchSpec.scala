@@ -205,3 +205,23 @@ class QuantileSketchSpec extends SparkSpec {
     total.getLong(0) shouldBe total.getLong(1)
   }
 }
+
+class CmsJoinSizeSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("cmsJoinSizeEstimate: never underestimates the true join size, " +
+      "and is exact when cells do not collide") {
+    val a = Seq(1, 1, 1, 2, 2, 3, 7, 7).toDF("k") // fA: 1->3, 2->2, 3->1, 7->2
+    val b = Seq(1, 2, 2, 3, 3, 3, 9).toDF("k")    // fB: 1->1, 2->2, 3->3
+    val trueSize = a.join(b, "k").count()         // 3 + 4 + 3 = 10
+    val sa = FreqSketch.cmsBuild(a, "k", depth = 4, width = 4096)
+    val sb = FreqSketch.cmsBuild(b, "k", depth = 4, width = 4096)
+    val est = FreqSketch.cmsJoinSizeEstimate(sa, sb)
+      .as[Long].collect().head
+    est should be >= trueSize
+    // 5+4 distinct keys in 4096 buckets: the md5 cells are collision-free
+    // for this fixture (deterministic — pinned, not probabilistic)
+    est shouldBe trueSize
+  }
+}
