@@ -2651,6 +2651,16 @@ object SparkEntry {
       est.crossJoin(exact)
     }),
 
+    // tokenizer -> packing bridge: per-doc subword counts under the
+    // 2-merge segmented vocabulary (the packing budget unit)
+    "q216_bpe_token_counts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " ").as("text"))
+      val seg = Bpe.segmentVocabulary(docs, "text",
+        Bpe.learnMerges(docs, "text", nMerges = 2))
+      Bpe.subwordCounts(docs, "doc_id", "text", seg)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -7026,6 +7036,21 @@ object SparkEntry {
 
     // q214 runs the SAME computation through JobRunner params files
     "q214_bpe_pipeline" -> bpeReplay2Sql,
+
+    // mirrors q216: the q212 segmentation as a nested CTE; per-doc word
+    // explode joins it, subword length = symbols in the segmented string
+    "q216_bpe_token_counts" ->
+      s"""WITH seg AS ($bpeReplay2Sql),
+         |dtk AS (SELECT doc_id, unnest(string_split_regex(trim(
+         |          regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+         |          '\\s+')) AS word FROM documents),
+         |tw AS (SELECT doc_id, word FROM dtk
+         |       WHERE word IS NOT NULL AND word <> '')
+         |SELECT tw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(COALESCE(len(string_split(seg.segmented, ' ')),
+         |    length(tw.word) + 1)) AS BIGINT) AS n_subwords
+         |FROM tw LEFT JOIN seg ON tw.word = seg.word
+         |GROUP BY tw.doc_id""".stripMargin,
 
     // mirrors q213: q23's exact top-5 neighbor list -> per-label vote
     // counts -> (votes DESC, label ASC) argmax

@@ -542,6 +542,13 @@ object AlgoRegistry {
         config.getIntOpt("scale").getOrElse(1024).toLong,
         config.getStringOpt("centroids_dir")
           .map(d => spark.read.parquet(d))))
+    // per-doc subword counts under a saved segmented vocabulary
+    case "BpeTokenCounts" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Bpe.subwordCounts(df,
+        config.getString("id_column"), config.getString("text_column"),
+        spark.read.parquet(config.getString("vocab_dir"))))
     // join-size estimate from two saved CMS artifacts (AMS inner product)
     case "CmsJoinSize" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -114,6 +114,27 @@ object Bpe {
       .toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
   }
 
+  /** Per-document SUBWORD counts under a segmented vocabulary — the
+    * bridge from tokenizer training to sequence packing: the packing
+    * budget is subword tokens, not whitespace words. Documents explode
+    * to words and broadcast-join the (word, syms) vocabulary; a word
+    * missing from the vocabulary (scoring a NEW corpus against a frozen
+    * tokenizer) falls back to character count + 1 — the upper bound an
+    * untrained word segments to. Output: (id, n_words, n_subwords).
+    */
+  def subwordCounts(docs: DataFrame, idCol: String, textCol: String,
+      segVocab: DataFrame): DataFrame = {
+    val v = segVocab.select(col("word"),
+      size(col("syms")).cast("long").as("__len"))
+    docs.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("word"))
+      .filter(col("word").isNotNull && col("word") =!= "")
+      .join(broadcast(v), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("__len"), length(col("word")) + 1))
+          .as("n_subwords"))
+  }
+
   /** Segment the corpus VOCABULARY with a learned merge table: (word,
     * freq, syms) after replaying the rules in rank order. Production
     * tokenization then broadcast-joins tokens to their `syms` — the

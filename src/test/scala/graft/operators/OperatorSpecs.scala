@@ -3012,3 +3012,20 @@ class KnnLabelSpec extends SparkSpec {
     Seq(1L, 2L, 3L, 5L, 6L, 7L).foreach(out(_)._5 shouldBe false)
   }
 }
+
+class SubwordCountSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("subwordCounts: vocabulary lengths summed per doc, OOV falls " +
+      "back to chars+1") {
+    val vocab = Seq(
+      ("low", Seq("l", "o", "w", "</w>")),
+      ("lowest", Seq("low", "est</w>"))).toDF("word", "syms")
+    val docs = Seq((1L, "low lowest low"), (2L, "oovword")).toDF("id", "t")
+    val out = Bpe.subwordCounts(docs, "id", "t", vocab)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    out(1L) shouldBe ((1L, 3L, 4L + 2L + 4L))
+    out(2L) shouldBe ((2L, 1L, 8L)) // "oovword" = 7 chars + 1
+  }
+}
