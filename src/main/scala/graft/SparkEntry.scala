@@ -2661,6 +2661,26 @@ object SparkEntry {
       Bpe.subwordCounts(docs, "doc_id", "text", seg)
     }),
 
+    // decontamination via SAVED benchmark artifacts: build the shingle
+    // table once, parquet round-trip, rebuild the bloom at load — the
+    // per-release/per-shard amortization face of q71
+    "q217_bloom_artifacts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+        .select(concat_ws(" ",
+          slice(Dedup.tokens(col("text")), 2, 12)).as("qtext"))
+      val artsDir = tmpDir("graft_q217_arts")
+      Decontaminate.benchmarkArtifacts(bench, "qtext", n = 6)
+        .write.mode("overwrite").parquet(artsDir)
+      val pb = Decontaminate.prepareFromArtifacts(s.read.parquet(artsDir))
+      val out = Decontaminate.overlapsPrepared(docs, "doc_id", "text", pb,
+          minOverlap = 1)
+        .select(col("id").as("doc_id"), col("n_matched"),
+          col("n_shingles"), col("overlap_ratio"))
+      out.persist(); out.count(); pb.release() // settle before release
+      out
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -2880,6 +2900,37 @@ object SparkEntry {
         |  array_to_string(regexp_extract_all(j2, '\(([^)]*)\)', 1), ' ')
         |    AS segmented
         |FROM rep""".stripMargin
+
+  // q71 and q217 compute the same decontamination (in-query bloom vs
+  // the saved-artifact round trip), so they share one oracle body
+  private val bloomDecontaminateSql: String =
+    """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |bench AS (
+        |  SELECT array_to_string(tk[2:13], ' ') AS qt FROM tk
+        |  WHERE doc_id % 25 = 0),
+        |btk AS (
+        |  SELECT string_split_regex(trim(lower(qt)), '\s+') AS tk FROM bench),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(tk)-6, 0)+1),
+        |    i -> array_to_string(tk[i+1:i+6], ' ')))) AS s
+        |  FROM btk),
+        |csh0 AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(tk)-6, 0)+1),
+        |    i -> array_to_string(tk[i+1:i+6], ' '))) AS shl
+        |  FROM tk),
+        |csh AS (
+        |  SELECT doc_id, CAST(len(shl) AS BIGINT) AS n_shingles,
+        |    unnest(shl) AS s
+        |  FROM csh0)
+        |SELECT doc_id, count(*) AS n_matched, n_shingles,
+        |  round(CAST(count(*) AS DOUBLE) / n_shingles, 6) AS overlap_ratio
+        |FROM csh JOIN bsh USING (s)
+        |GROUP BY doc_id, n_shingles
+        |HAVING count(*) >= 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3878,34 +3929,11 @@ object SparkEntry {
     // snippet benchmark from every 25th doc's tokens 2..13 — the bloom
     // prefilter is exactness-preserving, so the oracle is the plain
     // shingle overlap (same shape as q53, different params)
-    "q71_bloom_decontaminate" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
-        |  FROM documents),
-        |bench AS (
-        |  SELECT array_to_string(tk[2:13], ' ') AS qt FROM tk
-        |  WHERE doc_id % 25 = 0),
-        |btk AS (
-        |  SELECT string_split_regex(trim(lower(qt)), '\s+') AS tk FROM bench),
-        |bsh AS (
-        |  SELECT DISTINCT unnest(list_distinct(list_transform(
-        |    range(0, greatest(len(tk)-6, 0)+1),
-        |    i -> array_to_string(tk[i+1:i+6], ' ')))) AS s
-        |  FROM btk),
-        |csh0 AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(0, greatest(len(tk)-6, 0)+1),
-        |    i -> array_to_string(tk[i+1:i+6], ' '))) AS shl
-        |  FROM tk),
-        |csh AS (
-        |  SELECT doc_id, CAST(len(shl) AS BIGINT) AS n_shingles,
-        |    unnest(shl) AS s
-        |  FROM csh0)
-        |SELECT doc_id, count(*) AS n_matched, n_shingles,
-        |  round(CAST(count(*) AS DOUBLE) / n_shingles, 6) AS overlap_ratio
-        |FROM csh JOIN bsh USING (s)
-        |GROUP BY doc_id, n_shingles
-        |HAVING count(*) >= 1""".stripMargin,
+    "q71_bloom_decontaminate" -> bloomDecontaminateSql,
+
+    // q217 decontaminates via SAVED benchmark artifacts (parquet round
+    // trip + bloom rebuild at load) — same computation as q71
+    "q217_bloom_artifacts" -> bloomDecontaminateSql,
 
     // mirrors Dedup.dedupIncrement: exact digests pruned first, then the
     // shared minhash chain over existing ∪ pruned-incoming; only pairs

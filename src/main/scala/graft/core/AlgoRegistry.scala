@@ -542,6 +542,13 @@ object AlgoRegistry {
         config.getIntOpt("scale").getOrElse(1024).toLong,
         config.getStringOpt("centroids_dir")
           .map(d => spark.read.parquet(d))))
+    // decontamination benchmark artifacts (shingle-hash table + n)
+    case "DecontaminateArtifacts" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Decontaminate.benchmarkArtifacts(df,
+        config.getString("text_column"),
+        config.getIntOpt("ngram_size").getOrElse(8)))
     // per-doc subword counts under a saved segmented vocabulary
     case "BpeTokenCounts" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -140,6 +140,41 @@ object Decontaminate {
     PreparedBenchmark(bloom, sh, n)
   }
 
+  /** Persistable benchmark artifacts — the decontamination side of the
+    * DedupArtifacts convention: the distinct shingle-hash table
+    * (shingle_hash, n), built once per benchmark release and loaded per
+    * corpus shard or ingest stream. The bloom is REBUILT from the saved
+    * hashes in one benchmark-sized aggregation at load time — cheaper
+    * than versioning 8 MB of serialized filter, and `n` rides along so
+    * a load can never shingle-mismatch its build.
+    */
+  def benchmarkArtifacts(bench: DataFrame, benchTextCol: String,
+      n: Int = 8): DataFrame =
+    Dedup.shingleHashDF(
+        bench.withColumn("__bid", lit(0L)), "__bid", benchTextCol, n)
+      .select(explode(col("sh")).as("shingle_hash")).distinct()
+      .withColumn("n", lit(n))
+
+  /** A [[PreparedBenchmark]] from saved [[benchmarkArtifacts]]: pin the
+    * hash frame, fold the bloom, read `n` from the table. Empty
+    * artifacts prepare a match-nothing benchmark (bloom null), like an
+    * empty benchmark in [[prepareBenchmark]].
+    */
+  def prepareFromArtifacts(artifacts: DataFrame,
+      expectedShingles: Long = 1000000L): PreparedBenchmark = {
+    val sh = artifacts.select(col("shingle_hash").as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val head = artifacts.select(col("n")).limit(1).collect()
+    if (head.isEmpty) PreparedBenchmark(null, sh, 8)
+    else {
+      val bloom = sh
+        .agg(graft.functions.BloomSketch.bloomAgg(col("__h"),
+          expectedShingles).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      PreparedBenchmark(bloom, sh, head(0).getInt(0))
+    }
+  }
+
   /** Phase 1+2 of the bloom regime against a prepared benchmark: the
     * (id, n_matched ≥ minOverlap) contaminated set — bloom prefilter
     * map-side, exact semi-join on the candidate sliver, one per-doc

@@ -3029,3 +3029,35 @@ class SubwordCountSpec extends SparkSpec {
     out(2L) shouldBe ((2L, 1L, 8L)) // "oovword" = 7 chars + 1
   }
 }
+
+class DecontaminateArtifactsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("benchmark artifacts round-trip: prepared-from-disk equals " +
+      "prepared-in-query; empty artifacts match nothing") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally unrelated words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq("beta gamma delta epsilon zeta eta").toDF("qtext")
+    val dir = tmp("decon_arts") + "/a"
+    Decontaminate.benchmarkArtifacts(bench, "qtext", n = 3)
+      .write.parquet(dir)
+    val pbDisk = Decontaminate.prepareFromArtifacts(spark.read.parquet(dir))
+    val pbLive = Decontaminate.prepareBenchmark(bench, "qtext", n = 3)
+    val a = Decontaminate.overlapsPrepared(docs, "doc_id", "text", pbDisk)
+    val b = Decontaminate.overlapsPrepared(docs, "doc_id", "text", pbLive)
+    assertSameRows(a, b)
+    a.select($"id").as[Long].collect() shouldBe Array(1L)
+    pbDisk.release(); pbLive.release()
+    // empty artifacts: nothing can match
+    val emptyDir = tmp("decon_arts_empty") + "/a"
+    Decontaminate.benchmarkArtifacts(
+      bench.limit(0), "qtext", n = 3).write.parquet(emptyDir)
+    val pbE = Decontaminate.prepareFromArtifacts(spark.read.parquet(emptyDir))
+    Decontaminate.overlapsPrepared(docs, "doc_id", "text", pbE)
+      .count() shouldBe 0L
+    pbE.release()
+  }
+}
