@@ -299,19 +299,33 @@ object AlgoRegistry {
     case "Decontaminate" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),
-      df => {
-        val bench = fmt(config).read(spark, Map.empty, None,
-          config.getString("benchmark_dir"))
-        graft.operators.Decontaminate.decontaminate(df,
-          config.getString("id_column"), config.getString("text_column"),
-          bench, config.getString("benchmark_text_column"),
-          n = config.getIntOpt("ngram_size").getOrElse(8),
-          minOverlap = config.getIntOpt("min_overlap").getOrElse(1),
-          // bloom prefilter for eval sets too big to broadcast
-          // (exactness-preserving; see Decontaminate.overlapsBloom)
-          bloom = config.getBoolean("use_bloom"),
-          expectedShingles = config.getIntOpt("expected_shingles")
-            .map(_.toLong).getOrElse(1000000L))
+      df => config.getStringOpt("benchmark_artifacts_dir") match {
+        // saved-artifact path: the benchmark is never re-shingled —
+        // load the DecontaminateArtifacts table, rebuild the bloom once
+        case Some(artsDir) =>
+          val pb = graft.operators.Decontaminate.prepareFromArtifacts(
+            spark.read.parquet(artsDir),
+            config.getIntOpt("expected_shingles")
+              .map(_.toLong).getOrElse(1000000L))
+          TransformAlgorithm.Out(
+            graft.operators.Decontaminate.decontaminatePrepared(df,
+              config.getString("id_column"),
+              config.getString("text_column"), pb,
+              config.getIntOpt("min_overlap").getOrElse(1)),
+            () => pb.release())
+        case None =>
+          val bench = fmt(config).read(spark, Map.empty, None,
+            config.getString("benchmark_dir"))
+          graft.operators.Decontaminate.decontaminate(df,
+            config.getString("id_column"), config.getString("text_column"),
+            bench, config.getString("benchmark_text_column"),
+            n = config.getIntOpt("ngram_size").getOrElse(8),
+            minOverlap = config.getIntOpt("min_overlap").getOrElse(1),
+            // bloom prefilter for eval sets too big to broadcast
+            // (exactness-preserving; see Decontaminate.overlapsBloom)
+            bloom = config.getBoolean("use_bloom"),
+            expectedShingles = config.getIntOpt("expected_shingles")
+              .map(_.toLong).getOrElse(1000000L))
       })
     // source_dir is the INCOMING batch; existing_dir the landed corpus;
     // optional artifacts_dir feeds a persisted DedupArtifacts table so

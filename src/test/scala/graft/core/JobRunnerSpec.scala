@@ -917,3 +917,39 @@ class GraftExtensionsSpec extends SparkSpec {
     a.crossJoin(b).count() shouldBe 4
   }
 }
+
+class DecontaminateParamsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.core.JobRunner
+
+  test("DecontaminateArtifacts -> Decontaminate(benchmark_artifacts_dir) " +
+      "chain equals the direct benchmark_dir run") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally unrelated words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq("beta gamma delta epsilon zeta eta").toDF("qtext")
+    val base = tmp("jr_decon_arts")
+    docs.write.parquet(s"$base/docs")
+    bench.write.parquet(s"$base/bench")
+    def run(algo: String, json: String): Unit = {
+      val f = java.nio.file.Paths.get(base, s"$algo.json")
+      java.nio.file.Files.writeString(f, json)
+      JobRunner.execute(spark, algo, f.toString)
+    }
+    run("DecontaminateArtifacts",
+      s"""{"source_dir": "$base/bench", "target_dir": "$base/arts",
+         | "text_column": "qtext", "ngram_size": 3}""".stripMargin)
+    run("Decontaminate",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/clean",
+         | "id_column": "doc_id", "text_column": "text",
+         | "benchmark_artifacts_dir": "$base/arts",
+         | "min_overlap": 1, "use_bloom": true}""".stripMargin)
+    spark.read.parquet(s"$base/clean").select($"doc_id").as[Long]
+      .collect() shouldBe Array(2L)
+    // no leaked persistent frames after the cleanup handle ran
+    spark.sparkContext.getPersistentRDDs.values
+      .map(_.name).mkString should not include "decon"
+  }
+}
