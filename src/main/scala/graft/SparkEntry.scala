@@ -2681,6 +2681,25 @@ object SparkEntry {
       out
     }),
 
+    // streaming ML training state: the k-means centroid update as a
+    // complete-mode aggregate merging VectorSumAgg state across real
+    // micro-batches — exact integer sums, so batching cannot change the
+    // result; oracle = q195's one-step update
+    "q218_stream_kmeans_update" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = Similarity.selectCentroids(emb, "vec_id", "embedding", 8)
+      val inDir = tmpDir("graft_q218_in")
+      emb.select(col("vec_id"), col("embedding"))
+        .repartition(4).write.mode("overwrite").parquet(inDir)
+      EventStream.runKMeansUpdateOnce(s, s.read.parquet(inDir).schema,
+          inDir, cent, "embedding", "q218_sink",
+          maxFilesPerTrigger = Some(2))
+        .select(col("cid"), col("n"),
+          posexplode(col("ce")).as(Seq("dim", "m")))
+        .select(col("cid"), col("dim"),
+          round(col("m").cast("double"), 6).as("mean"), col("n"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -2931,6 +2950,41 @@ object SparkEntry {
         |FROM csh JOIN bsh USING (s)
         |GROUP BY doc_id, n_shingles
         |HAVING count(*) >= 1""".stripMargin
+
+  // q195 (direct step), q205 (maxIters=1 loop) and q218 (streaming
+  // mini-batch update) are the same centroid update — one oracle body
+  private val kmeansStepSql: String =
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS ce FROM emb
+         |         ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |         LIMIT 8),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rk
+         |    FROM emb e CROSS JOIN cent c) WHERE rk = 1),
+         |q AS (SELECT a.cid, list_transform(e.embedding,
+         |        x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+         |      FROM assign a JOIN emb e USING (vec_id)),
+         |ex AS (SELECT cid, CAST(g - 1 AS INTEGER) AS dim, qv[g] AS x FROM (
+         |        SELECT cid, qv, unnest(generate_series(1, len(qv))) AS g
+         |        FROM q)),
+         |sums AS (SELECT cid, dim, CAST(sum(x) AS BIGINT) AS s,
+         |           CAST(count(*) AS BIGINT) AS n
+         |         FROM ex GROUP BY cid, dim),
+         |centd AS (SELECT cid, ce, CAST(g - 1 AS INTEGER) AS dim FROM (
+         |            SELECT cid, ce, unnest(generate_series(1, len(ce))) AS g
+         |            FROM cent))
+         |SELECT cd.cid, cd.dim,
+         |  CASE WHEN s.n IS NULL
+         |    THEN round(CAST(cd.ce[cd.dim + 1] AS DOUBLE), 6)
+         |    ELSE round(CAST(CAST(CAST(s.s AS DOUBLE)
+         |      / (CAST(s.n AS DOUBLE) * 1024.0) AS REAL) AS DOUBLE), 6)
+         |  END AS mean,
+         |  CAST(COALESCE(s.n, 0) AS BIGINT) AS n
+         |FROM centd cd LEFT JOIN sums s
+         |  ON s.cid = cd.cid AND s.dim = cd.dim""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -6657,38 +6711,7 @@ object SparkEntry {
     // the double->REAL->double cast chain reproduces kmeansStep's float
     // centroid storage bit-for-bit, so round(…,6) can never straddle a
     // tie. Empty clusters (LEFT JOIN miss) carry the old centroid, n=0.
-    "q195_kmeans_step" ->
-      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, embedding AS ce FROM emb
-         |         ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")}, vec_id
-         |         LIMIT 8),
-         |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rk
-         |    FROM emb e CROSS JOIN cent c) WHERE rk = 1),
-         |q AS (SELECT a.cid, list_transform(e.embedding,
-         |        x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
-         |      FROM assign a JOIN emb e USING (vec_id)),
-         |ex AS (SELECT cid, CAST(g - 1 AS INTEGER) AS dim, qv[g] AS x FROM (
-         |        SELECT cid, qv, unnest(generate_series(1, len(qv))) AS g
-         |        FROM q)),
-         |sums AS (SELECT cid, dim, CAST(sum(x) AS BIGINT) AS s,
-         |           CAST(count(*) AS BIGINT) AS n
-         |         FROM ex GROUP BY cid, dim),
-         |centd AS (SELECT cid, ce, CAST(g - 1 AS INTEGER) AS dim FROM (
-         |            SELECT cid, ce, unnest(generate_series(1, len(ce))) AS g
-         |            FROM cent))
-         |SELECT cd.cid, cd.dim,
-         |  CASE WHEN s.n IS NULL
-         |    THEN round(CAST(cd.ce[cd.dim + 1] AS DOUBLE), 6)
-         |    ELSE round(CAST(CAST(CAST(s.s AS DOUBLE)
-         |      / (CAST(s.n AS DOUBLE) * 1024.0) AS REAL) AS DOUBLE), 6)
-         |  END AS mean,
-         |  CAST(COALESCE(s.n, 0) AS BIGINT) AS n
-         |FROM centd cd LEFT JOIN sums s
-         |  ON s.cid = cd.cid AND s.dim = cd.dim""".stripMargin,
+    "q195_kmeans_step" -> kmeansStepSql,
 
     // mirrors q196: same whitespace tokenization, char+</w> symbol
     // split, freq-weighted adjacent pair counts, same full tie-break
@@ -7198,37 +7221,10 @@ object SparkEntry {
     // q205 = q195's oracle: the maxIters=1 training loop returns exactly
     // one step from the hash-sampled init (the driver rebuild is an
     // identity on values)
-    "q205_kmeans_train" ->
-      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, embedding AS ce FROM emb
-         |         ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")}, vec_id
-         |         LIMIT 8),
-         |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rk
-         |    FROM emb e CROSS JOIN cent c) WHERE rk = 1),
-         |q AS (SELECT a.cid, list_transform(e.embedding,
-         |        x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
-         |      FROM assign a JOIN emb e USING (vec_id)),
-         |ex AS (SELECT cid, CAST(g - 1 AS INTEGER) AS dim, qv[g] AS x FROM (
-         |        SELECT cid, qv, unnest(generate_series(1, len(qv))) AS g
-         |        FROM q)),
-         |sums AS (SELECT cid, dim, CAST(sum(x) AS BIGINT) AS s,
-         |           CAST(count(*) AS BIGINT) AS n
-         |         FROM ex GROUP BY cid, dim),
-         |centd AS (SELECT cid, ce, CAST(g - 1 AS INTEGER) AS dim FROM (
-         |            SELECT cid, ce, unnest(generate_series(1, len(ce))) AS g
-         |            FROM cent))
-         |SELECT cd.cid, cd.dim,
-         |  CASE WHEN s.n IS NULL
-         |    THEN round(CAST(cd.ce[cd.dim + 1] AS DOUBLE), 6)
-         |    ELSE round(CAST(CAST(CAST(s.s AS DOUBLE)
-         |      / (CAST(s.n AS DOUBLE) * 1024.0) AS REAL) AS DOUBLE), 6)
-         |  END AS mean,
-         |  CAST(COALESCE(s.n, 0) AS BIGINT) AS n
-         |FROM centd cd LEFT JOIN sums s
-         |  ON s.cid = cd.cid AND s.dim = cd.dim""".stripMargin
+    "q205_kmeans_train" -> kmeansStepSql,
+
+    // q218 merges the same update across micro-batches (exact integer
+    // sums: batching is invisible) — q195's oracle again
+    "q218_stream_kmeans_update" -> kmeansStepSql
   )
 }

@@ -263,6 +263,16 @@ object Similarity {
     val sums = assigned.groupBy(col("cid"))
       .agg(count(lit(1)).as("n"),
         graft.functions.VectorSumAgg.vectorSum(col("__q")).as("__s"))
+    finalizeCentroids(cent, sums, scale)
+  }
+
+  /** Centroid means from accumulated (cid, n, __s) quantized sums —
+    * the shared tail of [[kmeansStep]] and the streaming mini-batch
+    * update ([[graft.streaming.EventStream.runKMeansUpdateOnce]]):
+    * empty clusters carry their old vector with n = 0.
+    */
+  def finalizeCentroids(cent: DataFrame, sums: DataFrame,
+      scale: Long): DataFrame =
     cent.select(col("cid"), col("ce").as("__old"))
       .join(sums, Seq("cid"), "left")
       .select(col("cid"),
@@ -272,7 +282,6 @@ object Similarity {
               (col("n").cast("double") * scale.toDouble)).cast("float")))
           .as("ce"),
         coalesce(col("n"), lit(0L)).as("n"))
-  }
 
   /** Distributed spherical-ish k-means (Lloyd's): deterministic
     * [[selectCentroids]] init, then [[kmeansStep]] iterations until no

@@ -412,6 +412,44 @@ object EventStream {
       spark.table(sink), groupCol, ps)
   }
 
+  /** Streaming k-means centroid update (mini-batch training state):
+    * vectors are assigned to the FIXED centroid literal per micro-batch
+    * and the quantized per-cluster sums accumulate as a complete-mode
+    * aggregate whose [[graft.functions.VectorSumAgg]] state MERGES
+    * across batches (exact integer arithmetic, so batching cannot
+    * change the result); the settled sums finalize into exactly one
+    * Lloyd step over the whole stream. The training loop's streaming
+    * face: run once per ingest window, feed the output back as the next
+    * window's centroids.
+    */
+  def runKMeansUpdateOnce(spark: SparkSession, schema: StructType,
+      inputDir: String, cent: org.apache.spark.sql.DataFrame,
+      vecCol: String, queryName: String, scale: Long = 1024L,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val sink = s"${queryName}_${sinkSeq.incrementAndGet()}"
+    val rd = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger
+      .fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+    val sums = reader.parquet(inputDir)
+      .select(graft.operators.Similarity
+          .nearestCentroid(cent, col(vecCol)).as("cid"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * scale).cast("long")).as("__q"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.VectorSumAgg.vectorSum(col("__q")).as("__s"))
+    val q: StreamingQuery = sums.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.operators.Similarity.finalizeCentroids(cent,
+      spark.table(sink), scale)
+  }
+
   def runOnce(spark: SparkSession, schema: StructType, inputDir: String,
       windowDur: String, queryName: String): DataFrame = {
     val stream = spark.readStream.schema(schema).parquet(inputDir)

@@ -956,3 +956,25 @@ class TemperatureSampleSpec extends SparkSpec {
     sizes("big").toDouble shouldBe (900 * 0.8333) +- 45.0
   }
 }
+
+class StreamKMeansUpdateSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Similarity
+
+  test("runKMeansUpdateOnce: micro-batched centroid update equals the " +
+      "batch kmeansStep (exact integer state merges across batches)") {
+    val emb = (0 until 48).map { i =>
+      val v = Array(0.0f, 0.0f); v(i % 2) = 0.5f + 0.25f * (i % 3)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cent = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("cid", "ce")
+    val in = tmp("graft_skmu_in")
+    emb.repartition(4).write.mode("overwrite").parquet(in)
+    val streamed = graft.streaming.EventStream.runKMeansUpdateOnce(
+      spark, spark.read.parquet(in).schema, in, cent, "embedding",
+      "skmu_test", maxFilesPerTrigger = Some(1))
+    val batch = Similarity.kmeansStep(emb, "vec_id", "embedding", cent)
+    assertSameRows(streamed, batch)
+  }
+}
