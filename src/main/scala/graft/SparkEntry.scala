@@ -2700,6 +2700,25 @@ object SparkEntry {
           round(col("m").cast("double"), 6).as("mean"), col("n"))
     }),
 
+    // sketch artifacts: two per-shard quantile sketches merged by
+    // weighted re-ingest (QuantileSketchMergeAgg) — the kmvMerge
+    // convention for quantiles; exact regime, whole-table oracle
+    "q219_quantile_merge" -> ((s, dir) => {
+      import graft.functions.QuantileSketchAgg
+      val ev = t(s, dir, "events")
+      def part(f: Column) = ev.filter(f)
+        .groupBy(col("event_type"))
+        .agg(QuantileSketchAgg.sketch(col("value").cast("double"), 65536)
+          .as("__sk"))
+        .select(col("event_type"), explode(col("__sk")("items")).as("it"))
+      val merged = part(col("event_id") % 2 === 0)
+        .unionByName(part(col("event_id") % 2 =!= 0))
+        .groupBy(col("event_type"))
+        .agg(QuantileSketchAgg.mergeSketch(col("it"), 65536).as("__sk"))
+      Stats.quantilesFromSketches(merged, "event_type",
+        Seq(0.1, 0.5, 0.9, 0.99))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -2985,6 +3004,24 @@ object SparkEntry {
          |  CAST(COALESCE(s.n, 0) AS BIGINT) AS n
          |FROM centd cd LEFT JOIN sums s
          |  ON s.cid = cd.cid AND s.dim = cd.dim""".stripMargin
+
+  // q200 (batch), q201 (streaming) and q219 (artifact merge) pin the
+  // quantile sketch in its exact regime — one oracle body
+  private val eventQuantileSql: String =
+    """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS value,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY value) AS rk,
+        |             count(*) OVER (PARTITION BY event_type) AS n
+        |           FROM events WHERE value IS NOT NULL),
+        |ps AS (SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |                      CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)])
+        |         AS p)
+        |SELECT v.event_type, ps.p, min(v.value) AS q_value,
+        |  CAST(max(v.n) AS BIGINT) AS n
+        |FROM v CROSS JOIN ps
+        |WHERE v.rk >= greatest(CAST(1 AS BIGINT),
+        |                       CAST(ceil(ps.p * v.n) AS BIGINT))
+        |GROUP BY v.event_type, ps.p""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -6824,39 +6861,15 @@ object SparkEntry {
     // with unit weights that is the value at sorted rank ceil(p·n).
     // The ceil runs on DOUBLE arithmetic in both engines (literals
     // CAST — DuckDB would otherwise use DECIMAL and round differently)
-    "q200_quantile_sketch" ->
-      """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS value,
-        |             row_number() OVER (PARTITION BY event_type
-        |                                ORDER BY value) AS rk,
-        |             count(*) OVER (PARTITION BY event_type) AS n
-        |           FROM events WHERE value IS NOT NULL),
-        |ps AS (SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.5 AS DOUBLE),
-        |                      CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)])
-        |         AS p)
-        |SELECT v.event_type, ps.p, min(v.value) AS q_value,
-        |  CAST(max(v.n) AS BIGINT) AS n
-        |FROM v CROSS JOIN ps
-        |WHERE v.rk >= greatest(CAST(1 AS BIGINT),
-        |                       CAST(ceil(ps.p * v.n) AS BIGINT))
-        |GROUP BY v.event_type, ps.p""".stripMargin,
+    "q200_quantile_sketch" -> eventQuantileSql,
 
     // mirrors q201: micro-batched sketch merges stay exact below k, so
     // the oracle is q200's batch quantile SQL
-    "q201_stream_quantiles" ->
-      """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS value,
-        |             row_number() OVER (PARTITION BY event_type
-        |                                ORDER BY value) AS rk,
-        |             count(*) OVER (PARTITION BY event_type) AS n
-        |           FROM events WHERE value IS NOT NULL),
-        |ps AS (SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.5 AS DOUBLE),
-        |                      CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)])
-        |         AS p)
-        |SELECT v.event_type, ps.p, min(v.value) AS q_value,
-        |  CAST(max(v.n) AS BIGINT) AS n
-        |FROM v CROSS JOIN ps
-        |WHERE v.rk >= greatest(CAST(1 AS BIGINT),
-        |                       CAST(ceil(ps.p * v.n) AS BIGINT))
-        |GROUP BY v.event_type, ps.p""".stripMargin,
+    "q201_stream_quantiles" -> eventQuantileSql,
+
+    // q219 merges two PART sketches via weighted re-ingest — exact below
+    // k, so the combined quantiles equal the whole-table oracle
+    "q219_quantile_merge" -> eventQuantileSql,
 
     // mirrors q206: the q22 simhash pipeline over hex-chunk tokens of
     // the synthesized payload blobs (DuckDB hex() is uppercase like

@@ -85,57 +85,103 @@ case class QuantileSketchAgg(child: Expression, k: Int,
     buf
   }
 
-  override def eval(buf: QuantileSketchAgg.Buf): Any = {
-    val items = mutable.ArrayBuffer.empty[(Double, Long)]
-    var i = 0
-    while (i < buf.levels.length) {
-      val w = 1L << i
-      buf.levels(i).foreach(v => items += ((v, w)))
-      i += 1
-    }
-    val sorted = items.sortBy(_._1)
-    InternalRow(buf.n, new GenericArrayData(
-      sorted.map { case (v, w) => InternalRow(v, w) }.toArray[Any]))
-  }
+  override def eval(buf: QuantileSketchAgg.Buf): Any =
+    QuantileSketchAgg.evalBuf(buf)
 
-  override def serialize(buf: QuantileSketchAgg.Buf): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeLong(buf.n)
-    out.writeInt(buf.levels.length)
-    var i = 0
-    while (i < buf.levels.length) {
-      out.writeBoolean(buf.flips(i))
-      out.writeInt(buf.levels(i).length)
-      buf.levels(i).foreach(out.writeDouble)
-      i += 1
-    }
-    out.flush()
-    bos.toByteArray
-  }
-
-  override def deserialize(bytes: Array[Byte]): QuantileSketchAgg.Buf = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readLong()
-    val nl = in.readInt()
-    val levels = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Double]]
-    val flips = mutable.ArrayBuffer.empty[Boolean]
-    var i = 0
-    while (i < nl) {
-      flips += in.readBoolean()
-      val sz = in.readInt()
-      val lvl = new mutable.ArrayBuffer[Double](sz)
-      var j = 0
-      while (j < sz) { lvl += in.readDouble(); j += 1 }
-      levels += lvl
-      i += 1
-    }
-    new QuantileSketchAgg.Buf(n, levels, flips)
-  }
+  override def serialize(buf: QuantileSketchAgg.Buf): Array[Byte] =
+    QuantileSketchAgg.serializeBuf(buf)
+  override def deserialize(bytes: Array[Byte]): QuantileSketchAgg.Buf =
+    QuantileSketchAgg.deserializeBuf(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): QuantileSketchAgg =
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): QuantileSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** Re-ingest SAVED sketch items — the artifact-merge face (the
+  * kmvMerge/cmsMerge convention for quantiles): a saved sketch is its
+  * exploded (v, w) item rows; every weight is a power of two by
+  * construction (level i items carry 2^i), so re-ingestion places each
+  * item directly at its level and the result is a valid sketch of the
+  * COMBINED stream. Build per delivery, save, merge at read — no raw
+  * values re-scanned.
+  */
+case class QuantileSketchMergeAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[QuantileSketchAgg.Buf] {
+
+  require(k >= 8, s"k must be at least 8: $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = QuantileSketchAgg.resultType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StructType(Array(StructField(_, DoubleType, _, _),
+          StructField(_, LongType, _, _))) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"quantile_sketch_merge expects struct<v double, w bigint> " +
+          s"items, got ${other.sql}")
+    }
+
+  override def createAggregationBuffer(): QuantileSketchAgg.Buf =
+    new QuantileSketchAgg.Buf(0L,
+      mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Double]),
+      mutable.ArrayBuffer(false))
+
+  override def update(buf: QuantileSketchAgg.Buf,
+      input: InternalRow): QuantileSketchAgg.Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val row = v.asInstanceOf[InternalRow]
+      val value = row.getDouble(0)
+      val w = row.getLong(1)
+      require(w > 0 && (w & (w - 1)) == 0,
+        s"sketch item weight must be a power of two: $w")
+      val level = java.lang.Long.numberOfTrailingZeros(w)
+      while (buf.levels.length <= level) {
+        buf.levels += mutable.ArrayBuffer.empty[Double]
+        buf.flips += false
+      }
+      buf.n += w
+      buf.levels(level) += value
+      QuantileSketchAgg.compact(buf, k)
+    }
+    buf
+  }
+
+  override def merge(buf: QuantileSketchAgg.Buf,
+      other: QuantileSketchAgg.Buf): QuantileSketchAgg.Buf = {
+    buf.n += other.n
+    while (buf.levels.length < other.levels.length) {
+      buf.levels += mutable.ArrayBuffer.empty[Double]
+      buf.flips += false
+    }
+    var i = 0
+    while (i < other.levels.length) {
+      buf.levels(i) ++= other.levels(i)
+      i += 1
+    }
+    QuantileSketchAgg.compact(buf, k)
+    buf
+  }
+
+  override def eval(buf: QuantileSketchAgg.Buf): Any =
+    QuantileSketchAgg.evalBuf(buf)
+  override def serialize(buf: QuantileSketchAgg.Buf): Array[Byte] =
+    QuantileSketchAgg.serializeBuf(buf)
+  override def deserialize(bytes: Array[Byte]): QuantileSketchAgg.Buf =
+    QuantileSketchAgg.deserializeBuf(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): QuantileSketchMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantileSketchMergeAgg =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
@@ -189,6 +235,62 @@ object QuantileSketchAgg {
       } else i += 1
     }
   }
+
+  private[functions] def evalBuf(buf: Buf): Any = {
+    val items = mutable.ArrayBuffer.empty[(Double, Long)]
+    var i = 0
+    while (i < buf.levels.length) {
+      val w = 1L << i
+      buf.levels(i).foreach(v => items += ((v, w)))
+      i += 1
+    }
+    val sorted = items.sortBy(_._1)
+    InternalRow(buf.n, new GenericArrayData(
+      sorted.map { case (v, w) => InternalRow(v, w) }.toArray[Any]))
+  }
+
+  private[functions] def serializeBuf(buf: Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(buf.n)
+    out.writeInt(buf.levels.length)
+    var i = 0
+    while (i < buf.levels.length) {
+      out.writeBoolean(buf.flips(i))
+      out.writeInt(buf.levels(i).length)
+      buf.levels(i).foreach(out.writeDouble)
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  private[functions] def deserializeBuf(bytes: Array[Byte]): Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readLong()
+    val nl = in.readInt()
+    val levels = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Double]]
+    val flips = mutable.ArrayBuffer.empty[Boolean]
+    var i = 0
+    while (i < nl) {
+      flips += in.readBoolean()
+      val sz = in.readInt()
+      val lvl = new mutable.ArrayBuffer[Double](sz)
+      var j = 0
+      while (j < sz) { lvl += in.readDouble(); j += 1 }
+      levels += lvl
+      i += 1
+    }
+    new Buf(n, levels, flips)
+  }
+
+  /** Column entry point for the artifact merge: re-aggregate exploded
+    * sketch item structs (v, w) into one combined sketch.
+    */
+  def mergeSketch(c: Column, k: Int): Column =
+    GraftBridge.column(
+      QuantileSketchMergeAgg(GraftBridge.expression(c), k)
+        .toAggregateExpression())
 
   /** Column entry point: aggregate a double column into the sketch. */
   def sketch(c: Column, k: Int): Column =

@@ -225,3 +225,52 @@ class CmsJoinSizeSpec extends SparkSpec {
     est shouldBe trueSize
   }
 }
+
+class QuantileSketchMergeSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.functions.QuantileSketchAgg
+
+  private def sketchOf(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.groupBy($"g").agg(QuantileSketchAgg.sketch($"v", k).as("__sk"))
+
+  test("artifact merge in the APPROXIMATE regime: weighted re-ingest of " +
+      "two compacted part sketches is a valid sketch (weight = n, rank " +
+      "error bounded) after a parquet round trip") {
+    val n = 8000
+    val a = (0 until n / 2).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val b = (n / 2 until n).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val dir = tmp("qs_arts")
+    sketchOf(a, 64).select($"g", explode($"__sk.items").as("it"))
+      .write.parquet(s"$dir/a")
+    sketchOf(b, 64).select($"g", explode($"__sk.items").as("it"))
+      .write.parquet(s"$dir/b")
+    val merged = spark.read.parquet(s"$dir/a")
+      .unionByName(spark.read.parquet(s"$dir/b"))
+      .groupBy($"g")
+      .agg(QuantileSketchAgg.mergeSketch($"it", 64).as("__sk"))
+    merged.select($"__sk.n").as[Long].collect().head shouldBe n
+    val qs = graft.operators.Stats.quantilesFromSketches(merged, "g",
+      Seq(0.25, 0.5, 0.75)).as[(String, Double, Double, Long)].collect()
+    qs.foreach { case (_, p, q, nn) =>
+      nn shouldBe n
+      math.abs(q - p * n) should be < (0.08 * n) // value == rank here
+    }
+  }
+
+  test("artifact merge in the exact regime equals the whole-data sketch") {
+    val a = (0 until 40).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val b = (40 until 90).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val merged = sketchOf(a, 4096)
+      .select($"g", explode($"__sk.items").as("it"))
+      .unionByName(sketchOf(b, 4096)
+        .select($"g", explode($"__sk.items").as("it")))
+      .groupBy($"g")
+      .agg(QuantileSketchAgg.mergeSketch($"it", 4096).as("__sk"))
+    assertSameRows(
+      graft.operators.Stats.quantilesFromSketches(merged, "g",
+        Seq(0.1, 0.5, 1.0)),
+      graft.operators.Stats.sketchQuantilesPerGroup(
+        a.unionByName(b), "g", "v", Seq(0.1, 0.5, 1.0), 4096))
+  }
+}
