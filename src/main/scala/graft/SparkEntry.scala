@@ -2719,6 +2719,23 @@ object SparkEntry {
         Seq(0.1, 0.5, 0.9, 0.99))
     }),
 
+    // sketch artifacts: two per-shard Misra-Gries summaries merged by
+    // count re-ingest — exact at k >= vocab, whole-corpus oracle
+    "q220_heavy_hitter_merge" -> ((s, dir) => {
+      import graft.functions.MisraGriesAgg
+      val docs = t(s, dir, "documents")
+      def part(f: Column) = docs.filter(f)
+        .select(explode(Dedup.tokens(col("text"))).as("token"))
+        .filter(col("token").isNotNull)
+        .agg(MisraGriesAgg.heavyHitters(col("token"), 64).as("hh"))
+        .select(explode(col("hh")).as("it"))
+      part(col("doc_id") % 2 === 0)
+        .unionByName(part(col("doc_id") % 2 =!= 0))
+        .agg(MisraGriesAgg.mergeHeavyHitters(col("it"), 64).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.count_low").as("count_low"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -6716,6 +6733,16 @@ object SparkEntry {
 
     // mirrors q192: k >= vocab makes Misra-Gries exact == plain counts
     "q192_heavy_hitters" ->
+      """SELECT t AS item, CAST(count(*) AS BIGINT) AS count_low
+        |FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents)
+        |WHERE t IS NOT NULL
+        |GROUP BY t""".stripMargin,
+
+    // q220 merges two per-shard MG summaries by count re-ingest — exact
+    // at k >= vocab, so the combined counts equal the plain counts
+    "q220_heavy_hitter_merge" ->
       """SELECT t AS item, CAST(count(*) AS BIGINT) AS count_low
         |FROM (
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t

@@ -77,16 +77,7 @@ case class MisraGriesAgg(child: Expression, k: Int,
     other.foreach { case (item, c) =>
       buf.update(item, buf.getOrElse(item, 0L) + c)
     }
-    if (buf.size > k) {
-      // subtract the (k+1)-th largest count from everything, drop <= 0
-      val cut = buf.values.toArray.sorted(Ordering[Long].reverse)(k)
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.keysIterator.foreach { key =>
-        val c = buf(key) - cut
-        if (c <= 0) dead += key else buf.update(key, c)
-      }
-      dead.foreach(buf.remove)
-    }
+    MisraGriesAgg.shed(buf, k) // subtract the (k+1)-th largest, drop <= 0
     buf
   }
 
@@ -97,7 +88,130 @@ case class MisraGriesAgg(child: Expression, k: Int,
     })
   }
 
-  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] =
+    MisraGriesAgg.serializeMap(buf)
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] =
+    MisraGriesAgg.deserializeMap(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** Re-ingest SAVED heavy-hitter items — the artifact-merge face (the
+  * quantile/KMV/CMS convention for top-k): a saved sketch is its
+  * exploded (item, count_low) rows; re-ingesting adds each count to
+  * the counter map and over-capacity states shed mass exactly like
+  * [[MisraGriesAgg.merge]], so the result is a valid Misra-Gries
+  * summary of the COMBINED stream (Agarwal et al., "Mergeable
+  * Summaries") — build per delivery, save, merge at read.
+  */
+case class MisraGriesMergeAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  require(k > 0, s"k must be positive: $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType), StructField("count_low", LongType))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StructType(Array(StructField(_, StringType, _, _),
+          StructField(_, LongType, _, _))) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"heavy_hitters_merge expects struct<item string, count bigint>, " +
+          s"got ${other.sql}")
+    }
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[String, Long],
+      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val row = v.asInstanceOf[InternalRow]
+      val item = row.getUTF8String(0).toString
+      val c = row.getLong(1)
+      require(c > 0, s"sketch item count must be positive: $c")
+      buf.update(item, buf.getOrElse(item, 0L) + c)
+      MisraGriesAgg.shed(buf, k)
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[String, Long],
+      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    other.foreach { case (item, c) =>
+      buf.update(item, buf.getOrElse(item, 0L) + c)
+    }
+    MisraGriesAgg.shed(buf, k)
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    val sorted = buf.toArray.sortBy { case (item, c) => (-c, item) }
+    new GenericArrayData(sorted.map { case (item, c) =>
+      InternalRow(UTF8String.fromString(item), c)
+    })
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] =
+    MisraGriesAgg.serializeMap(buf)
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] =
+    MisraGriesAgg.deserializeMap(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): MisraGriesMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGriesMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object MisraGriesAgg {
+  /** Column-level entry point: aggregate a string column into the
+    * (item, count_low) heavy-hitter array.
+    */
+  def heavyHitters(c: Column, k: Int): Column =
+    GraftBridge.column(
+      MisraGriesAgg(GraftBridge.expression(c), k).toAggregateExpression())
+
+  /** Artifact-merge entry point: re-aggregate exploded (item, count)
+    * sketch rows into one combined summary.
+    */
+  def mergeHeavyHitters(c: Column, k: Int): Column =
+    GraftBridge.column(
+      MisraGriesMergeAgg(GraftBridge.expression(c), k)
+        .toAggregateExpression())
+
+  /** The over-capacity shed both merges use: subtract the (k+1)-th
+    * largest count from every counter, drop non-positive ones.
+    */
+  private[functions] def shed(buf: mutable.HashMap[String, Long],
+      k: Int): Unit =
+    if (buf.size > k) {
+      val cut = buf.values.toArray.sorted(Ordering[Long].reverse)(k)
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.keysIterator.foreach { key =>
+        val c = buf(key) - cut
+        if (c <= 0) dead += key else buf.update(key, c)
+      }
+      dead.foreach(buf.remove)
+    }
+
+  private[functions] def serializeMap(
+      buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
@@ -109,7 +223,8 @@ case class MisraGriesAgg(child: Expression, k: Int,
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+  private[functions] def deserializeMap(
+      bytes: Array[Byte]): mutable.HashMap[String, Long] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
@@ -124,21 +239,4 @@ case class MisraGriesAgg(child: Expression, k: Int,
     }
     buf
   }
-
-  override def withNewMutableAggBufferOffset(o: Int): MisraGriesAgg =
-    copy(mutableAggBufferOffset = o)
-  override def withNewInputAggBufferOffset(o: Int): MisraGriesAgg =
-    copy(inputAggBufferOffset = o)
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): Expression =
-    copy(child = newChildren.head)
-}
-
-object MisraGriesAgg {
-  /** Column-level entry point: aggregate a string column into the
-    * (item, count_low) heavy-hitter array.
-    */
-  def heavyHitters(c: Column, k: Int): Column =
-    GraftBridge.column(
-      MisraGriesAgg(GraftBridge.expression(c), k).toAggregateExpression())
 }

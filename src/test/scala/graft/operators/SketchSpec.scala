@@ -274,3 +274,34 @@ class QuantileSketchMergeSpec extends SparkSpec {
         a.unionByName(b), "g", "v", Seq(0.1, 0.5, 1.0), 4096))
   }
 }
+
+class MisraGriesMergeSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.functions.MisraGriesAgg
+
+  test("artifact merge: exact-regime part summaries recombine to the " +
+      "true counts; approximate regime keeps the survival guarantee") {
+    val items = (Seq.fill(300)("hot") ++ Seq.fill(90)("warm") ++
+      (1 to 60).map(i => s"cold$i")).zipWithIndex
+      .map { case (it, i) => (i, it) }
+    val df = items.toDF("i", "item")
+    def part(f: org.apache.spark.sql.Column, k: Int) = df.filter(f)
+      .agg(MisraGriesAgg.heavyHitters($"item", k).as("hh"))
+      .select(explode($"hh").as("it"))
+    def merged(k: Int) =
+      part($"i" % 2 === 0, k).unionByName(part($"i" % 2 =!= 0, k))
+        .agg(MisraGriesAgg.mergeHeavyHitters($"it", k).as("hh"))
+        .select(explode($"hh").as("e"))
+        .select($"e.item", $"e.count_low").as[(String, Long)]
+        .collect().toMap
+    val truth = df.groupBy($"item").count().as[(String, Long)]
+      .collect().toMap
+    merged(128) shouldBe truth // k >= 62 distinct: exact end to end
+    // approximate artifacts (k=4 per shard): counts stay lower bounds
+    // and "hot" (300 > n/(k+1) even after shard-level shed) survives
+    val approx = merged(4)
+    approx.keySet should contain ("hot")
+    approx.foreach { case (it, low) => low should be <= truth(it) }
+  }
+}
