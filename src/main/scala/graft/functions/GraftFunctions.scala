@@ -93,6 +93,31 @@ object GraftFunctions {
     "quantile_sketch" -> { args =>
       arity("quantile_sketch", 2, args)
       QuantileSketchAgg(args.head, intLit("quantile_sketch", "k", args(1)))
+    },
+    "quantile_sketch_merge" -> { args =>
+      arity("quantile_sketch_merge", 2, args)
+      QuantileSketchMergeAgg(args.head,
+        intLit("quantile_sketch_merge", "k", args(1)))
+    },
+    "heavy_hitters_merge" -> { args =>
+      arity("heavy_hitters_merge", 2, args)
+      MisraGriesMergeAgg(args.head,
+        intLit("heavy_hitters_merge", "k", args(1)))
+    },
+    // Spark's internal bloom pair, surfaced for acon-style SQL: build a
+    // serialized filter over longs, probe it from a binary column/value
+    "bloom_agg" -> { args =>
+      arity("bloom_agg", 2, args)
+      // the estimated-items argument must be BIGINT; lift int literals
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(args.head,
+          org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+            org.apache.spark.sql.types.LongType))
+    },
+    "bloom_might_contain" -> { args =>
+      arity("bloom_might_contain", 2, args)
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(args.head, args(1))
     })
 
   /** Idempotent per-session registration of all graft SQL functions. */

@@ -953,3 +953,46 @@ class DecontaminateParamsSpec extends SparkSpec {
       .map(_.name).mkString should not include "decon"
   }
 }
+
+class SqlSketchSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sketch/bloom SQL functions: merge aggregates and the bloom " +
+      "build/probe pair work end-to-end from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    (1 to 50).map(i => (i.toDouble, s"it${i % 5}"))
+      .toDF("v", "item").createOrReplaceTempView("sql_sketch_t")
+    // quantile sketch -> explode -> merge: exact regime round trip
+    val q = spark.sql(
+      """WITH parts AS (
+        |  SELECT quantile_sketch(v, 64) AS sk FROM sql_sketch_t),
+        |items AS (SELECT explode(sk.items) AS it FROM parts)
+        |SELECT quantile_sketch_merge(it, 64).n AS n FROM items""".stripMargin)
+      .collect().head.getLong(0)
+    q shouldBe 50L
+    val hh = spark.sql(
+      """WITH parts AS (
+        |  SELECT heavy_hitters(item, 16) AS hh FROM sql_sketch_t),
+        |items AS (SELECT explode(hh) AS it FROM parts)
+        |SELECT explode(heavy_hitters_merge(it, 16)) AS e
+        |FROM items""".stripMargin)
+      .selectExpr("e.item", "e.count_low").as[(String, Long)]
+      .collect().toMap
+    hh("it1") shouldBe 10L
+    // bloom: build over longs, probe members and a non-member
+    spark.range(100).createOrReplaceTempView("sql_bloom_t")
+    // might_contain requires a constant/scalar-subquery filter — the
+    // production shape: fold the bloom once, probe it per row
+    val probes = spark.sql(
+      """SELECT bloom_might_contain(
+        |    (SELECT bloom_agg(id, 100) FROM sql_bloom_t),
+        |    CAST(7 AS BIGINT)) AS hit7,
+        |  bloom_might_contain(
+        |    (SELECT bloom_agg(id, 100) FROM sql_bloom_t),
+        |    CAST(1234567 AS BIGINT)) AS miss""".stripMargin)
+      .collect().head
+    probes.getBoolean(0) shouldBe true
+    // a specific far-away value: false unless an (unlikely, fixed) FP
+    probes.getBoolean(1) shouldBe false
+  }
+}
