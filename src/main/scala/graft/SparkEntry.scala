@@ -2736,6 +2736,13 @@ object SparkEntry {
         .select(col("e.item").as("item"), col("e.count_low").as("count_low"))
     }),
 
+    // reporting: the dataset card — exact one-table corpus summary
+    // (docs, tokens, source mix, dup rate) published beside the data
+    "q221_dataset_card" -> ((s, dir) => {
+      DatasetCard.report(t(s, dir, "documents"), "doc_id", "text",
+        "source")
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -7194,6 +7201,33 @@ object SparkEntry {
          |       FROM orders JOIN customer ON o_custkey = c_custkey)
          |SELECT est.est_join_size, ex.true_join_size
          |FROM est CROSS JOIN ex""".stripMargin,
+
+    // mirrors q221: same token split, digest distinct, source shares
+    "q221_dataset_card" ->
+      """WITH b AS (SELECT doc_id, text, source FROM documents),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+        |  FROM b),
+        |shr AS (
+        |  SELECT CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS mss
+        |  FROM (SELECT count(*) AS n FROM b GROUP BY source))
+        |SELECT metric, value FROM agg CROSS JOIN shr CROSS JOIN (VALUES
+        |  ('n_docs'), ('n_tokens'), ('n_sources'), ('mean_doc_tokens'),
+        |  ('exact_dup_fraction'), ('max_source_share')) AS m(metric)
+        |CROSS JOIN LATERAL (SELECT CASE metric
+        |  WHEN 'n_docs' THEN CAST(n_docs AS DOUBLE)
+        |  WHEN 'n_tokens' THEN CAST(n_tokens AS DOUBLE)
+        |  WHEN 'n_sources' THEN CAST(n_sources AS DOUBLE)
+        |  WHEN 'mean_doc_tokens'
+        |    THEN round(CAST(n_tokens AS DOUBLE) / n_docs, 6)
+        |  WHEN 'exact_dup_fraction'
+        |    THEN round(CAST(1.0 AS DOUBLE)
+        |      - CAST(n_distinct AS DOUBLE) / n_docs, 6)
+        |  ELSE round(mss, 6) END AS value) v""".stripMargin,
 
     // mirrors q202: identical dense item index (row_number over sorted
     // part keys), md5 slot hash mod |items|, own-positive collision drop

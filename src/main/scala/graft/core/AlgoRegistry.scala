@@ -556,6 +556,13 @@ object AlgoRegistry {
         config.getIntOpt("scale").getOrElse(1024).toLong,
         config.getStringOpt("centroids_dir")
           .map(d => spark.read.parquet(d))))
+    // dataset-card report (exact corpus summary, tall metric/value)
+    case "DatasetCard" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.DatasetCard.report(df,
+        config.getString("id_column"), config.getString("text_column"),
+        config.getString("source_column")))
     // decontamination benchmark artifacts (shingle-hash table + n)
     case "DecontaminateArtifacts" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

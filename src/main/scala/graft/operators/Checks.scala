@@ -277,3 +277,44 @@ object Checks {
     case _ => throw new IllegalArgumentException(s"unknown rule: $rule")
   }
 }
+
+/** The dataset-card report — the one-table corpus summary a training
+  * run publishes alongside its data (docs/tokens/source mix/dup rate):
+  * a tall (metric, value) frame so downstream diffing and dashboards
+  * need no schema knowledge. Every number is EXACT (map-combinable
+  * counts, one digest distinct), no sampling — at 100 TB this is two
+  * scans (corpus aggregate + digest distinct) and a source-sized
+  * aggregation.
+  */
+object DatasetCard {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  def report(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("__id"),
+      col(textCol).as("__t"), col(sourceCol).as("__s"))
+    val tok = size(split(trim(lower(col("__t"))), "\\s+")).cast("long")
+    val agg = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(tok).cast("long").as("n_tokens"),
+      countDistinct(col("__s")).as("n_sources"),
+      countDistinct(md5(col("__t"))).as("n_distinct_texts"))
+    val topShare = base.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")).cast("double").as("__mx"),
+        sum(col("__n")).cast("double").as("__tot"))
+      .select((col("__mx") / col("__tot")).as("max_source_share"))
+    agg.crossJoin(topShare).select(explode(map(
+      lit("n_docs"), col("n_docs").cast("double"),
+      lit("n_tokens"), col("n_tokens").cast("double"),
+      lit("n_sources"), col("n_sources").cast("double"),
+      lit("mean_doc_tokens"),
+      round(col("n_tokens").cast("double") / col("n_docs"), 6),
+      lit("exact_dup_fraction"),
+      round(lit(1.0) - col("n_distinct_texts").cast("double")
+        / col("n_docs"), 6),
+      lit("max_source_share"), round(col("max_source_share"), 6))))
+      .select(col("key").as("metric"), col("value"))
+  }
+}

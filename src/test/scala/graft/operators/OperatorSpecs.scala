@@ -3061,3 +3061,22 @@ class DecontaminateArtifactsSpec extends SparkSpec {
     pbE.release()
   }
 }
+
+class DatasetCardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("datasetCard: exact counts, dup fraction, and dominant share on " +
+      "a hand corpus") {
+    val docs = Seq(
+      (1L, "a b c", "web"), (2L, "a b c", "web"),   // exact dup pair
+      (3L, "d e", "web"), (4L, "f", "books")).toDF("doc_id", "text", "src")
+    val m = DatasetCard.report(docs, "doc_id", "text", "src")
+      .as[(String, Double)].collect().toMap
+    m("n_docs") shouldBe 4.0
+    m("n_tokens") shouldBe 9.0
+    m("n_sources") shouldBe 2.0
+    m("mean_doc_tokens") shouldBe 2.25
+    m("exact_dup_fraction") shouldBe 0.25 // 3 distinct texts of 4 docs
+    m("max_source_share") shouldBe 0.75
+  }
+}
