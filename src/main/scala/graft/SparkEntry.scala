@@ -2743,6 +2743,17 @@ object SparkEntry {
         "source")
     }),
 
+    // ML: greedy farthest-point centroid init (k=3) — the deterministic
+    // k-means++-style spread seeding, two unrolled argmin rounds
+    "q222_kmeans_farthest_init" -> ((s, dir) => {
+      Similarity.selectCentroidsFarthest(t(s, dir, "embeddings"),
+          "vec_id", "embedding", 3)
+        .select(col("sel"), col("cid"),
+          posexplode(col("ce")).as(Seq("dim", "m")))
+        .select(col("sel"), col("cid"), col("dim"),
+          round(col("m").cast("double"), 6).as("val"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -7228,6 +7239,35 @@ object SparkEntry {
         |    THEN round(CAST(1.0 AS DOUBLE)
         |      - CAST(n_distinct AS DOUBLE) / n_docs, 6)
         |  ELSE round(mss, 6) END AS value) v""".stripMargin,
+
+    // mirrors q222: hash-min seed, then two argmin-of-max-cosine rounds
+    // with (similarity ASC, id ASC) tie-breaks
+    "q222_kmeans_farthest_init" ->
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         |c1 AS (SELECT vec_id AS cid, embedding AS ce FROM emb
+         |       ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |       LIMIT 1),
+         |c2 AS (
+         |  SELECT e.vec_id AS cid, e.embedding AS ce
+         |  FROM emb e CROSS JOIN c1
+         |  ORDER BY ${cosSql("e.embedding", "c1.ce")} ASC, e.vec_id
+         |  LIMIT 1),
+         |c3 AS (
+         |  SELECT e.vec_id AS cid, e.embedding AS ce
+         |  FROM emb e CROSS JOIN c1 CROSS JOIN c2
+         |  ORDER BY greatest(${cosSql("e.embedding", "c1.ce")},
+         |                    ${cosSql("e.embedding", "c2.ce")}) ASC,
+         |    e.vec_id
+         |  LIMIT 1),
+         |sel AS (
+         |  SELECT 1 AS sel, cid, ce FROM c1
+         |  UNION ALL SELECT 2, cid, ce FROM c2
+         |  UNION ALL SELECT 3, cid, ce FROM c3)
+         |SELECT CAST(sel AS INTEGER) AS sel, cid,
+         |  CAST(g - 1 AS INTEGER) AS dim,
+         |  round(CAST(ce[g] AS DOUBLE), 6) AS val
+         |FROM (SELECT sel, cid, ce,
+         |        unnest(generate_series(1, len(ce))) AS g FROM sel)""".stripMargin,
 
     // mirrors q202: identical dense item index (row_number over sorted
     // part keys), md5 slot hash mod |items|, own-positive collision drop

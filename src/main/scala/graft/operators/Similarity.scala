@@ -207,6 +207,50 @@ object Similarity {
     rerank(cand, queries, corpus, idCol, vecCol, k, broadcastQueries)
   }
 
+  /** Greedy farthest-point (maxmin) centroid initialization — the
+    * deterministic cousin of k-means++ seeding: start from the
+    * hash-min point, then repeatedly add the corpus vector whose
+    * SIMILARITY to its nearest chosen centroid is smallest (ties to the
+    * smaller id). Spread seeds avoid the duplicate-cluster inits plain
+    * hash sampling can draw (two seeds inside one true cluster leave
+    * another cluster split). Output: (sel, cid, ce) in selection order.
+    *
+    * Cost: k−1 corpus scans, each a narrow map over the chosen-so-far
+    * plan literal (the [[nearestCentroid]] shape) + a TakeOrdered(1) —
+    * no shuffle; driver state is k·d floats.
+    */
+  def selectCentroidsFarthest(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val spark = corpus.sparkSession
+    import scala.jdk.CollectionConverters._
+    val seed = selectCentroids(corpus, idCol, vecCol, 1).collect()(0)
+    val chosen = scala.collection.mutable.ArrayBuffer[(Any, Seq[Float])](
+      (seed.get(0), seed.getSeq[Float](1)))
+    while (chosen.size < k) {
+      val centLit = array(chosen.map { case (_, v) =>
+        typedlit(v)
+      }.toIndexedSeq: _*)
+      val far = corpus
+        .select(col(idCol).as("cid"), col(vecCol).as("__v"))
+        .select(col("cid"), col("__v"),
+          array_max(transform(centLit, c => cosine(col("__v"), c)))
+            .as("__mc"))
+        .orderBy(col("__mc").asc, col("cid").asc)
+        .limit(1).collect()(0)
+      chosen += ((far.get(0), far.getSeq[Float](1)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sel",
+        org.apache.spark.sql.types.IntegerType),
+      seed.schema("cid").copy(name = "cid"),
+      seed.schema("ce").copy(name = "ce")))
+    spark.createDataFrame(
+      chosen.zipWithIndex.map { case ((cid, v), i) =>
+        org.apache.spark.sql.Row(i + 1, cid, v)
+      }.toList.asJava, schema)
+  }
+
   /** One Lloyd iteration over `cent` (cid, ce): assign every corpus
     * vector to its nearest centroid by cosine (ties to the smaller cid —
     * the same `(cos DESC, cid ASC)` argmax [[ivfTopK]] and the DuckDB

@@ -3080,3 +3080,29 @@ class DatasetCardSpec extends SparkSpec {
     m("max_source_share") shouldBe 0.75
   }
 }
+
+class FarthestInitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("selectCentroidsFarthest: one seed per true direction cluster " +
+      "(plain hash sampling can double up), and it trains to the full " +
+      "20/20/20 recovery without a warm start") {
+    val clustered = (0 until 60).map { i =>
+      val c = i % 3
+      val base = Array(0.0f, 0.0f, 0.0f); base(c) = 1.0f
+      base((c + 1) % 3) += 0.02f * ((i * 7 % 11) - 5).abs
+      base((c + 2) % 3) += 0.02f * ((i * 13 % 11) - 5).abs
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val init = Similarity.selectCentroidsFarthest(clustered, "vec_id",
+      "embedding", 3)
+    // each seed's dominant axis is a different true cluster
+    init.as[(Int, Long, Seq[Float])].collect()
+      .map(_._3.zipWithIndex.maxBy(_._1)._2).toSet shouldBe Set(0, 1, 2)
+    val trained = Similarity.kmeansCentroids(clustered, "vec_id",
+      "embedding", k = 3, maxIters = 10,
+      init = Some(init.select($"cid", $"ce")))
+    trained.select($"n").as[Long].collect().sorted shouldBe
+      Array(20L, 20L, 20L)
+  }
+}
