@@ -554,8 +554,19 @@ object AlgoRegistry {
         config.getIntOpt("max_iters").getOrElse(10),
         config.getDouble("tol", 1e-3),
         config.getIntOpt("scale").getOrElse(1024).toLong,
+        // init: warm-start centroids_dir beats the seeding choice;
+        // init="farthest" spreads seeds one-per-cluster (q222), default
+        // stays the hash sample
         config.getStringOpt("centroids_dir")
-          .map(d => spark.read.parquet(d))))
+          .map(d => spark.read.parquet(d))
+          .orElse(config.getStringOpt("init").collect {
+            case "farthest" =>
+              graft.operators.Similarity.selectCentroidsFarthest(df,
+                config.getString("id_column"),
+                config.getString("vector_column"), config.getInt("k"))
+                .select(org.apache.spark.sql.functions.col("cid"),
+                  org.apache.spark.sql.functions.col("ce"))
+          })))
     // dataset-card report (exact corpus summary, tall metric/value)
     case "DatasetCard" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
