@@ -996,3 +996,142 @@ class SqlSketchSurfaceSpec extends SparkSpec {
     probes.getBoolean(1) shouldBe false
   }
 }
+
+class Round9ParamsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.core.JobRunner
+
+  private def run(base: String, algo: String, json: String): Unit = {
+    val f = java.nio.file.Paths.get(base, s"$algo.json")
+    java.nio.file.Files.writeString(f, json)
+    JobRunner.execute(spark, algo, f.toString)
+  }
+
+  test("round-9 training/ML algorithms run through the params surface") {
+    val base = tmp("jr_r9")
+    val emb = (0 until 30).map { i =>
+      val v = Array(0.0f, 0.0f); v(i % 2) = 1.0f + 0.01f * (i % 5)
+      (i.toLong, v, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    emb.write.parquet(s"$base/emb")
+
+    run(base, "KMeansCentroids",
+      s"""{"source_dir": "$base/emb", "target_dir": "$base/cent",
+         | "id_column": "vec_id", "vector_column": "embedding",
+         | "k": 2, "max_iters": 5, "init": "farthest"}""".stripMargin)
+    val cent = spark.read.parquet(s"$base/cent")
+    cent.count() shouldBe 2
+    cent.select(sum($"n")).head.getLong(0) shouldBe 30L
+
+    run(base, "HardNegatives",
+      s"""{"source_dir": "$base/emb", "target_dir": "$base/hn",
+         | "queries_dir": "$base/emb", "id_column": "vec_id",
+         | "vector_column": "embedding", "label_column": "label",
+         | "k": 2}""".stripMargin)
+    spark.read.parquet(s"$base/hn").count() shouldBe 60
+
+    run(base, "KnnLabelCheck",
+      s"""{"source_dir": "$base/emb", "target_dir": "$base/knn",
+         | "id_column": "vec_id", "vector_column": "embedding",
+         | "label_column": "label", "k": 3}""".stripMargin)
+    spark.read.parquet(s"$base/knn")
+      .filter($"flagged").count() shouldBe 0 // clean separable labels
+
+    run(base, "SemDedup",
+      s"""{"source_dir": "$base/emb", "target_dir": "$base/sd",
+         | "id_column": "vec_id", "vector_column": "embedding",
+         | "k": 2, "max_iters": 3, "threshold": 0.99}""".stripMargin)
+    spark.read.parquet(s"$base/sd").count() should be > 0L
+
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    edges.write.parquet(s"$base/edges")
+    run(base, "PageRank",
+      s"""{"source_dir": "$base/edges", "target_dir": "$base/pr",
+         | "max_iters": 5}""".stripMargin)
+    spark.read.parquet(s"$base/pr")
+      .agg(sum($"rank")).head.getDouble(0) shouldBe 1.0 +- 1e-6
+
+    val docs = Seq((1L, "alpha beta gamma", "web", 10.0),
+      (2L, "delta epsilon", "web", 20.0),
+      (3L, "zeta eta theta iota", "books", 30.0))
+      .toDF("doc_id", "text", "source", "score")
+    docs.write.parquet(s"$base/docs")
+
+    run(base, "QuantileSketch",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/qs",
+         | "group_column": "source", "value_column": "score",
+         | "ps": [0.5], "k": 64}""".stripMargin)
+    spark.read.parquet(s"$base/qs").count() shouldBe 2
+
+    run(base, "UpsampleBalanced",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/up",
+         | "class_column": "source"}""".stripMargin)
+    spark.read.parquet(s"$base/up").count() shouldBe 4 // books x2
+
+    run(base, "TemperatureSample",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/ts",
+         | "id_column": "doc_id", "group_column": "source",
+         | "alpha": 0.5}""".stripMargin)
+    spark.read.parquet(s"$base/ts").count() should be >= 1L
+
+    run(base, "LeakageSafeSplit",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/ls",
+         | "id_column": "doc_id", "text_column": "text",
+         | "splits": [{"name": "train", "weight": 0.5},
+         |            {"name": "val", "weight": 0.5}]}""".stripMargin)
+    spark.read.parquet(s"$base/ls").columns should contain ("split")
+
+    Seq((1L, 10L), (2L, 11L)).toDF("u", "it")
+      .write.parquet(s"$base/pos")
+    (10L to 19L).toDF("item").write.parquet(s"$base/items")
+    run(base, "NegativeSamples",
+      s"""{"source_dir": "$base/pos", "target_dir": "$base/ns",
+         | "user_column": "u", "item_column": "it",
+         | "items_dir": "$base/items", "item_id_column": "item",
+         | "k": 2}""".stripMargin)
+    spark.read.parquet(s"$base/ns").count() should be > 0L
+
+    val media = Seq((1L, "payloadAAAA".getBytes),
+      (2L, "payloadAAAA::v2".getBytes), (3L, "other".getBytes))
+      .toDF("doc_id", "payload")
+    media.write.parquet(s"$base/media")
+    run(base, "MediaNearDup",
+      s"""{"source_dir": "$base/media", "target_dir": "$base/mnd",
+         | "id_column": "doc_id", "payload_column": "payload",
+         | "max_hamming": 7, "chunk_bytes": 2}""".stripMargin)
+    spark.read.parquet(s"$base/mnd").columns should contain ("hamming")
+
+    run(base, "BpeVocab",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/merges",
+         | "text_column": "text", "n_merges": 2}""".stripMargin)
+    run(base, "BpeSegment",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/segv",
+         | "text_column": "text",
+         | "merges_dir": "$base/merges"}""".stripMargin)
+    run(base, "BpeTokenCounts",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/tc",
+         | "id_column": "doc_id", "text_column": "text",
+         | "vocab_dir": "$base/segv"}""".stripMargin)
+    spark.read.parquet(s"$base/tc").count() shouldBe 3
+
+    run(base, "DatasetCard",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/card",
+         | "id_column": "doc_id", "text_column": "text",
+         | "source_column": "source"}""".stripMargin)
+    spark.read.parquet(s"$base/card").count() shouldBe 6
+
+    // CMS join sizing over two saved sketch artifacts
+    run(base, "CmsSketch",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/cmsa",
+         | "item_column": "doc_id"}""".stripMargin)
+    run(base, "CmsSketch",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/cmsb",
+         | "item_column": "doc_id"}""".stripMargin)
+    run(base, "CmsJoinSize",
+      s"""{"source_dir": "$base/cmsa", "target_dir": "$base/jsz",
+         | "other_sketch_dir": "$base/cmsb"}""".stripMargin)
+    spark.read.parquet(s"$base/jsz").select($"est_join_size").as[Long]
+      .collect().head shouldBe 3L // self-join of 3 distinct keys
+  }
+}
