@@ -2754,6 +2754,19 @@ object SparkEntry {
           round(col("m").cast("double"), 6).as("val"))
     }),
 
+    // retrieval eval: recall@5 + MRR of IVF retrieval against the exact
+    // nearest neighbor — the ANN stack's evaluation face as a gate
+    "q223_retrieval_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+      val truth = Similarity.bruteForceTopK(q, emb, "vec_id",
+          "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id").as("relevant_id"))
+      val results = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+        k = 5)
+      Similarity.retrievalEval(results, truth)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -7268,6 +7281,63 @@ object SparkEntry {
          |  round(CAST(ce[g] AS DOUBLE), 6) AS val
          |FROM (SELECT sel, cid, ce,
          |        unnest(generate_series(1, len(ce))) AS g FROM sel)""".stripMargin,
+
+    // mirrors q223: brute top-1 truth + q42's IVF pipeline, reciprocal
+    // rank of the first relevant hit (every literal CAST to DOUBLE)
+    "q223_retrieval_eval" ->
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         |qs AS (SELECT vec_id, embedding FROM emb WHERE vec_id % 50 = 0),
+         |truth AS (
+         |  SELECT vec_id AS query_id, cid2 AS relevant_id FROM (
+         |    SELECT q.vec_id, c.vec_id AS cid2,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+         |          c.vec_id) AS rk
+         |    FROM qs q JOIN emb c ON q.vec_id <> c.vec_id) x
+         |  WHERE x.rk = 1),
+         |cent AS (SELECT vec_id AS cid, embedding AS ce FROM emb
+         |         ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |         LIMIT 128),
+         |assign AS (
+         |  SELECT vec_id AS neighbor_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rk
+         |    FROM emb e CROSS JOIN cent c) WHERE rk = 1),
+         |probe AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rk
+         |    FROM emb e CROSS JOIN cent c WHERE e.vec_id % 50 = 0)
+         |  WHERE rk <= 3),
+         |cand AS (
+         |  SELECT DISTINCT query_id, neighbor_id
+         |  FROM probe JOIN assign USING (cid)
+         |  WHERE query_id <> neighbor_id),
+         |res AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rk
+         |  FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ${cosSql("qe.embedding", "ne.embedding")} AS cosine
+         |    FROM cand
+         |    JOIN emb qe ON qe.vec_id = query_id
+         |    JOIN emb ne ON ne.vec_id = neighbor_id) s
+         |  QUALIFY rk <= 5),
+         |firsts AS (
+         |  SELECT t.query_id, min(r.rk) AS frk
+         |  FROM truth t LEFT JOIN res r
+         |    ON r.query_id = t.query_id AND r.neighbor_id = t.relevant_id
+         |  GROUP BY t.query_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  round(avg(CASE WHEN frk IS NOT NULL THEN CAST(1 AS DOUBLE)
+         |    ELSE CAST(0 AS DOUBLE) END), 6) AS recall_at_k,
+         |  round(avg(CASE WHEN frk IS NOT NULL
+         |    THEN CAST(1 AS DOUBLE) / frk
+         |    ELSE CAST(0 AS DOUBLE) END), 6) AS mrr
+         |FROM firsts""".stripMargin,
 
     // mirrors q202: identical dense item index (row_number over sorted
     // part keys), md5 slot hash mod |items|, own-positive collision drop

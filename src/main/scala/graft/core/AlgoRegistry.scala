@@ -567,6 +567,12 @@ object AlgoRegistry {
                 .select(org.apache.spark.sql.functions.col("cid"),
                   org.apache.spark.sql.functions.col("ce"))
           })))
+    // retrieval evaluation: recall@k + MRR of results vs a truth table
+    case "RetrievalEval" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.retrievalEval(df,
+        spark.read.parquet(config.getString("truth_dir"))))
     // dataset-card report (exact corpus summary, tall metric/value)
     case "DatasetCard" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -437,6 +437,38 @@ object Similarity {
         col("n_agree"), (col("label") =!= col("predicted")).as("flagged"))
   }
 
+  /** Retrieval evaluation — recall@k and MRR of an approximate
+    * retrieval run against a ground-truth relevant set: `results` is a
+    * ranked (query_id, neighbor_id, cosine) frame (any of the ANN
+    * paths), `truth` a (query_id, relevant_id) frame. Per query the
+    * reciprocal rank of the FIRST relevant hit (ranks from the
+    * result's own (cosine DESC, neighbor_id) order; 0 when missed);
+    * the report row is (n_queries, recall_at_k, mrr). The missing eval
+    * face of the ANN stack: recall numbers in specs become a
+    * first-class, reusable report.
+    *
+    * Scale: one window over per-query result lists (k-bounded
+    * partitions) and a truth join — both sides are query-sized, never
+    * corpus-sized.
+    */
+  def retrievalEval(results: DataFrame, truth: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val ranked = results
+      .withColumn("__rk", row_number().over(w))
+    val hits = truth.join(ranked,
+        truth("query_id") === ranked("query_id") &&
+          truth("relevant_id") === ranked("neighbor_id"), "left")
+      .groupBy(truth("query_id"))
+      .agg(min(col("__rk")).as("__first"))
+    hits.agg(
+      count(lit(1)).as("n_queries"),
+      round(avg(when(col("__first").isNotNull, 1.0).otherwise(0.0)), 6)
+        .as("recall_at_k"),
+      round(avg(when(col("__first").isNotNull,
+        lit(1.0) / col("__first")).otherwise(0.0)), 6).as("mrr"))
+  }
+
   /** Per-label embedding OUTLIERS: the `k` vectors of each label whose
     * squared distance to the label centroid is largest — the
     * embedding-space mislabel/garbage detector (the complement of

@@ -3106,3 +3106,22 @@ class FarthestInitSpec extends SparkSpec {
       Array(20L, 20L, 20L)
   }
 }
+
+class RetrievalEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("retrievalEval: hand-computed recall and MRR, misses scored 0") {
+    val results = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.8),  // truth 11 at rank 2 -> rr 0.5
+      (2L, 20L, 0.9), (2L, 21L, 0.8),  // truth 20 at rank 1 -> rr 1.0
+      (3L, 30L, 0.9))                  // truth 99 missing   -> rr 0
+      .toDF("query_id", "neighbor_id", "cosine")
+    val truth = Seq((1L, 11L), (2L, 20L), (3L, 99L))
+      .toDF("query_id", "relevant_id")
+    val r = Similarity.retrievalEval(results, truth)
+      .as[(Long, Double, Double)].collect().head
+    r._1 shouldBe 3L
+    r._2 shouldBe (2.0 / 3 * 1e6).round / 1e6
+    r._3 shouldBe 0.5
+  }
+}
