@@ -2783,6 +2783,18 @@ object SparkEntry {
         truth)
     }),
 
+    // graph: WEIGHTED PageRank step — edge weight = order lines per
+    // (customer, supplier) pair, so heavy trade routes carry more rank
+    "q225_weighted_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + lit(1000000L)).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      GraphRank.pageRankStep(GraphRank.initRanks(edges), edges,
+        weightCol = Some("w"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -7438,6 +7450,41 @@ object SparkEntry {
          |    THEN CAST(1 AS DOUBLE) / frk
          |    ELSE CAST(0 AS DOUBLE) END), 6) AS mrr
          |FROM firsts""".stripMargin,
+
+    // mirrors q225: weighted out-mass (sum of line counts per source),
+    // per-edge floor(scale·r·w / srcW) contributions — exact longs
+    "q225_weighted_pagerank" ->
+      """WITH e AS (SELECT CAST(o_custkey AS BIGINT) AS src,
+        |             CAST(l_suppkey AS BIGINT) + 1000000 AS dst,
+        |             CAST(count(*) AS BIGINT) AS w
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |           GROUP BY 1, 2),
+        |nodes AS (SELECT DISTINCT id FROM
+        |            (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS r
+        |       FROM nodes),
+        |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM e
+        |        GROUP BY src),
+        |contrib AS (
+        |  SELECT e.dst, CAST(sum(CAST(floor(CAST(1000000000 AS DOUBLE)
+        |      * r0.r * e.w / deg.deg) AS BIGINT)) AS BIGINT) AS qin
+        |  FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |dm AS (SELECT CAST(COALESCE(sum(CAST(floor(
+        |           CAST(1000000000 AS DOUBLE) * r0.r) AS BIGINT)), 0)
+        |         AS BIGINT) AS q
+        |       FROM r0 LEFT JOIN deg ON r0.id = deg.src
+        |       WHERE deg.src IS NULL)
+        |SELECT nd.id,
+        |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |  + CAST(0.85 AS DOUBLE)
+        |    * (CAST(COALESCE(c.qin, 0) AS DOUBLE)
+        |       / CAST(1000000000 AS DOUBLE))
+        |  + CAST(0.85 AS DOUBLE)
+        |    * (CAST((SELECT q FROM dm) AS DOUBLE)
+        |       / CAST(1000000000 AS DOUBLE) / (SELECT n FROM nn)) AS rank
+        |FROM nodes nd LEFT JOIN contrib c ON nd.id = c.dst""".stripMargin,
 
     // mirrors q202: identical dense item index (row_number over sorted
     // part keys), md5 slot hash mod |items|, own-positive collision drop

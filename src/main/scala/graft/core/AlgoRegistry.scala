@@ -698,15 +698,20 @@ object AlgoRegistry {
     case "PageRank" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),
-      df => graft.operators.GraphRank.pageRank(
-        df.select(
-          org.apache.spark.sql.functions.col(
-            config.getStringOpt("src_column").getOrElse("src")).as("src"),
-          org.apache.spark.sql.functions.col(
-            config.getStringOpt("dst_column").getOrElse("dst")).as("dst")),
-        config.getIntOpt("max_iters").getOrElse(20),
-        config.getDouble("tol", 1e-6),
-        config.getDouble("damping", 0.85)))
+      df => {
+        import org.apache.spark.sql.functions.col
+        val wOpt = config.getStringOpt("weight_column")
+        val cols = Seq(
+          col(config.getStringOpt("src_column").getOrElse("src"))
+            .as("src"),
+          col(config.getStringOpt("dst_column").getOrElse("dst"))
+            .as("dst")) ++ wOpt.map(w => col(w))
+        graft.operators.GraphRank.pageRank(df.select(cols: _*),
+          config.getIntOpt("max_iters").getOrElse(20),
+          config.getDouble("tol", 1e-6),
+          config.getDouble("damping", 0.85),
+          weightCol = wOpt)
+      })
     // BPE tokenizer training: learn n_merges merge rules (write once)
     case "BpeVocab" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

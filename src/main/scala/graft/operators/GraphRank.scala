@@ -42,20 +42,41 @@ object GraphRank {
     * the arithmetic shape (operand order, quantize points) in sync.
     */
   def pageRankStep(ranks: DataFrame, edges: DataFrame,
-      damping: Double = 0.85, scale: Long = 1000000000L): DataFrame = {
+      damping: Double = 0.85, scale: Long = 1000000000L,
+      weightCol: Option[String] = None): DataFrame = {
     val n = ranks.count()
     val nD = n.toDouble
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val deg = weightCol match {
+      case None =>
+        edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+      case Some(w) => // weighted out-mass; integer weights keep it exact
+        edges.groupBy(col("src"))
+          .agg(sum(col(w).cast("long")).as("__deg"))
+    }
     // dangling mass: quantized rank of no-out-edge nodes, one scalar
     val dmQ = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
       .agg(coalesce(sum(floor(lit(scale.toDouble) * col("rank"))), lit(0L)))
       .head.getLong(0)
-    // per-source quantized contribution, fanned out along edges
-    val srcQ = ranks.join(deg, ranks("id") === deg("src"))
-      .select(col("src"),
-        floor(lit(scale.toDouble) * col("rank") / col("__deg")).as("__q"))
-    val contrib = edges.join(srcQ, "src")
-      .groupBy(col("dst")).agg(sum(col("__q")).as("__qin"))
+    val contrib = weightCol match {
+      case None =>
+        // per-source quantized contribution, fanned out along edges
+        val srcQ = ranks.join(deg, ranks("id") === deg("src"))
+          .select(col("src"),
+            floor(lit(scale.toDouble) * col("rank") / col("__deg"))
+              .as("__q"))
+        edges.join(srcQ, "src")
+          .groupBy(col("dst")).agg(sum(col("__q")).as("__qin"))
+      case Some(w) =>
+        // per-EDGE quantized contribution ∝ its share of the source's
+        // out-weight: floor(scale·r·w / srcW) — still exact longs
+        val srcW = ranks.join(deg, ranks("id") === deg("src"))
+          .select(col("src"), col("rank").as("__r"), col("__deg"))
+        edges.join(srcW, "src")
+          .select(col("dst"),
+            floor(lit(scale.toDouble) * col("__r")
+              * col(w).cast("long") / col("__deg")).as("__q"))
+          .groupBy(col("dst")).agg(sum(col("__q")).as("__qin"))
+    }
     ranks.select(col("id"))
       .join(contrib, ranks("id") === contrib("dst"), "left")
       .select(col("id"),
@@ -74,7 +95,8 @@ object GraphRank {
     */
   def pageRank(edges: DataFrame, maxIters: Int = 20, tol: Double = 1e-6,
       damping: Double = 0.85, scale: Long = 0L,
-      init: Option[DataFrame] = None): DataFrame = {
+      init: Option[DataFrame] = None,
+      weightCol: Option[String] = None): DataFrame = {
     require(maxIters > 0, s"maxIters must be positive: $maxIters")
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     // warm-start face (the kmeansCentroids convention): resume from a
@@ -97,7 +119,8 @@ object GraphRank {
     var it = 0
     var shift = Double.MaxValue
     while (it < maxIters && shift > tol) {
-      val next = pageRankStep(ranks, e, damping, qScale).localCheckpoint()
+      val next = pageRankStep(ranks, e, damping, qScale, weightCol)
+        .localCheckpoint()
       shift = next
         .join(ranks.withColumnRenamed("rank", "__prev"), "id")
         .agg(max(abs(col("rank") - col("__prev")))).head.getDouble(0)

@@ -3125,3 +3125,30 @@ class RetrievalEvalSpec extends SparkSpec {
     r._3 shouldBe 0.5
   }
 }
+
+class WeightedPageRankSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("weighted step: all-ones weights equal the unweighted step; a " +
+      "heavier edge pulls proportionally more rank") {
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val r0 = GraphRank.initRanks(edges)
+    val ones = GraphRank.pageRankStep(r0,
+      edges.withColumn("w", lit(1L)), weightCol = Some("w"))
+      .as[(Long, Double)].collect().toMap
+    val plain = GraphRank.pageRankStep(r0, edges)
+      .as[(Long, Double)].collect().toMap
+    ones.keySet.foreach(k => ones(k) shouldBe plain(k) +- 1e-12)
+    val weighted = GraphRank.pageRankStep(r0, edges,
+      weightCol = Some("w")).as[(Long, Double)].collect().toMap
+    // node 3 takes 3/4 of node 1's out-mass instead of 1/2
+    weighted(3L) should be > plain(3L)
+    weighted(2L) should be < plain(2L)
+    // weighted loop conserves mass too
+    GraphRank.pageRank(edges, maxIters = 5, tol = 0.0,
+        weightCol = Some("w"))
+      .agg(sum($"rank")).head.getDouble(0) shouldBe 1.0 +- 1e-6
+  }
+}
