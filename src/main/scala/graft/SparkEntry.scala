@@ -2795,6 +2795,20 @@ object SparkEntry {
         weightCol = Some("w"))
     }),
 
+    // graph: personalized PageRank step — teleport confined to every
+    // 10th customer, rank becomes relevance relative to that seed set
+    "q226_personalized_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + lit(1000000L)).as("dst"))
+        .distinct()
+      val seeds = edges.select(col("src").as("id")).distinct()
+        .filter(col("id") % 10 === 0)
+      GraphRank.pageRankStepSeeded(GraphRank.initRanks(edges), edges,
+        seeds)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -7485,6 +7499,44 @@ object SparkEntry {
         |    * (CAST((SELECT q FROM dm) AS DOUBLE)
         |       / CAST(1000000000 AS DOUBLE) / (SELECT n FROM nn)) AS rank
         |FROM nodes nd LEFT JOIN contrib c ON nd.id = c.dst""".stripMargin,
+
+    // mirrors q226: teleport + dangling mass confined to the seed set
+    "q226_personalized_pagerank" ->
+      """WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |             CAST(l_suppkey AS BIGINT) + 1000000 AS dst
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT DISTINCT id FROM
+        |            (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |seeds AS (SELECT DISTINCT src AS id FROM e WHERE src % 10 = 0),
+        |ss AS (SELECT CAST(count(*) AS BIGINT) AS s FROM seeds),
+        |r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS r
+        |       FROM nodes),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e
+        |        GROUP BY src),
+        |srcq AS (SELECT deg.src, CAST(floor(CAST(1000000000 AS DOUBLE)
+        |             * r0.r / deg.deg) AS BIGINT) AS q
+        |         FROM r0 JOIN deg ON r0.id = deg.src),
+        |contrib AS (SELECT e.dst, CAST(sum(srcq.q) AS BIGINT) AS qin
+        |            FROM e JOIN srcq ON e.src = srcq.src GROUP BY e.dst),
+        |dm AS (SELECT CAST(COALESCE(sum(CAST(floor(
+        |           CAST(1000000000 AS DOUBLE) * r0.r) AS BIGINT)), 0)
+        |         AS BIGINT) AS q
+        |       FROM r0 LEFT JOIN deg ON r0.id = deg.src
+        |       WHERE deg.src IS NULL)
+        |SELECT nd.id,
+        |  CASE WHEN sd.id IS NOT NULL THEN
+        |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT s FROM ss)
+        |    + CAST(0.85 AS DOUBLE)
+        |      * (CAST((SELECT q FROM dm) AS DOUBLE)
+        |         / CAST(1000000000 AS DOUBLE) / (SELECT s FROM ss))
+        |  ELSE CAST(0 AS DOUBLE) END
+        |  + CAST(0.85 AS DOUBLE)
+        |    * (CAST(COALESCE(c.qin, 0) AS DOUBLE)
+        |       / CAST(1000000000 AS DOUBLE)) AS rank
+        |FROM nodes nd
+        |LEFT JOIN contrib c ON nd.id = c.dst
+        |LEFT JOIN seeds sd ON nd.id = sd.id""".stripMargin,
 
     // mirrors q202: identical dense item index (row_number over sorted
     // part keys), md5 slot hash mod |items|, own-positive collision drop

@@ -88,6 +88,45 @@ object GraphRank {
           .as("rank"))
   }
 
+  /** One PERSONALIZED PageRank iteration: the teleport mass (and the
+    * dangling redistribution) goes only to the `seeds` node set instead
+    * of uniformly everywhere — rank becomes relevance RELATIVE TO the
+    * seeds (the recommendation/expansion primitive: "what is important
+    * near these customers/documents"). Same exact quantized-contribution
+    * arithmetic as [[pageRankStep]]; seeds are flagged by a node-sized
+    * left join.
+    */
+  def pageRankStepSeeded(ranks: DataFrame, edges: DataFrame,
+      seeds: DataFrame, damping: Double = 0.85,
+      scale: Long = 1000000000L): DataFrame = {
+    val s = seeds.select(col("id")).distinct()
+    val sCount = s.count()
+    require(sCount > 0, "empty seed set")
+    val sD = sCount.toDouble
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val dmQ = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
+      .agg(coalesce(sum(floor(lit(scale.toDouble) * col("rank"))), lit(0L)))
+      .head.getLong(0)
+    val srcQ = ranks.join(deg, ranks("id") === deg("src"))
+      .select(col("src"),
+        floor(lit(scale.toDouble) * col("rank") / col("__deg")).as("__q"))
+    val contrib = edges.join(srcQ, "src")
+      .groupBy(col("dst")).agg(sum(col("__q")).as("__qin"))
+    val seedFlag = s.withColumn("__seed", lit(1))
+    ranks.select(col("id"))
+      .join(contrib, ranks("id") === contrib("dst"), "left")
+      .join(seedFlag, Seq("id"), "left")
+      .select(col("id"),
+        (when(col("__seed").isNotNull,
+          lit((1 - damping) / sD)
+            + lit(damping * (dmQ.toDouble / scale.toDouble / sD)))
+          .otherwise(lit(0.0))
+          + lit(damping)
+            * (coalesce(col("__qin"), lit(0L)).cast("double")
+               / lit(scale.toDouble)))
+          .as("rank"))
+  }
+
   /** Iterate [[pageRankStep]] until the largest per-node rank change is
     * ≤ `tol` or `maxIters` is reached. Edges persist across rounds;
     * rank frames chain through eager localCheckpoint-with-release (the

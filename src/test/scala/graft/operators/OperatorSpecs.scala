@@ -3152,3 +3152,23 @@ class WeightedPageRankSpec extends SparkSpec {
       .agg(sum($"rank")).head.getDouble(0) shouldBe 1.0 +- 1e-6
   }
 }
+
+class PersonalizedPageRankSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("seeded step: non-seed nodes get only propagated mass, seeds " +
+      "carry the teleport, total mass stays ~1") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val out = GraphRank.pageRankStepSeeded(GraphRank.initRanks(edges),
+        edges, seeds)
+      .as[(Long, Double)].collect().toMap
+    out.values.sum shouldBe 1.0 +- 1e-7
+    // node 4 has no in-edges and is not a seed: rank exactly 0
+    out(4L) shouldBe 0.0
+    // the seed holds the entire teleport mass (0.15) plus its in-flow
+    out(1L) should be > 0.15
+  }
+}
