@@ -2809,6 +2809,17 @@ object SparkEntry {
         seeds)
     }),
 
+    // graph: HITS hubs/authorities on the bipartite purchase graph —
+    // two mutual-reinforcement rounds in EXACT integer arithmetic
+    "q227_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + lit(1000000L)).as("dst"))
+        .distinct()
+      GraphRank.hitsScores(edges, iters = 2)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -7537,6 +7548,44 @@ object SparkEntry {
         |FROM nodes nd
         |LEFT JOIN contrib c ON nd.id = c.dst
         |LEFT JOIN seeds sd ON nd.id = sd.id""".stripMargin,
+
+    // mirrors q227: two unrolled HITS rounds (a1=indeg, h1=Σa1, a2=Σh1,
+    // h2=Σa2) — integer sums throughout, L1 normalization at the end
+    "q227_hits" ->
+      """WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |             CAST(l_suppkey AS BIGINT) + 1000000 AS dst
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT DISTINCT id FROM
+        |            (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |a1 AS (SELECT nd.id,
+        |         CAST(COALESCE(x.a, 0) AS BIGINT) AS a
+        |       FROM nodes nd LEFT JOIN (
+        |         SELECT dst AS id, CAST(count(*) AS BIGINT) AS a
+        |         FROM e GROUP BY dst) x ON nd.id = x.id),
+        |h1 AS (SELECT nd.id,
+        |         CAST(COALESCE(x.h, 0) AS BIGINT) AS h
+        |       FROM nodes nd LEFT JOIN (
+        |         SELECT e.src AS id, CAST(sum(a1.a) AS BIGINT) AS h
+        |         FROM e JOIN a1 ON e.dst = a1.id GROUP BY e.src) x
+        |         ON nd.id = x.id),
+        |a2 AS (SELECT nd.id,
+        |         CAST(COALESCE(x.a, 0) AS BIGINT) AS a
+        |       FROM nodes nd LEFT JOIN (
+        |         SELECT e.dst AS id, CAST(sum(h1.h) AS BIGINT) AS a
+        |         FROM e JOIN h1 ON e.src = h1.id GROUP BY e.dst) x
+        |         ON nd.id = x.id),
+        |h2 AS (SELECT nd.id,
+        |         CAST(COALESCE(x.h, 0) AS BIGINT) AS h
+        |       FROM nodes nd LEFT JOIN (
+        |         SELECT e.src AS id, CAST(sum(a2.a) AS BIGINT) AS h
+        |         FROM e JOIN a2 ON e.dst = a2.id GROUP BY e.src) x
+        |         ON nd.id = x.id),
+        |tot AS (SELECT CAST((SELECT sum(a) FROM a2) AS DOUBLE) AS at,
+        |               CAST((SELECT sum(h) FROM h2) AS DOUBLE) AS ht)
+        |SELECT a2.id, a2.a AS authority_raw, h2.h AS hub_raw,
+        |  round(CAST(a2.a AS DOUBLE) / tot.at, 9) AS authority,
+        |  round(CAST(h2.h AS DOUBLE) / tot.ht, 9) AS hub
+        |FROM a2 JOIN h2 ON a2.id = h2.id CROSS JOIN tot""".stripMargin,
 
     // mirrors q202: identical dense item index (row_number over sorted
     // part keys), md5 slot hash mod |items|, own-positive collision drop

@@ -3172,3 +3172,27 @@ class PersonalizedPageRankSpec extends SparkSpec {
     out(1L) should be > 0.15
   }
 }
+
+class HitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hitsScores: bipartite mutual reinforcement in exact integers — " +
+      "the authority cited by the strong hub outranks equal in-degree") {
+    // hubs 1,2 -> authorities 10,11,12; hub 1 cites all three (strong),
+    // hub 2 cites only 10. After 2 rounds authority(10) > authority(11).
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L))
+      .toDF("src", "dst")
+    val out = GraphRank.hitsScores(edges, iters = 2)
+      .select($"id", $"authority_raw", $"hub_raw")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // round 1: a=(10->2, 11->1, 12->1); h=(1->4, 2->2)
+    // round 2: a=(10->6, 11->4, 12->4); h=(1->14, 2->6)
+    out(10L)._2 shouldBe 6L
+    out(11L)._2 shouldBe 4L
+    out(1L)._3 shouldBe 14L
+    out(2L)._3 shouldBe 6L
+    // pure authorities have zero hub score, and vice versa
+    out(10L)._3 shouldBe 0L
+    out(1L)._2 shouldBe 0L
+  }
+}
