@@ -712,6 +712,20 @@ object AlgoRegistry {
           config.getDouble("damping", 0.85),
           weightCol = wOpt)
       })
+    // HITS hubs/authorities over an edge table (bipartite importance)
+    case "Hits" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.GraphRank.hitsScores(
+          df.select(
+            col(config.getStringOpt("src_column").getOrElse("src"))
+              .as("src"),
+            col(config.getStringOpt("dst_column").getOrElse("dst"))
+              .as("dst")),
+          config.getIntOpt("iters").getOrElse(2))
+      })
     // BPE tokenizer training: learn n_merges merge rules (write once)
     case "BpeVocab" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
