@@ -2820,6 +2820,22 @@ object SparkEntry {
       GraphRank.hitsScores(edges, iters = 2)
     }),
 
+    // weak supervision: near-dups of labeled docs inherit the majority
+    // neighbor label — every 3rd doc's lang is masked, then propagated
+    "q228_label_propagation" -> ((s, dir) => {
+      val docs0 = t(s, dir, "documents")
+      val masked = docs0.select(col("doc_id"), col("text"),
+        when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang"))
+      val pairs = Dedup.jaccardVerify(
+          Dedup.minhashCandidates(docs0, "doc_id", "text"),
+          docs0, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.propagateLabels(masked, "doc_id", "lang", pairs)
+        .select(col("doc_id"), col("lang"), col("label_source"))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -7586,6 +7602,36 @@ object SparkEntry {
         |  round(CAST(a2.a AS DOUBLE) / tot.at, 9) AS authority,
         |  round(CAST(h2.h AS DOUBLE) / tot.ht, 9) AS hub
         |FROM a2 JOIN h2 ON a2.id = h2.id CROSS JOIN tot""".stripMargin,
+
+    // mirrors q228: q61's near-dup pair chain, symmetric neighbor votes
+    // from the UNMASKED-labeled side, (count DESC, label ASC) majority
+    "q228_label_propagation" ->
+      s"""WITH RECURSIVE ${minhashChainSql("documents")},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM j
+         |  WHERE CAST(inter AS DOUBLE)/uni >= 0.5),
+         |masked AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS lang
+         |  FROM documents),
+         |sym AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |votes AS (
+         |  SELECT u, nl, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT s.u, m.lang AS nl
+         |    FROM sym s JOIN masked m ON s.v = m.doc_id
+         |    WHERE m.lang IS NOT NULL) x
+         |  GROUP BY u, nl),
+         |win AS (
+         |  SELECT u, nl AS prop FROM votes
+         |  QUALIFY row_number() OVER (PARTITION BY u
+         |    ORDER BY c DESC, nl) = 1)
+         |SELECT m.doc_id, COALESCE(m.lang, w.prop) AS lang,
+         |  CASE WHEN m.lang IS NOT NULL THEN 'own'
+         |       WHEN w.prop IS NOT NULL THEN 'propagated'
+         |       ELSE 'none' END AS label_source
+         |FROM masked m LEFT JOIN win w ON m.doc_id = w.u""".stripMargin,
 
     // mirrors q202: identical dense item index (row_number over sorted
     // part keys), md5 slot hash mod |items|, own-positive collision drop

@@ -624,6 +624,24 @@ object AlgoRegistry {
         graft.operators.Dedup.semDedupPairs(df, id, vec, cent,
           config.getDouble("threshold"))
       })
+    // weak supervision: near-dups of labeled docs inherit the majority
+    // neighbor label (near-dup pairs computed inline from the corpus)
+    case "LabelPropagation" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        import org.apache.spark.sql.functions.col
+        val id = config.getString("id_column")
+        val text = config.getString("text_column")
+        val pairs = graft.operators.Dedup.jaccardVerify(
+            graft.operators.Dedup.minhashCandidates(df, id, text),
+            df, id, text)
+          .filter(col("jaccard") >=
+            config.getDouble("jaccard_threshold", 0.5))
+          .select(col("id_a"), col("id_b"))
+        graft.operators.Dedup.propagateLabels(df, id,
+          config.getString("label_column"), pairs)
+      })
     // leakage-safe split: near-dup components share one split key
     case "LeakageSafeSplit" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

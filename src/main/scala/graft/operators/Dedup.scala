@@ -413,6 +413,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** One round of label propagation over a similarity pair graph — the
+    * weak-supervision primitive: a document with a NULL label takes the
+    * majority label among its labeled neighbors (ties to the
+    * lexicographically smallest label; no labeled neighbor → stays
+    * null). Near-dups of a labeled doc inherit its label instead of
+    * going to annotation. Output: docs columns with `labelCol` replaced
+    * by the propagated value and a `label_source` column
+    * ('own'/'propagated'/'none').
+    *
+    * Scale: the vote runs over the PAIR graph (a sliver of the corpus);
+    * the corpus is touched by one join against the vote results.
+    */
+  def propagateLabels(docs: DataFrame, idCol: String, labelCol: String,
+      pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("id_a").as("__u"), col("id_b").as("__v"))
+      .union(pairs.select(col("id_b"), col("id_a")))
+    val labeled = docs.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("__v"), col(labelCol).as("__nl"))
+    val votes = sym.join(labeled, "__v")
+      .groupBy(col("__u"), col("__nl"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__u"))
+      // min over (-count, label): majority wins, ties to smallest label
+      .agg(min_by(col("__nl"), struct(-col("__c"), col("__nl")))
+        .as("__prop"))
+    docs.join(votes, docs(idCol) === votes("__u"), "left")
+      .select(docs.columns.filter(_ != labelCol).map(docs(_)).toIndexedSeq
+        ++ Seq(
+          coalesce(docs(labelCol), col("__prop")).as(labelCol),
+          when(docs(labelCol).isNotNull, lit("own"))
+            .when(col("__prop").isNotNull, lit("propagated"))
+            .otherwise(lit("none")).as("label_source")): _*)
+  }
+
   /** SemDeDup-style embedding near-dup pairs (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): candidates come only from WITHIN a k-means

@@ -3196,3 +3196,26 @@ class HitsSpec extends SparkSpec {
     out(1L)._2 shouldBe 0L
   }
 }
+
+class LabelPropagationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("propagateLabels: majority neighbor label fills nulls, own label " +
+      "never overwritten, isolated unlabeled docs stay none") {
+    val docs = Seq(
+      (1L, Option("en")), (2L, Option("en")), (3L, Option("de")),
+      (4L, Option.empty[String]),  // neighbors 1,2,3 -> majority en
+      (5L, Option("de")),          // labeled: untouched even with neighbors
+      (6L, Option.empty[String]))  // isolated
+      .toDF("doc_id", "lang")
+    val pairs = Seq((1L, 4L), (2L, 4L), (3L, 4L), (1L, 5L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.propagateLabels(docs, "doc_id", "lang", pairs)
+      .as[(Long, Option[String], String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    out(4L) shouldBe ((Some("en"), "propagated"))
+    out(5L) shouldBe ((Some("de"), "own"))
+    out(6L) shouldBe ((None, "none"))
+    out(1L) shouldBe ((Some("en"), "own"))
+  }
+}
