@@ -2836,6 +2836,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("label_source"))
     }),
 
+    // streaming monitoring: per-type distinct users via KMV sketches
+    // merging across real micro-batches — a pure set function, so the
+    // settled estimate equals q109's batch computation exactly
+    "q229_stream_distinct" -> ((s, dir) => {
+      val inDir = tmpDir("graft_q229_in")
+      t(s, dir, "events").select(col("event_id"), col("event_type"),
+          col("user_id"))
+        .repartition(4).write.mode("overwrite").parquet(inDir)
+      EventStream.runKmvDistinctOnce(s, s.read.parquet(inDir).schema,
+        inDir, "event_type", "user_id", k = 64, "q229_sink",
+        maxFilesPerTrigger = Some(2))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -4687,6 +4700,10 @@ object SparkEntry {
     // gate's merge-of-half-sketches must land the identical estimate,
     // pinning sketch mergeability cross-engine
     "q114_kmv_merge" -> kmvOracleSql,
+
+    // q229 streams the SAME computation (KmvAgg state merges across
+    // micro-batches; a pure set function) — q109's oracle again
+    "q229_stream_distinct" -> kmvOracleSql,
 
     // mirrors q117: q64's pair graph and closure, survivor = argmax
     // (n_chars, min id) within each component; unpaired docs survive

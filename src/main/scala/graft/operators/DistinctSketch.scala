@@ -83,6 +83,17 @@ object DistinctSketch {
             col("__kth").cast("double")), 6).as("est_distinct"),
         col("__m").as("sketch_rows"))
 
+  /** Estimate from the [[graft.functions.KmvAgg]] sketch ARRAY (the
+    * aggregate/streaming face): identical formula to [[kmvEstimate]] —
+    * exact below k, (k−1)·2⁶⁰/kth when full. The array is ascending,
+    * so the kth value is its last element.
+    */
+  def kmvEstimateFromArray(arr: Column, k: Int): Column =
+    round(
+      when(size(arr) < k, size(arr).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
+          element_at(arr, -1).cast("double")), 6)
+
   /** Overlap estimation from two sketch frames via inclusion–exclusion:
     * |A∩B| ≈ n̂(A) + n̂(B) − n̂(A∪B), with the union estimate off the
     * MERGED sketch ([[kmvMerge]] is exact, so n̂(A∪B) is a true KMV

@@ -450,6 +450,39 @@ object EventStream {
       spark.table(sink), scale)
   }
 
+  /** Streaming distinct-count monitoring: per-group KMV sketches run as
+    * a complete-mode aggregate whose bottom-k hash sets MERGE across
+    * micro-batches ([[graft.functions.KmvAgg]] — a pure set function,
+    * so the settled estimate equals the batch computation exactly at
+    * ANY k, approximate regime included).
+    */
+  def runKmvDistinctOnce(spark: SparkSession, schema: StructType,
+      inputDir: String, groupCol: String, idCol: String, k: Int,
+      queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val sink = s"${queryName}_${sinkSeq.incrementAndGet()}"
+    val rd = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger
+      .fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+    val hash = conv(substring(md5(col(idCol).cast("string")), 1, 15),
+      16, 10).cast("long")
+    val agg = reader.parquet(inputDir)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.KmvAgg.kmvSketch(hash, k).as("__sk"))
+    val q: StreamingQuery = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sink).select(col(groupCol),
+      graft.operators.DistinctSketch.kmvEstimateFromArray(col("__sk"), k)
+        .as("est_distinct"),
+      size(col("__sk")).cast("long").as("sketch_rows"))
+  }
+
   def runOnce(spark: SparkSession, schema: StructType, inputDir: String,
       windowDur: String, queryName: String): DataFrame = {
     val stream = spark.readStream.schema(schema).parquet(inputDir)

@@ -305,3 +305,30 @@ class MisraGriesMergeSpec extends SparkSpec {
     approx.foreach { case (it, low) => low should be <= truth(it) }
   }
 }
+
+class KmvAggSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("KmvAgg equals the frame-level kmvHashes sketch exactly — " +
+      "approximate regime, any partitioning — and the estimates agree") {
+    val df = (1L to 5000L).map(i => ("g", i)).toDF("g", "id")
+    val hash = conv(substring(md5($"id".cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    def viaAgg(parts: Int) = df.repartition(parts).groupBy($"g")
+      .agg(graft.functions.KmvAgg.kmvSketch(hash, 64).as("sk"))
+      .select(explode($"sk").as("__h")).as[Long].collect().sorted.toSeq
+    val frame = DistinctSketch.kmvHashes(df, "g", "id", 64)
+      .select($"__h").as[Long].collect().sorted.toSeq
+    viaAgg(1) shouldBe frame
+    viaAgg(7) shouldBe frame
+    // estimate formula agrees with the frame path
+    val estAgg = df.groupBy($"g")
+      .agg(graft.functions.KmvAgg.kmvSketch(hash, 64).as("sk"))
+      .select(DistinctSketch.kmvEstimateFromArray($"sk", 64))
+      .as[Double].collect().head
+    val estFrame = DistinctSketch.kmvDistinct(df, "g", "id", 64)
+      .collect().head.getDouble(1)
+    estAgg shouldBe estFrame
+  }
+}
