@@ -2849,6 +2849,12 @@ object SparkEntry {
         maxFilesPerTrigger = Some(2))
     }),
 
+    // reporting: per-source dataset cards (the mixture-monitoring face)
+    "q230_source_cards" -> ((s, dir) => {
+      DatasetCard.reportPerGroup(t(s, dir, "documents"), "doc_id",
+        "text", "source")
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -7649,6 +7655,26 @@ object SparkEntry {
          |       WHEN w.prop IS NOT NULL THEN 'propagated'
          |       ELSE 'none' END AS label_source
          |FROM masked m LEFT JOIN win w ON m.doc_id = w.u""".stripMargin,
+
+    // mirrors q230: q221's metric arithmetic per source group
+    "q230_source_cards" ->
+      """WITH agg AS (
+        |  SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+        |  FROM documents GROUP BY source)
+        |SELECT grp AS "group", metric,
+        |  CASE metric
+        |    WHEN 'n_docs' THEN CAST(n_docs AS DOUBLE)
+        |    WHEN 'n_tokens' THEN CAST(n_tokens AS DOUBLE)
+        |    WHEN 'mean_doc_tokens'
+        |      THEN round(CAST(n_tokens AS DOUBLE) / n_docs, 6)
+        |    ELSE round(CAST(1.0 AS DOUBLE)
+        |      - CAST(n_distinct AS DOUBLE) / n_docs, 6) END AS value
+        |FROM agg CROSS JOIN (VALUES
+        |  ('n_docs'), ('n_tokens'), ('mean_doc_tokens'),
+        |  ('exact_dup_fraction')) AS m(metric)""".stripMargin,
 
     // mirrors q202: identical dense item index (row_number over sorted
     // part keys), md5 slot hash mod |items|, own-positive collision drop

@@ -573,13 +573,19 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Similarity.retrievalEval(df,
         spark.read.parquet(config.getString("truth_dir"))))
-    // dataset-card report (exact corpus summary, tall metric/value)
+    // dataset-card report (exact corpus summary, tall metric/value);
+    // per_group=true emits one card per source (mixture monitoring)
     case "DatasetCard" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),
-      df => graft.operators.DatasetCard.report(df,
-        config.getString("id_column"), config.getString("text_column"),
-        config.getString("source_column")))
+      df =>
+        if (config.getOpt[Boolean]("per_group").getOrElse(false))
+          graft.operators.DatasetCard.reportPerGroup(df,
+            config.getString("id_column"), config.getString("text_column"),
+            config.getString("source_column"))
+        else graft.operators.DatasetCard.report(df,
+          config.getString("id_column"), config.getString("text_column"),
+          config.getString("source_column")))
     // decontamination benchmark artifacts (shingle-hash table + n)
     case "DecontaminateArtifacts" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

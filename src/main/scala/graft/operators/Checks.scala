@@ -290,6 +290,29 @@ object DatasetCard {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions._
 
+  /** Per-group cards: the same exact metrics, one set per source —
+    * the mixture-monitoring face (diff a delivery's per-source cards
+    * against the previous release to see which source drifted).
+    * Output: (group, metric, value).
+    */
+  def reportPerGroup(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val tok = size(split(trim(lower(col(textCol))), "\\s+")).cast("long")
+    docs.groupBy(col(sourceCol).as("group"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tok).cast("long").as("n_tokens"),
+        countDistinct(md5(col(textCol))).as("n_distinct_texts"))
+      .select(col("group"), explode(map(
+        lit("n_docs"), col("n_docs").cast("double"),
+        lit("n_tokens"), col("n_tokens").cast("double"),
+        lit("mean_doc_tokens"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6),
+        lit("exact_dup_fraction"),
+        round(lit(1.0) - col("n_distinct_texts").cast("double")
+          / col("n_docs"), 6))))
+      .select(col("group"), col("key").as("metric"), col("value"))
+  }
+
   def report(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String): DataFrame = {
     val base = docs.select(col(idCol).as("__id"),

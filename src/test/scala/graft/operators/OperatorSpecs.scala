@@ -3219,3 +3219,21 @@ class LabelPropagationSpec extends SparkSpec {
     out(1L) shouldBe ((Some("en"), "own"))
   }
 }
+
+class SourceCardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("reportPerGroup: per-source exact metrics") {
+    val docs = Seq(
+      (1L, "a b c", "web"), (2L, "a b c", "web"), (3L, "d", "books"))
+      .toDF("doc_id", "text", "src")
+    val m = DatasetCard.reportPerGroup(docs, "doc_id", "text", "src")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    m(("web", "n_docs")) shouldBe 2.0
+    m(("web", "n_tokens")) shouldBe 6.0
+    m(("web", "exact_dup_fraction")) shouldBe 0.5
+    m(("books", "n_docs")) shouldBe 1.0
+    m(("books", "exact_dup_fraction")) shouldBe 0.0
+  }
+}
