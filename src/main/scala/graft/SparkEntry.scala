@@ -2855,6 +2855,25 @@ object SparkEntry {
         "text", "source")
     }),
 
+    // curation: the fasttext-style seed classifier — multinomial Naive
+    // Bayes trained on the doc_id%5 labeled slice (labels = lang),
+    // scored over the FULL corpus with prediction-vs-actual audit.
+    // Counts-based training (no random init), so the model is a pure
+    // function of the seed; scores round to 6 decimals (q62 convention)
+    "q231_naive_bayes" -> ((s, dir) => {
+      Classify.naiveBayesClassify(t(s, dir, "documents"), "doc_id",
+        "text", "lang", col("doc_id") % 5 === 0, vocabSize = 30)
+    }),
+
+    // substring-level dedup signal (Lee et al. 2022, arXiv:2107.06499):
+    // per-doc coverage by 4-token spans that occur more than once in the
+    // corpus — the span-removal footprint, relational instead of a
+    // suffix array
+    "q232_repeated_spans" -> ((s, dir) => {
+      Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        width = 4)
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -7738,6 +7757,97 @@ object SparkEntry {
         |    '(' || (SELECT l FROM r1) || (SELECT r FROM r1) ||
         |    '|</w>|.)'), ' ') AS segmented
         |FROM words""".stripMargin,
+
+    // mirrors q231: identical vocab (top-30 by count desc, token asc over
+    // the doc_id%5 seed), add-one likelihoods over the 31-token space as
+    // the same double ratios, per-(doc,label) log-prob sums rounded to 6,
+    // argmax tie-broken by label asc
+    "q231_naive_bayes" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |seedtk AS (SELECT * FROM tk WHERE doc_id % 5 = 0),
+        |vocab AS (
+        |  SELECT token FROM seedtk GROUP BY token
+        |  ORDER BY count(*) DESC, token LIMIT 30),
+        |b AS (
+        |  SELECT s.lang AS label,
+        |    CASE WHEN v.token IS NOT NULL THEN s.token
+        |         ELSE '<unk>' END AS token
+        |  FROM seedtk s LEFT JOIN vocab v ON s.token = v.token),
+        |counts AS (SELECT label, token, CAST(count(*) AS BIGINT) AS n_tok
+        |           FROM b GROUP BY 1, 2),
+        |ctot AS (SELECT label, CAST(count(*) AS BIGINT) AS n_class
+        |         FROM b GROUP BY 1),
+        |dc AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM documents WHERE doc_id % 5 = 0 GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd
+        |       FROM documents WHERE doc_id % 5 = 0),
+        |fullv AS (SELECT token FROM vocab UNION ALL SELECT '<unk>'),
+        |model AS (
+        |  SELECT ct.label, fv.token,
+        |    ln(CAST(COALESCE(c.n_tok, 0) + 1 AS DOUBLE)
+        |       / (CAST(ct.n_class AS DOUBLE) + 31.0)) AS loglik,
+        |    ln(CAST(dc.n_docs AS DOUBLE)
+        |       / CAST((SELECT nd FROM nd) AS DOUBLE)) AS logprior
+        |  FROM ctot ct CROSS JOIN fullv fv
+        |  LEFT JOIN counts c ON c.label = ct.label AND c.token = fv.token
+        |  JOIN dc ON dc.label = ct.label),
+        |dtk AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN v.token IS NOT NULL THEN t.token
+        |         ELSE '<unk>' END AS token
+        |  FROM tk t LEFT JOIN vocab v ON t.token = v.token),
+        |scored AS (
+        |  SELECT doc_id, m.label,
+        |    round(m.logprior + sum(m.loglik), 6) AS score
+        |  FROM dtk JOIN model m ON dtk.token = m.token
+        |  GROUP BY doc_id, m.label, m.logprior),
+        |best AS (
+        |  SELECT doc_id, label AS predicted, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, label) AS rk
+        |  FROM scored)
+        |SELECT b.doc_id, b.predicted, d.lang AS actual,
+        |  b.predicted = d.lang AS correct, b.score
+        |FROM best b JOIN documents d ON b.doc_id = d.doc_id
+        |WHERE b.rk = 1""".stripMargin,
+
+    // mirrors q232: identical 4-token span md5-60 hashes, >1-occurrence
+    // dup set, coverage = sliding max of dup-start flags over the
+    // preceding width-1 positions
+    "q232_repeated_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, g AS pos,
+        |    CAST('0x' || substr(md5(array_to_string(tk[g+1:g+4], ' ')),
+        |      1, 15) AS BIGINT) AS hv
+        |  FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk)-4)) AS g
+        |        FROM tk WHERE len(tk) >= 4)),
+        |dup AS (SELECT hv FROM sp GROUP BY hv HAVING count(*) > 1),
+        |st AS (SELECT doc_id, pos, 1 AS dup FROM sp JOIN dup USING (hv)),
+        |posn AS (
+        |  SELECT p.doc_id, p.n_tokens, p.pos, COALESCE(s.dup, 0) AS dup
+        |  FROM (SELECT doc_id, len(tk) AS n_tokens,
+        |          unnest(generate_series(0, len(tk)-1)) AS pos
+        |        FROM tk) p
+        |  LEFT JOIN st s ON s.doc_id = p.doc_id AND s.pos = p.pos),
+        |cov AS (
+        |  SELECT doc_id, n_tokens, dup,
+        |    CASE WHEN max(dup) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) = 1
+        |      THEN 1 ELSE 0 END AS covered
+        |  FROM posn)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(greatest(n_tokens - 3, 0) AS BIGINT) AS n_spans,
+        |  CAST(sum(dup) AS BIGINT) AS n_dup_spans,
+        |  CAST(sum(covered) AS BIGINT) AS covered_tokens,
+        |  round(CAST(sum(covered) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS dup_fraction
+        |FROM cov GROUP BY doc_id, n_tokens""".stripMargin,
 
     // q205 = q195's oracle: the maxIters=1 training loop returns exactly
     // one step from the hash-sampled init (the driver rebuild is an

@@ -1096,6 +1096,28 @@ object AlgoRegistry {
         config.getString("id_column"), config.getString("group_column"),
         config.getString("weight_column"),
         config.getDouble("budget_per_group")))
+    // seed classifier: multinomial NB trained on the rows whose label
+    // column is non-null, scored over EVERY row (predicted / actual /
+    // correct / score audit columns)
+    case "NaiveBayesClassify" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.Classify.naiveBayesClassify(df,
+          config.getString("id_column"), config.getString("text_column"),
+          config.getString("label_column"),
+          col(config.getString("label_column")).isNotNull,
+          config.getInt("vocab_size"))
+      })
+    // substring-level dedup report: per-doc coverage by width-token
+    // spans occurring more than once in the corpus (Lee et al. 2022)
+    case "RepeatedSpans" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Dedup.repeatedSpans(df,
+        config.getString("id_column"), config.getString("text_column"),
+        config.getInt("width")))
     // declarative quality checks: writes the (check_name, violations,
     // total, passed) report; rules are compact strings (not_null:c,
     // in_range:c:lo:hi, matches:c:regex, unique:a,b)

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text classification for curation pipelines: a multinomial Naive Bayes
+  * classifier trained on a labeled seed slice and applied to the whole
+  * corpus — the "quality/domain classifier" staple of large-scale
+  * training-data curation (train a cheap linear model on a trusted seed,
+  * score everything, filter or reweight by the prediction).
+  *
+  * Everything is counts-based and add-one smoothed, so the model is a PURE
+  * function of the labeled data: no random init, no float accumulation
+  * during training — priors and likelihoods are exact integer ratios, and
+  * the per-document log-probability sums round to 6 decimals before any
+  * cross-engine comparison (the repo's established float-gate convention,
+  * see q62).
+  *
+  * Scale design: training is one groupBy over (label, token) on the seed
+  * slice (map-side combinable counts); the fitted model is tiny
+  * (vocabSize+1 tokens x classes) and BROADCASTS to the scoring join —
+  * the corpus is exploded to tokens, joined map-side against the model,
+  * and re-aggregated per (doc, label). One wide shuffle on doc_id, whose
+  * volume is tokens x classes counts, never raw text.
+  */
+object Classify {
+
+  /** Fit a multinomial NB model on `labeled`. Returns one row per
+    * (label, token) in the smoothed vocabulary — `token` is the literal
+    * vocabulary entry or the "<unk>" bucket — with columns:
+    * `label`, `token`, `loglik` (ln of the add-one likelihood) and
+    * `logprior` (ln of the class prior, repeated per row for a
+    * self-contained single-frame artifact).
+    *
+    * Vocabulary = top `vocabSize` tokens of the labeled slice by
+    * (count desc, token asc); everything else maps to "<unk>". Add-one
+    * smoothing over the vocabSize+1 token space guarantees every
+    * (label, token) cell exists, so the scoring join is never partial.
+    */
+  def naiveBayesModel(labeled: DataFrame, textCol: String,
+                      labelCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    val spark = labeled.sparkSession
+    val toks = labeled
+      .select(col(labelCol).cast("string").as("label"),
+        explode(Dedup.tokens(col(textCol))).as("token"))
+
+    // global vocabulary over the seed slice: deterministic top-V
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token"))
+      .limit(vocabSize)
+      .select(col("token"))
+
+    // fold OOV tokens into the <unk> bucket before counting; class
+    // totals re-aggregate from the tiny bucketed counts (one corpus
+    // pass, not two)
+    val counts = toks
+      .join(broadcast(vocab.withColumn("__in_vocab", lit(true))),
+        Seq("token"), "left")
+      .select(col("label"),
+        when(col("__in_vocab"), col("token")).otherwise(lit("<unk>"))
+          .as("token"))
+      .groupBy("label", "token")
+      .agg(count(lit(1)).as("n_tok"))
+    val classTotals = counts.groupBy("label")
+      .agg(sum(col("n_tok")).as("n_class"))
+    // priors: per-class doc counts with the corpus total derived from
+    // the same tiny aggregate (no separate count() action)
+    val docCounts = labeled
+      .groupBy(col(labelCol).cast("string").as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nDocs = docCounts.agg(sum(col("n_docs")).as("nd"))
+
+    // dense (label x vocab+unk) grid so absent cells get the smoothed
+    // floor 1/(n_class + V + 1) instead of silently vanishing
+    val fullVocab = vocab.union(
+      spark.createDataFrame(Seq(Tuple1("<unk>"))).toDF("token"))
+    val grid = classTotals.crossJoin(broadcast(fullVocab))
+    val v1 = lit(vocabSize + 1).cast("double")
+
+    grid
+      .join(counts, Seq("label", "token"), "left")
+      .join(docCounts, Seq("label"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("label"), col("token"),
+        log((coalesce(col("n_tok"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_class").cast("double") + v1)).as("loglik"),
+        log(col("n_docs").cast("double") / col("nd").cast("double"))
+          .as("logprior"))
+  }
+
+  /** Score `docs` against a fitted model: per document, the predicted
+    * label = argmax over classes of logprior + sum of per-token logliks
+    * (OOV tokens hit the model's "<unk>" row), ties broken by label asc.
+    * Output: (idCol, predicted, score) with score rounded to 6 decimals.
+    *
+    * The model broadcasts (vocabSize x classes rows); the corpus-side
+    * explode joins map-side, so the only wide shuffle is the per-(doc,
+    * label) score aggregation.
+    */
+  def naiveBayesScore(docs: DataFrame, model: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    // the model is a BOUNDED artifact — (vocabSize+1) x classes rows by
+    // construction — and its frame is consumed twice below (likelihood
+    // join + vocab membership); collecting it once makes both sides plan
+    // literals instead of re-running the whole training lineage per use
+    // (measured: 6.2 s -> see PLANS.md)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = model.select(col("label"), col("token"), col("loglik"),
+      col("logprior")).as[(String, String, Double, Double)].collect().toSeq
+    val local = rows.toDF("label", "token", "loglik", "logprior")
+    val m = broadcast(local)
+    val vocabOnly = broadcast(
+      rows.map(_._2).distinct.filter(_ != "<unk>").toDF("token")
+        .withColumn("__in_vocab", lit(true)))
+
+    val toks = docs
+      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("token"))
+      .join(vocabOnly, Seq("token"), "left")
+      .select(col(idCol),
+        when(col("__in_vocab"), col("token")).otherwise(lit("<unk>"))
+          .as("token"))
+
+    val scored = toks
+      .join(m, Seq("token"))
+      .groupBy(col(idCol), col("label"), col("logprior"))
+      .agg(sum(col("loglik")).as("ll"))
+      .select(col(idCol), col("label"),
+        round(col("logprior") + col("ll"), 6).as("score"))
+
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("label"))
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("label").as("predicted"), col("score"))
+  }
+
+  /** Train-on-seed / score-corpus in one call: fit on the rows where
+    * `seedFilter` holds, score every row, and report the prediction next
+    * to the document's own label for accuracy auditing.
+    */
+  def naiveBayesClassify(docs: DataFrame, idCol: String, textCol: String,
+                         labelCol: String, seedFilter: org.apache.spark.sql.Column,
+                         vocabSize: Int): DataFrame = {
+    val model = naiveBayesModel(docs.filter(seedFilter), textCol, labelCol,
+      vocabSize)
+    naiveBayesScore(docs, model, idCol, textCol)
+      .join(docs.select(col(idCol), col(labelCol).cast("string").as("actual")),
+        Seq(idCol))
+      .select(col(idCol), col("predicted"), col("actual"),
+        (col("predicted") === col("actual")).as("correct"), col("score"))
+  }
+}

@@ -1159,4 +1159,83 @@ object Dedup {
       .groupBy(col("a.__src").as("source_a"), col("b.__src").as("source_b"))
       .agg(sum(col("a.__n") * col("b.__n")).as("n_dup_pairs"))
   }
+
+  /** Exact repeated-span detection at token granularity — the
+    * substring-level dedup signal of Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" (arXiv:2107.06499), re-expressed
+    * as relational operators instead of a suffix array: a WIDTH-token
+    * span is "duplicated" when its token sequence occurs more than once
+    * in the corpus (across documents or repeated within one). Per
+    * document this reports how much of the text sits inside such spans:
+    *
+    *   (idCol, n_tokens, n_spans, n_dup_spans, covered_tokens,
+    *    dup_fraction)
+    *
+    * where `covered_tokens` counts token positions lying inside at least
+    * one duplicated span (the union of overlapping [i, i+width) windows —
+    * what span REMOVAL would delete) and `dup_fraction` = covered /
+    * n_tokens rounded to 6 decimals. Documents shorter than `width`
+    * tokens have zero spans and zero coverage.
+    *
+    * 100 TB shape: spans are hashed map-side to the portable 60-bit md5
+    * family (the shuffle carries (hash, id, pos), never span text — hash
+    * equality stands in for sequence equality, collisions ~n²/2^60);
+    * occurrence counts aggregate with map-side combine; the dup-hash
+    * table joins back key-partitioned on the hash (NOT broadcast — at
+    * corpus scale the duplicated-span set is unbounded); coverage is a
+    * per-document sliding-window max over positions, partitioned by
+    * document id. No all-pairs product anywhere and no suffix array to
+    * build or hold.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+
+    // one row per span start: (id, pos, hash-of-width-gram); the empty
+    // array guard matters — sequence(0, n-width) would COUNT DOWN for
+    // docs shorter than width (Spark infers step -1 when start > stop)
+    val startIdxs = when(size(col("__tk")) >= width,
+      sequence(lit(0), size(col("__tk")) - width))
+      .otherwise(array().cast("array<int>"))
+    val spans = toks
+      .select(col(idCol), posexplode(transform(startIdxs,
+        i => conv(substring(md5(concat_ws(" ",
+          slice(col("__tk"), i + 1, lit(width)))), 1, 15), 16, 10)
+          .cast("long"))).as(Seq("__pos", "__hv")))
+
+    val dupHashes = spans.groupBy(col("__hv"))
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") > 1)
+      .select(col("__hv"))
+
+    val starts = spans
+      .join(dupHashes, Seq("__hv"), "left_semi")
+      .select(col(idCol), col("__pos"))
+      .withColumn("__dup", lit(1))
+
+    // every token position, marked covered when a duplicated span starts
+    // within the preceding width-1 positions (inclusive of its own)
+    val positions = toks
+      .select(col(idCol), size(col("__tk")).as("n_tokens"),
+        posexplode(col("__tk")).as(Seq("__pos", "__t")))
+      .drop("__t")
+      .join(starts, Seq(idCol, "__pos"), "left")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(-(width - 1), 0)
+    positions
+      .withColumn("__covered",
+        when(max(coalesce(col("__dup"), lit(0))).over(w) === 1, 1L)
+          .otherwise(0L))
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(
+        greatest(max(col("n_tokens")) - width + 1, lit(0)).cast("long")
+          .as("n_spans"),
+        sum(coalesce(col("__dup").cast("long"), lit(0L))).as("n_dup_spans"),
+        sum(col("__covered")).as("covered_tokens"))
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_spans"), col("n_dup_spans"), col("covered_tokens"),
+        round(col("covered_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_fraction"))
+  }
 }

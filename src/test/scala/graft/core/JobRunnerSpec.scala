@@ -1134,4 +1134,35 @@ class Round9ParamsSpec extends SparkSpec {
     spark.read.parquet(s"$base/jsz").select($"est_join_size").as[Long]
       .collect().head shouldBe 3L // self-join of 3 distinct keys
   }
+
+  test("NaiveBayesClassify and RepeatedSpans run through the params surface") {
+    val base = tmp("jr_r9c")
+    // null labels are the score-only slice; non-null rows are the seed
+    val docs = Seq(
+      (1L, "good great good", "pos"), (2L, "great good nice", "pos"),
+      (3L, "bad awful bad", "neg"), (4L, "awful bad nasty", "neg"),
+      (5L, "good nice words", null), (6L, "awful nasty words", null))
+      .toDF("doc_id", "text", "label")
+    docs.write.parquet(s"$base/docs")
+
+    run(base, "NaiveBayesClassify",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/nb",
+         | "id_column": "doc_id", "text_column": "text",
+         | "label_column": "label", "vocab_size": 10}""".stripMargin)
+    val nb = spark.read.parquet(s"$base/nb")
+    nb.count() shouldBe 6 // unlabeled rows scored too
+    nb.filter($"doc_id" === 5L).select($"predicted").as[String]
+      .collect().head shouldBe "pos"
+    nb.filter($"doc_id" === 6L).select($"predicted").as[String]
+      .collect().head shouldBe "neg"
+
+    run(base, "RepeatedSpans",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/rs",
+         | "id_column": "doc_id", "text_column": "text",
+         | "width": 3}""".stripMargin)
+    val rs = spark.read.parquet(s"$base/rs")
+    rs.count() shouldBe 6
+    // no 3-token span repeats in this corpus except none: all distinct
+    rs.agg(sum($"n_dup_spans")).head.getLong(0) shouldBe 0L
+  }
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val labeled = Seq(
+    (1L, "good great good", "pos"),
+    (2L, "great good nice", "pos"),
+    (3L, "bad awful bad", "neg"),
+    (4L, "awful bad nasty", "neg"))
+    .toDF("doc_id", "text", "label")
+
+  test("naiveBayesModel: exact add-one likelihoods and priors over vocab+unk") {
+    val m = Classify.naiveBayesModel(labeled, "text", "label", vocabSize = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    // 6 distinct tokens + <unk>, 2 classes -> dense 14-row grid
+    m.size shouldBe 14
+    // class pos: 6 tokens total, count(good)=3 -> ln((3+1)/(6+11))
+    m(("pos", "good"))._1 shouldBe math.log(4.0 / 17.0) +- 1e-12
+    // absent cell (pos, bad) gets the smoothed floor ln(1/17)
+    m(("pos", "bad"))._1 shouldBe math.log(1.0 / 17.0) +- 1e-12
+    m(("pos", "<unk>"))._1 shouldBe math.log(1.0 / 17.0) +- 1e-12
+    // priors: 2 docs of 4 each
+    m(("pos", "good"))._2 shouldBe math.log(0.5) +- 1e-12
+    m(("neg", "bad"))._2 shouldBe math.log(0.5) +- 1e-12
+  }
+
+  test("naiveBayesScore: separable classes predict correctly, OOV hits <unk>") {
+    val model = Classify.naiveBayesModel(labeled, "text", "label", 10)
+    val docs = Seq(
+      (10L, "good great nice"),
+      (11L, "bad awful nasty"),
+      (12L, "zebra unseen words")) // all OOV: prior + 3x unk, tie by label
+      .toDF("doc_id", "text")
+    val out = Classify.naiveBayesScore(docs, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(10L) shouldBe "pos"
+    out(11L) shouldBe "neg"
+    // identical priors and identical unk likelihoods -> exact tie,
+    // broken deterministically by label asc
+    out(12L) shouldBe "neg"
+  }
+
+  test("naiveBayesClassify: train-on-seed scores every row with audit columns") {
+    val docs = labeled.union(Seq(
+      (5L, "good nice great", "pos"),
+      (6L, "nasty awful bad", "neg")).toDF("doc_id", "text", "label"))
+    val out = Classify.naiveBayesClassify(docs, "doc_id", "text", "label",
+      col("doc_id") <= 4, vocabSize = 10)
+    out.count() shouldBe 6 // scores ALL rows, not just the seed
+    out.filter(col("correct")).count() shouldBe 6
+    out.columns.toSeq shouldBe
+      Seq("doc_id", "predicted", "actual", "correct", "score")
+  }
+
+  test("naiveBayesModel: vocab truncation folds the tail into <unk>") {
+    // vocabSize=1 keeps only the most frequent token (count desc, token
+    // asc): bad appears 3x like good but 'bad' < 'good' -> ties to bad...
+    // counts: good 3, bad 3, great 2, awful 2, nice 1, nasty 1
+    val m = Classify.naiveBayesModel(labeled, "text", "label", vocabSize = 1)
+    val toks = m.select("token").distinct().as[String].collect().sorted
+    toks shouldBe Array("<unk>", "bad")
+  }
+}
+
+class RepeatedSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c d e f"),
+    (2L, "a b c d e f"), // exact dup of 1: every span duplicated
+    (3L, "x y z w"), // unique spans
+    (4L, "p q"), // shorter than width
+    (5L, "m n o m n o m n o"), // within-doc repetition
+    (6L, "a b c q r s t"), // shares only the "a b c" span
+    (7L, "a b c z9"))
+    .toDF("doc_id", "text")
+
+  private def rows = Dedup.repeatedSpans(docs, "doc_id", "text", width = 3)
+    .collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toMap
+
+  test("exact-dup docs are fully covered; unique docs untouched") {
+    val m = rows
+    m(1L) shouldBe ((6L, 4L, 4L, 6L, 1.0))
+    m(2L) shouldBe ((6L, 4L, 4L, 6L, 1.0))
+    m(3L) shouldBe ((4L, 2L, 0L, 0L, 0.0))
+  }
+
+  test("docs shorter than width have zero spans and zero coverage") {
+    rows(4L) shouldBe ((2L, 0L, 0L, 0L, 0.0))
+  }
+
+  test("within-doc repetition counts: all spans of a cyclic doc duplicate") {
+    // spans m n o / n o m / o m n each occur >= 2 times inside doc 5
+    rows(5L) shouldBe ((9L, 7L, 7L, 9L, 1.0))
+  }
+
+  test("partial overlap covers exactly the union of duplicated windows") {
+    // docs 6 and 7 share only "a b c": positions 0..2 covered in both
+    val m = rows
+    m(6L) shouldBe ((7L, 5L, 1L, 3L, 0.428571))
+    m(7L) shouldBe ((4L, 2L, 1L, 3L, 0.75))
+  }
+}
