@@ -2874,6 +2874,60 @@ object SparkEntry {
         width = 4)
     }),
 
+    // the transformation face of q232: duplicated spans REMOVED and the
+    // document reassembled (position-sorted inside the collected array —
+    // collect_list order alone is not deterministic)
+    "q233_span_removal" -> ((s, dir) => {
+      Dedup.removeRepeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        width = 4)
+    }),
+
+    // classifier artifacts through the PARAMS surface only (the q76/q214
+    // convention): NaiveBayesModel fits on the doc_id%5 seed slice and
+    // writes the model frame; NaiveBayesScore replays it from model_dir
+    // over the FULL corpus — train once, score many, no DataFrame passes
+    // between stages
+    "q234_nb_artifacts" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val base = tmpDir("graft_q234")
+      def p(sub: String) = s"$base/$sub"
+      t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .write.parquet(p("seed"))
+      t(s, dir, "documents").write.parquet(p("docs"))
+      def run(algo: String, json: String): Unit = {
+        val f = Paths.get(base, s"$algo.json")
+        JFiles.writeString(f, json)
+        graft.core.JobRunner.execute(s, algo, f.toString)
+      }
+      run("NaiveBayesModel",
+        s"""{"source_dir": "${p("seed")}", "target_dir": "${p("model")}",
+           | "text_column": "text", "label_column": "lang",
+           | "vocab_size": 30}""".stripMargin)
+      run("NaiveBayesScore",
+        s"""{"source_dir": "${p("docs")}", "target_dir": "${p("scored")}",
+           | "model_dir": "${p("model")}", "id_column": "doc_id",
+           | "text_column": "text"}""".stripMargin)
+      s.read.parquet(p("scored"))
+    }),
+
+    // streaming classification: q231's model applied per micro-batch
+    // (4 input files, maxFilesPerTrigger=1 -> 4 real triggers); scores
+    // are stateless per document, so the union of per-batch outputs IS
+    // the single-shot batch result — q234's oracle gates that identity
+    "q235_stream_classify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = Classify.naiveBayesModel(
+        docs.filter(col("doc_id") % 5 === 0), "text", "lang",
+        vocabSize = 30)
+      val inDir = tmpDir("graft_q235_in")
+      docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .repartition(4).write.mode("overwrite").parquet(inDir)
+      val outDir = tmpDir("graft_q235_out") + "/out"
+      EventStream.runClassifyOnce(s, s.read.parquet(inDir).schema, inDir,
+        model, "doc_id", "text", outDir, "q235_sink",
+        maxFilesPerTrigger = Some(1))
+    }),
+
     // P5/P6: schema enforcement with narrowing casts + added null column
     "q37_schema_enforce" -> ((s, dir) => {
       val target = StructType(Seq(
@@ -2917,6 +2971,60 @@ object SparkEntry {
     s"list_min(list_transform(hl, h -> (${PortableHash.minhashA(s)}*h + " +
       s"${PortableHash.minhashB(s)}) % ${PortableHash.P}))"
   }.mkString("[\n    ", ",\n    ", "]")
+
+  /** The multinomial-NB train+score CTE chain shared by q231/q234/q235:
+    * top-30 vocab over the doc_id%5 seed, add-one likelihoods over the
+    * 31-token space, per-(doc,label) log-prob sums rounded to 6. Ends
+    * with `best(doc_id, predicted, score, rk)` — rk=1 is the argmax with
+    * label-asc tie-break.
+    */
+  private def nbChainSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, lang,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |seedtk AS (SELECT * FROM tk WHERE doc_id % 5 = 0),
+      |vocab AS (
+      |  SELECT token FROM seedtk GROUP BY token
+      |  ORDER BY count(*) DESC, token LIMIT 30),
+      |b AS (
+      |  SELECT s.lang AS label,
+      |    CASE WHEN v.token IS NOT NULL THEN s.token
+      |         ELSE '<unk>' END AS token
+      |  FROM seedtk s LEFT JOIN vocab v ON s.token = v.token),
+      |counts AS (SELECT label, token, CAST(count(*) AS BIGINT) AS n_tok
+      |           FROM b GROUP BY 1, 2),
+      |ctot AS (SELECT label, CAST(count(*) AS BIGINT) AS n_class
+      |         FROM b GROUP BY 1),
+      |dc AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
+      |       FROM documents WHERE doc_id % 5 = 0 GROUP BY 1),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd
+      |       FROM documents WHERE doc_id % 5 = 0),
+      |fullv AS (SELECT token FROM vocab UNION ALL SELECT '<unk>'),
+      |model AS (
+      |  SELECT ct.label, fv.token,
+      |    ln(CAST(COALESCE(c.n_tok, 0) + 1 AS DOUBLE)
+      |       / (CAST(ct.n_class AS DOUBLE) + 31.0)) AS loglik,
+      |    ln(CAST(dc.n_docs AS DOUBLE)
+      |       / CAST((SELECT nd FROM nd) AS DOUBLE)) AS logprior
+      |  FROM ctot ct CROSS JOIN fullv fv
+      |  LEFT JOIN counts c ON c.label = ct.label AND c.token = fv.token
+      |  JOIN dc ON dc.label = ct.label),
+      |dtk AS (
+      |  SELECT t.doc_id,
+      |    CASE WHEN v.token IS NOT NULL THEN t.token
+      |         ELSE '<unk>' END AS token
+      |  FROM tk t LEFT JOIN vocab v ON t.token = v.token),
+      |scored AS (
+      |  SELECT doc_id, m.label,
+      |    round(m.logprior + sum(m.loglik), 6) AS score
+      |  FROM dtk JOIN model m ON dtk.token = m.token
+      |  GROUP BY doc_id, m.label, m.logprior),
+      |best AS (
+      |  SELECT doc_id, label AS predicted, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY score DESC, label) AS rk
+      |  FROM scored)""".stripMargin
 
   /** The full MinHash-LSH candidate + Jaccard-verify CTE chain over a
     * source relation with (doc_id, text) — shared by the q21 gate and the
@@ -7763,56 +7871,22 @@ object SparkEntry {
     // the same double ratios, per-(doc,label) log-prob sums rounded to 6,
     // argmax tie-broken by label asc
     "q231_naive_bayes" ->
-      """WITH tk AS (
-        |  SELECT doc_id, lang,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-        |  FROM documents),
-        |seedtk AS (SELECT * FROM tk WHERE doc_id % 5 = 0),
-        |vocab AS (
-        |  SELECT token FROM seedtk GROUP BY token
-        |  ORDER BY count(*) DESC, token LIMIT 30),
-        |b AS (
-        |  SELECT s.lang AS label,
-        |    CASE WHEN v.token IS NOT NULL THEN s.token
-        |         ELSE '<unk>' END AS token
-        |  FROM seedtk s LEFT JOIN vocab v ON s.token = v.token),
-        |counts AS (SELECT label, token, CAST(count(*) AS BIGINT) AS n_tok
-        |           FROM b GROUP BY 1, 2),
-        |ctot AS (SELECT label, CAST(count(*) AS BIGINT) AS n_class
-        |         FROM b GROUP BY 1),
-        |dc AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
-        |       FROM documents WHERE doc_id % 5 = 0 GROUP BY 1),
-        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd
-        |       FROM documents WHERE doc_id % 5 = 0),
-        |fullv AS (SELECT token FROM vocab UNION ALL SELECT '<unk>'),
-        |model AS (
-        |  SELECT ct.label, fv.token,
-        |    ln(CAST(COALESCE(c.n_tok, 0) + 1 AS DOUBLE)
-        |       / (CAST(ct.n_class AS DOUBLE) + 31.0)) AS loglik,
-        |    ln(CAST(dc.n_docs AS DOUBLE)
-        |       / CAST((SELECT nd FROM nd) AS DOUBLE)) AS logprior
-        |  FROM ctot ct CROSS JOIN fullv fv
-        |  LEFT JOIN counts c ON c.label = ct.label AND c.token = fv.token
-        |  JOIN dc ON dc.label = ct.label),
-        |dtk AS (
-        |  SELECT t.doc_id,
-        |    CASE WHEN v.token IS NOT NULL THEN t.token
-        |         ELSE '<unk>' END AS token
-        |  FROM tk t LEFT JOIN vocab v ON t.token = v.token),
-        |scored AS (
-        |  SELECT doc_id, m.label,
-        |    round(m.logprior + sum(m.loglik), 6) AS score
-        |  FROM dtk JOIN model m ON dtk.token = m.token
-        |  GROUP BY doc_id, m.label, m.logprior),
-        |best AS (
-        |  SELECT doc_id, label AS predicted, score,
-        |    row_number() OVER (PARTITION BY doc_id
-        |                       ORDER BY score DESC, label) AS rk
-        |  FROM scored)
-        |SELECT b.doc_id, b.predicted, d.lang AS actual,
-        |  b.predicted = d.lang AS correct, b.score
-        |FROM best b JOIN documents d ON b.doc_id = d.doc_id
-        |WHERE b.rk = 1""".stripMargin,
+      s"""$nbChainSql
+         |SELECT b.doc_id, b.predicted, d.lang AS actual,
+         |  b.predicted = d.lang AS correct, b.score
+         |FROM best b JOIN documents d ON b.doc_id = d.doc_id
+         |WHERE b.rk = 1""".stripMargin,
+
+    // mirrors q234 (artifact round-trip is value-identity on the model
+    // frame) and q235 (stateless per-batch scores union to the batch
+    // result): the q231 chain without the audit columns
+    "q234_nb_artifacts" ->
+      s"""$nbChainSql
+         |SELECT doc_id, predicted, score FROM best WHERE rk = 1""".stripMargin,
+
+    "q235_stream_classify" ->
+      s"""$nbChainSql
+         |SELECT doc_id, predicted, score FROM best WHERE rk = 1""".stripMargin,
 
     // mirrors q232: identical 4-token span md5-60 hashes, >1-occurrence
     // dup set, coverage = sliding max of dup-start flags over the
@@ -7847,6 +7921,40 @@ object SparkEntry {
         |  CAST(sum(covered) AS BIGINT) AS covered_tokens,
         |  round(CAST(sum(covered) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
         |    AS dup_fraction
+        |FROM cov GROUP BY doc_id, n_tokens""".stripMargin,
+
+    // mirrors q233: the q232 coverage chain carrying the token itself,
+    // uncovered tokens reassembled position-ordered (string_agg skips
+    // the CASE NULLs; fully-covered docs coalesce to '')
+    "q233_span_removal" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, g AS pos,
+        |    CAST('0x' || substr(md5(array_to_string(tk[g+1:g+4], ' ')),
+        |      1, 15) AS BIGINT) AS hv
+        |  FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk)-4)) AS g
+        |        FROM tk WHERE len(tk) >= 4)),
+        |dup AS (SELECT hv FROM sp GROUP BY hv HAVING count(*) > 1),
+        |st AS (SELECT doc_id, pos, 1 AS dup FROM sp JOIN dup USING (hv)),
+        |posn AS (
+        |  SELECT q.doc_id, q.n_tokens, q.pos, q.tk[q.pos+1] AS t,
+        |    COALESCE(s.dup, 0) AS dup
+        |  FROM (SELECT doc_id, tk, len(tk) AS n_tokens,
+        |          unnest(generate_series(0, len(tk)-1)) AS pos
+        |        FROM tk) q
+        |  LEFT JOIN st s ON s.doc_id = q.doc_id AND s.pos = q.pos),
+        |cov AS (
+        |  SELECT doc_id, n_tokens, pos, t,
+        |    CASE WHEN max(dup) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) = 1
+        |      THEN 1 ELSE 0 END AS covered
+        |  FROM posn)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(sum(1 - covered) AS BIGINT) AS kept_tokens,
+        |  COALESCE(string_agg(CASE WHEN covered = 0 THEN t END, ' '
+        |    ORDER BY pos), '') AS clean_text
         |FROM cov GROUP BY doc_id, n_tokens""".stripMargin,
 
     // q205 = q195's oracle: the maxIters=1 training loop returns exactly

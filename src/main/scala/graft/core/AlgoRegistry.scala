@@ -1118,6 +1118,33 @@ object AlgoRegistry {
       df => graft.operators.Dedup.repeatedSpans(df,
         config.getString("id_column"), config.getString("text_column"),
         config.getInt("width")))
+    // the transformation face: remove every token inside a duplicated
+    // span and reassemble the cleaned text
+    case "RemoveRepeatedSpans" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Dedup.removeRepeatedSpans(df,
+        config.getString("id_column"), config.getString("text_column"),
+        config.getInt("width")))
+    // NB training as a saved artifact: the (label, token, loglik,
+    // logprior) model frame written to target_dir for later scoring
+    case "NaiveBayesModel" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.Classify.naiveBayesModel(
+          df.filter(col(config.getString("label_column")).isNotNull),
+          config.getString("text_column"),
+          config.getString("label_column"), config.getInt("vocab_size"))
+      })
+    // scoring from a saved model artifact (train once, score many)
+    case "NaiveBayesScore" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Classify.naiveBayesScore(df,
+        spark.read.parquet(config.getString("model_dir")),
+        config.getString("id_column"), config.getString("text_column")))
     // declarative quality checks: writes the (check_name, violations,
     // total, passed) report; rules are compact strings (not_null:c,
     // in_range:c:lo:hi, matches:c:regex, unique:a,b)

@@ -90,26 +90,30 @@ object Classify {
           .as("logprior"))
   }
 
-  /** Score `docs` against a fitted model: per document, the predicted
-    * label = argmax over classes of logprior + sum of per-token logliks
-    * (OOV tokens hit the model's "<unk>" row), ties broken by label asc.
-    * Output: (idCol, predicted, score) with score rounded to 6 decimals.
-    *
-    * The model broadcasts (vocabSize x classes rows); the corpus-side
-    * explode joins map-side, so the only wide shuffle is the per-(doc,
-    * label) score aggregation.
+  /** Collect a fitted model into its driver-side literal form — the
+    * model is a BOUNDED artifact ((vocabSize+1) x classes rows by
+    * construction), and the scoring plan consumes it twice (likelihood
+    * join + vocab membership). Collecting once makes both sides plan
+    * literals instead of re-running the model lineage per use (measured
+    * 6.21 s -> 1.82 s median on q231, PLANS.md), and lets a STREAMING
+    * caller pay the collection once for the query's lifetime instead of
+    * per micro-batch.
     */
-  def naiveBayesScore(docs: DataFrame, model: DataFrame, idCol: String,
-                      textCol: String): DataFrame = {
-    // the model is a BOUNDED artifact — (vocabSize+1) x classes rows by
-    // construction — and its frame is consumed twice below (likelihood
-    // join + vocab membership); collecting it once makes both sides plan
-    // literals instead of re-running the whole training lineage per use
-    // (measured: 6.2 s -> see PLANS.md)
+  def prepareModel(model: DataFrame): Seq[(String, String, Double, Double)] = {
+    val spark = model.sparkSession
+    import spark.implicits._
+    model.select(col("label"), col("token"), col("loglik"),
+      col("logprior")).as[(String, String, Double, Double)].collect().toSeq
+  }
+
+  /** Score against an already-prepared (collected) model — the per-batch
+    * workhorse shared by [[naiveBayesScore]] and the streaming face.
+    */
+  def scoreWithModel(docs: DataFrame,
+      rows: Seq[(String, String, Double, Double)], idCol: String,
+      textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val rows = model.select(col("label"), col("token"), col("loglik"),
-      col("logprior")).as[(String, String, Double, Double)].collect().toSeq
     val local = rows.toDF("label", "token", "loglik", "logprior")
     val m = broadcast(local)
     val vocabOnly = broadcast(
@@ -137,6 +141,20 @@ object Classify {
       .filter(col("__rk") === 1)
       .select(col(idCol), col("label").as("predicted"), col("score"))
   }
+
+  /** Score `docs` against a fitted model frame: per document, the
+    * predicted label = argmax over classes of logprior + sum of per-token
+    * logliks (OOV tokens hit the model's "<unk>" row), ties broken by
+    * label asc. Output: (idCol, predicted, score) with score rounded to
+    * 6 decimals.
+    *
+    * The collected model broadcasts; the corpus-side explode joins
+    * map-side, so the only wide shuffle is the per-(doc, label) score
+    * aggregation.
+    */
+  def naiveBayesScore(docs: DataFrame, model: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    scoreWithModel(docs, prepareModel(model), idCol, textCol)
 
   /** Train-on-seed / score-corpus in one call: fit on the rows where
     * `seedFilter` holds, score every row, and report the prediction next

@@ -1187,7 +1187,13 @@ object Dedup {
     * document id. No all-pairs product anywhere and no suffix array to
     * build or hold.
     */
-  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+  /** Shared per-position coverage frame for [[repeatedSpans]] /
+    * [[removeRepeatedSpans]]: one row per (doc, token position) with
+    * `n_tokens`, the token itself (`__t`), `__dup` (1 when a duplicated
+    * span STARTS here, null otherwise) and `__covered` (1 when the
+    * position lies inside any duplicated span).
+    */
+  private def spanCoverage(docs: DataFrame, idCol: String, textCol: String,
       width: Int): DataFrame = {
     require(width > 0, s"width must be positive: $width")
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
@@ -1219,7 +1225,6 @@ object Dedup {
     val positions = toks
       .select(col(idCol), size(col("__tk")).as("n_tokens"),
         posexplode(col("__tk")).as(Seq("__pos", "__t")))
-      .drop("__t")
       .join(starts, Seq(idCol, "__pos"), "left")
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
       .rowsBetween(-(width - 1), 0)
@@ -1227,6 +1232,11 @@ object Dedup {
       .withColumn("__covered",
         when(max(coalesce(col("__dup"), lit(0))).over(w) === 1, 1L)
           .otherwise(0L))
+  }
+
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame = {
+    spanCoverage(docs, idCol, textCol, width)
       .groupBy(col(idCol), col("n_tokens"))
       .agg(
         greatest(max(col("n_tokens")) - width + 1, lit(0)).cast("long")
@@ -1237,5 +1247,30 @@ object Dedup {
         col("n_spans"), col("n_dup_spans"), col("covered_tokens"),
         round(col("covered_tokens").cast("double") /
           col("n_tokens").cast("double"), 6).as("dup_fraction"))
+  }
+
+  /** The transformation face of [[repeatedSpans]]: REMOVE every token
+    * lying inside a duplicated width-token span and reassemble the
+    * document — Lee et al.'s substring-level dedup applied, not just
+    * reported. Output: (idCol, n_tokens, kept_tokens, clean_text);
+    * fully-duplicated documents survive with clean_text = "" (dropping
+    * rows is the caller's policy decision, e.g. filter kept_tokens > 0).
+    *
+    * Reassembly collects (pos, token) structs per doc and sorts INSIDE
+    * the array — collect_list order is not deterministic across
+    * partitions, sort_array makes it so.
+    */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame = {
+    spanCoverage(docs, idCol, textCol, width)
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(
+        sum(lit(1L) - col("__covered")).as("kept_tokens"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("__covered") === 0,
+            struct(col("__pos"), col("__t"))))),
+          s => s.getField("__t"))).as("clean_text"))
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        col("kept_tokens"), col("clean_text"))
   }
 }

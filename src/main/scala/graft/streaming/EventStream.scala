@@ -231,6 +231,41 @@ object EventStream {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming classification — the streaming face of
+    * [[graft.operators.Classify.naiveBayesScore]]: documents arriving on
+    * the ingest stream are scored per micro-batch against a FIXED fitted
+    * model. The model is prepared once for the query's lifetime
+    * ([[graft.operators.Classify.prepareModel]]: one bounded collect),
+    * so each trigger pays a stateless batch-sized explode + broadcast
+    * join + per-doc aggregate — no state store, no watermark. Every
+    * document's tokens arrive in one row, so per-batch scores union to
+    * the single-shot batch result for any micro-batch boundaries (the
+    * oracle identity, same argument as [[runDecontaminateOnce]]).
+    */
+  def runClassifyOnce(spark: SparkSession, schema: StructType,
+      inputGlob: String, model: DataFrame, idCol: String, textCol: String,
+      outDir: String, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(m => reader.option("maxFilesPerTrigger", m))
+      .parquet(inputGlob)
+    val prepared = graft.operators.Classify.prepareModel(model)
+    val q: StreamingQuery = stream.writeStream
+      .queryName(s"${queryName}_${sinkSeq.incrementAndGet()}")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Classify
+          .scoreWithModel(batch, prepared, idCol, textCol)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming quality monitoring — the q112 rule set evaluated per
     * micro-batch via `foreachBatch`, each trigger appending its
     * `(check_name, violations, total, passed, batch_id)` report row set

@@ -107,4 +107,45 @@ class RepeatedSpansSpec extends SparkSpec {
     m(6L) shouldBe ((7L, 5L, 1L, 3L, 0.428571))
     m(7L) shouldBe ((4L, 2L, 1L, 3L, 0.75))
   }
+
+  test("removeRepeatedSpans reassembles exactly the uncovered tokens in order") {
+    val m = Dedup.removeRepeatedSpans(docs, "doc_id", "text", width = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    m(1L) shouldBe ((6L, 0L, "")) // fully duplicated -> empty survivor
+    m(2L) shouldBe ((6L, 0L, ""))
+    m(3L) shouldBe ((4L, 4L, "x y z w")) // untouched
+    m(4L) shouldBe ((2L, 2L, "p q")) // shorter than width: untouched
+    m(6L) shouldBe ((7L, 4L, "q r s t")) // "a b c" removed, order kept
+    m(7L) shouldBe ((4L, 1L, "z9"))
+  }
+}
+
+class StreamClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming classification equals the single-shot batch scoring") {
+    val labeled = Seq(
+      (1L, "good great good", "pos"), (2L, "great good nice", "pos"),
+      (3L, "bad awful bad", "neg"), (4L, "awful bad nasty", "neg"))
+      .toDF("doc_id", "text", "label")
+    val model = Classify.naiveBayesModel(labeled, "text", "label", 10)
+    val docs = (1L to 40L).map(i =>
+        (i, if (i % 2 == 0) s"good great row $i" else s"bad nasty row $i"))
+      .toDF("doc_id", "text")
+    val inDir = tmp("sc_in")
+    docs.repartition(4).write.mode("overwrite").parquet(inDir)
+    val outDir = tmp("sc_out") + "/out"
+    val streamed = graft.streaming.EventStream.runClassifyOnce(spark,
+      spark.read.parquet(inDir).schema, inDir, model, "doc_id", "text",
+      outDir, "sc_spec", maxFilesPerTrigger = Some(1))
+    // 4 files x 1 per trigger -> multiple real micro-batches, and the
+    // union of per-batch scores is the batch result row-for-row
+    assertSameRows(streamed,
+      Classify.naiveBayesScore(spark.read.parquet(inDir), model,
+        "doc_id", "text"))
+    streamed.filter($"doc_id" % 2 === 0)
+      .select($"predicted").distinct().as[String]
+      .collect() shouldBe Array("pos")
+  }
 }
