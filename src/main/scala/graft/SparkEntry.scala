@@ -2910,6 +2910,25 @@ object SparkEntry {
       s.read.parquet(p("scored"))
     }),
 
+    // curation: DSIR importance weights (Xie et al. 2023) — every doc
+    // scored by the hashed-ngram log-likelihood ratio of the doc_id%25
+    // target slice over the whole corpus; buckets=512 keeps both models
+    // literal-sized while leaving the bucket space unsaturated
+    "q236_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dsir.importanceWeights(docs, docs.filter(col("doc_id") % 25 === 0),
+        "doc_id", "text", buckets = 512)
+    }),
+
+    // the selection face: Gumbel-top-200 under md5-derived noise —
+    // sampling w/o replacement ∝ exp(log_weight) as a pure function of
+    // the data (TakeOrdered, never a global sort)
+    "q237_dsir_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dsir.select(docs, docs.filter(col("doc_id") % 25 === 0),
+        "doc_id", "text", buckets = 512, k = 200)
+    }),
+
     // streaming classification: q231's model applied per micro-batch
     // (4 input files, maxFilesPerTrigger=1 -> 4 real triggers); scores
     // are stateless per document, so the union of per-batch outputs IS
@@ -3025,6 +3044,48 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY doc_id
       |                       ORDER BY score DESC, label) AS rk
       |  FROM scored)""".stripMargin
+
+  /** The DSIR weight CTE chain shared by q236/q237: md5-60 hashed
+    * unigram+bigram buckets (mod 512), add-one models over the doc_id%25
+    * target and the raw corpus, per-doc log-ratio sums rounded to 6.
+    * Ends with `w(doc_id, log_weight)`.
+    */
+  private def dsirChainSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |feats AS (
+       |  SELECT doc_id, unnest(list_concat(
+       |    list_transform(tk, t -> ${PortableHash.sqlHash60("t")} % 512),
+       |    CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+       |      i -> ${PortableHash.sqlHash60("tk[i] || ' ' || tk[i+1]")}
+       |        % 512)
+       |    ELSE [] END)) AS b
+       |  FROM tk),
+       |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM feats
+       |       WHERE doc_id % 25 = 0 GROUP BY b),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM feats
+       |       WHERE doc_id % 25 = 0),
+       |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM feats
+       |       GROUP BY b),
+       |rt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM feats),
+       |d AS (
+       |  SELECT g.range AS b,
+       |    ln(CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE)
+       |       / CAST((SELECT t FROM tt) + 512 AS DOUBLE))
+       |    - ln(CAST(COALESCE(rc.c, 0) + 1 AS DOUBLE)
+       |       / CAST((SELECT t FROM rt) + 512 AS DOUBLE)) AS diff
+       |  FROM range(512) g
+       |  LEFT JOIN tc ON tc.b = g.range
+       |  LEFT JOIN rc ON rc.b = g.range),
+       |w AS (
+       |  SELECT doc_id, round(sum(d.diff), 6) AS log_weight
+       |  FROM feats JOIN d ON feats.b = d.b
+       |  GROUP BY doc_id)""".stripMargin
+
+  private def dsirWeightsSql: String =
+    s"""$dsirChainSql
+       |SELECT doc_id, log_weight FROM w""".stripMargin
 
   /** The full MinHash-LSH candidate + Jaccard-verify CTE chain over a
     * source relation with (doc_id, text) — shared by the q21 gate and the
@@ -7876,6 +7937,28 @@ object SparkEntry {
          |  b.predicted = d.lang AS correct, b.score
          |FROM best b JOIN documents d ON b.doc_id = d.doc_id
          |WHERE b.rk = 1""".stripMargin,
+
+    // mirrors q236: identical md5-60 unigram+bigram bucket hashing
+    // (mod 512), add-one bucket models over target (doc_id%25) and raw,
+    // per-doc log-ratio sums rounded to 6
+    "q236_dsir_weights" -> dsirWeightsSql,
+
+    // mirrors q237: q236's weights + the md5-derived Gumbel key,
+    // top-200 by (key desc, doc_id)
+    "q237_dsir_resample" ->
+      s"""$dsirChainSql,
+         |keyed AS (
+         |  SELECT doc_id, log_weight,
+         |    round(log_weight - ln(-ln(
+         |      (CAST(${PortableHash.sqlHash60(
+        "CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBLE) + 0.5)
+         |        / 1000000.0)), 6) AS sample_key
+         |  FROM w)
+         |SELECT doc_id, log_weight, sample_key,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (ORDER BY sample_key DESC,
+         |        doc_id) AS rank FROM keyed)
+         |WHERE rank <= 200""".stripMargin,
 
     // mirrors q234 (artifact round-trip is value-identity on the model
     // frame) and q235 (stateless per-batch scores union to the batch

@@ -1145,6 +1145,23 @@ object AlgoRegistry {
       df => graft.operators.Classify.naiveBayesScore(df,
         spark.read.parquet(config.getString("model_dir")),
         config.getString("id_column"), config.getString("text_column")))
+    // DSIR importance weights: every source doc scored by the hashed
+    // n-gram likelihood ratio of the target corpus over the source
+    case "DsirWeights" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Dsir.importanceWeights(df,
+        spark.read.parquet(config.getString("target_corpus_dir")),
+        config.getString("id_column"), config.getString("text_column"),
+        config.getInt("buckets")))
+    // the selection face: Gumbel-top-k resample of the weighted corpus
+    case "DsirSelect" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Dsir.select(df,
+        spark.read.parquet(config.getString("target_corpus_dir")),
+        config.getString("id_column"), config.getString("text_column"),
+        config.getInt("buckets"), config.getInt("k")))
     // declarative quality checks: writes the (check_name, violations,
     // total, passed) report; rules are compact strings (not_null:c,
     // in_range:c:lo:hi, matches:c:regex, unique:a,b)

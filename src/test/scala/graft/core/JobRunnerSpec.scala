@@ -1164,5 +1164,20 @@ class Round9ParamsSpec extends SparkSpec {
     rs.count() shouldBe 6
     // no 3-token span repeats in this corpus except none: all distinct
     rs.agg(sum($"n_dup_spans")).head.getLong(0) shouldBe 0L
+
+    // DSIR: target = the pos-label slice; science-like docs should win
+    docs.filter($"label" === "pos").write.parquet(s"$base/tgt")
+    run(base, "DsirWeights",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/dw",
+         | "target_corpus_dir": "$base/tgt", "id_column": "doc_id",
+         | "text_column": "text", "buckets": 128}""".stripMargin)
+    spark.read.parquet(s"$base/dw").count() shouldBe 6
+    run(base, "DsirSelect",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/ds",
+         | "target_corpus_dir": "$base/tgt", "id_column": "doc_id",
+         | "text_column": "text", "buckets": 128, "k": 3}""".stripMargin)
+    val ds = spark.read.parquet(s"$base/ds")
+    ds.count() shouldBe 3
+    ds.columns should contain allOf ("log_weight", "sample_key", "rank")
   }
 }
