@@ -2910,6 +2910,17 @@ object SparkEntry {
       s.read.parquet(p("scored"))
     }),
 
+    // curation: SEMANTIC decontamination — corpus vectors within cosine
+    // 0.9 of any benchmark vector (the vec_id%25 slice), sign-LSH
+    // bucketed candidates with the benchmark side broadcast; catches
+    // the paraphrase the n-gram families (q53/q71) cannot
+    "q238_semantic_decontaminate" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      Decontaminate.overlapsSemantic(vecs, "vec_id", "embedding",
+        vecs.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        threshold = 0.9, bits = 8, tables = 4)
+    }),
+
     // curation: DSIR importance weights (Xie et al. 2023) — every doc
     // scored by the hashed-ngram log-likelihood ratio of the doc_id%25
     // target slice over the whole corpus; buckets=512 keeps both models
@@ -7937,6 +7948,26 @@ object SparkEntry {
          |  b.predicted = d.lang AS correct, b.score
          |FROM best b JOIN documents d ON b.doc_id = d.doc_id
          |WHERE b.rk = 1""".stripMargin,
+
+    // mirrors q238: identical sign-LSH signatures (4 tables x 8 bits
+    // over the md5-derived hyperplanes), benchmark = vec_id%25,
+    // candidates from bucket equality, sequential-order cosine, matched
+    // rows grouped to (count, rounded max)
+    "q238_semantic_decontaminate" ->
+      s"""WITH ${lshSigsSql(4, 8, 64)},
+         |cand AS (
+         |  SELECT DISTINCT c.vec_id AS cid, b.vec_id AS bid
+         |  FROM sigs c JOIN sigs b
+         |    ON c.t = b.t AND c.sig = b.sig AND b.vec_id % 25 = 0),
+         |scored AS (
+         |  SELECT cid, bid, ${cosSql("vc.embedding", "vb.embedding")}
+         |    AS cos
+         |  FROM cand
+         |  JOIN v vc ON vc.vec_id = cid
+         |  JOIN v vb ON vb.vec_id = bid)
+         |SELECT cid AS vec_id, CAST(count(*) AS BIGINT) AS n_matched,
+         |  round(max(cos), 6) AS best_cosine
+         |FROM scored WHERE cos >= 0.9 GROUP BY cid""".stripMargin,
 
     // mirrors q236: identical md5-60 unigram+bigram bucket hashing
     // (mod 512), add-one bucket models over target (doc_id%25) and raw,

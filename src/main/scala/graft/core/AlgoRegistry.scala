@@ -1162,6 +1162,19 @@ object AlgoRegistry {
         spark.read.parquet(config.getString("target_corpus_dir")),
         config.getString("id_column"), config.getString("text_column"),
         config.getInt("buckets"), config.getInt("k")))
+    // embedding-space decontamination: drop rows whose vector is within
+    // cosine threshold of any benchmark vector (sign-LSH candidates)
+    case "SemanticDecontaminate" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Decontaminate.decontaminateSemantic(df,
+        config.getString("id_column"), config.getString("vector_column"),
+        spark.read.parquet(config.getString("benchmark_dir")),
+        config.getString("benchmark_id_column"),
+        config.getString("benchmark_vector_column"),
+        config.getDouble("threshold"),
+        config.getIntOpt("bits").getOrElse(8),
+        config.getIntOpt("tables").getOrElse(4)))
     // declarative quality checks: writes the (check_name, violations,
     // total, passed) report; rules are compact strings (not_null:c,
     // in_range:c:lo:hi, matches:c:regex, unique:a,b)

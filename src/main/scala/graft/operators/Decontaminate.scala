@@ -269,4 +269,52 @@ object Decontaminate {
             col("n_matched").cast("double") / col("n_shingles"), 6))
           .as("novelty"))
   }
+
+  /** SEMANTIC decontamination — the embedding-space face of the family:
+    * report corpus rows whose vector lies within cosine `threshold` of
+    * any benchmark vector (a paraphrased eval question shares no
+    * 8-gram, but its embedding sits next to the original). Candidates
+    * come from sign-LSH bucket equality — the benchmark side's
+    * signatures BROADCAST (benchmark-sized, the q53 regime), so the
+    * corpus pays one signature map + map-side join, never an all-pairs
+    * product. Output: (idCol, n_matched, best_cosine) for matched rows
+    * only — n_matched counts benchmark vectors at/above threshold among
+    * the LSH candidates, best_cosine is the rounded max.
+    */
+  def overlapsSemantic(corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchIdCol: String, benchVecCol: String,
+      threshold: Double, bits: Int = 8, tables: Int = 4): DataFrame = {
+    val cs = Similarity.signatures(corpus, idCol, vecCol, bits, tables)
+    val bs = Similarity.signatures(bench, benchIdCol, benchVecCol, bits,
+      tables)
+    val cand = cs.as("c")
+      .join(broadcast(bs.as("b")),
+        col("c.t") === col("b.t") && col("c.sig") === col("b.sig"))
+      .select(col("c.id").as("__cid"), col("b.id").as("__bid"))
+      .distinct()
+    val cv = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+    val bv = bench.select(col(benchIdCol).as("__bid"),
+      col(benchVecCol).as("__bv"))
+    cand.join(broadcast(bv), "__bid").join(cv, "__cid")
+      .select(col("__cid"),
+        graft.functions.CosineSimilarityExpr.cosine(col("__cv"),
+          col("__bv")).as("__cos"))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("__cid"))
+      .agg(count(lit(1)).as("n_matched"),
+        round(max(col("__cos")), 6).as("best_cosine"))
+      .withColumnRenamed("__cid", idCol)
+  }
+
+  /** The filtering face of [[overlapsSemantic]]: corpus rows NOT
+    * semantically contaminated (left-anti on the matched ids).
+    */
+  def decontaminateSemantic(corpus: DataFrame, idCol: String,
+      vecCol: String, bench: DataFrame, benchIdCol: String,
+      benchVecCol: String, threshold: Double, bits: Int = 8,
+      tables: Int = 4): DataFrame =
+    corpus.join(
+      overlapsSemantic(corpus, idCol, vecCol, bench, benchIdCol,
+        benchVecCol, threshold, bits, tables).select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -3237,3 +3237,44 @@ class SourceCardSpec extends SparkSpec {
     m(("books", "exact_dup_fraction")) shouldBe 0.0
   }
 }
+
+class SemanticDecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // benchmark vector, a near-paraphrase (cosine ~0.999), an orthogonal
+  // vector, and a moderately-similar one below threshold
+  private val corpus = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.99f, 0.02f, 0.0f, 0.0f)), // near the benchmark
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)), // orthogonal
+    (4L, Array(0.6f, 0.8f, 0.0f, 0.0f))) // cosine 0.6: below 0.95
+    .toDF("vec_id", "embedding")
+  private val bench = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("overlapsSemantic flags only vectors within the cosine threshold") {
+    val hits = Decontaminate.overlapsSemantic(corpus, "vec_id",
+        "embedding", bench, "vec_id", "embedding", threshold = 0.95,
+        bits = 4, tables = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    hits.keySet shouldBe Set(1L, 2L)
+    hits(1L) shouldBe 1.0
+    hits(2L) should be > 0.99
+  }
+
+  test("decontaminateSemantic drops exactly the flagged rows") {
+    Decontaminate.decontaminateSemantic(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", threshold = 0.95,
+        bits = 4, tables = 8)
+      .select($"vec_id").as[Long].collect().sorted shouldBe Array(3L, 4L)
+  }
+
+  test("the LSH candidate step never degrades to an all-pairs product") {
+    val plan = Decontaminate.overlapsSemantic(corpus, "vec_id",
+      "embedding", bench, "vec_id", "embedding", threshold = 0.95)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include ("BroadcastHashJoin") // bench side broadcast
+  }
+}
