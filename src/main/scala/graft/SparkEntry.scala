@@ -2910,6 +2910,64 @@ object SparkEntry {
       s.read.parquet(p("scored"))
     }),
 
+    // the round-9 curation chain through the PARAMS surface only (the
+    // q76 convention, over the NEW algorithm families): span-level
+    // dedup cleans the corpus, DSIR selects the 100 docs most like the
+    // raw %25 target, the NB artifact pair labels the survivors — every
+    // stage a JobRunner params file, no DataFrame passes between stages
+    "q240_curation_pipeline" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val docs = t(s, dir, "documents")
+      val base = tmpDir("graft_q240")
+      def p(sub: String) = s"$base/$sub"
+      docs.write.parquet(p("docs"))
+      docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), col("text").as("clean_text"))
+        .write.parquet(p("target"))
+      docs.filter(col("doc_id") % 5 === 0).write.parquet(p("seed"))
+      def run(algo: String, json: String): Unit = {
+        val f = Paths.get(base, s"$algo.json")
+        JFiles.writeString(f, json)
+        graft.core.JobRunner.execute(s, algo, f.toString)
+      }
+      run("RemoveRepeatedSpans",
+        s"""{"source_dir": "${p("docs")}", "target_dir": "${p("cleaned")}",
+           | "id_column": "doc_id", "text_column": "text",
+           | "width": 4}""".stripMargin)
+      run("DsirSelect",
+        s"""{"source_dir": "${p("cleaned")}",
+           | "target_dir": "${p("selected")}",
+           | "target_corpus_dir": "${p("target")}",
+           | "id_column": "doc_id", "text_column": "clean_text",
+           | "buckets": 512, "k": 100}""".stripMargin)
+      run("NaiveBayesModel",
+        s"""{"source_dir": "${p("seed")}", "target_dir": "${p("model")}",
+           | "text_column": "text", "label_column": "lang",
+           | "vocab_size": 30}""".stripMargin)
+      run("NaiveBayesScore",
+        s"""{"source_dir": "${p("selected")}",
+           | "target_dir": "${p("labeled")}",
+           | "model_dir": "${p("model")}", "id_column": "doc_id",
+           | "text_column": "clean_text"}""".stripMargin)
+      s.read.parquet(p("labeled"))
+        .join(s.read.parquet(p("selected"))
+          .select(col("doc_id"), col("log_weight"), col("rank")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("log_weight"), col("rank"),
+          col("predicted"), col("score"))
+    }),
+
+    // curation: fuzzy dedup with an EDIT-DISTANCE verifier — minhash
+    // candidates re-checked by exact Levenshtein (the short-text regime
+    // where shingle Jaccard is too coarse); O(len^2) per pair is paid
+    // only on the candidate sliver
+    "q239_editdist_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.editDistanceVerify(
+        Dedup.minhashCandidates(docs, "doc_id", "text"),
+        docs, "doc_id", "text", maxDist = 30)
+    }),
+
     // curation: SEMANTIC decontamination — corpus vectors within cosine
     // 0.9 of any benchmark vector (the vec_id%25 slice), sign-LSH
     // bucketed candidates with the benchmark side broadcast; catches
@@ -2933,11 +2991,14 @@ object SparkEntry {
 
     // the selection face: Gumbel-top-200 under md5-derived noise —
     // sampling w/o replacement ∝ exp(log_weight) as a pure function of
-    // the data (TakeOrdered, never a global sort)
+    // the data (TakeOrdered, never a global sort); the gate projects the
+    // score columns, q240 consumes the carried document columns
     "q237_dsir_resample" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dsir.select(docs, docs.filter(col("doc_id") % 25 === 0),
-        "doc_id", "text", buckets = 512, k = 200)
+          "doc_id", "text", buckets = 512, k = 200)
+        .select(col("doc_id"), col("log_weight"), col("sample_key"),
+          col("rank"))
     }),
 
     // streaming classification: q231's model applied per micro-batch
@@ -3002,69 +3063,88 @@ object SparkEntry {
       s"${PortableHash.minhashB(s)}) % ${PortableHash.P}))"
   }.mkString("[\n    ", ",\n    ", "]")
 
-  /** The multinomial-NB train+score CTE chain shared by q231/q234/q235:
-    * top-30 vocab over the doc_id%5 seed, add-one likelihoods over the
+  /** The multinomial-NB train+score CTE body (no leading WITH, so it
+    * composes into pipelines like q240): `seedRel` supplies (label,
+    * text) training rows, `scoreRel` supplies (doc_id, text) rows to
+    * score. Top-30 vocab over the seed, add-one likelihoods over the
     * 31-token space, per-(doc,label) log-prob sums rounded to 6. Ends
-    * with `best(doc_id, predicted, score, rk)` — rk=1 is the argmax with
-    * label-asc tie-break.
+    * with `best(doc_id, predicted, score, rk)` — rk=1 is the argmax
+    * with label-asc tie-break.
+    */
+  private def nbChainBodySql(seedRel: String, scoreRel: String): String =
+    s"""nb_seed AS ($seedRel),
+       |nb_score_docs AS ($scoreRel),
+       |seedtk AS (
+       |  SELECT label,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |  FROM nb_seed),
+       |vocab AS (
+       |  SELECT token FROM seedtk GROUP BY token
+       |  ORDER BY count(*) DESC, token LIMIT 30),
+       |b AS (
+       |  SELECT s.label,
+       |    CASE WHEN v.token IS NOT NULL THEN s.token
+       |         ELSE '<unk>' END AS token
+       |  FROM seedtk s LEFT JOIN vocab v ON s.token = v.token),
+       |counts AS (SELECT label, token, CAST(count(*) AS BIGINT) AS n_tok
+       |           FROM b GROUP BY 1, 2),
+       |ctot AS (SELECT label, CAST(count(*) AS BIGINT) AS n_class
+       |         FROM b GROUP BY 1),
+       |dc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_docs
+       |       FROM nb_seed GROUP BY 1),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM nb_seed),
+       |fullv AS (SELECT token FROM vocab UNION ALL SELECT '<unk>'),
+       |model AS (
+       |  SELECT ct.label, fv.token,
+       |    ln(CAST(COALESCE(c.n_tok, 0) + 1 AS DOUBLE)
+       |       / (CAST(ct.n_class AS DOUBLE) + 31.0)) AS loglik,
+       |    ln(CAST(dc.n_docs AS DOUBLE)
+       |       / CAST((SELECT nd FROM nd) AS DOUBLE)) AS logprior
+       |  FROM ctot ct CROSS JOIN fullv fv
+       |  LEFT JOIN counts c ON c.label = ct.label AND c.token = fv.token
+       |  JOIN dc ON dc.label = ct.label),
+       |stk AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |  FROM nb_score_docs),
+       |dtk AS (
+       |  SELECT t.doc_id,
+       |    CASE WHEN v.token IS NOT NULL THEN t.token
+       |         ELSE '<unk>' END AS token
+       |  FROM stk t LEFT JOIN vocab v ON t.token = v.token),
+       |scored AS (
+       |  SELECT doc_id, m.label,
+       |    round(m.logprior + sum(m.loglik), 6) AS score
+       |  FROM dtk JOIN model m ON dtk.token = m.token
+       |  GROUP BY doc_id, m.label, m.logprior),
+       |best AS (
+       |  SELECT doc_id, label AS predicted, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, label) AS rk
+       |  FROM scored)""".stripMargin
+
+  /** q231/q234/q235's instantiation: seed = the doc_id%5 lang-labeled
+    * slice, scored corpus = all documents.
     */
   private def nbChainSql: String =
-    """WITH tk AS (
-      |  SELECT doc_id, lang,
-      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-      |  FROM documents),
-      |seedtk AS (SELECT * FROM tk WHERE doc_id % 5 = 0),
-      |vocab AS (
-      |  SELECT token FROM seedtk GROUP BY token
-      |  ORDER BY count(*) DESC, token LIMIT 30),
-      |b AS (
-      |  SELECT s.lang AS label,
-      |    CASE WHEN v.token IS NOT NULL THEN s.token
-      |         ELSE '<unk>' END AS token
-      |  FROM seedtk s LEFT JOIN vocab v ON s.token = v.token),
-      |counts AS (SELECT label, token, CAST(count(*) AS BIGINT) AS n_tok
-      |           FROM b GROUP BY 1, 2),
-      |ctot AS (SELECT label, CAST(count(*) AS BIGINT) AS n_class
-      |         FROM b GROUP BY 1),
-      |dc AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
-      |       FROM documents WHERE doc_id % 5 = 0 GROUP BY 1),
-      |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd
-      |       FROM documents WHERE doc_id % 5 = 0),
-      |fullv AS (SELECT token FROM vocab UNION ALL SELECT '<unk>'),
-      |model AS (
-      |  SELECT ct.label, fv.token,
-      |    ln(CAST(COALESCE(c.n_tok, 0) + 1 AS DOUBLE)
-      |       / (CAST(ct.n_class AS DOUBLE) + 31.0)) AS loglik,
-      |    ln(CAST(dc.n_docs AS DOUBLE)
-      |       / CAST((SELECT nd FROM nd) AS DOUBLE)) AS logprior
-      |  FROM ctot ct CROSS JOIN fullv fv
-      |  LEFT JOIN counts c ON c.label = ct.label AND c.token = fv.token
-      |  JOIN dc ON dc.label = ct.label),
-      |dtk AS (
-      |  SELECT t.doc_id,
-      |    CASE WHEN v.token IS NOT NULL THEN t.token
-      |         ELSE '<unk>' END AS token
-      |  FROM tk t LEFT JOIN vocab v ON t.token = v.token),
-      |scored AS (
-      |  SELECT doc_id, m.label,
-      |    round(m.logprior + sum(m.loglik), 6) AS score
-      |  FROM dtk JOIN model m ON dtk.token = m.token
-      |  GROUP BY doc_id, m.label, m.logprior),
-      |best AS (
-      |  SELECT doc_id, label AS predicted, score,
-      |    row_number() OVER (PARTITION BY doc_id
-      |                       ORDER BY score DESC, label) AS rk
-      |  FROM scored)""".stripMargin
+    "WITH " + nbChainBodySql(
+      "SELECT lang AS label, text FROM documents WHERE doc_id % 5 = 0",
+      "SELECT doc_id, text FROM documents")
 
-  /** The DSIR weight CTE chain shared by q236/q237: md5-60 hashed
-    * unigram+bigram buckets (mod 512), add-one models over the doc_id%25
-    * target and the raw corpus, per-doc log-ratio sums rounded to 6.
-    * Ends with `w(doc_id, log_weight)`.
+  /** The DSIR weight CTE body (no leading WITH): `rawRel` and
+    * `targetRel` each supply (doc_id, text); md5-60 hashed
+    * unigram+bigram buckets (mod 512), add-one models over both, per-doc
+    * log-ratio sums rounded to 6. Ends with `w(doc_id, log_weight)`.
     */
-  private def dsirChainSql: String =
-    s"""WITH tk AS (
+  private def dsirChainBodySql(rawRel: String, targetRel: String): String =
+    s"""dsr_raw AS ($rawRel),
+       |dsr_tgt AS ($targetRel),
+       |dsr_rtk AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
-       |  FROM documents),
+       |  FROM dsr_raw),
+       |dsr_ttk AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM dsr_tgt),
        |feats AS (
        |  SELECT doc_id, unnest(list_concat(
        |    list_transform(tk, t -> ${PortableHash.sqlHash60("t")} % 512),
@@ -3072,11 +3152,18 @@ object SparkEntry {
        |      i -> ${PortableHash.sqlHash60("tk[i] || ' ' || tk[i+1]")}
        |        % 512)
        |    ELSE [] END)) AS b
-       |  FROM tk),
-       |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM feats
-       |       WHERE doc_id % 25 = 0 GROUP BY b),
-       |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM feats
-       |       WHERE doc_id % 25 = 0),
+       |  FROM dsr_rtk),
+       |tfeats AS (
+       |  SELECT doc_id, unnest(list_concat(
+       |    list_transform(tk, t -> ${PortableHash.sqlHash60("t")} % 512),
+       |    CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+       |      i -> ${PortableHash.sqlHash60("tk[i] || ' ' || tk[i+1]")}
+       |        % 512)
+       |    ELSE [] END)) AS b
+       |  FROM dsr_ttk),
+       |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM tfeats
+       |       GROUP BY b),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tfeats),
        |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM feats
        |       GROUP BY b),
        |rt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM feats),
@@ -3093,6 +3180,52 @@ object SparkEntry {
        |  SELECT doc_id, round(sum(d.diff), 6) AS log_weight
        |  FROM feats JOIN d ON feats.b = d.b
        |  GROUP BY doc_id)""".stripMargin
+
+  /** The span-removal CTE body (no leading WITH): `srcRel` supplies
+    * (doc_id, text); the q232 coverage chain carrying the token itself,
+    * uncovered tokens reassembled position-ordered. Ends with
+    * `cleaned(doc_id, n_tokens, kept_tokens, clean_text)`.
+    */
+  private def spanCleanBodySql(srcRel: String): String =
+    s"""sr_src AS ($srcRel),
+       |sr_tk AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM sr_src),
+       |sp AS (
+       |  SELECT doc_id, g AS pos,
+       |    CAST('0x' || substr(md5(array_to_string(tk[g+1:g+4], ' ')),
+       |      1, 15) AS BIGINT) AS hv
+       |  FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk)-4)) AS g
+       |        FROM sr_tk WHERE len(tk) >= 4)),
+       |dup AS (SELECT hv FROM sp GROUP BY hv HAVING count(*) > 1),
+       |st AS (SELECT doc_id, pos, 1 AS dup FROM sp JOIN dup USING (hv)),
+       |posn AS (
+       |  SELECT q.doc_id, q.n_tokens, q.pos, q.tk[q.pos+1] AS t,
+       |    COALESCE(s.dup, 0) AS dup
+       |  FROM (SELECT doc_id, tk, len(tk) AS n_tokens,
+       |          unnest(generate_series(0, len(tk)-1)) AS pos
+       |        FROM sr_tk) q
+       |  LEFT JOIN st s ON s.doc_id = q.doc_id AND s.pos = q.pos),
+       |cov AS (
+       |  SELECT doc_id, n_tokens, pos, t,
+       |    CASE WHEN max(dup) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) = 1
+       |      THEN 1 ELSE 0 END AS covered
+       |  FROM posn),
+       |cleaned AS (
+       |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    CAST(sum(1 - covered) AS BIGINT) AS kept_tokens,
+       |    COALESCE(string_agg(CASE WHEN covered = 0 THEN t END, ' '
+       |      ORDER BY pos), '') AS clean_text
+       |  FROM cov GROUP BY doc_id, n_tokens)""".stripMargin
+
+  /** q236/q237's instantiation: raw = all documents, target = the
+    * doc_id%25 slice.
+    */
+  private def dsirChainSql: String =
+    "WITH " + dsirChainBodySql(
+      "SELECT doc_id, text FROM documents",
+      "SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0")
 
   private def dsirWeightsSql: String =
     s"""$dsirChainSql
@@ -7949,6 +8082,47 @@ object SparkEntry {
          |FROM best b JOIN documents d ON b.doc_id = d.doc_id
          |WHERE b.rk = 1""".stripMargin,
 
+    // mirrors q240: the three parameterized chains composed exactly as
+    // the params stages run them — span cleaning over documents, DSIR
+    // over the cleaned text against the raw %25 target, Gumbel-top-100,
+    // NB seeded on the raw %5 slice scoring the selected clean text
+    "q240_curation_pipeline" ->
+      s"""WITH ${spanCleanBodySql("SELECT doc_id, text FROM documents")},
+         |${dsirChainBodySql(
+        "SELECT doc_id, clean_text AS text FROM cleaned",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0")},
+         |keyed AS (
+         |  SELECT doc_id, log_weight,
+         |    round(log_weight - ln(-ln(
+         |      (CAST(${PortableHash.sqlHash60(
+        "CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBLE) + 0.5)
+         |        / 1000000.0)), 6) AS sample_key
+         |  FROM w),
+         |sel AS (
+         |  SELECT doc_id, log_weight, CAST(rank AS INTEGER) AS rank
+         |  FROM (SELECT *, row_number() OVER (ORDER BY sample_key DESC,
+         |          doc_id) AS rank FROM keyed)
+         |  WHERE rank <= 100),
+         |${nbChainBodySql(
+        "SELECT lang AS label, text FROM documents WHERE doc_id % 5 = 0",
+        "SELECT s.doc_id, c.clean_text AS text FROM sel s " +
+          "JOIN cleaned c ON c.doc_id = s.doc_id")}
+         |SELECT s.doc_id, s.log_weight, s.rank,
+         |  b.predicted, b.score
+         |FROM sel s JOIN best b ON b.doc_id = s.doc_id AND b.rk = 1""".stripMargin,
+
+    // mirrors q239: q21's candidate chain, then exact Levenshtein on
+    // the pair texts (integer distance — no rounding anywhere)
+    "q239_editdist_dedup" ->
+      s"""WITH ${minhashChainSql("documents")}
+         |SELECT c.id_a, c.id_b,
+         |  CAST(levenshtein(da.text, db.text) AS INTEGER)
+         |    AS edit_distance
+         |FROM cand c
+         |JOIN documents da ON da.doc_id = c.id_a
+         |JOIN documents db ON db.doc_id = c.id_b
+         |WHERE levenshtein(da.text, db.text) <= 30""".stripMargin,
+
     // mirrors q238: identical sign-LSH signatures (4 tables x 8 bits
     // over the md5-derived hyperplanes), benchmark = vec_id%25,
     // candidates from bucket equality, sequential-order cosine, matched
@@ -8041,35 +8215,9 @@ object SparkEntry {
     // uncovered tokens reassembled position-ordered (string_agg skips
     // the CASE NULLs; fully-covered docs coalesce to '')
     "q233_span_removal" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
-        |  FROM documents),
-        |sp AS (
-        |  SELECT doc_id, g AS pos,
-        |    CAST('0x' || substr(md5(array_to_string(tk[g+1:g+4], ' ')),
-        |      1, 15) AS BIGINT) AS hv
-        |  FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk)-4)) AS g
-        |        FROM tk WHERE len(tk) >= 4)),
-        |dup AS (SELECT hv FROM sp GROUP BY hv HAVING count(*) > 1),
-        |st AS (SELECT doc_id, pos, 1 AS dup FROM sp JOIN dup USING (hv)),
-        |posn AS (
-        |  SELECT q.doc_id, q.n_tokens, q.pos, q.tk[q.pos+1] AS t,
-        |    COALESCE(s.dup, 0) AS dup
-        |  FROM (SELECT doc_id, tk, len(tk) AS n_tokens,
-        |          unnest(generate_series(0, len(tk)-1)) AS pos
-        |        FROM tk) q
-        |  LEFT JOIN st s ON s.doc_id = q.doc_id AND s.pos = q.pos),
-        |cov AS (
-        |  SELECT doc_id, n_tokens, pos, t,
-        |    CASE WHEN max(dup) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) = 1
-        |      THEN 1 ELSE 0 END AS covered
-        |  FROM posn)
-        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  CAST(sum(1 - covered) AS BIGINT) AS kept_tokens,
-        |  COALESCE(string_agg(CASE WHEN covered = 0 THEN t END, ' '
-        |    ORDER BY pos), '') AS clean_text
-        |FROM cov GROUP BY doc_id, n_tokens""".stripMargin,
+      s"""WITH ${spanCleanBodySql("SELECT doc_id, text FROM documents")}
+         |SELECT doc_id, n_tokens, kept_tokens, clean_text
+         |FROM cleaned""".stripMargin,
 
     // q205 = q195's oracle: the maxIters=1 training loop returns exactly
     // one step from the hash-sampled init (the driver rebuild is an

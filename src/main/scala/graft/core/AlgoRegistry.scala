@@ -1162,6 +1162,18 @@ object AlgoRegistry {
         spark.read.parquet(config.getString("target_corpus_dir")),
         config.getString("id_column"), config.getString("text_column"),
         config.getInt("buckets"), config.getInt("k")))
+    // fuzzy dedup, short-text regime: minhash candidates verified by
+    // exact Levenshtein distance
+    case "EditDistancePairs" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val id = config.getString("id_column")
+        val text = config.getString("text_column")
+        graft.operators.Dedup.editDistanceVerify(
+          graft.operators.Dedup.minhashCandidates(df, id, text),
+          df, id, text, config.getInt("max_distance"))
+      })
     // embedding-space decontamination: drop rows whose vector is within
     // cosine threshold of any benchmark vector (sign-LSH candidates)
     case "SemanticDecontaminate" => new TransformAlgorithm(spark, fsOps,

@@ -1249,6 +1249,31 @@ object Dedup {
           col("n_tokens").cast("double"), 6).as("dup_fraction"))
   }
 
+  /** Edit-distance verification of candidate pairs — the fuzzy-dedup
+    * verifier for SHORT texts (titles, questions, log lines) where
+    * Jaccard over shingles is too coarse: exact Levenshtein distance on
+    * the candidate sliver, keeping pairs at `maxDist` or below. Output:
+    * (id_a, id_b, edit_distance).
+    *
+    * Scale notes: Levenshtein is O(len_a x len_b) PER PAIR — safe on the
+    * LSH/minhash candidate sliver this is meant for (pairs bring their
+    * own texts via two joins), ruinous on a cross product; feed it
+    * [[minhashCandidates]] / [[simhashCandidates]] output, never raw
+    * pairs of a whole corpus. The distance is exact integer arithmetic —
+    * identical in every engine, no rounding needed.
+    */
+  def editDistanceVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative: $maxDist")
+    val ta = docs.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val tb = docs.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(ta, "id_a").join(tb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb")).as("edit_distance"))
+      .filter(col("edit_distance") <= maxDist)
+  }
+
   /** The transformation face of [[repeatedSpans]]: REMOVE every token
     * lying inside a duplicated width-token span and reassemble the
     * document — Lee et al.'s substring-level dedup applied, not just

@@ -128,10 +128,16 @@ object Dsir {
   }
 
   /** The full DSIR selection: weight every raw doc against the target,
-    * keep the Gumbel-top-k.
+    * keep the Gumbel-top-k — WITH the document columns carried through
+    * (the selection feeds downstream pipeline stages, not just a
+    * scoreboard). The top-k frame is k rows, so it broadcasts to the
+    * re-join; the corpus pays one more map-side semi-pass, never a
+    * shuffle.
     */
   def select(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int, k: Int): DataFrame =
-    resampleTopK(importanceWeights(raw, target, idCol, textCol, buckets),
-      idCol, k)
+      textCol: String, buckets: Int, k: Int): DataFrame = {
+    val top = resampleTopK(
+      importanceWeights(raw, target, idCol, textCol, buckets), idCol, k)
+    raw.join(broadcast(top), Seq(idCol))
+  }
 }

@@ -121,6 +121,35 @@ class RepeatedSpansSpec extends SparkSpec {
   }
 }
 
+class EditDistanceVerifySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    (3L, "the quick brown fox jumps over the lazy cat again and again"),
+    (4L, "completely different text about spark engines and shuffles here"))
+    .toDF("doc_id", "text")
+
+  test("editDistanceVerify computes exact Levenshtein on candidates only") {
+    val out = Dedup.editDistanceVerify(
+        Dedup.minhashCandidates(docs, "doc_id", "text"),
+        docs, "doc_id", "text", maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    out((1L, 2L)) shouldBe 0 // exact duplicate
+    out((1L, 3L)) shouldBe 3 // dog -> cat: 3 substitutions
+    out.keySet should not contain ((1L, 4L))
+  }
+
+  test("maxDist filters strictly above the threshold") {
+    val out = Dedup.editDistanceVerify(
+        Dedup.minhashCandidates(docs, "doc_id", "text"),
+        docs, "doc_id", "text", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out shouldBe Set((1L, 2L)) // the distance-3 pair drops
+  }
+}
+
 class StreamClassifySpec extends SparkSpec {
   import spark.implicits._
 
