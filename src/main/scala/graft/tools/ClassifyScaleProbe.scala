@@ -54,6 +54,9 @@ object ClassifyScaleProbe {
     val model = Classify.prepareModel(Classify.naiveBayesModel(
       docs1.filter(col("doc_id") % 5 === 0), "text", "lang", 30))
 
+    // DSIR: the fixed target is the 1x %25 slice; raw side scales
+    val target = docs1.filter(col("doc_id") % 25 === 0)
+
     def nb(d: DataFrame): Long =
       Classify.scoreWithModel(d, model, "doc_id", "text").count()
     def spans(d: DataFrame): Long =
@@ -61,21 +64,27 @@ object ClassifyScaleProbe {
     def removal(d: DataFrame): Long =
       Dedup.removeRepeatedSpans(d, "doc_id", "text", 4)
         .agg(sum(col("kept_tokens"))).head.getLong(0)
+    def dsir(d: DataFrame): Long =
+      graft.operators.Dsir.importanceWeights(d, target, "doc_id", "text",
+        512).count()
 
     // warmup at 1x so the timed 1x run is not paying codegen/JIT costs
     docs1.count(); docsN.count()
-    nb(docs1); spans(docs1); removal(docs1)
+    nb(docs1); spans(docs1); removal(docs1); dsir(docs1)
 
     val (n1, tn1) = time(nb(docs1)); val (nN, tnN) = time(nb(docsN))
     val (s1, ts1) = time(spans(docs1)); val (sN, tsN) = time(spans(docsN))
     val (r1, tr1) = time(removal(docs1)); val (rN, trN) = time(removal(docsN))
+    val (d1, td1) = time(dsir(docs1)); val (dN, tdN) = time(dsir(docsN))
     require(nN == factor * n1, s"nb rows out of band: $n1 -> $nN")
     require(sN == factor * s1, s"span rows out of band: $s1 -> $sN")
+    require(dN == factor * d1, s"dsir rows out of band: $d1 -> $dN")
 
     println(f"""{"probe":"classify_scale","factor":$factor,""" +
       f""""nb_score":{"t1":$tn1%.2f,"tN":$tnN%.2f,"ratio":${tnN / tn1}%.1f,"rows1":$n1,"rowsN":$nN},""" +
       f""""repeated_spans":{"t1":$ts1%.2f,"tN":$tsN%.2f,"ratio":${tsN / ts1}%.1f,"rows1":$s1,"rowsN":$sN},""" +
-      f""""span_removal":{"t1":$tr1%.2f,"tN":$trN%.2f,"ratio":${trN / tr1}%.1f,"kept1":$r1,"keptN":$rN}}""")
+      f""""span_removal":{"t1":$tr1%.2f,"tN":$trN%.2f,"ratio":${trN / tr1}%.1f,"kept1":$r1,"keptN":$rN},""" +
+      f""""dsir_weights":{"t1":$td1%.2f,"tN":$tdN%.2f,"ratio":${tdN / td1}%.1f,"rows1":$d1,"rowsN":$dN}}""")
     spark.stop()
   }
 }
