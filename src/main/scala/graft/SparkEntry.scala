@@ -2910,6 +2910,14 @@ object SparkEntry {
       s.read.parquet(p("scored"))
     }),
 
+    // curation: the GOPHER quality ruleset (Rae et al. 2021 §A1.1) —
+    // per-doc measured signals + one boolean per rule + the pass
+    // conjunction, pure Columns, zero shuffle; the 50-word floor and
+    // the stopword rule both split this corpus
+    "q241_gopher_rules" -> ((s, dir) => {
+      TextAnalysis.gopherFlags(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // the round-9 curation chain through the PARAMS surface only (the
     // q76 convention, over the NEW algorithm families): span-level
     // dedup cleans the corpus, DSIR selects the 100 docs most like the
@@ -8081,6 +8089,41 @@ object SparkEntry {
          |  b.predicted = d.lang AS correct, b.score
          |FROM best b JOIN documents d ON b.doc_id = d.doc_id
          |WHERE b.rk = 1""".stripMargin,
+
+    // mirrors q241: identical signal arithmetic (integer sums, one
+    // division each), flags on the UNROUNDED values, ratios rounded 6
+    "q241_gopher_rules" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+        |      / CAST(len(tk) AS DOUBLE) AS mean_len,
+        |    CAST((length(text) - length(replace(text, '#', '')))
+        |      + (length(text) - length(replace(text, '...', ''))) / 3
+        |      AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS sym,
+        |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+        |      AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS alpha,
+        |    CAST(len(list_filter(tk, t -> t IN ('the', 'be', 'to', 'of',
+        |      'and', 'that', 'have', 'with'))) AS BIGINT) AS n_stop
+        |  FROM tk)
+        |SELECT doc_id, n_words,
+        |  round(mean_len, 6) AS mean_word_len,
+        |  round(sym, 6) AS symbol_ratio,
+        |  round(alpha, 6) AS alpha_word_ratio,
+        |  n_stop AS n_stopwords,
+        |  n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+        |  mean_len >= 3.0 AND mean_len <= 10.0 AS mean_len_ok,
+        |  sym <= 0.1 AS symbol_ok,
+        |  alpha >= 0.8 AS alpha_ok,
+        |  n_stop >= 2 AS stopword_ok,
+        |  (n_words >= 50 AND n_words <= 100000)
+        |    AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        |    AND sym <= 0.1 AND alpha >= 0.8 AND n_stop >= 2 AS pass
+        |FROM m""".stripMargin,
 
     // mirrors q240: the three parameterized chains composed exactly as
     // the params stages run them — span cleaning over documents, DSIR

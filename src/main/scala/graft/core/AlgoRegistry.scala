@@ -1162,6 +1162,31 @@ object AlgoRegistry {
         spark.read.parquet(config.getString("target_corpus_dir")),
         config.getString("id_column"), config.getString("text_column"),
         config.getInt("buckets"), config.getInt("k")))
+    // the Gopher quality ruleset (Rae et al. 2021): report + filter
+    case "GopherRules" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.gopherFlags(df,
+        config.getString("id_column"), config.getString("text_column"),
+        config.getIntOpt("min_words").getOrElse(50),
+        config.getIntOpt("max_words").getOrElse(100000),
+        config.getDouble("min_mean_len", 3.0),
+        config.getDouble("max_mean_len", 10.0),
+        config.getDouble("max_symbol_ratio", 0.1),
+        config.getDouble("min_alpha_ratio", 0.8),
+        config.getIntOpt("min_stopwords").getOrElse(2)))
+    case "GopherFilter" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.gopherFilter(df,
+        config.getString("id_column"), config.getString("text_column"),
+        config.getIntOpt("min_words").getOrElse(50),
+        config.getIntOpt("max_words").getOrElse(100000),
+        config.getDouble("min_mean_len", 3.0),
+        config.getDouble("max_mean_len", 10.0),
+        config.getDouble("max_symbol_ratio", 0.1),
+        config.getDouble("min_alpha_ratio", 0.8),
+        config.getIntOpt("min_stopwords").getOrElse(2)))
     // fuzzy dedup, short-text regime: minhash candidates verified by
     // exact Levenshtein distance
     case "EditDistancePairs" => new TransformAlgorithm(spark, fsOps,

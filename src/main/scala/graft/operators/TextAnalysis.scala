@@ -877,4 +877,76 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("pair_count"),
         round(ratio, 6).as("pmi_ratio"))
   }
+
+  /** Gopher's stopword-rule word list (Rae et al. 2021, arXiv:
+    * 2112.11446 §A1.1): a document should contain at least
+    * `minStopwords` occurrences of these.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-rule report (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1) — the named heuristic ruleset of large-corpus curation,
+    * re-expressed as pure Columns (zero shuffle, one map pass): per
+    * document the measured signals and one boolean per rule, plus the
+    * conjunction `pass`:
+    *
+    *  - word count within [minWords, maxWords];
+    *  - mean word length within [minMeanLen, maxMeanLen];
+    *  - symbol-to-word ratio (`#` and `...`) at most maxSymbolRatio;
+    *  - at least minAlphaRatio of words containing a letter;
+    *  - at least minStopwords occurrences of [[gopherStopwords]].
+    *
+    * Ratios round to 6 decimals; the FLAGS compare the unrounded
+    * values (a rule is a semantics boundary, not a display artifact).
+    */
+  def gopherFlags(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+      minStopwords: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast("double")
+    val meanLen = aggregate(transform(toks, t => length(t)),
+      lit(0L), (acc, x) => acc + x).cast("double") / n
+    val hashes = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))
+    val ellipses = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (hashes + ellipses).cast("double") / n
+    val alphaRatio =
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / n
+    val nStop = size(filter(toks,
+      t => t.isin(gopherStopwords.map(lit(_)): _*)))
+    df.select(col(idCol),
+        size(toks).cast("long").as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(symbolRatio, 6).as("symbol_ratio"),
+        round(alphaRatio, 6).as("alpha_word_ratio"),
+        nStop.cast("long").as("n_stopwords"),
+        (size(toks) >= minWords && size(toks) <= maxWords)
+          .as("word_count_ok"),
+        (meanLen >= minMeanLen && meanLen <= maxMeanLen)
+          .as("mean_len_ok"),
+        (symbolRatio <= maxSymbolRatio).as("symbol_ok"),
+        (alphaRatio >= minAlphaRatio).as("alpha_ok"),
+        (nStop >= minStopwords).as("stopword_ok"))
+      .withColumn("pass",
+        col("word_count_ok") && col("mean_len_ok") && col("symbol_ok") &&
+          col("alpha_ok") && col("stopword_ok"))
+  }
+
+  /** The filtering face of [[gopherFlags]]: documents passing every
+    * rule, original columns intact.
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+      minStopwords: Int = 2): DataFrame =
+    df.join(
+      gopherFlags(df, idCol, textCol, minWords, maxWords, minMeanLen,
+        maxMeanLen, maxSymbolRatio, minAlphaRatio, minStopwords)
+        .filter(col("pass")).select(col(idCol)),
+      Seq(idCol), "left_semi")
 }

@@ -121,6 +121,41 @@ class RepeatedSpansSpec extends SparkSpec {
   }
 }
 
+class GopherRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gopherFlags: each rule trips on its own pathological document") {
+    val docs = Seq(
+      (1L, ("the data " * 30).trim + " of and that"), // clean: passes
+      (2L, "too short but the text of and that here"), // word-count fail
+      (3L, ("a b " * 40).trim + " the of and"), // mean word length < 3
+      (4L, ("ok#tag " * 30).trim + " the of and"), // symbol ratio 1/word
+      (5L, ("123 456 " * 30).trim + " the of and"), // mostly non-alpha
+      (6L, ("word list here item " * 15).trim)) // zero gopher stopwords
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.gopherFlags(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    m(1L).getAs[Boolean]("pass") shouldBe true
+    m(2L).getAs[Boolean]("word_count_ok") shouldBe false
+    m(3L).getAs[Boolean]("mean_len_ok") shouldBe false
+    m(4L).getAs[Boolean]("symbol_ok") shouldBe false
+    m(5L).getAs[Boolean]("alpha_ok") shouldBe false
+    m(6L).getAs[Boolean]("stopword_ok") shouldBe false
+    Seq(2L, 3L, 4L, 5L, 6L).foreach { id =>
+      m(id).getAs[Boolean]("pass") shouldBe false }
+  }
+
+  test("gopherFilter keeps exactly the passing docs with original columns") {
+    val docs = Seq(
+      (1L, ("the data " * 30).trim + " of and that", "web"),
+      (2L, "short the of and", "web"))
+      .toDF("doc_id", "text", "source")
+    val kept = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+    kept.columns.toSeq shouldBe Seq("doc_id", "text", "source")
+    kept.select($"doc_id").as[Long].collect() shouldBe Array(1L)
+  }
+}
+
 class EditDistanceVerifySpec extends SparkSpec {
   import spark.implicits._
 
