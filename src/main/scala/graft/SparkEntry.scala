@@ -2910,6 +2910,20 @@ object SparkEntry {
       s.read.parquet(p("scored"))
     }),
 
+    // curation: the incremental face of q232 — span-count artifacts
+    // built over the landed corpus (doc_id%5 != 0), the delivery batch
+    // checked against batch + landed occurrences; landed text is never
+    // re-read. Oracle identity: the whole-corpus q232 chain restricted
+    // to the batch docs
+    "q242_span_increment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val arts = Dedup.spanArtifacts(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", width = 4)
+      Dedup.repeatedSpansIncrement(
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+        width = 4, arts)
+    }),
+
     // curation: the GOPHER quality ruleset (Rae et al. 2021 §A1.1) —
     // per-doc measured signals + one boolean per rule + the pass
     // conjunction, pure Columns, zero shuffle; the 50-word floor and
@@ -3188,6 +3202,41 @@ object SparkEntry {
        |  SELECT doc_id, round(sum(d.diff), 6) AS log_weight
        |  FROM feats JOIN d ON feats.b = d.b
        |  GROUP BY doc_id)""".stripMargin
+
+  /** The whole-corpus repeated-span report (q232's chain) with a final
+    * doc predicate — q232 passes TRUE, q242 restricts to the batch.
+    */
+  private def spanReportSql(docPred: String): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |sp AS (
+       |  SELECT doc_id, g AS pos,
+       |    CAST('0x' || substr(md5(array_to_string(tk[g+1:g+4], ' ')),
+       |      1, 15) AS BIGINT) AS hv
+       |  FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk)-4)) AS g
+       |        FROM tk WHERE len(tk) >= 4)),
+       |dup AS (SELECT hv FROM sp GROUP BY hv HAVING count(*) > 1),
+       |st AS (SELECT doc_id, pos, 1 AS dup FROM sp JOIN dup USING (hv)),
+       |posn AS (
+       |  SELECT p.doc_id, p.n_tokens, p.pos, COALESCE(s.dup, 0) AS dup
+       |  FROM (SELECT doc_id, len(tk) AS n_tokens,
+       |          unnest(generate_series(0, len(tk)-1)) AS pos
+       |        FROM tk) p
+       |  LEFT JOIN st s ON s.doc_id = p.doc_id AND s.pos = p.pos),
+       |cov AS (
+       |  SELECT doc_id, n_tokens, dup,
+       |    CASE WHEN max(dup) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) = 1
+       |      THEN 1 ELSE 0 END AS covered
+       |  FROM posn)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(greatest(n_tokens - 3, 0) AS BIGINT) AS n_spans,
+       |  CAST(sum(dup) AS BIGINT) AS n_dup_spans,
+       |  CAST(sum(covered) AS BIGINT) AS covered_tokens,
+       |  round(CAST(sum(covered) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+       |    AS dup_fraction
+       |FROM cov WHERE $docPred GROUP BY doc_id, n_tokens""".stripMargin
 
   /** The span-removal CTE body (no leading WITH): `srcRel` supplies
     * (doc_id, text); the q232 coverage chain carrying the token itself,
@@ -8222,37 +8271,12 @@ object SparkEntry {
     // mirrors q232: identical 4-token span md5-60 hashes, >1-occurrence
     // dup set, coverage = sliding max of dup-start flags over the
     // preceding width-1 positions
-    "q232_repeated_spans" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
-        |  FROM documents),
-        |sp AS (
-        |  SELECT doc_id, g AS pos,
-        |    CAST('0x' || substr(md5(array_to_string(tk[g+1:g+4], ' ')),
-        |      1, 15) AS BIGINT) AS hv
-        |  FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk)-4)) AS g
-        |        FROM tk WHERE len(tk) >= 4)),
-        |dup AS (SELECT hv FROM sp GROUP BY hv HAVING count(*) > 1),
-        |st AS (SELECT doc_id, pos, 1 AS dup FROM sp JOIN dup USING (hv)),
-        |posn AS (
-        |  SELECT p.doc_id, p.n_tokens, p.pos, COALESCE(s.dup, 0) AS dup
-        |  FROM (SELECT doc_id, len(tk) AS n_tokens,
-        |          unnest(generate_series(0, len(tk)-1)) AS pos
-        |        FROM tk) p
-        |  LEFT JOIN st s ON s.doc_id = p.doc_id AND s.pos = p.pos),
-        |cov AS (
-        |  SELECT doc_id, n_tokens, dup,
-        |    CASE WHEN max(dup) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) = 1
-        |      THEN 1 ELSE 0 END AS covered
-        |  FROM posn)
-        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  CAST(greatest(n_tokens - 3, 0) AS BIGINT) AS n_spans,
-        |  CAST(sum(dup) AS BIGINT) AS n_dup_spans,
-        |  CAST(sum(covered) AS BIGINT) AS covered_tokens,
-        |  round(CAST(sum(covered) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
-        |    AS dup_fraction
-        |FROM cov GROUP BY doc_id, n_tokens""".stripMargin,
+    "q232_repeated_spans" -> spanReportSql("TRUE"),
+
+    // mirrors q242: the q232 whole-corpus chain restricted to the batch
+    // docs — the incremental identity (batch + artifact counts ==
+    // global counts because batch ∪ landed IS the corpus)
+    "q242_span_increment" -> spanReportSql("doc_id % 5 = 0"),
 
     // mirrors q233: the q232 coverage chain carrying the token itself,
     // uncovered tokens reassembled position-ordered (string_agg skips

@@ -1118,6 +1118,21 @@ object AlgoRegistry {
       df => graft.operators.Dedup.repeatedSpans(df,
         config.getString("id_column"), config.getString("text_column"),
         config.getInt("width")))
+    // span-count artifacts over the landed corpus (the delta-load face)
+    case "SpanArtifacts" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Dedup.spanArtifacts(df,
+        config.getString("id_column"), config.getString("text_column"),
+        config.getInt("width")))
+    // batch span report against saved artifacts: landed text never read
+    case "SpanIncrement" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Dedup.repeatedSpansIncrement(df,
+        config.getString("id_column"), config.getString("text_column"),
+        config.getInt("width"),
+        spark.read.parquet(config.getString("artifacts_dir"))))
     // the transformation face: remove every token inside a duplicated
     // span and reassemble the cleaned text
     case "RemoveRepeatedSpans" => new TransformAlgorithm(spark, fsOps,

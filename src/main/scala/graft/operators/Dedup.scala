@@ -1193,28 +1193,45 @@ object Dedup {
     * span STARTS here, null otherwise) and `__covered` (1 when the
     * position lies inside any duplicated span).
     */
-  private def spanCoverage(docs: DataFrame, idCol: String, textCol: String,
+  /** One row per span start: (idCol, __pos, __hv) — the hash-of-
+    * width-gram stream both span faces and the artifact builder share.
+    * The empty array guard matters: sequence(0, n-width) would COUNT
+    * DOWN for docs shorter than width (Spark infers step -1 when
+    * start > stop).
+    */
+  private def spanStarts(docs: DataFrame, idCol: String, textCol: String,
       width: Int): DataFrame = {
     require(width > 0, s"width must be positive: $width")
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
-
-    // one row per span start: (id, pos, hash-of-width-gram); the empty
-    // array guard matters — sequence(0, n-width) would COUNT DOWN for
-    // docs shorter than width (Spark infers step -1 when start > stop)
     val startIdxs = when(size(col("__tk")) >= width,
       sequence(lit(0), size(col("__tk")) - width))
       .otherwise(array().cast("array<int>"))
-    val spans = toks
-      .select(col(idCol), posexplode(transform(startIdxs,
-        i => conv(substring(md5(concat_ws(" ",
-          slice(col("__tk"), i + 1, lit(width)))), 1, 15), 16, 10)
-          .cast("long"))).as(Seq("__pos", "__hv")))
+    toks.select(col(idCol), posexplode(transform(startIdxs,
+      i => conv(substring(md5(concat_ws(" ",
+        slice(col("__tk"), i + 1, lit(width)))), 1, 15), 16, 10)
+        .cast("long"))).as(Seq("__pos", "__hv")))
+  }
 
-    val dupHashes = spans.groupBy(col("__hv"))
-      .agg(count(lit(1)).as("__occ"))
-      .filter(col("__occ") > 1)
-      .select(col("__hv"))
+  /** Span-count artifacts for the INCREMENTAL repeated-span regime:
+    * (span_hash, occurrences) over the landed corpus. Rebuilding span
+    * counts over 100 TB per delivery is the anti-pattern; this artifact
+    * is occurrence-collapsed (one row per distinct span hash, map-side
+    * combinable) and composes with a batch by addition —
+    * [[repeatedSpansIncrement]].
+    */
+  def spanArtifacts(docs: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame =
+    spanStarts(docs, idCol, textCol, width)
+      .groupBy(col("__hv").as("span_hash"))
+      .agg(count(lit(1)).as("occurrences"))
 
+  /** Coverage frame from an explicit dup-hash set (the shared tail of
+    * the whole-corpus and incremental faces).
+    */
+  private def coverageAgainst(docs: DataFrame, idCol: String,
+      textCol: String, width: Int, spans: DataFrame,
+      dupHashes: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
     val starts = spans
       .join(dupHashes, Seq("__hv"), "left_semi")
       .select(col(idCol), col("__pos"))
@@ -1234,10 +1251,23 @@ object Dedup {
           .otherwise(0L))
   }
 
-  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+  /** Whole-corpus coverage: dup set = spans occurring more than once
+    * within `docs` itself.
+    */
+  private def spanCoverage(docs: DataFrame, idCol: String, textCol: String,
       width: Int): DataFrame = {
-    spanCoverage(docs, idCol, textCol, width)
-      .groupBy(col(idCol), col("n_tokens"))
+    val spans = spanStarts(docs, idCol, textCol, width)
+    val dupHashes = spans.groupBy(col("__hv"))
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") > 1)
+      .select(col("__hv"))
+    coverageAgainst(docs, idCol, textCol, width, spans, dupHashes)
+  }
+
+  /** The shared report tail over a coverage frame. */
+  private def spanReport(cov: DataFrame, idCol: String,
+      width: Int): DataFrame =
+    cov.groupBy(col(idCol), col("n_tokens"))
       .agg(
         greatest(max(col("n_tokens")) - width + 1, lit(0)).cast("long")
           .as("n_spans"),
@@ -1247,6 +1277,33 @@ object Dedup {
         col("n_spans"), col("n_dup_spans"), col("covered_tokens"),
         round(col("covered_tokens").cast("double") /
           col("n_tokens").cast("double"), 6).as("dup_fraction"))
+
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame =
+    spanReport(spanCoverage(docs, idCol, textCol, width), idCol, width)
+
+  /** The INCREMENTAL face of [[repeatedSpans]]: the span report for a
+    * delivery BATCH where a span is duplicated when its occurrences
+    * across batch + landed corpus exceed one — landed occurrence counts
+    * come from the [[spanArtifacts]] table, so the landed TEXT is never
+    * re-read and the batch pays batch-sized work plus one key-
+    * partitioned join against the artifact (exactly the q72/IncProbe
+    * regime applied at span granularity). The report equals
+    * [[repeatedSpans]] over batch ∪ landed restricted to the batch docs
+    * — the identity the gate oracles.
+    */
+  def repeatedSpansIncrement(batch: DataFrame, idCol: String,
+      textCol: String, width: Int, artifacts: DataFrame): DataFrame = {
+    val spans = spanStarts(batch, idCol, textCol, width)
+    val dupHashes = spans.groupBy(col("__hv"))
+      .agg(count(lit(1)).as("__bc"))
+      .join(artifacts.select(col("span_hash").as("__hv"),
+        col("occurrences")), Seq("__hv"), "left")
+      .filter(col("__bc") + coalesce(col("occurrences"), lit(0L)) > 1)
+      .select(col("__hv"))
+    spanReport(
+      coverageAgainst(batch, idCol, textCol, width, spans, dupHashes),
+      idCol, width)
   }
 
   /** Edit-distance verification of candidate pairs — the fuzzy-dedup

@@ -108,6 +108,22 @@ class RepeatedSpansSpec extends SparkSpec {
     m(7L) shouldBe ((4L, 2L, 1L, 3L, 0.75))
   }
 
+  test("repeatedSpansIncrement equals the whole-corpus report on the batch") {
+    // landed = odd ids, batch = even ids; the increment must reproduce
+    // the global report rows for the batch docs exactly, at ANY split
+    val landed = docs.filter($"doc_id" % 2 === 1)
+    val batch = docs.filter($"doc_id" % 2 === 0)
+    val arts = Dedup.spanArtifacts(landed, "doc_id", "text", 3)
+    val inc = Dedup.repeatedSpansIncrement(batch, "doc_id", "text", 3, arts)
+    assertSameRows(inc,
+      Dedup.repeatedSpans(docs, "doc_id", "text", 3)
+        .filter($"doc_id" % 2 === 0))
+    // a batch-only span never seen in the landed corpus stays clean:
+    // doc 2's spans all exist in landed doc 1, so doc 2 is fully dup
+    inc.filter($"doc_id" === 2L).select($"dup_fraction")
+      .head.getDouble(0) shouldBe 1.0
+  }
+
   test("removeRepeatedSpans reassembles exactly the uncovered tokens in order") {
     val m = Dedup.removeRepeatedSpans(docs, "doc_id", "text", width = 3)
       .collect().map(r => r.getLong(0) ->
