@@ -2910,6 +2910,51 @@ object SparkEntry {
       s.read.parquet(p("scored"))
     }),
 
+    // DSIR via SAVED artifacts through the params surface: DsirArtifacts
+    // writes the (bucket, diff) model table once, DsirScore replays it —
+    // per-release amortization, q217's convention for the DSIR family.
+    // The parquet round-trip is value-identity on doubles, so q236's
+    // oracle gates it
+    "q243_dsir_artifacts" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val docs = t(s, dir, "documents")
+      val base = tmpDir("graft_q243")
+      def p(sub: String) = s"$base/$sub"
+      docs.write.parquet(p("docs"))
+      docs.filter(col("doc_id") % 25 === 0).write.parquet(p("target"))
+      def run(algo: String, json: String): Unit = {
+        val f = Paths.get(base, s"$algo.json")
+        JFiles.writeString(f, json)
+        graft.core.JobRunner.execute(s, algo, f.toString)
+      }
+      run("DsirArtifacts",
+        s"""{"source_dir": "${p("docs")}", "target_dir": "${p("model")}",
+           | "target_corpus_dir": "${p("target")}", "id_column": "doc_id",
+           | "text_column": "text", "buckets": 512}""".stripMargin)
+      run("DsirScore",
+        s"""{"source_dir": "${p("docs")}", "target_dir": "${p("weights")}",
+           | "model_dir": "${p("model")}", "id_column": "doc_id",
+           | "text_column": "text", "buckets": 512}""".stripMargin)
+      s.read.parquet(p("weights"))
+    }),
+
+    // streaming DSIR: the q236 weights computed per micro-batch against
+    // the fixed artifact (4 files, maxFilesPerTrigger=1 -> 4 real
+    // triggers); stateless, so per-batch outputs union to the batch
+    // result — q236's oracle gates the identity
+    "q244_stream_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val diff = Dsir.diffArtifacts(docs,
+        docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", 512)
+      val inDir = tmpDir("graft_q244_in")
+      docs.select(col("doc_id"), col("text"))
+        .repartition(4).write.mode("overwrite").parquet(inDir)
+      val outDir = tmpDir("graft_q244_out") + "/out"
+      EventStream.runDsirScoreOnce(s, s.read.parquet(inDir).schema, inDir,
+        diff, "doc_id", "text", 512, outDir, "q244_sink",
+        maxFilesPerTrigger = Some(1))
+    }),
+
     // curation: the incremental face of q232 — span-count artifacts
     // built over the landed corpus (doc_id%5 != 0), the delivery batch
     // checked against batch + landed occurrences; landed text is never
@@ -8239,6 +8284,14 @@ object SparkEntry {
     // (mod 512), add-one bucket models over target (doc_id%25) and raw,
     // per-doc log-ratio sums rounded to 6
     "q236_dsir_weights" -> dsirWeightsSql,
+
+    // q243 replays the identical diff table from its parquet artifact
+    // (value-identity round-trip) — q236's oracle again
+    "q243_dsir_artifacts" -> dsirWeightsSql,
+
+    // q244 streams the same scoring per micro-batch (stateless) —
+    // q236's oracle again
+    "q244_stream_dsir" -> dsirWeightsSql,
 
     // mirrors q237: q236's weights + the md5-derived Gumbel key,
     // top-200 by (key desc, doc_id)

@@ -1169,6 +1169,22 @@ object AlgoRegistry {
         spark.read.parquet(config.getString("target_corpus_dir")),
         config.getString("id_column"), config.getString("text_column"),
         config.getInt("buckets")))
+    // the DSIR model artifact: the (bucket, diff) log-ratio table
+    case "DsirArtifacts" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Dsir.diffArtifacts(df,
+        spark.read.parquet(config.getString("target_corpus_dir")),
+        config.getString("id_column"), config.getString("text_column"),
+        config.getInt("buckets")))
+    // scoring from a saved DSIR artifact (amortized regime)
+    case "DsirScore" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Dsir.scoreWithDiff(df,
+        spark.read.parquet(config.getString("model_dir")),
+        config.getString("id_column"), config.getString("text_column"),
+        config.getInt("buckets")))
     // the selection face: Gumbel-top-k resample of the weighted corpus
     case "DsirSelect" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

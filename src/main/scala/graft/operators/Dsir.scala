@@ -77,6 +77,38 @@ object Dsir {
     }.toDF("bucket", "logprob")
   }
 
+  /** The per-bucket log-ratio table ln p_target − ln p_raw as a
+    * buckets-sized frame: (bucket, diff) — the DSIR model ARTIFACT.
+    * Saved once per (target, raw-reference) pair, it amortizes across
+    * corpus shards and ingest micro-batches; scoring needs nothing
+    * else.
+    */
+  def diffArtifacts(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val (tc, tt) = countsMap(target, idCol, textCol, buckets)
+    val (rc, rt) = countsMap(raw, idCol, textCol, buckets)
+    (0L until buckets).map { b =>
+      val lt = math.log((tc.getOrElse(b, 0L) + 1).toDouble / (tt + buckets))
+      val lr = math.log((rc.getOrElse(b, 0L) + 1).toDouble / (rt + buckets))
+      (b, lt - lr)
+    }.toDF("bucket", "diff")
+  }
+
+  /** Score a corpus against an already-built (bucket, diff) table —
+    * the per-batch workhorse shared by [[importanceWeights]], the
+    * artifact-replay regime, and the streaming face. `buckets` must
+    * match the artifact's bucket space.
+    */
+  def scoreWithDiff(docs: DataFrame, diff: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame =
+    features(docs, idCol, textCol, buckets)
+      .join(broadcast(diff), col("__b") === col("bucket"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("diff")), 6).as("log_weight"))
+
   /** Per-document DSIR importance weight: sum over feature occurrences
     * of ln p_target(bucket) − ln p_raw(bucket), rounded to 6. The
     * per-bucket log-ratio table is a bounded literal (buckets rows)
@@ -85,23 +117,10 @@ object Dsir {
     * model).
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int): DataFrame = {
-    require(buckets > 0, s"buckets must be positive: $buckets")
-    val spark = raw.sparkSession
-    import spark.implicits._
-    val (tc, tt) = countsMap(target, idCol, textCol, buckets)
-    val (rc, rt) = countsMap(raw, idCol, textCol, buckets)
-    val diffRows = (0L until buckets).map { b =>
-      val lt = math.log((tc.getOrElse(b, 0L) + 1).toDouble / (tt + buckets))
-      val lr = math.log((rc.getOrElse(b, 0L) + 1).toDouble / (rt + buckets))
-      (b, lt - lr)
-    }
-    val diff = broadcast(diffRows.toDF("bucket", "diff"))
-    features(raw, idCol, textCol, buckets)
-      .join(diff, col("__b") === col("bucket"))
-      .groupBy(col(idCol))
-      .agg(round(sum(col("diff")), 6).as("log_weight"))
-  }
+      textCol: String, buckets: Int): DataFrame =
+    scoreWithDiff(raw,
+      diffArtifacts(raw, target, idCol, textCol, buckets),
+      idCol, textCol, buckets)
 
   /** Gumbel-top-k resampling of the weighted corpus: sample_key =
     * round(log_weight + g, 6) with g = −ln(−ln(u)) and u the md5-derived

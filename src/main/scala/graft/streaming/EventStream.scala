@@ -266,6 +266,40 @@ object EventStream {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming DSIR scoring — the streaming face of
+    * [[graft.operators.Dsir.importanceWeights]]: documents arriving on
+    * the ingest stream are importance-weighted per micro-batch against
+    * a FIXED (bucket, diff) artifact (typically read back from a
+    * [[graft.operators.Dsir.diffArtifacts]] table). Stateless: the
+    * weight of a document depends only on its own features and the
+    * bucket table, so per-batch outputs union to the single-shot batch
+    * result for any micro-batch boundaries (the oracle identity, same
+    * argument as [[runClassifyOnce]]). The artifact is buckets-sized
+    * and broadcast; no state store, no watermark.
+    */
+  def runDsirScoreOnce(spark: SparkSession, schema: StructType,
+      inputGlob: String, diff: DataFrame, idCol: String, textCol: String,
+      buckets: Int, outDir: String, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(m => reader.option("maxFilesPerTrigger", m))
+      .parquet(inputGlob)
+    val q: StreamingQuery = stream.writeStream
+      .queryName(s"${queryName}_${sinkSeq.incrementAndGet()}")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dsir
+          .scoreWithDiff(batch, diff, idCol, textCol, buckets)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming quality monitoring — the q112 rule set evaluated per
     * micro-batch via `foreachBatch`, each trigger appending its
     * `(check_name, violations, total, passed, batch_id)` report row set

@@ -51,6 +51,28 @@ class DsirSpec extends SparkSpec {
     sel.map(_.getLong(0)).toSet.intersect(Set(3L, 4L)).size should be <= 1
   }
 
+  test("diffArtifacts round-trips through parquet with identical weights") {
+    val dir = tmp("dsir_arts")
+    Dsir.diffArtifacts(raw, target, "doc_id", "text", 256)
+      .write.mode("overwrite").parquet(dir)
+    val replayed = Dsir.scoreWithDiff(raw, spark.read.parquet(dir),
+      "doc_id", "text", 256)
+    assertSameRows(replayed,
+      Dsir.importanceWeights(raw, target, "doc_id", "text", 256))
+  }
+
+  test("streaming DSIR equals the single-shot batch weights") {
+    val diff = Dsir.diffArtifacts(raw, target, "doc_id", "text", 256)
+    val inDir = tmp("dsir_in")
+    raw.repartition(3).write.mode("overwrite").parquet(inDir)
+    val outDir = tmp("dsir_out") + "/out"
+    val streamed = graft.streaming.EventStream.runDsirScoreOnce(spark,
+      spark.read.parquet(inDir).schema, inDir, diff, "doc_id", "text",
+      256, outDir, "dsir_spec", maxFilesPerTrigger = Some(1))
+    assertSameRows(streamed,
+      Dsir.importanceWeights(raw, target, "doc_id", "text", 256))
+  }
+
   test("featureBuckets preserves occurrences and bigram adjacency") {
     val f = raw.filter($"doc_id" === 1L)
       .select(Dsir.featureBuckets(Dedup.tokens($"text"), 1000000)
