@@ -2910,6 +2910,16 @@ object SparkEntry {
       s.read.parquet(p("scored"))
     }),
 
+    // curation: character-trigram language ID — the fasttext-langid
+    // feature regime as a tokenizer variant of the NB machinery
+    // (trigrams include spaces, so word boundaries carry signal);
+    // vocab 200 over the trigram space
+    "q245_charngram_langid" -> ((s, dir) => {
+      Classify.naiveBayesClassify(t(s, dir, "documents"), "doc_id",
+        "text", "lang", col("doc_id") % 5 === 0, vocabSize = 200,
+        tokenizer = Classify.charTrigrams)
+    }),
+
     // DSIR via SAVED artifacts through the params surface: DsirArtifacts
     // writes the (bucket, diff) model table once, DsirScore replays it —
     // per-release amortization, q217's convention for the DSIR family.
@@ -3138,16 +3148,25 @@ object SparkEntry {
     * with `best(doc_id, predicted, score, rk)` — rk=1 is the argmax
     * with label-asc tie-break.
     */
-  private def nbChainBodySql(seedRel: String, scoreRel: String): String =
+  /** DuckDB list expression mirroring [[Classify.charTrigrams]]. */
+  private val charTrigramsSql: String =
+    """CASE WHEN length(lower(text)) >= 3
+      |  THEN list_transform(range(1, length(lower(text)) - 1),
+      |         i -> substring(lower(text), i, 3))
+      |  ELSE [] END""".stripMargin
+
+  private def nbChainBodySql(seedRel: String, scoreRel: String,
+      tokSql: String = "string_split_regex(trim(lower(text)), '\\s+')",
+      vocabSize: Int = 30): String =
     s"""nb_seed AS ($seedRel),
        |nb_score_docs AS ($scoreRel),
        |seedtk AS (
        |  SELECT label,
-       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |    unnest($tokSql) AS token
        |  FROM nb_seed),
        |vocab AS (
        |  SELECT token FROM seedtk GROUP BY token
-       |  ORDER BY count(*) DESC, token LIMIT 30),
+       |  ORDER BY count(*) DESC, token LIMIT $vocabSize),
        |b AS (
        |  SELECT s.label,
        |    CASE WHEN v.token IS NOT NULL THEN s.token
@@ -3164,7 +3183,7 @@ object SparkEntry {
        |model AS (
        |  SELECT ct.label, fv.token,
        |    ln(CAST(COALESCE(c.n_tok, 0) + 1 AS DOUBLE)
-       |       / (CAST(ct.n_class AS DOUBLE) + 31.0)) AS loglik,
+       |       / (CAST(ct.n_class AS DOUBLE) + ${vocabSize + 1}.0)) AS loglik,
        |    ln(CAST(dc.n_docs AS DOUBLE)
        |       / CAST((SELECT nd FROM nd) AS DOUBLE)) AS logprior
        |  FROM ctot ct CROSS JOIN fullv fv
@@ -3172,7 +3191,7 @@ object SparkEntry {
        |  JOIN dc ON dc.label = ct.label),
        |stk AS (
        |  SELECT doc_id,
-       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |    unnest($tokSql) AS token
        |  FROM nb_score_docs),
        |dtk AS (
        |  SELECT t.doc_id,
@@ -8284,6 +8303,18 @@ object SparkEntry {
     // (mod 512), add-one bucket models over target (doc_id%25) and raw,
     // per-doc log-ratio sums rounded to 6
     "q236_dsir_weights" -> dsirWeightsSql,
+
+    // mirrors q245: the NB chain with char-trigram tokenization and a
+    // 200-entry vocabulary
+    "q245_charngram_langid" ->
+      s"""WITH ${nbChainBodySql(
+        "SELECT lang AS label, text FROM documents WHERE doc_id % 5 = 0",
+        "SELECT doc_id, text FROM documents",
+        charTrigramsSql, vocabSize = 200)}
+         |SELECT b.doc_id, b.predicted, d.lang AS actual,
+         |  b.predicted = d.lang AS correct, b.score
+         |FROM best b JOIN documents d ON b.doc_id = d.doc_id
+         |WHERE b.rk = 1""".stripMargin,
 
     // q243 replays the identical diff table from its parquet artifact
     // (value-identity round-trip) — q236's oracle again

@@ -1104,11 +1104,17 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => {
         import org.apache.spark.sql.functions.col
+        val tok = config.getStringOpt("tokenizer").getOrElse("words") match {
+          case "char_trigrams" => graft.operators.Classify.charTrigrams
+          case "words" => graft.operators.Classify.wordTokens
+          case other => throw new IllegalArgumentException(
+            s"unknown tokenizer: $other (words | char_trigrams)")
+        }
         graft.operators.Classify.naiveBayesClassify(df,
           config.getString("id_column"), config.getString("text_column"),
           config.getString("label_column"),
           col(config.getString("label_column")).isNotNull,
-          config.getInt("vocab_size"))
+          config.getInt("vocab_size"), tok)
       })
     // substring-level dedup report: per-doc coverage by width-token
     // spans occurring more than once in the corpus (Lee et al. 2022)

@@ -26,6 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object Classify {
 
+  /** Default tokenizer: lowercase whitespace words. */
+  val wordTokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    Dedup.tokens
+
+  /** Character-trigram tokenizer over the lowercased text (spaces
+    * included — word boundaries carry language signal), the
+    * fasttext-langid feature regime. Backed by the native
+    * [[graft.functions.CharTrigramsExpr]]: the composed
+    * transform/sequence/substr form re-lowercases the document once per
+    * trigram after CollapseProject inlining — measured 6.5 s for the
+    * sf0.1 corpus explode vs sub-second native (PLANS.md). Docs shorter
+    * than 3 chars yield no trigrams.
+    */
+  val charTrigrams: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    graft.functions.CharTrigramsExpr.trigrams
+
   /** Fit a multinomial NB model on `labeled`. Returns one row per
     * (label, token) in the smoothed vocabulary — `token` is the literal
     * vocabulary entry or the "<unk>" bucket — with columns:
@@ -39,12 +55,14 @@ object Classify {
     * (label, token) cell exists, so the scoring join is never partial.
     */
   def naiveBayesModel(labeled: DataFrame, textCol: String,
-                      labelCol: String, vocabSize: Int): DataFrame = {
+                      labelCol: String, vocabSize: Int,
+                      tokenizer: org.apache.spark.sql.Column =>
+                        org.apache.spark.sql.Column = wordTokens): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
     val spark = labeled.sparkSession
     val toks = labeled
       .select(col(labelCol).cast("string").as("label"),
-        explode(Dedup.tokens(col(textCol))).as("token"))
+        explode(tokenizer(col(textCol))).as("token"))
 
     // global vocabulary over the seed slice: deterministic top-V
     val vocab = toks.groupBy("token").agg(count(lit(1)).as("c"))
@@ -111,7 +129,9 @@ object Classify {
     */
   def scoreWithModel(docs: DataFrame,
       rows: Seq[(String, String, Double, Double)], idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      tokenizer: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column = wordTokens): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val local = rows.toDF("label", "token", "loglik", "logprior")
@@ -121,7 +141,7 @@ object Classify {
         .withColumn("__in_vocab", lit(true)))
 
     val toks = docs
-      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("token"))
+      .select(col(idCol), explode(tokenizer(col(textCol))).as("token"))
       .join(vocabOnly, Seq("token"), "left")
       .select(col(idCol),
         when(col("__in_vocab"), col("token")).otherwise(lit("<unk>"))
@@ -153,8 +173,10 @@ object Classify {
     * aggregation.
     */
   def naiveBayesScore(docs: DataFrame, model: DataFrame, idCol: String,
-                      textCol: String): DataFrame =
-    scoreWithModel(docs, prepareModel(model), idCol, textCol)
+                      textCol: String,
+                      tokenizer: org.apache.spark.sql.Column =>
+                        org.apache.spark.sql.Column = wordTokens): DataFrame =
+    scoreWithModel(docs, prepareModel(model), idCol, textCol, tokenizer)
 
   /** Train-on-seed / score-corpus in one call: fit on the rows where
     * `seedFilter` holds, score every row, and report the prediction next
@@ -162,10 +184,12 @@ object Classify {
     */
   def naiveBayesClassify(docs: DataFrame, idCol: String, textCol: String,
                          labelCol: String, seedFilter: org.apache.spark.sql.Column,
-                         vocabSize: Int): DataFrame = {
+                         vocabSize: Int,
+                         tokenizer: org.apache.spark.sql.Column =>
+                           org.apache.spark.sql.Column = wordTokens): DataFrame = {
     val model = naiveBayesModel(docs.filter(seedFilter), textCol, labelCol,
-      vocabSize)
-    naiveBayesScore(docs, model, idCol, textCol)
+      vocabSize, tokenizer)
+    naiveBayesScore(docs, model, idCol, textCol, tokenizer)
       .join(docs.select(col(idCol), col(labelCol).cast("string").as("actual")),
         Seq(idCol))
       .select(col(idCol), col("predicted"), col("actual"),

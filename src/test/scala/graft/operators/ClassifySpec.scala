@@ -137,6 +137,39 @@ class RepeatedSpansSpec extends SparkSpec {
   }
 }
 
+class CharTrigramsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native CharTrigramsExpr is byte-identical to the composed built-ins") {
+    val docs = Seq("The Quick fox", "ab", "", "ABC", "mixed Case str")
+      .toDF("text")
+    import org.apache.spark.sql.functions.{length => slen, lower => slower}
+    val lowered = slower($"text")
+    val composed = docs.select(
+      when(slen(lowered) >= 3,
+        transform(sequence(lit(1), slen(lowered) - 2),
+          i => lowered.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>")).as("tg"))
+    val native = docs.select(Classify.charTrigrams($"text").as("tg"))
+    assertSameRows(native, composed)
+  }
+
+  test("char-trigram NB classifies by character composition") {
+    val labeled = Seq(
+      (1L, "aaaa bbbb aaaa", "a"), (2L, "abab baba abba", "a"),
+      (3L, "zzzz yyyy zzzz", "z"), (4L, "zyzy yzyz zyyz", "z"))
+      .toDF("doc_id", "text", "label")
+    val out = Classify.naiveBayesClassify(
+        labeled.union(Seq((5L, "aabb bbaa", "a"), (6L, "zzyy yyzz", "z"))
+          .toDF("doc_id", "text", "label")),
+        "doc_id", "text", "label", col("doc_id") <= 4, vocabSize = 50,
+        tokenizer = Classify.charTrigrams)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(5L) shouldBe "a"
+    out(6L) shouldBe "z"
+  }
+}
+
 class GopherRulesSpec extends SparkSpec {
   import spark.implicits._
 
