@@ -2910,6 +2910,30 @@ object SparkEntry {
       s.read.parquet(p("scored"))
     }),
 
+    // source format: the binaryFile reader — the real ingest path for
+    // opaque media payloads (S-category): per-doc files written to a
+    // landing dir, read back as (path, length, content) with the doc id
+    // recovered from the path and the payload digested; the oracle pins
+    // byte-level round-trip fidelity (octet length + md5 of content ==
+    // the text the files were written from)
+    "q246_binary_source" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 50 === 0) // a bounded landing batch
+      val base = tmpDir("graft_q246")
+      docs.collect().foreach { r =>
+        JFiles.write(Paths.get(base, s"doc_${r.getLong(0)}.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      s.read.format("binaryFile").load(base)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("digest"))
+    }),
+
     // curation: character-trigram language ID — the fasttext-langid
     // feature regime as a tokenizer variant of the NB machinery
     // (trigrams include spaces, so word boundaries carry signal);
@@ -8303,6 +8327,14 @@ object SparkEntry {
     // (mod 512), add-one bucket models over target (doc_id%25) and raw,
     // per-doc log-ratio sums rounded to 6
     "q236_dsir_weights" -> dsirWeightsSql,
+
+    // mirrors q246: byte-level round-trip — octet length and md5 of the
+    // UTF-8 text the files were written from
+    "q246_binary_source" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents WHERE doc_id % 50 = 0""".stripMargin,
 
     // mirrors q245: the NB chain with char-trigram tokenization and a
     // 200-entry vocabulary

@@ -357,3 +357,110 @@ class ProfilingProperties extends SparkSpec {
     }
   }
 }
+
+/** Property tests for the round-9 span-dedup and DSIR operator families:
+  * structural invariants over generated corpora.
+  */
+class SpanDedupProperties extends SparkSpec {
+  import spark.implicits._
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  // random docs over a tiny vocabulary: collisions guaranteed, lengths
+  // straddle the span width
+  private def corpus(n: Int): Seq[(Long, String)] = {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.choose(1, 12).flatMap(k => Gen.listOfN(k, word))
+    samples(doc, n).zipWithIndex.map { case (ws, i) =>
+      (i.toLong, ws.mkString(" ")) }
+  }
+
+  test("repeatedSpans invariants: bounds hold on random corpora") {
+    val docs = corpus(60).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .repeatedSpans(docs, "doc_id", "text", width = 3).collect()
+    out.length shouldBe 60
+    out.foreach { r =>
+      val (n, spans, dups, cov) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      spans shouldBe math.max(n - 2, 0)
+      dups should be <= spans
+      cov should be <= n
+      if (dups > 0) cov should be >= 3L // one dup span covers >= width
+      if (dups == 0) cov shouldBe 0L
+    }
+  }
+
+  test("removal conserves tokens: kept + covered == n_tokens, text replays") {
+    val docs = corpus(60).toDF("doc_id", "text")
+    val rep = graft.operators.Dedup
+      .repeatedSpans(docs, "doc_id", "text", 3)
+      .select($"doc_id", $"n_tokens", $"covered_tokens")
+    val rem = graft.operators.Dedup
+      .removeRepeatedSpans(docs, "doc_id", "text", 3)
+      .select($"doc_id", $"kept_tokens", $"clean_text")
+    rep.join(rem, "doc_id").collect().foreach { r =>
+      val kept = r.getLong(3)
+      r.getLong(1) - r.getLong(2) shouldBe kept
+      val replayed = if (r.getString(4).isEmpty) 0
+        else r.getString(4).split(" ").length
+      replayed.toLong shouldBe kept
+    }
+  }
+
+  test("span increment == whole-corpus restriction at random split points") {
+    val docs = corpus(60).toDF("doc_id", "text")
+    Seq(2L, 3L, 7L).foreach { m =>
+      val landed = docs.filter($"doc_id" % m =!= 0)
+      val batch = docs.filter($"doc_id" % m === 0)
+      val arts = graft.operators.Dedup
+        .spanArtifacts(landed, "doc_id", "text", 3)
+      assertSameRows(
+        graft.operators.Dedup
+          .repeatedSpansIncrement(batch, "doc_id", "text", 3, arts),
+        graft.operators.Dedup.repeatedSpans(docs, "doc_id", "text", 3)
+          .filter($"doc_id" % m === 0))
+    }
+  }
+}
+
+class DsirProperties extends SparkSpec {
+  import spark.implicits._
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def corpus(n: Int, seedOff: Int): Seq[(Long, String)] = {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val doc = Gen.choose(2, 9).flatMap(k => Gen.listOfN(k, word))
+    (0 until n).flatMap(i =>
+        doc.apply(Gen.Parameters.default, Seed((i + seedOff).toLong)))
+      .zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+  }
+
+  test("importanceWeights is invariant to row order and partitioning") {
+    val raw = corpus(50, 0).toDF("doc_id", "text")
+    val tgt = corpus(10, 1000).map { case (i, t) => (i + 100L, t) }
+      .toDF("doc_id", "text")
+    val a = graft.operators.Dsir
+      .importanceWeights(raw, tgt, "doc_id", "text", 64)
+    val b = graft.operators.Dsir.importanceWeights(
+      raw.orderBy($"doc_id".desc).repartition(7), tgt,
+      "doc_id", "text", 64)
+    assertSameRows(a, b)
+  }
+
+  test("scoring the target corpus against itself gives non-negative weights") {
+    // p_target == p_raw when target IS raw: every diff is 0, weights 0
+    val raw = corpus(30, 0).toDF("doc_id", "text")
+    val w = graft.operators.Dsir
+      .importanceWeights(raw, raw, "doc_id", "text", 64)
+      .select($"log_weight").as[Double].collect()
+    w.foreach(_ shouldBe 0.0 +- 1e-9)
+  }
+}
