@@ -2910,6 +2910,31 @@ object SparkEntry {
       s.read.parquet(p("scored"))
     }),
 
+    // source format: the raw text reader (one record per line) — the
+    // log/plain-corpus ingest path: lines land as `value`, fields
+    // recovered by a first-tab split, tokenization downstream. The
+    // synthetic texts are single-line (no tabs/newlines), which the
+    // writer side relies on — the delimiter contract of any line format
+    "q247_text_source" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 50 === 0)
+      val base = tmpDir("graft_q247")
+      val lines = docs.collect()
+        .map(r => s"${r.getLong(0)}\t${r.getString(1)}")
+      JFiles.write(Paths.get(base, "corpus.txt"),
+        lines.mkString("\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      s.read.text(base)
+        .select(
+          substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+          expr("substring(value, instr(value, '\t') + 1)").as("text"))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          md5(col("text")).as("digest"))
+    }),
+
     // source format: the binaryFile reader — the real ingest path for
     // opaque media payloads (S-category): per-doc files written to a
     // landing dir, read back as (path, length, content) with the doc id
@@ -8327,6 +8352,15 @@ object SparkEntry {
     // (mod 512), add-one bucket models over target (doc_id%25) and raw,
     // per-doc log-ratio sums rounded to 6
     "q236_dsir_weights" -> dsirWeightsSql,
+
+    // mirrors q247: the same token count + digest straight off the
+    // documents the lines were written from
+    "q247_text_source" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |    AS BIGINT) AS n_tokens,
+        |  md5(text) AS digest
+        |FROM documents WHERE doc_id % 50 = 0""".stripMargin,
 
     // mirrors q246: byte-level round-trip — octet length and md5 of the
     // UTF-8 text the files were written from
