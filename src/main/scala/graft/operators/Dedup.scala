@@ -1326,9 +1326,14 @@ object Dedup {
     val tb = docs.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
     pairs.select(col("id_a"), col("id_b"))
       .join(ta, "id_a").join(tb, "id_b")
+      // lossless prune BEFORE the DP: edit distance >= |len_a - len_b|,
+      // so the length band skips the quadratic work for pairs that
+      // cannot qualify; the thresholded levenshtein then bounds the DP
+      // band to O(len x maxDist) and returns -1 above the threshold
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("__ta"), col("__tb")).as("edit_distance"))
-      .filter(col("edit_distance") <= maxDist)
+        levenshtein(col("__ta"), col("__tb"), maxDist).as("edit_distance"))
+      .filter(col("edit_distance") >= 0)
   }
 
   /** The transformation face of [[repeatedSpans]]: REMOVE every token
