@@ -1180,4 +1180,83 @@ class Round9ParamsSpec extends SparkSpec {
     ds.count() shouldBe 3
     ds.columns should contain allOf ("log_weight", "sample_key", "rank")
   }
+
+  test("remaining new algorithms run through the params surface") {
+    val base = tmp("jr_r9d")
+    val docs = Seq(
+      (1L, "the data the data the data of and that extra words here"),
+      (2L, "the data the data the data of and that extra words here"),
+      (3L, "completely different text with the of and that markers"),
+      (4L, "short one"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$base/docs")
+
+    run(base, "GopherRules",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/gr",
+         | "id_column": "doc_id", "text_column": "text",
+         | "min_words": 5}""".stripMargin)
+    spark.read.parquet(s"$base/gr").count() shouldBe 4
+    run(base, "GopherFilter",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/gf",
+         | "id_column": "doc_id", "text_column": "text",
+         | "min_words": 5}""".stripMargin)
+    spark.read.parquet(s"$base/gf").count() shouldBe 3 // doc 4 too short
+
+    run(base, "SpanArtifacts",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/sa",
+         | "id_column": "doc_id", "text_column": "text",
+         | "width": 3}""".stripMargin)
+    spark.read.parquet(s"$base/sa").columns.toSeq shouldBe
+      Seq("span_hash", "occurrences")
+    run(base, "SpanIncrement",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/si",
+         | "artifacts_dir": "$base/sa", "id_column": "doc_id",
+         | "text_column": "text", "width": 3}""".stripMargin)
+    // every span now occurs >= 2x (batch + artifact of the same corpus)
+    spark.read.parquet(s"$base/si")
+      .filter($"n_spans" > 0 && $"n_dup_spans" =!= $"n_spans")
+      .count() shouldBe 0
+
+    docs.filter($"doc_id" <= 2).write.parquet(s"$base/tgt2")
+    run(base, "DsirArtifacts",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/da",
+         | "target_corpus_dir": "$base/tgt2", "id_column": "doc_id",
+         | "text_column": "text", "buckets": 64}""".stripMargin)
+    spark.read.parquet(s"$base/da").count() shouldBe 64
+    run(base, "DsirScore",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/dsc",
+         | "model_dir": "$base/da", "id_column": "doc_id",
+         | "text_column": "text", "buckets": 64}""".stripMargin)
+    spark.read.parquet(s"$base/dsc").count() shouldBe 4
+
+    run(base, "EditDistancePairs",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/ed",
+         | "id_column": "doc_id", "text_column": "text",
+         | "max_distance": 5}""".stripMargin)
+    spark.read.parquet(s"$base/ed")
+      .select($"id_a", $"id_b").as[(Long, Long)]
+      .collect().toSet should contain ((1L, 2L))
+
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.05f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    vecs.write.parquet(s"$base/vecs")
+    vecs.filter($"vec_id" === 1L).write.parquet(s"$base/bench")
+    run(base, "SemanticDecontaminate",
+      s"""{"source_dir": "$base/vecs", "target_dir": "$base/sd2",
+         | "id_column": "vec_id", "vector_column": "embedding",
+         | "benchmark_dir": "$base/bench",
+         | "benchmark_id_column": "vec_id",
+         | "benchmark_vector_column": "embedding",
+         | "threshold": 0.95, "bits": 4, "tables": 8}""".stripMargin)
+    spark.read.parquet(s"$base/sd2").select($"vec_id").as[Long]
+      .collect().sorted shouldBe Array(3L) // 1 self-hit, 2 paraphrase
+
+    // the char-trigram tokenizer through the params surface
+    run(base, "NaiveBayesClassify",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/nbt",
+         | "id_column": "doc_id", "text_column": "text",
+         | "label_column": "text", "vocab_size": 50,
+         | "tokenizer": "char_trigrams"}""".stripMargin)
+    spark.read.parquet(s"$base/nbt").count() shouldBe 4
+  }
 }
