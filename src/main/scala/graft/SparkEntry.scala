@@ -2910,6 +2910,23 @@ object SparkEntry {
       s.read.parquet(p("scored"))
     }),
 
+    // streaming semantic decontamination: q238's check per micro-batch
+    // against the once-prepared benchmark signatures (4 files,
+    // maxFilesPerTrigger=1 -> 4 real triggers); stateless, so per-batch
+    // outputs union to the batch result — q238's oracle gates it
+    "q248_stream_semantic_decon" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val bench = vecs.filter(col("vec_id") % 25 === 0)
+      val inDir = tmpDir("graft_q248_in")
+      vecs.select(col("vec_id"), col("embedding"))
+        .repartition(4).write.mode("overwrite").parquet(inDir)
+      val outDir = tmpDir("graft_q248_out") + "/out"
+      EventStream.runSemanticDeconOnce(s, s.read.parquet(inDir).schema,
+        inDir, bench, "vec_id", "embedding", "vec_id", "embedding",
+        threshold = 0.9, outDir, "q248_sink",
+        maxFilesPerTrigger = Some(1))
+    }),
+
     // source format: the raw text reader (one record per line) — the
     // log/plain-corpus ingest path: lines land as `value`, fields
     // recovered by a first-tab split, tokenization downstream. The
@@ -3400,6 +3417,25 @@ object SparkEntry {
   private def dsirWeightsSql: String =
     s"""$dsirChainSql
        |SELECT doc_id, log_weight FROM w""".stripMargin
+
+  /** q238/q248's oracle: the sign-LSH semantic-decontamination check
+    * over the embeddings table with the vec_id%25 benchmark.
+    */
+  private def semanticDeconSql: String =
+    s"""WITH ${lshSigsSql(4, 8, 64)},
+       |cand AS (
+       |  SELECT DISTINCT c.vec_id AS cid, b.vec_id AS bid
+       |  FROM sigs c JOIN sigs b
+       |    ON c.t = b.t AND c.sig = b.sig AND b.vec_id % 25 = 0),
+       |scored AS (
+       |  SELECT cid, bid, ${cosSql("vc.embedding", "vb.embedding")}
+       |    AS cos
+       |  FROM cand
+       |  JOIN v vc ON vc.vec_id = cid
+       |  JOIN v vb ON vb.vec_id = bid)
+       |SELECT cid AS vec_id, CAST(count(*) AS BIGINT) AS n_matched,
+       |  round(max(cos), 6) AS best_cosine
+       |FROM scored WHERE cos >= 0.9 GROUP BY cid""".stripMargin
 
   /** The full MinHash-LSH candidate + Jaccard-verify CTE chain over a
     * source relation with (doc_id, text) — shared by the q21 gate and the
@@ -8332,21 +8368,11 @@ object SparkEntry {
     // over the md5-derived hyperplanes), benchmark = vec_id%25,
     // candidates from bucket equality, sequential-order cosine, matched
     // rows grouped to (count, rounded max)
-    "q238_semantic_decontaminate" ->
-      s"""WITH ${lshSigsSql(4, 8, 64)},
-         |cand AS (
-         |  SELECT DISTINCT c.vec_id AS cid, b.vec_id AS bid
-         |  FROM sigs c JOIN sigs b
-         |    ON c.t = b.t AND c.sig = b.sig AND b.vec_id % 25 = 0),
-         |scored AS (
-         |  SELECT cid, bid, ${cosSql("vc.embedding", "vb.embedding")}
-         |    AS cos
-         |  FROM cand
-         |  JOIN v vc ON vc.vec_id = cid
-         |  JOIN v vb ON vb.vec_id = bid)
-         |SELECT cid AS vec_id, CAST(count(*) AS BIGINT) AS n_matched,
-         |  round(max(cos), 6) AS best_cosine
-         |FROM scored WHERE cos >= 0.9 GROUP BY cid""".stripMargin,
+    "q238_semantic_decontaminate" -> semanticDeconSql,
+
+    // q248 streams the same stateless check per micro-batch against the
+    // once-prepared benchmark — q238's oracle again
+    "q248_stream_semantic_decon" -> semanticDeconSql,
 
     // mirrors q236: identical md5-60 unigram+bigram bucket hashing
     // (mod 512), add-one bucket models over target (doc_id%25) and raw,

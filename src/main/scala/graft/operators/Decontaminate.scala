@@ -281,21 +281,42 @@ object Decontaminate {
     * only — n_matched counts benchmark vectors at/above threshold among
     * the LSH candidates, best_cosine is the rounded max.
     */
-  def overlapsSemantic(corpus: DataFrame, idCol: String, vecCol: String,
-      bench: DataFrame, benchIdCol: String, benchVecCol: String,
-      threshold: Double, bits: Int = 8, tables: Int = 4): DataFrame = {
-    val cs = Similarity.signatures(corpus, idCol, vecCol, bits, tables)
-    val bs = Similarity.signatures(bench, benchIdCol, benchVecCol, bits,
-      tables)
+  /** A benchmark prepared ONCE for many semantic-decontamination calls
+    * (corpus shards or ingest micro-batches): persisted sign-LSH
+    * signatures and vectors of the benchmark side. Without the pin,
+    * each call — each TRIGGER, on a stream — re-signs the benchmark.
+    */
+  final case class PreparedSemantic(sigs: DataFrame, vecs: DataFrame,
+      bits: Int, tables: Int) {
+    def release(): Unit = { sigs.unpersist(); vecs.unpersist() }
+  }
+
+  def prepareSemantic(bench: DataFrame, benchIdCol: String,
+      benchVecCol: String, bits: Int = 8,
+      tables: Int = 4): PreparedSemantic = {
+    val sigs = Similarity.signatures(bench, benchIdCol, benchVecCol,
+      bits, tables).persist()
+    val vecs = bench.select(col(benchIdCol).as("__bid"),
+      col(benchVecCol).as("__bv")).persist()
+    sigs.count(); vecs.count()
+    PreparedSemantic(sigs, vecs, bits, tables)
+  }
+
+  /** [[overlapsSemantic]] against an already-prepared benchmark — the
+    * per-shard / per-micro-batch workhorse.
+    */
+  def overlapsSemanticPrepared(corpus: DataFrame, idCol: String,
+      vecCol: String, ps: PreparedSemantic,
+      threshold: Double): DataFrame = {
+    val cs = Similarity.signatures(corpus, idCol, vecCol, ps.bits,
+      ps.tables)
     val cand = cs.as("c")
-      .join(broadcast(bs.as("b")),
+      .join(broadcast(ps.sigs.as("b")),
         col("c.t") === col("b.t") && col("c.sig") === col("b.sig"))
       .select(col("c.id").as("__cid"), col("b.id").as("__bid"))
       .distinct()
     val cv = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
-    val bv = bench.select(col(benchIdCol).as("__bid"),
-      col(benchVecCol).as("__bv"))
-    cand.join(broadcast(bv), "__bid").join(cv, "__cid")
+    cand.join(broadcast(ps.vecs), "__bid").join(cv, "__cid")
       .select(col("__cid"),
         graft.functions.CosineSimilarityExpr.cosine(col("__cv"),
           col("__bv")).as("__cos"))
@@ -304,6 +325,19 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_matched"),
         round(max(col("__cos")), 6).as("best_cosine"))
       .withColumnRenamed("__cid", idCol)
+  }
+
+  def overlapsSemantic(corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchIdCol: String, benchVecCol: String,
+      threshold: Double, bits: Int = 8, tables: Int = 4): DataFrame = {
+    val ps = prepareSemantic(bench, benchIdCol, benchVecCol, bits, tables)
+    val out = overlapsSemanticPrepared(corpus, idCol, vecCol, ps,
+      threshold)
+    // one-shot call: drop the caches immediately — the returned (lazy)
+    // plan recomputes the benchmark-sized frames on use, exactly the
+    // pre-prepared behavior (the overlapsBloom convention)
+    ps.release()
+    out
   }
 
   /** The filtering face of [[overlapsSemantic]]: corpus rows NOT

@@ -266,6 +266,46 @@ object EventStream {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming SEMANTIC decontamination — the streaming face of
+    * [[graft.operators.Decontaminate.overlapsSemantic]]: vectors
+    * arriving on the ingest stream are checked per micro-batch against
+    * a FIXED benchmark whose sign-LSH signatures and vectors are
+    * prepared once for the query's lifetime
+    * ([[graft.operators.Decontaminate.prepareSemantic]]). Stateless: a
+    * row's matches depend only on itself and the benchmark, so
+    * per-batch outputs union to the single-shot batch result for any
+    * micro-batch boundaries (the oracle identity, same argument as
+    * [[runDecontaminateOnce]]).
+    */
+  def runSemanticDeconOnce(spark: SparkSession, schema: StructType,
+      inputGlob: String, bench: DataFrame, benchIdCol: String,
+      benchVecCol: String, idCol: String, vecCol: String,
+      threshold: Double, outDir: String, queryName: String,
+      bits: Int = 8, tables: Int = 4,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(m => reader.option("maxFilesPerTrigger", m))
+      .parquet(inputGlob)
+    val ps = graft.operators.Decontaminate.prepareSemantic(bench,
+      benchIdCol, benchVecCol, bits, tables)
+    try {
+      val q: StreamingQuery = stream.writeStream
+        .queryName(s"${queryName}_${sinkSeq.incrementAndGet()}")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Decontaminate
+            .overlapsSemanticPrepared(batch, idCol, vecCol, ps, threshold)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally ps.release()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming DSIR scoring — the streaming face of
     * [[graft.operators.Dsir.importanceWeights]]: documents arriving on
     * the ingest stream are importance-weighted per micro-batch against

@@ -3277,4 +3277,30 @@ class SemanticDecontaminateSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
     plan should include ("BroadcastHashJoin") // bench side broadcast
   }
+
+  test("prepared benchmark is row-identical to the one-shot path") {
+    val ps = Decontaminate.prepareSemantic(bench, "vec_id", "embedding",
+      bits = 4, tables = 8)
+    try assertSameRows(
+      Decontaminate.overlapsSemanticPrepared(corpus, "vec_id",
+        "embedding", ps, threshold = 0.95),
+      Decontaminate.overlapsSemantic(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", threshold = 0.95,
+        bits = 4, tables = 8))
+    finally ps.release()
+  }
+
+  test("streaming semantic decontamination equals the batch check") {
+    val inDir = tmp("sem_in")
+    corpus.repartition(2).write.mode("overwrite").parquet(inDir)
+    val outDir = tmp("sem_out") + "/out"
+    val streamed = graft.streaming.EventStream.runSemanticDeconOnce(
+      spark, spark.read.parquet(inDir).schema, inDir, bench, "vec_id",
+      "embedding", "vec_id", "embedding", threshold = 0.95, outDir,
+      "sem_spec", bits = 4, tables = 8, maxFilesPerTrigger = Some(1))
+    assertSameRows(streamed,
+      Decontaminate.overlapsSemantic(spark.read.parquet(inDir), "vec_id",
+        "embedding", bench, "vec_id", "embedding", threshold = 0.95,
+        bits = 4, tables = 8))
+  }
 }
