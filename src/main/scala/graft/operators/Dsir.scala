@@ -32,13 +32,13 @@ object Dsir {
 
   /** Occurrence-preserving unigram+bigram feature buckets of a token
     * array (md5-60 mod buckets; docs with one token have no bigrams).
+    * Backed by the native [[graft.functions.FeatureBucketsExpr]] — the
+    * composed transform/md5/conv form is an interpreted HOF running an
+    * expression tree per element, measured 4.6 s warm for the sf0.1
+    * corpus explode vs ~sub-second native (PLANS.md).
     */
-  def featureBuckets(toks: Column, buckets: Int): Column = concat(
-    transform(toks, t => hash60(t) % buckets),
-    when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => hash60(concat_ws(" ", slice(toks, i + 1, lit(2)))) % buckets))
-      .otherwise(array().cast("array<bigint>")))
+  def featureBuckets(toks: Column, buckets: Int): Column =
+    graft.functions.FeatureBucketsExpr.featureBuckets(toks, buckets)
 
   /** (id, exploded feature bucket) — one row per feature OCCURRENCE. */
   private def features(docs: DataFrame, idCol: String, textCol: String,

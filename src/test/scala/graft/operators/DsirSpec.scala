@@ -73,6 +73,24 @@ class DsirSpec extends SparkSpec {
       Dsir.importanceWeights(raw, target, "doc_id", "text", 256))
   }
 
+  test("native FeatureBucketsExpr is byte-identical to the composed built-ins") {
+    val docs = Seq("alpha beta gamma", "one", "", "x y",
+      "the quick brown fox the quick").toDF("text")
+    import org.apache.spark.sql.functions.{size => ssize}
+    def h60(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val toks = Dedup.tokens($"text")
+    val composed = docs.select(concat(
+      transform(toks, t => h60(t) % 64),
+      when(ssize(toks) >= 2,
+        transform(sequence(lit(0), ssize(toks) - 2),
+          i => h60(concat_ws(" ", slice(toks, i + 1, lit(2)))) % 64))
+        .otherwise(array().cast("array<bigint>"))).as("fb"))
+    val native = docs.select(
+      Dsir.featureBuckets(Dedup.tokens($"text"), 64).as("fb"))
+    assertSameRows(native, composed)
+  }
+
   test("featureBuckets preserves occurrences and bigram adjacency") {
     val f = raw.filter($"doc_id" === 1L)
       .select(Dsir.featureBuckets(Dedup.tokens($"text"), 1000000)
