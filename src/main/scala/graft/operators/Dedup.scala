@@ -1202,14 +1202,9 @@ object Dedup {
   private def spanStarts(docs: DataFrame, idCol: String, textCol: String,
       width: Int): DataFrame = {
     require(width > 0, s"width must be positive: $width")
-    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
-    val startIdxs = when(size(col("__tk")) >= width,
-      sequence(lit(0), size(col("__tk")) - width))
-      .otherwise(array().cast("array<int>"))
-    toks.select(col(idCol), posexplode(transform(startIdxs,
-      i => conv(substring(md5(concat_ws(" ",
-        slice(col("__tk"), i + 1, lit(width)))), 1, 15), 16, 10)
-        .cast("long"))).as(Seq("__pos", "__hv")))
+    docs.select(col(idCol), posexplode(
+      graft.functions.SpanHashesExpr.spanHashes(tokens(col(textCol)),
+        width)).as(Seq("__pos", "__hv")))
   }
 
   /** Span-count artifacts for the INCREMENTAL repeated-span regime:
