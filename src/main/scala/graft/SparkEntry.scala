@@ -2914,6 +2914,71 @@ object SparkEntry {
     // against the once-prepared benchmark signatures (4 files,
     // maxFilesPerTrigger=1 -> 4 real triggers); stateless, so per-batch
     // outputs union to the batch result — q238's oracle gates it
+    // BM25 lexical retrieval, framed as more-like-this: every 97th doc
+    // is a query against the whole corpus. The synthetic vocabulary is
+    // 31 terms with min df ≈ 5%, so the df-pruning default would empty
+    // most queries — the gate runs at maxDfFraction=0.9 (all terms
+    // participate; pruning semantics are spec-pinned on a crafted
+    // corpus where rare vs stopword terms actually differ)
+    "q249_bm25_retrieval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Similarity.bm25TopK(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 5,
+        maxDfFraction = 0.9)
+    }),
+
+    // the amortized BM25 regime: corpus statistics saved once as a
+    // (term, df, n, sdl) artifact (parquet round-trip), the batch then
+    // scored against the SAVED table — value-identical to the inline
+    // scores, which is what the shared oracle gates
+    "q251_bm25_artifacts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val artDir = tmpDir("graft_q251") + "/arts"
+      Similarity.bm25Artifacts(docs, "doc_id", "text")
+        .write.parquet(artDir)
+      Similarity.bm25ScoreAgainst(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+        s.read.parquet(artDir), maxDfFraction = 0.9)
+    }),
+
+    // the streaming face: per-micro-batch stateless scoring against the
+    // frozen artifact + query set (4 real triggers); batch outputs
+    // union to the whole-corpus score table — same oracle as q251
+    "q252_stream_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val inDir = tmpDir("graft_q252_in")
+      docs.repartition(4).write.mode("overwrite").parquet(inDir)
+      val outDir = tmpDir("graft_q252_out") + "/out"
+      EventStream.runBm25ScoreOnce(s, s.read.parquet(inDir).schema,
+        inDir, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+        Similarity.bm25Artifacts(docs, "doc_id", "text"), "doc_id",
+        "text", outDir, "q252_sink", maxDfFraction = 0.9,
+        maxFilesPerTrigger = Some(1))
+    }),
+
+    // hybrid retrieval: the BM25 list over documents and the brute
+    // cosine list over embeddings (vec_id aligned with doc_id in the
+    // synthetic tables, self kept on both sides) fused by reciprocal
+    // rank — rank fusion needs no score calibration between the
+    // heterogeneous retrievers
+    "q250_hybrid_retrieval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = Similarity.bm25TopK(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 5,
+        maxDfFraction = 0.9)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val vec = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") % 97 === 0), emb, "vec_id",
+          "embedding", k = 5, excludeSelf = false)
+        .withColumn("rank", row_number().over(Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      Similarity.fuseRankings(Seq(lex, vec), k = 5)
+    }),
+
     "q248_stream_semantic_decon" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
       val bench = vecs.filter(col("vec_id") % 25 === 0)
@@ -3409,6 +3474,53 @@ object SparkEntry {
   /** q236/q237's instantiation: raw = all documents, target = the
     * doc_id%25 slice.
     */
+  /** BM25 oracle CTE body (q249, reused by q250's hybrid fusion):
+    * exact tf/df/dl/N, Lucene positive idf, k1=1.2 b=0.75, query terms
+    * pruned at df > maxDf·N, per-pair score rounded to 6 BEFORE ranking.
+    * Ends at `sc` (query_id, doc_id, score); constants written as the
+    * same IEEE expressions the Spark side computes ((1.2 + 1.0), not
+    * 2.2). */
+  private def bm25BodySql(queryPred: String, maxDf: Double): String =
+    s"""tk AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')
+       |    AS tk
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, CAST(dl AS BIGINT) AS dl, term,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM tk)
+       |  GROUP BY 1, 2, 3),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |       FROM tf GROUP BY 1),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(dl) AS DOUBLE) AS sdl
+       |  FROM (SELECT doc_id, any_value(dl) AS dl FROM tf GROUP BY 1)),
+       |qt AS (
+       |  SELECT DISTINCT query_id, term FROM (
+       |    SELECT doc_id AS query_id, unnest(tk) AS term
+       |    FROM tk WHERE $queryPred)),
+       |qp AS (
+       |  SELECT q.query_id, q.term, f.df FROM qt q
+       |  JOIN df f USING (term), st
+       |  WHERE CAST(f.df AS DOUBLE) <= CAST(st.n AS DOUBLE) * $maxDf),
+       |sc AS (
+       |  SELECT q.query_id, t.doc_id,
+       |    round(sum(
+       |      ln(1.0 + (CAST(st.n AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+       |            / (CAST(q.df AS DOUBLE) + 0.5))
+       |      * CAST(t.tf AS DOUBLE) * (1.2 + 1.0)
+       |      / (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+       |         + 0.75 * CAST(t.dl AS DOUBLE)
+       |           / (st.sdl / CAST(st.n AS DOUBLE))))), 6) AS score
+       |  FROM qp q JOIN tf t USING (term), st
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The rank-free BM25 score table (q251/q252's shared oracle). */
+  private def bm25ScoresSql: String =
+    s"""WITH ${bm25BodySql("doc_id % 97 = 0", 0.9)}
+       |SELECT query_id, doc_id, score FROM sc""".stripMargin
+
   private def dsirChainSql: String =
     "WITH " + dsirChainBodySql(
       "SELECT doc_id, text FROM documents",
@@ -8373,6 +8485,70 @@ object SparkEntry {
     // q248 streams the same stateless check per micro-batch against the
     // once-prepared benchmark — q238's oracle again
     "q248_stream_semantic_decon" -> semanticDeconSql,
+
+    // q251 scores against the SAVED artifact and q252 streams the same
+    // stateless scoring per micro-batch — both are value-identities on
+    // the inline score table (no rank: ranking is the consumer's window)
+    "q251_bm25_artifacts" -> bm25ScoresSql,
+    "q252_stream_bm25" -> bm25ScoresSql,
+
+    // mirrors q249 — see bm25BodySql
+    "q249_bm25_retrieval" ->
+      s"""WITH ${bm25BodySql("doc_id % 97 = 0", 0.9)}
+         |SELECT query_id, doc_id, score,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id)
+         |    AS INTEGER) AS rank
+         |FROM sc
+         |QUALIFY rank <= 5""".stripMargin,
+
+    // mirrors q250: the BM25 list (q249's CTEs) and the brute-cosine
+    // list (q23's math, self kept) fused by reciprocal rank — both
+    // engines rank each list independently (score DESC, id) then sum
+    // 1/(60 + rank) per (query, doc), rounded to 6 before the fused rank
+    "q250_hybrid_retrieval" ->
+      s"""WITH ${bm25BodySql("doc_id % 97 = 0", 0.9)},
+         |lex AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, doc_id)
+         |      AS INTEGER) AS rank
+         |  FROM sc
+         |  QUALIFY rank <= 5),
+         |vq AS (SELECT vec_id AS query_id, embedding AS qv
+         |       FROM embeddings WHERE vec_id % 97 = 0),
+         |vc AS (SELECT vec_id AS neighbor_id, embedding AS cv
+         |       FROM embeddings),
+         |vscored AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_sum(list_transform(range(1, len(qv)+1),
+         |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(range(1, len(qv)+1),
+         |         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform(range(1, len(cv)+1),
+         |         i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))
+         |      AS cosine
+         |  FROM vq CROSS JOIN vc),
+         |vec AS (
+         |  SELECT query_id, neighbor_id AS doc_id,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+         |      AS INTEGER) AS rank
+         |  FROM vscored
+         |  QUALIFY rank <= 5),
+         |u AS (SELECT query_id, doc_id, rank FROM lex
+         |      UNION ALL SELECT query_id, doc_id, rank FROM vec),
+         |f AS (
+         |  SELECT query_id, doc_id,
+         |    round(sum(1.0 / (60.0 + CAST(rank AS DOUBLE))), 6)
+         |      AS rrf_score
+         |  FROM u GROUP BY 1, 2)
+         |SELECT query_id, doc_id, rrf_score,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id)
+         |    AS INTEGER) AS rank
+         |FROM f
+         |QUALIFY rank <= 5""".stripMargin,
 
     // mirrors q236: identical md5-60 unigram+bigram bucket hashing
     // (mod 512), add-one bucket models over target (doc_id%25) and raw,

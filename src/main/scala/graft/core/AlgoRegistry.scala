@@ -567,6 +567,50 @@ object AlgoRegistry {
                 .select(org.apache.spark.sql.functions.col("cid"),
                   org.apache.spark.sql.functions.col("ce"))
           })))
+    // BM25 lexical retrieval: source is the corpus, queries_dir the
+    // query table; high-df query terms pruned at max_df_fraction
+    case "Bm25Retrieval" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.bm25TopK(df,
+        config.getString("id_column"), config.getString("text_column"),
+        spark.read.parquet(config.getString("queries_dir")),
+        config.getString("query_id_column"),
+        config.getString("query_text_column"),
+        config.getInt("k"),
+        config.getDouble("k1", 1.2),
+        config.getDouble("b", 0.75),
+        config.getDouble("max_df_fraction", 0.1)))
+    // BM25 corpus statistics saved as a (term, df, n, sdl) artifact —
+    // build once per landed corpus, score later batches against it
+    case "Bm25Artifacts" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.bm25Artifacts(df,
+        config.getString("id_column"), config.getString("text_column")))
+    // stateless BM25 scoring of a batch against SAVED corpus statistics
+    case "Bm25Score" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.bm25ScoreAgainst(df,
+        config.getString("id_column"), config.getString("text_column"),
+        spark.read.parquet(config.getString("queries_dir")),
+        config.getString("query_id_column"),
+        config.getString("query_text_column"),
+        spark.read.parquet(config.getString("artifacts_dir")),
+        config.getDouble("k1", 1.2),
+        config.getDouble("b", 0.75),
+        config.getDouble("max_df_fraction", 0.1)))
+    // reciprocal-rank fusion: source is the FIRST ranked list
+    // (query_id, doc_id, rank); other_rankings_dirs the rest
+    case "FuseRankings" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.fuseRankings(
+        df +: config.getSeq[String]("other_rankings_dirs")
+          .map(d => spark.read.parquet(d)),
+        config.getInt("k"),
+        config.getDouble("rrf_k", 60.0)))
     // retrieval evaluation: recall@k + MRR of results vs a truth table
     case "RetrievalEval" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

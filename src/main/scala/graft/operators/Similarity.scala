@@ -685,4 +685,171 @@ object Similarity {
     Seq((d, lambda, Option(explained).map(_.toDouble), comp.toSeq))
       .toDF("dims", "eigenvalue", "explained_variance", "component")
   }
+
+  /** BM25 lexical retrieval — the term-level complement of the embedding
+    * ANN stack (and of [[retrievalEval]], which until now had only vector
+    * producers to evaluate): for each query, the `k` highest-BM25 documents.
+    * Framed as more-like-this when the queries ARE documents — lexical
+    * near-dup retrieval, the curation workhorse for "what else in the
+    * corpus looks like this benchmark/page".
+    *
+    * Math (the Lucene-style positive idf): per shared term,
+    *   idf = ln(1 + (N − df + 0.5)/(df + 0.5)),
+    *   contribution = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * score = Σ over the query's DISTINCT terms, rounded to 6 decimals so
+    * the cross-engine sum-order jitter cannot flip ranks (the repo's
+    * round-6 convention; ties then break on doc_id). tf/df/dl/N are exact
+    * integers; avgdl is one division of an exact BIGINT sum.
+    *
+    * Query terms with df > maxDfFraction·N are pruned BEFORE the postings
+    * join — the stopword-pruning a lexical engine does anyway (near-zero
+    * idf terms buy nothing), and at scale the difference between a
+    * postings join keyed on rare terms and one that fans every query out
+    * to the whole corpus through "the".
+    *
+    * Scale shape: the corpus side is one explode + (doc, term) count —
+    * map-side combinable, corpus text never shuffled whole; the pruned
+    * query-term table is queries-sized and BROADCAST onto the postings,
+    * so the only corpus-sized shuffle is the (query, doc) score
+    * aggregation; the final rank window is WindowGroupLimit-pruned to k
+    * per map partition before the per-query shuffle.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFraction: Double = 0.1): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val tf = bm25TermFreqs(docs, idCol, textCol)
+    val scored = bm25Scores(tf,
+      bm25QueryTerms(queries, queryIdCol, queryTextCol,
+        corpusArtifacts(tf), maxDfFraction), k1, b)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** Per-(doc, term) frequencies with the doc length carried through —
+    * the corpus pass every BM25 face starts from. Map-side combinable;
+    * the document text is never shuffled whole. */
+  private def bm25TermFreqs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("doc_id"), size(col("__tk")).cast("long").as("__dl"),
+        explode(col("__tk")).as("__term"))
+      .groupBy(col("doc_id"), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+
+  /** (term, df, n, sdl) from a term-frequency frame — n and sdl are the
+    * same on every row (one corpus-wide doc count and summed length):
+    * redundant by construction, but it keeps the whole corpus statistic
+    * in ONE saveable table. */
+  private def corpusArtifacts(tf: DataFrame): DataFrame = {
+    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val stats = tf.groupBy(col("doc_id")).agg(first(col("__dl")).as("__dl"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__dl")).cast("double").as("__sdl"))
+    dfreq.crossJoin(broadcast(stats))
+  }
+
+  /** Distinct query terms joined to the corpus stats, pruned at
+    * df > maxDfFraction·n — near-zero-idf terms buy nothing, and at
+    * scale the difference between a postings join keyed on rare terms
+    * and one that fans every query through "the". */
+  private def bm25QueryTerms(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, artifacts: DataFrame,
+      maxDfFraction: Double): DataFrame = {
+    require(maxDfFraction > 0 && maxDfFraction <= 1,
+      s"maxDfFraction must be in (0, 1]: $maxDfFraction")
+    queries.select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(queryTextCol))))
+          .as("__term"))
+      .join(artifacts, Seq("__term"))
+      .filter(col("__df").cast("double") <=
+        col("__n").cast("double") * maxDfFraction)
+  }
+
+  /** The scoring join: pruned query terms broadcast onto the postings,
+    * per-pair contributions summed and rounded to 6 (the only
+    * corpus-sized shuffle in any BM25 face). */
+  private def bm25Scores(tf: DataFrame, qterms: DataFrame,
+      k1: Double, b: Double): DataFrame = {
+    val idf = log(lit(1.0) +
+      (col("__n").cast("double") - col("__df").cast("double") + 0.5) /
+        (col("__df").cast("double") + 0.5))
+    val norm = col("__tf").cast("double") +
+      lit(k1) * (lit(1.0) - b + lit(b) * col("__dl").cast("double") /
+        (col("__sdl") / col("__n").cast("double")))
+    val contrib = idf * col("__tf").cast("double") * (k1 + 1.0) / norm
+    tf.join(broadcast(qterms), Seq("__term"))
+      .select(col("query_id"), col("doc_id"), contrib.as("__c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("__c")), 6).as("score"))
+  }
+
+  /** The BM25 corpus statistics as a SAVEABLE artifact table
+    * (term, df, n, sdl) — the amortized regime ([[Dsir.diffArtifacts]]'s
+    * convention): build once per landed corpus, score every later batch
+    * against it without re-reading the corpus. */
+  def bm25Artifacts(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    corpusArtifacts(bm25TermFreqs(docs, idCol, textCol))
+      .select(col("__term").as("term"), col("__df").as("df"),
+        col("__n").as("n"), col("__sdl").as("sdl"))
+
+  /** Stateless BM25 scoring of a batch against SAVED corpus statistics:
+    * tf and dl come from the batch, df/n/avgdl from the artifact —
+    * (query_id, doc_id, score) with no global rank, so per-micro-batch
+    * outputs union to exactly the whole-corpus score table (the
+    * streaming face's identity). Cost scales with the batch; the landed
+    * corpus is touched only through the terms-sized artifact. */
+  def bm25ScoreAgainst(batch: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      artifacts: DataFrame, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFraction: Double = 0.1): DataFrame = {
+    val arts = artifacts.select(col("term").as("__term"),
+      col("df").as("__df"), col("n").as("__n"), col("sdl").as("__sdl"))
+    bm25Scores(bm25TermFreqs(batch, idCol, textCol),
+      bm25QueryTerms(queries, queryIdCol, queryTextCol, arts,
+        maxDfFraction), k1, b)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+    * standard hybrid-retrieval combinator, and the missing top of the
+    * stack now that both producers exist: a lexical list ([[bm25TopK]])
+    * and a vector list (the ANN paths). Each input frame is a ranked
+    * list with columns (query_id, doc_id, rank); the fused score is
+    *   Σ over lists containing the doc of 1/(rrfK + rank),
+    * which needs NO score calibration between heterogeneous retrievers —
+    * that's the whole point of fusing on ranks instead of scores.
+    * Rounded to 6 decimals before the final ranking (sum-order safety,
+    * the repo convention), ties broken on doc_id.
+    *
+    * Scale shape: every input is already k-bounded per query, so the
+    * union is (queries·k·lists)-sized — query-sized, never corpus-sized;
+    * one (query, doc) aggregation shuffle and a WindowGroupLimit-pruned
+    * rank window.
+    */
+  def fuseRankings(rankings: Seq[DataFrame], k: Int,
+      rrfK: Double = 60.0): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    require(k >= 1, s"k must be positive: $k")
+    require(rrfK > 0, s"rrfK must be positive: $rrfK")
+    val all = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = all
+      .select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(rrfK) + col("rank").cast("double"))).as("__c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("__c")), 6).as("rrf_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf_score"), col("rank"))
+  }
 }

@@ -306,6 +306,49 @@ object EventStream {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming BM25 scoring — the streaming face of
+    * [[graft.operators.Similarity.bm25TopK]]: documents arriving on the
+    * ingest stream are scored per micro-batch against a FIXED query set
+    * using FROZEN corpus statistics (a
+    * [[graft.operators.Similarity.bm25Artifacts]] table). Stateless: a
+    * document's score depends only on its own tf/dl and the artifact's
+    * df/n/avgdl, so per-batch outputs union to the single-shot batch
+    * result for any micro-batch boundaries (no global rank is emitted —
+    * ranking is the landed-side consumer's window). Artifacts and
+    * queries persist for the query lifetime (the PreparedBenchmark
+    * convention: without the pin every trigger re-scans both), released
+    * before returning.
+    */
+  def runBm25ScoreOnce(spark: SparkSession, schema: StructType,
+      inputGlob: String, queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, artifacts: DataFrame, idCol: String,
+      textCol: String, outDir: String, queryName: String,
+      maxDfFraction: Double = 0.1,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val arts = artifacts.persist()
+    val qs = queries.persist()
+    try {
+      val reader = spark.readStream.schema(schema)
+      val stream = maxFilesPerTrigger
+        .fold(reader)(m => reader.option("maxFilesPerTrigger", m))
+        .parquet(inputGlob)
+      val q: StreamingQuery = stream.writeStream
+        .queryName(s"${queryName}_${sinkSeq.incrementAndGet()}")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Similarity.bm25ScoreAgainst(batch, idCol,
+              textCol, qs, queryIdCol, queryTextCol, arts,
+              maxDfFraction = maxDfFraction)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally { arts.unpersist(); qs.unpersist() }
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming DSIR scoring — the streaming face of
     * [[graft.operators.Dsir.importanceWeights]]: documents arriving on
     * the ingest stream are importance-weighted per micro-batch against

