@@ -2979,6 +2979,20 @@ object SparkEntry {
       Similarity.fuseRankings(Seq(lex, vec), k = 5)
     }),
 
+    // eval: ROUGE-2 overlap between adjacent-document pairs — the
+    // summarization/distillation fidelity metric (clipped n-gram
+    // MULTISET matches: precision over candidate grams, recall over
+    // reference grams, F1); fixed-width gram-hash shuffle keys
+    "q253_rouge_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.as("a")
+        .join(docs.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+        .filter(col("a.doc_id") % 5 === 0)
+        .select(col("a.doc_id").as("pair_id"), col("a.text").as("cand"),
+          col("b.text").as("ref"))
+      TextAnalysis.rougeN(pairs, "pair_id", "cand", "ref", n = 2)
+    }),
+
     "q248_stream_semantic_decon" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
       val bench = vecs.filter(col("vec_id") % 25 === 0)
@@ -8485,6 +8499,48 @@ object SparkEntry {
     // q248 streams the same stateless check per micro-batch against the
     // once-prepared benchmark — q238's oracle again
     "q248_stream_semantic_decon" -> semanticDeconSql,
+
+    // mirrors TextAnalysis.rougeN (n=2): clipped bigram MULTISET
+    // matches per adjacent-doc pair; Spark's short-row guard (texts
+    // with < n tokens yield ZERO grams, no truncated tail) is the CASE
+    // WHEN; zero-overlap pairs survive via the totals LEFT JOIN
+    "q253_rouge_eval" ->
+      """WITH p AS (
+        |  SELECT a.doc_id AS pair_id, a.text AS cand, b.text AS ref
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 5 = 0),
+        |tok AS (SELECT pair_id,
+        |  string_split_regex(trim(lower(cand)), '\s+') AS ct,
+        |  string_split_regex(trim(lower(ref)), '\s+') AS rt FROM p),
+        |g AS (SELECT pair_id,
+        |  CASE WHEN len(ct) >= 2 THEN list_transform(range(0, len(ct)-1),
+        |    i -> array_to_string(ct[i+1:i+2], ' ')) ELSE [] END AS cg,
+        |  CASE WHEN len(rt) >= 2 THEN list_transform(range(0, len(rt)-1),
+        |    i -> array_to_string(rt[i+1:i+2], ' ')) ELSE [] END AS rg
+        |  FROM tok),
+        |cc AS (SELECT pair_id, gg AS gram, count(*) AS c
+        |  FROM (SELECT pair_id, unnest(cg) AS gg FROM g) GROUP BY 1, 2),
+        |rc AS (SELECT pair_id, gg AS gram, count(*) AS r
+        |  FROM (SELECT pair_id, unnest(rg) AS gg FROM g) GROUP BY 1, 2),
+        |m AS (SELECT pair_id, CAST(sum(least(c, r)) AS BIGINT) AS mt
+        |  FROM cc JOIN rc USING (pair_id, gram) GROUP BY 1),
+        |tot AS (SELECT pair_id, len(cg) AS cand_total,
+        |  len(rg) AS ref_total FROM g)
+        |SELECT t.pair_id, coalesce(mt, 0) AS match_count,
+        |  cand_total, ref_total,
+        |  round(CASE WHEN cand_total > 0
+        |    THEN CAST(coalesce(mt, 0) AS DOUBLE) / cand_total
+        |    ELSE 0 END, 6) AS precision,
+        |  round(CASE WHEN ref_total > 0
+        |    THEN CAST(coalesce(mt, 0) AS DOUBLE) / ref_total
+        |    ELSE 0 END, 6) AS recall,
+        |  round(CASE WHEN coalesce(mt, 0) > 0 THEN
+        |    2.0 * (CAST(mt AS DOUBLE) / cand_total)
+        |        * (CAST(mt AS DOUBLE) / ref_total)
+        |    / ((CAST(mt AS DOUBLE) / cand_total)
+        |        + (CAST(mt AS DOUBLE) / ref_total))
+        |    ELSE 0 END, 6) AS f1
+        |FROM tot t LEFT JOIN m USING (pair_id)""".stripMargin,
 
     // q251 scores against the SAVED artifact and q252 streams the same
     // stateless scoring per micro-batch — both are value-identities on

@@ -617,6 +617,16 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Similarity.retrievalEval(df,
         spark.read.parquet(config.getString("truth_dir"))))
+    // ROUGE-n overlap eval: source rows carry (id, candidate, reference)
+    // text columns; clipped n-gram multiset precision/recall/F1 per row
+    case "RougeEval" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.rougeN(df,
+        config.getString("id_column"),
+        config.getString("candidate_column"),
+        config.getString("reference_column"),
+        config.getIntOpt("ngram_size").getOrElse(2)))
     // dataset-card report (exact corpus summary, tall metric/value);
     // per_group=true emits one card per source (mixture monitoring)
     case "DatasetCard" => new TransformAlgorithm(spark, fsOps,

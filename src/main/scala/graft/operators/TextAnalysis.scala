@@ -949,4 +949,64 @@ object TextAnalysis {
         maxMeanLen, maxSymbolRatio, minAlphaRatio, minStopwords)
         .filter(col("pass")).select(col(idCol)),
       Seq(idCol), "left_semi")
+
+  /** Contiguous n-gram MULTISET of the token sequence (duplicates kept,
+    * unlike [[graft.operators.Dedup.shinglesFromTokens]]'s distinct set):
+    * ROUGE counts clipped per-gram occurrences, so a gram appearing twice
+    * in both texts contributes two matches. Rows shorter than n yield an
+    * EMPTY array (no truncated tail gram — a 1-token text has zero
+    * bigrams).
+    */
+  private def allGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** ROUGE-n overlap between a candidate and a reference text per row
+    * (Lin 2004): clipped n-gram multiset matches, precision = matches /
+    * candidate grams, recall = matches / reference grams, F1 harmonic —
+    * the summarization/distillation eval staple (and a cheap
+    * transcription-vs-source fidelity check for synthetic training data).
+    *
+    * Shape: per-pair n-gram counts via explode → groupBy (id, gram-hash)
+    * with map-side combine, one equi-join of the two count tables on the
+    * same key, and a final per-id sum — every shuffle key is fixed-width
+    * (xxhash64 of the gram, the [[graft.operators.Dedup.shingleHashDF]]
+    * trick: counts per hash equal counts per gram up to ~2^-64
+    * collisions, and the gram strings themselves never move). Pairs with
+    * zero overlap survive via the totals left join; empty-gram sides
+    * score 0, not NaN.
+    */
+  def rougeN(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val grams = pairs.select(col(idCol).as("id"),
+        tokens(col(candCol)).as("__ct"), tokens(col(refCol)).as("__rt"))
+      .select(col("id"), allGrams(col("__ct"), n).as("cg"),
+        allGrams(col("__rt"), n).as("rg"))
+    def counts(gramCol: String, cntName: String): DataFrame =
+      grams.select(col("id"), explode(col(gramCol)).as("g"))
+        .groupBy(col("id"), xxhash64(col("g")).as("h"))
+        .agg(count(lit(1)).as(cntName))
+    val matches = counts("cg", "__cc")
+      .join(counts("rg", "__rc"), Seq("id", "h"))
+      .groupBy("id")
+      .agg(sum(least(col("__cc"), col("__rc"))).as("match_count"))
+    val totals = grams.select(col("id"), size(col("cg")).as("cand_total"),
+      size(col("rg")).as("ref_total"))
+    val p = col("match_count").cast("double") / col("cand_total")
+    val r = col("match_count").cast("double") / col("ref_total")
+    totals.join(matches, Seq("id"), "left")
+      .na.fill(0L, Seq("match_count"))
+      .withColumn("precision",
+        round(when(col("cand_total") > 0, p).otherwise(lit(0.0)), 6))
+      .withColumn("recall",
+        round(when(col("ref_total") > 0, r).otherwise(lit(0.0)), 6))
+      .withColumn("f1", round(
+        when(col("match_count") > 0, lit(2.0) * p * r / (p + r))
+          .otherwise(lit(0.0)), 6))
+      .select(col("id").as(idCol), col("match_count"), col("cand_total"),
+        col("ref_total"), col("precision"), col("recall"), col("f1"))
+  }
 }
