@@ -2993,6 +2993,23 @@ object SparkEntry {
       TextAnalysis.rougeN(pairs, "pair_id", "cand", "ref", n = 2)
     }),
 
+    // retrieval: MMR diversity re-rank of brute-force top-8 candidates
+    // (lambda=0.7, k=3) — greedy argmax of relevance minus max-sim to
+    // the already-picked set; score rounded to 6 before each argmax so
+    // the greedy choice is engine-reproducible
+    "q254_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cand = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") % 50 === 0), emb, "vec_id",
+          "embedding", k = 8)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          round(col("cosine"), 6).as("rel"))
+        .join(emb.select(col("vec_id").as("doc_id"),
+          col("embedding").as("vec")), Seq("doc_id"))
+      Similarity.mmrRerank(cand, "query_id", "doc_id", "rel", "vec",
+        k = 3, lambda = 0.7)
+    }),
+
     "q248_stream_semantic_decon" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
       val bench = vecs.filter(col("vec_id") % 25 === 0)
@@ -8541,6 +8558,48 @@ object SparkEntry {
         |        + (CAST(mt AS DOUBLE) / ref_total))
         |    ELSE 0 END, 6) AS f1
         |FROM tot t LEFT JOIN m USING (pair_id)""".stripMargin,
+
+    // mirrors Similarity.mmrRerank (k=3, lambda=0.7): the greedy loop
+    // unrolled to 3 rounds; each argmax orders by the MMR score rounded
+    // to 6 (doc_id tie-break), msim accumulates via greatest over the
+    // bit-identical cosSql; 0.7/0.3 written as DOUBLE subtraction so the
+    // constants are the same IEEE doubles Scala computes
+    "q254_mmr_rerank" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
+         |cand AS (
+         |  SELECT query_id, doc_id, round(cosine, 6) AS rel, cv
+         |  FROM (SELECT query_id, doc_id, cv,
+         |    ${cosSql("qv", "cv")} AS cosine
+         |    FROM q CROSS JOIN c WHERE query_id <> doc_id)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, doc_id) <= 8),
+         |s1 AS (SELECT query_id, doc_id, rel, cv FROM cand
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(rel, 6) DESC, doc_id) = 1),
+         |m1 AS (SELECT cand.query_id, cand.doc_id, cand.rel, cand.cv,
+         |    ${cosSql("cand.cv", "s1.cv")} AS msim
+         |  FROM cand JOIN s1 ON cand.query_id = s1.query_id
+         |    AND cand.doc_id <> s1.doc_id),
+         |s2 AS (SELECT query_id, doc_id, rel, cv, msim FROM m1
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(CAST(0.7 AS DOUBLE) * rel
+         |      - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * msim, 6)
+         |      DESC, doc_id) = 1),
+         |m2 AS (SELECT m1.query_id, m1.doc_id, m1.rel,
+         |    greatest(m1.msim, ${cosSql("m1.cv", "s2.cv")}) AS msim
+         |  FROM m1 JOIN s2 ON m1.query_id = s2.query_id
+         |    AND m1.doc_id <> s2.doc_id),
+         |s3 AS (SELECT query_id, doc_id, rel FROM m2
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(CAST(0.7 AS DOUBLE) * rel
+         |      - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * msim, 6)
+         |      DESC, doc_id) = 1)
+         |SELECT query_id, doc_id, round(rel, 6) AS rel, 1 AS mmr_rank
+         |FROM s1
+         |UNION ALL SELECT query_id, doc_id, round(rel, 6), 2 FROM s2
+         |UNION ALL SELECT query_id, doc_id, round(rel, 6), 3 FROM s3""".stripMargin,
 
     // q251 scores against the SAVED artifact and q252 streams the same
     // stateless scoring per micro-batch — both are value-identities on

@@ -617,6 +617,18 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Similarity.retrievalEval(df,
         spark.read.parquet(config.getString("truth_dir"))))
+    // MMR diversity re-rank: source is the candidate table
+    // (query, doc, relevance, vector), k-bounded per query upstream
+    case "MmrRerank" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.mmrRerank(df,
+        config.getString("query_id_column"),
+        config.getString("doc_id_column"),
+        config.getString("relevance_column"),
+        config.getString("vector_column"),
+        config.getInt("k"),
+        config.getDouble("lambda", 0.7)))
     // ROUGE-n overlap eval: source rows carry (id, candidate, reference)
     // text columns; clipped n-gram multiset precision/recall/F1 per row
     case "RougeEval" => new TransformAlgorithm(spark, fsOps,

@@ -852,4 +852,78 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rrf_score"), col("rank"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedily pick k items per query maximizing
+    * `lambda·rel − (1−lambda)·max_sim_to_already_picked` — the
+    * diversity-aware selection pass a retrieval stack runs AFTER
+    * [[bm25TopK]]/[[annTopK]]/[[fuseRankings]], so a query whose top hits
+    * are near-duplicates of each other doesn't return k copies of one
+    * answer (for training-data curation: diverse few-shot/RAG example
+    * selection). Input is the candidate table (query_id, doc_id,
+    * relevance, vector) — k-BOUNDED per query by the upstream retriever;
+    * MMR's greedy loop is inherently sequential in its k output slots, so
+    * the operator runs k−1 DataFrame rounds, each one a per-query
+    * one-row equi-join (the newly selected item) + a rank window, all
+    * keyed by query_id — rounds scale with k, never with the corpus, and
+    * a million queries re-rank in the same k−1 rounds.
+    *
+    * Each round eager-localCheckpoints its outputs and releases the
+    * previous round's working set, so plan depth and pinned blocks stay
+    * O(1) across rounds; what remains pinned is the output-sized selected
+    * rows. The MMR score is rounded to 6 before the argmax (with doc_id
+    * tie-break) so the greedy choice is reproducible cross-engine.
+    * Queries with fewer than k candidates emit all of them, ranked.
+    * Output: (query_id, doc_id, rel, mmr_rank).
+    */
+  def mmrRerank(cands: DataFrame, queryIdCol: String, docIdCol: String,
+      relCol: String, vecCol: String, k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1]: $lambda")
+    val W = Window.partitionBy(col("query_id"))
+    val r0 = cands.select(col(queryIdCol).as("query_id"),
+        col(docIdCol).as("doc_id"), col(relCol).cast("double").as("rel"),
+        col(vecCol).as("vec"))
+      .withColumn("__rk", row_number().over(
+        W.orderBy(round(col("rel"), 6).desc, col("doc_id"))))
+    var delta = r0.filter(col("__rk") === 1).drop("__rk")
+      .withColumn("mmr_rank", lit(1)).localCheckpoint(true)
+    // cosine ∈ [−1, 1], so −1 is "no selected neighbor yet"
+    var rest = r0.filter(col("__rk") > 1).drop("__rk")
+      .withColumn("__msim", lit(-1.0)).localCheckpoint(true)
+    val deltas = scala.collection.mutable.Buffer(delta)
+    var i = 2
+    while (i <= k) {
+      val sel = delta.select(col("query_id"), col("vec").as("__sv"))
+      val scored = rest.join(sel, Seq("query_id"))
+        .withColumn("__msim",
+          greatest(col("__msim"), cosine(col("vec"), col("__sv"))))
+        .withColumn("__mmr", round(lit(lambda) * col("rel") -
+          lit(1.0 - lambda) * col("__msim"), 6))
+        .withColumn("__rk", row_number().over(
+          W.orderBy(col("__mmr").desc, col("doc_id"))))
+      delta = scored.filter(col("__rk") === 1)
+        .select(col("query_id"), col("doc_id"), col("rel"), col("vec"))
+        .withColumn("mmr_rank", lit(i)).localCheckpoint(true)
+      val nextRest = scored.filter(col("__rk") > 1)
+        .select(col("query_id"), col("doc_id"), col("rel"), col("vec"),
+          col("__msim"))
+        .localCheckpoint(true)
+      releaseCheckpoint(rest)
+      rest = nextRest
+      deltas += delta
+      i += 1
+    }
+    releaseCheckpoint(rest)
+    deltas.reduce(_ unionByName _)
+      .select(col("query_id"), col("doc_id"),
+        round(col("rel"), 6).as("rel"), col("mmr_rank"))
+  }
+
+  private def releaseCheckpoint(df: DataFrame): Unit = if (df != null)
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
 }
