@@ -2993,6 +2993,26 @@ object SparkEntry {
       TextAnalysis.rougeN(pairs, "pair_id", "cand", "ref", n = 2)
     }),
 
+    // URL-level dedup: canonicalization collapses case/www/default-port/
+    // tracking-param/fragment surface variants onto one key. The synthetic
+    // corpus has no URLs, so the gate synthesizes deterministic messy
+    // variants from table columns (both engines build the identical
+    // fixture) — doc_id%3 picks utm-prefix / utm-suffix+gclid / fragment
+    // noise, all of which must collapse
+    "q255_url_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val urls = docs.select(col("doc_id"), concat(
+        lit("HTTPS://WWW."), col("source"), lit(".example.com:443/"),
+        col("lang"), lit("/item"), (col("doc_id") % 10).cast("string"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=x&id="), (col("doc_id") % 7).cast("string")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("?id="), (col("doc_id") % 7).cast("string"),
+            lit("&utm_campaign=y&gclid=z")))
+        .otherwise(lit("/#frag"))).as("url"))
+      TextAnalysis.canonicalUrlReport(urls, "doc_id", "url")
+    }),
+
     // retrieval: MMR diversity re-rank of brute-force top-8 candidates
     // (lambda=0.7, k=3) — greedy argmax of relevance minus max-sim to
     // the already-picked set; score rounded to 6 before each argmax so
@@ -8558,6 +8578,47 @@ object SparkEntry {
         |        + (CAST(mt AS DOUBLE) / ref_total))
         |    ELSE 0 END, 6) AS f1
         |FROM tot t LEFT JOIN m USING (pair_id)""".stripMargin,
+
+    // mirrors TextAnalysis.canonicalUrl over the same synthesized messy
+    // variants: fragment -> scheme/host lower -> www -> default port ->
+    // tracking params + separator tidy -> trailing slash
+    "q255_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.' || source || '.example.com:443/' || lang
+        |      || '/item' || CAST(doc_id % 10 AS VARCHAR)
+        |      || CASE WHEN doc_id % 3 = 0
+        |           THEN '?utm_source=x&id=' || CAST(doc_id % 7 AS VARCHAR)
+        |         WHEN doc_id % 3 = 1
+        |           THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
+        |             || '&utm_campaign=y&gclid=z'
+        |         ELSE '/#frag' END AS url
+        |  FROM documents),
+        |st AS (SELECT doc_id, url,
+        |  regexp_replace(url, '#.*$', '', 'g') AS nofrag FROM u),
+        |parts AS (SELECT doc_id, url,
+        |  lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+        |  regexp_replace(lower(regexp_extract(nofrag,
+        |    '^[A-Za-z]+://([^/?]+)', 1)), '^www\.', '', 'g') AS nowww,
+        |  regexp_extract(nofrag, '^[A-Za-z]+://[^/?]+(.*)$', 1) AS pathq
+        |  FROM st),
+        |canon AS (SELECT doc_id, url,
+        |  CASE WHEN scheme = '' THEN NULL ELSE
+        |    scheme || '://' ||
+        |    (CASE WHEN scheme = 'http'
+        |        THEN regexp_replace(nowww, ':80$', '')
+        |      WHEN scheme = 'https'
+        |        THEN regexp_replace(nowww, ':443$', '')
+        |      ELSE nowww END) ||
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(pathq,
+        |        '(utm_[A-Za-z]+|gclid|fbclid)=[^&]*', '', 'g'),
+        |      '&&+', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '', 'g'),
+        |      '/+$', '', 'g')
+        |  END AS canonical_url FROM parts)
+        |SELECT canonical_url, count(*) AS n_urls,
+        |  count(DISTINCT url) AS n_variants, min(doc_id) AS first_id
+        |FROM canon GROUP BY 1""".stripMargin,
 
     // mirrors Similarity.mmrRerank (k=3, lambda=0.7): the greedy loop
     // unrolled to 3 rounds; each argmax orders by the MMR score rounded

@@ -617,6 +617,13 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Similarity.retrievalEval(df,
         spark.read.parquet(config.getString("truth_dir"))))
+    // URL-level dedup report: canonical_url, occurrence count, surface
+    // variants, min-id survivor
+    case "UrlCanonicalReport" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.canonicalUrlReport(df,
+        config.getString("id_column"), config.getString("url_column")))
     // MMR diversity re-rank: source is the candidate table
     // (query, doc, relevance, vector), k-bounded per query upstream
     case "MmrRerank" => new TransformAlgorithm(spark, fsOps,

@@ -950,6 +950,48 @@ object TextAnalysis {
         .filter(col("pass")).select(col(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Canonical URL normalization — the dedup key for URL-level corpus
+    * dedup (a crawl corpus carries the same page as `HTTP://WWW.X.COM/a/`,
+    * `http://x.com/a?utm_source=feed`, `http://x.com:80/a#top`, …):
+    * fragment stripped, scheme and host lowercased, leading `www.`
+    * dropped, default port (`:80` http / `:443` https) dropped, tracking
+    * params (`utm_*`, `gclid`, `fbclid`) removed with separators tidied,
+    * trailing slashes stripped. Pure regexp Columns (codegen'd, zero
+    * shuffle); path case is PRESERVED (paths are case-sensitive). A value
+    * with no `scheme://` is not a URL — canonicalizes to null.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val noWww = regexp_replace(
+      lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?]+)", 1)),
+      "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val pathq = regexp_extract(noFrag, "^[A-Za-z]+://[^/?]+(.*)$", 1)
+    val noTrack = regexp_replace(pathq,
+      "(utm_[A-Za-z]+|gclid|fbclid)=[^&]*", "")
+    val tidy = regexp_replace(regexp_replace(regexp_replace(
+      noTrack, "&&+", "&"), "\\?&", "?"), "[?&]+$", "")
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host,
+        regexp_replace(tidy, "/+$", "")))
+  }
+
+  /** URL-level dedup report: rows grouped by [[canonicalUrl]] — total
+    * raw occurrences, distinct surface variants, and the min id as the
+    * group survivor. One hash-aggregate shuffle on the canonical string.
+    */
+  def canonicalUrlReport(df: DataFrame, idCol: String,
+      urlCol: String): DataFrame =
+    df.select(col(s"`$idCol`").as("__id"), col(s"`$urlCol`").as("__url"))
+      .withColumn("canonical_url", canonicalUrl(col("__url")))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("__url")).as("n_variants"),
+        min(col("__id")).as("first_id"))
+
   /** Contiguous n-gram MULTISET of the token sequence (duplicates kept,
     * unlike [[graft.operators.Dedup.shinglesFromTokens]]'s distinct set):
     * ROUGE counts clipped per-gram occurrences, so a gram appearing twice
