@@ -2993,6 +2993,50 @@ object SparkEntry {
       TextAnalysis.rougeN(pairs, "pair_id", "cand", "ref", n = 2)
     }),
 
+    // privacy: l-diversity over the q178 quasi classes with user-ish
+    // sensitive buckets — the homogeneity-attack audit k-anonymity
+    // leaves open
+    "q259_l_diversity" -> ((s, dir) => {
+      graft.operators.Checks.lDiversityReport(
+        t(s, dir, "events").withColumn("hour_bucket",
+          hour(col("ts")).cast("long")),
+        Seq("event_type", "hour_bucket"), "user_id", l = 3)
+    }),
+
+    // dedup: winnowing fingerprint candidates (MOSS scheme) — local
+    // partial overlap (a shared token run >= w+k-1) guarantees a shared
+    // selected fingerprint; pairs from the fp inverted index
+    "q258_winnow_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 10 < 3)
+      Dedup.winnowCandidates(docs, "doc_id", "text",
+        shingleSize = 3, window = 4, minShared = 2)
+    }),
+
+    // augmentation: replayable token dropout (rate 0.1, seed "s1") —
+    // positional md5 keeps/drops each token identically in both engines;
+    // no RNG state, zero shuffle
+    "q256_token_dropout" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+      TextAnalysis.augmentTokenDropout(docs, "doc_id", "text",
+        rate = 0.1, seed = "s1")
+    }),
+
+    // the streaming face of q256: the same replayable dropout applied
+    // per micro-batch through the generic stateless-transform runner
+    // (4 real triggers); batch outputs union to the whole-corpus result,
+    // so the gate shares q256's oracle
+    "q257_stream_dropout" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+      val inDir = tmpDir("graft_q257_in")
+      docs.repartition(4).write.mode("overwrite").parquet(inDir)
+      val outDir = tmpDir("graft_q257_out") + "/out"
+      EventStream.runTransformOnce(s, s.read.parquet(inDir).schema,
+        inDir, outDir, "q257_sink", maxFilesPerTrigger = Some(1)) {
+        batch => TextAnalysis.augmentTokenDropout(batch, "doc_id",
+          "text", rate = 0.1, seed = "s1")
+      }
+    }),
+
     // URL-level dedup: canonicalization collapses case/www/default-port/
     // tracking-param/fragment surface variants onto one key. The synthetic
     // corpus has no URLs, so the gate synthesizes deterministic messy
@@ -3301,6 +3345,24 @@ object SparkEntry {
   // reproduces the exact candidate sets — no rows-only gates) ----
 
   import graft.functions.PortableHash
+
+  /** q256/q257 shared oracle: replayable token dropout (rate 0.1, seed
+    * s1) — mirrors TextAnalysis.augmentTokenDropout.
+    */
+  private def dropoutSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |kept AS (SELECT doc_id, tk,
+      |  list_filter(tk, (x, i) ->
+      |    CAST('0x' || substr(md5('s1_' || CAST(doc_id AS VARCHAR)
+      |      || '_' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+      |      % 1000 >= 100) AS kp
+      |  FROM tok)
+      |SELECT doc_id, array_to_string(kp, ' ') AS text_aug,
+      |  CAST(len(tk) AS INTEGER) AS n_tokens,
+      |  CAST(len(kp) AS INTEGER) AS n_kept
+      |FROM kept""".stripMargin
 
   /** Sequential-accumulation cosine — the same operation order as the native
     * CosineSimilarityExpr loop, so doubles match bit-for-bit.
@@ -8578,6 +8640,67 @@ object SparkEntry {
         |        + (CAST(mt AS DOUBLE) / ref_total))
         |    ELSE 0 END, 6) AS f1
         |FROM tot t LEFT JOIN m USING (pair_id)""".stripMargin,
+
+    // mirrors Checks.lDiversityReport: per-class (size, distinct
+    // sensitive), risky when diversity < 3; hour() matches Spark's hour
+    "q259_l_diversity" ->
+      """WITH c AS (
+        |  SELECT count(*) AS sz, count(DISTINCT user_id) AS div FROM (
+        |    SELECT event_type,
+        |      CAST(extract(hour FROM ts) AS BIGINT) AS hour_bucket,
+        |      user_id
+        |    FROM events)
+        |  GROUP BY event_type, hour_bucket)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(div) AS BIGINT) AS min_diversity,
+        |  CAST(count(CASE WHEN div < 3 THEN 1 END) AS BIGINT)
+        |    AS n_risky_classes,
+        |  CAST(COALESCE(sum(CASE WHEN div < 3 THEN sz END), 0) AS BIGINT)
+        |    AS n_risky_rows,
+        |  CASE WHEN sum(sz) = 0 THEN NULL
+        |    ELSE round(CAST(COALESCE(sum(CASE WHEN div < 3 THEN sz END), 0)
+        |      AS DOUBLE) / sum(sz), 6) END AS risky_rate
+        |FROM c""".stripMargin,
+
+    // mirrors Dedup.winnowCandidates (k=3, w=4): positional 3-gram md5-60
+    // hashes, per-window min with RIGHTMOST tie position (list_max over
+    // the matching-position CASE — later positions overwrite), distinct
+    // selected (doc, fp), df>1 prefilter, pair counts
+    "q258_winnow_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE doc_id % 10 < 3),
+        |sl AS (SELECT doc_id,
+        |  CASE WHEN len(tk) >= 3 THEN list_transform(range(0, len(tk)-2),
+        |    i -> array_to_string(tk[i+1:i+3], ' ')) ELSE [] END AS sl
+        |  FROM tok),
+        |hl0 AS (SELECT doc_id, list_transform(sl, s ->
+        |    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hl,
+        |    len(sl) AS m FROM sl),
+        |ok AS (SELECT doc_id, hl, m FROM hl0 WHERE m >= 4),
+        |wm AS (SELECT doc_id, hl, list_transform(range(1, m-4+2),
+        |    j -> list_min(hl[j:j+3])) AS wm FROM ok),
+        |ps AS (SELECT doc_id, hl,
+        |  list_distinct(list_transform(range(1, len(wm)+1), j ->
+        |    list_max(list_transform(range(j, j+4),
+        |      p -> CASE WHEN hl[p] = wm[j] THEN p ELSE 0 END)))) AS pos
+        |  FROM wm),
+        |f AS (SELECT DISTINCT doc_id, hl[p] AS fp
+        |  FROM (SELECT doc_id, hl, unnest(pos) AS p FROM ps)),
+        |d AS (SELECT doc_id, fp FROM f
+        |  QUALIFY count(*) OVER (PARTITION BY fp) > 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // mirrors TextAnalysis.augmentTokenDropout: 1-based list_filter
+    // index, the PortableHash 60-bit md5 of "{seed}_{id}_{pos}"
+    "q256_token_dropout" -> dropoutSql,
+
+    // q257 streams the same stateless dropout per micro-batch; batch
+    // outputs union to the whole corpus — the identical oracle
+    "q257_stream_dropout" -> dropoutSql,
 
     // mirrors TextAnalysis.canonicalUrl over the same synthesized messy
     // variants: fragment -> scheme/host lower -> www -> default port ->

@@ -617,6 +617,31 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Similarity.retrievalEval(df,
         spark.read.parquet(config.getString("truth_dir"))))
+    // l-diversity privacy audit (quasi classes x distinct sensitive)
+    case "LDiversity" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Checks.lDiversityReport(df,
+        config.getSeq[String]("quasi_columns"),
+        config.getString("sensitive_column"),
+        config.getInt("l")))
+    // winnowing (MOSS) local-fingerprint candidate pairs
+    case "WinnowCandidates" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Dedup.winnowCandidates(df,
+        config.getString("id_column"), config.getString("text_column"),
+        config.getIntOpt("shingle_size").getOrElse(3),
+        config.getIntOpt("window").getOrElse(4),
+        config.getIntOpt("min_shared").getOrElse(2)))
+    // replayable token-dropout augmentation (seeded positional md5)
+    case "AugmentTokenDropout" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.augmentTokenDropout(df,
+        config.getString("id_column"), config.getString("text_column"),
+        config.getDouble("rate", 0.1),
+        config.getString("seed")))
     // URL-level dedup report: canonical_url, occurrence count, surface
     // variants, min-id survivor
     case "UrlCanonicalReport" => new TransformAlgorithm(spark, fsOps,

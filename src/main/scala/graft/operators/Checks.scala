@@ -137,6 +137,47 @@ object Checks {
             / col("n_rows"), 6)))
   }
 
+  /** l-diversity risk report (Machanavajjhala et al. 2007) — the audit
+    * k-anonymity leaves open: a class can hold k rows and STILL leak
+    * when all k share one sensitive value (the homogeneity attack:
+    * knowing someone is in the class reveals their attribute). Distinct
+    * l-diversity: every quasi-identifier class must contain at least l
+    * distinct sensitive values. Nulls group quasi-tuples as in
+    * [[kAnonymityReport]]; a NULL sensitive value does not count toward
+    * diversity (both engines' count(DISTINCT) semantics). One output
+    * row: (n_rows, n_classes, min_diversity, n_risky_classes,
+    * n_risky_rows, risky_rate) with a class risky when its distinct
+    * sensitive count < l — `min_diversity >= l` IS the property.
+    *
+    * 100 TB shape: ONE aggregation keyed by the quasi tuple computing
+    * (count, exact countDistinct sensitive) — the distinct forces the
+    * classic two-phase expand, bounded by class×sensitive cardinality,
+    * never row content — then one map-side agg to a single row.
+    */
+  def lDiversityReport(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(quasiCols.distinct == quasiCols,
+      s"duplicate quasi columns: $quasiCols")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi column")
+    require(l >= 2, s"l must be >= 2: $l")
+    val classes = df.groupBy(quasiCols.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("__sz"),
+        countDistinct(col(s"`$sensitiveCol`")).as("__div"))
+    classes.agg(
+        sum(col("__sz")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("__div")).as("min_diversity"),
+        count(when(col("__div") < l, lit(1))).as("n_risky_classes"),
+        coalesce(sum(when(col("__div") < l, col("__sz"))), lit(0L))
+          .as("n_risky_rows"))
+      .withColumn("risky_rate",
+        when(col("n_rows") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_risky_rows").cast("double")
+            / col("n_rows"), 6)))
+  }
+
   /** Symmetric key reconciliation between two tables — the
     * referential-integrity REPORT next to [[referential]]'s one-sided
     * pass/fail rule: how many distinct keys each side holds, how many

@@ -912,6 +912,70 @@ object Dedup {
     }
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS local fingerprinting scheme): hash every POSITIONAL k-gram
+    * (multiset — [[shinglesFromTokens]]'s distinct set loses positions),
+    * then in every window of `w` consecutive hashes select the minimum
+    * (rightmost on ties), distinct per document. The guarantee the
+    * per-doc minhash/simhash fingerprints can't give: any shared token
+    * run of length ≥ w + k − 1 between two documents produces at least
+    * one IDENTICAL selected fingerprint in both — local partial overlap
+    * (a quoted paragraph inside an otherwise-unrelated doc) is caught
+    * without comparing whole-document sketches, and density is bounded
+    * (~2/(w+1) of positions selected).
+    *
+    * Hashes are the [[graft.functions.PortableHash]] 60-bit md5 family
+    * ([[graft.functions.SpanHashesExpr]] — the span family's positional
+    * k-gram kernel, byte-identical to the composed md5/conv form the
+    * DuckDB oracle replays), and the selection loop is the native
+    * [[graft.functions.WinnowSelectExpr]] — the composed nested-HOF
+    * form hit the CollapseProject lambda-inlining trap head-on (the
+    * first cut spun a single task for >10 min at sf0.001 recomputing
+    * the hash chain per window position; see WinnowSelectExpr's
+    * scaladoc). Zero shuffle; docs with fewer than w k-grams emit
+    * nothing (no window exists).
+    *
+    * Output: (id, pos, fp) — one row per selected (position, hash).
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, window: Int = 4): DataFrame = {
+    require(shingleSize >= 1, s"shingleSize must be >= 1: $shingleSize")
+    require(window >= 1, s"window must be >= 1: $window")
+    docs
+      .select(col(s"`$idCol`").as("id"), tokens(col(s"`$textCol`")).as("__t"))
+      .select(col("id"), explode(
+        graft.functions.WinnowSelectExpr.winnowSelect(
+          graft.functions.SpanHashesExpr.spanHashes(col("__t"),
+            shingleSize), window)).as("__w"))
+      .select(col("id").as(idCol), col("__w.pos").as("pos"),
+        col("__w.fp").as("fp"))
+  }
+
+  /** Candidate pairs from shared winnowing fingerprints: the inverted
+    * index over [[winnowFingerprints]] output — same skeleton as the
+    * shingle index ([[ngramJaccardPairs]]'s plain branch): fingerprints
+    * in exactly one doc dropped by a window count BEFORE the self-join
+    * (the window shuffles by fp, the partitioning the join needs), pair
+    * counts aggregated map-side. A pair sharing `minShared` selected
+    * fingerprints shares at least that many distinct local token runs.
+    * Output: (id_a < id_b, n_shared ≥ minShared).
+    */
+  def winnowCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, window: Int = 4,
+      minShared: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val inv = winnowFingerprints(docs, idCol, textCol, shingleSize, window)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+      .withColumn("__df", count(lit(1)).over(w.partitionBy(col("fp"))))
+      .filter(col("__df") > 1)
+      .select(col("id"), col("fp"))
+    inv.as("a").join(inv.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Connected components over an undirected near-duplicate pair list
     * (`id_a`/`id_b`) via iterative min-label propagation: every node
     * starts labeled with its own id; each round every node takes the

@@ -992,6 +992,36 @@ object TextAnalysis {
         countDistinct(col("__url")).as("n_variants"),
         min(col("__id")).as("first_id"))
 
+  /** Deterministic token-dropout augmentation — the contrastive /
+    * denoising training-data staple (drop ~`rate` of each document's
+    * tokens, reassemble): position p of doc d survives iff
+    * `md5_60("{seed}_{d}_{p}") mod 1000 >= rate·1000`, the
+    * [[graft.functions.PortableHash]] convention, so the augmentation is
+    * REPLAYABLE (same seed → same corpus, a different seed → an
+    * independent draw) and oracle-mirrorable — no RNG state, no
+    * driver-side sampling, a pure per-row Column program with zero
+    * shuffle. Positions are 1-based (DuckDB's list_filter index
+    * convention). Original token case/order preserved; output text is
+    * single-space rejoined. Returns (id, text_aug, n_tokens, n_kept).
+    */
+  def augmentTokenDropout(docs: DataFrame, idCol: String, textCol: String,
+      rate: Double, seed: String): DataFrame = {
+    require(rate >= 0.0 && rate < 1.0, s"rate must be in [0, 1): $rate")
+    val cut = math.round(rate * 1000).toInt
+    val keepTok = docs
+      .select(col(s"`$idCol`").as("id"),
+        split(trim(col(s"`$textCol`")), "\\s+").as("__toks"))
+      .select(col("id"), col("__toks"),
+        filter(col("__toks"), (_, i) =>
+          conv(substring(md5(concat_ws("_",
+            lit(seed), col("id"), i + 1)), 1, 15), 16, 10)
+            .cast("long") % 1000 >= cut).as("__kept"))
+    keepTok.select(col("id").as(idCol),
+      concat_ws(" ", col("__kept")).as("text_aug"),
+      size(col("__toks")).as("n_tokens"),
+      size(col("__kept")).as("n_kept"))
+  }
+
   /** Contiguous n-gram MULTISET of the token sequence (duplicates kept,
     * unlike [[graft.operators.Dedup.shinglesFromTokens]]'s distinct set):
     * ROUGE counts clipped per-gram occurrences, so a gram appearing twice

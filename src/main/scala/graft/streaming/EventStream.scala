@@ -635,6 +635,36 @@ object EventStream {
       size(col("__sk")).cast("long").as("sketch_rows"))
   }
 
+  /** Generic STATELESS per-micro-batch transform runner: apply `fn` to
+    * each batch and append the result to `outDir` — the streaming face
+    * of any pure row-level operator (augmentation, redaction,
+    * normalization, scoring against a pinned artifact the caller closes
+    * over). Stateless by construction: batch outputs union to exactly
+    * the whole-corpus result, which is what lets a q-gate share the
+    * batch operator's oracle. AvailableNow + processAllAvailable, same
+    * harness shape as the dedicated runners above.
+    */
+  def runTransformOnce(spark: SparkSession, schema: StructType,
+      inputGlob: String, outDir: String, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      (fn: DataFrame => DataFrame): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(m => reader.option("maxFilesPerTrigger", m))
+      .parquet(inputGlob)
+    val q: StreamingQuery = stream.writeStream
+      .queryName(s"${queryName}_${sinkSeq.incrementAndGet()}")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        fn(batch).write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
+
   def runOnce(spark: SparkSession, schema: StructType, inputDir: String,
       windowDur: String, queryName: String): DataFrame = {
     val stream = spark.readStream.schema(schema).parquet(inputDir)

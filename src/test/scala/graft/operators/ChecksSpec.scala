@@ -131,6 +131,48 @@ class ChecksSpec extends SparkSpec {
         Checks.FkEdge("x", child, "fk", parent, "pk")))
   }
 
+  test("lDiversityReport: homogeneous class is risky even when k-anonymous;" +
+      " null sensitive values add no diversity") {
+    val df = Seq(
+      // class A: 3 rows, 3 distinct diagnoses -> diverse
+      ("en", "a", Some("flu")), ("en", "a", Some("cold")),
+      ("en", "a", Some("cough")),
+      // class B: 3 rows (k-anonymous at k=3) but ONE diagnosis -> risky
+      ("de", "b", Some("flu")), ("de", "b", Some("flu")),
+      ("de", "b", Some("flu")),
+      // class C: 2 distinct + a null (null must not count as a value)
+      ("fr", "c", Some("flu")), ("fr", "c", Some("cold")),
+      ("fr", "c", None))
+      .toDF("lang", "source", "diag")
+    val out = Checks.lDiversityReport(df, Seq("lang", "source"), "diag",
+      l = 3).as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    // diversities: A=3, B=1, C=2 -> risky classes B and C; risky ROWS
+    // count class sizes (C's null-diagnosis row is still a row): 3+3=6
+    out shouldBe ((9L, 3L, 1L, 2L, 6L, Some(BigDecimal(6.0 / 9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    val safe = Checks.lDiversityReport(df, Seq("lang", "source"), "diag",
+      l = 2).as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    safe._4 shouldBe 1L // only the homogeneous class stays risky at l=2
+    an[IllegalArgumentException] should be thrownBy
+      Checks.lDiversityReport(df, Seq("lang", "diag"), "diag", l = 2)
+    an[IllegalArgumentException] should be thrownBy
+      Checks.lDiversityReport(df, Seq("lang"), "diag", l = 1)
+  }
+
+  test("LDiversity runs through the params surface") {
+    val base = tmp("ldiv_params")
+    Seq(("en", "flu"), ("en", "cold"), ("de", "flu"), ("de", "flu"))
+      .toDF("lang", "diag").write.parquet(s"$base/rows")
+    val f = java.nio.file.Paths.get(base, "LDiversity.json")
+    java.nio.file.Files.writeString(f,
+      s"""{"source_dir": "$base/rows", "target_dir": "$base/out",
+         | "quasi_columns": ["lang"], "sensitive_column": "diag",
+         | "l": 2}""".stripMargin)
+    graft.core.JobRunner.execute(spark, "LDiversity", f.toString)
+    val got = spark.read.parquet(s"$base/out")
+    got.select($"n_risky_classes").head.getLong(0) shouldBe 1L
+  }
+
   test("parseRule round-trips the params-JSON surface") {
     Checks.parseRule("not_null:id").name shouldBe "not_null(id)"
     Checks.parseRule("in_range:v:0:100").name shouldBe
