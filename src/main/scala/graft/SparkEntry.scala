@@ -2993,6 +2993,28 @@ object SparkEntry {
       TextAnalysis.rougeN(pairs, "pair_id", "cand", "ref", n = 2)
     }),
 
+    // augmentation: T5-style span masking (rate 0.3, block 5, seed s1) —
+    // masked blocks collapse to one positional <extra_id_b> sentinel
+    "q260_span_mask" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 4 === 1)
+      TextAnalysis.augmentSpanMask(docs, "doc_id", "text",
+        rate = 0.3, blockSize = 5, seed = "s1")
+    }),
+
+    // normalization: homoglyph folding — the fixture injects Cyrillic
+    // look-alikes deterministically (both engines build it identically),
+    // the operator must count and fold them back
+    "q261_homoglyphs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val injected = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 1, translate(col("text"), "aeo", "аео"))
+          .when(col("doc_id") % 3 === 2, translate(col("text"), "cpx", "срх"))
+          .otherwise(col("text")).as("t"))
+      injected.select(col("doc_id"),
+        TextAnalysis.normalizeHomoglyphs(col("t")).as("text_norm"),
+        TextAnalysis.homoglyphCount(col("t")).as("n_homoglyphs"))
+    }),
+
     // privacy: l-diversity over the q178 quasi classes with user-ish
     // sensitive buckets — the homogeneity-attack audit k-anonymity
     // leaves open
@@ -8640,6 +8662,52 @@ object SparkEntry {
         |        + (CAST(mt AS DOUBLE) / ref_total))
         |    ELSE 0 END, 6) AS f1
         |FROM tot t LEFT JOIN m USING (pair_id)""".stripMargin,
+
+    // mirrors TextAnalysis.augmentSpanMask: block b = floor((i-1)/5),
+    // masked iff md5_60("s1_m_{id}_{b}") mod 1000 < 300; first token of
+    // a masked block becomes <extra_id_b>, the rest drop
+    "q260_span_mask" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |m AS (SELECT doc_id, tk,
+        |  list_transform(tk, (x, i) ->
+        |    CASE WHEN CAST('0x' || substr(md5('s1_m_'
+        |        || CAST(doc_id AS VARCHAR) || '_'
+        |        || CAST(CAST(floor((i-1) / 5.0) AS BIGINT) AS VARCHAR)),
+        |        1, 15) AS BIGINT) % 1000 >= 300 THEN x
+        |      WHEN (i-1) % 5 = 0 THEN '<extra_id_'
+        |        || CAST(CAST(floor((i-1) / 5.0) AS BIGINT) AS VARCHAR)
+        |        || '>'
+        |      ELSE '' END) AS mp,
+        |  len(list_filter(tk, (x, i) ->
+        |    CAST('0x' || substr(md5('s1_m_'
+        |        || CAST(doc_id AS VARCHAR) || '_'
+        |        || CAST(CAST(floor((i-1) / 5.0) AS BIGINT) AS VARCHAR)),
+        |        1, 15) AS BIGINT) % 1000 < 300)) AS n_masked
+        |  FROM tok)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(mp, x -> x <> ''), ' ')
+        |    AS text_masked,
+        |  CAST(len(tk) AS INTEGER) AS n_tokens,
+        |  CAST(n_masked AS INTEGER) AS n_masked
+        |FROM m""".stripMargin,
+
+    // mirrors q261: the same deterministic confusable injection, then
+    // translate-based folding and the deletion-count signal
+    "q261_homoglyphs" ->
+      s"""WITH inj AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 1 THEN translate(text, 'aeo', 'аео')
+         |    WHEN doc_id % 3 = 2 THEN translate(text, 'cpx', 'срх')
+         |    ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  translate(t, '${TextAnalysis.homoglyphFrom}',
+         |    '${TextAnalysis.homoglyphTo}') AS text_norm,
+         |  CAST(length(t) - length(translate(t,
+         |    '${TextAnalysis.homoglyphFrom}', '')) AS INTEGER)
+         |    AS n_homoglyphs
+         |FROM inj""".stripMargin,
 
     // mirrors Checks.lDiversityReport: per-class (size, distinct
     // sensitive), risky when diversity < 3; hour() matches Spark's hour

@@ -617,6 +617,27 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Similarity.retrievalEval(df,
         spark.read.parquet(config.getString("truth_dir"))))
+    // T5-style span-mask augmentation (seeded block md5)
+    case "AugmentSpanMask" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.augmentSpanMask(df,
+        config.getString("id_column"), config.getString("text_column"),
+        config.getDouble("rate", 0.15),
+        config.getIntOpt("block_size").getOrElse(5),
+        config.getString("seed")))
+    // homoglyph folding + evasion-signal count
+    case "NormalizeHomoglyphs" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        import org.apache.spark.sql.functions.col
+        val tc = config.getString("text_column")
+        df.withColumn("n_homoglyphs",
+            graft.operators.TextAnalysis.homoglyphCount(col(s"`$tc`")))
+          .withColumn(tc,
+            graft.operators.TextAnalysis.normalizeHomoglyphs(col(s"`$tc`")))
+      })
     // l-diversity privacy audit (quasi classes x distinct sensitive)
     case "LDiversity" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -1022,6 +1022,68 @@ object TextAnalysis {
       size(col("__kept")).as("n_kept"))
   }
 
+  /** Deterministic span-mask augmentation (the T5 denoising objective's
+    * data shape): tokens are cut into fixed blocks of `blockSize`; block
+    * b of doc d is masked iff `md5_60("{seed}_m_{d}_{b}") mod 1000 <
+    * rate·1000` (the "_m_" marker keeps the draw independent of
+    * [[augmentTokenDropout]]'s positional draw under a shared seed); a
+    * masked block's tokens are replaced by ONE `<extra_id_b>` sentinel
+    * (the block index — deterministic, unlike T5's sequential numbering,
+    * so the mask is positionally replayable). Same replayability and
+    * oracle story as dropout: no RNG state, pure per-row Columns, zero
+    * shuffle. Output: (id, text_masked, n_tokens, n_masked).
+    */
+  def augmentSpanMask(docs: DataFrame, idCol: String, textCol: String,
+      rate: Double, blockSize: Int, seed: String): DataFrame = {
+    require(rate >= 0.0 && rate < 1.0, s"rate must be in [0, 1): $rate")
+    require(blockSize >= 1, s"blockSize must be >= 1: $blockSize")
+    val cut = math.round(rate * 1000).toInt
+    def blockOf(i0: Column): Column =
+      floor(i0.cast("double") / blockSize).cast("long")
+    def maskedBlock(i0: Column): Column =
+      conv(substring(md5(concat_ws("_",
+        lit(seed), lit("m"), col("id"), blockOf(i0))), 1, 15), 16, 10)
+        .cast("long") % 1000 < cut
+    val staged = docs.select(col(s"`$idCol`").as("id"),
+      split(trim(col(s"`$textCol`")), "\\s+").as("__toks"))
+    val mapped = staged.select(col("id"), col("__toks"),
+      transform(col("__toks"), (t, i0) =>
+        when(!maskedBlock(i0), t)
+          .when(i0 % blockSize === 0,
+            concat(lit("<extra_id_"), blockOf(i0), lit(">")))
+          .otherwise(lit(""))).as("__m"),
+      size(filter(col("__toks"), (_, i0) => maskedBlock(i0)))
+        .as("n_masked"))
+    mapped.select(col("id").as(idCol),
+      concat_ws(" ", filter(col("__m"), t => t =!= "")).as("text_masked"),
+      size(col("__toks")).as("n_tokens"), col("n_masked"))
+  }
+
+  /** Homoglyph (Unicode confusable) characters this normalizer folds to
+    * their Latin look-alikes — the common Cyrillic and Greek letters
+    * spam/evasion text swaps in so that "pаypal" (Cyrillic а) slips past
+    * an exact blocklist. Paired `from`/`to` strings for `translate`.
+    */
+  val homoglyphFrom: String =
+    "аеорсухі" + "АВЕКМНОРСТХІ" + "οα" // Cyrillic lc/uc + Greek ο α
+  val homoglyphTo: String =
+    "aeopcyxi" + "ABEKMHOPCTXI" + "oa"
+
+  /** Fold Unicode homoglyphs onto their Latin look-alikes ahead of
+    * blocklist/dedup hashing — character-for-character `translate`
+    * (codegen'd, zero shuffle), NOT a general Unicode confusable table
+    * (that's a locale decision); extend the paired strings for more.
+    */
+  def normalizeHomoglyphs(text: Column): Column =
+    translate(text, homoglyphFrom, homoglyphTo)
+
+  /** Count of homoglyph characters present — the evasion signal (a
+    * natural-language doc whose Latin text hides Cyrillic look-alikes is
+    * doing it on purpose): length minus length-after-deletion.
+    */
+  def homoglyphCount(text: Column): Column =
+    length(text) - length(translate(text, homoglyphFrom, ""))
+
   /** Contiguous n-gram MULTISET of the token sequence (duplicates kept,
     * unlike [[graft.operators.Dedup.shinglesFromTokens]]'s distinct set):
     * ROUGE counts clipped per-gram occurrences, so a gram appearing twice

@@ -58,6 +58,87 @@ class AugmentSpec extends SparkSpec {
     }
   }
 
+  test("span mask: replayable, masked blocks collapse to one positional " +
+      "sentinel, unmasked text is untouched") {
+    val one = Seq((1L, (1 to 25).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def mask(rate: Double, seed: String) =
+      TextAnalysis.augmentSpanMask(one, "doc_id", "text", rate, 5, seed)
+    assertSameRows(mask(0.5, "s1"), mask(0.5, "s1"))
+    val got = mask(0.5, "s1")
+      .select($"text_masked", $"n_tokens", $"n_masked")
+      .as[(String, Int, Int)].head()
+    got._2 shouldBe 25
+    got._3 % 5 shouldBe 0 // whole blocks only
+    val toks = got._1.split(" ")
+    // every sentinel is <extra_id_b> with b a block index; surviving
+    // real tokens keep their form
+    toks.foreach { t =>
+      assert(t.matches("<extra_id_[0-4]>") || t.matches("w\\d+"), t)
+    }
+    toks.count(_.startsWith("<extra_id_")) shouldBe (got._3 / 5)
+    // rate 0 is the identity
+    mask(0.0, "s1").select($"text_masked").head.getString(0) shouldBe
+      (1 to 25).map(i => s"w$i").mkString(" ")
+  }
+
+  test("span mask: empirical masked fraction tracks the rate") {
+    val masked = TextAnalysis.augmentSpanMask(docs, "doc_id", "text",
+      0.3, 5, "s1")
+      .agg(sum($"n_masked").cast("double").as("m"),
+        sum($"n_tokens").cast("double").as("t"))
+      .select($"m" / $"t").head.getDouble(0)
+    masked shouldBe 0.3 +- 0.06
+  }
+
+  test("homoglyphs: folding restores confusable-injected text exactly") {
+    val clean = Seq((1L, "paypal secure checkout example"))
+      .toDF("doc_id", "text")
+    val dirty = clean.select($"doc_id",
+      translate($"text", "aeo", "аео").as("text"))
+    // injection changed the string...
+    dirty.select($"text").head.getString(0) should not be
+      "paypal secure checkout example"
+    // ...counting sees every injected char, folding restores the original
+    val got = dirty.select(
+      TextAnalysis.homoglyphCount($"text").as("n"),
+      TextAnalysis.normalizeHomoglyphs($"text").as("norm"))
+      .as[(Int, String)].head()
+    got._1 shouldBe "paypal secure checkout example".count("aeo".contains(_))
+    got._2 shouldBe "paypal secure checkout example"
+    // clean text: zero count, identity fold
+    clean.select(TextAnalysis.homoglyphCount($"text")).head.getInt(0) shouldBe 0
+  }
+
+  test("homoglyph table is a well-formed duplicate-free pairing") {
+    TextAnalysis.homoglyphFrom.length shouldBe TextAnalysis.homoglyphTo.length
+    TextAnalysis.homoglyphFrom.toSeq.distinct.length shouldBe
+      TextAnalysis.homoglyphFrom.length
+    // every source char is non-ASCII (we never fold real Latin text)
+    all(TextAnalysis.homoglyphFrom.toSeq.map(_.toInt)) should be > 127
+  }
+
+  test("AugmentSpanMask and NormalizeHomoglyphs run through the params " +
+      "surface") {
+    val base = tmp("aug2_params")
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs")
+    val f1 = java.nio.file.Paths.get(base, "AugmentSpanMask.json")
+    java.nio.file.Files.writeString(f1,
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/m",
+         | "id_column": "doc_id", "text_column": "text",
+         | "rate": 0.5, "block_size": 5, "seed": "s1"}""".stripMargin)
+    graft.core.JobRunner.execute(spark, "AugmentSpanMask", f1.toString)
+    spark.read.parquet(s"$base/m").count() shouldBe 1
+    val f2 = java.nio.file.Paths.get(base, "NormalizeHomoglyphs.json")
+    java.nio.file.Files.writeString(f2,
+      s"""{"source_dir": "$base/docs", "target_dir": "$base/h",
+         | "text_column": "text"}""".stripMargin)
+    graft.core.JobRunner.execute(spark, "NormalizeHomoglyphs", f2.toString)
+    val h = spark.read.parquet(s"$base/h")
+    h.select($"n_homoglyphs").head.getInt(0) shouldBe 0
+  }
+
   test("runTransformOnce: micro-batched dropout equals the batch result") {
     val base = tmp("aug_stream")
     docs.limit(40).repartition(4).write.parquet(s"$base/in")
