@@ -2993,6 +2993,19 @@ object SparkEntry {
       TextAnalysis.rougeN(pairs, "pair_id", "cand", "ref", n = 2)
     }),
 
+    // curation: quality-nucleus selection — per source keep the
+    // highest-scored docs until 50% of the char mass (crossing row
+    // kept); the top-p idea as a corpus trim, two-phase so the dominant
+    // source never funnels through one sort task
+    "q262_nucleus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("score", (col("doc_id") % 97).cast("double") / 97.0)
+      Sampling.nucleusPerGroup(docs, "doc_id", "source", "n_chars",
+        "score", p = 0.5)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // augmentation: T5-style span masking (rate 0.3, block 5, seed s1) —
     // masked blocks collapse to one positional <extra_id_b> sentinel
     "q260_span_mask" -> ((s, dir) => {
@@ -8662,6 +8675,24 @@ object SparkEntry {
         |        + (CAST(mt AS DOUBLE) / ref_total))
         |    ELSE 0 END, 6) AS f1
         |FROM tot t LEFT JOIN m USING (pair_id)""".stripMargin,
+
+    // mirrors Sampling.nucleusPerGroup: score-desc (rounded, id
+    // tie-break) running char sum per source, keep while the
+    // before-row sum is under half the source total (crossing row kept)
+    "q262_nucleus" ->
+      """WITH d AS (SELECT doc_id, source, n_chars,
+        |    CAST(doc_id % 97 AS DOUBLE) / 97.0 AS score
+        |  FROM documents),
+        |b AS (SELECT source, sum(n_chars) * 0.5 AS budget
+        |  FROM d GROUP BY 1),
+        |r AS (SELECT d.doc_id, d.source, d.n_chars, d.score, b.budget,
+        |    sum(n_chars) OVER (PARTITION BY d.source
+        |      ORDER BY -round(score, 6), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars
+        |      AS cumbefore
+        |  FROM d JOIN b USING (source))
+        |SELECT doc_id, source, n_chars, round(score, 6) AS score
+        |FROM r WHERE coalesce(cumbefore, 0) < budget""".stripMargin,
 
     // mirrors TextAnalysis.augmentSpanMask: block b = floor((i-1)/5),
     // masked iff md5_60("s1_m_{id}_{b}") mod 1000 < 300; first token of

@@ -617,6 +617,16 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Similarity.retrievalEval(df,
         spark.read.parquet(config.getString("truth_dir"))))
+    // quality-nucleus selection: best docs until p of group weight mass
+    case "NucleusSelect" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.nucleusPerGroup(df,
+        config.getString("id_column"), config.getString("group_column"),
+        config.getString("weight_column"),
+        config.getString("score_column"),
+        config.getDouble("p", 0.5),
+        config.getIntOpt("score_precision").getOrElse(6)))
     // T5-style span-mask augmentation (seeded block md5)
     case "AugmentSpanMask" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

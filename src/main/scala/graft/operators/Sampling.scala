@@ -331,6 +331,68 @@ object Sampling {
     * group) and rides broadcast joins on both the threshold and the
     * final-filter side.
     */
+  /** Quality-nucleus selection per group — "keep the BEST documents
+    * until `p` of the group's weight mass is reached" (the top-p idea
+    * applied to corpus curation: trim each source to its
+    * highest-quality half by token mass, not by row count). Rows are
+    * taken in score-DESC order (rounded to `scorePrecision` for a
+    * cross-engine-stable order; id tie-break); the budget-crossing row
+    * is kept, so no group vanishes; null scores sort last, null weights
+    * count 0.
+    *
+    * Same two-phase shape as [[capPerGroupWeighted]] — the naive
+    * running-sum window funnels the dominant group's entire row set
+    * through one sort task (`WindowGroupLimit` cannot prune running
+    * sums) — except the histogram buckets by ROUNDED SCORE instead of
+    * id hash (the [[filterByQuantileBand]] trick: the threshold pass
+    * reads one row per distinct (group, rounded score), bounded by
+    * score cardinality, never group size), and the budget is the
+    * per-group total×p computed in one map-side-combinable aggregation
+    * and broadcast.
+    */
+  def nucleusPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      weightCol: String, scoreCol: String, p: Double,
+      scorePrecision: Int = 6,
+      broadcastThresholds: Boolean = true): DataFrame = {
+    require(p > 0 && p <= 1, s"p must be in (0, 1]: $p")
+    import org.apache.spark.sql.expressions.Window
+    def fresh(base: String): String = {
+      var n = base
+      while (df.columns.contains(n)) n += "_"
+      n
+    }
+    val (bktN, wN, cumN, bstarN, cbN, budN) = (fresh("__bkt"), fresh("__w"),
+      fresh("__cum"), fresh("__bstar"), fresh("__cumbefore"),
+      fresh("__budget"))
+    val bkt = col(bktN)
+    val w = coalesce(col(s"`$weightCol`").cast("double"), lit(0.0))
+    // score desc == bucket asc; null scores take the largest bucket
+    val bucketed = df.withColumn(bktN,
+      coalesce(-round(col(s"`$scoreCol`").cast("double"), scorePrecision),
+        lit(Double.MaxValue)))
+    val budgets = broadcast(df.groupBy(col(s"`$groupCol`"))
+      .agg((sum(w) * p).as(budN)))
+    val cum = Window.partitionBy(col(s"`$groupCol`")).orderBy(bkt)
+    val thresholds = bucketed
+      .groupBy(col(s"`$groupCol`"), bkt).agg(sum(w).as(wN))
+      .join(budgets, Seq(groupCol))
+      .withColumn(cumN, sum(col(wN)).over(cum))
+      .filter(col(cumN) >= col(budN))
+      .groupBy(col(s"`$groupCol`"))
+      .agg(min(bkt).as(bstarN))
+    val thr = if (broadcastThresholds) broadcast(thresholds) else thresholds
+    val pre = bucketed
+      .join(thr, Seq(groupCol), "left")
+      .filter(col(bstarN).isNull || bkt <= col(bstarN))
+      .join(budgets, Seq(groupCol))
+    val exact = Window.partitionBy(col(s"`$groupCol`"))
+      .orderBy(bkt, col(s"`$idCol`"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre.withColumn(cbN, sum(w).over(exact) - w)
+      .filter(coalesce(col(cbN), lit(0.0)) < col(budN))
+      .select(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+  }
+
   def capPerGroupWeightedBudgets(df: DataFrame, idCol: String,
       groupCol: String, weightCol: String, budgets: DataFrame,
       budgetCol: String = "budget",

@@ -113,7 +113,19 @@ object ScaleProbe {
       r.count(); r.unpersist()
     }
 
+    // winnowing: fingerprint CONSTRUCTION is per-doc native loops and
+    // must scale ~linearly in corpus size; the candidate JOIN is Σ df²
+    // over shared fingerprints (documented inherent bound — on this
+    // replica corpus every fingerprint repeats ~factor times, so pair
+    // volume grows ~factor² by construction; that regime is what the
+    // minShared threshold and an exact-dedup prepass exist for).
+    val (f1c, wf1) = time(
+      Dedup.winnowFingerprints(docs1, "doc_id", "text").count())
+    val (fNc, wfN) = time(
+      Dedup.winnowFingerprints(docsN, "doc_id", "text").count())
+
     println(f"""{"probe":"scale","factor":$factor,"docs_1x":$nDocs,""" +
+      f""""winnow_fp":{"t1":$wf1%.2f,"tN":$wfN%.2f,"ratio":${wfN / wf1}%.1f,"rows1":$f1c,"rowsN":$fNc},""" +
       f""""minhash_dedup":{"t1":$t1%.2f,"tN":$tN%.2f,"ratio":${tN / t1}%.1f,"pairs1":$c1,"pairsN":$cN},""" +
       f""""embedding_dedup":{"t1":$u1%.2f,"tN":$uN%.2f,"ratio":${uN / u1}%.1f,"pairs1":$e1,"pairsN":$eN},""" +
       f""""ann_topk":{"t1":$v1%.2f,"tN":$vN%.2f,"ratio":${vN / v1}%.1f,"rows1":$a1,"rowsN":$aN},""" +
