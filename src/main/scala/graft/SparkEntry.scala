@@ -2993,6 +2993,29 @@ object SparkEntry {
       TextAnalysis.rougeN(pairs, "pair_id", "cand", "ref", n = 2)
     }),
 
+    // sketch: b-bit minhash estimates (b=8) on the q21 candidate pairs —
+    // the 8x-smaller persisted-signature regime with the collision
+    // baseline corrected out
+    "q264_bbit_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.bbitEstimatePairs(
+        Dedup.minhashCandidates(docs, "doc_id", "text"),
+        docs, "doc_id", "text")
+    }),
+
+    // instrument: LSH candidate quality — minhash (k=32, bands=8)
+    // candidates evaluated against the exact >= 0.55 Jaccard pairs on
+    // the same subset: recall = missed near-dups, precision = wasted
+    // verify work
+    "q263_candidate_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 10 < 3)
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.55)
+        .select(col("id_a"), col("id_b"))
+      Dedup.pairSetEval(Dedup.minhashCandidates(docs, "doc_id", "text"),
+        truth)
+    }),
+
     // curation: quality-nucleus selection — per source keep the
     // highest-scored docs until 50% of the char mass (crossing row
     // kept); the top-p idea as a corpus trim, two-phase so the dominant
@@ -8675,6 +8698,49 @@ object SparkEntry {
         |        + (CAST(mt AS DOUBLE) / ref_total))
         |    ELSE 0 END, 6) AS f1
         |FROM tot t LEFT JOIN m USING (pair_id)""".stripMargin,
+
+    // mirrors q264: the q21 chain's candidates + signatures; per pair
+    // m = matching low-8-bit fraction, est = (m - 1/256)/(1 - 1/256)
+    // clamped at 0
+    "q264_bbit_minhash" ->
+      s"""WITH ${minhashChainSql("documents")},
+         |p AS (SELECT c.id_a, c.id_b, sa.sg AS ga, sb.sg AS gb
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.id_a
+         |  JOIN sig sb ON sb.doc_id = c.id_b),
+         |m AS (SELECT id_a, id_b,
+         |  CAST(len(list_filter(range(1, 33),
+         |    i -> (ga[i] % 256) = (gb[i] % 256))) AS DOUBLE) / 32 AS mf
+         |  FROM p)
+         |SELECT id_a, id_b,
+         |  round(greatest((mf - 1.0/256) / (1 - 1.0/256), 0), 6)
+         |    AS bbit_jaccard
+         |FROM m""".stripMargin,
+
+    // mirrors q263: the q21 minhash chain's raw candidates (cand CTE)
+    // against the exact inverted-index pairs derived from the SAME
+    // shingle sets; INTERSECT for the overlap
+    "q263_candidate_recall" ->
+      s"""WITH ${minhashChainSql(
+            "(SELECT * FROM documents WHERE doc_id % 10 < 3)")},
+         |inv2 AS (SELECT doc_id, len(shl) AS n, unnest(shl) AS s FROM sh),
+         |tp AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM inv2 a JOIN inv2 b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, a.n, b.n
+         |  HAVING CAST(count(*) AS DOUBLE)
+         |    / (a.n + b.n - count(*)) >= 0.55),
+         |gp AS (SELECT id_a, id_b FROM cand)
+         |SELECT CAST(ng AS BIGINT) AS n_got, CAST(nt AS BIGINT) AS n_truth,
+         |  CAST(nb AS BIGINT) AS n_both,
+         |  round(CASE WHEN ng > 0
+         |    THEN CAST(nb AS DOUBLE) / ng ELSE 0 END, 6) AS precision,
+         |  round(CASE WHEN nt > 0
+         |    THEN CAST(nb AS DOUBLE) / nt ELSE 0 END, 6) AS recall
+         |FROM (SELECT count(*) AS ng FROM gp),
+         |  (SELECT count(*) AS nt FROM tp),
+         |  (SELECT count(*) AS nb FROM
+         |    (SELECT * FROM gp INTERSECT SELECT * FROM tp))""".stripMargin,
 
     // mirrors Sampling.nucleusPerGroup: score-desc (rounded, id
     // tie-break) running char sum per source, keep while the

@@ -617,6 +617,22 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Similarity.retrievalEval(df,
         spark.read.parquet(config.getString("truth_dir"))))
+    // b-bit minhash estimates: source = pair list, docs_dir = corpus
+    case "BbitEstimate" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Dedup.bbitEstimatePairs(df,
+        spark.read.parquet(config.getString("docs_dir")),
+        config.getString("id_column"), config.getString("text_column"),
+        config.getIntOpt("shingle_size").getOrElse(3),
+        config.getIntOpt("k").getOrElse(32),
+        config.getIntOpt("b").getOrElse(8)))
+    // pair-set eval: source = candidate pairs, truth_dir = truth pairs
+    case "PairSetEval" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Dedup.pairSetEval(df,
+        spark.read.parquet(config.getString("truth_dir"))))
     // quality-nucleus selection: best docs until p of group weight mass
     case "NucleusSelect" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -151,6 +151,46 @@ object Dedup {
       // per doc — negligible vs the corpus scan at any scale.
       .repartition(col("id"))
 
+  /** b-bit minhash similarity estimates for given pairs (Li & König
+    * 2010): keep only the low `b` bits of each of the k minhash values —
+    * a signature 64/b× smaller than the full one (the artifact-size
+    * lever when signatures are persisted corpus-wide for incremental
+    * dedup) — and correct the truncation's collision baseline out of
+    * the match fraction: with m = matching fraction and C = 2^-b,
+    * Ĵ = (m − C)/(1 − C), clamped at 0 and rounded to 6. The estimate
+    * converges to Jaccard as k grows; at (k=32, b=8) the extra variance
+    * over full minhash is ≤ C/(1−C) ≈ 0.4%.
+    *
+    * Scale shape: two equi-joins of the pair list against the
+    * (id, k-longs) signature frame, then a fixed 32-element per-row
+    * fold — pair-graph-sized, the corpus is touched only through
+    * [[minhashSignatures]] (or pass a persisted signature table to
+    * [[bbitEstimateFromSigs]]).
+    */
+  def bbitEstimatePairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3, k: Int = 32,
+      b: Int = 8): DataFrame =
+    bbitEstimateFromSigs(pairs,
+      minhashSignatures(docs, idCol, textCol, shingleSize, k), k, b)
+
+  /** [[bbitEstimatePairs]] over an already-built (id, sig) frame. */
+  def bbitEstimateFromSigs(pairs: DataFrame, sigs: DataFrame,
+      k: Int = 32, b: Int = 8): DataFrame = {
+    require(b >= 1 && b < 61, s"b must be in [1, 60]: $b")
+    val mod = 1L << b
+    val c = 1.0 / mod
+    val sa = sigs.select(col("id").as("id_a"), col("sig").as("__sa"))
+    val sb = sigs.select(col("id").as("id_b"), col("sig").as("__sb"))
+    pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .withColumn("__m", aggregate(
+        zip_with(col("__sa"), col("__sb"),
+          (x, y) => (x % mod === y % mod).cast("int")),
+        lit(0), (acc, v) => acc + v).cast("double") / k)
+      .withColumn("bbit_jaccard", round(
+        greatest((col("__m") - c) / (1.0 - c), lit(0.0)), 6))
+      .select(col("id_a"), col("id_b"), col("bbit_jaccard"))
+  }
+
   /** LSH banding + bucket self-join over an (id, sig) frame
     * ([[minhashSignatures]] or a persisted signatures table). */
   def minhashCandidatesFromSigs(sig: DataFrame, k: Int = 32,
@@ -974,6 +1014,37 @@ object Dedup {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Pair-set evaluation — the LSH tuning instrument: how good is a
+    * CANDIDATE pair set against a truth pair set? (e.g.
+    * [[minhashCandidates]] at some (k, bands) vs the exact
+    * [[ngramJaccardPairs]] at the target threshold: recall tells you
+    * whether the banding misses true near-dups, precision what fraction
+    * of verify work is wasted — the two knobs k/bands trade.) Pairs are
+    * normalized unordered (least/greatest) and distinct on both sides.
+    * One row: (n_got, n_truth, n_both, precision, recall).
+    *
+    * Scale shape: two distinct aggregations + one equi-join on the pair
+    * key, then single-row aggregates cross-joined — pair-graph-sized,
+    * never corpus-sized.
+    */
+  def pairSetEval(got: DataFrame, truth: DataFrame): DataFrame = {
+    def norm(df: DataFrame): DataFrame = df.select(
+      least(col("id_a"), col("id_b")).as("id_a"),
+      greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
+    val g = norm(got)
+    val t = norm(truth)
+    g.agg(count(lit(1)).as("n_got"))
+      .crossJoin(t.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(g.join(t, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_both")))
+      .withColumn("precision", round(when(col("n_got") > 0,
+        col("n_both").cast("double") / col("n_got"))
+        .otherwise(lit(0.0)), 6))
+      .withColumn("recall", round(when(col("n_truth") > 0,
+        col("n_both").cast("double") / col("n_truth"))
+        .otherwise(lit(0.0)), 6))
   }
 
   /** Connected components over an undirected near-duplicate pair list

@@ -346,9 +346,17 @@ object Sampling {
     * sums) — except the histogram buckets by ROUNDED SCORE instead of
     * id hash (the [[filterByQuantileBand]] trick: the threshold pass
     * reads one row per distinct (group, rounded score), bounded by
-    * score cardinality, never group size), and the budget is the
-    * per-group total×p computed in one map-side-combinable aggregation
-    * and broadcast.
+    * score cardinality, never group size), the budget is the per-group
+    * total×p computed in one map-side-combinable aggregation and
+    * broadcast, and — unlike the cap operators, whose output per group
+    * is a CONSTANT — the exact running-sum window runs over the
+    * BOUNDARY BUCKET ONLY (rows at exactly the threshold score, with
+    * the weight of all strictly-better buckets joined in as an offset):
+    * a nucleus keeps a FRACTION of each group, so windowing the whole
+    * kept set would still funnel p×|dominant group| through one sort
+    * task (CapProbe's nucleus mode measured 2.0M window rows at 10M×50%
+    * skew before this split; boundary-only brings it to the tie count
+    * at one rounded score).
     */
   def nucleusPerGroup(df: DataFrame, idCol: String, groupCol: String,
       weightCol: String, scoreCol: String, p: Double,
@@ -361,9 +369,9 @@ object Sampling {
       while (df.columns.contains(n)) n += "_"
       n
     }
-    val (bktN, wN, cumN, bstarN, cbN, budN) = (fresh("__bkt"), fresh("__w"),
-      fresh("__cum"), fresh("__bstar"), fresh("__cumbefore"),
-      fresh("__budget"))
+    val (bktN, wN, cumN, bstarN, cbN, budN, offN) = (fresh("__bkt"),
+      fresh("__w"), fresh("__cum"), fresh("__bstar"), fresh("__cumbefore"),
+      fresh("__budget"), fresh("__offset"))
     val bkt = col(bktN)
     val w = coalesce(col(s"`$weightCol`").cast("double"), lit(0.0))
     // score desc == bucket asc; null scores take the largest bucket
@@ -373,24 +381,39 @@ object Sampling {
     val budgets = broadcast(df.groupBy(col(s"`$groupCol`"))
       .agg((sum(w) * p).as(budN)))
     val cum = Window.partitionBy(col(s"`$groupCol`")).orderBy(bkt)
+    // the FIRST bucket whose cumulative weight crosses the budget, plus
+    // the cumulative weight STRICTLY BEFORE it (the boundary offset) —
+    // min(struct) picks the min-bucket row's pair in one aggregate
     val thresholds = bucketed
       .groupBy(col(s"`$groupCol`"), bkt).agg(sum(w).as(wN))
       .join(budgets, Seq(groupCol))
       .withColumn(cumN, sum(col(wN)).over(cum))
       .filter(col(cumN) >= col(budN))
       .groupBy(col(s"`$groupCol`"))
-      .agg(min(bkt).as(bstarN))
+      .agg(min(struct(bkt, (col(cumN) - col(wN)).as(offN))).as("__t"))
+      .select(col(s"`$groupCol`"), col(s"__t.$bktN").as(bstarN),
+        col(s"__t.$offN").as(offN))
     val thr = if (broadcastThresholds) broadcast(thresholds) else thresholds
-    val pre = bucketed
-      .join(thr, Seq(groupCol), "left")
-      .filter(col(bstarN).isNull || bkt <= col(bstarN))
-      .join(budgets, Seq(groupCol))
+    val joined = bucketed.join(thr, Seq(groupCol), "left")
+    val orig = df.columns.map(c => col(s"`$c`")).toIndexedSeq
+    // strictly-better buckets (and whole under-budget groups): kept
+    // outright, no window ever sees them
+    val below = joined
+      .filter(col(bstarN).isNull || bkt < col(bstarN))
+      .select(orig: _*)
+    // boundary bucket: rank by id with the before-boundary weight as the
+    // starting offset — window input is the tie count at ONE rounded
+    // score, never the group (or kept-fraction) size
     val exact = Window.partitionBy(col(s"`$groupCol`"))
-      .orderBy(bkt, col(s"`$idCol`"))
+      .orderBy(col(s"`$idCol`"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pre.withColumn(cbN, sum(w).over(exact) - w)
+    val boundary = joined
+      .filter(bkt === col(bstarN))
+      .join(budgets, Seq(groupCol))
+      .withColumn(cbN, col(offN) + sum(w).over(exact) - w)
       .filter(coalesce(col(cbN), lit(0.0)) < col(budN))
-      .select(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+      .select(orig: _*)
+    below.unionByName(boundary)
   }
 
   def capPerGroupWeightedBudgets(df: DataFrame, idCol: String,

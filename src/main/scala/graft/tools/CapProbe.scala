@@ -34,6 +34,7 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.CapProbe [rows] [cap]
   *        runMain graft.tools.CapProbe weighted [rows] [budget]
   *        runMain graft.tools.CapProbe quantile [rows]
+  *        runMain graft.tools.CapProbe nucleus [rows] [p]
   */
 object CapProbe {
 
@@ -111,6 +112,61 @@ object CapProbe {
       f""""survivors":$rTwo}""")
   }
 
+  private def nucleus(spark: SparkSession, n: Long, p: Double): Unit = {
+    // 50% of rows (and weight mass) in one group; ties-heavy int scores
+    // (~1013 distinct per group — the quality-score shape) and 1..19
+    // token weights. The exact-phase input must be bounded by the
+    // score-bucket boundary, never the dominant group's row count.
+    val df = spark.range(n).selectExpr("id",
+      "CASE WHEN id % 2 = 0 THEN 'dominant' ELSE concat('g', id % 997) END AS grp",
+      "CAST(id % 1013 AS INT) AS score",
+      "CAST(id % 19 + 1 AS INT) AS w")
+      .persist()
+    df.count()
+
+    val two = Sampling.nucleusPerGroup(df, "id", "grp", "w", "score", p)
+    val (rTwo, tTwo, mTwo) = timedWithMax(spark) { two.count() }
+    // naive: score-ordered running sum over EVERY row of every group
+    val (rNaive, tNaive, mNaive) = timedWithMax(spark) {
+      val W = Window.partitionBy(col("grp"))
+      df.join(broadcast(df.groupBy(col("grp"))
+          .agg((sum(col("w").cast("double")) * p).as("bud"))), Seq("grp"))
+        .withColumn("__cb", sum(col("w").cast("double")).over(
+          W.orderBy((-round(col("score").cast("double"), 6)).asc, col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("w"))
+        .filter(col("__cb") < col("bud")).count()
+    }
+    require(rTwo == rNaive, s"result mismatch: $rTwo vs $rNaive")
+
+    // exact-phase window input per group = the BOUNDARY BUCKET's rows
+    // (ties at the threshold score — the operator keeps strictly-better
+    // buckets outright and only ranks the boundary), recomputed via the
+    // operator's construction
+    val bkt = -round(col("score").cast("double"), 6)
+    val buds = df.groupBy(col("grp"))
+      .agg((sum(col("w").cast("double")) * p).as("bud"))
+    val thr = df.groupBy(col("grp"), bkt.as("b"))
+      .agg(sum(col("w").cast("double")).as("ws"))
+      .join(buds, Seq("grp"))
+      .withColumn("cum",
+        sum(col("ws")).over(Window.partitionBy(col("grp")).orderBy(col("b"))))
+      .filter(col("cum") >= col("bud"))
+      .groupBy(col("grp")).agg(min(col("b")).as("bstar"))
+    val surv = df.withColumn("b", bkt)
+      .join(thr, Seq("grp")).filter(col("b") === col("bstar"))
+      .groupBy(col("grp")).count()
+      .agg(max(col("count")).as("maxSurv"), avg(col("count")).as("avgSurv"))
+      .head()
+    val dominantRows = df.filter(col("grp") === "dominant").count()
+
+    println(f"""{"probe":"nucleus","rows":$n,"p":$p%.2f,"dominant_rows":$dominantRows,""" +
+      f""""two_phase":{"sec":$tTwo%.2f,"max_task_shuffle_records":$mTwo},""" +
+      f""""naive":{"sec":$tNaive%.2f,"max_task_shuffle_records":$mNaive},""" +
+      f""""window_input":{"max_per_group":${surv.getLong(0)},"avg_per_group":${surv.getDouble(1)}%.1f},""" +
+      f""""survivors":$rTwo}""")
+  }
+
   private def quantile(spark: SparkSession, n: Long): Unit = {
     // 50% of rows in one group; scores are ties-heavy ints (the quality-
     // score shape): ~1013 distinct values per group
@@ -145,9 +201,12 @@ object CapProbe {
   def main(args: Array[String]): Unit = {
     val isWeighted = args.headOption.contains("weighted")
     val isQuantile = args.headOption.contains("quantile")
-    val rest = if (isWeighted || isQuantile) args.drop(1) else args
+    val isNucleus = args.headOption.contains("nucleus")
+    val rest =
+      if (isWeighted || isQuantile || isNucleus) args.drop(1) else args
     val n = rest.headOption.map(_.toLong).getOrElse(10000000L)
-    val cap = if (rest.length > 1) rest(1).toInt else 1000
+    // lazy: the weighted/nucleus modes read rest(1) as a double instead
+    lazy val cap = if (rest.length > 1) rest(1).toInt else 1000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       graft.core.Session.cpus.toString)
     val spark = graft.core.Session.builder("graft-capprobe")
@@ -160,6 +219,12 @@ object CapProbe {
     if (isWeighted) {
       val budget = if (rest.length > 1) rest(1).toDouble else 10000.0
       weighted(spark, n, budget)
+      spark.stop()
+      return
+    }
+    if (isNucleus) {
+      val p = if (rest.length > 1) rest(1).toDouble else 0.4
+      nucleus(spark, n, p)
       spark.stop()
       return
     }
