@@ -2993,6 +2993,38 @@ object SparkEntry {
       TextAnalysis.rougeN(pairs, "pair_id", "cand", "ref", n = 2)
     }),
 
+    // report: tokenizer fertility per language — subword tokens per
+    // whitespace token, the per-language token-budget multiplier
+    "q266_fertility" -> ((s, dir) => {
+      TextAnalysis.tokenizerFertility(t(s, dir, "documents"), "lang",
+        "text")
+    }),
+
+    // report: writing-system profile per source on the q261-style
+    // confusable-injected fixture — the mislabeled-vs-evasion signal
+    "q267_script_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val injected = docs.select(col("doc_id"), col("source"),
+        when(col("doc_id") % 3 === 1, translate(col("text"), "aeo", "аео"))
+          .when(col("doc_id") % 3 === 2, translate(col("text"), "cpx", "срх"))
+          .otherwise(col("text")).as("t"))
+      TextAnalysis.scriptProfile(injected, "source", "t")
+    }),
+
+    // curation: mixed-language (code-switching) report — the fixture
+    // appends a 20-token German block to half the docs (both engines
+    // identically); per-chunk langId, per-doc language mix
+    "q265_mixed_language" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 < 2)
+      val mixed = docs.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, concat(col("text"),
+          lit(" der die das und ist von mit ein der die das und ist" +
+            " von mit ein der die das und")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.mixedLanguageReport(mixed, "doc_id", "text",
+        chunkTokens = 20)
+    }),
+
     // sketch: b-bit minhash estimates (b=8) on the q21 candidate pairs —
     // the 8x-smaller persisted-signature regime with the collision
     // baseline corrected out
@@ -8698,6 +8730,102 @@ object SparkEntry {
         |        + (CAST(mt AS DOUBLE) / ref_total))
         |    ELSE 0 END, 6) AS f1
         |FROM tot t LEFT JOIN m USING (pair_id)""".stripMargin,
+
+    // mirrors TextAnalysis.tokenizerFertility: the q27 token mirrors
+    // aggregated per language
+    "q266_fertility" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+        |    AS BIGINT) AS n_ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_subword_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CASE WHEN sum(len(string_split_regex(trim(lower(text)),
+        |      '\s+'))) > 0
+        |    THEN round(CAST(sum(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE)
+        |      / sum(len(string_split_regex(trim(lower(text)), '\s+'))), 6)
+        |    END AS fertility,
+        |  CASE WHEN sum(len(string_split_regex(trim(lower(text)),
+        |      '\s+'))) > 0
+        |    THEN round(CAST(sum(length(text)) AS DOUBLE)
+        |      / sum(len(string_split_regex(trim(lower(text)), '\s+'))), 6)
+        |    END AS chars_per_token
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // mirrors TextAnalysis.scriptProfile over the q261-style fixture:
+    // the deletion-count trick per script range ('g' flag — Spark's
+    // regexp_replace is always global)
+    "q267_script_profile" ->
+      """WITH inj AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 3 = 1 THEN translate(text, 'aeo', 'аео')
+        |    WHEN doc_id % 3 = 2 THEN translate(text, 'cpx', 'срх')
+        |    ELSE text END AS t
+        |  FROM documents),
+        |g AS (SELECT source,
+        |  CAST(sum(length(t)) AS BIGINT) AS n_chars,
+        |  sum(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')))
+        |    AS lat,
+        |  sum(length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g')))
+        |    AS cyr,
+        |  sum(length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g')))
+        |    AS cjk,
+        |  sum(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')))
+        |    AS dig,
+        |  sum(length(t) - length(regexp_replace(t, '[\s]', '', 'g')))
+        |    AS spc
+        |  FROM inj GROUP BY 1)
+        |SELECT source, n_chars,
+        |  CASE WHEN n_chars > 0
+        |    THEN round(CAST(lat AS DOUBLE) / n_chars, 6) END AS latin_frac,
+        |  CASE WHEN n_chars > 0
+        |    THEN round(CAST(cyr AS DOUBLE) / n_chars, 6) END
+        |    AS cyrillic_frac,
+        |  CASE WHEN n_chars > 0
+        |    THEN round(CAST(cjk AS DOUBLE) / n_chars, 6) END AS cjk_frac,
+        |  CASE WHEN n_chars > 0
+        |    THEN round(CAST(dig AS DOUBLE) / n_chars, 6) END AS digit_frac,
+        |  CASE WHEN n_chars > 0
+        |    THEN round(CAST(spc AS DOUBLE) / n_chars, 6) END AS space_frac
+        |FROM g""".stripMargin,
+
+    // mirrors q265: same fixture, q25's per-chunk stopword-vote langId
+    // (en-first tie CASE), then the doc x lang count + rank rollup
+    "q265_mixed_language" -> {
+      val scores = TextAnalysis.stopwords.map { case (lang, _) =>
+        s"len(list_filter(ct, x -> x IN (${stopList(lang)}))) AS s_$lang"
+      }.mkString(",\n  ")
+      val pickCases = TextAnalysis.stopwords.map { case (lang, _) =>
+        s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH base AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN text
+         |    || ' der die das und ist von mit ein der die das und ist'
+         |    || ' von mit ein der die das und'
+         |    ELSE text END AS text
+         |  FROM documents WHERE doc_id % 5 < 2),
+         |toks AS (SELECT doc_id,
+         |  string_split_regex(trim(lower(text)), '\\s+') AS tk FROM base),
+         |st AS (SELECT doc_id, tk,
+         |  unnest(range(0, greatest(len(tk)-1, 0)+1, 20)) AS s FROM toks),
+         |cts AS (SELECT doc_id, tk[s+1:s+20] AS ct FROM st),
+         |sc AS (SELECT doc_id, $scores FROM cts),
+         |pick AS (SELECT doc_id,
+         |  CASE $pickCases ELSE 'und' END AS lang
+         |  FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best
+         |        FROM sc)),
+         |bl AS (SELECT doc_id, lang, count(*) AS c
+         |  FROM pick GROUP BY 1, 2),
+         |rk AS (SELECT doc_id, lang, c, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY c DESC, lang) AS rk FROM bl)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
+         |  CAST(count(CASE WHEN lang <> 'und' THEN 1 END) AS BIGINT)
+         |    AS n_langs,
+         |  max(CASE WHEN rk = 1 THEN lang END) AS dominant_lang,
+         |  round(CAST(max(CASE WHEN rk = 1 THEN c END) AS DOUBLE)
+         |    / sum(c), 6) AS dominant_share
+         |FROM rk GROUP BY doc_id""".stripMargin
+    },
 
     // mirrors q264: the q21 chain's candidates + signatures; per pair
     // m = matching low-8-bit fraction, est = (m - 1/256)/(1 - 1/256)

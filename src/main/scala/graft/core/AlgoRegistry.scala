@@ -617,6 +617,25 @@ object AlgoRegistry {
       fmt(config), config.getIntOpt("output_files_num"),
       df => graft.operators.Similarity.retrievalEval(df,
         spark.read.parquet(config.getString("truth_dir"))))
+    // tokenizer fertility (subword per whitespace token) per group
+    case "TokenizerFertility" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.tokenizerFertility(df,
+        config.getString("group_column"), config.getString("text_column")))
+    // writing-system character-mass profile per group
+    case "ScriptProfile" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.scriptProfile(df,
+        config.getString("group_column"), config.getString("text_column")))
+    // mixed-language (code-switching) report per document
+    case "MixedLanguageReport" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.TextAnalysis.mixedLanguageReport(df,
+        config.getString("id_column"), config.getString("text_column"),
+        config.getIntOpt("chunk_tokens").getOrElse(20)))
     // b-bit minhash estimates: source = pair list, docs_dir = corpus
     case "BbitEstimate" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

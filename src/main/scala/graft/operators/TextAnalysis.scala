@@ -72,12 +72,104 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Mixed-language (code-switching) report — the doc-level [[langId]]
+    * hides a document that flips language mid-way (its stopword vote
+    * just picks the majority half); chunk the tokens into fixed
+    * `chunkTokens` windows, language-ID each chunk, and report per doc:
+    * chunk count, distinct identified languages (und — no stopword hit —
+    * never counts as a language), the dominant chunk language
+    * (count-majority; equal counts break to the lexicographically first
+    * language) and its share. `n_langs >= 2` IS the
+    * code-switching flag; `dominant_share` near 0.5 says an even split
+    * (translation pairs, bilingual boilerplate), near 1 says a stray
+    * foreign paragraph.
+    *
+    * Scale shape: the chunk explode is bounded by corpus token count /
+    * chunkTokens; two map-side-combinable aggregations (doc×lang, then
+    * doc) + one rank window over ≤ 6 lang rows per doc.
+    */
+  def mixedLanguageReport(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id"))
+      .orderBy(col("__c").desc, col("__lang"))
+    val chunks = Packing.chunkText(docs, idCol, textCol, chunkTokens,
+      chunkTokens).select(col(s"`$idCol`").as("__id"),
+        langId(col("chunk_text")).as("__lang"))
+    chunks.groupBy(col("__id"), col("__lang"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rk", row_number().over(w))
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).as("n_chunks"),
+        count(when(col("__lang") =!= "und", lit(1))).as("n_langs"),
+        max(when(col("__rk") === 1, col("__lang"))).as("dominant_lang"),
+        max(when(col("__rk") === 1, col("__c"))).as("__dc"))
+      .withColumn("dominant_share",
+        round(col("__dc").cast("double") / col("n_chunks"), 6))
+      .select(col("__id").as(idCol), col("n_chunks"), col("n_langs"),
+        col("dominant_lang"), col("dominant_share"))
+  }
+
   /** BPE-ish subword-unit count: runs of letters, runs of digits, or single
     * other non-space chars (the pre-tokenization regex family used by BPE
     * vocabularies).
     */
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Tokenizer fertility report per group — the budgeting number a
+    * token-priced pipeline needs per language/source: subword tokens per
+    * whitespace token (fertility — how much more a BPE-ish tokenizer
+    * pays than word counts suggest; high for agglutinative or
+    * non-Latin-script text) and chars per whitespace token. One
+    * map-side-combinable aggregation; groups with zero whitespace
+    * tokens report null ratios rather than NaN.
+    */
+  def tokenizerFertility(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val t = col(s"`$textCol`")
+    docs.groupBy(col(s"`$groupCol`"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(t)).as("n_ws_tokens"),
+        sum(bpeishTokenCount(t)).as("n_subword_tokens"),
+        sum(length(t)).as("n_chars"))
+      .withColumn("fertility", when(col("n_ws_tokens") > 0,
+        round(col("n_subword_tokens").cast("double")
+          / col("n_ws_tokens"), 6)))
+      .withColumn("chars_per_token", when(col("n_ws_tokens") > 0,
+        round(col("n_chars").cast("double") / col("n_ws_tokens"), 6)))
+  }
+
+  /** Writing-system profile per group: character-mass fractions of
+    * Latin letters, Cyrillic, CJK ideographs, digits, and whitespace
+    * (the remainder is punctuation/symbols/other scripts) — the
+    * corpus-mix companion to [[langId]] (which only votes stopwords)
+    * and the aggregate face of [[homoglyphCount]]'s per-doc evasion
+    * signal: a "Latin" source whose Cyrillic fraction is nonzero but
+    * tiny is hiding confusables, one where it's large is mislabeled.
+    * Counting is the deletion trick (length minus length-after-delete),
+    * pure codegen'd Columns + one aggregation.
+    */
+  def scriptProfile(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val t = col(s"`$textCol`")
+    def cnt(pattern: String): Column =
+      length(t) - length(regexp_replace(t, pattern, ""))
+    val grouped = docs.groupBy(col(s"`$groupCol`"))
+      .agg(sum(length(t)).as("n_chars"),
+        sum(cnt("[A-Za-z]")).as("__lat"),
+        sum(cnt("[Ѐ-ӿ]")).as("__cyr"),
+        sum(cnt("[一-鿿]")).as("__cjk"),
+        sum(cnt("[0-9]")).as("__dig"),
+        sum(cnt("[\\s]")).as("__spc"))
+    def frac(c: String): Column =
+      when(col("n_chars") > 0,
+        round(col(c).cast("double") / col("n_chars"), 6))
+    grouped.select(col(s"`$groupCol`"), col("n_chars"),
+      frac("__lat").as("latin_frac"), frac("__cyr").as("cyrillic_frac"),
+      frac("__cjk").as("cjk_frac"), frac("__dig").as("digit_frac"),
+      frac("__spc").as("space_frac"))
+  }
 
   /** Quality features + a composite score in [0,1]:
     * length band, mean token length band, punctuation ratio, stopword ratio.
