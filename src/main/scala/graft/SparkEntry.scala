@@ -2993,6 +2993,47 @@ object SparkEntry {
       TextAnalysis.rougeN(pairs, "pair_id", "cand", "ref", n = 2)
     }),
 
+    // pipeline gate: the retrieval family composed through the params
+    // surface ONLY — Bm25Artifacts -> Bm25Score (amortized scoring
+    // against the saved table) -> consumer rank -> FuseRankings; RRF
+    // self-fusion is order-preserving (2/(60+r) is strictly decreasing
+    // in r), so the oracle is the q249 ranking with the fused score
+    "q268_retrieval_pipeline" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val docs = t(s, dir, "documents")
+      val base = tmpDir("graft_q268")
+      def p(sub: String) = s"$base/$sub"
+      docs.write.parquet(p("docs"))
+      docs.filter(col("doc_id") % 97 === 0).write.parquet(p("queries"))
+      def run(algo: String, json: String): Unit = {
+        val f = Paths.get(base, s"$algo.json")
+        JFiles.writeString(f, json)
+        graft.core.JobRunner.execute(s, algo, f.toString)
+      }
+      run("Bm25Artifacts",
+        s"""{"source_dir": "${p("docs")}", "target_dir": "${p("arts")}",
+           | "id_column": "doc_id", "text_column": "text"}""".stripMargin)
+      run("Bm25Score",
+        s"""{"source_dir": "${p("docs")}", "target_dir": "${p("scores")}",
+           | "id_column": "doc_id", "text_column": "text",
+           | "queries_dir": "${p("queries")}",
+           | "query_id_column": "doc_id", "query_text_column": "text",
+           | "artifacts_dir": "${p("arts")}",
+           | "max_df_fraction": 0.9}""".stripMargin)
+      s.read.parquet(p("scores"))
+        .withColumn("rank", row_number().over(Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+        .write.parquet(p("lex"))
+      run("FuseRankings",
+        s"""{"source_dir": "${p("lex")}", "target_dir": "${p("fused")}",
+           | "other_rankings_dirs": ["${p("lex")}"],
+           | "k": 5}""".stripMargin)
+      s.read.parquet(p("fused"))
+    }),
+
     // report: tokenizer fertility per language — subword tokens per
     // whitespace token, the per-language token-budget multiplier
     "q266_fertility" -> ((s, dir) => {
@@ -8730,6 +8771,24 @@ object SparkEntry {
         |        + (CAST(mt AS DOUBLE) / ref_total))
         |    ELSE 0 END, 6) AS f1
         |FROM tot t LEFT JOIN m USING (pair_id)""".stripMargin,
+
+    // mirrors q268: q249's CTEs -> lex rank -> self-fused RRF score
+    // (2/(60+rank), rounded 6) with the rank re-derived from it —
+    // identical to the lex rank because the fused score is strictly
+    // decreasing in rank
+    "q268_retrieval_pipeline" ->
+      s"""WITH ${bm25BodySql("doc_id % 97 = 0", 0.9)},
+         |lex AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, doc_id)
+         |      AS INTEGER) AS rank
+         |  FROM sc
+         |  QUALIFY rank <= 5)
+         |SELECT query_id, doc_id,
+         |  round(2 * (1.0 / (60 + CAST(rank AS DOUBLE))), 6) AS rrf_score,
+         |  rank
+         |FROM lex""".stripMargin,
 
     // mirrors TextAnalysis.tokenizerFertility: the q27 token mirrors
     // aggregated per language
