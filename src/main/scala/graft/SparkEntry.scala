@@ -3034,6 +3034,29 @@ object SparkEntry {
       s.read.parquet(p("fused"))
     }),
 
+    // mixing: UniMax waterfill allocation report (Chung et al. 2023) —
+    // per-source token budgets at max 2 epochs under a 52k total: the
+    // 9 smallest sources contribute their full 2 epochs, the other 11
+    // share the waterline (B − Σ caps of capped) / 11
+    "q269_unimax_alloc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      Sampling.unimaxAllocate(docs, "source", "n_tokens",
+        totalBudget = 52000L, maxEpochs = 2)
+    }),
+
+    // mixing: the apply face — one-epoch selection under the
+    // waterfilled allocation (B=24k, E=1: the two smallest sources are
+    // kept whole, the rest trim to the ~1206-token waterline), same
+    // deterministic hash-bucket ordering and crossing-row rule as q74
+    "q270_unimax_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      Sampling.unimaxSelect(docs, "doc_id", "source", "n_tokens",
+        totalBudget = 24000L, maxEpochs = 1)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+    }),
+
     // report: tokenizer fertility per language — subword tokens per
     // whitespace token, the per-language token-budget multiplier
     "q266_fertility" -> ((s, dir) => {
@@ -8789,6 +8812,81 @@ object SparkEntry {
          |  round(2 * (1.0 / (60 + CAST(rank AS DOUBLE))), 6) AS rrf_score,
          |  rank
          |FROM lex""".stripMargin,
+
+    // mirrors Sampling.unimaxAllocate(source, n_tokens, B=52000, E=2):
+    // ascending-cap prefix test in exact BIGINT (cap·remaining ≤
+    // B−prior), capped groups take their cap, the rest share one
+    // IEEE-exact waterline division
+    "q269_unimax_alloc" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+         |      AS INTEGER) AS n_tokens
+         |  FROM documents),
+         |g AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS gw
+         |  FROM t GROUP BY source),
+         |r AS (SELECT source, gw, gw * 2 AS cap,
+         |    row_number() OVER (ORDER BY gw * 2, source) AS rn,
+         |    count(*) OVER () AS n,
+         |    COALESCE(CAST(SUM(gw * 2) OVER (ORDER BY gw * 2, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS BIGINT), 0) AS prior
+         |  FROM g),
+         |f AS (SELECT r.*, cap * (n - rn + 1) <= 52000 - prior AS capped
+         |  FROM r),
+         |a AS (SELECT
+         |    CAST(COALESCE(SUM(cap) FILTER (WHERE capped), 0) AS BIGINT)
+         |      AS csum,
+         |    CAST(COALESCE(SUM(CASE WHEN capped THEN 0 ELSE 1 END), 0)
+         |      AS BIGINT) AS un
+         |  FROM f)
+         |SELECT source, gw AS group_weight, cap,
+         |  round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+         |    ELSE (52000 - csum) / CAST(un AS DOUBLE) END, 6) AS allocated,
+         |  round(CASE WHEN gw = 0 THEN 0.0
+         |    ELSE (CASE WHEN capped THEN CAST(cap AS DOUBLE)
+         |      ELSE (52000 - csum) / CAST(un AS DOUBLE) END)
+         |      / CAST(gw AS DOUBLE) END, 6) AS epochs
+         |FROM f, a""".stripMargin,
+
+    // mirrors Sampling.unimaxSelect(doc_id, source, n_tokens, B=24000,
+    // E=1): the q269 allocation CTE feeding q74's running-sum
+    // crossing-row rule, against the UNROUNDED waterline
+    "q270_unimax_select" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+         |      AS INTEGER) AS n_tokens,
+         |    ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000000
+         |      AS bkt
+         |  FROM documents),
+         |g AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS gw
+         |  FROM t GROUP BY source),
+         |r AS (SELECT source, gw, gw * 1 AS cap,
+         |    row_number() OVER (ORDER BY gw * 1, source) AS rn,
+         |    count(*) OVER () AS n,
+         |    COALESCE(CAST(SUM(gw * 1) OVER (ORDER BY gw * 1, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS BIGINT), 0) AS prior
+         |  FROM g),
+         |f AS (SELECT r.*, cap * (n - rn + 1) <= 24000 - prior AS capped
+         |  FROM r),
+         |a AS (SELECT
+         |    CAST(COALESCE(SUM(cap) FILTER (WHERE capped), 0) AS BIGINT)
+         |      AS csum,
+         |    CAST(COALESCE(SUM(CASE WHEN capped THEN 0 ELSE 1 END), 0)
+         |      AS BIGINT) AS un
+         |  FROM f),
+         |alloc AS (SELECT source,
+         |    CASE WHEN capped THEN CAST(cap AS DOUBLE)
+         |      ELSE (24000 - csum) / CAST(un AS DOUBLE) END AS budget
+         |  FROM f, a)
+         |SELECT doc_id, source, n_tokens
+         |FROM t JOIN alloc USING (source)
+         |QUALIFY SUM(CAST(n_tokens AS DOUBLE)) OVER (PARTITION BY source
+         |  ORDER BY bkt, doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |  - n_tokens < budget""".stripMargin,
 
     // mirrors TextAnalysis.tokenizerFertility: the q27 token mirrors
     // aggregated per language

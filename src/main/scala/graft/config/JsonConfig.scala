@@ -33,6 +33,12 @@ final class JsonConfig(val values: Map[String, Any]) {
   def getIntOpt(key: String): Option[Int] =
     values.get(key).map { case n: Number => n.intValue(); case s => s.toString.toInt }
 
+  /** Required long (token budgets overflow Int at corpus scale). */
+  def getLong(key: String): Long = get[Any](key) match {
+    case n: Number => n.longValue()
+    case s: String => s.toLong
+  }
+
   def getDouble(key: String, default: Double): Double =
     values.get(key).map {
       case n: Number => n.doubleValue()

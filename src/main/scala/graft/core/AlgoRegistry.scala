@@ -1260,6 +1260,23 @@ object AlgoRegistry {
         config.getString("id_column"), config.getString("group_column"),
         config.getString("weight_column"),
         config.getDouble("budget_per_group")))
+    // UniMax waterfill allocation (Chung et al. 2023): per-group token
+    // budgets under a max-epochs repetition cap — the report face
+    case "UniMaxMix" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.unimaxAllocate(df,
+        config.getString("group_column"),
+        config.getString("weight_column"),
+        config.getLong("total_budget"), config.getInt("max_epochs")))
+    // the apply face: one-epoch selection under the UniMax allocation
+    case "UniMaxSelect" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.unimaxSelect(df,
+        config.getString("id_column"), config.getString("group_column"),
+        config.getString("weight_column"),
+        config.getLong("total_budget"), config.getInt("max_epochs")))
     // seed classifier: multinomial NB trained on the rows whose label
     // column is non-null, scored over EVERY row (predicted / actual /
     // correct / score audit columns)

@@ -859,4 +859,101 @@ object Sampling {
       .agg(min(col(gvN)).as(scoreCol + "_qn"))
     df.join(broadcast(mapping), Seq(groupCol, scoreCol), "left")
   }
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling", arXiv:2304.09151): split a
+    * total token budget across groups by WATERFILLING rather than
+    * proportional or temperature scaling. Every group receives the
+    * same allocation t, except groups whose full `maxEpochs` epochs
+    * cost less than t, which contribute everything they have
+    * (cap_g = maxEpochs × group weight); t solves
+    * Σ min(cap_g, t) = B — the unique split that maximizes the
+    * minimum per-group budget, i.e. the fairest mix that still fills
+    * the budget. Compare [[temperatureSample]]: temperature flattens
+    * the mix but still over-samples dominant groups; UniMax caps
+    * repetition of the SMALL groups (maxEpochs) and splits the rest
+    * uniformly.
+    *
+    * Closed form over caps in ascending (cap, group) order: group g is
+    * capped iff cap_g · (#groups from g on) ≤ B − (Σ caps before g).
+    * The left side is nondecreasing along that order, so the capped
+    * set is a PREFIX and one pass over the groups frame computes it.
+    * Capped arithmetic is exact BIGINT; the shared waterline is ONE
+    * IEEE division of exact integers — engine-exact, hence
+    * oracle-able. (Overflow headroom: cap × #groups stays under 2⁶³
+    * through ~10¹⁴ tokens × 10⁴ groups.)
+    *
+    * Output: (groupCol, group_weight, cap, allocated, epochs) —
+    * allocated/epochs rounded to 6; epochs = allocated / weight, the
+    * per-group repeat factor the trainer applies (capped groups sit
+    * exactly at maxEpochs).
+    *
+    * Scale shape: group weights are one map-side-combinable aggregate;
+    * the ranking windows below run over the GROUPS frame (one row per
+    * group — bounded by source count, like [[quantileNormalize]]'s
+    * global histogram window), never over raw rows.
+    */
+  def unimaxAllocate(df: DataFrame, groupCol: String, weightCol: String,
+      totalBudget: Long, maxEpochs: Int): DataFrame = {
+    val gw = col("__gw").cast("double")
+    unimaxCore(df, groupCol, weightCol, totalBudget, maxEpochs).select(
+      col(s"`$groupCol`"), col("__gw").as("group_weight"),
+      col("__cap").as("cap"),
+      round(col("__alloc"), 6).as("allocated"),
+      round(when(col("__gw") === 0, lit(0.0))
+        .otherwise(col("__alloc") / gw), 6).as("epochs"))
+  }
+
+  /** The apply face: one-epoch selection under the UniMax allocation —
+    * each group trimmed to its waterfilled budget with the same
+    * deterministic hash-bucket ordering and crossing-row rule as
+    * [[capPerGroupWeighted]] (the two-phase shape; nothing group-sized
+    * funnels through one task). A group whose allocation covers
+    * several epochs is kept whole here — the `epochs` column of
+    * [[unimaxAllocate]] is the repeat factor the trainer applies on
+    * top of this selection.
+    */
+  def unimaxSelect(df: DataFrame, idCol: String, groupCol: String,
+      weightCol: String, totalBudget: Long, maxEpochs: Int): DataFrame = {
+    val budgets = unimaxCore(df, groupCol, weightCol, totalBudget,
+        maxEpochs)
+      .select(col(s"`$groupCol`"), col("__alloc").as("__unimax_budget"))
+    capPerGroupWeightedBudgets(df, idCol, groupCol, weightCol, budgets,
+      "__unimax_budget")
+  }
+
+  /** Groups frame with the UNROUNDED allocation (`__alloc`): the select
+    * face must filter against the exact waterline, not the rounded
+    * report value, or a row sitting within 1e-6 of the boundary would
+    * diverge from the oracle's arithmetic.
+    */
+  private def unimaxCore(df: DataFrame, groupCol: String,
+      weightCol: String, totalBudget: Long, maxEpochs: Int): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive: $totalBudget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1: $maxEpochs")
+    import org.apache.spark.sql.expressions.Window
+    val w = coalesce(col(s"`$weightCol`").cast("long"), lit(0L))
+    val g = df.groupBy(col(s"`$groupCol`")).agg(sum(w).as("__gw"))
+      .withColumn("__cap", col("__gw") * maxEpochs)
+    val ord = Window.orderBy(col("__cap"), col(s"`$groupCol`"))
+    val n = g.agg(count(lit(1)).as("__n"))
+    val ranked = g
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__prior", coalesce(sum(col("__cap")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("__capped",
+        col("__cap") * (col("__n") - col("__rn") + 1) <=
+          lit(totalBudget) - col("__prior"))
+    val rem = ranked.agg(
+      coalesce(sum(when(col("__capped"), col("__cap"))), lit(0L))
+        .as("__csum"),
+      coalesce(sum(when(col("__capped"), lit(0L)).otherwise(lit(1L))),
+        lit(0L)).as("__un"))
+    ranked.crossJoin(broadcast(rem))
+      .withColumn("__alloc", when(col("__capped"),
+        col("__cap").cast("double"))
+        .otherwise((lit(totalBudget) - col("__csum")).cast("double") /
+          col("__un").cast("double")))
+  }
 }

@@ -253,6 +253,34 @@ class JobRunnerSpec extends SparkSpec {
     // 9 rows fill 90 < 95; the 10th crosses and is kept
     spark.read.parquet(tgtW).count() shouldBe 10
 
+    // UniMax waterfill through the params surface: weights a=10 b=20
+    // c=100, E=2, B=100 -> a and b capped (20/40), c takes the
+    // remaining 40 at 0.4 epochs
+    val srcU = tmp("jr_umx_src") + "/t"
+    Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 100))
+      .toDF("doc_id", "grp", "w").write.parquet(srcU)
+    val tgtU = tmp("jr_umx_tgt") + "/t"
+    val paramsU = tmp("jr_umx_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsU),
+      s"""{"source_dir": "$srcU", "target_dir": "$tgtU",
+         | "group_column": "grp", "weight_column": "w",
+         | "total_budget": 100, "max_epochs": 2}""".stripMargin)
+    JobRunner.execute(spark, "UniMaxMix", paramsU)
+    spark.read.parquet(tgtU)
+      .select(col("grp"), col("allocated"), col("epochs"))
+      .as[(String, Double, Double)].collect().sortBy(_._1) shouldBe
+      Array(("a", 20.0, 2.0), ("b", 40.0, 2.0), ("c", 40.0, 0.4))
+    val tgtU2 = tmp("jr_umxs_tgt") + "/t"
+    val paramsU2 = tmp("jr_umxs_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsU2),
+      s"""{"source_dir": "$srcU", "target_dir": "$tgtU2",
+         | "id_column": "doc_id", "group_column": "grp",
+         | "weight_column": "w", "total_budget": 100,
+         | "max_epochs": 2}""".stripMargin)
+    JobRunner.execute(spark, "UniMaxSelect", paramsU2)
+    // every group's first row is its crossing row -> all kept
+    spark.read.parquet(tgtU2).count() shouldBe 3
+
     // dedup telemetry through the params surface: the pair (1,2) is one
     // size-2 cluster
     val tgtDs = tmp("jr_ds_tgt") + "/t"
