@@ -3057,6 +3057,25 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_tokens"))
     }),
 
+    // ANN: product-quantization code artifact (Jégou et al. 2011) — 64
+    // float dims become 8 codes over 16 hash-sampled codewords per
+    // subspace (a 32x memory cut); the compressed table the ADC scan
+    // joins instead of reading vectors
+    "q271_pq_codes" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqEncode(emb, "vec_id", "embedding", dim = 64, m = 8,
+        Similarity.pqCodebooks(emb, "vec_id", "embedding", 64, 8, 16))
+    }),
+
+    // ANN: PQ asymmetric-distance top-5 — every 50th vector queries the
+    // compressed corpus; per-cell distances fixed-point quantized so
+    // the 8-term sums are exact BIGINT under any aggregation order
+    "q272_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb.filter(col("vec_id") % 50 === 0), emb,
+        "vec_id", "embedding", k = 5, dim = 64, m = 8, ks = 16)
+    }),
+
     // report: tokenizer fertility per language — subword tokens per
     // whitespace token, the per-language token-budget multiplier
     "q266_fertility" -> ((s, dir) => {
@@ -3521,6 +3540,14 @@ object SparkEntry {
   /** Sequential-accumulation cosine — the same operation order as the native
     * CosineSimilarityExpr loop, so doubles match bit-for-bit.
     */
+  /** Squared L2 mirror of [[graft.functions.SquaredL2Expr]]: sequential
+    * double accumulation over float inputs in array order.
+    */
+  private def l2Sql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a)+1),
+       |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |         * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, len($a)+1),
        |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
@@ -8887,6 +8914,78 @@ object SparkEntry {
          |  ORDER BY bkt, doc_id
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |  - n_tokens < budget""".stripMargin,
+
+    // mirrors Similarity.pqCodebooks + pqEncode (dim 64, m=8, ks=16):
+    // identical hash-ordered codeword ranks, list-slice subvectors, and
+    // squared-L2 argmin with ties to the smaller code
+    "q271_pq_codes" ->
+      s"""WITH sel AS (
+         |  SELECT vec_id AS cid, embedding AS ce,
+         |    CAST(row_number() OVER (ORDER BY
+         |      ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")}, vec_id)
+         |      AS INTEGER) - 1 AS code
+         |  FROM embeddings
+         |  ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")},
+         |    vec_id
+         |  LIMIT 16),
+         |cb AS (
+         |  SELECT CAST(t.j AS INTEGER) AS j, code,
+         |    ce[t.j*8+1 : t.j*8+8] AS sub
+         |  FROM sel, range(0,8) t(j)),
+         |sv AS (
+         |  SELECT e.vec_id, CAST(t.j AS INTEGER) AS j,
+         |    e.embedding[t.j*8+1 : t.j*8+8] AS subv
+         |  FROM embeddings e, range(0,8) t(j))
+         |SELECT vec_id, j, code FROM (
+         |  SELECT v.vec_id, v.j, c.code,
+         |    row_number() OVER (PARTITION BY v.vec_id, v.j
+         |      ORDER BY ${l2Sql("v.subv", "c.sub")}, c.code) AS rk
+         |  FROM sv v JOIN cb c ON v.j = c.j) WHERE rk = 1""".stripMargin,
+
+    // mirrors Similarity.pqTopK (k=5): the q271 encode CTEs + per-query
+    // fixed-point distance tables; approximate distance is the exact
+    // BIGINT sum of 8 table lookups
+    "q272_ann_pq" ->
+      s"""WITH sel AS (
+         |  SELECT vec_id AS cid, embedding AS ce,
+         |    CAST(row_number() OVER (ORDER BY
+         |      ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")}, vec_id)
+         |      AS INTEGER) - 1 AS code
+         |  FROM embeddings
+         |  ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")},
+         |    vec_id
+         |  LIMIT 16),
+         |cb AS (
+         |  SELECT CAST(t.j AS INTEGER) AS j, code,
+         |    ce[t.j*8+1 : t.j*8+8] AS sub
+         |  FROM sel, range(0,8) t(j)),
+         |sv AS (
+         |  SELECT e.vec_id, CAST(t.j AS INTEGER) AS j,
+         |    e.embedding[t.j*8+1 : t.j*8+8] AS subv
+         |  FROM embeddings e, range(0,8) t(j)),
+         |enc AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT v.vec_id, v.j, c.code,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.j
+         |        ORDER BY ${l2Sql("v.subv", "c.sub")}, c.code) AS rk
+         |    FROM sv v JOIN cb c ON v.j = c.j) WHERE rk = 1),
+         |qt AS (
+         |  SELECT v.vec_id AS query_id, v.j, c.code,
+         |    CAST(round(${l2Sql("v.subv", "c.sub")} * 1048576) AS BIGINT)
+         |      AS qd
+         |  FROM sv v JOIN cb c ON v.j = c.j
+         |  WHERE v.vec_id % 50 = 0),
+         |ad AS (
+         |  SELECT t.query_id, e.vec_id AS neighbor_id,
+         |    CAST(SUM(t.qd) AS BIGINT) AS adfix
+         |  FROM enc e JOIN qt t ON e.j = t.j AND e.code = t.code
+         |  WHERE t.query_id <> e.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id,
+         |  round(adfix / 1048576.0, 6) AS pq_dist
+         |FROM ad
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY adfix, neighbor_id) <= 5""".stripMargin,
 
     // mirrors TextAnalysis.tokenizerFertility: the q27 token mirrors
     // aggregated per language

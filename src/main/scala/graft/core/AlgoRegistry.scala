@@ -849,6 +849,29 @@ object AlgoRegistry {
         spark.read.parquet(config.getString("queries_dir")), df,
         config.getString("id_column"), config.getString("vector_column"),
         config.getString("label_column"), config.getInt("k")))
+    // product-quantization code artifact: (id, j, code) — the
+    // compressed-corpus table PqSearch scans instead of vectors
+    case "PqCodes" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val (id, vec) = (config.getString("id_column"),
+          config.getString("vector_column"))
+        val (dim, m) = (config.getInt("dim"), config.getInt("m"))
+        graft.operators.Similarity.pqEncode(df, id, vec, dim, m,
+          graft.operators.Similarity.pqCodebooks(df, id, vec, dim, m,
+            config.getInt("ks")))
+      })
+    // PQ ADC top-k: compressed exhaustive scan (queries_dir as in
+    // HardNegatives)
+    case "PqSearch" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.pqTopK(
+        spark.read.parquet(config.getString("queries_dir")), df,
+        config.getString("id_column"), config.getString("vector_column"),
+        config.getInt("k"), config.getInt("dim"), config.getInt("m"),
+        config.getInt("ks")))
     // byte-level media near-dup pairs (no decode; simhash over hex chunks)
     case "MediaNearDup" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -86,3 +86,70 @@ object CosineSimilarityExpr {
     GraftBridge.column(CosineSimilarityExpr(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 }
+
+/** Squared L2 distance of two float-vector columns — the PQ encode /
+  * ADC kernel (Jégou et al. 2011). Same discipline as
+  * [[CosineSimilarityExpr]]: one native evaluation per row,
+  * sequential double accumulation over float inputs in array order
+  * (bit-identical to the DuckDB oracle's `list_sum(list_transform)`
+  * mirror), with `doGenCode` so the loop stays inside whole-stage
+  * codegen — it runs once per (subvector, codeword) pair in the PQ
+  * encode pass, the hottest loop of the compressed-ANN path.
+  */
+case class SquaredL2Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true; case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"squared_l2 expects two array<float> columns, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object SquaredL2Expr {
+  def squaredL2(a: Column, b: Column): Column =
+    GraftBridge.column(SquaredL2Expr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+}

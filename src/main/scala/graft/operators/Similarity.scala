@@ -207,6 +207,111 @@ object Similarity {
     rerank(cand, queries, corpus, idCol, vecCol, k, broadcastQueries)
   }
 
+  /** Fixed-point scale for PQ's ADC accumulation (2^20): per-cell
+    * distances are quantized to BIGINT so the m-term sum is exact
+    * integer arithmetic — order-independent, map-side combinable,
+    * engine-exact (the PageRank operator's float-free trick). The
+    * quantization error is ≤ m/2^21 on the distance, far below any
+    * meaningful neighbor gap.
+    */
+  private val PqFix = 1048576L
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the embedding space
+    * splits into `m` contiguous subspaces of `dim/m` dimensions, each
+    * with `ks` codewords — the hash-sampled [[selectCentroids]]
+    * vectors' subvectors, deterministic and oracle-mirrorable like the
+    * IVF centroid set (production would k-means each subspace via
+    * [[kmeansCentroids]]; the pipeline shape is identical). Output
+    * (j, code, sub): m·ks rows, broadcast-sized regardless of corpus
+    * size.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ks: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m")
+    require(ks >= 2, s"ks must be >= 2: $ks")
+    val subDim = dim / m
+    // rank within the selected frame re-derives the same hash order the
+    // selection used — a window over ks rows, not the corpus
+    val ranked = selectCentroids(corpus, idCol, vecCol, ks)
+      .withColumn("code", (row_number().over(Window.orderBy(
+        conv(substring(md5(col("cid").cast("string")), 1, 15), 16, 10)
+          .cast("long"), col("cid"))) - 1).cast("int"))
+    val subs = array((0 until m).map(j =>
+      slice(col("ce"), j * subDim + 1, subDim)): _*)
+    ranked.select(col("code"), posexplode(subs).as(Seq("j", "sub")))
+      .select(col("j"), col("code"), col("sub"))
+  }
+
+  /** PQ code assignment — the compressed-corpus artifact: each vector
+    * becomes m small-int codes (64 float dims at m=8 → a 32× memory
+    * cut). A narrow pass: subvector explode, broadcast codebook join,
+    * native [[graft.functions.SquaredL2Expr]], and a map-side
+    * combinable `min_by` argmin per (id, j) with ties to the smaller
+    * code. Output (idCol, j, code) — the long-format layout ADC joins
+    * against; nothing corpus-sized shuffles beyond those 3 narrow
+    * columns.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, codebooks: DataFrame): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m")
+    val subDim = dim / m
+    val subs = array((0 until m).map(j =>
+      slice(col(s"`$vecCol`"), j * subDim + 1, subDim)): _*)
+    corpus.select(col(s"`$idCol`"), posexplode(subs).as(Seq("j", "subv")))
+      .join(broadcast(codebooks), "j")
+      .select(col(s"`$idCol`"), col("j"), col("code"),
+        graft.functions.SquaredL2Expr.squaredL2(col("subv"), col("sub"))
+          .as("__d"))
+      .groupBy(col(s"`$idCol`"), col("j"))
+      .agg(min_by(col("code"), struct(col("__d"), col("code"))).as("code"))
+  }
+
+  /** PQ ADC top-k (asymmetric distance computation): each query
+    * precomputes its m×ks subspace distance table; a candidate's
+    * approximate distance is the sum of m table lookups — the corpus
+    * is scanned as CODES, never as vectors. Per-cell distances are
+    * fixed-point quantized ([[PqFix]]) so the sum is exact BIGINT —
+    * deterministic under any aggregation order and map-side
+    * combinable. Output (query_id, neighbor_id, pq_dist), smaller
+    * distance = nearer, ties to the smaller id.
+    *
+    * 100 TB shape: codebooks (m·ks) and distance tables (|Q|·m·ks)
+    * broadcast; the scan is narrow over (id, j, code); the one shuffle
+    * is the (query, id) group-sum whose map-side partials compress
+    * m·|Q| rows per vector down to |Q| per task. This is the
+    * compressed EXHAUSTIVE scan — compose with [[ivfTopK]]'s cell
+    * assignment (IVF-PQ) when even the code scan must be pruned.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int = 8, ks: Int = 16,
+      excludeSelf: Boolean = true): DataFrame = {
+    val cb = pqCodebooks(corpus, idCol, vecCol, dim, m, ks)
+    val codes = pqEncode(corpus, idCol, vecCol, dim, m, cb)
+      .select(col(s"`$idCol`").as("neighbor_id"), col("j"), col("code"))
+    val subDim = dim / m
+    val subs = array((0 until m).map(j =>
+      slice(col(s"`$vecCol`"), j * subDim + 1, subDim)): _*)
+    val qt = queries
+      .select(col(s"`$idCol`").as("query_id"),
+        posexplode(subs).as(Seq("j", "subv")))
+      .join(broadcast(cb), "j")
+      .select(col("query_id"), col("j"), col("code"),
+        round(graft.functions.SquaredL2Expr
+          .squaredL2(col("subv"), col("sub")) * PqFix)
+          .cast("long").as("__qd"))
+    val ad = codes.join(broadcast(qt), Seq("j", "code"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+        else lit(true))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__qd")).as("__adfix"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adfix"), col("neighbor_id"))
+    ad.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__adfix").cast("double") / PqFix, 6).as("pq_dist"))
+  }
+
   /** Greedy farthest-point (maxmin) centroid initialization — the
     * deterministic cousin of k-means++ seeding: start from the
     * hash-min point, then repeatedly add the corpus vector whose

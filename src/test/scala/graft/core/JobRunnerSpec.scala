@@ -1059,6 +1059,19 @@ class Round9ParamsSpec extends SparkSpec {
          | "k": 2}""".stripMargin)
     spark.read.parquet(s"$base/hn").count() shouldBe 60
 
+    run(base, "PqCodes",
+      s"""{"source_dir": "$base/emb", "target_dir": "$base/pqc",
+         | "id_column": "vec_id", "vector_column": "embedding",
+         | "dim": 2, "m": 2, "ks": 4}""".stripMargin)
+    spark.read.parquet(s"$base/pqc").count() shouldBe 60 // 30 ids x 2 j
+
+    run(base, "PqSearch",
+      s"""{"source_dir": "$base/emb", "target_dir": "$base/pqs",
+         | "queries_dir": "$base/emb", "id_column": "vec_id",
+         | "vector_column": "embedding", "k": 2, "dim": 2, "m": 2,
+         | "ks": 4}""".stripMargin)
+    spark.read.parquet(s"$base/pqs").count() shouldBe 60 // 30 queries x 2
+
     run(base, "KnnLabelCheck",
       s"""{"source_dir": "$base/emb", "target_dir": "$base/knn",
          | "id_column": "vec_id", "vector_column": "embedding",
