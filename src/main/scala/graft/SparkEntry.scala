@@ -3076,6 +3076,16 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, dim = 64, m = 8, ks = 16)
     }),
 
+    // ANN: IVF-PQ — 32 L2-assigned cells prune WHICH codes are
+    // scanned, PQ compresses WHAT is scanned (the FAISS-style 100 TB
+    // configuration); queries probe their 4 nearest cells
+    "q273_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") % 50 === 0), emb,
+        "vec_id", "embedding", k = 5, dim = 64, m = 8, ks = 16,
+        centroids = 32, nprobe = 4)
+    }),
+
     // report: tokenizer fertility per language — subword tokens per
     // whitespace token, the per-language token-budget multiplier
     "q266_fertility" -> ((s, dir) => {
@@ -8979,6 +8989,74 @@ object SparkEntry {
          |  SELECT t.query_id, e.vec_id AS neighbor_id,
          |    CAST(SUM(t.qd) AS BIGINT) AS adfix
          |  FROM enc e JOIN qt t ON e.j = t.j AND e.code = t.code
+         |  WHERE t.query_id <> e.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id,
+         |  round(adfix / 1048576.0, 6) AS pq_dist
+         |FROM ad
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY adfix, neighbor_id) <= 5""".stripMargin,
+
+    // mirrors Similarity.ivfPqTopK (centroids=32, nprobe=4, k=5): the
+    // q272 encode/distance-table CTEs gated by L2 cell assignment and
+    // the probed-cell join
+    "q273_ann_ivfpq" ->
+      s"""WITH sel AS (
+         |  SELECT vec_id AS cid, embedding AS ce,
+         |    CAST(row_number() OVER (ORDER BY
+         |      ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")}, vec_id)
+         |      AS INTEGER) - 1 AS code
+         |  FROM embeddings
+         |  ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")},
+         |    vec_id
+         |  LIMIT 16),
+         |cb AS (
+         |  SELECT CAST(t.j AS INTEGER) AS j, code,
+         |    ce[t.j*8+1 : t.j*8+8] AS sub
+         |  FROM sel, range(0,8) t(j)),
+         |sv AS (
+         |  SELECT e.vec_id, CAST(t.j AS INTEGER) AS j,
+         |    e.embedding[t.j*8+1 : t.j*8+8] AS subv
+         |  FROM embeddings e, range(0,8) t(j)),
+         |enc AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT v.vec_id, v.j, c.code,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.j
+         |        ORDER BY ${l2Sql("v.subv", "c.sub")}, c.code) AS rk
+         |    FROM sv v JOIN cb c ON v.j = c.j) WHERE rk = 1),
+         |qt AS (
+         |  SELECT v.vec_id AS query_id, v.j, c.code,
+         |    CAST(round(${l2Sql("v.subv", "c.sub")} * 1048576) AS BIGINT)
+         |      AS qd
+         |  FROM sv v JOIN cb c ON v.j = c.j
+         |  WHERE v.vec_id % 50 = 0),
+         |cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce2
+         |  FROM embeddings
+         |  ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")},
+         |    vec_id
+         |  LIMIT 32),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.ce2")}, c.cid) AS rk
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+         |probe AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.ce2")}, c.cid) AS rk
+         |    FROM embeddings e CROSS JOIN cent c
+         |    WHERE e.vec_id % 50 = 0) WHERE rk <= 4),
+         |ad AS (
+         |  SELECT t.query_id, e.vec_id AS neighbor_id,
+         |    CAST(SUM(t.qd) AS BIGINT) AS adfix
+         |  FROM enc e
+         |  JOIN asg a ON e.vec_id = a.vec_id
+         |  JOIN probe p ON a.cid = p.cid
+         |  JOIN qt t ON p.query_id = t.query_id
+         |    AND e.j = t.j AND e.code = t.code
          |  WHERE t.query_id <> e.vec_id
          |  GROUP BY 1, 2)
          |SELECT query_id, neighbor_id,

@@ -872,6 +872,16 @@ object AlgoRegistry {
         config.getString("id_column"), config.getString("vector_column"),
         config.getInt("k"), config.getInt("dim"), config.getInt("m"),
         config.getInt("ks")))
+    // IVF-PQ: cells prune WHICH codes are scanned, PQ compresses WHAT
+    case "IvfPqSearch" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.ivfPqTopK(
+        spark.read.parquet(config.getString("queries_dir")), df,
+        config.getString("id_column"), config.getString("vector_column"),
+        config.getInt("k"), config.getInt("dim"), config.getInt("m"),
+        config.getInt("ks"), config.getInt("centroids"),
+        config.getInt("nprobe")))
     // byte-level media near-dup pairs (no decode; simhash over hex chunks)
     case "MediaNearDup" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -289,10 +289,21 @@ object Similarity {
     val cb = pqCodebooks(corpus, idCol, vecCol, dim, m, ks)
     val codes = pqEncode(corpus, idCol, vecCol, dim, m, cb)
       .select(col(s"`$idCol`").as("neighbor_id"), col("j"), col("code"))
+    val cand = codes.join(
+      broadcast(pqDistTable(queries, idCol, vecCol, dim, m, cb)),
+      Seq("j", "code"))
+    pqRank(cand, k, excludeSelf)
+  }
+
+  /** Per-query fixed-point subspace distance table (query_id, j, code,
+    * __qd) — |Q|·m·ks rows, broadcast-sized.
+    */
+  private def pqDistTable(queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, cb: DataFrame): DataFrame = {
     val subDim = dim / m
     val subs = array((0 until m).map(j =>
       slice(col(s"`$vecCol`"), j * subDim + 1, subDim)): _*)
-    val qt = queries
+    queries
       .select(col(s"`$idCol`").as("query_id"),
         posexplode(subs).as(Seq("j", "subv")))
       .join(broadcast(cb), "j")
@@ -300,7 +311,14 @@ object Similarity {
         round(graft.functions.SquaredL2Expr
           .squaredL2(col("subv"), col("sub")) * PqFix)
           .cast("long").as("__qd"))
-    val ad = codes.join(broadcast(qt), Seq("j", "code"))
+  }
+
+  /** Group-sum + top-k tail shared by [[pqTopK]] and [[ivfPqTopK]]:
+    * `cand` is (query_id, neighbor_id, __qd) rows, m per pair.
+    */
+  private def pqRank(cand: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val ad = cand
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
         else lit(true))
       .groupBy(col("query_id"), col("neighbor_id"))
@@ -310,6 +328,55 @@ object Similarity {
     ad.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("__adfix").cast("double") / PqFix, 6).as("pq_dist"))
+  }
+
+  /** IVF-PQ (the FAISS-style 100 TB configuration): IVF prunes WHICH
+    * codes are scanned, PQ compresses WHAT is scanned. Cells are the
+    * `centroids` hash-sampled vectors with squared-L2 assignment
+    * (ties to the smaller cid — everything in this path is one metric,
+    * unlike the cosine-cell [[ivfTopK]]); queries probe their `nprobe`
+    * nearest cells and ADC-rank only the codes assigned there.
+    *
+    * Scale shape: centroid set, probe set, and distance tables are all
+    * broadcast; the codes⋈assignment join is narrow rows keyed by id
+    * (in production the code artifact is WRITTEN partitioned by cell,
+    * making that join a free co-partition — here it is one narrow
+    * shuffle); the candidate scan is |cand|·m rows into a map-side
+    * combinable BIGINT sum. Nothing vector-sized moves after encode.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int = 8, ks: Int = 16,
+      centroids: Int = 32, nprobe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    val cb = pqCodebooks(corpus, idCol, vecCol, dim, m, ks)
+    val codes = pqEncode(corpus, idCol, vecCol, dim, m, cb)
+      .select(col(s"`$idCol`").as("neighbor_id"), col("j"), col("code"))
+    val cent = broadcast(
+      selectCentroids(corpus, idCol, vecCol, centroids))
+    def sq(a: Column, b: Column) =
+      graft.functions.SquaredL2Expr.squaredL2(a, b)
+    val assign = corpus
+      .select(col(s"`$idCol`").as("neighbor_id"), col(s"`$vecCol`").as("__v"))
+      .join(cent)
+      .select(col("neighbor_id"), col("cid"),
+        sq(col("__v"), col("ce")).as("__d"))
+      .groupBy(col("neighbor_id"))
+      .agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("cid"))
+    val qScored = queries
+      .select(col(s"`$idCol`").as("query_id"), col(s"`$vecCol`").as("__v"))
+      .join(cent)
+      .select(col("query_id"), col("cid"),
+        sq(col("__v"), col("ce")).as("__d"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d"), col("cid"))
+    val probe = broadcast(qScored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= nprobe).select(col("query_id"), col("cid")))
+    val cand = codes.join(assign, "neighbor_id")
+      .join(probe, "cid")
+      .join(broadcast(pqDistTable(queries, idCol, vecCol, dim, m, cb)),
+        Seq("query_id", "j", "code"))
+    pqRank(cand, k, excludeSelf)
   }
 
   /** Greedy farthest-point (maxmin) centroid initialization — the

@@ -1072,6 +1072,13 @@ class Round9ParamsSpec extends SparkSpec {
          | "ks": 4}""".stripMargin)
     spark.read.parquet(s"$base/pqs").count() shouldBe 60 // 30 queries x 2
 
+    run(base, "IvfPqSearch",
+      s"""{"source_dir": "$base/emb", "target_dir": "$base/ivfpq",
+         | "queries_dir": "$base/emb", "id_column": "vec_id",
+         | "vector_column": "embedding", "k": 2, "dim": 2, "m": 2,
+         | "ks": 4, "centroids": 4, "nprobe": 2}""".stripMargin)
+    spark.read.parquet(s"$base/ivfpq").count() should be > 0L
+
     run(base, "KnnLabelCheck",
       s"""{"source_dir": "$base/emb", "target_dir": "$base/knn",
          | "id_column": "vec_id", "vector_column": "embedding",

@@ -116,6 +116,43 @@ class PqSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("ivfPq with nprobe = centroids degenerates to the full PQ scan") {
+    val queries = clustered.filter($"vec_id" % 20 === 0)
+    val full = Similarity.pqTopK(queries, clustered, "vec_id",
+      "embedding", k = 5, dim, m, ks)
+      .as[(Long, Long, Double)].collect().toSet
+    val ivf = Similarity.ivfPqTopK(queries, clustered, "vec_id",
+      "embedding", k = 5, dim, m, ks, centroids = 8, nprobe = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    ivf shouldBe full
+  }
+
+  test("ivfPq recall@5 vs the exact scan stays useful under pruning") {
+    val queries = clustered.filter($"vec_id" % 20 === 0)
+    val ivf = Similarity.ivfPqTopK(queries, clustered, "vec_id",
+        "embedding", k = 5, dim, m, ks, centroids = 8, nprobe = 3)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = clustered.select($"vec_id".as("neighbor_id"),
+      $"embedding".as("cv"))
+    val W = org.apache.spark.sql.expressions.Window
+    val exact = q.crossJoin(c).filter($"query_id" =!= $"neighbor_id")
+      .withColumn("d",
+        graft.functions.SquaredL2Expr.squaredL2($"qv", $"cv"))
+      .withColumn("rk", row_number().over(W.partitionBy($"query_id")
+        .orderBy($"d", $"neighbor_id")))
+      .filter($"rk" <= 5).select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (qid, truth) =>
+      ivf.getOrElse(qid, Set.empty).intersect(truth).size.toDouble /
+        truth.size
+    }
+    (recalls.sum / recalls.size) should be >= 0.5
+  }
+
   test("plan shape: distance tables broadcast, no cartesian product") {
     val queries = clustered.filter($"vec_id" % 50 === 0)
     val plan = Similarity.pqTopK(queries, clustered, "vec_id",
