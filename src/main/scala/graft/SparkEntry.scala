@@ -3076,6 +3076,46 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, dim = 64, m = 8, ks = 16)
     }),
 
+    // pipeline gate: the CCNet regime (Wenzek et al. 2020) through the
+    // params surface — LM trained on a REFERENCE subset (every 3rd
+    // doc), the FULL corpus scored against the frozen model, then the
+    // per-language perplexity band keeps the head+middle (drops the
+    // worst-logprob quartile per lang); one glue join attaches lang to
+    // the scored table between registered stages
+    "q274_ccnet_pipeline" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val base = tmpDir("graft_q274")
+      def p(sub: String) = s"$base/$sub"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      docs.write.parquet(p("src"))
+      docs.filter(col("doc_id") % 3 === 0).write.parquet(p("ref"))
+      def run(algo: String, json: String): Unit = {
+        val f = Paths.get(base, s"$algo.json")
+        JFiles.writeString(f, json)
+        graft.core.JobRunner.execute(s, algo, f.toString)
+      }
+      run("BigramModel",
+        s"""{"source_dir": "${p("ref")}", "target_dir": "${p("model")}",
+           | "text_column": "text", "model_size": 500,
+           | "history_size": 25}""".stripMargin)
+      run("BigramScore",
+        s"""{"source_dir": "${p("src")}", "target_dir": "${p("scored")}",
+           | "model_dir": "${p("model")}", "id_column": "doc_id",
+           | "text_column": "text", "add_k": 0.5}""".stripMargin)
+      s.read.parquet(p("scored"))
+        .join(s.read.parquet(p("src")).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .write.parquet(p("scored_lang"))
+      run("QuantileBand",
+        s"""{"source_dir": "${p("scored_lang")}",
+           | "target_dir": "${p("kept")}", "group_column": "lang",
+           | "score_column": "bigram_logprob",
+           | "lo": 0.25, "hi": 1.0}""".stripMargin)
+      s.read.parquet(p("kept"))
+        .select(col("doc_id"), col("lang"), col("bigram_logprob"))
+    }),
+
     // ANN: IVF-PQ — 32 L2-assigned cells prune WHICH codes are
     // scanned, PQ compresses WHAT is scanned (the FAISS-style 100 TB
     // configuration); queries probe their 4 nearest cells
@@ -8996,6 +9036,47 @@ object SparkEntry {
          |FROM ad
          |QUALIFY row_number() OVER (PARTITION BY query_id
          |  ORDER BY adfix, neighbor_id) <= 5""".stripMargin,
+
+    // mirrors q274: q185's bigram CTEs with the model CTEs restricted
+    // to the reference subset (doc_id % 3 = 0, incl. the vocab size v),
+    // all docs scored, then q78's percent_rank band per lang
+    "q274_ccnet_pipeline" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |ref AS (SELECT doc_id, ts FROM tk WHERE doc_id % 3 = 0),
+        |vv AS (
+        |  SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v FROM (
+        |    SELECT unnest(ts) AS t FROM ref)),
+        |bgm AS (
+        |  SELECT ts[g] AS w1, ts[g + 1] AS w2 FROM (
+        |    SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS g
+        |    FROM ref WHERE len(ts) >= 2)),
+        |c2a AS (SELECT w1, w2, count(*) AS c2 FROM bgm GROUP BY w1, w2),
+        |c1a AS (SELECT w1, sum(c2) AS c1 FROM c2a GROUP BY w1),
+        |c2 AS (SELECT w1, w2, c2 FROM c2a
+        |  QUALIFY row_number() OVER (ORDER BY c2 DESC, w1, w2) <= 500),
+        |c1 AS (SELECT w1, c1 FROM c1a
+        |  QUALIFY row_number() OVER (ORDER BY c1 DESC, w1) <= 25),
+        |bg AS (
+        |  SELECT doc_id, ts[g] AS w1, ts[g + 1] AS w2 FROM (
+        |    SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS g
+        |    FROM tk WHERE len(ts) >= 2)),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(avg(ln(
+        |      (CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 0.5) /
+        |      (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + 0.5 * v))), 6)
+        |      AS bigram_logprob
+        |  FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+        |    CROSS JOIN vv
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id, k.lang, s.bigram_logprob
+        |FROM scored s JOIN tk k USING (doc_id)
+        |QUALIFY percent_rank() OVER (
+        |  PARTITION BY k.lang ORDER BY s.bigram_logprob)
+        |  BETWEEN 0.25 AND 1.0""".stripMargin,
 
     // mirrors Similarity.ivfPqTopK (centroids=32, nprobe=4, k=5): the
     // q272 encode/distance-table CTEs gated by L2 cell assignment and
