@@ -3116,6 +3116,25 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("bigram_logprob"))
     }),
 
+    // streaming: PQ encode as a real foreachBatch query — every 4th
+    // vector staged as 3 files, streamed at maxFilesPerTrigger=1 → 3
+    // micro-batches, each encoded against the codebook FROZEN from the
+    // landed corpus; stateless encode makes the per-batch union
+    // identical to q271 restricted to the streamed ids
+    "q275_stream_pq_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val inDir = tmpDir("graft_q275_in")
+      emb.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(3).write.mode("overwrite").parquet(inDir)
+      val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        64, 8, 16)
+      val outDir = tmpDir("graft_q275_out") + "/out"
+      EventStream.runPqEncodeOnce(s, s.read.parquet(inDir).schema, inDir,
+        cb, "vec_id", "embedding", 64, 8, outDir, "q275_sink",
+        maxFilesPerTrigger = Some(1))
+    }),
+
     // ANN: IVF-PQ — 32 L2-assigned cells prune WHICH codes are
     // scanned, PQ compresses WHAT is scanned (the FAISS-style 100 TB
     // configuration); queries probe their 4 nearest cells
@@ -9077,6 +9096,35 @@ object SparkEntry {
         |QUALIFY percent_rank() OVER (
         |  PARTITION BY k.lang ORDER BY s.bigram_logprob)
         |  BETWEEN 0.25 AND 1.0""".stripMargin,
+
+    // q275 streams the SAME vectors through per-micro-batch pqEncode
+    // against the frozen full-corpus codebook; stateless encode makes
+    // the batched union equal q271's single shot restricted to the
+    // streamed subset
+    "q275_stream_pq_encode" ->
+      s"""WITH sel AS (
+         |  SELECT vec_id AS cid, embedding AS ce,
+         |    CAST(row_number() OVER (ORDER BY
+         |      ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")}, vec_id)
+         |      AS INTEGER) - 1 AS code
+         |  FROM embeddings
+         |  ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")},
+         |    vec_id
+         |  LIMIT 16),
+         |cb AS (
+         |  SELECT CAST(t.j AS INTEGER) AS j, code,
+         |    ce[t.j*8+1 : t.j*8+8] AS sub
+         |  FROM sel, range(0,8) t(j)),
+         |sv AS (
+         |  SELECT e.vec_id, CAST(t.j AS INTEGER) AS j,
+         |    e.embedding[t.j*8+1 : t.j*8+8] AS subv
+         |  FROM embeddings e, range(0,8) t(j)
+         |  WHERE e.vec_id % 4 = 0)
+         |SELECT vec_id, j, code FROM (
+         |  SELECT v.vec_id, v.j, c.code,
+         |    row_number() OVER (PARTITION BY v.vec_id, v.j
+         |      ORDER BY ${l2Sql("v.subv", "c.sub")}, c.code) AS rk
+         |  FROM sv v JOIN cb c ON v.j = c.j) WHERE rk = 1""".stripMargin,
 
     // mirrors Similarity.ivfPqTopK (centroids=32, nprobe=4, k=5): the
     // q272 encode/distance-table CTEs gated by L2 cell assignment and

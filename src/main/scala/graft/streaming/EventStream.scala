@@ -188,6 +188,48 @@ object EventStream {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming PQ encode — the streaming face of
+    * [[graft.operators.Similarity.pqEncode]] (q271's operator):
+    * embedding vectors arriving on the ingest stream are encoded per
+    * micro-batch against a FROZEN codebook (built once from the landed
+    * corpus — the production regime: the codebook is versioned with
+    * the index, and re-deriving it per delivery would silently shift
+    * code meanings). The codebook frame is persisted for the query's
+    * lifetime and released after, so each trigger pays a batch-sized
+    * narrow encode against the cached m·ks rows instead of re-running
+    * the hash-sample selection over the landed corpus. Encode is
+    * stateless per batch — no state store, no watermark — so per-batch
+    * outputs union to the single-shot encode of the full stream for
+    * any micro-batch boundaries (the oracle identity, same argument as
+    * [[runNearDupIncrementOnce]]).
+    */
+  def runPqEncodeOnce(spark: SparkSession, schema: StructType,
+      inputGlob: String, codebooks: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, outDir: String, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inputGlob)
+    val pinned = codebooks.persist()
+    pinned.count() // materialize before the first trigger
+    try {
+      val q: StreamingQuery = stream.writeStream
+        .queryName(s"${queryName}_${sinkSeq.incrementAndGet()}")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Similarity
+            .pqEncode(batch, idCol, vecCol, dim, m, pinned)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally pinned.unpersist()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming benchmark decontamination — the streaming face of
     * [[graft.operators.Decontaminate.decontaminate]] (q53/q71's
     * operator): documents arriving on the ingest stream are dropped per

@@ -895,6 +895,27 @@ class StreamKMeansSpec extends SparkSpec {
       cid shouldBe (if (id % 2 == 0) 100L else 200L)
     }
   }
+
+  test("runPqEncodeOnce: micro-batched encode equals the single-shot " +
+      "encode against the same frozen codebook") {
+    val emb = (0 until 40).map { i =>
+      val v = Array.tabulate(4)(d =>
+        (math.sin(i * 3.7 + d * 1.3)).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      dim = 4, m = 2, ks = 4)
+    val in = tmp("graft_spq_in")
+    emb.repartition(4).write.mode("overwrite").parquet(in)
+    val out = tmp("graft_spq_out") + "/codes"
+    val streamed = graft.streaming.EventStream.runPqEncodeOnce(
+      spark, spark.read.parquet(in).schema, in, cb, "vec_id",
+      "embedding", dim = 4, m = 2, out, "spq_test",
+      maxFilesPerTrigger = Some(1))
+    val single = Similarity.pqEncode(emb, "vec_id", "embedding",
+      dim = 4, m = 2, cb)
+    assertSameRows(streamed, single)
+  }
 }
 
 class TrainingSamplersSpec extends SparkSpec {
