@@ -3116,6 +3116,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("bigram_logprob"))
     }),
 
+    // sampling: deterministic bootstrap resample (the bagging /
+    // data-ablation face) — each doc draws Poisson(1) replicas from
+    // its hash bucket compared against integer-quantized CDF cutoffs
+    // (no query-time libm); tag "b0" names the replicate set
+    "q276_bootstrap_sample" -> ((s, dir) => {
+      Sampling.bootstrapReplicas(t(s, dir, "documents"), "doc_id",
+          lambda = 1.0, tag = "b0")
+        .select(col("doc_id"), col("lang"), col("replica"))
+    }),
+
     // streaming: PQ encode as a real foreachBatch query — every 4th
     // vector staged as 3 files, streamed at maxFilesPerTrigger=1 → 3
     // micro-batches, each encoded against the codebook FROZEN from the
@@ -9096,6 +9106,25 @@ object SparkEntry {
         |QUALIFY percent_rank() OVER (
         |  PARTITION BY k.lang ORDER BY s.bigram_logprob)
         |  BETWEEN 0.25 AND 1.0""".stripMargin,
+
+    // mirrors Sampling.bootstrapReplicas(lambda=1, tag=b0): the SAME
+    // Sampling.poissonCutoffs integers rendered as a CASE chain — the
+    // CDF is quantized once in Scala, both engines compare integers
+    "q276_bootstrap_sample" -> {
+      val cuts = Sampling.poissonCutoffs(1.0, 8)
+      val whens = cuts.zipWithIndex.map { case (c, i) =>
+        s"WHEN bkt < $c THEN $i" }.mkString(" ")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR) || ':b0'")}
+         |      % 1000000 AS bkt
+         |  FROM documents),
+         |k AS (SELECT doc_id, lang,
+         |  CASE $whens ELSE 8 END AS n FROM d)
+         |SELECT doc_id, lang,
+         |  CAST(unnest(generate_series(1, n)) AS INTEGER) AS replica
+         |FROM k WHERE n >= 1""".stripMargin
+    },
 
     // q275 streams the SAME vectors through per-micro-batch pqEncode
     // against the frozen full-corpus codebook; stateless encode makes

@@ -1293,6 +1293,15 @@ object AlgoRegistry {
         config.getString("id_column"), config.getString("group_column"),
         config.getString("weight_column"),
         config.getDouble("budget_per_group")))
+    // deterministic Poisson bootstrap resample (bagging / ablation):
+    // tag names the replicate set, so an ensemble is B calls, B tags
+    case "BootstrapSample" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.bootstrapReplicas(df,
+        config.getString("id_column"), config.getDouble("lambda"),
+        config.getStringOpt("tag").getOrElse("b0"),
+        config.getIntOpt("max_k").getOrElse(8)))
     // UniMax waterfill allocation (Chung et al. 2023): per-group token
     // budgets under a max-epochs repetition cap — the report face
     case "UniMaxMix" => new TransformAlgorithm(spark, fsOps,

@@ -922,6 +922,54 @@ object Sampling {
       "__unimax_budget")
   }
 
+  /** Cumulative-Poisson bucket cutoffs on the [0, 1e6) hash grid:
+    * cutoff(i) = floor(P(X ≤ i) · 1e6) for i = 0 .. maxK−1. Public to
+    * the oracle builder so BOTH engines compare the SAME integers —
+    * the Poisson CDF is quantized once, in one place, and no float
+    * ever crosses an engine boundary.
+    */
+  def poissonCutoffs(lambda: Double, maxK: Int): Seq[Long] = {
+    require(lambda > 0, s"lambda must be positive: $lambda")
+    require(maxK >= 1, s"maxK must be >= 1: $maxK")
+    val pmf = Iterator.iterate((0, math.exp(-lambda))) { case (i, p) =>
+      (i + 1, p * lambda / (i + 1)) }.map(_._2)
+    pmf.take(maxK).scanLeft(0.0)(_ + _).drop(1)
+      .map(c => math.floor(c * Buckets).toLong).toSeq
+  }
+
+  /** Deterministic bootstrap resampling (bagging / data-ablation):
+    * each row draws a Poisson(`lambda`) replica count from its id's
+    * hash bucket — the classic approximation of sampling n of n with
+    * replacement, exploded to one output row per replica with a
+    * 1-based `replica` index. `tag` names the bootstrap replicate set:
+    * different tags re-hash to independent draws, so an ensemble of B
+    * resamples is B calls with B tags, each replayable bit-for-bit.
+    *
+    * Determinism: the draw compares the integer hash bucket against
+    * [[poissonCutoffs]] — all-integer, no libm at query time. Counts
+    * cap at `maxK` (the tail mass beyond it lands on maxK; at λ = 1,
+    * P(X > 8) < 1.2e-6 — below one bucket).
+    *
+    * Scale shape: a narrow map (hash, CASE, `explode(sequence)`) — no
+    * shuffle, no state; rows drawing 0 simply vanish.
+    */
+  def bootstrapReplicas(df: DataFrame, idCol: String, lambda: Double,
+      tag: String = "b0", maxK: Int = 8): DataFrame = {
+    val cuts = poissonCutoffs(lambda, maxK)
+    val u = hashBucket(concat(col(s"`$idCol`").cast("string"),
+      lit(":" + tag)))
+    val k = cuts.zipWithIndex.foldRight(lit(maxK): Column) {
+      case ((c, i), rest) => when(u < c, lit(i)).otherwise(rest)
+    }
+    var kN = "__k"
+    while (df.columns.contains(kN)) kN += "_"
+    // drop zero-draw rows BEFORE sequence: Spark's sequence(1, 0) is a
+    // DESCENDING [1, 0], not empty
+    df.withColumn(kN, k).filter(col(kN) >= 1)
+      .withColumn("replica", explode(sequence(lit(1), col(kN))))
+      .drop(kN)
+  }
+
   /** Groups frame with the UNROUNDED allocation (`__alloc`): the select
     * face must filter against the exact waterline, not the rounded
     * report value, or a row sitting within 1e-6 of the boundary would

@@ -253,6 +253,18 @@ class JobRunnerSpec extends SparkSpec {
     // 9 rows fill 90 < 95; the 10th crosses and is kept
     spark.read.parquet(tgtW).count() shouldBe 10
 
+    // bootstrap resample through the params surface: replicas explode,
+    // zero-draw rows vanish
+    val tgtB = tmp("jr_boot_tgt") + "/t"
+    val paramsB = tmp("jr_boot_par") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsB),
+      s"""{"source_dir": "$srcW", "target_dir": "$tgtB",
+         | "id_column": "doc_id", "lambda": 1.0}""".stripMargin)
+    JobRunner.execute(spark, "BootstrapSample", paramsB)
+    val boot = spark.read.parquet(tgtB)
+    boot.columns should contain("replica")
+    boot.count() should be > 0L
+
     // UniMax waterfill through the params surface: weights a=10 b=20
     // c=100, E=2, B=100 -> a and b capped (20/40), c takes the
     // remaining 40 at 0.4 epochs
