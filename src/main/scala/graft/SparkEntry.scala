@@ -3116,6 +3116,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("bigram_logprob"))
     }),
 
+    // governance: Min-K% Prob membership signal — mean logprob of each
+    // doc's 20% least likely transitions under the LM trained on the
+    // reference subset (every 3rd doc); the contamination triage that
+    // mean perplexity washes out
+    "q277_mink_prob" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.bigramModel(
+        docs.filter(col("doc_id") % 3 === 0), "text",
+        modelSize = 500, historySize = 25)
+      TextAnalysis.minKProbScore(docs, "doc_id", "text", model,
+        kFrac = 0.2)
+    }),
+
     // sampling: deterministic bootstrap resample (the bagging /
     // data-ablation face) — each doc draws Poisson(1) replicas from
     // its hash bucket compared against integer-quantized CDF cutoffs
@@ -9106,6 +9119,49 @@ object SparkEntry {
         |QUALIFY percent_rank() OVER (
         |  PARTITION BY k.lang ORDER BY s.bigram_logprob)
         |  BETWEEN 0.25 AND 1.0""".stripMargin,
+
+    // mirrors q277: q274's reference-trained model CTEs, per-bigram
+    // logprobs, rank window (lp, w1, w2), ceil(0.2·n) slice, mean
+    "q277_mink_prob" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |ref AS (SELECT doc_id, ts FROM tk WHERE doc_id % 3 = 0),
+        |vv AS (
+        |  SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v FROM (
+        |    SELECT unnest(ts) AS t FROM ref)),
+        |bgm AS (
+        |  SELECT ts[g] AS w1, ts[g + 1] AS w2 FROM (
+        |    SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS g
+        |    FROM ref WHERE len(ts) >= 2)),
+        |c2a AS (SELECT w1, w2, count(*) AS c2 FROM bgm GROUP BY w1, w2),
+        |c1a AS (SELECT w1, sum(c2) AS c1 FROM c2a GROUP BY w1),
+        |c2 AS (SELECT w1, w2, c2 FROM c2a
+        |  QUALIFY row_number() OVER (ORDER BY c2 DESC, w1, w2) <= 500),
+        |c1 AS (SELECT w1, c1 FROM c1a
+        |  QUALIFY row_number() OVER (ORDER BY c1 DESC, w1) <= 25),
+        |bg AS (
+        |  SELECT doc_id, ts[g] AS w1, ts[g + 1] AS w2 FROM (
+        |    SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS g
+        |    FROM tk WHERE len(ts) >= 2)),
+        |lps AS (
+        |  SELECT doc_id, w1, w2,
+        |    ln((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 0.5) /
+        |       (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + 0.5 * v)) AS lp
+        |  FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+        |    CROSS JOIN vv),
+        |ranked AS (
+        |  SELECT doc_id, lp,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY lp, w1, w2) AS rn,
+        |    count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM lps)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_bigrams,
+        |  round(avg(lp), 6) AS mink_logprob
+        |FROM ranked
+        |WHERE rn <= greatest(1, CAST(ceil(0.2 * n) AS BIGINT))
+        |GROUP BY doc_id""".stripMargin,
 
     // mirrors Sampling.bootstrapReplicas(lambda=1, tag=b0): the SAME
     // Sampling.poissonCutoffs integers rendered as a CASE chain — the

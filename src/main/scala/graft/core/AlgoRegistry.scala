@@ -980,6 +980,19 @@ object AlgoRegistry {
           config.getString("id_column"), config.getString("text_column"),
           model, config.getDouble("add_k", 0.5))
       })
+    // Min-K% Prob membership signal (Shi et al. 2023): mean logprob of
+    // the k% least likely transitions under a saved reference LM
+    case "MinKProb" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val model = fmt(config).read(spark, Map.empty, None,
+          config.getString("model_dir"))
+        graft.operators.TextAnalysis.minKProbScore(df,
+          config.getString("id_column"), config.getString("text_column"),
+          model, config.getDouble("k_frac", 0.2),
+          config.getDouble("add_k", 0.5))
+      })
     // Flesch reading-ease quality feature per document
     case "Readability" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

@@ -367,7 +367,19 @@ object TextAnalysis {
     */
   def scoreWithBigramModel(docs: DataFrame, idCol: String,
       textCol: String, model: DataFrame,
-      addK: Double = 0.5): DataFrame = {
+      addK: Double = 0.5): DataFrame =
+    bigramLogProbRows(docs, idCol, textCol, model, addK)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__lp")), 6).as("bigram_logprob"))
+
+  /** Per-bigram smoothed logprob rows (id, __w1, __w2, __lp) against a
+    * loaded model — shared by [[scoreWithBigramModel]] (mean over all
+    * transitions) and [[minKProbScore]] (mean over the lowest-k%
+    * slice).
+    */
+  private def bigramLogProbRows(docs: DataFrame, idCol: String,
+      textCol: String, model: DataFrame, addK: Double): DataFrame = {
     require(addK > 0, s"addK must be positive: $addK")
     // the model is parameter-bounded (modelSize + historySize rows), so
     // land it on the driver ONCE as a LocalRelation — otherwise its
@@ -391,9 +403,44 @@ object TextAnalysis {
     bigramPairs(docs, idCol, textCol)
       .join(broadcast(c2), Seq("__w1", "__w2"), "left")
       .join(broadcast(c1), Seq("__w1"), "left")
+      .select(col(idCol), col("__w1"), col("__w2"), log(p).as("__lp"))
+  }
+
+  /** Min-K% Prob membership signal (Shi et al. 2023, "Detecting
+    * Pretraining Data from Large Language Models"): the mean logprob
+    * of each document's k% LEAST likely token transitions under a
+    * reference LM. A memorized document scores high even on its rarest
+    * spans; an unseen one's tail stays improbable — the
+    * benchmark-membership / contamination triage that mean-perplexity
+    * ([[scoreWithBigramModel]]) washes out. The frozen [[bigramModel]]
+    * artifact stands in for the production LM; the selection-and-mean
+    * shape is the operator.
+    *
+    * Boundary: the slice is the ceil(k·n) lowest logprobs (at least
+    * one). Ties at the boundary value are interchangeable — any
+    * tie-break yields the same mean — and the (lp, w1, w2) ordering
+    * keeps the selected set deterministic anyway.
+    *
+    * Scale: the rank window is per-document (bounded by document
+    * length) over rows that never carry text; the fan-out is the same
+    * bigramPairs explode every scoring face pays.
+    */
+  def minKProbScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, kFrac: Double = 0.2,
+      addK: Double = 0.5): DataFrame = {
+    require(kFrac > 0 && kFrac <= 1, s"kFrac must be in (0,1]: $kFrac")
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col(idCol))
+    val rows = bigramLogProbRows(docs, idCol, textCol, model, addK)
+      .withColumn("__rn", row_number().over(
+        byDoc.orderBy(col("__lp"), col("__w1"), col("__w2"))))
+      .withColumn("__n", count(lit(1)).over(byDoc))
+    rows
+      .filter(col("__rn") <=
+        greatest(lit(1L), ceil(col("__n") * lit(kFrac))))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(log(p)), 6).as("bigram_logprob"))
+      .agg(max(col("__n")).as("n_bigrams"),
+        round(avg(col("__lp")), 6).as("mink_logprob"))
   }
 
   /** Compression-ratio quality signal per document — the zlib test the

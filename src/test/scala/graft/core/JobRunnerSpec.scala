@@ -253,6 +253,29 @@ class JobRunnerSpec extends SparkSpec {
     // 9 rows fill 90 < 95; the 10th crosses and is kept
     spark.read.parquet(tgtW).count() shouldBe 10
 
+    // Min-K% Prob through the params surface: model artifact built by
+    // BigramModel, membership scores from the saved model
+    val srcMk = tmp("jr_mink_src") + "/t"
+    Seq((1L, "the cat sat on the mat"), (2L, "zxqv wvuk qqpl mmnx"))
+      .toDF("doc_id", "text").write.parquet(srcMk)
+    val mdlM = tmp("jr_mink_mdl") + "/m"
+    val parM1 = tmp("jr_mink_par1") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(parM1),
+      s"""{"source_dir": "$srcMk", "target_dir": "$mdlM",
+         | "text_column": "text", "model_size": 16,
+         | "history_size": 8}""".stripMargin)
+    JobRunner.execute(spark, "BigramModel", parM1)
+    val tgtMk = tmp("jr_mink_tgt") + "/t"
+    val parM2 = tmp("jr_mink_par2") + "/p.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(parM2),
+      s"""{"source_dir": "$srcMk", "target_dir": "$tgtMk",
+         | "model_dir": "$mdlM", "id_column": "doc_id",
+         | "text_column": "text", "k_frac": 0.5}""".stripMargin)
+    JobRunner.execute(spark, "MinKProb", parM2)
+    val mk = spark.read.parquet(tgtMk)
+    mk.count() shouldBe 2
+    mk.columns should contain("mink_logprob")
+
     // bootstrap resample through the params surface: replicas explode,
     // zero-draw rows vanish
     val tgtB = tmp("jr_boot_tgt") + "/t"

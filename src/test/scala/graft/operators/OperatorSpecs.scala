@@ -792,6 +792,36 @@ class TextAnalysisSpec extends SparkSpec {
         model).as[(Long, Long, Double)].collect().toSet
   }
 
+  test("minKProbScore: lowest-k% mean bounds the full mean, kFrac=1 " +
+      "degenerates to it, and in-corpus text outscores OOV text") {
+    val reference = Seq(
+      (1L, "the cat sat on the mat the cat sat again"),
+      (2L, "the cat sat on the mat once more today"))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.bigramModel(reference, "text",
+      modelSize = 16, historySize = 8)
+    val docs = Seq(
+      (10L, "the cat sat on the mat"), // memorized transitions
+      (11L, "the cat zxqv wvuk qqpl")) // tail is OOV
+      .toDF("doc_id", "text")
+    val mink = TextAnalysis.minKProbScore(docs, "doc_id", "text", model,
+      kFrac = 0.5).as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val full = TextAnalysis.scoreWithBigramModel(docs, "doc_id", "text",
+      model).as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // the mean of the LOWEST half can't exceed the overall mean
+    mink.foreach { case (id, s) => s should be <= full(id) + 1e-9 }
+    // membership signal: the memorized doc's worst transitions are
+    // still likely; the OOV doc's sit on the smoothed floor
+    mink(10L) should be > mink(11L)
+    // kFrac = 1 is exactly the full mean
+    val all = TextAnalysis.minKProbScore(docs, "doc_id", "text", model,
+      kFrac = 1.0).as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    all shouldBe full
+  }
+
   test("readabilityScores: hand-computed Flesch from the documented " +
       "counts; syllable floor at word count; empty text nulls") {
     val docs = Seq(
