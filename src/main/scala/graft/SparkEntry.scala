@@ -3116,6 +3116,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("bigram_logprob"))
     }),
 
+    // embeddings: JL random projection — 64 dims onto 16 md5-derived
+    // planes (the LSH planes family, raw coordinates instead of sign
+    // bits); exploded long-format for the gate
+    "q278_random_projection" -> ((s, dir) => {
+      Similarity.randomProjection(t(s, dir, "embeddings"), "vec_id",
+          "embedding", dOut = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("b", "p")))
+        .select(col("vec_id"), col("b"), round(col("p"), 6).as("p"))
+    }),
+
     // governance: Min-K% Prob membership signal — mean logprob of each
     // doc's 20% least likely transitions under the LM trained on the
     // reference subset (every 3rd doc); the contamination triage that
@@ -9119,6 +9129,18 @@ object SparkEntry {
         |QUALIFY percent_rank() OVER (
         |  PARTITION BY k.lang ORDER BY s.bigram_logprob)
         |  BETWEEN 0.25 AND 1.0""".stripMargin,
+
+    // mirrors Similarity.randomProjection(dOut=16, table=0): the SAME
+    // md5-derived planes (PortableHash.sqlPlanes), sequential-order
+    // double dot products
+    "q278_random_projection" ->
+      s"""WITH planes AS (${PortableHash.sqlPlanes(1, 16, 64)}),
+         |pl AS (SELECT b, list(w ORDER BY d) AS ws FROM planes
+         |  WHERE t = 0 GROUP BY b)
+         |SELECT e.vec_id, CAST(pl.b AS INTEGER) AS b,
+         |  round(list_sum(list_transform(range(1, 65),
+         |    i -> CAST(e.embedding[i] AS DOUBLE) * pl.ws[i])), 6) AS p
+         |FROM embeddings e, pl""".stripMargin,
 
     // mirrors q277: q274's reference-trained model CTEs, per-bigram
     // logprobs, rank window (lp, w1, w2), ceil(0.2·n) slice, mean

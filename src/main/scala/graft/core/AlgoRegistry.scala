@@ -872,6 +872,14 @@ object AlgoRegistry {
         config.getString("id_column"), config.getString("vector_column"),
         config.getInt("k"), config.getInt("dim"), config.getInt("m"),
         config.getInt("ks")))
+    // JL random projection: dOut md5-plane dot products per vector
+    case "RandomProjection" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.randomProjection(df,
+        config.getString("id_column"), config.getString("vector_column"),
+        config.getInt("d_out"),
+        config.getIntOpt("table").getOrElse(0)))
     // IVF-PQ: cells prune WHICH codes are scanned, PQ compresses WHAT
     case "IvfPqSearch" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

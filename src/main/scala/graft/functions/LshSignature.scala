@@ -82,3 +82,72 @@ object LshSignatureExpr {
     GraftBridge.column(
       LshSignatureExpr(GraftBridge.expression(vec), bits, table))
 }
+
+/** Johnson-Lindenstrauss random projection as a native Catalyst
+  * expression: `dOut` dot products against the SAME deterministic
+  * md5-derived plane matrix [[PortableHash.planes]] the LSH signature
+  * uses — but returning the raw projections (array<double>) instead of
+  * packing sign bits. The cheap dimensionality cut before ANN /
+  * clustering at 100 TB: 64 → 16 dims is 4× less vector I/O in every
+  * downstream shuffle, with pairwise distances preserved to the JL
+  * bound. Same caching/codegen discipline as [[LshSignatureExpr]];
+  * arithmetic is sequential double accumulation in array order,
+  * mirrored by `list_sum(list_transform(...))` in the oracle.
+  */
+case class ProjectVectorExpr(child: Expression, dOut: Int, table: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"project_vector expects array<float>, got ${other.sql}")
+  }
+
+  @transient private var cachedDims: Int = -1
+  @transient private var cachedPlanes: Array[Array[Double]] = _
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(vec: ArrayData): ArrayData = {
+    val dims = vec.numElements()
+    if (dims != cachedDims) {
+      cachedPlanes = PortableHash.planes(table, dOut, dims)
+      cachedDims = dims
+    }
+    val out = new Array[Double](dOut)
+    var b = 0
+    while (b < dOut) {
+      val w = cachedPlanes(b)
+      var dot = 0.0
+      var d = 0
+      while (d < dims) {
+        dot += vec.getFloat(d).toDouble * w(d)
+        d += 1
+      }
+      out(b) = dot
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("projExpr", this,
+      classOf[ProjectVectorExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object ProjectVectorExpr {
+  def project(vec: Column, dOut: Int, table: Int = 0): Column =
+    GraftBridge.column(
+      ProjectVectorExpr(GraftBridge.expression(vec), dOut, table))
+}

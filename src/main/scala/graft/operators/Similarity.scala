@@ -379,6 +379,23 @@ object Similarity {
     pqRank(cand, k, excludeSelf)
   }
 
+  /** Johnson-Lindenstrauss random projection (the cheap dimensionality
+    * cut before ANN / clustering): (idCol, proj) with proj the `dOut`
+    * dot products against the deterministic md5-derived plane matrix —
+    * the same planes family the LSH signature packs into sign bits,
+    * kept here as raw coordinates. Pure narrow map via the native
+    * [[graft.functions.ProjectVectorExpr]]; at 100 TB the projected
+    * table is dOut/dims of the vector I/O in every downstream shuffle,
+    * with pairwise distances preserved to the JL bound. `table` picks
+    * an independent projection (ensemble / train-serve splits).
+    */
+  def randomProjection(emb: DataFrame, idCol: String, vecCol: String,
+      dOut: Int, table: Int = 0): DataFrame = {
+    require(dOut >= 1, s"dOut must be >= 1: $dOut")
+    emb.select(col(s"`$idCol`"), graft.functions.ProjectVectorExpr
+      .project(col(s"`$vecCol`"), dOut, table).as("proj"))
+  }
+
   /** Greedy farthest-point (maxmin) centroid initialization — the
     * deterministic cousin of k-means++ seeding: start from the
     * hash-min point, then repeatedly add the corpus vector whose

@@ -1114,6 +1114,12 @@ class Round9ParamsSpec extends SparkSpec {
          | "ks": 4, "centroids": 4, "nprobe": 2}""".stripMargin)
     spark.read.parquet(s"$base/ivfpq").count() should be > 0L
 
+    run(base, "RandomProjection",
+      s"""{"source_dir": "$base/emb", "target_dir": "$base/rp",
+         | "id_column": "vec_id", "vector_column": "embedding",
+         | "d_out": 2}""".stripMargin)
+    spark.read.parquet(s"$base/rp").count() shouldBe 30
+
     run(base, "KnnLabelCheck",
       s"""{"source_dir": "$base/emb", "target_dir": "$base/knn",
          | "id_column": "vec_id", "vector_column": "embedding",
