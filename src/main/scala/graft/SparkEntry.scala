@@ -3116,6 +3116,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("bigram_logprob"))
     }),
 
+    // ANN: two-stage PQ retrieval — ADC shortlist of 25 from the
+    // compressed scan, exact cosine re-rank to top-5; full vectors
+    // touched only for the shortlist
+    "q279_pq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopKRerank(emb.filter(col("vec_id") % 50 === 0), emb,
+          "vec_id", "embedding", k = 5, dim = 64, m = 8, ks = 16,
+          shortlist = 25)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
     // embeddings: JL random projection — 64 dims onto 16 md5-derived
     // planes (the LSH planes family, raw coordinates instead of sign
     // bits); exploded long-format for the gate
@@ -9129,6 +9141,58 @@ object SparkEntry {
         |QUALIFY percent_rank() OVER (
         |  PARTITION BY k.lang ORDER BY s.bigram_logprob)
         |  BETWEEN 0.25 AND 1.0""".stripMargin,
+
+    // mirrors Similarity.pqTopKRerank (shortlist=25, k=5): q272's ADC
+    // CTEs shortlist by (adfix, neighbor_id), exact cosine re-ranks
+    "q279_pq_rerank" ->
+      s"""WITH sel AS (
+         |  SELECT vec_id AS cid, embedding AS ce,
+         |    CAST(row_number() OVER (ORDER BY
+         |      ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")}, vec_id)
+         |      AS INTEGER) - 1 AS code
+         |  FROM embeddings
+         |  ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")},
+         |    vec_id
+         |  LIMIT 16),
+         |cb AS (
+         |  SELECT CAST(t.j AS INTEGER) AS j, code,
+         |    ce[t.j*8+1 : t.j*8+8] AS sub
+         |  FROM sel, range(0,8) t(j)),
+         |sv AS (
+         |  SELECT e.vec_id, CAST(t.j AS INTEGER) AS j,
+         |    e.embedding[t.j*8+1 : t.j*8+8] AS subv
+         |  FROM embeddings e, range(0,8) t(j)),
+         |enc AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT v.vec_id, v.j, c.code,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.j
+         |        ORDER BY ${l2Sql("v.subv", "c.sub")}, c.code) AS rk
+         |    FROM sv v JOIN cb c ON v.j = c.j) WHERE rk = 1),
+         |qt AS (
+         |  SELECT v.vec_id AS query_id, v.j, c.code,
+         |    CAST(round(${l2Sql("v.subv", "c.sub")} * 1048576) AS BIGINT)
+         |      AS qd
+         |  FROM sv v JOIN cb c ON v.j = c.j
+         |  WHERE v.vec_id % 50 = 0),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT t.query_id, e.vec_id AS neighbor_id,
+         |      CAST(SUM(t.qd) AS BIGINT) AS adfix
+         |    FROM enc e JOIN qt t ON e.j = t.j AND e.code = t.code
+         |    WHERE t.query_id <> e.vec_id
+         |    GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adfix, neighbor_id) <= 25),
+         |scored AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    ${cosSql("qe.embedding", "ne.embedding")} AS cosine
+         |  FROM short s
+         |  JOIN embeddings qe ON qe.vec_id = s.query_id
+         |  JOIN embeddings ne ON ne.vec_id = s.neighbor_id)
+         |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cosine DESC, neighbor_id) <= 5""".stripMargin,
 
     // mirrors Similarity.randomProjection(dOut=16, table=0): the SAME
     // md5-derived planes (PortableHash.sqlPlanes), sequential-order

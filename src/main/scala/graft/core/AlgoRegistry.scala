@@ -872,6 +872,15 @@ object AlgoRegistry {
         config.getString("id_column"), config.getString("vector_column"),
         config.getInt("k"), config.getInt("dim"), config.getInt("m"),
         config.getInt("ks")))
+    // two-stage PQ retrieval: ADC shortlist + exact cosine re-rank
+    case "PqSearchRerank" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.pqTopKRerank(
+        spark.read.parquet(config.getString("queries_dir")), df,
+        config.getString("id_column"), config.getString("vector_column"),
+        config.getInt("k"), config.getInt("dim"), config.getInt("m"),
+        config.getInt("ks"), config.getInt("shortlist")))
     // JL random projection: dOut md5-plane dot products per vector
     case "RandomProjection" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),

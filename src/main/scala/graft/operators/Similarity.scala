@@ -330,6 +330,25 @@ object Similarity {
         round(col("__adfix").cast("double") / PqFix, 6).as("pq_dist"))
   }
 
+  /** Two-stage PQ retrieval: the ADC scan shortlists `shortlist`
+    * candidates per query from the COMPRESSED corpus, then exact
+    * cosine re-ranks the shortlist's full vectors — the standard
+    * accuracy-restoring tail. Full vectors are read for |Q|·shortlist
+    * rows only; everything corpus-sized moves as 3-int code rows.
+    * Output (query_id, neighbor_id, cosine) like [[bruteForceTopK]];
+    * with `shortlist` ≥ corpus size the result IS the brute-force
+    * ranking (spec-pinned identity).
+    */
+  def pqTopKRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int = 8, ks: Int = 16,
+      shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val cand = pqTopK(queries, corpus, idCol, vecCol, shortlist, dim,
+      m, ks).select(col("query_id"), col("neighbor_id"))
+    rerank(cand, queries, corpus, idCol, vecCol, k,
+      broadcastQueries = true)
+  }
+
   /** IVF-PQ (the FAISS-style 100 TB configuration): IVF prunes WHICH
     * codes are scanned, PQ compresses WHAT is scanned. Cells are the
     * `centroids` hash-sampled vectors with squared-L2 assignment

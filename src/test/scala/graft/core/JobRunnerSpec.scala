@@ -1107,6 +1107,13 @@ class Round9ParamsSpec extends SparkSpec {
          | "ks": 4}""".stripMargin)
     spark.read.parquet(s"$base/pqs").count() shouldBe 60 // 30 queries x 2
 
+    run(base, "PqSearchRerank",
+      s"""{"source_dir": "$base/emb", "target_dir": "$base/pqr",
+         | "queries_dir": "$base/emb", "id_column": "vec_id",
+         | "vector_column": "embedding", "k": 2, "dim": 2, "m": 2,
+         | "ks": 4, "shortlist": 5}""".stripMargin)
+    spark.read.parquet(s"$base/pqr").count() shouldBe 60
+
     run(base, "IvfPqSearch",
       s"""{"source_dir": "$base/emb", "target_dir": "$base/ivfpq",
          | "queries_dir": "$base/emb", "id_column": "vec_id",

@@ -153,6 +153,20 @@ class PqSpec extends SparkSpec {
     (recalls.sum / recalls.size) should be >= 0.5
   }
 
+  test("pqTopKRerank with a corpus-wide shortlist IS the brute-force " +
+      "cosine ranking") {
+    val queries = clustered.filter($"vec_id" % 20 === 0)
+    val rr = Similarity.pqTopKRerank(queries, clustered, "vec_id",
+      "embedding", k = 5, dim, m, ks, shortlist = 200)
+      .select($"query_id", $"neighbor_id",
+        round($"cosine", 6).as("cosine"))
+    val bf = Similarity.bruteForceTopK(queries, clustered, "vec_id",
+      "embedding", k = 5)
+      .select($"query_id", $"neighbor_id",
+        round($"cosine", 6).as("cosine"))
+    assertSameRows(rr, bf)
+  }
+
   test("plan shape: distance tables broadcast, no cartesian product") {
     val queries = clustered.filter($"vec_id" % 50 === 0)
     val plan = Similarity.pqTopK(queries, clustered, "vec_id",
