@@ -3116,6 +3116,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("bigram_logprob"))
     }),
 
+    // governance: confident-joint label-noise estimate (Northcutt et
+    // al. 2021) — per-class thresholds from self-class mean scores,
+    // confident (given, suggested) counts; off-diagonal mass is the
+    // estimated label-error rate of the lang column
+    "q280_confident_joint" -> ((s, dir) => {
+      Classify.confidentJoint(t(s, dir, "documents"), "doc_id", "text",
+        "lang", col("doc_id") % 5 === 0, vocabSize = 30)
+    }),
+
     // ANN: two-stage PQ retrieval — ADC shortlist of 25 from the
     // compressed scan, exact cosine re-rank to top-5; full vectors
     // touched only for the shortlist
@@ -9141,6 +9150,31 @@ object SparkEntry {
         |QUALIFY percent_rank() OVER (
         |  PARTITION BY k.lang ORDER BY s.bigram_logprob)
         |  BETWEEN 0.25 AND 1.0""".stripMargin,
+
+    // mirrors q280: q231's NB chain, per-class mean-self-score
+    // thresholds (rounded 6), threshold-cleared argmax, joint counts
+    "q280_confident_joint" ->
+      s"""$nbChainSql,
+         |thr AS (
+         |  SELECT s.label, round(avg(s.score), 6) AS thr
+         |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+         |  WHERE s.label = d.lang
+         |  GROUP BY s.label),
+         |pass AS (
+         |  SELECT s.doc_id, s.label, s.score FROM scored s
+         |  JOIN thr t ON t.label = s.label
+         |  WHERE s.score >= t.thr),
+         |jh AS (
+         |  SELECT doc_id, label FROM (
+         |    SELECT doc_id, label,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, label) AS rk
+         |    FROM pass) WHERE rk = 1)
+         |SELECT d.lang AS given_label, j.label AS suggested_label,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  d.lang <> j.label AS off_diagonal
+         |FROM jh j JOIN documents d ON d.doc_id = j.doc_id
+         |GROUP BY 1, 2""".stripMargin,
 
     // mirrors Similarity.pqTopKRerank (shortlist=25, k=5): q272's ADC
     // CTEs shortlist by (adfix, neighbor_id), exact cosine re-ranks

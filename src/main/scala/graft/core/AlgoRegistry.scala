@@ -1369,6 +1369,20 @@ object AlgoRegistry {
           col(config.getString("label_column")).isNotNull,
           config.getInt("vocab_size"), tok)
       })
+    // confident-joint label-noise audit (Northcutt et al. 2021): NB
+    // trained on the non-null-label slice, per-class mean-self-score
+    // thresholds, (given, suggested) confident counts
+    case "ConfidentJoint" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.Classify.confidentJoint(df,
+          config.getString("id_column"), config.getString("text_column"),
+          config.getString("label_column"),
+          col(config.getString("label_column")).isNotNull,
+          config.getInt("vocab_size"))
+      })
     // substring-level dedup report: per-doc coverage by width-token
     // spans occurring more than once in the corpus (Lee et al. 2022)
     case "RepeatedSpans" => new TransformAlgorithm(spark, fsOps,

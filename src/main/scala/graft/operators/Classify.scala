@@ -132,6 +132,25 @@ object Classify {
       textCol: String,
       tokenizer: org.apache.spark.sql.Column =>
         org.apache.spark.sql.Column = wordTokens): DataFrame = {
+    val scored = perClassScores(docs, rows, idCol, textCol, tokenizer)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("label"))
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("label").as("predicted"), col("score"))
+  }
+
+  /** The full per-(doc, class) posterior log-score table
+    * (idCol, label, score) — [[scoreWithModel]] is its argmax;
+    * calibration and label-noise audits ([[confidentJoint]]) consume
+    * it whole.
+    */
+  def perClassScores(docs: DataFrame,
+      rows: Seq[(String, String, Double, Double)], idCol: String,
+      textCol: String,
+      tokenizer: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column = wordTokens): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val local = rows.toDF("label", "token", "loglik", "logprior")
@@ -147,19 +166,57 @@ object Classify {
         when(col("__in_vocab"), col("token")).otherwise(lit("<unk>"))
           .as("token"))
 
-    val scored = toks
+    toks
       .join(m, Seq("token"))
       .groupBy(col(idCol), col("label"), col("logprior"))
       .agg(sum(col("loglik")).as("ll"))
       .select(col(idCol), col("label"),
         round(col("logprior") + col("ll"), 6).as("score"))
+  }
 
+  /** Confident-joint label-noise estimate (Northcutt et al. 2021,
+    * "Confident Learning: Estimating Uncertainty in Dataset Labels"):
+    * per-class confidence thresholds t_j = mean self-class score of the
+    * docs GIVEN label j; a document is confidently counted into cell
+    * (given ỹ, suggested j) when its score for j clears t_j, with j
+    * the argmax among the classes it clears (ties to the smaller
+    * label). Off-diagonal mass estimates the label-error rate; the
+    * cell (ỹ, j) lists where ỹ-labeled docs actually belong. Docs
+    * clearing no threshold are dropped, per the method.
+    *
+    * Output: (given_label, suggested_label, n, off_diagonal).
+    *
+    * Scale: per-class scores are the one wide aggregation (docs ×
+    * classes rows); thresholds are a class-sized broadcast; the argmax
+    * window partitions by doc over ≤ #classes rows.
+    */
+  def confidentJoint(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, seedFilter: org.apache.spark.sql.Column,
+      vocabSize: Int,
+      tokenizer: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column = wordTokens): DataFrame = {
+    val model = naiveBayesModel(docs.filter(seedFilter), textCol,
+      labelCol, vocabSize, tokenizer)
+    val scored = perClassScores(docs, prepareModel(model), idCol,
+      textCol, tokenizer)
+    val given = docs.select(col(idCol),
+      col(labelCol).cast("string").as("__given"))
+    val thr = broadcast(scored.join(given, Seq(idCol))
+      .filter(col("label") === col("__given"))
+      .groupBy(col("label"))
+      .agg(round(avg(col("score")), 6).as("__thr")))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("label"))
-    scored
+    scored.join(thr, Seq("label"))
+      .filter(col("score") >= col("__thr"))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
-      .select(col(idCol), col("label").as("predicted"), col("score"))
+      .join(given, Seq(idCol))
+      .groupBy(col("__given").as("given_label"),
+        col("label").as("suggested_label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off_diagonal",
+        col("given_label") =!= col("suggested_label"))
   }
 
   /** Score `docs` against a fitted model frame: per document, the

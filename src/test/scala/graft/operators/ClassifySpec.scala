@@ -67,6 +67,46 @@ class ClassifySpec extends SparkSpec {
   }
 }
 
+class ConfidentJointSpec extends SparkSpec {
+  import spark.implicits._
+
+  // seed docs 1-4 are cleanly labeled; doc 6 is MISLABELED neg (its text
+  // is unambiguously pos-shaped); docs 2 and 5 score below both class
+  // thresholds (mean self-class score) and must be dropped entirely
+  private val docs = Seq(
+    (1L, "good great good", "pos"),
+    (2L, "great good nice", "pos"),
+    (3L, "bad awful bad", "neg"),
+    (4L, "awful bad nasty", "neg"),
+    (5L, "good great nice", "pos"),
+    (6L, "good good great", "neg"))
+    .toDF("doc_id", "text", "lang")
+
+  test("confidentJoint: mislabeled doc lands off-diagonal, sub-threshold docs drop") {
+    val out = Classify.confidentJoint(docs, "doc_id", "text", "lang",
+        col("doc_id") <= 4, vocabSize = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    // hand-computed with ln-scores over the 6-token vocab (see scaladoc):
+    // t_pos = mean(ln48, ln24, ln24) - doc 1 and the mislabeled doc 6
+    // clear it; docs 2/5 (ln24 products) fall below BOTH thresholds
+    out shouldBe Map(
+      ("pos", "pos") -> ((1L, false)),
+      ("neg", "neg") -> ((2L, false)),
+      ("neg", "pos") -> ((1L, true)))
+  }
+
+  test("confidentJoint: clean separable labels are purely diagonal") {
+    val clean = docs.filter(col("doc_id") =!= 6L)
+    val out = Classify.confidentJoint(clean, "doc_id", "text", "lang",
+        col("doc_id") <= 4, vocabSize = 10)
+    out.filter(col("off_diagonal")).count() shouldBe 0L
+    // off-diagonal estimate of the label-error mass is zero
+    out.agg(sum(when(col("off_diagonal"), col("n")).otherwise(lit(0L))))
+      .head.getLong(0) shouldBe 0L
+  }
+}
+
 class RepeatedSpansSpec extends SparkSpec {
   import spark.implicits._
 
