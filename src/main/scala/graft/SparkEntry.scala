@@ -2232,12 +2232,29 @@ object SparkEntry {
         "text", modelSize = 500, historySize = 25, addK = 0.5)
     }),
 
-    // curation: zlib compression-ratio quality signal — template spam
-    // deflates toward 0, noise toward 1; rows-only gate (no SQL engine
-    // mirrors zlib; exact values are spec-pinned in-JVM)
+    // curation: zlib compression-ratio quality bands — template spam
+    // deflates toward 0, noise toward 1. No SQL engine mirrors zlib, so
+    // the gate writes the deflate sizes to a prepared side parquet
+    // (hive-partitioned by corpus size: each SF owns its partition,
+    // dynamic overwrite — Verify at sf0.01 and Bench at sf0.1 never
+    // clobber each other) and the oracle reads them back as shared
+    // input; what the gate checks is the raw-byte count, the exact
+    // integer ppm ratio, and the banding math
     "q181_compression_quality" -> ((s, dir) => {
-      TextAnalysis.compressionSignals(t(s, dir, "documents"), "doc_id",
-        "text")
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      TextAnalysis.compressionSignals(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_deflated"), lit(n).as("n_corpus"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("n_corpus").parquet("/tmp/graft_q181_sizes")
+      val sizes = s.read.parquet("/tmp/graft_q181_sizes")
+        .filter(col("n_corpus") === n).select("doc_id", "n_deflated")
+      TextAnalysis.compressionBands(
+        docs.select(col("doc_id"),
+            octet_length(col("text")).as("n_bytes"))
+          .join(sizes, Seq("doc_id")),
+        "doc_id")
     }),
 
     // curation: C4-style blocklist blast-radius report — doc and
@@ -7667,6 +7684,32 @@ object SparkEntry {
         |  CROSS JOIN vv
         |GROUP BY doc_id""".stripMargin,
 
+    // mirrors q181: the zlib deflate sizes are SHARED INPUT (the gate
+    // writes them to /tmp/graft_q181_sizes, hive-partitioned by corpus
+    // size so this SF's partition is unambiguous); the oracle re-derives
+    // raw UTF-8 bytes, the exact integer ppm ratio, and the band
+    "q181_compression_quality" ->
+      """WITH sz AS (
+        |  SELECT doc_id, n_deflated
+        |  FROM read_parquet('/tmp/graft_q181_sizes/*/*.parquet',
+        |                    hive_partitioning = true)
+        |  WHERE n_corpus = (SELECT count(*) FROM documents)),
+        |b AS (
+        |  SELECT d.doc_id,
+        |    CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+        |    CAST(s.n_deflated AS BIGINT) AS n_deflated
+        |  FROM documents d JOIN sz s USING (doc_id))
+        |SELECT doc_id, n_bytes, n_deflated,
+        |  CASE WHEN n_bytes IS NULL OR n_bytes = 0 THEN NULL
+        |       ELSE (n_deflated * 1000000) // n_bytes END AS ratio_ppm,
+        |  CASE WHEN n_bytes IS NULL OR n_bytes = 0 THEN 'empty'
+        |       WHEN (n_deflated * 1000000) // n_bytes < 300000
+        |         THEN 'template'
+        |       WHEN (n_deflated * 1000000) // n_bytes <= 700000
+        |         THEN 'natural'
+        |       ELSE 'incompressible' END AS band
+        |FROM b""".stripMargin,
+
     // mirrors q182: same tokenization, IN-list prefilter, zero-hit
     // terms preserved by the VALUES-frame left join
     "q182_blocklist" ->
@@ -7781,7 +7824,7 @@ object SparkEntry {
         |  round((CAST(l1.n AS DOUBLE) * CAST(c.sp AS DOUBLE)
         |    - CAST(l1.s AS DOUBLE) * CAST(l2.s AS DOUBLE))
         |    / (CAST(l1.n AS DOUBLE) * CAST(l1.n AS DOUBLE) * 1048576.0),
-        |    6) AS cov
+        |    6) + 0.0 AS cov
         |FROM cells c JOIN lin l1 ON c.i = l1.i
         |  JOIN lin l2 ON c.j = l2.i""".stripMargin,
 
@@ -9485,7 +9528,9 @@ object SparkEntry {
          |bl AS (SELECT doc_id, lang, count(*) AS c
          |  FROM pick GROUP BY 1, 2),
          |rk AS (SELECT doc_id, lang, c, row_number() OVER (
-         |    PARTITION BY doc_id ORDER BY c DESC, lang) AS rk FROM bl)
+         |    PARTITION BY doc_id ORDER BY
+         |      CASE WHEN lang = 'und' THEN 1 ELSE 0 END,
+         |      c DESC, lang) AS rk FROM bl)
          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
          |  CAST(count(CASE WHEN lang <> 'und' THEN 1 END) AS BIGINT)
          |    AS n_langs,
@@ -9696,7 +9741,7 @@ object SparkEntry {
         |      ELSE nowww END) ||
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |      regexp_replace(pathq,
-        |        '(utm_[A-Za-z]+|gclid|fbclid)=[^&]*', '', 'g'),
+        |        '([?&])(utm_[A-Za-z]+|gclid|fbclid)=[^&]*', '\1', 'g'),
         |      '&&+', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '', 'g'),
         |      '/+$', '', 'g')
         |  END AS canonical_url FROM parts)

@@ -37,8 +37,12 @@ case class LshSignatureExpr(child: Expression, bits: Int, table: Int)
       s"lsh_signature expects array<float>, got ${other.sql}")
   }
 
-  @transient private var cachedDims: Int = -1
-  @transient private var cachedPlanes: Array[Array[Double]] = _
+  // dims and planes live in ONE immutable holder behind a single
+  // volatile reference: two threads evaluating one instance with mixed
+  // vector widths can at worst recompute, never pair one thread's dims
+  // with another's planes (two separate mutable fields could tear and
+  // produce silently wrong signatures)
+  @transient @volatile private var cached: PortableHash.PlaneCache = _
 
   override def nullSafeEval(input: Any): Any =
     java.lang.Integer.valueOf(compute(input.asInstanceOf[ArrayData]))
@@ -46,14 +50,16 @@ case class LshSignatureExpr(child: Expression, bits: Int, table: Int)
   /** Shared by interpreted eval and generated code. */
   def compute(vec: ArrayData): Int = {
     val dims = vec.numElements()
-    if (dims != cachedDims) {
-      cachedPlanes = PortableHash.planes(table, bits, dims)
-      cachedDims = dims
+    var c = cached
+    if (c == null || c.dims != dims) {
+      c = new PortableHash.PlaneCache(dims,
+        PortableHash.planes(table, bits, dims))
+      cached = c
     }
     var sig = 0
     var b = 0
     while (b < bits) {
-      val w = cachedPlanes(b)
+      val w = c.planes(b)
       var dot = 0.0
       var d = 0
       while (d < dims) {
@@ -106,8 +112,8 @@ case class ProjectVectorExpr(child: Expression, dOut: Int, table: Int)
       s"project_vector expects array<float>, got ${other.sql}")
   }
 
-  @transient private var cachedDims: Int = -1
-  @transient private var cachedPlanes: Array[Array[Double]] = _
+  // same single-volatile-holder discipline as [[LshSignatureExpr]]
+  @transient @volatile private var cached: PortableHash.PlaneCache = _
 
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
@@ -115,14 +121,16 @@ case class ProjectVectorExpr(child: Expression, dOut: Int, table: Int)
   /** Shared by interpreted eval and generated code. */
   def compute(vec: ArrayData): ArrayData = {
     val dims = vec.numElements()
-    if (dims != cachedDims) {
-      cachedPlanes = PortableHash.planes(table, dOut, dims)
-      cachedDims = dims
+    var c = cached
+    if (c == null || c.dims != dims) {
+      c = new PortableHash.PlaneCache(dims,
+        PortableHash.planes(table, dOut, dims))
+      cached = c
     }
     val out = new Array[Double](dOut)
     var b = 0
     while (b < dOut) {
-      val w = cachedPlanes(b)
+      val w = c.planes(b)
       var dot = 0.0
       var d = 0
       while (d < dims) {

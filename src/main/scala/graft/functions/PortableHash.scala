@@ -64,6 +64,12 @@ object PortableHash {
   def planes(table: Int, bits: Int, dims: Int): Array[Array[Double]] =
     Array.tabulate(bits, dims)((b, d) => planeComponent(table, b, d))
 
+  /** Immutable (dims, planes) pair for the plane-expression caches:
+    * holding both behind ONE reference makes concurrent refresh at
+    * worst redundant, never torn (see LshSignatureExpr).
+    */
+  final class PlaneCache(val dims: Int, val planes: Array[Array[Double]])
+
   // ------------------------------------------------------ DuckDB SQL mirrors
 
   /** SQL: 60-bit md5 hash of a string expression. */

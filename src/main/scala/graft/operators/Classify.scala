@@ -95,15 +95,22 @@ object Classify {
     val fullVocab = vocab.union(
       spark.createDataFrame(Seq(Tuple1("<unk>"))).toDF("token"))
     val grid = classTotals.crossJoin(broadcast(fullVocab))
-    val v1 = lit(vocabSize + 1).cast("double")
+    // add-one smoothing over the EFFECTIVE token space: a seed slice
+    // with fewer distinct tokens than vocabSize must still normalize
+    // (sum of likelihoods = 1 per class) — the declared-vocabSize
+    // denominator leaves a per-class mass deficit that scales with doc
+    // length and can flip the argmax on small seeds. The effective
+    // count (vocab rows + unk) rides the plan as a 1-row broadcast.
+    val effV1 = fullVocab.agg(count(lit(1)).cast("double").as("__v1"))
 
     grid
       .join(counts, Seq("label", "token"), "left")
       .join(docCounts, Seq("label"))
       .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(effV1))
       .select(col("label"), col("token"),
         log((coalesce(col("n_tok"), lit(0L)) + lit(1L)).cast("double") /
-          (col("n_class").cast("double") + v1)).as("loglik"),
+          (col("n_class").cast("double") + col("__v1"))).as("loglik"),
         log(col("n_docs").cast("double") / col("nd").cast("double"))
           .as("logprior"))
   }
@@ -166,12 +173,28 @@ object Classify {
         when(col("__in_vocab"), col("token")).otherwise(lit("<unk>"))
           .as("token"))
 
-    toks
+    val scored = toks
       .join(m, Seq("token"))
       .groupBy(col(idCol), col("label"), col("logprior"))
       .agg(sum(col("loglik")).as("ll"))
       .select(col(idCol), col("label"),
         round(col("logprior") + col("ll"), 6).as("score"))
+
+    // a doc whose tokenizer yields zero rows (null text; <3 chars under
+    // charTrigrams) vanishes from the explode — give it the prior-only
+    // posterior instead of silently dropping it from predictions and
+    // accuracy audits. Token-lessness is a per-row predicate (narrow
+    // filter, no join-back against the scored lineage); the classes
+    // frame is a bounded literal.
+    val classes = broadcast(
+      rows.map(r => (r._1, r._4)).distinct.toDF("label", "logprior"))
+    val tokenless = docs
+      .filter(coalesce(size(tokenizer(col(textCol))), lit(0)) <= 0)
+      .select(col(idCol))
+      .crossJoin(classes)
+      .select(col(idCol), col("label"),
+        round(col("logprior"), 6).as("score"))
+    scored.unionByName(tokenless)
   }
 
   /** Confident-joint label-noise estimate (Northcutt et al. 2021,

@@ -816,42 +816,50 @@ object Similarity {
     * LONG sums first (q137's determinism device: integer aggregation
     * has no float addition order, so an external engine reproduces the
     * bits), then cov(i,j) = (n·Sij − Si·Sj)/(n²·scale²) evaluated in a
-    * fixed double association, round(…, 6). One row per dim pair
-    * i ≤ j: (i, j, n, cov).
+    * fixed double association, round(…, 6) (+0.0 so a tiny negative
+    * covariance that rounds to zero can never print -0.0 — DuckDB's
+    * binary round emits it, Spark's BigDecimal round cannot). One row
+    * per dim pair i ≤ j: (i, j, n, cov).
     *
-    * 100 TB shape: the pair fan-out (dims²/2 product terms per row) is
-    * generated INSIDE the row by a nested array transform and
-    * partially aggregated map-side, so the shuffle carries only
-    * dims²-sized cell partials — never row data; the per-dim linear
-    * sums ride a second dims-bounded aggregate and broadcast back.
+    * 100 TB shape: ONE corpus pass through
+    * [[graft.functions.CovarianceMomentsAgg]] — each task folds its
+    * rows' d² pair products into a single (1 + d + d(d+1)/2)-long
+    * buffer, so the shuffle carries one dims²-bounded buffer per
+    * partition and the corpus rows never fan out (the round-9 in-row
+    * explode materialized dims²/2 structs PER ROW: 2,080 at dims=64,
+    * ~295k / ~4.7 MB per row at dims=768 — measured ScaleProbe ratios
+    * in PLANS.md). The merged buffer (2.4 MB at dims=768; the ≤8 MB
+    * bounded-collect discipline holds to ~dims 1400) is collected once
+    * and the d² report cells are exact driver-side integer math.
     */
   def embeddingCovariance(emb: DataFrame, vecCol: String,
       scale: Int = 1024): DataFrame = {
     require(scale > 0, s"scale must be positive: $scale")
+    val spark = emb.sparkSession
+    import spark.implicits._
     val xq = transform(col(s"`$vecCol`"),
       x => floor(x.cast("double") * scale).cast("long"))
-    val base = emb.filter(col(s"`$vecCol`").isNotNull).select(xq.as("__q"))
-    val lin = base.select(posexplode(col("__q")).as(Seq("__i", "__x")))
-      .groupBy(col("__i"))
-      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
-    val cells = base.select(explode(flatten(transform(col("__q"),
-        (x, i) => transform(
-          slice(col("__q"), i + 1, size(col("__q")) - i),
-          (y, j0) => struct(i.as("i"), (i + j0).as("j"),
-            (x * y).as("p")))))).as("__c"))
-      .groupBy(col("__c.i").as("i"), col("__c.j").as("j"))
-      .agg(sum(col("__c.p")).as("__sp"))
-    val den = col("__n").cast("double") * col("__n").cast("double") *
-      lit(scale.toDouble * scale)
-    cells
-      .join(broadcast(lin.select(col("__i").as("i"),
-        col("__s").as("__si"), col("__n"))), Seq("i"))
-      .join(broadcast(lin.select(col("__i").as("j"),
-        col("__s").as("__sj"))), Seq("j"))
-      .select(col("i"), col("j"), col("__n").as("n"),
-        round((col("__n").cast("double") * col("__sp").cast("double")
-          - col("__si").cast("double") * col("__sj").cast("double"))
-          / den, 6).as("cov"))
+    val m = emb.filter(col(s"`$vecCol`").isNotNull).select(xq.as("__q"))
+      .agg(graft.functions.CovarianceMomentsAgg
+        .covarianceMoments(col("__q")).as("__m"))
+      .as[Seq[Long]].head()
+    require(m.nonEmpty, "covariance of an empty or all-null vector column")
+    // buffer layout: [0]=n, [1..d]=Si, then row-major upper triangle Sij
+    val d = ((math.sqrt(9.0 + 8.0 * (m.length - 1)) - 3.0) / 2.0)
+      .round.toInt
+    val n = m(0)
+    val den = n.toDouble * n.toDouble * (scale.toDouble * scale)
+    def roundHalfUp6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    var p = 1 + d
+    val cells = for (i <- 0 until d; j <- i until d) yield {
+      val sp = m(p); p += 1
+      // the same fixed double association the SQL oracle evaluates
+      (i, j, n, roundHalfUp6((n.toDouble * sp.toDouble
+        - m(1 + i).toDouble * m(1 + j).toDouble) / den) + 0.0)
+    }
+    cells.toDF("i", "j", "n", "cov")
   }
 
   /** Leading principal component of a covariance matrix from

@@ -79,7 +79,11 @@ object TextAnalysis {
     * chunk count, distinct identified languages (und — no stopword hit —
     * never counts as a language), the dominant chunk language
     * (count-majority; equal counts break to the lexicographically first
-    * language) and its share. `n_langs >= 2` IS the
+    * language) and its share. Consistent with the n_langs contract,
+    * `und` ranks LAST for dominance: a doc with any identified chunk
+    * reports the most common REAL language (its share still over all
+    * chunks); `dominant_lang = 'und'` only when no chunk identified.
+    * `n_langs >= 2` IS the
     * code-switching flag; `dominant_share` near 0.5 says an even split
     * (translation pairs, bilingual boilerplate), near 1 says a stray
     * foreign paragraph.
@@ -92,7 +96,8 @@ object TextAnalysis {
       chunkTokens: Int = 20): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__id"))
-      .orderBy(col("__c").desc, col("__lang"))
+      .orderBy((col("__lang") === "und").cast("int"),
+        col("__c").desc, col("__lang"))
     val chunks = Packing.chunkText(docs, idCol, textCol, chunkTokens,
       chunkTokens).select(col(s"`$idCol`").as("__id"),
         langId(col("chunk_text")).as("__lang"))
@@ -466,6 +471,35 @@ object TextAnalysis {
         when(bytes === 0, lit(null).cast("double"))
           .otherwise(round(packed.cast("double") / bytes, 6))
           .as("compression_ratio"))
+  }
+
+  /** Banding stage of the compression-quality signal, factored apart
+    * from the zlib measurement so it is SQL-mirrorable: takes a frame
+    * that already carries raw and deflated byte counts (from
+    * [[compressionSignals]], or read back from a prepared sizes
+    * artifact) and emits the curation verdict — exact integer
+    * parts-per-million ratio (`div`, never a rounded double: the
+    * repo's exact-integer gate convention) and the band label
+    * (`empty` / `template` / `natural` / `incompressible`). The zlib
+    * values are the shared input; the banding math is what a SQL
+    * oracle checks. Pure per-row Columns, zero shuffle.
+    */
+  def compressionBands(sized: DataFrame, idCol: String,
+      bytesCol: String = "n_bytes", deflatedCol: String = "n_deflated",
+      lowPpm: Long = 300000L, highPpm: Long = 700000L): DataFrame = {
+    require(lowPpm < highPpm, s"lowPpm $lowPpm must be < highPpm $highPpm")
+    val b = col(s"`$bytesCol`").cast("long")
+    val d = col(s"`$deflatedCol`").cast("long")
+    val ppm = when(b.isNull || b === 0, lit(null).cast("long"))
+      .otherwise(expr(
+        s"CAST(`$deflatedCol` AS BIGINT) * 1000000 DIV " +
+          s"CAST(`$bytesCol` AS BIGINT)"))
+    sized.select(col(s"`$idCol`"), b.as("n_bytes"), d.as("n_deflated"),
+      ppm.as("ratio_ppm"),
+      when(b.isNull || b === 0, lit("empty"))
+        .when(ppm < lowPpm, lit("template"))
+        .when(ppm <= highPpm, lit("natural"))
+        .otherwise(lit("incompressible")).as("band"))
   }
 
   /** C4-style blocklist report: for every term on the list (single
@@ -1109,8 +1143,11 @@ object TextAnalysis {
       .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
       .otherwise(noWww)
     val pathq = regexp_extract(noFrag, "^[A-Za-z]+://[^/?]+(.*)$", 1)
+    // anchored to a [?&] separator (kept via $1): a param whose NAME
+    // merely contains a tracking token (`?notgclid=5`) must survive —
+    // unanchored, distinct URLs collapse to one canonical key
     val noTrack = regexp_replace(pathq,
-      "(utm_[A-Za-z]+|gclid|fbclid)=[^&]*", "")
+      "([?&])(utm_[A-Za-z]+|gclid|fbclid)=[^&]*", "$1")
     val tidy = regexp_replace(regexp_replace(regexp_replace(
       noTrack, "&&+", "&"), "\\?&", "?"), "[?&]+$", "")
     when(scheme === "", lit(null).cast("string"))

@@ -46,6 +46,18 @@ class LangMixSpec extends SparkSpec {
     got._4 shouldBe "und"
   }
 
+  test("und never outranks a real language for dominance, even as the " +
+      "chunk majority (round-9 advisor finding)") {
+    // 2 und chunks + 1 en chunk at 12 tokens: majority is und, but the
+    // dominant_lang contract (like n_langs) excludes the sentinel
+    val noise = "zzz qqq www rrr ttt yyy uuu iii ooo ppp aaa bbb"
+    val got = report((1L, s"$noise $noise $en"))(1L)
+    got._3 shouldBe 1
+    got._4 shouldBe "en"
+    got._5 shouldBe BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   test("tokenizerFertility: hand-computed counts; zero-token group null") {
     val docs = Seq(
       ("en", "abc de-f 12"), // ws 3; bpe: abc,de,-,f,12 = 5; chars 11

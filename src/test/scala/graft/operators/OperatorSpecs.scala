@@ -445,13 +445,28 @@ class SimilaritySpec extends SparkSpec {
     out((0, 1)) shouldBe ((3L, 5.333333))
     out((1, 1)) shouldBe ((3L, 10.666667))
     out.size shouldBe 3 // upper triangle only
-    // cells aggregate map-side; the only joins are the dims-sized
-    // broadcast of the linear sums
+    // one corpus pass through the moments aggregate, then the dims²
+    // cells are a bounded local relation: no join, no explode, no
+    // per-row pair fan-out anywhere in the report plan
     val plan = Similarity.embeddingCovariance(emb, "embedding", 1)
       .queryExecution.executedPlan.toString
-    plan should include ("BroadcastHashJoin")
-    plan should not include "SortMergeJoin"
-    plan should not include "CartesianProduct"
+    plan should include ("LocalTableScan")
+    plan should not include "Generate"
+    plan should not include "Join"
+  }
+
+  test("CovarianceMomentsAgg buffer: n, linear sums, upper triangle — " +
+      "and merge across partitions is exact") {
+    val emb = Seq(
+      (1L, Array(1L, 2L)),
+      (2L, Array(3L, 6L)),
+      (3L, Array(5L, 10L)))
+      .toDF("vec_id", "q").repartition(3) // force per-partition partials
+    val m = emb.agg(graft.functions.CovarianceMomentsAgg
+        .covarianceMoments($"q").as("m"))
+      .as[Seq[Long]].head()
+    // layout: [n, S0, S1, S00, S01, S11]
+    m shouldBe Seq(3L, 9L, 18L, 35L, 70L, 140L)
   }
 
   test("principalComponent: rank-1 covariance recovers the direction, " +

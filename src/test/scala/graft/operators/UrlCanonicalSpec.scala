@@ -45,6 +45,17 @@ class UrlCanonicalSpec extends SparkSpec {
       Seq("https://x.com/p?a=1&b=2")
   }
 
+  test("params whose names merely CONTAIN a tracking token survive") {
+    // unanchored, ?notgclid=5 canonicalized to ?not and distinct URLs
+    // collapsed to one dedup key (round-9 advisor finding)
+    canon("https://x.com/p?notgclid=5") shouldBe
+      Seq("https://x.com/p?notgclid=5")
+    canon("https://x.com/p?myutm_source=a&id=1") shouldBe
+      Seq("https://x.com/p?myutm_source=a&id=1")
+    canon("https://x.com/p?xfbclid=1&fbclid=2") shouldBe
+      Seq("https://x.com/p?xfbclid=1")
+  }
+
   test("www stripped only as a prefix label") {
     canon("https://www.x.com/") shouldBe Seq("https://x.com")
     canon("https://wwwx.com/") shouldBe Seq("https://wwwx.com")
