@@ -3216,6 +3216,47 @@ object SparkEntry {
         centroids = 32, nprobe = 4)
     }),
 
+    // ANN: IVF-PQ through the PREPARED-artifact params surface (q273's
+    // amortized face): PqCodebooks + IvfCentroids + IvfPqCodes write
+    // the release artifacts (codes partitioned by cid — the probe join
+    // IS partition pruning), IvfPqSearchPrepared replays them; the
+    // result must be IDENTICAL to the one-shot q273, which is the gate
+    "q281_ivfpq_prepared" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val base = tmpDir("graft_q281")
+      def p(sub: String) = s"$base/$sub"
+      t(s, dir, "embeddings").write.parquet(p("emb"))
+      t(s, dir, "embeddings").filter(col("vec_id") % 50 === 0)
+        .write.parquet(p("queries"))
+      def run(algo: String, json: String): Unit = {
+        val f = Paths.get(base, s"$algo.json")
+        JFiles.writeString(f, json)
+        graft.core.JobRunner.execute(s, algo, f.toString)
+      }
+      run("PqCodebooks",
+        s"""{"source_dir": "${p("emb")}", "target_dir": "${p("cb")}",
+           | "id_column": "vec_id", "vector_column": "embedding",
+           | "dim": 64, "m": 8, "ks": 16}""".stripMargin)
+      run("IvfCentroids",
+        s"""{"source_dir": "${p("emb")}", "target_dir": "${p("cent")}",
+           | "id_column": "vec_id", "vector_column": "embedding",
+           | "centroids": 32}""".stripMargin)
+      run("IvfPqCodes",
+        s"""{"source_dir": "${p("emb")}", "target_dir": "${p("codes")}",
+           | "id_column": "vec_id", "vector_column": "embedding",
+           | "dim": 64, "m": 8,
+           | "codebooks_dir": "${p("cb")}",
+           | "centroids_dir": "${p("cent")}"}""".stripMargin)
+      run("IvfPqSearchPrepared",
+        s"""{"source_dir": "${p("codes")}", "target_dir": "${p("topk")}",
+           | "id_column": "vec_id", "vector_column": "embedding",
+           | "queries_dir": "${p("queries")}",
+           | "codebooks_dir": "${p("cb")}",
+           | "centroids_dir": "${p("cent")}",
+           | "k": 5, "dim": 64, "m": 8, "nprobe": 4}""".stripMargin)
+      s.read.parquet(p("topk"))
+    }),
+
     // report: tokenizer fertility per language — subword tokens per
     // whitespace token, the per-language token-budget multiplier
     "q266_fertility" -> ((s, dir) => {
@@ -3676,6 +3717,75 @@ object SparkEntry {
       |  CAST(len(tk) AS INTEGER) AS n_tokens,
       |  CAST(len(kp) AS INTEGER) AS n_kept
       |FROM kept""".stripMargin
+
+  // mirrors Similarity.ivfPqTopK (centroids=32, nprobe=4, k=5):
+  // the q272 encode/distance-table CTEs gated by L2 cell assignment
+  // and the probed-cell join; shared by q273 (one-shot) and q281
+  // (prepared artifacts), whose results are identical by design
+  private def ivfPqSql: String =
+      s"""WITH sel AS (
+         |  SELECT vec_id AS cid, embedding AS ce,
+         |    CAST(row_number() OVER (ORDER BY
+         |      ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")}, vec_id)
+         |      AS INTEGER) - 1 AS code
+         |  FROM embeddings
+         |  ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")},
+         |    vec_id
+         |  LIMIT 16),
+         |cb AS (
+         |  SELECT CAST(t.j AS INTEGER) AS j, code,
+         |    ce[t.j*8+1 : t.j*8+8] AS sub
+         |  FROM sel, range(0,8) t(j)),
+         |sv AS (
+         |  SELECT e.vec_id, CAST(t.j AS INTEGER) AS j,
+         |    e.embedding[t.j*8+1 : t.j*8+8] AS subv
+         |  FROM embeddings e, range(0,8) t(j)),
+         |enc AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT v.vec_id, v.j, c.code,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.j
+         |        ORDER BY ${l2Sql("v.subv", "c.sub")}, c.code) AS rk
+         |    FROM sv v JOIN cb c ON v.j = c.j) WHERE rk = 1),
+         |qt AS (
+         |  SELECT v.vec_id AS query_id, v.j, c.code,
+         |    CAST(round(${l2Sql("v.subv", "c.sub")} * 1048576) AS BIGINT)
+         |      AS qd
+         |  FROM sv v JOIN cb c ON v.j = c.j
+         |  WHERE v.vec_id % 50 = 0),
+         |cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce2
+         |  FROM embeddings
+         |  ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")},
+         |    vec_id
+         |  LIMIT 32),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.ce2")}, c.cid) AS rk
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+         |probe AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.ce2")}, c.cid) AS rk
+         |    FROM embeddings e CROSS JOIN cent c
+         |    WHERE e.vec_id % 50 = 0) WHERE rk <= 4),
+         |ad AS (
+         |  SELECT t.query_id, e.vec_id AS neighbor_id,
+         |    CAST(SUM(t.qd) AS BIGINT) AS adfix
+         |  FROM enc e
+         |  JOIN asg a ON e.vec_id = a.vec_id
+         |  JOIN probe p ON a.cid = p.cid
+         |  JOIN qt t ON p.query_id = t.query_id
+         |    AND e.j = t.j AND e.code = t.code
+         |  WHERE t.query_id <> e.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id,
+         |  round(adfix / 1048576.0, 6) AS pq_dist
+         |FROM ad
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY adfix, neighbor_id) <= 5""".stripMargin
 
   /** Sequential-accumulation cosine — the same operation order as the native
     * CosineSimilarityExpr loop, so doubles match bit-for-bit.
@@ -9377,70 +9487,14 @@ object SparkEntry {
     // mirrors Similarity.ivfPqTopK (centroids=32, nprobe=4, k=5): the
     // q272 encode/distance-table CTEs gated by L2 cell assignment and
     // the probed-cell join
-    "q273_ann_ivfpq" ->
-      s"""WITH sel AS (
-         |  SELECT vec_id AS cid, embedding AS ce,
-         |    CAST(row_number() OVER (ORDER BY
-         |      ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")}, vec_id)
-         |      AS INTEGER) - 1 AS code
-         |  FROM embeddings
-         |  ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")},
-         |    vec_id
-         |  LIMIT 16),
-         |cb AS (
-         |  SELECT CAST(t.j AS INTEGER) AS j, code,
-         |    ce[t.j*8+1 : t.j*8+8] AS sub
-         |  FROM sel, range(0,8) t(j)),
-         |sv AS (
-         |  SELECT e.vec_id, CAST(t.j AS INTEGER) AS j,
-         |    e.embedding[t.j*8+1 : t.j*8+8] AS subv
-         |  FROM embeddings e, range(0,8) t(j)),
-         |enc AS (
-         |  SELECT vec_id, j, code FROM (
-         |    SELECT v.vec_id, v.j, c.code,
-         |      row_number() OVER (PARTITION BY v.vec_id, v.j
-         |        ORDER BY ${l2Sql("v.subv", "c.sub")}, c.code) AS rk
-         |    FROM sv v JOIN cb c ON v.j = c.j) WHERE rk = 1),
-         |qt AS (
-         |  SELECT v.vec_id AS query_id, v.j, c.code,
-         |    CAST(round(${l2Sql("v.subv", "c.sub")} * 1048576) AS BIGINT)
-         |      AS qd
-         |  FROM sv v JOIN cb c ON v.j = c.j
-         |  WHERE v.vec_id % 50 = 0),
-         |cent AS (
-         |  SELECT vec_id AS cid, embedding AS ce2
-         |  FROM embeddings
-         |  ORDER BY ${PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")},
-         |    vec_id
-         |  LIMIT 32),
-         |asg AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${l2Sql("e.embedding", "c.ce2")}, c.cid) AS rk
-         |    FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
-         |probe AS (
-         |  SELECT vec_id AS query_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${l2Sql("e.embedding", "c.ce2")}, c.cid) AS rk
-         |    FROM embeddings e CROSS JOIN cent c
-         |    WHERE e.vec_id % 50 = 0) WHERE rk <= 4),
-         |ad AS (
-         |  SELECT t.query_id, e.vec_id AS neighbor_id,
-         |    CAST(SUM(t.qd) AS BIGINT) AS adfix
-         |  FROM enc e
-         |  JOIN asg a ON e.vec_id = a.vec_id
-         |  JOIN probe p ON a.cid = p.cid
-         |  JOIN qt t ON p.query_id = t.query_id
-         |    AND e.j = t.j AND e.code = t.code
-         |  WHERE t.query_id <> e.vec_id
-         |  GROUP BY 1, 2)
-         |SELECT query_id, neighbor_id,
-         |  round(adfix / 1048576.0, 6) AS pq_dist
-         |FROM ad
-         |QUALIFY row_number() OVER (PARTITION BY query_id
-         |  ORDER BY adfix, neighbor_id) <= 5""".stripMargin,
+    "q273_ann_ivfpq" -> ivfPqSql,
+
+    // q281 runs the SAME search through the prepared-artifact params
+    // surface (codebooks/centroids/cid-partitioned codes written once,
+    // IvfPqSearchPrepared replays them) — prepared ≡ one-shot is the
+    // identity being gated, so the oracle IS q273's
+    "q281_ivfpq_prepared" -> ivfPqSql,
+
 
     // mirrors TextAnalysis.tokenizerFertility: the q27 token mirrors
     // aggregated per language

@@ -29,7 +29,8 @@ private[core] object TransformAlgorithm {
 
 private[core] class TransformAlgorithm(val spark: SparkSession, fsOps: FsOps,
     sourceDir: String, targetDir: String, format: DataFormat,
-    outputFilesNum: Option[Int], fn: DataFrame => TransformAlgorithm.Out)
+    outputFilesNum: Option[Int], fn: DataFrame => TransformAlgorithm.Out,
+    targetPartitions: Seq[String] = Seq.empty)
     extends Algorithm {
   private var cleanups: Vector[() => Unit] = Vector.empty
   override def read(): Vector[DataFrame] =
@@ -41,7 +42,7 @@ private[core] class TransformAlgorithm(val spark: SparkSession, fsOps: FsOps,
       out.frame
     }
   override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
-    val w = new AtomicWriter(fsOps, Seq.empty, outputFilesNum)
+    val w = new AtomicWriter(fsOps, targetPartitions, outputFilesNum)
     try dfs.foreach(df =>
       w.write(df, DataFormat.Parquet, targetDir, LoadMode.OverwriteTable))
     finally {
@@ -898,6 +899,46 @@ object AlgoRegistry {
         config.getString("id_column"), config.getString("vector_column"),
         config.getInt("k"), config.getInt("dim"), config.getInt("m"),
         config.getInt("ks"), config.getInt("centroids"),
+        config.getInt("nprobe")))
+    // PQ codebook artifact: (j, code, sub) — m·ks rows, written once
+    // per corpus release so the query side never re-derives it
+    case "PqCodebooks" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.pqCodebooks(df,
+        config.getString("id_column"), config.getString("vector_column"),
+        config.getInt("dim"), config.getInt("m"), config.getInt("ks")))
+    // IVF centroid artifact: (cid, ce) — the hash-sampled cell table
+    case "IvfCentroids" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.selectCentroids(df,
+        config.getString("id_column"), config.getString("vector_column"),
+        config.getInt("centroids")))
+    // encode-time IVF-PQ codes: (id, cid, j, code) against the SAVED
+    // codebook + centroid artifacts, written PARTITIONED BY cid so the
+    // prepared search's probe join is partition pruning (PqProbe r9:
+    // re-assigning at query time cost more than the pruned scan saved)
+    case "IvfPqCodes" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.ivfPqEncodeWith(df,
+        config.getString("id_column"), config.getString("vector_column"),
+        config.getInt("dim"), config.getInt("m"),
+        spark.read.parquet(config.getString("codebooks_dir")),
+        spark.read.parquet(config.getString("centroids_dir"))),
+      targetPartitions = Seq("cid"))
+    // IVF-PQ search against the prepared artifacts: query-time cost is
+    // probe scoring + the pruned ADC scan only
+    case "IvfPqSearchPrepared" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Similarity.ivfPqTopKPrepared(
+        spark.read.parquet(config.getString("queries_dir")), df,
+        spark.read.parquet(config.getString("codebooks_dir")),
+        spark.read.parquet(config.getString("centroids_dir")),
+        config.getString("id_column"), config.getString("vector_column"),
+        config.getInt("k"), config.getInt("dim"), config.getInt("m"),
         config.getInt("nprobe")))
     // byte-level media near-dup pairs (no decode; simhash over hex chunks)
     case "MediaNearDup" => new TransformAlgorithm(spark, fsOps,

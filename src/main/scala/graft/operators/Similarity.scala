@@ -349,6 +349,80 @@ object Similarity {
       broadcastQueries = true)
   }
 
+  /** Squared-L2 IVF cell of every corpus vector against a
+    * caller-supplied centroid table (cid, ce): (idCol, cid) via a
+    * map-side-combinable `min_by` argmin, ties to the smaller cid —
+    * the assignment kernel shared by IVF-PQ's encode and query sides.
+    */
+  def ivfCellAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroidsDf: DataFrame): DataFrame =
+    corpus
+      .select(col(s"`$idCol`"), col(s"`$vecCol`").as("__v"))
+      .join(broadcast(centroidsDf.select(col("cid"), col("ce"))))
+      .select(col(s"`$idCol`"), col("cid"),
+        graft.functions.SquaredL2Expr.squaredL2(col("__v"), col("ce"))
+          .as("__d"))
+      .groupBy(col(s"`$idCol`"))
+      .agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("cid"))
+
+  /** ENCODE-TIME IVF-PQ artifact: PQ codes carrying their vector's IVF
+    * cell — (idCol, cid, j, code), m rows per vector. This is where the
+    * n·centroids assignment pass belongs (PqProbe r9 measured the
+    * query-time assignment costing MORE than the pruned scan saves —
+    * 5.75 s vs 3.59 s at 200k vectors); paid once per corpus release,
+    * every query then prunes for free. Write this table PARTITIONED BY
+    * cid: the probe join becomes partition pruning and the ADC scan
+    * reads only nprobe/centroids of the files.
+    */
+  def ivfPqEncodeWith(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, codebooks: DataFrame,
+      centroidsDf: DataFrame): DataFrame =
+    pqEncode(corpus, idCol, vecCol, dim, m, codebooks)
+      .join(ivfCellAssign(corpus, idCol, vecCol, centroidsDf),
+        Seq(idCol))
+      .select(col(s"`$idCol`"), col("cid"), col("j"), col("code"))
+
+  /** [[ivfPqEncodeWith]] deriving the hash-sampled codebooks and
+    * centroid set from the corpus itself (the q272/q273 regime).
+    */
+  def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ks: Int, centroids: Int): DataFrame =
+    ivfPqEncodeWith(corpus, idCol, vecCol, dim, m,
+      pqCodebooks(corpus, idCol, vecCol, dim, m, ks),
+      selectCentroids(corpus, idCol, vecCol, centroids))
+
+  /** IVF-PQ search against PREPARED artifacts — codes that already
+    * carry their cell ([[ivfPqEncodeWith]]), the codebooks, and the
+    * centroid table. Query-time cost is |Q|·centroids probe scoring +
+    * the pruned ADC scan; the corpus is never touched as vectors and
+    * never re-assigned. Centroid set, probe set, and distance tables
+    * all broadcast; the one shuffle is the (query, id) ADC group-sum.
+    */
+  def ivfPqTopKPrepared(queries: DataFrame, codes: DataFrame,
+      codebooks: DataFrame, centroidsDf: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int, nprobe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    val cent = broadcast(centroidsDf.select(col("cid"), col("ce")))
+    val qScored = queries
+      .select(col(s"`$idCol`").as("query_id"), col(s"`$vecCol`").as("__v"))
+      .join(cent)
+      .select(col("query_id"), col("cid"),
+        graft.functions.SquaredL2Expr.squaredL2(col("__v"), col("ce"))
+          .as("__d"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d"), col("cid"))
+    val probe = broadcast(qScored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= nprobe).select(col("query_id"), col("cid")))
+    val cand = codes
+      .select(col(s"`$idCol`").as("neighbor_id"), col("cid"), col("j"),
+        col("code"))
+      .join(probe, "cid")
+      .join(broadcast(pqDistTable(queries, idCol, vecCol, dim, m,
+        codebooks)), Seq("query_id", "j", "code"))
+    pqRank(cand, k, excludeSelf)
+  }
+
   /** IVF-PQ (the FAISS-style 100 TB configuration): IVF prunes WHICH
     * codes are scanned, PQ compresses WHAT is scanned. Cells are the
     * `centroids` hash-sampled vectors with squared-L2 assignment
@@ -356,46 +430,21 @@ object Similarity {
     * unlike the cosine-cell [[ivfTopK]]); queries probe their `nprobe`
     * nearest cells and ADC-rank only the codes assigned there.
     *
-    * Scale shape: centroid set, probe set, and distance tables are all
-    * broadcast; the codes⋈assignment join is narrow rows keyed by id
-    * (in production the code artifact is WRITTEN partitioned by cell,
-    * making that join a free co-partition — here it is one narrow
-    * shuffle); the candidate scan is |cand|·m rows into a map-side
-    * combinable BIGINT sum. Nothing vector-sized moves after encode.
+    * One-shot convenience composing [[ivfPqEncode]] +
+    * [[ivfPqTopKPrepared]] — for a standing corpus, persist the encode
+    * artifacts (partitioned by cid) and query the prepared face
+    * instead: PqProbe measured the per-query assignment pass costing
+    * more than the pruning saves when re-run every search.
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, m: Int = 8, ks: Int = 16,
       centroids: Int = 32, nprobe: Int = 4,
       excludeSelf: Boolean = true): DataFrame = {
     val cb = pqCodebooks(corpus, idCol, vecCol, dim, m, ks)
-    val codes = pqEncode(corpus, idCol, vecCol, dim, m, cb)
-      .select(col(s"`$idCol`").as("neighbor_id"), col("j"), col("code"))
-    val cent = broadcast(
-      selectCentroids(corpus, idCol, vecCol, centroids))
-    def sq(a: Column, b: Column) =
-      graft.functions.SquaredL2Expr.squaredL2(a, b)
-    val assign = corpus
-      .select(col(s"`$idCol`").as("neighbor_id"), col(s"`$vecCol`").as("__v"))
-      .join(cent)
-      .select(col("neighbor_id"), col("cid"),
-        sq(col("__v"), col("ce")).as("__d"))
-      .groupBy(col("neighbor_id"))
-      .agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("cid"))
-    val qScored = queries
-      .select(col(s"`$idCol`").as("query_id"), col(s"`$vecCol`").as("__v"))
-      .join(cent)
-      .select(col("query_id"), col("cid"),
-        sq(col("__v"), col("ce")).as("__d"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__d"), col("cid"))
-    val probe = broadcast(qScored
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= nprobe).select(col("query_id"), col("cid")))
-    val cand = codes.join(assign, "neighbor_id")
-      .join(probe, "cid")
-      .join(broadcast(pqDistTable(queries, idCol, vecCol, dim, m, cb)),
-        Seq("query_id", "j", "code"))
-    pqRank(cand, k, excludeSelf)
+    val cent = selectCentroids(corpus, idCol, vecCol, centroids)
+    ivfPqTopKPrepared(queries,
+      ivfPqEncodeWith(corpus, idCol, vecCol, dim, m, cb, cent),
+      cb, cent, idCol, vecCol, k, dim, m, nprobe, excludeSelf)
   }
 
   /** Johnson-Lindenstrauss random projection (the cheap dimensionality

@@ -86,6 +86,30 @@ object PqProbe {
     println(f"[pqprobe] ivfpq candidates $cand of $full " +
       f"(${100.0 * cand / full}%.1f%%, nprobe/centroids = 12.5%%), " +
       f"wall $tiN%.2f s")
+
+    // VERDICT r9 #4: with the cell assignment moved to ENCODE time
+    // (ivfPqEncodeWith written partitioned by cid), does the prepared
+    // IVF-PQ query beat the full ADC scan at the same corpus size?
+    // Round 9's one-shot form did NOT (assignment re-ran per query:
+    // 5.75 s vs 3.59 s at 200k) — the artifacts amortize it away.
+    val artDir = s"/tmp/graft_pqprobe_art_$factor"
+    val cb = Similarity.pqCodebooks(cN, "vec_id", "embedding", dim, 8, 16)
+    val cent = Similarity.selectCentroids(cN, "vec_id", "embedding", 32)
+    Similarity.ivfPqEncodeWith(cN, "vec_id", "embedding", dim, 8, cb, cent)
+      .write.mode("overwrite").partitionBy("cid").parquet(artDir)
+    val codes = spark.read.parquet(artDir)
+    def prepared(): Long =
+      Similarity.ivfPqTopKPrepared(queries, codes, cb, cent,
+        "vec_id", "embedding", k = 5, dim, 8, nprobe = 4).count()
+    prepared() // warmup (scan index, codegen)
+    val (_, tp1) = time(prepared())
+    val (_, tp2) = time(prepared())
+    val tp = math.min(tp1, tp2)
+    val (_, tsN2) = time(scan(cN))
+    val tsBest = math.min(tsN, tsN2)
+    println(f"[pqprobe] PREPARED ivfpq query $tp%.2f s vs full adc-scan " +
+      f"$tsBest%.2f s at n=$nN (speedup ${tsBest / tp}%.1fx; " +
+      f"encode-time assignment amortized into the artifact)")
     spark.stop()
   }
 }

@@ -116,6 +116,30 @@ class PqSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("prepared IVF-PQ (encode-time cells, cid-partitioned round-trip) " +
+      "is identical to the one-shot form") {
+    val queries = clustered.filter($"vec_id" % 40 === 0)
+    val oneShot = Similarity.ivfPqTopK(queries, clustered, "vec_id",
+      "embedding", k = 5, dim, m, ks, centroids = 8, nprobe = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val cb = Similarity.pqCodebooks(clustered, "vec_id", "embedding",
+      dim, m, ks)
+    val cent = Similarity.selectCentroids(clustered, "vec_id",
+      "embedding", 8)
+    // round-trip the artifact through a cid-partitioned parquet, the
+    // production layout (probe join = partition pruning)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_prepared").toString
+    Similarity.ivfPqEncodeWith(clustered, "vec_id", "embedding", dim, m,
+        cb, cent)
+      .write.mode("overwrite").partitionBy("cid").parquet(dir)
+    val prepared = Similarity.ivfPqTopKPrepared(queries,
+      spark.read.parquet(dir), cb, cent, "vec_id", "embedding",
+      k = 5, dim, m, nprobe = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    prepared shouldBe oneShot
+  }
+
   test("ivfPq with nprobe = centroids degenerates to the full PQ scan") {
     val queries = clustered.filter($"vec_id" % 20 === 0)
     val full = Similarity.pqTopK(queries, clustered, "vec_id",
