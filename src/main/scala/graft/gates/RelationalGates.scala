@@ -1,0 +1,893 @@
+package graft.gates
+
+import graft.algos._
+import graft.core.Tables
+import graft.expr.{DateComponents, PartitionCriteria, SchemaOps}
+import graft.catalog.{CatalogOps, TableWriter}
+import graft.fsops.FsOps
+import graft.io.{DataFormat, LoadMode}
+import graft.functions.PortableHash
+import graft.operators._
+import graft.streaming.EventStream
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import OracleHelpers._
+
+/** Gates: core relational: joins, windows, aggregates, pivots (TPC-H-shaped). */
+object RelationalGates extends GateSupport {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1/A5-style hash aggregate (TPC-H q1 shape): partial agg map-side,
+    // 6-wide shuffle rows only.
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // P1: OR-of-ANDs partition criteria compiled to a Column (pruning-friendly)
+    "q02_partition_filter" -> ((s, dir) => {
+      val crit: PartitionCriteria.Criteria = Seq(
+        Seq("l_returnflag" -> "R", "l_linestatus" -> "F"),
+        Seq("l_returnflag" -> "A", "l_linestatus" -> "F"))
+      t(s, dir, "lineitem").filter(PartitionCriteria.toColumn(crit))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    }),
+
+    // J1 + A: 3-way join + deterministic top-N. No forced broadcast on
+    // customer: it scales with sf, so the hint would override Spark's size
+    // check and OOM the build side at cluster scale; size-based planning /
+    // AQE still broadcasts it while it is genuinely small (PlanAuditSpec).
+    "q03_top_revenue_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val rev = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      rev.orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+    }),
+
+    // left-semi join (EXISTS)
+    "q04_priority_exists" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+      o.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // 5-way join: fixed-cardinality dims (nation/region) keep their
+    // broadcast hint; customer grows with sf so it is left to size-based
+    // planning (same rationale as q03/q43-q46).
+    "q05_region_revenue" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1996)
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // pushdown-friendly scan-heavy filter + single agg
+    "q06_revenue_forecast" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))
+    }),
+
+    // anti join (NOT EXISTS)
+    "q07_customers_no_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // J2: full-outer merge of two aggregates
+    "q08_full_outer_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderkey") % 2 === 0).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt_a"),
+          round(sum(col("o_totalprice")), 2).as("sum_a"))
+      val b = o.filter(col("o_orderkey") % 3 === 0).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt_b"),
+          round(sum(col("o_totalprice")), 2).as("sum_b"))
+      a.join(b, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+          coalesce(col("cnt_b"), lit(0L)).as("cnt_b"),
+          col("sum_a"), col("sum_b"))
+    }),
+
+    // U1/P5: schema-aligned union (addMissingColumns + unionByName)
+    "q09_union_align" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        round(col("c_acctbal"), 2).as("bal"), lit("c").as("src"))
+      val p = t(s, dir, "part").select(
+        col("p_partkey").as("id"), col("p_name").as("name"),
+        lit("p").as("src"))
+      SchemaOps.addMissingColumns(p, c.schema).unionByName(c)
+    }),
+
+    // A2: pivot with explicit values (no extra distinct-scan job)
+    "q12_event_pivot" -> ((s, dir) => {
+      Transpose(t(s, dir, "events"), Seq("user_id"), "event_type",
+        Seq("click", "view", "purchase", "signup", "error"), "value",
+        c => round(sum(c), 2))
+    }),
+
+    // F3: date component derivation with 9999/99 sentinels + aligned week
+    "q13_date_components" -> ((s, dir) => {
+      val o = t(s, dir, "orders").withColumn("datestr",
+        when(col("o_orderkey") % 97 === 0, lit("1x"))
+          .otherwise(date_format(col("o_orderdate"), "yyyyMMdd")))
+      DateComponents.withComponents(o, "datestr", "yyyyMMdd",
+          Seq("year", "month", "day", "week"))
+        .select(col("o_orderkey"), col("year"), col("month"), col("day"),
+          col("week"))
+    }),
+
+    // F4: fixed-width field extraction, pure Column expressions
+    "q14_fixed_width" -> ((s, dir) => {
+      import FixedSizeStringExtractor.FieldSpec
+      val packed = t(s, dir, "part").withColumn("packed",
+        concat(rpad(col("p_brand"), 12, " "),
+          lpad(col("p_size").cast("string"), 4, " "),
+          rpad(col("p_type"), 26, " ")))
+      FixedSizeStringExtractor(packed, "packed",
+        Seq(FieldSpec("brand_x", 1, 12, StringType),
+          FieldSpec("size_x", 13, 16, IntegerType),
+          FieldSpec("type_x", 17, 42, StringType)),
+        keepCols = Seq("p_partkey"))
+    }),
+
+    // F5-F8: nested flattening (struct expansion + array explode)
+    "q15_nested_flatten" -> ((s, dir) => {
+      val nested = t(s, dir, "orders").select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority")).as("meta"),
+        // +10.5 / *2 are exact double ops — no round() half-way hazards
+        array(col("o_totalprice") + 10.5,
+          col("o_totalprice") * 2).as("amounts"))
+      NestedFlattener(nested)
+    }),
+
+    // beyond-reference agg: rollup with grouping id
+    "q16_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+    }),
+
+    // as-of join: latest click at or before each purchase, per user
+    "q40_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      AsOfJoin(purchases, clicks, col("user_id"), col("c_user"),
+          col("p_ts"), col("c_ts"), col("p_id"), col("click_id"))
+        .select(col("p_id"), col("user_id"), col("click_id"),
+          unix_millis(col("c_ts")).as("click_ts_ms"))
+    }),
+
+    // TPC-H q9 shape: 5-way join, three broadcast dims, fact shuffled once,
+    // two-level aggregate (nation × year).
+    // q43-q46 round revenue sums to 4 (not 2): price×(1−discount) values
+    // live on a 4-decimal grid, so their true sums sit ON .xx5 ties at
+    // 2 decimals — engine sum-order noise (~1e-9) then flips the rounding
+    // (observed on q45). At 4 decimals the sum is on-grid, 5e-5 from any
+    // tie, and both engines round identically.
+    "q43_profit_by_nation" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val o = t(s, dir, "orders")
+      // part/supplier unhinted — they scale with sf, so a forced broadcast
+      // would OOM at 100x; AQE broadcasts them while they are small.
+      // nation stays hinted (25 rows at any sf).
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("profit"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H q10 shape: returned-item revenue per customer, deterministic
+    // top 20
+    "q44_returned_customers" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1996)
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      // customer is NOT hinted: it is 15k rows at sf0.1 but 15M at sf100 —
+      // a forced broadcast would override Spark's size check and OOM at
+      // scale. AQE still broadcasts it when it is actually small (the
+      // PlanAuditSpec asserts this at test scale); nation is genuinely
+      // bounded (25 rows at any sf) so its hint stays.
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    }),
+
+    // TPC-H q7 shape: customer-nation × supplier-nation trade flows —
+    // the nation dim joins twice under different roles
+    "q45_trade_flows" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      // customer/supplier unhinted (unbounded at scale — AQE decides);
+      // the two nation roles keep their hints (25 rows at any sf)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
+        .filter(col("cust_nation") =!= col("supp_nation"))
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .groupBy(col("cust_nation"), col("supp_nation"),
+          year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("volume"))
+    }),
+
+    // TPC-H q8 shape: one nation's share of region revenue per year —
+    // conditional aggregation over a 6-way join; the share divides the two
+    // ROUNDED sums so both engines divide identical operands
+    "q46_market_share" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      // customer/supplier unhinted (unbounded at scale — AQE decides);
+      // nation/region keep their hints (bounded dims at any sf)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_7", rev)
+            .otherwise(lit(0.0))), 4).as("nation_rev"),
+          round(sum(rev), 4).as("total_rev"))
+        .select(col("o_year"), col("nation_rev"), col("total_rev"),
+          round(col("nation_rev") / col("total_rev"), 6).as("share"))
+    }),
+
+    // streaming: the batch face of EventStream.intervalJoin — the SAME
+    // expression runs under dual watermarks as a stream-stream join
+    // (streaming spec asserts stream==batch row-for-row); this gate
+    // oracles the join's interval semantics against DuckDB
+    "q63_interval_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event_id"),
+          col("user_id").as("c_user"), col("ts").as("c_ts"))
+      EventStream.intervalJoin(purchases, clicks, "p_user", "c_user",
+          "p_ts", "c_ts", lookback = "2 hours", horizon = "30 minutes")
+        .select(col("p_event_id"), col("c_event_id"),
+          col("p_user").as("user_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+    }),
+
+    // skew tooling: salted equi-join — results identical to the unsalted
+    // join (the oracle IS the plain join), hot keys spread over
+    // saltFactor partitions
+    "q68_salted_join" -> ((s, dir) => {
+      val probe = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"))
+      val build = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      graft.operators.SkewJoin.saltedJoin(probe, build, "custkey",
+        saltFactor = 8)
+    }),
+
+    // data QA: doc/embedding key reconciliation — the embeddings side is
+    // deterministically mangled (every 10th id dropped, every 25th
+    // re-landed shifted) so both orphan directions are exercised
+    "q156_key_reconcile" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val mangled = emb.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id"))
+        .unionByName(emb.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 900000L).as("vec_id")))
+      graft.operators.Checks.keyReconciliation(
+        t(s, dir, "documents"), mangled, "doc_id", "vec_id")
+    }),
+
+    // warehouse: SCD2 history — compress each user's event-type change
+    // log into validity ranges (value runs with valid_from/valid_to,
+    // open row flagged current); both windows share one key partition
+    "q115_scd2_history" -> ((s, dir) => {
+      Reconcile.scd2Compress(t(s, dir, "events"),
+          "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("from_us"),
+          unix_micros(col("valid_to")).as("to_us"),
+          col("is_current"))
+    }),
+
+    // layout: Morton z-values — the interleaved-bits clustering key
+    // behind two-dimensional data skipping (each z-sorted file covers an
+    // (x,y) rectangle, so footer stats skip files for predicates on
+    // EITHER column); the gate pins the exact bit chain cross-engine
+    "q113_zorder_key" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        Layout.zValue(col("l_partkey"), col("l_suppkey"), bits = 16)
+          .as("zval"))
+    }),
+
+    // reconciliation: snapshot diff — the new delivery modifies every
+    // 11th doc's text, drops every 13th, and adds 20 fresh ids (all
+    // deterministic); every key classifies as added/removed/changed/
+    // unchanged on fixed-width digests, content never shuffled
+    "q104_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val newDf = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(lit("edited "), col("text"))).otherwise(col("text")))
+        .unionByName(
+          docs.filter(col("doc_id") % 25 === 0)
+            .select((col("doc_id") + 500000L).as("doc_id"), col("text"),
+              col("lang")))
+      Reconcile.diffFrames(docs, newDf, "doc_id")
+    }),
+
+    // analytics: exact per-group median WITHOUT sorting raw rows — the
+    // ordered window runs over the per-(lang, n_chars) count histogram
+    // (q78's machinery, value extraction instead of band filter); the
+    // type-1 rule (smallest score with cum >= ceil(p*n)) is stated
+    // explicitly and replayed identically in the oracle
+    "q101_group_median" -> ((s, dir) => {
+      Sampling.quantilePerGroup(t(s, dir, "documents"), "lang", "n_chars",
+        p = 0.5)
+    }),
+
+    // analytics: top-k rows per group by a metric — the built-in
+    // WindowGroupLimit regime: Spark 4 map-side prunes a row_number<=k
+    // filter, so each reduce task reads ~(#map partitions * k) rows per
+    // group, not the group (the capPerGroup scaladoc contrasts when that
+    // bound stops being enough)
+    "q102_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("rank"))
+    }),
+
+    // aggregation: DYNAMIC pivot — values discovered from the data (the
+    // driver-bounded distinct is Spark's own pivot machinery), vs q12's
+    // explicit-value Transpose; one row per source, one count column per
+    // discovered language
+    "q95_dynamic_pivot" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang")
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    // window analytics: share-of-total WITHOUT ordering — each source's
+    // token share within its language via an unordered partition window
+    // (no sort, no running state; the window is a per-partition total)
+    "q96_share_report" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+      t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("n_chars")).as("chars"))
+        .withColumn("share",
+          round(col("chars").cast("double") / sum(col("chars")).over(w), 6))
+    }),
+
+    // curation: fuzzy key canonicalization — unordered source-name pairs
+    // within levenshtein distance 1 (typo/variant detection over the
+    // DISTINCT key domain, never the corpus rows; both engines ship the
+    // same edit-distance metric)
+    "q97_fuzzy_keys" -> ((s, dir) => {
+      val names = t(s, dir, "documents").select(col("source")).distinct()
+      names.as("a").join(names.as("b"),
+          col("a.source") < col("b.source") &&
+          levenshtein(col("a.source"), col("b.source")) <= 1)
+        .select(col("a.source").as("source_a"),
+          col("b.source").as("source_b"),
+          levenshtein(col("a.source"), col("b.source")).as("dist"))
+    }),
+
+    // aggregation: ROLLUP corpus report — per-(lang, source) counts with
+    // per-lang and grand-total subtotal rows, the standard curation
+    // dashboard aggregate (grouping-set nulls coalesced to 'ALL' so the
+    // sentinel survives the hash compare in both engines)
+    "q93_rollup_report" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("n_chars"))
+    }),
+
+    // layout: co-bucketed join — both sides hash-clustered by doc_id at
+    // write time, so the join (and every future join on the key) plans
+    // with no exchange; the landing shuffle is paid once, amortized over
+    // all downstream jobs
+    "q87_bucketed_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // external tables at a fresh tmp location: a managed table's
+      // warehouse dir outlives the session's catalog and blocks the next
+      // session's saveAsTable (LOCATION_ALREADY_EXISTS)
+      val base = tmpDir("graft_q87")
+      Layout.writeBucketed(docs.select(col("doc_id"), col("lang")),
+        "graft_q87_docs", Seq("doc_id"), 8, Seq("doc_id"),
+        path = Some(s"$base/docs"))
+      Layout.writeBucketed(
+        docs.select(col("doc_id"), (col("n_chars") % 7).as("score")),
+        "graft_q87_scores", Seq("doc_id"), 8, Seq("doc_id"),
+        path = Some(s"$base/scores"))
+      s.table("graft_q87_docs")
+        .join(s.table("graft_q87_scores"), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("score")).as("sum_score"))
+    }),
+
+    // warehouse QA: star-schema-wide FK orphan matrix — every edge in
+    // one report; lineitem's supplier edge is deterministically mangled
+    // (every 50th row's key shifted, the q156 convention) so the orphan
+    // path is exercised, not just all-zeros
+    "q187_fk_matrix" -> ((s, dir) => {
+      import graft.operators.Checks
+      val li = t(s, dir, "lineitem").withColumn("l_suppkey",
+        when(col("l_orderkey") % 50 === 0, col("l_suppkey") + 900000L)
+          .otherwise(col("l_suppkey")))
+      Checks.fkMatrix(Seq(
+        Checks.FkEdge("nation->region", t(s, dir, "nation"),
+          "n_regionkey", t(s, dir, "region"), "r_regionkey"),
+        Checks.FkEdge("customer->nation", t(s, dir, "customer"),
+          "c_nationkey", t(s, dir, "nation"), "n_nationkey"),
+        Checks.FkEdge("orders->customer", t(s, dir, "orders"),
+          "o_custkey", t(s, dir, "customer"), "c_custkey"),
+        Checks.FkEdge("lineitem->supplier", li,
+          "l_suppkey", t(s, dir, "supplier"), "s_suppkey")))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_partition_filter" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_extendedprice),2) AS sum_price
+        |FROM lineitem
+        |WHERE (l_returnflag='R' AND l_linestatus='F')
+        |   OR (l_returnflag='A' AND l_linestatus='F')
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q03_top_revenue_orders" ->
+      """SELECT o_orderkey, revenue FROM (
+        |  SELECT o_orderkey,
+        |    round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey=o_orderkey
+        |  JOIN customer ON o_custkey=c_custkey
+        |  WHERE c_mktsegment='BUILDING'
+        |  GROUP BY o_orderkey)
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q04_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey=o_orderkey AND l_quantity >= 45)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q05_region_revenue" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey=o_orderkey
+        |JOIN customer ON o_custkey=c_custkey
+        |JOIN nation ON c_nationkey=n_nationkey
+        |JOIN region ON n_regionkey=r_regionkey
+        |WHERE r_name='ASIA' AND year(o_orderdate)=1996
+        |GROUP BY n_name""".stripMargin,
+
+    "q06_revenue_forecast" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q07_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)""".stripMargin,
+
+    "q08_full_outer_merge" ->
+      """WITH a AS (SELECT o_custkey, count(*) AS cnt_a,
+        |             round(sum(o_totalprice),2) AS sum_a
+        |           FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_custkey),
+        |     b AS (SELECT o_custkey, count(*) AS cnt_b,
+        |             round(sum(o_totalprice),2) AS sum_b
+        |           FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_custkey)
+        |SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+        |  coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b,
+        |  sum_a, sum_b
+        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""".stripMargin,
+
+    "q09_union_align" ->
+      """SELECT p_partkey AS id, p_name AS name,
+        |  CAST(NULL AS DOUBLE) AS bal, 'p' AS src FROM part
+        |UNION ALL
+        |SELECT c_custkey, c_name, round(c_acctbal,2), 'c' FROM customer""".stripMargin,
+
+    "q12_event_pivot" ->
+      """SELECT user_id,
+        | round(sum(CASE WHEN event_type='click' THEN value END),2) AS click,
+        | round(sum(CASE WHEN event_type='view' THEN value END),2) AS view,
+        | round(sum(CASE WHEN event_type='purchase' THEN value END),2) AS purchase,
+        | round(sum(CASE WHEN event_type='signup' THEN value END),2) AS signup,
+        | round(sum(CASE WHEN event_type='error' THEN value END),2) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q13_date_components" ->
+      """SELECT o_orderkey,
+        | CAST(CASE WHEN o_orderkey % 97 = 0 THEN 9999
+        |           ELSE year(o_orderdate) END AS SMALLINT) AS year,
+        | CAST(CASE WHEN o_orderkey % 97 = 0 THEN 99
+        |           ELSE month(o_orderdate) END AS SMALLINT) AS month,
+        | CAST(CASE WHEN o_orderkey % 97 = 0 THEN 99
+        |           ELSE dayofmonth(o_orderdate) END AS SMALLINT) AS day,
+        | CAST(CASE WHEN o_orderkey % 97 = 0 THEN 99
+        |           ELSE ((dayofyear(o_orderdate)-1)//7)+1 END AS SMALLINT) AS week
+        |FROM orders""".stripMargin,
+
+    "q14_fixed_width" ->
+      """WITH p AS (SELECT p_partkey,
+        |  rpad(p_brand,12,' ') || lpad(CAST(p_size AS VARCHAR),4,' ')
+        |    || rpad(p_type,26,' ') AS packed FROM part)
+        |SELECT p_partkey,
+        | NULLIF(trim(substr(packed,1,12)),'') AS brand_x,
+        | CAST(NULLIF(trim(substr(packed,13,4)),'') AS INTEGER) AS size_x,
+        | NULLIF(trim(substr(packed,17,26)),'') AS type_x
+        |FROM p""".stripMargin,
+
+    "q15_nested_flatten" ->
+      """SELECT o_orderkey, o_orderstatus AS meta__status,
+        | o_orderpriority AS meta__priority,
+        | unnest([o_totalprice + 10.5, o_totalprice * 2]) AS amounts
+        |FROM orders""".stripMargin,
+
+    "q16_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q40_asof_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |           FROM events WHERE event_type='purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+        |      FROM events WHERE event_type='click')
+        |SELECT p.p_id, p.user_id, c.click_id, epoch_ms(c.c_ts) AS click_ts_ms
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.c_ts <= p.p_ts""".stripMargin,
+
+    "q43_profit_by_nation" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS profit,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_type = 'PROMO'
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+
+    "q44_returned_customers" ->
+      """SELECT c_custkey, c_name, n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R' AND year(o_orderdate) = 1996
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q45_trade_flows" ->
+      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+        | CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name AND year(o_orderdate) IN (1996, 1997)
+        |GROUP BY n1.n_name, n2.n_name, year(o_orderdate)""".stripMargin,
+
+    "q46_market_share" ->
+      """WITH agg AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    round(sum(CASE WHEN n2.n_name = 'NATION_7'
+        |      THEN l_extendedprice*(1-l_discount) ELSE 0.0 END),4) AS nation_rev,
+        |    round(sum(l_extendedprice*(1-l_discount)),4) AS total_rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY year(o_orderdate))
+        |SELECT o_year, nation_rev, total_rev,
+        |  round(nation_rev / total_rev, 6) AS share
+        |FROM agg""".stripMargin,
+
+    // mirrors EventStream.intervalJoin (batch face): purchases join the
+    // clicks of the same user in [p_ts − 2h, p_ts]; event ts values are
+    // microsecond-aligned so Spark (micros) and DuckDB (nanos) agree
+    // exactly on the interval boundary
+    "q63_interval_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_event_id, user_id AS p_user, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS c_event_id, user_id AS c_user, ts AS c_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p_event_id, c_event_id, p_user AS user_id,
+        |  epoch_us(p_ts) - epoch_us(c_ts) AS gap_us
+        |FROM p JOIN c ON p_user = c_user
+        |  AND c_ts >= p_ts - INTERVAL 2 HOUR AND c_ts <= p_ts""".stripMargin,
+
+    // mirrors SkewJoin.saltedJoin — salting is semantics-preserving, so
+    // the oracle is the PLAIN join (that identity is the whole point)
+    "q68_salted_join" ->
+      """SELECT o_orderkey, o_custkey AS custkey, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    // mirrors q156: distinct keys per side (same mangle fixture), one
+    // full join, conditional counts
+    "q156_key_reconcile" ->
+      """WITH l AS (
+        |  SELECT DISTINCT doc_id AS k FROM documents
+        |  WHERE doc_id IS NOT NULL),
+        |r0 AS (
+        |  SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT vec_id + 900000 FROM embeddings WHERE vec_id % 25 = 0),
+        |r AS (SELECT DISTINCT vec_id AS k FROM r0 WHERE vec_id IS NOT NULL),
+        |j AS (SELECT l.k AS lk, r.k AS rk
+        |  FROM l FULL JOIN r ON l.k = r.k)
+        |SELECT CAST(count(lk) AS BIGINT) AS n_left_keys,
+        |  CAST(count(rk) AS BIGINT) AS n_right_keys,
+        |  CAST(count(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+        |    THEN 1 END) AS BIGINT) AS n_shared,
+        |  CAST(count(CASE WHEN rk IS NULL THEN 1 END) AS BIGINT)
+        |    AS n_left_only,
+        |  CAST(count(CASE WHEN lk IS NULL THEN 1 END) AS BIGINT)
+        |    AS n_right_only
+        |FROM j""".stripMargin,
+
+    // mirrors q115: run starts where the value differs from its
+    // predecessor (or at the first observation); valid_to = next run's
+    // start within the key
+    "q115_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP))
+        |      AS tsu, event_id,
+        |    lag(event_type) OVER w AS prev,
+        |    lag(event_id) OVER w IS NULL AS first
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT user_id, event_type, tsu, event_id FROM e
+        |  WHERE first OR event_type IS DISTINCT FROM prev)
+        |SELECT user_id, event_type, tsu AS from_us,
+        |  lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |    AS to_us,
+        |  lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |    IS NULL AS is_current
+        |FROM runs""".stripMargin,
+
+    // mirrors q113: the identical unrolled interleave chain (generated by
+    // the same Scala code that builds the Spark expression)
+    "q113_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${Layout.zValueSql("l_partkey", "l_suppkey", bits = 16)}
+         |  AS zval
+         |FROM lineitem""".stripMargin,
+
+    // mirrors q104: the same deterministic delivery (drop %13, edit %11,
+    // add %25 under id+500000), classified by content digest
+    "q104_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, text, lang FROM documents),
+        |new_df AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'edited ' || text
+        |         ELSE text END AS text,
+        |    lang
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, text, lang
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |o AS (SELECT doc_id, md5(text || lang) AS dg FROM old),
+        |n AS (SELECT doc_id, md5(text || lang) AS dg FROM new_df)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.dg IS NULL THEN 'added'
+        |       WHEN n.dg IS NULL THEN 'removed'
+        |       WHEN o.dg = n.dg THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
+    // mirrors q101's explicit type-1 quantile rule — no engine
+    // quantile_disc convention involved
+    "q101_group_median" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+        |t AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT h.lang, n_chars, n,
+        |    sum(c) OVER (PARTITION BY h.lang ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |  FROM h JOIN t ON h.lang = t.lang)
+        |SELECT lang, min(n_chars) AS quantile, CAST(min(n) AS BIGINT) AS n
+        |FROM cum WHERE cm >= ceil(0.5 * n)
+        |GROUP BY lang""".stripMargin,
+
+    // mirrors q102 top-k per group (count desc, id tie-break)
+    "q102_topk_per_group" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rank
+        |FROM documents
+        |QUALIFY rank <= 3""".stripMargin,
+
+    // mirrors q95 dynamic pivot: the discovered value set is exactly the
+    // five languages, one explicit sum per column
+    "q95_dynamic_pivot" ->
+      """SELECT source,
+        |  CAST(sum(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        |  CAST(sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        |  CAST(sum(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        |  CAST(sum(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        |  CAST(sum(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // mirrors q96: unordered partition window = per-language total
+    "q96_share_report" ->
+      """WITH c AS (
+        |  SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, source, chars,
+        |  round(CAST(chars AS DOUBLE) /
+        |    sum(chars) OVER (PARTITION BY lang), 6) AS share
+        |FROM c""".stripMargin,
+
+    // mirrors q97: both engines ship the same Levenshtein metric over
+    // the distinct key domain
+    "q97_fuzzy_keys" ->
+      """WITH n AS (SELECT DISTINCT source FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(levenshtein(a.source, b.source) AS INTEGER) AS dist
+        |FROM n a JOIN n b
+        |  ON a.source < b.source
+        |  AND levenshtein(a.source, b.source) <= 1""".stripMargin,
+
+    // mirrors q93 rollup: GROUP BY ROLLUP with the same ALL-sentinel
+    // coalesce
+    "q93_rollup_report" ->
+      """SELECT coalesce(lang, 'ALL') AS lang,
+        |  coalesce(source, 'ALL') AS source,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+
+    // mirrors the q87 bucketed join: the join is 1:1 on doc_id, so the
+    // aggregate reads straight off documents
+    "q87_bucketed_join" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars % 7) AS BIGINT) AS sum_score
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // mirrors q187: per-edge child key counts + anti-join orphans, same
+    // every-50th-order suppkey mangle
+    "q187_fk_matrix" -> {
+      def edge(name: String, childSql: String, parent: String,
+          parentKey: String) =
+        s"""SELECT '$name' AS edge,
+           |  CAST(COALESCE(sum(rws), 0) AS BIGINT) AS n_child_rows,
+           |  CAST(count(*) AS BIGINT) AS n_child_keys,
+           |  CAST(COALESCE(sum(CASE WHEN orphan THEN 1 END), 0) AS BIGINT)
+           |    AS n_orphan_keys,
+           |  CAST(COALESCE(sum(CASE WHEN orphan THEN rws END), 0)
+           |    AS BIGINT) AS n_orphan_rows
+           |FROM (
+           |  SELECT k, count(*) AS rws,
+           |    NOT EXISTS (SELECT 1 FROM $parent p
+           |                WHERE p.$parentKey = c.k) AS orphan
+           |  FROM ($childSql) c WHERE k IS NOT NULL GROUP BY k)""".stripMargin
+      Seq(
+        edge("nation->region",
+          "SELECT n_regionkey AS k FROM nation", "region", "r_regionkey"),
+        edge("customer->nation",
+          "SELECT c_nationkey AS k FROM customer", "nation", "n_nationkey"),
+        edge("orders->customer",
+          "SELECT o_custkey AS k FROM orders", "customer", "c_custkey"),
+        edge("lineitem->supplier",
+          """SELECT CASE WHEN l_orderkey % 50 = 0
+            |  THEN l_suppkey + 900000 ELSE l_suppkey END AS k
+            |FROM lineitem""".stripMargin, "supplier", "s_suppkey"))
+        .mkString("", "\nUNION ALL\n", "")
+    }
+  )
+}

@@ -19,11 +19,13 @@ class ClassifySpec extends SparkSpec {
         (r.getDouble(2), r.getDouble(3))).toMap
     // 6 distinct tokens + <unk>, 2 classes -> dense 14-row grid
     m.size shouldBe 14
-    // class pos: 6 tokens total, count(good)=3 -> ln((3+1)/(6+11))
-    m(("pos", "good"))._1 shouldBe math.log(4.0 / 17.0) +- 1e-12
-    // absent cell (pos, bad) gets the smoothed floor ln(1/17)
-    m(("pos", "bad"))._1 shouldBe math.log(1.0 / 17.0) +- 1e-12
-    m(("pos", "<unk>"))._1 shouldBe math.log(1.0 / 17.0) +- 1e-12
+    // add-one smoothing over the EFFECTIVE token space (6 distinct + unk
+    // = 7, not the declared vocabSize 10): class pos has 6 tokens total,
+    // count(good)=3 -> ln((3+1)/(6+7))
+    m(("pos", "good"))._1 shouldBe math.log(4.0 / 13.0) +- 1e-12
+    // absent cell (pos, bad) gets the smoothed floor ln(1/13)
+    m(("pos", "bad"))._1 shouldBe math.log(1.0 / 13.0) +- 1e-12
+    m(("pos", "<unk>"))._1 shouldBe math.log(1.0 / 13.0) +- 1e-12
     // priors: 2 docs of 4 each
     m(("pos", "good"))._2 shouldBe math.log(0.5) +- 1e-12
     m(("neg", "bad"))._2 shouldBe math.log(0.5) +- 1e-12
