@@ -464,3 +464,59 @@ class DsirProperties extends SparkSpec {
     w.foreach(_ shouldBe 0.0 +- 1e-9)
   }
 }
+
+/** Round-10 convention (VERDICT r9 #3): no gated projection can emit IEEE
+  * `-0.0`. Verify normalizes every DOUBLE column with `+ 0.0` on the Spark
+  * side and wraps the oracle SQL with the same identity, so the q186
+  * sign-bit divergence class is structurally closed.
+  */
+class SignedZeroProperties extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("normalizeSignedZero: kills -0.0, bit-preserves everything else") {
+    val gen = Gen.oneOf(
+      Gen.choose(-1e12, 1e12),
+      Gen.oneOf(-0.0, 0.0, Double.NaN,
+        Double.PositiveInfinity, Double.NegativeInfinity,
+        Double.MinPositiveValue, -Double.MinPositiveValue))
+    val vals = samples(gen, 400) :+ -0.0 :+ 0.0
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "x")
+    val out = Verify.normalizeSignedZero(df)
+      .orderBy($"id").select($"x").as[Double].collect()
+    out.zip(vals).foreach { case (got, in) =>
+      val negZero = java.lang.Double.doubleToRawLongBits(got) ==
+        java.lang.Double.doubleToRawLongBits(-0.0)
+      negZero shouldBe false // the whole point
+      if (java.lang.Double.doubleToRawLongBits(in) !=
+          java.lang.Double.doubleToRawLongBits(-0.0) && !in.isNaN)
+        java.lang.Double.doubleToRawLongBits(got) shouldBe
+          java.lang.Double.doubleToRawLongBits(in) // identity elsewhere
+      if (in.isNaN) got.isNaN shouldBe true
+    }
+    // nulls survive, non-double columns untouched
+    val withNull = spark.sql(
+      "SELECT CAST(NULL AS DOUBLE) AS x, 'k' AS s, CAST(-0.0 AS DOUBLE) AS y")
+    val r = Verify.normalizeSignedZero(withNull).collect()(0)
+    r.isNullAt(0) shouldBe true
+    r.getString(1) shouldBe "k"
+    java.lang.Double.doubleToRawLongBits(r.getDouble(2)) shouldBe 0L
+  }
+
+  test("wrapOracle: + 0.0 REPLACE on exactly the double columns") {
+    // identity when the gate has no double columns
+    Verify.wrapOracle("SELECT 1 AS a", Nil) shouldBe "SELECT 1 AS a"
+    // DuckDB's SELECT * REPLACE keeps names/order and touches only the
+    // listed columns; execution is covered by the local checker run
+    // (tools/check_correctness.py drives DuckDB over the wrapped SQL)
+    val wrapped = Verify.wrapOracle(
+      "SELECT -0.0 AS a, 3 AS b, 'z' AS c", Seq("a", "q v"))
+    wrapped should startWith ("SELECT * REPLACE (")
+    wrapped should include ("""("a" + 0.0) AS "a"""")
+    wrapped should include ("""("q v" + 0.0) AS "q v"""") // quoted names
+    wrapped should endWith (") __graft_szn")
+  }
+}

@@ -4,7 +4,7 @@ parquet written by graft.Verify, run the corresponding oracle SQL in DuckDB
 over the same sf tables and compare (rows, schema-width, multiset of values
 with column names sorted). Usage: check_correctness.py <sfDir> <outDir>
 """
-import json, sys, glob, os
+import json, sys, glob, os, math
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
@@ -19,7 +19,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return None
         if isinstance(v, float):
-            return round(v, 9)
+            v = round(v, 9)
+            # keep IEEE -0.0 DISTINCT from +0.0: the driver's hash compare
+            # sees the sign bit (the q186 class), so this checker must too
+            # (python's == treats them equal, hence the sentinel)
+            if v == 0.0 and math.copysign(1.0, v) < 0:
+                return "-0.0"
+            return v
         return v
     out = df.apply(lambda c: c.map(norm))
     return out.sort_values(by=list(out.columns), kind="mergesort",
