@@ -202,6 +202,17 @@ object SamplingGates extends GateSupport {
         "score", p = 0.5)
         .select(col("doc_id"), col("source"), col("n_chars"),
           round(col("score"), 6).as("score"))
+    }),
+
+    // sampling: PRIORITY sampling (Duffield–Lund–Thorup) — exact-size-k
+    // weighted sample per language with the unbiased max(w, τ)
+    // subset-sum estimator; priorities w/u use only casts and IEEE
+    // divisions (the 2^60 divisor is an exponent shift), so both
+    // engines compute bit-identical priorities — no libm in the
+    // ordering, unlike u^(1/w) schemes
+    "q283_priority_sample" -> ((s, dir) => {
+      Sampling.prioritySample(t(s, dir, "documents"), "doc_id", "lang",
+        "n_chars", k = 50)
     })
   )
 
@@ -567,6 +578,27 @@ object SamplingGates extends GateSupport {
         |      AS cumbefore
         |  FROM d JOIN b USING (source))
         |SELECT doc_id, source, n_chars, round(score, 6) AS score
-        |FROM r WHERE coalesce(cumbefore, 0) < budget""".stripMargin
+        |FROM r WHERE coalesce(cumbefore, 0) < budget""".stripMargin,
+
+    // mirrors Sampling.prioritySample(lang, n_chars, k=50): priority
+    // q = w / ((h60(id)+1) / 2^60); τ = the 51st priority per lang;
+    // selected rows keep max(w, τ) as the unbiased estimator weight
+    "q283_priority_sample" ->
+      s"""WITH w AS (
+         |  SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS wt,
+         |    CAST(n_chars AS DOUBLE) /
+         |      (CAST(${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")}
+         |            + 1 AS DOUBLE) / 1152921504606846976.0) AS q
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY q DESC, doc_id) AS rn
+         |  FROM w),
+         |tt AS (
+         |  SELECT lang, max(CASE WHEN rn = 51 THEN q END) AS tau
+         |  FROM r GROUP BY lang)
+         |SELECT r.lang, r.doc_id, r.wt AS weight,
+         |  round(greatest(r.wt, coalesce(tt.tau, 0.0)), 6) AS est_weight
+         |FROM r JOIN tt USING (lang) WHERE rn <= 50""".stripMargin
   )
 }

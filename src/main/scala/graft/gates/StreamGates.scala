@@ -308,6 +308,33 @@ object StreamGates extends GateSupport {
       EventStream.runClassifyOnce(s, s.read.parquet(inDir).schema, inDir,
         model, "doc_id", "text", outDir, "q235_sink",
         maxFilesPerTrigger = Some(1))
+    }),
+
+    // streaming STATEFUL sessionization: flatMapGroupsWithState carrying
+    // per-user (lastTs, sessionId) state across 4 REAL micro-batches.
+    // The corpus is staged as 4 ts-RANGE slices written oldest-first
+    // (the file source triggers by modification time), so each user's
+    // events arrive time-ordered across batches and the settled
+    // per-event assignments equal the batch gap sessionization — the
+    // identity the oracle checks. Exact integer state: no rounding
+    // anywhere
+    "q282_stream_sessions" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ts_millis"))
+      val cuts = e.selectExpr(
+        "percentile(ts_millis, array(0.25, 0.5, 0.75)) AS c")
+        .head.getSeq[Double](0)
+      val inDir = tmpDir("graft_q282_in")
+      val bounds = Seq(Long.MinValue.toDouble) ++ cuts ++
+        Seq(Long.MaxValue.toDouble)
+      bounds.sliding(2).foreach { case Seq(lo, hi) =>
+        e.filter(col("ts_millis") >= lo && col("ts_millis") < hi)
+          .repartition(1).write.mode("append").parquet(inDir)
+      }
+      EventStream.runSessionizeOnce(s, s.read.parquet(inDir).schema,
+        inDir, gapMillis = 1800000L, "q282_sink",
+        maxFilesPerTrigger = Some(1))
     })
   )
 
@@ -544,6 +571,25 @@ object StreamGates extends GateSupport {
 
     "q235_stream_classify" ->
       s"""$nbChainSql
-         |SELECT doc_id, predicted, score FROM best WHERE rk = 1""".stripMargin
+         |SELECT doc_id, predicted, score FROM best WHERE rk = 1""".stripMargin,
+
+    // q282: the settled per-event stream assignments must equal batch
+    // gap sessionization — per user, a session starts at the first event
+    // or after a >30 min gap; session_id is the running start count in
+    // (ts, event_id) order (StatefulSessionize's sort)
+    "q282_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS tsm FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, tsm,
+        |    CASE WHEN lag(tsm) OVER w IS NULL THEN 1
+        |         WHEN tsm - lag(tsm) OVER w > 1800000 THEN 1 ELSE 0
+        |    END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id))
+        |SELECT user_id, event_id,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id
+        |                     ORDER BY tsm, event_id) AS BIGINT)
+        |    AS session_id
+        |FROM s""".stripMargin
   )
 }

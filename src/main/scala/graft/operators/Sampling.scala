@@ -1004,4 +1004,53 @@ object Sampling {
         .otherwise((lit(totalBudget) - col("__csum")).cast("double") /
           col("__un").cast("double")))
   }
+
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 2007): a fixed-size-k
+    * weighted sample WITHOUT replacement per group, with the unbiased
+    * subset-sum estimator ŵ_i = max(w_i, τ) where τ is the (k+1)-th
+    * largest priority q_i = w_i / u_i. Unlike the Bernoulli
+    * [[weightedSample]] (expected-size, per-row independent), the sample
+    * size is exact — the shape a per-language token-budget draw needs.
+    *
+    * All randomness is the md5 hash family: u_i = (h60(id)+1) / 2^60 ∈
+    * (0,1], so the draw replays bit-for-bit and mirrors in the oracle.
+    * Cross-engine determinism note: q involves only long→double casts and
+    * IEEE divisions (the 2^60 divisor is a power of two — an exact
+    * exponent shift), all correctly rounded and bit-identical in Spark
+    * and DuckDB; no libm (pow/ln) anywhere, which is why priorities
+    * w/u are gate-able where Efraimidis–Spirakis keys u^(1/w) are not.
+    *
+    * Scale: rows are projected to (group, id, w, q) BEFORE the rank
+    * window, so the shuffle carries ~32-byte rows, never document
+    * payloads; τ rides the same window partitioning (no second
+    * shuffle). Selected ids join back to full rows caller-side if needed.
+    */
+  def prioritySample(df: DataFrame, idCol: String, groupCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val u = (hash60(col(idCol)) + lit(1L)).cast("double") /
+      lit(1152921504606846976.0) // 2^60
+    val q = col(weightCol).cast("double") / u
+    val narrow = df.select(col(groupCol), col(idCol),
+      col(weightCol).cast("double").as("__w"), q.as("__q"))
+    val byG = Window.partitionBy(col(groupCol))
+    val rn = row_number().over(byG.orderBy(col("__q").desc, col(idCol)))
+    val ranked = narrow.withColumn("__rn", rn)
+      .withColumn("__tau",
+        max(when(col("__rn") === k + 1, col("__q"))).over(byG))
+    ranked.filter(col("__rn") <= k)
+      .select(col(groupCol), col(idCol),
+        col("__w").as("weight"),
+        // τ missing (group smaller than k+1) → the sample is the whole
+        // group and the estimator is exact: ŵ = w
+        round(greatest(col("__w"), coalesce(col("__tau"), lit(0.0))), 6)
+          .as("est_weight"))
+  }
+
+  /** The 60-bit md5 hash as a Column (the [[hashBucket]] family without
+    * the bucket fold — SQL mirror `PortableHash.sqlHash60`).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 }

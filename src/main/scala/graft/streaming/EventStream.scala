@@ -707,6 +707,44 @@ object EventStream {
     spark.read.parquet(outDir)
   }
 
+  /** Run [[StatefulSessionize]] as a REAL stateful streaming query:
+    * AvailableNow over parquet slices, per-user (lastTs, sessionId) state
+    * carried ACROSS micro-batches, per-event assignments appended to a
+    * memory sink. Correctness requires each user's events to arrive
+    * time-ordered across batches — the caller stages ts-RANGE slices
+    * written oldest-first (the file source processes by modification
+    * time), and `assign` sorts within each batch; under that contract the
+    * settled assignments equal the batch gap-sessionization exactly,
+    * which is what the oracle checks. Input schema: (user_id, event_id,
+    * ts_millis).
+    */
+  def runSessionizeOnce(spark: SparkSession, schema: StructType,
+      inputDir: String, gapMillis: Long, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val sink = s"${queryName}_${sinkSeq.incrementAndGet()}"
+    val rd = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger
+      .fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+    val events = reader.parquet(inputDir)
+      .select(col("user_id").cast("long").as("userId"),
+        col("event_id").cast("long").as("eventId"),
+        col("ts_millis").cast("long").as("tsMillis"))
+      .as[StatefulSessionize.Event]
+    val q: StreamingQuery = StatefulSessionize(events, gapMillis).toDF()
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sink).select(col("userId").as("user_id"),
+      col("eventId").as("event_id"), col("sessionId").as("session_id"))
+  }
+
   def runOnce(spark: SparkSession, schema: StructType, inputDir: String,
       windowDur: String, queryName: String): DataFrame = {
     val stream = spark.readStream.schema(schema).parquet(inputDir)

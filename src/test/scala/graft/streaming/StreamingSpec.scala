@@ -999,3 +999,46 @@ class StreamKMeansUpdateSpec extends SparkSpec {
     assertSameRows(streamed, batch)
   }
 }
+
+class StreamSessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stateful sessionize across REAL micro-batches equals batch " +
+      "gap sessionization (state carries between triggers)") {
+    val dir = tmp("stream_sess")
+    // user 1: events straddle all three slices; the 1→2 gap is within a
+    // session but crosses a batch boundary — correctness REQUIRES the
+    // carried (lastTs, sessionId) state. user 2: one event per slice,
+    // every gap > 30 min → one session per slice.
+    val rows = Seq(
+      (1L, 1L, 0L), (2L, 2L, 100000L),                     // slice 0
+      (1L, 3L, 1000000L), (2L, 4L, 10000000L),             // slice 1
+      (1L, 5L, 1200000L), (1L, 6L, 99999999L),             // slice 2
+      (2L, 7L, 99999999L))
+    val df = rows.toDF("user_id", "event_id", "ts_millis")
+    // ts-range slices written oldest-first (mtime-ordered for the source)
+    df.filter($"ts_millis" < 999999L).repartition(1)
+      .write.mode("append").parquet(dir)
+    df.filter($"ts_millis" >= 999999L && $"ts_millis" < 99999999L)
+      .repartition(1).write.mode("append").parquet(dir)
+    df.filter($"ts_millis" >= 99999999L).repartition(1)
+      .write.mode("append").parquet(dir)
+
+    val streamed = EventStream.runSessionizeOnce(spark,
+      spark.read.parquet(dir).schema, dir, gapMillis = 1800000L,
+      "sess_test", maxFilesPerTrigger = Some(1))
+    val got = streamed.as[(Long, Long, Long)].collect().sortBy(_._2)
+    got shouldBe Array(
+      (1L, 1L, 1L), (2L, 2L, 1L),
+      (1L, 3L, 1L),                 // within 30 min of event 1: SAME session
+      (2L, 4L, 2L),                 // > 30 min gap: new session
+      (1L, 5L, 1L), (1L, 6L, 2L),
+      (2L, 7L, 3L))
+    // identical to the batch window formulation on the union
+    val batch = graft.operators.Sessionize(df, "user_id", $"ts_millis",
+        "event_id", 1800000L)
+      .select($"event_id", $"session_id").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    batch.map(_._2) shouldBe got.map(_._3)
+  }
+}
