@@ -1349,6 +1349,14 @@ object AlgoRegistry {
       df => graft.operators.Sampling.weightedSample(df,
         config.getString("id_column"), config.getString("weight_column"),
         config.getDouble("threshold")))
+    // exact-size-k weighted sample per group (Duffield–Lund–Thorup
+    // priority sampling) with the unbiased max(w, τ) estimator weight
+    case "PrioritySample" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sampling.prioritySample(df,
+        config.getString("id_column"), config.getString("group_column"),
+        config.getString("weight_column"), config.getInt("k")))
     case "SourceCap" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),
