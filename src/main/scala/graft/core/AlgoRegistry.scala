@@ -1324,6 +1324,29 @@ object AlgoRegistry {
         df, config.getString("item_column"),
         depth = config.getIntOpt("depth").getOrElse(4),
         width = config.getIntOpt("width").getOrElse(4096)))
+    // HyperLogLog register-sketch artifact (2^precision ints per group;
+    // optional merge_dir max-merges a previously saved sketch in)
+    case "HllSketch" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val p = config.getIntOpt("precision").getOrElse(8)
+        val g = config.getString("group_column")
+        val built = graft.operators.DistinctSketch.hllSketch(df, g,
+          config.getString("id_column"), p)
+        config.getStringOpt("merge_dir") match {
+          case Some(dir) => graft.operators.DistinctSketch.hllMerge(
+            Seq(built, fmt(config).read(spark, Map.empty, None, dir)), g, p)
+          case None => built
+        }
+      })
+    // distinct-count report from a saved HLL sketch artifact
+    case "HllEstimate" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.DistinctSketch.hllEstimate(df,
+        config.getString("group_column"),
+        config.getIntOpt("precision").getOrElse(8)))
     case "DedupArtifacts" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),

@@ -176,6 +176,33 @@ object SketchGates extends GateSupport {
         .agg(MisraGriesAgg.mergeHeavyHitters(col("it"), 64).as("hh"))
         .select(explode(col("hh")).as("e"))
         .select(col("e.item").as("item"), col("e.count_low").as("count_low"))
+    }),
+
+    // sketches: HyperLogLog distinct estimate per event type — unlike
+    // Spark's built-in HLL++ (register merges are not bit-reproducible
+    // across partitionings), these registers derive from the portable
+    // md5-60 family and max-merge deterministically; the harmonic
+    // denominator is an exact fixed-point BIGINT (every term a power of
+    // two ≤ 2^53), so the gate pins the registers (via the denom), not
+    // just a rounded estimate. p=8 → 256 registers, ~6.5% typical error
+    "q284_hll_distinct" -> ((s, dir) => {
+      DistinctSketch.hllEstimate(
+        DistinctSketch.hllSketch(t(s, dir, "events"), "event_type",
+          "user_id", p = 8), "event_type", p = 8)
+    }),
+
+    // sketches: HLL mergeability — register-max over the two event-id-
+    // parity halves' sketch ARTIFACTS must equal the whole-table sketch
+    // (max is associative/commutative/idempotent); same oracle as q284
+    "q285_hll_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = DistinctSketch.hllSketch(
+        ev.filter(col("event_id") % 2 === 0), "event_type", "user_id", 8)
+      val b = DistinctSketch.hllSketch(
+        ev.filter(col("event_id") % 2 =!= 0), "event_type", "user_id", 8)
+      DistinctSketch.hllEstimate(
+        DistinctSketch.hllMerge(Seq(a, b), "event_type", 8),
+        "event_type", 8)
     })
   )
 
@@ -313,6 +340,41 @@ object SketchGates extends GateSupport {
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
         |  FROM documents)
         |WHERE t IS NOT NULL
-        |GROUP BY t""".stripMargin
+        |GROUP BY t""".stripMargin,
+
+    // mirrors DistinctSketch.hllSketch/hllEstimate at p=8 (Q=52): idx =
+    // top 8 hash bits, ρ = 53 − bit-length of the low 52 (53 when zero),
+    // per-register max, then the exact fixed-point harmonic sum with
+    // empty registers contributing 2^53 each. The α_m·m²·2^53 constant
+    // is embedded as the Scala double's round-trip literal
+    "q284_hll_distinct" -> hllOracleSql,
+
+    // q285 max-merges the halves' registers — merge-of-parts ==
+    // sketch-of-union exactly, so the whole-table oracle gates it
+    "q285_hll_merge" -> hllOracleSql
   )
+
+  /** Shared q284/q285 oracle: whole-table HLL replay at p=8. */
+  private def hllOracleSql: String =
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |    ${PortableHash.sqlHash60("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, CAST(h >> 52 AS INTEGER) AS idx,
+       |    CASE WHEN (h & 4503599627370495) = 0 THEN 53
+       |         ELSE 53 - length(bin(h & 4503599627370495)) END AS rho
+       |  FROM h),
+       |reg AS (SELECT event_type, idx, max(rho) AS mj FROM r GROUP BY 1, 2),
+       |s AS (
+       |  SELECT event_type,
+       |    CAST(count(*) AS BIGINT) AS n_set,
+       |    CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT) AS s_set
+       |  FROM reg GROUP BY 1)
+       |SELECT event_type, n_set AS n_registers_set,
+       |  s_set + (256 - n_set) * 9007199254740992 AS harmonic_denom,
+       |  round(${DistinctSketch.hllAlphaM2Q(8)} /
+       |    CAST(s_set + (256 - n_set) * 9007199254740992 AS DOUBLE), 4)
+       |    AS est_distinct
+       |FROM s""".stripMargin
 }

@@ -125,4 +125,107 @@ object DistinctSketch {
       Window.partitionBy(col(s"`$groupCol`")).orderBy(col("__h")))
     hashes.withColumn("__rn", rn).filter(col("__rn") <= k).drop("__rn")
   }
+
+  // -------------------------------------------------------------------- HLL
+
+  /** Per-group HyperLogLog registers over the portable hash family
+    * ([[graft.functions.HllAgg]]): the fixed-2^p-byte sibling of
+    * [[kmvHashes]] — unlike Spark's built-in `approx_count_distinct`
+    * (HLL++), whose register merges are not bit-reproducible across
+    * partitionings, these registers are a pure per-id function max-merged,
+    * so the sketch (and its estimate) replays exactly in the oracle. No
+    * pre-`distinct` needed: duplicate ids land identical (idx, ρ) pairs
+    * and max() absorbs them — ONE narrow aggregation, no distinct
+    * shuffle, which is the 100 TB advantage over the KMV path.
+    *
+    * Output: (groupCol, registers: array<int> of length 2^p).
+    */
+  def hllSketch(df: DataFrame, groupCol: String, idCol: String,
+      p: Int): DataFrame =
+    df.groupBy(col(s"`$groupCol`"))
+      .agg(graft.functions.HllAgg
+        .hllSketch(hash60(col(s"`$idCol`")), p).as("registers"))
+
+  /** Max-merge register frames from [[hllSketch]]:
+    * sketch(A ∪ B) == hllMerge(sketch(A), sketch(B)) exactly (register
+    * max is associative/commutative/idempotent), so per-load artifacts
+    * answer cross-load distinct counts without re-reading any load.
+    * Groups missing from one side keep the other side's registers.
+    */
+  def hllMerge(sketches: Seq[DataFrame], groupCol: String,
+      p: Int): DataFrame = {
+    require(sketches.nonEmpty, "no sketches to merge")
+    val m = 1 << p
+    val empty = array_repeat(lit(0), m)
+    sketches.reduce { (a, b) =>
+      a.select(col(s"`$groupCol`"), col("registers").as("__ra"))
+        .join(b.select(col(s"`$groupCol`"), col("registers").as("__rb")),
+          Seq(groupCol), "full_outer")
+        .select(col(s"`$groupCol`"),
+          zip_with(coalesce(col("__ra"), empty),
+            coalesce(col("__rb"), empty),
+            (x, y) => greatest(x, y)).as("registers"))
+    }
+  }
+
+  /** The gated estimate constant α_m·m²·2^(Q+1) for precision `p`
+    * (Q = 60−p): embedded as a decimal literal in the oracle SQL
+    * (shortest round-trip repr, so DuckDB parses back the identical
+    * double) — no cross-engine arithmetic-order concerns.
+    */
+  def hllAlphaM2Q(p: Int): Double = {
+    val m = (1 << p).toDouble
+    0.7213 / (1 + 1.079 / m) * m * m * math.pow(2.0, 61 - p)
+  }
+
+  /** Raw HLL estimate from a register array, cross-engine exact: the
+    * harmonic denominator Σ 2^(Q+1−M_j) accumulates as a BIGINT (fixed
+    * point — p ≥ 8 keeps every term ≤ 2^53 and the sum ≤ 2^61, so there
+    * is no float-summation order to disagree on), and the estimate is
+    * one correctly-rounded double division. The small-range
+    * linear-counting branch is deliberately NOT here (`ln` is libm, not
+    * bit-portable) — see [[hllCorrected]].
+    */
+  def hllEstimateFromArray(arr: Column, p: Int): Column =
+    round(lit(hllAlphaM2Q(p)) / harmonicDenom(arr, p).cast("double"), 4)
+
+  /** Exact fixed-point Σ 2^(Q+1−M_j) as a BIGINT: register values index a
+    * powers-of-two literal array (Spark's `shiftleft` wants a literal
+    * shift count; the lookup is branch-free and codegen-friendly).
+    */
+  private def harmonicDenom(arr: Column, p: Int): Column = {
+    val q1 = 61 - p
+    val powers = array((0 to q1).map(i => lit(1L << (q1 - i))): _*)
+    aggregate(arr, lit(0L), (acc, r) => acc + element_at(powers, r + 1))
+  }
+
+  /** Estimate report from a sketch frame (inline-built or reloaded
+    * artifact): (group, n_registers_set, harmonic_denom, est_distinct).
+    * `harmonic_denom` is the exact fixed-point BIGINT (the integer the
+    * estimate derives from — the oracle pins it too, so a register-level
+    * divergence cannot hide behind the rounded double).
+    */
+  def hllEstimate(sketch: DataFrame, groupCol: String, p: Int): DataFrame = {
+    val s = harmonicDenom(col("registers"), p)
+    sketch.select(col(s"`$groupCol`"),
+      size(filter(col("registers"), r => r > 0)).cast("long")
+        .as("n_registers_set"),
+      s.as("harmonic_denom"),
+      hllEstimateFromArray(col("registers"), p).as("est_distinct"))
+  }
+
+  /** Library-side corrected estimate (NOT gated — `ln` is libm): the
+    * standard small-range linear-counting branch, m·ln(m/V) when the raw
+    * estimate is under 2.5m and empty registers remain (Flajolet et al.
+    * §4); the raw branch otherwise.
+    */
+  def hllCorrected(sketch: DataFrame, groupCol: String, p: Int): DataFrame = {
+    val m = (1 << p).toDouble
+    val est = hllEstimate(sketch, groupCol, p)
+    val zeros = lit(m) - col("n_registers_set").cast("double")
+    est.withColumn("est_corrected",
+      when(col("est_distinct") <= lit(2.5 * m) && zeros > 0,
+        round(lit(m) * log(lit(m) / zeros), 4))
+        .otherwise(col("est_distinct")))
+  }
 }

@@ -332,3 +332,86 @@ class KmvAggSpec extends SparkSpec {
     estAgg shouldBe estFrame
   }
 }
+
+class HllSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.PortableHash
+
+  /** Driver-side reference registers, straight from the definition. */
+  private def refRegisters(ids: Seq[Long], p: Int): Array[Int] = {
+    val q = 60 - p
+    val regs = new Array[Int](1 << p)
+    ids.foreach { id =>
+      val h = PortableHash.md5Long60(id.toString)
+      val idx = (h >>> q).toInt
+      val low = h & ((1L << q) - 1)
+      val rho = if (low == 0L) q + 1
+        else q + 1 - (64 - java.lang.Long.numberOfLeadingZeros(low))
+      if (rho > regs(idx)) regs(idx) = rho
+    }
+    regs
+  }
+
+  test("hllSketch registers match the per-id definition; duplicates and " +
+      "partitioning are invisible") {
+    val ids = (1L to 500L)
+    val df = (ids ++ ids).map(i => ("g", i)).toDF("g", "id").repartition(7)
+    val got = DistinctSketch.hllSketch(df, "g", "id", p = 8)
+      .select($"registers").as[Seq[Int]].head
+    got.toArray shouldBe refRegisters(ids, 8)
+  }
+
+  test("hllMerge of part sketches equals the sketch of the union; " +
+      "merge is idempotent; groups missing from one side survive") {
+    val a = (1L to 300L).map(i => ("g", i)).toDF("g", "id")
+      .union(Seq(("only_a", 1L)).toDF("g", "id"))
+    val b = (200L to 600L).map(i => ("g", i)).toDF("g", "id")
+    val merged = DistinctSketch.hllMerge(
+      Seq(DistinctSketch.hllSketch(a, "g", "id", 8),
+        DistinctSketch.hllSketch(b, "g", "id", 8),
+        DistinctSketch.hllSketch(b, "g", "id", 8)), "g", 8)
+    val whole = DistinctSketch.hllSketch(a.union(b), "g", "id", 8)
+    assertSameRows(merged, whole)
+    assertSameRows(
+      DistinctSketch.hllEstimate(merged, "g", 8),
+      DistinctSketch.hllEstimate(whole, "g", 8))
+  }
+
+  test("hll estimate lands within ~3/sqrt(m) of truth at 20k distinct; " +
+      "harmonic denom is the exact fixed-point integer") {
+    val n = 20000L
+    val df = (1L to n).map(i => ("g", i)).toDF("g", "id")
+    val row = DistinctSketch.hllEstimate(
+      DistinctSketch.hllSketch(df, "g", "id", 8), "g", 8).collect()(0)
+    val est = row.getAs[Double]("est_distinct")
+    math.abs(est - n) / n.toDouble should be < (3.0 / math.sqrt(256.0))
+    // denom replays from the reference registers exactly
+    val regs = refRegisters(1L to n, 8)
+    val expectDenom = regs.map(r => 1L << (53 - r)).sum
+    row.getAs[Long]("harmonic_denom") shouldBe expectDenom
+    row.getAs[Long]("n_registers_set") shouldBe regs.count(_ > 0).toLong
+  }
+
+  test("hllCorrected: linear counting takes over in the small range and " +
+      "is near-exact there") {
+    val df = (1L to 40L).map(i => ("g", i)).toDF("g", "id")
+    val row = DistinctSketch.hllCorrected(
+      DistinctSketch.hllSketch(df, "g", "id", 8), "g", 8).collect()(0)
+    val corrected = row.getAs[Double]("est_corrected")
+    // 40 distinct into 256 registers: LC error is a fraction of a count
+    math.abs(corrected - 40.0) should be < 2.0
+  }
+
+  test("hll sketch artifact round-trips through parquet and keeps merging") {
+    val dir = tmp("hll_artifact") + "/sk"
+    val a = (1L to 250L).map(i => ("g", i)).toDF("g", "id")
+    val b = (251L to 500L).map(i => ("g", i)).toDF("g", "id")
+    DistinctSketch.hllSketch(a, "g", "id", 8)
+      .write.parquet(dir)
+    val merged = DistinctSketch.hllMerge(
+      Seq(spark.read.parquet(dir),
+        DistinctSketch.hllSketch(b, "g", "id", 8)), "g", 8)
+    assertSameRows(merged,
+      DistinctSketch.hllSketch(a.union(b), "g", "id", 8))
+  }
+}
