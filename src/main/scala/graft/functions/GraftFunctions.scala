@@ -94,6 +94,10 @@ object GraftFunctions {
       arity("quantile_sketch", 2, args)
       QuantileSketchAgg(args.head, intLit("quantile_sketch", "k", args(1)))
     },
+    "hll_sketch" -> { args =>
+      arity("hll_sketch", 2, args)
+      HllAgg(args.head, intLit("hll_sketch", "p", args(1)))
+    },
     "quantile_sketch_merge" -> { args =>
       arity("quantile_sketch_merge", 2, args)
       QuantileSketchMergeAgg(args.head,

@@ -669,4 +669,33 @@ object OracleHelpers {
         |WHERE v.rk >= greatest(CAST(1 AS BIGINT),
         |                       CAST(ceil(ps.p * v.n) AS BIGINT))
         |GROUP BY v.event_type, ps.p""".stripMargin
+
+  /** q284/q285/q286 shared oracle: whole-table HLL replay at p=8 (Q=52):
+    * idx = top 8 hash bits, rho = 53 - bit-length of the low 52 (53 when
+    * zero), per-register max, exact fixed-point harmonic sum with empty
+    * registers contributing 2^53 each; the alpha_m*m^2*2^53 constant is
+    * the Scala double's round-trip literal.
+    */
+  private[gates] def hllOracleSql: String =
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |    ${graft.functions.PortableHash.sqlHash60("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, CAST(h >> 52 AS INTEGER) AS idx,
+       |    CASE WHEN (h & 4503599627370495) = 0 THEN 53
+       |         ELSE 53 - length(bin(h & 4503599627370495)) END AS rho
+       |  FROM h),
+       |reg AS (SELECT event_type, idx, max(rho) AS mj FROM r GROUP BY 1, 2),
+       |s AS (
+       |  SELECT event_type,
+       |    CAST(count(*) AS BIGINT) AS n_set,
+       |    CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT) AS s_set
+       |  FROM reg GROUP BY 1)
+       |SELECT event_type, n_set AS n_registers_set,
+       |  s_set + (256 - n_set) * 9007199254740992 AS harmonic_denom,
+       |  round(${graft.operators.DistinctSketch.hllAlphaM2Q(8)} /
+       |    CAST(s_set + (256 - n_set) * 9007199254740992 AS DOUBLE), 4)
+       |    AS est_distinct
+       |FROM s""".stripMargin
 }

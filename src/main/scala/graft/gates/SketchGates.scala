@@ -353,28 +353,4 @@ object SketchGates extends GateSupport {
     // sketch-of-union exactly, so the whole-table oracle gates it
     "q285_hll_merge" -> hllOracleSql
   )
-
-  /** Shared q284/q285 oracle: whole-table HLL replay at p=8. */
-  private def hllOracleSql: String =
-    s"""WITH h AS (
-       |  SELECT event_type,
-       |    ${PortableHash.sqlHash60("CAST(user_id AS VARCHAR)")} AS h
-       |  FROM events),
-       |r AS (
-       |  SELECT event_type, CAST(h >> 52 AS INTEGER) AS idx,
-       |    CASE WHEN (h & 4503599627370495) = 0 THEN 53
-       |         ELSE 53 - length(bin(h & 4503599627370495)) END AS rho
-       |  FROM h),
-       |reg AS (SELECT event_type, idx, max(rho) AS mj FROM r GROUP BY 1, 2),
-       |s AS (
-       |  SELECT event_type,
-       |    CAST(count(*) AS BIGINT) AS n_set,
-       |    CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT) AS s_set
-       |  FROM reg GROUP BY 1)
-       |SELECT event_type, n_set AS n_registers_set,
-       |  s_set + (256 - n_set) * 9007199254740992 AS harmonic_denom,
-       |  round(${DistinctSketch.hllAlphaM2Q(8)} /
-       |    CAST(s_set + (256 - n_set) * 9007199254740992 AS DOUBLE), 4)
-       |    AS est_distinct
-       |FROM s""".stripMargin
 }

@@ -335,6 +335,20 @@ object StreamGates extends GateSupport {
       EventStream.runSessionizeOnce(s, s.read.parquet(inDir).schema,
         inDir, gapMillis = 1800000L, "q282_sink",
         maxFilesPerTrigger = Some(1))
+    }),
+
+    // streaming monitoring: per-type distinct users via HLL registers
+    // max-merging across real micro-batches — register max is a pure
+    // set function, so the settled report equals q284's batch sketch
+    // exactly (q229's KMV face with fixed 2^p-byte state per group)
+    "q286_stream_hll" -> ((s, dir) => {
+      val inDir = tmpDir("graft_q286_in")
+      t(s, dir, "events").select(col("event_id"), col("event_type"),
+          col("user_id"))
+        .repartition(4).write.mode("overwrite").parquet(inDir)
+      EventStream.runHllDistinctOnce(s, s.read.parquet(inDir).schema,
+        inDir, "event_type", "user_id", p = 8, "q286_sink",
+        maxFilesPerTrigger = Some(2))
     })
   )
 
@@ -590,6 +604,10 @@ object StreamGates extends GateSupport {
         |  CAST(sum(ns) OVER (PARTITION BY user_id
         |                     ORDER BY tsm, event_id) AS BIGINT)
         |    AS session_id
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // q286 streams the SAME registers (max-merge across micro-batches is
+    // a pure set function) — q284's whole-table oracle again
+    "q286_stream_hll" -> hllOracleSql
   )
 }

@@ -677,6 +677,38 @@ object EventStream {
       size(col("__sk")).cast("long").as("sketch_rows"))
   }
 
+  /** Streaming distinct-count monitoring, HLL face: per-group register
+    * arrays merged across micro-batches ([[graft.functions.HllAgg]] —
+    * register max is associative/commutative/idempotent, so the settled
+    * registers equal the batch sketch exactly and the q284 oracle gates
+    * the stream; fixed 2^p bytes of state per group at ANY cardinality,
+    * vs the KMV runner's k-set).
+    */
+  def runHllDistinctOnce(spark: SparkSession, schema: StructType,
+      inputDir: String, groupCol: String, idCol: String, p: Int,
+      queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val sink = s"${queryName}_${sinkSeq.incrementAndGet()}"
+    val rd = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger
+      .fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+    val hash = conv(substring(md5(col(idCol).cast("string")), 1, 15),
+      16, 10).cast("long")
+    val agg = reader.parquet(inputDir)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.HllAgg.hllSketch(hash, p).as("registers"))
+    val q: StreamingQuery = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.operators.DistinctSketch.hllEstimate(
+      spark.table(sink), groupCol, p)
+  }
+
   /** Generic STATELESS per-micro-batch transform runner: apply `fn` to
     * each batch and append the result to `outDir` — the streaming face
     * of any pure row-level operator (augmentation, redaction,

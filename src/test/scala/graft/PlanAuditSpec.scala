@@ -146,4 +146,14 @@ class PlanAuditSpec extends SparkSpec {
     got shouldBe exp.toArray
     packed.release()
   }
+
+  test("q284: the HLL sketch is ONE narrow aggregation — no distinct " +
+      "pre-shuffle, no window (the 100 TB edge over the KMV path)") {
+    val p = plan("q284_hll_distinct")
+    (p should not).include("Window")
+    // exactly one aggregation pair (partial + final) over the scan: a
+    // pre-distinct would add a second HashAggregate/Exchange layer
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    (p should not).include("CartesianProduct")
+  }
 }
