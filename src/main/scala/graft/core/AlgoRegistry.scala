@@ -1347,6 +1347,56 @@ object AlgoRegistry {
       df => graft.operators.DistinctSketch.hllEstimate(df,
         config.getString("group_column"),
         config.getIntOpt("precision").getOrElse(8)))
+    // as-of join (sort-fill): source_dir is the LEFT (probe) side,
+    // right_dir the history table; latest right row at or before each
+    // left row's time per key — join-free plan, one exchange
+    case "AsOfJoin" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val right = fmt(config).read(spark, Map.empty, None,
+          config.getString("right_dir"))
+        graft.operators.AsOfJoin(df, right,
+          org.apache.spark.sql.functions.col(config.getString("left_key")),
+          org.apache.spark.sql.functions.col(config.getString("right_key")),
+          org.apache.spark.sql.functions.col(config.getString("left_time")),
+          org.apache.spark.sql.functions.col(config.getString("right_time")),
+          org.apache.spark.sql.functions.col(config.getString("tie_break")),
+          config.getStringOpt("join_type").getOrElse("left"),
+          config.getStringOpt("direction").getOrElse("backward"))
+      })
+    // bucketed range join, point-in-interval face: source_dir holds the
+    // points, intervals_dir the ranges; bucket equi-join, never a
+    // nested-loop product
+    case "RangeJoinPoints" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.RangeJoin.pointInInterval(df,
+        fmt(config).read(spark, Map.empty, None,
+          config.getString("intervals_dir")),
+        config.getString("point_column"), config.getString("lo_column"),
+        config.getString("hi_column"), config.getLong("bucket_width"),
+        keyCols = config.getSeq[String]("key_columns"),
+        inclusiveEnd = config.getBoolean("inclusive_end", default = true)))
+    // interval-overlap face: all overlapping (left, right) interval pairs,
+    // deduped on the first shared bucket
+    case "IntervalOverlap" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.RangeJoin.intervalOverlap(df,
+        fmt(config).read(spark, Map.empty, None,
+          config.getString("right_dir")),
+        config.getString("left_lo"), config.getString("left_hi"),
+        config.getString("right_lo"), config.getString("right_hi"),
+        config.getLong("bucket_width"),
+        keyCols = config.getSeq[String]("key_columns")))
+    // gaps-and-islands flatten: union of [lo, hi] ranges per key
+    case "MergeIntervals" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.RangeJoin.mergeIntervals(df,
+        config.getSeq[String]("key_columns"),
+        config.getString("lo_column"), config.getString("hi_column")))
     case "DedupArtifacts" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),

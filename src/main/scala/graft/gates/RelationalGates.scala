@@ -196,7 +196,7 @@ object RelationalGates extends GateSupport {
         .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
           col("ts").as("c_ts"))
       AsOfJoin(purchases, clicks, col("user_id"), col("c_user"),
-          col("p_ts"), col("c_ts"), col("p_id"), col("click_id"))
+          col("p_ts"), col("c_ts"), col("click_id"))
         .select(col("p_id"), col("user_id"), col("click_id"),
           unix_millis(col("c_ts")).as("click_ts_ms"))
     }),
@@ -505,6 +505,71 @@ object RelationalGates extends GateSupport {
           "o_custkey", t(s, dir, "customer"), "c_custkey"),
         Checks.FkEdge("lineitem->supplier", li,
           "l_suppkey", t(s, dir, "supplier"), "s_suppkey")))
+    }),
+
+    // bucketed range join, point-in-interval face: orders counted into
+    // KEYLESS promo windows (q63's interval join rides a shared user key;
+    // here the bucket IS the join key — the shape Spark would otherwise
+    // plan as BroadcastNestedLoopJoin). Dates become epoch days so the
+    // bucket arithmetic is exact integer math in both engines.
+    "q287_range_join_points" -> ((s, dir) => {
+      val day = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+      val promos = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 211 === 0)
+        .select(col("o_orderkey").as("promo_id"), day.as("p_lo"),
+          (day + lit(1L) + col("o_orderkey") % 13).as("p_hi"))
+      val points = t(s, dir, "orders")
+        .select(col("o_orderkey"), day.as("od"), col("o_totalprice"))
+      RangeJoin.pointInInterval(points, promos, "od", "p_lo", "p_hi",
+          bucketWidth = 7L)
+        .groupBy(col("promo_id"), col("p_lo"), col("p_hi"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+    }),
+
+    // bucketed range join, interval-overlap face: overlapping order
+    // windows per customer (self-overlap; orientation filtered a < b).
+    // Pairs meeting in several buckets dedup on the first-shared-bucket
+    // rule — no distinct.
+    "q288_interval_overlap" -> ((s, dir) => {
+      val day = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+      def win(a: String) = t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey").as(s"${a}_id"),
+        day.as(s"${a}_lo"),
+        (day + lit(1L) + col("o_orderkey") % 7).as(s"${a}_hi"))
+      RangeJoin.intervalOverlap(win("a"), win("b"),
+          "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 7L,
+          keyCols = Seq("o_custkey"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("o_custkey"), col("a_id"), col("b_id"))
+    }),
+
+    // forward as-of: the NEXT click at or after each purchase, per user
+    // (q40's mirror — same join-free sort-fill plan, descending scan)
+    "q291_asof_forward" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      AsOfJoin(purchases, clicks, col("user_id"), col("c_user"),
+          col("p_ts"), col("c_ts"), col("click_id"),
+          direction = "forward")
+        .select(col("p_id"), col("user_id"), col("click_id"),
+          unix_millis(col("c_ts")).as("click_ts_ms"))
+    }),
+
+    // interval merge (gaps-and-islands flatten): each customer's order
+    // windows unioned into disjoint covered ranges — one exchange for
+    // both window steps, then the island aggregate.
+    "q289_merge_intervals" -> ((s, dir) => {
+      val day = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+      val windows = t(s, dir, "orders").select(
+        col("o_custkey"), day.as("w_lo"),
+        (day + lit(1L) + col("o_orderkey") % 7).as("w_hi"))
+      RangeJoin.mergeIntervals(windows, Seq("o_custkey"), "w_lo", "w_hi")
     })
   )
 
@@ -888,6 +953,66 @@ object RelationalGates extends GateSupport {
             |  THEN l_suppkey + 900000 ELSE l_suppkey END AS k
             |FROM lineitem""".stripMargin, "supplier", "s_suppkey"))
         .mkString("", "\nUNION ALL\n", "")
-    }
+    },
+
+    // the oracle is the PLAIN inequality join — bucketing is
+    // semantics-preserving, which is the whole point
+    "q287_range_join_points" ->
+      """WITH promo AS (
+        |  SELECT o_orderkey AS promo_id,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate) AS p_lo,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate)
+        |      + 1 + o_orderkey % 13 AS p_hi
+        |  FROM orders WHERE o_orderkey % 211 = 0),
+        |pts AS (
+        |  SELECT o_orderkey,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate) AS od,
+        |    o_totalprice
+        |  FROM orders)
+        |SELECT promo_id, p_lo, p_hi, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM pts JOIN promo ON od >= p_lo AND od <= p_hi
+        |GROUP BY promo_id, p_lo, p_hi""".stripMargin,
+
+    "q288_interval_overlap" ->
+      """WITH w AS (
+        |  SELECT o_custkey, o_orderkey AS id,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate) AS lo,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate)
+        |      + 1 + o_orderkey % 7 AS hi
+        |  FROM orders)
+        |SELECT a.o_custkey, a.id AS a_id, b.id AS b_id
+        |FROM w a JOIN w b ON a.o_custkey = b.o_custkey
+        |  AND a.lo <= b.hi AND b.lo <= a.hi AND a.id < b.id""".stripMargin,
+
+    "q291_asof_forward" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |           FROM events WHERE event_type='purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+        |      FROM events WHERE event_type='click')
+        |SELECT p.p_id, p.user_id, c.click_id, epoch_ms(c.c_ts) AS click_ts_ms
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.c_ts >= p.p_ts""".stripMargin,
+
+    "q289_merge_intervals" ->
+      """WITH w AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate) AS lo,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate)
+        |      + 1 + o_orderkey % 7 AS hi
+        |  FROM orders),
+        |m AS (
+        |  SELECT o_custkey, lo, hi,
+        |    max(hi) OVER (PARTITION BY o_custkey ORDER BY lo, hi
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM w),
+        |s AS (SELECT *, CASE WHEN pm IS NULL OR lo > pm THEN 1 ELSE 0 END
+        |        AS st FROM m),
+        |i AS (SELECT *, sum(st) OVER (PARTITION BY o_custkey ORDER BY lo, hi
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |      FROM s)
+        |SELECT o_custkey, min(lo) AS w_lo, max(hi) AS w_hi,
+        |  count(*) AS n_merged
+        |FROM i GROUP BY o_custkey, island""".stripMargin
   )
 }

@@ -41,6 +41,31 @@ object StreamGates extends GateSupport {
         .select(col("user_id"), col("event_type"))
     }),
 
+    // streaming: STREAM-STREAM watermarked interval join run as a real
+    // two-sided streaming query (q63's batch predicate, both sides
+    // streamed; the horizon exceeds the table's range so no state evicts
+    // and the settled append output equals the batch join exactly)
+    "q290_stream_interval_join" -> ((s, dir) => {
+      val e = graft.core.Tables(s, dir, "events")
+      val pDir = tmpDir("q290_p"); val cDir = tmpDir("q290_c")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event_id"),
+          col("user_id").as("c_user"), col("ts").as("c_ts"))
+      purchases.write.mode("overwrite").parquet(pDir)
+      clicks.write.mode("overwrite").parquet(cDir)
+      EventStream.runIntervalJoinOnce(s, purchases.schema, pDir,
+          clicks.schema, cDir, "p_user", "c_user", "p_ts", "c_ts",
+          lookback = "2 hours", horizon = "3650 days",
+          queryName = "q290_sink")
+        .select(col("p_event_id"), col("c_event_id"),
+          col("p_user").as("user_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+            .as("gap_us"))
+    }),
+
     // streaming: Dedup.dedupStreamAgainst run as a REAL streaming query —
     // each micro-batch anti-joins the landed artifacts' digests (stream-
     // static join, stateless), the on-arrival exact-dedup of an ingest
@@ -359,6 +384,21 @@ object StreamGates extends GateSupport {
     // output projected to the keys is exactly the distinct key set
     "q69_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // mirrors the stream-stream watermarked interval join: horizon wider
+    // than the table's range -> settled output equals the batch
+    // predicate join (the q63 oracle shape)
+    "q290_stream_interval_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_event_id, user_id AS p_user, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS c_event_id, user_id AS c_user, ts AS c_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p_event_id, c_event_id, p_user AS user_id,
+        |  epoch_us(p_ts) - epoch_us(c_ts) AS gap_us
+        |FROM p JOIN c ON p_user = c_user
+        |  AND c_ts >= p_ts - INTERVAL 2 HOUR AND c_ts <= p_ts""".stripMargin,
 
     // mirrors dedupStreamAgainst over the landed sample's digests: the
     // settled streaming output is the content-level anti-join (digest

@@ -1,0 +1,82 @@
+package graft.tools
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** History-depth scaling probe for the as-of join (round 10): the round-9
+  * formulation equi-joined on the key with the temporal predicate and
+  * ranked matches per left row — the intermediate is |left| ×
+  * matches-per-key, which grows with history depth even though the answer
+  * (one row per left row) does not. The shipped sort-fill formulation
+  * unions the two sides and fills through one window: intermediate is
+  * |left| + |right|, one exchange, no join node.
+  *
+  * This probe holds the left side constant and grows the per-key right
+  * history; the number to read is how the two walls scale with depth —
+  * sort-fill should stay ~flat (history-linear scan), pair-expansion
+  * should grow ~linearly in depth from the candidate fan-out. Agreement
+  * is require()d at the smallest depth.
+  *
+  * Usage: runMain graft.tools.AsOfProbe [keys] [leftPerKey]
+  */
+object AsOfProbe {
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Deterministic synthetic series: `n` rows per key, pseudo-random
+    * timestamps in [0, 1e9) from xxhash — no RNG state.
+    */
+  private def synth(spark: SparkSession, keys: Int, perKey: Int,
+      idCol: String, tsCol: String, keyCol: String): DataFrame =
+    spark.range(keys.toLong * perKey).select(
+      col("id").as(idCol),
+      pmod(col("id"), lit(keys.toLong)).as(keyCol),
+      pmod(xxhash64(col("id")), lit(1000000000L)).as(tsCol))
+
+  def main(args: Array[String]): Unit = {
+    val keys = args.headOption.map(_.toInt).getOrElse(100)
+    val leftPerKey = args.lift(1).map(_.toInt).getOrElse(20)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      graft.core.Session.cpus.toString)
+    val spark = graft.core.Session.builder("graft-asofprobe")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.ansi.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val left = synth(spark, keys, leftPerKey, "p_id", "p_ts", "k")
+      .persist(); left.count()
+
+    for (depth <- Seq(100, 1000, 10000)) {
+      val right = synth(spark, keys, depth, "r_id", "r_ts", "rk")
+        .persist(); right.count()
+      val fill = AsOfJoin(left, right, col("k"), col("rk"),
+        col("p_ts"), col("r_ts"), col("r_id"))
+      val pair = AsOfJoin.pairExpansion(left, right, col("k"), col("rk"),
+        col("p_ts"), col("r_ts"), col("p_id"), col("r_id"))
+      if (depth == 100) {
+        val a = fill.select(col("p_id"), col("r_id")).collect()
+          .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+        val b = pair.select(col("p_id"), col("r_id")).collect()
+          .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+        require(a == b, s"agreement failure at depth=$depth")
+        println(s"""{"probe":"asof_agreement","rows":${a.size},"ok":true}""")
+      }
+      val (_, tFill) = time(fill.count())
+      val (_, tPair) = time(pair.count())
+      println(s"""{"probe":"asof_depth","keys":$keys,""" +
+        s""""left_per_key":$leftPerKey,"right_per_key":$depth,""" +
+        s""""sortfill_sec":${"%.2f".format(tFill)},""" +
+        s""""pair_sec":${"%.2f".format(tPair)},""" +
+        s""""ratio":${"%.1f".format(tPair / tFill)}}""")
+      right.unpersist()
+    }
+    spark.stop()
+  }
+}

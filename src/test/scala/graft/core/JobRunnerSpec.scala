@@ -1395,4 +1395,56 @@ class Round9ParamsSpec extends SparkSpec {
       .select($"query_id", $"doc_id", $"rank").as[(Long, Long, Int)]
       .collect().toSet
   }
+
+  test("round-10 temporal-join algorithms run through the params surface") {
+    val base = tmp("jr_r10j")
+    Seq((1L, 10L, 100L), (2L, 10L, 40L), (3L, 20L, 7L))
+      .toDF("p_id", "k", "p_ts").write.parquet(s"$base/left")
+    Seq((100L, 10L, 40L), (101L, 10L, 90L))
+      .toDF("r_id", "rk", "r_ts").write.parquet(s"$base/right")
+    run(base, "AsOfJoin",
+      s"""{"source_dir": "$base/left", "target_dir": "$base/asof",
+         | "right_dir": "$base/right", "left_key": "k",
+         | "right_key": "rk", "left_time": "p_ts",
+         | "right_time": "r_ts", "tie_break": "r_id"}""".stripMargin)
+    spark.read.parquet(s"$base/asof")
+      .select($"p_id", $"r_id").as[(Long, Option[Long])]
+      .collect().sortBy(_._1) shouldBe
+      Array((1L, Some(101L)), (2L, Some(100L)), (3L, None))
+
+    Seq((1L, 0L), (2L, 12L)).toDF("p_id", "p")
+      .write.parquet(s"$base/pts")
+    Seq((10L, 0L, 10L), (11L, 11L, 20L)).toDF("iv_id", "lo", "hi")
+      .write.parquet(s"$base/ivs")
+    run(base, "RangeJoinPoints",
+      s"""{"source_dir": "$base/pts", "target_dir": "$base/rj",
+         | "intervals_dir": "$base/ivs", "point_column": "p",
+         | "lo_column": "lo", "hi_column": "hi",
+         | "bucket_width": 4}""".stripMargin)
+    spark.read.parquet(s"$base/rj").select($"p_id", $"iv_id")
+      .as[(Long, Long)].collect().sorted shouldBe
+      Array((1L, 10L), (2L, 11L))
+
+    Seq((1L, 0L, 10L)).toDF("a_id", "a_lo", "a_hi")
+      .write.parquet(s"$base/wa")
+    Seq((7L, 5L, 15L), (8L, 30L, 40L)).toDF("b_id", "b_lo", "b_hi")
+      .write.parquet(s"$base/wb")
+    run(base, "IntervalOverlap",
+      s"""{"source_dir": "$base/wa", "target_dir": "$base/ov",
+         | "right_dir": "$base/wb", "left_lo": "a_lo",
+         | "left_hi": "a_hi", "right_lo": "b_lo", "right_hi": "b_hi",
+         | "bucket_width": 4}""".stripMargin)
+    spark.read.parquet(s"$base/ov").select($"a_id", $"b_id")
+      .as[(Long, Long)].collect() shouldBe Array((1L, 7L))
+
+    Seq(("u", 0L, 5L), ("u", 4L, 9L), ("u", 20L, 21L))
+      .toDF("k", "lo", "hi").write.parquet(s"$base/mi")
+    run(base, "MergeIntervals",
+      s"""{"source_dir": "$base/mi", "target_dir": "$base/mo",
+         | "key_columns": ["k"], "lo_column": "lo",
+         | "hi_column": "hi"}""".stripMargin)
+    spark.read.parquet(s"$base/mo")
+      .as[(String, Long, Long, Long)].collect().sorted shouldBe
+      Array(("u", 0L, 9L, 2L), ("u", 20L, 21L, 1L))
+  }
 }

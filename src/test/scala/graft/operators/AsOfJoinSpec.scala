@@ -12,13 +12,68 @@ class AsOfJoinSpec extends SparkSpec {
     val right = Seq((9L, 1L, 10L), (10L, 1L, 40L), (11L, 1L, 60L))
       .toDF("click_id", "c_user", "c_ts")
     val out = AsOfJoin(left, right, col("user_id"), col("c_user"),
-        col("p_ts"), col("c_ts"), col("p_id"), col("click_id"))
+        col("p_ts"), col("c_ts"), col("click_id"))
       .select($"p_id", $"click_id").as[(Long, Option[Long])]
       .collect().sortBy(_._1)
     out shouldBe Array(
       (100L, Some(10L)), // 40 <= 50, latest
       (101L, None),      // nothing at or before 5
       (102L, None))      // key 2 has no right rows
+  }
+
+  test("sort-fill equals the pair-expansion baseline; inclusive at equal " +
+      "ts; max tie-break at equal right ts; inner drops unmatched") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 40L), (3L, 10L, 39L),
+      (4L, 20L, 5L), (5L, 30L, 7L))
+      .toDF("p_id", "k", "p_ts")
+    val right = Seq((100L, 10L, 40L), (101L, 10L, 40L), (102L, 10L, 90L),
+      (103L, 20L, 5L), (104L, 20L, 3L))
+      .toDF("r_id", "rk", "r_ts")
+    val fill = AsOfJoin(left, right, col("k"), col("rk"),
+        col("p_ts"), col("r_ts"), col("r_id"))
+      .select($"p_id", $"r_id").as[(Long, Option[Long])]
+      .collect().sortBy(_._1)
+    fill shouldBe Array(
+      (1L, Some(102L)), // 90 <= 100
+      (2L, Some(101L)), // equal ts 40 matches (inclusive); tie -> max r_id
+      (3L, None),       // 39 < 40: nothing at or before
+      (4L, Some(103L)), // equal ts 5 inclusive
+      (5L, None))       // key 30 absent on the right
+    // identical to the pair-expansion baseline on the same input
+    val base = AsOfJoin.pairExpansion(left, right, col("k"), col("rk"),
+        col("p_ts"), col("r_ts"), col("p_id"), col("r_id"))
+      .select($"p_id", $"r_id").as[(Long, Option[Long])]
+      .collect().sortBy(_._1)
+    base shouldBe fill
+    // inner keeps only matched left rows
+    AsOfJoin(left, right, col("k"), col("rk"), col("p_ts"), col("r_ts"),
+        col("r_id"), joinType = "inner")
+      .select($"p_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 4L)
+  }
+
+  test("forward direction: earliest right row at or after each left time") {
+    val left = Seq((1L, 10L, 50L), (2L, 10L, 91L), (3L, 20L, 5L))
+      .toDF("p_id", "k", "p_ts")
+    val right = Seq((100L, 10L, 40L), (101L, 10L, 50L), (102L, 10L, 50L),
+      (103L, 10L, 90L)).toDF("r_id", "rk", "r_ts")
+    AsOfJoin(left, right, col("k"), col("rk"), col("p_ts"), col("r_ts"),
+        col("r_id"), direction = "forward")
+      .select($"p_id", $"r_id").as[(Long, Option[Long])]
+      .collect().sortBy(_._1) shouldBe Array(
+      (1L, Some(102L)), // equal ts 50 inclusive; tie -> max r_id
+      (2L, None),       // nothing at or after 91
+      (3L, None))       // key 20 absent on the right
+  }
+
+  test("as-of plan is join-free: one exchange on the key, no join node") {
+    val left = Seq((1L, 10L, 100L)).toDF("p_id", "k", "p_ts")
+    val right = Seq((100L, 10L, 40L)).toDF("r_id", "rk", "r_ts")
+    val plan = AsOfJoin(left, right, col("k"), col("rk"),
+      col("p_ts"), col("r_ts"), col("r_id"))
+      .queryExecution.executedPlan.toString
+    plan should not include "Join"
+    plan should not include "CartesianProduct"
+    "hashpartitioning".r.findAllIn(plan).size shouldBe 1
   }
 
   test("embedding near-dup pairs at threshold") {
