@@ -1349,22 +1349,69 @@ object AlgoRegistry {
         config.getIntOpt("precision").getOrElse(8)))
     // as-of join (sort-fill): source_dir is the LEFT (probe) side,
     // right_dir the history table; latest right row at or before each
-    // left row's time per key — join-free plan, one exchange
+    // left row's time per key — join-free plan, one exchange. Optional
+    // bucket_width (integer time units) switches to the hot-key variant
+    // partitioned by (key, time bucket); backward direction only.
     case "AsOfJoin" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),
       df => {
+        import org.apache.spark.sql.functions.col
         val right = fmt(config).read(spark, Map.empty, None,
           config.getString("right_dir"))
-        graft.operators.AsOfJoin(df, right,
-          org.apache.spark.sql.functions.col(config.getString("left_key")),
-          org.apache.spark.sql.functions.col(config.getString("right_key")),
-          org.apache.spark.sql.functions.col(config.getString("left_time")),
-          org.apache.spark.sql.functions.col(config.getString("right_time")),
-          org.apache.spark.sql.functions.col(config.getString("tie_break")),
-          config.getStringOpt("join_type").getOrElse("left"),
-          config.getStringOpt("direction").getOrElse("backward"))
+        val joinType = config.getStringOpt("join_type").getOrElse("left")
+        val direction = config.getStringOpt("direction").getOrElse("backward")
+        config.getOpt[Any]("bucket_width") match {
+          case Some(_) =>
+            require(direction == "backward",
+              "bucket_width supports backward direction only")
+            graft.operators.AsOfJoin.bucketed(df, right,
+              col(config.getString("left_key")),
+              col(config.getString("right_key")),
+              col(config.getString("left_time")),
+              col(config.getString("right_time")),
+              col(config.getString("tie_break")),
+              config.getLong("bucket_width"), joinType)
+          case None =>
+            graft.operators.AsOfJoin(df, right,
+              col(config.getString("left_key")),
+              col(config.getString("right_key")),
+              col(config.getString("left_time")),
+              col(config.getString("right_time")),
+              col(config.getString("tie_break")),
+              joinType, direction)
+        }
       })
+    // as-of interpolation: left probes marked at the straight line
+    // between their key's bracketing right observations
+    case "AsOfInterpolate" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.AsOfJoin.interpolate(df,
+        fmt(config).read(spark, Map.empty, None,
+          config.getString("right_dir")),
+        config.getString("left_key"), config.getString("right_key"),
+        config.getString("left_time"), config.getString("right_time"),
+        config.getString("value_column"), config.getString("tie_break")))
+    // ingest debounce: keep the first event of each burst per key
+    // (chain semantics — the session-start rows)
+    case "Debounce" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sessionize.debounce(df,
+        config.getString("key_column"),
+        org.apache.spark.sql.functions.col(config.getString("ts_column")),
+        config.getString("order_column"), config.getLong("gap")))
+    // step-signal time-weighted average per key (exact BIGINT numerator)
+    case "TimeWeightedAverage" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.Sessionize.timeWeightedAverage(df,
+        config.getString("key_column"),
+        org.apache.spark.sql.functions.col(config.getString("ts_column")),
+        org.apache.spark.sql.functions.col(config.getString("value_column")),
+        config.getString("order_column"),
+        config.getIntOpt("scale").getOrElse(100)))
     // bucketed range join, point-in-interval face: source_dir holds the
     // points, intervals_dir the ranges; bucket equi-join, never a
     // nested-loop product

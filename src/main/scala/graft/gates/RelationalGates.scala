@@ -561,6 +561,44 @@ object RelationalGates extends GateSupport {
           unix_millis(col("c_ts")).as("click_ts_ms"))
     }),
 
+    // hot-key as-of: the bucketed variant (sort partitioned by (key,
+    // day bucket), cross-bucket matches carried by seeds) — bucketing is
+    // semantics-preserving, so the oracle is the SAME as-of join (the
+    // q68 salted-join convention)
+    "q292_asof_bucketed" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          unix_micros(col("ts")).as("c_ts"))
+      AsOfJoin.bucketed(purchases, clicks, col("user_id"), col("c_user"),
+          col("p_ts"), col("c_ts"), col("click_id"),
+          bucketWidth = 86400000000L) // one day in micros
+        .select(col("p_id"), col("user_id"), col("click_id"),
+          col("c_ts").as("click_ts_us"))
+    }),
+
+    // as-of interpolation: each purchase marked at the straight line
+    // between its user's bracketing click values (sensor-resample /
+    // price-marking shape) — two as-of passes, exact-long deltas cast
+    // AFTER subtraction so the quotient is IEEE-identical cross-engine
+    "q295_asof_interp" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_ts"))
+      val clicks = e.filter(col("event_type") === "click" &&
+          col("value").isNotNull)
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          unix_micros(col("ts")).as("c_ts"), col("value"))
+      AsOfJoin.interpolate(purchases, clicks, "user_id", "c_user",
+          "p_ts", "c_ts", "value", "c_id")
+        .select(col("p_id"), col("user_id"),
+          round(col("v_interp"), 6).as("v_interp"))
+    }),
+
     // interval merge (gaps-and-islands flatten): each customer's order
     // windows unioned into disjoint covered ranges — one exchange for
     // both window steps, then the island aggregate.
@@ -993,6 +1031,40 @@ object RelationalGates extends GateSupport {
         |SELECT p.p_id, p.user_id, c.click_id, epoch_ms(c.c_ts) AS click_ts_ms
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND c.c_ts >= p.p_ts""".stripMargin,
+
+    "q292_asof_bucketed" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+        |           FROM events WHERE event_type='purchase'),
+        |c AS (SELECT event_id AS click_id, user_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts
+        |      FROM events WHERE event_type='click')
+        |SELECT p.p_id, p.user_id, c.click_id, c.c_ts AS click_ts_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.c_ts <= p.p_ts""".stripMargin,
+
+    "q295_asof_interp" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+        |           FROM events WHERE event_type='purchase'),
+        |c AS (SELECT user_id AS c_user,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts, value
+        |      FROM events WHERE event_type='click' AND value IS NOT NULL),
+        |b AS (SELECT p.p_id, c.c_ts AS t_prev, c.value AS v_prev
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.c_user AND c.c_ts <= p.p_ts),
+        |f AS (SELECT p.p_id, c.c_ts AS t_next, c.value AS v_next
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.c_user AND c.c_ts >= p.p_ts)
+        |SELECT p.p_id, p.user_id,
+        |  round(CASE
+        |    WHEN t_prev IS NOT NULL AND t_next IS NOT NULL THEN
+        |      CASE WHEN t_next = t_prev THEN v_prev
+        |           ELSE v_prev + (v_next - v_prev) *
+        |             (CAST(p_ts - t_prev AS DOUBLE)
+        |              / CAST(t_next - t_prev AS DOUBLE)) END
+        |    ELSE COALESCE(v_prev, v_next) END, 6) AS v_interp
+        |FROM p JOIN b ON p.p_id = b.p_id JOIN f ON p.p_id = f.p_id""".stripMargin,
 
     "q289_merge_intervals" ->
       """WITH w AS (

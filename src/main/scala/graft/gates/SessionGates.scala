@@ -163,6 +163,26 @@ object SessionGates extends GateSupport {
     "q179_decayed_engagement" -> ((s, dir) => {
       Stats.decayedScore(t(s, dir, "events"), "ts", "user_id", "value",
         halfLifeDays = 3.0)
+    }),
+
+    // ingest debounce: burst leaders per user (chain semantics — the
+    // session-start rows), the retransmit/double-fire collapse an event
+    // pipeline runs before counting anything
+    "q293_debounce" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("tsu", unix_micros(col("ts")))
+      Sessionize.debounce(e, "user_id", col("tsu"), "event_id",
+          gap = 600000000L) // 10 minutes in micros
+        .select(col("event_id"), col("user_id"), col("tsu"))
+    }),
+
+    // step-signal time-weighted average per user: each value holds until
+    // the next observation; exact BIGINT numerator (cents × micros),
+    // bounded by max(value)·span regardless of row count
+    "q294_time_weighted_avg" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      Sessionize.timeWeightedAverage(e, "user_id",
+        unix_micros(col("ts")), col("value"), "event_id")
     })
   )
 
@@ -525,6 +545,33 @@ object SessionGates extends GateSupport {
         |  round(sum(value), 6) AS raw_value,
         |  round(sum(value * pow(0.5, age_days / 3.0)), 6)
         |    AS decayed_value
-        |FROM r GROUP BY user_id""".stripMargin
+        |FROM r GROUP BY user_id""".stripMargin,
+
+    "q293_debounce" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+        |  FROM events),
+        |d AS (
+        |  SELECT *, tsu - lag(tsu) OVER
+        |    (PARTITION BY user_id ORDER BY tsu, event_id) AS gap
+        |  FROM e)
+        |SELECT event_id, user_id, tsu FROM d
+        |WHERE gap IS NULL OR gap > 600000000""".stripMargin,
+
+    "q294_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS q
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |d AS (
+        |  SELECT *, COALESCE(lead(tsu) OVER
+        |    (PARTITION BY user_id ORDER BY tsu, q) - tsu, 0) AS dt
+        |  FROM e)
+        |SELECT user_id, CAST(sum(q * dt) AS BIGINT) AS twa_num,
+        |  max(tsu) - min(tsu) AS span,
+        |  CASE WHEN max(tsu) - min(tsu) > 0 THEN
+        |    round(CAST(sum(q * dt) AS DOUBLE)
+        |      / (max(tsu) - min(tsu)) / 100, 6) END AS twa
+        |FROM d GROUP BY user_id""".stripMargin
   )
 }

@@ -86,6 +86,125 @@ object AsOfJoin {
         right.columns.map(c => col("__m").getField(c).as(c)): _*)
   }
 
+  /** Hot-key-resilient variant: same semantics as [[apply]] (backward,
+    * inclusive, max-tie-break) with the sort partitioned by (key, time
+    * bucket) instead of the key alone — a single pathological key (one
+    * device emitting the whole table) no longer serializes into one task;
+    * parallelism is keys × buckets.
+    *
+    * The cross-bucket dependency ("the match may sit any number of
+    * buckets back") is carried by SEEDS, not by widening partitions:
+    * per-(key, bucket) right-side maxima (a `max_by` aggregate, one
+    * summary row per non-empty bucket) are swept with a running
+    * `last(ignoreNulls)` over the bucket sequence, so each bucket learns
+    * the latest right row strictly before its start; that one seed row is
+    * injected into the bucket's partition (its real timestamp sorts it
+    * before every in-bucket row — bucket boundaries are time boundaries).
+    * Everything that shuffles beyond the two data sides is bucket-summary
+    * sized. Time columns must be integer (epoch micros/millis/days);
+    * `bucketWidth` is in the same unit — size it so a hot key's densest
+    * bucket fits a task comfortably.
+    */
+  def bucketed(left: DataFrame, right: DataFrame, leftKey: Column,
+      rightKey: Column, leftTime: Column, rightTime: Column,
+      tieBreak: Column, bucketWidth: Long,
+      joinType: String = "left"): DataFrame = {
+    require(Seq("left", "inner").contains(joinType),
+      s"joinType must be left|inner, got: $joinType")
+    require(bucketWidth > 0, s"bucketWidth: $bucketWidth")
+    val lStruct = StructType(left.schema.fields)
+    val rStruct = StructType(right.schema.fields)
+    def bucketOf(c: Column) = RangeJoin.floorDiv(c, bucketWidth)
+    val rSide = right.filter(rightTime.isNotNull).select(
+      rightKey.as("__k"), rightTime.as("__t"), lit(0).as("__side"),
+      tieBreak.as("__tb"),
+      lit(null).cast(lStruct).as("__l"),
+      struct(right.columns.map(col).toIndexedSeq: _*).as("__r"))
+      .withColumn("__bkt", bucketOf(col("__t")))
+    val lSide = left.select(
+      leftKey.as("__k"), leftTime.as("__t"), lit(1).as("__side"),
+      lit(null).cast(rSide.schema("__tb").dataType).as("__tb"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
+      lit(null).cast(rStruct).as("__r"))
+      .withColumn("__bkt", bucketOf(col("__t")))
+    // latest right row per (key, bucket): one summary row per non-empty
+    // bucket (max_by on the (time, tie-break) struct — the same winner
+    // the sort would pick)
+    val perBucket = rSide.groupBy(col("__k"), col("__bkt"))
+      .agg(max_by(struct(col("__t"), col("__tb"), col("__r")),
+        struct(col("__t"), col("__tb"))).as("__last"))
+    // every bucket either side touches learns the latest right row from
+    // any STRICTLY EARLIER bucket (running last over the bucket sequence)
+    val allBuckets = lSide.select(col("__k"), col("__bkt"))
+      .union(rSide.select(col("__k"), col("__bkt"))).distinct()
+    val wseq = Window.partitionBy(col("__k")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seeds = allBuckets
+      .join(perBucket, Seq("__k", "__bkt"), "left")
+      .withColumn("__seed", last(col("__last"), ignoreNulls = true).over(wseq))
+      .filter(col("__seed").isNotNull)
+      .select(col("__k"), col("__seed.__t").as("__t"),
+        lit(-1).as("__side"), col("__seed.__tb").as("__tb"),
+        lit(null).cast(lStruct).as("__l"),
+        col("__seed.__r").as("__r"), col("__bkt"))
+    val w = Window.partitionBy(col("__k"), col("__bkt"))
+      .orderBy(col("__t").asc_nulls_first, col("__side").asc,
+        col("__tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = lSide.unionByName(rSide).unionByName(seeds)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val kept = joinType match {
+      case "inner" => filled.filter(col("__m").isNotNull)
+      case _       => filled
+    }
+    kept.select(
+      left.columns.map(c => col("__l").getField(c).as(c)).toIndexedSeq ++
+        right.columns.map(c => col("__m").getField(c).as(c)): _*)
+  }
+
+  /** Linear interpolation between the bracketing right observations: for
+    * each left row, the backward as-of gives (t_prev, v_prev), the forward
+    * one (t_next, v_next), and `v_interp` is the straight line between
+    * them evaluated at the left time — the standard sensor-resampling /
+    * price-marking read of a sparse series. Composition of two [[apply]]
+    * passes (two exchanges on the same key), not a new plan shape.
+    *
+    * Edge rules: exact hits (t_prev = t_next = t) and one-sided probes
+    * (before the first / after the last observation) return the single
+    * available value; no observations at all → null. Time columns must be
+    * integer (epoch micros/millis) — deltas are exact longs cast to
+    * double AFTER subtraction, so the quotient is IEEE-identical
+    * cross-engine at any epoch magnitude.
+    *
+    * Output: every left column, then t_prev, v_prev, t_next, v_next,
+    * v_interp.
+    */
+  def interpolate(left: DataFrame, right: DataFrame, keyLeft: String,
+      keyRight: String, tLeft: String, tRight: String, vRight: String,
+      tieRight: String): DataFrame = {
+    val rp = right.select(col(keyRight).as("__ik"), col(tRight),
+      col(vRight), col(tieRight).as("__itb"))
+    val back = apply(left,
+      rp.select(col("__ik"), col(tRight).as("t_prev"),
+        col(vRight).as("v_prev"), col("__itb")),
+      col(keyLeft), col("__ik"), col(tLeft), col("t_prev"), col("__itb"))
+      .drop("__ik", "__itb")
+    val both = apply(back,
+      rp.select(col("__ik"), col(tRight).as("t_next"),
+        col(vRight).as("v_next"), col("__itb")),
+      col(keyLeft), col("__ik"), col(tLeft), col("t_next"), col("__itb"),
+      direction = "forward")
+      .drop("__ik", "__itb")
+    both.withColumn("v_interp",
+      when(col("t_prev").isNotNull && col("t_next").isNotNull,
+        when(col("t_next") === col("t_prev"), col("v_prev"))
+          .otherwise(col("v_prev") + (col("v_next") - col("v_prev")) *
+            ((col(tLeft) - col("t_prev")).cast("double") /
+              (col("t_next") - col("t_prev")).cast("double"))))
+        .otherwise(coalesce(col("v_prev"), col("v_next"))))
+  }
+
   /** The round-9 formulation, retained as the probe baseline: equi-join on
     * the key with the temporal predicate, then a row_number window keeps
     * the latest match per left row. Correct, but the intermediate is

@@ -88,4 +88,60 @@ object Sessionize {
       .select(col("p"), col("quantile").as("duration_s"),
         col("n").as("n_sessions"))
   }
+
+  /** Debounce: keep only the FIRST event of each burst per key, where a
+    * burst is a chain of events each within `gap` of its predecessor
+    * (retransmits, double-clicks, sensor chatter). Exactly the
+    * session-start rows of [[apply]] — chain semantics, so a long burst
+    * collapses to one row no matter how long it lasts (the alternative
+    * "gap from the last KEPT row" rule is an inherently sequential scan
+    * neither Spark windows nor the SQL oracle can express). Output: the
+    * input rows that survive, original columns only. Same 100 TB shape
+    * as sessionize: one key-partitioned exchange, linear scans.
+    */
+  def debounce(events: DataFrame, keyCol: String, ts: Column,
+      orderCol: String, gap: Long): DataFrame = {
+    // time-ordered (orderCol is the equal-timestamp tie-break only)
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(ts, col(orderCol))
+    events
+      .withColumn("__ts", ts)
+      .withColumn("__keep",
+        coalesce(col("__ts") - lag(col("__ts"), 1).over(byKey) > gap,
+          lit(true)))
+      .filter(col("__keep"))
+      .drop("__ts", "__keep")
+  }
+
+  /** Time-weighted average of a step signal per key: each observation's
+    * value HOLDS until the next one (the standard step/last-observation-
+    * carried-forward reading of an event stream), so the mean over the
+    * observed span weights each value by how long it held. Values are
+    * quantized to integer `scale`-ths (cents at scale=100) so the
+    * numerator Σ q_i·(t_{i+1}−t_i) is an exact BIGINT — bounded by
+    * max(q)·span regardless of row count, because consecutive deltas
+    * telescope to the span. Output per key: (key, twa_num, span, twa)
+    * where twa = num/span/scale rounded to 6 — rows with a single
+    * observation (span 0) report null twa.
+    *
+    * One key-partitioned exchange: the lead() window and the final
+    * aggregate share the partitioning.
+    */
+  def timeWeightedAverage(events: DataFrame, keyCol: String, ts: Column,
+      valueCol: Column, orderCol: String, scale: Int = 100): DataFrame = {
+    // time-ordered (orderCol is the equal-timestamp tie-break only)
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(ts, col(orderCol))
+    events
+      .filter(valueCol.isNotNull && ts.isNotNull)
+      .withColumn("__ts", ts)
+      .withColumn("__q", round(valueCol * scale, 0).cast("long"))
+      .withColumn("__dt",
+        coalesce(lead(col("__ts"), 1).over(byKey) - col("__ts"), lit(0L)))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__q") * col("__dt")).as("twa_num"),
+        (max(col("__ts")) - min(col("__ts"))).as("span"))
+      .select(col(keyCol), col("twa_num"), col("span"),
+        when(col("span") > 0,
+          round(col("twa_num").cast("double") / col("span") / scale, 6))
+          .as("twa"))
+  }
 }

@@ -28,6 +28,13 @@ object AsOfProbe {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Force the MATCH column: a bare count() lets Catalyst prune the
+    * fill window away entirely (the filter only reads the side tag), so
+    * timings must aggregate over the matched right id.
+    */
+  private def force(df: DataFrame): Long =
+    df.agg(count(col("r_id"))).collect()(0).getLong(0)
+
   /** Deterministic synthetic series: `n` rows per key, pseudo-random
     * timestamps in [0, 1e9) from xxhash — no RNG state.
     */
@@ -53,7 +60,7 @@ object AsOfProbe {
     val left = synth(spark, keys, leftPerKey, "p_id", "p_ts", "k")
       .persist(); left.count()
 
-    for (depth <- Seq(100, 1000, 10000)) {
+    for (depth <- Seq(100, 1000, 10000, 50000)) {
       val right = synth(spark, keys, depth, "r_id", "r_ts", "rk")
         .persist(); right.count()
       val fill = AsOfJoin(left, right, col("k"), col("rk"),
@@ -68,8 +75,8 @@ object AsOfProbe {
         require(a == b, s"agreement failure at depth=$depth")
         println(s"""{"probe":"asof_agreement","rows":${a.size},"ok":true}""")
       }
-      val (_, tFill) = time(fill.count())
-      val (_, tPair) = time(pair.count())
+      val (_, tFill) = time(force(fill))
+      val (_, tPair) = time(force(pair))
       println(s"""{"probe":"asof_depth","keys":$keys,""" +
         s""""left_per_key":$leftPerKey,"right_per_key":$depth,""" +
         s""""sortfill_sec":${"%.2f".format(tFill)},""" +
@@ -77,6 +84,42 @@ object AsOfProbe {
         s""""ratio":${"%.1f".format(tPair / tFill)}}""")
       right.unpersist()
     }
+
+    // hot-key scenario: ONE key owns the whole table — plain sort-fill
+    // serializes into a single task; the bucketed variant spreads the
+    // sort over time buckets (seeds carry the cross-bucket dependency).
+    // Agreement is checked at 1M rows (the spec also pins it); the
+    // timing leg runs at 16M, where the single-task sort stops being
+    // free (at 1M an in-memory one-task sort wins on stage overhead —
+    // the crossover is task-capacity, not a constant factor)
+    val aLeft = synth(spark, 1, 20000, "p_id", "p_ts", "k")
+      .persist(); aLeft.count()
+    val aRight = synth(spark, 1, 1000000, "r_id", "r_ts", "rk")
+      .persist(); aRight.count()
+    val pa = AsOfJoin(aLeft, aRight, col("k"), col("rk"),
+        col("p_ts"), col("r_ts"), col("r_id"))
+      .select(col("p_id"), col("r_id")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val pb = AsOfJoin.bucketed(aLeft, aRight, col("k"), col("rk"),
+        col("p_ts"), col("r_ts"), col("r_id"), bucketWidth = 16000000L)
+      .select(col("p_id"), col("r_id")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    require(pa == pb, "hot-key agreement failure")
+    aLeft.unpersist(); aRight.unpersist()
+    val hotLeft = synth(spark, 1, 100000, "p_id", "p_ts", "k")
+      .persist(); hotLeft.count()
+    val hotRight = synth(spark, 1, 16000000, "r_id", "r_ts", "rk")
+      .persist(); hotRight.count()
+    val plain = AsOfJoin(hotLeft, hotRight, col("k"), col("rk"),
+      col("p_ts"), col("r_ts"), col("r_id"))
+    val buck = AsOfJoin.bucketed(hotLeft, hotRight, col("k"), col("rk"),
+      col("p_ts"), col("r_ts"), col("r_id"), bucketWidth = 16000000L)
+    val (_, tPlain) = time(force(plain))
+    val (_, tBuck) = time(force(buck))
+    println(s"""{"probe":"asof_hotkey","left":100000,"right":16000000,""" +
+      s""""buckets":63,"plain_sec":${"%.2f".format(tPlain)},""" +
+      s""""bucketed_sec":${"%.2f".format(tBuck)},""" +
+      s""""ratio":${"%.1f".format(tPlain / tBuck)}}""")
     spark.stop()
   }
 }

@@ -1411,6 +1411,17 @@ class Round9ParamsSpec extends SparkSpec {
       .select($"p_id", $"r_id").as[(Long, Option[Long])]
       .collect().sortBy(_._1) shouldBe
       Array((1L, Some(101L)), (2L, Some(100L)), (3L, None))
+    // bucket_width switches to the hot-key (key, time-bucket) variant
+    run(base, "AsOfJoin",
+      s"""{"source_dir": "$base/left", "target_dir": "$base/asofb",
+         | "right_dir": "$base/right", "left_key": "k",
+         | "right_key": "rk", "left_time": "p_ts",
+         | "right_time": "r_ts", "tie_break": "r_id",
+         | "bucket_width": 16}""".stripMargin)
+    spark.read.parquet(s"$base/asofb")
+      .select($"p_id", $"r_id").as[(Long, Option[Long])]
+      .collect().sortBy(_._1) shouldBe
+      Array((1L, Some(101L)), (2L, Some(100L)), (3L, None))
 
     Seq((1L, 0L), (2L, 12L)).toDF("p_id", "p")
       .write.parquet(s"$base/pts")
@@ -1446,5 +1457,34 @@ class Round9ParamsSpec extends SparkSpec {
     spark.read.parquet(s"$base/mo")
       .as[(String, Long, Long, Long)].collect().sorted shouldBe
       Array(("u", 0L, 9L, 2L), ("u", 20L, 21L, 1L))
+
+    // debounce / time-weighted average / as-of interpolation
+    Seq(("u", 1L, 0L, 1.0), ("u", 2L, 5L, 3.0), ("u", 3L, 30L, 2.0))
+      .toDF("k", "event_id", "tsu", "value").write.parquet(s"$base/ev")
+    run(base, "Debounce",
+      s"""{"source_dir": "$base/ev", "target_dir": "$base/db",
+         | "key_column": "k", "ts_column": "tsu",
+         | "order_column": "event_id", "gap": 7}""".stripMargin)
+    spark.read.parquet(s"$base/db").select($"event_id").as[Long]
+      .collect().sorted shouldBe Array(1L, 3L)
+    run(base, "TimeWeightedAverage",
+      s"""{"source_dir": "$base/ev", "target_dir": "$base/twa",
+         | "key_column": "k", "ts_column": "tsu",
+         | "value_column": "value", "order_column": "event_id"}"""
+        .stripMargin)
+    spark.read.parquet(s"$base/twa")
+      .select($"twa_num", $"span").as[(Long, Long)]
+      .collect() shouldBe Array((100L * 5 + 300L * 25, 30L))
+    Seq(("u", 9L, 2L)).toDF("pk", "p_id", "p_ts")
+      .write.parquet(s"$base/ipl")
+    run(base, "AsOfInterpolate",
+      s"""{"source_dir": "$base/ipl", "target_dir": "$base/itp",
+         | "right_dir": "$base/ev", "left_key": "pk",
+         | "right_key": "k", "left_time": "p_ts", "right_time": "tsu",
+         | "value_column": "value", "tie_break": "event_id"}"""
+        .stripMargin)
+    // t=2 between obs (0, 1.0) and (5, 3.0): 1 + 2 * 2/5 = 1.8
+    spark.read.parquet(s"$base/itp").select($"v_interp").as[Double]
+      .collect() shouldBe Array(1.8)
   }
 }

@@ -65,6 +65,32 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, None))       // key 20 absent on the right
   }
 
+  test("bucketed variant equals apply() on random data with a hot key, " +
+      "empty buckets, and cross-bucket matches") {
+    // key 0 is HOT (half the rows); times cluster so many buckets are
+    // empty and matches must travel across them via seeds
+    def side(n: Int, salt: Int, idc: String, kc: String, tc: String) =
+      spark.range(n).select(($"id" + salt * 1000000).as(idc),
+        when(pmod($"id", lit(2)) === 0, 0L)
+          .otherwise(pmod(hash($"id" + salt), lit(5))).as(kc),
+        pmod(hash($"id" * 17 + salt), lit(100000L)).as(tc))
+    val left = side(800, 1, "p_id", "k", "p_ts")
+    val right = side(1200, 2, "r_id", "rk", "r_ts")
+    val plain = AsOfJoin(left, right, col("k"), col("rk"),
+      col("p_ts"), col("r_ts"), col("r_id"))
+    for (width <- Seq(16L, 1024L, 1000000L)) { // incl. one-bucket width
+      val b = AsOfJoin.bucketed(left, right, col("k"), col("rk"),
+        col("p_ts"), col("r_ts"), col("r_id"), bucketWidth = width)
+      assertSameRows(b, plain)
+    }
+    // inner parity too
+    assertSameRows(
+      AsOfJoin.bucketed(left, right, col("k"), col("rk"), col("p_ts"),
+        col("r_ts"), col("r_id"), 64L, joinType = "inner"),
+      AsOfJoin(left, right, col("k"), col("rk"), col("p_ts"),
+        col("r_ts"), col("r_id"), joinType = "inner"))
+  }
+
   test("as-of plan is join-free: one exchange on the key, no join node") {
     val left = Seq((1L, 10L, 100L)).toDF("p_id", "k", "p_ts")
     val right = Seq((100L, 10L, 40L)).toDF("r_id", "rk", "r_ts")
