@@ -66,6 +66,28 @@ object StreamGates extends GateSupport {
             .as("gap_us"))
     }),
 
+    // streaming as-of enrichment: purchases stream in 4 micro-batches,
+    // each matched per-row against the PINNED click history (persisted
+    // once, released after) — per-row decisions are batching-independent,
+    // so the settled output equals the batch as-of (q40's oracle)
+    "q296_stream_asof" -> ((s, dir) => {
+      val e = graft.core.Tables(s, dir, "events")
+      val pDir = tmpDir("q296_p"); val outDir = tmpDir("q296_out")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      purchases.repartition(4).write.mode("overwrite").parquet(pDir)
+      EventStream.runAsOfEnrichOnce(s,
+          s.read.parquet(pDir).schema, pDir, clicks,
+          "user_id", "c_user", "p_ts", "c_ts", "click_id",
+          outDir, "q296_sink", maxFilesPerTrigger = Some(1))
+        .select(col("p_id"), col("user_id"), col("click_id"),
+          unix_millis(col("c_ts")).as("click_ts_ms"))
+    }),
+
     // streaming: Dedup.dedupStreamAgainst run as a REAL streaming query —
     // each micro-batch anti-joins the landed artifacts' digests (stream-
     // static join, stateless), the on-arrival exact-dedup of an ingest
@@ -399,6 +421,17 @@ object StreamGates extends GateSupport {
         |  epoch_us(p_ts) - epoch_us(c_ts) AS gap_us
         |FROM p JOIN c ON p_user = c_user
         |  AND c_ts >= p_ts - INTERVAL 2 HOUR AND c_ts <= p_ts""".stripMargin,
+
+    // mirrors the streaming as-of enrichment: per-row decisions are
+    // batching-independent, so the oracle is the batch ASOF join (q40)
+    "q296_stream_asof" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |           FROM events WHERE event_type='purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+        |      FROM events WHERE event_type='click')
+        |SELECT p.p_id, p.user_id, c.click_id, epoch_ms(c.c_ts) AS click_ts_ms
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.c_ts <= p.p_ts""".stripMargin,
 
     // mirrors dedupStreamAgainst over the landed sample's digests: the
     // settled streaming output is the content-level anti-join (digest

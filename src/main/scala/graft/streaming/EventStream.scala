@@ -188,6 +188,46 @@ object EventStream {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming as-of enrichment — the streaming face of
+    * [[graft.operators.AsOfJoin]]: probe rows arriving on the stream are
+    * each matched to the latest historical right row at or before their
+    * time, per key, against a PINNED static history (persisted once for
+    * the query's lifetime and released after — the q235/q275
+    * prepared-model convention; re-scanning the history per trigger is
+    * the trap the pinning avoids). Every left row's match depends only
+    * on its own (key, time) and the static history — no cross-row state
+    * — so per-batch outputs union to the single-shot batch as-of for ANY
+    * micro-batch boundaries (the oracle identity).
+    */
+  def runAsOfEnrichOnce(spark: SparkSession, schema: StructType,
+      inputGlob: String, history: DataFrame, leftKey: String,
+      rightKey: String, leftTime: String, rightTime: String,
+      tieBreak: String, outDir: String, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inputGlob)
+    val pinned = history.persist()
+    pinned.count() // materialize before the first trigger
+    try {
+      val q: StreamingQuery = stream.writeStream
+        .queryName(s"${queryName}_${sinkSeq.incrementAndGet()}")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.AsOfJoin(batch, pinned, col(leftKey),
+              col(rightKey), col(leftTime), col(rightTime), col(tieBreak))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally pinned.unpersist()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming PQ encode — the streaming face of
     * [[graft.operators.Similarity.pqEncode]] (q271's operator):
     * embedding vectors arriving on the ingest stream are encoded per

@@ -1041,4 +1041,29 @@ class StreamSessionizeSpec extends SparkSpec {
       .collect().sortBy(_._1)
     batch.map(_._2) shouldBe got.map(_._3)
   }
+
+  test("streaming as-of enrichment is micro-batch-boundary-invariant " +
+      "and equals the batch as-of") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp("stream_asof")
+    val probes = Seq((1L, 10L, 50L), (2L, 10L, 5L), (3L, 10L, 95L),
+      (4L, 20L, 50L), (5L, 30L, 7L))
+      .toDF("p_id", "k", "p_ts")
+    val history = Seq((100L, 10L, 10L), (101L, 10L, 90L), (102L, 20L, 50L))
+      .toDF("r_id", "rk", "r_ts")
+    // 5 files -> 5 micro-batches at maxFilesPerTrigger=1
+    probes.repartition(5).write.parquet(dir + "/p")
+    val streamed = EventStream.runAsOfEnrichOnce(spark,
+      spark.read.parquet(dir + "/p").schema, dir + "/p", history,
+      "k", "rk", "p_ts", "r_ts", "r_id", dir + "/out5", "asof_enrich",
+      maxFilesPerTrigger = Some(1))
+    val batch = graft.operators.AsOfJoin(probes, history, col("k"),
+      col("rk"), col("p_ts"), col("r_ts"), col("r_id"))
+    assertSameRows(streamed, batch)
+    // single-trigger run settles to the same rows (boundary invariance)
+    val streamed1 = EventStream.runAsOfEnrichOnce(spark,
+      spark.read.parquet(dir + "/p").schema, dir + "/p", history,
+      "k", "rk", "p_ts", "r_ts", "r_id", dir + "/out1", "asof_enrich1")
+    assertSameRows(streamed1, batch)
+  }
 }
