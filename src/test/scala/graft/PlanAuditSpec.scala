@@ -156,4 +156,40 @@ class PlanAuditSpec extends SparkSpec {
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
     (p should not).include("CartesianProduct")
   }
+
+  test("q40/q291: the as-of fill is JOIN-FREE — one union, one window, " +
+      "no join node of any kind") {
+    for (q <- Seq("q40_asof_join", "q291_asof_forward")) {
+      val p = plan(q)
+      (p should not).include("Join")
+      (p should not).include("CartesianProduct")
+    }
+  }
+
+  test("q287/q288: range joins are bucket EQUI-joins — the non-equi " +
+      "predicate never degrades to a nested-loop product") {
+    for (q <- Seq("q287_range_join_points", "q288_interval_overlap")) {
+      val p = plan(q)
+      (p should not).include("BroadcastNestedLoopJoin")
+      (p should not).include("CartesianProduct")
+    }
+  }
+
+  test("q289: both interval-merge window steps share ONE sort (single " +
+      "window exchange before the island aggregate)") {
+    val p = plan("q289_merge_intervals")
+    "Window".r.findAllIn(p).size should be >= 1
+    // one exchange for the windows + one for the (key, island) aggregate
+    "Exchange hashpartitioning".r.findAllIn(p).size should be <= 2
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q292: the bucketed as-of shuffles summaries, not a second copy " +
+      "of the data — no join on the two data sides, no product") {
+    val p = plan("q292_asof_bucketed")
+    // the only joins are the bucket-seed plumbing over per-bucket
+    // SUMMARIES (allBuckets left-join perBucket); never a nested loop
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+  }
 }
