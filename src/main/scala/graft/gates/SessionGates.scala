@@ -560,12 +560,12 @@ object SessionGates extends GateSupport {
 
     "q294_time_weighted_avg" ->
       """WITH e AS (
-        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
         |    CAST(round(value * 100, 0) AS BIGINT) AS q
         |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
         |d AS (
         |  SELECT *, COALESCE(lead(tsu) OVER
-        |    (PARTITION BY user_id ORDER BY tsu, q) - tsu, 0) AS dt
+        |    (PARTITION BY user_id ORDER BY tsu, event_id) - tsu, 0) AS dt
         |  FROM e)
         |SELECT user_id, CAST(sum(q * dt) AS BIGINT) AS twa_num,
         |  max(tsu) - min(tsu) AS span,

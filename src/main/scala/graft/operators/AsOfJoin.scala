@@ -39,9 +39,12 @@ object AsOfJoin {
     *
     * Output columns: every left column, then every right column (null when
     * no right row qualifies and `joinType` is "left"; unmatched left rows
-    * are dropped when "inner"). Right rows with a null `rightTime` never
-    * match; left rows with a null `leftTime` match nothing. Equal right
-    * times resolve to the largest `tieBreak` in both directions.
+    * are dropped when "inner"). Right rows with a null `rightTime` or a
+    * null key never match (equi-join semantics — the window partition
+    * would otherwise group null keys together and match them to each
+    * other, which no join/ASOF engine does); left rows with a null key or
+    * `leftTime` match nothing. Equal right times resolve to the largest
+    * `tieBreak` in both directions.
     */
   def apply(left: DataFrame, right: DataFrame, leftKey: Column,
       rightKey: Column, leftTime: Column, rightTime: Column,
@@ -51,20 +54,8 @@ object AsOfJoin {
       s"joinType must be left|inner, got: $joinType")
     require(Seq("backward", "forward").contains(direction),
       s"direction must be backward|forward, got: $direction")
-    val lStruct = StructType(left.schema.fields)
-    val rStruct = StructType(right.schema.fields)
-    val rSide = right.filter(rightTime.isNotNull).select(
-      rightKey.as("__k"), rightTime.as("__t"), lit(0).as("__side"),
-      tieBreak.as("__tb"),
-      lit(null).cast(lStruct).as("__l"),
-      struct(right.columns.map(col).toIndexedSeq: _*).as("__r"))
-    // left rows carry a null tie-break (typed to the right side's) — they
-    // never win a fill; only right rows are non-null in the filled column
-    val lSide = left.select(
-      leftKey.as("__k"), leftTime.as("__t"), lit(1).as("__side"),
-      lit(null).cast(rSide.schema("__tb").dataType).as("__tb"),
-      struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
-      lit(null).cast(rStruct).as("__r"))
+    val (lSide, rSide) = tagSides(left, right, leftKey, rightKey,
+      leftTime, rightTime, tieBreak)
     // backward scans time ascending (last right seen = max rt <= lt);
     // forward scans descending (last right seen = min rt >= lt). Right
     // rows sort before left at an equal time either way -> inclusive.
@@ -77,6 +68,42 @@ object AsOfJoin {
     val filled = lSide.unionByName(rSide)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    projectOut(filled, left, right, joinType)
+  }
+
+  /** The tagged union sides shared by [[apply]] and [[bucketed]] — one
+    * place owns the side/tie-break/null-key rules so the two variants
+    * cannot drift. Right rows with a null time or key are dropped here
+    * (they can never match under equi-join semantics); left null-key rows
+    * pass through and form key partitions containing no right rows, so
+    * they fill to null exactly like an outer equi-join.
+    */
+  private def tagSides(left: DataFrame, right: DataFrame, leftKey: Column,
+      rightKey: Column, leftTime: Column, rightTime: Column,
+      tieBreak: Column): (DataFrame, DataFrame) = {
+    val lStruct = StructType(left.schema.fields)
+    val rStruct = StructType(right.schema.fields)
+    val rSide = right.filter(rightTime.isNotNull && rightKey.isNotNull)
+      .select(
+        rightKey.as("__k"), rightTime.as("__t"), lit(0).as("__side"),
+        tieBreak.as("__tb"),
+        lit(null).cast(lStruct).as("__l"),
+        struct(right.columns.map(col).toIndexedSeq: _*).as("__r"))
+    // left rows carry a null tie-break (typed to the right side's) — they
+    // never win a fill; only right rows are non-null in the filled column
+    val lSide = left.select(
+      leftKey.as("__k"), leftTime.as("__t"), lit(1).as("__side"),
+      lit(null).cast(rSide.schema("__tb").dataType).as("__tb"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
+      lit(null).cast(rStruct).as("__r"))
+    (lSide, rSide)
+  }
+
+  /** Shared tail of both variants: join-type filtering + the final
+    * left-columns-then-right-columns projection out of the carry structs.
+    */
+  private def projectOut(filled: DataFrame, left: DataFrame,
+      right: DataFrame, joinType: String): DataFrame = {
     val kept = joinType match {
       case "inner" => filled.filter(col("__m").isNotNull)
       case _       => filled
@@ -113,20 +140,11 @@ object AsOfJoin {
       s"joinType must be left|inner, got: $joinType")
     require(bucketWidth > 0, s"bucketWidth: $bucketWidth")
     val lStruct = StructType(left.schema.fields)
-    val rStruct = StructType(right.schema.fields)
     def bucketOf(c: Column) = RangeJoin.floorDiv(c, bucketWidth)
-    val rSide = right.filter(rightTime.isNotNull).select(
-      rightKey.as("__k"), rightTime.as("__t"), lit(0).as("__side"),
-      tieBreak.as("__tb"),
-      lit(null).cast(lStruct).as("__l"),
-      struct(right.columns.map(col).toIndexedSeq: _*).as("__r"))
-      .withColumn("__bkt", bucketOf(col("__t")))
-    val lSide = left.select(
-      leftKey.as("__k"), leftTime.as("__t"), lit(1).as("__side"),
-      lit(null).cast(rSide.schema("__tb").dataType).as("__tb"),
-      struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
-      lit(null).cast(rStruct).as("__r"))
-      .withColumn("__bkt", bucketOf(col("__t")))
+    val (lSide0, rSide0) = tagSides(left, right, leftKey, rightKey,
+      leftTime, rightTime, tieBreak)
+    val rSide = rSide0.withColumn("__bkt", bucketOf(col("__t")))
+    val lSide = lSide0.withColumn("__bkt", bucketOf(col("__t")))
     // latest right row per (key, bucket): one summary row per non-empty
     // bucket (max_by on the (time, tie-break) struct — the same winner
     // the sort would pick)
@@ -154,13 +172,7 @@ object AsOfJoin {
     val filled = lSide.unionByName(rSide).unionByName(seeds)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-    val kept = joinType match {
-      case "inner" => filled.filter(col("__m").isNotNull)
-      case _       => filled
-    }
-    kept.select(
-      left.columns.map(c => col("__l").getField(c).as(c)).toIndexedSeq ++
-        right.columns.map(c => col("__m").getField(c).as(c)): _*)
+    projectOut(filled, left, right, joinType)
   }
 
   /** Linear interpolation between the bracketing right observations: for

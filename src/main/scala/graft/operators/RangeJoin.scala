@@ -41,18 +41,24 @@ object RangeJoin {
 
   /** Per-row fail-fast guard: interval well-formed (lo <= hi) and its
     * bucket span bounded. `assert_true` must survive column pruning, so it
-    * is applied as an always-true filter, not a dropped column.
+    * is applied as an always-true filter, not a dropped column. NULL
+    * endpoints are dropped FIRST (a null bound can never satisfy
+    * lo <= point <= hi, so the plain inequality join these operators are
+    * equivalent to excludes such rows silently — raising on them would
+    * diverge from the contract, and null points already fall out of the
+    * bucket equi-join the same way).
     */
   private def assertMaxSpan(df: DataFrame, loCol: String, hiCol: String,
       width: Long, maxBuckets: Int): DataFrame =
-    df.filter(assert_true(
-      col(loCol) <= col(hiCol) &&
-        floorDiv(col(hiCol), width) - floorDiv(col(loCol), width)
-          < lit(maxBuckets.toLong),
-      concat(lit(s"RangeJoin: interval [$loCol, $hiCol] malformed or spans "
-        + s">= $maxBuckets buckets at width $width on row lo="),
-        col(loCol).cast("string"), lit(" hi="), col(hiCol).cast("string"))
-    ).isNull)
+    df.filter(col(loCol).isNotNull && col(hiCol).isNotNull)
+      .filter(assert_true(
+        col(loCol) <= col(hiCol) &&
+          floorDiv(col(hiCol), width) - floorDiv(col(loCol), width)
+            < lit(maxBuckets.toLong),
+        concat(lit(s"RangeJoin: interval [$loCol, $hiCol] malformed or spans "
+          + s">= $maxBuckets buckets at width $width on row lo="),
+          col(loCol).cast("string"), lit(" hi="), col(hiCol).cast("string"))
+      ).isNull)
 
   /** Join points to the intervals containing them: every (point, interval)
     * pair with lo <= point <= hi (or < hi when `inclusiveEnd` is false),
@@ -121,7 +127,8 @@ object RangeJoin {
       .over(part.rowsBetween(Window.unboundedPreceding, -1))
     val isStart = when(priorMax.isNull || col(loCol) > priorMax, 1L)
       .otherwise(0L)
-    df.filter(assert_true(col(loCol) <= col(hiCol),
+    df.filter(col(loCol).isNotNull && col(hiCol).isNotNull)
+      .filter(assert_true(col(loCol) <= col(hiCol),
         lit(s"mergeIntervals: $loCol > $hiCol")).isNull)
       // two window steps (a window function may not nest inside another):
       // same partitioning and sort, so Catalyst plans ONE exchange + sort

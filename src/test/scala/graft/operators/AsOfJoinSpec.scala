@@ -91,6 +91,28 @@ class AsOfJoinSpec extends SparkSpec {
         col("r_ts"), col("r_id"), joinType = "inner"))
   }
 
+  test("null keys never match each other (equi-join semantics), in both " +
+      "the plain and bucketed variants") {
+    val left = Seq((1L, Option.empty[Long], 50L), (2L, Some(10L), 50L))
+      .toDF("p_id", "k", "p_ts")
+    val right = Seq((100L, Option.empty[Long], 40L), (101L, Some(10L), 40L))
+      .toDF("r_id", "rk", "r_ts")
+    val exp = Array((1L, None), (2L, Some(101L)))
+    AsOfJoin(left, right, col("k"), col("rk"), col("p_ts"), col("r_ts"),
+        col("r_id"))
+      .select($"p_id", $"r_id").as[(Long, Option[Long])]
+      .collect().sortBy(_._1) shouldBe exp
+    AsOfJoin.bucketed(left, right, col("k"), col("rk"), col("p_ts"),
+        col("r_ts"), col("r_id"), bucketWidth = 16L)
+      .select($"p_id", $"r_id").as[(Long, Option[Long])]
+      .collect().sortBy(_._1) shouldBe exp
+    // matches the equi-join baseline exactly
+    AsOfJoin.pairExpansion(left, right, col("k"), col("rk"), col("p_ts"),
+        col("r_ts"), col("p_id"), col("r_id"))
+      .select($"p_id", $"r_id").as[(Long, Option[Long])]
+      .collect().sortBy(_._1) shouldBe exp
+  }
+
   test("as-of plan is join-free: one exchange on the key, no join node") {
     val left = Seq((1L, 10L, 100L)).toDF("p_id", "k", "p_ts")
     val right = Seq((100L, 10L, 40L)).toDF("r_id", "rk", "r_ts")

@@ -109,6 +109,21 @@ class RangeJoinSpec extends SparkSpec {
     plan2 should not include "CartesianProduct"
   }
 
+  test("NULL interval endpoints drop silently (the plain-join contract), " +
+      "never raise; null points fall out of the bucket join") {
+    val pts = Seq((1L, Some(5L)), (2L, Option.empty[Long]))
+      .toDF("p_id", "p")
+    val ivs = Seq((10L, Some(0L), Some(9L)), (11L, Option.empty[Long], Some(9L)),
+      (12L, Some(0L), Option.empty[Long]))
+      .toDF("iv_id", "lo", "hi")
+    RangeJoin.pointInInterval(pts, ivs, "p", "lo", "hi", 4L)
+      .select($"p_id", $"iv_id").as[(Long, Long)]
+      .collect() shouldBe Array((1L, 10L))
+    RangeJoin.mergeIntervals(ivs, Seq.empty, "lo", "hi")
+      .select($"lo", $"hi", $"n_merged").as[(Long, Long, Long)]
+      .collect() shouldBe Array((0L, 9L, 1L))
+  }
+
   test("malformed or over-wide intervals fail fast instead of exploding") {
     def chainMessage(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
