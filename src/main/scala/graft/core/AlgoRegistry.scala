@@ -1382,6 +1382,18 @@ object AlgoRegistry {
               joinType, direction)
         }
       })
+    // range-sorted export + per-file (lo, hi) data-skipping manifest —
+    // the write-side half of file pruning; readers go through
+    // Layout.readPruned (manifest lookup before any data file opens)
+    case "SortedExportManifest" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        graft.operators.Layout.writeSortedWithManifest(spark, df,
+          config.getString("data_dir"), config.getString("sort_column"),
+          config.getInt("num_files"), config.getString("manifest_dir"))
+        spark.read.parquet(config.getString("manifest_dir"))
+      })
     // as-of interpolation: left probes marked at the straight line
     // between their key's bracketing right observations
     case "AsOfInterpolate" => new TransformAlgorithm(spark, fsOps,

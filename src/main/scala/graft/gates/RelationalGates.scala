@@ -599,6 +599,24 @@ object RelationalGates extends GateSupport {
           round(col("v_interp"), 6).as("v_interp"))
     }),
 
+    // data-skipping manifest: range-sorted export + per-file (lo, hi)
+    // index; the range read selects files driver-side from the manifest
+    // BEFORE touching data, then filters exactly — pruning is
+    // semantics-preserving, so the oracle is the plain range filter
+    "q297_pruned_read" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("tsu", unix_micros(col("ts")))
+      val base = tmpDir("q297")
+      Layout.writeSortedWithManifest(s, e, s"$base/data", "tsu",
+        numFiles = 8, s"$base/manifest")
+      val lo = 1704844800000000L // 2024-01-10T00:00:00Z in micros
+      val hi = 1705708800000000L // 2024-01-20T00:00:00Z
+      Layout.readPruned(s, s"$base/data", s"$base/manifest", "tsu", lo, hi)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+    }),
+
     // interval merge (gaps-and-islands flatten): each customer's order
     // windows unioned into disjoint covered ranges — one exchange for
     // both window steps, then the island aggregate.
@@ -1065,6 +1083,13 @@ object RelationalGates extends GateSupport {
         |              / CAST(t_next - t_prev AS DOUBLE)) END
         |    ELSE COALESCE(v_prev, v_next) END, 6) AS v_interp
         |FROM p JOIN b ON p.p_id = b.p_id JOIN f ON p.p_id = f.p_id""".stripMargin,
+
+    "q297_pruned_read" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= 1704844800000000
+        |  AND epoch_us(CAST(ts AS TIMESTAMP)) <= 1705708800000000
+        |GROUP BY event_type""".stripMargin,
 
     "q289_merge_intervals" ->
       """WITH w AS (

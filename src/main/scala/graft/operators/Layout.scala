@@ -76,6 +76,48 @@ object Layout {
     df.repartitionByRange(numFiles, col(sortCol))
       .sortWithinPartitions(col(sortCol))
 
+  /** [[writeSorted]] plus a DATA-SKIPPING MANIFEST: after the range-
+    * clustered export lands, one column-pruned pass over the written
+    * files records each file's (lo, hi, n_rows) for the sort column —
+    * the file-level min/max index a lakehouse table format keeps in
+    * metadata, externalized as a tiny parquet (numFiles rows). Parquet
+    * footers already hold these stats, but a reader must still OPEN
+    * every footer; the manifest makes pruning a driver-side lookup over
+    * numFiles rows before any data file is touched.
+    */
+  def writeSortedWithManifest(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, path: String, sortCol: String, numFiles: Int,
+      manifestPath: String): Unit = {
+    writeSorted(df, path, sortCol, numFiles)
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(sortCol)).as("lo"), max(col(sortCol)).as("hi"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath)
+  }
+
+  /** Manifest-pruned range read: files whose [lo, hi] overlaps the
+    * requested closed range are selected DRIVER-SIDE from the manifest
+    * (a numFiles-bounded collect — the repo's parameter-bounded-collect
+    * discipline), only those files are read, and the exact predicate
+    * filters the survivors. Disjoint file ranges (what [[writeSorted]]
+    * produces) make the expected read volume |matching rows| + at most
+    * two boundary files, independent of table size — the point of the
+    * layout at 100 TB.
+    */
+  def readPruned(spark: org.apache.spark.sql.SparkSession, path: String,
+      manifestPath: String, sortCol: String, lo: Long, hi: Long)
+      : DataFrame = {
+    val files = spark.read.parquet(manifestPath)
+      .filter(col("lo") <= hi && col("hi") >= lo)
+      .select(col("file")).collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(sortCol) >= lo && col(sortCol) <= hi)
+  }
+
   /** Z-value of two dimensions: interleave the low `bits` bits of each
     * (x bit i → position 2i, y bit i → 2i+1), the Morton curve. Sorting
     * by it clusters BOTH dimensions at once — each output file covers a

@@ -1796,6 +1796,38 @@ class LayoutSpec extends SparkSpec {
     spark.read.parquet(s"$dir/z").filter($"y" < 16).count() shouldBe
       df.filter($"y" < 16).count()
   }
+
+  test("manifest-pruned range read: only overlapping files are opened, " +
+      "result equals the plain filter, empty range keeps the schema") {
+    val dir = tmp("layout_manifest")
+    val df = spark.range(10000).selectExpr("id",
+      "CAST(pmod(hash(id), 1000) AS BIGINT) AS key")
+    Layout.writeSortedWithManifest(spark, df, s"$dir/data", "key", 8,
+      s"$dir/manifest")
+    val manifest = spark.read.parquet(s"$dir/manifest")
+    manifest.count() shouldBe 8L
+    // a narrow range selects a strict subset of files in the manifest
+    val picked = manifest.filter($"lo" <= 120L && $"hi" >= 80L).count()
+    picked should be < 8L
+    // pruning is semantics-preserving
+    val pruned = Layout.readPruned(spark, s"$dir/data", s"$dir/manifest",
+      "key", 80L, 120L)
+    assertSameRows(pruned,
+      spark.read.parquet(s"$dir/data")
+        .filter($"key" >= 80L && $"key" <= 120L))
+    // and the pruned plan actually scans fewer rows than the table
+    pruned.collect()
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get.metrics("numOutputRows").value
+    scanned.toDouble should be < 10000.0 / 2
+    // out-of-domain range: no files, empty frame, schema intact
+    val empty = Layout.readPruned(spark, s"$dir/data", s"$dir/manifest",
+      "key", 5000L, 6000L)
+    empty.count() shouldBe 0L
+    empty.columns.toSeq shouldBe Seq("id", "key")
+  }
 }
 
 class PreparedBenchmarkSpec extends SparkSpec {
