@@ -617,6 +617,22 @@ object RelationalGates extends GateSupport {
           round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // 2-D data skipping: z-ordered export + per-file bounding-rectangle
+    // manifest; a rectangle query prunes on BOTH axes before any data
+    // file opens — oracle is the plain two-predicate filter
+    "q298_zorder_pruned" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("dom", dayofmonth(col("ts")).cast("long"))
+      val base = tmpDir("q298")
+      Layout.writeZOrderedWithManifest(s, e, s"$base/data", "user_id",
+        "dom", bits = 8, numFiles = 16, s"$base/manifest")
+      Layout.readPrunedRect(s, s"$base/data", s"$base/manifest",
+          "user_id", "dom", 30L, 70L, 10L, 20L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+    }),
+
     // interval merge (gaps-and-islands flatten): each customer's order
     // windows unioned into disjoint covered ranges — one exchange for
     // both window steps, then the island aggregate.
@@ -1089,6 +1105,14 @@ object RelationalGates extends GateSupport {
         |FROM events
         |WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= 1704844800000000
         |  AND epoch_us(CAST(ts AS TIMESTAMP)) <= 1705708800000000
+        |GROUP BY event_type""".stripMargin,
+
+    "q298_zorder_pruned" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE user_id >= 30 AND user_id <= 70
+        |  AND day(CAST(ts AS TIMESTAMP)) >= 10
+        |  AND day(CAST(ts AS TIMESTAMP)) <= 20
         |GROUP BY event_type""".stripMargin,
 
     "q289_merge_intervals" ->

@@ -167,4 +167,41 @@ object Layout {
       .drop(z)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** [[writeZOrdered]] plus the TWO-dimensional data-skipping manifest:
+    * each file's bounding rectangle (xlo, xhi, ylo, yhi, n_rows) — the
+    * z-layout makes those rectangles small, which is what gives a
+    * rectangle query its pruning power on BOTH axes at once.
+    */
+  def writeZOrderedWithManifest(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, path: String, xCol: String, yCol: String, bits: Int,
+      numFiles: Int, manifestPath: String): Unit = {
+    writeZOrdered(df, path, xCol, yCol, bits, numFiles)
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(xCol)).as("xlo"), max(col(xCol)).as("xhi"),
+        min(col(yCol)).as("ylo"), max(col(yCol)).as("yhi"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath)
+  }
+
+  /** Rectangle-pruned read over a z-ordered export: files whose bounding
+    * rectangle intersects the query rectangle are selected driver-side
+    * (numFiles-bounded), then the exact predicate filters the survivors.
+    * Same contract as [[readPruned]], on both axes at once.
+    */
+  def readPrunedRect(spark: org.apache.spark.sql.SparkSession,
+      path: String, manifestPath: String, xCol: String, yCol: String,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
+    val files = spark.read.parquet(manifestPath)
+      .filter(col("xlo") <= xHi && col("xhi") >= xLo &&
+        col("ylo") <= yHi && col("yhi") >= yLo)
+      .select(col("file")).collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(xCol) >= xLo && col(xCol) <= xHi &&
+      col(yCol) >= yLo && col(yCol) <= yHi)
+  }
 }

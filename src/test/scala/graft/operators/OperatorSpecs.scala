@@ -1828,6 +1828,26 @@ class LayoutSpec extends SparkSpec {
     empty.count() shouldBe 0L
     empty.columns.toSeq shouldBe Seq("id", "key")
   }
+
+  test("z-order rectangle pruning: bounding-rect manifest selects a " +
+      "strict file subset on BOTH axes, result equals the plain filter") {
+    val dir = tmp("layout_zmanifest")
+    val df = spark.range(20000).selectExpr("id",
+      "CAST(pmod(hash(id), 256) AS BIGINT) AS x",
+      "CAST(pmod(hash(id * 31), 256) AS BIGINT) AS y")
+    Layout.writeZOrderedWithManifest(spark, df, s"$dir/data", "x", "y",
+      bits = 8, numFiles = 16, s"$dir/manifest")
+    val manifest = spark.read.parquet(s"$dir/manifest")
+    manifest.count() shouldBe 16L
+    val picked = manifest.filter($"xlo" <= 80L && $"xhi" >= 40L &&
+      $"ylo" <= 80L && $"yhi" >= 40L).count()
+    picked should be < 16L
+    val pruned = Layout.readPrunedRect(spark, s"$dir/data",
+      s"$dir/manifest", "x", "y", 40L, 80L, 40L, 80L)
+    assertSameRows(pruned,
+      spark.read.parquet(s"$dir/data").filter(
+        $"x".between(40L, 80L) && $"y".between(40L, 80L)))
+  }
 }
 
 class PreparedBenchmarkSpec extends SparkSpec {
