@@ -88,6 +88,34 @@ object StreamGates extends GateSupport {
           unix_millis(col("c_ts")).as("click_ts_ms"))
     }),
 
+    // streaming: NATIVE session_window aggregation (engine-side gap-merge
+    // state, vs q282's flatMapGroupsWithState) — append mode, zero
+    // lateness: a session emits when the watermark passes last_ts + gap,
+    // so the settled table is every session except those still open at
+    // end-of-input (the oracle applies the same eviction predicate)
+    "q299_stream_session_window" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      EventStream.runSessionWindowOnce(s, raw, s"$dir/events*.parquet",
+          "user_id", "30 minutes", "q299_sink",
+          prepare = graft.core.Tables.normalizeEventTs)
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("sess_start_ms"),
+          col("n_events"), unix_millis(col("last_ts")).as("last_ms"))
+    }),
+
+    // streaming: SLIDING window counts (each event lands in two
+    // overlapping 10-minute windows, 5-minute slide) — same zero-lateness
+    // emission rule; window ends are 5-minute-aligned so the eviction
+    // predicate is exact at second precision
+    "q300_stream_sliding_window" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      EventStream.runSlidingWindowOnce(s, raw, s"$dir/events*.parquet",
+          "10 minutes", "5 minutes", "q300_sink",
+          prepare = graft.core.Tables.normalizeEventTs)
+        .select(unix_seconds(col("window.start")).as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }),
+
     // streaming: Dedup.dedupStreamAgainst run as a REAL streaming query —
     // each micro-batch anti-joins the landed artifacts' digests (stream-
     // static join, stateless), the on-arrival exact-dedup of an ingest
@@ -432,6 +460,59 @@ object StreamGates extends GateSupport {
         |SELECT p.p_id, p.user_id, c.click_id, epoch_ms(c.c_ts) AS click_ts_ms
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND c.c_ts <= p.p_ts""".stripMargin,
+
+    // mirrors the native session_window aggregation: gap-merged islands
+    // (strict: an event exactly gap after the previous starts a NEW
+    // session — the window end is exclusive), evicted by the same
+    // watermark rule (session emits iff last + gap <= max event time);
+    // all arithmetic in exact MICROS, ms only at the output
+    "q299_stream_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, tsu,
+        |    CASE WHEN lag(tsu) OVER w IS NULL
+        |         OR tsu - lag(tsu) OVER w >= 1800000000 THEN 1
+        |         ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+        |i AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tsu
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |g AS (
+        |  SELECT user_id, min(tsu) AS start_us, count(*) AS n_events,
+        |    max(tsu) AS last_us
+        |  FROM i GROUP BY user_id, sid)
+        |SELECT user_id, CAST(floor(start_us / 1000) AS BIGINT)
+        |    AS sess_start_ms,
+        |  n_events, CAST(floor(last_us / 1000) AS BIGINT) AS last_ms
+        |FROM g
+        |WHERE last_us + 1800000000 <= (SELECT max(tsu) FROM e)""".stripMargin,
+
+    // mirrors the sliding window: each event contributes to its 5-min
+    // slot's window and the previous slot's; windows whose end the final
+    // watermark never passes are excluded (exact at second precision —
+    // ends are 300 s multiples)
+    "q300_stream_sliding_window" ->
+      """WITH e AS (
+        |  SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes',
+        |      CAST(ts AS TIMESTAMP))) AS BIGINT) AS slot,
+        |    event_type, value
+        |  FROM events),
+        |w AS (
+        |  SELECT slot AS win_start, event_type, value FROM e
+        |  UNION ALL
+        |  SELECT slot - 300 AS win_start, event_type, value FROM e),
+        |mx AS (
+        |  SELECT CAST(floor(epoch(CAST(max(ts) AS TIMESTAMP))) AS BIGINT)
+        |    AS wm
+        |  FROM events)
+        |SELECT win_start, event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM w
+        |WHERE win_start + 600 <= (SELECT wm FROM mx)
+        |GROUP BY win_start, event_type""".stripMargin,
 
     // mirrors dedupStreamAgainst over the landed sample's digests: the
     // settled streaming output is the content-level anti-join (digest

@@ -188,6 +188,67 @@ object EventStream {
     spark.read.parquet(outDir)
   }
 
+  /** Native session-window streaming aggregation (`session_window`):
+    * Spark's built-in gap-merged session state, watermark-evicted —
+    * distinct machinery from the q282 flatMapGroupsWithState face (state
+    * merging lives in the engine, not user code). Append mode with a
+    * zero-lateness watermark: a session emits once the watermark (max
+    * seen event time) passes its end (last event + gap), so the settled
+    * table is every session except the ones still open at end-of-input —
+    * the oracle mirrors that eviction predicate exactly.
+    */
+  def runSessionWindowOnce(spark: SparkSession, schema: StructType,
+      inputGlob: String, keyCol: String, gap: String, queryName: String,
+      prepare: DataFrame => DataFrame = identity,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val sink = s"${queryName}_${sinkSeq.incrementAndGet()}"
+    val rd = spark.readStream.schema(schema)
+    val stream = prepare(maxFilesPerTrigger
+      .fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+      .parquet(inputGlob))
+      .withWatermark("ts", "0 seconds")
+    val q: StreamingQuery = stream
+      .groupBy(col(keyCol), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sink)
+  }
+
+  /** Sliding-window streaming counts (`window(ts, dur, slide)`): each
+    * event lands in dur/slide overlapping windows. Same zero-lateness
+    * append-mode emission rule as [[runSessionWindowOnce]] — windows
+    * whose end the final watermark never passes stay in state, and the
+    * oracle excludes them by the same predicate.
+    */
+  def runSlidingWindowOnce(spark: SparkSession, schema: StructType,
+      inputGlob: String, windowDur: String, slide: String,
+      queryName: String,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
+    val sink = s"${queryName}_${sinkSeq.incrementAndGet()}"
+    val stream = prepare(spark.readStream.schema(schema).parquet(inputGlob))
+      .withWatermark("ts", "0 seconds")
+    val q: StreamingQuery = stream
+      .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sink)
+  }
+
   /** Streaming as-of enrichment — the streaming face of
     * [[graft.operators.AsOfJoin]]: probe rows arriving on the stream are
     * each matched to the latest historical right row at or before their
