@@ -1382,6 +1382,25 @@ object AlgoRegistry {
               joinType, direction)
         }
       })
+    // Fellegi–Sunter record linkage: blocked candidate pairs scored by
+    // integer-scaled field-agreement weights, cut into match/possible
+    case "RecordLinkage" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => {
+        val right = fmt(config).read(spark, Map.empty, None,
+          config.getString("right_dir"))
+        val rules = config.getSeq[Map[String, Any]]("rules").map { m =>
+          graft.operators.Linkage.FieldRule(
+            m("left").toString, m("right").toString,
+            m("agree").toString.toLong, m("disagree").toString.toLong,
+            m.getOrElse("kind", "exact").toString,
+            m.getOrElse("max_dist", 0).toString.toInt)
+        }
+        graft.operators.Linkage.linkTable(df, right,
+          config.getSeq[String]("block_columns"), rules,
+          config.getLong("upper"), config.getLong("lower"))
+      })
     // range-sorted export + per-file (lo, hi) data-skipping manifest —
     // the write-side half of file pruning; readers go through
     // Layout.readPruned (manifest lookup before any data file opens)

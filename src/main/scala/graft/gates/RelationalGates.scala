@@ -633,6 +633,31 @@ object RelationalGates extends GateSupport {
           round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // record linkage (Fellegi–Sunter decision model): customers matched
+    // against a deterministically mangled copy of themselves — blocked
+    // equi-join on (nation, segment), integer-scaled field weights
+    // (name at levenshtein<=1, exact acctbal), match/possible cut.
+    // Every 3rd name gains a char (still within the edit band), every
+    // 5th balance shifts (drops those truths to 'possible')
+    "q301_record_linkage" -> ((s, dir) => {
+      import Linkage.FieldRule
+      val c = t(s, dir, "customer")
+      val r = c.select(col("c_custkey").as("r_custkey"),
+        when(col("c_custkey") % 3 === 0, concat(col("c_name"), lit("x")))
+          .otherwise(col("c_name")).as("r_name"),
+        col("c_nationkey"), col("c_mktsegment"),
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 1.0)
+          .otherwise(col("c_acctbal")).as("r_acctbal"))
+      Linkage.linkTable(c, r, Seq("c_nationkey", "c_mktsegment"),
+          Seq(
+            FieldRule("c_name", "r_name", 3000L, -2000L,
+              kind = "levenshtein", maxDist = 1),
+            FieldRule("c_acctbal", "r_acctbal", 1000L, -500L)),
+          upper = 3500L, lower = 500L)
+        .select(col("c_custkey"), col("r_custkey"), col("match_score"),
+          col("decision"))
+    }),
+
     // interval merge (gaps-and-islands flatten): each customer's order
     // windows unioned into disjoint covered ranges — one exchange for
     // both window steps, then the island aggregate.
@@ -1114,6 +1139,31 @@ object RelationalGates extends GateSupport {
         |  AND day(CAST(ts AS TIMESTAMP)) >= 10
         |  AND day(CAST(ts AS TIMESTAMP)) <= 20
         |GROUP BY event_type""".stripMargin,
+
+    "q301_record_linkage" ->
+      """WITH r AS (
+        |  SELECT c_custkey AS r_custkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_name || 'x'
+        |         ELSE c_name END AS r_name,
+        |    c_nationkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1.0
+        |         ELSE c_acctbal END AS r_acctbal
+        |  FROM customer),
+        |p AS (
+        |  SELECT c.c_custkey, r.r_custkey,
+        |    (CASE WHEN c.c_name IS NULL OR r.r_name IS NULL THEN 0
+        |          WHEN levenshtein(c.c_name, r.r_name) <= 1 THEN 3000
+        |          ELSE -2000 END
+        |     + CASE WHEN c.c_acctbal IS NULL OR r.r_acctbal IS NULL THEN 0
+        |            WHEN c.c_acctbal = r.r_acctbal THEN 1000
+        |            ELSE -500 END) AS match_score
+        |  FROM customer c JOIN r ON c.c_nationkey = r.c_nationkey
+        |    AND c.c_mktsegment = r.c_mktsegment)
+        |SELECT c_custkey, r_custkey,
+        |  CAST(match_score AS BIGINT) AS match_score,
+        |  CASE WHEN match_score >= 3500 THEN 'match'
+        |       ELSE 'possible' END AS decision
+        |FROM p WHERE match_score >= 500""".stripMargin,
 
     "q289_merge_intervals" ->
       """WITH w AS (
