@@ -1390,12 +1390,18 @@ object AlgoRegistry {
       df => {
         val right = fmt(config).read(spark, Map.empty, None,
           config.getString("right_dir"))
+        // Jackson parses JSON numbers as Integer/Long/Double — coerce
+        // through Number (the HashSplit convention), never toString
+        def asLong(v: Any): Long = v match {
+          case n: Number => n.longValue()
+          case s => s.toString.toLong
+        }
         val rules = config.getSeq[Map[String, Any]]("rules").map { m =>
           graft.operators.Linkage.FieldRule(
             m("left").toString, m("right").toString,
-            m("agree").toString.toLong, m("disagree").toString.toLong,
+            asLong(m("agree")), asLong(m("disagree")),
             m.getOrElse("kind", "exact").toString,
-            m.getOrElse("max_dist", 0).toString.toInt)
+            asLong(m.getOrElse("max_dist", 0)).toInt)
         }
         graft.operators.Linkage.linkTable(df, right,
           config.getSeq[String]("block_columns"), rules,

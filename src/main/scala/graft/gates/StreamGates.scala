@@ -464,8 +464,12 @@ object StreamGates extends GateSupport {
     // mirrors the native session_window aggregation: gap-merged islands
     // (strict: an event exactly gap after the previous starts a NEW
     // session — the window end is exclusive), evicted by the same
-    // watermark rule (session emits iff last + gap <= max event time);
-    // all arithmetic in exact MICROS, ms only at the output
+    // watermark rule. Spark's watermark is MILLISECOND-FLOORED while
+    // session ends keep microseconds, and the comparison is inclusive:
+    // a session emits iff last_us + gap_us <= floor_ms(max event)·1000
+    // (pinned empirically by the sub-millisecond eviction spec — an
+    // exact-micros oracle would wrongly emit sessions ending in the
+    // watermark's sub-ms residue)
     "q299_stream_session_window" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
@@ -488,7 +492,9 @@ object StreamGates extends GateSupport {
         |    AS sess_start_ms,
         |  n_events, CAST(floor(last_us / 1000) AS BIGINT) AS last_ms
         |FROM g
-        |WHERE last_us + 1800000000 <= (SELECT max(tsu) FROM e)""".stripMargin,
+        |WHERE last_us + 1800000000 <=
+        |  CAST(floor((SELECT max(tsu) FROM e) / 1000) AS BIGINT) * 1000"""
+        .stripMargin,
 
     // mirrors the sliding window: each event contributes to its 5-min
     // slot's window and the previous slot's; windows whose end the final

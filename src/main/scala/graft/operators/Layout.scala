@@ -76,47 +76,124 @@ object Layout {
     df.repartitionByRange(numFiles, col(sortCol))
       .sortWithinPartitions(col(sortCol))
 
-  /** [[writeSorted]] plus a DATA-SKIPPING MANIFEST: after the range-
-    * clustered export lands, one column-pruned pass over the written
-    * files records each file's (lo, hi, n_rows) for the sort column —
-    * the file-level min/max index a lakehouse table format keeps in
-    * metadata, externalized as a tiny parquet (numFiles rows). Parquet
-    * footers already hold these stats, but a reader must still OPEN
-    * every footer; the manifest makes pruning a driver-side lookup over
-    * numFiles rows before any data file is touched.
+  /** Build the data-skipping manifest for a landed parquet directory
+    * from the FILE FOOTERS alone — per file, each tracked long column's
+    * (min, max) over its row groups plus the row count: O(numFiles)
+    * driver-side footer opens (parameter-bounded, no data pages read),
+    * not a second O(rows) pass over data the caller just wrote. Columns
+    * map to manifest names via `prefix` ("" → lo/hi, "x" → xlo/xhi).
+    * The manifest lands through the ATOMIC writer (temp → swap →
+    * restore-on-failure); it is DERIVED state — if a crash ever leaves
+    * it out of step with the data directory, rerunning this rebuilds it
+    * from the footers.
+    */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, cols: Seq[(String, String)],
+      manifestPath: String): Unit = {
+    require(cols.nonEmpty, "at least one manifest column")
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(path), conf)
+    val parts = fs.listStatus(new HPath(path)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val rows = parts.map { st =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(st.getPath, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val nRows = blocks.map(_.getRowCount).sum
+        val bounds = cols.flatMap { case (c, _) =>
+          val chunks = blocks.flatMap(_.getColumns.asScala)
+            .filter(_.getPath.toDotString == c)
+          val stats = chunks.map(_.getStatistics)
+          require(stats.nonEmpty && stats.forall(s =>
+            s != null && s.hasNonNullValue),
+            s"no footer statistics for $c in ${st.getPath}")
+          def asLong(v: Comparable[_]): Long = v match {
+            case l: java.lang.Long    => l.longValue()
+            case i: java.lang.Integer => i.longValue()
+            case other => throw new IllegalArgumentException(
+              s"manifest column $c must be integer-typed, got: $other")
+          }
+          Seq(stats.map(s => asLong(s.genericGetMin())).min,
+            stats.map(s => asLong(s.genericGetMax())).max)
+        }
+        org.apache.spark.sql.Row.fromSeq(
+          st.getPath.toString +: bounds :+ nRows)
+      } finally reader.close()
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType) +:
+        cols.flatMap { case (_, p) => Seq(
+          org.apache.spark.sql.types.StructField(s"${p}lo",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(s"${p}hi",
+            org.apache.spark.sql.types.LongType)) } :+
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType))
+    val manifest = spark.createDataFrame(
+      new java.util.ArrayList(rows.asJava), schema).coalesce(1)
+    new graft.io.AtomicWriter(
+      new graft.fsops.FsOps(conf), Seq.empty, None)
+      .write(manifest, graft.io.DataFormat.Parquet, manifestPath,
+        graft.io.LoadMode.OverwriteTable)
+  }
+
+  /** [[writeSorted]] plus the 1-D data-skipping manifest (file, lo, hi,
+    * n_rows) — the file-level min/max index a lakehouse table format
+    * keeps in metadata, externalized as a tiny parquet a reader can
+    * consult before opening any footer.
     */
   def writeSortedWithManifest(spark: org.apache.spark.sql.SparkSession,
       df: DataFrame, path: String, sortCol: String, numFiles: Int,
       manifestPath: String): Unit = {
     writeSorted(df, path, sortCol, numFiles)
-    spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(sortCol)).as("lo"), max(col(sortCol)).as("hi"),
-        count(lit(1)).as("n_rows"))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(manifestPath)
+    writeManifest(spark, path, Seq(sortCol -> ""), manifestPath)
   }
 
-  /** Manifest-pruned range read: files whose [lo, hi] overlaps the
-    * requested closed range are selected DRIVER-SIDE from the manifest
-    * (a numFiles-bounded collect — the repo's parameter-bounded-collect
-    * discipline), only those files are read, and the exact predicate
-    * filters the survivors. Disjoint file ranges (what [[writeSorted]]
-    * produces) make the expected read volume |matching rows| + at most
-    * two boundary files, independent of table size — the point of the
-    * layout at 100 TB.
+  /** Hadoop path strings go through glob expansion on read — escape the
+    * metacharacters so a data directory named `run[1]` (or a file a
+    * manifest recorded verbatim) resolves literally.
     */
-  def readPruned(spark: org.apache.spark.sql.SparkSession, path: String,
-      manifestPath: String, sortCol: String, lo: Long, hi: Long)
-      : DataFrame = {
-    val files = spark.read.parquet(manifestPath)
-      .filter(col("lo") <= hi && col("hi") >= lo)
+  private def escapeGlob(p: String): String =
+    p.flatMap {
+      case c @ ('*' | '?' | '[' | ']' | '{' | '}' | '\\') => s"\\$c"
+      case c => c.toString
+    }
+
+  /** Generic manifest-pruned read: files whose recorded ranges overlap
+    * EVERY requested closed range (`(prefix, lo, hi)` per manifest
+    * dimension) are selected DRIVER-SIDE (numFiles-bounded collect —
+    * the repo's parameter-bounded-collect discipline), only those files
+    * are read (glob-escaped), and the exact predicates filter the
+    * survivors. With the disjoint ranges [[writeSorted]] produces, read
+    * volume is |matching rows| + at most two boundary files, independent
+    * of table size — the point of the layout at 100 TB.
+    */
+  def readPrunedMulti(spark: org.apache.spark.sql.SparkSession,
+      path: String, manifestPath: String,
+      preds: Seq[(String, String, Long, Long)]): DataFrame = {
+    require(preds.nonEmpty, "at least one prune predicate")
+    val sel = preds.map { case (_, p, lo, hi) =>
+      col(s"${p}lo") <= hi && col(s"${p}hi") >= lo }.reduce(_ && _)
+    val files = spark.read.parquet(manifestPath).filter(sel)
       .select(col("file")).collect().map(_.getString(0))
     val base =
       if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
-      else spark.read.parquet(files.toIndexedSeq: _*)
-    base.filter(col(sortCol) >= lo && col(sortCol) <= hi)
+      else spark.read.parquet(files.toIndexedSeq.map(escapeGlob): _*)
+    base.filter(preds.map { case (c, _, lo, hi) =>
+      col(c) >= lo && col(c) <= hi }.reduce(_ && _))
   }
+
+  /** 1-D face of [[readPrunedMulti]]. */
+  def readPruned(spark: org.apache.spark.sql.SparkSession, path: String,
+      manifestPath: String, sortCol: String, lo: Long, hi: Long)
+      : DataFrame =
+    readPrunedMulti(spark, path, manifestPath, Seq((sortCol, "", lo, hi)))
 
   /** Z-value of two dimensions: interleave the low `bits` bits of each
     * (x bit i → position 2i, y bit i → 2i+1), the Morton curve. Sorting
@@ -177,31 +254,13 @@ object Layout {
       df: DataFrame, path: String, xCol: String, yCol: String, bits: Int,
       numFiles: Int, manifestPath: String): Unit = {
     writeZOrdered(df, path, xCol, yCol, bits, numFiles)
-    spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(xCol)).as("xlo"), max(col(xCol)).as("xhi"),
-        min(col(yCol)).as("ylo"), max(col(yCol)).as("yhi"),
-        count(lit(1)).as("n_rows"))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(manifestPath)
+    writeManifest(spark, path, Seq(xCol -> "x", yCol -> "y"), manifestPath)
   }
 
-  /** Rectangle-pruned read over a z-ordered export: files whose bounding
-    * rectangle intersects the query rectangle are selected driver-side
-    * (numFiles-bounded), then the exact predicate filters the survivors.
-    * Same contract as [[readPruned]], on both axes at once.
-    */
+  /** Rectangle face of [[readPrunedMulti]]: prune on both axes at once. */
   def readPrunedRect(spark: org.apache.spark.sql.SparkSession,
       path: String, manifestPath: String, xCol: String, yCol: String,
-      xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
-    val files = spark.read.parquet(manifestPath)
-      .filter(col("xlo") <= xHi && col("xhi") >= xLo &&
-        col("ylo") <= yHi && col("yhi") >= yLo)
-      .select(col("file")).collect().map(_.getString(0))
-    val base =
-      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
-      else spark.read.parquet(files.toIndexedSeq: _*)
-    base.filter(col(xCol) >= xLo && col(xCol) <= xHi &&
-      col(yCol) >= yLo && col(yCol) <= yHi)
-  }
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame =
+    readPrunedMulti(spark, path, manifestPath,
+      Seq((xCol, "x", xLo, xHi), (yCol, "y", yLo, yHi)))
 }

@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object Linkage {
 
-  /** One field comparison: `kind` is "exact" (null-safe equality of the
-    * two columns) or "levenshtein" (edit distance <= maxDist). Weights
-    * are caller-scaled integers (e.g. log-ratio × 1000).
+  /** One field comparison: `kind` is "exact" (plain equality — nulls are
+    * handled UPSTREAM as zero evidence, so a both-null pair scores 0,
+    * NOT agreement; do not "simplify" to a null-safe `<=>`) or
+    * "levenshtein" (edit distance <= maxDist). Weights are caller-scaled
+    * integers (e.g. log-ratio × 1000).
     */
   case class FieldRule(leftCol: String, rightCol: String, agree: Long,
       disagree: Long, kind: String = "exact", maxDist: Int = 0) {

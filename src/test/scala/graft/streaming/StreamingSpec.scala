@@ -1042,6 +1042,26 @@ class StreamSessionizeSpec extends SparkSpec {
     batch.map(_._2) shouldBe got.map(_._3)
   }
 
+  test("session_window eviction precision: watermark is ms-floored, " +
+      "session ends keep micros, comparison inclusive (the q299 oracle " +
+      "predicate)") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("evict_pin")
+    // gap 10 ms; max event at 11999 us -> watermark floors to 11 ms.
+    // Session ends: u 11500 (RETAINED: > 11000), v 11000 (EMITTED:
+    // inclusive boundary), x 10999 (EMITTED), w 21999 (open, retained).
+    Seq(("u", 1500L), ("v", 1000L), ("x", 999L), ("w", 11999L))
+      .toDF("user_id", "tsu")
+      .select($"user_id", timestamp_micros($"tsu").as("ts"))
+      .write.parquet(dir + "/in")
+    val out = EventStream.runSessionWindowOnce(spark,
+      spark.read.parquet(dir + "/in").schema, dir + "/in",
+      "user_id", "10 milliseconds", "evict_pin")
+    out.select($"user_id", unix_micros($"session_window.end"))
+      .as[(String, Long)].collect().sortBy(_._1) shouldBe
+      Array(("v", 11000L), ("x", 10999L))
+  }
+
   test("streaming as-of enrichment is micro-batch-boundary-invariant " +
       "and equals the batch as-of") {
     import org.apache.spark.sql.functions.col
