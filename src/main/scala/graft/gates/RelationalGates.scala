@@ -186,6 +186,16 @@ object RelationalGates extends GateSupport {
           round(sum(col("l_quantity")), 2).as("qty"))
     }),
 
+    // beyond-reference agg: CUBE — all four grouping sets in one pass
+    // (q16 gates ROLLUP's prefix sets; this completes the family)
+    "q302_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+    }),
+
     // as-of join: latest click at or before each purchase, per user
     "q40_asof_join" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -790,6 +800,12 @@ object RelationalGates extends GateSupport {
         | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
         | count(*) AS n, round(sum(l_quantity),2) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q302_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "q40_asof_join" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
