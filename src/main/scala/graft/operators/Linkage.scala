@@ -42,8 +42,14 @@ object Linkage {
     val score = rules.map { r =>
       val l = col(r.leftCol); val rr = col(r.rightCol)
       val agrees = r.kind match {
-        case "exact"       => l === rr
-        case "levenshtein" => levenshtein(l, rr) <= r.maxDist
+        case "exact" => l === rr
+        // thresholded levenshtein: O(maxDist·len) with early exit —
+        // returns -1 once the distance provably exceeds the bound, so
+        // the band check never pays the full O(len²) matrix (the oracle
+        // keeps the plain function: same band, different cost)
+        case "levenshtein" =>
+          val d = levenshtein(l, rr, r.maxDist)
+          d >= 0 && d <= r.maxDist
       }
       when(l.isNull || rr.isNull, lit(0L))
         .when(agrees, lit(r.agree)).otherwise(lit(r.disagree))
