@@ -27,7 +27,7 @@ object SparkEntry {
     RelationalGates, LoadGates, SessionGates, DedupGates, AnnGates,
     TextGates, TokenGates, SamplingGates, SketchGates, StreamGates,
     PrivacyGates, GraphGates, StatsGates, ClassifyGates, RetrievalGates,
-    CurationGates, MultimodalGates, PipelineGates)
+    CurationGates, MultimodalGates, PipelineGates, MaintenanceGates)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

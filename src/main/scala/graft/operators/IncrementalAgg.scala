@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance for grouped aggregates: keep a PARTIAL-
+  * aggregate state table (count + sums per group, optionally min/max) and
+  * fold delta batches into it, so refreshing a 100 TB materialization
+  * costs one shuffle of the DELTA plus the state partials — never a
+  * rescan of the base table.
+  *
+  * The reference recomputes its materializations from the full source on
+  * every run (reference: src/main/scala/com/adidas/analytics/algo/Materialization.scala
+  * — full/range/query views are land-and-replace); this face adds the
+  * self-maintaining form for the algebraic aggregates where it is exact:
+  *
+  *  - COUNT and SUM are retractable: a delta row with weight -1 (a
+  *    delete, carrying the original row's values) subtracts exactly;
+  *    groups whose maintained count reaches 0 leave the state.
+  *  - AVG is served from sum/count, never stored.
+  *  - MIN/MAX are maintained for INSERT-ONLY deltas (they are not
+  *    retractable without per-group value multisets); passing a weight
+  *    column together with min/max columns fails fast.
+  *
+  * Exactness contract: sums retract exactly when the summed columns are
+  * exact types (long/decimal). Callers quantize doubles first (the repo's
+  * cents/BIGINT device) — floating-point sums are order-dependent, so a
+  * retracted double sum may drift from a recompute by ulps.
+  *
+  * State size is |distinct groups| × (2 + #sumCols + #minmax) columns of
+  * scalars — the same cardinality the final view has. Refresh plan shape:
+  * partial-agg the delta (map-side combine), union with the state's
+  * partials, one shuffle keyed on the group columns. Both sides of that
+  * union are pre-aggregated, so the exchange carries group-cardinality
+  * rows, not row-cardinality.
+  */
+object IncrementalAgg {
+
+  private def stateCols(sumCols: Seq[String], minCols: Seq[String],
+      maxCols: Seq[String]): Seq[String] =
+    Seq("n_rows") ++ sumCols.map("sum_" + _) ++
+      minCols.map("min_" + _) ++ maxCols.map("max_" + _)
+
+  /** Partial-aggregate `df` into state shape, each row counted with
+    * `weight` (+1 insert / -1 delete).
+    */
+  private def partials(df: DataFrame, keys: Seq[String],
+      sumCols: Seq[String], minCols: Seq[String], maxCols: Seq[String],
+      weight: Column): DataFrame = {
+    val aggs =
+      sum(weight).as("n_rows") +:
+        (sumCols.map(c => sum(col(c) * weight).as(s"sum_$c")) ++
+          minCols.map(c => min(col(c)).as(s"min_$c")) ++
+          maxCols.map(c => max(col(c)).as(s"max_$c")))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Build the initial state from the base table (all rows weight +1). */
+  def init(base: DataFrame, keys: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String] = Seq.empty,
+      maxCols: Seq[String] = Seq.empty): DataFrame =
+    partials(base, keys, sumCols, minCols, maxCols, lit(1L))
+
+  /** Fold a delta batch into the state. `weightCol` (if set) names a
+    * column of +1/-1 row weights on `delta`; deletes must carry the
+    * original row's values. Without it the delta is insert-only.
+    *
+    * Associative: refreshing with delta d1 then d2 equals refreshing
+    * with d1 ∪ d2 (state is a commutative monoid under this fold).
+    */
+  def refresh(state: DataFrame, delta: DataFrame, keys: Seq[String],
+      sumCols: Seq[String], minCols: Seq[String] = Seq.empty,
+      maxCols: Seq[String] = Seq.empty,
+      weightCol: Option[String] = None): DataFrame = {
+    require(weightCol.isEmpty || (minCols.isEmpty && maxCols.isEmpty),
+      "min/max are not retractable: they require insert-only deltas " +
+        "(no weight column)")
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val d = partials(delta, keys, sumCols, minCols, maxCols, w)
+    val merged = state.unionByName(d)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum("n_rows").as("n_rows"),
+        (sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")) ++
+          minCols.map(c => min(s"min_$c").as(s"min_$c")) ++
+          maxCols.map(c => max(s"max_$c").as(s"max_$c"))): _*)
+    // a group whose rows were all retracted leaves the view entirely
+    merged.filter(col("n_rows") > 0)
+      .select((keys ++ stateCols(sumCols, minCols, maxCols)).map(col): _*)
+  }
+
+  /** The queryable view: state plus derived averages (exact division
+    * deferred to serve time; avg columns are doubles, rounded by the
+    * caller if they cross an engine boundary).
+    */
+  def serve(state: DataFrame, sumCols: Seq[String]): DataFrame =
+    sumCols.foldLeft(state) { (df, c) =>
+      df.withColumn(s"avg_$c",
+        col(s"sum_$c").cast("double") / col("n_rows"))
+    }
+}
