@@ -49,25 +49,33 @@ import org.apache.spark.sql.functions._
 object VersionedTable {
 
   /** One committed snapshot (parsed from its commit file). `path` is the
-    * data directory name relative to the table root.
+    * data directory name relative to the table root; `indexCol` is the
+    * sort/manifest dimension when the snapshot landed via
+    * [[writeIndexed]] (None for plain [[write]]s).
     */
   final case class Commit(version: Long, ts: Long, op: String, rows: Long,
-      path: String)
+      path: String, indexCol: Option[String] = None)
 
   private def commitsDir(root: String) = s"$root/_commits"
   private def commitFile(root: String, v: Long) =
     f"${commitsDir(root)}/$v%05d.json"
   private def dataDir(root: String, c: Commit) = s"$root/${c.path}"
 
-  /** All committed versions, ascending. Uncommitted data dirs (crashed or
-    * in-flight writers) are invisible by construction.
+  /** All committed versions, ascending BY PARSED VERSION (lexicographic
+    * filename order breaks past the zero-pad width — "100000.json" sorts
+    * before "99999.json"; the padding is a readability nicety, never an
+    * ordering contract). Uncommitted data dirs (crashed or in-flight
+    * writers) are invisible by construction, and so are in-flight commit
+    * files: writers stage content under a `.…tmp` name (filtered here)
+    * and publish by rename, so every `*.json` this lists is complete.
     */
   def commits(fsOps: FsOps, root: String): Seq[Commit] =
-    fsOps.ls(commitsDir(root)).filter(_.endsWith(".json")).sorted.map { f =>
+    fsOps.ls(commitsDir(root)).filter(_.endsWith(".json")).map { f =>
       val c = JsonConfig.fromFile(fsOps, s"${commitsDir(root)}/$f")
       Commit(c.getLong("version"), c.getLong("ts"), c.getString("op"),
-        c.getLong("rows"), c.getString("path"))
-    }
+        c.getLong("rows"), c.getString("path"),
+        c.getStringOpt("index_col"))
+    }.sortBy(_.version)
 
   private def commitOf(fsOps: FsOps, root: String, version: Long): Commit =
     commits(fsOps, root).find(_.version == version).getOrElse(
@@ -85,48 +93,104 @@ object VersionedTable {
     * supplied epoch millis — keeps replays and tests deterministic).
     */
   def write(df: DataFrame, fsOps: FsOps, root: String, ts: Long,
-      op: String = "write", maxAttempts: Int = 5): Long = {
+      op: String = "write", maxAttempts: Int = 5): Long =
+    writeLanded(df, fsOps, root, ts, op, maxAttempts, None,
+      dir => df.write.parquet(dir))
+
+  /** Shared commit protocol behind [[write]] and [[writeIndexed]]: `land`
+    * materializes the snapshot into the writer-private dir; `indexCol`
+    * (when set) is recorded in the commit so readers can discover the
+    * committed manifest dimension.
+    */
+  private def writeLanded(df: DataFrame, fsOps: FsOps,
+      root: String, ts: Long, op: String, maxAttempts: Int,
+      indexCol: Option[String], land: String => Unit): Long = {
     // writer-private landing dir: concurrent writers never touch each
     // other's files, and until a commit references it the dir is invisible
     val name = "d-" + java.util.UUID.randomUUID.toString.take(8)
     val dir = s"$root/$name"
-    df.write.parquet(dir)
+    land(dir)
     val rows = df.sparkSession.read.parquet(dir).count()
+    val record = commitJson(ts, op, rows, name,
+      indexCol.map("index_col" -> _))
     var attempt = 0
     var committed = -1L
-    var last: Throwable = null
     while (committed < 0 && attempt < maxAttempts) {
       attempt += 1
       val next = commits(fsOps, root).lastOption.map(_.version + 1).getOrElse(1L)
-      try {
-        createExclusive(fsOps, commitFile(root, next),
-          s"""{"version": $next, "ts": $ts, "op": "$op", "rows": $rows,""" +
-            s""" "path": "$name"}""")
+      // lost races retry the COMMIT ONLY against the refreshed log (the
+      // landed data stays where it is); every OTHER failure propagates —
+      // publishExclusive never leaves a visible half-written commit
+      if (publishExclusive(fsOps, commitFile(root, next),
+          s"""{"version": $next, ${record.stripPrefix("{")}"""))
         committed = next
-      } catch {
-        // lost the race for this number: retry the COMMIT ONLY against
-        // the refreshed log (the landed data stays where it is)
-        case e: java.io.IOException => last = e
-      }
     }
     if (committed < 0) {
       fsOps.deleteAll(dir)
       throw new java.io.IOException(
-        s"could not commit to $root after $maxAttempts attempts", last)
+        s"could not commit to $root after $maxAttempts attempts " +
+          "(lost every version race)")
     }
     committed
   }
 
-  /** HDFS-atomic create-no-clobber: exactly one of two racing writers of
-    * the same path succeeds.
+  /** Minimal JSON string escape for caller-supplied commit fields (`op`):
+    * a quote or backslash must not produce an unparsable commit file.
     */
-  private def createExclusive(fsOps: FsOps, p: String,
-      content: String): Unit = {
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def commitJson(ts: Long, op: String, rows: Long, name: String,
+      extra: Option[(String, String)]): String = {
+    val tail = extra.map { case (k, v) =>
+      s""", "$k": "${jsonEscape(v)}"""" }.getOrElse("")
+    s"""{"ts": $ts, "op": "${jsonEscape(op)}", "rows": $rows,""" +
+      s""" "path": "$name"$tail}"""
+  }
+
+  /** Atomic no-half-states commit publication: the content is fully
+    * written (and closed) into a hidden writer-private `.….tmp` staging
+    * file — invisible to [[commits]] — then published with a rename onto
+    * the final name. Returns false when the race for this version number
+    * was lost (the commit file already exists); any OTHER failure cleans
+    * up the staging file and propagates, so no code path can leave a
+    * visible empty or partial commit. HDFS rename is atomic and refuses
+    * an existing destination, exactly the no-clobber primitive
+    * `create(p, overwrite = false)` gives — minus its visible-while-
+    * writing window. On a raw local FS (tests) the exists-check + rename
+    * pair narrows but cannot close the clobber window (POSIX rename
+    * replaces); on HDFS/object-store-with-atomic-rename it is exact.
+    */
+  private def publishExclusive(fsOps: FsOps, p: String,
+      content: String): Boolean = {
     val pp = new Path(p)
     val f = fsOps.fs(pp)
     if (!f.exists(pp.getParent)) f.mkdirs(pp.getParent)
-    val out = f.create(pp, false) // throws if the commit already exists
-    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val tmp = new Path(pp.getParent,
+      "." + pp.getName + "." + java.util.UUID.randomUUID.toString.take(8)
+        + ".tmp")
+    try {
+      val out = f.create(tmp, false) // private name: never contended
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      if (f.exists(pp)) { f.delete(tmp, false); return false } // lost
+      val won =
+        try f.rename(tmp, pp)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      if (!won) f.delete(tmp, false)
+      won
+    } catch {
+      case e: Throwable =>
+        if (f.exists(tmp)) f.delete(tmp, false)
+        throw e
+    }
   }
 
   /** Snapshot read at an explicit version. Fails fast (naming the
@@ -170,16 +234,77 @@ object VersionedTable {
     * row that disappeared). A key present in both snapshots counts as an
     * update only when some non-key column differs.
     *
+    * PRECONDITION: `keys` uniquely identify rows WITHIN each snapshot —
+    * duplicate keys cross-product in the full-outer join and yield
+    * inflated/misclassified change rows. Callers with unverified keys
+    * pass `checkUniqueKeys = true` to fail fast (one extra aggregate
+    * over each snapshot — skip it only when uniqueness is enforced
+    * upstream, the usual primary-key case).
+    *
     * One full-outer join of exactly the two snapshots; payloads hash-
     * compare inside the join row — no second pass, no driver collect.
     */
   def diff(spark: SparkSession, fsOps: FsOps, root: String,
-      fromV: Long, toV: Long, keys: Seq[String]): DataFrame = {
+      fromV: Long, toV: Long, keys: Seq[String],
+      checkUniqueKeys: Boolean = false): DataFrame =
+    changedJoin(spark, fsOps, root, fromV, toV, keys, checkUniqueKeys) {
+      (joined, keyCols, payload, changeType) =>
+        val outPayload = payload.map(c =>
+          when(col("t_present").isNull, col(s"f_$c"))
+            .otherwise(col(s"t_$c")).as(c))
+        joined.filter(changeType.isNotNull)
+          .select((keyCols :+ changeType.as("change_type")) ++ outPayload: _*)
+    }
+
+  /** CDC feed with BOTH payload sides: like [[diff]] but an update emits
+    * TWO rows — `update_preimage` (the FROM-side row being retracted) and
+    * `update_postimage` (the TO-side row replacing it) — so the feed is
+    * directly consumable as a ±1-weighted delta by incremental view
+    * maintenance ([[graft.operators.IncrementalAgg.refreshFromChanges]]):
+    * preimage/delete retract, postimage/insert add. Delta Lake's CDF
+    * publishes the same four-type shape. Same single full-outer join as
+    * [[diff]]; the two update rows come from exploding a 2-element
+    * in-row array, never a second join or pass.
+    */
+  def changeFeed(spark: SparkSession, fsOps: FsOps, root: String,
+      fromV: Long, toV: Long, keys: Seq[String],
+      checkUniqueKeys: Boolean = false): DataFrame =
+    changedJoin(spark, fsOps, root, fromV, toV, keys, checkUniqueKeys) {
+      (joined, keyCols, payload, changeType) =>
+        def side(s: String, tpe: Column) = struct(
+          tpe.as("change_type") +: payload.map(c => col(s"${s}_$c").as(c)): _*)
+        val rows = when(changeType === "insert",
+            array(side("t", lit("insert"))))
+          .when(changeType === "delete", array(side("f", lit("delete"))))
+          .when(changeType === "update", array(
+            side("f", lit("update_preimage")),
+            side("t", lit("update_postimage"))))
+        val exploded = joined.filter(changeType.isNotNull)
+          .select((keyCols :+ explode(rows).as("c")): _*)
+        exploded.select(
+          (keys.map(col) :+ col("c.change_type").as("change_type")) ++
+            payload.map(c => col(s"c.$c").as(c)): _*)
+    }
+
+  /** The shared one-join core of [[diff]] and [[changeFeed]]: classify
+    * each key as insert/delete/update, hand the shaping to `emit`.
+    */
+  private def changedJoin(spark: SparkSession, fsOps: FsOps, root: String,
+      fromV: Long, toV: Long, keys: Seq[String], checkUniqueKeys: Boolean)(
+      emit: (DataFrame, Seq[Column], Seq[String], Column) => DataFrame)
+      : DataFrame = {
     val from = readVersion(spark, fsOps, root, fromV)
     val to = readVersion(spark, fsOps, root, toV)
     require(from.columns.sorted.sameElements(to.columns.sorted),
       s"diff requires matching schemas; from=${from.columns.mkString(",")} " +
         s"to=${to.columns.mkString(",")}")
+    if (checkUniqueKeys)
+      Seq(fromV -> from, toV -> to).foreach { case (v, df) =>
+        val dups = df.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+        require(dups == 0L,
+          s"diff keys (${keys.mkString(",")}) are not unique in version $v")
+      }
     val payload = from.columns.filterNot(keys.contains).sorted.toSeq
     def tagged(df: DataFrame, side: String): DataFrame = {
       val cols = keys.map(k => col(k).as(s"${side}_$k")) ++
@@ -198,11 +323,7 @@ object VersionedTable {
       .when(changed, lit("update"))
     val keyCols = keys.map(k =>
       coalesce(col(s"t_$k"), col(s"f_$k")).as(k))
-    val outPayload = payload.map(c =>
-      when(col("t_present").isNull, col(s"f_$c"))
-        .otherwise(col(s"t_$c")).as(c))
-    joined.filter(changeType.isNotNull)
-      .select((keyCols :+ changeType.as("change_type")) ++ outPayload: _*)
+    emit(joined, keyCols, payload, changeType)
   }
 
   /** Rollback: publish snapshot `version`'s content as a NEW latest
@@ -214,20 +335,91 @@ object VersionedTable {
     write(readVersion(spark, fsOps, root, version), fsOps, root, ts,
       op = "restore")
 
+  /** Name of the per-snapshot manifest dir INSIDE the data dir: the `_`
+    * prefix makes it invisible to `spark.read.parquet(dataDir)`, so plain
+    * [[readVersion]] of an indexed snapshot needs no special casing, and
+    * the manifest travels/vacuums with its snapshot atomically (one
+    * commit references both).
+    */
+  private val ManifestDir = "_manifest"
+
+  /** [[write]] but the snapshot lands RANGE-SORTED on `indexCol` with a
+    * per-file min/max data-skipping manifest committed alongside it
+    * (built from the landed parquet footers — O(numFiles) driver work),
+    * and the commit records the index dimension. [[readVersionPruned]]
+    * then serves range predicates opening ONLY admitted files — the
+    * lakehouse file-skipping contract, per committed snapshot.
+    */
+  def writeIndexed(df: DataFrame, fsOps: FsOps, root: String, ts: Long,
+      indexCol: String, numFiles: Int, op: String = "write",
+      maxAttempts: Int = 5): Long =
+    writeLanded(df, fsOps, root, ts, op, maxAttempts, Some(indexCol),
+      dir => graft.operators.Layout.writeSortedWithManifest(
+        df.sparkSession, df, dir, indexCol, numFiles,
+        s"$dir/$ManifestDir"))
+
+  /** Time-travel range read: prune version `version`'s files from its
+    * COMMITTED manifest before opening any of them, then apply the exact
+    * `[lo, hi]` predicate to the survivors. Fails fast when the snapshot
+    * was not [[writeIndexed]] on `indexCol` — never silently full-scans.
+    */
+  def readVersionPruned(spark: SparkSession, fsOps: FsOps, root: String,
+      version: Long, indexCol: String, lo: Long, hi: Long): DataFrame = {
+    val c = commitOf(fsOps, root, version)
+    require(c.indexCol.contains(indexCol),
+      s"version $version of $root is not indexed on $indexCol " +
+        s"(committed index: ${c.indexCol.getOrElse("none")})")
+    val dir = dataDir(root, c)
+    require(fsOps.exists(dir),
+      s"version $version of $root was vacuumed; earliest readable is " +
+        s"${earliestReadable(fsOps, root).getOrElse(-1L)}")
+    graft.operators.Layout.readPruned(spark, dir, s"$dir/$ManifestDir",
+      indexCol, lo, hi)
+  }
+
+  /** Default retention grace before a superseded version's data may be
+    * vacuumed — the reference's `vacuum_retention_period` default
+    * (reference: src/main/scala/com/adidas/analytics/config/loads/DeltaLakeLoadConfiguration.scala:47-51
+    * — 12 hours, fail-fast below the floor unless explicitly forced).
+    */
+  val DefaultRetentionMs: Long = 12L * 60 * 60 * 1000
+
   /** Drop the DATA of all but the newest `keepLast` versions; the commit
     * log keeps every entry (audit history survives, and readVersion of a
     * vacuumed version fails by name instead of by missing path). Returns
     * the versions whose data was removed.
+    *
+    * Retention guard: a version SUPERSEDED within the last `retentionMs`
+    * (measured from its successor's commit ts — a version is only unsafe
+    * to drop once something newer replaced it) survives even beyond
+    * `keepLast`, so a concurrent reader that planned its scan against a
+    * just-superseded snapshot is not vacuumed out from under it.
+    * `retentionMs` below [[DefaultRetentionMs]] fails fast unless
+    * `force = true` — the reference's guard against foot-gun retention.
+    * `nowMs` is caller-suppliable for deterministic tests/replays.
     */
   def vacuum(fsOps: FsOps, root: String, keepLast: Int,
-      sweepUncommitted: Boolean = false): Seq[Long] = {
+      sweepUncommitted: Boolean = false,
+      retentionMs: Long = DefaultRetentionMs, force: Boolean = false,
+      nowMs: Long = System.currentTimeMillis): Seq[Long] = {
     require(keepLast >= 1, "vacuum must retain at least the latest version")
+    require(force || retentionMs >= DefaultRetentionMs,
+      s"retentionMs=$retentionMs is below the ${DefaultRetentionMs}ms " +
+        "floor; a concurrent reader of a just-superseded version could " +
+        "be vacuumed mid-scan. Pass force = true to override.")
     val all = commits(fsOps, root)
+    // supersededAt(i) = ts of the next commit; the latest version has no
+    // successor (and is inside keepLast anyway)
+    val supersededAt = all.indices.map(i =>
+      if (i + 1 < all.size) Some(all(i + 1).ts) else None)
     // a restore may share its predecessor's data dir only by re-landing
     // (it never does today — write() always lands fresh) but guard on
     // referenced paths anyway: never delete a dir a RETAINED commit names
     val retainedPaths = all.takeRight(keepLast).map(_.path).toSet
-    val drop = all.dropRight(keepLast)
+    val drop = all.zipWithIndex.dropRight(keepLast)
+      .filterNot { case (_, i) =>
+        supersededAt(i).exists(ts => nowMs - ts < retentionMs) }
+      .map(_._1)
       .filterNot(c => retainedPaths.contains(c.path))
       .filter(c => fsOps.exists(dataDir(root, c)))
     drop.foreach(c => fsOps.deleteAll(dataDir(root, c)))

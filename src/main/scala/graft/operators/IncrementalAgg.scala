@@ -89,6 +89,71 @@ object IncrementalAgg {
       .select((keys ++ stateCols(sumCols, minCols, maxCols)).map(col): _*)
   }
 
+  /** Fold a [[graft.catalog.VersionedTable.changeFeed]] batch into the
+    * state: change rows weight +1 for insert/update_postimage and -1 for
+    * delete/update_preimage (an update retracts its preimage and adds its
+    * postimage — exact for the algebraic count/sum state). This is the
+    * maintenance loop the two components compose into: a versioned base
+    * table's v(N)→v(N+1) feed maintains its aggregate views with no
+    * manual delta construction, at delta-cardinality cost.
+    */
+  def refreshFromChanges(state: DataFrame, changes: DataFrame,
+      keys: Seq[String], sumCols: Seq[String]): DataFrame = {
+    val ct = col("change_type")
+    val known = Seq("insert", "update_postimage", "delete",
+      "update_preimage")
+    val weighted = changes.withColumn("cdc_w",
+      when(ct.isin("insert", "update_postimage"), lit(1L))
+        .when(ct.isin("delete", "update_preimage"), lit(-1L)))
+    // an unknown change_type must fail, not silently weight-0: raise
+    // from inside the plan without a separate validation pass
+    val guarded = weighted.withColumn("cdc_w",
+      when(col("cdc_w").isNotNull, col("cdc_w")).otherwise(
+        raise_error(concat(lit("unknown change_type: "), ct,
+          lit(s" (expected one of ${known.mkString(", ")})")))))
+    refresh(state, guarded, keys, sumCols, weightCol = Some("cdc_w"))
+  }
+
+  /** Weighted refresh WITH min/max maintenance: min/max are not
+    * retractable from partials alone, so the groups the delta touches are
+    * recomputed from `newBase` (the base table AFTER the delta) behind a
+    * semi-join on the delta's key set, while count/sum stay algebraic and
+    * untouched groups keep their state min/max without any base scan.
+    * Refresh cost: the delta shuffle (group-cardinality partials, as
+    * [[refresh]]) plus ONE semi-join-pruned scan of the touched groups'
+    * base rows — never a full recompute. The delta key set is broadcast
+    * (a delta touches few groups by contract); at 100 TB the base-side
+    * scan still prunes by partition/file stats on the key columns where
+    * the layout provides them.
+    */
+  def refreshWithRecompute(state: DataFrame, delta: DataFrame,
+      newBase: DataFrame, keys: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String], maxCols: Seq[String],
+      weightCol: Option[String]): DataFrame = {
+    require(minCols.nonEmpty || maxCols.nonEmpty,
+      "refreshWithRecompute exists for min/max maintenance; use refresh " +
+        "for pure count/sum state")
+    val keyCols = keys.map(col)
+    val algebraicState =
+      state.select((keys ++ stateCols(sumCols, Seq.empty, Seq.empty))
+        .map(col): _*)
+    val algebraic = refresh(algebraicState, delta, keys, sumCols,
+      weightCol = weightCol)
+    val touched = delta.select(keyCols: _*).distinct()
+    val mmAggs = minCols.map(c => min(col(c)).as(s"min_$c")) ++
+      maxCols.map(c => max(col(c)).as(s"max_$c"))
+    val recomputed = newBase.join(broadcast(touched), keys, "left_semi")
+      .groupBy(keyCols: _*).agg(mmAggs.head, mmAggs.tail: _*)
+    val mmNames = minCols.map("min_" + _) ++ maxCols.map("max_" + _)
+    val untouched = state.select((keys ++ mmNames).map(col): _*)
+      .join(broadcast(touched), keys, "left_anti")
+    val minmax = untouched.unionByName(recomputed)
+    // inner: a fully-retracted group left `algebraic`; a brand-new group
+    // is in `touched`, hence in `recomputed`
+    algebraic.join(minmax, keys)
+      .select((keys ++ stateCols(sumCols, minCols, maxCols)).map(col): _*)
+  }
+
   /** The queryable view: state plus derived averages (exact division
     * deferred to serve time; avg columns are doubles, rounded by the
     * caller if they cross an engine boundary).

@@ -135,6 +135,131 @@ class VersionedTableSpec extends SparkSpec {
       df((1L, "a", 1L)))
   }
 
+  test("a crashed mid-publish writer's staging file is invisible and " +
+      "does not block later commits") {
+    val root = tmp("vt")
+    VersionedTable.write(df((1L, "a", 1L)), fs, root, ts = 100L)
+    // simulate a writer that staged commit content but died before the
+    // publishing rename: only .tmp names can ever be half-written
+    fs.writeFile(s"$root/_commits/.00002.json.deadbeef.tmp",
+      """{"version": 2, "ts":""") // truncated on purpose
+    assert(VersionedTable.latestVersion(fs, root) === 1L)
+    assert(VersionedTable.write(df((2L, "b", 2L)), fs, root, 200L) === 2L)
+    assertSameRows(VersionedTable.readLatest(spark, fs, root),
+      df((2L, "b", 2L)))
+  }
+
+  test("op strings with quotes and backslashes round-trip the commit log") {
+    val root = tmp("vt")
+    val op = """write "q1" via C:\jobs\n1"""
+    VersionedTable.write(df((1L, "a", 1L)), fs, root, ts = 100L, op = op)
+    assert(VersionedTable.commits(fs, root).head.op === op)
+    assert(VersionedTable.latestVersion(fs, root) === 1L)
+  }
+
+  test("version ordering is numeric, not lexicographic: 100000 > 99999") {
+    val root = tmp("vt")
+    // forge the log directly: "100000.json" sorts lexicographically
+    // BEFORE "99999.json"; commits() must order by the parsed version
+    for (v <- Seq(99999L, 100000L)) {
+      df((v, "x", v)).write.parquet(s"$root/d-$v")
+      fs.writeFile(s"$root/_commits/$v.json",
+        s"""{"version": $v, "ts": $v, "op": "write", "rows": 1,""" +
+          s""" "path": "d-$v"}""")
+    }
+    assert(VersionedTable.latestVersion(fs, root) === 100000L)
+    assertSameRows(VersionedTable.readLatest(spark, fs, root),
+      df((100000L, "x", 100000L)))
+    // and the next write claims 100001, not a recycled number
+    assert(VersionedTable.write(df((5L, "y", 5L)), fs, root, 999999L)
+      === 100001L)
+  }
+
+  test("vacuum retention: a just-superseded version survives keepLast; " +
+      "age past retention releases it; floor fails fast unless forced") {
+    val hour = 60L * 60 * 1000
+    val root = tmp("vt")
+    VersionedTable.write(df((1L, "a", 1L)), fs, root, ts = 0L)
+    VersionedTable.write(df((2L, "b", 2L)), fs, root, ts = 1000L)
+    // v1 was superseded at ts=1000; one hour later it is inside the 12h
+    // retention window → protected even though keepLast=1 would drop it
+    assert(VersionedTable.vacuum(fs, root, keepLast = 1,
+      nowMs = 1000L + hour).isEmpty)
+    assert(VersionedTable.readVersion(spark, fs, root, 1L).count() === 1L)
+    // 13 hours after supersession the grace has lapsed
+    assert(VersionedTable.vacuum(fs, root, keepLast = 1,
+      nowMs = 1000L + 13 * hour) === Seq(1L))
+    // sub-floor retention is a foot-gun: fail fast, force overrides
+    VersionedTable.write(df((3L, "c", 3L)), fs, root, ts = 2000L)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.vacuum(fs, root, keepLast = 1, retentionMs = 1L,
+        nowMs = 2000L + hour)
+    }
+    assert(e.getMessage.contains("force"))
+    assert(VersionedTable.vacuum(fs, root, keepLast = 1, retentionMs = 1L,
+      force = true, nowMs = 2000L + hour) === Seq(2L))
+  }
+
+  test("changeFeed expands an update into preimage + postimage; " +
+      "insert/delete stay single rows") {
+    val root = tmp("vt")
+    VersionedTable.write(
+      df((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)), fs, root, 100L)
+    VersionedTable.write(
+      df((1L, "a", 10L), (2L, "b", 21L), (4L, "d", 40L)), fs, root, 200L)
+    val feed = VersionedTable.changeFeed(spark, fs, root, 1L, 2L, Seq("id"))
+      .select("id", "change_type", "name", "val")
+    assertSameRows(feed, Seq(
+      (2L, "update_preimage", "b", 20L), // the retracted row
+      (2L, "update_postimage", "b", 21L), // its replacement
+      (3L, "delete", "c", 30L),
+      (4L, "insert", "d", 40L)
+    ).toDF("id", "change_type", "name", "val"))
+  }
+
+  test("diff/changeFeed fail fast on duplicate keys when asked") {
+    val root = tmp("vt")
+    VersionedTable.write(df((1L, "a", 1L), (1L, "a2", 2L)), fs, root, 100L)
+    VersionedTable.write(df((1L, "a", 1L)), fs, root, 200L)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.diff(spark, fs, root, 1L, 2L, Seq("id"),
+        checkUniqueKeys = true)
+    }
+    assert(e.getMessage.contains("not unique in version 1"))
+    // without the check the precondition is the caller's (documented)
+    VersionedTable.diff(spark, fs, root, 1L, 2L, Seq("id")).collect()
+  }
+
+  test("writeIndexed commits a manifest; readVersionPruned opens only " +
+      "admitted files and matches the exact filter") {
+    val root = tmp("vt")
+    val big = spark.range(0, 4000).selectExpr("id", "id * 2 AS val")
+    VersionedTable.writeIndexed(big, fs, root, ts = 100L,
+      indexCol = "id", numFiles = 8)
+    // a later plain write doesn't disturb version 1's index
+    VersionedTable.write(spark.range(0, 10).toDF(), fs, root, ts = 200L)
+    assert(VersionedTable.commits(fs, root).head.indexCol === Some("id"))
+    val pruned = VersionedTable.readVersionPruned(spark, fs, root, 1L,
+      "id", lo = 1000L, hi = 1499L)
+    assertSameRows(pruned,
+      big.filter(col("id") >= 1000L && col("id") <= 1499L))
+    // the sorted layout puts 500 of 4000 rows in 1-2 of the 8 files
+    val full = VersionedTable.readVersion(spark, fs, root, 1L)
+    assert(pruned.inputFiles.length < full.inputFiles.length)
+    assert(pruned.inputFiles.toSet.subsetOf(full.inputFiles.toSet))
+    // plain readVersion of the indexed snapshot ignores the manifest dir
+    assert(full.count() === 4000L)
+    // asking for a dimension the commit did not index fails by name
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.readVersionPruned(spark, fs, root, 1L, "val", 0, 1)
+    }
+    assert(e.getMessage.contains("not indexed on val"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.readVersionPruned(spark, fs, root, 2L, "id", 0, 1)
+    }
+    assert(e2.getMessage.contains("not indexed"))
+  }
+
   test("two racing writers commit distinct versions, both readable") {
     val root = tmp("vt")
     VersionedTable.write(df((0L, "seed", 0L)), fs, root, 50L)

@@ -95,4 +95,82 @@ class IncrementalAggSpec extends SparkSpec {
     assert(plan.contains("partial_sum") || plan.contains("Partial"),
       s"expected partial aggregation below the union:\n$plan")
   }
+
+  test("refreshFromChanges folds a CDC feed: update retracts preimage " +
+      "and adds postimage, matching a full recompute") {
+    val state = IncrementalAgg.init(
+      Seq(("a", 10L, 1L), ("a", 20L, 2L), ("b", 5L, 3L))
+        .toDF("k", "m", "id"), Seq("k"), Seq("m"))
+    // id=2 moves 20→25 (update), id=3 deleted, id=4 inserted under "a"
+    val feed = Seq(
+      ("update_preimage", "a", 20L, 2L),
+      ("update_postimage", "a", 25L, 2L),
+      ("delete", "b", 5L, 3L),
+      ("insert", "a", 7L, 4L)
+    ).toDF("change_type", "k", "m", "id")
+    val got = IncrementalAgg.refreshFromChanges(state, feed, Seq("k"),
+      Seq("m"))
+    val want = recompute(Seq(("a", 10L, 1L), ("a", 25L, 2L), ("a", 7L, 4L))
+      .toDF("k", "m", "id"))
+    assertSameRows(got.select("k", "n_rows", "sum_m"), want)
+  }
+
+  test("refreshFromChanges raises on an unknown change_type") {
+    val state = IncrementalAgg.init(
+      Seq(("a", 1L, 1L)).toDF("k", "m", "id"), Seq("k"), Seq("m"))
+    val bad = Seq(("upsert", "a", 2L, 2L)).toDF("change_type", "k", "m", "id")
+    val e = intercept[Exception] {
+      IncrementalAgg.refreshFromChanges(state, bad, Seq("k"), Seq("m"))
+        .collect()
+    }
+    assert(e.getMessage.contains("unknown change_type")
+      || Option(e.getCause).exists(_.getMessage.contains(
+        "unknown change_type")))
+  }
+
+  test("refreshWithRecompute: a delete that removes a group's max " +
+      "recomputes it from the touched group only") {
+    val base = Seq(
+      ("a", 10L, 1L), ("a", 90L, 2L), ("a", 40L, 3L),
+      ("b", 7L, 4L), ("b", 3L, 5L)).toDF("k", "m", "id")
+    val state = IncrementalAgg.init(base, Seq("k"), Seq("m"),
+      minCols = Seq("m"), maxCols = Seq("m"))
+    // delete a's max (90) and its min (10); insert a 55
+    val delta = Seq(
+      ("a", 90L, 2L, -1L), ("a", 10L, 1L, -1L), ("a", 55L, 6L, 1L)
+    ).toDF("k", "m", "id", "w")
+    val newBase = Seq(
+      ("a", 40L, 3L), ("a", 55L, 6L), ("b", 7L, 4L), ("b", 3L, 5L)
+    ).toDF("k", "m", "id")
+    val got = IncrementalAgg.refreshWithRecompute(state, delta, newBase,
+      Seq("k"), Seq("m"), Seq("m"), Seq("m"), Some("w"))
+    val want = newBase.groupBy("k").agg(
+      count(lit(1)).as("n_rows"), sum("m").as("sum_m"),
+      min("m").as("min_m"), max("m").as("max_m"))
+    assertSameRows(
+      got.select("k", "n_rows", "sum_m", "min_m", "max_m"), want)
+  }
+
+  test("refreshWithRecompute plan: base scan is semi-join-pruned on the " +
+      "broadcast touched-key set; untouched groups never read the base") {
+    val base = fact(500)
+    val state = IncrementalAgg.init(base, Seq("k"), Seq("m"),
+      maxCols = Seq("m"))
+    val delta = base.filter($"k" === "k1" && $"id" % 7 === 0)
+      .withColumn("w", lit(-1L))
+    val newBase = base.except(delta.drop("w"))
+    val plan = IncrementalAgg.refreshWithRecompute(state, delta, newBase,
+      Seq("k"), Seq("m"), Seq.empty, Seq("m"), Some("w"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"expected semi-pruned recompute + anti-pruned state carry:\n$plan")
+    assert(plan.contains("Broadcast"),
+      s"touched-key set must broadcast, not shuffle the base:\n$plan")
+    // behavior: untouched group k2's max survives verbatim from state
+    val got = IncrementalAgg.refreshWithRecompute(state, delta, newBase,
+      Seq("k"), Seq("m"), Seq.empty, Seq("m"), Some("w"))
+    val want = newBase.groupBy("k").agg(count(lit(1)).as("n_rows"),
+      sum("m").as("sum_m"), max("m").as("max_m"))
+    assertSameRows(got.select("k", "n_rows", "sum_m", "max_m"), want)
+  }
 }
