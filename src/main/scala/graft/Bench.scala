@@ -25,12 +25,15 @@ object Bench {
         }
       }
       val t1 = once()
-      // slow queries are the box-noise-sensitive ones (real I/O round
-      // trips): take the min of two samples so one load spike doesn't
-      // read as a regression (a single 4.79 s sample of a 2.6 s query
-      // cost round 2 exactly that false alarm)
-      val t = if (t1 > 1.5) { val t2 = once(); if (t2 < 0) t1
-        else math.min(t1, t2) } else t1
+      // median-of-3 for EVERY query: the box intermittently spikes a
+      // single sample 3-5x (round 11 adjudication: q54 printed 3.32 s
+      // against a 0.94 s fresh-JVM median — one spiked sample, not a
+      // regression; even min-of-2 lost to a spike spanning both
+      // back-to-back samples). A crashed first sample is not retried.
+      val t = if (t1 < 0) t1 else {
+        val samples = Seq(t1, once(), once()).filter(_ >= 0).sorted
+        samples(samples.size / 2)
+      }
       name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

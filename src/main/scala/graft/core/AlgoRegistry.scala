@@ -1939,6 +1939,170 @@ object AlgoRegistry {
           dfs
         }
       }
+    // --- versioned-table lake maintenance (catalog/VersionedTable.scala):
+    // time travel, CDC, restore, vacuum as params-surface algorithms so
+    // the q76-class JobRunner pipelines can compose them ---
+    case "VersionWrite" =>
+      val s = spark
+      new Algorithm {
+        val spark: SparkSession = s
+        override def read(): Vector[DataFrame] = Vector(
+          fmt(config).read(s, Map.empty, None,
+            config.getString("source_dir")))
+        override def transform(dfs: Vector[DataFrame]): Vector[DataFrame] =
+          dfs
+        override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
+          val root = config.getString("table_root")
+          val ts = config.getLong("ts")
+          val op = config.getStringOpt("op").getOrElse("write")
+          config.getStringOpt("index_col") match {
+            case Some(ic) => graft.catalog.VersionedTable.writeIndexed(
+              dfs.head, fsOps, root, ts, ic,
+              config.getIntOpt("num_files").getOrElse(10), op)
+            case None => graft.catalog.VersionedTable.write(
+              dfs.head, fsOps, root, ts, op)
+          }
+          dfs
+        }
+      }
+    case "VersionRead" =>
+      val s = spark
+      new Algorithm {
+        val spark: SparkSession = s
+        override def read(): Vector[DataFrame] = {
+          val root = config.getString("table_root")
+          val vt = graft.catalog.VersionedTable
+          val df = (config.getOpt[Any]("version"),
+              config.getOpt[Any]("as_of_ts")) match {
+            case (Some(_), _) =>
+              val v = config.getLong("version")
+              config.getStringOpt("index_col") match {
+                case Some(ic) => vt.readVersionPruned(s, fsOps, root, v,
+                  ic, config.getLong("lo"), config.getLong("hi"))
+                case None => vt.readVersion(s, fsOps, root, v)
+              }
+            case (None, Some(_)) =>
+              vt.readAsOf(s, fsOps, root, config.getLong("as_of_ts"))
+            case _ => vt.readLatest(s, fsOps, root)
+          }
+          Vector(df)
+        }
+        override def transform(dfs: Vector[DataFrame]): Vector[DataFrame] =
+          dfs
+        override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
+          new AtomicWriter(fsOps, Seq.empty,
+              config.getIntOpt("output_files_num"))
+            .write(dfs.head, DataFormat.Parquet,
+              config.getString("target_dir"), LoadMode.OverwriteTable)
+          dfs
+        }
+      }
+    case "VersionDiff" =>
+      val s = spark
+      new Algorithm {
+        val spark: SparkSession = s
+        override def read(): Vector[DataFrame] = {
+          val vt = graft.catalog.VersionedTable
+          val root = config.getString("table_root")
+          val keys = config.getSeq[String]("key_columns")
+          val fromV = config.getLong("from_version")
+          val toV = config.getLong("to_version")
+          val check = config.getBoolean("check_unique_keys",
+            default = false)
+          Vector(
+            if (config.getStringOpt("mode").contains("changefeed"))
+              vt.changeFeed(s, fsOps, root, fromV, toV, keys, check)
+            else vt.diff(s, fsOps, root, fromV, toV, keys, check))
+        }
+        override def transform(dfs: Vector[DataFrame]): Vector[DataFrame] =
+          dfs
+        override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
+          new AtomicWriter(fsOps, Seq.empty,
+              config.getIntOpt("output_files_num"))
+            .write(dfs.head, DataFormat.Parquet,
+              config.getString("target_dir"), LoadMode.OverwriteTable)
+          dfs
+        }
+      }
+    case "VersionRestore" =>
+      val s = spark
+      new Algorithm {
+        val spark: SparkSession = s
+        override def read(): Vector[DataFrame] = Vector.empty
+        override def transform(dfs: Vector[DataFrame]): Vector[DataFrame] =
+          dfs
+        override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
+          graft.catalog.VersionedTable.restore(s, fsOps,
+            config.getString("table_root"), config.getLong("version"),
+            config.getLong("ts"))
+          dfs
+        }
+      }
+    case "VersionVacuum" =>
+      val s = spark
+      new Algorithm {
+        val spark: SparkSession = s
+        override def read(): Vector[DataFrame] = Vector.empty
+        override def transform(dfs: Vector[DataFrame]): Vector[DataFrame] =
+          dfs
+        override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
+          graft.catalog.VersionedTable.vacuum(fsOps,
+            config.getString("table_root"), config.getInt("keep_last"),
+            sweepUncommitted = config.getBoolean("sweep_uncommitted",
+              default = false),
+            retentionMs = config.getOpt[Any]("retention_ms")
+              .map(_ => config.getLong("retention_ms"))
+              .getOrElse(graft.catalog.VersionedTable.DefaultRetentionMs),
+            force = config.getBoolean("force", default = false))
+          dfs
+        }
+      }
+    // --- incremental view maintenance (operators/IncrementalAgg.scala):
+    // state init + delta/CDC refresh as params-surface algorithms ---
+    case "IncrementalAggInit" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.IncrementalAgg.init(df,
+        config.getSeq[String]("key_columns"),
+        config.getSeq[String]("sum_columns"),
+        config.getSeq[String]("min_columns"),
+        config.getSeq[String]("max_columns")))
+    case "IncrementalAggRefresh" =>
+      val s = spark
+      new Algorithm {
+        val spark: SparkSession = s
+        override def read(): Vector[DataFrame] = Vector(
+          s.read.parquet(config.getString("state_dir")),
+          fmt(config).read(s, Map.empty, None,
+            config.getString("delta_dir")))
+        override def transform(dfs: Vector[DataFrame]): Vector[DataFrame] = {
+          val Vector(state, delta) = dfs
+          val ia = graft.operators.IncrementalAgg
+          val keys = config.getSeq[String]("key_columns")
+          val sums = config.getSeq[String]("sum_columns")
+          val mins = config.getSeq[String]("min_columns")
+          val maxs = config.getSeq[String]("max_columns")
+          val w = config.getStringOpt("weight_column")
+          val out =
+            if (config.getBoolean("from_changes", default = false))
+              ia.refreshFromChanges(state, delta, keys, sums)
+            else config.getStringOpt("new_base_dir") match {
+              case Some(nb) => ia.refreshWithRecompute(state, delta,
+                fmt(config).read(s, Map.empty, None, nb), keys, sums,
+                mins, maxs, w)
+              case None => ia.refresh(state, delta, keys, sums, mins,
+                maxs, w)
+            }
+          Vector(out)
+        }
+        override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
+          new AtomicWriter(fsOps, Seq.empty,
+              config.getIntOpt("output_files_num"))
+            .write(dfs.head, DataFormat.Parquet,
+              config.getString("target_dir"), LoadMode.OverwriteTable)
+          dfs
+        }
+      }
     case other => throw new IllegalArgumentException(s"unknown algorithm: $other")
   }
 }

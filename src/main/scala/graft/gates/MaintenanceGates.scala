@@ -143,6 +143,85 @@ object MaintenanceGates extends GateSupport {
       IncrementalAgg.refresh(state, inserts.unionByName(deletes),
           Seq("n_name"), Seq("rev_cents"), weightCol = Some("w"))
         .select(col("n_name"), col("n_rows"), col("sum_rev_cents"))
+    }),
+
+    // the maintenance loop CLOSED: a versioned base table's v1→v2
+    // change feed (update_preimage/update_postimage rows) maintains its
+    // aggregate view with no manual delta construction — refresh cost is
+    // the CDC join of the two snapshots + a group-cardinality shuffle,
+    // and the result equals a full recompute on v2 (the gate's oracle)
+    "q308_maintained_view_cdc" -> ((s, dir) => {
+      val root = tmpDir("q308")
+      val fs = fsOps(s)
+      VersionedTable.write(v1Frame(s, dir), fs, root, ts = 1000L)
+      VersionedTable.write(v2Frame(s, dir), fs, root, ts = 2000L)
+      val state = IncrementalAgg.init(
+        VersionedTable.readVersion(s, fs, root, 1L),
+        Seq("c_mktsegment"), Seq("bal_cents"))
+      val feed = VersionedTable.changeFeed(s, fs, root, 1L, 2L,
+        keys = Seq("c_custkey"))
+      IncrementalAgg.refreshFromChanges(state, feed, Seq("c_mktsegment"),
+          Seq("bal_cents"))
+        .select(col("c_mktsegment"), col("n_rows"), col("sum_bal_cents"))
+    }),
+
+    // pruned time travel: the snapshot COMMITS its per-file min/max
+    // manifest (landed range-sorted on c_custkey), and the versioned
+    // range read admits files from that manifest before opening any —
+    // a later unindexed commit doesn't disturb version 1's index
+    "q309_version_pruned_travel" -> ((s, dir) => {
+      val root = tmpDir("q309")
+      val fs = fsOps(s)
+      VersionedTable.writeIndexed(v1Frame(s, dir), fs, root, ts = 1000L,
+        indexCol = "c_custkey", numFiles = 8)
+      VersionedTable.write(v2Frame(s, dir), fs, root, ts = 2000L)
+      VersionedTable.readVersionPruned(s, fs, root, version = 1L,
+        indexCol = "c_custkey", lo = 200L, hi = 700L)
+    }),
+
+    // min/max maintained UNDER DELETES: count/sum retract algebraically;
+    // min/max recompute only for the groups the delta touched (one
+    // broadcast-semi-join-pruned scan of those groups' base rows),
+    // untouched groups keep their state extrema without any base scan
+    "q310_incremental_minmax" -> ((s, dir) => {
+      val o = t(s, dir, "orders").withColumn("price_cents",
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      val base = o.filter(col("o_orderkey") % 7 =!= 0)
+      val inserts = o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("w", lit(1L))
+      val deletes = base.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("w", lit(-1L))
+      val newBase = o.filter(
+        !(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 13 === 0))
+      val state = IncrementalAgg.init(base, Seq("o_orderpriority"),
+        Seq("price_cents"), minCols = Seq("price_cents"),
+        maxCols = Seq("price_cents"))
+      IncrementalAgg.refreshWithRecompute(state,
+          inserts.unionByName(deletes), newBase, Seq("o_orderpriority"),
+          Seq("price_cents"), Seq("price_cents"), Seq("price_cents"),
+          weightCol = Some("w"))
+        .select(col("o_orderpriority"), col("n_rows"),
+          col("sum_price_cents"), col("min_price_cents"),
+          col("max_price_cents"))
+    }),
+
+    // streaming face of the maintenance loop: per-file triggers fold
+    // order batches into the versioned state, one commit per trigger
+    // (replays are idempotent by batch id recorded in the commit op);
+    // the settled view equals the batch recompute — the oracle
+    "q311_stream_maintained_view" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100, 0).cast("long")
+          .as("price_cents"))
+      val inDir = tmpDir("q311_in")
+      o.repartition(4).write.mode("overwrite").parquet(inDir)
+      val root = tmpDir("q311_state")
+      graft.streaming.MaintainedView.runOnce(s,
+          s.read.parquet(inDir).schema, inDir, root,
+          Seq("o_orderpriority"), Seq("price_cents"), "q311_sink",
+          maxFilesPerTrigger = Some(1))
+        .select(col("o_orderpriority"), col("n_rows"),
+          col("sum_price_cents"))
     })
   )
 
@@ -189,6 +268,34 @@ object MaintenanceGates extends GateSupport {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE NOT (l_orderkey % 5 <> 0 AND l_orderkey % 9 = 0
         |  AND l_linenumber = 1)
-        |GROUP BY n_name""".stripMargin
+        |GROUP BY n_name""".stripMargin,
+
+    // the maintained view must equal a FULL RECOMPUTE on v2
+    "q308_maintained_view_cdc" ->
+      s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
+         |FROM ($v2Sql) GROUP BY c_mktsegment""".stripMargin,
+
+    "q309_version_pruned_travel" ->
+      s"""SELECT * FROM ($v1Sql)
+         |WHERE c_custkey BETWEEN 200 AND 700""".stripMargin,
+
+    // final logical table = (base \ deletes) ∪ inserts
+    "q310_incremental_minmax" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(pc) AS BIGINT) AS sum_price_cents,
+        |  CAST(min(pc) AS BIGINT) AS min_price_cents,
+        |  CAST(max(pc) AS BIGINT) AS max_price_cents
+        |FROM (SELECT o_orderpriority,
+        |        CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc
+        |      FROM orders
+        |      WHERE NOT (o_orderkey % 7 <> 0 AND o_orderkey % 13 = 0))
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q311_stream_maintained_view" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS sum_price_cents
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
   )
 }

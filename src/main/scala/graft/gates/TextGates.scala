@@ -18,6 +18,16 @@ import OracleHelpers._
 /** Gates: text analysis: language id, quality, terms, readability. */
 object TextGates extends GateSupport {
 
+  /** q181's oracle side-channel root: per-JVM collision-free (two
+    * concurrent harness runs must not race each other's deflate sizes),
+    * but shared between the GATE write and the ORACLE read — the oracle
+    * SQL needs a literal path, so the SAME per-run value is interpolated
+    * into both (the oracle string is built in the JVM that runs the
+    * gate, and oracle_sql.json carries it to the DuckDB side).
+    */
+  private val q181SizesDir: String =
+    java.nio.file.Files.createTempDirectory("graft_q181_sizes").toString
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // text: language id + quality features
@@ -215,8 +225,8 @@ object TextGates extends GateSupport {
         .select(col("doc_id"), col("n_deflated"), lit(n).as("n_corpus"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("n_corpus").parquet("/tmp/graft_q181_sizes")
-      val sizes = s.read.parquet("/tmp/graft_q181_sizes")
+        .partitionBy("n_corpus").parquet(q181SizesDir)
+      val sizes = s.read.parquet(q181SizesDir)
         .filter(col("n_corpus") === n).select("doc_id", "n_deflated")
       TextAnalysis.compressionBands(
         docs.select(col("doc_id"),
@@ -780,13 +790,13 @@ object TextGates extends GateSupport {
         |GROUP BY doc_id""".stripMargin,
 
     // mirrors q181: the zlib deflate sizes are SHARED INPUT (the gate
-    // writes them to /tmp/graft_q181_sizes, hive-partitioned by corpus
-    // size so this SF's partition is unambiguous); the oracle re-derives
-    // raw UTF-8 bytes, the exact integer ppm ratio, and the band
+    // writes them to the per-run q181SizesDir, hive-partitioned by
+    // corpus size so this SF's partition is unambiguous); the oracle
+    // re-derives raw UTF-8 bytes, the exact integer ppm ratio, the band
     "q181_compression_quality" ->
-      """WITH sz AS (
+      s"""WITH sz AS (
         |  SELECT doc_id, n_deflated
-        |  FROM read_parquet('/tmp/graft_q181_sizes/*/*.parquet',
+        |  FROM read_parquet('$q181SizesDir/*/*.parquet',
         |                    hive_partitioning = true)
         |  WHERE n_corpus = (SELECT count(*) FROM documents)),
         |b AS (

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.catalog.VersionedTable
+import graft.fsops.FsOps
+import graft.operators.IncrementalAgg
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import java.util.concurrent.atomic.AtomicLong
+
+/** Streaming face of the maintenance loop: each micro-batch is folded
+  * into an [[IncrementalAgg]] partial-aggregate state, and every trigger
+  * COMMITS the refreshed state through [[VersionedTable]] — exactly-once
+  * end to end:
+  *
+  *  - a crashed trigger's half-landed data dir is unreferenced by any
+  *    commit, hence invisible to the next read (the commit-log
+  *    invariant);
+  *  - a RETRIED trigger (Structured Streaming replays the last batch
+  *    after a failure) is detected by batch id recorded in the commit
+  *    `op`, and skipped — the idempotent-foreachBatch-sink pattern —
+  *    so the same delta can never fold twice.
+  *
+  * Per-trigger cost ∝ batch (one delta shuffle of group-cardinality
+  * partials, [[IncrementalAgg.refresh]]'s contract) + one state write of
+  * view-cardinality rows. The reference has no streaming surface; this
+  * composes its materialization contract (land-and-swap views,
+  * reference: src/main/scala/com/adidas/analytics/algo/Materialization.scala)
+  * with engine-side incremental state.
+  */
+object MaintainedView {
+
+  private val sinkSeq = new AtomicLong(0)
+
+  /** Fold one batch (id `batchId`) into the versioned state at
+    * `stateRoot`, committing the refreshed state as the next version.
+    * Idempotent per batch id: a replayed batch whose id is already in
+    * the commit log is a no-op. `weightCol` as in
+    * [[IncrementalAgg.refresh]] (None = insert-only batch).
+    */
+  def maintainBatch(spark: SparkSession, fsOps: FsOps, stateRoot: String,
+      batch: DataFrame, batchId: Long, keys: Seq[String],
+      sumCols: Seq[String], weightCol: Option[String] = None): Unit = {
+    val op = s"batch-$batchId"
+    val log = VersionedTable.commits(fsOps, stateRoot)
+    if (log.exists(_.op == op)) return // replayed trigger: already folded
+    val state =
+      if (log.isEmpty)
+        // empty state with the exact partial-aggregate schema
+        IncrementalAgg.init(batch.limit(0), keys, sumCols)
+      else VersionedTable.readLatest(spark, fsOps, stateRoot)
+    val refreshed = IncrementalAgg.refresh(state, batch, keys, sumCols,
+      weightCol = weightCol)
+    // ts = batchId keeps replays and tests deterministic (the repo's
+    // caller-supplied-timestamp device); history order is version order
+    VersionedTable.write(refreshed, fsOps, stateRoot, ts = batchId, op = op)
+  }
+
+  /** Drive a parquet file-stream through [[maintainBatch]] with
+    * AvailableNow (process everything, then stop) and return the settled
+    * maintained view (latest committed state). `maxFilesPerTrigger`
+    * splits the input into multiple triggers to exercise the per-batch
+    * path — the settled state is trigger-boundary-invariant.
+    */
+  def runOnce(spark: SparkSession, schema: StructType, inputGlob: String,
+      stateRoot: String, keys: Seq[String], sumCols: Seq[String],
+      queryName: String, weightCol: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val fsOps = new FsOps(spark.sparkContext.hadoopConfiguration)
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(m => reader.option("maxFilesPerTrigger", m))
+      .parquet(inputGlob)
+    val q: StreamingQuery = stream.writeStream
+      .queryName(s"${queryName}_${sinkSeq.incrementAndGet()}")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        maintainBatch(spark, fsOps, stateRoot, batch, id, keys, sumCols,
+          weightCol)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    VersionedTable.readLatest(spark, fsOps, stateRoot)
+  }
+}

@@ -1488,3 +1488,103 @@ class Round9ParamsSpec extends SparkSpec {
       .collect() shouldBe Array(1.8)
   }
 }
+
+class MaintenanceParamsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.core.JobRunner
+
+  private def run(base: String, algo: String, json: String): Unit = {
+    val f = java.nio.file.Paths.get(base, s"$algo.json")
+    java.nio.file.Files.writeString(f, json)
+    JobRunner.execute(spark, algo, f.toString)
+  }
+
+  test("the full maintenance loop runs through the params surface: " +
+      "version writes, CDC feed, incremental refresh, restore, vacuum") {
+    val base = tmp("jr_mx")
+    val root = s"$base/table"
+    val fs = new graft.fsops.FsOps(spark.sparkContext.hadoopConfiguration)
+    val v1 = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "g", "m")
+    val v2 = Seq((1L, "a", 10L), (2L, "b", 25L), (4L, "a", 40L))
+      .toDF("id", "g", "m")
+    v1.write.parquet(s"$base/src1")
+    v2.write.parquet(s"$base/src2")
+    // two committed snapshots, v1 range-indexed on id
+    run(base, "VersionWrite",
+      s"""{"source_dir": "$base/src1", "table_root": "$root",
+         | "ts": 1000, "index_col": "id", "num_files": 2}""".stripMargin)
+    run(base, "VersionWrite",
+      s"""{"source_dir": "$base/src2", "table_root": "$root",
+         | "ts": 2000}""".stripMargin)
+    // pruned time-travel read of v1 through the CLI surface
+    run(base, "VersionRead",
+      s"""{"table_root": "$root", "version": 1, "index_col": "id",
+         | "lo": 2, "hi": 3, "target_dir": "$base/v1rng"}""".stripMargin)
+    assertSameRows(spark.read.parquet(s"$base/v1rng"),
+      v1.filter($"id" >= 2 && $"id" <= 3))
+    // plain dump of v1 (state seed) + the v1→v2 CDC feed
+    run(base, "VersionRead",
+      s"""{"table_root": "$root", "version": 1,
+         | "target_dir": "$base/v1dump"}""".stripMargin)
+    run(base, "VersionDiff",
+      s"""{"table_root": "$root", "from_version": 1, "to_version": 2,
+         | "key_columns": ["id"], "mode": "changefeed",
+         | "check_unique_keys": true,
+         | "target_dir": "$base/feed"}""".stripMargin)
+    run(base, "IncrementalAggInit",
+      s"""{"source_dir": "$base/v1dump", "target_dir": "$base/state",
+         | "key_columns": ["g"], "sum_columns": ["m"]}""".stripMargin)
+    run(base, "IncrementalAggRefresh",
+      s"""{"state_dir": "$base/state", "delta_dir": "$base/feed",
+         | "from_changes": true, "key_columns": ["g"],
+         | "sum_columns": ["m"],
+         | "target_dir": "$base/state2"}""".stripMargin)
+    assertSameRows(
+      spark.read.parquet(s"$base/state2").select("g", "n_rows", "sum_m"),
+      v2.groupBy("g").agg(count(lit(1)).as("n_rows"), sum("m").as("sum_m")))
+    // restore v1 as v3, then vacuum the superseded v1 data (forced
+    // past the 12h retention floor — test tables are seconds old)
+    run(base, "VersionRestore",
+      s"""{"table_root": "$root", "version": 1, "ts": 3000}""")
+    assertSameRows(
+      graft.catalog.VersionedTable.readLatest(spark, fs, root), v1)
+    run(base, "VersionVacuum",
+      s"""{"table_root": "$root", "keep_last": 2, "retention_ms": 0,
+         | "force": true, "sweep_uncommitted": true}""".stripMargin)
+    val h = graft.catalog.VersionedTable.history(spark, fs, root)
+      .select($"version", $"readable").as[(Long, Boolean)].collect().toMap
+    h shouldBe Map(1L -> false, 2L -> true, 3L -> true)
+  }
+
+  test("weighted and min/max refresh modes run through the params " +
+      "surface") {
+    val base = tmp("jr_mx2")
+    val all = (1 to 60).map(i => (s"g${i % 3}", (i * 17 % 53).toLong, i))
+      .toDF("g", "m", "id")
+    val baseTbl = all.filter($"id" % 5 =!= 0)
+    val delta = all.filter($"id" % 5 === 0).withColumn("w", lit(1L))
+      .unionByName(
+        baseTbl.filter($"id" % 7 === 0).withColumn("w", lit(-1L)))
+    val newBase = all.filter(!($"id" % 5 =!= 0 && $"id" % 7 === 0))
+    baseTbl.write.parquet(s"$base/base")
+    delta.write.parquet(s"$base/delta")
+    newBase.write.parquet(s"$base/newbase")
+    run(base, "IncrementalAggInit",
+      s"""{"source_dir": "$base/base", "target_dir": "$base/state",
+         | "key_columns": ["g"], "sum_columns": ["m"],
+         | "min_columns": ["m"], "max_columns": ["m"]}""".stripMargin)
+    run(base, "IncrementalAggRefresh",
+      s"""{"state_dir": "$base/state", "delta_dir": "$base/delta",
+         | "new_base_dir": "$base/newbase", "key_columns": ["g"],
+         | "sum_columns": ["m"], "min_columns": ["m"],
+         | "max_columns": ["m"], "weight_column": "w",
+         | "target_dir": "$base/state2"}""".stripMargin)
+    assertSameRows(
+      spark.read.parquet(s"$base/state2")
+        .select("g", "n_rows", "sum_m", "min_m", "max_m"),
+      newBase.groupBy("g").agg(count(lit(1)).as("n_rows"),
+        sum("m").as("sum_m"), min("m").as("min_m"), max("m").as("max_m")))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.catalog.VersionedTable
+import graft.fsops.FsOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class MaintainedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fs = new FsOps(spark.sparkContext.hadoopConfiguration)
+
+  private def fact(n: Int): DataFrame =
+    (1 to n).map(i => (s"k${i % 4}", (i * 31 % 97).toLong)).toDF("k", "m")
+
+  private def recompute(df: DataFrame): DataFrame =
+    df.groupBy("k").agg(count(lit(1)).as("n_rows"), sum("m").as("sum_m"))
+
+  test("settled maintained view equals the batch recompute and is " +
+      "trigger-boundary invariant (1 trigger vs per-file triggers)") {
+    val data = fact(400)
+    val inDir = tmp("mv_in")
+    data.repartition(4).write.mode("overwrite").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val oneTrigger = MaintainedView.runOnce(spark, schema, inDir,
+      tmp("mv_s1"), Seq("k"), Seq("m"), "mv_one")
+    val manyTriggers = MaintainedView.runOnce(spark, schema, inDir,
+      tmp("mv_s2"), Seq("k"), Seq("m"), "mv_many",
+      maxFilesPerTrigger = Some(1))
+    val want = recompute(data)
+    assertSameRows(oneTrigger.select("k", "n_rows", "sum_m"), want)
+    assertSameRows(manyTriggers.select("k", "n_rows", "sum_m"), want)
+  }
+
+  test("per-trigger commits land in the versioned state: one version " +
+      "per batch, history auditable") {
+    val data = fact(100)
+    val inDir = tmp("mv_in")
+    data.repartition(3).write.mode("overwrite").parquet(inDir)
+    val root = tmp("mv_state")
+    MaintainedView.runOnce(spark, spark.read.parquet(inDir).schema, inDir,
+      root, Seq("k"), Seq("m"), "mv_hist", maxFilesPerTrigger = Some(1))
+    val cs = VersionedTable.commits(fs, root)
+    assert(cs.size === 3)
+    assert(cs.map(_.op) === Seq("batch-0", "batch-1", "batch-2"))
+  }
+
+  test("a replayed trigger is idempotent: folding the same batch id " +
+      "twice leaves the state unchanged") {
+    val root = tmp("mv_state")
+    val b0 = Seq(("a", 10L), ("b", 5L)).toDF("k", "m")
+    val b1 = Seq(("a", 7L)).toDF("k", "m")
+    MaintainedView.maintainBatch(spark, fs, root, b0, 0L, Seq("k"), Seq("m"))
+    MaintainedView.maintainBatch(spark, fs, root, b1, 1L, Seq("k"), Seq("m"))
+    // the streaming engine replays batch 1 after a simulated failure
+    MaintainedView.maintainBatch(spark, fs, root, b1, 1L, Seq("k"), Seq("m"))
+    assert(VersionedTable.commits(fs, root).size === 2) // no third commit
+    assertSameRows(
+      VersionedTable.readLatest(spark, fs, root).select("k", "n_rows",
+        "sum_m"),
+      recompute(b0.unionByName(b1)))
+  }
+
+  test("weighted batches retract: a delete batch removes its rows from " +
+      "the maintained view") {
+    val root = tmp("mv_state")
+    val b0 = Seq(("a", 10L, 1L), ("a", 4L, 1L), ("b", 5L, 1L))
+      .toDF("k", "m", "w")
+    val b1 = Seq(("a", 10L, -1L)).toDF("k", "m", "w") // retract the 10
+    MaintainedView.maintainBatch(spark, fs, root, b0, 0L, Seq("k"),
+      Seq("m"), weightCol = Some("w"))
+    MaintainedView.maintainBatch(spark, fs, root, b1, 1L, Seq("k"),
+      Seq("m"), weightCol = Some("w"))
+    assertSameRows(
+      VersionedTable.readLatest(spark, fs, root)
+        .select("k", "n_rows", "sum_m"),
+      Seq(("a", 1L, 4L), ("b", 1L, 5L)).toDF("k", "n_rows", "sum_m"))
+  }
+}
