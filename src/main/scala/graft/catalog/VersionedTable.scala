@@ -51,10 +51,12 @@ object VersionedTable {
   /** One committed snapshot (parsed from its commit file). `path` is the
     * data directory name relative to the table root; `indexCol` is the
     * sort/manifest dimension when the snapshot landed via
-    * [[writeIndexed]] (None for plain [[write]]s).
+    * [[writeIndexed]] ("x,y" with `indexKind = Some("zorder")` for
+    * [[writeZIndexed]]; None for plain [[write]]s).
     */
   final case class Commit(version: Long, ts: Long, op: String, rows: Long,
-      path: String, indexCol: Option[String] = None)
+      path: String, indexCol: Option[String] = None,
+      indexKind: Option[String] = None)
 
   private def commitsDir(root: String) = s"$root/_commits"
   private def commitFile(root: String, v: Long) =
@@ -74,7 +76,7 @@ object VersionedTable {
       val c = JsonConfig.fromFile(fsOps, s"${commitsDir(root)}/$f")
       Commit(c.getLong("version"), c.getLong("ts"), c.getString("op"),
         c.getLong("rows"), c.getString("path"),
-        c.getStringOpt("index_col"))
+        c.getStringOpt("index_col"), c.getStringOpt("index_kind"))
     }.sortBy(_.version)
 
   private def commitOf(fsOps: FsOps, root: String, version: Long): Commit =
@@ -97,14 +99,15 @@ object VersionedTable {
     writeLanded(df, fsOps, root, ts, op, maxAttempts, None,
       dir => df.write.parquet(dir))
 
-  /** Shared commit protocol behind [[write]] and [[writeIndexed]]: `land`
-    * materializes the snapshot into the writer-private dir; `indexCol`
-    * (when set) is recorded in the commit so readers can discover the
-    * committed manifest dimension.
+  /** Shared commit protocol behind [[write]], [[writeIndexed]] and
+    * [[writeZIndexed]]: `land` materializes the snapshot into the
+    * writer-private dir; `index` ((cols, kind), when set) is recorded in
+    * the commit so readers can discover the committed manifest
+    * dimension(s).
     */
   private def writeLanded(df: DataFrame, fsOps: FsOps,
       root: String, ts: Long, op: String, maxAttempts: Int,
-      indexCol: Option[String], land: String => Unit): Long = {
+      index: Option[(String, String)], land: String => Unit): Long = {
     // writer-private landing dir: concurrent writers never touch each
     // other's files, and until a commit references it the dir is invisible
     val name = "d-" + java.util.UUID.randomUUID.toString.take(8)
@@ -112,7 +115,8 @@ object VersionedTable {
     land(dir)
     val rows = df.sparkSession.read.parquet(dir).count()
     val record = commitJson(ts, op, rows, name,
-      indexCol.map("index_col" -> _))
+      index.toSeq.flatMap { case (cols, kind) =>
+        Seq("index_col" -> cols, "index_kind" -> kind) })
     var attempt = 0
     var committed = -1L
     while (committed < 0 && attempt < maxAttempts) {
@@ -146,9 +150,9 @@ object VersionedTable {
     }
 
   private def commitJson(ts: Long, op: String, rows: Long, name: String,
-      extra: Option[(String, String)]): String = {
+      extra: Seq[(String, String)]): String = {
     val tail = extra.map { case (k, v) =>
-      s""", "$k": "${jsonEscape(v)}"""" }.getOrElse("")
+      s""", "$k": "${jsonEscape(v)}"""" }.mkString
     s"""{"ts": $ts, "op": "${jsonEscape(op)}", "rows": $rows,""" +
       s""" "path": "$name"$tail}"""
   }
@@ -353,9 +357,26 @@ object VersionedTable {
   def writeIndexed(df: DataFrame, fsOps: FsOps, root: String, ts: Long,
       indexCol: String, numFiles: Int, op: String = "write",
       maxAttempts: Int = 5): Long =
-    writeLanded(df, fsOps, root, ts, op, maxAttempts, Some(indexCol),
+    writeLanded(df, fsOps, root, ts, op, maxAttempts,
+      Some(indexCol -> "range"),
       dir => graft.operators.Layout.writeSortedWithManifest(
         df.sparkSession, df, dir, indexCol, numFiles,
+        s"$dir/$ManifestDir"))
+
+  /** [[writeIndexed]] in TWO dimensions: the snapshot lands z-ordered on
+    * `(xCol, yCol)` with each file's bounding RECTANGLE in the committed
+    * manifest, so [[readVersionPrunedRect]] skips files for predicates on
+    * EITHER axis — the Delta OPTIMIZE ZORDER trade, per committed
+    * snapshot. `bits` is the per-axis Morton width (callers bucketize
+    * wider domains first — [[graft.operators.Layout.zValue]]).
+    */
+  def writeZIndexed(df: DataFrame, fsOps: FsOps, root: String, ts: Long,
+      xCol: String, yCol: String, bits: Int, numFiles: Int,
+      op: String = "write", maxAttempts: Int = 5): Long =
+    writeLanded(df, fsOps, root, ts, op, maxAttempts,
+      Some(s"$xCol,$yCol" -> "zorder"),
+      dir => graft.operators.Layout.writeZOrderedWithManifest(
+        df.sparkSession, df, dir, xCol, yCol, bits, numFiles,
         s"$dir/$ManifestDir"))
 
   /** Time-travel range read: prune version `version`'s files from its
@@ -365,16 +386,62 @@ object VersionedTable {
     */
   def readVersionPruned(spark: SparkSession, fsOps: FsOps, root: String,
       version: Long, indexCol: String, lo: Long, hi: Long): DataFrame = {
+    val dir = indexedDataDir(fsOps, root, version, indexCol, "range")
+    graft.operators.Layout.readPruned(spark, dir, s"$dir/$ManifestDir",
+      indexCol, lo, hi)
+  }
+
+  /** Rectangle face of [[readVersionPruned]] for [[writeZIndexed]]
+    * snapshots: files whose committed bounding rectangle misses the
+    * requested `[xLo,xHi] × [yLo,yHi]` box are never opened.
+    */
+  def readVersionPrunedRect(spark: SparkSession, fsOps: FsOps,
+      root: String, version: Long, xCol: String, yCol: String,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
+    val dir = indexedDataDir(fsOps, root, version, s"$xCol,$yCol",
+      "zorder")
+    graft.operators.Layout.readPrunedRect(spark, dir,
+      s"$dir/$ManifestDir", xCol, yCol, xLo, xHi, yLo, yHi)
+  }
+
+  /** Resolve an indexed version's data dir, failing fast (by name) when
+    * the version lacks the requested index dimension/kind or its data
+    * was vacuumed — never a silent full scan or wrong-axis prune.
+    */
+  private def indexedDataDir(fsOps: FsOps, root: String, version: Long,
+      indexCol: String, kind: String): String = {
     val c = commitOf(fsOps, root, version)
-    require(c.indexCol.contains(indexCol),
-      s"version $version of $root is not indexed on $indexCol " +
-        s"(committed index: ${c.indexCol.getOrElse("none")})")
+    require(c.indexCol.contains(indexCol)
+        && c.indexKind.forall(_ == kind),
+      s"version $version of $root is not $kind-indexed on $indexCol " +
+        s"(committed index: ${c.indexCol.getOrElse("none")}" +
+        s"${c.indexKind.fold("")(k => s" [$k]")})")
     val dir = dataDir(root, c)
     require(fsOps.exists(dir),
       s"version $version of $root was vacuumed; earliest readable is " +
         s"${earliestReadable(fsOps, root).getOrElse(-1L)}")
-    graft.operators.Layout.readPruned(spark, dir, s"$dir/$ManifestDir",
-      indexCol, lo, hi)
+    dir
+  }
+
+  /** OPTIMIZE: republish the LATEST snapshot's content compacted into
+    * `numFiles` files (optionally range-indexed on `indexCol`) as a new
+    * version with `op = "compact"`. Content is identical by
+    * construction; readers keep snapshot isolation (the old layout stays
+    * readable until vacuumed), and the small-files problem a
+    * high-frequency maintenance loop accumulates is solved WITHOUT a
+    * write outage — the lakehouse OPTIMIZE contract. Returns the new
+    * version.
+    */
+  def compact(spark: SparkSession, fsOps: FsOps, root: String, ts: Long,
+      numFiles: Int, indexCol: Option[String] = None): Long = {
+    val df = readLatest(spark, fsOps, root)
+    indexCol match {
+      case Some(ic) =>
+        writeIndexed(df, fsOps, root, ts, ic, numFiles, op = "compact")
+      case None =>
+        writeLanded(df, fsOps, root, ts, "compact", 5, None,
+          dir => df.coalesce(numFiles).write.parquet(dir))
+    }
   }
 
   /** Default retention grace before a superseded version's data may be

@@ -1955,11 +1955,17 @@ object AlgoRegistry {
           val root = config.getString("table_root")
           val ts = config.getLong("ts")
           val op = config.getStringOpt("op").getOrElse("write")
-          config.getStringOpt("index_col") match {
-            case Some(ic) => graft.catalog.VersionedTable.writeIndexed(
+          (config.getStringOpt("index_col"),
+              config.getStringOpt("x_col")) match {
+            case (Some(ic), _) => graft.catalog.VersionedTable.writeIndexed(
               dfs.head, fsOps, root, ts, ic,
               config.getIntOpt("num_files").getOrElse(10), op)
-            case None => graft.catalog.VersionedTable.write(
+            case (None, Some(x)) => graft.catalog.VersionedTable
+              .writeZIndexed(dfs.head, fsOps, root, ts, x,
+                config.getString("y_col"),
+                config.getIntOpt("bits").getOrElse(16),
+                config.getIntOpt("num_files").getOrElse(10), op)
+            case _ => graft.catalog.VersionedTable.write(
               dfs.head, fsOps, root, ts, op)
           }
           dfs
@@ -1976,10 +1982,15 @@ object AlgoRegistry {
               config.getOpt[Any]("as_of_ts")) match {
             case (Some(_), _) =>
               val v = config.getLong("version")
-              config.getStringOpt("index_col") match {
-                case Some(ic) => vt.readVersionPruned(s, fsOps, root, v,
-                  ic, config.getLong("lo"), config.getLong("hi"))
-                case None => vt.readVersion(s, fsOps, root, v)
+              (config.getStringOpt("index_col"),
+                  config.getStringOpt("x_col")) match {
+                case (Some(ic), _) => vt.readVersionPruned(s, fsOps,
+                  root, v, ic, config.getLong("lo"), config.getLong("hi"))
+                case (None, Some(x)) => vt.readVersionPrunedRect(s,
+                  fsOps, root, v, x, config.getString("y_col"),
+                  config.getLong("x_lo"), config.getLong("x_hi"),
+                  config.getLong("y_lo"), config.getLong("y_hi"))
+                case _ => vt.readVersion(s, fsOps, root, v)
               }
             case (None, Some(_)) =>
               vt.readAsOf(s, fsOps, root, config.getLong("as_of_ts"))
@@ -2035,6 +2046,38 @@ object AlgoRegistry {
           graft.catalog.VersionedTable.restore(s, fsOps,
             config.getString("table_root"), config.getLong("version"),
             config.getLong("ts"))
+          dfs
+        }
+      }
+    case "VersionCompact" =>
+      val s = spark
+      new Algorithm {
+        val spark: SparkSession = s
+        override def read(): Vector[DataFrame] = Vector.empty
+        override def transform(dfs: Vector[DataFrame]): Vector[DataFrame] =
+          dfs
+        override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
+          graft.catalog.VersionedTable.compact(s, fsOps,
+            config.getString("table_root"), config.getLong("ts"),
+            config.getIntOpt("num_files").getOrElse(10),
+            config.getStringOpt("index_col"))
+          dfs
+        }
+      }
+    case "MaintainedViewCatchUp" =>
+      val s = spark
+      new Algorithm {
+        val spark: SparkSession = s
+        override def read(): Vector[DataFrame] = Vector.empty
+        override def transform(dfs: Vector[DataFrame]): Vector[DataFrame] =
+          dfs
+        override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
+          graft.streaming.MaintainedView.catchUp(s, fsOps,
+            config.getString("table_root"),
+            config.getString("state_root"),
+            config.getSeq[String]("cdc_key_columns"),
+            config.getSeq[String]("key_columns"),
+            config.getSeq[String]("sum_columns"))
           dfs
         }
       }

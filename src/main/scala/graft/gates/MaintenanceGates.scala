@@ -222,6 +222,60 @@ object MaintenanceGates extends GateSupport {
           maxFilesPerTrigger = Some(1))
         .select(col("o_orderpriority"), col("n_rows"),
           col("sum_price_cents"))
+    }),
+
+    // 2-D pruned time travel: the snapshot commits z-ordered on (x, y)
+    // with each file's bounding RECTANGLE in the manifest, so a box
+    // predicate on BOTH axes admits files before any opens — the
+    // OPTIMIZE ZORDER trade, per committed snapshot
+    "q312_version_zorder_travel" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        (col("o_orderkey") % 64).as("x"),
+        (col("o_custkey") % 64).as("y"),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long")
+          .as("price_cents"))
+      val root = tmpDir("q312")
+      val fs = fsOps(s)
+      VersionedTable.writeZIndexed(o, fs, root, ts = 1000L,
+        xCol = "x", yCol = "y", bits = 6, numFiles = 16)
+      VersionedTable.readVersionPrunedRect(s, fs, root, version = 1L,
+        "x", "y", xLo = 8, xHi = 23, yLo = 16, yHi = 47)
+    }),
+
+    // OPTIMIZE: a high-frequency maintenance loop left the latest
+    // snapshot in 32 small files; compact republishes IDENTICAL content
+    // range-indexed in 4 files as a new version (op=compact) with no
+    // write outage — the gate reads the compacted latest
+    "q313_version_compact" -> ((s, dir) => {
+      val root = tmpDir("q313")
+      val fs = fsOps(s)
+      VersionedTable.write(v1Frame(s, dir).repartition(32), fs, root,
+        ts = 1000L)
+      VersionedTable.compact(s, fs, root, ts = 2000L, numFiles = 4,
+        indexCol = Some("c_custkey"))
+      VersionedTable.readLatest(s, fs, root)
+    }),
+
+    // CDC-source maintenance: the maintained view is fed straight from
+    // the base table's COMMIT LOG — catchUp folds each unconsumed
+    // version as a change feed against its predecessor (bootstrap =
+    // insert load), one exactly-once state commit per base version;
+    // the settled view equals a full recompute on the latest snapshot
+    "q314_catchup_maintained_view" -> ((s, dir) => {
+      val tableRoot = tmpDir("q314_t")
+      val stateRoot = tmpDir("q314_s")
+      val fs = fsOps(s)
+      VersionedTable.write(v1Frame(s, dir), fs, tableRoot, ts = 1000L)
+      graft.streaming.MaintainedView.catchUp(s, fs, tableRoot, stateRoot,
+        cdcKeys = Seq("c_custkey"), groupKeys = Seq("c_mktsegment"),
+        sumCols = Seq("bal_cents")) // poll 1: bootstrap
+      VersionedTable.write(v2Frame(s, dir), fs, tableRoot, ts = 2000L)
+      graft.streaming.MaintainedView.catchUp(s, fs, tableRoot, stateRoot,
+        cdcKeys = Seq("c_custkey"), groupKeys = Seq("c_mktsegment"),
+        sumCols = Seq("bal_cents")) // poll 2: incremental CDC fold
+      VersionedTable.readLatest(s, fs, stateRoot)
+        .select(col("c_mktsegment"), col("n_rows"), col("sum_bal_cents"))
     })
   )
 
@@ -296,6 +350,23 @@ object MaintenanceGates extends GateSupport {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
         |    AS BIGINT) AS sum_price_cents
-        |FROM orders GROUP BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q312_version_zorder_travel" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey % 64 AS x, o_custkey % 64 AS y, o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |WHERE x BETWEEN 8 AND 23 AND y BETWEEN 16 AND 47""".stripMargin,
+
+    // content identical to v1 by construction — the oracle IS v1
+    "q313_version_compact" -> v1Sql,
+
+    // same recompute-on-v2 oracle as q308: the CDC-source loop must
+    // land on the identical settled view
+    "q314_catchup_maintained_view" ->
+      s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
+         |FROM ($v2Sql) GROUP BY c_mktsegment""".stripMargin
   )
 }

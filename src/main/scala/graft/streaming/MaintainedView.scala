@@ -4,6 +4,7 @@ import graft.catalog.VersionedTable
 import graft.fsops.FsOps
 import graft.operators.IncrementalAgg
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 import java.util.concurrent.atomic.AtomicLong
@@ -54,6 +55,54 @@ object MaintainedView {
     // ts = batchId keeps replays and tests deterministic (the repo's
     // caller-supplied-timestamp device); history order is version order
     VersionedTable.write(refreshed, fsOps, stateRoot, ts = batchId, op = op)
+  }
+
+  /** Catch-up maintenance straight from a VERSIONED BASE TABLE's commit
+    * log (the CDC-source face, Delta's "streaming from a table" shape
+    * without a long-running query): fold every base-table version the
+    * state has not yet consumed — the first as a plain insert load, each
+    * later one as the [[VersionedTable.changeFeed]] against its
+    * predecessor — committing the state once per consumed version with
+    * the version recorded in the commit op. Re-invocation is the poll:
+    * already-consumed versions are skipped by op tag (crash-resume picks
+    * up exactly after the last folded version), so any scheduler cadence
+    * gives exactly-once maintenance. Per-poll cost ∝ the CDC join of the
+    * new version pairs + group-cardinality state shuffles — never a
+    * rescan of versions already folded. Returns the versions folded this
+    * call.
+    */
+  def catchUp(spark: SparkSession, fsOps: FsOps, tableRoot: String,
+      stateRoot: String, cdcKeys: Seq[String], groupKeys: Seq[String],
+      sumCols: Seq[String]): Seq[Long] = {
+    val vt = VersionedTable
+    val tableLog = vt.commits(fsOps, tableRoot)
+    require(tableLog.nonEmpty, s"no committed versions under $tableRoot")
+    def tagOf(v: Long) = s"table-v-$v"
+    val consumed = vt.commits(fsOps, stateRoot).map(_.op)
+      .collect { case op if op.startsWith("table-v-") =>
+        op.stripPrefix("table-v-").toLong }
+    val highWater = if (consumed.isEmpty) Long.MinValue else consumed.max
+    val todo = tableLog.filter(_.version > highWater)
+    todo.map { c =>
+      val feed =
+        if (consumed.isEmpty && c.version == tableLog.head.version)
+          // bootstrap: the whole first snapshot is one insert batch
+          vt.readVersion(spark, fsOps, tableRoot, c.version)
+            .withColumn("change_type", lit("insert"))
+        else vt.changeFeed(spark, fsOps, tableRoot, c.version - 1,
+          c.version, cdcKeys)
+      val stateLog = vt.commits(fsOps, stateRoot)
+      val state =
+        if (stateLog.isEmpty)
+          IncrementalAgg.init(feed.drop("change_type").limit(0),
+            groupKeys, sumCols)
+        else vt.readLatest(spark, fsOps, stateRoot)
+      val refreshed = IncrementalAgg.refreshFromChanges(state, feed,
+        groupKeys, sumCols)
+      vt.write(refreshed, fsOps, stateRoot, ts = c.ts,
+        op = tagOf(c.version))
+      c.version
+    }
   }
 
   /** Drive a parquet file-stream through [[maintainBatch]] with

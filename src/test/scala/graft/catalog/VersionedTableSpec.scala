@@ -253,11 +253,67 @@ class VersionedTableSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       VersionedTable.readVersionPruned(spark, fs, root, 1L, "val", 0, 1)
     }
-    assert(e.getMessage.contains("not indexed on val"))
+    assert(e.getMessage.contains("not range-indexed on val"))
     val e2 = intercept[IllegalArgumentException] {
       VersionedTable.readVersionPruned(spark, fs, root, 2L, "id", 0, 1)
     }
-    assert(e2.getMessage.contains("not indexed"))
+    assert(e2.getMessage.contains("not range-indexed"))
+  }
+
+  test("writeZIndexed commits a 2-D manifest; readVersionPrunedRect " +
+      "opens only admitted files; kind/axis mismatches fail by name") {
+    val root = tmp("vt")
+    val big = spark.range(0, 4096).selectExpr(
+      "id % 64 AS x", "CAST(id / 64 AS LONG) AS y", "id AS payload")
+    VersionedTable.writeZIndexed(big, fs, root, ts = 100L,
+      xCol = "x", yCol = "y", bits = 6, numFiles = 16)
+    assert(VersionedTable.commits(fs, root).head.indexKind
+      === Some("zorder"))
+    val pruned = VersionedTable.readVersionPrunedRect(spark, fs, root,
+      1L, "x", "y", xLo = 8, xHi = 15, yLo = 8, yHi = 15)
+    assertSameRows(pruned,
+      big.filter(col("x").between(8, 15) && col("y").between(8, 15)))
+    val full = VersionedTable.readVersion(spark, fs, root, 1L)
+    assert(pruned.inputFiles.length < full.inputFiles.length)
+    // a 1-D range request against a zorder snapshot must not silently
+    // prune on the wrong geometry
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.readVersionPruned(spark, fs, root, 1L, "x", 0, 1)
+    }
+    assert(e.getMessage.contains("not range-indexed"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.readVersionPrunedRect(spark, fs, root, 1L,
+        "y", "x", 0, 1, 0, 1) // swapped axes ≠ committed "x,y"
+    }
+    assert(e2.getMessage.contains("not zorder-indexed"))
+  }
+
+  test("compact republishes identical content in fewer files as a new " +
+      "version; indexed compact serves pruned reads") {
+    val root = tmp("vt")
+    val data = spark.range(0, 2000).selectExpr("id", "id * 3 AS val")
+    // a high-frequency loop left the latest snapshot in many small files
+    VersionedTable.write(data.repartition(32), fs, root, ts = 100L)
+    val before = VersionedTable.readLatest(spark, fs, root)
+    assert(before.inputFiles.length === 32)
+    val v2 = VersionedTable.compact(spark, fs, root, ts = 200L,
+      numFiles = 4)
+    assert(v2 === 2L)
+    val after = VersionedTable.readLatest(spark, fs, root)
+    assert(after.inputFiles.length <= 4)
+    assertSameRows(after, data)
+    // snapshot isolation: the pre-compact layout stays readable
+    assert(VersionedTable.readVersion(spark, fs, root, 1L)
+      .inputFiles.length === 32)
+    assert(VersionedTable.commits(fs, root).last.op === "compact")
+    // indexed compact: the new layout serves manifest-pruned reads
+    val v3 = VersionedTable.compact(spark, fs, root, ts = 300L,
+      numFiles = 8, indexCol = Some("id"))
+    val pruned = VersionedTable.readVersionPruned(spark, fs, root, v3,
+      "id", 500, 749)
+    assertSameRows(pruned, data.filter(col("id").between(500, 749)))
+    assert(pruned.inputFiles.length <
+      VersionedTable.readVersion(spark, fs, root, v3).inputFiles.length)
   }
 
   test("two racing writers commit distinct versions, both readable") {

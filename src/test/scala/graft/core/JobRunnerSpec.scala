@@ -1558,6 +1558,43 @@ class MaintenanceParamsSpec extends SparkSpec {
     h shouldBe Map(1L -> false, 2L -> true, 3L -> true)
   }
 
+  test("zorder snapshots, compaction and commit-log catch-up run " +
+      "through the params surface") {
+    val base = tmp("jr_mx3")
+    val fs = new graft.fsops.FsOps(spark.sparkContext.hadoopConfiguration)
+    val data = spark.range(0, 1024).selectExpr(
+      "id % 32 AS x", "CAST(id / 32 AS LONG) AS y", "id AS payload")
+    data.write.parquet(s"$base/src")
+    run(base, "VersionWrite",
+      s"""{"source_dir": "$base/src", "table_root": "$base/zt",
+         | "ts": 1000, "x_col": "x", "y_col": "y", "bits": 5,
+         | "num_files": 8}""".stripMargin)
+    run(base, "VersionRead",
+      s"""{"table_root": "$base/zt", "version": 1, "x_col": "x",
+         | "y_col": "y", "x_lo": 4, "x_hi": 11, "y_lo": 4, "y_hi": 11,
+         | "target_dir": "$base/rect"}""".stripMargin)
+    assertSameRows(spark.read.parquet(s"$base/rect"),
+      data.filter($"x".between(4, 11) && $"y".between(4, 11)))
+    run(base, "VersionCompact",
+      s"""{"table_root": "$base/zt", "ts": 2000, "num_files": 2,
+         | "index_col": "payload"}""".stripMargin)
+    val latest = graft.catalog.VersionedTable.readLatest(spark, fs,
+      s"$base/zt")
+    assertSameRows(latest, data)
+    assert(latest.inputFiles.length <= 2)
+    // maintained view fed from the table's commit log (both versions
+    // have identical content, so v1→v2 CDC is empty — state unchanged)
+    run(base, "MaintainedViewCatchUp",
+      s"""{"table_root": "$base/zt", "state_root": "$base/state",
+         | "cdc_key_columns": ["payload"], "key_columns": ["x"],
+         | "sum_columns": ["payload"]}""".stripMargin)
+    assertSameRows(
+      graft.catalog.VersionedTable.readLatest(spark, fs, s"$base/state")
+        .select("x", "n_rows", "sum_payload"),
+      data.groupBy("x").agg(count(lit(1)).as("n_rows"),
+        sum("payload").as("sum_payload")))
+  }
+
   test("weighted and min/max refresh modes run through the params " +
       "surface") {
     val base = tmp("jr_mx2")

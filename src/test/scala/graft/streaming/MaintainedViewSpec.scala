@@ -62,6 +62,44 @@ class MaintainedViewSpec extends SparkSpec {
       recompute(b0.unionByName(b1)))
   }
 
+  test("catchUp folds a versioned base table's commit log into the " +
+      "maintained view: bootstrap, incremental polls, exactly-once") {
+    val tableRoot = tmp("mv_tbl")
+    val stateRoot = tmp("mv_cst")
+    val v1 = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L))
+      .toDF("id", "g", "m")
+    val v2 = Seq((1L, "a", 10L), (2L, "b", 25L), (4L, "b", 40L))
+      .toDF("id", "g", "m") // 3 deleted, 2 updated, 4 inserted
+    val v3 = Seq((1L, "a", 11L), (4L, "b", 40L)).toDF("id", "g", "m")
+    def recomputeG(df: DataFrame): DataFrame = df.groupBy("g")
+      .agg(count(lit(1)).as("n_rows"), sum("m").as("sum_m"))
+    VersionedTable.write(v1, fs, tableRoot, ts = 100L)
+    VersionedTable.write(v2, fs, tableRoot, ts = 200L)
+    // first poll consumes both pending versions
+    assert(MaintainedView.catchUp(spark, fs, tableRoot, stateRoot,
+      cdcKeys = Seq("id"), groupKeys = Seq("g"), sumCols = Seq("m"))
+      === Seq(1L, 2L))
+    assertSameRows(
+      VersionedTable.readLatest(spark, fs, stateRoot)
+        .select("g", "n_rows", "sum_m"),
+      recomputeG(v2.select("g", "m")))
+    // nothing new: the poll is a no-op (no state commit burned)
+    assert(MaintainedView.catchUp(spark, fs, tableRoot, stateRoot,
+      Seq("id"), Seq("g"), Seq("m")).isEmpty)
+    assert(VersionedTable.commits(fs, stateRoot).size === 2)
+    // a third base version folds incrementally (only v3 consumed)
+    VersionedTable.write(v3, fs, tableRoot, ts = 300L)
+    assert(MaintainedView.catchUp(spark, fs, tableRoot, stateRoot,
+      Seq("id"), Seq("g"), Seq("m")) === Seq(3L))
+    assertSameRows(
+      VersionedTable.readLatest(spark, fs, stateRoot)
+        .select("g", "n_rows", "sum_m"),
+      recomputeG(v3.select("g", "m")))
+    // the state log records which base version each commit consumed
+    assert(VersionedTable.commits(fs, stateRoot).map(_.op)
+      === Seq("table-v-1", "table-v-2", "table-v-3"))
+  }
+
   test("weighted batches retract: a delete batch removes its rows from " +
       "the maintained view") {
     val root = tmp("mv_state")
