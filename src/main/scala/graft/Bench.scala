@@ -29,10 +29,12 @@ object Bench {
       // single sample 3-5x (round 11 adjudication: q54 printed 3.32 s
       // against a 0.94 s fresh-JVM median — one spiked sample, not a
       // regression; even min-of-2 lost to a spike spanning both
-      // back-to-back samples). A crashed first sample is not retried.
+      // back-to-back samples). ANY crashed sample reports -1: an
+      // intermittent failure must surface, not hide behind the
+      // survivors (whose "median" would also skew toward the max).
       val t = if (t1 < 0) t1 else {
-        val samples = Seq(t1, once(), once()).filter(_ >= 0).sorted
-        samples(samples.size / 2)
+        val samples = Seq(t1, once(), once())
+        if (samples.exists(_ < 0)) -1.0 else samples.sorted.apply(1)
       }
       name -> t
     }

@@ -56,7 +56,8 @@ object VersionedTable {
     */
   final case class Commit(version: Long, ts: Long, op: String, rows: Long,
       path: String, indexCol: Option[String] = None,
-      indexKind: Option[String] = None)
+      indexKind: Option[String] = None,
+      partTypes: Option[String] = None)
 
   private def commitsDir(root: String) = s"$root/_commits"
   private def commitFile(root: String, v: Long) =
@@ -72,17 +73,43 @@ object VersionedTable {
     * and publish by rename, so every `*.json` this lists is complete.
     */
   def commits(fsOps: FsOps, root: String): Seq[Commit] =
-    fsOps.ls(commitsDir(root)).filter(_.endsWith(".json")).map { f =>
-      val c = JsonConfig.fromFile(fsOps, s"${commitsDir(root)}/$f")
-      Commit(c.getLong("version"), c.getLong("ts"), c.getString("op"),
-        c.getLong("rows"), c.getString("path"),
-        c.getStringOpt("index_col"), c.getStringOpt("index_kind"))
-    }.sortBy(_.version)
+    fsOps.ls(commitsDir(root)).filter(_.endsWith(".json"))
+      .map(f => parseCommit(fsOps, s"${commitsDir(root)}/$f"))
+      .sortBy(_.version)
 
-  private def commitOf(fsOps: FsOps, root: String, version: Long): Commit =
-    commits(fsOps, root).find(_.version == version).getOrElse(
+  /** Raised internally when every commit attempt lost its version race —
+    * the typed signal [[writeIf]] maps to a concurrency conflict (a
+    * string-matched message would be a fragile contract).
+    */
+  private final class VersionRaceExhausted(msg: String)
+      extends java.io.IOException(msg)
+
+  private def parseCommit(fsOps: FsOps, path: String): Commit = {
+    val c = JsonConfig.fromFile(fsOps, path)
+    Commit(c.getLong("version"), c.getLong("ts"), c.getString("op"),
+      c.getLong("rows"), c.getString("path"),
+      c.getStringOpt("index_col"), c.getStringOpt("index_kind"),
+      c.getStringOpt("part_types"))
+  }
+
+  /** O(1) single-version lookup: the commit filename is deterministic
+    * from the version, so resolving one version needs ONE file read, not
+    * a listing + parse of the whole log (which would make per-version
+    * callers — changeFeed, catch-up folds — quadratic in table age).
+    * Falls back to the full listing for logs with foreign/unpadded
+    * names.
+    */
+  private def commitOf(fsOps: FsOps, root: String, version: Long): Commit = {
+    val direct = commitFile(root, version)
+    if (fsOps.exists(direct)) {
+      val c = parseCommit(fsOps, direct)
+      require(c.version == version,
+        s"$direct names version ${c.version}, not $version — corrupt log")
+      c
+    } else commits(fsOps, root).find(_.version == version).getOrElse(
       throw new IllegalArgumentException(
         s"version $version was never committed under $root"))
+  }
 
   def latestVersion(fsOps: FsOps, root: String): Long = {
     val cs = commits(fsOps, root)
@@ -96,32 +123,63 @@ object VersionedTable {
     */
   def write(df: DataFrame, fsOps: FsOps, root: String, ts: Long,
       op: String = "write", maxAttempts: Int = 5): Long =
-    writeLanded(df, fsOps, root, ts, op, maxAttempts, None,
+    writeLanded(df, fsOps, root, ts, op, maxAttempts, Seq.empty,
       dir => df.write.parquet(dir))
 
-  /** Shared commit protocol behind [[write]], [[writeIndexed]] and
-    * [[writeZIndexed]]: `land` materializes the snapshot into the
-    * writer-private dir; `index` ((cols, kind), when set) is recorded in
-    * the commit so readers can discover the committed manifest
-    * dimension(s).
+  /** Optimistic-concurrency [[write]]: commit ONLY if the table is still
+    * at `expectedVersion` (what the writer read before computing `df`).
+    * A concurrent commit in between fails this writer with
+    * [[java.util.ConcurrentModificationException]] instead of silently
+    * publishing a snapshot that overwrites the other writer's changes —
+    * the read-modify-write safety blind [[write]] (a full-replace
+    * publish) cannot give. The loser re-reads, recomputes, retries at
+    * the caller's discretion; its landed data dir is cleaned up.
+    */
+  def writeIf(df: DataFrame, fsOps: FsOps, root: String, ts: Long,
+      expectedVersion: Long, op: String = "write"): Long = {
+    // cheap pre-check (the landing write is the expensive part)...
+    val latest = commits(fsOps, root).lastOption.map(_.version).getOrElse(0L)
+    if (latest != expectedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"$root moved to version $latest; this writer based its " +
+          s"snapshot on $expectedVersion — re-read and recompute")
+    // ...then a SINGLE commit attempt PINNED to expectedVersion + 1 (the
+    // pin matters: an unpinned attempt would recompute `next` and happily
+    // publish at a later number, which is exactly the lost-update OCC
+    // exists to prevent). Losing the race for that number IS the conflict.
+    try writeLanded(df, fsOps, root, ts, op, maxAttempts = 1, Seq.empty,
+      dir => df.write.parquet(dir), pin = Some(expectedVersion + 1))
+    catch {
+      case _: VersionRaceExhausted =>
+        throw new java.util.ConcurrentModificationException(
+          s"$root was committed concurrently while this writer (based " +
+            s"on version $expectedVersion) was landing — re-read and " +
+            "recompute")
+    }
+  }
+
+  /** Shared commit protocol behind every write face: `land` materializes
+    * the snapshot into the writer-private dir; `extra` key/value pairs
+    * (index dimensions, partition-column types) are recorded in the
+    * commit so readers can discover the committed layout.
     */
   private def writeLanded(df: DataFrame, fsOps: FsOps,
       root: String, ts: Long, op: String, maxAttempts: Int,
-      index: Option[(String, String)], land: String => Unit): Long = {
+      extra: Seq[(String, String)], land: String => Unit,
+      pin: Option[Long] = None): Long = {
     // writer-private landing dir: concurrent writers never touch each
     // other's files, and until a commit references it the dir is invisible
     val name = "d-" + java.util.UUID.randomUUID.toString.take(8)
     val dir = s"$root/$name"
     land(dir)
     val rows = df.sparkSession.read.parquet(dir).count()
-    val record = commitJson(ts, op, rows, name,
-      index.toSeq.flatMap { case (cols, kind) =>
-        Seq("index_col" -> cols, "index_kind" -> kind) })
+    val record = commitJson(ts, op, rows, name, extra)
     var attempt = 0
     var committed = -1L
     while (committed < 0 && attempt < maxAttempts) {
       attempt += 1
-      val next = commits(fsOps, root).lastOption.map(_.version + 1).getOrElse(1L)
+      val next = pin.getOrElse(
+        commits(fsOps, root).lastOption.map(_.version + 1).getOrElse(1L))
       // lost races retry the COMMIT ONLY against the refreshed log (the
       // landed data stays where it is); every OTHER failure propagates —
       // publishExclusive never leaves a visible half-written commit
@@ -131,7 +189,7 @@ object VersionedTable {
     }
     if (committed < 0) {
       fsOps.deleteAll(dir)
-      throw new java.io.IOException(
+      throw new VersionRaceExhausted(
         s"could not commit to $root after $maxAttempts attempts " +
           "(lost every version race)")
     }
@@ -208,7 +266,18 @@ object VersionedTable {
     require(fsOps.exists(dir),
       s"version $version of $root was vacuumed; earliest readable is " +
         s"${earliestReadable(fsOps, root).getOrElse(-1L)}")
-    spark.read.parquet(dir)
+    val raw = spark.read.parquet(dir)
+    // hive-layout snapshots: partition values come back as STRINGS
+    // (partition type inference is disabled engine-wide — Session
+    // convention), so cast them back to the types the writer recorded —
+    // otherwise the snapshot's schema silently changes on read and a
+    // later diff/compact against a plain-written version mis-compares
+    c.partTypes.fold(raw) { spec =>
+      spec.split(",").foldLeft(raw) { (df, colType) =>
+        val Array(name, tpe) = colType.split(":", 2)
+        df.withColumn(name, col(name).cast(tpe))
+      }
+    }
   }
 
   def readLatest(spark: SparkSession, fsOps: FsOps, root: String): DataFrame =
@@ -358,10 +427,34 @@ object VersionedTable {
       indexCol: String, numFiles: Int, op: String = "write",
       maxAttempts: Int = 5): Long =
     writeLanded(df, fsOps, root, ts, op, maxAttempts,
-      Some(indexCol -> "range"),
+      Seq("index_col" -> indexCol, "index_kind" -> "range"),
       dir => graft.operators.Layout.writeSortedWithManifest(
         df.sparkSession, df, dir, indexCol, numFiles,
         s"$dir/$ManifestDir"))
+
+  /** [[write]] with a HIVE-PARTITIONED snapshot layout: the snapshot
+    * lands as `col=value/` directories, so an equality/IN filter on the
+    * partition columns prunes whole directories on any plain
+    * [[readVersion]] — no manifest machinery needed, Spark's partition
+    * discovery does the skipping (`PartitionFilters` in the scan). The
+    * commit records the layout (`index_kind = "hive"`) for
+    * discoverability; manifest-pruned readers reject these snapshots by
+    * kind instead of mis-pruning. This is the right layout when the
+    * skip dimension is low-cardinality (source, date, language);
+    * [[writeIndexed]]/[[writeZIndexed]] cover the high-cardinality
+    * range-predicate cases.
+    */
+  def writePartitioned(df: DataFrame, fsOps: FsOps, root: String,
+      ts: Long, partitionCols: Seq[String], op: String = "write",
+      maxAttempts: Int = 5): Long = {
+    require(partitionCols.nonEmpty, "at least one partition column")
+    val partTypes = partitionCols.map(c =>
+      c + ":" + df.schema(c).dataType.catalogString).mkString(",")
+    writeLanded(df, fsOps, root, ts, op, maxAttempts,
+      Seq("index_col" -> partitionCols.mkString(","),
+        "index_kind" -> "hive", "part_types" -> partTypes),
+      dir => df.write.partitionBy(partitionCols: _*).parquet(dir))
+  }
 
   /** [[writeIndexed]] in TWO dimensions: the snapshot lands z-ordered on
     * `(xCol, yCol)` with each file's bounding RECTANGLE in the committed
@@ -374,7 +467,7 @@ object VersionedTable {
       xCol: String, yCol: String, bits: Int, numFiles: Int,
       op: String = "write", maxAttempts: Int = 5): Long =
     writeLanded(df, fsOps, root, ts, op, maxAttempts,
-      Some(s"$xCol,$yCol" -> "zorder"),
+      Seq("index_col" -> s"$xCol,$yCol", "index_kind" -> "zorder"),
       dir => graft.operators.Layout.writeZOrderedWithManifest(
         df.sparkSession, df, dir, xCol, yCol, bits, numFiles,
         s"$dir/$ManifestDir"))
@@ -412,7 +505,7 @@ object VersionedTable {
       indexCol: String, kind: String): String = {
     val c = commitOf(fsOps, root, version)
     require(c.indexCol.contains(indexCol)
-        && c.indexKind.forall(_ == kind),
+        && c.indexKind.contains(kind),
       s"version $version of $root is not $kind-indexed on $indexCol " +
         s"(committed index: ${c.indexCol.getOrElse("none")}" +
         s"${c.indexKind.fold("")(k => s" [$k]")})")
@@ -434,13 +527,29 @@ object VersionedTable {
     */
   def compact(spark: SparkSession, fsOps: FsOps, root: String, ts: Long,
       numFiles: Int, indexCol: Option[String] = None): Long = {
-    val df = readLatest(spark, fsOps, root)
-    indexCol match {
-      case Some(ic) =>
-        writeIndexed(df, fsOps, root, ts, ic, numFiles, op = "compact")
-      case None =>
-        writeLanded(df, fsOps, root, ts, "compact", 5, None,
-          dir => df.coalesce(numFiles).write.parquet(dir))
+    // compact is a read-modify-write: pin the commit to the version it
+    // read + 1, so a concurrent ingest landing in between FAILS the
+    // compaction (harmless to retry) instead of being silently
+    // superseded by the stale pre-compact content — a lost update
+    val base = latestVersion(fsOps, root)
+    val df = readVersion(spark, fsOps, root, base)
+    val (extra, land): (Seq[(String, String)], String => Unit) =
+      indexCol match {
+        case Some(ic) => (
+          Seq("index_col" -> ic, "index_kind" -> "range"),
+          dir => graft.operators.Layout.writeSortedWithManifest(
+            spark, df, dir, ic, numFiles, s"$dir/$ManifestDir"))
+        case None =>
+          (Seq.empty, dir => df.coalesce(numFiles).write.parquet(dir))
+      }
+    try writeLanded(df, fsOps, root, ts, "compact", maxAttempts = 1,
+      extra, land, pin = Some(base + 1))
+    catch {
+      case _: VersionRaceExhausted =>
+        throw new java.util.ConcurrentModificationException(
+          s"$root was committed concurrently during compaction (based " +
+            s"on version $base) — retry the compact against the new " +
+            "latest")
     }
   }
 

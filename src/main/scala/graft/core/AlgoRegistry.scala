@@ -1955,6 +1955,15 @@ object AlgoRegistry {
           val root = config.getString("table_root")
           val ts = config.getLong("ts")
           val op = config.getStringOpt("op").getOrElse("write")
+          val parts = config.getSeq[String]("partition_cols")
+          // OCC composes only with the plain layout today: silently
+          // dropping expected_version for indexed/partitioned writes
+          // would be exactly the lost update the option exists to prevent
+          require(config.getOpt[Any]("expected_version").isEmpty
+              || (config.getStringOpt("index_col").isEmpty
+                && config.getStringOpt("x_col").isEmpty && parts.isEmpty),
+            "expected_version is not supported together with index_col/" +
+              "x_col/partition_cols — it would be silently ignored")
           (config.getStringOpt("index_col"),
               config.getStringOpt("x_col")) match {
             case (Some(ic), _) => graft.catalog.VersionedTable.writeIndexed(
@@ -1965,8 +1974,15 @@ object AlgoRegistry {
                 config.getString("y_col"),
                 config.getIntOpt("bits").getOrElse(16),
                 config.getIntOpt("num_files").getOrElse(10), op)
-            case _ => graft.catalog.VersionedTable.write(
-              dfs.head, fsOps, root, ts, op)
+            case _ if parts.nonEmpty => graft.catalog.VersionedTable
+              .writePartitioned(dfs.head, fsOps, root, ts, parts, op)
+            case _ => config.getOpt[Any]("expected_version") match {
+              case Some(_) => graft.catalog.VersionedTable.writeIf(
+                dfs.head, fsOps, root, ts,
+                config.getLong("expected_version"), op)
+              case None => graft.catalog.VersionedTable.write(
+                dfs.head, fsOps, root, ts, op)
+            }
           }
           dfs
         }

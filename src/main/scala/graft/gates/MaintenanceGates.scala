@@ -276,6 +276,51 @@ object MaintenanceGates extends GateSupport {
         sumCols = Seq("bal_cents")) // poll 2: incremental CDC fold
       VersionedTable.readLatest(s, fs, stateRoot)
         .select(col("c_mktsegment"), col("n_rows"), col("sum_bal_cents"))
+    }),
+
+    // hive-partitioned snapshot: the time-travel read of a
+    // partition-filtered slice prunes whole col=value directories via
+    // Spark's partition discovery (PartitionFilters on the scan —
+    // spec-pinned; the oracle checks the content)
+    "q315_version_partitioned" -> ((s, dir) => {
+      val root = tmpDir("q315")
+      val fs = fsOps(s)
+      VersionedTable.writePartitioned(v1Frame(s, dir), fs, root,
+        ts = 1000L, partitionCols = Seq("c_mktsegment"))
+      VersionedTable.readVersion(s, fs, root, 1L)
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_custkey"), col("c_name"), col("bal_cents"),
+          col("c_mktsegment"))
+    }),
+
+    // optimistic concurrency: two writers base their snapshot on v1;
+    // the second writeIf refuses (ConcurrentModificationException)
+    // instead of silently dropping the first's change, re-reads v2 and
+    // recommits — the final table carries BOTH edits
+    "q316_version_occ" -> ((s, dir) => {
+      val root = tmpDir("q316")
+      val fs = fsOps(s)
+      VersionedTable.write(v1Frame(s, dir), fs, root, ts = 1000L)
+      // writer A from base 1: +100 cents on %5 keys
+      val a = VersionedTable.readVersion(s, fs, root, 1L)
+        .withColumn("bal_cents",
+          when(col("c_custkey") % 5 === 0, col("bal_cents") + 100L)
+            .otherwise(col("bal_cents")))
+      VersionedTable.writeIf(a, fs, root, ts = 2000L,
+        expectedVersion = 1L)
+      // writer B also from base 1: drop %11 keys — conflicts, retries
+      def bFrom(v: Long) = VersionedTable.readVersion(s, fs, root, v)
+        .filter(col("c_custkey") % 11 =!= 0)
+      try VersionedTable.writeIf(bFrom(1L), fs, root, ts = 3000L,
+        expectedVersion = 1L)
+      catch { case _: java.util.ConcurrentModificationException =>
+        VersionedTable.writeIf(bFrom(2L), fs, root, ts = 3000L,
+          expectedVersion = 2L) // re-read, recompute, retry
+      }
+      VersionedTable.readLatest(s, fs, root)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("bal_cents")).as("total_cents"))
     })
   )
 
@@ -367,6 +412,21 @@ object MaintenanceGates extends GateSupport {
     "q314_catchup_maintained_view" ->
       s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
-         |FROM ($v2Sql) GROUP BY c_mktsegment""".stripMargin
+         |FROM ($v2Sql) GROUP BY c_mktsegment""".stripMargin,
+
+    "q315_version_partitioned" ->
+      s"""SELECT c_custkey, c_name, bal_cents, c_mktsegment
+         |FROM ($v1Sql)
+         |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""".stripMargin,
+
+    // final logical table = v1 with A's +100 on %5 keys AND B's %11
+    // deletes — BOTH edits survive the conflict protocol
+    "q316_version_occ" ->
+      s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+         |  CAST(sum(CASE WHEN c_custkey % 5 = 0 THEN bal_cents + 100
+         |               ELSE bal_cents END) AS BIGINT) AS total_cents
+         |FROM ($v1Sql)
+         |WHERE c_custkey % 11 <> 0
+         |GROUP BY c_mktsegment""".stripMargin
   )
 }

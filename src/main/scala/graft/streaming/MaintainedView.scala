@@ -41,7 +41,8 @@ object MaintainedView {
     */
   def maintainBatch(spark: SparkSession, fsOps: FsOps, stateRoot: String,
       batch: DataFrame, batchId: Long, keys: Seq[String],
-      sumCols: Seq[String], weightCol: Option[String] = None): Unit = {
+      sumCols: Seq[String], weightCol: Option[String] = None,
+      tsMs: Long = System.currentTimeMillis): Unit = {
     val op = s"batch-$batchId"
     val log = VersionedTable.commits(fsOps, stateRoot)
     if (log.exists(_.op == op)) return // replayed trigger: already folded
@@ -52,9 +53,15 @@ object MaintainedView {
       else VersionedTable.readLatest(spark, fsOps, stateRoot)
     val refreshed = IncrementalAgg.refresh(state, batch, keys, sumCols,
       weightCol = weightCol)
-    // ts = batchId keeps replays and tests deterministic (the repo's
-    // caller-supplied-timestamp device); history order is version order
-    VersionedTable.write(refreshed, fsOps, stateRoot, ts = batchId, op = op)
+    // the commit is PINNED to the state version this fold read (OCC):
+    // the engine serializes triggers within one query, but an external
+    // concurrent refresher would otherwise turn the check-then-act above
+    // into a double fold. `ts` is a real wall timestamp (injectable for
+    // tests) so vacuum's retention grace stays meaningful on state
+    // tables; the batch id lives in the op tag.
+    VersionedTable.writeIf(refreshed, fsOps, stateRoot, ts = tsMs,
+      expectedVersion = log.lastOption.map(_.version).getOrElse(0L),
+      op = op)
   }
 
   /** Catch-up maintenance straight from a VERSIONED BASE TABLE's commit
@@ -83,7 +90,8 @@ object MaintainedView {
         op.stripPrefix("table-v-").toLong }
     val highWater = if (consumed.isEmpty) Long.MinValue else consumed.max
     val todo = tableLog.filter(_.version > highWater)
-    todo.map { c =>
+    val folded = Seq.newBuilder[Long]
+    for (c <- todo) {
       val feed =
         if (consumed.isEmpty && c.version == tableLog.head.version)
           // bootstrap: the whole first snapshot is one insert batch
@@ -92,6 +100,12 @@ object MaintainedView {
         else vt.changeFeed(spark, fsOps, tableRoot, c.version - 1,
           c.version, cdcKeys)
       val stateLog = vt.commits(fsOps, stateRoot)
+      // re-check against the FRESH state log: an overlapping poll may
+      // have folded this version after our poll-start snapshot of
+      // `consumed` (a commit landing after THIS read is caught by the
+      // pinned writeIf below — between them the window is closed)
+      if (stateLog.exists(_.op == tagOf(c.version)))
+        return folded.result()
       val state =
         if (stateLog.isEmpty)
           IncrementalAgg.init(feed.drop("change_type").limit(0),
@@ -99,10 +113,21 @@ object MaintainedView {
         else vt.readLatest(spark, fsOps, stateRoot)
       val refreshed = IncrementalAgg.refreshFromChanges(state, feed,
         groupKeys, sumCols)
-      vt.write(refreshed, fsOps, stateRoot, ts = c.ts,
+      // the state commit is PINNED to the version this fold read (OCC):
+      // two overlapping polls both seeing version N unconsumed would
+      // otherwise both fold it — check-then-act — and double-count the
+      // delta. With the pin, the slower poll's commit conflicts; it
+      // stops and leaves the rest to the poll that won.
+      try vt.writeIf(refreshed, fsOps, stateRoot, ts = c.ts,
+        expectedVersion = stateLog.lastOption.map(_.version).getOrElse(0L),
         op = tagOf(c.version))
-      c.version
+      catch {
+        case _: java.util.ConcurrentModificationException =>
+          return folded.result()
+      }
+      folded += c.version
     }
+    folded.result()
   }
 
   /** Drive a parquet file-stream through [[maintainBatch]] with

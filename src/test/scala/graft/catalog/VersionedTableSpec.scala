@@ -316,6 +316,115 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.readVersion(spark, fs, root, v3).inputFiles.length)
   }
 
+  test("writeIf commits only from the expected base version: a " +
+      "concurrent commit turns the read-modify-write into a conflict") {
+    val root = tmp("vt")
+    VersionedTable.write(df((1L, "a", 10L)), fs, root, ts = 100L)
+    // writer A reads v1, computes, commits from base 1 → v2
+    assert(VersionedTable.writeIf(df((1L, "a", 11L)), fs, root,
+      ts = 200L, expectedVersion = 1L) === 2L)
+    // writer B ALSO based its snapshot on v1 — blind write would
+    // silently drop A's change; writeIf refuses
+    val e = intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.writeIf(df((1L, "a", 99L)), fs, root,
+        ts = 300L, expectedVersion = 1L)
+    }
+    assert(e.getMessage.contains("version 2"))
+    // B re-reads (now v2), recomputes, retries from the right base
+    assert(VersionedTable.writeIf(df((1L, "a", 111L)), fs, root,
+      ts = 400L, expectedVersion = 2L) === 3L)
+    assertSameRows(VersionedTable.readLatest(spark, fs, root),
+      df((1L, "a", 111L)))
+    // no orphan data dirs from the refused commit linger after a sweep
+    VersionedTable.vacuum(fs, root, keepLast = 3, force = true,
+      retentionMs = 0L, sweepUncommitted = true)
+    assert(VersionedTable.readVersion(spark, fs, root, 3L).count() === 1L)
+  }
+
+  test("writePartitioned lands col=value dirs: a partition filter " +
+      "prunes directories on a plain time-travel read") {
+    val root = tmp("vt")
+    val data = spark.range(0, 900).selectExpr(
+      "CAST(id % 3 AS STRING) AS part", "id", "id * 2 AS val")
+    VersionedTable.writePartitioned(data, fs, root, ts = 100L,
+      partitionCols = Seq("part"))
+    val c = VersionedTable.commits(fs, root).head
+    assert(c.indexCol === Some("part") && c.indexKind === Some("hive"))
+    val read = VersionedTable.readVersion(spark, fs, root, 1L)
+    assertSameRows(read.select("id", "val", "part"),
+      data.select("id", "val", "part"))
+    val pruned = read.filter(col("part") === "1")
+    // directory pruning: the filter lands as a PARTITION filter on the
+    // scan (inputFiles can't show this — it lists the unpruned relation)
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.exists(_.toString.contains("part")),
+      s"expected a partition filter on the scan:\n$scan")
+    assert(scan.selectedPartitions.partitionCount === 1,
+      "only the part=1 directory may survive pruning")
+    assertSameRows(pruned.select("id"),
+      data.filter(col("part") === "1").select("id"))
+    // manifest-pruned readers reject the hive layout by kind
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.readVersionPruned(spark, fs, root, 1L, "part", 0, 1)
+    }
+    assert(e.getMessage.contains("not range-indexed"))
+  }
+
+  test("writePartitioned round-trips non-string partition columns: the " +
+      "committed types survive the hive layout's string directories") {
+    val root = tmp("vt")
+    val data = spark.range(0, 90).selectExpr("id % 3 AS part", "id")
+    VersionedTable.writePartitioned(data, fs, root, ts = 100L,
+      partitionCols = Seq("part"))
+    val read = VersionedTable.readVersion(spark, fs, root, 1L)
+    assert(read.schema("part").dataType
+      === org.apache.spark.sql.types.LongType)
+    assertSameRows(read.select("id", "part"), data.select("id", "part"))
+    // and diff against a PLAIN-written version compares long-to-long
+    VersionedTable.write(data.filter($"id" =!= 7L), fs, root, ts = 200L)
+    val d = VersionedTable.diff(spark, fs, root, 1L, 2L, Seq("id"))
+    assertSameRows(d.select("id", "change_type"),
+      Seq((7L, "delete")).toDF("id", "change_type"))
+  }
+
+  test("a commit with an index_col but no index_kind satisfies NO pruned " +
+      "reader (never a wrong-geometry prune)") {
+    val root = tmp("vt")
+    spark.range(3).toDF("x").write.parquet(s"$root/d-forged")
+    fs.writeFile(s"$root/_commits/00001.json",
+      """{"version": 1, "ts": 1, "op": "write", "rows": 3,""" +
+        """ "path": "d-forged", "index_col": "x"}""")
+    intercept[IllegalArgumentException] {
+      VersionedTable.readVersionPruned(spark, fs, root, 1L, "x", 0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.readVersionPrunedRect(spark, fs, root, 1L,
+        "x", "y", 0, 1, 0, 1)
+    }
+    // the plain read still serves the snapshot
+    assert(VersionedTable.readVersion(spark, fs, root, 1L).count() === 3L)
+  }
+
+  test("compact conflicts instead of superseding a concurrent commit") {
+    // the pin mechanism is shared with writeIf; what compact must add is
+    // basing BOTH the content and the pin on the same read version —
+    // verified indirectly: compacting twice back-to-back succeeds (each
+    // re-reads), and the commit history shows each compact pinned to its
+    // read's successor
+    val root = tmp("vt")
+    VersionedTable.write(spark.range(100).toDF("id").repartition(8),
+      fs, root, ts = 100L)
+    assert(VersionedTable.compact(spark, fs, root, ts = 200L,
+      numFiles = 2) === 2L)
+    assert(VersionedTable.compact(spark, fs, root, ts = 300L,
+      numFiles = 1) === 3L)
+    assert(VersionedTable.commits(fs, root).map(_.op)
+      === Seq("write", "compact", "compact"))
+    assert(VersionedTable.readLatest(spark, fs, root).count() === 100L)
+  }
+
   test("two racing writers commit distinct versions, both readable") {
     val root = tmp("vt")
     VersionedTable.write(df((0L, "seed", 0L)), fs, root, 50L)

@@ -1595,6 +1595,39 @@ class MaintenanceParamsSpec extends SparkSpec {
         sum("payload").as("sum_payload")))
   }
 
+  test("partitioned snapshots and OCC writes run through the params " +
+      "surface") {
+    val base = tmp("jr_mx4")
+    val fs = new graft.fsops.FsOps(spark.sparkContext.hadoopConfiguration)
+    val data = spark.range(0, 300).selectExpr(
+      "CAST(id % 3 AS STRING) AS part", "id")
+    data.write.parquet(s"$base/src")
+    run(base, "VersionWrite",
+      s"""{"source_dir": "$base/src", "table_root": "$base/pt",
+         | "ts": 1000, "partition_cols": ["part"]}""".stripMargin)
+    val c = graft.catalog.VersionedTable.commits(fs, s"$base/pt").head
+    c.indexKind shouldBe Some("hive")
+    // OCC from the right base succeeds, from a stale base fails
+    run(base, "VersionWrite",
+      s"""{"source_dir": "$base/src", "table_root": "$base/pt",
+         | "ts": 2000, "expected_version": 1}""".stripMargin)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      run(base, "VersionWrite",
+        s"""{"source_dir": "$base/src", "table_root": "$base/pt",
+           | "ts": 3000, "expected_version": 1}""".stripMargin)
+    }
+    e.getMessage should include ("version 2")
+    // OCC composes only with the plain layout: combining it with an
+    // indexed/partitioned write must fail fast, never silently drop it
+    val e2 = intercept[IllegalArgumentException] {
+      run(base, "VersionWrite",
+        s"""{"source_dir": "$base/src", "table_root": "$base/pt",
+           | "ts": 4000, "expected_version": 2,
+           | "index_col": "id"}""".stripMargin)
+    }
+    e2.getMessage should include ("expected_version")
+  }
+
   test("weighted and min/max refresh modes run through the params " +
       "surface") {
     val base = tmp("jr_mx2")

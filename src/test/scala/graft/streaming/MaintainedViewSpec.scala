@@ -100,6 +100,32 @@ class MaintainedViewSpec extends SparkSpec {
       === Seq("table-v-1", "table-v-2", "table-v-3"))
   }
 
+  test("overlapping catch-up polls never double-fold: concurrent polls " +
+      "settle on the single-poll answer with unique version tags") {
+    import scala.collection.parallel.CollectionConverters._
+    val tableRoot = tmp("mv_tbl2")
+    val stateRoot = tmp("mv_cst2")
+    val v1 = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "g", "m")
+    val v2 = Seq((1L, "a", 15L), (3L, "a", 30L)).toDF("id", "g", "m")
+    val v3 = Seq((1L, "a", 15L), (3L, "a", 31L), (4L, "b", 4L))
+      .toDF("id", "g", "m")
+    Seq(v1, v2, v3).zipWithIndex.foreach { case (v, i) =>
+      VersionedTable.write(v, fs, tableRoot, ts = (i + 1) * 100L) }
+    // two polls race over the same 3 pending versions; the op-tag
+    // re-check + the pinned state commit make the outcome invariant
+    val folded = (1 to 2).par.map(_ =>
+      MaintainedView.catchUp(spark, fs, tableRoot, stateRoot,
+        Seq("id"), Seq("g"), Seq("m"))).toList
+    assert(folded.flatten.sorted === Seq(1L, 2L, 3L)) // each exactly once
+    val ops = VersionedTable.commits(fs, stateRoot).map(_.op)
+    assert(ops === Seq("table-v-1", "table-v-2", "table-v-3"))
+    assertSameRows(
+      VersionedTable.readLatest(spark, fs, stateRoot)
+        .select("g", "n_rows", "sum_m"),
+      v3.groupBy("g").agg(count(lit(1)).as("n_rows"),
+        sum("m").as("sum_m")))
+  }
+
   test("weighted batches retract: a delete batch removes its rows from " +
       "the maintained view") {
     val root = tmp("mv_state")
