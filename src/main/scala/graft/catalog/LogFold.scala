@@ -1,0 +1,72 @@
+package graft.catalog
+
+import graft.fsops.FsOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Exactly-once maintenance of a DERIVED versioned table from a BASE
+  * versioned table's commit log — the generic skeleton behind
+  * [[graft.streaming.MaintainedView.catchUp]] (aggregate views) and
+  * [[graft.operators.CorpusMaintenance.catchUpArtifacts]] (dedup
+  * artifacts). Each poll folds every base version the derived table has
+  * not yet consumed, committing the derived table once per consumed
+  * base version with the base version recorded in the commit op
+  * (`<tagPrefix>-v-N`).
+  *
+  * Exactly-once under ANY poll schedule, including overlapping polls:
+  *  - already-consumed versions are skipped by op tag, re-checked
+  *    against the FRESH derived log before every fold (a poll-start
+  *    snapshot alone leaves a check-then-act window);
+  *  - the derived commit is a PINNED [[VersionedTable.writeIf]] on the
+  *    derived version the fold read — a commit landing between the
+  *    fresh re-check and the write turns into a conflict, and the
+  *    losing poll stops, leaving the rest to the winner.
+  *
+  * Per-poll cost ∝ the new base versions' deltas + whatever `fold`
+  * does — never a rescan of versions already folded.
+  */
+object LogFold {
+
+  /** Fold every unconsumed version of `baseRoot` into `derivedRoot`.
+    * `fold(state, commit)` produces the next derived snapshot from the
+    * current derived state (None = bootstrap: nothing consumed yet) and
+    * the base commit being consumed. Returns the base versions folded
+    * by THIS call.
+    */
+  def catchUp(spark: SparkSession, fsOps: FsOps, baseRoot: String,
+      derivedRoot: String, tagPrefix: String)(
+      fold: (Option[DataFrame], VersionedTable.Commit) => DataFrame)
+      : Seq[Long] = {
+    val vt = VersionedTable
+    val baseLog = vt.commits(fsOps, baseRoot)
+    require(baseLog.nonEmpty, s"no committed versions under $baseRoot")
+    def tagOf(v: Long) = s"$tagPrefix-v-$v"
+    val consumed = vt.commits(fsOps, derivedRoot).map(_.op)
+      .collect { case op if op.startsWith(s"$tagPrefix-v-") =>
+        op.stripPrefix(s"$tagPrefix-v-").toLong }
+    val highWater = if (consumed.isEmpty) Long.MinValue else consumed.max
+    val todo = baseLog.filter(_.version > highWater)
+    val folded = Seq.newBuilder[Long]
+    for (c <- todo) {
+      val derivedLog = vt.commits(fsOps, derivedRoot)
+      // re-check against the FRESH derived log: an overlapping poll may
+      // have folded this version after our poll-start snapshot (a
+      // commit landing after THIS read is caught by the pinned writeIf)
+      if (derivedLog.exists(_.op == tagOf(c.version)))
+        return folded.result()
+      val state =
+        if (derivedLog.isEmpty) None
+        else Some(vt.readLatest(spark, fsOps, derivedRoot))
+      val next = fold(state, c)
+      try vt.writeIf(next, fsOps, derivedRoot, ts = c.ts,
+        expectedVersion = derivedLog.lastOption.map(_.version)
+          .getOrElse(0L),
+        op = tagOf(c.version))
+      catch {
+        case _: java.util.ConcurrentModificationException =>
+          return folded.result()
+      }
+      folded += c.version
+    }
+    folded.result()
+  }
+}

@@ -321,6 +321,37 @@ object MaintenanceGates extends GateSupport {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"),
           sum(col("bal_cents")).as("total_cents"))
+    }),
+
+    // the training-data loop end to end: a VERSIONED corpus (deletes +
+    // text re-extractions between v1 and v2) maintains its dedup
+    // artifacts from its own commit log (delta-signed only — the corpus
+    // is never re-shingled outside the CDC delta), then an incoming
+    // delivery is admitted against the MAINTAINED artifacts; the oracle
+    // recomputes exact+near-dup admission from scratch on v2, so any
+    // staleness in the maintained artifacts (leftover deleted digest,
+    // un-resigned update) would flip admitted rows
+    "q317_corpus_artifact_maintenance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = tmpDir("q317_c")
+      val arts = tmpDir("q317_a")
+      val fs = fsOps(s)
+      val v1 = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val v2 = v1.filter(col("doc_id") % 9 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(lit("v2 "), col("text")))
+            .otherwise(col("text")))
+      VersionedTable.write(v1, fs, corpus, ts = 1000L)
+      VersionedTable.write(v2, fs, corpus, ts = 2000L)
+      graft.operators.CorpusMaintenance.catchUpArtifacts(s, fs, corpus,
+        arts, "doc_id", "text")
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      graft.operators.CorpusMaintenance.admit(s, fs, incoming, corpus,
+          arts, "doc_id", "text", threshold = 0.5)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"))
     })
   )
 
@@ -418,6 +449,39 @@ object MaintenanceGates extends GateSupport {
       s"""SELECT c_custkey, c_name, bal_cents, c_mktsegment
          |FROM ($v1Sql)
          |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""".stripMargin,
+
+    // mirrors q317: admission recomputed from scratch against v2 — the
+    // q72 oracle chain with the versioned corpus's v2 as the landed side
+    "q317_corpus_artifact_maintenance" ->
+      s"""WITH v1 AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |existing AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN 'v2 ' || text ELSE text END
+         |      AS text
+         |  FROM v1 WHERE doc_id % 9 <> 0),
+         |inc AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |inp AS (
+         |  SELECT i.doc_id, i.text FROM inc i
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM existing e WHERE md5(e.text) = md5(i.text))),
+         |docs0 AS (
+         |  SELECT doc_id, text FROM existing
+         |  UNION ALL SELECT doc_id, text FROM inp),
+         |${OracleHelpers.minhashChainSql("docs0")},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM j
+         |  WHERE CAST(inter AS DOUBLE)/uni >= 0.5),
+         |bad AS (
+         |  SELECT id_b AS doc_id FROM pairs
+         |  WHERE id_a IN (SELECT doc_id FROM existing)
+         |  UNION
+         |  SELECT id_a AS doc_id FROM pairs
+         |  WHERE id_b IN (SELECT doc_id FROM existing))
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE d.doc_id IN (SELECT doc_id FROM inp)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
     // final logical table = v1 with A's +100 on %5 keys AND B's %11
     // deletes — BOTH edits survive the conflict protocol

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.catalog.{LogFold, VersionedTable}
+import graft.fsops.FsOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup-artifact maintenance for a VERSIONED corpus: keeps the
+  * [[Dedup.dedupArtifacts]] table (one (id, digest, minhash-sig) row per
+  * landed doc) in lockstep with a corpus stored as a
+  * [[VersionedTable]], fed from the corpus's own commit log.
+  *
+  * This closes the loop the incremental-dedup family left open: q72's
+  * `IncrementalDedup` consumes a PERSISTED artifacts table so admission
+  * cost scales with the batch — but something has to keep that table
+  * current as the corpus itself changes (curation deletes, text
+  * re-extraction updates, new deliveries). Re-signing the corpus per
+  * change is a full-corpus minhash pass — the exact cost the artifacts
+  * exist to avoid. Here each corpus version folds as its CDC delta:
+  * artifact rows of deleted/update-preimage docs drop by anti-join,
+  * signatures are computed ONLY for inserted/update-postimage docs, and
+  * the updated artifact table commits as the next version of
+  * `artifactsRoot` — exactly-once per corpus version
+  * ([[graft.catalog.LogFold]]: op tags + pinned commits), so any
+  * scheduler cadence and overlapping polls are safe.
+  *
+  * 100 TB shape: per-poll cost = the CDC join of the new version pairs
+  * + minhash over the delta docs + one artifact-table write of
+  * |corpus| NARROW rows (id, digest, 32 longs — the artifact table is
+  * ~1e-3 the corpus bytes). The corpus text is never re-shingled
+  * outside the delta.
+  */
+object CorpusMaintenance {
+
+  /** Fold every unconsumed corpus version into the artifacts table.
+    * Returns the corpus versions folded by this call. `shingleSize`/`k`
+    * must stay fixed across polls (they parameterize the signatures the
+    * admission path compares).
+    */
+  def catchUpArtifacts(spark: SparkSession, fsOps: FsOps,
+      corpusRoot: String, artifactsRoot: String, idCol: String,
+      textCol: String, shingleSize: Int = 3, k: Int = 32): Seq[Long] =
+    LogFold.catchUp(spark, fsOps, corpusRoot, artifactsRoot,
+        tagPrefix = "corpus") { (state, c) =>
+      state match {
+        case None =>
+          // bootstrap: sign the whole first snapshot once
+          Dedup.dedupArtifacts(
+            VersionedTable.readVersion(spark, fsOps, corpusRoot,
+              c.version), idCol, textCol, shingleSize, k)
+        case Some(arts) =>
+          val feed = VersionedTable.changeFeed(spark, fsOps, corpusRoot,
+            c.version - 1, c.version, Seq(idCol))
+          val removed = feed.filter(col("change_type")
+              .isin("delete", "update_preimage"))
+            .select(col(idCol).as("id"))
+          val added = feed.filter(col("change_type")
+              .isin("insert", "update_postimage"))
+            .select(col(idCol), col(textCol))
+          arts.join(removed, Seq("id"), "left_anti")
+            .unionByName(Dedup.dedupArtifacts(added, idCol, textCol,
+              shingleSize, k))
+      }
+    }
+
+  /** Admit an incoming batch against the maintained corpus: exact +
+    * near-dup incremental dedup ([[Dedup.dedupIncrement]]) using the
+    * LATEST maintained artifacts — batch-scaled cost, the landed corpus
+    * contributes only its narrow artifact scan plus the candidate-sliver
+    * text read.
+    */
+  def admit(spark: SparkSession, fsOps: FsOps, incoming: DataFrame,
+      corpusRoot: String, artifactsRoot: String, idCol: String,
+      textCol: String, threshold: Double = 0.5, shingleSize: Int = 3,
+      k: Int = 32, bands: Int = 8): DataFrame = {
+    val arts = VersionedTable.readLatest(spark, fsOps, artifactsRoot)
+    val existing = VersionedTable.readLatest(spark, fsOps, corpusRoot)
+    Dedup.dedupIncrement(existing, incoming, idCol, textCol, threshold,
+      shingleSize, k, bands, artifacts = Some(arts))
+  }
+}

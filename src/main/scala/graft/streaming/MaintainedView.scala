@@ -82,52 +82,22 @@ object MaintainedView {
       stateRoot: String, cdcKeys: Seq[String], groupKeys: Seq[String],
       sumCols: Seq[String]): Seq[Long] = {
     val vt = VersionedTable
-    val tableLog = vt.commits(fsOps, tableRoot)
-    require(tableLog.nonEmpty, s"no committed versions under $tableRoot")
-    def tagOf(v: Long) = s"table-v-$v"
-    val consumed = vt.commits(fsOps, stateRoot).map(_.op)
-      .collect { case op if op.startsWith("table-v-") =>
-        op.stripPrefix("table-v-").toLong }
-    val highWater = if (consumed.isEmpty) Long.MinValue else consumed.max
-    val todo = tableLog.filter(_.version > highWater)
-    val folded = Seq.newBuilder[Long]
-    for (c <- todo) {
-      val feed =
-        if (consumed.isEmpty && c.version == tableLog.head.version)
+    graft.catalog.LogFold.catchUp(spark, fsOps, tableRoot, stateRoot,
+        tagPrefix = "table") { (state, c) =>
+      val feed = state match {
+        case None =>
           // bootstrap: the whole first snapshot is one insert batch
           vt.readVersion(spark, fsOps, tableRoot, c.version)
             .withColumn("change_type", lit("insert"))
-        else vt.changeFeed(spark, fsOps, tableRoot, c.version - 1,
-          c.version, cdcKeys)
-      val stateLog = vt.commits(fsOps, stateRoot)
-      // re-check against the FRESH state log: an overlapping poll may
-      // have folded this version after our poll-start snapshot of
-      // `consumed` (a commit landing after THIS read is caught by the
-      // pinned writeIf below — between them the window is closed)
-      if (stateLog.exists(_.op == tagOf(c.version)))
-        return folded.result()
-      val state =
-        if (stateLog.isEmpty)
-          IncrementalAgg.init(feed.drop("change_type").limit(0),
-            groupKeys, sumCols)
-        else vt.readLatest(spark, fsOps, stateRoot)
-      val refreshed = IncrementalAgg.refreshFromChanges(state, feed,
-        groupKeys, sumCols)
-      // the state commit is PINNED to the version this fold read (OCC):
-      // two overlapping polls both seeing version N unconsumed would
-      // otherwise both fold it — check-then-act — and double-count the
-      // delta. With the pin, the slower poll's commit conflicts; it
-      // stops and leaves the rest to the poll that won.
-      try vt.writeIf(refreshed, fsOps, stateRoot, ts = c.ts,
-        expectedVersion = stateLog.lastOption.map(_.version).getOrElse(0L),
-        op = tagOf(c.version))
-      catch {
-        case _: java.util.ConcurrentModificationException =>
-          return folded.result()
+        case Some(_) =>
+          vt.changeFeed(spark, fsOps, tableRoot, c.version - 1,
+            c.version, cdcKeys)
       }
-      folded += c.version
+      val base = state.getOrElse(
+        IncrementalAgg.init(feed.drop("change_type").limit(0),
+          groupKeys, sumCols))
+      IncrementalAgg.refreshFromChanges(base, feed, groupKeys, sumCols)
     }
-    folded.result()
   }
 
   /** Drive a parquet file-stream through [[maintainBatch]] with

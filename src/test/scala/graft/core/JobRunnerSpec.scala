@@ -1628,6 +1628,33 @@ class MaintenanceParamsSpec extends SparkSpec {
     e2.getMessage should include ("expected_version")
   }
 
+  test("corpus artifact maintenance + admission run through the params " +
+      "surface") {
+    val base = tmp("jr_mx5")
+    val fs = new graft.fsops.FsOps(spark.sparkContext.hadoopConfiguration)
+    val v1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "totally different words about engines and planes"))
+      .toDF("doc_id", "text")
+    graft.catalog.VersionedTable.write(v1, fs, s"$base/corpus", 100L)
+    run(base, "CorpusArtifactsCatchUp",
+      s"""{"corpus_root": "$base/corpus",
+         | "artifacts_root": "$base/arts", "id_column": "doc_id",
+         | "text_column": "text"}""".stripMargin)
+    graft.catalog.VersionedTable
+      .readLatest(spark, fs, s"$base/arts").count() shouldBe 2L
+    Seq((10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "novel content matching nothing at all anywhere"))
+      .toDF("doc_id", "text").write.parquet(s"$base/in")
+    run(base, "CorpusAdmit",
+      s"""{"source_dir": "$base/in", "corpus_root": "$base/corpus",
+         | "artifacts_root": "$base/arts", "id_column": "doc_id",
+         | "text_column": "text", "jaccard_threshold": 0.5,
+         | "target_dir": "$base/admitted"}""".stripMargin)
+    spark.read.parquet(s"$base/admitted").select($"doc_id").as[Long]
+      .collect().toSeq shouldBe Seq(11L) // exact dup 10 dropped
+  }
+
   test("weighted and min/max refresh modes run through the params " +
       "surface") {
     val base = tmp("jr_mx2")
