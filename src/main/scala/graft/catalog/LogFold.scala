@@ -31,6 +31,17 @@ object LogFold {
     * current derived state (None = bootstrap: nothing consumed yet) and
     * the base commit being consumed. Returns the base versions folded
     * by THIS call.
+    *
+    * CONTRACT on `fold`: the derivation must be SNAPSHOT-FUNCTIONAL —
+    * bootstrap at version N followed by CDC folds must equal
+    * bootstrapping at any later version directly (true for both users:
+    * an aggregate view and a per-doc artifact table are pure functions
+    * of the base snapshot). That licenses the bootstrap below to jump
+    * straight to the LATEST base version: onboarding a 1000-version
+    * table is ONE fold, not 999 CDC joins, and a corpus whose old
+    * version data was vacuumed (the routine state for long-lived
+    * tables) onboards fine — replaying from version 1 would fail on
+    * the first vacuumed snapshot.
     */
   def catchUp(spark: SparkSession, fsOps: FsOps, baseRoot: String,
       derivedRoot: String, tagPrefix: String)(
@@ -43,8 +54,9 @@ object LogFold {
     val consumed = vt.commits(fsOps, derivedRoot).map(_.op)
       .collect { case op if op.startsWith(s"$tagPrefix-v-") =>
         op.stripPrefix(s"$tagPrefix-v-").toLong }
-    val highWater = if (consumed.isEmpty) Long.MinValue else consumed.max
-    val todo = baseLog.filter(_.version > highWater)
+    val todo =
+      if (consumed.isEmpty) Seq(baseLog.last) // bootstrap at the latest
+      else baseLog.filter(_.version > consumed.max)
     val folded = Seq.newBuilder[Long]
     for (c <- todo) {
       val derivedLog = vt.commits(fsOps, derivedRoot)

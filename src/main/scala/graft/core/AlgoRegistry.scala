@@ -2114,30 +2114,17 @@ object AlgoRegistry {
           dfs
         }
       }
-    case "CorpusAdmit" =>
-      val s = spark
-      new Algorithm {
-        val spark: SparkSession = s
-        override def read(): Vector[DataFrame] = Vector(
-          fmt(config).read(s, Map.empty, None,
-            config.getString("source_dir")))
-        override def transform(dfs: Vector[DataFrame]): Vector[DataFrame] =
-          Vector(graft.operators.CorpusMaintenance.admit(s, fsOps,
-            dfs.head, config.getString("corpus_root"),
-            config.getString("artifacts_root"),
-            config.getString("id_column"), config.getString("text_column"),
-            config.getDouble("jaccard_threshold", 0.5),
-            config.getIntOpt("shingle_size").getOrElse(3),
-            config.getIntOpt("minhash_k").getOrElse(32),
-            config.getIntOpt("bands").getOrElse(8)))
-        override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
-          new AtomicWriter(fsOps, Seq.empty,
-              config.getIntOpt("output_files_num"))
-            .write(dfs.head, DataFormat.Parquet,
-              config.getString("target_dir"), LoadMode.OverwriteTable)
-          dfs
-        }
-      }
+    case "CorpusAdmit" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.CorpusMaintenance.admit(spark, fsOps, df,
+        config.getString("corpus_root"),
+        config.getString("artifacts_root"),
+        config.getString("id_column"), config.getString("text_column"),
+        config.getDouble("jaccard_threshold", 0.5),
+        config.getIntOpt("shingle_size").getOrElse(3),
+        config.getIntOpt("minhash_k").getOrElse(32),
+        config.getIntOpt("bands").getOrElse(8)))
     case "VersionVacuum" =>
       val s = spark
       new Algorithm {

@@ -343,9 +343,11 @@ object MaintenanceGates extends GateSupport {
           when(col("doc_id") % 13 === 0, concat(lit("v2 "), col("text")))
             .otherwise(col("text")))
       VersionedTable.write(v1, fs, corpus, ts = 1000L)
+      graft.operators.CorpusMaintenance.catchUpArtifacts(s, fs, corpus,
+        arts, "doc_id", "text") // poll 1: bootstrap-signs v1
       VersionedTable.write(v2, fs, corpus, ts = 2000L)
       graft.operators.CorpusMaintenance.catchUpArtifacts(s, fs, corpus,
-        arts, "doc_id", "text")
+        arts, "doc_id", "text") // poll 2: CDC fold, delta-signed only
       val incoming = docs.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("text"))
       graft.operators.CorpusMaintenance.admit(s, fs, incoming, corpus,

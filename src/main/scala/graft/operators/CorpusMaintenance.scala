@@ -68,13 +68,38 @@ object CorpusMaintenance {
     * LATEST maintained artifacts — batch-scaled cost, the landed corpus
     * contributes only its narrow artifact scan plus the candidate-sliver
     * text read.
+    *
+    * Consistency: the corpus is read AT THE VERSION the artifacts last
+    * consumed (recorded in the artifacts' commit op), never at whatever
+    * happens to be latest — two unpinned reads would admit against
+    * version-skewed state when the corpus moved between polls (a
+    * v(N+1)-only duplicate would slip past v(N) artifacts, and a
+    * re-extracted doc would candidate on its old signature but verify
+    * on its new text). Run [[catchUpArtifacts]] first to admit against
+    * the newest corpus. `k` must match the signing run — validated
+    * against the artifacts' own signature width; `shingleSize` cannot be
+    * recovered from the data and MUST match the catch-up's (default 3).
     */
   def admit(spark: SparkSession, fsOps: FsOps, incoming: DataFrame,
       corpusRoot: String, artifactsRoot: String, idCol: String,
       textCol: String, threshold: Double = 0.5, shingleSize: Int = 3,
       k: Int = 32, bands: Int = 8): DataFrame = {
+    val artsLog = VersionedTable.commits(fsOps, artifactsRoot)
+    val consumedV = artsLog.map(_.op)
+      .collect { case op if op.startsWith("corpus-v-") =>
+        op.stripPrefix("corpus-v-").toLong }
+    require(consumedV.nonEmpty,
+      s"$artifactsRoot has no corpus-v-N commits; run catchUpArtifacts " +
+        "before admitting")
     val arts = VersionedTable.readLatest(spark, fsOps, artifactsRoot)
-    val existing = VersionedTable.readLatest(spark, fsOps, corpusRoot)
+    val sigK = arts.select(size(col("sig")).as("k")).limit(1)
+      .collect().headOption.map(_.getInt(0))
+    require(sigK.forall(_ == k),
+      s"artifacts under $artifactsRoot were signed with k=${sigK.get}; " +
+        s"admitting with k=$k would band mismatched signatures and " +
+        "silently lose near-dup recall")
+    val existing = VersionedTable.readVersion(spark, fsOps, corpusRoot,
+      consumedV.max)
     Dedup.dedupIncrement(existing, incoming, idCol, textCol, threshold,
       shingleSize, k, bands, artifacts = Some(arts))
   }

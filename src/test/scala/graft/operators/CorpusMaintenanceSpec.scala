@@ -31,9 +31,12 @@ class CorpusMaintenanceSpec extends SparkSpec {
     val corpus = tmp("cm_corpus")
     val arts = tmp("cm_arts")
     VersionedTable.write(v1, fs, corpus, ts = 100L)
+    // poll 1 bootstraps on v1; poll 2 CDC-folds v2 (delta-signed only)
+    assert(CorpusMaintenance.catchUpArtifacts(spark, fs, corpus, arts,
+      "doc_id", "text") === Seq(1L))
     VersionedTable.write(v2, fs, corpus, ts = 200L)
     assert(CorpusMaintenance.catchUpArtifacts(spark, fs, corpus, arts,
-      "doc_id", "text") === Seq(1L, 2L))
+      "doc_id", "text") === Seq(2L))
     val maintained = VersionedTable.readLatest(spark, fs, arts)
     val rebuilt = Dedup.dedupArtifacts(v2, "doc_id", "text")
     assertSameRows(maintained, rebuilt) // digest AND sig, row for row
@@ -49,11 +52,58 @@ class CorpusMaintenanceSpec extends SparkSpec {
       === Seq("corpus-v-1", "corpus-v-2"))
   }
 
+  test("onboarding a corpus with vacuumed old versions works: bootstrap " +
+      "jumps to the latest readable snapshot") {
+    val corpus = tmp("cm_corpus")
+    val arts = tmp("cm_arts")
+    VersionedTable.write(v1, fs, corpus, ts = 100L)
+    VersionedTable.write(v2, fs, corpus, ts = 200L)
+    VersionedTable.vacuum(fs, corpus, keepLast = 1, retentionMs = 0L,
+      force = true) // v1's data is gone; its commit entry remains
+    assert(CorpusMaintenance.catchUpArtifacts(spark, fs, corpus, arts,
+      "doc_id", "text") === Seq(2L)) // replaying from v1 would throw
+    assertSameRows(VersionedTable.readLatest(spark, fs, arts),
+      Dedup.dedupArtifacts(v2, "doc_id", "text"))
+  }
+
+  test("admit is pinned to the corpus version the artifacts consumed " +
+      "and rejects a k mismatch") {
+    val corpus = tmp("cm_corpus")
+    val arts = tmp("cm_arts")
+    VersionedTable.write(v1, fs, corpus, ts = 100L)
+    CorpusMaintenance.catchUpArtifacts(spark, fs, corpus, arts,
+      "doc_id", "text")
+    // the corpus moves ahead WITHOUT a catch-up poll: admission must
+    // still judge against v1 (the version the artifacts describe), not
+    // silently mix v2 text with v1 signatures
+    VersionedTable.write(v2, fs, corpus, ts = 200L)
+    val incoming = Seq(
+      (20L, "to be deleted in version two of the corpus")) // dup of v1's 4
+      .toDF("doc_id", "text")
+    val admitted = CorpusMaintenance.admit(spark, fs, incoming, corpus,
+      arts, "doc_id", "text")
+    assert(admitted.count() === 0L) // judged against v1: exact dup
+    // a k that disagrees with the artifacts' signature width fails fast
+    val e = intercept[IllegalArgumentException] {
+      CorpusMaintenance.admit(spark, fs, incoming, corpus, arts,
+        "doc_id", "text", k = 16)
+    }
+    assert(e.getMessage.contains("signed with k=32"))
+    // and no catch-up yet means no admission baseline: fail fast
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusMaintenance.admit(spark, fs, incoming, corpus,
+        tmp("cm_empty"), "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("catchUpArtifacts"))
+  }
+
   test("admit against the maintained artifacts equals incremental dedup " +
       "with freshly built artifacts") {
     val corpus = tmp("cm_corpus")
     val arts = tmp("cm_arts")
     VersionedTable.write(v1, fs, corpus, ts = 100L)
+    CorpusMaintenance.catchUpArtifacts(spark, fs, corpus, arts,
+      "doc_id", "text")
     VersionedTable.write(v2, fs, corpus, ts = 200L)
     CorpusMaintenance.catchUpArtifacts(spark, fs, corpus, arts,
       "doc_id", "text")

@@ -75,10 +75,13 @@ class MaintainedViewSpec extends SparkSpec {
       .agg(count(lit(1)).as("n_rows"), sum("m").as("sum_m"))
     VersionedTable.write(v1, fs, tableRoot, ts = 100L)
     VersionedTable.write(v2, fs, tableRoot, ts = 200L)
-    // first poll consumes both pending versions
+    // first poll BOOTSTRAPS AT THE LATEST pending version (the
+    // derivation is snapshot-functional, so replaying v1 first would
+    // only add a redundant CDC join — and would fail on vacuumed
+    // histories)
     assert(MaintainedView.catchUp(spark, fs, tableRoot, stateRoot,
       cdcKeys = Seq("id"), groupKeys = Seq("g"), sumCols = Seq("m"))
-      === Seq(1L, 2L))
+      === Seq(2L))
     assertSameRows(
       VersionedTable.readLatest(spark, fs, stateRoot)
         .select("g", "n_rows", "sum_m"),
@@ -86,7 +89,7 @@ class MaintainedViewSpec extends SparkSpec {
     // nothing new: the poll is a no-op (no state commit burned)
     assert(MaintainedView.catchUp(spark, fs, tableRoot, stateRoot,
       Seq("id"), Seq("g"), Seq("m")).isEmpty)
-    assert(VersionedTable.commits(fs, stateRoot).size === 2)
+    assert(VersionedTable.commits(fs, stateRoot).size === 1)
     // a third base version folds incrementally (only v3 consumed)
     VersionedTable.write(v3, fs, tableRoot, ts = 300L)
     assert(MaintainedView.catchUp(spark, fs, tableRoot, stateRoot,
@@ -97,7 +100,7 @@ class MaintainedViewSpec extends SparkSpec {
       recomputeG(v3.select("g", "m")))
     // the state log records which base version each commit consumed
     assert(VersionedTable.commits(fs, stateRoot).map(_.op)
-      === Seq("table-v-1", "table-v-2", "table-v-3"))
+      === Seq("table-v-2", "table-v-3"))
   }
 
   test("overlapping catch-up polls never double-fold: concurrent polls " +
@@ -116,9 +119,9 @@ class MaintainedViewSpec extends SparkSpec {
     val folded = (1 to 2).par.map(_ =>
       MaintainedView.catchUp(spark, fs, tableRoot, stateRoot,
         Seq("id"), Seq("g"), Seq("m"))).toList
-    assert(folded.flatten.sorted === Seq(1L, 2L, 3L)) // each exactly once
+    assert(folded.flatten.sorted === Seq(3L)) // bootstrap at latest, once
     val ops = VersionedTable.commits(fs, stateRoot).map(_.op)
-    assert(ops === Seq("table-v-1", "table-v-2", "table-v-3"))
+    assert(ops === Seq("table-v-3"))
     assertSameRows(
       VersionedTable.readLatest(spark, fs, stateRoot)
         .select("g", "n_rows", "sum_m"),
