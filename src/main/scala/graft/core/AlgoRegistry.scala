@@ -2125,6 +2125,34 @@ object AlgoRegistry {
         config.getIntOpt("shingle_size").getOrElse(3),
         config.getIntOpt("minhash_k").getOrElse(32),
         config.getIntOpt("bands").getOrElse(8)))
+    case "VectorIndexCatchUp" =>
+      val s = spark
+      new Algorithm {
+        val spark: SparkSession = s
+        override def read(): Vector[DataFrame] = Vector.empty
+        override def transform(dfs: Vector[DataFrame]): Vector[DataFrame] =
+          dfs
+        override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
+          graft.operators.VectorIndexMaintenance.catchUpIndex(s, fsOps,
+            config.getString("embeddings_root"),
+            config.getString("index_root"),
+            config.getString("id_column"),
+            config.getString("vector_column"), config.getInt("dim"),
+            config.getIntOpt("m").getOrElse(8),
+            config.getIntOpt("ks").getOrElse(16),
+            config.getIntOpt("centroids").getOrElse(32))
+          dfs
+        }
+      }
+    case "VectorIndexSearch" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.VectorIndexMaintenance.searchMaintained(
+        spark, fsOps, df, config.getString("index_root"),
+        config.getString("id_column"), config.getString("vector_column"),
+        config.getInt("k"), config.getInt("dim"),
+        config.getIntOpt("m").getOrElse(8),
+        config.getIntOpt("nprobe").getOrElse(4)))
     case "VersionVacuum" =>
       val s = spark
       new Algorithm {

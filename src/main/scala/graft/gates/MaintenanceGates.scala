@@ -354,6 +354,39 @@ object MaintenanceGates extends GateSupport {
           arts, "doc_id", "text", threshold = 0.5)
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"))
+    }),
+
+    // the similarity-family maintenance loop: a VERSIONED embeddings
+    // table (deletes + inserts between v1 and v2) maintains its IVF-PQ
+    // index from its own commit log — quantizers FROZEN at bootstrap
+    // (trained on v1, the add-after-train contract), CDC folds encode
+    // only the delta — then ANN queries run against the MAINTAINED
+    // index; the oracle re-derives codes/cells for ALL of v2 under the
+    // same v1-trained quantizers, so a stale code or leftover deleted
+    // vector would flip neighbors
+    "q318_vector_index_maintenance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"))
+      val embRoot = tmpDir("q318_e")
+      val idxRoot = tmpDir("q318_i")
+      val fs = fsOps(s)
+      val v1 = emb.filter(col("vec_id") % 3 =!= 0)
+      val v2 = v1.filter(col("vec_id") % 7 =!= 0)
+        .unionByName(emb.filter(col("vec_id") % 3 === 0
+          && col("vec_id") % 2 === 0))
+      VersionedTable.write(v1, fs, embRoot, ts = 1000L)
+      graft.operators.VectorIndexMaintenance.catchUpIndex(s, fs,
+        embRoot, idxRoot, "vec_id", "embedding", dim = 64, m = 8,
+        ks = 16, centroids = 32) // bootstrap: train + encode v1
+      VersionedTable.write(v2, fs, embRoot, ts = 2000L)
+      graft.operators.VectorIndexMaintenance.catchUpIndex(s, fs,
+        embRoot, idxRoot, "vec_id", "embedding", dim = 64, m = 8,
+        ks = 16, centroids = 32) // CDC fold: delta encode only
+      val queries = VersionedTable.readLatest(s, fs, embRoot)
+        .filter(col("vec_id") % 50 === 0)
+      graft.operators.VectorIndexMaintenance.searchMaintained(s, fs,
+        queries, idxRoot, "vec_id", "embedding", k = 5, dim = 64,
+        m = 8, nprobe = 4)
     })
   )
 
@@ -484,6 +517,78 @@ object MaintenanceGates extends GateSupport {
          |SELECT d.doc_id, d.lang FROM documents d
          |WHERE d.doc_id IN (SELECT doc_id FROM inp)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    // mirrors q318: the q273 IVF-PQ chain with quantizers (sel/cent)
+    // trained on V1 while codes/cells/queries cover V2 — exactly the
+    // frozen-at-bootstrap maintenance contract
+    "q318_vector_index_maintenance" -> {
+      import graft.functions.PortableHash
+      val h = PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")
+      val l2 = OracleHelpers.l2Sql _
+      s"""WITH v1 AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0),
+         |v2 AS (
+         |  SELECT vec_id, embedding FROM v1 WHERE vec_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 3 = 0 AND vec_id % 2 = 0),
+         |sel AS (
+         |  SELECT vec_id AS cid, embedding AS ce,
+         |    CAST(row_number() OVER (ORDER BY $h, vec_id)
+         |      AS INTEGER) - 1 AS code
+         |  FROM v1 ORDER BY $h, vec_id LIMIT 16),
+         |cb AS (
+         |  SELECT CAST(t.j AS INTEGER) AS j, code,
+         |    ce[t.j*8+1 : t.j*8+8] AS sub
+         |  FROM sel, range(0,8) t(j)),
+         |sv AS (
+         |  SELECT e.vec_id, CAST(t.j AS INTEGER) AS j,
+         |    e.embedding[t.j*8+1 : t.j*8+8] AS subv
+         |  FROM v2 e, range(0,8) t(j)),
+         |enc AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT v.vec_id, v.j, c.code,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.j
+         |        ORDER BY ${l2("v.subv", "c.sub")}, c.code) AS rk
+         |    FROM sv v JOIN cb c ON v.j = c.j) WHERE rk = 1),
+         |qt AS (
+         |  SELECT v.vec_id AS query_id, v.j, c.code,
+         |    CAST(round(${l2("v.subv", "c.sub")} * 1048576) AS BIGINT)
+         |      AS qd
+         |  FROM sv v JOIN cb c ON v.j = c.j
+         |  WHERE v.vec_id % 50 = 0),
+         |cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce2
+         |  FROM v1 ORDER BY $h, vec_id LIMIT 32),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2("e.embedding", "c.ce2")}, c.cid) AS rk
+         |    FROM v2 e CROSS JOIN cent c) WHERE rk = 1),
+         |probe AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2("e.embedding", "c.ce2")}, c.cid) AS rk
+         |    FROM v2 e CROSS JOIN cent c
+         |    WHERE e.vec_id % 50 = 0) WHERE rk <= 4),
+         |ad AS (
+         |  SELECT t.query_id, e.vec_id AS neighbor_id,
+         |    CAST(SUM(t.qd) AS BIGINT) AS adfix
+         |  FROM enc e
+         |  JOIN asg a ON e.vec_id = a.vec_id
+         |  JOIN probe p ON a.cid = p.cid
+         |  JOIN qt t ON p.query_id = t.query_id
+         |    AND e.j = t.j AND e.code = t.code
+         |  WHERE t.query_id <> e.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id,
+         |  round(adfix / 1048576.0, 6) AS pq_dist
+         |FROM ad
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY adfix, neighbor_id) <= 5""".stripMargin
+    },
 
     // final logical table = v1 with A's +100 on %5 keys AND B's %11
     // deletes — BOTH edits survive the conflict protocol

@@ -1655,6 +1655,32 @@ class MaintenanceParamsSpec extends SparkSpec {
       .collect().toSeq shouldBe Seq(11L) // exact dup 10 dropped
   }
 
+  test("vector-index maintenance + search run through the params " +
+      "surface") {
+    val base = tmp("jr_mx6")
+    val fs = new graft.fsops.FsOps(spark.sparkContext.hadoopConfiguration)
+    val dim = 8
+    def vec(seed: Int) = Array.tabulate(dim)(j =>
+      ((seed * 31 + j * 17) % 13 - 6).toFloat)
+    val emb = (1L to 30L).map(i => (i, vec(i.toInt)))
+      .toDF("vec_id", "embedding")
+    graft.catalog.VersionedTable.write(emb, fs, s"$base/emb", 100L)
+    run(base, "VectorIndexCatchUp",
+      s"""{"embeddings_root": "$base/emb", "index_root": "$base/idx",
+         | "id_column": "vec_id", "vector_column": "embedding",
+         | "dim": $dim, "m": 4, "ks": 4, "centroids": 4}""".stripMargin)
+    emb.limit(2).write.parquet(s"$base/q")
+    run(base, "VectorIndexSearch",
+      s"""{"source_dir": "$base/q", "index_root": "$base/idx",
+         | "id_column": "vec_id", "vector_column": "embedding",
+         | "k": 3, "dim": $dim, "m": 4,
+         | "target_dir": "$base/hits"}""".stripMargin)
+    val hits = spark.read.parquet(s"$base/hits")
+    assert(hits.columns.sorted
+      === Array("neighbor_id", "pq_dist", "query_id"))
+    assert(hits.count() > 0)
+  }
+
   test("weighted and min/max refresh modes run through the params " +
       "surface") {
     val base = tmp("jr_mx2")
