@@ -2093,7 +2093,9 @@ object AlgoRegistry {
             config.getString("state_root"),
             config.getSeq[String]("cdc_key_columns"),
             config.getSeq[String]("key_columns"),
-            config.getSeq[String]("sum_columns"))
+            config.getSeq[String]("sum_columns"),
+            config.getSeq[String]("min_columns"),
+            config.getSeq[String]("max_columns"))
           dfs
         }
       }

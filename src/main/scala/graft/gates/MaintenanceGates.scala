@@ -387,6 +387,30 @@ object MaintenanceGates extends GateSupport {
       graft.operators.VectorIndexMaintenance.searchMaintained(s, fs,
         queries, idxRoot, "vec_id", "embedding", k = 5, dim = 64,
         m = 8, nprobe = 4)
+    }),
+
+    // CDC maintenance with MIN/MAX: the v1→v2 fold retracts count/sum
+    // algebraically and recomputes extrema ONLY for the feed-touched
+    // groups (broadcast-semi-join-pruned scan of v2); v2's deletes
+    // remove group extrema, so a stale carried min/max would flip the
+    // oracle's recompute
+    "q319_catchup_minmax_view" -> ((s, dir) => {
+      val tableRoot = tmpDir("q319_t")
+      val stateRoot = tmpDir("q319_s")
+      val fs = fsOps(s)
+      VersionedTable.write(v1Frame(s, dir), fs, tableRoot, ts = 1000L)
+      graft.streaming.MaintainedView.catchUp(s, fs, tableRoot, stateRoot,
+        cdcKeys = Seq("c_custkey"), groupKeys = Seq("c_mktsegment"),
+        sumCols = Seq("bal_cents"), minCols = Seq("bal_cents"),
+        maxCols = Seq("bal_cents"))
+      VersionedTable.write(v2Frame(s, dir), fs, tableRoot, ts = 2000L)
+      graft.streaming.MaintainedView.catchUp(s, fs, tableRoot, stateRoot,
+        cdcKeys = Seq("c_custkey"), groupKeys = Seq("c_mktsegment"),
+        sumCols = Seq("bal_cents"), minCols = Seq("bal_cents"),
+        maxCols = Seq("bal_cents"))
+      VersionedTable.readLatest(s, fs, stateRoot)
+        .select(col("c_mktsegment"), col("n_rows"), col("sum_bal_cents"),
+          col("min_bal_cents"), col("max_bal_cents"))
     })
   )
 
@@ -589,6 +613,14 @@ object MaintenanceGates extends GateSupport {
          |QUALIFY row_number() OVER (PARTITION BY query_id
          |  ORDER BY adfix, neighbor_id) <= 5""".stripMargin
     },
+
+    // full recompute on v2, count/sum/min/max per segment
+    "q319_catchup_minmax_view" ->
+      s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents,
+         |  CAST(min(bal_cents) AS BIGINT) AS min_bal_cents,
+         |  CAST(max(bal_cents) AS BIGINT) AS max_bal_cents
+         |FROM ($v2Sql) GROUP BY c_mktsegment""".stripMargin,
 
     // final logical table = v1 with A's +100 on %5 keys AND B's %11
     // deletes — BOTH edits survive the conflict protocol

@@ -98,20 +98,40 @@ object IncrementalAgg {
     * manual delta construction, at delta-cardinality cost.
     */
   def refreshFromChanges(state: DataFrame, changes: DataFrame,
-      keys: Seq[String], sumCols: Seq[String]): DataFrame = {
+      keys: Seq[String], sumCols: Seq[String]): DataFrame =
+    refresh(state, cdcWeighted(changes), keys, sumCols,
+      weightCol = Some("cdc_w"))
+
+  /** [[refreshFromChanges]] WITH min/max maintenance: count/sum retract
+    * algebraically from the CDC weights; min/max recompute only the
+    * groups the feed touched, from `newBase` (the base table AFTER the
+    * change batch — for a versioned base, `readVersion` at the version
+    * the feed leads to), via [[refreshWithRecompute]]'s broadcast-
+    * semi-join-pruned scan.
+    */
+  def refreshFromChangesWithRecompute(state: DataFrame,
+      changes: DataFrame, newBase: DataFrame, keys: Seq[String],
+      sumCols: Seq[String], minCols: Seq[String],
+      maxCols: Seq[String]): DataFrame =
+    refreshWithRecompute(state, cdcWeighted(changes), newBase, keys,
+      sumCols, minCols, maxCols, Some("cdc_w"))
+
+  /** CDC rows as a ±1-weighted delta: insert/update_postimage add,
+    * delete/update_preimage retract. An unknown change_type must fail,
+    * not silently weight-0 — raised from inside the plan without a
+    * separate validation pass.
+    */
+  private def cdcWeighted(changes: DataFrame): DataFrame = {
     val ct = col("change_type")
     val known = Seq("insert", "update_postimage", "delete",
       "update_preimage")
-    val weighted = changes.withColumn("cdc_w",
-      when(ct.isin("insert", "update_postimage"), lit(1L))
-        .when(ct.isin("delete", "update_preimage"), lit(-1L)))
-    // an unknown change_type must fail, not silently weight-0: raise
-    // from inside the plan without a separate validation pass
-    val guarded = weighted.withColumn("cdc_w",
-      when(col("cdc_w").isNotNull, col("cdc_w")).otherwise(
-        raise_error(concat(lit("unknown change_type: "), ct,
-          lit(s" (expected one of ${known.mkString(", ")})")))))
-    refresh(state, guarded, keys, sumCols, weightCol = Some("cdc_w"))
+    changes.withColumn("cdc_w",
+        when(ct.isin("insert", "update_postimage"), lit(1L))
+          .when(ct.isin("delete", "update_preimage"), lit(-1L)))
+      .withColumn("cdc_w",
+        when(col("cdc_w").isNotNull, col("cdc_w")).otherwise(
+          raise_error(concat(lit("unknown change_type: "), ct,
+            lit(s" (expected one of ${known.mkString(", ")})")))))
   }
 
   /** Weighted refresh WITH min/max maintenance: min/max are not

@@ -80,23 +80,31 @@ object MaintainedView {
     */
   def catchUp(spark: SparkSession, fsOps: FsOps, tableRoot: String,
       stateRoot: String, cdcKeys: Seq[String], groupKeys: Seq[String],
-      sumCols: Seq[String]): Seq[Long] = {
+      sumCols: Seq[String], minCols: Seq[String] = Seq.empty,
+      maxCols: Seq[String] = Seq.empty): Seq[Long] = {
     val vt = VersionedTable
     graft.catalog.LogFold.catchUp(spark, fsOps, tableRoot, stateRoot,
         tagPrefix = "table") { (state, c) =>
-      val feed = state match {
+      state match {
         case None =>
-          // bootstrap: the whole first snapshot is one insert batch
-          vt.readVersion(spark, fsOps, tableRoot, c.version)
-            .withColumn("change_type", lit("insert"))
-        case Some(_) =>
-          vt.changeFeed(spark, fsOps, tableRoot, c.version - 1,
-            c.version, cdcKeys)
+          // bootstrap: aggregate the latest snapshot directly
+          IncrementalAgg.init(
+            vt.readVersion(spark, fsOps, tableRoot, c.version),
+            groupKeys, sumCols, minCols, maxCols)
+        case Some(st) =>
+          val feed = vt.changeFeed(spark, fsOps, tableRoot,
+            c.version - 1, c.version, cdcKeys)
+          if (minCols.isEmpty && maxCols.isEmpty)
+            IncrementalAgg.refreshFromChanges(st, feed, groupKeys,
+              sumCols)
+          else
+            // min/max are not retractable from partials: recompute only
+            // the feed-touched groups from the base AT this version
+            // (readable by definition — it was just committed)
+            IncrementalAgg.refreshFromChangesWithRecompute(st, feed,
+              vt.readVersion(spark, fsOps, tableRoot, c.version),
+              groupKeys, sumCols, minCols, maxCols)
       }
-      val base = state.getOrElse(
-        IncrementalAgg.init(feed.drop("change_type").limit(0),
-          groupKeys, sumCols))
-      IncrementalAgg.refreshFromChanges(base, feed, groupKeys, sumCols)
     }
   }
 

@@ -129,6 +129,28 @@ class MaintainedViewSpec extends SparkSpec {
         sum("m").as("sum_m")))
   }
 
+  test("catchUp with min/max: a CDC delete that removes a group's " +
+      "extremum recomputes it from the touched group only") {
+    val tableRoot = tmp("mv_tbl3")
+    val stateRoot = tmp("mv_cst3")
+    val v1 = Seq((1L, "a", 90L), (2L, "a", 10L), (3L, "a", 40L),
+      (4L, "b", 7L)).toDF("id", "g", "m")
+    // v2 deletes a's max (90) AND min (10), updates 3 to 55, leaves b
+    val v2 = Seq((3L, "a", 55L), (4L, "b", 7L)).toDF("id", "g", "m")
+    VersionedTable.write(v1, fs, tableRoot, ts = 100L)
+    MaintainedView.catchUp(spark, fs, tableRoot, stateRoot, Seq("id"),
+      Seq("g"), Seq("m"), minCols = Seq("m"), maxCols = Seq("m"))
+    VersionedTable.write(v2, fs, tableRoot, ts = 200L)
+    MaintainedView.catchUp(spark, fs, tableRoot, stateRoot, Seq("id"),
+      Seq("g"), Seq("m"), minCols = Seq("m"), maxCols = Seq("m"))
+    assertSameRows(
+      VersionedTable.readLatest(spark, fs, stateRoot)
+        .select("g", "n_rows", "sum_m", "min_m", "max_m"),
+      v2.groupBy("g").agg(count(lit(1)).as("n_rows"),
+        sum("m").as("sum_m"), min("m").as("min_m"),
+        max("m").as("max_m")))
+  }
+
   test("weighted batches retract: a delete batch removes its rows from " +
       "the maintained view") {
     val root = tmp("mv_state")
