@@ -41,6 +41,16 @@ object IncrementalAgg {
     Seq("n_rows") ++ sumCols.map("sum_" + _) ++
       minCols.map("min_" + _) ++ maxCols.map("max_" + _)
 
+  /** The exact column set a state table carries for this aggregate
+    * shape — exposed so long-lived maintenance loops can fail fast on
+    * config drift against a persisted state instead of crashing with an
+    * unresolved-column error deep in plan resolution.
+    */
+  def stateColumns(keys: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String] = Seq.empty,
+      maxCols: Seq[String] = Seq.empty): Seq[String] =
+    keys ++ stateCols(sumCols, minCols, maxCols)
+
   /** Partial-aggregate `df` into state shape, each row counted with
     * `weight` (+1 insert / -1 delete).
     */
@@ -160,18 +170,30 @@ object IncrementalAgg {
     val algebraic = refresh(algebraicState, delta, keys, sumCols,
       weightCol = weightCol)
     val touched = delta.select(keyCols: _*).distinct()
+    // every key join below is NULL-SAFE: groupBy keeps a NULL-keyed
+    // group (init/refresh both maintain it), so a USING join here would
+    // silently drop that group from the view the moment min/max
+    // maintenance is enabled — <=> matches changedJoin's convention
+    def nullSafe(l: String, r: String): Column =
+      keys.map(k => col(s"$l.`$k`") <=> col(s"$r.`$k`")).reduce(_ && _)
     val mmAggs = minCols.map(c => min(col(c)).as(s"min_$c")) ++
       maxCols.map(c => max(col(c)).as(s"max_$c"))
-    val recomputed = newBase.join(broadcast(touched), keys, "left_semi")
+    val recomputed = newBase.as("nb")
+      .join(broadcast(touched).as("tk"), nullSafe("nb", "tk"),
+        "left_semi")
       .groupBy(keyCols: _*).agg(mmAggs.head, mmAggs.tail: _*)
     val mmNames = minCols.map("min_" + _) ++ maxCols.map("max_" + _)
-    val untouched = state.select((keys ++ mmNames).map(col): _*)
-      .join(broadcast(touched), keys, "left_anti")
+    val untouched = state.select((keys ++ mmNames).map(col): _*).as("st")
+      .join(broadcast(touched).as("tk"), nullSafe("st", "tk"),
+        "left_anti")
     val minmax = untouched.unionByName(recomputed)
     // inner: a fully-retracted group left `algebraic`; a brand-new group
     // is in `touched`, hence in `recomputed`
-    algebraic.join(minmax, keys)
-      .select((keys ++ stateCols(sumCols, minCols, maxCols)).map(col): _*)
+    algebraic.as("a").join(minmax.as("mm"), nullSafe("a", "mm"))
+      .select(keys.map(k => col(s"a.`$k`").as(k)) ++
+        (Seq("n_rows") ++ sumCols.map("sum_" + _))
+          .map(c => col(s"a.`$c`")) ++
+        mmNames.map(c => col(s"mm.`$c`")): _*)
   }
 
   /** The queryable view: state plus derived averages (exact division

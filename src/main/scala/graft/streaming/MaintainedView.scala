@@ -92,6 +92,16 @@ object MaintainedView {
             vt.readVersion(spark, fsOps, tableRoot, c.version),
             groupKeys, sumCols, minCols, maxCols)
         case Some(st) =>
+          // fail fast on config drift against the persisted state (a
+          // poll adding/removing min/max or sum columns would otherwise
+          // crash with an opaque unresolved-column plan error)
+          val want = IncrementalAgg.stateColumns(groupKeys, sumCols,
+            minCols, maxCols)
+          require(st.columns.toSet == want.toSet,
+            s"state at $stateRoot carries ${st.columns.sorted.mkString(",")} " +
+              s"but this poll requests ${want.sorted.mkString(",")} — " +
+              "aggregate config must stay fixed for a maintained view " +
+              "(rebuild under a fresh stateRoot to change it)")
           val feed = vt.changeFeed(spark, fsOps, tableRoot,
             c.version - 1, c.version, cdcKeys)
           if (minCols.isEmpty && maxCols.isEmpty)

@@ -151,6 +151,31 @@ class IncrementalAggSpec extends SparkSpec {
       got.select("k", "n_rows", "sum_m", "min_m", "max_m"), want)
   }
 
+  test("refreshWithRecompute keeps NULL-keyed groups: the key joins are " +
+      "null-safe whether or not the delta touches the NULL group") {
+    val base = Seq((Some("a"), 10L, 1L), (None, 7L, 2L), (None, 3L, 3L),
+      (Some("b"), 5L, 4L)).toDF("k", "m", "id")
+    val state = IncrementalAgg.init(base, Seq("k"), Seq("m"),
+      maxCols = Seq("m"))
+    // case 1: delta does NOT touch the NULL group — it must survive
+    val d1 = Seq((Some("a"), 20L, 5L, 1L)).toDF("k", "m", "id", "w")
+    val nb1 = base.unionByName(d1.drop("w"))
+    val got1 = IncrementalAgg.refreshWithRecompute(state, d1, nb1,
+      Seq("k"), Seq("m"), Seq.empty, Seq("m"), Some("w"))
+    assertSameRows(got1.select("k", "n_rows", "sum_m", "max_m"),
+      nb1.groupBy("k").agg(count(lit(1)).as("n_rows"),
+        sum("m").as("sum_m"), max("m").as("max_m")))
+    // case 2: delta DELETES the NULL group's max — it must recompute
+    val d2 = Seq((Option.empty[String], 7L, 2L, -1L))
+      .toDF("k", "m", "id", "w")
+    val nb2 = base.filter($"id" =!= 2L)
+    val got2 = IncrementalAgg.refreshWithRecompute(state, d2, nb2,
+      Seq("k"), Seq("m"), Seq.empty, Seq("m"), Some("w"))
+    assertSameRows(got2.select("k", "n_rows", "sum_m", "max_m"),
+      nb2.groupBy("k").agg(count(lit(1)).as("n_rows"),
+        sum("m").as("sum_m"), max("m").as("max_m")))
+  }
+
   test("refreshWithRecompute plan: base scan is semi-join-pruned on the " +
       "broadcast touched-key set; untouched groups never read the base") {
     val base = fact(500)

@@ -151,6 +151,23 @@ class MaintainedViewSpec extends SparkSpec {
         max("m").as("max_m")))
   }
 
+  test("catchUp fails fast on aggregate-config drift against the " +
+      "persisted state") {
+    val tableRoot = tmp("mv_tbl4")
+    val stateRoot = tmp("mv_cst4")
+    VersionedTable.write(Seq((1L, "a", 5L)).toDF("id", "g", "m"),
+      fs, tableRoot, ts = 100L)
+    MaintainedView.catchUp(spark, fs, tableRoot, stateRoot, Seq("id"),
+      Seq("g"), Seq("m")) // bootstrapped WITHOUT min/max
+    VersionedTable.write(Seq((1L, "a", 6L)).toDF("id", "g", "m"),
+      fs, tableRoot, ts = 200L)
+    val e = intercept[IllegalArgumentException] {
+      MaintainedView.catchUp(spark, fs, tableRoot, stateRoot, Seq("id"),
+        Seq("g"), Seq("m"), minCols = Seq("m")) // drifted config
+    }
+    assert(e.getMessage.contains("aggregate config must stay fixed"))
+  }
+
   test("weighted batches retract: a delete batch removes its rows from " +
       "the maintained view") {
     val root = tmp("mv_state")
