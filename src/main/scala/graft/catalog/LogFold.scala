@@ -51,12 +51,25 @@ object LogFold {
     val baseLog = vt.commits(fsOps, baseRoot)
     require(baseLog.nonEmpty, s"no committed versions under $baseRoot")
     def tagOf(v: Long) = s"$tagPrefix-v-$v"
-    val consumed = vt.commits(fsOps, derivedRoot).map(_.op)
+    val derivedOps = vt.commits(fsOps, derivedRoot).map(_.op)
+    val consumed = derivedOps
       .collect { case op if op.startsWith(s"$tagPrefix-v-") =>
         op.stripPrefix(s"$tagPrefix-v-").toLong }
     val todo =
-      if (consumed.isEmpty) Seq(baseLog.last) // bootstrap at the latest
-      else baseLog.filter(_.version > consumed.max)
+      if (consumed.isEmpty) {
+        // bootstrap is decided by op tags, but the fold's state argument
+        // by the derived log — a derived root holding FOREIGN (untagged)
+        // commits would hand the CDC branch a state that never consumed
+        // any base version: fail fast by name instead of folding onto an
+        // unrelated table (or crashing later with an opaque plan error)
+        require(derivedOps.isEmpty,
+          s"$derivedRoot has no $tagPrefix-v-N commits but already " +
+            s"holds ${derivedOps.size} foreign commit(s) " +
+            s"(ops: ${derivedOps.take(5).mkString(", ")}) — refusing " +
+            "to bootstrap onto an unrelated table; use a fresh derived " +
+            "root")
+        Seq(baseLog.last) // bootstrap at the latest
+      } else baseLog.filter(_.version > consumed.max)
     val folded = Seq.newBuilder[Long]
     for (c <- todo) {
       val derivedLog = vt.commits(fsOps, derivedRoot)

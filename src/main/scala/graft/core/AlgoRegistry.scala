@@ -2201,9 +2201,30 @@ object AlgoRegistry {
           val maxs = config.getSeq[String]("max_columns")
           val w = config.getStringOpt("weight_column")
           val out =
-            if (config.getBoolean("from_changes", default = false))
-              ia.refreshFromChanges(state, delta, keys, sums)
-            else config.getStringOpt("new_base_dir") match {
+            if (config.getBoolean("from_changes", default = false)) {
+              // CDC weights come from change_type, never a caller column
+              require(w.isEmpty,
+                "from_changes derives row weights from change_type; " +
+                  "drop weight_column")
+              config.getStringOpt("new_base_dir") match {
+                case Some(nb) =>
+                  // min/max under a CDC feed: touched groups recompute
+                  // from the post-change base (refreshFromChangesWithRecompute)
+                  require(mins.nonEmpty || maxs.nonEmpty,
+                    "new_base_dir with from_changes exists for min/max " +
+                      "recompute; drop it for pure count/sum state")
+                  ia.refreshFromChangesWithRecompute(state, delta,
+                    fmt(config).read(s, Map.empty, None, nb), keys, sums,
+                    mins, maxs)
+                case None =>
+                  require(mins.isEmpty && maxs.isEmpty,
+                    "min_columns/max_columns with from_changes need " +
+                      "new_base_dir (min/max are not retractable from a " +
+                      "CDC feed alone — the feed-touched groups recompute " +
+                      "from the base AFTER the change batch)")
+                  ia.refreshFromChanges(state, delta, keys, sums)
+              }
+            } else config.getStringOpt("new_base_dir") match {
               case Some(nb) => ia.refreshWithRecompute(state, delta,
                 fmt(config).read(s, Map.empty, None, nb), keys, sums,
                 mins, maxs, w)

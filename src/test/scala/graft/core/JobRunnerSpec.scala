@@ -1710,4 +1710,55 @@ class MaintenanceParamsSpec extends SparkSpec {
       newBase.groupBy("g").agg(count(lit(1)).as("n_rows"),
         sum("m").as("sum_m"), min("m").as("min_m"), max("m").as("max_m")))
   }
+
+  test("from_changes refresh with min/max dispatches to the touched-" +
+      "group recompute — and fails fast without new_base_dir") {
+    val base = tmp("jr_mx5")
+    val fs = new graft.fsops.FsOps(spark.sparkContext.hadoopConfiguration)
+    val root = s"$base/table"
+    val v1 = Seq((1L, "a", 90L), (2L, "a", 10L), (3L, "b", 40L))
+      .toDF("id", "g", "m")
+    // v2 deletes a's max (90), updates b's row, inserts a new a-row —
+    // the carried state max would be stale without the recompute
+    val v2 = Seq((2L, "a", 10L), (3L, "b", 55L), (4L, "a", 70L))
+      .toDF("id", "g", "m")
+    graft.catalog.VersionedTable.write(v1, fs, root, ts = 1000L)
+    graft.catalog.VersionedTable.write(v2, fs, root, ts = 2000L)
+    run(base, "VersionRead",
+      s"""{"table_root": "$root", "version": 1,
+         | "target_dir": "$base/v1dump"}""".stripMargin)
+    run(base, "VersionRead",
+      s"""{"table_root": "$root", "version": 2,
+         | "target_dir": "$base/v2dump"}""".stripMargin)
+    run(base, "VersionDiff",
+      s"""{"table_root": "$root", "from_version": 1, "to_version": 2,
+         | "key_columns": ["id"], "mode": "changefeed",
+         | "target_dir": "$base/feed"}""".stripMargin)
+    run(base, "IncrementalAggInit",
+      s"""{"source_dir": "$base/v1dump", "target_dir": "$base/state",
+         | "key_columns": ["g"], "sum_columns": ["m"],
+         | "min_columns": ["m"], "max_columns": ["m"]}""".stripMargin)
+    run(base, "IncrementalAggRefresh",
+      s"""{"state_dir": "$base/state", "delta_dir": "$base/feed",
+         | "from_changes": true, "new_base_dir": "$base/v2dump",
+         | "key_columns": ["g"], "sum_columns": ["m"],
+         | "min_columns": ["m"], "max_columns": ["m"],
+         | "target_dir": "$base/state2"}""".stripMargin)
+    assertSameRows(
+      spark.read.parquet(s"$base/state2")
+        .select("g", "n_rows", "sum_m", "min_m", "max_m"),
+      v2.groupBy("g").agg(count(lit(1)).as("n_rows"),
+        sum("m").as("sum_m"), min("m").as("min_m"), max("m").as("max_m")))
+    // min/max WITHOUT the post-change base: a clear message, not an
+    // opaque unionByName AnalysisException
+    val e = intercept[IllegalArgumentException] {
+      run(base, "IncrementalAggRefresh",
+        s"""{"state_dir": "$base/state", "delta_dir": "$base/feed",
+           | "from_changes": true, "key_columns": ["g"],
+           | "sum_columns": ["m"], "min_columns": ["m"],
+           | "max_columns": ["m"],
+           | "target_dir": "$base/state3"}""".stripMargin)
+    }
+    assert(e.getMessage.contains("new_base_dir"))
+  }
 }

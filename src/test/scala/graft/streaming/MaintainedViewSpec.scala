@@ -168,6 +168,24 @@ class MaintainedViewSpec extends SparkSpec {
     assert(e.getMessage.contains("aggregate config must stay fixed"))
   }
 
+  test("catchUp refuses to bootstrap onto a derived root holding " +
+      "foreign commits (op tags from another loop or a plain table)") {
+    val tableRoot = tmp("mv_tbl6")
+    val stateRoot = tmp("mv_cst6")
+    VersionedTable.write(Seq((1L, "a", 5L)).toDF("id", "g", "m"),
+      fs, tableRoot, ts = 100L)
+    // the derived root already holds an UNTAGGED commit — a foreign
+    // table, not a bootstrapped state
+    VersionedTable.write(Seq(("x", 1L)).toDF("k", "v"), fs, stateRoot,
+      ts = 50L)
+    val e = intercept[IllegalArgumentException] {
+      MaintainedView.catchUp(spark, fs, tableRoot, stateRoot, Seq("id"),
+        Seq("g"), Seq("m"))
+    }
+    assert(e.getMessage.contains("foreign commit"))
+    assert(e.getMessage.contains(stateRoot))
+  }
+
   test("weighted batches retract: a delete batch removes its rows from " +
       "the maintained view") {
     val root = tmp("mv_state")
