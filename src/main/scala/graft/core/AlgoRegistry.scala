@@ -2099,6 +2099,31 @@ object AlgoRegistry {
           dfs
         }
       }
+    case "MaintainedViewRunOnce" =>
+      val s = spark
+      new Algorithm {
+        val spark: SparkSession = s
+        override def read(): Vector[DataFrame] = Vector.empty
+        override def transform(dfs: Vector[DataFrame]): Vector[DataFrame] =
+          dfs
+        override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
+          val src = config.getString("source_dir")
+          graft.streaming.MaintainedView.runOnce(s,
+            s.read.parquet(src).schema, src,
+            config.getString("state_root"),
+            config.getSeq[String]("key_columns"),
+            config.getSeq[String]("sum_columns"),
+            config.getStringOpt("query_name")
+              .getOrElse("maintained_view"),
+            weightCol = config.getStringOpt("weight_column"),
+            maxFilesPerTrigger = config.getIntOpt("max_files_per_trigger"),
+            minCols = config.getSeq[String]("min_columns"),
+            maxCols = config.getSeq[String]("max_columns"),
+            checkpointLocation =
+              config.getStringOpt("checkpoint_location"))
+          dfs
+        }
+      }
     case "CorpusArtifactsCatchUp" =>
       val s = spark
       new Algorithm {

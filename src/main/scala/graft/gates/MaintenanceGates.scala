@@ -224,6 +224,27 @@ object MaintenanceGates extends GateSupport {
           col("sum_price_cents"))
     }),
 
+    // streaming maintained view WITH min/max (insert-only stream:
+    // extrema only ever tighten, so the per-trigger fold is exact and
+    // algebraic — parity with catchUp's min/max face); settled view
+    // equals the batch recompute regardless of trigger boundaries
+    "q320_stream_minmax_view" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100, 0).cast("long")
+          .as("price_cents"))
+      val inDir = tmpDir("q320_in")
+      o.repartition(4).write.mode("overwrite").parquet(inDir)
+      val root = tmpDir("q320_state")
+      graft.streaming.MaintainedView.runOnce(s,
+          s.read.parquet(inDir).schema, inDir, root,
+          Seq("o_orderpriority"), Seq("price_cents"), "q320_sink",
+          maxFilesPerTrigger = Some(1),
+          minCols = Seq("price_cents"), maxCols = Seq("price_cents"))
+        .select(col("o_orderpriority"), col("n_rows"),
+          col("sum_price_cents"), col("min_price_cents"),
+          col("max_price_cents"))
+    }),
+
     // 2-D pruned time travel: the snapshot commits z-ordered on (x, y)
     // with each file's bounding RECTANGLE in the manifest, so a box
     // predicate on BOTH axes admits files before any opens — the
@@ -486,6 +507,16 @@ object MaintenanceGates extends GateSupport {
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
         |    AS BIGINT) AS sum_price_cents
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q320_stream_minmax_view" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(pc) AS BIGINT) AS sum_price_cents,
+        |  CAST(min(pc) AS BIGINT) AS min_price_cents,
+        |  CAST(max(pc) AS BIGINT) AS max_price_cents
+        |FROM (SELECT o_orderpriority,
+        |        CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc
+        |      FROM orders)
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q312_version_zorder_travel" ->
       """SELECT * FROM (

@@ -37,11 +37,17 @@ object MaintainedView {
     * `stateRoot`, committing the refreshed state as the next version.
     * Idempotent per batch id: a replayed batch whose id is already in
     * the commit log is a no-op. `weightCol` as in
-    * [[IncrementalAgg.refresh]] (None = insert-only batch).
+    * [[IncrementalAgg.refresh]] (None = insert-only batch). `minCols`/
+    * `maxCols` maintain extrema for INSERT-ONLY streams (min/max only
+    * ever tighten under inserts, so the algebraic fold is exact; they
+    * are not retractable, so combining them with `weightCol` fails fast
+    * — [[IncrementalAgg.refresh]]'s contract, same as the catch-up
+    * face's insert branch).
     */
   def maintainBatch(spark: SparkSession, fsOps: FsOps, stateRoot: String,
       batch: DataFrame, batchId: Long, keys: Seq[String],
       sumCols: Seq[String], weightCol: Option[String] = None,
+      minCols: Seq[String] = Seq.empty, maxCols: Seq[String] = Seq.empty,
       tsMs: Long = System.currentTimeMillis): Unit = {
     val op = s"batch-$batchId"
     val log = VersionedTable.commits(fsOps, stateRoot)
@@ -49,10 +55,24 @@ object MaintainedView {
     val state =
       if (log.isEmpty)
         // empty state with the exact partial-aggregate schema
-        IncrementalAgg.init(batch.limit(0), keys, sumCols)
-      else VersionedTable.readLatest(spark, fsOps, stateRoot)
+        IncrementalAgg.init(batch.limit(0), keys, sumCols, minCols,
+          maxCols)
+      else {
+        val st = VersionedTable.readLatest(spark, fsOps, stateRoot)
+        // fail fast on config drift against the persisted state — the
+        // same guard catchUp carries (an unresolved-column plan error
+        // deep in the refresh would otherwise be the first symptom)
+        val want = IncrementalAgg.stateColumns(keys, sumCols, minCols,
+          maxCols)
+        require(st.columns.toSet == want.toSet,
+          s"state at $stateRoot carries ${st.columns.sorted.mkString(",")} " +
+            s"but this batch requests ${want.sorted.mkString(",")} — " +
+            "aggregate config must stay fixed for a maintained view " +
+            "(rebuild under a fresh stateRoot to change it)")
+        st
+      }
     val refreshed = IncrementalAgg.refresh(state, batch, keys, sumCols,
-      weightCol = weightCol)
+      minCols, maxCols, weightCol = weightCol)
     // the commit is PINNED to the state version this fold read (OCC):
     // the engine serializes triggers within one query, but an external
     // concurrent refresher would otherwise turn the check-then-act above
@@ -123,23 +143,48 @@ object MaintainedView {
     * maintained view (latest committed state). `maxFilesPerTrigger`
     * splits the input into multiple triggers to exercise the per-batch
     * path — the settled state is trigger-boundary-invariant.
+    *
+    * RE-RUNNING against the same `stateRoot` (new input files landed
+    * since) requires `checkpointLocation`: the checkpoint carries the
+    * engine's batch counter and processed-file log, so a resumed run
+    * continues with FRESH batch ids (and skips already-processed files)
+    * and the per-batch-id idempotence contract holds across runs.
+    * Without it every run restarts ids at 0 — colliding ids over
+    * DIFFERENT file subsets would read as replays (data loss) while
+    * surplus ids re-fold consumed data (double counting) — so a
+    * checkpoint-less run fails fast when `stateRoot` already holds
+    * batch commits instead of corrupting the view.
     */
   def runOnce(spark: SparkSession, schema: StructType, inputGlob: String,
       stateRoot: String, keys: Seq[String], sumCols: Seq[String],
       queryName: String, weightCol: Option[String] = None,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      minCols: Seq[String] = Seq.empty, maxCols: Seq[String] = Seq.empty,
+      checkpointLocation: Option[String] = None): DataFrame = {
     val fsOps = new FsOps(spark.sparkContext.hadoopConfiguration)
+    if (checkpointLocation.isEmpty) {
+      val prior = VersionedTable.commits(fsOps, stateRoot).map(_.op)
+        .filter(_.startsWith("batch-"))
+      require(prior.isEmpty,
+        s"$stateRoot already holds ${prior.size} batch commit(s) from a " +
+          "prior run; a checkpoint-less rerun restarts batch ids at 0, " +
+          "so colliding ids would be skipped as replays while surplus " +
+          "ids double-fold. Pass checkpointLocation (stable ids across " +
+          "runs) or use a fresh stateRoot.")
+    }
     val reader = spark.readStream.schema(schema)
     val stream = maxFilesPerTrigger
       .fold(reader)(m => reader.option("maxFilesPerTrigger", m))
       .parquet(inputGlob)
-    val q: StreamingQuery = stream.writeStream
+    val sink = stream.writeStream
       .queryName(s"${queryName}_${sinkSeq.incrementAndGet()}")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         maintainBatch(spark, fsOps, stateRoot, batch, id, keys, sumCols,
-          weightCol)
+          weightCol, minCols, maxCols)
       }
       .trigger(Trigger.AvailableNow())
+    val q: StreamingQuery = checkpointLocation
+      .fold(sink)(cp => sink.option("checkpointLocation", cp))
       .start()
     q.processAllAvailable()
     q.stop()

@@ -1711,6 +1711,34 @@ class MaintenanceParamsSpec extends SparkSpec {
         sum("m").as("sum_m"), min("m").as("min_m"), max("m").as("max_m")))
   }
 
+  test("the streaming maintained view runs once through the params " +
+      "surface, with min/max and a resumable checkpoint") {
+    val base = tmp("jr_mx6")
+    val fs = new graft.fsops.FsOps(spark.sparkContext.hadoopConfiguration)
+    val d1 = (1 to 60).map(i => (s"g${i % 3}", (i * 13 % 41).toLong))
+      .toDF("k", "m")
+    d1.coalesce(1).write.mode("append").parquet(s"$base/in")
+    run(base, "MaintainedViewRunOnce",
+      s"""{"source_dir": "$base/in", "state_root": "$base/state",
+         | "key_columns": ["k"], "sum_columns": ["m"],
+         | "min_columns": ["m"], "max_columns": ["m"],
+         | "checkpoint_location": "$base/cp"}""".stripMargin)
+    val d2 = (1 to 30).map(i => (s"g${i % 3}", (i * 7 % 41 + 100).toLong))
+      .toDF("k", "m")
+    d2.coalesce(1).write.mode("append").parquet(s"$base/in")
+    run(base, "MaintainedViewRunOnce",
+      s"""{"source_dir": "$base/in", "state_root": "$base/state",
+         | "key_columns": ["k"], "sum_columns": ["m"],
+         | "min_columns": ["m"], "max_columns": ["m"],
+         | "checkpoint_location": "$base/cp"}""".stripMargin)
+    assertSameRows(
+      graft.catalog.VersionedTable.readLatest(spark, fs, s"$base/state")
+        .select("k", "n_rows", "sum_m", "min_m", "max_m"),
+      d1.unionByName(d2).groupBy("k").agg(count(lit(1)).as("n_rows"),
+        sum("m").as("sum_m"), min("m").as("min_m"),
+        max("m").as("max_m")))
+  }
+
   test("from_changes refresh with min/max dispatches to the touched-" +
       "group recompute — and fails fast without new_base_dir") {
     val base = tmp("jr_mx5")

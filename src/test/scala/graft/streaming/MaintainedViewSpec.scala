@@ -168,6 +168,80 @@ class MaintainedViewSpec extends SparkSpec {
     assert(e.getMessage.contains("aggregate config must stay fixed"))
   }
 
+  test("streaming min/max view is trigger-boundary invariant and " +
+      "matches the batch recompute (insert-only extrema fold)") {
+    val data = fact(400)
+    val inDir = tmp("mv_in")
+    data.repartition(4).write.mode("overwrite").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val want = data.groupBy("k").agg(count(lit(1)).as("n_rows"),
+      sum("m").as("sum_m"), min("m").as("min_m"), max("m").as("max_m"))
+    val one = MaintainedView.runOnce(spark, schema, inDir, tmp("mv_m1"),
+      Seq("k"), Seq("m"), "mv_mm_one",
+      minCols = Seq("m"), maxCols = Seq("m"))
+    val many = MaintainedView.runOnce(spark, schema, inDir, tmp("mv_m2"),
+      Seq("k"), Seq("m"), "mv_mm_many", maxFilesPerTrigger = Some(1),
+      minCols = Seq("m"), maxCols = Seq("m"))
+    assertSameRows(one.select("k", "n_rows", "sum_m", "min_m", "max_m"),
+      want)
+    assertSameRows(many.select("k", "n_rows", "sum_m", "min_m", "max_m"),
+      want)
+  }
+
+  test("min/max streaming batches reject a weight column: extrema are " +
+      "not retractable") {
+    val root = tmp("mv_state")
+    val b = Seq(("a", 10L, 1L)).toDF("k", "m", "w")
+    val e = intercept[IllegalArgumentException] {
+      MaintainedView.maintainBatch(spark, fs, root, b, 0L, Seq("k"),
+        Seq("m"), weightCol = Some("w"), minCols = Seq("m"))
+    }
+    assert(e.getMessage.contains("not retractable"))
+  }
+
+  test("maintainBatch fails fast on aggregate-config drift against the " +
+      "persisted state") {
+    val root = tmp("mv_state")
+    val b = Seq(("a", 10L)).toDF("k", "m")
+    MaintainedView.maintainBatch(spark, fs, root, b, 0L, Seq("k"),
+      Seq("m"))
+    val e = intercept[IllegalArgumentException] {
+      MaintainedView.maintainBatch(spark, fs, root, b, 1L, Seq("k"),
+        Seq("m"), minCols = Seq("m")) // drifted config
+    }
+    assert(e.getMessage.contains("aggregate config must stay fixed"))
+  }
+
+  test("runOnce resumes against an existing state via checkpoint " +
+      "(stable batch ids), and fails fast when rerun without one") {
+    val inDir = tmp("mv_in")
+    val root = tmp("mv_state")
+    val cp = tmp("mv_cp")
+    val d1 = fact(200)
+    d1.coalesce(1).write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    MaintainedView.runOnce(spark, schema, inDir, root, Seq("k"),
+      Seq("m"), "mv_resume", checkpointLocation = Some(cp))
+    // new files land; the resumed run must process ONLY them, under
+    // fresh batch ids (the checkpoint carries the engine's counter)
+    val d2 = fact(90).withColumn("m", col("m") + 1000L)
+    d2.coalesce(1).write.mode("append").parquet(inDir)
+    val settled = MaintainedView.runOnce(spark, schema, inDir, root,
+      Seq("k"), Seq("m"), "mv_resume2", checkpointLocation = Some(cp))
+    assertSameRows(settled.select("k", "n_rows", "sum_m"),
+      recompute(d1.unionByName(d2)))
+    // batch ids advanced across runs — no collision with run 1's tags
+    val ops = VersionedTable.commits(fs, root).map(_.op)
+    assert(ops.distinct.size === ops.size)
+    // a checkpoint-less rerun against the same state refuses instead of
+    // silently replay-skipping / double-folding
+    val e = intercept[IllegalArgumentException] {
+      MaintainedView.runOnce(spark, schema, inDir, root, Seq("k"),
+        Seq("m"), "mv_resume3")
+    }
+    assert(e.getMessage.contains("checkpoint"))
+  }
+
   test("catchUp refuses to bootstrap onto a derived root holding " +
       "foreign commits (op tags from another loop or a plain table)") {
     val tableRoot = tmp("mv_tbl6")
