@@ -228,7 +228,7 @@ object VersionedTable {
     * pair narrows but cannot close the clobber window (POSIX rename
     * replaces); on HDFS/object-store-with-atomic-rename it is exact.
     */
-  private def publishExclusive(fsOps: FsOps, p: String,
+  private[graft] def publishExclusive(fsOps: FsOps, p: String,
       content: String): Boolean = {
     val pp = new Path(p)
     val f = fsOps.fs(pp)

@@ -2171,6 +2171,35 @@ object AlgoRegistry {
           dfs
         }
       }
+    case "VectorIndexRebuild" =>
+      val s = spark
+      new Algorithm {
+        val spark: SparkSession = s
+        override def read(): Vector[DataFrame] = Vector.empty
+        override def transform(dfs: Vector[DataFrame]): Vector[DataFrame] =
+          dfs
+        override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
+          graft.operators.VectorIndexMaintenance.rebuild(s, fsOps,
+            config.getString("embeddings_root"),
+            config.getString("index_root"),
+            config.getString("id_column"),
+            config.getString("vector_column"), config.getInt("dim"),
+            config.getIntOpt("m").getOrElse(8),
+            config.getIntOpt("ks").getOrElse(16),
+            config.getIntOpt("centroids").getOrElse(32))
+          dfs
+        }
+      }
+    case "VectorIndexStaleness" => new TransformAlgorithm(spark, fsOps,
+      config.getString("source_dir"), config.getString("target_dir"),
+      fmt(config), config.getIntOpt("output_files_num"),
+      df => graft.operators.VectorIndexMaintenance.staleness(spark,
+        fsOps, config.getString("embeddings_root"),
+        config.getString("index_root"), df,
+        config.getString("id_column"), config.getString("vector_column"),
+        config.getInt("k"), config.getInt("dim"),
+        config.getIntOpt("m").getOrElse(8),
+        config.getIntOpt("nprobe").getOrElse(4)))
     case "VectorIndexSearch" => new TransformAlgorithm(spark, fsOps,
       config.getString("source_dir"), config.getString("target_dir"),
       fmt(config), config.getIntOpt("output_files_num"),

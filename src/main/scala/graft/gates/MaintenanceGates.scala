@@ -410,6 +410,34 @@ object MaintenanceGates extends GateSupport {
         m = 8, nprobe = 4)
     }),
 
+    // explicit index REBUILD: the corpus drifted from the bootstrap
+    // snapshot (deletes + inserts), so quantizers are RETRAINED on the
+    // latest snapshot into a fresh root (outage-free — the old index
+    // root stays live until readers swap); the oracle re-derives the
+    // whole IVF-PQ chain with v2-trained quantizers, so a leftover
+    // v1-trained artifact anywhere in the rebuilt root flips neighbors
+    "q321_vector_index_rebuild" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"))
+      val embRoot = tmpDir("q321_e")
+      val idx2 = tmpDir("q321_r")
+      val fs = fsOps(s)
+      val v1 = emb.filter(col("vec_id") % 3 =!= 0)
+      val v2 = v1.filter(col("vec_id") % 7 =!= 0)
+        .unionByName(emb.filter(col("vec_id") % 3 === 0
+          && col("vec_id") % 2 === 0))
+      VersionedTable.write(v1, fs, embRoot, ts = 1000L)
+      VersionedTable.write(v2, fs, embRoot, ts = 2000L)
+      graft.operators.VectorIndexMaintenance.rebuild(s, fs, embRoot,
+        idx2, "vec_id", "embedding", dim = 64, m = 8, ks = 16,
+        centroids = 32) // retrain + full encode AT THE LATEST version
+      val queries = VersionedTable.readLatest(s, fs, embRoot)
+        .filter(col("vec_id") % 50 === 0)
+      graft.operators.VectorIndexMaintenance.searchMaintained(s, fs,
+        queries, idx2, "vec_id", "embedding", k = 5, dim = 64,
+        m = 8, nprobe = 4)
+    }),
+
     // CDC maintenance with MIN/MAX: the v1→v2 fold retracts count/sum
     // algebraically and recomputes extrema ONLY for the feed-touched
     // groups (broadcast-semi-join-pruned scan of v2); v2's deletes
@@ -615,6 +643,77 @@ object MaintenanceGates extends GateSupport {
          |cent AS (
          |  SELECT vec_id AS cid, embedding AS ce2
          |  FROM v1 ORDER BY $h, vec_id LIMIT 32),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2("e.embedding", "c.ce2")}, c.cid) AS rk
+         |    FROM v2 e CROSS JOIN cent c) WHERE rk = 1),
+         |probe AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2("e.embedding", "c.ce2")}, c.cid) AS rk
+         |    FROM v2 e CROSS JOIN cent c
+         |    WHERE e.vec_id % 50 = 0) WHERE rk <= 4),
+         |ad AS (
+         |  SELECT t.query_id, e.vec_id AS neighbor_id,
+         |    CAST(SUM(t.qd) AS BIGINT) AS adfix
+         |  FROM enc e
+         |  JOIN asg a ON e.vec_id = a.vec_id
+         |  JOIN probe p ON a.cid = p.cid
+         |  JOIN qt t ON p.query_id = t.query_id
+         |    AND e.j = t.j AND e.code = t.code
+         |  WHERE t.query_id <> e.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id,
+         |  round(adfix / 1048576.0, 6) AS pq_dist
+         |FROM ad
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY adfix, neighbor_id) <= 5""".stripMargin
+    },
+
+    // mirrors q321: the q318 IVF-PQ chain with sel/cent (quantizers)
+    // trained on V2 — the rebuild retrains on the latest snapshot
+    "q321_vector_index_rebuild" -> {
+      import graft.functions.PortableHash
+      val h = PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")
+      val l2 = OracleHelpers.l2Sql _
+      s"""WITH v1 AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0),
+         |v2 AS (
+         |  SELECT vec_id, embedding FROM v1 WHERE vec_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 3 = 0 AND vec_id % 2 = 0),
+         |sel AS (
+         |  SELECT vec_id AS cid, embedding AS ce,
+         |    CAST(row_number() OVER (ORDER BY $h, vec_id)
+         |      AS INTEGER) - 1 AS code
+         |  FROM v2 ORDER BY $h, vec_id LIMIT 16),
+         |cb AS (
+         |  SELECT CAST(t.j AS INTEGER) AS j, code,
+         |    ce[t.j*8+1 : t.j*8+8] AS sub
+         |  FROM sel, range(0,8) t(j)),
+         |sv AS (
+         |  SELECT e.vec_id, CAST(t.j AS INTEGER) AS j,
+         |    e.embedding[t.j*8+1 : t.j*8+8] AS subv
+         |  FROM v2 e, range(0,8) t(j)),
+         |enc AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT v.vec_id, v.j, c.code,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.j
+         |        ORDER BY ${l2("v.subv", "c.sub")}, c.code) AS rk
+         |    FROM sv v JOIN cb c ON v.j = c.j) WHERE rk = 1),
+         |qt AS (
+         |  SELECT v.vec_id AS query_id, v.j, c.code,
+         |    CAST(round(${l2("v.subv", "c.sub")} * 1048576) AS BIGINT)
+         |      AS qd
+         |  FROM sv v JOIN cb c ON v.j = c.j
+         |  WHERE v.vec_id % 50 = 0),
+         |cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce2
+         |  FROM v2 ORDER BY $h, vec_id LIMIT 32),
          |asg AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid,

@@ -1,8 +1,8 @@
 package graft.operators
 
 import graft.catalog.{LogFold, VersionedTable}
+import graft.config.JsonConfig
 import graft.fsops.FsOps
-import graft.io.{AtomicWriter, DataFormat, LoadMode}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,10 +18,23 @@ import org.apache.spark.sql.functions._
   * under the index root — the standard incremental-ANN contract
   * (FAISS's add-after-train): folds encode ONLY the CDC delta against
   * the frozen quantizers, so per-poll cost ∝ delta, never a corpus
-  * re-encode. Re-training is an explicit full rebuild (fresh index
-  * root). Both trainers are deterministic (hash-sampled), so a racing
-  * bootstrap pair writes identical artifacts — the codes commit itself
-  * is exactly-once via [[LogFold]].
+  * re-encode. Re-training is an explicit full rebuild ([[rebuild]],
+  * fresh index root); [[staleness]] measures when one is due.
+  *
+  * Training publication is ATOMIC and first-writer-wins: the trained
+  * set (codebooks + centroids + a meta record of the trained base
+  * version and quantizer geometry) lands in a writer-private
+  * `_train-<uuid>` dir, then a create-exclusive pointer file
+  * (`_train.json`) publishes the WHOLE set at once — the commit-log
+  * invariant applied to the quantizers. Two overlapping bootstrap polls
+  * that trained on DIFFERENT base versions (the table committed in
+  * between) can therefore never interleave artifacts: the loser's set
+  * is deleted unpublished, and every encode/search resolves the
+  * quantizers through the published pointer, so committed codes always
+  * pair with the published training set. Folds and searches validate
+  * the caller's quantizer geometry (dim/m/ks/centroids) against the
+  * published meta — a drifted parameter fails by name instead of
+  * silently corrupting ANN distances.
   *
   * 100 TB shape: the codes table is m small ints per vector (~1e-2 the
   * embedding bytes); search cost is the [[Similarity.ivfPqTopKPrepared]]
@@ -29,21 +42,83 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndexMaintenance {
 
-  // frozen training artifacts live in `_`-prefixed dirs under the index
-  // root: invisible to the versioned codes commits, untouched by
-  // vacuum's d-* orphan sweep, crash-safe via the atomic writer
-  private def cbDir(root: String) = s"$root/_codebooks"
-  private def centDir(root: String) = s"$root/_centroids"
+  private def trainPtr(root: String) = s"$root/_train.json"
 
-  private def overwrite(fsOps: FsOps, df: DataFrame, path: String): Unit =
-    new AtomicWriter(fsOps, Seq.empty, Some(1))
-      .write(df, DataFormat.Parquet, path, LoadMode.OverwriteTable)
+  /** The published training set: quantizer dirs + provenance. */
+  final case class TrainMeta(path: String, trainedVersion: Long,
+      dim: Int, m: Int, ks: Int, centroids: Int)
+
+  private def cbDir(root: String, meta: TrainMeta) =
+    s"$root/${meta.path}/codebooks"
+  private def centDir(root: String, meta: TrainMeta) =
+    s"$root/${meta.path}/centroids"
+
+  /** The published training meta, if any — the staleness/rebuild probes
+    * read the trained base version from here.
+    */
+  def trainMeta(fsOps: FsOps, root: String): Option[TrainMeta] =
+    if (!fsOps.exists(trainPtr(root))) None
+    else {
+      val c = JsonConfig.fromFile(fsOps, trainPtr(root))
+      Some(TrainMeta(c.getString("path"), c.getLong("trained_version"),
+        c.getInt("dim"), c.getInt("m"), c.getInt("ks"),
+        c.getInt("centroids")))
+    }
+
+  /** Resolve + validate the published training set for a caller that
+    * passed explicit quantizer geometry. Fails fast by name on a
+    * missing publication or mismatched geometry.
+    */
+  private def validatedMeta(fsOps: FsOps, root: String, context: String,
+      dim: Int, m: Int, ks: Option[Int], centroids: Option[Int])
+      : TrainMeta = {
+    val meta = trainMeta(fsOps, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root has no published training artifacts (_train.json); " +
+          "run catchUpIndex first"))
+    require(meta.dim == dim && meta.m == m && ks.forall(_ == meta.ks)
+        && centroids.forall(_ == meta.centroids),
+      s"$context called with dim=$dim, m=$m" +
+        ks.fold("")(v => s", ks=$v") +
+        centroids.fold("")(v => s", centroids=$v") +
+        s" but $root publishes quantizers trained on base version " +
+        s"${meta.trainedVersion} with dim=${meta.dim}, m=${meta.m}, " +
+        s"ks=${meta.ks}, centroids=${meta.centroids} — mismatched " +
+        "quantizer geometry would silently corrupt ANN distances")
+    meta
+  }
+
+  /** Train on `snap` and publish the full set atomically (no-op when a
+    * set is already published — the racing/crashed-bootstrap case).
+    * Returns the PUBLISHED meta, which may be another poll's.
+    */
+  private def publishTraining(fsOps: FsOps, root: String,
+      snap: DataFrame, trainedVersion: Long, idCol: String,
+      vecCol: String, dim: Int, m: Int, ks: Int, centroids: Int)
+      : TrainMeta =
+    trainMeta(fsOps, root).getOrElse {
+      val name = "_train-" + java.util.UUID.randomUUID.toString.take(8)
+      val stage = s"$root/$name"
+      // writer-private stage dir: plain writes, invisible until the
+      // pointer publishes it (and never swept — vacuum only takes d-*)
+      Similarity.pqCodebooks(snap, idCol, vecCol, dim, m, ks)
+        .coalesce(1).write.parquet(s"$stage/codebooks")
+      Similarity.selectCentroids(snap, idCol, vecCol, centroids)
+        .coalesce(1).write.parquet(s"$stage/centroids")
+      val json = s"""{"path": "$name", """ +
+        s""""trained_version": $trainedVersion, "dim": $dim, """ +
+        s""""m": $m, "ks": $ks, "centroids": $centroids}"""
+      if (!VersionedTable.publishExclusive(fsOps, trainPtr(root), json))
+        fsOps.deleteAll(stage) // lost the pointer race: winner's set rules
+      trainMeta(fsOps, root).get
+    }
 
   /** Fold every unconsumed embedding-table version into the index:
-    * bootstrap trains + encodes the latest snapshot; each later version
-    * folds as its CDC delta (removed/preimage ids anti-joined out,
-    * inserted/postimage vectors encoded against the frozen quantizers).
-    * Returns the embedding versions folded by this call.
+    * bootstrap trains + publishes + encodes the latest snapshot; each
+    * later version folds as its CDC delta (removed/preimage ids
+    * anti-joined out, inserted/postimage vectors encoded against the
+    * frozen quantizers). Returns the embedding versions folded by this
+    * call.
     */
   def catchUpIndex(spark: SparkSession, fsOps: FsOps, embRoot: String,
       indexRoot: String, idCol: String, vecCol: String, dim: Int,
@@ -54,16 +129,19 @@ object VectorIndexMaintenance {
         case None =>
           val snap = VersionedTable.readVersion(spark, fsOps, embRoot,
             c.version)
-          overwrite(fsOps,
-            Similarity.pqCodebooks(snap, idCol, vecCol, dim, m, ks),
-            cbDir(indexRoot))
-          overwrite(fsOps,
-            Similarity.selectCentroids(snap, idCol, vecCol, centroids),
-            centDir(indexRoot))
+          publishTraining(fsOps, indexRoot, snap, c.version, idCol,
+            vecCol, dim, m, ks, centroids)
+          // encode through the PUBLISHED set (possibly a racing poll's,
+          // trained on a different snapshot — still the frozen set every
+          // later fold and search will resolve), geometry validated
+          val meta = validatedMeta(fsOps, indexRoot, "catchUpIndex",
+            dim, m, Some(ks), Some(centroids))
           Similarity.ivfPqEncodeWith(snap, idCol, vecCol, dim, m,
-            spark.read.parquet(cbDir(indexRoot)),
-            spark.read.parquet(centDir(indexRoot)))
+            spark.read.parquet(cbDir(indexRoot, meta)),
+            spark.read.parquet(centDir(indexRoot, meta)))
         case Some(codes) =>
+          val meta = validatedMeta(fsOps, indexRoot, "catchUpIndex",
+            dim, m, Some(ks), Some(centroids))
           val feed = VersionedTable.changeFeed(spark, fsOps, embRoot,
             c.version - 1, c.version, Seq(idCol))
           val removed = feed.filter(col("change_type")
@@ -74,8 +152,8 @@ object VectorIndexMaintenance {
             .select(col(idCol), col(vecCol))
           codes.join(removed, Seq(idCol), "left_anti")
             .unionByName(Similarity.ivfPqEncodeWith(added, idCol, vecCol,
-              dim, m, spark.read.parquet(cbDir(indexRoot)),
-              spark.read.parquet(centDir(indexRoot))))
+              dim, m, spark.read.parquet(cbDir(indexRoot, meta)),
+              spark.read.parquet(centDir(indexRoot, meta))))
       }
     }
 
@@ -87,12 +165,79 @@ object VectorIndexMaintenance {
       queries: DataFrame, indexRoot: String, idCol: String,
       vecCol: String, k: Int, dim: Int, m: Int = 8, nprobe: Int = 4)
       : DataFrame = {
-    require(fsOps.exists(cbDir(indexRoot)),
-      s"$indexRoot has no trained artifacts; run catchUpIndex first")
+    val meta = validatedMeta(fsOps, indexRoot, "searchMaintained", dim,
+      m, None, None)
     Similarity.ivfPqTopKPrepared(queries,
       VersionedTable.readLatest(spark, fsOps, indexRoot),
-      spark.read.parquet(cbDir(indexRoot)),
-      spark.read.parquet(centDir(indexRoot)),
+      spark.read.parquet(cbDir(indexRoot, meta)),
+      spark.read.parquet(centDir(indexRoot, meta)),
       idCol, vecCol, k, dim, m, nprobe)
+  }
+
+  /** Explicit full RE-TRAIN: bootstrap a FRESH index root on the
+    * embedding table's latest snapshot (new quantizers + full encode —
+    * the one operation the frozen-quantizer contract excludes from
+    * folds). The old index stays live until the caller swaps roots, so
+    * a rebuild is outage-free. Fails fast when `newIndexRoot` is not
+    * fresh: retraining IN PLACE would silently pair existing committed
+    * codes with new quantizers. Run when [[staleness]] drops below the
+    * rebuild threshold (see OPERATORS.md — 0.8 recall@k is the
+    * documented default).
+    */
+  def rebuild(spark: SparkSession, fsOps: FsOps, embRoot: String,
+      newIndexRoot: String, idCol: String, vecCol: String, dim: Int,
+      m: Int = 8, ks: Int = 16, centroids: Int = 32): Seq[Long] = {
+    require(trainMeta(fsOps, newIndexRoot).isEmpty
+        && VersionedTable.commits(fsOps, newIndexRoot).isEmpty,
+      s"$newIndexRoot already holds an index; rebuild targets a FRESH " +
+        "root (in-place retrain would pair committed codes with new " +
+        "quantizers) — rebuild into a new root and swap readers over")
+    catchUpIndex(spark, fsOps, embRoot, newIndexRoot, idCol, vecCol,
+      dim, m, ks, centroids)
+  }
+
+  /** Index-staleness probe: recall@k of the MAINTAINED index against a
+    * FRESH-TRAINED index on the same (latest) snapshot — the
+    * frozen-quantizer contract degrades recall as the corpus drifts
+    * from the bootstrap snapshot, and this is the rebuild trigger
+    * metric. The fresh quantizers/codes are derived in-plan (nothing
+    * persisted); both trainers are deterministic, so the probe is
+    * reproducible. Returns one row: (n_queries, k, trained_version,
+    * latest_version, recall).
+    */
+  def staleness(spark: SparkSession, fsOps: FsOps, embRoot: String,
+      indexRoot: String, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int = 8, nprobe: Int = 4)
+      : DataFrame = {
+    val meta = validatedMeta(fsOps, indexRoot, "staleness", dim, m,
+      None, None)
+    val latestV = VersionedTable.latestVersion(fsOps, embRoot)
+    val snap = VersionedTable.readVersion(spark, fsOps, embRoot, latestV)
+    val freshCb = Similarity.pqCodebooks(snap, idCol, vecCol, dim, m,
+      meta.ks)
+    val freshCent = Similarity.selectCentroids(snap, idCol, vecCol,
+      meta.centroids)
+    val freshCodes = Similarity.ivfPqEncodeWith(snap, idCol, vecCol,
+      dim, m, freshCb, freshCent)
+    val fresh = Similarity.ivfPqTopKPrepared(queries, freshCodes,
+      freshCb, freshCent, idCol, vecCol, k, dim, m, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val maintained = searchMaintained(spark, fsOps, queries, indexRoot,
+      idCol, vecCol, k, dim, m, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    // recall@k = |maintained ∩ fresh| / |fresh| (fresh is the ground
+    // set: a fresh index is what a rebuild would serve)
+    val hits = fresh.join(maintained, Seq("query_id", "neighbor_id"),
+      "left_semi")
+    fresh.agg(count(lit(1)).as("n_fresh")).crossJoin(
+        hits.agg(count(lit(1)).as("n_hit")))
+      .crossJoin(queries.agg(
+        count(lit(1)).cast("long").as("n_queries")))
+      .select(col("n_queries"), lit(k).as("k"),
+        lit(meta.trainedVersion).as("trained_version"),
+        lit(latestV).as("latest_version"),
+        when(col("n_fresh") === 0, lit(1.0))
+          .otherwise(col("n_hit").cast("double") / col("n_fresh"))
+          .as("recall"))
   }
 }

@@ -1711,6 +1711,53 @@ class MaintenanceParamsSpec extends SparkSpec {
         sum("m").as("sum_m"), min("m").as("min_m"), max("m").as("max_m")))
   }
 
+  test("index rebuild + staleness probe run through the params surface") {
+    val base = tmp("jr_mx7")
+    val fs = new graft.fsops.FsOps(spark.sparkContext.hadoopConfiguration)
+    val dim = 8
+    def vec(seed: Int) = Array.tabulate(dim)(j =>
+      ((seed * 31 + j * 17) % 13 - 6).toFloat)
+    def emb(ids: Seq[Long]) =
+      ids.map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val embRoot = s"$base/emb"
+    graft.catalog.VersionedTable.write(emb(1L to 30L), fs, embRoot,
+      ts = 100L)
+    run(base, "VectorIndexCatchUp",
+      s"""{"embeddings_root": "$embRoot", "index_root": "$base/idx",
+         | "id_column": "vec_id", "vector_column": "embedding",
+         | "dim": $dim, "m": 4, "ks": 4, "centroids": 4}""".stripMargin)
+    graft.catalog.VersionedTable.write(emb((2L to 24L) ++ (31L to 40L)),
+      fs, embRoot, ts = 200L)
+    run(base, "VectorIndexCatchUp",
+      s"""{"embeddings_root": "$embRoot", "index_root": "$base/idx",
+         | "id_column": "vec_id", "vector_column": "embedding",
+         | "dim": $dim, "m": 4, "ks": 4, "centroids": 4}""".stripMargin)
+    // staleness of the drifted (v1-trained) index, via params
+    emb(Seq(5L, 35L)).write.parquet(s"$base/q")
+    run(base, "VectorIndexStaleness",
+      s"""{"source_dir": "$base/q", "target_dir": "$base/stale",
+         | "embeddings_root": "$embRoot", "index_root": "$base/idx",
+         | "id_column": "vec_id", "vector_column": "embedding",
+         | "k": 3, "dim": $dim, "m": 4}""".stripMargin)
+    val st = spark.read.parquet(s"$base/stale").collect().head
+    st.getAs[Long]("trained_version") shouldBe 1L
+    st.getAs[Long]("latest_version") shouldBe 2L
+    // rebuild into a fresh root through params; rebuilt meta is
+    // v2-trained and its staleness is exactly 1.0
+    run(base, "VectorIndexRebuild",
+      s"""{"embeddings_root": "$embRoot", "index_root": "$base/idx2",
+         | "id_column": "vec_id", "vector_column": "embedding",
+         | "dim": $dim, "m": 4, "ks": 4, "centroids": 4}""".stripMargin)
+    run(base, "VectorIndexStaleness",
+      s"""{"source_dir": "$base/q", "target_dir": "$base/stale2",
+         | "embeddings_root": "$embRoot", "index_root": "$base/idx2",
+         | "id_column": "vec_id", "vector_column": "embedding",
+         | "k": 3, "dim": $dim, "m": 4}""".stripMargin)
+    val st2 = spark.read.parquet(s"$base/stale2").collect().head
+    st2.getAs[Long]("trained_version") shouldBe 2L
+    st2.getAs[Double]("recall") shouldBe 1.0
+  }
+
   test("the streaming maintained view runs once through the params " +
       "surface, with min/max and a resumable checkpoint") {
     val base = tmp("jr_mx6")
