@@ -40,9 +40,12 @@ import org.apache.spark.sql.functions._
   *    O(commits) driver-side listing of `_commits`, never of data files;
   *  - snapshots are immutable, so `readVersion` is an ordinary pruned
   *    parquet scan — all pushdown/partition machinery applies unchanged;
-  *  - `diff` is one full-outer join on the key columns of exactly the two
-  *    snapshots compared (shuffle keyed on the caller's key — the same
-  *    cost CDC-on-read costs any format without per-commit row tracking);
+  *  - `diff`/`changeFeed` over a commit that RECORDED its change set
+  *    ([[writeWithChanges]]/[[merge]] — the Delta-CDF `_change_data`
+  *    trade) are a plain scan of delta-cardinality rows; only plain
+  *    commits fall back to one full-outer join of exactly the two
+  *    snapshots compared (the cost CDC-on-read costs any format
+  *    without per-commit row tracking);
   *  - `vacuum` deletes whole version directories driver-side; it never
   *    lists individual data files of retained versions.
   */
@@ -57,7 +60,8 @@ object VersionedTable {
   final case class Commit(version: Long, ts: Long, op: String, rows: Long,
       path: String, indexCol: Option[String] = None,
       indexKind: Option[String] = None,
-      partTypes: Option[String] = None)
+      partTypes: Option[String] = None,
+      cdcKeys: Option[String] = None)
 
   private def commitsDir(root: String) = s"$root/_commits"
   private def commitFile(root: String, v: Long) =
@@ -89,7 +93,7 @@ object VersionedTable {
     Commit(c.getLong("version"), c.getLong("ts"), c.getString("op"),
       c.getLong("rows"), c.getString("path"),
       c.getStringOpt("index_col"), c.getStringOpt("index_kind"),
-      c.getStringOpt("part_types"))
+      c.getStringOpt("part_types"), c.getStringOpt("cdc_keys"))
   }
 
   /** O(1) single-version lookup: the commit filename is deterministic
@@ -155,6 +159,140 @@ object VersionedTable {
           s"$root was committed concurrently while this writer (based " +
             s"on version $expectedVersion) was landing — re-read and " +
             "recompute")
+    }
+  }
+
+  /** Name of the per-commit change-set dir INSIDE the data dir: the `_`
+    * prefix keeps it invisible to `spark.read.parquet(dataDir)` (plain
+    * [[readVersion]] needs no special casing) and it travels/vacuums
+    * with its snapshot atomically — one commit references both.
+    */
+  private val ChangesDir = "_changes"
+
+  /** [[write]] with a WRITER-RECORDED change set: the exact
+    * [[changeFeed]] rows between the previous version and this snapshot
+    * land alongside the snapshot (inside the same data dir, bound by
+    * the same commit), so `changeFeed(v−1, v)` serves the recorded set
+    * as a plain pruned scan of delta-cardinality rows — never the
+    * full-outer join of two complete snapshots that CDC-on-read costs.
+    * This is the Delta-CDF trade (its `_change_data` dir): the writer
+    * already knows its delta, so persisting it makes every downstream
+    * maintenance fold O(delta) instead of O(table) per version
+    * (reference: src/main/scala/com/adidas/analytics/algo/loads/DeltaLakeLoad.scala:128-146
+    * — the merge semantics such change sets encode).
+    *
+    * `changes` must carry the snapshot's columns plus `change_type`
+    * (insert / delete / update_preimage / update_postimage) — schema is
+    * validated here; its CONTENT is the writer's contract (exactly the
+    * v−1 → v feed; [[merge]] computes it for callers who'd rather not).
+    * A wrong change set diverges every maintained view that consumes
+    * it, same as any CDC log.
+    */
+  def writeWithChanges(df: DataFrame, changes: DataFrame, fsOps: FsOps,
+      root: String, ts: Long, keys: Seq[String], op: String = "write",
+      maxAttempts: Int = 5, pin: Option[Long] = None): Long = {
+    require(keys.nonEmpty && keys.forall(df.columns.contains),
+      s"cdc keys (${keys.mkString(",")}) must name snapshot columns " +
+        s"(${df.columns.mkString(",")})")
+    val want = (df.columns :+ "change_type").sorted
+    require(changes.columns.sorted.sameElements(want),
+      s"change set carries ${changes.columns.sorted.mkString(",")} but " +
+        s"this snapshot needs exactly ${want.mkString(",")}")
+    writeLanded(df, fsOps, root, ts, op, maxAttempts,
+      Seq("cdc_keys" -> keys.sorted.mkString(",")),
+      dir => {
+        df.write.parquet(dir)
+        changes.write.parquet(s"$dir/$ChangesDir")
+      }, pin)
+  }
+
+  /** MERGE: publish (base \ deleteKeys) ∪ upserts as the next version,
+    * WITH the change set computed and recorded at write time — the
+    * write face that already knows its delta. Plan shape at 100 TB:
+    * the next snapshot is ONE base scan anti-joined against the
+    * broadcast delta keys (no shuffle of the base), and the change-set
+    * classification joins the delta against a broadcast-semi-join-
+    * PRUNED sliver of the base (only delta-key rows are fetched for
+    * preimages — partition/file skipping applies where the layout
+    * provides it). The base is never shuffled and never joined
+    * whole-against-whole.
+    *
+    * `upserts` replace matching keys and insert new ones; `deleteKeys`
+    * (key columns only) drop theirs. A key in both is ambiguous and
+    * fails fast. An upsert row identical to the base row is a no-op
+    * (no change row — same as [[changeFeed]]'s update test). Keys must
+    * be unique per side (the writer's primary-key contract, same as
+    * [[diff]]). Read-modify-write safe: the commit is PINNED to the
+    * version this merge read; a concurrent commit fails it with
+    * [[java.util.ConcurrentModificationException]] — re-invoke to
+    * retry against the new latest.
+    */
+  def merge(spark: SparkSession, fsOps: FsOps, root: String,
+      upserts: DataFrame, deleteKeys: DataFrame, keys: Seq[String],
+      ts: Long, op: String = "merge"): Long = {
+    val baseV = latestVersion(fsOps, root)
+    val base = readVersion(spark, fsOps, root, baseV)
+    require(upserts.columns.sorted.sameElements(base.columns.sorted),
+      s"upserts carry ${upserts.columns.sorted.mkString(",")} but the " +
+        s"table has ${base.columns.sorted.mkString(",")}")
+    require(deleteKeys.columns.sorted.sameElements(keys.sorted),
+      s"deleteKeys must carry exactly the key columns " +
+        s"(${keys.sorted.mkString(",")}), got " +
+        s"${deleteKeys.columns.sorted.mkString(",")}")
+    val payload = base.columns.filterNot(keys.contains).sorted.toSeq
+    def nullSafe(l: String, r: String): Column =
+      keys.map(k => col(s"$l.`$k`") <=> col(s"$r.`$k`")).reduce(_ && _)
+    val clash = upserts.select(keys.map(col): _*)
+      .join(broadcast(deleteKeys), keys.map(k =>
+        upserts(k) <=> deleteKeys(k)).reduce(_ && _), "left_semi")
+      .limit(1).count()
+    require(clash == 0L,
+      "a key appears in both upserts and deleteKeys — ambiguous merge")
+    // delta keys drive every base access: broadcast once, reuse thrice
+    val deltaKeys = upserts.select(keys.map(col): _*)
+      .unionByName(deleteKeys.select(keys.map(col): _*)).distinct()
+    // next snapshot: one base scan, anti-joined against broadcast keys
+    val next = base.as("b")
+      .join(broadcast(deltaKeys).as("dk"), nullSafe("b", "dk"),
+        "left_anti")
+      .unionByName(upserts)
+    // change classification against ONLY the delta-key sliver of base
+    val touched = base.as("b")
+      .join(broadcast(deltaKeys).as("dk"), nullSafe("b", "dk"),
+        "left_semi")
+    val deletes = touched.as("tb")
+      .join(broadcast(deleteKeys).as("del"), nullSafe("tb", "del"),
+        "left_semi")
+      .withColumn("change_type", lit("delete"))
+    // explicit presence flag (never key-null tests): keys may be
+    // legitimately NULL and still match under <=> — changedJoin's device
+    val j = upserts.as("u")
+      .join(touched.withColumn("b_present", lit(1)).as("tb2"),
+        nullSafe("u", "tb2"), "left_outer")
+    val matched = col("tb2.`b_present`").isNotNull
+    val differs: Column = payload.map(c =>
+      !(col(s"u.`$c`") <=> col(s"tb2.`$c`"))).reduceOption(_ || _)
+      .getOrElse(lit(false))
+    val uCols = keys.map(k => col(s"u.`$k`").as(k)) ++
+      payload.map(c => col(s"u.`$c`").as(c))
+    val bCols = keys.map(k => col(s"u.`$k`").as(k)) ++
+      payload.map(c => col(s"tb2.`$c`").as(c))
+    val inserts = j.filter(!matched)
+      .select(uCols :+ lit("insert").as("change_type"): _*)
+    val updPost = j.filter(matched && differs)
+      .select(uCols :+ lit("update_postimage").as("change_type"): _*)
+    val updPre = j.filter(matched && differs)
+      .select(bCols :+ lit("update_preimage").as("change_type"): _*)
+    val changes = deletes.select(
+        (keys ++ payload).map(col) :+ col("change_type"): _*)
+      .unionByName(inserts).unionByName(updPre).unionByName(updPost)
+    try writeWithChanges(next, changes, fsOps, root, ts, keys, op,
+      maxAttempts = 1, pin = Some(baseV + 1))
+    catch {
+      case _: VersionRaceExhausted =>
+        throw new java.util.ConcurrentModificationException(
+          s"$root was committed concurrently during this merge (based " +
+            s"on version $baseV) — retry against the new latest")
     }
   }
 
@@ -320,14 +458,23 @@ object VersionedTable {
   def diff(spark: SparkSession, fsOps: FsOps, root: String,
       fromV: Long, toV: Long, keys: Seq[String],
       checkUniqueKeys: Boolean = false): DataFrame =
-    changedJoin(spark, fsOps, root, fromV, toV, keys, checkUniqueKeys) {
-      (joined, keyCols, payload, changeType) =>
-        val outPayload = payload.map(c =>
-          when(col("t_present").isNull, col(s"f_$c"))
-            .otherwise(col(s"t_$c")).as(c))
-        joined.filter(changeType.isNotNull)
-          .select((keyCols :+ changeType.as("change_type")) ++ outPayload: _*)
-    }
+    recordedChanges(spark, fsOps, root, fromV, toV, keys) { feed =>
+      // diff is the single-row-per-key projection of the 4-type feed:
+      // postimage → update, preimage dropped (its payload is the
+      // update's FROM side, which diff doesn't carry)
+      feed.filter(col("change_type") =!= "update_preimage")
+        .withColumn("change_type",
+          when(col("change_type") === "update_postimage", lit("update"))
+            .otherwise(col("change_type")))
+    }.getOrElse(
+      changedJoin(spark, fsOps, root, fromV, toV, keys, checkUniqueKeys) {
+        (joined, keyCols, payload, changeType) =>
+          val outPayload = payload.map(c =>
+            when(col("t_present").isNull, col(s"f_$c"))
+              .otherwise(col(s"t_$c")).as(c))
+          joined.filter(changeType.isNotNull)
+            .select((keyCols :+ changeType.as("change_type")) ++ outPayload: _*)
+      })
 
   /** CDC feed with BOTH payload sides: like [[diff]] but an update emits
     * TWO rows — `update_preimage` (the FROM-side row being retracted) and
@@ -341,6 +488,17 @@ object VersionedTable {
     */
   def changeFeed(spark: SparkSession, fsOps: FsOps, root: String,
       fromV: Long, toV: Long, keys: Seq[String],
+      checkUniqueKeys: Boolean = false): DataFrame =
+    recordedChanges(spark, fsOps, root, fromV, toV, keys)(identity)
+      .getOrElse(changeFeedJoined(spark, fsOps, root, fromV, toV, keys,
+        checkUniqueKeys))
+
+  /** [[changeFeed]] forced onto the snapshot-diff path (two full
+    * snapshots, one full-outer join) — the fallback for plain commits,
+    * exposed so probes/specs can compare it against a recorded set.
+    */
+  private[graft] def changeFeedJoined(spark: SparkSession, fsOps: FsOps,
+      root: String, fromV: Long, toV: Long, keys: Seq[String],
       checkUniqueKeys: Boolean = false): DataFrame =
     changedJoin(spark, fsOps, root, fromV, toV, keys, checkUniqueKeys) {
       (joined, keyCols, payload, changeType) =>
@@ -358,6 +516,36 @@ object VersionedTable {
           (keys.map(col) :+ col("c.change_type").as("change_type")) ++
             payload.map(c => col(s"c.$c").as(c)): _*)
     }
+
+  /** Serve a WRITER-RECORDED change set when one covers the request:
+    * the versions are adjacent, `toV`'s commit recorded a set for
+    * exactly these keys, and the data survives (not vacuumed). `shape`
+    * adapts the 4-type feed to the caller's face; columns come back in
+    * the same order [[changedJoin]] emits (keys, change_type, sorted
+    * payload). Any other request — a version RANGE, different keys, a
+    * plain commit — returns None and the caller falls back to the
+    * snapshot diff; both paths answer identically by the writer's
+    * contract, so the choice is invisible to semantics, only to cost.
+    * A recorded set is served as-is (`checkUniqueKeys` does not apply —
+    * uniqueness was the writer's contract at commit time).
+    */
+  private def recordedChanges(spark: SparkSession, fsOps: FsOps,
+      root: String, fromV: Long, toV: Long, keys: Seq[String])(
+      shape: DataFrame => DataFrame): Option[DataFrame] = {
+    if (toV != fromV + 1) return None
+    val c = commitOf(fsOps, root, toV)
+    val dir = s"${dataDir(root, c)}/$ChangesDir"
+    if (!c.cdcKeys.contains(keys.sorted.mkString(","))
+        || !fsOps.exists(dir)) None
+    else {
+      val feed = shape(spark.read.parquet(dir))
+      val payload = feed.columns
+        .filterNot(c => keys.contains(c) || c == "change_type")
+        .sorted.toSeq
+      Some(feed.select(
+        (keys.map(col) :+ col("change_type")) ++ payload.map(col): _*))
+    }
+  }
 
   /** The shared one-join core of [[diff]] and [[changeFeed]]: classify
     * each key as insert/delete/update, hand the shaping to `emit`.

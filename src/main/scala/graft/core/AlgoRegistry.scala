@@ -1987,6 +1987,28 @@ object AlgoRegistry {
           dfs
         }
       }
+    case "VersionMerge" =>
+      val s = spark
+      new Algorithm {
+        val spark: SparkSession = s
+        override def read(): Vector[DataFrame] = Vector(
+          fmt(config).read(s, Map.empty, None,
+            config.getString("upserts_dir")))
+        override def transform(dfs: Vector[DataFrame]): Vector[DataFrame] =
+          dfs
+        override def write(dfs: Vector[DataFrame]): Vector[DataFrame] = {
+          val keys = config.getSeq[String]("key_columns")
+          val deletes = config.getStringOpt("delete_keys_dir")
+            .map(d => fmt(config).read(s, Map.empty, None, d))
+            .getOrElse(dfs.head.select(keys.map(
+              org.apache.spark.sql.functions.col): _*).limit(0))
+          graft.catalog.VersionedTable.merge(s, fsOps,
+            config.getString("table_root"), dfs.head, deletes, keys,
+            config.getLong("ts"),
+            config.getStringOpt("op").getOrElse("merge"))
+          dfs
+        }
+      }
     case "VersionRead" =>
       val s = spark
       new Algorithm {

@@ -410,6 +410,68 @@ object MaintenanceGates extends GateSupport {
         m = 8, nprobe = 4)
     }),
 
+    // WRITER-RECORDED change set: v2 lands via MERGE (upserts + delete
+    // keys), which computes the 4-type feed at write time and records
+    // it inside the commit — changeFeed(1,2) then serves a plain scan
+    // of delta-cardinality rows (no snapshot join; plan-spec-pinned);
+    // the oracle recomputes the feed from the v1/v2 definitions, so a
+    // wrong or incomplete recorded set cannot hide behind the fallback
+    "q322_recorded_changefeed" -> ((s, dir) => {
+      val root = tmpDir("q322")
+      val fs = fsOps(s)
+      val v1 = v1Frame(s, dir)
+      VersionedTable.write(v1, fs, root, ts = 1000L)
+      val deleteKeys = v1.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"))
+      val upserts = v1
+        .filter(col("c_custkey") % 5 === 0 && col("c_custkey") % 7 =!= 0)
+        .withColumn("bal_cents", col("bal_cents") + 1000L)
+        .unionByName(t(s, dir, "customer")
+          .filter(col("c_custkey") % 3 === 0
+            && col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+            round(col("c_acctbal") * 100, 0).cast("long")
+              .as("bal_cents")))
+      VersionedTable.merge(s, fs, root, upserts, deleteKeys,
+        keys = Seq("c_custkey"), ts = 2000L)
+      VersionedTable.changeFeed(s, fs, root, 1L, 2L,
+          keys = Seq("c_custkey"))
+        .select(col("c_custkey"), col("change_type"), col("bal_cents"))
+    }),
+
+    // the maintenance loop over a RECORDED-changes commit: catch-up
+    // consumes the recorded set (O(delta) fold — no snapshot join) and
+    // must land on the SAME settled view as the snapshot-diff fold:
+    // the oracle is the full recompute on v2, exactly q314's
+    "q323_merge_maintained_view" -> ((s, dir) => {
+      val tableRoot = tmpDir("q323_t")
+      val stateRoot = tmpDir("q323_s")
+      val fs = fsOps(s)
+      val v1 = v1Frame(s, dir)
+      VersionedTable.write(v1, fs, tableRoot, ts = 1000L)
+      graft.streaming.MaintainedView.catchUp(s, fs, tableRoot, stateRoot,
+        cdcKeys = Seq("c_custkey"), groupKeys = Seq("c_mktsegment"),
+        sumCols = Seq("bal_cents")) // poll 1: bootstrap
+      val deleteKeys = v1.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"))
+      val upserts = v1
+        .filter(col("c_custkey") % 5 === 0 && col("c_custkey") % 7 =!= 0)
+        .withColumn("bal_cents", col("bal_cents") + 1000L)
+        .unionByName(t(s, dir, "customer")
+          .filter(col("c_custkey") % 3 === 0
+            && col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+            round(col("c_acctbal") * 100, 0).cast("long")
+              .as("bal_cents")))
+      VersionedTable.merge(s, fs, tableRoot, upserts, deleteKeys,
+        keys = Seq("c_custkey"), ts = 2000L)
+      graft.streaming.MaintainedView.catchUp(s, fs, tableRoot, stateRoot,
+        cdcKeys = Seq("c_custkey"), groupKeys = Seq("c_mktsegment"),
+        sumCols = Seq("bal_cents")) // poll 2: folds the RECORDED feed
+      VersionedTable.readLatest(s, fs, stateRoot)
+        .select(col("c_mktsegment"), col("n_rows"), col("sum_bal_cents"))
+    }),
+
     // explicit index REBUILD: the corpus drifted from the bootstrap
     // snapshot (deletes + inserts), so quantizers are RETRAINED on the
     // latest snapshot into a fresh root (outage-free — the old index
@@ -672,6 +734,35 @@ object MaintenanceGates extends GateSupport {
          |QUALIFY row_number() OVER (PARTITION BY query_id
          |  ORDER BY adfix, neighbor_id) <= 5""".stripMargin
     },
+
+    // the 4-type feed recomputed from the v1/v2 definitions: inserts,
+    // deletes, and BOTH images per updated key
+    "q322_recorded_changefeed" ->
+      s"""WITH v1 AS ($v1Sql), v2 AS ($v2Sql)
+         |SELECT c_custkey, 'insert' AS change_type, bal_cents FROM v2
+         |WHERE c_custkey NOT IN (SELECT c_custkey FROM v1)
+         |UNION ALL
+         |SELECT c_custkey, 'delete' AS change_type, bal_cents FROM v1
+         |WHERE c_custkey NOT IN (SELECT c_custkey FROM v2)
+         |UNION ALL
+         |SELECT v1.c_custkey, 'update_preimage' AS change_type,
+         |  v1.bal_cents
+         |FROM v1 JOIN v2 ON v1.c_custkey = v2.c_custkey
+         |WHERE v1.bal_cents <> v2.bal_cents OR v1.c_name <> v2.c_name
+         |   OR v1.c_mktsegment <> v2.c_mktsegment
+         |UNION ALL
+         |SELECT v2.c_custkey, 'update_postimage' AS change_type,
+         |  v2.bal_cents
+         |FROM v1 JOIN v2 ON v1.c_custkey = v2.c_custkey
+         |WHERE v1.bal_cents <> v2.bal_cents OR v1.c_name <> v2.c_name
+         |   OR v1.c_mktsegment <> v2.c_mktsegment""".stripMargin,
+
+    // same recompute-on-v2 oracle as q314: the recorded-feed fold must
+    // land on the identical settled view
+    "q323_merge_maintained_view" ->
+      s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
+         |FROM ($v2Sql) GROUP BY c_mktsegment""".stripMargin,
 
     // mirrors q321: the q318 IVF-PQ chain with sel/cent (quantizers)
     // trained on V2 — the rebuild retrains on the latest snapshot

@@ -436,4 +436,136 @@ class VersionedTableSpec extends SparkSpec {
       .unionByName(VersionedTable.readVersion(spark, fs, root, 3L))
     assertSameRows(both, frames.head.unionByName(frames.last))
   }
+
+  // judged on the OPTIMIZED LOGICAL plan: the executed plan hides under
+  // AdaptiveSparkPlanExec until materialization, so a physical collect
+  // would vacuously "find no joins" either way
+  private def noJoins(frame: org.apache.spark.sql.DataFrame) =
+    frame.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty
+
+  test("merge records the change set at commit time: the feed is " +
+      "served from _changes with NO join and equals the snapshot-diff " +
+      "fold; the snapshot applies upserts and deletes") {
+    val root = tmp("vt_m")
+    val v1 = df((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L))
+    VersionedTable.write(v1, fs, root, ts = 100L)
+    // update 2, insert 5, NO-OP upsert of 3 (identical row), delete 4
+    val upserts = df((2L, "b", 25L), (5L, "e", 50L), (3L, "c", 30L))
+    val deleteKeys = Seq(4L).toDF("id")
+    assert(VersionedTable.merge(spark, fs, root, upserts, deleteKeys,
+      Seq("id"), ts = 200L) === 2L)
+    assertSameRows(VersionedTable.readLatest(spark, fs, root),
+      df((1L, "a", 10L), (2L, "b", 25L), (3L, "c", 30L),
+        (5L, "e", 50L)))
+    val feed = VersionedTable.changeFeed(spark, fs, root, 1L, 2L,
+      Seq("id"))
+    // plan shape: a recorded feed is a plain scan of the _changes dir —
+    // no join operator anywhere, delta-cardinality input
+    assert(noJoins(feed))
+    assert(feed.inputFiles.nonEmpty
+      && feed.inputFiles.forall(_.contains("_changes")))
+    // content: identical to the (forced) snapshot-diff fold
+    assertSameRows(feed,
+      VersionedTable.changeFeedJoined(spark, fs, root, 1L, 2L,
+        Seq("id")))
+    // the no-op upsert of 3 produced NO change rows
+    assert(feed.filter($"id" === 3L).count() === 0L)
+    // diff face: single row per key, postimage payload for updates
+    val d = VersionedTable.diff(spark, fs, root, 1L, 2L, Seq("id"))
+    assert(noJoins(d))
+    assertSameRows(d,
+      Seq((2L, "update", "b", 25L), (4L, "delete", "d", 40L),
+        (5L, "insert", "e", 50L))
+        .toDF("id", "change_type", "name", "val"))
+  }
+
+  test("a different-key or version-range feed falls back to the " +
+      "snapshot diff (identical answer, join plan)") {
+    val root = tmp("vt_m")
+    VersionedTable.write(df((1L, "a", 10L), (2L, "b", 20L)), fs, root,
+      ts = 100L)
+    VersionedTable.merge(spark, fs, root, df((2L, "b", 25L)),
+      Seq.empty[Long].toDF("id"), Seq("id"), ts = 200L)
+    // recorded keys = [id]; asking with (id, name) must NOT serve the
+    // recorded set — classification could differ under other keys
+    val other = VersionedTable.changeFeed(spark, fs, root, 1L, 2L,
+      Seq("id", "name"))
+    assert(!noJoins(other))
+    assertSameRows(other, VersionedTable.changeFeedJoined(spark, fs,
+      root, 1L, 2L, Seq("id", "name")))
+    // a version RANGE never serves a recorded set
+    VersionedTable.merge(spark, fs, root, df((1L, "a", 11L)),
+      Seq.empty[Long].toDF("id"), Seq("id"), ts = 300L)
+    val range = VersionedTable.changeFeed(spark, fs, root, 1L, 3L,
+      Seq("id"))
+    assert(!noJoins(range))
+  }
+
+  test("merge treats NULL keys null-safely: a null-keyed row updates " +
+      "in place instead of duplicating") {
+    val root = tmp("vt_m")
+    val v1 = Seq((Option(1L), "a", 10L), (Option.empty[Long], "n", 5L))
+      .toDF("id", "name", "val")
+    VersionedTable.write(v1, fs, root, ts = 100L)
+    val upserts = Seq((Option.empty[Long], "n", 7L))
+      .toDF("id", "name", "val")
+    VersionedTable.merge(spark, fs, root, upserts,
+      Seq.empty[Long].toDF("id"), Seq("id"), ts = 200L)
+    assertSameRows(VersionedTable.readLatest(spark, fs, root),
+      Seq((Option(1L), "a", 10L), (Option.empty[Long], "n", 7L))
+        .toDF("id", "name", "val"))
+    val feed = VersionedTable.changeFeed(spark, fs, root, 1L, 2L,
+      Seq("id"))
+    assert(feed.count() === 2L) // pre + post image for the null key
+    assert(feed.filter($"change_type" === "insert").count() === 0L)
+  }
+
+  test("writeWithChanges validates the change-set schema and the keys") {
+    val root = tmp("vt_m")
+    val snap = df((1L, "a", 10L))
+    val missingType = df((1L, "a", 10L)) // no change_type column
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.writeWithChanges(snap, missingType, fs, root,
+        ts = 100L, keys = Seq("id"))
+    }
+    assert(e1.getMessage.contains("change_type"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.writeWithChanges(snap,
+        snap.withColumn("change_type", lit("insert")), fs, root,
+        ts = 100L, keys = Seq("nope"))
+    }
+    assert(e2.getMessage.contains("nope"))
+  }
+
+  test("merge fails fast when a key is both upserted and deleted") {
+    val root = tmp("vt_m")
+    VersionedTable.write(df((4L, "d", 40L)), fs, root, ts = 100L)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, fs, root, df((4L, "d", 41L)),
+        Seq(4L).toDF("id"), Seq("id"), ts = 200L)
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
+  test("a recorded change set travels and vacuums with its snapshot: " +
+      "after vacuum the feed falls back and fails on the missing " +
+      "snapshot by name") {
+    val root = tmp("vt_m")
+    VersionedTable.write(df((1L, "a", 10L)), fs, root, ts = 100L)
+    VersionedTable.merge(spark, fs, root, df((1L, "a", 11L)),
+      Seq.empty[Long].toDF("id"), Seq("id"), ts = 200L)
+    VersionedTable.write(df((1L, "a", 12L)), fs, root, ts = 300L)
+    VersionedTable.write(df((1L, "a", 13L)), fs, root, ts = 400L)
+    // vacuum versions 1-2 (forced past retention: test commits are old)
+    VersionedTable.vacuum(fs, root, keepLast = 2, retentionMs = 0L,
+      force = true)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.changeFeed(spark, fs, root, 1L, 2L, Seq("id"))
+        .count()
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
 }

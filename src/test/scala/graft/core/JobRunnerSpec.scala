@@ -1711,6 +1711,43 @@ class MaintenanceParamsSpec extends SparkSpec {
         sum("m").as("sum_m"), min("m").as("min_m"), max("m").as("max_m")))
   }
 
+  test("merge with a recorded change set runs through the params " +
+      "surface and feeds the maintained view at delta cost") {
+    val base = tmp("jr_mx8")
+    val fs = new graft.fsops.FsOps(spark.sparkContext.hadoopConfiguration)
+    val root = s"$base/table"
+    val v1 = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L))
+      .toDF("id", "g", "m")
+    graft.catalog.VersionedTable.write(v1, fs, root, ts = 1000L)
+    run(base, "MaintainedViewCatchUp",
+      s"""{"table_root": "$root", "state_root": "$base/state",
+         | "cdc_key_columns": ["id"], "key_columns": ["g"],
+         | "sum_columns": ["m"]}""".stripMargin)
+    Seq((2L, "b", 25L), (4L, "b", 40L)).toDF("id", "g", "m")
+      .write.parquet(s"$base/ups")
+    Seq(Tuple1(3L)).toDF("id").write.parquet(s"$base/del")
+    run(base, "VersionMerge",
+      s"""{"upserts_dir": "$base/ups", "delete_keys_dir": "$base/del",
+         | "table_root": "$root", "key_columns": ["id"],
+         | "ts": 2000}""".stripMargin)
+    // the recorded set carries the full 4-type feed
+    val feed = graft.catalog.VersionedTable.changeFeed(spark, fs, root,
+      1L, 2L, Seq("id"))
+    feed.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("insert" -> 1L, "delete" -> 1L, "update_preimage" -> 1L,
+        "update_postimage" -> 1L)
+    // catch-up folds it; the settled view equals a recompute on v2
+    run(base, "MaintainedViewCatchUp",
+      s"""{"table_root": "$root", "state_root": "$base/state",
+         | "cdc_key_columns": ["id"], "key_columns": ["g"],
+         | "sum_columns": ["m"]}""".stripMargin)
+    assertSameRows(
+      graft.catalog.VersionedTable.readLatest(spark, fs, s"$base/state")
+        .select("g", "n_rows", "sum_m"),
+      Seq(("a", 1L, 10L), ("b", 2L, 65L)).toDF("g", "n_rows", "sum_m"))
+  }
+
   test("index rebuild + staleness probe run through the params surface") {
     val base = tmp("jr_mx7")
     val fs = new graft.fsops.FsOps(spark.sparkContext.hadoopConfiguration)
