@@ -94,4 +94,98 @@ object LogFold {
     }
     folded.result()
   }
+
+  /** What a bucketed fold produces for one consumed base version. */
+  sealed trait FoldResult
+  /** The complete next derived snapshot (bootstrap / re-anchor):
+    * committed as a FULL bucketed write.
+    */
+  final case class Full(df: DataFrame) extends FoldResult
+  /** The complete new content of exactly the `touched` buckets —
+    * committed as a [[VersionedTable.writeBucketedDelta]], bytes
+    * written ∝ touched buckets, untouched buckets carried by
+    * reference.
+    */
+  final case class Delta(touchedContent: DataFrame, touched: Seq[Int])
+      extends FoldResult
+
+  /** Pruned access to the derived state for bucketed folds: a delta
+    * fold reads ONLY the buckets its delta touches — fold input bytes
+    * ∝ delta, the read-side half of the partition-aligned contract.
+    */
+  final class BucketedState private[catalog] (spark: SparkSession,
+      fsOps: FsOps, root: String, version: Long) {
+    def all: DataFrame =
+      VersionedTable.readVersion(spark, fsOps, root, version)
+    def buckets(bs: Seq[Int]): DataFrame =
+      VersionedTable.readVersionBuckets(spark, fsOps, root, version, bs)
+  }
+
+  /** [[catchUp]] for a BUCKET-ALIGNED derived table: same exactly-once
+    * op-tag + pinned-commit protocol, but the derived table lives in
+    * the [[VersionedTable.writeBucketed]] layout and each incremental
+    * fold returns either a [[Full]] snapshot (bootstrap) or a [[Delta]]
+    * — only the touched buckets' content — committed with bytes
+    * written ∝ delta. Periodic [[VersionedTable.compact]] re-anchors
+    * the reference chain so vacuum can reclaim ancestor dirs.
+    */
+  def catchUpBucketed(spark: SparkSession, fsOps: FsOps,
+      baseRoot: String, derivedRoot: String, tagPrefix: String,
+      bucketBy: String, nBuckets: Int)(
+      fold: (Option[BucketedState], VersionedTable.Commit) => FoldResult)
+      : Seq[Long] = {
+    val vt = VersionedTable
+    val baseLog = vt.commits(fsOps, baseRoot)
+    require(baseLog.nonEmpty, s"no committed versions under $baseRoot")
+    def tagOf(v: Long) = s"$tagPrefix-v-$v"
+    val derivedOps = vt.commits(fsOps, derivedRoot).map(_.op)
+    val consumed = derivedOps
+      .collect { case op if op.startsWith(s"$tagPrefix-v-") =>
+        op.stripPrefix(s"$tagPrefix-v-").toLong }
+    val todo =
+      if (consumed.isEmpty) {
+        require(derivedOps.isEmpty,
+          s"$derivedRoot has no $tagPrefix-v-N commits but already " +
+            s"holds ${derivedOps.size} foreign commit(s) " +
+            s"(ops: ${derivedOps.take(5).mkString(", ")}) — refusing " +
+            "to bootstrap onto an unrelated table; use a fresh derived " +
+            "root")
+        Seq(baseLog.last) // bootstrap at the latest
+      } else baseLog.filter(_.version > consumed.max)
+    val folded = Seq.newBuilder[Long]
+    for (c <- todo) {
+      val derivedLog = vt.commits(fsOps, derivedRoot)
+      if (derivedLog.exists(_.op == tagOf(c.version)))
+        return folded.result()
+      val state = derivedLog.lastOption.map { last =>
+        // fail fast on bucket-config drift against the persisted state
+        require(last.bucketCol.contains(bucketBy)
+            && last.nBuckets.contains(nBuckets),
+          s"derived table at $derivedRoot is bucketed as " +
+            s"(${last.bucketCol.getOrElse("none")}, " +
+            s"${last.nBuckets.getOrElse(0)}) but this poll requests " +
+            s"($bucketBy, $nBuckets) — bucket config must stay fixed " +
+            "(rebuild under a fresh derived root to change it)")
+        new BucketedState(spark, fsOps, derivedRoot, last.version)
+      }
+      try fold(state, c) match {
+        case Full(df) =>
+          vt.writeBucketed(df, fsOps, derivedRoot, ts = c.ts, bucketBy,
+            nBuckets, op = tagOf(c.version), maxAttempts = 1,
+            pin = Some(derivedLog.lastOption.map(_.version)
+              .getOrElse(0L) + 1))
+        case Delta(content, touched) =>
+          vt.writeBucketedDelta(spark, fsOps, derivedRoot, ts = c.ts,
+            content, touched, op = tagOf(c.version))
+      } catch {
+        // a racing poll won the pinned commit: stop, it owns the rest
+        case _: java.util.ConcurrentModificationException =>
+          return folded.result()
+        case _: VersionedTable.VersionRaceExhausted =>
+          return folded.result()
+      }
+      folded += c.version
+    }
+    folded.result()
+  }
 }

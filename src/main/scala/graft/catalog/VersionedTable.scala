@@ -61,7 +61,10 @@ object VersionedTable {
       path: String, indexCol: Option[String] = None,
       indexKind: Option[String] = None,
       partTypes: Option[String] = None,
-      cdcKeys: Option[String] = None)
+      cdcKeys: Option[String] = None,
+      bucketCol: Option[String] = None,
+      nBuckets: Option[Int] = None,
+      bucketMap: Option[String] = None)
 
   private def commitsDir(root: String) = s"$root/_commits"
   private def commitFile(root: String, v: Long) =
@@ -85,7 +88,7 @@ object VersionedTable {
     * the typed signal [[writeIf]] maps to a concurrency conflict (a
     * string-matched message would be a fragile contract).
     */
-  private final class VersionRaceExhausted(msg: String)
+  private[catalog] final class VersionRaceExhausted(msg: String)
       extends java.io.IOException(msg)
 
   private def parseCommit(fsOps: FsOps, path: String): Commit = {
@@ -93,7 +96,10 @@ object VersionedTable {
     Commit(c.getLong("version"), c.getLong("ts"), c.getString("op"),
       c.getLong("rows"), c.getString("path"),
       c.getStringOpt("index_col"), c.getStringOpt("index_kind"),
-      c.getStringOpt("part_types"), c.getStringOpt("cdc_keys"))
+      c.getStringOpt("part_types"), c.getStringOpt("cdc_keys"),
+      c.getStringOpt("bucket_col"),
+      c.getStringOpt("n_buckets").map(_.toInt),
+      c.getStringOpt("bucket_map"))
   }
 
   /** O(1) single-version lookup: the commit filename is deterministic
@@ -304,13 +310,15 @@ object VersionedTable {
   private def writeLanded(df: DataFrame, fsOps: FsOps,
       root: String, ts: Long, op: String, maxAttempts: Int,
       extra: Seq[(String, String)], land: String => Unit,
-      pin: Option[Long] = None): Long = {
+      pin: Option[Long] = None,
+      rowsOf: Option[String => Long] = None): Long = {
     // writer-private landing dir: concurrent writers never touch each
     // other's files, and until a commit references it the dir is invisible
     val name = "d-" + java.util.UUID.randomUUID.toString.take(8)
     val dir = s"$root/$name"
     land(dir)
-    val rows = df.sparkSession.read.parquet(dir).count()
+    val rows = rowsOf.getOrElse((d: String) =>
+      df.sparkSession.read.parquet(d).count()).apply(dir)
     val record = commitJson(ts, op, rows, name, extra)
     var attempt = 0
     var committed = -1L
@@ -400,6 +408,11 @@ object VersionedTable {
   def readVersion(spark: SparkSession, fsOps: FsOps, root: String,
       version: Long): DataFrame = {
     val c = commitOf(fsOps, root, version)
+    if (c.nBuckets.isDefined)
+      // bucketed snapshot: union of the per-bucket leaf dirs, possibly
+      // spread over several referenced data dirs (delta commits)
+      return readVersionBuckets(spark, fsOps, root, version,
+        0 until c.nBuckets.get)
     val dir = dataDir(root, c)
     require(fsOps.exists(dir),
       s"version $version of $root was vacuumed; earliest readable is " +
@@ -644,6 +657,173 @@ object VersionedTable {
       dir => df.write.partitionBy(partitionCols: _*).parquet(dir))
   }
 
+  /** Internal partition column of bucketed snapshots — never part of
+    * the logical schema (derived from the bucket key, dropped on read).
+    */
+  private val BucketCol = "bucket_id"
+
+  /** Deterministic bucket assignment for bucketed snapshots: recomputed
+    * identically by writers and folds (Murmur3 `hash`, engine-stable).
+    */
+  def bucketOf(c: Column, nBuckets: Int): Column =
+    pmod(hash(c), lit(nBuckets))
+
+  /** bucket → data dir (relative name) for a bucketed commit: an absent
+    * map means every bucket lives in the commit's own dir (a FULL
+    * bucketed write); a delta commit's map names `self` for rewritten
+    * buckets and the INHERITED dir for untouched ones.
+    */
+  private def bucketDirs(c: Commit): Map[Int, String] = {
+    val n = c.nBuckets.getOrElse(throw new IllegalArgumentException(
+      s"commit ${c.version} is not bucketed"))
+    c.bucketMap match {
+      case None => (0 until n).map(_ -> c.path).toMap
+      case Some(m) => m.split(",").iterator.map { e =>
+        val Array(b, d) = e.split(":", 2)
+        b.toInt -> (if (d == "self") c.path else d)
+      }.toMap
+    }
+  }
+
+  /** [[write]] with a HASH-BUCKETED snapshot layout (`nBuckets` buckets
+    * on `bucketBy`): the snapshot lands as `bucket_id=K/` directories,
+    * and the commit records the bucket config so later
+    * [[writeBucketedDelta]] commits can rewrite ONLY the buckets a
+    * delta touches while READING the rest by reference — the
+    * partition-aligned derived-state layout ([[LogFold]] bucketed
+    * folds). `bucket_id` is internal: derived at write, dropped on
+    * read, recomputable from the key by [[bucketOf]].
+    */
+  def writeBucketed(df: DataFrame, fsOps: FsOps, root: String, ts: Long,
+      bucketBy: String, nBuckets: Int, op: String = "write",
+      maxAttempts: Int = 5, pin: Option[Long] = None): Long = {
+    require(nBuckets >= 1, "nBuckets must be positive")
+    require(df.columns.contains(bucketBy),
+      s"bucket column $bucketBy not in ${df.columns.mkString(",")}")
+    require(!df.columns.contains(BucketCol),
+      s"$BucketCol is reserved for the internal bucket layout")
+    writeLanded(df, fsOps, root, ts, op, maxAttempts,
+      Seq("bucket_col" -> bucketBy, "n_buckets" -> nBuckets.toString),
+      dir => df.withColumn(BucketCol, bucketOf(col(bucketBy), nBuckets))
+        // co-locate each bucket before the partitioned write: one file
+        // per bucket instead of tasks × buckets fragments
+        .repartition(col(BucketCol))
+        .write.partitionBy(BucketCol).parquet(dir),
+      pin, rowsOf = Some(bucketedRows(df.sparkSession)))
+  }
+
+  /** Delta commit onto a bucketed table: `touchedData` is the COMPLETE
+    * new content of exactly the `touched` buckets; every other bucket
+    * is carried by reference to where its data already lives (the
+    * parent's bucket map — never copied, never rewritten). Bytes
+    * written ∝ touched buckets, the whole point of the layout: a
+    * 10-row delta against a 1e9-row derived table rewrites one bucket,
+    * not the table. Rows landing OUTSIDE `touched` fail in-plan (they
+    * would silently shadow or lose data). The commit is PINNED to the
+    * parent version (OCC): a concurrent commit invalidates the
+    * inherited map, so the loser fails with
+    * [[java.util.ConcurrentModificationException]] instead of
+    * publishing a stale-map snapshot. The commit's `rows` records the
+    * rows WRITTEN (the touched payload), not the logical table size.
+    *
+    * Old data dirs stay referenced by later maps until a full rewrite
+    * ([[writeBucketed]] or [[compact]], which re-anchors the chain)
+    * supersedes them — [[vacuum]] honors map references and reclaims
+    * only after the chain re-anchors.
+    */
+  def writeBucketedDelta(spark: SparkSession, fsOps: FsOps, root: String,
+      ts: Long, touchedData: DataFrame, touched: Seq[Int],
+      op: String = "write"): Long = {
+    val parent = commits(fsOps, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed versions under $root — delta commits need a " +
+          "bucketed parent (writeBucketed first)"))
+    val bucketBy = parent.bucketCol.getOrElse(
+      throw new IllegalArgumentException(
+        s"latest version ${parent.version} of $root is not bucketed — " +
+          "delta commits need a bucketed parent"))
+    val n = parent.nBuckets.get
+    // an EMPTY touched set is legal: the commit writes no data and
+    // inherits every bucket — a no-change version still gets consumed
+    require(touched.forall(b => b >= 0 && b < n),
+      s"touched buckets ${touched.mkString(",")} out of range [0, $n)")
+    require(touchedData.columns.contains(bucketBy)
+        && !touchedData.columns.contains(BucketCol),
+      s"touched content must carry $bucketBy and not $BucketCol")
+    val parentDirs = bucketDirs(parent)
+    val touchedSet = touched.toSet
+    val mapStr = (0 until n).map { b =>
+      val d = if (touchedSet(b)) "self" else parentDirs(b)
+      s"$b:$d"
+    }.mkString(",")
+    val guarded = touchedData
+      .withColumn(BucketCol, bucketOf(col(bucketBy), n))
+      .withColumn(BucketCol,
+        when(col(BucketCol).isin(touched.map(Int.box): _*),
+          col(BucketCol))
+          .otherwise(raise_error(concat(
+            lit("delta row lands in untouched bucket "),
+            col(BucketCol),
+            lit(s" (touched: ${touched.sorted.mkString(",")})")))))
+    try writeLanded(touchedData, fsOps, root, ts, op, maxAttempts = 1,
+      Seq("bucket_col" -> bucketBy, "n_buckets" -> n.toString,
+        "bucket_map" -> mapStr),
+      dir => guarded.repartition(col(BucketCol))
+        .write.partitionBy(BucketCol).parquet(dir),
+      pin = Some(parent.version + 1),
+      rowsOf = Some(bucketedRows(spark)))
+    catch {
+      case _: VersionRaceExhausted =>
+        throw new java.util.ConcurrentModificationException(
+          s"$root was committed concurrently during this delta commit " +
+            s"(based on version ${parent.version}) — re-read and retry")
+    }
+  }
+
+  /** Row count of a landed bucketed dir (0 when the delta wrote no
+    * rows — parquet cannot infer a schema from an empty dir).
+    */
+  private def bucketedRows(spark: SparkSession)(dir: String): Long = {
+    val fsOps = new FsOps(spark.sparkContext.hadoopConfiguration)
+    if (!fsOps.ls(dir).exists(_.startsWith(s"$BucketCol="))) 0L
+    else spark.read.parquet(dir).count()
+  }
+
+  /** Read ONLY the named buckets of a bucketed snapshot — the pruned
+    * state access a delta fold uses (input bytes ∝ touched buckets).
+    * Buckets empty at write time have no directory and contribute no
+    * rows (the result is an empty frame in the snapshot's schema,
+    * recovered from any nonempty bucket); a snapshot with ZERO rows in
+    * every bucket has no parquet schema to recover and fails by name.
+    */
+  def readVersionBuckets(spark: SparkSession, fsOps: FsOps, root: String,
+      version: Long, buckets: Seq[Int]): DataFrame = {
+    val c = commitOf(fsOps, root, version)
+    val dirs = bucketDirs(c)
+    require(buckets.nonEmpty && buckets.forall(dirs.contains),
+      s"buckets ${buckets.mkString(",")} not all in [0, ${c.nBuckets.get})")
+    def leaf(b: Int) = s"$root/${dirs(b)}/$BucketCol=$b"
+    val paths = buckets.distinct.map(leaf)
+    paths.foreach { p =>
+      val d = p.substring(0, p.lastIndexOf('/'))
+      require(fsOps.exists(d),
+        s"version $version of $root was vacuumed; earliest readable is " +
+          s"${earliestReadable(fsOps, root).getOrElse(-1L)}")
+    }
+    val present = paths.filter(fsOps.exists)
+    // leaf-dir reads drop the internal bucket_id partition column: the
+    // result carries exactly the logical schema
+    if (present.nonEmpty) spark.read.parquet(present: _*)
+    else {
+      val any = (0 until c.nBuckets.get).iterator.map(leaf)
+        .find(fsOps.exists)
+      require(any.isDefined,
+        s"version $version of $root has zero rows in every bucket — " +
+          "no parquet schema to recover")
+      spark.read.parquet(any.get).limit(0)
+    }
+  }
+
   /** [[writeIndexed]] in TWO dimensions: the snapshot lands z-ordered on
     * `(xCol, yCol)` with each file's bounding RECTANGLE in the committed
     * manifest, so [[readVersionPrunedRect]] skips files for predicates on
@@ -720,14 +900,25 @@ object VersionedTable {
     // compaction (harmless to retry) instead of being silently
     // superseded by the stale pre-compact content — a lost update
     val base = latestVersion(fsOps, root)
+    val baseCommit = commitOf(fsOps, root, base)
     val df = readVersion(spark, fsOps, root, base)
     val (extra, land): (Seq[(String, String)], String => Unit) =
-      indexCol match {
-        case Some(ic) => (
+      (indexCol, baseCommit.bucketCol) match {
+        case (Some(ic), _) => (
           Seq("index_col" -> ic, "index_kind" -> "range"),
           dir => graft.operators.Layout.writeSortedWithManifest(
             spark, df, dir, ic, numFiles, s"$dir/$ManifestDir"))
-        case None =>
+        case (None, Some(bc)) =>
+          // a bucketed chain compacts INTO the same bucket layout (one
+          // fresh dir, all-self map): the chain re-anchors, ancestor
+          // dirs become unreferenced and vacuum can reclaim them, and
+          // later delta commits keep working. Files = buckets here.
+          val n = baseCommit.nBuckets.get
+          (Seq("bucket_col" -> bc, "n_buckets" -> n.toString),
+            dir => df.withColumn(BucketCol, bucketOf(col(bc), n))
+              .repartition(col(BucketCol))
+              .write.partitionBy(BucketCol).parquet(dir))
+        case (None, None) =>
           (Seq.empty, dir => df.coalesce(numFiles).write.parquet(dir))
       }
     try writeLanded(df, fsOps, root, ts, "compact", maxAttempts = 1,
@@ -776,10 +967,13 @@ object VersionedTable {
     // successor (and is inside keepLast anyway)
     val supersededAt = all.indices.map(i =>
       if (i + 1 < all.size) Some(all(i + 1).ts) else None)
-    // a restore may share its predecessor's data dir only by re-landing
-    // (it never does today — write() always lands fresh) but guard on
-    // referenced paths anyway: never delete a dir a RETAINED commit names
-    val retainedPaths = all.takeRight(keepLast).map(_.path).toSet
+    // never delete a dir a RETAINED commit references — by its own path
+    // OR through a bucketed delta commit's map (untouched buckets live
+    // in ancestor dirs until a full rewrite re-anchors the chain)
+    def referencedBy(c: Commit): Seq[String] =
+      c.path +: (if (c.nBuckets.isDefined) bucketDirs(c).values.toSeq
+        else Seq.empty)
+    val retainedPaths = all.takeRight(keepLast).flatMap(referencedBy).toSet
     val drop = all.zipWithIndex.dropRight(keepLast)
       .filterNot { case (_, i) =>
         supersededAt(i).exists(ts => nowMs - ts < retentionMs) }
@@ -791,7 +985,7 @@ object VersionedTable {
       // reclaim data dirs no commit references (crashed writers). Only
       // safe when no writer is in flight — the caller's contract, same
       // as every lakehouse vacuum's retention-window caveat.
-      val referenced = all.map(_.path).toSet
+      val referenced = all.flatMap(referencedBy).toSet
       fsOps.ls(root).filter(_.startsWith("d-")).filterNot(referenced)
         .foreach(d => fsOps.deleteAll(s"$root/$d"))
     }

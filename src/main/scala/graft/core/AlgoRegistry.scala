@@ -2159,7 +2159,8 @@ object AlgoRegistry {
             config.getString("artifacts_root"),
             config.getString("id_column"), config.getString("text_column"),
             config.getIntOpt("shingle_size").getOrElse(3),
-            config.getIntOpt("minhash_k").getOrElse(32))
+            config.getIntOpt("minhash_k").getOrElse(32),
+            buckets = config.getIntOpt("buckets"))
           dfs
         }
       }
@@ -2189,7 +2190,8 @@ object AlgoRegistry {
             config.getString("vector_column"), config.getInt("dim"),
             config.getIntOpt("m").getOrElse(8),
             config.getIntOpt("ks").getOrElse(16),
-            config.getIntOpt("centroids").getOrElse(32))
+            config.getIntOpt("centroids").getOrElse(32),
+            buckets = config.getIntOpt("buckets"))
           dfs
         }
       }

@@ -352,6 +352,36 @@ object MaintenanceGates extends GateSupport {
     // recomputes exact+near-dup admission from scratch on v2, so any
     // staleness in the maintained artifacts (leftover deleted digest,
     // un-resigned update) would flip admitted rows
+    // q317 with PARTITION-ALIGNED artifacts: the table is hash-bucketed
+    // on id, so the CDC fold reads and rewrites ONLY the buckets the
+    // delta touches (fold bytes ∝ delta — spec-pinned at the fs level);
+    // admission must be indistinguishable from the plain layout, so the
+    // oracle is exactly q317's from-scratch recompute
+    "q324_bucketed_artifact_maintenance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = tmpDir("q324_c")
+      val arts = tmpDir("q324_a")
+      val fs = fsOps(s)
+      val v1 = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val v2 = v1.filter(col("doc_id") % 9 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(lit("v2 "), col("text")))
+            .otherwise(col("text")))
+      VersionedTable.write(v1, fs, corpus, ts = 1000L)
+      graft.operators.CorpusMaintenance.catchUpArtifacts(s, fs, corpus,
+        arts, "doc_id", "text", buckets = Some(16)) // bucketed bootstrap
+      VersionedTable.write(v2, fs, corpus, ts = 2000L)
+      graft.operators.CorpusMaintenance.catchUpArtifacts(s, fs, corpus,
+        arts, "doc_id", "text", buckets = Some(16)) // delta-bucket fold
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      graft.operators.CorpusMaintenance.admit(s, fs, incoming, corpus,
+          arts, "doc_id", "text", threshold = 0.5)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     "q317_corpus_artifact_maintenance" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val corpus = tmpDir("q317_c")
@@ -525,6 +555,41 @@ object MaintenanceGates extends GateSupport {
     })
   )
 
+  /** q317/q324 shared oracle: exact+near-dup admission recomputed from
+    * scratch against the corpus's v2 — layout (plain vs bucketed
+    * artifacts) must be invisible to the admitted set.
+    */
+  private lazy val corpusAdmitOracle: String =
+    s"""WITH v1 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+       |existing AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 13 = 0 THEN 'v2 ' || text ELSE text END
+       |      AS text
+       |  FROM v1 WHERE doc_id % 9 <> 0),
+       |inc AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |inp AS (
+       |  SELECT i.doc_id, i.text FROM inc i
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM existing e WHERE md5(e.text) = md5(i.text))),
+       |docs0 AS (
+       |  SELECT doc_id, text FROM existing
+       |  UNION ALL SELECT doc_id, text FROM inp),
+       |${OracleHelpers.minhashChainSql("docs0")},
+       |pairs AS (
+       |  SELECT id_a, id_b FROM j
+       |  WHERE CAST(inter AS DOUBLE)/uni >= 0.5),
+       |bad AS (
+       |  SELECT id_b AS doc_id FROM pairs
+       |  WHERE id_a IN (SELECT doc_id FROM existing)
+       |  UNION
+       |  SELECT id_a AS doc_id FROM pairs
+       |  WHERE id_b IN (SELECT doc_id FROM existing))
+       |SELECT d.doc_id, d.lang FROM documents d
+       |WHERE d.doc_id IN (SELECT doc_id FROM inp)
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "q303_version_travel" -> v1Sql,
@@ -632,36 +697,10 @@ object MaintenanceGates extends GateSupport {
 
     // mirrors q317: admission recomputed from scratch against v2 — the
     // q72 oracle chain with the versioned corpus's v2 as the landed side
-    "q317_corpus_artifact_maintenance" ->
-      s"""WITH v1 AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
-         |existing AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 13 = 0 THEN 'v2 ' || text ELSE text END
-         |      AS text
-         |  FROM v1 WHERE doc_id % 9 <> 0),
-         |inc AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-         |inp AS (
-         |  SELECT i.doc_id, i.text FROM inc i
-         |  WHERE NOT EXISTS (
-         |    SELECT 1 FROM existing e WHERE md5(e.text) = md5(i.text))),
-         |docs0 AS (
-         |  SELECT doc_id, text FROM existing
-         |  UNION ALL SELECT doc_id, text FROM inp),
-         |${OracleHelpers.minhashChainSql("docs0")},
-         |pairs AS (
-         |  SELECT id_a, id_b FROM j
-         |  WHERE CAST(inter AS DOUBLE)/uni >= 0.5),
-         |bad AS (
-         |  SELECT id_b AS doc_id FROM pairs
-         |  WHERE id_a IN (SELECT doc_id FROM existing)
-         |  UNION
-         |  SELECT id_a AS doc_id FROM pairs
-         |  WHERE id_b IN (SELECT doc_id FROM existing))
-         |SELECT d.doc_id, d.lang FROM documents d
-         |WHERE d.doc_id IN (SELECT doc_id FROM inp)
-         |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+    "q317_corpus_artifact_maintenance" -> corpusAdmitOracle,
+
+    // q324's admission must be layout-invariant: same oracle as q317
+    "q324_bucketed_artifact_maintenance" -> corpusAdmitOracle,
 
     // mirrors q318: the q273 IVF-PQ chain with quantizers (sel/cent)
     // trained on V1 while codes/cells/queries cover V2 — exactly the

@@ -36,32 +36,74 @@ object CorpusMaintenance {
     * Returns the corpus versions folded by this call. `shingleSize`/`k`
     * must stay fixed across polls (they parameterize the signatures the
     * admission path compares).
+    *
+    * `buckets = Some(n)` keeps the artifacts table HASH-BUCKETED on id
+    * ([[VersionedTable.writeBucketed]], n buckets): each CDC fold then
+    * reads and rewrites ONLY the buckets the delta touches
+    * ([[LogFold.catchUpBucketed]]) — fold bytes ≈ touchedBuckets ×
+    * (|artifacts| / n) with touchedBuckets ≤ |delta keys|, vs the
+    * whole artifacts table per fold without it. Size n ≫ the typical
+    * per-version delta key count (hash spreading touches ~one bucket
+    * per key); n is also the files-per-snapshot, so n ≈ |corpus| /
+    * desired-bucket-rows bounds both. Fixed per artifacts root; run
+    * [[VersionedTable.compact]] occasionally to re-anchor the
+    * reference chain so vacuum can reclaim ancestor dirs.
     */
   def catchUpArtifacts(spark: SparkSession, fsOps: FsOps,
       corpusRoot: String, artifactsRoot: String, idCol: String,
-      textCol: String, shingleSize: Int = 3, k: Int = 32): Seq[Long] =
-    LogFold.catchUp(spark, fsOps, corpusRoot, artifactsRoot,
-        tagPrefix = "corpus") { (state, c) =>
-      state match {
-        case None =>
-          // bootstrap: sign the whole first snapshot once
-          Dedup.dedupArtifacts(
-            VersionedTable.readVersion(spark, fsOps, corpusRoot,
-              c.version), idCol, textCol, shingleSize, k)
-        case Some(arts) =>
-          val feed = VersionedTable.changeFeed(spark, fsOps, corpusRoot,
-            c.version - 1, c.version, Seq(idCol))
-          val removed = feed.filter(col("change_type")
-              .isin("delete", "update_preimage"))
-            .select(col(idCol).as("id"))
-          val added = feed.filter(col("change_type")
-              .isin("insert", "update_postimage"))
-            .select(col(idCol), col(textCol))
-          arts.join(removed, Seq("id"), "left_anti")
-            .unionByName(Dedup.dedupArtifacts(added, idCol, textCol,
-              shingleSize, k))
-      }
+      textCol: String, shingleSize: Int = 3, k: Int = 32,
+      buckets: Option[Int] = None): Seq[Long] = {
+    def bootstrap(c: VersionedTable.Commit): DataFrame =
+      // sign the whole first snapshot once
+      Dedup.dedupArtifacts(
+        VersionedTable.readVersion(spark, fsOps, corpusRoot, c.version),
+        idCol, textCol, shingleSize, k)
+    def feedParts(c: VersionedTable.Commit): (DataFrame, DataFrame) = {
+      val feed = VersionedTable.changeFeed(spark, fsOps, corpusRoot,
+        c.version - 1, c.version, Seq(idCol))
+      (feed.filter(col("change_type").isin("delete", "update_preimage"))
+          .select(col(idCol).as("id")),
+        feed.filter(col("change_type")
+            .isin("insert", "update_postimage"))
+          .select(col(idCol), col(textCol)))
     }
+    buckets match {
+      case None =>
+        LogFold.catchUp(spark, fsOps, corpusRoot, artifactsRoot,
+            tagPrefix = "corpus") { (state, c) =>
+          state match {
+            case None => bootstrap(c)
+            case Some(arts) =>
+              val (removed, added) = feedParts(c)
+              arts.join(removed, Seq("id"), "left_anti")
+                .unionByName(Dedup.dedupArtifacts(added, idCol, textCol,
+                  shingleSize, k))
+          }
+        }
+      case Some(n) =>
+        LogFold.catchUpBucketed(spark, fsOps, corpusRoot, artifactsRoot,
+            tagPrefix = "corpus", bucketBy = "id", nBuckets = n) {
+            (state, c) =>
+          state match {
+            case None => LogFold.Full(bootstrap(c))
+            case Some(st) =>
+              val (removed, added) = feedParts(c)
+              // the delta touches few buckets by contract: tiny collect
+              // (≤ n ints) to know WHICH, then read/rewrite only those
+              val touched = removed
+                .unionByName(added.select(col(idCol).as("id")))
+                .select(VersionedTable.bucketOf(col("id"), n).as("b"))
+                .distinct().collect().map(_.getInt(0)).toSeq.sorted
+              if (touched.isEmpty) LogFold.Delta(st.all.limit(0), Seq.empty)
+              else LogFold.Delta(
+                st.buckets(touched).join(removed, Seq("id"), "left_anti")
+                  .unionByName(Dedup.dedupArtifacts(added, idCol,
+                    textCol, shingleSize, k)),
+                touched)
+          }
+        }
+    }
+  }
 
   /** Admit an incoming batch against the maintained corpus: exact +
     * near-dup incremental dedup ([[Dedup.dedupIncrement]]) using the

@@ -119,43 +119,84 @@ object VectorIndexMaintenance {
     * anti-joined out, inserted/postimage vectors encoded against the
     * frozen quantizers). Returns the embedding versions folded by this
     * call.
+    *
+    * `buckets = Some(n)` keeps the codes table HASH-BUCKETED on id:
+    * each fold reads and rewrites ONLY the buckets the delta touches
+    * ([[LogFold.catchUpBucketed]]) — fold bytes ≈ touchedBuckets ×
+    * (|codes| / n), touchedBuckets ≤ |delta keys| — instead of a full
+    * codes-table rewrite per consumed version. Size n ≫ the typical
+    * per-version delta key count; fixed per index root;
+    * [[VersionedTable.compact]] re-anchors the reference chain.
     */
   def catchUpIndex(spark: SparkSession, fsOps: FsOps, embRoot: String,
       indexRoot: String, idCol: String, vecCol: String, dim: Int,
-      m: Int = 8, ks: Int = 16, centroids: Int = 32): Seq[Long] =
-    LogFold.catchUp(spark, fsOps, embRoot, indexRoot,
-        tagPrefix = "emb") { (state, c) =>
-      state match {
-        case None =>
-          val snap = VersionedTable.readVersion(spark, fsOps, embRoot,
-            c.version)
-          publishTraining(fsOps, indexRoot, snap, c.version, idCol,
-            vecCol, dim, m, ks, centroids)
-          // encode through the PUBLISHED set (possibly a racing poll's,
-          // trained on a different snapshot — still the frozen set every
-          // later fold and search will resolve), geometry validated
-          val meta = validatedMeta(fsOps, indexRoot, "catchUpIndex",
-            dim, m, Some(ks), Some(centroids))
-          Similarity.ivfPqEncodeWith(snap, idCol, vecCol, dim, m,
-            spark.read.parquet(cbDir(indexRoot, meta)),
-            spark.read.parquet(centDir(indexRoot, meta)))
-        case Some(codes) =>
-          val meta = validatedMeta(fsOps, indexRoot, "catchUpIndex",
-            dim, m, Some(ks), Some(centroids))
-          val feed = VersionedTable.changeFeed(spark, fsOps, embRoot,
-            c.version - 1, c.version, Seq(idCol))
-          val removed = feed.filter(col("change_type")
-              .isin("delete", "update_preimage"))
-            .select(col(idCol))
-          val added = feed.filter(col("change_type")
-              .isin("insert", "update_postimage"))
-            .select(col(idCol), col(vecCol))
-          codes.join(removed, Seq(idCol), "left_anti")
-            .unionByName(Similarity.ivfPqEncodeWith(added, idCol, vecCol,
-              dim, m, spark.read.parquet(cbDir(indexRoot, meta)),
-              spark.read.parquet(centDir(indexRoot, meta))))
-      }
+      m: Int = 8, ks: Int = 16, centroids: Int = 32,
+      buckets: Option[Int] = None): Seq[Long] = {
+    def bootstrap(c: VersionedTable.Commit): DataFrame = {
+      val snap = VersionedTable.readVersion(spark, fsOps, embRoot,
+        c.version)
+      publishTraining(fsOps, indexRoot, snap, c.version, idCol,
+        vecCol, dim, m, ks, centroids)
+      // encode through the PUBLISHED set (possibly a racing poll's,
+      // trained on a different snapshot — still the frozen set every
+      // later fold and search will resolve), geometry validated
+      val meta = validatedMeta(fsOps, indexRoot, "catchUpIndex",
+        dim, m, Some(ks), Some(centroids))
+      Similarity.ivfPqEncodeWith(snap, idCol, vecCol, dim, m,
+        spark.read.parquet(cbDir(indexRoot, meta)),
+        spark.read.parquet(centDir(indexRoot, meta)))
     }
+    def feedParts(c: VersionedTable.Commit): (DataFrame, DataFrame) = {
+      val feed = VersionedTable.changeFeed(spark, fsOps, embRoot,
+        c.version - 1, c.version, Seq(idCol))
+      (feed.filter(col("change_type").isin("delete", "update_preimage"))
+          .select(col(idCol)),
+        feed.filter(col("change_type")
+            .isin("insert", "update_postimage"))
+          .select(col(idCol), col(vecCol)))
+    }
+    def encodeDelta(added: DataFrame): DataFrame = {
+      val meta = validatedMeta(fsOps, indexRoot, "catchUpIndex",
+        dim, m, Some(ks), Some(centroids))
+      Similarity.ivfPqEncodeWith(added, idCol, vecCol, dim, m,
+        spark.read.parquet(cbDir(indexRoot, meta)),
+        spark.read.parquet(centDir(indexRoot, meta)))
+    }
+    buckets match {
+      case None =>
+        LogFold.catchUp(spark, fsOps, embRoot, indexRoot,
+            tagPrefix = "emb") { (state, c) =>
+          state match {
+            case None => bootstrap(c)
+            case Some(codes) =>
+              val (removed, added) = feedParts(c)
+              codes.join(removed, Seq(idCol), "left_anti")
+                .unionByName(encodeDelta(added))
+          }
+        }
+      case Some(n) =>
+        LogFold.catchUpBucketed(spark, fsOps, embRoot, indexRoot,
+            tagPrefix = "emb", bucketBy = idCol, nBuckets = n) {
+            (state, c) =>
+          state match {
+            case None => LogFold.Full(bootstrap(c))
+            case Some(st) =>
+              val (removed, added) = feedParts(c)
+              val touched = removed
+                .unionByName(added.select(col(idCol)))
+                .select(VersionedTable.bucketOf(col(idCol), n).as("b"))
+                .distinct().collect().map(_.getInt(0)).toSeq.sorted
+              if (touched.isEmpty)
+                LogFold.Delta(st.all.limit(0), Seq.empty)
+              else LogFold.Delta(
+                st.buckets(touched)
+                  .join(removed, Seq(idCol), "left_anti")
+                  .unionByName(encodeDelta(added)),
+                touched)
+          }
+        }
+    }
+  }
 
   /** ANN top-k against the maintained index: the prepared IVF-PQ search
     * over the latest committed codes and the frozen quantizers — the

@@ -550,6 +550,129 @@ class VersionedTableSpec extends SparkSpec {
     assert(e.getMessage.contains("ambiguous"))
   }
 
+  private def bucketIdOf(id: Long, n: Int): Int =
+    spark.range(1).select(VersionedTable.bucketOf(lit(id), n))
+      .collect().head.getInt(0)
+
+  test("bucketed snapshots: a delta commit writes ONLY the touched " +
+      "buckets, reads untouched ones by reference, and reads back the " +
+      "full logical content") {
+    val root = tmp("vt_b")
+    val n = 8
+    val v1 = df((1L to 40L).map(i => (i, s"n$i", i * 10)): _*)
+    VersionedTable.writeBucketed(v1, fs, root, ts = 100L,
+      bucketBy = "id", nBuckets = n)
+    // the internal bucket column never reaches readers
+    assert(VersionedTable.readVersion(spark, fs, root, 1L)
+      .columns.sorted === Array("id", "name", "val"))
+    assertSameRows(VersionedTable.readVersion(spark, fs, root, 1L), v1)
+    // delta: update id=5, insert id=41 — touched = their two buckets
+    val touched = Seq(bucketIdOf(5L, n), bucketIdOf(41L, n))
+      .distinct.sorted
+    val keep = (1L to 40L).filter(i => i != 5L
+      && touched.contains(bucketIdOf(i, n)))
+    val content = df(
+      keep.map(i => (i, s"n$i", i * 10)) ++
+        Seq((5L, "upd", 999L), (41L, "new", 410L)): _*)
+    assert(VersionedTable.writeBucketedDelta(spark, fs, root, ts = 200L,
+      content, touched) === 2L)
+    val want2 = df((1L to 41L).filterNot(_ == 5L)
+      .map(i => (i, if (i == 41L) "new" else s"n$i",
+        if (i == 41L) 410L else i * 10)) ++ Seq((5L, "upd", 999L)): _*)
+    assertSameRows(VersionedTable.readVersion(spark, fs, root, 2L), want2)
+    // snapshot isolation: v1 unchanged
+    assertSameRows(VersionedTable.readVersion(spark, fs, root, 1L), v1)
+    // WRITE AMPLIFICATION: the delta commit's own dir holds exactly the
+    // touched buckets, nothing else — untouched buckets were never
+    // copied, they are map references into v1's dir
+    val c2 = VersionedTable.commits(fs, root).last
+    val ownBuckets = fs.ls(s"$root/${c2.path}")
+      .filter(_.startsWith("bucket_id="))
+      .map(_.stripPrefix("bucket_id=").toInt).sorted.toSeq
+    assert(ownBuckets === touched)
+    assert(c2.bucketMap.isDefined)
+    // pruned read: only the touched buckets' rows, read from leaf dirs
+    assertSameRows(VersionedTable.readVersionBuckets(spark, fs, root,
+      2L, touched), content)
+    // a pruned read of an untouched bucket serves v1's rows by reference
+    val other = (0 until n).filterNot(touched.contains).head
+    assertSameRows(
+      VersionedTable.readVersionBuckets(spark, fs, root, 2L, Seq(other)),
+      v1.filter(VersionedTable.bucketOf(col("id"), n) === other))
+  }
+
+  test("a delta row landing outside the touched buckets fails in-plan " +
+      "instead of silently shadowing data") {
+    val root = tmp("vt_b")
+    val n = 8
+    VersionedTable.writeBucketed(df((1L, "a", 1L), (2L, "b", 2L)), fs,
+      root, ts = 100L, bucketBy = "id", nBuckets = n)
+    val strayBucket = bucketIdOf(2L, n)
+    val touched = Seq(bucketIdOf(1L, n)).filterNot(_ == strayBucket)
+    // id=2 belongs to an untouched bucket: the landing write must raise
+    val e = intercept[Exception] {
+      VersionedTable.writeBucketedDelta(spark, fs, root, ts = 200L,
+        df((1L, "a2", 1L), (2L, "stray", 2L)),
+        if (touched.isEmpty) Seq((strayBucket + 1) % n) else touched)
+    }
+    assert(e.getMessage != null
+      && (e.getMessage.contains("untouched bucket")
+        || e.getCause != null))
+  }
+
+  test("vacuum honors bucket-map references; compact re-anchors the " +
+      "chain so ancestors become reclaimable") {
+    val root = tmp("vt_b")
+    val n = 4
+    val v1 = df((1L to 20L).map(i => (i, s"n$i", i)): _*)
+    VersionedTable.writeBucketed(v1, fs, root, ts = 100L,
+      bucketBy = "id", nBuckets = n)
+    val dirA = VersionedTable.commits(fs, root).last.path
+    val t5 = bucketIdOf(5L, n)
+    val content = df((1L to 20L).filter(i =>
+      bucketIdOf(i, n) == t5 && i != 5L).map(i => (i, s"n$i", i)): _*)
+    VersionedTable.writeBucketedDelta(spark, fs, root, ts = 200L,
+      content, Seq(t5)) // delete id=5
+    // keepLast=1 retains only v2, but v2's map references v1's dir:
+    // nothing may be deleted
+    assert(VersionedTable.vacuum(fs, root, keepLast = 1,
+      retentionMs = 0L, force = true).isEmpty)
+    assert(fs.exists(s"$root/$dirA"))
+    assertSameRows(VersionedTable.readLatest(spark, fs, root),
+      v1.filter($"id" =!= 5L))
+    // compact re-anchors: one fresh full bucketed dir, ancestors now
+    // unreferenced by the retained chain and reclaimable
+    VersionedTable.compact(spark, fs, root, ts = 300L, numFiles = 4)
+    assert(VersionedTable.vacuum(fs, root, keepLast = 1,
+      retentionMs = 0L, force = true).sorted === Seq(1L, 2L))
+    assert(!fs.exists(s"$root/$dirA"))
+    assertSameRows(VersionedTable.readLatest(spark, fs, root),
+      v1.filter($"id" =!= 5L))
+    val gone = intercept[IllegalArgumentException] {
+      VersionedTable.readVersion(spark, fs, root, 2L)
+    }
+    assert(gone.getMessage.contains("vacuumed"))
+  }
+
+  test("a delta commit onto a non-bucketed parent fails by name; an " +
+      "empty touched set consumes the version without writing data") {
+    val root = tmp("vt_b")
+    VersionedTable.write(df((1L, "a", 1L)), fs, root, ts = 100L)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.writeBucketedDelta(spark, fs, root, ts = 200L,
+        df((1L, "a", 1L)), Seq(0))
+    }
+    assert(e.getMessage.contains("not bucketed"))
+    val rootB = tmp("vt_b2")
+    VersionedTable.writeBucketed(df((1L, "a", 1L)), fs, rootB,
+      ts = 100L, bucketBy = "id", nBuckets = 4)
+    assert(VersionedTable.writeBucketedDelta(spark, fs, rootB,
+      ts = 200L, df((1L, "a", 1L)).limit(0), Seq.empty) === 2L)
+    assertSameRows(VersionedTable.readLatest(spark, fs, rootB),
+      df((1L, "a", 1L)))
+    assert(VersionedTable.commits(fs, rootB).last.rows === 0L)
+  }
+
   test("a recorded change set travels and vacuums with its snapshot: " +
       "after vacuum the feed falls back and fails on the missing " +
       "snapshot by name") {

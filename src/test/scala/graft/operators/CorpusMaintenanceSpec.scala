@@ -52,6 +52,57 @@ class CorpusMaintenanceSpec extends SparkSpec {
       === Seq("corpus-v-1", "corpus-v-2"))
   }
 
+  test("bucketed artifacts maintenance equals the plain fold, rewrites " +
+      "only the delta-touched buckets, and admits identically") {
+    val corpus = tmp("cm_corpus")
+    val artsPlain = tmp("cm_arts_p")
+    val artsB = tmp("cm_arts_b")
+    val n = 8
+    VersionedTable.write(v1, fs, corpus, ts = 100L)
+    CorpusMaintenance.catchUpArtifacts(spark, fs, corpus, artsPlain,
+      "doc_id", "text")
+    assert(CorpusMaintenance.catchUpArtifacts(spark, fs, corpus, artsB,
+      "doc_id", "text", buckets = Some(n)) === Seq(1L))
+    VersionedTable.write(v2, fs, corpus, ts = 200L)
+    CorpusMaintenance.catchUpArtifacts(spark, fs, corpus, artsPlain,
+      "doc_id", "text")
+    assert(CorpusMaintenance.catchUpArtifacts(spark, fs, corpus, artsB,
+      "doc_id", "text", buckets = Some(n)) === Seq(2L))
+    // same artifacts, either layout
+    assertSameRows(VersionedTable.readLatest(spark, fs, artsB),
+      VersionedTable.readLatest(spark, fs, artsPlain))
+    // the CDC fold wrote ONLY the buckets of the changed ids (2, 4, 5)
+    val c2 = VersionedTable.commits(fs, artsB).last
+    assert(c2.bucketMap.isDefined)
+    def bucketIdOf(id: Long) = spark.range(1)
+      .select(VersionedTable.bucketOf(lit(id), n))
+      .collect().head.getInt(0)
+    val expectTouched = Seq(2L, 4L, 5L).map(bucketIdOf).distinct.sorted
+    val ownBuckets = fs.ls(s"$artsB/${c2.path}")
+      .filter(_.startsWith("bucket_id="))
+      .map(_.stripPrefix("bucket_id=").toInt).sorted.toSeq
+    assert(ownBuckets === expectTouched)
+    // admission against the bucketed artifacts equals the plain path
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (12L, "completely novel content that matches nothing at all"))
+      .toDF("doc_id", "text")
+    assertSameRows(
+      CorpusMaintenance.admit(spark, fs, incoming, corpus, artsB,
+        "doc_id", "text"),
+      CorpusMaintenance.admit(spark, fs, incoming, corpus, artsPlain,
+        "doc_id", "text"))
+    // bucket-config drift fails by name (a pending version makes the
+    // poll actually fold; a drift with nothing to fold is a no-op)
+    VersionedTable.write(v2.filter($"doc_id" =!= 1L), fs, corpus,
+      ts = 300L)
+    val e = intercept[IllegalArgumentException] {
+      CorpusMaintenance.catchUpArtifacts(spark, fs, corpus, artsB,
+        "doc_id", "text", buckets = Some(16))
+    }
+    assert(e.getMessage.contains("bucket config must stay fixed"))
+  }
+
   test("onboarding a corpus with vacuumed old versions works: bootstrap " +
       "jumps to the latest readable snapshot") {
     val corpus = tmp("cm_corpus")

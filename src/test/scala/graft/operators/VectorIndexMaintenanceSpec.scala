@@ -120,6 +120,40 @@ class VectorIndexMaintenanceSpec extends SparkSpec {
         dim, 4, cb, cent))
   }
 
+  test("bucketed codes maintenance equals the plain fold and searches " +
+      "identically") {
+    val embRoot = tmp("vx_emb")
+    val idxP = tmp("vx_idx_p")
+    val idxB = tmp("vx_idx_b")
+    val v1Ids = 1L to 40L
+    val v2Ids = v1Ids.filterNot(_ % 7 == 0) ++ (41L to 50L)
+    VersionedTable.write(emb(v1Ids), fs, embRoot, ts = 100L)
+    VectorIndexMaintenance.catchUpIndex(spark, fs, embRoot, idxP,
+      "vec_id", "embedding", dim, m = 4, ks = 4, centroids = 4)
+    VectorIndexMaintenance.catchUpIndex(spark, fs, embRoot, idxB,
+      "vec_id", "embedding", dim, m = 4, ks = 4, centroids = 4,
+      buckets = Some(8))
+    VersionedTable.write(emb(v2Ids), fs, embRoot, ts = 200L)
+    VectorIndexMaintenance.catchUpIndex(spark, fs, embRoot, idxP,
+      "vec_id", "embedding", dim, m = 4, ks = 4, centroids = 4)
+    assert(VectorIndexMaintenance.catchUpIndex(spark, fs, embRoot, idxB,
+      "vec_id", "embedding", dim, m = 4, ks = 4, centroids = 4,
+      buckets = Some(8)) === Seq(2L))
+    assertSameRows(VersionedTable.readLatest(spark, fs, idxB),
+      VersionedTable.readLatest(spark, fs, idxP))
+    // the CDC fold's own dir carries only the touched buckets
+    val c2 = VersionedTable.commits(fs, idxB).last
+    assert(c2.bucketMap.isDefined)
+    assert(fs.ls(s"$idxB/${c2.path}").count(_.startsWith("bucket_id="))
+      < 8)
+    val queries = emb(Seq(3L, 45L))
+    assertSameRows(
+      VectorIndexMaintenance.searchMaintained(spark, fs, queries, idxB,
+        "vec_id", "embedding", k = 3, dim = dim, m = 4),
+      VectorIndexMaintenance.searchMaintained(spark, fs, queries, idxP,
+        "vec_id", "embedding", k = 3, dim = dim, m = 4))
+  }
+
   test("rebuild targets a fresh root (fails fast in place) and equals " +
       "a bootstrap on the latest snapshot; staleness reads 1.0 for it") {
     val embRoot = tmp("vx_emb")
