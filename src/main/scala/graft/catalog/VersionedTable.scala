@@ -560,6 +560,40 @@ object VersionedTable {
     }
   }
 
+  /** Schema evolution across versions: align the two compared snapshots
+    * onto the UNION of their columns, a column absent on one side
+    * appearing as typed nulls (the engine's add-missing-columns device,
+    * [[graft.expr.SchemaOps.addMissingColumns]] — the semantics the
+    * reference's added-column loads give old partitions,
+    * reference: src/main/scala/com/adidas/analytics/util/OutputWriter.scala:151).
+    * A row whose only difference is the new column going null → value
+    * therefore classifies as an update (null <=> null rows stay
+    * unchanged). Key columns must exist on BOTH sides, and a column
+    * present on both with DIFFERENT types fails by name — a silent cast
+    * would mis-compare payloads.
+    */
+  private def alignedSnapshots(spark: SparkSession, fsOps: FsOps,
+      root: String, fromV: Long, toV: Long, keys: Seq[String])
+      : (DataFrame, DataFrame) = {
+    val from = readVersion(spark, fsOps, root, fromV)
+    val to = readVersion(spark, fsOps, root, toV)
+    keys.foreach { k =>
+      require(from.columns.contains(k) && to.columns.contains(k),
+        s"key column $k must exist in both compared versions " +
+          s"(from=$fromV has ${from.columns.mkString(",")}; " +
+          s"to=$toV has ${to.columns.mkString(",")})")
+    }
+    val clash = from.schema.filter(f =>
+      to.schema.exists(g => g.name == f.name
+        && g.dataType != f.dataType))
+    require(clash.isEmpty,
+      s"columns ${clash.map(_.name).mkString(",")} changed TYPE between " +
+        s"version $fromV and $toV — diff across a type change needs an " +
+        "explicit migration, not a silent cast")
+    (graft.expr.SchemaOps.addMissingColumns(from, to.schema),
+      graft.expr.SchemaOps.addMissingColumns(to, from.schema))
+  }
+
   /** The shared one-join core of [[diff]] and [[changeFeed]]: classify
     * each key as insert/delete/update, hand the shaping to `emit`.
     */
@@ -567,11 +601,8 @@ object VersionedTable {
       fromV: Long, toV: Long, keys: Seq[String], checkUniqueKeys: Boolean)(
       emit: (DataFrame, Seq[Column], Seq[String], Column) => DataFrame)
       : DataFrame = {
-    val from = readVersion(spark, fsOps, root, fromV)
-    val to = readVersion(spark, fsOps, root, toV)
-    require(from.columns.sorted.sameElements(to.columns.sorted),
-      s"diff requires matching schemas; from=${from.columns.mkString(",")} " +
-        s"to=${to.columns.mkString(",")}")
+    val (from, to) = alignedSnapshots(spark, fsOps, root, fromV, toV,
+      keys)
     if (checkUniqueKeys)
       Seq(fromV -> from, toV -> to).foreach { case (v, df) =>
         val dups = df.groupBy(keys.map(col): _*)

@@ -352,6 +352,26 @@ object MaintenanceGates extends GateSupport {
     // recomputes exact+near-dup admission from scratch on v2, so any
     // staleness in the maintained artifacts (leftover deleted digest,
     // un-resigned update) would flip admitted rows
+    // SCHEMA EVOLUTION across versions: v2 gains a column, and the
+    // boundary diff aligns the missing side as typed nulls — a row
+    // whose only difference is the new column being non-null
+    // classifies as an update, null-valued new columns leave rows
+    // unchanged, deletes carry the FROM side (aligned null) — the
+    // OverwritePartitionsWithAddedColumns semantics on the CDC surface
+    "q325_schema_evolution_diff" -> ((s, dir) => {
+      val root = tmpDir("q325")
+      val fs = fsOps(s)
+      VersionedTable.write(v1Frame(s, dir), fs, root, ts = 1000L)
+      val v2evo = v2Frame(s, dir).withColumn("vip",
+        when(col("c_custkey") % 25 === 0, lit(1L))
+          .otherwise(lit(null).cast("long")))
+      VersionedTable.write(v2evo, fs, root, ts = 2000L)
+      VersionedTable.diff(s, fs, root, fromV = 1L, toV = 2L,
+          keys = Seq("c_custkey"))
+        .select(col("c_custkey"), col("change_type"), col("bal_cents"),
+          col("vip"))
+    }),
+
     // q317 with PARTITION-ALIGNED artifacts: the table is hash-bucketed
     // on id, so the CDC fold reads and rewrites ONLY the buckets the
     // delta touches (fold bytes ∝ delta — spec-pinned at the fs level);
@@ -701,6 +721,30 @@ object MaintenanceGates extends GateSupport {
 
     // q324's admission must be layout-invariant: same oracle as q317
     "q324_bucketed_artifact_maintenance" -> corpusAdmitOracle,
+
+    // the full-outer diff with the v1 side's missing column aligned to
+    // NULL: updates fire on payload drift OR a non-null new column;
+    // deletes carry the (aligned-null) FROM side
+    "q325_schema_evolution_diff" ->
+      s"""WITH v1 AS ($v1Sql),
+         |v2 AS (
+         |  SELECT v.*, CASE WHEN c_custkey % 25 = 0
+         |    THEN CAST(1 AS BIGINT) ELSE NULL END AS vip
+         |  FROM ($v2Sql) v)
+         |SELECT COALESCE(v2.c_custkey, v1.c_custkey) AS c_custkey,
+         |  CASE WHEN v1.c_custkey IS NULL THEN 'insert'
+         |       WHEN v2.c_custkey IS NULL THEN 'delete'
+         |       ELSE 'update' END AS change_type,
+         |  CASE WHEN v2.c_custkey IS NULL THEN v1.bal_cents
+         |       ELSE v2.bal_cents END AS bal_cents,
+         |  CASE WHEN v2.c_custkey IS NULL THEN NULL
+         |       ELSE v2.vip END AS vip
+         |FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey
+         |WHERE v1.c_custkey IS NULL OR v2.c_custkey IS NULL
+         |   OR v1.bal_cents <> v2.bal_cents
+         |   OR v1.c_name <> v2.c_name
+         |   OR v1.c_mktsegment <> v2.c_mktsegment
+         |   OR v2.vip IS NOT NULL""".stripMargin,
 
     // mirrors q318: the q273 IVF-PQ chain with quantizers (sel/cent)
     // trained on V1 while codes/cells/queries cover V2 — exactly the

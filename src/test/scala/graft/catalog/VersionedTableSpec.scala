@@ -79,7 +79,8 @@ class VersionedTableSpec extends SparkSpec {
     ).toDF("id", "change_type", "name", "val"))
   }
 
-  test("diff treats null payloads null-safely and rejects schema drift") {
+  test("diff treats null payloads null-safely; an added column aligns " +
+      "as typed nulls (schema evolution), a changed type fails by name") {
     val root = tmp("vt")
     val a = Seq((1L, Option.empty[String]), (2L, Some("x")))
       .toDF("id", "name")
@@ -91,11 +92,30 @@ class VersionedTableSpec extends SparkSpec {
     // id=1 null==null → unchanged; id=2 x→null → update
     assertSameRows(d.select("id", "change_type"),
       Seq((2L, "update")).toDF("id", "change_type"))
-    VersionedTable.write(b.withColumn("extra", lit(1)), fs, root, 300L)
+    // v3 gains a column: the boundary diff classifies a row as updated
+    // exactly when the NEW column is non-null there (null <=> null rows
+    // stay unchanged), and the v2 side serves typed nulls
+    VersionedTable.write(
+      b.withColumn("extra", when($"id" === 2L, lit(7))), fs, root, 300L)
+    val evo = VersionedTable.diff(spark, fs, root, 2L, 3L, Seq("id"))
+    assert(evo.columns.sorted === Array("change_type", "extra", "id",
+      "name"))
+    assertSameRows(evo.select("id", "change_type", "extra"),
+      Seq((2L, "update", 7)).toDF("id", "change_type", "extra"))
+    // reversed direction works too (column absent on the TO side):
+    // the feed face emits both images across the boundary
+    val feedBack = VersionedTable.changeFeed(spark, fs, root, 3L, 2L,
+      Seq("id"))
+    assert(feedBack.filter($"change_type" === "update_preimage")
+      .select("extra").collect().head.getInt(0) === 7)
+    // a TYPE change still fails by name — never a silent cast
+    VersionedTable.write(
+      b.withColumn("extra", lit("now a string")), fs, root, 400L)
     val e = intercept[IllegalArgumentException] {
-      VersionedTable.diff(spark, fs, root, 2L, 3L, Seq("id"))
+      VersionedTable.diff(spark, fs, root, 3L, 4L, Seq("id"))
     }
-    assert(e.getMessage.contains("matching schemas"))
+    assert(e.getMessage.contains("changed TYPE"))
+    assert(e.getMessage.contains("extra"))
   }
 
   test("restore publishes old content as a new version; history records it") {

@@ -242,6 +242,48 @@ class MaintainedViewSpec extends SparkSpec {
     assert(e.getMessage.contains("checkpoint"))
   }
 
+  test("a base table gaining a column does not break the maintained " +
+      "view: unchanged agg config keeps folding; aggregating the NEW " +
+      "column requires a fresh state (clear drift error)") {
+    val tableRoot = tmp("mv_tbl7")
+    val stateRoot = tmp("mv_cst7")
+    val v1 = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "g", "m")
+    VersionedTable.write(v1, fs, tableRoot, ts = 100L)
+    MaintainedView.catchUp(spark, fs, tableRoot, stateRoot, Seq("id"),
+      Seq("g"), Seq("m"))
+    // v2 adds a column AND changes a row — the cross-boundary CDC feed
+    // aligns schemas (added column as typed nulls on the v1 side)
+    val v2 = Seq((1L, "a", 10L, 5L), (2L, "b", 25L, 6L), (3L, "a", 7L, 8L))
+      .toDF("id", "g", "m", "extra")
+    VersionedTable.write(v2, fs, tableRoot, ts = 200L)
+    assert(MaintainedView.catchUp(spark, fs, tableRoot, stateRoot,
+      Seq("id"), Seq("g"), Seq("m")) === Seq(2L))
+    assertSameRows(
+      VersionedTable.readLatest(spark, fs, stateRoot)
+        .select("g", "n_rows", "sum_m"),
+      v2.groupBy("g").agg(count(lit(1)).as("n_rows"),
+        sum("m").as("sum_m")))
+    // folding the NEW column into the existing state fails by name —
+    // the policy: rebuild under a fresh stateRoot to widen the config
+    VersionedTable.write(v2.withColumn("m", $"m" + 1L), fs, tableRoot,
+      ts = 300L)
+    val e = intercept[IllegalArgumentException] {
+      MaintainedView.catchUp(spark, fs, tableRoot, stateRoot, Seq("id"),
+        Seq("g"), Seq("m", "extra"))
+    }
+    assert(e.getMessage.contains("aggregate config must stay fixed"))
+    // and a FRESH state over the widened config bootstraps fine
+    val fresh = tmp("mv_cst7b")
+    MaintainedView.catchUp(spark, fs, tableRoot, fresh, Seq("id"),
+      Seq("g"), Seq("m", "extra"))
+    assertSameRows(
+      VersionedTable.readLatest(spark, fs, fresh)
+        .select("g", "n_rows", "sum_m", "sum_extra"),
+      v2.withColumn("m", $"m" + 1L).groupBy("g")
+        .agg(count(lit(1)).as("n_rows"), sum("m").as("sum_m"),
+          sum("extra").as("sum_extra")))
+  }
+
   test("catchUp refuses to bootstrap onto a derived root holding " +
       "foreign commits (op tags from another loop or a plain table)") {
     val tableRoot = tmp("mv_tbl6")
