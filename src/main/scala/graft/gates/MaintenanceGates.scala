@@ -352,6 +352,40 @@ object MaintenanceGates extends GateSupport {
     // recomputes exact+near-dup admission from scratch on v2, so any
     // staleness in the maintained artifacts (leftover deleted digest,
     // un-resigned update) would flip admitted rows
+    // TIME TRAVEL ON THE SQL SURFACE (the q76 composition shape): the
+    // whole chain runs through params files — two VersionWrite commits,
+    // a VersionRead AS OF the first timestamp dumping the snapshot,
+    // then a SQLRunner step aggregating the dump — so versioned tables
+    // compose with arbitrary SQL steps on the acon/CLI surface
+    "q326_version_asof_sql_pipeline" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val base = tmpDir("q326")
+      val root = s"$base/table"
+      v1Frame(s, dir).write.parquet(s"$base/src1")
+      v2Frame(s, dir).write.parquet(s"$base/src2")
+      def run(algo: String, json: String): Unit = {
+        val f = Paths.get(base, s"$algo.json")
+        JFiles.writeString(f, json)
+        graft.core.JobRunner.execute(s, algo, f.toString)
+      }
+      run("VersionWrite",
+        s"""{"source_dir": "$base/src1", "table_root": "$root",
+           | "ts": 1000}""".stripMargin)
+      run("VersionWrite",
+        s"""{"source_dir": "$base/src2", "table_root": "$root",
+           | "ts": 2000}""".stripMargin)
+      run("VersionRead",
+        s"""{"table_root": "$root", "as_of_ts": 1500,
+           | "target_dir": "$base/asof"}""".stripMargin)
+      graft.algos.SQLRunner.run(s, Seq(
+        "CREATE OR REPLACE TEMPORARY VIEW graft_asof AS " +
+          s"SELECT * FROM parquet.`$base/asof`",
+        """SELECT c_mktsegment,
+          |  count(*) AS n_customers,
+          |  sum(bal_cents) AS total_cents
+          |FROM graft_asof GROUP BY c_mktsegment""".stripMargin))
+    }),
+
     // SCHEMA EVOLUTION across versions: v2 gains a column, and the
     // boundary diff aligns the missing side as typed nulls — a row
     // whose only difference is the new column being non-null
@@ -721,6 +755,12 @@ object MaintenanceGates extends GateSupport {
 
     // q324's admission must be layout-invariant: same oracle as q317
     "q324_bucketed_artifact_maintenance" -> corpusAdmitOracle,
+
+    // AS OF 1500 resolves to v1: the SQL step's aggregate over v1
+    "q326_version_asof_sql_pipeline" ->
+      s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+         |  CAST(sum(bal_cents) AS BIGINT) AS total_cents
+         |FROM ($v1Sql) GROUP BY c_mktsegment""".stripMargin,
 
     // the full-outer diff with the v1 side's missing column aligned to
     // NULL: updates fire on payload drift OR a non-null new column;
