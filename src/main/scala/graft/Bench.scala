@@ -35,8 +35,16 @@ object Bench {
     // class stays filtered by the median. ANY crashed sample reports -1:
     // an intermittent failure must surface, not hide behind the
     // survivors (whose "median" would also skew toward the max).
+    // a query that crashed in any earlier pass reports -1 and is not
+    // re-run: its result is already decided, and an expensive failing
+    // gate would otherwise burn its setup cost three times
+    val crashed = scala.collection.mutable.Set.empty[String]
     val passes = (1 to 3).map { _ =>
-      named.map { case (name, fn) => name -> once(name, fn) }.toMap
+      named.map { case (name, fn) =>
+        val t = if (crashed(name)) -1.0 else once(name, fn)
+        if (t < 0) crashed += name
+        name -> t
+      }.toMap
     }
     val results = named.map { case (name, _) =>
       val samples = passes.map(_(name))

@@ -175,8 +175,14 @@ object LogFold {
             pin = Some(derivedLog.lastOption.map(_.version)
               .getOrElse(0L) + 1))
         case Delta(content, touched) =>
+          // pin to the state version THIS fold read (not whatever is
+          // latest at commit time): a racing poll that committed in
+          // between must conflict, or its folds would be silently
+          // reverted in the touched buckets
           vt.writeBucketedDelta(spark, fsOps, derivedRoot, ts = c.ts,
-            content, touched, op = tagOf(c.version))
+            content, touched, op = tagOf(c.version),
+            expectedParentVersion =
+              Some(derivedLog.lastOption.map(_.version).getOrElse(0L)))
       } catch {
         // a racing poll won the pinned commit: stop, it owns the rest
         case _: java.util.ConcurrentModificationException =>

@@ -735,11 +735,24 @@ object VersionedTable {
       s"$BucketCol is reserved for the internal bucket layout")
     writeLanded(df, fsOps, root, ts, op, maxAttempts,
       Seq("bucket_col" -> bucketBy, "n_buckets" -> nBuckets.toString),
-      dir => df.withColumn(BucketCol, bucketOf(col(bucketBy), nBuckets))
-        // co-locate each bucket before the partitioned write: one file
-        // per bucket instead of tasks × buckets fragments
-        .repartition(col(BucketCol))
-        .write.partitionBy(BucketCol).parquet(dir),
+      dir => {
+        df.withColumn(BucketCol, bucketOf(col(bucketBy), nBuckets))
+          // co-locate each bucket before the partitioned write: one file
+          // per bucket instead of tasks × buckets fragments
+          .repartition(col(BucketCol))
+          .write.partitionBy(BucketCol).parquet(dir)
+        // an ALL-EMPTY full snapshot would commit fine but be forever
+        // unreadable (a partitioned write of zero rows leaves no files,
+        // so no parquet schema survives to recover) — refuse BEFORE the
+        // commit publishes, so a maintenance bootstrap on an empty base
+        // fails this poll and self-heals once the base has rows
+        val fsOps2 = new FsOps(
+          df.sparkSession.sparkContext.hadoopConfiguration)
+        require(fsOps2.ls(dir).exists(_.startsWith(s"$BucketCol=")),
+          s"refusing to commit an EMPTY bucketed snapshot to $root — " +
+            "no parquet schema would survive to read it back; commit " +
+            "after the first rows land (or use a plain write)")
+      },
       pin, rowsOf = Some(bucketedRows(df.sparkSession)))
   }
 
@@ -764,11 +777,22 @@ object VersionedTable {
     */
   def writeBucketedDelta(spark: SparkSession, fsOps: FsOps, root: String,
       ts: Long, touchedData: DataFrame, touched: Seq[Int],
-      op: String = "write"): Long = {
+      op: String = "write",
+      expectedParentVersion: Option[Long] = None): Long = {
     val parent = commits(fsOps, root).lastOption.getOrElse(
       throw new IllegalArgumentException(
         s"no committed versions under $root — delta commits need a " +
           "bucketed parent (writeBucketed first)"))
+    // `expectedParentVersion` pins the OCC check to the state the
+    // CALLER derived its content from, not to whatever is latest NOW:
+    // without it, a racing writer that committed in between would be
+    // silently built upon (this writer's touched content came from the
+    // OLDER state — publishing it on top reverts the racer's changes)
+    expectedParentVersion.filter(_ != parent.version).foreach { v =>
+      throw new java.util.ConcurrentModificationException(
+        s"$root moved to version ${parent.version}; this delta was " +
+          s"derived from version $v — re-read and recompute")
+    }
     val bucketBy = parent.bucketCol.getOrElse(
       throw new IllegalArgumentException(
         s"latest version ${parent.version} of $root is not bucketed — " +
@@ -935,7 +959,15 @@ object VersionedTable {
     val df = readVersion(spark, fsOps, root, base)
     val (extra, land): (Seq[(String, String)], String => Unit) =
       (indexCol, baseCommit.bucketCol) match {
-        case (Some(ic), _) => (
+        case (Some(_), Some(bc)) =>
+          // silently dropping the bucket metadata would kill the fold
+          // loop (bucket-config drift) on the next poll
+          throw new IllegalArgumentException(
+            s"$root is a bucketed chain (bucket_col=$bc); compact " +
+              "preserves the bucket layout — drop index_col (range-" +
+              "sorting and bucket alignment are mutually exclusive " +
+              "layouts)")
+        case (Some(ic), None) => (
           Seq("index_col" -> ic, "index_kind" -> "range"),
           dir => graft.operators.Layout.writeSortedWithManifest(
             spark, df, dir, ic, numFiles, s"$dir/$ManifestDir"))

@@ -72,10 +72,21 @@ object VectorIndexMaintenance {
   private def validatedMeta(fsOps: FsOps, root: String, context: String,
       dim: Int, m: Int, ks: Option[Int], centroids: Option[Int])
       : TrainMeta = {
-    val meta = trainMeta(fsOps, root).getOrElse(
+    val meta = trainMeta(fsOps, root).getOrElse {
+      // an index root from the pre-pointer layout has quantizer dirs
+      // but no pointer — catchUpIndex can never publish one for it
+      // (its versions are already consumed), so "run catchUpIndex"
+      // would be circular advice
+      if (fsOps.exists(s"$root/_codebooks"))
+        throw new IllegalArgumentException(
+          s"$root uses the legacy quantizer layout (_codebooks/" +
+            "_centroids without _train.json); rebuild into a fresh " +
+            "index root (VectorIndexMaintenance.rebuild / the " +
+            "VectorIndexRebuild algorithm) and swap readers over")
       throw new IllegalArgumentException(
         s"$root has no published training artifacts (_train.json); " +
-          "run catchUpIndex first"))
+          "run catchUpIndex first")
+    }
     require(meta.dim == dim && meta.m == m && ks.forall(_ == meta.ks)
         && centroids.forall(_ == meta.centroids),
       s"$context called with dim=$dim, m=$m" +

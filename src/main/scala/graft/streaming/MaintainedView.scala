@@ -162,15 +162,25 @@ object MaintainedView {
       minCols: Seq[String] = Seq.empty, maxCols: Seq[String] = Seq.empty,
       checkpointLocation: Option[String] = None): DataFrame = {
     val fsOps = new FsOps(spark.sparkContext.hadoopConfiguration)
-    if (checkpointLocation.isEmpty) {
-      val prior = VersionedTable.commits(fsOps, stateRoot).map(_.op)
-        .filter(_.startsWith("batch-"))
-      require(prior.isEmpty,
-        s"$stateRoot already holds ${prior.size} batch commit(s) from a " +
-          "prior run; a checkpoint-less rerun restarts batch ids at 0, " +
-          "so colliding ids would be skipped as replays while surplus " +
-          "ids double-fold. Pass checkpointLocation (stable ids across " +
-          "runs) or use a fresh stateRoot.")
+    val prior = VersionedTable.commits(fsOps, stateRoot).map(_.op)
+      .filter(_.startsWith("batch-"))
+    if (prior.nonEmpty) {
+      // resuming a state needs the ORIGINAL checkpoint: one that
+      // already carries engine offsets. A missing checkpoint — or a
+      // FRESH directory passed by mistake — restarts batch ids at 0,
+      // so colliding ids would be skipped as replays while surplus ids
+      // double-fold. (A wrong-but-populated checkpoint is
+      // indistinguishable from the right one here; that pairing is the
+      // caller's contract, same as any streaming sink.)
+      val resumable = checkpointLocation
+        .exists(cp => fsOps.exists(s"$cp/offsets"))
+      require(resumable,
+        s"$stateRoot already holds ${prior.size} batch commit(s) from " +
+          "a prior run; resuming requires the ORIGINAL " +
+          "checkpointLocation (the engine's batch counter lives " +
+          "there) — got " + checkpointLocation.fold("none")(cp =>
+            s"a checkpoint at $cp with no offsets log") +
+          ". Pass the original checkpoint or use a fresh stateRoot.")
     }
     val reader = spark.readStream.schema(schema)
     val stream = maxFilesPerTrigger

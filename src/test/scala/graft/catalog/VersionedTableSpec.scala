@@ -693,6 +693,60 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.commits(fs, rootB).last.rows === 0L)
   }
 
+  test("a delta commit derived from a superseded state conflicts " +
+      "instead of silently reverting the racer's buckets") {
+    val root = tmp("vt_b")
+    val n = 4
+    VersionedTable.writeBucketed(df((1L to 20L).map(i =>
+      (i, s"n$i", i)): _*), fs, root, ts = 100L, bucketBy = "id",
+      nBuckets = n)
+    val t1 = bucketIdOf(1L, n)
+    val content = df((1L to 20L).filter(i => bucketIdOf(i, n) == t1)
+      .map(i => (i, s"n$i", i + 100)): _*)
+    // a racing writer supersedes version 1 first
+    VersionedTable.writeBucketedDelta(spark, fs, root, ts = 150L,
+      content, Seq(t1))
+    // this writer derived ITS content from version 1: must conflict
+    val e = intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.writeBucketedDelta(spark, fs, root, ts = 200L,
+        content, Seq(t1), expectedParentVersion = Some(1L))
+    }
+    assert(e.getMessage.contains("derived from version 1"))
+    // the correctly-based commit goes through
+    assert(VersionedTable.writeBucketedDelta(spark, fs, root, ts = 250L,
+      content, Seq(t1), expectedParentVersion = Some(2L)) === 3L)
+  }
+
+  test("an all-empty bucketed snapshot refuses to commit (no schema " +
+      "would survive) — and nothing is consumed, so the writer can " +
+      "retry once rows exist") {
+    val root = tmp("vt_b")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.writeBucketed(df().limit(0), fs, root, ts = 100L,
+        bucketBy = "id", nBuckets = 4)
+    }
+    assert(e.getMessage.contains("EMPTY bucketed snapshot"))
+    assert(VersionedTable.commits(fs, root).isEmpty) // nothing consumed
+    assert(VersionedTable.writeBucketed(df((1L, "a", 1L)), fs, root,
+      ts = 200L, bucketBy = "id", nBuckets = 4) === 1L)
+  }
+
+  test("compact with index_col on a bucketed chain fails by name " +
+      "instead of silently dropping the bucket metadata") {
+    val root = tmp("vt_b")
+    VersionedTable.writeBucketed(df((1L, "a", 1L), (2L, "b", 2L)), fs,
+      root, ts = 100L, bucketBy = "id", nBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.compact(spark, fs, root, ts = 200L, numFiles = 1,
+        indexCol = Some("id"))
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+    // without index_col the chain compacts in its bucket layout
+    VersionedTable.compact(spark, fs, root, ts = 300L, numFiles = 1)
+    assert(VersionedTable.commits(fs, root).last.bucketCol
+      .contains("id"))
+  }
+
   test("a recorded change set travels and vacuums with its snapshot: " +
       "after vacuum the feed falls back and fails on the missing " +
       "snapshot by name") {

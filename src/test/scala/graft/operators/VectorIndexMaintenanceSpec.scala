@@ -76,6 +76,18 @@ class VectorIndexMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("catchUpIndex"))
   }
 
+  test("a legacy (pre-pointer) index root names the rebuild path " +
+      "instead of the circular run-catchUpIndex advice") {
+    val root = tmp("vx_legacy")
+    emb(Seq(1L)).write.parquet(s"$root/_codebooks")
+    val e = intercept[IllegalArgumentException] {
+      VectorIndexMaintenance.searchMaintained(spark, fs, emb(Seq(1L)),
+        root, "vec_id", "embedding", k = 1, dim = dim, m = 4)
+    }
+    assert(e.getMessage.contains("legacy quantizer layout"))
+    assert(e.getMessage.contains("rebuild"))
+  }
+
   test("drifted quantizer geometry fails by name on folds and " +
       "searches instead of corrupting distances") {
     val embRoot = tmp("vx_emb")

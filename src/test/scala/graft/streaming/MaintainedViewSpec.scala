@@ -242,6 +242,24 @@ class MaintainedViewSpec extends SparkSpec {
     assert(e.getMessage.contains("checkpoint"))
   }
 
+  test("a FRESH checkpoint against an existing state is refused — only " +
+      "the original (offsets-bearing) checkpoint resumes") {
+    val inDir = tmp("mv_in")
+    val root = tmp("mv_state")
+    fact(100).coalesce(1).write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    MaintainedView.runOnce(spark, schema, inDir, root, Seq("k"),
+      Seq("m"), "mv_fcp", checkpointLocation = Some(tmp("mv_cp1")))
+    fact(50).coalesce(1).write.mode("append").parquet(inDir)
+    // a brand-new checkpoint dir restarts engine batch ids at 0 — the
+    // replay-skip/double-fold hazard the guard exists for
+    val e = intercept[IllegalArgumentException] {
+      MaintainedView.runOnce(spark, schema, inDir, root, Seq("k"),
+        Seq("m"), "mv_fcp2", checkpointLocation = Some(tmp("mv_cp2")))
+    }
+    assert(e.getMessage.contains("ORIGINAL"))
+  }
+
   test("a base table gaining a column does not break the maintained " +
       "view: unchanged agg config keeps folding; aggregating the NEW " +
       "column requires a fresh state (clear drift error)") {
