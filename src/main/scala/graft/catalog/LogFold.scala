@@ -26,27 +26,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object LogFold {
 
-  /** Fold every unconsumed version of `baseRoot` into `derivedRoot`.
-    * `fold(state, commit)` produces the next derived snapshot from the
-    * current derived state (None = bootstrap: nothing consumed yet) and
-    * the base commit being consumed. Returns the base versions folded
-    * by THIS call.
-    *
-    * CONTRACT on `fold`: the derivation must be SNAPSHOT-FUNCTIONAL —
-    * bootstrap at version N followed by CDC folds must equal
-    * bootstrapping at any later version directly (true for both users:
-    * an aggregate view and a per-doc artifact table are pure functions
-    * of the base snapshot). That licenses the bootstrap below to jump
-    * straight to the LATEST base version: onboarding a 1000-version
-    * table is ONE fold, not 999 CDC joins, and a corpus whose old
-    * version data was vacuumed (the routine state for long-lived
-    * tables) onboards fine — replaying from version 1 would fail on
-    * the first vacuumed snapshot.
+  /** The shared exactly-once loop: tag bookkeeping, foreign-root guard,
+    * bootstrap-at-latest, fresh re-check per fold, and stop-on-conflict
+    * — with the COMMIT step (which differs between the plain and the
+    * bucketed layout) supplied by the caller. `commitOne` sees the
+    * fresh derived log its fold was based on and must commit PINNED to
+    * it (throwing [[java.util.ConcurrentModificationException]] /
+    * [[VersionedTable.VersionRaceExhausted]] when a racer won — that
+    * stops this poll, leaving the rest to the winner).
     */
-  def catchUp(spark: SparkSession, fsOps: FsOps, baseRoot: String,
+  private def foldLoop(fsOps: FsOps, baseRoot: String,
       derivedRoot: String, tagPrefix: String)(
-      fold: (Option[DataFrame], VersionedTable.Commit) => DataFrame)
-      : Seq[Long] = {
+      commitOne: (Seq[VersionedTable.Commit], VersionedTable.Commit,
+        String) => Unit): Seq[Long] = {
     val vt = VersionedTable
     val baseLog = vt.commits(fsOps, baseRoot)
     require(baseLog.nonEmpty, s"no committed versions under $baseRoot")
@@ -72,28 +64,57 @@ object LogFold {
       } else baseLog.filter(_.version > consumed.max)
     val folded = Seq.newBuilder[Long]
     for (c <- todo) {
-      val derivedLog = vt.commits(fsOps, derivedRoot)
       // re-check against the FRESH derived log: an overlapping poll may
       // have folded this version after our poll-start snapshot (a
-      // commit landing after THIS read is caught by the pinned writeIf)
+      // commit landing after THIS read is caught by the pinned commit)
+      val derivedLog = vt.commits(fsOps, derivedRoot)
       if (derivedLog.exists(_.op == tagOf(c.version)))
         return folded.result()
-      val state =
-        if (derivedLog.isEmpty) None
-        else Some(vt.readLatest(spark, fsOps, derivedRoot))
-      val next = fold(state, c)
-      try vt.writeIf(next, fsOps, derivedRoot, ts = c.ts,
-        expectedVersion = derivedLog.lastOption.map(_.version)
-          .getOrElse(0L),
-        op = tagOf(c.version))
+      try commitOne(derivedLog, c, tagOf(c.version))
       catch {
+        // a racing poll won the pinned commit: stop, it owns the rest
         case _: java.util.ConcurrentModificationException =>
+          return folded.result()
+        case _: VersionedTable.VersionRaceExhausted =>
           return folded.result()
       }
       folded += c.version
     }
     folded.result()
   }
+
+  /** Fold every unconsumed version of `baseRoot` into `derivedRoot`.
+    * `fold(state, commit)` produces the next derived snapshot from the
+    * current derived state (None = bootstrap: nothing consumed yet) and
+    * the base commit being consumed. Returns the base versions folded
+    * by THIS call.
+    *
+    * CONTRACT on `fold`: the derivation must be SNAPSHOT-FUNCTIONAL —
+    * bootstrap at version N followed by CDC folds must equal
+    * bootstrapping at any later version directly (true for both users:
+    * an aggregate view and a per-doc artifact table are pure functions
+    * of the base snapshot). That licenses the bootstrap below to jump
+    * straight to the LATEST base version: onboarding a 1000-version
+    * table is ONE fold, not 999 CDC joins, and a corpus whose old
+    * version data was vacuumed (the routine state for long-lived
+    * tables) onboards fine — replaying from version 1 would fail on
+    * the first vacuumed snapshot.
+    */
+  def catchUp(spark: SparkSession, fsOps: FsOps, baseRoot: String,
+      derivedRoot: String, tagPrefix: String)(
+      fold: (Option[DataFrame], VersionedTable.Commit) => DataFrame)
+      : Seq[Long] =
+    foldLoop(fsOps, baseRoot, derivedRoot, tagPrefix) {
+        (derivedLog, c, tag) =>
+      val state =
+        if (derivedLog.isEmpty) None
+        else Some(VersionedTable.readLatest(spark, fsOps, derivedRoot))
+      val next = fold(state, c)
+      VersionedTable.writeIf(next, fsOps, derivedRoot, ts = c.ts,
+        expectedVersion = derivedLog.lastOption.map(_.version)
+          .getOrElse(0L),
+        op = tag)
+    }
 
   /** What a bucketed fold produces for one consumed base version. */
   sealed trait FoldResult
@@ -133,30 +154,10 @@ object LogFold {
       baseRoot: String, derivedRoot: String, tagPrefix: String,
       bucketBy: String, nBuckets: Int)(
       fold: (Option[BucketedState], VersionedTable.Commit) => FoldResult)
-      : Seq[Long] = {
-    val vt = VersionedTable
-    val baseLog = vt.commits(fsOps, baseRoot)
-    require(baseLog.nonEmpty, s"no committed versions under $baseRoot")
-    def tagOf(v: Long) = s"$tagPrefix-v-$v"
-    val derivedOps = vt.commits(fsOps, derivedRoot).map(_.op)
-    val consumed = derivedOps
-      .collect { case op if op.startsWith(s"$tagPrefix-v-") =>
-        op.stripPrefix(s"$tagPrefix-v-").toLong }
-    val todo =
-      if (consumed.isEmpty) {
-        require(derivedOps.isEmpty,
-          s"$derivedRoot has no $tagPrefix-v-N commits but already " +
-            s"holds ${derivedOps.size} foreign commit(s) " +
-            s"(ops: ${derivedOps.take(5).mkString(", ")}) — refusing " +
-            "to bootstrap onto an unrelated table; use a fresh derived " +
-            "root")
-        Seq(baseLog.last) // bootstrap at the latest
-      } else baseLog.filter(_.version > consumed.max)
-    val folded = Seq.newBuilder[Long]
-    for (c <- todo) {
-      val derivedLog = vt.commits(fsOps, derivedRoot)
-      if (derivedLog.exists(_.op == tagOf(c.version)))
-        return folded.result()
+      : Seq[Long] =
+    foldLoop(fsOps, baseRoot, derivedRoot, tagPrefix) {
+        (derivedLog, c, tag) =>
+      val vt = VersionedTable
       val state = derivedLog.lastOption.map { last =>
         // fail fast on bucket-config drift against the persisted state
         require(last.bucketCol.contains(bucketBy)
@@ -168,10 +169,10 @@ object LogFold {
             "(rebuild under a fresh derived root to change it)")
         new BucketedState(spark, fsOps, derivedRoot, last.version)
       }
-      try fold(state, c) match {
+      fold(state, c) match {
         case Full(df) =>
           vt.writeBucketed(df, fsOps, derivedRoot, ts = c.ts, bucketBy,
-            nBuckets, op = tagOf(c.version), maxAttempts = 1,
+            nBuckets, op = tag, maxAttempts = 1,
             pin = Some(derivedLog.lastOption.map(_.version)
               .getOrElse(0L) + 1))
         case Delta(content, touched) =>
@@ -180,18 +181,9 @@ object LogFold {
           // between must conflict, or its folds would be silently
           // reverted in the touched buckets
           vt.writeBucketedDelta(spark, fsOps, derivedRoot, ts = c.ts,
-            content, touched, op = tagOf(c.version),
+            content, touched, op = tag,
             expectedParentVersion =
               Some(derivedLog.lastOption.map(_.version).getOrElse(0L)))
-      } catch {
-        // a racing poll won the pinned commit: stop, it owns the rest
-        case _: java.util.ConcurrentModificationException =>
-          return folded.result()
-        case _: VersionedTable.VersionRaceExhausted =>
-          return folded.result()
       }
-      folded += c.version
     }
-    folded.result()
-  }
 }

@@ -214,14 +214,16 @@ object VersionedTable {
 
   /** MERGE: publish (base \ deleteKeys) ∪ upserts as the next version,
     * WITH the change set computed and recorded at write time — the
-    * write face that already knows its delta. Plan shape at 100 TB:
-    * the next snapshot is ONE base scan anti-joined against the
-    * broadcast delta keys (no shuffle of the base), and the change-set
-    * classification joins the delta against a broadcast-semi-join-
-    * PRUNED sliver of the base (only delta-key rows are fetched for
-    * preimages — partition/file skipping applies where the layout
-    * provides it). The base is never shuffled and never joined
-    * whole-against-whole.
+    * write face that already knows its delta. LAYOUT-DISPATCHING: on a
+    * plain table the next snapshot is ONE full base scan anti-joined
+    * against the broadcast delta keys (copy-on-write; no shuffle of
+    * the base, preimages from a broadcast-semi-pruned sliver); on a
+    * [[writeBucketed]] chain the merge reads and rewrites ONLY the
+    * buckets the delta keys hash into (commit bytes ≈ touchedBuckets ×
+    * |table|/n — the bucket column must be among the merge keys), so
+    * snapshot write, change feed, and every downstream fold are all
+    * ∝ delta. The base is never shuffled and never joined
+    * whole-against-whole on either path.
     *
     * `upserts` replace matching keys and insert new ones; `deleteKeys`
     * (key columns only) drop theirs. A key in both is ambiguous and
@@ -237,15 +239,17 @@ object VersionedTable {
       upserts: DataFrame, deleteKeys: DataFrame, keys: Seq[String],
       ts: Long, op: String = "merge"): Long = {
     val baseV = latestVersion(fsOps, root)
-    val base = readVersion(spark, fsOps, root, baseV)
-    require(upserts.columns.sorted.sameElements(base.columns.sorted),
+    val parent = commitOf(fsOps, root, baseV)
+    val schemaRef = readVersion(spark, fsOps, root, baseV)
+    require(upserts.columns.sorted.sameElements(
+        schemaRef.columns.sorted),
       s"upserts carry ${upserts.columns.sorted.mkString(",")} but the " +
-        s"table has ${base.columns.sorted.mkString(",")}")
+        s"table has ${schemaRef.columns.sorted.mkString(",")}")
     require(deleteKeys.columns.sorted.sameElements(keys.sorted),
       s"deleteKeys must carry exactly the key columns " +
         s"(${keys.sorted.mkString(",")}), got " +
         s"${deleteKeys.columns.sorted.mkString(",")}")
-    val payload = base.columns.filterNot(keys.contains).sorted.toSeq
+    val payload = schemaRef.columns.filterNot(keys.contains).sorted.toSeq
     def nullSafe(l: String, r: String): Column =
       keys.map(k => col(s"$l.`$k`") <=> col(s"$r.`$k`")).reduce(_ && _)
     val clash = upserts.select(keys.map(col): _*)
@@ -257,48 +261,93 @@ object VersionedTable {
     // delta keys drive every base access: broadcast once, reuse thrice
     val deltaKeys = upserts.select(keys.map(col): _*)
       .unionByName(deleteKeys.select(keys.map(col): _*)).distinct()
-    // next snapshot: one base scan, anti-joined against broadcast keys
-    val next = base.as("b")
-      .join(broadcast(deltaKeys).as("dk"), nullSafe("b", "dk"),
-        "left_anti")
-      .unionByName(upserts)
-    // change classification against ONLY the delta-key sliver of base
-    val touched = base.as("b")
-      .join(broadcast(deltaKeys).as("dk"), nullSafe("b", "dk"),
-        "left_semi")
-    val deletes = touched.as("tb")
-      .join(broadcast(deleteKeys).as("del"), nullSafe("tb", "del"),
-        "left_semi")
-      .withColumn("change_type", lit("delete"))
-    // explicit presence flag (never key-null tests): keys may be
-    // legitimately NULL and still match under <=> — changedJoin's device
-    val j = upserts.as("u")
-      .join(touched.withColumn("b_present", lit(1)).as("tb2"),
-        nullSafe("u", "tb2"), "left_outer")
-    val matched = col("tb2.`b_present`").isNotNull
-    val differs: Column = payload.map(c =>
-      !(col(s"u.`$c`") <=> col(s"tb2.`$c`"))).reduceOption(_ || _)
-      .getOrElse(lit(false))
-    val uCols = keys.map(k => col(s"u.`$k`").as(k)) ++
-      payload.map(c => col(s"u.`$c`").as(c))
-    val bCols = keys.map(k => col(s"u.`$k`").as(k)) ++
-      payload.map(c => col(s"tb2.`$c`").as(c))
-    val inserts = j.filter(!matched)
-      .select(uCols :+ lit("insert").as("change_type"): _*)
-    val updPost = j.filter(matched && differs)
-      .select(uCols :+ lit("update_postimage").as("change_type"): _*)
-    val updPre = j.filter(matched && differs)
-      .select(bCols :+ lit("update_preimage").as("change_type"): _*)
-    val changes = deletes.select(
-        (keys ++ payload).map(col) :+ col("change_type"): _*)
-      .unionByName(inserts).unionByName(updPre).unionByName(updPost)
-    try writeWithChanges(next, changes, fsOps, root, ts, keys, op,
-      maxAttempts = 1, pin = Some(baseV + 1))
-    catch {
-      case _: VersionRaceExhausted =>
-        throw new java.util.ConcurrentModificationException(
-          s"$root was committed concurrently during this merge (based " +
-            s"on version $baseV) — retry against the new latest")
+
+    /** 4-type feed classified against `touched` — the delta-key sliver
+      * of the base, NOT the whole base (broadcast-semi-pruned on the
+      * plain layout, bucket-pruned on the bucketed one).
+      */
+    def classify(touched: DataFrame): DataFrame = {
+      val deletes = touched.as("tb")
+        .join(broadcast(deleteKeys).as("del"), nullSafe("tb", "del"),
+          "left_semi")
+        .withColumn("change_type", lit("delete"))
+      // explicit presence flag (never key-null tests): keys may be
+      // legitimately NULL and still match under <=> — changedJoin's
+      // device
+      val j = upserts.as("u")
+        .join(touched.withColumn("b_present", lit(1)).as("tb2"),
+          nullSafe("u", "tb2"), "left_outer")
+      val matched = col("tb2.`b_present`").isNotNull
+      val differs: Column = payload.map(c =>
+        !(col(s"u.`$c`") <=> col(s"tb2.`$c`"))).reduceOption(_ || _)
+        .getOrElse(lit(false))
+      val uCols = keys.map(k => col(s"u.`$k`").as(k)) ++
+        payload.map(c => col(s"u.`$c`").as(c))
+      val bCols = keys.map(k => col(s"u.`$k`").as(k)) ++
+        payload.map(c => col(s"tb2.`$c`").as(c))
+      val inserts = j.filter(!matched)
+        .select(uCols :+ lit("insert").as("change_type"): _*)
+      val updPost = j.filter(matched && differs)
+        .select(uCols :+ lit("update_postimage").as("change_type"): _*)
+      val updPre = j.filter(matched && differs)
+        .select(bCols :+ lit("update_preimage").as("change_type"): _*)
+      deletes.select(
+          (keys ++ payload).map(col) :+ col("change_type"): _*)
+        .unionByName(inserts).unionByName(updPre).unionByName(updPost)
+    }
+
+    parent.bucketCol match {
+      case None =>
+        // copy-on-write layout: the next snapshot is ONE full base
+        // scan anti-joined against the broadcast delta keys
+        val base = schemaRef
+        val next = base.as("b")
+          .join(broadcast(deltaKeys).as("dk"), nullSafe("b", "dk"),
+            "left_anti")
+          .unionByName(upserts)
+        val touched = base.as("b")
+          .join(broadcast(deltaKeys).as("dk"), nullSafe("b", "dk"),
+            "left_semi")
+        try writeWithChanges(next, classify(touched), fsOps, root, ts,
+          keys, op, maxAttempts = 1, pin = Some(baseV + 1))
+        catch {
+          case _: VersionRaceExhausted =>
+            throw new java.util.ConcurrentModificationException(
+              s"$root was committed concurrently during this merge " +
+                s"(based on version $baseV) — retry against the new " +
+                "latest")
+        }
+      case Some(bc) =>
+        // BUCKETED chain: the merge never touches the whole table —
+        // only the buckets the delta keys hash into are read (pruned
+        // leaf scan) and rewritten, and the recorded change set makes
+        // the downstream feed O(delta) too. Commit bytes ≈
+        // touchedBuckets × (|table| / n). Writing a PLAIN commit here
+        // would silently break the chain (bucket-config drift on the
+        // next fold) — the layout dispatch is the contract.
+        require(keys.contains(bc),
+          s"merge on a bucketed chain needs the bucket column ($bc) " +
+            s"among the merge keys (${keys.mkString(",")}) — every " +
+            "delta row's bucket must be derivable")
+        val n = parent.nBuckets.get
+        val touchedBuckets = deltaKeys
+          .select(bucketOf(col(bc), n).as("b")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        val slice =
+          if (touchedBuckets.isEmpty) schemaRef.limit(0)
+          else readVersionBuckets(spark, fsOps, root, baseV,
+            touchedBuckets)
+        val content = slice.as("b")
+          .join(broadcast(deltaKeys).as("dk"), nullSafe("b", "dk"),
+            "left_anti")
+          .unionByName(upserts)
+        val touched = slice.as("b")
+          .join(broadcast(deltaKeys).as("dk"), nullSafe("b", "dk"),
+            "left_semi")
+        writeBucketedDelta(spark, fsOps, root, ts, content,
+          touchedBuckets, op,
+          expectedParentVersion = Some(baseV),
+          changes = Some((classify(touched), keys)))
     }
   }
 
@@ -778,7 +827,8 @@ object VersionedTable {
   def writeBucketedDelta(spark: SparkSession, fsOps: FsOps, root: String,
       ts: Long, touchedData: DataFrame, touched: Seq[Int],
       op: String = "write",
-      expectedParentVersion: Option[Long] = None): Long = {
+      expectedParentVersion: Option[Long] = None,
+      changes: Option[(DataFrame, Seq[String])] = None): Long = {
     val parent = commits(fsOps, root).lastOption.getOrElse(
       throw new IllegalArgumentException(
         s"no committed versions under $root — delta commits need a " +
@@ -805,6 +855,19 @@ object VersionedTable {
     require(touchedData.columns.contains(bucketBy)
         && !touchedData.columns.contains(BucketCol),
       s"touched content must carry $bucketBy and not $BucketCol")
+    // optional WRITER-RECORDED change set, as in [[writeWithChanges]]:
+    // lands in the commit's own dir, so changeFeed over a bucketed
+    // delta commit is the same O(delta) scan plain recorded commits get
+    val changeExtra = changes.toSeq.flatMap { case (feed, keys) =>
+      require(keys.nonEmpty && keys.forall(touchedData.columns.contains),
+        s"cdc keys (${keys.mkString(",")}) must name table columns " +
+          s"(${touchedData.columns.mkString(",")})")
+      val want = (touchedData.columns :+ "change_type").sorted
+      require(feed.columns.sorted.sameElements(want),
+        s"change set carries ${feed.columns.sorted.mkString(",")} but " +
+          s"this table needs exactly ${want.mkString(",")}")
+      Seq("cdc_keys" -> keys.sorted.mkString(","))
+    }
     val parentDirs = bucketDirs(parent)
     val touchedSet = touched.toSet
     val mapStr = (0 until n).map { b =>
@@ -822,9 +885,13 @@ object VersionedTable {
             lit(s" (touched: ${touched.sorted.mkString(",")})")))))
     try writeLanded(touchedData, fsOps, root, ts, op, maxAttempts = 1,
       Seq("bucket_col" -> bucketBy, "n_buckets" -> n.toString,
-        "bucket_map" -> mapStr),
-      dir => guarded.repartition(col(BucketCol))
-        .write.partitionBy(BucketCol).parquet(dir),
+        "bucket_map" -> mapStr) ++ changeExtra,
+      dir => {
+        guarded.repartition(col(BucketCol))
+          .write.partitionBy(BucketCol).parquet(dir)
+        changes.foreach { case (feed, _) =>
+          feed.write.parquet(s"$dir/$ChangesDir") }
+      },
       pin = Some(parent.version + 1),
       rowsOf = Some(bucketedRows(spark)))
     catch {

@@ -523,6 +523,35 @@ object MaintenanceGates extends GateSupport {
         .select(col("c_custkey"), col("change_type"), col("bal_cents"))
     }),
 
+    // q322 on a BUCKETED chain: the base table itself is hash-bucketed,
+    // so the merge dispatches to the delta-commit path — only the
+    // buckets the delta keys hash into are read and rewritten, and the
+    // feed is served from the recorded set exactly as on the plain
+    // layout (same oracle: the recorded feed is layout-invariant)
+    "q327_bucketed_merge_feed" -> ((s, dir) => {
+      val root = tmpDir("q327")
+      val fs = fsOps(s)
+      val v1 = v1Frame(s, dir)
+      VersionedTable.writeBucketed(v1, fs, root, ts = 1000L,
+        bucketBy = "c_custkey", nBuckets = 16)
+      val deleteKeys = v1.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"))
+      val upserts = v1
+        .filter(col("c_custkey") % 5 === 0 && col("c_custkey") % 7 =!= 0)
+        .withColumn("bal_cents", col("bal_cents") + 1000L)
+        .unionByName(t(s, dir, "customer")
+          .filter(col("c_custkey") % 3 === 0
+            && col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+            round(col("c_acctbal") * 100, 0).cast("long")
+              .as("bal_cents")))
+      VersionedTable.merge(s, fs, root, upserts, deleteKeys,
+        keys = Seq("c_custkey"), ts = 2000L)
+      VersionedTable.changeFeed(s, fs, root, 1L, 2L,
+          keys = Seq("c_custkey"))
+        .select(col("c_custkey"), col("change_type"), col("bal_cents"))
+    }),
+
     // the maintenance loop over a RECORDED-changes commit: catch-up
     // consumes the recorded set (O(delta) fold — no snapshot join) and
     // must land on the SAME settled view as the snapshot-diff fold:
@@ -608,6 +637,30 @@ object MaintenanceGates extends GateSupport {
           col("min_bal_cents"), col("max_bal_cents"))
     })
   )
+
+  /** q322/q327 shared oracle: the 4-type feed recomputed from the
+    * v1/v2 definitions — the recorded set must be layout-invariant
+    * (plain copy-on-write merge vs bucketed delta merge).
+    */
+  private lazy val recordedFeedOracle: String =
+    s"""WITH v1 AS ($v1Sql), v2 AS ($v2Sql)
+       |SELECT c_custkey, 'insert' AS change_type, bal_cents FROM v2
+       |WHERE c_custkey NOT IN (SELECT c_custkey FROM v1)
+       |UNION ALL
+       |SELECT c_custkey, 'delete' AS change_type, bal_cents FROM v1
+       |WHERE c_custkey NOT IN (SELECT c_custkey FROM v2)
+       |UNION ALL
+       |SELECT v1.c_custkey, 'update_preimage' AS change_type,
+       |  v1.bal_cents
+       |FROM v1 JOIN v2 ON v1.c_custkey = v2.c_custkey
+       |WHERE v1.bal_cents <> v2.bal_cents OR v1.c_name <> v2.c_name
+       |   OR v1.c_mktsegment <> v2.c_mktsegment
+       |UNION ALL
+       |SELECT v2.c_custkey, 'update_postimage' AS change_type,
+       |  v2.bal_cents
+       |FROM v1 JOIN v2 ON v1.c_custkey = v2.c_custkey
+       |WHERE v1.bal_cents <> v2.bal_cents OR v1.c_name <> v2.c_name
+       |   OR v1.c_mktsegment <> v2.c_mktsegment""".stripMargin
 
   /** q317/q324 shared oracle: exact+near-dup admission recomputed from
     * scratch against the corpus's v2 — layout (plain vs bucketed
@@ -860,25 +913,11 @@ object MaintenanceGates extends GateSupport {
 
     // the 4-type feed recomputed from the v1/v2 definitions: inserts,
     // deletes, and BOTH images per updated key
-    "q322_recorded_changefeed" ->
-      s"""WITH v1 AS ($v1Sql), v2 AS ($v2Sql)
-         |SELECT c_custkey, 'insert' AS change_type, bal_cents FROM v2
-         |WHERE c_custkey NOT IN (SELECT c_custkey FROM v1)
-         |UNION ALL
-         |SELECT c_custkey, 'delete' AS change_type, bal_cents FROM v1
-         |WHERE c_custkey NOT IN (SELECT c_custkey FROM v2)
-         |UNION ALL
-         |SELECT v1.c_custkey, 'update_preimage' AS change_type,
-         |  v1.bal_cents
-         |FROM v1 JOIN v2 ON v1.c_custkey = v2.c_custkey
-         |WHERE v1.bal_cents <> v2.bal_cents OR v1.c_name <> v2.c_name
-         |   OR v1.c_mktsegment <> v2.c_mktsegment
-         |UNION ALL
-         |SELECT v2.c_custkey, 'update_postimage' AS change_type,
-         |  v2.bal_cents
-         |FROM v1 JOIN v2 ON v1.c_custkey = v2.c_custkey
-         |WHERE v1.bal_cents <> v2.bal_cents OR v1.c_name <> v2.c_name
-         |   OR v1.c_mktsegment <> v2.c_mktsegment""".stripMargin,
+    "q322_recorded_changefeed" -> recordedFeedOracle,
+
+    // q327 lands the SAME logical v2 through the bucketed merge — the
+    // recorded feed must be layout-invariant
+    "q327_bucketed_merge_feed" -> recordedFeedOracle,
 
     // same recompute-on-v2 oracle as q314: the recorded-feed fold must
     // land on the identical settled view

@@ -693,6 +693,51 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.commits(fs, rootB).last.rows === 0L)
   }
 
+  test("merge on a bucketed chain rewrites ONLY the touched buckets " +
+      "and records the change set — snapshot, feed and folds all " +
+      "O(delta)") {
+    val root = tmp("vt_bm")
+    val n = 8
+    val v1 = df((1L to 40L).map(i => (i, s"n$i", i * 10)): _*)
+    VersionedTable.writeBucketed(v1, fs, root, ts = 100L,
+      bucketBy = "id", nBuckets = n)
+    // update 5, insert 41, delete 7 — the merge dispatches on layout
+    val upserts = df((5L, "upd", 999L), (41L, "new", 410L))
+    val deleteKeys = Seq(7L).toDF("id")
+    assert(VersionedTable.merge(spark, fs, root, upserts, deleteKeys,
+      Seq("id"), ts = 200L) === 2L)
+    val want = df((1L to 41L).filterNot(i => i == 5L || i == 7L)
+      .map(i => (i, if (i == 41L) "new" else s"n$i",
+        if (i == 41L) 410L else i * 10)) ++ Seq((5L, "upd", 999L)): _*)
+    assertSameRows(VersionedTable.readLatest(spark, fs, root), want)
+    // the commit is a DELTA: own dir carries exactly the delta-key
+    // buckets (plus the recorded change set), everything else by map
+    val c2 = VersionedTable.commits(fs, root).last
+    assert(c2.bucketMap.isDefined && c2.cdcKeys.contains("id"))
+    val expectTouched = Seq(5L, 41L, 7L).map(bucketIdOf(_, n))
+      .distinct.sorted
+    val own = fs.ls(s"$root/${c2.path}")
+    assert(own.filter(_.startsWith("bucket_id="))
+      .map(_.stripPrefix("bucket_id=").toInt).sorted.toSeq
+      === expectTouched)
+    assert(own.contains("_changes"))
+    // the feed serves the recorded set (no join) and equals the
+    // snapshot-diff fold
+    val feed = VersionedTable.changeFeed(spark, fs, root, 1L, 2L,
+      Seq("id"))
+    assert(noJoins(feed))
+    assert(feed.inputFiles.forall(_.contains("_changes")))
+    assertSameRows(feed, VersionedTable.changeFeedJoined(spark, fs,
+      root, 1L, 2L, Seq("id")))
+    // the bucket column must be among the merge keys on this layout —
+    // bucket assignment of every delta row must be derivable
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, fs, root, upserts,
+        Seq.empty[String].toDF("name"), Seq("name"), ts = 300L)
+    }
+    assert(e.getMessage.contains("bucket column"))
+  }
+
   test("a delta commit derived from a superseded state conflicts " +
       "instead of silently reverting the racer's buckets") {
     val root = tmp("vt_b")
