@@ -419,9 +419,14 @@ object VersionedTable {
     * visible empty or partial commit. HDFS rename is atomic and refuses
     * an existing destination, exactly the no-clobber primitive
     * `create(p, overwrite = false)` gives — minus its visible-while-
-    * writing window. On a raw local FS (tests) the exists-check + rename
-    * pair narrows but cannot close the clobber window (POSIX rename
-    * replaces); on HDFS/object-store-with-atomic-rename it is exact.
+    * writing window. On a raw local FS, POSIX rename REPLACES the
+    * destination, so rename-based publication cannot be exclusive there
+    * (observed: two racing bootstrap polls both cleared the exists-check
+    * and both "won" the same version by clobber — the round-13
+    * MaintainedViewSpec flake); for the `file:` scheme the staged commit
+    * is therefore published by HARD LINK creation, which POSIX defines
+    * as atomic fail-if-exists, making the race loser detectable exactly
+    * like on HDFS.
     */
   private[graft] def publishExclusive(fsOps: FsOps, p: String,
       content: String): Boolean = {
@@ -434,14 +439,32 @@ object VersionedTable {
     try {
       val out = f.create(tmp, false) // private name: never contended
       try out.write(content.getBytes("UTF-8")) finally out.close()
-      if (f.exists(pp)) { f.delete(tmp, false); return false } // lost
       val won =
-        try f.rename(tmp, pp)
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: java.nio.file.FileAlreadyExistsException => false
+        if (f.getScheme == "file") {
+          // atomic fail-if-exists publication on POSIX: link, then drop
+          // the staging name (the link target IS the published commit)
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(pp.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            f.delete(tmp, false)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              f.delete(tmp, false); false
+          }
+        } else {
+          if (f.exists(pp)) { f.delete(tmp, false); return false } // lost
+          val renamed =
+            try f.rename(tmp, pp)
+            catch {
+              case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+                false
+              case _: java.nio.file.FileAlreadyExistsException => false
+            }
+          if (!renamed) f.delete(tmp, false)
+          renamed
         }
-      if (!won) f.delete(tmp, false)
       won
     } catch {
       case e: Throwable =>

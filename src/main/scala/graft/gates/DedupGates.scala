@@ -142,7 +142,10 @@ object DedupGates extends GateSupport {
     // connected component — corpus dedup with no model and no
     // all-pairs product anywhere
     "q108_text_vector_dedup" -> ((s, dir) => {
-      val vecs = t(s, dir, "documents")
+      // spread before the tokenize+feature-hash map (one-file scan would
+      // serialize it into a single task; same rows either way)
+      val vecs = graft.core.Spread(
+          t(s, dir, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id").as("vec_id"),
           Dedup.tokens(col("text")).as("__tk"))
         .select(col("vec_id"),

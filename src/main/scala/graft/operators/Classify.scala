@@ -60,29 +60,51 @@ object Classify {
                         org.apache.spark.sql.Column = wordTokens): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
     val spark = labeled.sparkSession
-    val toks = labeled
-      .select(col(labelCol).cast("string").as("label"),
-        explode(tokenizer(col(textCol))).as("token"))
+    // the tokenizer explode is the heavy map-side work of training (a
+    // trigram tokenizer emits ~|chars| rows per doc) and runs inside the
+    // scan stage — spread it across the cores when the scan is one file
+    // (graft.core.Spread; no-op on real multi-split inputs)
+    import spark.implicits._
+    val toks = graft.core.Spread(
+        labeled.select(col(labelCol).cast("string").as("label"),
+          col(textCol).as("__graft_txt")))
+      .select(col("label"), explode(tokenizer(col("__graft_txt")))
+        .as("token"))
 
-    // global vocabulary over the seed slice: deterministic top-V
-    val vocab = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    // ONE tokenizer pass over the seed slice: fold the explode straight
+    // into per-(label, token) counts — bounded by |classes| × tokenizer
+    // vocabulary, a sliver of the exploded stream — and MATERIALIZE it
+    // (eager localCheckpoint: self-releasing when the plan is dropped).
+    // The vocabulary top-V, the <unk>-bucketed counts and the class
+    // totals all derive from this one aggregate; the unmaterialized form
+    // re-ran the explode pipeline FOUR times, once per duplicated
+    // broadcast subtree (q245 plan audit, OPTIMIZATION_r13.md).
+    val ltCounts = toks.groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("n_lt"))
+      .localCheckpoint()
+
+    // global vocabulary over the seed slice: deterministic top-V,
+    // collected — it is a ≤vocabSize driver artifact by construction
+    // (the prepareModel convention), and as a literal it rides every
+    // consumer without re-executing the model lineage
+    val vocabRows: Seq[String] = ltCounts.groupBy(col("token"))
+      .agg(sum(col("n_lt")).as("c"))
       .orderBy(col("c").desc, col("token"))
       .limit(vocabSize)
-      .select(col("token"))
+      .select(col("token")).as[String].collect().toSeq
 
-    // fold OOV tokens into the <unk> bucket before counting; class
-    // totals re-aggregate from the tiny bucketed counts (one corpus
-    // pass, not two)
-    val counts = toks
-      .join(broadcast(vocab.withColumn("__in_vocab", lit(true))),
-        Seq("token"), "left")
+    // fold OOV tokens into the <unk> bucket: a re-aggregation of the
+    // tiny bucketed counts, not a second corpus pass
+    val counts = ltCounts
+      .join(broadcast(vocabRows.toDF("token")
+        .withColumn("__in_vocab", lit(true))), Seq("token"), "left")
       .select(col("label"),
         when(col("__in_vocab"), col("token")).otherwise(lit("<unk>"))
-          .as("token"))
+          .as("token"), col("n_lt"))
       .groupBy("label", "token")
-      .agg(count(lit(1)).as("n_tok"))
-    val classTotals = counts.groupBy("label")
-      .agg(sum(col("n_tok")).as("n_class"))
+      .agg(sum(col("n_lt")).as("n_tok"))
+    val classTotals = ltCounts.groupBy("label")
+      .agg(sum(col("n_lt")).as("n_class"))
     // priors: per-class doc counts with the corpus total derived from
     // the same tiny aggregate (no separate count() action)
     val docCounts = labeled
@@ -92,25 +114,23 @@ object Classify {
 
     // dense (label x vocab+unk) grid so absent cells get the smoothed
     // floor 1/(n_class + V + 1) instead of silently vanishing
-    val fullVocab = vocab.union(
-      spark.createDataFrame(Seq(Tuple1("<unk>"))).toDF("token"))
+    val fullVocab = (vocabRows :+ "<unk>").toDF("token")
     val grid = classTotals.crossJoin(broadcast(fullVocab))
     // add-one smoothing over the EFFECTIVE token space: a seed slice
     // with fewer distinct tokens than vocabSize must still normalize
     // (sum of likelihoods = 1 per class) — the declared-vocabSize
     // denominator leaves a per-class mass deficit that scales with doc
     // length and can flip the argmax on small seeds. The effective
-    // count (vocab rows + unk) rides the plan as a 1-row broadcast.
-    val effV1 = fullVocab.agg(count(lit(1)).cast("double").as("__v1"))
+    // count (vocab rows + unk) is exact from the collected vocabulary.
+    val effV1 = lit((vocabRows.size + 1).toDouble)
 
     grid
       .join(counts, Seq("label", "token"), "left")
       .join(docCounts, Seq("label"))
       .crossJoin(broadcast(nDocs))
-      .crossJoin(broadcast(effV1))
       .select(col("label"), col("token"),
         log((coalesce(col("n_tok"), lit(0L)) + lit(1L)).cast("double") /
-          (col("n_class").cast("double") + col("__v1"))).as("loglik"),
+          (col("n_class").cast("double") + effV1)).as("loglik"),
         log(col("n_docs").cast("double") / col("nd").cast("double"))
           .as("logprior"))
   }
@@ -166,7 +186,14 @@ object Classify {
       rows.map(_._2).distinct.filter(_ != "<unk>").toDF("token")
         .withColumn("__in_vocab", lit(true)))
 
-    val toks = docs
+    // spread before the explode AND the tokenless probe: both re-run the
+    // tokenizer over every row map-side (the probe's size() test included),
+    // and a one-file scan would serialize each pass into a single task
+    // (measured 2×2.7 s single-task jobs inside q245 — OPTIMIZATION_r13.md)
+    val spreadDocs = graft.core.Spread(
+      docs.select(col(idCol), col(textCol)))
+
+    val toks = spreadDocs
       .select(col(idCol), explode(tokenizer(col(textCol))).as("token"))
       .join(vocabOnly, Seq("token"), "left")
       .select(col(idCol),
@@ -188,7 +215,7 @@ object Classify {
     // frame is a bounded literal.
     val classes = broadcast(
       rows.map(r => (r._1, r._4)).distinct.toDF("label", "logprior"))
-    val tokenless = docs
+    val tokenless = spreadDocs
       .filter(coalesce(size(tokenizer(col(textCol))), lit(0)) <= 0)
       .select(col(idCol))
       .crossJoin(classes)

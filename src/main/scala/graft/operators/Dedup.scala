@@ -44,12 +44,27 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
 
+  /** (id, text) with the rows SPREAD across the cluster's cores when the
+    * file scan would under-parallelize ([[graft.core.Spread]]): every
+    * consumer below runs expensive per-row expression work (tokenize →
+    * shingle → hash/minhash) map-side, and a one-file/one-row-group input
+    * otherwise serializes that work into a single task (measured: one
+    * 2.7 s single-task job inside q245's 5.8 s — StageProfile,
+    * OPTIMIZATION_r13.md). At scale the scan is already parallel and the
+    * spread is a no-op passthrough.
+    */
+  private def spreadText(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.core.Spread(
+      docs.select(col(idCol).as("id"), col(textCol).as("__graft_txt")))
+
   /** (id, shingle-array) with tokens and shingles each computed exactly once
     * per row via staged projections.
     */
   def shingleDF(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+    spreadText(docs, idCol, textCol)
+      .select(col("id"), tokens(col("__graft_txt")).as("__toks"))
       .select(col("id"), shinglesFromTokens(col("__toks"), n).as("sh"))
 
   /** (id, distinct shingle HASHES) via the native
@@ -62,7 +77,8 @@ object Dedup {
     */
   def shingleHashDF(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+    spreadText(docs, idCol, textCol)
+      .select(col("id"), tokens(col("__graft_txt")).as("__toks"))
       .select(col("id"),
         graft.functions.ShingleHashExpr.shingleHashes(col("__toks"), n)
           .as("sh"))
@@ -140,8 +156,8 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, k: Int = 32): DataFrame =
-    docs
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+    spreadText(docs, idCol, textCol)
+      .select(col("id"), tokens(col("__graft_txt")).as("__toks"))
       .select(col("id"),
         graft.functions.ShingleMinHashExpr
           .signature(col("__toks"), shingleSize, k).as("sig"))
@@ -404,7 +420,8 @@ object Dedup {
     * the fingerprints (and the banded candidate pairs) oracle-match.
     */
   def simhashDF(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+    spreadText(docs, idCol, textCol)
+      .select(col("id"), tokens(col("__graft_txt")).as("__toks"))
       .select(col("id"),
         graft.functions.SimHashExpr.simhash(col("__toks")).as("simhash"))
 
@@ -723,9 +740,9 @@ object Dedup {
     */
   def dedupArtifacts(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, k: Int = 32): DataFrame =
-    docs
-      .select(col(idCol).as("id"), md5(col(textCol)).as("digest"),
-        tokens(col(textCol)).as("__toks"))
+    spreadText(docs, idCol, textCol)
+      .select(col("id"), md5(col("__graft_txt")).as("digest"),
+        tokens(col("__graft_txt")).as("__toks"))
       .select(col("id"), col("digest"),
         graft.functions.ShingleMinHashExpr
           .signature(col("__toks"), shingleSize, k).as("sig"))
@@ -981,8 +998,9 @@ object Dedup {
       shingleSize: Int = 3, window: Int = 4): DataFrame = {
     require(shingleSize >= 1, s"shingleSize must be >= 1: $shingleSize")
     require(window >= 1, s"window must be >= 1: $window")
-    docs
-      .select(col(s"`$idCol`").as("id"), tokens(col(s"`$textCol`")).as("__t"))
+    graft.core.Spread(docs.select(col(s"`$idCol`").as("id"),
+        col(s"`$textCol`").as("__graft_txt")))
+      .select(col("id"), tokens(col("__graft_txt")).as("__t"))
       .select(col("id"), explode(
         graft.functions.WinnowSelectExpr.winnowSelect(
           graft.functions.SpanHashesExpr.spanHashes(col("__t"),
@@ -1337,9 +1355,10 @@ object Dedup {
   private def spanStarts(docs: DataFrame, idCol: String, textCol: String,
       width: Int): DataFrame = {
     require(width > 0, s"width must be positive: $width")
-    docs.select(col(idCol), posexplode(
-      graft.functions.SpanHashesExpr.spanHashes(tokens(col(textCol)),
-        width)).as(Seq("__pos", "__hv")))
+    graft.core.Spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), posexplode(
+        graft.functions.SpanHashesExpr.spanHashes(tokens(col(textCol)),
+          width)).as(Seq("__pos", "__hv")))
   }
 
   /** Span-count artifacts for the INCREMENTAL repeated-span regime:
@@ -1361,7 +1380,8 @@ object Dedup {
   private def coverageAgainst(docs: DataFrame, idCol: String,
       textCol: String, width: Int, spans: DataFrame,
       dupHashes: DataFrame): DataFrame = {
-    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+    val toks = graft.core.Spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
     val starts = spans
       .join(dupHashes, Seq("__hv"), "left_semi")
       .select(col(idCol), col("__pos"))

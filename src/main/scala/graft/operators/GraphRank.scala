@@ -28,10 +28,19 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphRank {
 
-  /** Uniform 1/N starting ranks over every node appearing in `edges`. */
+  /** Uniform 1/N starting ranks over every node appearing in `edges`.
+    *
+    * The node set is MATERIALIZED (eager localCheckpoint, self-releasing
+    * with the plan): it is node-sized, needs one count() action here
+    * anyway, and every consumer of the returned frame otherwise re-runs
+    * the edge-list union+distinct — for the single-step gates that edge
+    * list is itself a join, and the unmaterialized form recomputed it
+    * ~12× per step (q198 profile, OPTIMIZATION_r13.md).
+    */
   def initRanks(edges: DataFrame): DataFrame = {
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "empty edge list")
     nodes.withColumn("rank", lit(1.0 / n))
@@ -44,41 +53,75 @@ object GraphRank {
   def pageRankStep(ranks: DataFrame, edges: DataFrame,
       damping: Double = 0.85, scale: Long = 1000000000L,
       weightCol: Option[String] = None): DataFrame = {
-    val n = ranks.count()
+    // persist-discipline for the one-step face (guide §5: persist what is
+    // reused): the step reads `ranks` four times (count, dangling mass,
+    // contributions, output) and `edges` three times (degrees, dangling
+    // anti-join, contribution fan-out) — unpinned, each reference re-runs
+    // the whole upstream lineage (for the purchase-graph gates, a
+    // join+distinct per reference). Pin edges for the duration, checkpoint
+    // ranks once (node-sized), and checkpoint the node-sized contribution
+    // aggregate so the RETURNED plan references no edge lineage at all —
+    // which is what lets the edge cache release before returning. The
+    // convergence loop ([[pageRank]]) deliberately does NOT go through
+    // this face: it owns the edge pin for ALL iterations and checkpoints
+    // each round's output itself, so the per-step pin/checkpoint here
+    // would only churn its cache (the round-13 hang: the step's unpersist
+    // evicted the loop's shared edge cache every iteration).
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val r = ranks.localCheckpoint()
+    val out = stepCore(r, e, damping, scale, weightCol,
+      pinContrib = true)
+    e.unpersist()
+    out
+  }
+
+  /** The step arithmetic over frames the CALLER has already pinned:
+    * `r` must be materialized (checkpoint/cache) and `e` persisted for
+    * the duration of the returned frame's consumption unless
+    * `pinContrib` is set (which checkpoints the node-sized contribution
+    * aggregate, cutting the edge lineage out of the returned plan).
+    */
+  private def stepCore(r: DataFrame, e: DataFrame, damping: Double,
+      scale: Long, weightCol: Option[String],
+      pinContrib: Boolean): DataFrame = {
+    val n = r.count()
     val nD = n.toDouble
     val deg = weightCol match {
       case None =>
-        edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+        e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
       case Some(w) => // weighted out-mass; integer weights keep it exact
-        edges.groupBy(col("src"))
+        e.groupBy(col("src"))
           .agg(sum(col(w).cast("long")).as("__deg"))
     }
     // dangling mass: quantized rank of no-out-edge nodes, one scalar
-    val dmQ = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
+    val dmQ = r.join(deg, r("id") === deg("src"), "left_anti")
       .agg(coalesce(sum(floor(lit(scale.toDouble) * col("rank"))), lit(0L)))
       .head.getLong(0)
-    val contrib = weightCol match {
+    val contrib0 = weightCol match {
       case None =>
         // per-source quantized contribution, fanned out along edges
-        val srcQ = ranks.join(deg, ranks("id") === deg("src"))
+        val srcQ = r.join(deg, r("id") === deg("src"))
           .select(col("src"),
             floor(lit(scale.toDouble) * col("rank") / col("__deg"))
               .as("__q"))
-        edges.join(srcQ, "src")
+        e.join(srcQ, "src")
           .groupBy(col("dst")).agg(sum(col("__q")).as("__qin"))
       case Some(w) =>
         // per-EDGE quantized contribution ∝ its share of the source's
         // out-weight: floor(scale·r·w / srcW) — still exact longs
-        val srcW = ranks.join(deg, ranks("id") === deg("src"))
+        val srcW = r.join(deg, r("id") === deg("src"))
           .select(col("src"), col("rank").as("__r"), col("__deg"))
-        edges.join(srcW, "src")
+        e.join(srcW, "src")
           .select(col("dst"),
             floor(lit(scale.toDouble) * col("__r")
               * col(w).cast("long") / col("__deg")).as("__q"))
           .groupBy(col("dst")).agg(sum(col("__q")).as("__qin"))
     }
-    ranks.select(col("id"))
-      .join(contrib, ranks("id") === contrib("dst"), "left")
+    // node-sized; pinned only for the one-shot face — the loop
+    // materializes each round's OUTPUT instead
+    val contrib = if (pinContrib) contrib0.localCheckpoint() else contrib0
+    r.select(col("id"))
+      .join(contrib, r("id") === contrib("dst"), "left")
       .select(col("id"),
         (lit((1 - damping) / nD)
           + lit(damping)
@@ -99,22 +142,28 @@ object GraphRank {
   def pageRankStepSeeded(ranks: DataFrame, edges: DataFrame,
       seeds: DataFrame, damping: Double = 0.85,
       scale: Long = 1000000000L): DataFrame = {
-    val s = seeds.select(col("id")).distinct()
+    // same persist-discipline as [[pageRankStep]]: pin edges, checkpoint
+    // the node-sized frames actions and the output both read
+    val s = seeds.select(col("id")).distinct().localCheckpoint()
     val sCount = s.count()
     require(sCount > 0, "empty seed set")
     val sD = sCount.toDouble
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    val dmQ = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val r = ranks.localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val dmQ = r.join(deg, r("id") === deg("src"), "left_anti")
       .agg(coalesce(sum(floor(lit(scale.toDouble) * col("rank"))), lit(0L)))
       .head.getLong(0)
-    val srcQ = ranks.join(deg, ranks("id") === deg("src"))
+    val srcQ = r.join(deg, r("id") === deg("src"))
       .select(col("src"),
         floor(lit(scale.toDouble) * col("rank") / col("__deg")).as("__q"))
-    val contrib = edges.join(srcQ, "src")
+    val contrib = e.join(srcQ, "src")
       .groupBy(col("dst")).agg(sum(col("__q")).as("__qin"))
+      .localCheckpoint()
+    e.unpersist()
     val seedFlag = s.withColumn("__seed", lit(1))
-    ranks.select(col("id"))
-      .join(contrib, ranks("id") === contrib("dst"), "left")
+    r.select(col("id"))
+      .join(contrib, r("id") === contrib("dst"), "left")
       .join(seedFlag, Seq("id"), "left")
       .select(col("id"),
         (when(col("__seed").isNotNull,
@@ -152,8 +201,11 @@ object GraphRank {
     // each round reads the edges twice and the normalization actions read
     // them again — pin once, release after the totals settle
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    // node-sized and read by BOTH updates of every round — materialized,
+    // or each of the 2·iters references re-runs the union+distinct
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
     var hub = nodes.withColumn("h", lit(1L))
     var auth = nodes.withColumn("a", lit(0L))
     var it = 0
@@ -213,7 +265,12 @@ object GraphRank {
     var it = 0
     var shift = Double.MaxValue
     while (it < maxIters && shift > tol) {
-      val next = pageRankStep(ranks, e, damping, qScale, weightCol)
+      // stepCore, not pageRankStep: the loop already owns the edge pin
+      // (for every iteration) and checkpoints each round's output —
+      // the public step's own pin/unpersist would evict this shared
+      // cache every iteration
+      val next = stepCore(ranks, e, damping, qScale, weightCol,
+          pinContrib = false)
         .localCheckpoint()
       shift = next
         .join(ranks.withColumnRenamed("rank", "__prev"), "id")

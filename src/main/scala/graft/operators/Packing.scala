@@ -165,7 +165,7 @@ object Packing {
       chunkTokens: Int, stride: Int): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
     require(stride > 0, s"stride must be positive: $stride")
-    docs
+    graft.core.Spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), Dedup.tokens(col(textCol)).as("__tk"))
       .select(col(idCol), col("__tk"),
         posexplode(sequence(lit(0),

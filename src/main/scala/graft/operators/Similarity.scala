@@ -35,7 +35,11 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // the cross product inherits the QUERY side's partitioning, and a
+    // one-file query scan serializes |q|·|corpus| cosines into a single
+    // task — spread the query side (graft.core.Spread; no-op at scale)
+    val q = graft.core.Spread(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val joined = q.crossJoin(c)
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
@@ -61,7 +65,8 @@ object Similarity {
     */
   def signatures(df: DataFrame, idCol: String, vecCol: String,
       bits: Int, tables: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    graft.core.Spread(df.select(col(idCol), col(vecCol)))
+      .select(col(idCol).as("id"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("t"),
             lshSignature(col(vecCol), bits, t).as("sig"))): _*)).as("bk"))
@@ -1000,7 +1005,7 @@ object Similarity {
     * the document text is never shuffled whole. */
   private def bm25TermFreqs(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    docs
+    graft.core.Spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("__tk"))
       .select(col("doc_id"), size(col("__tk")).cast("long").as("__dl"),

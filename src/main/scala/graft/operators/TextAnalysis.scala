@@ -133,7 +133,8 @@ object TextAnalysis {
   def tokenizerFertility(docs: DataFrame, groupCol: String,
       textCol: String): DataFrame = {
     val t = col(s"`$textCol`")
-    docs.groupBy(col(s"`$groupCol`"))
+    graft.core.Spread(docs.select(col(s"`$groupCol`"), t))
+      .groupBy(col(s"`$groupCol`"))
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCount(t)).as("n_ws_tokens"),
         sum(bpeishTokenCount(t)).as("n_subword_tokens"),
@@ -160,7 +161,8 @@ object TextAnalysis {
     val t = col(s"`$textCol`")
     def cnt(pattern: String): Column =
       length(t) - length(regexp_replace(t, pattern, ""))
-    val grouped = docs.groupBy(col(s"`$groupCol`"))
+    val grouped = graft.core.Spread(docs.select(col(s"`$groupCol`"), t))
+      .groupBy(col(s"`$groupCol`"))
       .agg(sum(length(t)).as("n_chars"),
         sum(cnt("[A-Za-z]")).as("__lat"),
         sum(cnt("[Ѐ-ӿ]")).as("__cyr"),
@@ -252,16 +254,25 @@ object TextAnalysis {
     */
   def unigramVocabulary(docs: DataFrame, textCol: String,
       vocabSize: Int = 10000): DataFrame = {
-    val toks = docs
+    // spread before the explode (graft.core.Spread — the tokenizer is the
+    // heavy map-side work and a one-file scan serializes it), and carry
+    // the total as a 1-row broadcast instead of a separate driver action:
+    // one query → ReuseExchange shares the token-count aggregation between
+    // the top-V and the total, so the corpus explodes ONCE, not twice.
+    // log(c/total) and log(0.5/total) are the same Math.log on the same
+    // doubles whether computed plan-side or driver-side — bit-identical.
+    val toks = graft.core.Spread(docs.select(col(textCol)))
       .select(tokens(col(textCol)).as("__toks"))
       .select(explode(col("__toks")).as("__t"))
     val counts = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
-    val total = counts.agg(sum(col("__c"))).head.getLong(0).toDouble
+    val totalDF = counts.agg(sum(col("__c")).cast("double").as("__tot"))
     counts
       .orderBy(col("__c").desc, col("__t"))
       .limit(vocabSize)
-      .select(col("__t").as("token"), log(col("__c") / total).as("logprob"),
-        lit(math.log(0.5 / total)).as("oov_floor"))
+      .crossJoin(broadcast(totalDF))
+      .select(col("__t").as("token"),
+        log(col("__c") / col("__tot")).as("logprob"),
+        log(lit(0.5) / col("__tot")).as("oov_floor"))
   }
 
   /** Score a corpus against a (possibly reloaded) frozen vocabulary from
@@ -272,15 +283,23 @@ object TextAnalysis {
     */
   def scoreWithVocabulary(docs: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame): DataFrame = {
-    val floorRow = vocab.select(col("oov_floor")).take(1)
-    require(floorRow.nonEmpty,
+    // the vocabulary is vocabSize-BOUNDED by construction — collect it
+    // once (the prepareModel convention) so the floor probe and the
+    // broadcast build don't each re-run its build lineage (composed
+    // inline, that lineage is a corpus-wide aggregation per use)
+    val spark = vocab.sparkSession
+    val slim = vocab.select(col("token"), col("logprob"), col("oov_floor"))
+    val rows = slim.collect()
+    require(rows.nonEmpty,
       "vocabulary is empty - build it from a non-empty corpus")
-    val floor = floorRow(0).getDouble(0)
-    val toks = docs
+    val floor = rows.head.getDouble(2)
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), slim.schema)
+    val toks = graft.core.Spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), explode(col("__toks")).as("__t"))
     toks.join(
-        broadcast(vocab.select(col("token").as("__t"),
+        broadcast(local.select(col("token").as("__t"),
           col("logprob").as("__lp"))),
         Seq("__t"), "left")
       .groupBy(col(idCol))
@@ -321,7 +340,8 @@ object TextAnalysis {
     */
   private def bigramPairs(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
+    graft.core.Spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), tokens(col(textCol)).as("__ts"))
       .filter(size(col("__ts")) >= 2)
       .select(col(idCol), explode(zip_with(
           slice(col("__ts"), lit(1), size(col("__ts")) - 1),
@@ -345,7 +365,8 @@ object TextAnalysis {
       modelSize: Int = 100000, historySize: Int = 10000): DataFrame = {
     require(modelSize > 0, s"modelSize must be positive: $modelSize")
     require(historySize > 0, s"historySize must be positive: $historySize")
-    val toksAll = docs.select(tokens(col(textCol)).as("__ts"))
+    val toksAll = graft.core.Spread(docs.select(col(textCol)))
+      .select(tokens(col(textCol)).as("__ts"))
     val v = toksAll.select(explode(col("__ts")).as("__t"))
       .agg(countDistinct(col("__t"))).head.getLong(0).toDouble
     val bg = bigramPairs(docs.select(lit(0L).as("__id0"), col(textCol)),
@@ -522,7 +543,8 @@ object TextAnalysis {
     require(terms.distinct == terms, s"duplicate terms: $terms")
     val spark = docs.sparkSession
     import spark.implicits._
-    val hits = docs
+    val hits = graft.core.Spread(
+        docs.select(col(s"`$idCol`"), col(s"`$textCol`")))
       .select(col(s"`$idCol`").as("__id"),
         explode(tokens(col(s"`$textCol`"))).as("__t"))
       .filter(col("__t").isin(terms.map(lit(_)): _*))
@@ -630,7 +652,7 @@ object TextAnalysis {
           size(lines), 6))
     // 2-grams, NON-distinct (repetition is the signal here); tokens staged
     // in their own projection — Catalyst does not CSE through lambdas
-    val grams = df
+    val grams = graft.core.Spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
         explode(transform(
@@ -694,7 +716,7 @@ object TextAnalysis {
   def topTermsPerGroup(docs: DataFrame, groupCol: String, textCol: String,
       k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val counts = docs
+    val counts = graft.core.Spread(docs.select(col(groupCol), col(textCol)))
       .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(groupCol), col("token"))
       .agg(count(lit(1)).as("n"))
@@ -743,7 +765,7 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
-    val tf = docs
+    val tf = graft.core.Spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
@@ -812,8 +834,9 @@ object TextAnalysis {
     */
   def vocabConcentration(docs: DataFrame, groupCol: String,
       textCol: String): DataFrame = {
-    val counts = docs
-      .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+    val counts = graft.core.Spread(docs
+        .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+        .select(col(groupCol), col(textCol)))
       .select(col(groupCol).as("__g"),
         explode(tokens(col(textCol))).as("__term"))
       .groupBy(col("__g"), col("__term")).agg(count(lit(1)).as("__c"))
@@ -846,7 +869,8 @@ object TextAnalysis {
     val t = col(textCol)
     def cnt(keepClass: String): Column =
       length(regexp_replace(t, keepClass, ""))
-    docs.filter(col(groupCol).isNotNull && t.isNotNull)
+    graft.core.Spread(docs.filter(col(groupCol).isNotNull && t.isNotNull)
+        .select(col(groupCol), t))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(length(t)).as("n_chars"),
@@ -881,10 +905,11 @@ object TextAnalysis {
   def vocabDiff(oldDf: DataFrame, newDf: DataFrame, textCol: String,
       minCount: Long = 2): DataFrame = {
     require(minCount >= 1, s"minCount must be positive: $minCount")
-    def counts(df: DataFrame, cnt: String): DataFrame = df
-      .filter(col(textCol).isNotNull)
-      .select(explode(tokens(col(textCol))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as(cnt))
+    def counts(df: DataFrame, cnt: String): DataFrame =
+      graft.core.Spread(df.filter(col(textCol).isNotNull)
+          .select(col(textCol)))
+        .select(explode(tokens(col(textCol))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as(cnt))
     counts(oldDf, "n_old")
       .join(counts(newDf, "n_new"), Seq("term"), "full_outer")
       .na.fill(0L, Seq("n_old", "n_new"))
@@ -901,7 +926,8 @@ object TextAnalysis {
     require(sizes.forall(_ >= 1), s"sizes must be positive: $sizes")
     require(sizes.distinct.size == sizes.size, s"duplicate sizes: $sizes")
     import org.apache.spark.sql.expressions.Window
-    val counts = docs.select(explode(tokens(col(textCol))).as("__term"))
+    val counts = graft.core.Spread(docs.select(col(textCol)))
+      .select(explode(tokens(col(textCol))).as("__term"))
       .groupBy(col("__term")).agg(count(lit(1)).as("__c"))
     val classes = counts.groupBy(col("__c"))
       .agg(count(lit(1)).as("__t"))
@@ -952,8 +978,9 @@ object TextAnalysis {
   def mixtureReport(docs: DataFrame, groupCol: String,
       textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = docs
-      .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+    val g = graft.core.Spread(docs
+        .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+        .select(col(groupCol), col(textCol)))
       .groupBy(col(groupCol).as("__g"))
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
@@ -993,7 +1020,8 @@ object TextAnalysis {
       topK: Int = 1000): DataFrame = {
     require(topK >= 2, s"topK must be at least 2: $topK")
     import org.apache.spark.sql.expressions.Window
-    val counts = docs.filter(col(textCol).isNotNull)
+    val counts = graft.core.Spread(
+        docs.filter(col(textCol).isNotNull).select(col(textCol)))
       .select(explode(tokens(col(textCol))).as("__term"))
       .groupBy(col("__term")).agg(count(lit(1)).as("__freq"))
     // the unpartitioned rank window runs AFTER the limit — topK rows
@@ -1023,7 +1051,8 @@ object TextAnalysis {
       k: Int = 20): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
     require(minCount >= 1, s"minCount must be positive: $minCount")
-    val toks = docs.select(tokens(col(textCol)).as("__t"))
+    val toks = graft.core.Spread(docs.select(col(textCol)))
+      .select(tokens(col(textCol)).as("__t"))
     val bi = toks.filter(size(col("__t")) >= 2)
       .select(explode(zip_with(
         slice(col("__t"), lit(1), size(col("__t")) - 1),
