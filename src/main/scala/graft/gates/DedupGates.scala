@@ -143,7 +143,11 @@ object DedupGates extends GateSupport {
     // all-pairs product anywhere
     "q108_text_vector_dedup" -> ((s, dir) => {
       // spread before the tokenize+feature-hash map (one-file scan would
-      // serialize it into a single task; same rows either way)
+      // serialize it into a single task), then MATERIALIZE: the vectors
+      // feed three consumers (bucket signatures, the two cosine-verify
+      // re-attach joins, the component keep) — unmaterialized, each
+      // consumer re-runs the hash chain (same rows either way; eager
+      // localCheckpoint blocks release with the plan)
       val vecs = graft.core.Spread(
           t(s, dir, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id").as("vec_id"),
@@ -151,6 +155,7 @@ object DedupGates extends GateSupport {
         .select(col("vec_id"),
           graft.functions.FeatureHashExpr.featureHash(col("__tk"), 64)
             .as("embedding"))
+        .localCheckpoint()
       // bits = 16 / tables = 2, not q65's 8/4: small-vocab BoW vectors
       // are ALL correlated, so coarse buckets collapse much of the corpus
       // into candidate-heavy cells (measured: 8/4 tables->8.1 s, 16/4 ->

@@ -81,7 +81,7 @@ object Classify {
     // broadcast subtree (q245 plan audit, OPTIMIZATION_r13.md).
     val ltCounts = toks.groupBy(col("label"), col("token"))
       .agg(count(lit(1)).as("n_lt"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materialized by the vocab collect
 
     // global vocabulary over the seed slice: deterministic top-V,
     // collected — it is a ≤vocabSize driver artifact by construction

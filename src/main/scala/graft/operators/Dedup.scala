@@ -779,13 +779,21 @@ object Dedup {
     * degree table.
     */
   def graphStats(pairs: DataFrame): DataFrame = {
+    // materialize the (tiny) edge and degree frames: `e` feeds three
+    // consumers and `deg` four, and the PAIRS lineage behind them is
+    // typically the whole minhash+verify chain (q129) — without the
+    // checkpoint each consumer that ReuseExchange cannot cover re-runs
+    // it (guide §5 persist-discipline; eager localCheckpoint blocks are
+    // GC-released with the plan)
     val e = pairs
       .select(least(col("id_a"), col("id_b")).as("u"),
         greatest(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
     val deg = e.select(col("u").as("id"))
       .union(e.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     // orient each edge from the lower (deg, id) endpoint
     val du = deg.select(col("id").as("u"), col("deg").as("__du"))
     val dv = deg.select(col("id").as("v"), col("deg").as("__dv"))

@@ -65,8 +65,7 @@ object Similarity {
     */
   def signatures(df: DataFrame, idCol: String, vecCol: String,
       bits: Int, tables: Int): DataFrame =
-    graft.core.Spread(df.select(col(idCol), col(vecCol)))
-      .select(col(idCol).as("id"),
+    df.select(col(idCol).as("id"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("t"),
             lshSignature(col(vecCol), bits, t).as("sig"))): _*)).as("bk"))

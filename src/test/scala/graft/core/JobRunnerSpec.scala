@@ -117,7 +117,10 @@ class JobRunnerSpec extends SparkSpec {
     // the packing operator's load-bearing persisted intermediate must be
     // released once the output write lands — a long-lived session running
     // the algorithm repeatedly must not accrete pinned caches
-    spark.sparkContext.getPersistentRDDs.size shouldBe cachedBefore
+    // <=, not ==: checkpoint blocks from EARLIER tests are GC-cleaned
+    // asynchronously, so the global count can DROP mid-test; the leak
+    // direction (new pinned caches accreting) is still caught
+    spark.sparkContext.getPersistentRDDs.size should be <= cachedBefore
     val packed = spark.read.parquet(tgt3)
     packed.count() shouldBe 3
     packed.columns should contain allOf ("chunk_id", "offset_in_chunk")
@@ -850,7 +853,10 @@ class JobRunnerSpec extends SparkSpec {
     JobRunner.execute(spark, "PackingStats", psPar)
     // 30 tokens at budget 4: masses 6,3,3,3,6,3,3,3 (straddle pattern)
     spark.read.parquet(psTgt).count() shouldBe 2L
-    spark.sparkContext.getPersistentRDDs.size shouldBe cachedBefore
+    // <=, not ==: checkpoint blocks from EARLIER tests are GC-cleaned
+    // asynchronously, so the global count can DROP mid-test; the leak
+    // direction (new pinned caches accreting) is still caught
+    spark.sparkContext.getPersistentRDDs.size should be <= cachedBefore
   }
 
   test("privacy/decay/bigram algorithms run through the params-JSON " +

@@ -269,7 +269,10 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1) shouldBe
       Array((2L, 2L, 2L), (3L, 1L, 2L))
     cd.release()
-    spark.sparkContext.getPersistentRDDs.size shouldBe before
+    // <=, not ==: checkpoint blocks from EARLIER tests are GC-cleaned
+    // asynchronously, so the global count can DROP mid-test; the leak
+    // direction (new pinned caches accreting) is still caught
+    spark.sparkContext.getPersistentRDDs.size should be <= before
   }
 
   test("keepBestPerComponent: the cluster survivor is the highest score " +
@@ -299,7 +302,10 @@ class DedupSpec extends SparkSpec {
     cd.frame.select($"doc_id").as[Long].collect().sorted shouldBe
       Array(1L, 4L, 5L)
     cd.release()
-    spark.sparkContext.getPersistentRDDs.size shouldBe before
+    // <=, not ==: checkpoint blocks from EARLIER tests are GC-cleaned
+    // asynchronously, so the global count can DROP mid-test; the leak
+    // direction (new pinned caches accreting) is still caught
+    spark.sparkContext.getPersistentRDDs.size should be <= before
   }
 
   test("connected components: string ids propagate labels transitively " +
@@ -352,7 +358,10 @@ class DedupSpec extends SparkSpec {
     // result is cached and materialized; everything else already released
     cc.count() shouldBe 5
     cc.unpersist(blocking = true)
-    sc.getPersistentRDDs.size shouldBe before
+    // <=, not ==: checkpoint blocks from EARLIER tests are GC-cleaned
+    // asynchronously, so the global count can DROP mid-test; the leak
+    // direction (new pinned caches accreting) is still caught
+    sc.getPersistentRDDs.size should be <= before
   }
 
   test("connected components: a path longer than maxIter fails loudly " +
