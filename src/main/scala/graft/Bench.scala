@@ -53,7 +53,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The per-query line above is ~15 KB at 327 queries; tail captures that
+    // keep only the last ~2 KB have failed to parse it two rounds running
+    // (PERF_r13: prev/now_bench_ok both false, per_query empty). Persist the
+    // full line to a file and ALSO print a <200-byte summary LAST, so any
+    // tail capture ends with one complete, parseable JSON line. Timing
+    // methodology is unchanged — this only adds output.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
