@@ -134,7 +134,7 @@ object VersionedTable {
   def write(df: DataFrame, fsOps: FsOps, root: String, ts: Long,
       op: String = "write", maxAttempts: Int = 5): Long =
     writeLanded(df, fsOps, root, ts, op, maxAttempts, Seq.empty,
-      dir => df.write.parquet(dir))
+      (d, dir) => d.write.parquet(dir))
 
   /** Optimistic-concurrency [[write]]: commit ONLY if the table is still
     * at `expectedVersion` (what the writer read before computing `df`).
@@ -158,7 +158,7 @@ object VersionedTable {
     // publish at a later number, which is exactly the lost-update OCC
     // exists to prevent). Losing the race for that number IS the conflict.
     try writeLanded(df, fsOps, root, ts, op, maxAttempts = 1, Seq.empty,
-      dir => df.write.parquet(dir), pin = Some(expectedVersion + 1))
+      (d, dir) => d.write.parquet(dir), pin = Some(expectedVersion + 1))
     catch {
       case _: VersionRaceExhausted =>
         throw new java.util.ConcurrentModificationException(
@@ -206,8 +206,8 @@ object VersionedTable {
         s"this snapshot needs exactly ${want.mkString(",")}")
     writeLanded(df, fsOps, root, ts, op, maxAttempts,
       Seq("cdc_keys" -> keys.sorted.mkString(",")),
-      dir => {
-        df.write.parquet(dir)
+      (d, dir) => {
+        d.write.parquet(dir)
         changes.write.parquet(s"$dir/$ChangesDir")
       }, pin)
   }
@@ -358,16 +358,28 @@ object VersionedTable {
     */
   private def writeLanded(df: DataFrame, fsOps: FsOps,
       root: String, ts: Long, op: String, maxAttempts: Int,
-      extra: Seq[(String, String)], land: String => Unit,
-      pin: Option[Long] = None,
-      rowsOf: Option[String => Long] = None): Long = {
+      extra: Seq[(String, String)], land: (DataFrame, String) => Unit,
+      pin: Option[Long] = None): Long = {
     // writer-private landing dir: concurrent writers never touch each
     // other's files, and until a commit references it the dir is invisible
     val name = "d-" + java.util.UUID.randomUUID.toString.take(8)
     val dir = s"$root/$name"
-    land(dir)
-    val rows = rowsOf.getOrElse((d: String) =>
-      df.sparkSession.read.parquet(d).count()).apply(dir)
+    // the commit's row count rides on the LANDING write itself
+    // (`observe` = one map-side CollectMetrics in the write job) instead
+    // of re-reading the landed dir — the read-back was a whole extra
+    // schema-infer + scan + count job per commit, pure driver+scan
+    // overhead in every maintenance fold and pipeline stage. The metric
+    // equals the read-back count on any successful write (task retries
+    // could in principle overcount a metric, but a write's committed
+    // files come from exactly one successful attempt per task and the
+    // count is informational history metadata, not a correctness input).
+    val obs = new org.apache.spark.sql.Observation()
+    land(df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows")), dir)
+    val rows = obs.get.apply("rows") match {
+      case l: java.lang.Long => l.longValue()
+      case other => other.toString.toLong
+    }
     val record = commitJson(ts, op, rows, name, extra)
     var attempt = 0
     var committed = -1L
@@ -452,6 +464,24 @@ object VersionedTable {
           } catch {
             case _: java.nio.file.FileAlreadyExistsException =>
               f.delete(tmp, false); false
+            // local mounts exposed under file: that don't support hard
+            // links (some NFS/SMB/FAT/overlay configs): fall back to the
+            // exists-check + rename publication — racy on raw POSIX but
+            // functional, and strictly no worse than the pre-link code
+            case _: UnsupportedOperationException |
+                _: java.nio.file.FileSystemException =>
+              if (f.exists(pp)) { f.delete(tmp, false); false }
+              else {
+                val renamed =
+                  try f.rename(tmp, pp)
+                  catch {
+                    case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+                      false
+                    case _: java.nio.file.FileAlreadyExistsException => false
+                  }
+                if (!renamed) f.delete(tmp, false)
+                renamed
+              }
           }
         } else {
           if (f.exists(pp)) { f.delete(tmp, false); return false } // lost
@@ -732,8 +762,8 @@ object VersionedTable {
       maxAttempts: Int = 5): Long =
     writeLanded(df, fsOps, root, ts, op, maxAttempts,
       Seq("index_col" -> indexCol, "index_kind" -> "range"),
-      dir => graft.operators.Layout.writeSortedWithManifest(
-        df.sparkSession, df, dir, indexCol, numFiles,
+      (d, dir) => graft.operators.Layout.writeSortedWithManifest(
+        d.sparkSession, d, dir, indexCol, numFiles,
         s"$dir/$ManifestDir"))
 
   /** [[write]] with a HIVE-PARTITIONED snapshot layout: the snapshot
@@ -757,7 +787,7 @@ object VersionedTable {
     writeLanded(df, fsOps, root, ts, op, maxAttempts,
       Seq("index_col" -> partitionCols.mkString(","),
         "index_kind" -> "hive", "part_types" -> partTypes),
-      dir => df.write.partitionBy(partitionCols: _*).parquet(dir))
+      (d, dir) => d.write.partitionBy(partitionCols: _*).parquet(dir))
   }
 
   /** Internal partition column of bucketed snapshots — never part of
@@ -807,8 +837,8 @@ object VersionedTable {
       s"$BucketCol is reserved for the internal bucket layout")
     writeLanded(df, fsOps, root, ts, op, maxAttempts,
       Seq("bucket_col" -> bucketBy, "n_buckets" -> nBuckets.toString),
-      dir => {
-        df.withColumn(BucketCol, bucketOf(col(bucketBy), nBuckets))
+      (d, dir) => {
+        d.withColumn(BucketCol, bucketOf(col(bucketBy), nBuckets))
           // co-locate each bucket before the partitioned write: one file
           // per bucket instead of tasks × buckets fragments
           .repartition(col(BucketCol))
@@ -825,7 +855,7 @@ object VersionedTable {
             "no parquet schema would survive to read it back; commit " +
             "after the first rows land (or use a plain write)")
       },
-      pin, rowsOf = Some(bucketedRows(df.sparkSession)))
+      pin)
   }
 
   /** Delta commit onto a bucketed table: `touchedData` is the COMPLETE
@@ -906,32 +936,22 @@ object VersionedTable {
             lit("delta row lands in untouched bucket "),
             col(BucketCol),
             lit(s" (touched: ${touched.sorted.mkString(",")})")))))
-    try writeLanded(touchedData, fsOps, root, ts, op, maxAttempts = 1,
+    try writeLanded(guarded, fsOps, root, ts, op, maxAttempts = 1,
       Seq("bucket_col" -> bucketBy, "n_buckets" -> n.toString,
         "bucket_map" -> mapStr) ++ changeExtra,
-      dir => {
-        guarded.repartition(col(BucketCol))
+      (d, dir) => {
+        d.repartition(col(BucketCol))
           .write.partitionBy(BucketCol).parquet(dir)
         changes.foreach { case (feed, _) =>
           feed.write.parquet(s"$dir/$ChangesDir") }
       },
-      pin = Some(parent.version + 1),
-      rowsOf = Some(bucketedRows(spark)))
+      pin = Some(parent.version + 1))
     catch {
       case _: VersionRaceExhausted =>
         throw new java.util.ConcurrentModificationException(
           s"$root was committed concurrently during this delta commit " +
             s"(based on version ${parent.version}) — re-read and retry")
     }
-  }
-
-  /** Row count of a landed bucketed dir (0 when the delta wrote no
-    * rows — parquet cannot infer a schema from an empty dir).
-    */
-  private def bucketedRows(spark: SparkSession)(dir: String): Long = {
-    val fsOps = new FsOps(spark.sparkContext.hadoopConfiguration)
-    if (!fsOps.ls(dir).exists(_.startsWith(s"$BucketCol="))) 0L
-    else spark.read.parquet(dir).count()
   }
 
   /** Read ONLY the named buckets of a bucketed snapshot — the pruned
@@ -981,8 +1001,8 @@ object VersionedTable {
       op: String = "write", maxAttempts: Int = 5): Long =
     writeLanded(df, fsOps, root, ts, op, maxAttempts,
       Seq("index_col" -> s"$xCol,$yCol", "index_kind" -> "zorder"),
-      dir => graft.operators.Layout.writeZOrderedWithManifest(
-        df.sparkSession, df, dir, xCol, yCol, bits, numFiles,
+      (d, dir) => graft.operators.Layout.writeZOrderedWithManifest(
+        d.sparkSession, d, dir, xCol, yCol, bits, numFiles,
         s"$dir/$ManifestDir"))
 
   /** Time-travel range read: prune version `version`'s files from its
@@ -1047,7 +1067,7 @@ object VersionedTable {
     val base = latestVersion(fsOps, root)
     val baseCommit = commitOf(fsOps, root, base)
     val df = readVersion(spark, fsOps, root, base)
-    val (extra, land): (Seq[(String, String)], String => Unit) =
+    val (extra, land): (Seq[(String, String)], (DataFrame, String) => Unit) =
       (indexCol, baseCommit.bucketCol) match {
         case (Some(_), Some(bc)) =>
           // silently dropping the bucket metadata would kill the fold
@@ -1059,8 +1079,9 @@ object VersionedTable {
               "layouts)")
         case (Some(ic), None) => (
           Seq("index_col" -> ic, "index_kind" -> "range"),
-          dir => graft.operators.Layout.writeSortedWithManifest(
-            spark, df, dir, ic, numFiles, s"$dir/$ManifestDir"))
+          (d: DataFrame, dir: String) =>
+            graft.operators.Layout.writeSortedWithManifest(
+              spark, d, dir, ic, numFiles, s"$dir/$ManifestDir"))
         case (None, Some(bc)) =>
           // a bucketed chain compacts INTO the same bucket layout (one
           // fresh dir, all-self map): the chain re-anchors, ancestor
@@ -1068,11 +1089,14 @@ object VersionedTable {
           // later delta commits keep working. Files = buckets here.
           val n = baseCommit.nBuckets.get
           (Seq("bucket_col" -> bc, "n_buckets" -> n.toString),
-            dir => df.withColumn(BucketCol, bucketOf(col(bc), n))
-              .repartition(col(BucketCol))
-              .write.partitionBy(BucketCol).parquet(dir))
+            (d: DataFrame, dir: String) =>
+              d.withColumn(BucketCol, bucketOf(col(bc), n))
+                .repartition(col(BucketCol))
+                .write.partitionBy(BucketCol).parquet(dir))
         case (None, None) =>
-          (Seq.empty, dir => df.coalesce(numFiles).write.parquet(dir))
+          (Seq.empty,
+            (d: DataFrame, dir: String) =>
+              d.coalesce(numFiles).write.parquet(dir))
       }
     try writeLanded(df, fsOps, root, ts, "compact", maxAttempts = 1,
       extra, land, pin = Some(base + 1))

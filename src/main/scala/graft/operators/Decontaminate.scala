@@ -133,8 +133,18 @@ object Decontaminate {
         bench.withColumn("__bid", lit(0L)), "__bid", benchTextCol, n)
       .select(explode(col("sh")).as("__h")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size the bloom from the OBSERVED distinct-shingle count, capped at
+    // the caller's expectation: `expectedShingles` is a ceiling hint, and
+    // sizing a 1k-shingle eval suite for 1M items makes the serialized
+    // filter ~1 MB of plan literal that every micro-batch/shard replans
+    // and every task deserializes. The count is one pass over the
+    // (benchmark-sized, persisted) frame the bloom aggregation was about
+    // to materialize anyway. Filter size only moves the false-positive
+    // rate — exactness comes from the semi-join verification either way.
+    val nSh = sh.count()
+    val sized = math.max(64L, math.min(expectedShingles, nSh))
     val bloom = sh
-      .agg(graft.functions.BloomSketch.bloomAgg(col("__h"), expectedShingles)
+      .agg(graft.functions.BloomSketch.bloomAgg(col("__h"), sized)
         .as("bf"))
       .head().getAs[Array[Byte]]("bf")
     PreparedBenchmark(bloom, sh, n)
@@ -167,9 +177,12 @@ object Decontaminate {
     val head = artifacts.select(col("n")).limit(1).collect()
     if (head.isEmpty) PreparedBenchmark(null, sh, 8)
     else {
+      // observed-count sizing, as in [[prepareBenchmark]]
+      val nSh = sh.count()
+      val sized = math.max(64L, math.min(expectedShingles, nSh))
       val bloom = sh
         .agg(graft.functions.BloomSketch.bloomAgg(col("__h"),
-          expectedShingles).as("bf"))
+          sized).as("bf"))
         .head().getAs[Array[Byte]]("bf")
       PreparedBenchmark(bloom, sh, head(0).getInt(0))
     }
@@ -226,8 +239,21 @@ object Decontaminate {
   def decontaminatePrepared(corpus: DataFrame, idCol: String,
       textCol: String, pb: PreparedBenchmark,
       minOverlap: Int = 1): DataFrame = {
-    val bad = matchedPrepared(corpus, idCol, textCol, pb, minOverlap)
-      .select(col("id").as(idCol))
+    // minOverlap ≤ 1 is PRESENCE, not a count: "≥ 1 matched shingle" is
+    // exactly "survives the exact semi-join", so the per-doc groupBy —
+    // one shuffle per micro-batch on the streaming face — is pure waste
+    // there; the left-anti join dedups the multi-hit ids itself. Rows are
+    // identical to the aggregation form (spec-pinned).
+    val bad =
+      if (minOverlap <= 1 && pb.bloom != null)
+        Dedup.shingleHashDF(corpus, idCol, textCol, pb.n)
+          .select(col("id"), explode(col("sh")).as("__h"))
+          .filter(graft.functions.BloomSketch.mightContain(pb.bloom,
+            col("__h")))
+          .join(pb.shingles, Seq("__h"), "left_semi")
+          .select(col("id").as(idCol))
+      else matchedPrepared(corpus, idCol, textCol, pb, minOverlap)
+        .select(col("id").as(idCol))
     corpus.join(bad, Seq(idCol), "left_anti")
   }
 

@@ -654,35 +654,69 @@ object Dedup {
       idCol: String, textCol: String, threshold: Double, shingleSize: Int,
       k: Int, bands: Int, exDigests: DataFrame,
       exBanded: DataFrame): DataFrame = {
-    val inPruned = incoming.join(exDigests,
-      md5(col(textCol)) === col("__d"), "left_anti")
-    val inSigs = minhashSignatures(inPruned, idCol, textCol, shingleSize, k)
+    // ONE pass over the batch computes everything the increment needs per
+    // row — content digest (exact prune), shingle hashes (verification)
+    // and minhash signature (candidate banding) — materialized once via a
+    // lazy localCheckpoint (batch-sized; the first action pins it, GC
+    // releases the blocks with the plan). The unfused form re-scanned and
+    // re-tokenized the batch for the prune, the signatures, the verify
+    // sliver and the final anti-join, and needed a repartition barrier to
+    // keep CollapseProject from inlining the minhash into the band
+    // generator — the checkpoint IS that barrier. Per micro-batch this
+    // cuts 3 batch re-scans and 3 shuffles (signature repartition, pair-id
+    // distinct, drop-list distinct; anti/semi joins dedup their own right
+    // sides), the q75 jobs-per-trigger driver.
+    val inCols = incoming.columns.toSeq.map(c => col(s"`$c`"))
+    val feat = graft.core.Spread(incoming)
+      .withColumn("__graft_toks", tokens(col(s"`$textCol`")))
+      .select(inCols ++ Seq(
+        md5(col(s"`$textCol`")).as("__dg"),
+        graft.functions.ShingleHashExpr
+          .shingleHashes(col("__graft_toks"), shingleSize).as("__sh"),
+        graft.functions.ShingleMinHashExpr
+          .signature(col("__graft_toks"), shingleSize, k).as("__sig")): _*)
+      .localCheckpoint(false)
+    val inPruned = feat.join(exDigests, col("__dg") === col("__d"),
+      "left_anti")
     // candidates come from a LANDED-banded × BATCH-banded join, never a
     // self-join over the union: landed×landed bucket pairs (the landed
     // corpus's own near-dup structure, re-derivable any time and useless
     // for an increment) are never generated, let alone verified —
     // IncProbe measured them dominating the naive union self-join.
     // Batch×batch pairs are equally out of scope (within-batch dedup is
-    // dedupCorpus's job) and are skipped the same way.
-    val cand = exBanded
-      .join(bandSignatures(inSigs, "id_b", k, bands), Seq("band", "bucket"))
+    // dedupCorpus's job) and are skipped the same way. Banding only the
+    // PRUNED rows keeps exact dups out of the pair graph, exactly as when
+    // signatures were computed post-prune.
+    val inBanded = bandSignatures(
+      inPruned.select(col(s"`$idCol`").as("id"), col("__sig").as("sig")),
+      "id_b", k, bands)
+    val cand = exBanded.join(inBanded, Seq("band", "bucket"))
       .select(col("id_a"), col("id_b")).distinct()
-    // exact verification re-reads text ONLY for the candidate sliver —
-    // at scale the landed corpus is never re-shingled whole. The union
-    // takes raw `incoming` (not inPruned): exact-pruned ids have no
-    // signatures in the band join, so they can never reach pairIds, and
-    // skipping the prune here spares one re-execution of its anti-join
-    val pairIds = cand.select(col("id_a").as("__pid"))
-      .unionByName(cand.select(col("id_b").as("__pid"))).distinct()
-    val sliver = existing.select(col(idCol), col(textCol))
-      .unionByName(incoming.select(col(idCol), col(textCol)))
-      .join(pairIds, col(idCol) === col("__pid"), "left_semi")
+    // exact verification re-reads text ONLY for the candidate sliver, and
+    // only on the LANDED side (id_a) — the batch side's shingle hashes are
+    // already on the checkpoint. At scale the landed corpus is never
+    // re-shingled whole. A left-semi join dedups its right side itself, so
+    // the id list needs no distinct.
+    val shA = shingleHashDF(
+      existing.select(col(s"`$idCol`"), col(s"`$textCol`"))
+        .join(cand.select(col("id_a").as("__pid")),
+          col(s"`$idCol`") === col("__pid"), "left_semi"),
+      idCol, textCol, shingleSize)
+      .select(col("id").as("id_a"), col("sh").as("sh_a"))
     // every verified pair is (landed, incoming) by construction: the
-    // incoming side is disqualified directly
-    val bad = jaccardVerify(cand, sliver, idCol, textCol, shingleSize)
+    // incoming side is disqualified directly. Same intersect/union
+    // arithmetic as jaccardVerify, over the same per-side shingle hashes.
+    val bad = cand
+      .join(shA, Seq("id_a"))
+      .join(feat.select(col(s"`$idCol`").as("id_b"), col("__sh").as("sh_b")),
+        Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni",
+        size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_b").as(idCol)).distinct()
-    inPruned.join(bad, Seq(idCol), "left_anti")
+      .select(col("id_b").as(idCol))
+    inPruned.join(bad, Seq(idCol), "left_anti").select(inCols: _*)
   }
 
   /** The distinct landed digests of [[dedupArtifacts]], PERSISTED for a
@@ -1073,12 +1107,22 @@ object Dedup {
         .otherwise(lit(0.0)), 6))
   }
 
+  /** Directed-edge cap for the union-find shortcut in
+    * [[connectedComponents]]: ~1M edges is ≤ ~16 MB of raw ids — a
+    * bounded, vocab-literal-class collect — while any corpus-scale pair
+    * graph exceeds it and takes the distributed loop unchanged.
+    */
+  private[graft] val smallGraphMaxEdges: Long = 1L << 20
+
   /** Connected components over an undirected near-duplicate pair list
-    * (`id_a`/`id_b`) via iterative min-label propagation: every node
-    * starts labeled with its own id; each round every node takes the
-    * minimum label among itself and its neighbors; at fixpoint the label
-    * is the component's minimum id. Returns (id, component) for every id
-    * that appears in a pair.
+    * (`id_a`/`id_b`): every node labeled with its component's minimum id,
+    * (id, component) for every id that appears in a pair. Small graphs
+    * (≤ [[smallGraphMaxEdges]] directed edges) run a single-pass driver
+    * union-find; larger graphs run iterative min-label propagation —
+    * every node starts labeled with its own id; each round every node
+    * takes the minimum label among itself and its neighbors; at fixpoint
+    * the label is the component's minimum id. Both paths produce
+    * identical rows (ComponentEquivalenceSpec).
     *
     * The cluster-level dedup policy ([[dedupCorpus]]'s greedy pairwise
     * drop is order-free but can over-drop transitively-linked chains;
@@ -1134,6 +1178,108 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Scale-adaptive small-graph shortcut (the Spread convention — a size
+    // trigger, never a constant tied to this box): near-dup pair graphs
+    // are usually MUCH smaller than the corpus that produced them, and the
+    // label-propagation loop costs 3-4 Spark jobs per round times
+    // O(log diameter) rounds — ~100+ jobs of pure scheduling latency on a
+    // graph that fits in one driver pass (q108's gate spent 168 jobs
+    // mostly here). Under the edge cap, collect the (already-distinct,
+    // persisted) edge list once and run union-find with min-id roots —
+    // the labels are EXACTLY the loop's fixpoint ("every node labeled its
+    // component's min id"; union keeps the smaller root, so each tree's
+    // root is the min of all ids merged into it — spec-pinned against the
+    // loop, ComponentEquivalenceSpec). Above the cap — any corpus-scale
+    // pair graph — the distributed loop runs unchanged. The count
+    // materializes the edge cache round 1 needed anyway; the collect is
+    // bounded by the cap (≤ ~16 MB of ids).
+    val nEdges = edges.count()
+    if (nEdges > 0 && nEdges <= smallGraphMaxEdges) {
+      val rows = edges.collect()
+      val comparable = rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1) &&
+        r.get(0).isInstanceOf[Comparable[_]])
+      if (comparable) {
+        val out = unionFindComponents(pairs.sparkSession, edges.schema, rows)
+        edges.unpersist()
+        return out
+      }
+    }
+    connectedComponentsLoop(edges, maxIter, failOnNonConvergence)
+  }
+
+  /** Driver-side union-find over a collected edge list — the small-graph
+    * body of [[connectedComponents]]. Roots track the component MIN
+    * (union attaches the larger root under the smaller), so the output
+    * is the loop's exact fixpoint.
+    */
+  private def unionFindComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      edgeSchema: org.apache.spark.sql.types.StructType,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val parent = new java.util.HashMap[Any, Any](rows.length * 2)
+    def find(x: Any): Any = {
+      var root = x
+      while (parent.get(root) != root) root = parent.get(root)
+      var cur = x // path compression
+      while (parent.get(cur) != root) {
+        val nxt = parent.get(cur); parent.put(cur, root); cur = nxt
+      }
+      root
+    }
+    rows.foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra.asInstanceOf[Comparable[Any]].compareTo(rb) <= 0)
+          parent.put(rb, ra)
+        else parent.put(ra, rb)
+      }
+    }
+    val dt = edgeSchema.fields(0).dataType
+    val nullable = edgeSchema.fields(0).nullable
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt, nullable),
+      org.apache.spark.sql.types.StructField("component", dt, nullable)))
+    val ids = parent.keySet().toArray
+    val labelRows = ids.map(idv =>
+      org.apache.spark.sql.Row(idv, find(idv))).toSeq
+    // RDD-backed (not a LocalRelation literal): the label set can be
+    // node-sized and must not ride inside every consumer's plan
+    val result = spark.createDataFrame(
+      spark.sparkContext.parallelize(labelRows,
+        math.max(1, math.min(spark.sparkContext.defaultParallelism,
+          1 + labelRows.size / 10000))),
+      schema).persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    result
+  }
+
+  /** Spec entry to the distributed loop regardless of graph size — the
+    * loop's own contracts (pointer-jumping round counts, maxIter
+    * convergence accounting, per-round storage release) must stay
+    * testable on graphs small enough for a spec.
+    */
+  private[graft] def connectedComponentsDistributed(pairs: DataFrame,
+      maxIter: Int = 20, failOnNonConvergence: Boolean = true): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    connectedComponentsLoop(edges, maxIter, failOnNonConvergence)
+  }
+
+  /** The distributed label-propagation loop of [[connectedComponents]],
+    * over the PERSISTED bidirectional edge frame (released before
+    * returning).
+    */
+  private[graft] def connectedComponentsLoop(edges: DataFrame,
+      maxIter: Int, failOnNonConvergence: Boolean): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     var checkpointed: DataFrame = null

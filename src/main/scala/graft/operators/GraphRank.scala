@@ -54,36 +54,42 @@ object GraphRank {
       damping: Double = 0.85, scale: Long = 1000000000L,
       weightCol: Option[String] = None): DataFrame = {
     // persist-discipline for the one-step face (guide §5: persist what is
-    // reused): the step reads `ranks` four times (count, dangling mass,
-    // contributions, output) and `edges` three times (degrees, dangling
-    // anti-join, contribution fan-out) — unpinned, each reference re-runs
-    // the whole upstream lineage (for the purchase-graph gates, a
-    // join+distinct per reference). Pin edges for the duration, checkpoint
-    // ranks once (node-sized), and checkpoint the node-sized contribution
-    // aggregate so the RETURNED plan references no edge lineage at all —
-    // which is what lets the edge cache release before returning. The
+    // reused): the step reads `ranks` several times and `edges` three
+    // times (degrees, dangling anti-join, contribution fan-out) —
+    // unpinned, each reference re-runs the whole upstream lineage (for
+    // the purchase-graph gates, a join+distinct per reference). Pin edges
+    // for the duration, checkpoint ranks once (node-sized), run the WHOLE
+    // step as ONE eagerly-checkpointed action (the returned plan is a
+    // node-sized Scan ExistingRDD with no edge lineage — which is what
+    // lets the edge cache release before returning). Round-13 shipped a
+    // mid-plan checkpoint of the contribution aggregate instead; the
+    // round-14 interleaved A/B (GraphAbProbe: 2.41 s vs 1.76 s medians)
+    // showed its extra action cost more than the subtree dedup saved —
+    // the job COUNT, not the node-sized data, was the price. The
     // convergence loop ([[pageRank]]) deliberately does NOT go through
     // this face: it owns the edge pin for ALL iterations and checkpoints
-    // each round's output itself, so the per-step pin/checkpoint here
-    // would only churn its cache (the round-13 hang: the step's unpersist
+    // each round's output itself (the round-13 hang: a per-step unpersist
     // evicted the loop's shared edge cache every iteration).
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    // own the pin only when the caller hasn't: Dataset.persist on an
+    // already-cached plan is a warn-no-op on the EXISTING entry, so an
+    // unconditional unpersist here would evict a cache the caller pinned
+    // across repeated step calls (the round-13 eviction class)
+    val owned = edges.storageLevel == StorageLevel.NONE
+    val e = if (owned) edges.persist(StorageLevel.MEMORY_AND_DISK) else edges
     val r = ranks.localCheckpoint()
-    val out = stepCore(r, e, damping, scale, weightCol,
-      pinContrib = true)
-    e.unpersist()
+    val out = stepCore(r, e, damping, scale, weightCol).localCheckpoint()
+    if (owned) e.unpersist()
     out
   }
 
   /** The step arithmetic over frames the CALLER has already pinned:
     * `r` must be materialized (checkpoint/cache) and `e` persisted for
-    * the duration of the returned frame's consumption unless
-    * `pinContrib` is set (which checkpoints the node-sized contribution
-    * aggregate, cutting the edge lineage out of the returned plan).
+    * the duration of the returned frame's consumption (the public face
+    * eagerly checkpoints the output and releases the pin; the loop pins
+    * across iterations).
     */
-  private def stepCore(r: DataFrame, e: DataFrame, damping: Double,
-      scale: Long, weightCol: Option[String],
-      pinContrib: Boolean): DataFrame = {
+  private[graft] def stepCore(r: DataFrame, e: DataFrame, damping: Double,
+      scale: Long, weightCol: Option[String]): DataFrame = {
     val n = r.count()
     val nD = n.toDouble
     val deg = weightCol match {
@@ -93,11 +99,15 @@ object GraphRank {
         e.groupBy(col("src"))
           .agg(sum(col(w).cast("long")).as("__deg"))
     }
-    // dangling mass: quantized rank of no-out-edge nodes, one scalar
-    val dmQ = r.join(deg, r("id") === deg("src"), "left_anti")
-      .agg(coalesce(sum(floor(lit(scale.toDouble) * col("rank"))), lit(0L)))
-      .head.getLong(0)
-    val contrib0 = weightCol match {
+    // dangling mass: quantized rank of no-out-edge nodes — ONE scalar,
+    // carried as a 1-row broadcast crossJoin instead of a driver action
+    // (same double arithmetic in the same operand order as the previous
+    // lit(damping * (dmQ/scale/nD)), so ranks are bit-identical; the
+    // action was one whole extra edge-scan job per step)
+    val dmQF = r.join(deg, r("id") === deg("src"), "left_anti")
+      .agg(coalesce(sum(floor(lit(scale.toDouble) * col("rank"))), lit(0L))
+        .as("__dmq"))
+    val contrib = weightCol match {
       case None =>
         // per-source quantized contribution, fanned out along edges
         val srcQ = r.join(deg, r("id") === deg("src"))
@@ -117,17 +127,17 @@ object GraphRank {
               * col(w).cast("long") / col("__deg")).as("__q"))
           .groupBy(col("dst")).agg(sum(col("__q")).as("__qin"))
     }
-    // node-sized; pinned only for the one-shot face — the loop
-    // materializes each round's OUTPUT instead
-    val contrib = if (pinContrib) contrib0.localCheckpoint() else contrib0
     r.select(col("id"))
       .join(contrib, r("id") === contrib("dst"), "left")
+      .crossJoin(broadcast(dmQF))
       .select(col("id"),
         (lit((1 - damping) / nD)
           + lit(damping)
             * (coalesce(col("__qin"), lit(0L)).cast("double")
                / lit(scale.toDouble))
-          + lit(damping * (dmQ.toDouble / scale.toDouble / nD)))
+          + lit(damping)
+            * (col("__dmq").cast("double") / lit(scale.toDouble)
+               / lit(nD)))
           .as("rank"))
   }
 
@@ -148,32 +158,41 @@ object GraphRank {
     val sCount = s.count()
     require(sCount > 0, "empty seed set")
     val sD = sCount.toDouble
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    // same pin-ownership guard and one-action layout as [[pageRankStep]]:
+    // the dangling scalar rides as a 1-row broadcast (same operand order,
+    // bit-identical ranks) and the OUTPUT is eagerly checkpointed so the
+    // edge pin releases with no edge lineage in the returned plan
+    val owned = edges.storageLevel == StorageLevel.NONE
+    val e = if (owned) edges.persist(StorageLevel.MEMORY_AND_DISK) else edges
     val r = ranks.localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    val dmQ = r.join(deg, r("id") === deg("src"), "left_anti")
-      .agg(coalesce(sum(floor(lit(scale.toDouble) * col("rank"))), lit(0L)))
-      .head.getLong(0)
+    val dmQF = r.join(deg, r("id") === deg("src"), "left_anti")
+      .agg(coalesce(sum(floor(lit(scale.toDouble) * col("rank"))), lit(0L))
+        .as("__dmq"))
     val srcQ = r.join(deg, r("id") === deg("src"))
       .select(col("src"),
         floor(lit(scale.toDouble) * col("rank") / col("__deg")).as("__q"))
     val contrib = e.join(srcQ, "src")
       .groupBy(col("dst")).agg(sum(col("__q")).as("__qin"))
-      .localCheckpoint()
-    e.unpersist()
     val seedFlag = s.withColumn("__seed", lit(1))
-    r.select(col("id"))
+    val out = r.select(col("id"))
       .join(contrib, r("id") === contrib("dst"), "left")
       .join(seedFlag, Seq("id"), "left")
+      .crossJoin(broadcast(dmQF))
       .select(col("id"),
         (when(col("__seed").isNotNull,
           lit((1 - damping) / sD)
-            + lit(damping * (dmQ.toDouble / scale.toDouble / sD)))
+            + lit(damping)
+              * (col("__dmq").cast("double") / lit(scale.toDouble)
+                 / lit(sD)))
           .otherwise(lit(0.0))
           + lit(damping)
             * (coalesce(col("__qin"), lit(0L)).cast("double")
                / lit(scale.toDouble)))
           .as("rank"))
+      .localCheckpoint()
+    if (owned) e.unpersist()
+    out
   }
 
   /** HITS hubs-and-authorities (Kleinberg) over an edge list — the
@@ -199,8 +218,10 @@ object GraphRank {
     require(iters >= 1 && iters <= 4,
       s"iters must be in [1,4] (integer scores square per round): $iters")
     // each round reads the edges twice and the normalization actions read
-    // them again — pin once, release after the totals settle
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    // them again — pin once, release after the totals settle (ownership
+    // guard: never evict a cache the caller already holds on this plan)
+    val owned = edges.storageLevel == StorageLevel.NONE
+    val e = if (owned) edges.persist(StorageLevel.MEMORY_AND_DISK) else edges
     // node-sized and read by BOTH updates of every round — materialized,
     // or each of the 2·iters references re-runs the union+distinct
     val nodes = e.select(col("src").as("id"))
@@ -226,7 +247,7 @@ object GraphRank {
     }
     val aTot = auth.agg(sum(col("a"))).head.getLong(0).toDouble
     val hTot = hub.agg(sum(col("h"))).head.getLong(0).toDouble
-    e.unpersist() // auth/hub are materialized checkpoints by now
+    if (owned) e.unpersist() // auth/hub are materialized checkpoints by now
     auth.join(hub, Seq("id"))
       .select(col("id"), col("a").as("authority_raw"),
         col("h").as("hub_raw"),
@@ -244,7 +265,9 @@ object GraphRank {
       init: Option[DataFrame] = None,
       weightCol: Option[String] = None): DataFrame = {
     require(maxIters > 0, s"maxIters must be positive: $maxIters")
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    // ownership guard, as in [[pageRankStep]]
+    val owned = edges.storageLevel == StorageLevel.NONE
+    val e = if (owned) edges.persist(StorageLevel.MEMORY_AND_DISK) else edges
     // warm-start face (the kmeansCentroids convention): resume from a
     // saved (id, rank) table after a graph delta instead of re-mixing
     // from uniform — near-converged starts settle in a few iterations
@@ -269,8 +292,7 @@ object GraphRank {
       // (for every iteration) and checkpoints each round's output —
       // the public step's own pin/unpersist would evict this shared
       // cache every iteration
-      val next = stepCore(ranks, e, damping, qScale, weightCol,
-          pinContrib = false)
+      val next = stepCore(ranks, e, damping, qScale, weightCol)
         .localCheckpoint()
       shift = next
         .join(ranks.withColumnRenamed("rank", "__prev"), "id")
@@ -279,7 +301,7 @@ object GraphRank {
       ranks = next
       it += 1
     }
-    e.unpersist()
+    if (owned) e.unpersist()
     ranks
   }
 }

@@ -154,12 +154,14 @@ object Packing {
     * shorter than `chunkTokens`; every token belongs to at least one
     * window.
     *
-    * Zero shuffles, narrow end to end: the token array is staged ONCE in
-    * its own projection (Catalyst does not CSE through nested lambdas —
-    * [[Dedup.shinglesFromTokens]]'s rule), window starts posexplode from
-    * a stride-stepped sequence, and the slice projection runs AFTER the
-    * generate against the staged array, so the tokenizer cost is once per
-    * document, not once per chunk.
+    * Narrow end to end apart from [[graft.core.Spread]]'s parallelism
+    * floor (which may add one round-robin exchange on an
+    * under-parallelized small scan and is a passthrough at scale): the
+    * token array is staged ONCE in its own projection (Catalyst does not
+    * CSE through nested lambdas — [[Dedup.shinglesFromTokens]]'s rule),
+    * window starts posexplode from a stride-stepped sequence, and the
+    * slice projection runs AFTER the generate against the staged array,
+    * so the tokenizer cost is once per document, not once per chunk.
     */
   def chunkText(docs: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, stride: Int): DataFrame = {

@@ -259,8 +259,13 @@ object TextAnalysis {
     // the total as a 1-row broadcast instead of a separate driver action:
     // one query → ReuseExchange shares the token-count aggregation between
     // the top-V and the total, so the corpus explodes ONCE, not twice.
-    // log(c/total) and log(0.5/total) are the same Math.log on the same
-    // doubles whether computed plan-side or driver-side — bit-identical.
+    // log(c/total) and log(0.5/total) compute on the same doubles either
+    // way; note Spark's Log expression goes through StrictMath.log while
+    // driver-side math.log is the intrinsifiable Math.log — equal on this
+    // platform (oracle-verified), but a last-ulp difference is possible on
+    // exotic JVM/arch combinations, so an exact-hash comparison elsewhere
+    // should prefer one side consistently (this query computes BOTH the
+    // vocabulary and its consumers plan-side, so it is self-consistent).
     val toks = graft.core.Spread(docs.select(col(textCol)))
       .select(tokens(col(textCol)).as("__toks"))
       .select(explode(col("__toks")).as("__t"))

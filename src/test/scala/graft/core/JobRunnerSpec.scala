@@ -63,7 +63,7 @@ class JobRunnerSpec extends SparkSpec {
 
     // cluster-level variant: same corpus, one survivor per component,
     // labels cache released after the write
-    val cachedBeforeCdc = spark.sparkContext.getPersistentRDDs.size
+    val cachedBeforeCdc = spark.sparkContext.getPersistentRDDs.keySet
     val tgtCdc = tmp("jr_cdc_tgt") + "/t"
     val paramsCdc = tmp("jr_cdc_par") + "/p.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(paramsCdc),
@@ -76,7 +76,7 @@ class JobRunnerSpec extends SparkSpec {
     // no NEW persistent RDDs may survive the run (≤, not ==: the shared
     // session's ContextCleaner releases other suites' dropped blocks
     // asynchronously, so the count can legitimately SHRINK mid-test)
-    spark.sparkContext.getPersistentRDDs.size should be <= cachedBeforeCdc
+    (spark.sparkContext.getPersistentRDDs.keySet -- cachedBeforeCdc) shouldBe empty
 
     // score_column flips the survivor policy: the near-dup cluster keeps
     // its highest-quality member instead of the min id
@@ -112,15 +112,16 @@ class JobRunnerSpec extends SparkSpec {
       s"""{"source_dir": "$src", "target_dir": "$tgt3",
          | "id_column": "doc_id", "text_column": "text",
          | "budget_tokens": 16}""".stripMargin)
-    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     JobRunner.execute(spark, "SequencePacking", params3)
     // the packing operator's load-bearing persisted intermediate must be
     // released once the output write lands — a long-lived session running
     // the algorithm repeatedly must not accrete pinned caches
-    // <=, not ==: checkpoint blocks from EARLIER tests are GC-cleaned
-    // asynchronously, so the global count can DROP mid-test; the leak
-    // direction (new pinned caches accreting) is still caught
-    spark.sparkContext.getPersistentRDDs.size should be <= cachedBefore
+    // id SETS, not counts: checkpoint blocks from EARLIER tests are
+    // GC-cleaned asynchronously (counts can drop mid-test and mask one
+    // new pinned cache); asserting no NEW ids accrete is immune to
+    // concurrent cleanup while still catching every leak
+    (spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore) shouldBe empty
     val packed = spark.read.parquet(tgt3)
     packed.count() shouldBe 3
     packed.columns should contain allOf ("chunk_id", "offset_in_chunk")
@@ -840,7 +841,7 @@ class JobRunnerSpec extends SparkSpec {
       ((3L, 3L, 2L, 1L, 1L))
 
     // PackingStats: the packing cache must be released after the write
-    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val psSrc = tmp("jr_ps_src") + "/t"
     (1L to 10L).map(i => (i, "tok tok tok")).toDF("doc_id", "text")
       .write.parquet(psSrc)
@@ -853,10 +854,11 @@ class JobRunnerSpec extends SparkSpec {
     JobRunner.execute(spark, "PackingStats", psPar)
     // 30 tokens at budget 4: masses 6,3,3,3,6,3,3,3 (straddle pattern)
     spark.read.parquet(psTgt).count() shouldBe 2L
-    // <=, not ==: checkpoint blocks from EARLIER tests are GC-cleaned
-    // asynchronously, so the global count can DROP mid-test; the leak
-    // direction (new pinned caches accreting) is still caught
-    spark.sparkContext.getPersistentRDDs.size should be <= cachedBefore
+    // id SETS, not counts: checkpoint blocks from EARLIER tests are
+    // GC-cleaned asynchronously (counts can drop mid-test and mask one
+    // new pinned cache); asserting no NEW ids accrete is immune to
+    // concurrent cleanup while still catching every leak
+    (spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore) shouldBe empty
   }
 
   test("privacy/decay/bigram algorithms run through the params-JSON " +

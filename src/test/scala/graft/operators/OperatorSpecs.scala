@@ -260,7 +260,7 @@ class DedupSpec extends SparkSpec {
 
   test("clusterStats: histogram of component sizes with removal counts, " +
       "releases its labels cache") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     // components: {1,2,3} (size 3), {10,11} and {20,21} (size 2)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
       .toDF("id_a", "id_b")
@@ -269,10 +269,11 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1) shouldBe
       Array((2L, 2L, 2L), (3L, 1L, 2L))
     cd.release()
-    // <=, not ==: checkpoint blocks from EARLIER tests are GC-cleaned
-    // asynchronously, so the global count can DROP mid-test; the leak
-    // direction (new pinned caches accreting) is still caught
-    spark.sparkContext.getPersistentRDDs.size should be <= before
+    // id SETS, not counts: checkpoint blocks from EARLIER tests are
+    // GC-cleaned asynchronously (counts can drop mid-test and mask one
+    // new pinned cache); asserting no NEW ids accrete is immune to
+    // concurrent cleanup while still catching every leak
+    (spark.sparkContext.getPersistentRDDs.keySet -- before) shouldBe empty
   }
 
   test("keepBestPerComponent: the cluster survivor is the highest score " +
@@ -295,17 +296,18 @@ class DedupSpec extends SparkSpec {
 
   test("dedupCorpusByComponents matches dedupCorpus on simple clusters " +
       "and releases its labels cache") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val cd = Dedup.dedupCorpusByComponents(docs, "doc_id", "text",
       threshold = 0.5)
     // 2 is an exact dup of 1; 3 a near dup of 1: cluster keeps 1 only
     cd.frame.select($"doc_id").as[Long].collect().sorted shouldBe
       Array(1L, 4L, 5L)
     cd.release()
-    // <=, not ==: checkpoint blocks from EARLIER tests are GC-cleaned
-    // asynchronously, so the global count can DROP mid-test; the leak
-    // direction (new pinned caches accreting) is still caught
-    spark.sparkContext.getPersistentRDDs.size should be <= before
+    // id SETS, not counts: checkpoint blocks from EARLIER tests are
+    // GC-cleaned asynchronously (counts can drop mid-test and mask one
+    // new pinned cache); asserting no NEW ids accrete is immune to
+    // concurrent cleanup while still catching every leak
+    (spark.sparkContext.getPersistentRDDs.keySet -- before) shouldBe empty
   }
 
   test("connected components: string ids propagate labels transitively " +
@@ -330,7 +332,7 @@ class DedupSpec extends SparkSpec {
     // round 9; with it this completes in seconds. maxIter = 15 exactly:
     // the no-change verification round is granted beyond maxIter.
     val chain = (1L until 16L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(chain, maxIter = 15)
+    val cc = Dedup.connectedComponentsDistributed(chain, maxIter = 15)
     cc.as[(Long, Long)].collect().foreach(_._2 shouldBe 1L)
     cc.unpersist()
   }
@@ -342,7 +344,7 @@ class DedupSpec extends SparkSpec {
     // round, so maxIter=8 suffices — this spec fails if the shortcut
     // regresses to linear
     val chain = (1L until 51L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(chain, maxIter = 8)
+    val cc = Dedup.connectedComponentsDistributed(chain, maxIter = 8)
     val m = cc.as[(Long, Long)].collect().toMap
     m.size shouldBe 51
     m.values.foreach(_ shouldBe 1L)
@@ -352,16 +354,17 @@ class DedupSpec extends SparkSpec {
   test("connected components: intermediate storage is released each round; " +
       "result.unpersist() frees the rest") {
     val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.size
-    val cc = Dedup.connectedComponents(
+    val before = sc.getPersistentRDDs.keySet
+    val cc = Dedup.connectedComponentsDistributed(
       Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b"))
     // result is cached and materialized; everything else already released
     cc.count() shouldBe 5
     cc.unpersist(blocking = true)
-    // <=, not ==: checkpoint blocks from EARLIER tests are GC-cleaned
-    // asynchronously, so the global count can DROP mid-test; the leak
-    // direction (new pinned caches accreting) is still caught
-    sc.getPersistentRDDs.size should be <= before
+    // id SETS, not counts: checkpoint blocks from EARLIER tests are
+    // GC-cleaned asynchronously (counts can drop mid-test and mask one
+    // new pinned cache); asserting no NEW ids accrete is immune to
+    // concurrent cleanup while still catching every leak
+    (sc.getPersistentRDDs.keySet -- before) shouldBe empty
   }
 
   test("connected components: a path longer than maxIter fails loudly " +
@@ -371,12 +374,12 @@ class DedupSpec extends SparkSpec {
     // plus the free verification round) cannot finish it
     val longPath = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(longPath, maxIter = 1)
+      Dedup.connectedComponentsDistributed(longPath, maxIter = 1)
     }
     e.getMessage should include("did not converge")
     // opt-out path returns the partial labels (with a logged warning)
-    val partial = Dedup.connectedComponents(longPath, maxIter = 1,
-      failOnNonConvergence = false)
+    val partial = Dedup.connectedComponentsDistributed(longPath,
+      maxIter = 1, failOnNonConvergence = false)
     partial.count() shouldBe 10
     partial.unpersist()
     // and with enough rounds the same graph converges to one component
@@ -1906,6 +1909,25 @@ class PreparedBenchmarkSpec extends SparkSpec {
       Decontaminate.decontaminatePrepared(corpus, "id", "t", empty)
         .count() shouldBe 4
     } finally empty.release()
+  }
+
+  test("decontaminatePrepared: the minOverlap=1 presence shortcut keeps " +
+      "exactly the rows the count-aggregation form keeps") {
+    val pb = Decontaminate.prepareBenchmark(bench, "qt", n = 4)
+    try {
+      val fast = Decontaminate.decontaminatePrepared(corpus, "id", "t", pb,
+        minOverlap = 1)
+      // minOverlap = 2 exercises the aggregation branch on the same data;
+      // at 1 the reference semantics are "any shared shingle drops":
+      // replicate via overlapsPrepared's matched set
+      val viaCounts = corpus.join(
+        Decontaminate.overlapsPrepared(corpus, "id", "t", pb, 1)
+          .select($"id"), Seq("id"), "left_anti")
+      assertSameRows(fast, viaCounts)
+      // and the aggregation branch still gates higher thresholds
+      Decontaminate.decontaminatePrepared(corpus, "id", "t", pb,
+        minOverlap = 99).count() shouldBe 4
+    } finally pb.release()
   }
 }
 
